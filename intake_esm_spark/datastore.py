@@ -1,0 +1,377 @@
+"""Public catalog API — the Spark-native ``esm_datastore``.
+
+Mirrors the reference's user surface (/root/reference/intake_esm/core.py:89-922)
+on a lazy Spark DataFrame:
+
+* ``open_esm_datastore(obj)`` — JSON path / descriptor dict / (descriptor,
+  DataFrame) pair (core.py:139-146)
+* ``search(require_all_on=..., **query)`` — returns a NEW datastore whose
+  DataFrame is the filtered Catalyst plan (core.py:400-510), including
+  derived-variable dependency expansion + union + dedup (core.py:464-493)
+* ``keys`` / ``keys_info`` / ``key_template`` / ``__len__`` /
+  ``__contains__`` / ``__getitem__`` (core.py:172-345)
+* ``unique`` / ``nunique`` incl. the synthetic ``derived_<variable_col>``
+  entry (core.py:567-604)
+* ``to_dataset_dict`` / ``to_datatree`` / ``to_dataframe`` (to_dask
+  analogue) (core.py:607-894)
+* ``serialize`` (core.py:513-565)
+
+The datastore never holds collected rows — only the descriptor (metadata)
+and the DataFrame plan, so the same handle works against a 100 TB catalog
+on a cluster.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from intake_esm_spark.derived import DerivedVariableRegistry
+from intake_esm_spark.operators import grouping
+from intake_esm_spark.operators.combine import open_asset_union
+from intake_esm_spark.operators.division import apply_require_all_on
+from intake_esm_spark.plans.predicates import search as base_search
+from intake_esm_spark.plans.query import Query
+from intake_esm_spark.sources import catalog_io
+from intake_esm_spark.sources.descriptor import ESMCatalogDescriptor
+
+
+class ESMDataStore:
+    """A catalog handle: descriptor + lazy catalog DataFrame + registries."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        descriptor: ESMCatalogDescriptor,
+        df: DataFrame,
+        registry: DerivedVariableRegistry | None = None,
+        requested_variables: list[str] | None = None,
+        sep: str = ".",
+    ) -> None:
+        self.spark = spark
+        self.descriptor = descriptor
+        self._df = df
+        self.derivedcat = registry or DerivedVariableRegistry()
+        self._requested_variables = requested_variables or []
+        self.sep = sep
+        self._validate_registry()
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_json(
+        cls,
+        spark: SparkSession,
+        json_path: str,
+        registry: DerivedVariableRegistry | None = None,
+        sep: str = ".",
+    ) -> "ESMDataStore":
+        desc = ESMCatalogDescriptor.load(json_path)
+        df, _ = catalog_io.load_catalog(spark, desc)
+        return cls(spark, desc, df, registry=registry, sep=sep)
+
+    @classmethod
+    def from_dict(
+        cls,
+        spark: SparkSession,
+        obj: dict[str, Any],
+        registry: DerivedVariableRegistry | None = None,
+        sep: str = ".",
+    ) -> "ESMDataStore":
+        desc = ESMCatalogDescriptor.from_dict(obj)
+        df, _ = catalog_io.load_catalog(spark, desc)
+        return cls(spark, desc, df, registry=registry, sep=sep)
+
+    def _validate_registry(self) -> None:
+        """Derived queries must reference the variable column and known
+        columns; requires aggregation_control (reference core.py:155-170)."""
+        if not len(self.derivedcat):
+            return
+        if self.descriptor.aggregation_control is None:
+            raise ValueError(
+                "derived variables require a descriptor with aggregation_control"
+            )
+        var_col = self.descriptor.variable_column_name
+        cols = set(self.df.columns)
+        for name, dv in self.derivedcat.items():
+            if var_col not in dv.query:
+                raise ValueError(
+                    f"derived variable {name!r} query must include the "
+                    f"variable column {var_col!r}"
+                )
+            unknown = sorted(set(dv.query) - cols)
+            if unknown:
+                raise ValueError(
+                    f"derived variable {name!r} query has unknown columns {unknown}"
+                )
+
+    # -- basic introspection ---------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def iterable_columns(self) -> set[str]:
+        return {
+            f.name
+            for f in self._df.schema.fields
+            if isinstance(f.dataType, T.ArrayType)
+        }
+
+    @property
+    def has_multiple_variable_assets(self) -> bool:
+        var_col = self.descriptor.variable_column_name
+        return var_col is not None and var_col in self.iterable_columns
+
+    def __repr__(self) -> str:
+        return (
+            f"<ESMDataStore {self.descriptor.id or '(unnamed)'}: "
+            f"{len(self)} dataset group(s)>"
+        )
+
+    # -- grouping / keys -------------------------------------------------------
+
+    def _effective_attrs(self) -> list[str]:
+        return grouping.effective_groupby_attrs(
+            self._df,
+            self.descriptor.groupby_attrs,
+            self.descriptor.aggregation_control is not None,
+        )
+
+    @property
+    def key_template(self) -> str:
+        attrs = self._effective_attrs()
+        return self.sep.join(attrs)
+
+    def keys(self) -> list[str]:
+        attrs = self._effective_attrs()
+        rows = grouping.group_keys(self._df, attrs, self.sep).select("key").collect()
+        return sorted(r["key"] for r in rows)
+
+    def keys_info(self) -> DataFrame:
+        """One row per dataset key with its group attribute values."""
+        attrs = self._effective_attrs()
+        return grouping.group_keys(self._df, attrs, self.sep)
+
+    def __len__(self) -> int:
+        attrs = self._effective_attrs()
+        return self._df.select(*attrs).distinct().count()
+
+    def __contains__(self, key: str) -> bool:
+        return key in set(self.keys())
+
+    def __getitem__(self, key: str) -> DataFrame:
+        """Catalog rows of one dataset group (reference: the records that
+        feed one ESMDataSource, core.py:311-341)."""
+        attrs = self._effective_attrs()
+        return self._df.filter(grouping.key_column(attrs, self.sep) == key)
+
+    # -- profiling ---------------------------------------------------------------
+
+    def unique(self) -> dict[str, list]:
+        out = grouping.unique(self._df)
+        var_col = self.descriptor.variable_column_name
+        if var_col and len(self.derivedcat):
+            out[f"derived_{var_col}"] = sorted(self.derivedcat.keys())
+        return out
+
+    def nunique(self) -> dict[str, int]:
+        out = grouping.nunique(self._df)
+        var_col = self.descriptor.variable_column_name
+        if var_col and len(self.derivedcat):
+            out[f"derived_{var_col}"] = len(self.derivedcat)
+        return out
+
+    # -- search --------------------------------------------------------------------
+
+    def search(
+        self, require_all_on: str | list[str] | None = None, **query: Any
+    ) -> "ESMDataStore":
+        """Multi-column predicate search + optional relational division +
+        derived-variable dependency expansion. Returns a new datastore over
+        the filtered (still lazy) DataFrame."""
+        q = Query.normalize(query, self._df.columns, require_all_on)
+        results = base_search(self._df, q)
+        if q.require_all_on and q.query:
+            results = apply_require_all_on(results, q, self.iterable_columns)
+
+        # derived-variable expansion (reference core.py:464-493)
+        var_col = self.descriptor.variable_column_name
+        variables = query.get(var_col) if var_col else None
+        if variables is not None and not isinstance(variables, (list, tuple, set)):
+            variables = [variables]
+        dependents: list[str] = []
+        derived_subset: dict[str, Any] = {}
+        if variables:
+            rest = {k: v for k, v in query.items() if k != var_col}
+            for name, dv in self.derivedcat.items():
+                if name in variables:
+                    dep_query = {**dv.query, **rest}
+                    dq = Query.normalize(dep_query, self._df.columns, require_all_on)
+                    res = base_search(self._df, dq)
+                    if dq.require_all_on and dq.query:
+                        res = apply_require_all_on(res, dq, self.iterable_columns)
+                    results = results.unionByName(res)
+                    dependents.extend(dv.dependent_variables(var_col))
+                    derived_subset[name] = dv
+            results = results.dropDuplicates()
+
+        new_desc = copy.deepcopy(self.descriptor)
+        new_desc.catalog_file = None
+        new_desc.catalog_dict = None
+        if self.has_multiple_variable_assets:
+            requested = sorted(set(variables or []) | set(dependents))
+        else:
+            requested = []
+        if variables is not None:
+            reg = DerivedVariableRegistry()
+            reg._registry = derived_subset
+        else:
+            reg = self.derivedcat
+        out = self.__class__(
+            self.spark,
+            new_desc,
+            results,
+            registry=reg,
+            requested_variables=requested,
+            sep=self.sep,
+        )
+        return out
+
+    # -- dataset assembly -------------------------------------------------------------
+
+    def _asset_paths(self, rows_df: DataFrame) -> list[str]:
+        assert self.descriptor.assets is not None
+        col = self.descriptor.assets.column_name
+        return [r[0] for r in rows_df.select(col).distinct().collect()]
+
+    def to_dataset_dict(
+        self,
+        aggregate: bool = True,
+        skip_on_error: bool = False,
+        requested_variables: list[str] | None = None,
+        sep: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Assemble each dataset group into a long-format DataFrame.
+
+        All groups share ONE scan plan; the dict values are key-filtered
+        views of it (cheap — Catalyst prunes files by the pushed key
+        predicate when assets are partitioned by group attrs).
+        """
+        sep = sep or self.sep
+        if self._df.isEmpty():
+            return {}
+        combined, attrs = self._combined_plan(aggregate, requested_variables)
+        keys = [
+            r["key"]
+            for r in combined.select("key").distinct().collect()
+        ]
+        datasets = {k: combined.filter(F.col("key") == k) for k in sorted(keys)}
+        var_col = self.descriptor.variable_column_name
+        if len(self.derivedcat) and var_col:
+            long_var_col = "variable" if "variable" in combined.columns else var_col
+            datasets = self.derivedcat.update_datasets(
+                datasets, long_var_col, skip_on_error=skip_on_error
+            )
+        return datasets
+
+    def _combined_plan(
+        self, aggregate: bool, requested_variables: list[str] | None
+    ) -> tuple[DataFrame, list[str]]:
+        desc = self.descriptor
+        if not aggregate:
+            desc = copy.deepcopy(desc)
+            if desc.aggregation_control:
+                desc.aggregation_control.groupby_attrs = []
+        attrs = grouping.effective_groupby_attrs(
+            self._df, desc.groupby_attrs, desc.aggregation_control is not None
+        )
+        paths = self._asset_paths(self._df)
+        requested = requested_variables or self._requested_variables or None
+        combined = open_asset_union(
+            self.spark,
+            self._df,
+            desc,
+            paths,
+            requested_variables=requested,
+            extra_catalog_columns=attrs,
+        )
+        combined = combined.withColumn(
+            "key",
+            F.concat_ws(self.sep, *[F.col(a).cast("string") for a in attrs]),
+        )
+        return combined, attrs
+
+    def to_dataframe(
+        self,
+        aggregate: bool = True,
+        requested_variables: list[str] | None = None,
+    ) -> DataFrame:
+        """The whole result as ONE DataFrame with a ``key`` column — the
+        scale-friendly alternative to a dict of datasets (and the analogue
+        of ``to_dask`` when exactly one group matches)."""
+        combined, _ = self._combined_plan(aggregate, requested_variables)
+        return combined
+
+    def to_datatree(self, **kwargs: Any) -> dict[str, DataFrame]:
+        """Dataset dict keyed by '/'-joined paths (reference core.py:765-867)."""
+        old_sep = self.sep
+        self.sep = "/"
+        try:
+            return self.to_dataset_dict(**kwargs)
+        finally:
+            self.sep = old_sep
+
+    def to_dask(self, **kwargs: Any) -> DataFrame:
+        """Single-dataset accessor: errors unless exactly one group
+        (reference core.py:869-894)."""
+        if len(self) != 1:
+            raise ValueError(
+                "expected exactly one dataset group; use to_dataset_dict()"
+            )
+        datasets = self.to_dataset_dict(**kwargs)
+        return next(iter(datasets.values()))
+
+    # -- serialization ------------------------------------------------------------------
+
+    def serialize(
+        self,
+        name: str,
+        directory: str = ".",
+        catalog_type: str = "dict",
+        file_format: str = "csv",
+        compression: str | None = None,
+    ) -> str:
+        return catalog_io.save_catalog(
+            self._df,
+            self.descriptor,
+            name,
+            directory,
+            catalog_type=catalog_type,
+            file_format=file_format,
+            compression=compression,
+        )
+
+
+def open_esm_datastore(
+    obj: str | dict[str, Any],
+    spark: SparkSession | None = None,
+    registry: DerivedVariableRegistry | None = None,
+    sep: str = ".",
+) -> ESMDataStore:
+    """Open a catalog from a JSON path or a descriptor dict
+    (reference core.py:139-146 dispatch)."""
+    if spark is None:
+        from intake_esm_spark.session import get_spark
+
+        spark = get_spark()
+    if isinstance(obj, str):
+        return ESMDataStore.from_json(spark, obj, registry=registry, sep=sep)
+    if isinstance(obj, dict):
+        return ESMDataStore.from_dict(spark, obj, registry=registry, sep=sep)
+    raise TypeError(f"cannot open a datastore from {type(obj)!r}")
