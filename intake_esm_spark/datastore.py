@@ -293,17 +293,19 @@ class ESMDataStore:
         )
         paths = self._asset_paths(self._df)
         requested = requested_variables or self._requested_variables or None
+        # the public key is computed on the CATALOG side (its attrs may
+        # collide with asset data columns, e.g. `variable`), then attached
+        # to asset rows through the broadcast join
+        cat_keyed = self._df.withColumn(
+            "key", F.concat_ws(self.sep, *[F.col(a).cast("string") for a in attrs])
+        )
         combined = open_asset_union(
             self.spark,
-            self._df,
+            cat_keyed,
             desc,
             paths,
             requested_variables=requested,
-            extra_catalog_columns=attrs,
-        )
-        combined = combined.withColumn(
-            "key",
-            F.concat_ws(self.sep, *[F.col(a).cast("string") for a in attrs]),
+            extra_catalog_columns=["key"] + attrs,
         )
         return combined, attrs
 

@@ -1,0 +1,153 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Every function here returns a Catalyst Column built from pyspark.sql.functions
+primitives — JVM-side, whole-stage-codegen'd, no Python in the hot path — so
+they run at full scan speed over a 100 TB documents table.
+
+Provided surface:
+* token counting (whitespace + BPE-ish word/punct regex)
+* quality scoring (length / punctuation / stopword / digit ratios)
+* language ID (stopword-hit heuristic over a small per-language lexicon)
+* document fingerprinting (normalized md5 + rolling-window shingle hashes)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A compact stopword lexicon per language — enough signal for a coarse
+# n-gram/stopword language-ID heuristic. Public common-word lists.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sie"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "y", "en", "que", "por", "con"],
+}
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count: split on runs of whitespace, ignoring
+    leading/trailing whitespace. Empty/blank text counts 0."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token count: words, numbers, and punctuation runs each
+    count as one token (a regex approximation of byte-pair pre-tokenization).
+    """
+    # count matches of word / number / single non-space punctuation
+    tokens = F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9])"), 1)
+    return F.size(tokens)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+# ASCII punctuation as an explicit range class — identical in Java regex and
+# RE2 (Java's \p{Punct} has no RE2 equivalent, so oracles couldn't match it)
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation characters / total characters (0 for empty text)."""
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, _PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    digits = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(digits / n)
+
+
+def uppercase_ratio(text: Column) -> Column:
+    n = F.length(text)
+    uppers = n - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(uppers / n)
+
+
+def mean_word_length(text: Column) -> Column:
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(total.cast("double") / n)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    hit_count = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.when(F.array_contains(sw, w), 1).otherwise(0),
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(hit_count.cast("double") / n)
+
+
+def quality_score(text: Column) -> Column:
+    """A composite [0,1] heuristic quality score: long-enough text with
+    moderate punctuation, few digits, and some stopwords scores high.
+    Deterministic, built-in-only — the shape of C4/Gopher-style rules."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    digit_term = F.lit(1.0) - F.least(digit_ratio(text) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 3, F.lit(1.0))
+    return (length_term + punct_term + digit_term + stop_term) / 4
+
+
+def _stopword_hit_counter(sw: Column):
+    # bind the stopword array without adding lambda parameters (PySpark
+    # derives the higher-order function's arity from the lambda signature)
+    def _count(acc: Column, w: Column) -> Column:
+        return acc + F.when(F.array_contains(sw, w), 1).otherwise(0)
+
+    return _count
+
+
+def lang_id(text: Column) -> Column:
+    """Coarse language ID: the language whose stopword lexicon hits the most
+    tokens; 'und' (undetermined) when nothing hits."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    scores = []
+    for lang, sw_list in STOPWORDS.items():
+        sw = F.array([F.lit(w) for w in sw_list])
+        hit_count = F.aggregate(words, F.lit(0), _stopword_hit_counter(sw))
+        scores.append(F.struct(hit_count.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def normalized_text(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic document fingerprint over normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles (array<string>) over normalized text — the input
+    to MinHash / Jaccard dedup. Documents shorter than n words yield a
+    single shingle with the whole text."""
+    words = F.split(normalized_text(text), " ")
+    k = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k <= n, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def rolling_hashes(text: Column, n: int = 5) -> Column:
+    """Rolling-window fingerprint: xxhash64 of each word n-gram shingle
+    (array<bigint>) — the document's hash sketch."""
+    return F.transform(shingles(text, n), lambda s: F.xxhash64(s))

@@ -1,0 +1,113 @@
+"""As-of and range joins — analytic extensions absent from the reference
+(SURVEY.md §2.3 J6) but table stakes for an events table.
+
+* **as-of join**: for each left row, the latest right row with
+  ``right.ts <= left.ts`` (optionally within a tolerance), per key.
+  Implemented shuffle-once: union both sides tagged, one window
+  ``last(ignorenulls)`` over (key, ts) ordering — the union shuffles each
+  row exactly once on the key, versus a naive range join's quadratic
+  explosion.
+* **range join**: inner join on ``left.ts BETWEEN right.start AND
+  right.end`` with an equi-key prefix so Catalyst plans a hash join +
+  range filter rather than a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    tolerance: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """pd.merge_asof semantics, distributed.
+
+    Columns of ``right`` (except key/ts) are appended to ``left`` rows,
+    taken from the nearest earlier (backward) or later (forward) right row
+    per key. ``tolerance`` is an INTERVAL string (e.g. '10 minutes').
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    value_cols = [c for c in right.columns if c not in (on, ts_col)]
+    left_only = [c for c in left.columns if c not in (on, ts_col)]
+    l_types, r_types = dict(left.dtypes), dict(right.dtypes)
+
+    # common layout: (key, ts, left-only cols, right value cols, __side)
+    l_tagged = left.select(
+        F.col(on),
+        F.col(ts_col),
+        *[F.col(c) for c in left_only],
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in value_cols],
+        F.lit(1).alias("__side"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in left_only],
+        *[F.col(c) for c in value_cols],
+        F.lit(0).alias("__side"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        w = Window.partitionBy(on).orderBy(
+            F.col(ts_col).asc(), F.col("__side").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+    else:
+        w = Window.partitionBy(on).orderBy(
+            F.col(ts_col).desc(), F.col("__side").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+
+    filled = unioned
+    for c in value_cols:
+        filled = filled.withColumn(
+            f"__asof_{c}", F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    matched_ts = F.last(
+        F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    filled = filled.withColumn("__matched_ts", matched_ts)
+
+    out = filled.filter(F.col("__side") == 1)
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"__asof_{c}")).drop(f"__asof_{c}")
+    if tolerance is not None:
+        bound = (
+            F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col(ts_col) + F.expr(f"INTERVAL {tolerance}")
+        )
+        in_tol = (
+            (F.col("__matched_ts") >= bound)
+            if direction == "backward"
+            else (F.col("__matched_ts") <= bound)
+        )
+        for c in value_cols:
+            out = out.withColumn(c, F.when(in_tol, F.col(c)))
+    return out.drop("__side", "__matched_ts").select(
+        *left.columns, *value_cols
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Inner join where ``left.ts`` falls in ``[right.start, right.end]``,
+    equi-keyed on ``on`` so the planner hash-partitions by key first."""
+    return left.join(
+        right,
+        (left[on] == right[on])
+        & (left[ts_col] >= right[start_col])
+        & (left[ts_col] <= right[end_col]),
+    ).drop(right[on])

@@ -85,6 +85,10 @@ def open_asset_union(
     assets = spark.read.parquet(*paths).withColumn(
         "__asset_path", _norm(F.input_file_name())
     )
+    # catalog columns that collide with asset data columns are not attached
+    # (e.g. aggregate=False groups by ALL catalog columns, including an
+    # iterable `variable` column whose name the long-format rows also use)
+    attach = [c for c in attach if c not in assets.columns]
 
     cat_side = catalog.select(
         _norm(F.col(path_col)).alias("__asset_path"),

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* **brute-force cosine top-k** — exact baseline. The dot product is a
+  built-in ``zip_with`` + ``aggregate`` fold (JVM-side); top-k per query is
+  a window rank. Cost O(n_queries * n_corpus) — correct at any scale but
+  quadratic; the oracle for the approximate tier.
+* **IVF (inverted-file) cosine top-k** — the scale path. A driver-side
+  k-means on a SAMPLE picks nprobe-independent centroids (the sample is
+  bounded, so driver memory is constant); every corpus vector is assigned
+  to its nearest centroid (one broadcast map-side pass, no shuffle); a
+  query probes only the ``nprobe`` nearest centroid buckets. At 100 TB the
+  corpus scan becomes a bucket-pruned scan when the table is written
+  partitioned by centroid id.
+
+Both return (query_id, vec_id, cos_sim) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def l2_norm(col: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, fold the dot product JVM-side, window-rank per query.
+
+    The corpus never shuffles — the only exchange is the per-query top-k
+    aggregation, which AQE keeps tiny (k rows per query per partition after
+    partial top-k)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def _kmeans_centroids(
+    corpus: DataFrame, vec_col: str, n_centroids: int, sample_fraction: float, iters: int = 5
+):
+    """Driver-side k-means on a bounded sample (numpy). Returns list of
+    centroid vectors. Deterministic: seeded sample + seeded init."""
+    import numpy as np
+
+    sample = (
+        corpus.select(vec_col)
+        .sample(fraction=min(1.0, sample_fraction), seed=42)
+        .limit(50_000)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(42)
+    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ centroids.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(centroids)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                centroids[j] = c / max(np.linalg.norm(c), 1e-12)
+    return [list(map(float, c)) for c in centroids]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """Approximate cosine top-k via inverted-file partitioning.
+
+    Corpus vectors are bucketed by nearest centroid (map-side, broadcast
+    centroid array); each query scans only its ``nprobe`` closest buckets.
+    Recall rises with nprobe; nprobe == n_centroids degenerates to exact.
+    """
+    centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+    )
+
+    def nearest_buckets(vec: F.Column, n: int) -> F.Column:
+        sims = F.transform(
+            cent_arr,
+            lambda c: dot(vec, c) / (l2_norm(vec) * F.lit(1.0)),
+        )
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.zip_with(
+            sims, idx, lambda s, i: F.struct(s.alias("sim"), i.alias("idx"))
+        )
+        return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+
+    c_bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        nearest_buckets(F.col(vec_col), 1)[0]["idx"].alias("bucket"),
+    )
+    q_bucketed = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.transform(
+                nearest_buckets(F.col(vec_col), nprobe), lambda s: s["idx"]
+            )
+        ).alias("bucket"),
+    )
+    scored = c_bucketed.join(F.broadcast(q_bucketed), on="bucket").select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

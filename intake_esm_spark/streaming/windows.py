@@ -1,0 +1,106 @@
+"""Streaming window operators over an events stream.
+
+The reference is batch-only (SURVEY.md §2.7); these are the Structured
+Streaming extensions. Each helper works identically on a batch DataFrame
+(for oracle checks) and a streaming DataFrame (``spark.readStream``) — the
+transformations are the same Catalyst plan; only the sink differs.
+
+Watermarks bound state: ``withWatermark(ts, horizon)`` lets late rows
+older than the horizon be dropped and window state be evicted, which is
+what keeps a forever-running aggregation at a fixed memory footprint on a
+real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window_size: str = "10 minutes",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window count + sum(value) per event_type (or custom cols)."""
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_size).alias("win"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window_size: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_size, slide).alias("win"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows per key: events separated by <= gap coalesce into
+    one session (built-in ``session_window``; in batch mode this matches
+    the lag+cumsum sessionization oracle)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming dedup: first occurrence of each key wins; state
+    evicts past the watermark. Batch fallback: plain dropDuplicates."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)

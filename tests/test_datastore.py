@@ -1,0 +1,192 @@
+"""End-to-end datastore tests: the minimum-slice scenario of SURVEY.md §7.2
+(open -> search -> to_dataset_dict with join_new/join_existing/union) plus
+derived variables, serialize round-trip, and API surface parity checks."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.datastore import ESMDataStore, open_esm_datastore
+from intake_esm_spark.derived import DerivedVariableRegistry, elementwise
+from intake_esm_spark.plans.query import QueryError
+
+
+@pytest.fixture(scope="module")
+def catalog_env(spark, tmp_path_factory):
+    """CESM-LENS-like catalog: 2 experiments x 2 members x 2 time slices,
+    each asset a long-format parquet with variables SHF/SST (+FLNS/FLUT for
+    the derived-variable cases)."""
+    work = tmp_path_factory.mktemp("cat")
+    assets_dir = work / "assets"
+    assets_dir.mkdir()
+    rows = []
+    for exp in ["CTRL", "20C"]:
+        for member in [1, 2]:
+            for t0 in [2000, 2005]:
+                path = str(assets_dir / f"{exp}_m{member}_{t0}.parquet")
+                pd.DataFrame(
+                    {
+                        "variable": ["SHF"] * 5 + ["SST"] * 5 + ["FLNS"] * 5 + ["FLUT"] * 5,
+                        "time": list(range(t0, t0 + 5)) * 4,
+                        "lat": [0.0] * 20,
+                        "value": [float(member * 100 + t - t0) for t in range(t0, t0 + 5)] * 4,
+                    }
+                ).to_parquet(path)
+                rows.append(
+                    dict(
+                        component="ocn",
+                        experiment=exp,
+                        stream="pop.h",
+                        variable="('SHF', 'SST', 'FLNS', 'FLUT')",
+                        member_id=member,
+                        time_range=f"{t0}-{t0+4}",
+                        path=path,
+                    )
+                )
+    csv_path = work / "catalog.csv"
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    desc = {
+        "esmcat_version": "0.1.0",
+        "id": "test_cat",
+        "description": "unit-test catalog",
+        "attributes": [],
+        "assets": {"column_name": "path", "format": "parquet"},
+        "aggregation_control": {
+            "variable_column_name": "variable",
+            "groupby_attrs": ["component", "experiment", "stream"],
+            "aggregations": [
+                {"type": "join_new", "attribute_name": "member_id", "options": {}},
+                {
+                    "type": "join_existing",
+                    "attribute_name": "time_range",
+                    "options": {"dim": "time"},
+                },
+                {"type": "union", "attribute_name": "variable", "options": {}},
+            ],
+        },
+        "catalog_file": str(csv_path),
+    }
+    json_path = work / "catalog.json"
+    json_path.write_text(json.dumps(desc))
+    return str(json_path)
+
+
+def test_open_and_keys(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    assert len(cat) == 2
+    assert cat.keys() == ["ocn.20C.pop.h", "ocn.CTRL.pop.h"]
+    assert cat.key_template == "component.experiment.stream"
+    assert "ocn.CTRL.pop.h" in cat
+    assert cat.iterable_columns == {"variable"}
+    assert cat.has_multiple_variable_assets
+
+
+def test_search_and_assemble(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    sub = cat.search(experiment="CTRL", variable="SHF")
+    assert sub.df.count() == 4
+    dsets = sub.to_dataset_dict()
+    assert list(dsets) == ["ocn.CTRL.pop.h"]
+    ds = dsets["ocn.CTRL.pop.h"]
+    # join_new: both members present; join_existing: full time span;
+    # union + requested-variable projection: only SHF rows
+    assert ds.select("member_id").distinct().count() == 2
+    row = ds.select(F.min("time"), F.max("time")).collect()[0]
+    assert [row[0], row[1]] == [2000, 2009]
+    assert [r[0] for r in ds.select("variable").distinct().collect()] == ["SHF"]
+
+
+def test_getitem_and_contains(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    grp = cat["ocn.CTRL.pop.h"]
+    assert grp.count() == 4
+    assert "nope" not in cat
+
+
+def test_aggregate_false(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    sub = cat.search(experiment="CTRL", variable="SHF")
+    dsets = sub.to_dataset_dict(aggregate=False)
+    # every asset row becomes its own dataset
+    assert len(dsets) == 4
+
+
+def test_to_datatree_keys(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    dsets = cat.search(experiment="CTRL", variable="SHF").to_datatree()
+    assert list(dsets) == ["ocn/CTRL/pop.h"]
+
+
+def test_to_dask_single_group_guard(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    with pytest.raises(ValueError):
+        cat.to_dask()  # two groups
+    one = cat.search(experiment="CTRL", variable="SHF")
+    assert one.to_dask().count() > 0
+
+
+def test_unknown_search_column(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    with pytest.raises(QueryError):
+        cat.search(bogus="x")
+
+
+def test_derived_variable_flow(spark, catalog_env):
+    registry = DerivedVariableRegistry()
+    registry.register(
+        elementwise("FOO", ["FLNS", "FLUT"], lambda a, b: a + b),
+        variable="FOO",
+        query={"variable": ["FLNS", "FLUT"]},
+    )
+    cat = open_esm_datastore(catalog_env, spark=spark, registry=registry)
+    # searching for the derived name pulls in dependency assets
+    sub = cat.search(experiment="CTRL", variable="FOO")
+    assert sub.df.count() == 4
+    assert sorted(sub._requested_variables) == ["FLNS", "FLUT", "FOO"]
+    dsets = sub.to_dataset_dict()
+    ds = dsets["ocn.CTRL.pop.h"]
+    vars_present = {r[0] for r in ds.select("variable").distinct().collect()}
+    assert "FOO" in vars_present
+    # FOO = FLNS + FLUT pointwise
+    foo = ds.filter("variable = 'FOO'")
+    chk = (
+        ds.filter(F.col("variable").isin("FLNS", "FLUT"))
+        .groupBy("time", "lat", "member_id")
+        .agg(F.sum("value").alias("expected"))
+        .join(foo, ["time", "lat", "member_id"])
+        .filter(F.abs(F.col("expected") - F.col("value")) > 1e-9)
+    )
+    assert chk.count() == 0
+
+
+def test_derived_unique_entries(spark, catalog_env):
+    registry = DerivedVariableRegistry()
+    registry.register(
+        elementwise("FOO", ["FLNS", "FLUT"], lambda a, b: a + b),
+        variable="FOO",
+        query={"variable": ["FLNS", "FLUT"]},
+    )
+    cat = open_esm_datastore(catalog_env, spark=spark, registry=registry)
+    assert cat.nunique()["derived_variable"] == 1
+    assert cat.unique()["derived_variable"] == ["FOO"]
+
+
+def test_serialize_round_trip(spark, catalog_env, tmp_path):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    out_json = cat.serialize("saved", directory=str(tmp_path), catalog_type="file")
+    cat2 = open_esm_datastore(out_json, spark=spark)
+    assert cat2.df.count() == cat.df.count()
+    assert cat2.iterable_columns == {"variable"}
+    assert sorted(cat2.df.columns) == sorted(cat.df.columns)
+    # container type preserved
+    saved = json.load(open(out_json))
+    assert saved["iterable_dtypes"] == {"variable": "tuple"}
+
+
+def test_empty_search_returns_empty_dict(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    sub = cat.search(experiment="NOPE")
+    assert sub.to_dataset_dict() == {}

@@ -1,0 +1,69 @@
+"""Grouping/profiling rules: all-NaN drop, mixed-NaN error, key construction,
+unique/nunique with iterable columns (reference cat.py:26-45, 356-407)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from intake_esm_spark.operators import grouping
+
+
+@pytest.fixture()
+def frame(spark):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("allnull", T.DoubleType()),
+            T.StructField("mixed", T.StringType()),
+            T.StructField("vars", T.ArrayType(T.StringType())),
+        ]
+    )
+    rows = [
+        ("x", None, "m", ["v1", "v2"]),
+        ("x", None, None, ["v2", "v3"]),
+        ("y", None, "m", ["v1"]),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_null_profile(spark, frame):
+    prof = grouping.null_profile(frame, ["a", "allnull", "mixed"])
+    assert prof == {"a": "no_null", "allnull": "all_null", "mixed": "mixed"}
+
+
+def test_effective_attrs_drops_allnull(spark, frame):
+    attrs = grouping.effective_groupby_attrs(frame, ["a", "allnull"], True)
+    assert attrs == ["a"]
+
+
+def test_effective_attrs_mixed_errors(spark, frame):
+    with pytest.raises(grouping.MixedNullColumnError):
+        grouping.effective_groupby_attrs(frame, ["a", "mixed"], True)
+
+
+def test_effective_attrs_fallback_all_columns(spark):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], ["a", "b"])
+    # no aggregation control -> group by all columns
+    assert grouping.effective_groupby_attrs(df, [], False) == ["a", "b"]
+    # attrs == all columns -> also all columns
+    assert grouping.effective_groupby_attrs(df, ["a", "b"], True) == ["a", "b"]
+
+
+def test_group_keys(spark):
+    df = spark.createDataFrame(
+        [("ocn", "CTRL"), ("ocn", "20C"), ("ocn", "CTRL")], ["comp", "exp"]
+    )
+    keys = {r["key"] for r in grouping.group_keys(df, ["comp", "exp"]).collect()}
+    assert keys == {"ocn.CTRL", "ocn.20C"}
+
+
+def test_unique_nunique_iterables(spark, frame):
+    uq = grouping.unique(frame, ["a", "vars"])
+    assert uq["a"] == ["x", "y"]
+    assert uq["vars"] == ["v1", "v2", "v3"]
+    nu = grouping.nunique(frame, ["a", "vars", "mixed"])
+    assert nu == {"a": 2, "vars": 3, "mixed": 1}
+
+
+def test_unique_empty_frame(spark):
+    df = spark.createDataFrame([], "a string, b string")
+    assert grouping.unique(df) == {"a": [], "b": []}

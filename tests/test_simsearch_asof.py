@@ -1,0 +1,80 @@
+"""Similarity search + as-of join tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators import asof, simsearch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+    out = [r[0] for r in df.select(simsearch.cosine(F.col("a"), F.col("b"))).collect()]
+    assert abs(out[0] - 1.0) < 1e-9
+    assert abs(out[1]) < 1e-9
+
+
+def test_brute_force_topk_self_is_nearest(embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.brute_force_topk(embeddings, queries, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, neigh in by_q.items():
+        assert len(neigh) == 5
+        best = max(neigh, key=lambda r: r["cos_sim"])
+        assert best["vec_id"] == qid and best["cos_sim"] > 0.999999
+
+
+def test_ivf_recall_vs_exact(embeddings):
+    queries = embeddings.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = simsearch.brute_force_topk(embeddings, queries, k=5)
+    approx = simsearch.ivf_topk(
+        embeddings, queries, k=5, n_centroids=8, nprobe=8, sample_fraction=1.0
+    )
+    # nprobe == n_centroids scans every bucket -> identical to exact
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert e == a
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3")],
+        ["user_id", "ts", "trade"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 110.0), (2, 20, 200.0)],
+        ["user_id", "ts", "price"],
+    )
+    out = asof.asof_join(trades, quotes, on="user_id", ts_col="ts")
+    got = {r["trade"]: r["price"] for r in out.collect()}
+    assert got == {"t1": 100.0, "t2": 110.0, "t3": None}
+
+
+def test_asof_join_forward(spark):
+    trades = spark.createDataFrame([(1, 10, "t1")], ["user_id", "ts", "trade"])
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 110.0)], ["user_id", "ts", "price"]
+    )
+    out = asof.asof_join(trades, quotes, on="user_id", ts_col="ts", direction="forward")
+    assert out.collect()[0]["price"] == 110.0
+
+
+def test_range_join(spark):
+    events = spark.createDataFrame([(1, 12), (1, 30)], ["user_id", "ts"])
+    windows = spark.createDataFrame(
+        [(1, 10, 20, "w1"), (1, 25, 40, "w2")], ["user_id", "start", "end", "name"]
+    )
+    out = asof.range_join(events, windows, on="user_id", ts_col="ts", start_col="start", end_col="end")
+    got = {(r["ts"], r["name"]) for r in out.collect()}
+    assert got == {(12, "w1"), (30, "w2")}

@@ -1,0 +1,113 @@
+"""Streaming window operators (batch parity + a real streaming run) and
+multimodal binary-column plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.functions import multimodal as mm
+from intake_esm_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from intake_esm_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_tumbling_counts_batch(events):
+    out = W.tumbling_counts(events, "1 hour")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    # window boundaries align to the hour
+    row = out.first()
+    assert row["window_start"].minute == 0 and row["window_start"].second == 0
+
+
+def test_sliding_counts_batch(events):
+    tumb = W.tumbling_counts(events, "1 hour").count()
+    slid = W.sliding_counts(events, "1 hour", "30 minutes").count()
+    assert slid > tumb  # overlapping windows produce more groups
+
+
+def test_session_windows_batch(events):
+    out = W.session_windows(events, gap="30 minutes")
+    row = out.first()
+    assert row["session_end"] > row["session_start"]
+    # no user loses events
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+
+
+def test_streaming_end_to_end(spark, events, tmp_path):
+    """Run the SAME tumbling aggregation as a Structured Streaming query
+    over the parquet source with a memory sink, and check it matches the
+    batch result."""
+    import shutil
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # nanosAsLong already set
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .format("parquet")
+        .load(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = W.tumbling_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT sum(n_events) FROM tumbling_test"
+        ).collect()[0][0]
+    finally:
+        q.stop()
+    assert got == events.count()
+
+
+def test_dedup_within_watermark_batch(events):
+    out = W.dedup_within_watermark(events, ["user_id", "event_type"])
+    assert out.count() == events.select("user_id", "event_type").distinct().count()
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, bytearray(b"\x89PNG fake image bytes"), "image", (64, 48, 3, None, None)),
+        (2, bytearray(b"RIFF fake audio bytes longer payload"), "audio", (None, None, 1, 16000, 2000)),
+        (3, bytearray(b"\x00\x00ftyp fake video"), "video", (320, 240, 3, None, 3500)),
+        (4, None, "image", (None, None, None, None, None)),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_payload_stats(media):
+    out = {r["media_id"]: r for r in mm.payload_stats(media).collect()}
+    assert out[1]["n_bytes"] == 21 and out[1]["width"] == 64
+    assert out[4]["n_bytes"] is None
+
+
+def test_extract_features_shape_and_determinism(media):
+    rows1 = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    rows2 = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert len(rows1) == 4
+    for mid, r in rows1.items():
+        assert len(r["feature"]) == 8
+        assert r["feature"] == rows2[mid]["feature"]
+    assert rows1[4]["n_bytes"] == 0
+
+
+def test_frame_sample_plan(media):
+    out = mm.frame_sample_plan(media, every_ms=1000).collect()
+    # video of 3500ms sampled at 1000ms -> ts 0,1000,2000,3000
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]

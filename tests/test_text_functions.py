@@ -1,0 +1,76 @@
+"""Text-analysis column function tests on the driver's documents table plus
+hand-built edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.functions import text as tx
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_ws_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("  leading space",), ("",), ("   ",), ("one",)], ["text"]
+    )
+    out = [r[0] for r in df.select(tx.ws_token_count(F.col("text"))).collect()]
+    assert out == [3, 2, 0, 0, 1]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("Hello, world! 42",)], ["text"])
+    # Hello , world ! 42 -> 5
+    assert df.select(tx.bpe_ish_token_count(F.col("text"))).collect()[0][0] == 5
+
+
+def test_ratios_bounded(docs):
+    row = docs.select(
+        F.min(tx.punct_ratio(F.col("text"))).alias("pmin"),
+        F.max(tx.punct_ratio(F.col("text"))).alias("pmax"),
+        F.min(tx.quality_score(F.col("text"))).alias("qmin"),
+        F.max(tx.quality_score(F.col("text"))).alias("qmax"),
+    ).collect()[0]
+    assert 0.0 <= row["pmin"] <= row["pmax"] <= 1.0
+    assert 0.0 <= row["qmin"] <= row["qmax"] <= 1.0
+
+
+def test_lang_id_obvious(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("der hund ist nicht in das haus und sie",),
+            ("le chat est dans la maison et les oiseaux",),
+            ("xyzzy qwerty",),
+        ],
+        ["text"],
+    )
+    out = [r[0] for r in df.select(tx.lang_id(F.col("text"))).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("HELLO   WORLD  ",), ("other",)],
+        ["text"],
+    )
+    fps = [r[0] for r in df.select(tx.fingerprint_md5(F.col("text"))).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d e f",), ("a b",)], ["text"])
+    out = [r[0] for r in df.select(tx.shingles(F.col("text"), 5)).collect()]
+    assert out[0] == ["a b c d e", "b c d e f"]
+    assert out[1] == ["a b"]
+
+
+def test_rolling_hashes_deterministic(spark):
+    df = spark.createDataFrame([("alpha beta gamma delta epsilon zeta",)], ["text"])
+    h1 = df.select(tx.rolling_hashes(F.col("text"))).collect()[0][0]
+    h2 = df.select(tx.rolling_hashes(F.col("text"))).collect()[0][0]
+    assert h1 == h2 and len(h1) == 2
