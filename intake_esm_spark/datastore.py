@@ -158,6 +158,25 @@ class ESMDataStore:
         attrs = self._effective_attrs()
         return grouping.group_keys(self._df, attrs, self.sep)
 
+    def attrs_for(self, key: str) -> dict[str, Any]:
+        """Dataset metadata for one group: ``<attrs_prefix>:<attr> -> value``
+        plus the dataset key (reference F10, source.py:140-150)."""
+        from intake_esm_spark.options import OPTIONS
+
+        attrs = self._effective_attrs()
+        rows = (
+            grouping.group_keys(self._df, attrs, self.sep)
+            .filter(F.col("key") == key)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(key)
+        row = rows[0]
+        prefix = OPTIONS["attrs_prefix"]
+        out = {f"{prefix}:{a}": row[a] for a in attrs}
+        out[OPTIONS["dataset_key"]] = key
+        return out
+
     def __len__(self) -> int:
         attrs = self._effective_attrs()
         return self._df.select(*attrs).distinct().count()
@@ -256,17 +275,26 @@ class ESMDataStore:
         skip_on_error: bool = False,
         requested_variables: list[str] | None = None,
         sep: str | None = None,
+        preprocess: Any | None = None,
     ) -> dict[str, DataFrame]:
         """Assemble each dataset group into a long-format DataFrame.
 
         All groups share ONE scan plan; the dict values are key-filtered
         views of it (cheap — Catalyst prunes files by the pushed key
         predicate when assets are partitioned by group attrs).
+
+        ``preprocess`` (reference U4, core.py:611 / source.py:105-111): a
+        ``DataFrame -> DataFrame`` transformation applied to the combined
+        long-format rows before grouping — the Spark-idiomatic equivalent
+        of the per-asset xarray preprocess (rows carry their group/asset
+        attributes, so per-asset logic is a filter away).
         """
         sep = sep or self.sep
         if self._df.isEmpty():
             return {}
         combined, attrs = self._combined_plan(aggregate, requested_variables)
+        if preprocess is not None:
+            combined = preprocess(combined)
         keys = [
             r["key"]
             for r in combined.select("key").distinct().collect()

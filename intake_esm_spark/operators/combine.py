@@ -13,12 +13,17 @@ format, all three collapse into column operations:
   ``variable`` values coexist
 
 Execution model (contrast with the reference's ThreadPoolExecutor + dask,
-core.py:744-760): ONE ``spark.read.parquet(*paths)`` scan over every asset
-of every selected group — Spark schedules a task per file split, which *is*
-the reference's per-asset parallelism, minus the driver-side pool — then one
+core.py:744-760): ONE scan per asset *format* over every asset of every
+selected group — Spark schedules a task per file split, which *is* the
+reference's per-asset parallelism, minus the driver-side pool — then one
 BROADCAST join against the (metadata-scale) catalog to attach group
 attributes. No shuffle of asset data at all; at 100 TB the only data
 movement is the scan itself.
+
+Format dispatch (reference source.py:87-100): the descriptor's
+``assets.format`` (uniform) or ``assets.format_column_name`` (per-row)
+selects a reader from ``sources.assets.READERS``; mixed-format catalogs
+union the per-format scans.
 
 ``requested_variables`` projection (reference source.py:116-131): a
 ``variable IN (...)`` filter pushed into the scan. Coordinate columns are
@@ -28,11 +33,10 @@ coords and retained" rule is automatic.
 
 from __future__ import annotations
 
-from typing import Any
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from intake_esm_spark.sources import assets as asset_readers
 from intake_esm_spark.sources.descriptor import (
     AggregationType,
     ESMCatalogDescriptor,
@@ -43,17 +47,48 @@ class ESMDataSourceError(RuntimeError):
     """Asset assembly failed for a dataset group (reference source.py:327-332)."""
 
 
-_PATH_NORM = r"^file:/{0,2}"
-
-
-def _normalized_path(col: F.Column) -> F.Column:
+def _norm(col: Column) -> Column:
     # input_file_name() yields file:///p/q; catalog paths are usually /p/q
-    return F.regexp_replace(col, _PATH_NORM, "/").cast("string")
+    stripped = F.regexp_replace(col, r"^file:/{0,2}", "/")
+    return F.regexp_replace(stripped, r"^/+", "/").cast("string")
 
 
-def _norm(col: F.Column) -> F.Column:
-    # collapse any leading slashes introduced by scheme stripping
-    return F.regexp_replace(_normalized_path(col), r"^/+", "/")
+def _paths_by_format(
+    catalog: DataFrame, desc: ESMCatalogDescriptor, paths: list[str]
+) -> dict[str, list[str]]:
+    assert desc.assets is not None
+    if desc.assets.format is not None:
+        return {desc.assets.format: paths}
+    fmt_col = desc.assets.format_column_name
+    path_col = desc.assets.column_name
+    pairs = (
+        catalog.select(path_col, fmt_col).dropDuplicates([path_col]).collect()
+    )  # catalog is metadata-scale; the asset DATA never leaves the executors
+    by_fmt: dict[str, list[str]] = {}
+    for r in pairs:
+        by_fmt.setdefault(r[fmt_col], []).append(r[path_col])
+    return by_fmt
+
+
+def _read_format(spark: SparkSession, fmt: str, fpaths: list[str]) -> DataFrame:
+    """One scan per format, each row tagged with its source asset path."""
+    if fmt == "reference":
+        # manifest source: tag member rows with the MANIFEST path (the
+        # catalog row points at the manifest, not the member files)
+        parts = [
+            asset_readers.read_assets(spark, fmt, [m]).withColumn(
+                "__asset_path", _norm(F.lit(m))
+            )
+            for m in fpaths
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+    df = asset_readers.read_assets(spark, fmt, fpaths)
+    if "__asset_path" in df.columns:  # reader-provided (e.g. netcdf ingest)
+        return df.withColumn("__asset_path", _norm(F.col("__asset_path")))
+    return df.withColumn("__asset_path", _norm(F.input_file_name()))
 
 
 def open_asset_union(
@@ -67,7 +102,8 @@ def open_asset_union(
     """Read every asset file once and attach catalog attributes.
 
     Returns the long-format union with one extra column per join_new
-    attribute (plus any ``extra_catalog_columns``, e.g. the groupby attrs).
+    attribute (plus any ``extra_catalog_columns``, e.g. the computed group
+    key).
     """
     if not paths:
         raise ESMDataSourceError("no asset paths for this dataset group")
@@ -82,9 +118,12 @@ def open_asset_union(
         ]
     attach = list(dict.fromkeys(join_new_attrs + (extra_catalog_columns or [])))
 
-    assets = spark.read.parquet(*paths).withColumn(
-        "__asset_path", _norm(F.input_file_name())
-    )
+    by_fmt = _paths_by_format(catalog, desc, paths)
+    scans = [_read_format(spark, fmt, fpaths) for fmt, fpaths in by_fmt.items()]
+    assets = scans[0]
+    for s in scans[1:]:
+        assets = assets.unionByName(s, allowMissingColumns=True)
+
     # catalog columns that collide with asset data columns are not attached
     # (e.g. aggregate=False groups by ALL catalog columns, including an
     # iterable `variable` column whose name the long-format rows also use)

@@ -186,6 +186,25 @@ def test_serialize_round_trip(spark, catalog_env, tmp_path):
     assert saved["iterable_dtypes"] == {"variable": "tuple"}
 
 
+def test_preprocess_hook(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    sub = cat.search(experiment="CTRL", variable="SHF")
+    dsets = sub.to_dataset_dict(
+        preprocess=lambda df: df.withColumn("value", F.col("value") * 2)
+    )
+    ds = dsets["ocn.CTRL.pop.h"]
+    assert ds.agg(F.min("value")).collect()[0][0] == 200.0  # 100*2
+
+
+def test_attrs_for(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    attrs = cat.attrs_for("ocn.CTRL.pop.h")
+    assert attrs["intake_esm_attrs:experiment"] == "CTRL"
+    assert attrs["intake_esm_dataset_key"] == "ocn.CTRL.pop.h"
+    with pytest.raises(KeyError):
+        cat.attrs_for("nope")
+
+
 def test_empty_search_returns_empty_dict(spark, catalog_env):
     cat = open_esm_datastore(catalog_env, spark=spark)
     sub = cat.search(experiment="NOPE")
