@@ -337,6 +337,110 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+        F.round(tx.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(tx.mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single agg — the pushdown showcase."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dec_sum("l_extendedprice * l_discount", "revenue"))
+    )
+
+
+def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per linestatus, quantity sums per returnflag as columns."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"))
+        .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q_customer_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast join + per-customer aggregation."""
+    cust = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide) batch parity."""
+    from intake_esm_spark.streaming.windows import sliding_counts
+
+    ev = load_table(spark, sf, "events")
+    out = sliding_counts(ev, "1 hour", "30 minutes")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+def q_events_topk_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 events by value per user (window rank, deterministic ties)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 
@@ -364,6 +468,26 @@ def q_simsearch_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return simsearch.brute_force_topk(emb, queries, k=10)
+
+
+def q_simsearch_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """All same-label vector pairs with cosine >= 0.3 (near-dup embedding
+    detection — the pairwise-join shape of embedding dedup)."""
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(simsearch.cosine(F.col("ea"), F.col("eb")), 6)
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "label", "cos_sim")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -396,7 +520,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "pivot_returnflag": q_pivot_returnflag,
+        "cube_agg": q_cube_agg,
+        "customer_order_stats": q_customer_order_stats,
+        "events_sliding": q_events_sliding,
+        "events_topk_user": q_events_topk_user,
         "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
@@ -405,10 +537,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
+        "simsearch_pairs": q_simsearch_pairs,
     }
 
 
 _NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _sw_list_sql(lang: str) -> str:
+    """DuckDB list literal of a stopword lexicon — generated from the SAME
+    table the engine uses (functions/text.py STOPWORDS), so the oracle and
+    the Spark expression can never drift apart."""
+    return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang]) + "]"
+
+
+def _sw_hits_sql(lang: str) -> str:
+    return (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"w -> list_contains({_sw_list_sql(lang)}, w)))"
+    )
+
+
+_WORDS_N_SQL = "len(string_split_regex(lower(trim(text)), '\\s+'))"
+
+_STOP_RATIO_SQL = (
+    f"CASE WHEN {_WORDS_N_SQL} <= 0 THEN 0.0 "
+    f"ELSE CAST({_sw_hits_sql('en')} AS DOUBLE) / {_WORDS_N_SQL} END"
+)
+
+_PUNCT_RATIO_SQL = (
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - "
+    "length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) "
+    "/ length(text) END"
+)
+
+_DIGIT_RATIO_SQL = (
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - "
+    "length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) "
+    "/ length(text) END"
+)
 
 _SHINGLES_SQL = f"""
     CASE WHEN len(string_split({_NORM_TEXT_SQL}, ' ')) <= 5
@@ -572,6 +739,86 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS digit_ratio
             FROM documents
         """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "pivot_returnflag": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_a,
+                   CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_r
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "cube_agg": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "customer_order_stats": """
+            SELECT c_custkey, c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_mktsegment
+        """,
+        "events_sliding": """
+            WITH bucketed AS (
+              SELECT event_type, value,
+                     unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes'
+                            ]) AS window_start
+              FROM events
+            )
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+            FROM bucketed GROUP BY window_start, event_type
+        """,
+        "events_topk_user": """
+            SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events
+            ) WHERE rnk <= 3
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   round((
+                     least(length(text) / 500.0, 1.0)
+                     + (1.0 - least(({_PUNCT_RATIO_SQL}) * 4, 1.0))
+                     + (1.0 - least(({_DIGIT_RATIO_SQL}) * 5, 1.0))
+                     + least(({_STOP_RATIO_SQL}) * 3, 1.0)
+                   ) / 4, 6) AS quality,
+                   round({_STOP_RATIO_SQL}, 6) AS stop_ratio,
+                   round(CASE WHEN len(string_split_regex(trim(text), '\\s+')) <= 0 THEN 0.0
+                         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w))) AS DOUBLE)
+                              / len(string_split_regex(trim(text), '\\s+')) END, 6) AS mean_word_len
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            WITH hits AS (
+              SELECT doc_id, lang,
+                     {_sw_hits_sql('en')} AS h_en,
+                     {_sw_hits_sql('de')} AS h_de,
+                     {_sw_hits_sql('fr')} AS h_fr,
+                     {_sw_hits_sql('es')} AS h_es
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM hits
+        """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fp FROM documents
         """,
@@ -615,6 +862,15 @@ def oracle_sql() -> dict[str, str]:
                                                 CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
             FROM embeddings e,
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        """,
+        "simsearch_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         # rows-only checks (hash-function- or tie-order-specific):
         #   dedup_minhash, dedup_simhash, simsearch_topk

@@ -24,19 +24,25 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
     "top_suppliers",
     "cube_rollup",
+    "customer_order_stats",
     "require_all_on",
     "search_membership",
     "events_hourly",
+    "events_sliding",
     "events_sessionize",
+    "events_topk_user",
     "asof_join",
     "text_stats",
+    "text_quality",
     "dedup_exact",
     "dedup_minhash",
     "dedup_jaccard",
     "simsearch_scores",
     "simsearch_topk",
+    "simsearch_pairs",
 ]
 
 

@@ -17,6 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _exact_sum(col: str):
+    """Order-independent double sum (decimal accumulate): identical results
+    across partitionings/engines — required for oracle parity and helpful
+    for deterministic streaming re-runs."""
+    return F.sum(F.expr(f"CAST({col} AS DECIMAL(18,6))")).cast("double")
+
+
 def tumbling_counts(
     df: DataFrame,
     window_size: str = "10 minutes",
@@ -30,7 +37,7 @@ def tumbling_counts(
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, window_size).alias("win"), *group_cols)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _exact_sum("value").alias("sum_value"))
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
@@ -54,7 +61,7 @@ def sliding_counts(
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, window_size, slide).alias("win"), *group_cols)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _exact_sum("value").alias("sum_value"))
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
@@ -81,7 +88,7 @@ def session_windows(
         df.groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            _exact_sum("value").alias("sum_value"),
         )
         .select(
             F.col(key_col),

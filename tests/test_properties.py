@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) — coverage the reference's suite lacks.
+
+Two kinds:
+* pure-Python properties (pattern detector, regex translation) — cheap,
+  many examples
+* Spark-backed properties (iterable codec round-trip, search vs a pandas
+  reference emulation) — few examples, each a real plan execution
+"""
+
+import math
+import re
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from intake_esm_spark.plans.predicates import is_pattern, to_java_regex
+from intake_esm_spark.plans.query import Query
+from intake_esm_spark.plans import predicates
+from intake_esm_spark.sources import catalog_io
+
+identifier = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="*?$^\\", max_codepoint=127), max_size=30))
+def test_is_pattern_false_without_wildcards(s):
+    assert is_pattern(s) is False
+
+
+@given(
+    st.text(alphabet=st.characters(blacklist_characters="*?$^\\", max_codepoint=127), max_size=10),
+    st.sampled_from(["*", "?", "$", "^"]),
+)
+def test_is_pattern_true_with_wildcard(prefix, wc):
+    assert is_pattern(prefix + wc) is True
+
+
+@given(identifier)
+def test_java_regex_matches_python_for_literals(s):
+    """For plain literals (no metachars) the translated pattern must match
+    exactly the strings Python re matches (substring search semantics)."""
+    pat = to_java_regex(s)
+    assert pat == s
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(identifier, min_size=1, max_size=5, unique=True),
+    st.sampled_from(["list", "tuple", "set"]),
+)
+def test_iterable_codec_round_trip(spark, values, kind):
+    """serialize-with-container-kind -> decode -> same elements."""
+    if kind == "list":
+        cell = "[" + ", ".join(f"'{v}'" for v in values) + "]"
+    elif kind == "tuple":
+        body = ", ".join(f"'{v}'" for v in values)
+        cell = f"({body},)" if len(values) == 1 else f"({body})"
+    else:
+        cell = "{" + ", ".join(f"'{v}'" for v in values) + "}"
+    df = spark.createDataFrame([(cell,)], ["v"])
+    out = df.select(catalog_io.decode_iterable_column("v")).collect()[0]["v"]
+    assert sorted(out) == sorted(values)
+
+
+def _pandas_reference_search(df, query):
+    """The reference's search semantics re-implemented on pandas as an
+    oracle (OR within column, AND across, NaN -> isnull, pattern -> regex
+    substring search)."""
+    import numpy as np
+
+    if not query:
+        return df.iloc[0:0]
+    mask = np.ones(len(df), dtype=bool)
+    for col, values in query.items():
+        local = np.zeros(len(df), dtype=bool)
+        for v in values:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                local |= df[col].isnull().to_numpy()
+            elif isinstance(v, str) and is_pattern(v):
+                local |= df[col].str.contains(v, regex=True, na=False).to_numpy()
+            else:
+                local |= (df[col] == v).fillna(False).to_numpy()
+        mask &= local
+    return df[mask]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a1", "b2", "c3", None]),
+            st.sampled_from(["X", "Y", "Z"]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.dictionaries(
+        st.sampled_from(["u", "v"]),
+        st.lists(
+            st.sampled_from(["a1", "b2", "X", "Y", "^a.*", None]),
+            min_size=1,
+            max_size=2,
+            unique_by=lambda x: str(x),
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_search_matches_pandas_reference(spark, rows, query):
+    pdf = pd.DataFrame(rows, columns=["u", "v"])
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notnull(pdf), None))
+    q = Query.normalize(query, ["u", "v"])
+    got = sorted(
+        (tuple("<null>" if x is None else x for x in r))
+        for r in predicates.search(sdf, q).collect()
+    )
+    exp_df = _pandas_reference_search(pdf, q.query)
+    exp = sorted(
+        tuple("<null>" if (x is None or (isinstance(x, float) and math.isnan(x))) else x for x in r)
+        for r in exp_df.itertuples(index=False, name=None)
+    )
+    assert got == exp
+
+
+def test_query_normalize_scalar_vs_list_equivalence():
+    q1 = Query.normalize({"a": "x"}, ["a"])
+    q2 = Query.normalize({"a": ["x"]}, ["a"])
+    assert q1.query == q2.query
+
+
+@given(st.sampled_from([re.IGNORECASE, re.DOTALL, re.MULTILINE, re.IGNORECASE | re.DOTALL]))
+def test_compiled_pattern_flags_translate(flags):
+    pat = re.compile("ab.c", flags)
+    out = to_java_regex(pat)
+    assert out.startswith("(?")
+    if flags & re.IGNORECASE:
+        assert "i" in out[: out.index(")")]
