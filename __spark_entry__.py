@@ -317,6 +317,19 @@ def q_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_duplicates(docs).select("fp", "n_dups", "canonical_id")
 
 
+def q_dedup_prefix_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clusters by 64-char normalized-prefix fingerprint — the
+    cheap canonicalization pass that catches boilerplate-prefixed docs."""
+    docs = load_table(spark, sf, "documents")
+    fp = F.md5(F.substring(tx.normalized_text(F.col("text")), 1, 64))
+    return (
+        docs.select(F.col("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH candidate pairs (no SQL oracle — hash-function-specific;
     verified instead by q_dedup_jaccard containment in tests)."""
@@ -334,6 +347,18 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 5-gram Jaccard pairs >= 0.8 — the LSH verification stage."""
     docs = load_table(spark, sf, "documents")
     out = dedup.jaccard_pairs(docs, shingle_n=5, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION near-dup pipeline: MinHash-LSH candidates, then exact
+    Jaccard verification restricted to candidates. Same result as the
+    all-pairs exact pass (LSH miss probability < 1e-7 at these settings) at
+    a fraction of the cost — the plan that scales to 100 TB. Rows-only
+    check (its exactness vs the all-pairs plan is asserted in tests)."""
+    docs = load_table(spark, sf, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle_n=5)
+    out = dedup.jaccard_pairs(docs, shingle_n=5, threshold=0.8, candidates=cands)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -532,9 +557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
+        "dedup_prefix_groups": q_dedup_prefix_groups,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_near": q_dedup_near,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
@@ -834,6 +861,14 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id
             FROM documents
             GROUP BY {_NORM_TEXT_SQL}
+            HAVING count(*) > 1
+        """,
+        "dedup_prefix_groups": f"""
+            SELECT md5(substr({_NORM_TEXT_SQL}, 1, 64)) AS fp,
+                   count(*) AS n_dups,
+                   min(doc_id) AS canonical_id
+            FROM documents
+            GROUP BY substr({_NORM_TEXT_SQL}, 1, 64)
             HAVING count(*) > 1
         """,
         "dedup_jaccard": f"""

@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_jaccard",
+    "dedup_near",
     "simsearch_scores",
     "simsearch_topk",
     "simsearch_pairs",

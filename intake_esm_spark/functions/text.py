@@ -135,16 +135,30 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def shingles(text: Column, n: int = 5) -> Column:
-    """Word n-gram shingles (array<string>) over normalized text — the input
-    to MinHash / Jaccard dedup. Documents shorter than n words yield a
-    single shingle with the whole text."""
-    words = F.split(normalized_text(text), " ")
+def words_array(text: Column) -> Column:
+    """Normalized word array — materialize this in its OWN projection before
+    building shingles: expressions inlined into a higher-order lambda are
+    re-evaluated per array element (no CSE inside lambdas), which turns the
+    shingle walk into O(words^2 x text_len) if the split is inlined."""
+    return F.split(normalized_text(text), " ")
+
+
+def shingles_of_words(words: Column, n: int = 5) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED word-array column
+    (see ``words_array``). Documents shorter than n words yield a single
+    shingle with the whole text."""
     k = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
     return F.when(k <= n, F.array(F.concat_ws(" ", words))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     )
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles (array<string>) over normalized text — the input
+    to MinHash / Jaccard dedup. Convenience single-expression form; in hot
+    paths project ``words_array`` first and use ``shingles_of_words``."""
+    return shingles_of_words(words_array(text), n)
 
 
 def rolling_hashes(text: Column, n: int = 5) -> Column:

@@ -26,7 +26,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from intake_esm_spark.functions.text import fingerprint_md5, shingles
+from intake_esm_spark.functions.text import (
+    fingerprint_md5,
+    shingles,
+    shingles_of_words,
+    words_array,
+)
+
+
+def _shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) rows — the HOF-free shingle pipeline.
+
+    ``posexplode`` the word array once, then assemble each n-gram with
+    window ``lead``s over (id, pos). Everything stays in whole-stage
+    codegen; the array-lambda formulation (transform/slice/aggregate) runs
+    interpreted per element and measured ~5x slower at sf0.1. The only
+    shuffle is (id, pos, word) — bounded by total token count, the natural
+    cost of the operator.
+
+    Short documents (k <= n words): the pos==0 row's concat_ws skips the
+    null leads, yielding the whole text as the single shingle — exactly the
+    semantics of functions.text.shingles.
+    """
+    from pyspark.sql import Window
+
+    words = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+    wk = Window.partitionBy("id")
+    wo = Window.partitionBy("id").orderBy("pos")
+    sh = (
+        words.withColumn("k", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "sh",
+            F.concat_ws(
+                " ", F.col("w"), *[F.lead("w", i).over(wo) for i in range(1, shingle_n)]
+            ),
+        )
+        .filter(
+            (F.col("pos") <= F.col("k") - shingle_n)
+            | ((F.col("k") <= shingle_n) & (F.col("pos") == 0))
+        )
+        .select("id", "sh")
+    )
+    return sh.dropDuplicates(["id", "sh"]) if distinct else sh
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure shingle-heavy stages use every core: a single parquet file
+    with one row group arrives as ONE partition, serializing the whole
+    n-gram pipeline. One narrow round-robin shuffle of (id, text) buys
+    full parallelism; on a many-file 100 TB table the partition count is
+    already >= cores and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_duplicates(
@@ -98,10 +156,10 @@ def minhash_lsh_candidates(
     # (id, num_hashes longs) per document, and the shingle/normalization
     # expression tree is evaluated once per shingle instead of once per
     # permutation (the naive expression form was ~100x slower at sf0.1).
-    sh_rows = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__shingle"),
-    ).withColumn("__sh_hash", F.xxhash64(F.col("__shingle"))).drop("__shingle")
+    sh_rows = (
+        _shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+        .select(F.col("id").alias(id_col), F.xxhash64(F.col("sh")).alias("__sh_hash"))
+    )
     sig = sh_rows.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("__sh_hash"))).alias(f"h{i}")
@@ -159,35 +217,43 @@ def jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    exploded = sh.select("id", F.explode("sh").alias("shingle"))
     if candidates is not None:
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("id"))
-            .unionByName(candidates.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        exploded = exploded.join(cand_ids, on="id", how="left_semi")
+        # Reference the candidate plan (typically MinHash-LSH) exactly ONCE
+        # — every extra reference would re-run the whole LSH stage — and
+        # restrict BEFORE shingling so only candidate documents pay the
+        # normalization/shingle cost. Pairs are then recomputed among
+        # candidate docs rather than semi-joined per pair: that keeps any
+        # >=threshold pair among flagged docs (a superset of the flagged
+        # pairs, subset of the exact all-pairs result — strictly better
+        # recall for free).
+        cand_ids = candidates.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+        ).distinct()
+        df = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    # carry the per-doc shingle count THROUGH the join (it is constant per
+    # id) instead of re-deriving it from extra plan branches — the whole
+    # operator is one shingle-row frame self-joined once
+    from pyspark.sql import Window
+
+    exploded = (
+        _shingle_rows(df, text_col, id_col, shingle_n, distinct=True)
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .select("id", "n_sh", F.col("sh").alias("shingle"))
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    inter = (
+    out = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min(F.col("a.n_sh")).alias("n_a"),
+            F.min(F.col("b.n_sh")).alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -198,11 +264,12 @@ def jaccard_pairs(
     return out
 
 
-def simhash(text_col: str, shingle_n: int = 5, bits: int = 64) -> F.Column:
-    """64-bit SimHash of the shingle set: per bit, sum +1/-1 over shingle
-    hashes' bit values; sketch bit = sign. Built-in-only bit fiddling."""
-    sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+def simhash_of_hashes(hashes: F.Column, bits: int = 64) -> F.Column:
+    """SimHash sketch from an ALREADY-MATERIALIZED array<bigint> of shingle
+    hashes: per bit, sum +1/-1 votes over the hashes; sketch bit = sign.
+    Expects an attribute reference — the 64 per-bit aggregates each walk the
+    array, so the array must be a materialized column, not an inline
+    expression tree (which would re-shingle the document 64 times)."""
     def _bit_voter(b: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
@@ -219,6 +286,14 @@ def simhash(text_col: str, shingle_n: int = 5, bits: int = 64) -> F.Column:
     return out
 
 
+def simhash(text_col: str, shingle_n: int = 5, bits: int = 64) -> F.Column:
+    """Single-expression SimHash (convenience form — re-walks the shingle
+    pipeline per bit; hot paths should project the hash array first and use
+    ``simhash_of_hashes``)."""
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    return simhash_of_hashes(F.transform(sh, lambda s: F.xxhash64(s)), bits)
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -229,9 +304,31 @@ def simhash_candidates(
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (a pair within
     Hamming distance 3 must agree on at least one chunk), then filter by
     exact Hamming distance via bit_count(xor)."""
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, shingle_n).alias("sh64")
+    # bit votes as 64 plain codegen'd aggregates over shingle-hash rows —
+    # no array lambdas anywhere (the expression form re-walks the shingle
+    # pipeline per bit)
+    hash_rows = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True).select(
+        "id", F.xxhash64(F.col("sh")).alias("h")
     )
+    votes = hash_rows.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bit_cols = [
+        F.shiftleft(
+            F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+            b,
+        )
+        for b in range(64)
+    ]
+    sh64 = bit_cols[0]
+    for c in bit_cols[1:]:
+        sh64 = sh64.bitwiseOR(c)
+    sig = votes.select("id", sh64.alias("sh64"))
     chunks = sig.select(
         "id",
         "sh64",

@@ -1,0 +1,70 @@
+"""Custom stateful streaming operator + near-dup pipeline exactness."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators import dedup
+from intake_esm_spark.sources.tables import load_table
+from intake_esm_spark.streaming.stateful import running_user_totals
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_running_totals_streaming_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in running_user_totals(events).collect()
+    }
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .format("parquet")
+        .load(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) n, max(total_value) t "
+            "FROM running_totals GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+    streamed = {r["user_id"]: (r["n"], r["t"]) for r in rows}
+    assert set(streamed) == set(batch)
+    for uid, (n, t) in batch.items():
+        assert streamed[uid][0] == n
+        assert abs(streamed[uid][1] - t) < 1e-6
+
+
+def test_near_dup_pipeline_matches_exact(spark):
+    """LSH-candidates + verify must reproduce the exact all-pairs result on
+    real documents (the production path's correctness claim)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, shingle_n=5, threshold=0.8).collect()
+    }
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle_n=5)
+    near = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(
+            docs, shingle_n=5, threshold=0.8, candidates=cands
+        ).collect()
+    }
+    assert near == exact
