@@ -367,6 +367,31 @@ class ESMDataStore:
         datasets = self.to_dataset_dict(**kwargs)
         return next(iter(datasets.values()))
 
+    def to_parquet(
+        self,
+        path: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+        requested_variables: list[str] | None = None,
+    ) -> None:
+        """Materialize the assembled result as parquet partitioned by the
+        group attributes (default) — the scale-path sink: downstream reads
+        of one dataset group become partition-pruned scans, and re-assembly
+        never touches the other groups' files."""
+        combined, attrs = self._combined_plan(True, requested_variables)
+        partition_by = partition_by if partition_by is not None else attrs
+        writer = combined.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    def to_pandas(self, limit: int | None = 10_000):
+        """Driver-side pandas view of the CATALOG table (display boundary,
+        reference keeps pandas for repr — core.py:240-248). Guarded by a
+        limit so a 100 TB-scale catalog can't flatten the driver."""
+        df = self._df.limit(limit) if limit is not None else self._df
+        return df.toPandas()
+
     # -- serialization ------------------------------------------------------------------
 
     def serialize(

