@@ -515,6 +515,17 @@ def q_simsearch_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_simsearch_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Same pairs via the numpy-matmul blocked kernel (one BLAS gemm per
+    label block instead of n^2/2 per-pair folds) — the scale path.
+    Rows-only check: numpy's pairwise summation differs from a strict left
+    fold in the last ulp, so rounded values can diverge at boundaries;
+    equivalence is asserted in tests with tolerance."""
+    emb = load_table(spark, sf, "embeddings")
+    out = simsearch.cosine_pairs_blocked(emb, "label", threshold=0.3)
+    return out.select("id_a", "id_b", "label", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -565,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
+        "simsearch_pairs_blocked": q_simsearch_pairs_blocked,
     }
 
 

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "simsearch_scores",
     "simsearch_topk",
     "simsearch_pairs",
+    "simsearch_pairs_blocked",
 ]
 
 

@@ -47,6 +47,26 @@ class ESMDataSourceError(RuntimeError):
     """Asset assembly failed for a dataset group (reference source.py:327-332)."""
 
 
+def to_wide(
+    df: DataFrame,
+    coord_columns: list[str],
+    variable_column: str = "variable",
+    value_column: str = "value",
+    variables: list[str] | None = None,
+) -> DataFrame:
+    """Long -> wide: one column per variable over the coordinate grid — the
+    DataFrame analogue of an xarray.Dataset (variables as data_vars, coords
+    as the index). Passing ``variables`` pins the pivot values so the plan
+    needs no pre-scan (at 100 TB the variable universe comes from the
+    catalog, which knows it for free)."""
+    pivot = df.groupBy(*coord_columns)
+    if variables is not None:
+        pivoted = pivot.pivot(variable_column, variables)
+    else:
+        pivoted = pivot.pivot(variable_column)
+    return pivoted.agg(F.first(F.col(value_column), ignorenulls=True))
+
+
 def _norm(col: Column) -> Column:
     # input_file_name() yields file:///p/q; catalog paths are usually /p/q
     stripped = F.regexp_replace(col, r"^file:/{0,2}", "/")

@@ -47,6 +47,52 @@ def test_ivf_recall_vs_exact(embeddings):
     assert e == a
 
 
+def test_cosine_pairs_blocked_matches_join(spark, embeddings):
+    """The numpy-matmul blocked kernel must agree with the JVM fold
+    pairwise join (within float tolerance)."""
+    from pyspark.sql import functions as F
+
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    joined = (
+        a.join(b, on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", simsearch.cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in joined.collect()}
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in simsearch.cosine_pairs_blocked(
+            embeddings, "label", threshold=0.3
+        ).collect()
+    }
+    # boundary pairs within float noise of the threshold may differ; all
+    # interior pairs must match
+    for k, v in exact.items():
+        if v >= 0.3 + 1e-9:
+            assert k in blocked and abs(blocked[k] - v) < 1e-9
+    for k, v in blocked.items():
+        if v >= 0.3 + 1e-9:
+            assert k in exact
+
+
+def test_wide_format_pivot(spark):
+    from intake_esm_spark.operators.combine import to_wide
+
+    long = spark.createDataFrame(
+        [("SHF", 1, 10.0), ("SST", 1, 20.0), ("SHF", 2, 11.0)],
+        ["variable", "time", "value"],
+    )
+    wide = to_wide(long, ["time"], variables=["SHF", "SST"])
+    rows = {r["time"]: (r["SHF"], r["SST"]) for r in wide.collect()}
+    assert rows == {1: (10.0, 20.0), 2: (11.0, None)}
+
+
 def test_asof_join_backward(spark):
     trades = spark.createDataFrame(
         [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3")],
