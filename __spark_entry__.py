@@ -515,6 +515,20 @@ def q_simsearch_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_simsearch_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-10 via IVF (inverted-file) bucketing — the ANN path
+    that scales past brute force. Rows-only check (approximate by design;
+    recall vs exact is asserted in tests with nprobe == n_centroids)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.ivf_topk(
+        emb, queries_df, k=10, n_centroids=16, nprobe=4, sample_fraction=1.0
+    )
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_simsearch_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
     """Same pairs via the numpy-matmul blocked kernel (one BLAS gemm per
     label block instead of n^2/2 per-pair folds) — the scale path.
@@ -577,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
         "simsearch_pairs_blocked": q_simsearch_pairs_blocked,
+        "simsearch_ivf": q_simsearch_ivf,
     }
 
 

@@ -93,7 +93,8 @@ def exact_duplicates(
     """Groups of exact duplicates (normalized): one row per duplicated
     fingerprint with the member ids and the canonical (min) id."""
     return (
-        df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
@@ -112,7 +113,8 @@ def dedup_exact(
     Implemented as groupBy(fingerprint) -> min(id) -> semi-join, which
     shuffles only (hash, id) pairs, never the document bodies."""
     survivors = (
-        df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)

@@ -75,6 +75,54 @@ def test_streaming_end_to_end(spark, events, tmp_path):
     assert got == events.count()
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: a second micro-batch
+    carrying events far older than the advanced watermark must not resurrect
+    closed windows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, offsets_minutes):
+        pdf = pd.DataFrame(
+            {
+                "ts": [base + dt.timedelta(minutes=m) for m in offsets_minutes],
+                "event_type": ["x"] * len(offsets_minutes),
+                "value": [1.0] * len(offsets_minutes),
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # µs, not pandas ns
+        pdf.to_parquet(src / name)
+
+    write_batch("b1.parquet", [0, 5, 120])  # watermark advances to ~118min
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+    agg = W.tumbling_counts(stream, "10 minutes", watermark="2 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.parquet", [1])  # 119 min late: behind the watermark
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT window_start, sum(n_events) n FROM late_test GROUP BY 1"
+        ).collect()
+    finally:
+        q.stop()
+    counts = {r["window_start"].isoformat(): r["n"] for r in rows}
+    # the 00:00 window closed with 2 events; the late event must NOT appear
+    assert counts.get("2024-01-01T00:00:00") == 2
+
+
 def test_dedup_within_watermark_batch(events):
     out = W.dedup_within_watermark(events, ["user_id", "event_type"])
     assert out.count() == events.select("user_id", "event_type").distinct().count()
