@@ -244,7 +244,9 @@ class ESMDataStore:
         new_desc.catalog_file = None
         new_desc.catalog_dict = None
         if self.has_multiple_variable_assets:
-            requested = sorted(set(variables or []) | set(dependents))
+            # no sort: variables may mix str and re.Pattern (reference
+            # supports compiled-pattern variable queries, core.py docstring)
+            requested = list(dict.fromkeys(list(variables or []) + dependents))
         else:
             requested = []
         if variables is not None:
@@ -292,7 +294,7 @@ class ESMDataStore:
         sep = sep or self.sep
         if self._df.isEmpty():
             return {}
-        combined, attrs = self._combined_plan(aggregate, requested_variables)
+        combined, attrs = self._combined_plan(aggregate, requested_variables, sep=sep)
         if preprocess is not None:
             combined = preprocess(combined)
         keys = [
@@ -309,8 +311,12 @@ class ESMDataStore:
         return datasets
 
     def _combined_plan(
-        self, aggregate: bool, requested_variables: list[str] | None
+        self,
+        aggregate: bool,
+        requested_variables: list[str] | None,
+        sep: str | None = None,
     ) -> tuple[DataFrame, list[str]]:
+        sep = sep or self.sep
         desc = self.descriptor
         if not aggregate:
             desc = copy.deepcopy(desc)
@@ -325,7 +331,7 @@ class ESMDataStore:
         # collide with asset data columns, e.g. `variable`), then attached
         # to asset rows through the broadcast join
         cat_keyed = self._df.withColumn(
-            "key", F.concat_ws(self.sep, *[F.col(a).cast("string") for a in attrs])
+            "key", F.concat_ws(sep, *[F.col(a).cast("string") for a in attrs])
         )
         combined = open_asset_union(
             self.spark,

@@ -34,6 +34,11 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    # value columns sharing a name with left columns get a pandas-style
+    # suffix (pd.merge_asof suffixes=..., default behavior here: _right)
+    collisions = (set(right.columns) - {on, ts_col}) & set(left.columns)
+    for c in collisions:
+        right = right.withColumnRenamed(c, f"{c}_right")
     value_cols = [c for c in right.columns if c not in (on, ts_col)]
     left_only = [c for c in left.columns if c not in (on, ts_col)]
     l_types, r_types = dict(left.dtypes), dict(right.dtypes)

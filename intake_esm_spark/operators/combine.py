@@ -146,7 +146,15 @@ def open_asset_union(
 
     # catalog columns that collide with asset data columns are not attached
     # (e.g. aggregate=False groups by ALL catalog columns, including an
-    # iterable `variable` column whose name the long-format rows also use)
+    # iterable `variable` column whose name the long-format rows also use).
+    # The computed group `key` is the one attach column grouping depends
+    # on — a silent drop there would key datasets off arbitrary data
+    # values, so that collision is an error instead.
+    if "key" in attach and "key" in assets.columns:
+        raise ESMDataSourceError(
+            "asset data contains a column named 'key', which collides with "
+            "the computed dataset group key; rename the data column"
+        )
     attach = [c for c in attach if c not in assets.columns]
 
     cat_side = catalog.select(
@@ -164,6 +172,20 @@ def open_asset_union(
             if "variable" in combined.columns
             else desc.variable_column_name
         )
-        if var_col in combined.columns:
-            combined = combined.filter(F.col(var_col).isin(requested_variables))
+        # compiled-pattern variable queries project by regex; literal names
+        # by membership (extension: the reference's set-intersection at
+        # source.py:116-131 silently drops pattern-matched variables)
+        import re as _re
+
+        from intake_esm_spark.plans.predicates import to_java_regex
+
+        literal_vars = [v for v in requested_variables if isinstance(v, str)]
+        pattern_vars = [v for v in requested_variables if isinstance(v, _re.Pattern)]
+        if var_col in combined.columns and (literal_vars or pattern_vars):
+            mask = F.lit(False)
+            if literal_vars:
+                mask = mask | F.col(var_col).isin(literal_vars)
+            for p in pattern_vars:
+                mask = mask | F.col(var_col).rlike(to_java_regex(p))
+            combined = combined.filter(mask)
     return combined

@@ -116,7 +116,12 @@ def unique(df: DataFrame, columns: list[str] | None = None) -> dict[str, list]:
         else:
             aggs.append(F.collect_set(F.col(c)).alias(c))
     row = df.agg(*aggs).collect()[0]
-    return {c: sorted(row[c]) if row[c] is not None else [] for c in columns}
+    # inner nulls survive array flatten; the reference drops NA values
+    # before uniquing (cat.py:387-402)
+    return {
+        c: sorted(v for v in row[c] if v is not None) if row[c] is not None else []
+        for c in columns
+    }
 
 
 def nunique(df: DataFrame, columns: list[str] | None = None) -> dict[str, int]:

@@ -93,9 +93,10 @@ def cosine_pairs_blocked(
     import numpy as np
     import pandas as pd
 
-    block_dtype = dict(df.dtypes)[block_col]
+    dtypes = dict(df.dtypes)
+    block_dtype, id_dtype = dtypes[block_col], dtypes[id_col]
     out_schema = (
-        f"id_a long, id_b long, {block_col} {block_dtype}, cos_sim double"
+        f"id_a {id_dtype}, id_b {id_dtype}, {block_col} {block_dtype}, cos_sim double"
     )
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:

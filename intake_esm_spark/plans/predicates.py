@@ -65,10 +65,14 @@ def to_java_regex(value: str | re.Pattern) -> str:
             flags += "s"
         if value.flags & re.MULTILINE:
             flags += "m"
-        pat = value.pattern
+        pat = _translate_syntax(value.pattern)
         return f"(?{flags}){pat}" if flags else pat
-    pat = str(value)
-    return pat.replace("(?P<", "(?<").replace("(?P=", r"\\k<")
+    return _translate_syntax(str(value))
+
+
+def _translate_syntax(pat: str) -> str:
+    pat = pat.replace("(?P<", "(?<")
+    return re.sub(r"\(\?P=(\w+)\)", r"\\k<\1>", pat)
 
 
 def column_mask(
@@ -79,14 +83,28 @@ def column_mask(
 ) -> Column:
     """OR-mask over one column's query values (reference _search.py:41-55)."""
     col = F.col(col_name)
+    if not values:
+        # an empty value list matches nothing (reference: an all-False
+        # local mask, _search.py:41-55)
+        return F.lit(False)
     masks: list[Column] = []
     for value in values:
         if is_na(value):
             masks.append(col.isNull())
         elif is_iterable:
-            # membership in the cell's collection; regex explicitly bypassed
-            # (reference passes regex=False at _search.py:47-48)
-            masks.append(F.array_contains(col, value))
+            if isinstance(value, re.Pattern):
+                # extension: a compiled pattern against an iterable column
+                # matches ELEMENTS by regex (the reference raises on this
+                # combination — pandas str.contains(compiled, regex=False))
+                pat = to_java_regex(value)
+                masks.append(
+                    F.exists(col, lambda x: x.rlike(pat))
+                )
+            else:
+                # membership in the cell's collection; string wildcards
+                # explicitly bypassed (reference regex=False,
+                # _search.py:47-48)
+                masks.append(F.array_contains(col, value))
         elif is_pattern(value) and isinstance(dtype, T.StringType):
             masks.append(col.rlike(to_java_regex(value)))
         else:

@@ -3,10 +3,13 @@
 Re-expresses the reference's ``CatalogFileDataReader`` + ``save``
 (/root/reference/intake_esm/cat.py:153-236, 582-691) on Spark:
 
-* CSV is read all-string (no inference surprises), then iterable columns are
-  decoded JVM-side with a ``regexp_replace`` chain + ``from_json`` — the
-  Spark analogue of the reference's polars string-surgery + ``json_decode``
-  (cat.py:652-682). No Python UDFs anywhere on this path.
+* CSV is read with Spark schema inference (numeric facets like ``scode``
+  or ``member_id`` arrive typed, matching the reference's pandas fallback,
+  cat.py:617-628 — note this re-types zero-padded string facets like
+  '001'); iterable columns are decoded JVM-side with a ``regexp_replace``
+  chain + ``from_json`` — the Spark analogue of the reference's polars
+  string-surgery + ``json_decode`` (cat.py:652-682). No Python UDFs
+  anywhere on this path.
 * Parquet is self-describing; array columns arrive typed.
 * The original Python container kind (list/tuple/set) of each iterable
   column is kept in the descriptor's ``iterable_dtypes`` and restored on
@@ -232,6 +235,11 @@ def save_catalog(
         out_desc.save_json(json_path)
         return json_path
 
+    if compression is not None and compression not in ("gzip", "bzip2"):
+        raise ValueError(
+            f"unsupported compression {compression!r}: the extension map "
+            "covers gzip/bzip2 (a mismatched extension would reload as garbage)"
+        )
     if file_format == "csv":
         cols = [
             _encode_iterable_column(c, desc.iterable_dtypes[c])
