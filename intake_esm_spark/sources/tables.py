@@ -40,6 +40,10 @@ def _nano_ts_columns(path: str) -> list[str]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    # the caller's session may not be ours (the driver harness builds its
+    # own): pin UTC so timestamp values agree with DuckDB's UTC-naive ones
+    # regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nano_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
