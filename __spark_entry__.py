@@ -357,8 +357,9 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     a fraction of the cost — the plan that scales to 100 TB. Rows-only
     check (its exactness vs the all-pairs plan is asserted in tests)."""
     docs = load_table(spark, sf, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle_n=5)
-    out = dedup.jaccard_pairs(docs, shingle_n=5, threshold=0.8, candidates=cands)
+    out = dedup.near_duplicates(
+        docs, num_hashes=32, bands=16, shingle_n=5, threshold=0.8
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -266,6 +266,89 @@ def jaccard_pairs(
     return out
 
 
+def near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The fused production near-dup pipeline: MinHash-LSH candidate
+    generation + exact-Jaccard verification sharing ONE materialized
+    shingle-row frame (persisted for the duration of the call — without it
+    the explode/window stage runs once for the LSH pass and once per verify
+    branch). Returns (id_a, id_b, jaccard >= threshold).
+    """
+    from pyspark.sql import Window
+
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh_rows = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True).persist()
+    try:
+        hashed = sh_rows.select("id", F.xxhash64(F.col("sh")).alias("h"))
+        sig = hashed.groupBy("id").agg(
+            *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)]
+        )
+        banded = sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select("id", "bh.band", "bh.band_hash")
+        l, r = banded.alias("l"), banded.alias("r")
+        cand_ids = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.explode(F.array(F.col("l.id"), F.col("r.id"))).alias("id"))
+            .distinct()
+        )
+        flagged = sh_rows.join(F.broadcast(cand_ids), on="id", how="left_semi")
+        exploded = flagged.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        ).select("id", "n_sh", F.col("sh").alias("shingle"))
+        a, b = exploded.alias("a"), exploded.alias("b")
+        out = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_inter"),
+                F.min(F.col("a.n_sh")).alias("n_a"),
+                F.min(F.col("b.n_sh")).alias("n_b"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        # materialize while the shingle frame is cached; the result is
+        # pair-scale (tiny relative to the corpus)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sh_rows.unpersist()
+    return out
+
+
 def simhash_of_hashes(hashes: F.Column, bits: int = 64) -> F.Column:
     """SimHash sketch from an ALREADY-MATERIALIZED array<bigint> of shingle
     hashes: per bit, sum +1/-1 votes over the hashes; sketch bit = sign.

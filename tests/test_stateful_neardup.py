@@ -68,3 +68,10 @@ def test_near_dup_pipeline_matches_exact(spark):
         ).collect()
     }
     assert near == exact
+    fused = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_duplicates(
+            docs, num_hashes=32, bands=16, shingle_n=5, threshold=0.8
+        ).collect()
+    }
+    assert fused == exact
