@@ -126,6 +126,63 @@ def test_search_matches_pandas_reference(spark, rows, query):
     assert got == exp
 
 
+def _pandas_reference_division(df, query, require_all_on):
+    """Literal re-implementation of the reference's division semantics
+    (_search.py:61-99) on pandas, used as the oracle: group by
+    require_all_on, keep groups whose key-tuple set contains the full
+    Cartesian product of the remaining query values."""
+    import itertools
+
+    sub = {c: v for c, v in query.items() if c not in require_all_on}
+    keys = list(sub)
+    if not keys:
+        return df
+    condition = set(itertools.product(*[tuple(v) for v in sub.values()]))
+    kept = []
+    for _, group in df.groupby(require_all_on):
+        index = {tuple(r) for r in group[keys].itertuples(index=False, name=None)}
+        if condition.issubset(index):
+            kept.append(group)
+    return pd.concat(kept) if kept else df.iloc[0:0]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.sampled_from(["a", "b"]),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=2, unique=True),
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=2, unique=True),
+)
+def test_division_matches_pandas_reference(spark, rows, vals_u, vals_v):
+    """Spark require_all_on == the reference's pandas algorithm for random
+    frames and random two-column conditions grouped by g."""
+    from intake_esm_spark.operators.division import apply_require_all_on
+
+    pdf = pd.DataFrame(rows, columns=["g", "u", "v"])
+    query = {"u": list(vals_u), "v": list(vals_v)}
+    q = Query.normalize(query, ["g", "u", "v"], require_all_on=["g"])
+    sdf = spark.createDataFrame(pdf)
+    searched = predicates.search(sdf, q)
+    got = sorted(
+        tuple(r) for r in apply_require_all_on(searched, q).collect()
+    )
+    searched_pd = _pandas_reference_search(pdf, q.query)
+    exp = sorted(
+        tuple(r)
+        for r in _pandas_reference_division(searched_pd, q.query, ["g"]).itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == exp
+
+
 def test_query_normalize_scalar_vs_list_equivalence():
     q1 = Query.normalize({"a": "x"}, ["a"])
     q2 = Query.normalize({"a": ["x"]}, ["a"])
