@@ -500,16 +500,42 @@ def q_simsearch_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """All same-label vector pairs with cosine >= 0.3 (near-dup embedding
     detection — the pairwise-join shape of embedding dedup)."""
     emb = load_table(spark, sf, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    # Norms are attached per SIDE before the join (O(n) folds), so the
+    # per-pair expression is a single dot fold — same quotient order as
+    # simsearch.cosine, bit-identical values.
+    a = simsearch.with_norm(
+        emb.select(
+            F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+        ),
+        "ea",
+        "na",
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    b = simsearch.with_norm(
+        emb.select(
+            F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+        ),
+        "eb",
+        "nb",
     )
-    pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
+    # Pair compute is quadratic while the shuffled bytes are tiny, so AQE
+    # would coalesce a hash join to 1 task. Explicit round-robin on the
+    # probe side (AQE keeps user-specified counts) + broadcast of the small
+    # build side spreads the O(n²/labels) dot folds over every core. The
+    # 100 TB path for this shape is cosine_pairs_blocked (gemm per block).
+    spread = a.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        a.repartition(spread)
+        .join(F.broadcast(b), on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
     return (
         pairs.withColumn(
-            "cos_sim", F.round(simsearch.cosine(F.col("ea"), F.col("eb")), 6)
+            "cos_sim",
+            F.round(
+                simsearch.dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
         )
         .filter(F.col("cos_sim") >= 0.3)
         .select("id_a", "id_b", "label", "cos_sim")

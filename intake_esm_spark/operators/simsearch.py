@@ -41,6 +41,18 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def with_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Attach the vector's L2 norm as a column.
+
+    Pairwise cosine plans should call this on EACH SIDE before the
+    join/cross-join: the norm fold then runs once per input row instead of
+    once per pair (O(n) vs O(n²) array traversals — at 2k vectors that is
+    a 1000× reduction in norm work, and the per-pair expression collapses
+    to a single dot fold). The quotient ``dot/(na*nb)`` is evaluated in the
+    same order as :func:`cosine`, so results are bit-identical."""
+    return df.withColumn(out_col, l2_norm(F.col(vec_col)))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,14 +67,23 @@ def brute_force_topk(
     The corpus never shuffles — the only exchange is the per-query top-k
     aggregation, which AQE keeps tiny (k rows per query per partition after
     partial top-k)."""
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    q = with_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        "__qnorm",
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    c = with_norm(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")),
+        "__cvec",
+        "__cnorm",
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+        (
+            dot(F.col("__cvec"), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -184,24 +205,35 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
 
-    c_bucketed = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__cvec"),
-        nearest_buckets(F.col(vec_col), 1)[0]["idx"].alias("bucket"),
+    c_bucketed = with_norm(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__cvec"),
+            nearest_buckets(F.col(vec_col), 1)[0]["idx"].alias("bucket"),
+        ),
+        "__cvec",
+        "__cnorm",
     )
-    q_bucketed = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(
-            F.transform(
-                nearest_buckets(F.col(vec_col), nprobe), lambda s: s["idx"]
-            )
-        ).alias("bucket"),
+    q_bucketed = with_norm(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(
+                F.transform(
+                    nearest_buckets(F.col(vec_col), nprobe), lambda s: s["idx"]
+                )
+            ).alias("bucket"),
+        ),
+        "__qvec",
+        "__qnorm",
     )
     scored = c_bucketed.join(F.broadcast(q_bucketed), on="bucket").select(
         query_id_col,
         id_col,
-        cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+        (
+            dot(F.col("__cvec"), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
