@@ -69,7 +69,9 @@ def to_wide(
 
 def _norm(col: Column) -> Column:
     # input_file_name() yields file:///p/q; catalog paths are usually /p/q
+    # (possibly with a trailing slash when they name a directory)
     stripped = F.regexp_replace(col, r"^file:/{0,2}", "/")
+    stripped = F.regexp_replace(stripped, r"(.)/+$", "$1")
     return F.regexp_replace(stripped, r"^/+", "/").cast("string")
 
 
@@ -157,13 +159,40 @@ def open_asset_union(
         )
     attach = [c for c in attach if c not in assets.columns]
 
+    # Asset rows carry their physical FILE path (input_file_name), but a
+    # catalog entry may point at a parquet DIRECTORY — the native Spark
+    # write layout (part-files inside a dir). Resolve with TWO broadcast
+    # equi-joins — exact file, then the file's parent directory — and
+    # prefer the exact match; no non-equi (prefix) join, so the attach
+    # stays a hashed broadcast lookup at any scale. The `__matched` lit
+    # makes the struct non-empty even when nothing is attached (plain
+    # membership filtering).
     cat_side = catalog.select(
-        _norm(F.col(path_col)).alias("__asset_path"),
-        *[F.col(c) for c in attach],
-    ).dropDuplicates(["__asset_path"])
-
-    combined = assets.join(F.broadcast(cat_side), on="__asset_path", how="inner").drop(
-        "__asset_path"
+        _norm(F.col(path_col)).alias("__cat_path"),
+        F.struct(
+            F.lit(True).alias("__matched"), *[F.col(c) for c in attach]
+        ).alias("__cat"),
+    ).dropDuplicates(["__cat_path"])
+    by_file = cat_side.select(
+        F.col("__cat_path").alias("__asset_path"),
+        F.col("__cat").alias("__cat_by_file"),
+    )
+    by_dir = cat_side.select(
+        F.col("__cat_path").alias("__asset_dir"),
+        F.col("__cat").alias("__cat_by_dir"),
+    )
+    combined = (
+        assets.withColumn(
+            "__asset_dir", F.regexp_replace(F.col("__asset_path"), r"/[^/]*$", "")
+        )
+        .join(F.broadcast(by_file), on="__asset_path", how="left")
+        .join(F.broadcast(by_dir), on="__asset_dir", how="left")
+        .withColumn("__cat", F.coalesce("__cat_by_file", "__cat_by_dir"))
+        .filter(F.col("__cat").isNotNull())
+    )
+    combined = combined.select(
+        *[c for c in assets.columns if c != "__asset_path"],
+        *[F.col(f"__cat.{c}").alias(c) for c in attach],
     )
 
     if requested_variables and desc.variable_column_name:

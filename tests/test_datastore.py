@@ -231,3 +231,64 @@ def test_empty_search_returns_empty_dict(spark, catalog_env):
     cat = open_esm_datastore(catalog_env, spark=spark)
     sub = cat.search(experiment="NOPE")
     assert sub.to_dataset_dict() == {}
+
+
+def test_directory_layout_assets(spark, tmp_path):
+    """A catalog asset may point at a parquet DIRECTORY (Spark's native
+    write layout: part-files inside a dir), a single file, or a dir path
+    with a trailing slash — all three must attach catalog attributes and
+    assemble (combine.open_asset_union resolves file-exact first, then
+    parent-directory)."""
+    rows = []
+    for i, (exp, trailing) in enumerate([("CTRL", False), ("20C", True)]):
+        path = str(tmp_path / f"dir_{exp}.parquet")
+        spark.createDataFrame(
+            [(t, float(i * 10 + t), "SHF") for t in range(5)],
+            "time int, value double, variable string",
+        ).write.mode("overwrite").parquet(path)
+        rows.append(
+            dict(
+                component="ocn",
+                experiment=exp,
+                variable="SHF",
+                member_id=1,
+                path=path + "/" if trailing else path,
+            )
+        )
+    # plus one plain single-file asset in the same catalog
+    fpath = str(tmp_path / "file_HIST.parquet")
+    pd.DataFrame(
+        {"time": range(5), "value": [9.0] * 5, "variable": ["SHF"] * 5}
+    ).to_parquet(fpath)
+    rows.append(
+        dict(component="ocn", experiment="HIST", variable="SHF", member_id=1, path=fpath)
+    )
+    csv_path = tmp_path / "catalog.csv"
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    desc = {
+        "esmcat_version": "0.1.0",
+        "id": "dir_assets",
+        "description": "directory-layout assets",
+        "attributes": [],
+        "assets": {"column_name": "path", "format": "parquet"},
+        "aggregation_control": {
+            "variable_column_name": "variable",
+            "groupby_attrs": ["component", "experiment"],
+            "aggregations": [
+                {"type": "join_new", "attribute_name": "member_id", "options": {}}
+            ],
+        },
+        "catalog_file": str(csv_path),
+    }
+    json_path = tmp_path / "catalog.json"
+    json_path.write_text(json.dumps(desc))
+
+    cat = open_esm_datastore(str(json_path), spark=spark)
+    dsets = cat.to_dataset_dict()
+    assert sorted(dsets) == ["ocn.20C", "ocn.CTRL", "ocn.HIST"]
+    for key, df in dsets.items():
+        assert df.count() == 5, key
+        assert df.select("member_id").distinct().collect()[0][0] == 1
+    # directory rows carry the right per-asset values (no cross-attach)
+    vals = {r[0] for r in dsets["ocn.CTRL"].select("value").collect()}
+    assert vals == {0.0, 1.0, 2.0, 3.0, 4.0}
