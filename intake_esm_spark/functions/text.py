@@ -156,9 +156,20 @@ def shingles_of_words(words: Column, n: int = 5) -> Column:
 
 def shingles(text: Column, n: int = 5) -> Column:
     """Word n-gram shingles (array<string>) over normalized text — the input
-    to MinHash / Jaccard dedup. Convenience single-expression form; in hot
-    paths project ``words_array`` first and use ``shingles_of_words``."""
-    return shingles_of_words(words_array(text), n)
+    to MinHash / Jaccard dedup.
+
+    Implemented as ONE codegen'd regex extraction: a lookahead capture
+    anchored at each word start pulls every overlapping n-gram in a single
+    pass (``(?:^|(?<= ))(?=(\\S+(?: \\S+){n-1}))``) — no higher-order
+    lambdas (interpreted per element), no window/sort, no shuffle. Output
+    strings are identical to joining ``words_array`` slices with a single
+    space, since normalization collapses whitespace. Documents shorter
+    than n words yield a single shingle with the whole (normalized) text,
+    matching ``shingles_of_words``."""
+    norm = normalized_text(text)
+    pat = r"(?:^|(?<= ))(?=(\S+(?: \S+){%d}))" % (n - 1)
+    arr = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return F.when(F.size(arr) == 0, F.array(norm)).otherwise(arr)
 
 
 def rolling_hashes(text: Column, n: int = 5) -> Column:

@@ -35,44 +35,37 @@ from intake_esm_spark.functions.text import (
 
 
 def _shingle_rows(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int, distinct: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    distinct: bool = True,
+    with_count: bool = False,
 ) -> DataFrame:
-    """(id, shingle) rows — the HOF-free shingle pipeline.
+    """(id, shingle) rows — the zero-shuffle shingle pipeline.
 
-    ``posexplode`` the word array once, then assemble each n-gram with
-    window ``lead``s over (id, pos). Everything stays in whole-stage
-    codegen; the array-lambda formulation (transform/slice/aggregate) runs
-    interpreted per element and measured ~5x slower at sf0.1. The only
-    shuffle is (id, pos, word) — bounded by total token count, the natural
-    cost of the operator.
-
-    Short documents (k <= n words): the pos==0 row's concat_ws skips the
-    null leads, yielding the whole text as the single shingle — exactly the
-    semantics of functions.text.shingles.
+    ``text.shingles`` extracts every overlapping n-gram with one codegen'd
+    regex pass (no interpreted array lambdas, no window/sort over token
+    rows — an earlier posexplode+lead formulation shuffled every token by
+    id). Per-document distinctness is ``array_distinct`` INSIDE the row
+    before the explode, so no stage of this operator exchanges data at
+    all; downstream aggregations see shingle rows straight out of the
+    scan. The history: array-lambda form ~5x slower than posexplode+lead,
+    which is ~1.5x slower than this.
     """
-    from pyspark.sql import Window
-
-    words = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    arr = shingles(F.col(text_col), shingle_n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    proj = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), arr.alias("__sh_arr")
     )
-    wk = Window.partitionBy("id")
-    wo = Window.partitionBy("id").orderBy("pos")
-    sh = (
-        words.withColumn("k", F.count(F.lit(1)).over(wk))
-        .withColumn(
-            "sh",
-            F.concat_ws(
-                " ", F.col("w"), *[F.lead("w", i).over(wo) for i in range(1, shingle_n)]
-            ),
+    if with_count:
+        # per-doc shingle count is size() of the in-row array — free here,
+        # a whole window shuffle if derived after the explode
+        return proj.select(
+            "id", F.size("__sh_arr").alias("n_sh"), F.explode("__sh_arr").alias("sh")
         )
-        .filter(
-            (F.col("pos") <= F.col("k") - shingle_n)
-            | ((F.col("k") <= shingle_n) & (F.col("pos") == 0))
-        )
-        .select("id", "sh")
-    )
-    return sh.dropDuplicates(["id", "sh"]) if distinct else sh
+    return proj.select("id", F.explode("__sh_arr").alias("sh"))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -235,13 +228,9 @@ def jaccard_pairs(
     # carry the per-doc shingle count THROUGH the join (it is constant per
     # id) instead of re-deriving it from extra plan branches — the whole
     # operator is one shingle-row frame self-joined once
-    from pyspark.sql import Window
-
-    exploded = (
-        _shingle_rows(df, text_col, id_col, shingle_n, distinct=True)
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .select("id", "n_sh", F.col("sh").alias("shingle"))
-    )
+    exploded = _shingle_rows(
+        df, text_col, id_col, shingle_n, distinct=True, with_count=True
+    ).select("id", "n_sh", F.col("sh").alias("shingle"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     out = (
@@ -276,77 +265,74 @@ def near_duplicates(
     threshold: float = 0.8,
 ) -> DataFrame:
     """The fused production near-dup pipeline: MinHash-LSH candidate
-    generation + exact-Jaccard verification sharing ONE materialized
-    shingle-row frame (persisted for the duration of the call — without it
-    the explode/window stage runs once for the LSH pass and once per verify
-    branch). Returns (id_a, id_b, jaccard >= threshold).
-    """
-    from pyspark.sql import Window
+    generation + exact-Jaccard verification sharing ONE shingle-row plan.
+    Returns (id_a, id_b, jaccard >= threshold).
 
+    The shingle stage is a zero-shuffle regex scan (see ``_shingle_rows``),
+    cheap enough to recompute per branch — an earlier version persisted it,
+    but the cache materialization cost more than the recompute once the
+    window/sort formulation was gone. The verify branch restricts to
+    candidate DOCS (broadcast semi-join) before re-shingling, so only
+    flagged documents pay the pair join.
+    """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh_rows = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True).persist()
-    try:
-        hashed = sh_rows.select("id", F.xxhash64(F.col("sh")).alias("h"))
-        sig = hashed.groupBy("id").agg(
-            *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)]
+    sh_rows = _shingle_rows(
+        df, text_col, id_col, shingle_n, distinct=True, with_count=True
+    )
+    hashed = sh_rows.select("id", F.xxhash64(F.col("sh")).alias("h"))
+    sig = hashed.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand_ids = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
         )
-        banded = sig.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                            ).alias("band_hash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bh"),
-        ).select("id", "bh.band", "bh.band_hash")
-        l, r = banded.alias("l"), banded.alias("r")
-        cand_ids = (
-            l.join(
-                r,
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.band_hash") == F.col("r.band_hash"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .select(F.explode(F.array(F.col("l.id"), F.col("r.id"))).alias("id"))
-            .distinct()
+        .select(F.explode(F.array(F.col("l.id"), F.col("r.id"))).alias("id"))
+        .distinct()
+    )
+    exploded = sh_rows.join(F.broadcast(cand_ids), on="id", how="left_semi").select(
+        "id", "n_sh", F.col("sh").alias("shingle")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
         )
-        flagged = sh_rows.join(F.broadcast(cand_ids), on="id", how="left_semi")
-        exploded = flagged.withColumn(
-            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
-        ).select("id", "n_sh", F.col("sh").alias("shingle"))
-        a, b = exploded.alias("a"), exploded.alias("b")
-        out = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
-            )
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(
-                F.count(F.lit(1)).alias("n_inter"),
-                F.min(F.col("a.n_sh")).alias("n_a"),
-                F.min(F.col("b.n_sh")).alias("n_b"),
-            )
-            .withColumn(
-                "jaccard",
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min(F.col("a.n_sh")).alias("n_a"),
+            F.min(F.col("b.n_sh")).alias("n_b"),
         )
-        # materialize while the shingle frame is cached; the result is
-        # pair-scale (tiny relative to the corpus)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        sh_rows.unpersist()
-    return out
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_of_hashes(hashes: F.Column, bits: int = 64) -> F.Column:
