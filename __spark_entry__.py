@@ -440,6 +440,29 @@ def q_customer_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_profile_numeric(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric column profiling (catalog-profiling extension of reference
+    nunique/unique, core.py:567-604): min/max/avg/median per measure in ONE
+    aggregation pass. Determinism: averages accumulate as DECIMAL(18,6)
+    (float-sum order varies across partitionings), medians use exact
+    ``percentile`` — at 100 TB swap in ``approx_percentile(c, 0.5, eps)``,
+    which is a mergeable sketch (one pass, no sort)."""
+    li = load_table(spark, sf, "lineitem")
+    aggs = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.round(
+                F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias(f"{c}_avg"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias(f"{c}_p50"),
+        ]
+    return li.agg(*aggs)
+
+
 def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding window (1 h window, 30 min slide) batch parity."""
     from intake_esm_spark.streaming.windows import sliding_counts
@@ -601,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_returnflag": q_pivot_returnflag,
         "cube_agg": q_cube_agg,
         "customer_order_stats": q_customer_order_stats,
+        "profile_numeric": q_profile_numeric,
         "events_sliding": q_events_sliding,
         "events_topk_user": q_events_topk_user,
         "text_stats": q_text_stats,
@@ -848,6 +872,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_mktsegment
+        """,
+        "profile_numeric": """
+            SELECT
+              min(l_quantity) AS l_quantity_min,
+              max(l_quantity) AS l_quantity_max,
+              round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS l_quantity_avg,
+              round(quantile_cont(l_quantity, 0.5), 6) AS l_quantity_p50,
+              min(l_extendedprice) AS l_extendedprice_min,
+              max(l_extendedprice) AS l_extendedprice_max,
+              round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS l_extendedprice_avg,
+              round(quantile_cont(l_extendedprice, 0.5), 6) AS l_extendedprice_p50,
+              min(l_discount) AS l_discount_min,
+              max(l_discount) AS l_discount_max,
+              round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS l_discount_avg,
+              round(quantile_cont(l_discount, 0.5), 6) AS l_discount_p50
+            FROM lineitem
         """,
         "events_sliding": """
             WITH bucketed AS (
