@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "top_suppliers",
     "cube_rollup",
     "customer_order_stats",
+    "profile_numeric",
     "require_all_on",
     "search_membership",
     "events_hourly",
