@@ -1,0 +1,96 @@
+"""End-to-end drive of the public library surface, per .claude/skills/verify."""
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from intake_esm_spark import open_esm_datastore
+from intake_esm_spark.session import get_spark
+
+spark = get_spark()
+tmp = tempfile.mkdtemp(prefix="verify_drive_")
+
+# --- build a throwaway catalog: JSON descriptor + CSV table + parquet assets
+rows = []
+for exp in ["CTRL", "20C"]:
+    for var in ["SHF", "TEMP"]:
+        for member in [1, 2]:
+            path = os.path.join(tmp, f"{exp}_{var}_{member}.parquet")
+            pdf = spark.createDataFrame(
+                [(t, float(t * member), var) for t in range(5)],
+                "time int, value double, variable string",
+            )
+            pdf.write.mode("overwrite").parquet(path)
+            rows.append(
+                {
+                    "component": "ocn",
+                    "experiment": exp,
+                    "variable": var,
+                    "member_id": member,
+                    "path": path,
+                    "format": "parquet",
+                }
+            )
+
+csv_path = os.path.join(tmp, "catalog.csv")
+import pandas as pd
+
+pd.DataFrame(rows).to_csv(csv_path, index=False)
+desc = {
+    "esmcat_version": "0.1.0",
+    "id": "verify-drive",
+    "description": "throwaway",
+    "catalog_file": csv_path,
+    "attributes": [{"column_name": c} for c in ["component", "experiment", "variable", "member_id"]],
+    "assets": {"column_name": "path", "format_column_name": "format"},
+    "aggregation_control": {
+        "variable_column_name": "variable",
+        "groupby_attrs": ["component", "experiment"],
+        "aggregations": [
+            {"type": "union", "attribute_name": "variable"},
+            {"type": "join_new", "attribute_name": "member_id", "options": {"coords": "minimal"}},
+        ],
+    },
+}
+json_path = os.path.join(tmp, "catalog.json")
+with open(json_path, "w") as f:
+    json.dump(desc, f)
+
+# --- open, profile, search, assemble
+cat = open_esm_datastore(json_path, spark=spark)
+assert len(cat) == 2, len(cat)
+nun = cat.nunique()
+print("nunique:", nun)
+assert cat.unique()["experiment"] and sorted(cat.keys()) == ["ocn.20C", "ocn.CTRL"]
+
+sub = cat.search(experiment=["CTRL"], variable="SHF")
+assert sorted(sub.keys()) == ["ocn.CTRL"], sub.keys()
+
+dsets = sub.to_dataset_dict()
+df = dsets["ocn.CTRL"]
+got_cols = set(df.columns)
+assert "member_id" in got_cols and "value" in got_cols, got_cols
+n = df.count()
+assert n == 10, n  # 2 members x 5 timesteps, SHF only
+assert df.select("variable").distinct().collect()[0][0] == "SHF"
+
+# regex search + empty query + unknown column probes
+assert cat.search(experiment="^C.*L$").df.count() > 0
+try:
+    cat.search(bogus_column="x")
+    raise AssertionError("unknown column should raise")
+except Exception as exc:
+    print("unknown-column raises:", type(exc).__name__)
+
+# require_all_on: only CTRL has both members for... both do; restrict members
+r = cat.search(variable=["SHF", "TEMP"], require_all_on=["experiment"])
+assert r.df.count() == 8, r.df.count()  # 2 exp x 2 var x 2 member rows, all kept
+
+# --- serialize + reopen round trip
+out = cat.serialize("verify_cat", directory=tmp, catalog_type="file")
+re_cat = open_esm_datastore(os.path.join(tmp, "verify_cat.json"), spark=spark)
+assert len(re_cat) == 2 and re_cat.df.count() == cat.df.count()
+
+print("VERIFY-DRIVE-OK")
