@@ -103,16 +103,22 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep one row per distinct normalized text — the min-id survivor.
 
-    Implemented as groupBy(fingerprint) -> min(id) -> semi-join, which
-    shuffles only (hash, id) pairs, never the document bodies."""
-    survivors = (
-        _spread(df.select(id_col, text_col))
-        .select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    The survivor row is selected INSIDE the fingerprint aggregation:
+    ``groupBy(fp).agg(min_by(struct(*cols), id))``. The plan has exactly ONE
+    exchange, keyed by the 16-byte md5 fingerprint, carrying each row once —
+    there is no second pass over ``df`` and no survivors join. (The previous
+    formulation — groupBy(fp) -> min(id) -> left-semi join back — was
+    large-large at scale: survivors ≈ distinct docs, far beyond broadcast,
+    so the whole body re-shuffled on doc_id. min_by folds the selection into
+    the one shuffle the dedup fundamentally needs.) Ties cannot occur: ids
+    are unique, so min_by is deterministic."""
+    cols = df.columns
+    return (
+        df.select(F.struct(*cols).alias("__row"), fingerprint_md5(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min_by(F.col("__row"), F.col(f"__row.{id_col}")).alias("__row"))
+        .select("__row.*")
     )
-    return df.join(survivors, on=id_col, how="left_semi")
 
 
 def minhash_signature(

@@ -133,8 +133,13 @@ def nunique(df: DataFrame, columns: list[str] | None = None) -> dict[str, int]:
     aggs = []
     for c in columns:
         if _is_array(dtypes[c]):
+            # array_compact drops inner nulls after the flatten, matching
+            # unique()'s NA filter (and pandas nunique, which drops NA) —
+            # otherwise nunique could exceed len(unique(col)) by one
             aggs.append(
-                F.size(F.array_distinct(F.flatten(F.collect_set(F.col(c))))).alias(c)
+                F.size(
+                    F.array_distinct(F.array_compact(F.flatten(F.collect_set(F.col(c)))))
+                ).alias(c)
             )
         else:
             aggs.append(F.countDistinct(F.col(c)).alias(c))

@@ -19,11 +19,22 @@ class QueryError(ValueError):
 
 
 def is_na(value: Any) -> bool:
-    """None or float NaN — the engine's NULL query marker
-    (reference uses pd.isna at _search.py:51)."""
+    """NULL query marker: None, float NaN, ``pd.NA``, or a numpy NaN scalar
+    (reference normalizes all of these via pd.isna — _search.py:51 and
+    QueryModel at cat.py:483-488). Collections are never NA (they are value
+    lists), so the pandas fallback only sees scalars."""
     if value is None:
         return True
-    return isinstance(value, float) and math.isnan(value)
+    if isinstance(value, float) and math.isnan(value):
+        return True
+    if isinstance(value, (str, bytes, list, tuple, set, dict)):
+        return False
+    try:
+        import pandas as pd
+
+        return bool(pd.isna(value))
+    except (ImportError, TypeError, ValueError):
+        return False
 
 
 @dataclass

@@ -20,7 +20,7 @@ def frame(spark):
     rows = [
         ("x", None, "m", ["v1", "v2"]),
         ("x", None, None, ["v2", "v3"]),
-        ("y", None, "m", ["v1"]),
+        ("y", None, "m", ["v1", None]),  # inner null: dropped by unique AND nunique
     ]
     return spark.createDataFrame(rows, schema)
 
@@ -61,7 +61,10 @@ def test_unique_nunique_iterables(spark, frame):
     assert uq["a"] == ["x", "y"]
     assert uq["vars"] == ["v1", "v2", "v3"]
     nu = grouping.nunique(frame, ["a", "vars", "mixed"])
+    # vars counts 3, not 4: the inner null is dropped (pandas nunique drops
+    # NA), so nunique(col) == len(unique(col)) always holds
     assert nu == {"a": 2, "vars": 3, "mixed": 1}
+    assert nu["vars"] == len(uq["vars"])
 
 
 def test_unique_empty_frame(spark):

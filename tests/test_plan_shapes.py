@@ -109,14 +109,18 @@ def test_hot_paths_stay_jvm_side(spark, queries, name):
     assert "ArrowEvalPython" not in plan, name
 
 
-def test_dedup_exact_shuffles_hashes_not_bodies(spark, queries):
-    """The exact-dedup shuffle carries (fingerprint, id) pairs — document
-    bodies stay in the scan stage. A plan where `text` crosses the
-    exchange re-shuffles the whole corpus at 100 TB."""
+def test_dedup_exact_single_fp_keyed_exchange(spark, queries):
+    """Exact dedup = exactly ONE exchange, keyed by the 16-byte fingerprint.
+    The survivor row is picked by min_by INSIDE that aggregation, so each
+    body crosses the wire once and there is no survivors join back onto the
+    corpus (the old semi-join formulation re-shuffled the whole df side on
+    doc_id at scale — survivors ≈ distinct docs, far beyond broadcast)."""
     df = queries["dedup_exact"](spark, SF)
-    plan = plan_of(df)
-    exchanges = plan.split("Exchange")
-    # every exchange below the final semi-join moves fp/id-width rows only
-    for ex in exchanges[1:]:
-        first_line = ex.splitlines()[0]
-        assert "text#" not in first_line, first_line
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    ex_line = next(
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert "__fp" in ex_line, ex_line
+    # no join anywhere in the plan — the aggregation IS the dedup
+    assert "Join" not in plan, plan

@@ -151,6 +151,14 @@ SCALAR_PARAMS = [
     ),
     ({"A": None}, None, [{"A": None, "B": None, "C": "exp", "D": "UA"}]),
     ({"A": float("nan")}, None, [{"A": None, "B": None, "C": "exp", "D": "UA"}]),
+    # pd.NA and numpy NaN normalize to IS NULL exactly like None/NaN
+    # (reference QueryModel, cat.py:483-488)
+    ({"A": __import__("pandas").NA}, None, [{"A": None, "B": None, "C": "exp", "D": "UA"}]),
+    (
+        {"A": __import__("numpy").float64("nan")},
+        None,
+        [{"A": None, "B": None, "C": "exp", "D": "UA"}],
+    ),
 ]
 
 
