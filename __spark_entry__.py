@@ -965,13 +965,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY substr({_NORM_TEXT_SQL}, 1, 64)
             HAVING count(*) > 1
         """,
+        # the doc-frequency cap (boilerplate-shingle guard, dedup.DEFAULT_MAX_DOC_FREQ)
+        # is part of the operator's contract, so the oracle applies the SAME
+        # cap — the constant is interpolated from the engine so they cannot drift
         "dedup_jaccard": f"""
             WITH sh AS (
               SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
-            ), sizes AS (
-              SELECT doc_id, len(shingles) AS n_sh FROM sh
-            ), exploded AS (
+            ), exploded_all AS (
               SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            ), exploded AS (
+              SELECT doc_id, shingle FROM exploded_all
+              WHERE shingle NOT IN (
+                SELECT shingle FROM exploded_all
+                GROUP BY shingle HAVING count(*) > {dedup.DEFAULT_MAX_DOC_FREQ}
+              )
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY doc_id
             ), inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
               FROM exploded a JOIN exploded b

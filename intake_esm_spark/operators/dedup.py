@@ -201,6 +201,97 @@ def minhash_lsh_candidates(
     return pairs
 
 
+DEFAULT_MAX_DOC_FREQ = 256
+"""Default document-frequency cap for the Jaccard shingle self-join.
+
+A shingle appearing in k candidate documents contributes k·(k-1)/2 join
+rows, so one boilerplate n-gram shared by 10⁵ docs alone produces 5·10⁹
+rows — quadratic row COUNT that AQE skew-split can redistribute but never
+reduce. Capping document frequency bounds the worst case: after the cap,
+join output is at most (rows/cap)·cap² = rows·cap — LINEAR in corpus size.
+
+Semantics with the cap: Jaccard over each document's *informative* shingles
+(those appearing in <= cap documents). Deviation bound vs the full-set
+Jaccard for a pair with m capped shingles in its union U: the value moves
+by at most m / (|U| - m); a capped shingle is near-universal boilerplate,
+so at threshold 0.8 the decision flips only for pairs whose similarity is
+carried by boilerplate — exactly the pairs a dedup pipeline should NOT
+merge. Pass ``max_doc_freq=None`` for strict full-set Jaccard.
+"""
+
+
+def shingle_doc_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(shingle, doc_freq) — in how many documents each distinct n-gram
+    appears. One groupBy with map-side partial counts; the input shingle
+    rows are per-doc distinct, so count(*) IS the document frequency."""
+    return (
+        _shingle_rows(df, text_col, id_col, shingle_n, distinct=True)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def _df_capped(exploded: DataFrame, shingle_col: str, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap, with ONE
+    shingle-keyed exchange: ``count() over (partition by shingle)`` counts
+    the per-doc-distinct rows (== doc frequency) in the same shuffle the
+    downstream self-join needs, so the exchange is REUSED by every branch
+    that consumes the capped rows — no separate frequency aggregation, no
+    hot-set broadcast to size-manage (the hot set is never materialized)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shingle_col)
+    return (
+        exploded.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_doc_freq)
+        .drop("__df")
+    )
+
+
+def _capped_pairs(
+    exploded: DataFrame, threshold: float, max_doc_freq: int
+) -> DataFrame:
+    """Pair computation over df-capped shingle rows.
+
+    ``exploded`` is (id, shingle) per-doc-distinct rows. Per-doc sizes are
+    a narrow (id, count) aggregate with map-side partials, joined back onto
+    the pair aggregate (the same shape as the SQL oracle; both size joins
+    are AQE-broadcastable since sizes rows are two integers per doc)."""
+    kept = _df_capped(exploded, "shingle", max_doc_freq)
+    sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -208,6 +299,7 @@ def jaccard_pairs(
     shingle_n: int = 5,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
@@ -215,6 +307,12 @@ def jaccard_pairs(
     (exact, for verification / small scale); with ``candidates`` (from LSH)
     the equi-join is semi-joined down to the candidate set first — the
     production path at 100 TB.
+
+    ``max_doc_freq`` (default ``DEFAULT_MAX_DOC_FREQ``) drops boilerplate
+    shingles before the self-join — see the constant's docstring for the
+    quadratic-blowup guard and the deviation bound. With ``candidates`` the
+    frequencies are computed over the candidate subset (a doc-frequency
+    within it never exceeds the corpus-wide one, so the guard still holds).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
@@ -231,9 +329,15 @@ def jaccard_pairs(
             F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
         ).distinct()
         df = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-    # carry the per-doc shingle count THROUGH the join (it is constant per
-    # id) instead of re-deriving it from extra plan branches — the whole
-    # operator is one shingle-row frame self-joined once
+    if max_doc_freq is not None:
+        exploded = _shingle_rows(
+            df, text_col, id_col, shingle_n, distinct=True
+        ).select("id", F.col("sh").alias("shingle"))
+        return _capped_pairs(exploded, threshold, max_doc_freq)
+    # uncapped fast path: carry the per-doc shingle count THROUGH the join
+    # (it is constant per id, computed in-row before the explode) instead of
+    # re-deriving it from extra plan branches — one shingle-row frame
+    # self-joined once
     exploded = _shingle_rows(
         df, text_col, id_col, shingle_n, distinct=True, with_count=True
     ).select("id", "n_sh", F.col("sh").alias("shingle"))
@@ -269,6 +373,7 @@ def near_duplicates(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.8,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """The fused production near-dup pipeline: MinHash-LSH candidate
     generation + exact-Jaccard verification sharing ONE shingle-row plan.
@@ -280,12 +385,22 @@ def near_duplicates(
     window/sort formulation was gone. The verify branch restricts to
     candidate DOCS (broadcast semi-join) before re-shingling, so only
     flagged documents pay the pair join.
+
+    With ``max_doc_freq`` (default on — see ``DEFAULT_MAX_DOC_FREQ``) the
+    corpus-wide hot-shingle set is computed ONCE and anti-joined out before
+    BOTH branches: the MinHash signatures and the verify join see the same
+    informative-shingle sets, so the LSH recall guarantee applies to
+    exactly the sets being verified, and the verify self-join's output is
+    linear in corpus size instead of quadratic per boilerplate n-gram.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh_rows = _shingle_rows(
-        df, text_col, id_col, shingle_n, distinct=True, with_count=True
-    )
+    sh_rows = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True)
+    if max_doc_freq is not None:
+        # one shingle-keyed exchange, reused by the signature branch, the
+        # verify self-join (its join key IS the partitioning key) and the
+        # sizes aggregate — the text is scanned and shingled exactly once
+        sh_rows = _df_capped(sh_rows, "sh", max_doc_freq)
     hashed = sh_rows.select("id", F.xxhash64(F.col("sh")).alias("h"))
     sig = hashed.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)]
@@ -318,8 +433,11 @@ def near_duplicates(
         .distinct()
     )
     exploded = sh_rows.join(F.broadcast(cand_ids), on="id", how="left_semi").select(
-        "id", "n_sh", F.col("sh").alias("shingle")
+        "id", F.col("sh").alias("shingle")
     )
+    # verify over the SAME (already df-capped) shingle sets; per-doc sizes
+    # are a narrow aggregate over candidate docs only
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -327,10 +445,14 @@ def near_duplicates(
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.min(F.col("a.n_sh")).alias("n_a"),
-            F.min(F.col("b.n_sh")).alias("n_b"),
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            on="id_b",
         )
         .withColumn(
             "jaccard",

@@ -76,3 +76,68 @@ def test_real_documents_have_dups(spark):
     n = docs.count()
     kept = dedup.dedup_exact(docs).count()
     assert 0 < kept <= n
+
+
+def test_doc_freq_cap_bounds_join_input(spark):
+    """Adversarial boilerplate corpus: every document shares one licence
+    sentence, so its internal 5-grams have doc-frequency == n_docs and the
+    uncapped self-join emits O(n_docs²) rows per such shingle. The cap
+    removes exactly those shingles (quantified via shingle_doc_freq), and
+    the one genuinely near-duplicate pair still surfaces."""
+    boiler = (
+        "all rights reserved this document is provided as is "
+        "without warranty of any kind express or implied"
+    )
+    rows = [
+        (
+            i,
+            f"{boiler} unique content number {i} alpha beta gamma delta "
+            f"epsilon zeta eta theta iota kappa",
+        )
+        for i in range(40)
+    ]
+    shared = "matching informative content one two three four five six seven eight nine ten"
+    rows.append((100, f"{boiler} {shared}"))
+    rows.append((101, f"{boiler} {shared} extra"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cap = 10
+    freq = dedup.shingle_doc_freq(docs, shingle_n=5)
+    pair_rows = freq.select(
+        (F.col("doc_freq") * (F.col("doc_freq") - 1) / 2).alias("p"), "doc_freq"
+    )
+    uncapped_join_rows = pair_rows.agg(F.sum("p")).collect()[0][0]
+    capped_join_rows = (
+        pair_rows.filter(F.col("doc_freq") <= cap).agg(F.sum("p")).collect()[0][0]
+    )
+    # the boilerplate shingles dominate the uncapped join; capping removes
+    # the quadratic mass (42 docs share ~14 boiler shingles -> ~12k rows)
+    assert uncapped_join_rows > 20 * capped_join_rows
+
+    out = dedup.jaccard_pairs(docs, shingle_n=5, threshold=0.8, max_doc_freq=cap)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert set(pairs) == {(100, 101)}
+    assert pairs[(100, 101)] >= 0.8
+    # the fused LSH+verify pipeline agrees under the same cap
+    fused = dedup.near_duplicates(
+        docs, num_hashes=32, bands=16, shingle_n=5, threshold=0.8, max_doc_freq=cap
+    )
+    assert {(r["id_a"], r["id_b"]) for r in fused.collect()} == {(100, 101)}
+
+
+def test_default_cap_lossless_on_testdata(spark):
+    """At the default cap the capped and strict (max_doc_freq=None) plans
+    agree pair-for-pair and value-for-value on the synthetic documents
+    table — the cap only engages on adversarial boilerplate."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    capped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.jaccard_pairs(docs, shingle_n=5, threshold=0.8).collect()
+    }
+    strict = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.jaccard_pairs(
+            docs, shingle_n=5, threshold=0.8, max_doc_freq=None
+        ).collect()
+    }
+    assert capped == strict
