@@ -510,13 +510,18 @@ def q_simsearch_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simsearch_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Brute-force top-10 neighbors for 5 query vectors (rows-only check:
-    top-k tie order is engine-specific; correctness asserted in tests)."""
+    """Brute-force top-10 neighbors for 5 query vectors. The rank order is
+    fully deterministic (desc cos_sim, asc vec_id), so a DuckDB
+    row_number() oracle hash-checks it; cos_sim is rounded to 6dp on both
+    sides (engines agree to 6dp, not to the last ulp)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return simsearch.brute_force_topk(emb, queries, k=10)
+    out = simsearch.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
 
 
 def q_simsearch_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1010,6 +1015,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
-        # rows-only checks (hash-function- or tie-order-specific):
-        #   dedup_minhash, dedup_simhash, simsearch_topk
+        "simsearch_topk": """
+            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(q.embedding AS DOUBLE[])) DESC,
+                                e.vec_id ASC
+                     ) AS rnk
+              FROM embeddings e,
+                   (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rnk <= 10
+        """,
+        # rows-only checks (hash-function- or float-summation-order-specific):
+        #   dedup_minhash, dedup_simhash, dedup_near, simsearch_pairs_blocked,
+        #   simsearch_ivf
     }

@@ -47,6 +47,15 @@ class ESMDataSourceError(RuntimeError):
     """Asset assembly failed for a dataset group (reference source.py:327-332)."""
 
 
+_ANCESTOR_LEVELS = 4
+"""How many ancestor directories of an asset FILE are tried when matching
+it back to its catalog entry: level 0 is the file itself, 1 its parent
+(plain ``df.write.parquet`` dirs), 2-4 cover Hive-partitioned layouts with
+up to three partition columns (``tbl/k1=a/k2=b/k3=c/part-....parquet``).
+Deeper layouts raise (see open_asset_union) rather than silently dropping
+rows."""
+
+
 def to_wide(
     df: DataFrame,
     coord_columns: list[str],
@@ -160,35 +169,58 @@ def open_asset_union(
     attach = [c for c in attach if c not in assets.columns]
 
     # Asset rows carry their physical FILE path (input_file_name), but a
-    # catalog entry may point at a parquet DIRECTORY — the native Spark
-    # write layout (part-files inside a dir). Resolve with TWO broadcast
-    # equi-joins — exact file, then the file's parent directory — and
-    # prefer the exact match; no non-equi (prefix) join, so the attach
-    # stays a hashed broadcast lookup at any scale. The `__matched` lit
-    # makes the struct non-empty even when nothing is attached (plain
-    # membership filtering).
+    # catalog entry may point at a DIRECTORY — the native Spark write
+    # layout (part-files inside a dir), possibly Hive-partitioned
+    # (nested key=value subdirs, the layout this engine's own to_parquet
+    # produces). Resolve with a chain of broadcast equi-joins: the exact
+    # file first, then each ancestor directory up to _ANCESTOR_LEVELS
+    # deep; coalesce prefers the DEEPEST match. Every join is a hashed
+    # broadcast lookup against the metadata-scale catalog (no non-equi
+    # prefix join), so the attach stays map-side at any scale. An asset
+    # row matching NO catalog path is an engine bug or an over-deep
+    # layout — raise_error() names the offending file at action time
+    # instead of silently dropping the rows (an empty dataset with no
+    # diagnostic). The `__matched` lit makes the struct non-empty even
+    # when nothing is attached (plain membership filtering).
     cat_side = catalog.select(
         _norm(F.col(path_col)).alias("__cat_path"),
         F.struct(
             F.lit(True).alias("__matched"), *[F.col(c) for c in attach]
         ).alias("__cat"),
     ).dropDuplicates(["__cat_path"])
-    by_file = cat_side.select(
-        F.col("__cat_path").alias("__asset_path"),
-        F.col("__cat").alias("__cat_by_file"),
-    )
-    by_dir = cat_side.select(
-        F.col("__cat_path").alias("__asset_dir"),
-        F.col("__cat").alias("__cat_by_dir"),
-    )
-    combined = (
-        assets.withColumn(
-            "__asset_dir", F.regexp_replace(F.col("__asset_path"), r"/[^/]*$", "")
+    combined = assets
+    match_cols = []
+    for lvl in range(_ANCESTOR_LEVELS + 1):
+        key_col = "__asset_path" if lvl == 0 else f"__anc{lvl}"
+        if lvl == 1:
+            combined = combined.withColumn(
+                key_col, F.regexp_replace(F.col("__asset_path"), r"/[^/]*$", "")
+            )
+        elif lvl > 1:
+            combined = combined.withColumn(
+                key_col, F.regexp_replace(F.col(f"__anc{lvl - 1}"), r"/[^/]*$", "")
+            )
+        cat_lvl = cat_side.select(
+            F.col("__cat_path").alias(key_col),
+            F.col("__cat").alias(f"__cat_{lvl}"),
         )
-        .join(F.broadcast(by_file), on="__asset_path", how="left")
-        .join(F.broadcast(by_dir), on="__asset_dir", how="left")
-        .withColumn("__cat", F.coalesce("__cat_by_file", "__cat_by_dir"))
-        .filter(F.col("__cat").isNotNull())
+        combined = combined.join(F.broadcast(cat_lvl), on=key_col, how="left")
+        match_cols.append(F.col(f"__cat_{lvl}"))
+    resolved = F.coalesce(*match_cols)
+    combined = combined.withColumn(
+        "__cat",
+        F.when(resolved.isNotNull(), resolved).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "asset file matches no catalog entry (not the file, "
+                        f"not an ancestor directory within {_ANCESTOR_LEVELS} "
+                        "levels): "
+                    ),
+                    F.col("__asset_path"),
+                )
+            )
+        ),
     )
     combined = combined.select(
         *[c for c in assets.columns if c != "__asset_path"],

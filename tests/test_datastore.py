@@ -292,3 +292,74 @@ def test_directory_layout_assets(spark, tmp_path):
     # directory rows carry the right per-asset values (no cross-attach)
     vals = {r[0] for r in dsets["ocn.CTRL"].select("value").collect()}
     assert vals == {0.0, 1.0, 2.0, 3.0, 4.0}
+
+
+def _dir_catalog(tmp_path, rows):
+    csv_path = tmp_path / "catalog.csv"
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    desc = {
+        "esmcat_version": "0.1.0",
+        "id": "dir_assets",
+        "description": "directory-layout assets",
+        "attributes": [],
+        "assets": {"column_name": "path", "format": "parquet"},
+        "aggregation_control": {
+            "variable_column_name": "variable",
+            "groupby_attrs": ["component", "experiment"],
+            "aggregations": [
+                {"type": "join_new", "attribute_name": "member_id", "options": {}}
+            ],
+        },
+        "catalog_file": str(csv_path),
+    }
+    json_path = tmp_path / "catalog.json"
+    json_path.write_text(json.dumps(desc))
+    return str(json_path)
+
+
+def test_hive_partitioned_directory_assets(spark, tmp_path):
+    """A catalog entry may point at a Hive-PARTITIONED parquet directory —
+    the layout this engine's own to_parquet sink produces — where the data
+    files sit levels below the catalog path (tbl/run=X/part-*.parquet).
+    The ancestor walk in open_asset_union must attach these; before it,
+    such rows were silently dropped (empty dataset, no diagnostic)."""
+    path = str(tmp_path / "hive.parquet")
+    spark.createDataFrame(
+        [(t, float(t), "SHF", "CTRL" if t % 2 == 0 else "20C") for t in range(6)],
+        "time int, value double, variable string, run string",
+    ).write.mode("overwrite").partitionBy("run").parquet(path)
+    cat = open_esm_datastore(
+        _dir_catalog(
+            tmp_path,
+            [dict(component="ocn", experiment="CTRL", variable="SHF", member_id=1, path=path)],
+        ),
+        spark=spark,
+    )
+    dsets = cat.to_dataset_dict()
+    assert sorted(dsets) == ["ocn.CTRL"]
+    df = dsets["ocn.CTRL"]
+    assert df.count() == 6
+    assert {r[0] for r in df.select("run").distinct().collect()} == {"CTRL", "20C"}
+    assert df.select("member_id").distinct().collect()[0][0] == 1
+
+
+def test_unresolvable_asset_raises_not_drops(spark, tmp_path):
+    """A layout deeper than the ancestor walk (here: 4 partition columns,
+    files 5 levels below the catalog path) must raise a diagnostic naming
+    the offending file — never silently filter to an empty dataset."""
+    path = str(tmp_path / "deep.parquet")
+    spark.createDataFrame(
+        [(t, float(t), "SHF", "a", "b", "c", f"d{t}") for t in range(4)],
+        "time int, value double, variable string, k1 string, k2 string, k3 string, k4 string",
+    ).write.mode("overwrite").partitionBy("k1", "k2", "k3", "k4").parquet(path)
+    cat = open_esm_datastore(
+        _dir_catalog(
+            tmp_path,
+            [dict(component="ocn", experiment="CTRL", variable="SHF", member_id=1, path=path)],
+        ),
+        spark=spark,
+    )
+    with pytest.raises(Exception, match="matches no catalog entry"):
+        dsets = cat.to_dataset_dict()
+        for df in dsets.values():
+            df.count()
