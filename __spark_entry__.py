@@ -526,7 +526,13 @@ def q_simsearch_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_simsearch_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """All same-label vector pairs with cosine >= 0.3 (near-dup embedding
-    detection — the pairwise-join shape of embedding dedup)."""
+    detection — the pairwise-join shape of embedding dedup).
+
+    ORACLE CROSS-CHECK ONLY: this formulation broadcasts the full
+    embedding side, which is fine at oracle scale (sf<=0.1) and impossible
+    at 100 TB. The production/bench pairs queries are
+    ``simsearch_pairs_blocked`` (per-block GEMM) and ``simsearch_ivf``;
+    this one exists so the blocked kernel has a hash-matched SQL twin."""
     emb = load_table(spark, sf, "embeddings")
     # Norms are attached per SIDE before the join (O(n) folds), so the
     # per-pair expression is a single dot fold — same quotient order as

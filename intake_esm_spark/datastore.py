@@ -305,10 +305,65 @@ class ESMDataStore:
         var_col = self.descriptor.variable_column_name
         if len(self.derivedcat) and var_col:
             long_var_col = "variable" if "variable" in combined.columns else var_col
+            # per-group variable sets come from the CATALOG — one
+            # metadata-scale aggregation job — instead of a distinct() probe
+            # scan of every dataset's asset rows (one full-data job per
+            # group). A user preprocess may add/drop variables the catalog
+            # cannot know about, so only then fall back to probing.
+            dataset_variables = None
+            if preprocess is None:
+                dataset_variables = self._catalog_dataset_variables(
+                    attrs, sep, requested_variables
+                )
             datasets = self.derivedcat.update_datasets(
-                datasets, long_var_col, skip_on_error=skip_on_error
+                datasets,
+                long_var_col,
+                skip_on_error=skip_on_error,
+                dataset_variables=dataset_variables,
             )
         return datasets
+
+    def _catalog_dataset_variables(
+        self,
+        attrs: list[str],
+        sep: str,
+        requested_variables: list[str] | None,
+    ) -> dict[str, set[str]]:
+        """Per-dataset-key variable sets read off the catalog table.
+
+        The catalog declares which variables each asset carries, so the
+        union per group key is one tiny aggregation over catalog rows —
+        derived-variable application then needs ZERO extra scans of asset
+        data. Respects the requested-variables projection (literal names
+        and compiled patterns) exactly as combine.open_asset_union applies
+        it to the data rows."""
+        import re as _re
+
+        var_col = self.descriptor.variable_column_name
+        keyed = self._df.withColumn(
+            "key", F.concat_ws(sep, *[F.col(a).cast("string") for a in attrs])
+        )
+        if isinstance(keyed.schema[var_col].dataType, T.ArrayType):
+            agg = F.array_distinct(
+                F.array_compact(F.flatten(F.collect_set(F.col(var_col))))
+            )
+        else:
+            agg = F.collect_set(F.col(var_col))
+        rows = keyed.groupBy("key").agg(agg.alias("__vars")).collect()
+        out = {r["key"]: set(r["__vars"] or []) for r in rows}
+        requested = requested_variables or self._requested_variables or None
+        if requested:
+            literals = {v for v in requested if isinstance(v, str)}
+            patterns = [p for p in requested if isinstance(p, _re.Pattern)]
+            out = {
+                k: {
+                    v
+                    for v in vs
+                    if v in literals or any(p.search(v) for p in patterns)
+                }
+                for k, vs in out.items()
+            }
+        return out
 
     def _combined_plan(
         self,

@@ -172,6 +172,112 @@ def _kmeans_centroids(
     return [list(map(float, c)) for c in centroids]
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.1,
+) -> list[list[float]]:
+    """Materialize the IVF index: the corpus written as parquet PARTITIONED
+    BY nearest-centroid bucket, with the centroid vectors in an
+    underscore-prefixed JSON sidecar (invisible to Spark's file index).
+
+    This is what makes IVF an INDEX rather than a re-scan: a probe query
+    filters on the ``bucket`` partition column, so the scan prunes to the
+    nprobe probed directories (``PartitionFilters`` in the plan) and
+    roughly nprobe/n_centroids of the bytes are read — the rest never
+    leave storage. Returns the centroids (also persisted in the sidecar).
+    """
+    import json as _json
+    import os
+
+    centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
+    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    sims = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("sim"), i.alias("idx")))
+    bucket = F.reverse(F.array_sort(pairs))[0]["idx"]
+    (
+        corpus.withColumn("bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        _json.dump({"centroids": centroids, "vec_col": vec_col, "id_col": id_col}, f)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k against a :func:`write_ivf_index` table.
+
+    The query set is metadata-scale by contract (it is broadcast in every
+    ANN formulation), so its probe buckets are computed driver-side with
+    the sidecar centroids; their union becomes a ``bucket IN (...)``
+    partition filter on the corpus scan — partition PRUNING, not a
+    post-scan filter. Scoring and ranking are identical to ivf_topk.
+    """
+    import json as _json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        sidecar = _json.load(f)
+    C = np.array(sidecar["centroids"], dtype=np.float64)  # rows already unit-norm
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    sims = Q @ C.T  # argmax of dot == argmax of cosine (centroids unit-norm)
+    probe: list[tuple] = []
+    for qi, r in enumerate(q_rows):
+        # desc sim, desc idx on ties — same order as reverse(array_sort(...))
+        order = np.lexsort((np.arange(len(C)), sims[qi]))[::-1][:nprobe]
+        for b in order:
+            probe.append((r[0], int(b), [float(x) for x in Q[qi]]))
+    buckets = sorted({b for _, b, _ in probe})
+
+    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    c = with_norm(
+        corpus.select(F.col(id_col), F.col("bucket"), F.col(vec_col).alias("__cvec")),
+        "__cvec",
+        "__cnorm",
+    )
+    qid_dtype = dict(queries.dtypes)[query_id_col]
+    q_bucketed = with_norm(
+        spark.createDataFrame(
+            probe, f"{query_id_col} {qid_dtype}, bucket int, __qvec array<double>"
+        ),
+        "__qvec",
+        "__qnorm",
+    )
+    scored = c.join(F.broadcast(q_bucketed), on="bucket").select(
+        query_id_col,
+        id_col,
+        (
+            dot(F.col("__cvec"), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -363,3 +363,45 @@ def test_unresolvable_asset_raises_not_drops(spark, tmp_path):
         dsets = cat.to_dataset_dict()
         for df in dsets.values():
             df.count()
+
+
+def test_derived_uses_catalog_variables_no_probe(spark, catalog_env, monkeypatch):
+    """Derived-variable application gets its per-dataset variable sets from
+    the catalog (one metadata aggregation), never from a distinct() probe
+    scan of each dataset's asset rows — at scale the probe is a full-data
+    job per group. The sets passed must match what probing would return."""
+    registry = DerivedVariableRegistry()
+    registry.register(
+        elementwise("FOO", ["FLNS", "FLUT"], lambda a, b: a + b),
+        variable="FOO",
+        query={"variable": ["FLNS", "FLUT"]},
+    )
+    cat = open_esm_datastore(catalog_env, spark=spark, registry=registry)
+    sub = cat.search(experiment="CTRL", variable="FOO")
+
+    captured = {}
+    orig = DerivedVariableRegistry.update_datasets
+
+    def spy(self, datasets, variable_key_name, skip_on_error=False, dataset_variables=None):
+        captured["dataset_variables"] = dataset_variables
+        return orig(self, datasets, variable_key_name, skip_on_error, dataset_variables)
+
+    monkeypatch.setattr(DerivedVariableRegistry, "update_datasets", spy)
+    dsets = sub.to_dataset_dict()
+    dv = captured["dataset_variables"]
+    assert dv is not None, "to_dataset_dict fell back to per-dataset probing"
+    assert set(dv) == set(dsets)
+    # catalog-derived sets equal what a data probe would have returned
+    for key, df in dsets.items():
+        probed = {
+            r[0]
+            for r in df.filter(F.col("variable") != "FOO")
+            .select("variable")
+            .distinct()
+            .collect()
+        }
+        assert dv[key] == probed, key
+    # and with a preprocess hook (which may alter variables) we fall back
+    captured.clear()
+    sub.to_dataset_dict(preprocess=lambda df: df)
+    assert captured["dataset_variables"] is None

@@ -159,3 +159,54 @@ def test_frame_sample_plan(media):
     out = mm.frame_sample_plan(media, every_ms=1000).collect()
     # video of 3500ms sampled at 1000ms -> ts 0,1000,2000,3000
     assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]
+
+
+def test_sliding_watermark_drops_late_data(spark, tmp_path):
+    """Sliding windows' late-data path: a late event overlaps TWO already
+    closed windows; the watermark must drop it from both. (Tumbling and
+    session windows have this pinned above/in their oracles; sliding's
+    drop path was previously untested.)"""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = tmp_path / "late_src_sliding"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, offsets_minutes):
+        pdf = pd.DataFrame(
+            {
+                "ts": [base + dt.timedelta(minutes=m) for m in offsets_minutes],
+                "event_type": ["x"] * len(offsets_minutes),
+                "value": [1.0] * len(offsets_minutes),
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / name)
+
+    write_batch("b1.parquet", [0, 5, 120])  # watermark advances to ~118min
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+    agg = W.sliding_counts(stream, "10 minutes", "5 minutes", watermark="2 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sliding_late_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sliding"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.parquet", [1])  # 119 min late: behind the watermark
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT window_start, sum(n_events) n FROM sliding_late_test GROUP BY 1"
+        ).collect()
+    finally:
+        q.stop()
+    counts = {r["window_start"].isoformat(): r["n"] for r in rows}
+    # the late minute-1 event would land in BOTH the 23:55 and 00:00
+    # windows; each must keep its on-time-only count
+    assert counts.get("2023-12-31T23:55:00") == 1
+    assert counts.get("2024-01-01T00:00:00") == 2
