@@ -352,10 +352,11 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     """The PRODUCTION near-dup pipeline: MinHash-LSH candidates, then exact
-    Jaccard verification restricted to candidates. Same result as the
-    all-pairs exact pass (LSH miss probability < 1e-7 at these settings) at
-    a fraction of the cost — the plan that scales to 100 TB. Rows-only
-    check (its exactness vs the all-pairs plan is asserted in tests)."""
+    Jaccard verification restricted to candidates. Its correctness CONTRACT
+    is exact equality with the all-pairs pass (LSH miss probability < 1e-7
+    at 16 bands x 2 rows and threshold 0.8) at a fraction of the cost — so
+    the oracle IS the all-pairs capped-Jaccard SQL, and a hash mismatch
+    means the LSH stage dropped a real pair."""
     docs = load_table(spark, sf, "documents")
     out = dedup.near_duplicates(
         docs, num_hashes=32, bands=16, shingle_n=5, threshold=0.8
@@ -576,6 +577,17 @@ def q_simsearch_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup removal (threshold 0.4 on this synthetic
+    corpus — its max pairwise cosine is ~0.47): every vector with a
+    lower-id neighbor at >= threshold is dropped, survivors returned.
+    The production pair plan is cosine_pairs_blocked / IVF; this entry uses
+    the oracle-matched within-block baseline."""
+    emb = load_table(spark, sf, "embeddings")
+    out = simsearch.dedup_embeddings(emb, threshold=0.4, block_col="label")
+    return out.select("vec_id", "label")
+
+
 def q_simsearch_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-10 via IVF (inverted-file) bucketing — the ANN path
     that scales past brute force. Rows-only check (approximate by design;
@@ -649,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_near": q_dedup_near,
+        "dedup_embedding": q_dedup_embedding,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
@@ -700,6 +713,34 @@ _SHINGLES_SQL = f"""
                 range(1, len(string_split({_NORM_TEXT_SQL}, ' ')) - 5 + 2),
                 i -> array_to_string(string_split({_NORM_TEXT_SQL}, ' ')[i:i+4], ' '))
     END
+"""
+
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    ), exploded_all AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), exploded AS (
+      SELECT doc_id, shingle FROM exploded_all
+      WHERE shingle NOT IN (
+        SELECT shingle FROM exploded_all
+        GROUP BY shingle HAVING count(*) > {dedup.DEFAULT_MAX_DOC_FREQ}
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
 """
 
 
@@ -979,32 +1020,10 @@ def oracle_sql() -> dict[str, str]:
         # the doc-frequency cap (boilerplate-shingle guard, dedup.DEFAULT_MAX_DOC_FREQ)
         # is part of the operator's contract, so the oracle applies the SAME
         # cap — the constant is interpolated from the engine so they cannot drift
-        "dedup_jaccard": f"""
-            WITH sh AS (
-              SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
-            ), exploded_all AS (
-              SELECT doc_id, unnest(shingles) AS shingle FROM sh
-            ), exploded AS (
-              SELECT doc_id, shingle FROM exploded_all
-              WHERE shingle NOT IN (
-                SELECT shingle FROM exploded_all
-                GROUP BY shingle HAVING count(*) > {dedup.DEFAULT_MAX_DOC_FREQ}
-              )
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY doc_id
-            ), inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-              FROM exploded a JOIN exploded b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-        """,
+        "dedup_jaccard": _JACCARD_PAIRS_SQL,
+        # the fused LSH+verify pipeline's contract is exact equality with
+        # the all-pairs pass, so it shares the oracle — see q_dedup_near
+        "dedup_near": _JACCARD_PAIRS_SQL,
         "simsearch_scores": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -1020,6 +1039,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+        """,
+        "dedup_embedding": """
+            SELECT e.vec_id, e.label FROM embeddings e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM embeddings b
+              WHERE b.label = e.label AND b.vec_id < e.vec_id
+                AND round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])), 6) >= 0.4
+            )
         """,
         "simsearch_topk": """
             SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim FROM (
@@ -1037,6 +1065,5 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 10
         """,
         # rows-only checks (hash-function- or float-summation-order-specific):
-        #   dedup_minhash, dedup_simhash, dedup_near, simsearch_pairs_blocked,
-        #   simsearch_ivf
+        #   dedup_minhash, dedup_simhash, simsearch_pairs_blocked, simsearch_ivf
     }

@@ -172,6 +172,66 @@ def _kmeans_centroids(
     return [list(map(float, c)) for c in centroids]
 
 
+def dedup_embeddings(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: keep a vector iff it has no
+    LOWER-id neighbor with cosine >= threshold — the embedding analogue of
+    ``dedup_exact``'s min-id survivor rule (equivalently: drop the ``id_b``
+    side of every near-dup pair; the two formulations are identical because
+    x is dropped exactly when some y < x is within threshold).
+
+    ``pairs`` supplies the pair plan — :func:`cosine_pairs_blocked` (one
+    GEMM per block) or an IVF/LSH-bucketed variant is the 100 TB path. The
+    default (requires ``block_col``) is the within-block brute-force join
+    with per-side pre-normalized norms — the oracle-matched baseline; its
+    cos_sim is rounded to 6dp so the threshold decision is engine-portable.
+    The final anti-join's build side carries only the dropped ids."""
+    if pairs is None:
+        if block_col is None:
+            raise ValueError("dedup_embeddings needs block_col or a pairs plan")
+        a = with_norm(
+            df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(block_col),
+                F.col(vec_col).alias("__ea"),
+            ),
+            "__ea",
+            "__na",
+        )
+        b = with_norm(
+            df.select(
+                F.col(id_col).alias("id_b"),
+                F.col(block_col),
+                F.col(vec_col).alias("__eb"),
+            ),
+            "__eb",
+            "__nb",
+        )
+        spread = a.sparkSession.sparkContext.defaultParallelism
+        pairs = (
+            a.repartition(spread)
+            .join(F.broadcast(b), on=block_col)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    dot(F.col("__ea"), F.col("__eb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                ),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,

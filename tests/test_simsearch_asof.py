@@ -168,3 +168,33 @@ def test_ivf_indexed_matches_inline_ivf(spark, embeddings, tmp_path):
     a = {(r["query_id"], r["vec_id"], round(r["cos_sim"], 9)) for r in inline.collect()}
     b = {(r["query_id"], r["vec_id"], round(r["cos_sim"], 9)) for r in indexed.collect()}
     assert a == b
+
+
+def test_dedup_embeddings_min_id_survivor(spark):
+    """Chain case 1~2, 2~3, 1!~3: the min-id survivor rule keeps only 1
+    (2 has neighbor 1; 3 has neighbor 2) — 'drop every pair's id_b' and
+    'NOT EXISTS lower-id neighbor' are the same rule."""
+    import math
+
+    a = [1.0, 0.0]
+    c30 = [math.cos(math.radians(30)), math.sin(math.radians(30))]
+    c60 = [math.cos(math.radians(60)), math.sin(math.radians(60))]
+    far = [0.0, -1.0]
+    df = spark.createDataFrame(
+        [(1, "x", a), (2, "x", c30), (3, "x", c60), (4, "x", far)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    # cos(30°)≈0.866 pairs (1,2) and (2,3); cos(60°)=0.5 < 0.8 so 1!~3
+    out = simsearch.dedup_embeddings(df, threshold=0.8, block_col="label")
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 4]
+
+
+def test_dedup_embeddings_with_blocked_pairs(spark, embeddings):
+    """The production path (pairs from the GEMM blocked kernel) keeps the
+    same survivors as the baseline within-block join."""
+    base = simsearch.dedup_embeddings(embeddings, threshold=0.4, block_col="label")
+    pairs = simsearch.cosine_pairs_blocked(embeddings, "label", threshold=0.4)
+    via_blocked = simsearch.dedup_embeddings(embeddings, threshold=0.4, pairs=pairs)
+    assert {r["vec_id"] for r in base.collect()} == {
+        r["vec_id"] for r in via_blocked.collect()
+    }
