@@ -99,9 +99,34 @@ def read_netcdf_assets(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 
 def read_zarr_assets(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Zarr store -> long format via xarray inside mapInPandas (one task
+    per store, Arrow batches out) — same shape as the netCDF reader.
+    Import-gated: this container has neither xarray nor zarr (PARITY.md S8
+    records the attempt), so only the gate executes here; the body mirrors
+    the tested netCDF path so enabling the codec is a zero-code change."""
     _require("xarray", "zarr")
     _require("zarr", "zarr")
-    raise FormatNotAvailable("zarr ingest: codec present but reader not wired yet")
+
+    paths_df = spark.createDataFrame([(p,) for p in paths], ["__path"]).repartition(
+        min(len(paths), 256)
+    )
+
+    def _open(batches):
+        import pandas as pd  # noqa: F401
+        import xarray as xr
+
+        for pdf in batches:
+            for p in pdf["__path"]:
+                ds = xr.open_zarr(p)
+                long = ds.to_dataframe().reset_index().melt(
+                    id_vars=[c for c in ("time", "lat", "lon") if c in ds.coords],
+                    var_name="variable",
+                    value_name="value",
+                )
+                long["__asset_path"] = p
+                yield long[["variable", "time", "lat", "lon", "value", "__asset_path"]]
+
+    return paths_df.mapInPandas(_open, LONG_FORMAT_SCHEMA)
 
 
 def read_opendap_assets(spark: SparkSession, paths: list[str]) -> DataFrame:

@@ -109,6 +109,19 @@ def test_hot_paths_stay_jvm_side(spark, queries, name):
     assert "ArrowEvalPython" not in plan, name
 
 
+def test_near_dup_reuses_shuffle_stages(spark, queries):
+    """The fused near-dup pipeline references the capped shingle frame from
+    its signature, candidate and verify branches; at runtime AQE must REUSE
+    the materialized shuffle stages instead of re-shingling the corpus per
+    branch. Reuse only appears in the FINAL adaptive plan, so assert after
+    executing this exact QueryExecution (a .count() would build its own)."""
+    df = queries["dedup_near"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan
+
+
 def test_dedup_exact_single_fp_keyed_exchange(spark, queries):
     """Exact dedup = exactly ONE exchange, keyed by the 16-byte fingerprint.
     The survivor row is picked by min_by INSIDE that aggregation, so each
