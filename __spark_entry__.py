@@ -581,10 +581,11 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup removal (threshold 0.4 on this synthetic
     corpus — its max pairwise cosine is ~0.47): every vector with a
     lower-id neighbor at >= threshold is dropped, survivors returned.
-    The production pair plan is cosine_pairs_blocked / IVF; this entry uses
-    the oracle-matched within-block baseline."""
+    The operator's default pair plan is the blocked GEMM; this entry pins
+    exact=True (fold-join baseline, 6dp-rounded) so the NOT EXISTS oracle
+    hash-matches bitwise."""
     emb = load_table(spark, sf, "embeddings")
-    out = simsearch.dedup_embeddings(emb, threshold=0.4, block_col="label")
+    out = simsearch.dedup_embeddings(emb, threshold=0.4, block_col="label", exact=True)
     return out.select("vec_id", "label")
 
 

@@ -253,16 +253,13 @@ def _df_capped(exploded: DataFrame, shingle_col: str, max_doc_freq: int) -> Data
     )
 
 
-def _capped_pairs(
-    exploded: DataFrame, threshold: float, max_doc_freq: int
-) -> DataFrame:
-    """Pair computation over df-capped shingle rows.
+def _capped_pairs(kept: DataFrame, threshold: float) -> DataFrame:
+    """Pair computation over ALREADY df-capped (id, shingle) rows.
 
-    ``exploded`` is (id, shingle) per-doc-distinct rows. Per-doc sizes are
-    a narrow (id, count) aggregate with map-side partials, joined back onto
-    the pair aggregate (the same shape as the SQL oracle; both size joins
-    are AQE-broadcastable since sizes rows are two integers per doc)."""
-    kept = _df_capped(exploded, "shingle", max_doc_freq)
+    Per-doc sizes are a narrow (id, count) aggregate with map-side
+    partials, joined back onto the pair aggregate (the same shape as the
+    SQL oracle; both size joins are AQE-broadcastable since sizes rows are
+    two integers per doc)."""
     sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
@@ -310,34 +307,46 @@ def jaccard_pairs(
 
     ``max_doc_freq`` (default ``DEFAULT_MAX_DOC_FREQ``) drops boilerplate
     shingles before the self-join — see the constant's docstring for the
-    quadratic-blowup guard and the deviation bound. With ``candidates`` the
-    frequencies are computed over the candidate subset (a doc-frequency
-    within it never exceeds the corpus-wide one, so the guard still holds).
+    quadratic-blowup guard and the deviation bound. Frequencies are ALWAYS
+    corpus-wide, also under ``candidates``: capping within the candidate
+    subset would let boilerplate slip back in whenever the subset is small
+    (df within subset <= cap < corpus df), making results depend on the
+    candidate set and diverge from both the all-pairs pass and the oracle.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
+    cand_ids = None
     if candidates is not None:
         # Reference the candidate plan (typically MinHash-LSH) exactly ONCE
-        # — every extra reference would re-run the whole LSH stage — and
-        # restrict BEFORE shingling so only candidate documents pay the
-        # normalization/shingle cost. Pairs are then recomputed among
-        # candidate docs rather than semi-joined per pair: that keeps any
-        # >=threshold pair among flagged docs (a superset of the flagged
-        # pairs, subset of the exact all-pairs result — strictly better
-        # recall for free).
+        # — every extra reference would re-run the whole LSH stage. Pairs
+        # are recomputed among candidate docs rather than semi-joined per
+        # pair: that keeps any >=threshold pair among flagged docs (a
+        # superset of the flagged pairs, subset of the exact all-pairs
+        # result — strictly better recall for free).
         cand_ids = candidates.select(
-            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
         ).distinct()
-        df = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     if max_doc_freq is not None:
+        # corpus-wide frequencies need the full shingle pass regardless, so
+        # the candidate restriction applies AFTER the cap window (the
+        # window's exchange is reused by the verify join either way)
         exploded = _shingle_rows(
             df, text_col, id_col, shingle_n, distinct=True
         ).select("id", F.col("sh").alias("shingle"))
-        return _capped_pairs(exploded, threshold, max_doc_freq)
-    # uncapped fast path: carry the per-doc shingle count THROUGH the join
-    # (it is constant per id, computed in-row before the explode) instead of
-    # re-deriving it from extra plan branches — one shingle-row frame
-    # self-joined once
+        exploded = _df_capped(exploded, "shingle", max_doc_freq)
+        if cand_ids is not None:
+            exploded = exploded.join(F.broadcast(cand_ids), on="id", how="left_semi")
+        return _capped_pairs(exploded, threshold)
+    # uncapped fast path: restrict BEFORE shingling so only candidate
+    # documents pay the normalization/shingle cost, and carry the per-doc
+    # shingle count THROUGH the join (it is constant per id, computed
+    # in-row before the explode) — one shingle-row frame self-joined once
+    if cand_ids is not None:
+        df = df.join(
+            F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
+            on=id_col,
+            how="left_semi",
+        )
     exploded = _shingle_rows(
         df, text_col, id_col, shingle_n, distinct=True, with_count=True
     ).select("id", "n_sh", F.col("sh").alias("shingle"))

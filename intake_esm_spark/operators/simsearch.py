@@ -179,6 +179,7 @@ def dedup_embeddings(
     vec_col: str = "embedding",
     block_col: str | None = None,
     pairs: DataFrame | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal: keep a vector iff it has no
     LOWER-id neighbor with cosine >= threshold — the embedding analogue of
@@ -186,15 +187,22 @@ def dedup_embeddings(
     side of every near-dup pair; the two formulations are identical because
     x is dropped exactly when some y < x is within threshold).
 
-    ``pairs`` supplies the pair plan — :func:`cosine_pairs_blocked` (one
-    GEMM per block) or an IVF/LSH-bucketed variant is the 100 TB path. The
-    default (requires ``block_col``) is the within-block brute-force join
-    with per-side pre-normalized norms — the oracle-matched baseline; its
-    cos_sim is rounded to 6dp so the threshold decision is engine-portable.
-    The final anti-join's build side carries only the dropped ids."""
+    ``pairs`` supplies the pair plan; when omitted, ``block_col`` selects
+    the DEFAULT plan: :func:`cosine_pairs_blocked` — one GEMM per block,
+    never a corpus broadcast — which is the path that survives 100 TB.
+    ``exact=True`` swaps in the within-block brute-force join with
+    per-side pre-normalized norms and 6dp-rounded cos_sim: bit-portable
+    across engines, used as the SQL-oracle baseline (it broadcasts the
+    full block side, so keep it to oracle scales). The final anti-join's
+    build side carries only the dropped ids."""
     if pairs is None:
         if block_col is None:
             raise ValueError("dedup_embeddings needs block_col or a pairs plan")
+        if not exact:
+            pairs = cosine_pairs_blocked(
+                df, block_col, threshold, id_col=id_col, vec_col=vec_col
+            )
+    if pairs is None:
         a = with_norm(
             df.select(
                 F.col(id_col).alias("id_a"),
@@ -249,9 +257,13 @@ def write_ivf_index(
     nprobe probed directories (``PartitionFilters`` in the plan) and
     roughly nprobe/n_centroids of the bytes are read — the rest never
     leave storage. Returns the centroids (also persisted in the sidecar).
+
+    The sidecar goes through Spark's writer (a one-row text table in the
+    underscore-prefixed subdir), NOT local open(): the index must work on
+    any Hadoop-supported filesystem (s3a/hdfs/file URIs), which is where a
+    100 TB index actually lives.
     """
     import json as _json
-    import os
 
     centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
     cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
@@ -265,8 +277,16 @@ def write_ivf_index(
         .partitionBy("bucket")
         .parquet(path)
     )
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        _json.dump({"centroids": centroids, "vec_col": vec_col, "id_col": id_col}, f)
+    sidecar = _json.dumps(
+        {"centroids": centroids, "vec_col": vec_col, "id_col": id_col}
+    )
+    spark = corpus.sparkSession
+    (
+        spark.createDataFrame([(sidecar,)], "value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{path}/_ivf_centroids")
+    )
     return centroids
 
 
@@ -276,9 +296,10 @@ def ivf_topk_indexed(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
     query_id_col: str = "query_id",
+    query_vec_col: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k against a :func:`write_ivf_index` table.
 
@@ -287,17 +308,32 @@ def ivf_topk_indexed(
     the sidecar centroids; their union becomes a ``bucket IN (...)``
     partition filter on the corpus scan — partition PRUNING, not a
     post-scan filter. Scoring and ranking are identical to ivf_topk.
+
+    ``id_col``/``vec_col`` default to what :func:`write_ivf_index` recorded
+    in the sidecar (that is what the sidecar is for); ``query_vec_col``
+    names the query frame's vector column when it differs from the
+    corpus's. Empty query sets return an empty result like the plan-based
+    variants, instead of tripping numpy on a 0-row matmul.
     """
     import json as _json
-    import os
 
     import numpy as np
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        sidecar = _json.load(f)
+    sidecar = _json.loads(
+        spark.read.text(f"{path}/_ivf_centroids").collect()[0][0]
+    )
+    id_col = id_col or sidecar["id_col"]
+    vec_col = vec_col or sidecar["vec_col"]
+    query_vec_col = query_vec_col or vec_col
     C = np.array(sidecar["centroids"], dtype=np.float64)  # rows already unit-norm
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    qid_dtype = dict(queries.dtypes)[query_id_col]
+    if not q_rows:
+        id_dtype = dict(spark.read.parquet(path).dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, cos_sim double"
+        )
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     sims = Q @ C.T  # argmax of dot == argmax of cosine (centroids unit-norm)
     probe: list[tuple] = []
@@ -314,7 +350,6 @@ def ivf_topk_indexed(
         "__cvec",
         "__cnorm",
     )
-    qid_dtype = dict(queries.dtypes)[query_id_col]
     q_bucketed = with_norm(
         spark.createDataFrame(
             probe, f"{query_id_col} {qid_dtype}, bucket int, __qvec array<double>"

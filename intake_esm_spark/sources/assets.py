@@ -69,64 +69,53 @@ def _require(module: str, fmt: str):
         ) from exc
 
 
-def read_netcdf_assets(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """netCDF -> long format via xarray inside mapInPandas (one task per
-    file, Arrow batches out). Runs only where xarray+netCDF4 exist."""
-    _require("xarray", "netcdf")
-    _require("netCDF4", "netcdf")
-    import pandas as pd  # noqa: F401  (used inside the closure)
-
+def _xarray_long_format(spark: SparkSession, paths: list[str], opener: str) -> DataFrame:
+    """Shared xarray ingestion kernel: one task per file/store via
+    mapInPandas, each emitting long-format Arrow batches. ``opener`` names
+    the xarray entry point ('open_dataset' / 'open_zarr') so the closure
+    stays picklable without capturing modules. Coordinate columns absent
+    from a store (e.g. a zarr cube with no 'lat') are reindexed to null —
+    the long-format schema is fixed, not per-file."""
     paths_df = spark.createDataFrame([(p,) for p in paths], ["__path"]).repartition(
         min(len(paths), 256)
     )
-
-    def _open(batches):
-        import pandas as pd
-        import xarray as xr
-
-        for pdf in batches:
-            for p in pdf["__path"]:
-                ds = xr.open_dataset(p, engine="netcdf4")
-                long = ds.to_dataframe().reset_index().melt(
-                    id_vars=[c for c in ("time", "lat", "lon") if c in ds.coords],
-                    var_name="variable",
-                    value_name="value",
-                )
-                long["__asset_path"] = p
-                yield long[["variable", "time", "lat", "lon", "value", "__asset_path"]]
-
-    return paths_df.mapInPandas(_open, LONG_FORMAT_SCHEMA)
-
-
-def read_zarr_assets(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Zarr store -> long format via xarray inside mapInPandas (one task
-    per store, Arrow batches out) — same shape as the netCDF reader.
-    Import-gated: this container has neither xarray nor zarr (PARITY.md S8
-    records the attempt), so only the gate executes here; the body mirrors
-    the tested netCDF path so enabling the codec is a zero-code change."""
-    _require("xarray", "zarr")
-    _require("zarr", "zarr")
-
-    paths_df = spark.createDataFrame([(p,) for p in paths], ["__path"]).repartition(
-        min(len(paths), 256)
-    )
+    out_cols = ["variable", "time", "lat", "lon", "value", "__asset_path"]
 
     def _open(batches):
         import pandas as pd  # noqa: F401
         import xarray as xr
 
+        open_fn = getattr(xr, opener)
         for pdf in batches:
             for p in pdf["__path"]:
-                ds = xr.open_zarr(p)
+                ds = open_fn(p)
                 long = ds.to_dataframe().reset_index().melt(
                     id_vars=[c for c in ("time", "lat", "lon") if c in ds.coords],
                     var_name="variable",
                     value_name="value",
                 )
                 long["__asset_path"] = p
-                yield long[["variable", "time", "lat", "lon", "value", "__asset_path"]]
+                yield long.reindex(columns=out_cols)
 
     return paths_df.mapInPandas(_open, LONG_FORMAT_SCHEMA)
+
+
+def read_netcdf_assets(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """netCDF -> long format via xarray inside mapInPandas (one task per
+    file, Arrow batches out). Runs only where xarray+netCDF4 exist."""
+    _require("xarray", "netcdf")
+    _require("netCDF4", "netcdf")
+    return _xarray_long_format(spark, paths, "open_dataset")
+
+
+def read_zarr_assets(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Zarr store -> long format through the same xarray kernel as netCDF.
+    Import-gated: this container has neither xarray nor zarr (PARITY.md S8
+    records the attempt), so only the gate executes here; enabling the
+    codec is a zero-code change."""
+    _require("xarray", "zarr")
+    _require("zarr", "zarr")
+    return _xarray_long_format(spark, paths, "open_zarr")
 
 
 def read_opendap_assets(spark: SparkSession, paths: list[str]) -> DataFrame:

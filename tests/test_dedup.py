@@ -141,3 +141,49 @@ def test_default_cap_lossless_on_testdata(spark):
         ).collect()
     }
     assert capped == strict
+
+
+def test_candidates_cap_is_corpus_wide(spark):
+    """The doc-frequency cap under a candidate restriction must use
+    CORPUS-wide frequencies: capping within the candidate subset would
+    readmit boilerplate whenever the subset is small (its within-subset
+    frequency dips under the cap), making jaccard values depend on the
+    candidate set. Pairs among candidate docs must carry exactly the
+    jaccard the all-pairs capped plan assigns them."""
+    boiler = (
+        "all rights reserved this document is provided as is "
+        "without warranty of any kind express or implied"
+    )
+    rows = [
+        (
+            i,
+            f"{boiler} unique content number {i} alpha beta gamma delta "
+            f"epsilon zeta eta theta iota kappa",
+        )
+        for i in range(40)
+    ]
+    shared = "matching informative content one two three four five six seven eight nine ten"
+    rows.append((100, f"{boiler} {shared}"))
+    rows.append((101, f"{boiler} {shared} extra"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cap = 20  # boiler df: 42 corpus-wide (> cap) but 12 within the subset (<= cap)
+    cand = spark.createDataFrame(
+        [(100, 101), (0, 1), (2, 3), (4, 5), (6, 7), (8, 9)], ["id_a", "id_b"]
+    )
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.jaccard_pairs(
+            docs, shingle_n=5, threshold=0.3, max_doc_freq=cap
+        ).collect()
+    }
+    sub = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.jaccard_pairs(
+            docs, shingle_n=5, threshold=0.3, candidates=cand, max_doc_freq=cap
+        ).collect()
+    }
+    cand_docs = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 101}
+    expected = {
+        p: j for p, j in full.items() if p[0] in cand_docs and p[1] in cand_docs
+    }
+    assert sub == expected

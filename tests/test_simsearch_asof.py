@@ -139,8 +139,14 @@ def test_ivf_index_partition_pruning(spark, embeddings, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     scan = plan[plan.index("PartitionFilters") :].splitlines()[0]
     assert "bucket" in scan and "IN" in scan.upper(), scan
-    # the scan must NOT read all 8 partitions: pruned count < total
+    # the scan must NOT read all 8 partitions: the IN-list has fewer
+    # buckets than exist (3 queries x nprobe=2 <= 6 < 8)
     import re as _re
+
+    in_list = _re.search(r"bucket#\d+ IN \(([^)]*)\)", scan)
+    assert in_list, scan
+    probed = {int(x) for x in in_list.group(1).split(",")}
+    assert 0 < len(probed) <= 6 < 8, scan
 
     rows = out.collect()
     by_q = {}
@@ -190,11 +196,38 @@ def test_dedup_embeddings_min_id_survivor(spark):
 
 
 def test_dedup_embeddings_with_blocked_pairs(spark, embeddings):
-    """The production path (pairs from the GEMM blocked kernel) keeps the
-    same survivors as the baseline within-block join."""
-    base = simsearch.dedup_embeddings(embeddings, threshold=0.4, block_col="label")
+    """The production path (pairs from the GEMM blocked kernel — also the
+    block_col default) keeps the same survivors as the exact fold-join
+    baseline used by the SQL oracle."""
+    base = simsearch.dedup_embeddings(
+        embeddings, threshold=0.4, block_col="label", exact=True
+    )
     pairs = simsearch.cosine_pairs_blocked(embeddings, "label", threshold=0.4)
     via_blocked = simsearch.dedup_embeddings(embeddings, threshold=0.4, pairs=pairs)
     assert {r["vec_id"] for r in base.collect()} == {
         r["vec_id"] for r in via_blocked.collect()
     }
+
+
+def test_ivf_indexed_sidecar_columns_and_empty_queries(spark, tmp_path):
+    """The sidecar's recorded id/vec column names are honored (an index
+    written with non-default names probes without the caller restating
+    them), and an empty query set returns an empty frame instead of
+    tripping numpy on a 0-row matmul."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("emb")
+    )
+    path = str(tmp_path / "ivf_custom")
+    simsearch.write_ivf_index(
+        emb, path, n_centroids=4, id_col="doc_id", vec_col="emb", sample_fraction=1.0
+    )
+    queries = emb.limit(2).select(F.col("doc_id").alias("query_id"), "emb")
+    out = simsearch.ivf_topk_indexed(spark, path, queries, k=3, nprobe=2)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {r["query_id"] for r in queries.collect()}
+    assert set(out.columns) == {"query_id", "doc_id", "cos_sim"}
+    empty = simsearch.ivf_topk_indexed(
+        spark, path, queries.filter(F.col("query_id") < 0), k=3, nprobe=2
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == {"query_id", "doc_id", "cos_sim"}
