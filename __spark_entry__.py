@@ -491,6 +491,55 @@ def q_events_topk_user(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _media_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents' text bytes standing in for opaque media payloads (no
+    image/audio codecs in this container), with a deterministic typed
+    metadata struct — real binary column, real metadata, fake pixels."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("n_channels"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal JVM-only metadata pre-filter (functions.multimodal
+    payload_stats) over a real binary column: byte sizes + typed metadata,
+    no Python, no decode — the stage that prunes a 100 TB media table
+    before any decoder runs. (crc32 is part of payload_stats but DuckDB
+    has no crc32, so the oracle checks the length/metadata columns.)"""
+    from intake_esm_spark.functions import multimodal
+
+    stats = multimodal.payload_stats(_media_frame(spark, sf))
+    return stats.select(
+        "media_id",
+        "n_bytes",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan (one row per sampled timestamp, decode
+    stubbed): the declarative explode-by-sequence pattern."""
+    from intake_esm_spark.functions import multimodal
+
+    out = multimodal.frame_sample_plan(_media_frame(spark, sf), every_ms=1000)
+    return out.select("media_id", "frame_ts_ms")
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 
@@ -663,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_near": q_dedup_near,
         "dedup_embedding": q_dedup_embedding,
+        "multimodal_stats": q_multimodal_stats,
+        "multimodal_frames": q_multimodal_frames,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
@@ -1040,6 +1091,22 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+        """,
+        "multimodal_stats": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                   END AS media_type,
+                   n_chars % 640 AS width,
+                   n_chars % 480 AS height
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT doc_id AS media_id,
+                   unnest(range(0, greatest(CAST(n_chars AS BIGINT) * 10 - 1, 0) + 1, 1000)) AS frame_ts_ms
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INT) = 2
         """,
         "dedup_embedding": """
             SELECT e.vec_id, e.label FROM embeddings e
