@@ -53,6 +53,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ns_ts_to_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """Convert a nanosecond-long timestamp column to a microsecond
+    timestamp — a no-op when the column is already a timestamp. Test
+    fixtures have carried ``ts`` both ways (TIMESTAMP(NANOS) read under
+    ``nanosAsLong``, and plain TIMESTAMP(MICROS)); callers that re-read
+    the raw parquet (e.g. streaming sources) use this instead of
+    hard-coding the division."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names or TABLES}
 

@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from intake_esm_spark.operators import dedup
-from intake_esm_spark.sources.tables import load_table
+from intake_esm_spark.sources.tables import load_table, ns_ts_to_timestamp
 from intake_esm_spark.streaming.stateful import running_user_totals
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -27,8 +27,8 @@ def test_running_totals_streaming_matches_batch(spark, tmp_path):
         spark.readStream.schema(raw.schema)
         .format("parquet")
         .load(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = ns_ts_to_timestamp(stream, "ts")
     out = running_user_totals(stream)
     q = (
         out.writeStream.outputMode("update")

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from intake_esm_spark.functions import multimodal as mm
+from intake_esm_spark.sources.tables import ns_ts_to_timestamp
 from intake_esm_spark.streaming import windows as W
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -55,8 +56,8 @@ def test_streaming_end_to_end(spark, events, tmp_path):
         spark.readStream.schema(raw.schema)
         .format("parquet")
         .load(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = ns_ts_to_timestamp(stream, "ts")
     agg = W.tumbling_counts(stream, "1 hour", watermark="2 hours")
     q = (
         agg.writeStream.outputMode("complete")
