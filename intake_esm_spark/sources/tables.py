@@ -49,22 +49,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = ns_ts_to_timestamp(df, c)
+    # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    # TIMESTAMP_NTZ under Spark 4's NTZ inference; normalize those too so
+    # every consumer (incl. streaming watermarks) sees session-TZ TIMESTAMP
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = ns_ts_to_timestamp(df, f.name)
     return df
 
 
 def ns_ts_to_timestamp(df: DataFrame, col: str) -> DataFrame:
-    """Convert a nanosecond-long timestamp column to a microsecond
-    timestamp — a no-op when the column is already a timestamp. Test
-    fixtures have carried ``ts`` both ways (TIMESTAMP(NANOS) read under
-    ``nanosAsLong``, and plain TIMESTAMP(MICROS)); callers that re-read
-    the raw parquet (e.g. streaming sources) use this instead of
-    hard-coding the division."""
-    from pyspark.sql.types import LongType
+    """Normalize a timestamp-carrying column to session-timezone
+    ``TIMESTAMP`` (LTZ):
 
-    if isinstance(df.schema[col].dataType, LongType):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    - ``LongType`` — raw nanoseconds read under ``nanosAsLong``; integer
+      div 1000 then ``timestamp_micros`` (a double round-trip would lose
+      precision above 2^53 ns).
+    - ``TimestampNTZType`` — parquet µs-naive under Spark 4's NTZ
+      inference; cast is value-preserving because sessions here pin UTC.
+    - ``TimestampType`` — already the target type; no-op.
+
+    Any other type raises: silently passing through e.g. a StringType
+    ``ts`` would mask a misconfigured fixture.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast(TimestampType()))
+    if isinstance(dt, TimestampType):
+        return df
+    raise TypeError(
+        f"column {col!r} has type {dt.simpleString()}; expected a raw "
+        "nanosecond long, TIMESTAMP_NTZ, or TIMESTAMP"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
