@@ -364,6 +364,31 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clustering: the near_duplicates pair graph
+    closed under connectivity (alternating large-star/small-star), emitting
+    (doc_id, component_id=min id in component) — the cluster-formation
+    step that makes survivor selection cluster-canonical instead of
+    pair-local. Oracle: DuckDB WITH RECURSIVE min-label walk over the SAME
+    all-pairs Jaccard graph."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.near_duplicates(
+        docs, num_hashes=32, bands=16, shingle_n=5, threshold=0.8
+    )
+    return dedup.connected_components(pairs).select("doc_id", "component_id")
+
+
+def q_dedup_cluster_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-canonical dedup: keep only the min-id member of each
+    connected near-dup component (plus all unpaired docs)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.near_duplicates(
+        docs, num_hashes=32, bands=16, shingle_n=5, threshold=0.8
+    )
+    out = dedup.dedup_components(docs, pairs)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
@@ -711,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_near": q_dedup_near,
+        "dedup_components": q_dedup_components,
+        "dedup_cluster_survivors": q_dedup_cluster_survivors,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
@@ -793,6 +820,36 @@ _JACCARD_PAIRS_SQL = f"""
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+"""
+
+
+_COMPONENTS_WITH = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_JACCARD_PAIRS_SQL}) jp
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT u AS id FROM edges
+    ), walk(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+    )
+"""
+
+_COMPONENTS_SQL = f"""
+    {_COMPONENTS_WITH}
+    SELECT id AS doc_id, min(comp) AS component_id FROM walk GROUP BY id
+"""
+
+_CLUSTER_SURVIVORS_SQL = f"""
+    {_COMPONENTS_WITH}, comp AS (
+      SELECT id, min(comp) AS component_id FROM walk GROUP BY id
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component_id)
 """
 
 
@@ -1076,6 +1133,10 @@ def oracle_sql() -> dict[str, str]:
         # the fused LSH+verify pipeline's contract is exact equality with
         # the all-pairs pass, so it shares the oracle — see q_dedup_near
         "dedup_near": _JACCARD_PAIRS_SQL,
+        # transitive closure of the same pair graph: recursive min-label
+        # walk over symmetric edges == large-star/small-star fixpoint
+        "dedup_components": _COMPONENTS_SQL,
+        "dedup_cluster_survivors": _CLUSTER_SURVIVORS_SQL,
         "simsearch_scores": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

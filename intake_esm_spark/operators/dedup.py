@@ -472,6 +472,121 @@ def near_duplicates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    out_component: str = "component_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a near-duplicate pair graph —
+    the cluster-formation step of a production dedup pipeline (RefinedWeb/
+    SlimPajama-style): ``near_duplicates`` emits pairs, this closes the
+    pair graph transitively so A~B, B~C lands A, B, C in ONE cluster and
+    survivor selection can be cluster-canonical instead of pair-local.
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) in pure
+    DataFrame ops — converges in O(log²) rounds on any graph, vs the
+    O(diameter) of naive label propagation, so a 100 TB corpus's long
+    duplicate chains don't turn into hundreds of shuffle rounds. Each round
+    is two groupBy-min + join stages over the (shrinking) edge list;
+    ``localCheckpoint`` after every round cuts the lineage so the plan
+    doesn't grow with the iteration count, and — critically — the INPUT
+    pair plan (typically the whole LSH+verify pipeline) is checkpointed
+    once up front instead of being re-executed every round.
+
+    Returns one row per node of the pair graph: ``(out_id,
+    out_component)`` where the component id is the MIN node id in the
+    component (the canonical survivor). Nodes in no pair don't appear —
+    they are their own singleton components by definition.
+    """
+    spark = pairs.sparkSession
+    # canonical edge form (u > v), deduped; checkpoint so the (potentially
+    # very expensive) pair plan runs exactly once
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = edges
+    prev_count = e.count()
+    for _ in range(max_iterations):
+        # large-star: for every node, attach each LARGER neighbor to the
+        # min of the full neighborhood (incl. self)
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        e1 = (
+            sym.join(mn, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("mn"), F.col("u")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star: for every node, attach each SMALLER-or-self node to
+        # the min of the smaller neighborhood. e1 is already (u > v), so
+        # the smaller-neighbor lists ARE its adjacency rows.
+        mn2 = e1.groupBy("u").agg(F.min("v").alias("mn"))
+        e2 = (
+            e1.join(mn2, on="u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mn2.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cnt = e2.count()
+        if cnt == prev_count and e2.subtract(e).isEmpty():
+            e = e2
+            break
+        e, prev_count = e2, cnt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "large-star/small-star rounds"
+        )
+    # at the fixpoint every edge is a star edge (node -> component min);
+    # roots appear only on the v side, so close over all nodes
+    comp = e.groupBy("u").agg(F.min("v").alias("__comp"))
+    return (
+        nodes.join(comp, nodes["id"] == comp["u"], how="left")
+        .select(
+            F.col("id").alias(out_id),
+            F.coalesce(F.col("__comp"), F.col("id")).alias(out_component),
+        )
+    )
+
+
+def dedup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-canonical near-dup removal: keep each document iff it is the
+    canonical (min-id) member of its connected component in the pair
+    graph. Unlike the pair-local rule (drop id_b per pair), this keeps
+    EXACTLY ONE survivor per transitive duplicate cluster — with A~B, B~C
+    (A≁C directly) the pair-local rule can keep both A and C; this keeps
+    only A. Documents in no pair survive untouched (left_anti on the
+    non-canonical members)."""
+    cc = connected_components(pairs, out_id=id_col, out_component="__comp")
+    dropped = cc.filter(F.col(id_col) != F.col("__comp")).select(id_col)
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
 def simhash_of_hashes(hashes: F.Column, bits: int = 64) -> F.Column:
     """SimHash sketch from an ALREADY-MATERIALIZED array<bigint> of shingle
     hashes: per bit, sum +1/-1 votes over the hashes; sketch bit = sign.

@@ -143,6 +143,87 @@ def test_default_cap_lossless_on_testdata(spark):
     assert capped == strict
 
 
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C (A and C never directly paired) must land all three in ONE
+    component with the min id as canonical — the property the pair-local
+    survivor rule lacks."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    cc = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components_multiple_and_chain_order(spark):
+    """Two disjoint components, one of them a long chain fed in descending
+    order (worst case for one-hop propagation)."""
+    chain = [(i + 1, i) for i in range(1, 12)]  # 1-2-3-...-12 as (hi, lo)
+    other = [(100, 101), (101, 103)]
+    pairs = spark.createDataFrame(chain + other, ["id_a", "id_b"])
+    cc = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert all(cc[i] == 1 for i in range(1, 13))
+    assert cc[100] == cc[101] == cc[103] == 100
+    assert len(cc) == 15
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random pair graph vs a driver-side union-find ground truth."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    pairs = [
+        (a, b)
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+        )
+        if a != b
+    ]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_graph = {n for p in pairs for n in p}
+    expected = {n: find(n) for n in in_graph}
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(
+            spark.createDataFrame(pairs, ["id_a", "id_b"])
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_dedup_components_cluster_canonical(spark):
+    """Chain A~B~C: pair-local dedup (drop id_b per pair) would keep only
+    A; cluster-canonical keeps the component min and every unpaired doc."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_components(docs, pairs).collect()
+    )
+    assert kept == [1, 4, 5]
+
+
 def test_candidates_cap_is_corpus_wide(spark):
     """The doc-frequency cap under a candidate restriction must use
     CORPUS-wide frequencies: capping within the candidate subset would
