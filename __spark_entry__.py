@@ -665,27 +665,63 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_simsearch_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-10 via IVF (inverted-file) bucketing — the ANN path
-    that scales past brute force. Rows-only check (approximate by design;
-    recall vs exact is asserted in tests with nprobe == n_centroids)."""
+    that scales past brute force. Centroids are pinned to the embeddings
+    of vec_id 0..15 (an explicit, deterministic choice the oracle can
+    reproduce verbatim), so bucket-assign -> probe -> top-k is exactly
+    mirrored by the DuckDB SQL: assignment/probing compare 6dp-rounded
+    cosines with higher-centroid-id tie-breaks on both engines."""
     emb = load_table(spark, sf, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = simsearch.ivf_topk(
-        emb, queries_df, k=10, n_centroids=16, nprobe=4, sample_fraction=1.0
-    )
+    out = simsearch.ivf_topk(emb, queries_df, k=10, nprobe=4, centroids=cents)
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def q_simsearch_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
     """Same pairs via the numpy-matmul blocked kernel (one BLAS gemm per
-    label block instead of n^2/2 per-pair folds) — the scale path.
-    Rows-only check: numpy's pairwise summation differs from a strict left
-    fold in the last ulp, so rounded values can diverge at boundaries;
-    equivalence is asserted in tests with tolerance."""
+    label block instead of n^2/2 per-pair folds) — the scale path. The
+    GEMM selects the pair IDS (with a 1e-6 threshold margin so a last-ulp
+    summation-order difference can't drop a boundary pair); the EMITTED
+    cos_sim is then recomputed with the deterministic per-side-norm
+    zip_with fold — the same expression as simsearch_pairs — and the
+    threshold re-applied on the 6dp-rounded fold value. Output is
+    bit-portable, so it shares simsearch_pairs' hash-checked oracle; the
+    joins attaching the vectors broadcast the (pairs-scale) candidate
+    side, never the corpus."""
     emb = load_table(spark, sf, "embeddings")
-    out = simsearch.cosine_pairs_blocked(emb, "label", threshold=0.3)
-    return out.select("id_a", "id_b", "label", F.round("cos_sim", 6).alias("cos_sim"))
+    cand = simsearch.cosine_pairs_blocked(
+        emb, "label", threshold=0.3 - 1e-6
+    ).select("id_a", "id_b")
+    a = simsearch.with_norm(
+        emb.select(
+            F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+        ),
+        "ea",
+        "na",
+    )
+    b = simsearch.with_norm(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")),
+        "eb",
+        "nb",
+    )
+    partial = a.join(F.broadcast(cand), on="id_a")
+    return (
+        b.join(F.broadcast(partial), on="id_b")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                simsearch.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "label", "cos_sim")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -850,6 +886,16 @@ _CLUSTER_SURVIVORS_SQL = f"""
     )
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component_id)
+"""
+
+_SIMSEARCH_PAIRS_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
 """
 
 
@@ -1144,15 +1190,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e,
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         """,
-        "simsearch_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
-        """,
+        "simsearch_pairs": _SIMSEARCH_PAIRS_SQL,
+        # the blocked-GEMM variant emits fold-recomputed cos_sim for the
+        # GEMM-selected ids, so it is bit-portable and shares the oracle
+        "simsearch_pairs_blocked": _SIMSEARCH_PAIRS_SQL,
         "multimodal_stats": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,
@@ -1193,6 +1234,50 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
             ) WHERE rnk <= 10
         """,
-        # rows-only checks (hash-function- or float-summation-order-specific):
-        #   dedup_minhash, dedup_simhash, simsearch_pairs_blocked, simsearch_ivf
+        # the centroid choice (embeddings of vec_id < 16) is explicit and
+        # deterministic, so the WHOLE ANN pipeline — bucket assignment,
+        # query probing, pruned scoring, top-k — is reproduced in SQL;
+        # assignment and probing order by 6dp-rounded cosine with ties to
+        # the higher centroid id, exactly as ivf_topk does
+        "simsearch_ivf": """
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+            ), assign AS (
+              SELECT vec_id, embedding, cid AS bucket FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                               CAST(c.cvec AS DOUBLE[])), 6) DESC,
+                                  c.cid DESC
+                       ) AS rn
+                FROM embeddings e, cent c
+              ) WHERE rn = 1
+            ), probe AS (
+              SELECT query_id, qvec, cid AS bucket FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                               CAST(c.cvec AS DOUBLE[])), 6) DESC,
+                                  c.cid DESC
+                       ) AS rn
+                FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q, cent c
+              ) WHERE rn <= 4
+            ), scored AS (
+              SELECT p.query_id, a.vec_id,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(p.qvec AS DOUBLE[])) AS cos_sim
+              FROM probe p JOIN assign a ON a.bucket = p.bucket
+            )
+            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+                     ) AS rnk
+              FROM scored
+            ) WHERE rnk <= 10
+        """,
+        # rows-only checks (hash-function-specific):
+        #   dedup_minhash, dedup_simhash
     }

@@ -101,13 +101,28 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int | None = 8192,
 ) -> DataFrame:
     """All within-block vector pairs with cosine >= threshold, computed as
     a numpy matmul per block via Arrow ``applyInPandas`` — the vectorized
     kernel for the pairwise stage (one BLAS gemm per block replaces ~n²/2
     interpreted 64-dim folds). Blocks are the unit of shuffle; with IVF
-    centroid ids (or labels) as blocks, block size is bounded and the
-    operator scales linearly in block count.
+    centroid ids (or labels) as blocks the operator scales linearly in
+    block count.
+
+    **Skew guard**: one in-memory gram matrix per group means a hot block
+    (one label holding 1% of a 100 TB corpus) would OOM its worker — AQE
+    can't help, this is a groupBy, not a join. Blocks larger than
+    ``max_block_rows`` are therefore TILED: rows are salted into
+    ``ceil(n/max_block_rows)`` hash-tiles, every unordered tile pair
+    (ta <= tb) becomes its own ``applyInPandas`` group, and the kernel
+    computes the within-tile upper triangle (ta == tb) or the cross-tile
+    rectangle (ta < tb). Each unordered row pair lands in EXACTLY one
+    group, so the pair set is identical to the untiled plan while peak
+    per-task memory is bounded by ~(2·max_block_rows)² regardless of
+    skew. Row duplication is n_tiles× only for oversized blocks; normal
+    blocks (n_tiles == 1) pay one extra broadcast-joined count column.
+    ``max_block_rows=None`` disables tiling.
 
     Returns (id_a, id_b, <block_col>, cos_sim) with id_a < id_b.
     """
@@ -120,27 +135,74 @@ def cosine_pairs_blocked(
         f"id_a {id_dtype}, id_b {id_dtype}, {block_col} {block_dtype}, cos_sim double"
     )
 
-    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
+    def _normed(pdf: pd.DataFrame) -> "np.ndarray":
         X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-        sims = X @ X.T
-        iu, ju = np.triu_indices(len(ids), k=1)
+        return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+
+    def _emit(block_val, a_ids, b_ids, sims, iu, ju):
         mask = sims[iu, ju] >= threshold
         iu, ju = iu[mask], ju[mask]
-        a, b = ids[iu], ids[ju]
+        a, b = a_ids[iu], b_ids[ju]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {
-                "id_a": lo,
-                "id_b": hi,
-                block_col: pdf[block_col].iloc[0],
-                "cos_sim": sims[iu, ju][: len(lo)],
-            }
+            {"id_a": lo, "id_b": hi, block_col: block_val, "cos_sim": sims[iu, ju]}
         )
 
-    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
-        _block, out_schema
+    if max_block_rows is None:
+
+        def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            X = _normed(pdf)
+            sims = X @ X.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            return _emit(pdf[block_col].iloc[0], ids, ids, sims, iu, ju)
+
+        return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
+            _block, out_schema
+        )
+
+    counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bn"))
+    tiled = (
+        df.select(id_col, vec_col, block_col)
+        .join(F.broadcast(counts), on=block_col)  # block cardinality is small
+        .withColumn("__nt", F.ceil(F.col("__bn") / F.lit(max_block_rows)).cast("int"))
+        .withColumn("__tile", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nt")).cast("int"))
+        .withColumn("__ot", F.explode(F.sequence(F.lit(0), F.col("__nt") - 1)))
+        .withColumn("__ta", F.least("__tile", "__ot"))
+        .withColumn("__tb", F.greatest("__tile", "__ot"))
+    )
+
+    def _tile_pair(key, pdf):
+        block_val, ta, tb = key
+        if ta == tb:
+            ids = pdf[id_col].to_numpy()
+            X = _normed(pdf)
+            sims = X @ X.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            return _emit(block_val, ids, ids, sims, iu, ju)
+        a_pdf = pdf[pdf["__tile"] == ta]
+        b_pdf = pdf[pdf["__tile"] == tb]
+        if not len(a_pdf) or not len(b_pdf):  # hash-tile happened to be empty
+            return _emit(
+                block_val,
+                a_pdf[id_col].to_numpy(),
+                b_pdf[id_col].to_numpy(),
+                np.zeros((0, 0)),
+                np.array([], dtype=np.intp),
+                np.array([], dtype=np.intp),
+            )
+        A, B = _normed(a_pdf), _normed(b_pdf)
+        sims = A @ B.T
+        iu, ju = np.meshgrid(
+            np.arange(len(a_pdf)), np.arange(len(b_pdf)), indexing="ij"
+        )
+        iu, ju = iu.ravel(), ju.ravel()
+        return _emit(
+            block_val, a_pdf[id_col].to_numpy(), b_pdf[id_col].to_numpy(), sims, iu, ju
+        )
+
+    return tiled.groupBy(block_col, "__ta", "__tb").applyInPandas(
+        _tile_pair, out_schema
     )
 
 
@@ -383,22 +445,34 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     sample_fraction: float = 0.1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via inverted-file partitioning.
 
     Corpus vectors are bucketed by nearest centroid (map-side, broadcast
     centroid array); each query scans only its ``nprobe`` closest buckets.
     Recall rises with nprobe; nprobe == n_centroids degenerates to exact.
+
+    ``centroids`` overrides the sampled k-means (``n_centroids`` /
+    ``sample_fraction`` are then ignored): any vectors work — they need
+    not be unit-norm (assignment uses full cosine) — and an explicit,
+    SQL-reproducible choice (e.g. the embeddings of fixed ids) makes the
+    whole ANN pipeline exactly checkable against a SQL oracle. Bucket
+    assignment compares 6dp-ROUNDED cosines with ties to the HIGHER
+    centroid index: rounding is what lets two engines with different
+    float-summation orders agree on the argmax, and the tie rule makes
+    the quantized comparison total.
     """
-    centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
+    if centroids is None:
+        centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
     cent_arr = F.array(
-        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
     )
 
     def nearest_buckets(vec: F.Column, n: int) -> F.Column:
         sims = F.transform(
             cent_arr,
-            lambda c: dot(vec, c) / (l2_norm(vec) * F.lit(1.0)),
+            lambda c: F.round(dot(vec, c) / (l2_norm(vec) * l2_norm(c)), 6),
         )
         idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
         pairs = F.zip_with(

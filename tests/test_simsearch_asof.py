@@ -81,6 +81,70 @@ def test_cosine_pairs_blocked_matches_join(spark, embeddings):
             assert k in exact
 
 
+def test_cosine_pairs_blocked_tiling_bounds_skew(spark):
+    """One hot label (a skewed block far above the row cap) must be tiled
+    into bounded sub-groups with the pair set UNCHANGED vs the untiled
+    plan — the guard against a single hot block OOMing a worker."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), "hot", [float(x) for x in rng.randn(8)]) for i in range(300)
+    ] + [
+        (int(1000 + i), "cold", [float(x) for x in rng.randn(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    cap = 50
+
+    untiled = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 9)
+        for r in simsearch.cosine_pairs_blocked(
+            df, "label", threshold=0.3, max_block_rows=None
+        ).collect()
+    }
+    tiled = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 9)
+        for r in simsearch.cosine_pairs_blocked(
+            df, "label", threshold=0.3, max_block_rows=cap
+        ).collect()
+    }
+    assert tiled == untiled and len(tiled) > 0
+
+    # peak per-task rows: reproduce the tiling assignment and check every
+    # (block, ta, tb) group stays far below the hot block's 300 rows
+    counts = df.groupBy("label").agg(F.count(F.lit(1)).alias("__bn"))
+    group_sizes = (
+        df.join(F.broadcast(counts), on="label")
+        .withColumn("__nt", F.ceil(F.col("__bn") / F.lit(cap)).cast("int"))
+        .withColumn("__tile", F.pmod(F.xxhash64(F.col("vec_id")), F.col("__nt")).cast("int"))
+        .withColumn("__ot", F.explode(F.sequence(F.lit(0), F.col("__nt") - 1)))
+        .groupBy("label", F.least("__tile", "__ot"), F.greatest("__tile", "__ot"))
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in group_sizes) <= 3 * cap
+    # the hot block actually split into many groups (nt=6 -> 21 tile pairs)
+    assert sum(1 for r in group_sizes if r["label"] == "hot") == 21
+
+
+def test_ivf_explicit_centroids_matches_kmeans_path(embeddings):
+    """Explicit centroids bypass k-means; with every bucket probed the
+    result must equal exact brute force (same degeneracy guarantee as the
+    sampled-k-means path)."""
+    queries = embeddings.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = [
+        r["embedding"]
+        for r in embeddings.orderBy("vec_id").limit(6).collect()
+    ]
+    exact = simsearch.brute_force_topk(embeddings, queries, k=5)
+    approx = simsearch.ivf_topk(
+        embeddings, queries, k=5, nprobe=6, centroids=cents
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert e == a
+
+
 def test_wide_format_pivot(spark):
     from intake_esm_spark.operators.combine import to_wide
 
