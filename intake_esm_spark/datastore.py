@@ -266,11 +266,6 @@ class ESMDataStore:
 
     # -- dataset assembly -------------------------------------------------------------
 
-    def _asset_paths(self, rows_df: DataFrame) -> list[str]:
-        assert self.descriptor.assets is not None
-        col = self.descriptor.assets.column_name
-        return [r[0] for r in rows_df.select(col).distinct().collect()]
-
     def to_dataset_dict(
         self,
         aggregate: bool = True,
@@ -380,11 +375,13 @@ class ESMDataStore:
         attrs = grouping.effective_groupby_attrs(
             self._df, desc.groupby_attrs, desc.aggregation_control is not None
         )
-        paths = self._asset_paths(self._df)
         requested = requested_variables or self._requested_variables or None
         # the public key is computed on the CATALOG side (its attrs may
         # collide with asset data columns, e.g. `variable`), then attached
-        # to asset rows through the broadcast join
+        # to asset rows through the broadcast join; asset-path resolution
+        # (exact files vs pruned directory scans) happens inside
+        # open_asset_union so a huge catalog never lists every asset on
+        # the driver
         cat_keyed = self._df.withColumn(
             "key", F.concat_ws(sep, *[F.col(a).cast("string") for a in attrs])
         )
@@ -392,7 +389,6 @@ class ESMDataStore:
             self.spark,
             cat_keyed,
             desc,
-            paths,
             requested_variables=requested,
             extra_catalog_columns=["key"] + attrs,
         )

@@ -84,21 +84,78 @@ def _norm(col: Column) -> Column:
     return F.regexp_replace(stripped, r"^/+", "/").cast("string")
 
 
-def _paths_by_format(
-    catalog: DataFrame, desc: ESMCatalogDescriptor, paths: list[str]
-) -> dict[str, list[str]]:
+MAX_DRIVER_PATHS = 1024
+"""Above this many distinct asset paths the scan switches from an exact
+per-file list (collected to the driver) to per-format parent-DIRECTORY
+scans pruned by the catalog join — a catalog of millions of assets must
+never materialize a driver-side per-asset list (reference scale point:
+27k zstore assets, core.py:574-586; a 100 TB corpus is orders beyond)."""
+
+
+def _scan_plan(
+    catalog: DataFrame, desc: ESMCatalogDescriptor, max_driver_paths: int
+) -> tuple[dict[str, list[str]], bool]:
+    """Decide what the asset scan reads: ``(paths_by_format, strict)``.
+
+    * **exact mode** (``strict=True``) — few distinct paths: collect them
+      and scan exactly the catalog's files; a data row matching no catalog
+      entry is then an engine bug and raises.
+    * **directory mode** (``strict=False``) — the catalog's distinct-path
+      count exceeds ``max_driver_paths``: derive the distinct PARENT
+      DIRECTORIES distributedly (a ``regexp_replace`` + ``distinct`` over
+      the catalog, never a per-asset driver list), scan those per format,
+      and let the broadcast catalog join PRUNE rows of files the catalog
+      doesn't reference (a directory may legitimately hold non-catalog
+      files, so unmatched rows are dropped, not an error). ``reference``
+      manifests are exempt: each manifest is driver-parsed metadata, so
+      their exact paths are always collected.
+
+    Directory mode requires each directory to be format-homogeneous —
+    reading one directory under two readers would double-scan it; that
+    layout raises with a clear message.
+    """
     assert desc.assets is not None
-    if desc.assets.format is not None:
-        return {desc.assets.format: paths}
-    fmt_col = desc.assets.format_column_name
     path_col = desc.assets.column_name
-    pairs = (
-        catalog.select(path_col, fmt_col).dropDuplicates([path_col]).collect()
-    )  # catalog is metadata-scale; the asset DATA never leaves the executors
+    fmt_expr = (
+        F.lit(desc.assets.format)
+        if desc.assets.format is not None
+        else F.col(desc.assets.format_column_name)
+    )
+    pf = catalog.select(
+        F.col(path_col).alias("__p"), fmt_expr.alias("__f")
+    ).distinct()
+    head = pf.limit(max_driver_paths + 1).collect()
+    if not head:
+        raise ESMDataSourceError("no asset paths for this dataset group")
     by_fmt: dict[str, list[str]] = {}
-    for r in pairs:
-        by_fmt.setdefault(r[fmt_col], []).append(r[path_col])
-    return by_fmt
+    if len(head) <= max_driver_paths:
+        for r in head:
+            by_fmt.setdefault(r["__f"], []).append(r["__p"])
+        return by_fmt, True
+    # directory mode — per-asset paths stay on the executors
+    manifests = pf.filter(F.col("__f") == "reference").collect()
+    dirs = (
+        pf.filter(F.col("__f") != "reference")
+        .select(
+            F.regexp_replace("__p", r"/[^/]*$", "").alias("__d"), "__f"
+        )
+        .distinct()
+        .collect()
+    )
+    seen: dict[str, str] = {}
+    for r in dirs:
+        if r["__d"] in seen and seen[r["__d"]] != r["__f"]:
+            raise ESMDataSourceError(
+                f"directory {r['__d']!r} holds assets of multiple formats "
+                f"({seen[r['__d']]!r} and {r['__f']!r}); directory-mode "
+                "scanning needs format-homogeneous directories — split "
+                "the formats into separate directories"
+            )
+        seen[r["__d"]] = r["__f"]
+        by_fmt.setdefault(r["__f"], []).append(r["__d"])
+    for r in manifests:
+        by_fmt.setdefault("reference", []).append(r["__p"])
+    return by_fmt, False
 
 
 def _read_format(spark: SparkSession, fmt: str, fpaths: list[str]) -> DataFrame:
@@ -126,18 +183,19 @@ def open_asset_union(
     spark: SparkSession,
     catalog: DataFrame,
     desc: ESMCatalogDescriptor,
-    paths: list[str],
     requested_variables: list[str] | None = None,
     extra_catalog_columns: list[str] | None = None,
+    max_driver_paths: int = MAX_DRIVER_PATHS,
 ) -> DataFrame:
-    """Read every asset file once and attach catalog attributes.
+    """Read every asset of the catalog once and attach catalog attributes.
 
     Returns the long-format union with one extra column per join_new
     attribute (plus any ``extra_catalog_columns``, e.g. the computed group
-    key).
+    key). Scan targets come from :func:`_scan_plan`: exact file paths for
+    small catalogs, per-format parent directories (with catalog-join
+    pruning of unreferenced files) above ``max_driver_paths`` — the driver
+    never holds a per-asset list for a large catalog.
     """
-    if not paths:
-        raise ESMDataSourceError("no asset paths for this dataset group")
     assert desc.assets is not None
     path_col = desc.assets.column_name
 
@@ -149,7 +207,7 @@ def open_asset_union(
         ]
     attach = list(dict.fromkeys(join_new_attrs + (extra_catalog_columns or [])))
 
-    by_fmt = _paths_by_format(catalog, desc, paths)
+    by_fmt, strict = _scan_plan(catalog, desc, max_driver_paths)
     scans = [_read_format(spark, fmt, fpaths) for fmt, fpaths in by_fmt.items()]
     assets = scans[0]
     for s in scans[1:]:
@@ -207,21 +265,28 @@ def open_asset_union(
         combined = combined.join(F.broadcast(cat_lvl), on=key_col, how="left")
         match_cols.append(F.col(f"__cat_{lvl}"))
     resolved = F.coalesce(*match_cols)
-    combined = combined.withColumn(
-        "__cat",
-        F.when(resolved.isNotNull(), resolved).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "asset file matches no catalog entry (not the file, "
-                        f"not an ancestor directory within {_ANCESTOR_LEVELS} "
-                        "levels): "
-                    ),
-                    F.col("__asset_path"),
+    if strict:
+        combined = combined.withColumn(
+            "__cat",
+            F.when(resolved.isNotNull(), resolved).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "asset file matches no catalog entry (not the file, "
+                            f"not an ancestor directory within {_ANCESTOR_LEVELS} "
+                            "levels): "
+                        ),
+                        F.col("__asset_path"),
+                    )
                 )
-            )
-        ),
-    )
+            ),
+        )
+    else:
+        # directory mode scans a SUPERSET of the catalog's files, so rows
+        # from unreferenced files are pruned by the join, not an error
+        combined = combined.withColumn("__cat", resolved).filter(
+            F.col("__cat").isNotNull()
+        )
     combined = combined.select(
         *[c for c in assets.columns if c != "__asset_path"],
         *[F.col(f"__cat.{c}").alias(c) for c in attach],

@@ -52,13 +52,60 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = ns_ts_to_timestamp(df, c)
     # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
     # TIMESTAMP_NTZ under Spark 4's NTZ inference; normalize those too so
-    # every consumer (incl. streaming watermarks) sees session-TZ TIMESTAMP
+    # every consumer (incl. streaming watermarks) sees session-TZ TIMESTAMP.
+    # The rewrite is DEEP: an NTZ nested inside a struct/array/map (e.g. a
+    # typed media-metadata struct) is normalized through a struct-level
+    # cast, not just top-level columns.
     from pyspark.sql.types import TimestampNTZType
 
     for f in df.schema.fields:
         if isinstance(f.dataType, TimestampNTZType):
             df = ns_ts_to_timestamp(df, f.name)
+        else:
+            target = _deep_ntz_to_ltz(f.dataType)
+            if target != f.dataType:
+                df = df.withColumn(f.name, _quoted(f.name).cast(target))
     return df
+
+
+def _quoted(name: str) -> F.Column:
+    """Column reference that treats ``name`` literally — backtick-quoted
+    so dots are never parsed as nested-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _deep_ntz_to_ltz(dt):
+    """Rewrite a (possibly nested) datatype replacing TIMESTAMP_NTZ with
+    session-TZ TIMESTAMP; non-timestamp leaves pass through unchanged."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dt, TimestampNTZType):
+        return TimestampType()
+    if isinstance(dt, ArrayType):
+        return ArrayType(_deep_ntz_to_ltz(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _deep_ntz_to_ltz(dt.keyType),
+            _deep_ntz_to_ltz(dt.valueType),
+            dt.valueContainsNull,
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.name, _deep_ntz_to_ltz(f.dataType), f.nullable, f.metadata
+                )
+                for f in dt.fields
+            ]
+        )
+    return dt
 
 
 def ns_ts_to_timestamp(df: DataFrame, col: str) -> DataFrame:
@@ -69,7 +116,10 @@ def ns_ts_to_timestamp(df: DataFrame, col: str) -> DataFrame:
       div 1000 then ``timestamp_micros`` (a double round-trip would lose
       precision above 2^53 ns).
     - ``TimestampNTZType`` — parquet µs-naive under Spark 4's NTZ
-      inference; cast is value-preserving because sessions here pin UTC.
+      inference; the NTZ->LTZ cast is value-preserving only in a UTC
+      session, so the session timezone is PINNED to UTC here (this
+      function is public and callable outside load_table, which pins it
+      too — a fresh non-UTC session must not silently shift values).
     - ``TimestampType`` — already the target type; no-op.
 
     Any other type raises: silently passing through e.g. a StringType
@@ -81,7 +131,11 @@ def ns_ts_to_timestamp(df: DataFrame, col: str) -> DataFrame:
     if isinstance(dt, LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     if isinstance(dt, TimestampNTZType):
-        return df.withColumn(col, F.col(col).cast(TimestampType()))
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        # backtick-quoted so a dotted name is never parsed as a
+        # nested-field reference (consistent with the LongType branch;
+        # note df[col] does NOT protect dots — Dataset.col parses them)
+        return df.withColumn(col, _quoted(col).cast(TimestampType()))
     if isinstance(dt, TimestampType):
         return df
     raise TypeError(

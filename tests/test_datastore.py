@@ -317,6 +317,134 @@ def _dir_catalog(tmp_path, rows):
     return str(json_path)
 
 
+def test_directory_mode_prunes_and_attaches(spark, tmp_path):
+    """Above max_driver_paths the scan reads parent DIRECTORIES (derived
+    distributedly) instead of a collected per-file list; files in those
+    directories that the catalog does NOT reference are pruned by the
+    attach join rather than raising."""
+    from intake_esm_spark.operators.combine import open_asset_union
+    from intake_esm_spark.sources.descriptor import ESMCatalogDescriptor
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    rows = []
+    for i, exp in enumerate(["CTRL", "20C", "HIST"]):
+        fpath = str(d / f"{exp}.parquet")
+        pd.DataFrame(
+            {"time": range(4), "value": [float(i)] * 4, "variable": ["SHF"] * 4}
+        ).to_parquet(fpath)
+        rows.append(dict(experiment=exp, member_id=i, path=fpath))
+    # stray file in the same directory, absent from the catalog
+    pd.DataFrame(
+        {"time": range(4), "value": [99.0] * 4, "variable": ["SHF"] * 4}
+    ).to_parquet(str(d / "stray.parquet"))
+
+    desc = ESMCatalogDescriptor.from_dict(
+        {
+            "esmcat_version": "0.1.0",
+            "id": "dirmode",
+            "assets": {"column_name": "path", "format": "parquet"},
+            "aggregation_control": {
+                "variable_column_name": "variable",
+                "groupby_attrs": ["experiment"],
+                "aggregations": [
+                    {"type": "join_new", "attribute_name": "member_id", "options": {}}
+                ],
+            },
+        }
+    )
+    catalog = spark.createDataFrame(pd.DataFrame(rows))
+    out = open_asset_union(
+        spark, catalog, desc, extra_catalog_columns=["experiment"],
+        max_driver_paths=2,  # force directory mode with 3 assets
+    )
+    got = out.collect()
+    assert len(got) == 12  # 3 catalog assets x 4 rows; stray's 4 pruned
+    assert {r["value"] for r in got} == {0.0, 1.0, 2.0}
+    by_exp = {r["experiment"]: r["member_id"] for r in got}
+    assert by_exp == {"CTRL": 0, "20C": 1, "HIST": 2}
+    # exact mode on the same catalog: the stray file is never scanned and
+    # per-file attach still works
+    exact = open_asset_union(
+        spark, catalog, desc, extra_catalog_columns=["experiment"]
+    )
+    assert exact.count() == 12
+
+
+def test_large_catalog_no_driver_path_list(spark, tmp_path):
+    """A >10k-distinct-asset catalog assembles without a driver-side
+    per-asset path list: the distinct-path probe trips the threshold and
+    only the (two) parent directories reach the driver. Phantom catalog
+    entries whose files don't exist are simply absent from the data."""
+    from intake_esm_spark.operators.combine import open_asset_union
+    from intake_esm_spark.sources.descriptor import ESMCatalogDescriptor
+
+    real_rows = []
+    for sub in ["a", "b"]:
+        d = tmp_path / sub
+        d.mkdir()
+        for j in range(3):
+            fpath = str(d / f"real_{j}.parquet")
+            pd.DataFrame(
+                {
+                    "time": range(2),
+                    "value": [float(j)] * 2,
+                    "variable": ["SHF"] * 2,
+                }
+            ).to_parquet(fpath)
+            real_rows.append(dict(experiment=f"{sub}{j}", member_id=j, path=fpath))
+    phantom = [
+        dict(
+            experiment="PHANTOM",
+            member_id=0,
+            path=str(tmp_path / "a" / f"phantom_{i}.parquet"),
+        )
+        for i in range(10_050)
+    ]
+    catalog = spark.createDataFrame(pd.DataFrame(real_rows + phantom))
+    desc = ESMCatalogDescriptor.from_dict(
+        {
+            "esmcat_version": "0.1.0",
+            "id": "bigcat",
+            "assets": {"column_name": "path", "format": "parquet"},
+            "aggregation_control": {
+                "variable_column_name": "variable",
+                "groupby_attrs": ["experiment"],
+                "aggregations": [
+                    {"type": "join_new", "attribute_name": "member_id", "options": {}}
+                ],
+            },
+        }
+    )
+    out = open_asset_union(
+        spark, catalog, desc, extra_catalog_columns=["experiment"]
+    )
+    got = out.collect()
+    assert len(got) == 12  # 6 real files x 2 rows
+    assert {r["experiment"] for r in got} == {"a0", "a1", "a2", "b0", "b1", "b2"}
+
+
+def test_directory_mode_mixed_format_dir_raises(spark, tmp_path):
+    from intake_esm_spark.operators.combine import ESMDataSourceError, open_asset_union
+    from intake_esm_spark.sources.descriptor import ESMCatalogDescriptor
+
+    rows = [
+        dict(path=str(tmp_path / "x" / "one.parquet"), fmt="parquet"),
+        dict(path=str(tmp_path / "x" / "two.csv"), fmt="csv"),
+        dict(path=str(tmp_path / "x" / "three.parquet"), fmt="parquet"),
+    ]
+    catalog = spark.createDataFrame(pd.DataFrame(rows))
+    desc = ESMCatalogDescriptor.from_dict(
+        {
+            "esmcat_version": "0.1.0",
+            "id": "mixed",
+            "assets": {"column_name": "path", "format_column_name": "fmt"},
+        }
+    )
+    with pytest.raises(ESMDataSourceError, match="multiple formats"):
+        open_asset_union(spark, catalog, desc, max_driver_paths=1)
+
+
 def test_hive_partitioned_directory_assets(spark, tmp_path):
     """A catalog entry may point at a Hive-PARTITIONED parquet directory —
     the layout this engine's own to_parquet sink produces — where the data

@@ -18,6 +18,34 @@ def events(spark):
     return load_table(spark, SF_DIR, "events")
 
 
+def test_load_table_normalizes_nested_ntz(spark, tmp_path):
+    """A TIMESTAMP_NTZ nested inside a struct (typed media metadata) and a
+    dotted top-level column name must both come out as session-TZ
+    TIMESTAMP — the deep rewrite, not just top-level fields."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intake_esm_spark.sources.tables import load_table
+
+    ts = pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))  # naive us
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1], type=pa.int64()),
+            "meta": pa.StructArray.from_arrays(
+                [ts, pa.array([3], type=pa.int32())], names=["captured_at", "n"]
+            ),
+            "a.dotted": ts,
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "media.parquet"))
+    df = load_table(spark, str(tmp_path), "media")
+    assert df.schema["meta"].dataType["captured_at"].dataType.simpleString() == "timestamp"
+    assert df.schema["a.dotted"].dataType.simpleString() == "timestamp"
+    row = df.collect()[0]
+    assert row["meta"]["captured_at"] == row["a.dotted"]
+    assert row["meta"]["n"] == 3
+
+
 def test_tumbling_counts_batch(events):
     out = W.tumbling_counts(events, "1 hour")
     total = out.agg(F.sum("n_events")).collect()[0][0]
