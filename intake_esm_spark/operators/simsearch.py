@@ -309,6 +309,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float = 0.1,
+    files_per_bucket: int | None = 1,
 ) -> list[list[float]]:
     """Materialize the IVF index: the corpus written as parquet PARTITIONED
     BY nearest-centroid bucket, with the centroid vectors in an
@@ -324,8 +325,20 @@ def write_ivf_index(
     underscore-prefixed subdir), NOT local open(): the index must work on
     any Hadoop-supported filesystem (s3a/hdfs/file URIs), which is where a
     100 TB index actually lives.
+
+    Write shape: the assignment expression is ``n_centroids`` interpreted
+    64-dim dot folds per row, so the corpus is SPREAD to every core first
+    (a single-file table otherwise assigns serially — the same pitfall as
+    the shingle pipeline, SCALE.md #1). ``files_per_bucket`` then bounds
+    the output file count via one narrow repartition on (bucket, salt):
+    at most n_centroids x files_per_bucket files with that many parallel
+    writers, instead of input_partitions x n_centroids small files. At
+    100 TB size files_per_bucket to bucket_bytes / target_file_size;
+    ``None`` skips the repartition (direct write, unbounded file count).
     """
     import json as _json
+
+    from intake_esm_spark.operators.dedup import _spread
 
     centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
     cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
@@ -333,22 +346,30 @@ def write_ivf_index(
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("sim"), i.alias("idx")))
     bucket = F.reverse(F.array_sort(pairs))[0]["idx"]
-    (
-        corpus.withColumn("bucket", bucket)
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
+    assigned = _spread(corpus).withColumn("bucket", bucket)
+    if files_per_bucket is not None:
+        assigned = assigned.repartition(
+            len(centroids) * files_per_bucket,
+            F.col("bucket"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
+        )
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
     sidecar = _json.dumps(
         {"centroids": centroids, "vec_col": vec_col, "id_col": id_col}
     )
+    # the sidecar is driver-written through the Hadoop FileSystem API: one
+    # metadata file needs no Spark job (a one-row write still pays full
+    # job-commit machinery), and the FS API keeps it portable to every
+    # Hadoop-supported filesystem (s3a/hdfs/file) where a real index lives
     spark = corpus.sparkSession
-    (
-        spark.createDataFrame([(sidecar,)], "value string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(f"{path}/_ivf_centroids")
-    )
+    jvm = spark._jvm
+    sc_path = jvm.org.apache.hadoop.fs.Path(f"{path}/_ivf_centroids/part-00000")
+    fs = sc_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(sc_path, True)
+    try:
+        out.write(bytearray(sidecar.encode("utf-8")))
+    finally:
+        out.close()
     return centroids
 
 
@@ -480,8 +501,10 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
 
+    from intake_esm_spark.operators.dedup import _spread
+
     c_bucketed = with_norm(
-        corpus.select(
+        _spread(corpus).select(
             F.col(id_col),
             F.col(vec_col).alias("__cvec"),
             nearest_buckets(F.col(vec_col), 1)[0]["idx"].alias("bucket"),
