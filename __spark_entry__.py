@@ -389,6 +389,46 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_docs_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 10% hash-threshold sample — partition-independent,
+    engine-portable (md5 bucket), reproducible forever: the 100 TB
+    replacement for df.sample()'s partition-dependent RNG."""
+    from intake_esm_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    out = sampling.hash_sample(docs, 0.1, "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+def q_docs_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus mixing): keep all German
+    docs, 20% of English, 5% of everything else."""
+    from intake_esm_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    out = sampling.stratified_hash_sample(
+        docs, {"en": 0.2, "de": 1.0}, "lang", "doc_id", default_fraction=0.05
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 corpus vocabulary by token frequency (deterministic
+    freq-desc/token-asc boundary)."""
+    from intake_esm_spark.operators import corpus
+
+    docs = load_table(spark, sf, "documents")
+    return corpus.vocab_topk(docs, k=100)
+
+
+def q_docs_length_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-length histogram in 100-char bins."""
+    from intake_esm_spark.operators import corpus
+
+    docs = load_table(spark, sf, "documents")
+    return corpus.length_histogram(docs, bin_width=100)
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
@@ -763,6 +803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_user": q_events_topk_user,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "text_vocab": q_text_vocab,
+        "docs_hash_sample": q_docs_hash_sample,
+        "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_length_hist": q_docs_length_hist,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1149,6 +1193,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fp FROM documents
+        """,
+        # same md5-bucket construction as operators/sampling.hash_bucket:
+        # first 15 hex chars -> 60-bit int -> mod 1e6, threshold = fraction*1e6
+        "docs_hash_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % {1_000_000} < {100_000}
+        """,
+        "docs_sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % {1_000_000}
+                  < CASE WHEN lang = 'en' THEN {200_000}
+                         WHEN lang = 'de' THEN {1_000_000}
+                         ELSE {50_000} END
+        """,
+        "text_vocab": f"""
+            SELECT token, freq FROM (
+              SELECT token, count(*) AS freq FROM (
+                SELECT unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS token
+                FROM documents
+              ) WHERE token != ''
+              GROUP BY token
+            ) ORDER BY freq DESC, token ASC LIMIT 100
+        """,
+        "docs_length_hist": """
+            SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bin_start,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "dedup_exact": f"""
             SELECT doc_id, lang, source, n_chars FROM documents

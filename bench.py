@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "asof_join",
     "text_stats",
     "text_quality",
+    "text_vocab",
+    "docs_hash_sample",
     "dedup_exact",
     "dedup_minhash",
     "dedup_near",

@@ -520,8 +520,22 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    def _sig(df: DataFrame) -> tuple:
+        """(count, order-independent hash-sum) in ONE job — the cheap
+        per-round convergence probe. Equality of signatures is confirmed
+        with an exact set compare before exiting, so a (astronomically
+        unlikely) hash-sum collision can only cost one extra round, never
+        a wrong result."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulate: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
+        ).collect()[0]
+        return row["n"], row["chk"]
+
     e = edges
-    prev_count = e.count()
+    prev_sig = _sig(e)
     for _ in range(max_iterations):
         # large-star: for every node, attach each LARGER neighbor to the
         # min of the full neighborhood (incl. self)
@@ -548,11 +562,11 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        cnt = e2.count()
-        if cnt == prev_count and e2.subtract(e).isEmpty():
+        sig = _sig(e2)
+        if sig == prev_sig and e2.subtract(e).isEmpty():
             e = e2
             break
-        e, prev_count = e2, cnt
+        e, prev_sig = e2, sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

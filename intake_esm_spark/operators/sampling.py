@@ -1,0 +1,71 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+At 100 TB a REPRODUCIBLE sample matters more than a statistically fancy
+one: ``df.sample()`` is partition-dependent (same seed, different file
+split → different rows), so a re-ingested or repartitioned corpus samples
+differently run to run. A hash-threshold sample is a pure per-row
+predicate — partition-independent, engine-portable (md5 everywhere),
+join-stable (a document is in or out of the sample EVERYWHERE it
+appears), and it's just a filter: zero shuffle, prunes at the scan
+boundary, composes with any downstream plan.
+
+The bucket function uses the first 15 hex chars (60 bits) of
+``md5(salt || key)`` mod ``HASH_BUCKETS`` — exactly expressible in both
+Spark (``conv(hex,16,10)``) and DuckDB (``('0x'||hex)::BIGINT``), so
+sampling queries are hash-checkable against a SQL oracle. Changing
+``salt`` draws an independent sample (e.g. train/validation splits:
+disjoint salts, deterministic forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 1_000_000
+"""Threshold resolution: fractions are quantized to 1/HASH_BUCKETS."""
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, HASH_BUCKETS) from a row key."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % HASH_BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(
+        hash_bucket(F.col(key_col), salt) < int(round(fraction * HASH_BUCKETS))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (downweight a boilerplate-heavy source, keep a rare language whole).
+    One CASE expression over the stratum column picks the threshold; the
+    whole operator is still a single shuffle-free filter."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {f}")
+    thresh = None
+    for s, f in fractions.items():
+        t = int(round(f * HASH_BUCKETS))
+        thresh = (
+            F.when(F.col(strata_col) == s, t)
+            if thresh is None
+            else thresh.when(F.col(strata_col) == s, t)
+        )
+    default_t = int(round(default_fraction * HASH_BUCKETS))
+    thresh = F.lit(default_t) if thresh is None else thresh.otherwise(default_t)
+    return df.filter(hash_bucket(F.col(key_col), salt) < thresh)

@@ -1,0 +1,116 @@
+"""Deterministic sampling + corpus-statistics operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators import corpus, sampling
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en")
+        .when(F.col("id") % 4 == 1, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+
+
+def test_hash_sample_deterministic_and_partition_independent(keyed):
+    a = {r["doc_id"] for r in sampling.hash_sample(keyed, 0.1, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.hash_sample(keyed.repartition(7), 0.1, "doc_id").collect()
+    }
+    assert a == b  # df.sample() fails exactly this property
+    # approximately the requested fraction
+    assert 0.05 < len(a) / 2000 < 0.15
+
+
+def test_hash_sample_salt_draws_independent_sample(keyed):
+    a = {r["doc_id"] for r in sampling.hash_sample(keyed, 0.2, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.hash_sample(keyed, 0.2, "doc_id", salt="v2").collect()
+    }
+    assert a != b
+    # independent draws overlap ~ fraction^2, not ~ fraction
+    assert len(a & b) < len(a)
+
+
+def test_hash_sample_fraction_edges(keyed):
+    assert sampling.hash_sample(keyed, 0.0, "doc_id").count() == 0
+    assert sampling.hash_sample(keyed, 1.0, "doc_id").count() == 2000
+    with pytest.raises(ValueError):
+        sampling.hash_sample(keyed, 1.5, "doc_id")
+
+
+def test_stratified_sample_respects_strata(keyed):
+    out = sampling.stratified_hash_sample(
+        keyed, {"en": 1.0, "de": 0.2}, "lang", "doc_id", default_fraction=0.0
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["en"] == 500  # fraction 1.0 keeps every row
+    assert 0 < by_lang.get("de", 0) < 250  # ~20% of 500
+    assert "zh" not in by_lang  # default 0.0 drops the rest
+    # the kept 'de' ids are exactly the ids the unstratified 0.2 sample keeps
+    flat = {
+        r["doc_id"]
+        for r in sampling.hash_sample(
+            keyed.filter(F.col("lang") == "de"), 0.2, "doc_id"
+        ).collect()
+    }
+    strat_de = {r["doc_id"] for r in out.filter(F.col("lang") == "de").collect()}
+    assert strat_de == flat
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "Apple  date"),
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = corpus.vocab_topk(docs, k=3).collect()
+    assert [(r["token"], r["freq"]) for r in out] == [
+        ("apple", 3),  # normalization lowercases
+        ("banana", 2),
+        ("cherry", 1),  # freq-tie with 'date' broken token-asc
+    ]
+
+
+def test_length_histogram(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 5), (2, "y" * 150), (3, "z" * 199), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["bin_start"]: r["n_docs"] for r in corpus.length_histogram(docs).collect()}
+    assert out == {0: 2, 100: 2}
+
+
+def test_spark_md5_bucket_matches_duckdb(spark):
+    """The Spark conv(hex,16,10) bucket must equal DuckDB's
+    ('0x'||hex)::BIGINT construction — the property the sampling oracles
+    rest on."""
+    import duckdb
+
+    keys = [0, 1, 42, 999_983]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", sampling.hash_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    for k in keys:
+        expected = duckdb.sql(
+            f"SELECT CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        ).fetchone()[0]
+        assert got[k] == expected
