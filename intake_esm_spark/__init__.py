@@ -10,8 +10,11 @@ intake/intake-esm (reference: /root/reference), re-expressed Spark-first:
   subset-check semi-join
 * group/aggregate dataset assembly over long-format asset tables
 * derived-variable registry applied as column expressions
-* LLM-data-pipeline extensions: dedup (exact / MinHash-LSH / SimHash),
-  similarity search, text analysis, multimodal plumbing, streaming windows.
+* LLM-data-pipeline extensions: dedup (exact / MinHash-LSH / SimHash /
+  transitive connected-components clustering), similarity search
+  (brute-force, blocked-GEMM, IVF index), deterministic hash sampling,
+  text analysis + corpus statistics, multimodal plumbing, streaming
+  windows.
 
 Everything is a DataFrame transformation — no collect() in the hot path, so
 plans scale from local[32] to a multi-thousand-executor cluster unchanged.

@@ -97,6 +97,10 @@ def test_q1_whole_stage_codegen(spark, queries):
         "top_suppliers",
         "asof_join",
         "simsearch_pairs",
+        "docs_hash_sample",
+        "docs_sample_stratified",
+        "text_vocab",
+        "docs_length_hist",
     ],
 )
 def test_hot_paths_stay_jvm_side(spark, queries, name):
@@ -120,6 +124,24 @@ def test_near_dup_reuses_shuffle_stages(spark, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_hash_sample_is_pure_filter(spark, queries):
+    """Deterministic sampling must stay a scan + filter: no Exchange, no
+    aggregation — the property that makes it free at 100 TB."""
+    plan = plan_of(queries["docs_hash_sample"](spark, SF), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan, plan
+
+
+def test_vocab_topk_partial_topk_no_global_sort(spark, queries):
+    """vocab_topk must plan a TakeOrderedAndProject (per-partition local
+    top-k merged on the driver) with a map-side partial count — never a
+    global Sort of the whole vocabulary."""
+    plan = plan_of(queries["text_vocab"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
 
 
 def test_dedup_exact_single_fp_keyed_exchange(spark, queries):

@@ -68,6 +68,16 @@ def test_stratified_sample_respects_strata(keyed):
     assert strat_de == flat
 
 
+def test_hash_sample_monotone_in_fraction(keyed):
+    """sample(f1) ⊆ sample(f2) for f1 <= f2 — thresholds on one fixed
+    bucket value nest, so growing a sample never swaps rows out (the
+    property that lets a pipeline scale its sample up without invalidating
+    work done on the smaller one)."""
+    small = {r["doc_id"] for r in sampling.hash_sample(keyed, 0.05, "doc_id").collect()}
+    big = {r["doc_id"] for r in sampling.hash_sample(keyed, 0.3, "doc_id").collect()}
+    assert small <= big
+
+
 def test_vocab_topk_counts_and_tiebreak(spark):
     docs = spark.createDataFrame(
         [
