@@ -364,6 +364,40 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_INCR_SPLIT = 250
+"""doc_id boundary for the incremental-dedup queries: BATCH = doc_id <
+250 (the full sf0.001 corpus size, so every sf has a non-trivial batch),
+history = the rest — at larger sf the history grows while the batch stays
+fixed, which is the production shape (small increment, huge history)."""
+
+
+def q_dedup_exact_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup: the batch (doc_id < 250) anti-joined
+    against history fingerprints, min-id survivor within the batch."""
+    docs = load_table(spark, sf, "documents")
+    hist = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    out = dedup.dedup_exact_incremental(batch, hist)
+    return out.select("doc_id", "lang", "source")
+
+
+def q_dedup_near_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup via the materialized LSH index: history
+    signatures written once, the batch probes them; pairs touching the
+    batch verified with exact Jaccard. Contract: exactly the all-pairs
+    strict-Jaccard result restricted to pairs with a batch-side member
+    (id_a < 250 suffices — id_a < id_b), which IS the oracle."""
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    hist = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    path = tempfile.mkdtemp(prefix="lsh_idx_") + "/index"
+    dedup.write_lsh_index(hist, path, num_hashes=32, bands=16, shingle_n=5)
+    out = dedup.near_duplicates_incremental(spark, path, hist, batch, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clustering: the near_duplicates pair graph
     closed under connectivity (alternating large-star/small-star), emitting
@@ -818,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         "dedup_components": q_dedup_components,
         "dedup_cluster_survivors": q_dedup_cluster_survivors,
+        "dedup_exact_incr": q_dedup_exact_incr,
+        "dedup_near_incr": q_dedup_near_incr,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
@@ -875,32 +911,48 @@ _SHINGLES_SQL = f"""
 """
 
 
-_JACCARD_PAIRS_SQL = f"""
-    WITH sh AS (
-      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
-    ), exploded_all AS (
-      SELECT doc_id, unnest(shingles) AS shingle FROM sh
-    ), exploded AS (
-      SELECT doc_id, shingle FROM exploded_all
-      WHERE shingle NOT IN (
-        SELECT shingle FROM exploded_all
-        GROUP BY shingle HAVING count(*) > {dedup.DEFAULT_MAX_DOC_FREQ}
-      )
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM exploded a JOIN exploded b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-"""
+def _jaccard_pairs_sql(
+    max_doc_freq: int | None = dedup.DEFAULT_MAX_DOC_FREQ,
+    extra_where: str = "",
+) -> str:
+    """All-pairs 5-gram Jaccard oracle, parameterized by the doc-frequency
+    cap (None = strict Jaccard) and an optional pair restriction."""
+    if max_doc_freq is not None:
+        capped = f"""
+          SELECT doc_id, shingle FROM exploded_all
+          WHERE shingle NOT IN (
+            SELECT shingle FROM exploded_all
+            GROUP BY shingle HAVING count(*) > {max_doc_freq}
+          )
+        """
+    else:
+        capped = "SELECT doc_id, shingle FROM exploded_all"
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+        ), exploded_all AS (
+          SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), exploded AS (
+          {capped}
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM exploded a JOIN exploded b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        {extra_where}
+    """
+
+
+_JACCARD_PAIRS_SQL = _jaccard_pairs_sql()
 
 
 _COMPONENTS_WITH = f"""
@@ -1256,6 +1308,25 @@ def oracle_sql() -> dict[str, str]:
         # walk over symmetric edges == large-star/small-star fixpoint
         "dedup_components": _COMPONENTS_SQL,
         "dedup_cluster_survivors": _CLUSTER_SURVIVORS_SQL,
+        "dedup_exact_incr": f"""
+            WITH h AS (
+              SELECT DISTINCT md5({_NORM_TEXT_SQL}) AS fp FROM documents
+              WHERE doc_id >= {_INCR_SPLIT}
+            ), b AS (
+              SELECT doc_id, lang, source, md5({_NORM_TEXT_SQL}) AS fp
+              FROM documents WHERE doc_id < {_INCR_SPLIT}
+            )
+            SELECT doc_id, lang, source FROM b
+            WHERE fp NOT IN (SELECT fp FROM h)
+              AND doc_id IN (SELECT min(doc_id) FROM b GROUP BY fp)
+        """,
+        # incremental near-dup contract: all-pairs STRICT Jaccard (no df
+        # cap — corpus-global state an incremental probe doesn't own)
+        # restricted to pairs touching the batch; id_a < id_b makes
+        # id_a < split the exact restriction
+        "dedup_near_incr": _jaccard_pairs_sql(
+            max_doc_freq=None, extra_where=f"AND id_a < {_INCR_SPLIT}"
+        ),
         "simsearch_scores": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

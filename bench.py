@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_near",
+    "dedup_lsh_build",
+    "dedup_near_incr_probe",
     "dedup_components",
     "dedup_embedding",
     "multimodal_stats",
@@ -97,6 +99,34 @@ def _ivf_phase_callables(ivf_path: str):
     return {"simsearch_ivf_build": build, "simsearch_ivf_probe": probe}
 
 
+def _lsh_phase_callables(lsh_path: str):
+    """Incremental near-dup as the two phases production pays: index the
+    history once (amortized per corpus), probe it with each new batch."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from intake_esm_spark.operators import dedup
+    from intake_esm_spark.sources.tables import load_table
+
+    split = entry._INCR_SPLIT
+
+    def build(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        hist = docs.filter(F.col("doc_id") >= split)
+        dedup.write_lsh_index(hist, lsh_path, num_hashes=32, bands=16, shingle_n=5)
+        return None
+
+    def probe(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        hist = docs.filter(F.col("doc_id") >= split)
+        batch = docs.filter(F.col("doc_id") < split)
+        return dedup.near_duplicates_incremental(
+            spark, lsh_path, hist, batch, threshold=0.8
+        )
+
+    return {"dedup_lsh_build": build, "dedup_near_incr_probe": probe}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -104,6 +134,7 @@ def main() -> None:
     qs = dict(entrymod.queries())
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
     qs.update(_ivf_phase_callables(os.path.join(ivf_dir, "index")))
+    qs.update(_lsh_phase_callables(os.path.join(ivf_dir, "lsh_index")))
 
     # warm-up: JVM + file listing (not counted)
     qs["q1_pricing_summary"](spark, sf_dir).count()

@@ -472,6 +472,189 @@ def near_duplicates(
     )
 
 
+def dedup_exact_incremental(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: drop new-batch rows whose normalized
+    fingerprint already exists in HISTORY, then keep the min-id survivor
+    per fingerprint WITHIN the batch — the daily-ingest shape, where the
+    100 TB history is never re-deduped, only probed.
+
+    The history side is reduced to distinct 16-byte fingerprints before
+    the anti-join, so the join shuffles fingerprints, not bodies; the
+    within-batch pass is the same single-exchange ``min_by`` aggregation
+    as :func:`dedup_exact`."""
+    hist_fp = (
+        _spread(history_df.select(text_col))
+        .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
+        .distinct()
+    )
+    cols = new_df.columns
+    batch = _spread(new_df).select(
+        F.struct(*cols).alias("__row"), fingerprint_md5(F.col(text_col)).alias("__fp")
+    )
+    fresh = batch.join(hist_fp, on="__fp", how="left_anti")
+    return (
+        fresh.groupBy("__fp")
+        .agg(F.min_by(F.col("__row"), F.col(f"__row.{id_col}")).alias("__row"))
+        .select("__row.*")
+    )
+
+
+def _banded_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, band_hash) banded MinHash signature rows — the shared
+    construction of the LSH candidate join and the materialized LSH index
+    (identical seeds, so index-time and probe-time signatures agree)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    hashed = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True).select(
+        "id", F.xxhash64(F.col("sh")).alias("h")
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> None:
+    """Materialize the corpus's banded MinHash signatures as a parquet LSH
+    index (plus a parameter sidecar, Hadoop-FS-written like the IVF one).
+    This is what makes near-dup dedup INCREMENTAL: a new batch signatures
+    only itself and band-joins against the stored (id, band, band_hash)
+    rows — the 100 TB history is never re-shingled. Index size is
+    ``bands`` shorts-and-longs per document, ~10⁻⁴ of corpus bytes."""
+    import json as _json
+
+    banded = _banded_rows(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    sidecar = _json.dumps(
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "text_col": text_col,
+            "id_col": id_col,
+        }
+    )
+    spark = docs.sparkSession
+    sc_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_lsh_params/part-00000")
+    fs = sc_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(sc_path, True)
+    try:
+        out.write(bytearray(sidecar.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def near_duplicates_incremental(
+    spark,
+    index_path: str,
+    history_df: DataFrame,
+    new_df: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs TOUCHING a new batch, against a
+    :func:`write_lsh_index` of the history: the batch is signatured with
+    the index's stored parameters, band-joined against index ∪ batch
+    bands (candidates = collisions where at least one side is new), and
+    candidates are verified with exact n-gram Jaccard over history ∪
+    batch text restricted to candidate documents.
+
+    Returns (id_a, id_b, jaccard >= threshold) where id_a < id_b and at
+    least one side is a new-batch document — exactly the all-pairs result
+    filtered to pairs touching the batch (strict Jaccard, no
+    doc-frequency cap: the cap is corpus-global state, which an
+    incremental probe by design does not recompute; candidate-restricted
+    verification bounds the join instead)."""
+    import json as _json
+
+    params = _json.loads(
+        spark.read.text(f"{index_path}/_lsh_params").collect()[0][0]
+    )
+    text_col, id_col = params["text_col"], params["id_col"]
+    batch_banded = _banded_rows(
+        new_df,
+        text_col,
+        id_col,
+        params["num_hashes"],
+        params["bands"],
+        params["shingle_n"],
+    )
+    idx = spark.read.parquet(f"{index_path}/bands")
+    all_banded = idx.unionByName(batch_banded)
+    l, r = all_banded.alias("l"), batch_banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    union_docs = history_df.select(id_col, text_col).unionByName(
+        new_df.select(id_col, text_col)
+    )
+    pairs = jaccard_pairs(
+        union_docs,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=params["shingle_n"],
+        threshold=threshold,
+        candidates=cand,
+        max_doc_freq=None,
+    )
+    # keep pairs with >= 1 new-batch side. Marker LEFT joins (not two
+    # semi-joins unioned) so the expensive pairs plan is referenced ONCE —
+    # a second reference would re-run the whole candidate+verify pipeline.
+    new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
+    ma = new_ids.select(F.col("__nid").alias("id_a"), F.lit(1).alias("__ma"))
+    mb = new_ids.select(F.col("__nid").alias("id_b"), F.lit(1).alias("__mb"))
+    return (
+        pairs.join(ma, on="id_a", how="left")
+        .join(mb, on="id_b", how="left")
+        .filter(F.col("__ma").isNotNull() | F.col("__mb").isNotNull())
+        .drop("__ma", "__mb")
+    )  # AQE broadcasts the small side (pairs) of each marker join
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -143,6 +143,63 @@ def test_default_cap_lossless_on_testdata(spark):
     assert capped == strict
 
 
+def test_dedup_exact_incremental(spark):
+    hist = spark.createDataFrame(
+        [(1, "shared history text about rivers and banks today")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "shared history text about rivers and banks today"),  # dup of history
+            (11, "Shared  History text about rivers and banks today"),  # normalized dup of history
+            (12, "brand new content about spark plans"),
+            (13, "brand new content about spark plans"),  # in-batch dup of 12
+            (14, "entirely fresh third document"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_exact_incremental(batch, hist).collect()
+    )
+    assert kept == [12, 14]
+
+
+def test_lsh_index_incremental_matches_all_pairs(spark, tmp_path, docs):
+    """The index probe + verify must return EXACTLY the strict all-pairs
+    Jaccard result restricted to pairs touching the batch — including
+    history-batch pairs (found via the index, without re-shingling
+    history) and batch-batch pairs."""
+    hist = docs.filter(F.col("doc_id") <= 3)
+    batch_rows = [
+        (10, "the quick brown fox jumps over the lazy dog near the river bank today"),  # dup of hist 1
+        (11, "completely different text about spark catalyst optimizer and shuffle plans "),  # ~dup of hist 5? no - 5 not in hist
+        (12, "a fresh batch document with its own words entirely"),
+        (13, "a fresh batch document with its own words entirely okay"),  # near-dup of 12
+    ]
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    path = str(tmp_path / "lsh_index")
+    dedup.write_lsh_index(hist, path, num_hashes=32, bands=16, shingle_n=3)
+    # probe must use the INDEX's stored params (shingle_n=3), not defaults
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.near_duplicates_incremental(
+            spark, path, hist, batch, threshold=0.5
+        ).collect()
+    }
+    union = hist.unionByName(batch)
+    expected = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.jaccard_pairs(
+            union, shingle_n=3, threshold=0.5, max_doc_freq=None
+        ).collect()
+        if r["id_b"] >= 10  # touching the batch
+    }
+    assert got == expected
+    assert (1, 10) in got  # history-batch pair found through the index
+    assert (12, 13) in got  # batch-batch pair
+    assert all(a >= 10 or b >= 10 for a, b in got)
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C (A and C never directly paired) must land all three in ONE
     component with the min id as canonical — the property the pair-local
