@@ -366,9 +366,10 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
 
 _INCR_SPLIT = 250
 """doc_id boundary for the incremental-dedup queries: BATCH = doc_id <
-250 (the full sf0.001 corpus size, so every sf has a non-trivial batch),
-history = the rest — at larger sf the history grows while the batch stays
-fixed, which is the production shape (small increment, huge history)."""
+250 (half the 500-doc sf0.001 corpus, so even the smallest sf has both a
+batch and a history), history = the rest — at larger sf the history grows
+while the batch stays fixed, which is the production shape (small
+increment, huge history)."""
 
 
 def q_dedup_exact_incr(spark: SparkSession, sf: str) -> DataFrame:
@@ -392,7 +393,12 @@ def q_dedup_near_incr(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     hist = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
     batch = docs.filter(F.col("doc_id") < _INCR_SPLIT)
-    path = tempfile.mkdtemp(prefix="lsh_idx_") + "/index"
+    # one stable per-sf dir, overwritten each call — the returned plan
+    # reads the index lazily, so it can't be deleted here, and a fresh
+    # mkdtemp per call would leak an index per invocation
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lsh_oracle_{os.path.basename(sf.rstrip('/'))}"
+    )
     dedup.write_lsh_index(hist, path, num_hashes=32, bands=16, shingle_n=5)
     out = dedup.near_duplicates_incremental(spark, path, hist, batch, threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1247,15 +1253,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fp FROM documents
         """,
         # same md5-bucket construction as operators/sampling.hash_bucket:
-        # first 15 hex chars -> 60-bit int -> mod 1e6, threshold = fraction*1e6
+        # md5(salt || '|' || key), first 15 hex chars -> 60-bit int ->
+        # mod 1e6, threshold = fraction*1e6
         "docs_hash_sample": f"""
             SELECT doc_id, lang, source FROM documents
-            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            WHERE CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   % {1_000_000} < {100_000}
         """,
         "docs_sample_stratified": f"""
             SELECT doc_id, lang FROM documents
-            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            WHERE CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   % {1_000_000}
                   < CASE WHEN lang = 'en' THEN {200_000}
                          WHEN lang = 'de' THEN {1_000_000}

@@ -150,39 +150,16 @@ def minhash_lsh_candidates(
     band. rows/bands: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; a pair is a candidate iff some band's hash
     matches exactly."""
-    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
-    rows_per_band = num_hashes // bands
-    # Explode shingles ONCE, then take per-permutation mins as ordinary
-    # aggregates — map-side partial min means the shuffle carries only
-    # (id, num_hashes longs) per document, and the shingle/normalization
-    # expression tree is evaluated once per shingle instead of once per
-    # permutation (the naive expression form was ~100x slower at sf0.1).
-    sh_rows = (
-        _shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
-        .select(F.col("id").alias(id_col), F.xxhash64(F.col("sh")).alias("__sh_hash"))
+    # Explode shingles ONCE (distinct=False: min over the multiset equals
+    # min over the set, and skipping array_distinct is cheaper), then the
+    # shared banding construction — map-side partial mins mean the shuffle
+    # carries (id, num_hashes longs) per document, and the shingle/
+    # normalization expression tree is evaluated once per shingle instead
+    # of once per permutation (the naive form was ~100x slower at sf0.1).
+    hashed = _shingle_rows(df, text_col, id_col, shingle_n, distinct=False).select(
+        "id", F.xxhash64(F.col("sh")).alias("h")
     )
-    sig = sh_rows.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("__sh_hash"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    banded = _banded_from_hashed(hashed, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -190,11 +167,11 @@ def minhash_lsh_candidates(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col("l.id") < F.col("r.id")),
         )
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
         )
         .distinct()
     )
@@ -403,7 +380,6 @@ def near_duplicates(
     linear in corpus size instead of quadratic per boilerplate n-gram.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sh_rows = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True)
     if max_doc_freq is not None:
         # one shingle-keyed exchange, reused by the signature branch, the
@@ -411,25 +387,7 @@ def near_duplicates(
         # sizes aggregate — the text is scanned and shingled exactly once
         sh_rows = _df_capped(sh_rows, "sh", max_doc_freq)
     hashed = sh_rows.select("id", F.xxhash64(F.col("sh")).alias("h"))
-    sig = hashed.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", "bh.band", "bh.band_hash")
+    banded = _banded_from_hashed(hashed, num_hashes, bands)
     l, r = banded.alias("l"), banded.alias("r")
     cand_ids = (
         l.join(
@@ -504,22 +462,18 @@ def dedup_exact_incremental(
     )
 
 
-def _banded_rows(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int,
-    bands: int,
-    shingle_n: int,
+def _banded_from_hashed(
+    hashed: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id, band, band_hash) banded MinHash signature rows — the shared
-    construction of the LSH candidate join and the materialized LSH index
-    (identical seeds, so index-time and probe-time signatures agree)."""
-    assert num_hashes % bands == 0
+    """(id, band, band_hash) from (id, h) shingle-hash rows — THE
+    seed-sensitive MinHash banding construction. Every producer of band
+    hashes (the candidate self-joins, the materialized index write, the
+    index probe) MUST route through this one function: cross-function
+    signature agreement is a correctness contract, not a style choice.
+    Per-permutation mins are plain aggregates with map-side partials, so
+    the shuffle carries (id, num_hashes longs) per document."""
+    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
     rows_per_band = num_hashes // bands
-    hashed = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True).select(
-        "id", F.xxhash64(F.col("sh")).alias("h")
-    )
     sig = hashed.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -541,6 +495,22 @@ def _banded_rows(
     ).select("id", "bh.band", "bh.band_hash")
 
 
+def _banded_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Banded signatures straight from a documents frame (per-doc
+    distinct shingles, no doc-frequency cap) — the index/probe path."""
+    hashed = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True).select(
+        "id", F.xxhash64(F.col("sh")).alias("h")
+    )
+    return _banded_from_hashed(hashed, num_hashes, bands)
+
+
 def write_lsh_index(
     docs: DataFrame,
     path: str,
@@ -560,6 +530,8 @@ def write_lsh_index(
 
     banded = _banded_rows(docs, text_col, id_col, num_hashes, bands, shingle_n)
     banded.write.mode("overwrite").parquet(f"{path}/bands")
+    from intake_esm_spark.util import write_text_sidecar
+
     sidecar = _json.dumps(
         {
             "num_hashes": num_hashes,
@@ -569,14 +541,7 @@ def write_lsh_index(
             "id_col": id_col,
         }
     )
-    spark = docs.sparkSession
-    sc_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_lsh_params/part-00000")
-    fs = sc_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(sc_path, True)
-    try:
-        out.write(bytearray(sidecar.encode("utf-8")))
-    finally:
-        out.close()
+    write_text_sidecar(docs.sparkSession, f"{path}/_lsh_params", sidecar)
 
 
 def near_duplicates_incremental(
@@ -605,6 +570,10 @@ def near_duplicates_incremental(
         spark.read.text(f"{index_path}/_lsh_params").collect()[0][0]
     )
     text_col, id_col = params["text_col"], params["id_col"]
+    # checkpoint: the batch signature plan is referenced twice below
+    # (inside the index∪batch union and as the probe side) — without
+    # materialization the whole shingle+signature pipeline would run
+    # twice per probe
     batch_banded = _banded_rows(
         new_df,
         text_col,
@@ -612,7 +581,7 @@ def near_duplicates_incremental(
         params["num_hashes"],
         params["bands"],
         params["shingle_n"],
-    )
+    ).localCheckpoint()
     idx = spark.read.parquet(f"{index_path}/bands")
     all_banded = idx.unionByName(batch_banded)
     l, r = all_banded.alias("l"), batch_banded.alias("r")

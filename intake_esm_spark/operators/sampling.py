@@ -27,8 +27,12 @@ HASH_BUCKETS = 1_000_000
 
 
 def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, HASH_BUCKETS) from a row key."""
-    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    """Deterministic bucket in [0, HASH_BUCKETS) from a row key.
+
+    Salt and key are joined with a ``|`` delimiter so shifted boundaries
+    can't collide (salt 'v1' + key '23' vs salt 'v12' + key '3' hash
+    differently) — prefix-related salts still draw independent samples."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % HASH_BUCKETS
 
 

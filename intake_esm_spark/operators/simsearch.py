@@ -162,9 +162,19 @@ def cosine_pairs_blocked(
         )
 
     counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bn"))
+    # null-safe join: groupBy treats NULL as a real block, so the counts
+    # attach must too — a plain equi-join would silently drop every
+    # NULL-block row (and with it their pairs)
+    cnt_key = counts.select(
+        F.col(block_col).alias("__bkey"), "__bn"
+    )
     tiled = (
         df.select(id_col, vec_col, block_col)
-        .join(F.broadcast(counts), on=block_col)  # block cardinality is small
+        .join(
+            F.broadcast(cnt_key),
+            F.col(block_col).eqNullSafe(F.col("__bkey")),
+        )  # block cardinality is small
+        .drop("__bkey")
         .withColumn("__nt", F.ceil(F.col("__bn") / F.lit(max_block_rows)).cast("int"))
         .withColumn("__tile", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nt")).cast("int"))
         .withColumn("__ot", F.explode(F.sequence(F.lit(0), F.col("__nt") - 1)))
@@ -321,10 +331,12 @@ def write_ivf_index(
     roughly nprobe/n_centroids of the bytes are read — the rest never
     leave storage. Returns the centroids (also persisted in the sidecar).
 
-    The sidecar goes through Spark's writer (a one-row text table in the
-    underscore-prefixed subdir), NOT local open(): the index must work on
-    any Hadoop-supported filesystem (s3a/hdfs/file URIs), which is where a
-    100 TB index actually lives.
+    The centroid sidecar is driver-written through the Hadoop FileSystem
+    API (``util.write_text_sidecar``), NOT local ``open()``: the index
+    must work on any Hadoop-supported filesystem (s3a/hdfs/file URIs),
+    which is where a 100 TB index actually lives — and not via a one-row
+    Spark write, which pays full job-commit machinery for one metadata
+    file.
 
     Write shape: the assignment expression is ``n_centroids`` interpreted
     64-dim dot folds per row, so the corpus is SPREAD to every core first
@@ -354,22 +366,12 @@ def write_ivf_index(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
         )
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    from intake_esm_spark.util import write_text_sidecar
+
     sidecar = _json.dumps(
         {"centroids": centroids, "vec_col": vec_col, "id_col": id_col}
     )
-    # the sidecar is driver-written through the Hadoop FileSystem API: one
-    # metadata file needs no Spark job (a one-row write still pays full
-    # job-commit machinery), and the FS API keeps it portable to every
-    # Hadoop-supported filesystem (s3a/hdfs/file) where a real index lives
-    spark = corpus.sparkSession
-    jvm = spark._jvm
-    sc_path = jvm.org.apache.hadoop.fs.Path(f"{path}/_ivf_centroids/part-00000")
-    fs = sc_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(sc_path, True)
-    try:
-        out.write(bytearray(sidecar.encode("utf-8")))
-    finally:
-        out.close()
+    write_text_sidecar(corpus.sparkSession, f"{path}/_ivf_centroids", sidecar)
     return centroids
 
 

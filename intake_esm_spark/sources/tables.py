@@ -117,9 +117,12 @@ def ns_ts_to_timestamp(df: DataFrame, col: str) -> DataFrame:
       precision above 2^53 ns).
     - ``TimestampNTZType`` — parquet µs-naive under Spark 4's NTZ
       inference; the NTZ->LTZ cast is value-preserving only in a UTC
-      session, so the session timezone is PINNED to UTC here (this
-      function is public and callable outside load_table, which pins it
-      too — a fresh non-UTC session must not silently shift values).
+      session, so a non-UTC session RAISES instead of silently shifting
+      values (this function is public and callable outside load_table;
+      mutating the caller's global session timezone here would be a
+      hidden side effect, and the cast evaluates at action time anyway —
+      set ``spark.sql.session.timeZone=UTC`` before building the plan,
+      as ``get_spark``/``load_table`` do).
     - ``TimestampType`` — already the target type; no-op.
 
     Any other type raises: silently passing through e.g. a StringType
@@ -131,7 +134,14 @@ def ns_ts_to_timestamp(df: DataFrame, col: str) -> DataFrame:
     if isinstance(dt, LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     if isinstance(dt, TimestampNTZType):
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"ns_ts_to_timestamp: session timezone is {tz!r}; the "
+                "NTZ->TIMESTAMP cast is only value-preserving under UTC — "
+                "set spark.sql.session.timeZone=UTC (get_spark/load_table "
+                "do) before normalizing NTZ columns"
+            )
         # backtick-quoted so a dotted name is never parsed as a
         # nested-field reference (consistent with the LongType branch;
         # note df[col] does NOT protect dots — Dataset.col parses them)

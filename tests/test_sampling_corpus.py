@@ -121,6 +121,19 @@ def test_spark_md5_bucket_matches_duckdb(spark):
     }
     for k in keys:
         expected = duckdb.sql(
-            f"SELECT CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+            f"SELECT CAST(('0x' || substr(md5('|' || CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
         ).fetchone()[0]
         assert got[k] == expected
+
+
+def test_hash_bucket_salt_key_boundary_unambiguous(spark):
+    """salt='v1', key='23' must NOT collide with salt='v12', key='3' —
+    the delimiter makes the (salt, key) encoding injective."""
+    df = spark.createDataFrame([("23",), ("3",)], "k string")
+    b1 = df.filter(F.col("k") == "23").select(
+        sampling.hash_bucket(F.col("k"), salt="v1").alias("b")
+    ).collect()[0]["b"]
+    b2 = df.filter(F.col("k") == "3").select(
+        sampling.hash_bucket(F.col("k"), salt="v12").alias("b")
+    ).collect()[0]["b"]
+    assert b1 != b2

@@ -127,6 +127,27 @@ def test_cosine_pairs_blocked_tiling_bounds_skew(spark):
     assert sum(1 for r in group_sizes if r["label"] == "hot") == 21
 
 
+def test_cosine_pairs_blocked_null_block_kept(spark):
+    """NULL is a real block to groupBy, so the tiled path's counts attach
+    must be null-safe — a plain equi-join silently dropped every
+    NULL-block row (and their pairs) when tiling became the default."""
+    rows = [
+        (1, None, [1.0, 0.0]),
+        (2, None, [1.0, 0.0]),
+        (3, "a", [0.0, 1.0]),
+        (4, "a", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    for cap in (None, 50):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simsearch.cosine_pairs_blocked(
+                df, "label", threshold=0.9, max_block_rows=cap
+            ).collect()
+        }
+        assert got == {(1, 2), (3, 4)}, f"max_block_rows={cap}"
+
+
 def test_ivf_explicit_centroids_matches_kmeans_path(embeddings):
     """Explicit centroids bypass k-means; with every bucket probed the
     result must equal exact brute force (same degeneracy guarantee as the
