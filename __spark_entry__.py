@@ -469,6 +469,31 @@ def q_docs_length_hist(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.length_histogram(docs, bin_width=100)
 
 
+def q_docs_sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced corpus: deterministic 10 docs per source (hash-ordered
+    rank within stratum — reproducible across runs/engines)."""
+    from intake_esm_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    out = sampling.take_per_group(docs, 10, "source", "doc_id")
+    return out.select("doc_id", "source")
+
+
+def q_text_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-style scrub pass: URL/email/phone spans replaced by typed
+    tokens, with per-type match counts (the release-audit view). Pure
+    regexp_replace/extract chains — portable to the DuckDB oracle."""
+    docs = load_table(spark, sf, "documents")
+    counts = tx.redaction_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tx.redact_pii(F.col("text")).alias("clean"),
+        counts["url"].cast("long").alias("n_urls"),
+        counts["email"].cast("long").alias("n_emails"),
+        counts["phone"].cast("long").alias("n_phones"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
@@ -844,8 +869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_vocab": q_text_vocab,
+        "text_redact": q_text_redact,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_sample_per_source": q_docs_sample_per_source,
         "docs_length_hist": q_docs_length_hist,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -999,6 +1026,32 @@ _SIMSEARCH_PAIRS_SQL = """
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
 """
+
+
+def _redact_sql() -> str:
+    """Chained-redaction oracle built from the SAME pattern table the
+    engine uses (functions/text.py REDACTION_PATTERNS) — counts computed
+    on the same intermediate strings, so the two sides cannot drift.
+    Built with %-style formatting: the patterns contain regex braces."""
+    stages = []
+    prev = "t0"
+    names = []
+    for i, (name, pattern, token) in enumerate(tx.REDACTION_PATTERNS, start=1):
+        cur = f"t{i}"
+        stages.append(
+            "s%d AS (SELECT *, len(regexp_extract_all(%s, '(%s)', 1)) AS n_%ss, "
+            "regexp_replace(%s, '%s', '%s', 'g') AS %s FROM s%d)"
+            % (i, prev, pattern, name, prev, pattern, token, cur, i - 1)
+        )
+        names.append(f"n_{name}s")
+        prev = cur
+    return (
+        "WITH s0 AS (SELECT doc_id, text AS t0 FROM documents), "
+        + ", ".join(stages)
+        + f" SELECT doc_id, {prev} AS clean, "
+        + ", ".join(names)
+        + f" FROM s{len(tx.REDACTION_PATTERNS)}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1282,6 +1335,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        "docs_sample_per_source": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                                % {1_000_000} ASC,
+                                doc_id ASC
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 10
+        """,
+        "text_redact": _redact_sql(),
         "dedup_exact": f"""
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE doc_id IN (

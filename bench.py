@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "text_stats",
     "text_quality",
     "text_vocab",
+    "text_redact",
     "docs_hash_sample",
     "dedup_exact",
     "dedup_minhash",

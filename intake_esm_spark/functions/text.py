@@ -176,3 +176,43 @@ def rolling_hashes(text: Column, n: int = 5) -> Column:
     """Rolling-window fingerprint: xxhash64 of each word n-gram shingle
     (array<bigint>) — the document's hash sketch."""
     return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+
+
+# -- PII-style redaction -----------------------------------------------------
+# Patterns are kept to the RE2 ∩ Java-regex portable subset (character
+# classes, bounded quantifiers, alternation — no lookarounds/backrefs), so
+# the SAME pattern strings run in Spark's rlike/regexp_replace AND in a
+# DuckDB oracle. Order matters: URLs first (they may contain '@' and
+# digits), then emails, then phone-like runs.
+
+REDACTION_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URL / email / phone-shaped spans with typed placeholder
+    tokens — the standard scrub pass before training-data release. A
+    chain of built-in regexp_replace calls: JVM-side, codegen, zero
+    Python."""
+    out = text
+    for _, pattern, token in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redaction_counts(text: Column) -> Column:
+    """struct(url, email, phone) match counts per document — the audit
+    view of the scrub pass (how much PII-shaped content a source emits).
+    Counted sequentially on the same intermediate strings as redact_pii,
+    so counts and replacements can never disagree."""
+    fields = []
+    cur = text
+    for name, pattern, token in REDACTION_PATTERNS:
+        fields.append(
+            F.size(F.regexp_extract_all(cur, F.lit(f"({pattern})"), 1)).alias(name)
+        )
+        cur = F.regexp_replace(cur, pattern, token)
+    return F.struct(*fields)

@@ -47,6 +47,33 @@ def hash_sample(
     )
 
 
+def take_per_group(
+    df: DataFrame,
+    n: int,
+    strata_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic N rows per stratum — balanced-corpus construction
+    (e.g. the same number of documents from every source). Rows rank
+    within their stratum by (hash bucket, key): the hash gives an
+    unbiased draw, the key breaks bucket ties totally, and both are pure
+    row functions, so the pick is reproducible across runs, engines and
+    partitionings. One window shuffle keyed by the stratum; at 100 TB a
+    skewed stratum is one hot partition — acceptable because the window
+    only ranks (no payload aggregation), and AQE splits the sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     fractions: dict[str, float],

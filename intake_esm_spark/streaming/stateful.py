@@ -91,3 +91,42 @@ def running_user_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
         "update",
         timeout_conf,
     )
+
+
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming side of incremental exact dedup — the ingest-pipeline
+    twin of ``operators.dedup.dedup_exact_incremental``: documents arrive
+    as a stream, rows whose normalized fingerprint already exists in the
+    STATIC history are dropped by a stream-static LEFT ANTI join
+    (re-planned per micro-batch; the history side is reduced to distinct
+    16-byte fingerprints, the broadcastable shape), and in-stream repeats
+    are removed by fingerprint with ``dropDuplicatesWithinWatermark``
+    when ``ts_col`` is given (bounded state: a fingerprint is remembered
+    for ``watermark``), or unbounded ``dropDuplicates`` otherwise (state
+    grows with distinct documents — only for bounded backfills).
+
+    Survivor rule differs from the batch operator by necessity: a stream
+    keeps the FIRST ARRIVAL per fingerprint, not the min id (a stream
+    cannot see the future to pick a smaller id). The surviving
+    fingerprint SET is identical.
+    """
+    from intake_esm_spark.functions.text import fingerprint_md5
+
+    from pyspark.sql import functions as F
+
+    hist_fp = history_df.select(
+        fingerprint_md5(F.col(text_col)).alias("__fp")
+    ).distinct()
+    s = stream_df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+    s = s.join(hist_fp, on="__fp", how="left_anti")
+    if ts_col is not None and stream_df.isStreaming:
+        s = s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
+    else:
+        s = s.dropDuplicates(["__fp"])
+    return s.drop("__fp")

@@ -78,6 +78,20 @@ def test_hash_sample_monotone_in_fraction(keyed):
     assert small <= big
 
 
+def test_take_per_group_exact_n_and_deterministic(keyed):
+    out = sampling.take_per_group(keyed, 7, "lang", "doc_id")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang == {"en": 7, "de": 7, "zh": 7}
+    again = sampling.take_per_group(keyed.repartition(5), 7, "lang", "doc_id")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # n larger than a stratum keeps the whole stratum
+    all_of = sampling.take_per_group(keyed, 10_000, "lang", "doc_id")
+    assert all_of.count() == 2000
+
+
 def test_vocab_topk_counts_and_tiebreak(spark):
     docs = spark.createDataFrame(
         [

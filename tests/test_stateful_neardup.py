@@ -52,6 +52,53 @@ def test_running_totals_streaming_matches_batch(spark, tmp_path):
         assert abs(streamed[uid][1] - t) < 1e-6
 
 
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """Documents streamed through stream_dedup_exact must surface exactly
+    the fingerprints that batch incremental dedup keeps: history dups
+    dropped by the stream-static anti join, in-stream repeats collapsed
+    to one survivor."""
+    from intake_esm_spark.functions.text import fingerprint_md5
+    from intake_esm_spark.streaming.stateful import stream_dedup_exact
+
+    docs = load_table(spark, SF_DIR, "documents")
+    history = docs.filter(F.col("doc_id") >= 250)
+    expected_fps = {
+        r["fp"]
+        for r in docs.select(fingerprint_md5(F.col("text")).alias("fp"))
+        .subtract(history.select(fingerprint_md5(F.col("text")).alias("fp")))
+        .collect()
+    }
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src_dir / "documents.parquet")
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema).format("parquet").load(str(src_dir))
+    )
+    out = stream_dedup_exact(stream, history)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT text FROM stream_dedup").collect()
+    finally:
+        q.stop()
+    got_fps = {
+        r["fp"]
+        for r in spark.createDataFrame([(x["text"],) for x in rows], "text string")
+        .select(fingerprint_md5(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert got_fps == expected_fps
+    assert len(rows) == len(got_fps)  # one survivor per fingerprint
+
+
 def test_near_dup_pipeline_matches_exact(spark):
     """LSH-candidates + verify must reproduce the exact all-pairs result on
     real documents (the production path's correctness claim)."""
