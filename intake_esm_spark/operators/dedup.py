@@ -524,8 +524,10 @@ def write_lsh_index(
     index (plus a parameter sidecar, Hadoop-FS-written like the IVF one).
     This is what makes near-dup dedup INCREMENTAL: a new batch signatures
     only itself and band-joins against the stored (id, band, band_hash)
-    rows — the 100 TB history is never re-shingled. Index size is
-    ``bands`` shorts-and-longs per document, ~10⁻⁴ of corpus bytes."""
+    rows, so the history is re-shingled only for the CANDIDATE documents
+    the probe actually flags (the exact-Jaccard verify needs their
+    shingle sets) — never wholesale. Index size is ``bands``
+    shorts-and-longs per document, ~10⁻⁴ of corpus bytes."""
     import json as _json
 
     banded = _banded_rows(docs, text_col, id_col, num_hashes, bands, shingle_n)
