@@ -196,3 +196,73 @@ def test_compiled_pattern_flags_translate(flags):
     assert out.startswith("(?")
     if flags & re.IGNORECASE:
         assert "i" in out[: out.index(")")]
+
+
+# -- round-4 operator properties ---------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_equals_union_find(spark, pairs):
+    """Hypothesis-generated pair graphs: the large-star/small-star
+    fixpoint must equal a driver-side union-find on every graph."""
+    from intake_esm_spark.operators import dedup
+
+    if not pairs:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in {x for p in pairs for x in p}}
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(
+            spark.createDataFrame(list(pairs), "id_a long, id_b long")
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.text(
+        alphabet=st.characters(max_codepoint=127, blacklist_categories=("Cc", "Cs")),
+        max_size=120,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_redaction_portable_java_vs_re2(spark, text):
+    """Arbitrary ASCII text: the redaction chain must produce the SAME
+    output under Spark's Java regex and DuckDB's RE2 — the portability
+    contract the text_redact oracle rests on."""
+    from intake_esm_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    import duckdb
+
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(tx.redact_pii(F.col("text")))
+        .collect()[0][0]
+    )
+    cur = text
+    for _, pattern, token in tx.REDACTION_PATTERNS:
+        cur = duckdb.execute(
+            "SELECT regexp_replace(?, ?, ?, 'g')", [cur, pattern, token]
+        ).fetchone()[0]
+    assert got == cur
