@@ -180,15 +180,31 @@ def rolling_hashes(text: Column, n: int = 5) -> Column:
 
 # -- PII-style redaction -----------------------------------------------------
 # Patterns are kept to the RE2 ∩ Java-regex portable subset (character
-# classes, bounded quantifiers, alternation — no lookarounds/backrefs), so
-# the SAME pattern strings run in Spark's rlike/regexp_replace AND in a
-# DuckDB oracle. Order matters: URLs first (they may contain '@' and
-# digits), then emails, then phone-like runs.
+# classes, bounded quantifiers, alternation — no lookarounds/backrefs),
+# so the SAME pattern strings run in Spark's rlike/regexp_replace AND in
+# a DuckDB oracle. Shorthand classes are AVOIDED where the engines'
+# definitions differ: Java's \s includes U+000B (vertical tab), RE2's
+# does not, so whitespace is spelled as an explicit class. Order
+# matters: URLs first (they may contain '@' and digits), then emails,
+# then phone-like runs.
+#
+# Phone shapes require either a leading '+' or a separator after the
+# first 2-4 digits, so pure digit runs (IDs, '12345678') and decimals
+# with a short integer part ('3.14159265') pass through unredacted.
+# Residual false positives are numbers formatted exactly like phones
+# (e.g. space-grouped dates) — indistinguishable without context; the
+# redaction_counts audit view exists to quantify exactly this.
+
+_WS = r" \t\n\x0B\f\r"  # explicit whitespace: identical in Java and RE2
 
 REDACTION_PATTERNS: list[tuple[str, str, str]] = [
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", rf"https?://[^{_WS}]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    (
+        "phone",
+        r"\+[0-9][0-9()\-\. ]{6,14}[0-9]|[0-9]{2,4}[()\-\. ][0-9()\-\. ]{3,11}[0-9]",
+        "<PHONE>",
+    ),
 ]
 
 

@@ -430,6 +430,18 @@ def near_duplicates(
     )
 
 
+def history_fingerprints(history_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct normalized fingerprints of a history corpus as a one-column
+    ``__fp`` frame — the probe side of incremental dedup (batch anti-join
+    and streaming stream-static join). Spread first so a single-file
+    history doesn't hash serially."""
+    return (
+        _spread(history_df.select(text_col))
+        .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
+        .distinct()
+    )
+
+
 def dedup_exact_incremental(
     new_df: DataFrame,
     history_df: DataFrame,
@@ -445,11 +457,7 @@ def dedup_exact_incremental(
     the anti-join, so the join shuffles fingerprints, not bodies; the
     within-batch pass is the same single-exchange ``min_by`` aggregation
     as :func:`dedup_exact`."""
-    hist_fp = (
-        _spread(history_df.select(text_col))
-        .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
-        .distinct()
-    )
+    hist_fp = history_fingerprints(history_df, text_col)
     cols = new_df.columns
     batch = _spread(new_df).select(
         F.struct(*cols).alias("__row"), fingerprint_md5(F.col(text_col)).alias("__fp")

@@ -59,7 +59,10 @@ def take_per_group(
     within their stratum by (hash bucket, key): the hash gives an
     unbiased draw, the key breaks bucket ties totally, and both are pure
     row functions, so the pick is reproducible across runs, engines and
-    partitionings. One window shuffle keyed by the stratum; at 100 TB a
+    partitionings. **Precondition: ``key_col`` must be unique within each
+    stratum** — duplicate keys tie on both sort terms and row_number then
+    depends on partition order, which is exactly the nondeterminism this
+    operator exists to avoid. One window shuffle keyed by the stratum; at 100 TB a
     skewed stratum is one hot partition — acceptable because the window
     only ranks (no payload aggregation), and AQE splits the sort."""
     from pyspark.sql import Window

@@ -116,13 +116,16 @@ def stream_dedup_exact(
     cannot see the future to pick a smaller id). The surviving
     fingerprint SET is identical.
     """
-    from intake_esm_spark.functions.text import fingerprint_md5
-
     from pyspark.sql import functions as F
 
-    hist_fp = history_df.select(
-        fingerprint_md5(F.col(text_col)).alias("__fp")
-    ).distinct()
+    from intake_esm_spark.functions.text import fingerprint_md5
+    from intake_esm_spark.operators.dedup import history_fingerprints
+
+    # persist: a stream-static join re-executes the static side on EVERY
+    # micro-batch — without materialization each trigger would re-scan
+    # and re-fingerprint the whole history (which dwarfs the batch's own
+    # work at any real history size)
+    hist_fp = history_fingerprints(history_df, text_col).persist()
     s = stream_df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
     s = s.join(hist_fp, on="__fp", how="left_anti")
     if ts_col is not None and stream_df.isStreaming:

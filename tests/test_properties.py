@@ -239,17 +239,26 @@ def test_connected_components_equals_union_find(spark, pairs):
     assert got == expected
 
 
+from hypothesis import example
+
+
 @given(
     st.text(
-        alphabet=st.characters(max_codepoint=127, blacklist_categories=("Cc", "Cs")),
+        # control characters INCLUDED (only NUL excluded — parameter
+        # binding chokes on it): Java-\s vs RE2-\s divergence lives at
+        # U+000B, which a Cc blacklist would silently exempt
+        alphabet=st.characters(min_codepoint=1, max_codepoint=127),
         max_size=120,
     )
 )
-@settings(max_examples=30, deadline=None)
+@example("see https://a.b\x0bnext")  # the \s-portability regression shape
+@example("pi is 3.14159265 and id 12345678")  # must NOT phone-redact
+@example("call +44 20 7946 0958 or (555) 123-4567")
+@settings(max_examples=40, deadline=None)
 def test_redaction_portable_java_vs_re2(spark, text):
-    """Arbitrary ASCII text: the redaction chain must produce the SAME
-    output under Spark's Java regex and DuckDB's RE2 — the portability
-    contract the text_redact oracle rests on."""
+    """Arbitrary ASCII text (control chars included): the redaction chain
+    must produce the SAME output under Spark's Java regex and DuckDB's
+    RE2 — the portability contract the text_redact oracle rests on."""
     from intake_esm_spark.functions import text as tx
     from pyspark.sql import functions as F
 
