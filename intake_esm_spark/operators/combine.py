@@ -132,10 +132,14 @@ def _scan_plan(
         for r in head:
             by_fmt.setdefault(r["__f"], []).append(r["__p"])
         return by_fmt, True
-    # directory mode — per-asset paths stay on the executors
-    manifests = pf.filter(F.col("__f") == "reference").collect()
+    # directory mode — per-asset paths stay on the executors. Manifests
+    # and tar:// chain URLs are exempt (both are driver-parsed metadata;
+    # a dirname of a tar URL is meaningless), so their exact paths are
+    # always collected.
+    exempt = (F.col("__f") == "reference") | F.col("__p").startswith("tar://")
+    manifests = pf.filter(exempt).collect()
     dirs = (
-        pf.filter(F.col("__f") != "reference")
+        pf.filter(~exempt)
         .select(
             F.regexp_replace("__p", r"/[^/]*$", "").alias("__d"), "__f"
         )
@@ -154,12 +158,30 @@ def _scan_plan(
         seen[r["__d"]] = r["__f"]
         by_fmt.setdefault(r["__f"], []).append(r["__d"])
     for r in manifests:
-        by_fmt.setdefault("reference", []).append(r["__p"])
+        by_fmt.setdefault(r["__f"], []).append(r["__p"])
     return by_fmt, False
 
 
 def _read_format(spark: SparkSession, fmt: str, fpaths: list[str]) -> DataFrame:
     """One scan per format, each row tagged with its source asset path."""
+    tar_paths = [p for p in fpaths if asset_readers.is_tar_url(p)]
+    if tar_paths:
+        # tar members are driver-staged to local files (reference
+        # source.py:100 semantics); rows are tagged with the ORIGINAL
+        # tar:// URL so the catalog attach matches the catalog entry
+        plain = [p for p in fpaths if not asset_readers.is_tar_url(p)]
+        parts = [_read_format(spark, fmt, plain)] if plain else []
+        for t in tar_paths:
+            local = asset_readers.stage_tar_url(t)
+            parts.append(
+                asset_readers.read_assets(spark, fmt, [local]).withColumn(
+                    "__asset_path", _norm(F.lit(t))
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
     if fmt == "reference":
         # manifest source: tag member rows with the MANIFEST path (the
         # catalog row points at the manifest, not the member files)

@@ -161,11 +161,18 @@ def load_catalog(
     if desc.catalog_dict is not None:
         df, dtypes = read_catalog_dict(spark, desc.catalog_dict)
     elif desc.catalog_file is not None:
-        fmt = infer_format(desc.catalog_file)
+        cat_file = desc.catalog_file
+        if cat_file.startswith("tar://"):
+            # archive-member catalog (reference S11): stage the member
+            # driver-side — a catalog table is metadata-scale by contract
+            from intake_esm_spark.sources.assets import stage_tar_url
+
+            cat_file = stage_tar_url(cat_file)
+        fmt = infer_format(cat_file)
         if fmt == "csv":
-            df, dtypes = read_catalog_csv(spark, desc.catalog_file, desc.iterable_dtypes or None)
+            df, dtypes = read_catalog_csv(spark, cat_file, desc.iterable_dtypes or None)
         else:
-            df, dtypes = read_catalog_parquet(spark, desc.catalog_file, desc.iterable_dtypes or None)
+            df, dtypes = read_catalog_parquet(spark, cat_file, desc.iterable_dtypes or None)
     else:
         raise ValueError("descriptor has neither catalog_file nor catalog_dict")
     if not desc.iterable_dtypes:

@@ -200,7 +200,13 @@ class ESMCatalogDescriptor:
         with open(json_path) as f:
             d = json.load(f)
         desc = cls.from_dict(d)
-        if desc.catalog_file and not os.path.isabs(desc.catalog_file):
+        # scheme-qualified URLs (tar://member::archive, s3a://...) are
+        # never relative paths — the join would mangle them
+        if (
+            desc.catalog_file
+            and "://" not in desc.catalog_file
+            and not os.path.isabs(desc.catalog_file)
+        ):
             candidate = os.path.join(os.path.dirname(os.path.abspath(json_path)),
                                      desc.catalog_file)
             if os.path.exists(candidate) or not os.path.exists(desc.catalog_file):

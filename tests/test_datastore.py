@@ -533,3 +533,94 @@ def test_derived_uses_catalog_variables_no_probe(spark, catalog_env, monkeypatch
     captured.clear()
     sub.to_dataset_dict(preprocess=lambda df: df)
     assert captured["dataset_variables"] is None
+
+
+def test_tar_archive_assets(spark, tmp_path):
+    """S11: tar://member::archive chain URLs (reference source.py:100,
+    test_source.py:58-75) — the member is driver-staged via stdlib
+    tarfile and rows attach against the ORIGINAL tar URL in the
+    catalog."""
+    import tarfile
+
+    inner = tmp_path / "inner.parquet"
+    pd.DataFrame(
+        {"time": range(4), "value": [7.0] * 4, "variable": ["SHF"] * 4}
+    ).to_parquet(str(inner))
+    archive = tmp_path / "assets.tar"
+    with tarfile.open(archive, "w") as tf:
+        tf.add(str(inner), arcname="inner.parquet")
+    tar_url = f"tar://inner.parquet::{archive}"
+
+    plain = tmp_path / "plain.parquet"
+    pd.DataFrame(
+        {"time": range(4), "value": [9.0] * 4, "variable": ["SHF"] * 4}
+    ).to_parquet(str(plain))
+
+    json_path = _dir_catalog(
+        tmp_path,
+        [
+            dict(component="ocn", experiment="TAR", variable="SHF", member_id=1, path=tar_url),
+            dict(component="ocn", experiment="PLAIN", variable="SHF", member_id=2, path=str(plain)),
+        ],
+    )
+    cat = open_esm_datastore(json_path, spark=spark)
+    dsets = cat.to_dataset_dict()
+    assert sorted(dsets) == ["ocn.PLAIN", "ocn.TAR"]
+    assert {r["value"] for r in dsets["ocn.TAR"].collect()} == {7.0}
+    assert {r["value"] for r in dsets["ocn.PLAIN"].collect()} == {9.0}
+    assert dsets["ocn.TAR"].select("member_id").distinct().collect()[0][0] == 1
+
+
+def test_tar_archive_catalog_file(spark, tmp_path):
+    """A catalog CSV inside a tar archive loads through the same chain-URL
+    form on catalog_file."""
+    import tarfile
+
+    asset = tmp_path / "a.parquet"
+    pd.DataFrame(
+        {"time": range(3), "value": [1.0] * 3, "variable": ["SHF"] * 3}
+    ).to_parquet(str(asset))
+    csv_inner = tmp_path / "catalog_inner.csv"
+    pd.DataFrame(
+        [dict(component="ocn", experiment="CTRL", variable="SHF", member_id=1, path=str(asset))]
+    ).to_csv(csv_inner, index=False)
+    archive = tmp_path / "cat.tar"
+    with tarfile.open(archive, "w") as tf:
+        tf.add(str(csv_inner), arcname="catalog_inner.csv")
+
+    desc = {
+        "esmcat_version": "0.1.0",
+        "id": "tar_cat",
+        "description": "catalog in a tarball",
+        "attributes": [],
+        "assets": {"column_name": "path", "format": "parquet"},
+        "aggregation_control": {
+            "variable_column_name": "variable",
+            "groupby_attrs": ["component", "experiment"],
+            "aggregations": [],
+        },
+        "catalog_file": f"tar://catalog_inner.csv::{archive}",
+    }
+    json_path = tmp_path / "cat.json"
+    json_path.write_text(json.dumps(desc))
+    cat = open_esm_datastore(str(json_path), spark=spark)
+    assert cat.df.count() == 1
+    dsets = cat.to_dataset_dict()
+    assert list(dsets) == ["ocn.CTRL"] and dsets["ocn.CTRL"].count() == 3
+
+
+def test_tar_member_path_escape_raises(tmp_path):
+    """A malicious member path must not escape the staging dir."""
+    import tarfile
+
+    from intake_esm_spark.sources.assets import stage_tar_url
+
+    victim = tmp_path / "payload.txt"
+    victim.write_text("x")
+    archive = tmp_path / "evil.tar"
+    with tarfile.open(archive, "w") as tf:
+        tf.add(str(victim), arcname="../../escaped.txt")
+    with pytest.raises(Exception):
+        stage_tar_url(f"tar://../../escaped.txt::{archive}")
+    with pytest.raises(ValueError, match="malformed tar URL"):
+        stage_tar_url("tar://no-archive-part")
