@@ -200,6 +200,40 @@ def test_lsh_index_incremental_matches_all_pairs(spark, tmp_path, docs):
     assert all(a >= 10 or b >= 10 for a, b in got)
 
 
+def test_incremental_edge_cases(spark, tmp_path, docs):
+    """Empty batch and no-candidate batch must return empty frames, not
+    crash; an empty history index still surfaces in-batch pairs."""
+    hist = docs.filter(F.col("doc_id") <= 4)
+    path = str(tmp_path / "idx")
+    dedup.write_lsh_index(hist, path, num_hashes=32, bands=16, shingle_n=3)
+    empty_batch = docs.filter(F.col("doc_id") < 0)
+    assert (
+        dedup.near_duplicates_incremental(spark, path, hist, empty_batch).count() == 0
+    )
+    assert dedup.dedup_exact_incremental(empty_batch, hist).count() == 0
+    unrelated = spark.createDataFrame(
+        [(50, "totally novel words that no history document shares at all")],
+        ["doc_id", "text"],
+    )
+    assert (
+        dedup.near_duplicates_incremental(spark, path, hist, unrelated).count() == 0
+    )
+    # empty-history index: in-batch pair still found
+    path2 = str(tmp_path / "idx2")
+    dedup.write_lsh_index(docs.filter(F.col("doc_id") < 0), path2, shingle_n=3)
+    twins = spark.createDataFrame(
+        [
+            (60, "identical twin text in the incoming batch only here"),
+            (61, "identical twin text in the incoming batch only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = dedup.near_duplicates_incremental(
+        spark, path2, docs.filter(F.col("doc_id") < 0), twins, threshold=0.8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(60, 61)}
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C (A and C never directly paired) must land all three in ONE
     component with the min id as canonical — the property the pair-local

@@ -99,8 +99,11 @@ def test_q1_whole_stage_codegen(spark, queries):
         "simsearch_pairs",
         "docs_hash_sample",
         "docs_sample_stratified",
+        "docs_sample_per_source",
         "text_vocab",
+        "text_redact",
         "docs_length_hist",
+        "dedup_exact_incr",
     ],
 )
 def test_hot_paths_stay_jvm_side(spark, queries, name):
