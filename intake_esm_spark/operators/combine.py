@@ -167,21 +167,28 @@ def _read_format(spark: SparkSession, fmt: str, fpaths: list[str]) -> DataFrame:
     tar_paths = [p for p in fpaths if asset_readers.is_tar_url(p)]
     if tar_paths:
         # tar members are driver-staged to local files (reference
-        # source.py:100 semantics); rows are tagged with the ORIGINAL
-        # tar:// URL so the catalog attach matches the catalog entry
+        # source.py:100 semantics), read in ONE scan per format, and each
+        # row is mapped back to its ORIGINAL tar:// URL (so the catalog
+        # attach matches the catalog entry) via a chained when() over
+        # input_file_name — not one scan+union per archive member
         plain = [p for p in fpaths if not asset_readers.is_tar_url(p)]
-        parts = [_read_format(spark, fmt, plain)] if plain else []
-        for t in tar_paths:
-            local = asset_readers.stage_tar_url(t)
-            parts.append(
-                asset_readers.read_assets(spark, fmt, [local]).withColumn(
-                    "__asset_path", _norm(F.lit(t))
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        staged = {t: asset_readers.stage_tar_url(t) for t in tar_paths}
+        tagged = None
+        for orig, local in staged.items():
+            cond = _norm(F.input_file_name()) == _norm(F.lit(local))
+            tag = _norm(F.lit(orig))
+            tagged = F.when(cond, tag) if tagged is None else tagged.when(cond, tag)
+        # fallback keeps the physical path: in strict mode an unmapped
+        # file then fails the attach LOUDLY instead of matching nothing
+        tagged = tagged.otherwise(_norm(F.input_file_name()))
+        tar_df = asset_readers.read_assets(spark, fmt, list(staged.values())).withColumn(
+            "__asset_path", tagged
+        )
+        if not plain:
+            return tar_df
+        return _read_format(spark, fmt, plain).unionByName(
+            tar_df, allowMissingColumns=True
+        )
     if fmt == "reference":
         # manifest source: tag member rows with the MANIFEST path (the
         # catalog row points at the manifest, not the member files)

@@ -72,14 +72,25 @@ def stage_tar_url(url: str) -> str:
     fsspec form, source.py:100; test_source.py:58-75) to a local extracted
     file, via stdlib ``tarfile`` — no fsspec dependency needed.
 
-    Staging is DRIVER-side and cached per (archive, member) for the
-    session, mirroring the reference's behavior. That is the right scale
-    trade: tar is not splittable, so archive members are inherently
+    Staging is performed on the DRIVER and cached per (archive, member,
+    archive mtime+size) — a rewritten archive re-stages instead of
+    serving a stale member. Staged dirs are removed at interpreter exit.
+    Extraction uses the 'data' filter (with an equivalent manual guard on
+    interpreters predating the backport), so a malicious member path
+    (absolute / ``..``) raises instead of escaping the staging dir.
+
+    Deployment note: the staged file is subsequently read by a Spark
+    scan, so on a MULTI-NODE cluster the staging directory must be on a
+    filesystem the executors can also see — set
+    ``SPARK_GRAFT_TAR_STAGE_DIR`` to a shared mount (NFS/posix-mounted
+    object store). Local mode (and any shared-FS cluster) needs nothing.
+    Tar is not splittable, so archive members are inherently
     metadata-scale inputs — a 100 TB corpus belongs in a splittable
     container (parquet directories), not a tarball; MIGRATION.md says so
-    explicitly. Extraction uses the 'data' filter, so a malicious member
-    path (absolute / ``..``) raises instead of escaping the staging dir.
+    explicitly.
     """
+    import atexit
+    import shutil
     import tarfile
     import tempfile
 
@@ -89,11 +100,23 @@ def stage_tar_url(url: str) -> str:
         raise ValueError(
             f"malformed tar URL {url!r}; expected tar://member::archive"
         )
-    key = f"{archive}::{member}"
+    stat = os.stat(archive)
+    key = f"{archive}::{member}::{stat.st_mtime_ns}::{stat.st_size}"
     if key not in _TAR_STAGE_CACHE:
-        out_dir = tempfile.mkdtemp(prefix="tar_stage_")
+        base = os.environ.get("SPARK_GRAFT_TAR_STAGE_DIR")
+        out_dir = tempfile.mkdtemp(prefix="tar_stage_", dir=base)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
         with tarfile.open(archive) as tf:
-            tf.extract(member, path=out_dir, filter="data")
+            try:
+                tf.extract(member, path=out_dir, filter="data")
+            except TypeError:
+                # 'filter' kwarg needs >=3.10.12/3.11.4; equivalent guard
+                parts = member.replace("\\", "/").split("/")
+                if member.startswith(("/", "\\")) or ".." in parts:
+                    raise ValueError(
+                        f"tar member path {member!r} escapes the staging dir"
+                    ) from None
+                tf.extract(member, path=out_dir)
         _TAR_STAGE_CACHE[key] = os.path.join(out_dir, member)
     return _TAR_STAGE_CACHE[key]
 

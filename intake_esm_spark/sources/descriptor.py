@@ -200,15 +200,22 @@ class ESMCatalogDescriptor:
         with open(json_path) as f:
             d = json.load(f)
         desc = cls.from_dict(d)
-        # scheme-qualified URLs (tar://member::archive, s3a://...) are
-        # never relative paths — the join would mangle them
-        if (
+        json_dir = os.path.dirname(os.path.abspath(json_path))
+        if desc.catalog_file and desc.catalog_file.startswith("tar://"):
+            # resolve a RELATIVE ARCHIVE part against the JSON's dir (the
+            # member part is archive-internal, never a filesystem path)
+            member, sep, archive = desc.catalog_file[len("tar://"):].partition("::")
+            if sep and archive and "://" not in archive and not os.path.isabs(archive):
+                candidate = os.path.join(json_dir, archive)
+                if os.path.exists(candidate) or not os.path.exists(archive):
+                    desc.catalog_file = f"tar://{member}::{candidate}"
+        elif (
             desc.catalog_file
+            # other scheme-qualified URLs (s3a://...) are never relative
             and "://" not in desc.catalog_file
             and not os.path.isabs(desc.catalog_file)
         ):
-            candidate = os.path.join(os.path.dirname(os.path.abspath(json_path)),
-                                     desc.catalog_file)
+            candidate = os.path.join(json_dir, desc.catalog_file)
             if os.path.exists(candidate) or not os.path.exists(desc.catalog_file):
                 desc.catalog_file = candidate
         return desc

@@ -620,7 +620,65 @@ def test_tar_member_path_escape_raises(tmp_path):
     archive = tmp_path / "evil.tar"
     with tarfile.open(archive, "w") as tf:
         tf.add(str(victim), arcname="../../escaped.txt")
-    with pytest.raises(Exception):
+    with pytest.raises(Exception) as ei:
         stage_tar_url(f"tar://../../escaped.txt::{archive}")
+    # a TypeError would mean the 'filter' kwarg was rejected (feature
+    # broken), not that the escape was blocked
+    assert not isinstance(ei.value, TypeError)
     with pytest.raises(ValueError, match="malformed tar URL"):
         stage_tar_url("tar://no-archive-part")
+
+
+def test_tar_relative_archive_resolved_against_json_dir(spark, tmp_path, monkeypatch):
+    """A tar catalog_file with a RELATIVE archive part must resolve
+    against the descriptor JSON's directory, not the process cwd."""
+    import tarfile
+
+    asset = tmp_path / "b.parquet"
+    pd.DataFrame(
+        {"time": range(2), "value": [4.0] * 2, "variable": ["SHF"] * 2}
+    ).to_parquet(str(asset))
+    csv_inner = tmp_path / "inner.csv"
+    pd.DataFrame(
+        [dict(component="ocn", experiment="REL", variable="SHF", member_id=1, path=str(asset))]
+    ).to_csv(csv_inner, index=False)
+    with tarfile.open(tmp_path / "relcat.tar", "w") as tf:
+        tf.add(str(csv_inner), arcname="inner.csv")
+    desc = {
+        "esmcat_version": "0.1.0",
+        "id": "rel_tar",
+        "assets": {"column_name": "path", "format": "parquet"},
+        "aggregation_control": {
+            "variable_column_name": "variable",
+            "groupby_attrs": ["experiment"],
+            "aggregations": [],
+        },
+        "catalog_file": "tar://inner.csv::relcat.tar",
+    }
+    json_path = tmp_path / "rel.json"
+    json_path.write_text(json.dumps(desc))
+    monkeypatch.chdir("/")  # cwd must not matter
+    cat = open_esm_datastore(str(json_path), spark=spark)
+    assert cat.df.count() == 1
+    assert list(cat.to_dataset_dict()) == ["REL"]
+
+
+def test_tar_restage_after_archive_rewrite(spark, tmp_path):
+    """Rewriting an archive must re-stage, not serve the stale member."""
+    import tarfile
+    import time as _time
+
+    from intake_esm_spark.sources.assets import stage_tar_url
+
+    inner = tmp_path / "v.csv"
+    inner.write_text("a\n1\n")
+    archive = tmp_path / "v.tar"
+    with tarfile.open(archive, "w") as tf:
+        tf.add(str(inner), arcname="v.csv")
+    first = open(stage_tar_url(f"tar://v.csv::{archive}")).read()
+    _time.sleep(0.01)
+    inner.write_text("a\n2\n")
+    with tarfile.open(archive, "w") as tf:
+        tf.add(str(inner), arcname="v.csv")
+    second = open(stage_tar_url(f"tar://v.csv::{archive}")).read()
+    assert first != second and "2" in second
