@@ -58,6 +58,11 @@ class ESMDataStore:
         self.derivedcat = registry or DerivedVariableRegistry()
         self._requested_variables = requested_variables or []
         self.sep = sep
+        # _df is immutable per instance, so the group-attr profile (a
+        # catalog aggregation job) and the key list are computed at most
+        # once per datastore
+        self._attrs_cache: list[str] | None = None
+        self._keys_cache: list[str] | None = None
         self._validate_registry()
 
     # -- construction --------------------------------------------------------
@@ -137,11 +142,13 @@ class ESMDataStore:
     # -- grouping / keys -------------------------------------------------------
 
     def _effective_attrs(self) -> list[str]:
-        return grouping.effective_groupby_attrs(
-            self._df,
-            self.descriptor.groupby_attrs,
-            self.descriptor.aggregation_control is not None,
-        )
+        if self._attrs_cache is None:
+            self._attrs_cache = grouping.effective_groupby_attrs(
+                self._df,
+                self.descriptor.groupby_attrs,
+                self.descriptor.aggregation_control is not None,
+            )
+        return self._attrs_cache
 
     @property
     def key_template(self) -> str:
@@ -149,9 +156,13 @@ class ESMDataStore:
         return self.sep.join(attrs)
 
     def keys(self) -> list[str]:
-        attrs = self._effective_attrs()
-        rows = grouping.group_keys(self._df, attrs, self.sep).select("key").collect()
-        return sorted(r["key"] for r in rows)
+        if self._keys_cache is None:
+            attrs = self._effective_attrs()
+            rows = (
+                grouping.group_keys(self._df, attrs, self.sep).select("key").collect()
+            )
+            self._keys_cache = sorted(r["key"] for r in rows)
+        return self._keys_cache
 
     def keys_info(self) -> DataFrame:
         """One row per dataset key with its group attribute values."""
@@ -186,7 +197,15 @@ class ESMDataStore:
 
     def __getitem__(self, key: str) -> DataFrame:
         """Catalog rows of one dataset group (reference: the records that
-        feed one ESMDataSource, core.py:311-341)."""
+        feed one ESMDataSource, core.py:311-341). An unknown key raises
+        KeyError like the reference (core.py:343-345) — a silently empty
+        DataFrame gives downstream code zero rows with no diagnostic.
+        The key list is cached per instance, so repeated access costs no
+        extra jobs."""
+        if key not in self:
+            raise KeyError(
+                f"{key!r} not found in catalog; available keys: {self.keys()[:20]}"
+            )
         attrs = self._effective_attrs()
         return self._df.filter(grouping.key_column(attrs, self.sep) == key)
 
@@ -238,7 +257,12 @@ class ESMDataStore:
                     results = results.unionByName(res)
                     dependents.extend(dv.dependent_variables(var_col))
                     derived_subset[name] = dv
-            results = results.dropDuplicates()
+            if derived_subset:
+                # dedup only when derived results were actually merged
+                # (reference gates on query_results, core.py:490-493) —
+                # a plain variable search must neither drop legitimate
+                # duplicate catalog rows nor pay a full-width shuffle
+                results = results.dropDuplicates()
 
         new_desc = copy.deepcopy(self.descriptor)
         new_desc.catalog_file = None
@@ -292,10 +316,19 @@ class ESMDataStore:
         combined, attrs = self._combined_plan(aggregate, requested_variables, sep=sep)
         if preprocess is not None:
             combined = preprocess(combined)
-        keys = [
-            r["key"]
-            for r in combined.select("key").distinct().collect()
-        ]
+            # a preprocess may drop whole groups, so only then is a key
+            # probe of the combined rows needed
+            keys = [r["key"] for r in combined.select("key").distinct().collect()]
+        else:
+            # keys come from the CATALOG — one metadata-scale job, never
+            # a distinct scan over asset-scale data (same reasoning as
+            # _catalog_dataset_variables)
+            keys = [
+                r["key"]
+                for r in grouping.group_keys(self._df, attrs, sep)
+                .select("key")
+                .collect()
+            ]
         datasets = {k: combined.filter(F.col("key") == k) for k in sorted(keys)}
         var_col = self.descriptor.variable_column_name
         if len(self.derivedcat) and var_col:
@@ -406,13 +439,11 @@ class ESMDataStore:
         return combined
 
     def to_datatree(self, **kwargs: Any) -> dict[str, DataFrame]:
-        """Dataset dict keyed by '/'-joined paths (reference core.py:765-867)."""
-        old_sep = self.sep
-        self.sep = "/"
-        try:
-            return self.to_dataset_dict(**kwargs)
-        finally:
-            self.sep = old_sep
+        """Dataset dict keyed by '/'-joined paths (reference core.py:765-867).
+        Passes sep through rather than mutating shared state — a
+        concurrent reader of this datastore must never observe '/'."""
+        kwargs.setdefault("sep", "/")
+        return self.to_dataset_dict(**kwargs)
 
     def to_dask(self, **kwargs: Any) -> DataFrame:
         """Single-dataset accessor: errors unless exactly one group

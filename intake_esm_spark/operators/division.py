@@ -54,7 +54,22 @@ def apply_require_all_on(
     if not rao or not keys:
         return df
 
-    condition = list(itertools.product(*[tuple(v) for v in sub_query.values()]))
+    # dedup combinations exactly like the reference's set() (_search.py:90)
+    # — duplicate query values must not inflate the required distinct
+    # count (countDistinct could never reach it and every group would be
+    # dropped); dict.fromkeys keeps a deterministic order
+    condition = list(
+        dict.fromkeys(itertools.product(*[tuple(v) for v in sub_query.values()]))
+    )
+    # a compiled-pattern value can never equal a concrete cell value, so
+    # the subset test is unsatisfiable — the reference returns an empty
+    # frame here (condition.issubset(index) with a Pattern element is
+    # always False, _search.py:93); mirror that instead of crashing on
+    # F.lit(re.Pattern)
+    import re as _re
+
+    if any(isinstance(v, _re.Pattern) for combo in condition for v in combo):
+        return df.limit(0)
 
     exploded = df
     for c in set(iterable_columns) & set(keys):

@@ -89,8 +89,13 @@ def column_mask(
         return F.lit(False)
     masks: list[Column] = []
     for value in values:
-        if is_na(value):
-            masks.append(col.isNull())
+        # iterable branch FIRST, mirroring the reference's branch order
+        # (_search.py:46-52): a null value against an iterable column
+        # matches NOTHING there (str.contains(None) yields an all-NaN
+        # mask that collapses to False under pandas logical ops), not
+        # NULL cells
+        if is_iterable and is_na(value):
+            masks.append(F.lit(False))
         elif is_iterable:
             if isinstance(value, re.Pattern):
                 # extension: a compiled pattern against an iterable column
@@ -105,6 +110,8 @@ def column_mask(
                 # explicitly bypassed (reference regex=False,
                 # _search.py:47-48)
                 masks.append(F.array_contains(col, value))
+        elif is_na(value):
+            masks.append(col.isNull())
         elif is_pattern(value) and isinstance(dtype, T.StringType):
             masks.append(col.rlike(to_java_regex(value)))
         else:

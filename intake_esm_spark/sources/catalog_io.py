@@ -184,17 +184,42 @@ def load_catalog(
 
 
 def _encode_iterable_column(col_name: str, kind: str) -> F.Column:
-    """array<string> -> the original serialized Python repr for CSV output."""
-    arr = F.array_sort(F.col(col_name)) if kind == "set" else F.col(col_name)
-    quoted = F.transform(arr, lambda x: F.concat(F.lit("'"), x, F.lit("'")))
+    """array<string> -> the original serialized Python repr for CSV output.
+
+    NULL cells stay NULL (an empty collection is a different value — the
+    old encoding silently wrote '[]'/'()' for NULL and reloaded it as an
+    empty collection). Elements containing a quote character raise at
+    write time: the quote-swap decoder cannot round-trip them, and a loud
+    failure beats silently corrupting the saved catalog."""
+    src = F.col(col_name)
+    arr = F.array_sort(src) if kind == "set" else src
+    checked = F.transform(
+        arr,
+        lambda x: F.when(
+            x.rlike("[\"']"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"cannot serialize iterable column {col_name!r}: "
+                        "element contains a quote character, which the "
+                        "CSV codec cannot round-trip: "
+                    ),
+                    x,
+                )
+            ),
+        ).otherwise(x),
+    )
+    quoted = F.transform(checked, lambda x: F.concat(F.lit("'"), x, F.lit("'")))
     body = F.concat_ws(", ", quoted)
     if kind == "tuple":
         # single-element tuples need the trailing comma: ('SHF',)
-        return F.when(
+        encoded = F.when(
             F.size(arr) == 1, F.concat(F.lit("("), body, F.lit(",)"))
-        ).otherwise(F.concat(F.lit("("), body, F.lit(")"))).alias(col_name)
-    open_b, close_b = ("{", "}") if kind == "set" else ("[", "]")
-    return F.concat(F.lit(open_b), body, F.lit(close_b)).alias(col_name)
+        ).otherwise(F.concat(F.lit("("), body, F.lit(")")))
+    else:
+        open_b, close_b = ("{", "}") if kind == "set" else ("[", "]")
+        encoded = F.concat(F.lit(open_b), body, F.lit(close_b))
+    return F.when(src.isNull(), F.lit(None)).otherwise(encoded).alias(col_name)
 
 
 def save_catalog(
@@ -242,6 +267,26 @@ def save_catalog(
         out_desc.save_json(json_path)
         return json_path
 
+    # honor the reference's to_csv_kwargs channel for compression
+    # (cat.py:221-224); silently dropping options a user passed is worse
+    # than rejecting the ones this writer doesn't support
+    if to_csv_kwargs:
+        kw = dict(to_csv_kwargs)
+        kw_comp = kw.pop("compression", None)
+        if kw:
+            raise ValueError(
+                f"unsupported to_csv_kwargs {sorted(kw)}; this writer "
+                "supports only 'compression' (pass Spark CSV options via "
+                "the engine API instead)"
+            )
+        if kw_comp is not None:
+            if compression is not None and compression != kw_comp:
+                raise ValueError(
+                    "conflicting compression settings: "
+                    f"compression={compression!r} vs to_csv_kwargs "
+                    f"compression={kw_comp!r}"
+                )
+            compression = kw_comp
     if compression is not None and compression not in ("gzip", "bzip2"):
         raise ValueError(
             f"unsupported compression {compression!r}: the extension map "

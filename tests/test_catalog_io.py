@@ -155,3 +155,42 @@ def test_relative_catalog_file_resolution(tmp_path):
     desc = ESMCatalogDescriptor.load(str(desc_path))
     assert os.path.isabs(desc.catalog_file)
     assert os.path.exists(desc.catalog_file)
+
+
+def test_null_iterable_cell_round_trips_as_null(spark, tmp_path):
+    """NULL collection cells must stay NULL through CSV save/load — the
+    old encoder wrote '()' and reloaded an empty collection."""
+    from intake_esm_spark.sources import catalog_io
+    from intake_esm_spark.sources.descriptor import Assets, ESMCatalogDescriptor
+
+    df = spark.createDataFrame(
+        [("p1", ["SHF", "SST"]), ("p2", None)],
+        "path string, variable array<string>",
+    )
+    desc = ESMCatalogDescriptor(
+        id="nulls", assets=Assets(column_name="path", format="parquet")
+    )
+    desc.iterable_dtypes = {"variable": "tuple"}
+    out_json = catalog_io.save_catalog(df, desc, "nulls", str(tmp_path))
+    import json as _json
+
+    desc2 = ESMCatalogDescriptor.load(out_json)
+    df2, _ = catalog_io.load_catalog(spark, desc2)
+    rows = {r["path"]: r["variable"] for r in df2.collect()}
+    assert rows["p1"] == ["SHF", "SST"]
+    assert rows["p2"] is None
+
+
+def test_quote_in_iterable_element_raises_on_save(spark, tmp_path):
+    from intake_esm_spark.sources import catalog_io
+    from intake_esm_spark.sources.descriptor import Assets, ESMCatalogDescriptor
+
+    df = spark.createDataFrame(
+        [("p1", ["O'Brien"])], "path string, variable array<string>"
+    )
+    desc = ESMCatalogDescriptor(
+        id="quotes", assets=Assets(column_name="path", format="parquet")
+    )
+    desc.iterable_dtypes = {"variable": "list"}
+    with pytest.raises(Exception, match="quote character"):
+        catalog_io.save_catalog(df, desc, "quotes", str(tmp_path))

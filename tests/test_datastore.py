@@ -682,3 +682,43 @@ def test_tar_restage_after_archive_rewrite(spark, tmp_path):
         tf.add(str(inner), arcname="v.csv")
     second = open(stage_tar_url(f"tar://v.csv::{archive}")).read()
     assert first != second and "2" in second
+
+
+def test_getitem_unknown_key_raises(spark, catalog_env):
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    with pytest.raises(KeyError):
+        cat["typo.in.key"]
+
+
+def test_search_without_derived_keeps_duplicates(spark, catalog_env):
+    """A plain variable search must not silently drop duplicate catalog
+    rows (reference dedups only after merging derived results)."""
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    doubled = ESMDataStore(
+        spark, cat.descriptor, cat.df.unionByName(cat.df), sep=cat.sep
+    )
+    sub = doubled.search(experiment="CTRL", variable="SHF")
+    assert sub.df.count() == 8  # 4 rows, duplicated, preserved
+
+
+def test_serialize_honors_to_csv_kwargs_compression(spark, catalog_env, tmp_path):
+    from intake_esm_spark.sources import catalog_io
+
+    cat = open_esm_datastore(catalog_env, spark=spark)
+    out_json = catalog_io.save_catalog(
+        cat.df,
+        cat.descriptor,
+        "gz_via_kwargs",
+        str(tmp_path),
+        catalog_type="file",
+        to_csv_kwargs={"compression": "gzip"},
+    )
+    saved = json.load(open(out_json))
+    assert saved["catalog_file"].endswith(".csv.gz")
+    cat2 = open_esm_datastore(out_json, spark=spark)
+    assert cat2.df.count() == cat.df.count()
+    with pytest.raises(ValueError, match="unsupported to_csv_kwargs"):
+        catalog_io.save_catalog(
+            cat.df, cat.descriptor, "bad", str(tmp_path),
+            catalog_type="file", to_csv_kwargs={"sep": ";"},
+        )

@@ -227,6 +227,51 @@ def test_search_require_all_on_iterables(spark):
     assert sorted(r["path"] for r in results.collect()) == ["file1", "file3", "file4"]
 
 
+def test_require_all_on_duplicate_values_dedup(spark):
+    """Duplicate query values must not inflate the required combo count
+    (reference dedups with set(), _search.py:90) — before the fix every
+    group was silently dropped because countDistinct could never reach
+    the duplicated length."""
+    rows = [
+        ("f1", ["A"], 1, ["bx"]),
+        ("f2", ["A"], 1, ["bx"]),
+    ]
+    df = spark.createDataFrame(rows, ITER_SCHEMA)
+    q = Query.normalize({"variable": ["A", "A"]}, df.columns, ["attr"])
+    results = apply_require_all_on(search(df, q), q, {"variable"})
+    assert sorted(r["path"] for r in results.collect()) == ["f1", "f2"]
+
+
+def test_require_all_on_compiled_pattern_returns_empty(spark):
+    """A compiled-pattern value can never equal a concrete cell value in
+    the subset test, so the reference returns an empty frame — this must
+    not crash at plan-build time."""
+    import re
+
+    df = spark.createDataFrame(ITER_ROWS, ITER_SCHEMA)
+    q = Query.normalize(
+        {"variable": [re.compile("A.*")]}, df.columns, ["attr"]
+    )
+    results = apply_require_all_on(search(df, q), q, {"variable"})
+    assert results.count() == 0
+
+
+def test_null_value_on_iterable_column_matches_nothing(spark):
+    """Reference branch order (_search.py:46-52): the iterable branch
+    runs before the NA branch, and str.contains(None) collapses to an
+    all-False mask — a null query value on an iterable column matches
+    neither NULL cells nor anything else."""
+    rows = [("f1", None, 1, None), ("f2", ["A"], 2, ["bx"])]
+    df = spark.createDataFrame(rows, ITER_SCHEMA)
+    q = Query.normalize({"variable": [None]}, df.columns)
+    assert search(df, q).count() == 0
+    # on a NON-iterable column, None still means isNull
+    rows2 = [("f1", "x"), ("f2", None)]
+    df2 = spark.createDataFrame(rows2, "path string, attr string")
+    q2 = Query.normalize({"attr": [None]}, df2.columns)
+    assert [r["path"] for r in search(df2, q2).collect()] == ["f2"]
+
+
 def test_unknown_column_errors(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(QueryError):
