@@ -119,10 +119,14 @@ def payload_stats(df: DataFrame) -> DataFrame:
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
     (the decode of each frame is the stubbed stage). Demonstrates the
-    explode-by-sequence pattern that keeps sampling declarative."""
+    explode-by-sequence pattern that keeps sampling declarative.
+    ``explode_outer``: a video whose duration is unknown (null metadata,
+    common before probing) yields ONE marker row with a null
+    frame_ts_ms — dropping it silently would hide the asset from the
+    decode stage with no diagnostic."""
     return df.filter(F.col("media_type") == "video").select(
         "media_id",
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 F.lit(0),
                 F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),

@@ -29,8 +29,14 @@ def asof_join(
     """pd.merge_asof semantics, distributed.
 
     Columns of ``right`` (except key/ts) are appended to ``left`` rows,
-    taken from the nearest earlier (backward) or later (forward) right row
-    per key. ``tolerance`` is an INTERVAL string (e.g. '10 minutes').
+    taken from the nearest earlier (backward) or later (forward) right
+    ROW per key — the whole matched row, as one unit: the window picks a
+    single right-row struct, so nulls inside right value columns can
+    never mix values from different right rows (per-column
+    ``last(ignorenulls)`` would synthesize rows that never existed).
+    ``tolerance`` is an INTERVAL string (e.g. '10 minutes') for timestamp
+    ``ts_col``, or a number for numeric ``ts_col`` (pd.merge_asof
+    supports both).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -69,24 +75,31 @@ def asof_join(
             F.col(ts_col).desc(), F.col("__side").asc()
         ).rowsBetween(Window.unboundedPreceding, 0)
 
-    filled = unioned
-    for c in value_cols:
-        filled = filled.withColumn(
-            f"__asof_{c}", F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    matched_ts = F.last(
-        F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True
-    ).over(w)
-    filled = filled.withColumn("__matched_ts", matched_ts)
+    # ONE struct per right row: the fill picks whole rows, never mixes
+    right_row = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col(ts_col).alias("__rts"), *[F.col(c) for c in value_cols]
+        ),
+    )
+    filled = unioned.withColumn(
+        "__asof", F.last(right_row, ignorenulls=True).over(w)
+    )
 
     out = filled.filter(F.col("__side") == 1)
     for c in value_cols:
-        out = out.withColumn(c, F.col(f"__asof_{c}")).drop(f"__asof_{c}")
+        out = out.withColumn(c, F.col(f"__asof.{c}"))
+    out = out.withColumn("__matched_ts", F.col("__asof.__rts"))
     if tolerance is not None:
+        delta = (
+            F.lit(tolerance)
+            if isinstance(tolerance, (int, float))
+            else F.expr(f"INTERVAL {tolerance}")
+        )
         bound = (
-            F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+            F.col(ts_col) - delta
             if direction == "backward"
-            else F.col(ts_col) + F.expr(f"INTERVAL {tolerance}")
+            else F.col(ts_col) + delta
         )
         in_tol = (
             (F.col("__matched_ts") >= bound)
@@ -95,7 +108,7 @@ def asof_join(
         )
         for c in value_cols:
             out = out.withColumn(c, F.when(in_tol, F.col(c)))
-    return out.drop("__side", "__matched_ts").select(
+    return out.drop("__side", "__matched_ts", "__asof").select(
         *left.columns, *value_cols
     )
 
@@ -109,7 +122,12 @@ def range_join(
     end_col: str,
 ) -> DataFrame:
     """Inner join where ``left.ts`` falls in ``[right.start, right.end]``,
-    equi-keyed on ``on`` so the planner hash-partitions by key first."""
+    equi-keyed on ``on`` so the planner hash-partitions by key first.
+    Right columns colliding with left names get the pandas-style _right
+    suffix (same rule as asof_join) so the result is unambiguous."""
+    collisions = (set(right.columns) - {on, start_col, end_col}) & set(left.columns)
+    for c in collisions:
+        right = right.withColumnRenamed(c, f"{c}_right")
     return left.join(
         right,
         (left[on] == right[on])

@@ -35,14 +35,15 @@ def null_profile(df: DataFrame, columns: list[str]) -> dict[str, str]:
     aggregation pass."""
     if not columns:
         return {}
-    aggs = []
+    # one shared total + one non-null count per column (a per-column
+    # count(1) would double the aggregation state for the same answer)
+    aggs = [F.count(F.lit(1)).alias("__total")]
     for c in columns:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.count(F.lit(1)).alias(f"__n_{c}"))
     row = df.agg(*aggs).collect()[0]
     out = {}
     for c in columns:
-        non_null, total = row[f"__nn_{c}"], row[f"__n_{c}"]
+        non_null, total = row[f"__nn_{c}"], row["__total"]
         if non_null == 0:
             out[c] = "all_null"
         elif non_null == total:

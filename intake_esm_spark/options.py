@@ -8,8 +8,6 @@ exposed as dataset metadata (reference F10: ``intake_esm_attrs:<col>``);
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 OPTIONS: dict[str, str] = {
     "attrs_prefix": "intake_esm_attrs",
     "dataset_key": "intake_esm_dataset_key",
@@ -18,19 +16,26 @@ OPTIONS: dict[str, str] = {
 _VALID = set(OPTIONS)
 
 
-@contextmanager
-def set_options(**kwargs: str):
-    """Temporarily (or, used without ``with``, permanently) override options.
+class set_options:
+    """Set engine options — permanently when called plainly, scoped when
+    used as a context manager (the reference's dual-use class shape,
+    utils.py:127-184; a @contextmanager would make the plain call a
+    silent no-op that also skips validation).
 
-    >>> with set_options(attrs_prefix="my_prefix"):
+    >>> set_options(attrs_prefix="my_prefix")          # applies now
+    >>> with set_options(attrs_prefix="tmp_prefix"):   # restored on exit
     ...     ...
     """
-    bad = sorted(set(kwargs) - _VALID)
-    if bad:
-        raise ValueError(f"unknown options {bad}; valid: {sorted(_VALID)}")
-    old = {k: OPTIONS[k] for k in kwargs}
-    OPTIONS.update(kwargs)
-    try:
-        yield OPTIONS
-    finally:
-        OPTIONS.update(old)
+
+    def __init__(self, **kwargs: str) -> None:
+        bad = sorted(set(kwargs) - _VALID)
+        if bad:
+            raise ValueError(f"unknown options {bad}; valid: {sorted(_VALID)}")
+        self._old = {k: OPTIONS[k] for k in kwargs}
+        OPTIONS.update(kwargs)
+
+    def __enter__(self) -> dict[str, str]:
+        return OPTIONS
+
+    def __exit__(self, *exc) -> None:
+        OPTIONS.update(self._old)

@@ -40,12 +40,16 @@ def write_bucketed(
     """Write ``df`` as a bucketed (and optionally sorted) parquet table.
 
     ``sort_cols`` defaults to ``bucket_cols`` — sorted buckets let a
-    same-key join skip its Sort as well as its Exchange.
+    same-key join skip its Sort as well as its Exchange. Pass ``[]`` to
+    write unsorted buckets (Exchange elimination only, skipping the
+    per-task sort cost).
     """
     writer = (
         df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     )
-    writer = writer.sortBy(*(sort_cols if sort_cols is not None else bucket_cols))
+    effective_sort = sort_cols if sort_cols is not None else bucket_cols
+    if effective_sort:
+        writer = writer.sortBy(*effective_sort)
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)

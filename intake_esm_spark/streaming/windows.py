@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 def _exact_sum(col: str):
     """Order-independent double sum (decimal accumulate): identical results
     across partitionings/engines — required for oracle parity and helpful
-    for deterministic streaming re-runs."""
-    return F.sum(F.expr(f"CAST({col} AS DECIMAL(18,6))")).cast("double")
+    for deterministic streaming re-runs. DECIMAL(32,6) per value: a
+    narrower cast (18,6) turns any |value| >= 10^12 into NULL under
+    non-ANSI mode and silently drops it from the sum."""
+    return F.sum(F.expr(f"CAST({col} AS DECIMAL(32,6))")).cast("double")
 
 
 def tumbling_counts(
@@ -107,7 +109,16 @@ def dedup_within_watermark(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Stateful streaming dedup: first occurrence of each key wins; state
-    evicts past the watermark. Batch fallback: plain dropDuplicates."""
+    evicts past the watermark. Batch fallback picks the EARLIEST row per
+    key (row_number over ts) — plain dropDuplicates keeps an arbitrary
+    row, which would make batch-vs-streaming parity checks flaky."""
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
-    return df.dropDuplicates(key_cols)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

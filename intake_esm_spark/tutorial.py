@@ -8,7 +8,12 @@ entries; users register their own.
 from __future__ import annotations
 
 DEFAULT_CATALOGS: dict[str, str] = {
-    # public, well-known ESM catalog descriptors
+    # the reference's own tutorial keys and URLs (tutorial.py:9-13) —
+    # code ported from intake-esm must resolve the same names
+    "aws_cesm2_le": "https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/AWS-CESM2-LENS.json",
+    "aws_cmip6": "https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/AWS-CMIP6.json",
+    "google_cmip6": "https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/GOOGLE-CMIP6.json",
+    # extension aliases for the full public Pangeo/CMIP6 catalog
     "google-cmip6": "https://storage.googleapis.com/cmip6/pangeo-cmip6.json",
     "pangeo-cmip6": "https://storage.googleapis.com/cmip6/pangeo-cmip6.json",
 }
@@ -18,6 +23,11 @@ _registry = dict(DEFAULT_CATALOGS)
 
 def register_catalog(name: str, url: str) -> None:
     _registry[name] = url
+
+
+def get_available_cats() -> list[str]:
+    """Reference API parity (tutorial.py:45-56)."""
+    return list(_registry)
 
 
 def get_url(name: str) -> str:

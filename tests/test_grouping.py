@@ -70,3 +70,44 @@ def test_unique_nunique_iterables(spark, frame):
 def test_unique_empty_frame(spark):
     df = spark.createDataFrame([], "a string, b string")
     assert grouping.unique(df) == {"a": [], "b": []}
+
+
+def test_set_options_plain_call_applies_and_validates():
+    from intake_esm_spark.options import OPTIONS, set_options
+
+    orig = OPTIONS["attrs_prefix"]
+    try:
+        set_options(attrs_prefix="plain_prefix")  # no 'with' — must apply
+        assert OPTIONS["attrs_prefix"] == "plain_prefix"
+    finally:
+        set_options(attrs_prefix=orig)
+    with set_options(attrs_prefix="scoped"):
+        assert OPTIONS["attrs_prefix"] == "scoped"
+    assert OPTIONS["attrs_prefix"] == orig
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        set_options(bogus="x")
+
+
+def test_tutorial_reference_names():
+    from intake_esm_spark import tutorial
+
+    # the reference's own keys must resolve (ported code compatibility)
+    for name in ["aws_cesm2_le", "aws_cmip6", "google_cmip6"]:
+        assert tutorial.get_url(name).startswith("https://")
+    assert "aws_cmip6" in tutorial.get_available_cats()
+
+
+def test_dedup_within_watermark_batch_keeps_earliest(spark):
+    from intake_esm_spark.streaming.windows import dedup_within_watermark
+
+    df = spark.createDataFrame(
+        [("k1", 10, "late"), ("k1", 5, "early"), ("k2", 7, "only")],
+        "key string, ts long, tag string",
+    )
+    out = {
+        r["key"]: r["tag"]
+        for r in dedup_within_watermark(df, ["key"], ts_col="ts").collect()
+    }
+    assert out == {"k1": "early", "k2": "only"}

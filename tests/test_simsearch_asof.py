@@ -316,3 +316,41 @@ def test_ivf_indexed_sidecar_columns_and_empty_queries(spark, tmp_path):
     )
     assert empty.count() == 0
     assert set(empty.columns) == {"query_id", "doc_id", "cos_sim"}
+
+
+def test_asof_join_fills_whole_rows_not_columns(spark):
+    """Nulls inside right value columns must not cause values from
+    DIFFERENT right rows to be stitched together (pd.merge_asof returns
+    the matched row as a unit)."""
+    left = spark.createDataFrame([(1, 20, "t1")], ["user_id", "ts", "trade"])
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, None), (1, 15, None, 7.0)],
+        "user_id long, ts long, price double, size double",
+    )
+    out = asof.asof_join(left, right, on="user_id", ts_col="ts").collect()[0]
+    # the matched row is ts=15: price null, size 7 — NOT (100.0, 7.0)
+    assert out["price"] is None and out["size"] == 7.0
+
+
+def test_asof_join_numeric_tolerance(spark):
+    left = spark.createDataFrame([(1, 100, "t1"), (1, 200, "t2")], ["user_id", "ts", "trade"])
+    right = spark.createDataFrame([(1, 95, 1.0), (1, 120, 2.0)], ["user_id", "ts", "price"])
+    out = {
+        r["trade"]: r["price"]
+        for r in asof.asof_join(
+            left, right, on="user_id", ts_col="ts", tolerance=10
+        ).collect()
+    }
+    assert out == {"t1": 1.0, "t2": None}  # 200-120=80 > 10 -> out of tolerance
+
+
+def test_range_join_suffixes_collisions(spark):
+    events = spark.createDataFrame([(1, 12, "ev")], ["user_id", "ts", "name"])
+    windows = spark.createDataFrame(
+        [(1, 10, 20, "w1")], ["user_id", "start", "end", "name"]
+    )
+    out = asof.range_join(
+        events, windows, on="user_id", ts_col="ts", start_col="start", end_col="end"
+    )
+    row = out.collect()[0]
+    assert row["name"] == "ev" and row["name_right"] == "w1"
