@@ -839,24 +839,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Entry ORDER is load-bearing: the correctness driver records at most
+    # 50 entries, so the queries whose oracles are newest / least
+    # driver-confirmed go FIRST (r4 recorded exactly the first 50 and the
+    # tail-positioned simsearch_* rows silently fell off). The tail is
+    # reserved for entries that were driver-green in every round r1-r4
+    # (rotate them back in once the head stabilizes).
     return {
+        "simsearch_scores": q_simsearch_scores,
+        "simsearch_topk": q_simsearch_topk,
+        "simsearch_pairs": q_simsearch_pairs,
+        "simsearch_pairs_blocked": q_simsearch_pairs_blocked,
+        "simsearch_ivf": q_simsearch_ivf,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
         "search_eq": q_search_eq,
         "search_isin": q_search_isin,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
         "search_membership": q_search_membership,
         "require_all_on": q_require_all_on,
-        "groupby_keys": q_groupby_keys,
-        "nunique": q_nunique,
-        "unique_flat": q_unique_flat,
-        "union_dedup": q_union_dedup,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
         "top_suppliers": q_top_suppliers,
         "cube_rollup": q_cube_rollup,
         "events_hourly": q_events_hourly,
-        "events_json": q_events_json,
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -879,8 +887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_prefix_groups": q_dedup_prefix_groups,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_near": q_dedup_near,
         "dedup_components": q_dedup_components,
@@ -890,11 +896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
-        "simsearch_scores": q_simsearch_scores,
-        "simsearch_topk": q_simsearch_topk,
-        "simsearch_pairs": q_simsearch_pairs,
-        "simsearch_pairs_blocked": q_simsearch_pairs_blocked,
-        "simsearch_ivf": q_simsearch_ivf,
+        # ---- rotation tail: driver-green r1-r4, sacrificed to the 50-cap
+        "groupby_keys": q_groupby_keys,
+        "nunique": q_nunique,
+        "unique_flat": q_unique_flat,
+        "union_dedup": q_union_dedup,
+        "events_json": q_events_json,
     }
 
 
