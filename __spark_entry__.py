@@ -331,14 +331,16 @@ def q_dedup_prefix_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (no SQL oracle — hash-function-specific;
-    verified instead by q_dedup_jaccard containment in tests)."""
+    """MinHash-LSH candidate pairs — full SQL oracle since the switch to
+    the engine-portable hash family (see _minhash_oracle_sql): DuckDB
+    recomputes the exact candidate set bit-for-bit."""
     docs = load_table(spark, sf, "documents")
     return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle_n=5)
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (no SQL oracle — hash-function-specific)."""
+    """SimHash near-dup pairs — full SQL oracle (_simhash_oracle_sql)
+    over the portable 60-bit shingle hashes."""
     docs = load_table(spark, sf, "documents")
     return dedup.simhash_candidates(docs, shingle_n=5, max_hamming=3)
 
@@ -1035,6 +1037,81 @@ _SIMSEARCH_PAIRS_SQL = """
 """
 
 
+def _h60_sql(x: str) -> str:
+    """DuckDB rendering of functions.text.portable_hash60 — first 15 hex
+    chars of md5 as a 60-bit non-negative BIGINT (same formulation the
+    sampling oracles use)."""
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 16) -> str:
+    """Bit-exact DuckDB replay of dedup.minhash_lsh_candidates: the same
+    60-bit md5 base hash, the same perm_coeffs affine permutations (the
+    coefficient literals are generated from the SAME dedup.perm_coeffs
+    call the engine uses, so the two sides cannot drift), and the same
+    md5 band hash. The oracle recomputes the exact candidate pair set —
+    not a containment approximation."""
+    p = dedup.MERSENNE_P
+    rpb = num_hashes // bands
+    mins = ",\n                 ".join(
+        f"list_aggregate(list_transform(hv, h -> ({a} * (h % {p}) + {b}) % {p}), 'min') AS h{i}"
+        for i, (a, b) in enumerate(dedup.perm_coeffs(num_hashes))
+    )
+    arms = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _h60_sql(
+            "concat_ws(',', " + ", ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb)) + ")"
+        )
+        + " AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+        ), hv_t AS (
+          SELECT doc_id, list_transform(shingles, s -> {_h60_sql('s')}) AS hv FROM sh
+        ), sig AS (
+          SELECT doc_id, {mins} FROM hv_t
+        ), bands AS (
+          {arms}
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Bit-exact DuckDB replay of dedup.simhash_candidates: per-bit
+    majority votes over the portable 60-bit shingle hashes (2*ones > n
+    == vote sum > 0), 16-bit chunk blocking, exact Hamming filter. Bits
+    60-63 of the engine's 64-bit layout are constant 0, so the oracle
+    sums bits 0-59 only."""
+    sh64 = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hv, h -> ((h >> {b}) & 1) = 1)) > len(hv)"
+        f" THEN {1 << b} ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+        ), hv_t AS (
+          SELECT doc_id, list_transform(shingles, s -> {_h60_sql('s')}) AS hv FROM sh
+        ), sig AS (
+          SELECT doc_id, CAST({sh64} AS BIGINT) AS sh64 FROM hv_t
+        ), chunks AS (
+          SELECT doc_id, sh64, c.chunk, (sh64 >> (c.chunk * 16)) & 65535 AS chunk_val
+          FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 CAST(bit_count(xor(l.sh64, r.sh64)) AS INT) AS hamming
+          FROM chunks l JOIN chunks r
+            ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id
+        ) WHERE hamming <= {max_hamming}
+    """
+
+
 def _redact_sql() -> str:
     """Chained-redaction oracle built from the SAME pattern table the
     engine uses (functions/text.py REDACTION_PATTERNS) — counts computed
@@ -1380,6 +1457,8 @@ def oracle_sql() -> dict[str, str]:
         # the doc-frequency cap (boilerplate-shingle guard, dedup.DEFAULT_MAX_DOC_FREQ)
         # is part of the operator's contract, so the oracle applies the SAME
         # cap — the constant is interpolated from the engine so they cannot drift
+        "dedup_minhash": _minhash_oracle_sql(num_hashes=32, bands=16),
+        "dedup_simhash": _simhash_oracle_sql(max_hamming=3),
         "dedup_jaccard": _JACCARD_PAIRS_SQL,
         # the fused LSH+verify pipeline's contract is exact equality with
         # the all-pairs pass, so it shares the oracle — see q_dedup_near

@@ -135,6 +135,17 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit engine-portable string hash: first 15 hex chars of md5 as a
+    non-negative bigint. The SAME value is computable in any engine with
+    md5 — Spark ``conv(substring(md5(x),1,15),16,10)``, DuckDB
+    ``('0x' || substring(md5(x),1,15))::BIGINT`` — which is what lets the
+    MinHash/SimHash dedup operators be hash-checked against a SQL oracle
+    (same trick as ``operators.sampling.hash_bucket``). 15 hex chars keep
+    the value < 2^60, safely inside bigint range in every engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def words_array(text: Column) -> Column:
     """Normalized word array — materialize this in its OWN projection before
     building shingles: expressions inlined into a higher-order lambda are
@@ -173,9 +184,10 @@ def shingles(text: Column, n: int = 5) -> Column:
 
 
 def rolling_hashes(text: Column, n: int = 5) -> Column:
-    """Rolling-window fingerprint: xxhash64 of each word n-gram shingle
-    (array<bigint>) — the document's hash sketch."""
-    return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+    """Rolling-window fingerprint: portable 60-bit hash of each word n-gram
+    shingle (array<bigint>) — the document's hash sketch, recomputable by
+    any md5-capable engine (see ``portable_hash60``)."""
+    return F.transform(shingles(text, n), portable_hash60)
 
 
 # -- PII-style redaction -----------------------------------------------------

@@ -4,13 +4,16 @@ Four tiers, all expressed as DataFrame plans (no driver-side loops):
 
 * **exact** — hash-groupBy on a normalized-text fingerprint. One shuffle on
   the 16-byte hash; the canonical survivor is min(id) per group.
-* **MinHash + LSH** — shingle -> per-permutation min of seeded xxhash64 ->
-  band hashes -> explode bands -> self-join on (band_idx, band_hash).
-  The join is on short band-hash keys, so candidate generation scales as
-  the number of *colliding* pairs, never the full n² — the standard
-  Broder MinHash / banding construction (Mining of Massive Datasets ch.3).
-* **SimHash** — 64-bit sign-sketch of shingle hashes; near-dups are pairs
-  within Hamming distance k, found by band-exact-match on 4 x 16-bit chunks
+* **MinHash + LSH** — shingle -> per-permutation min of an affine
+  universal hash over a 60-bit md5 base (engine-portable; see
+  ``perm_coeffs``) -> band hashes -> explode bands -> self-join on
+  (band_idx, band_hash). The join is on short band-hash keys, so
+  candidate generation scales as the number of *colliding* pairs, never
+  the full n² — the standard Broder MinHash / banding construction
+  (Mining of Massive Datasets ch.3).
+* **SimHash** — sign-sketch of 60-bit portable shingle hashes (bits 60-63
+  of the 64-bit layout are constant 0); near-dups are pairs within
+  Hamming distance k, found by band-exact-match on 4 x 16-bit chunks
   (Charikar'02 / Manku et al. WWW'07 chunking trick).
 * **exact n-gram Jaccard** — the verification stage for LSH candidates (or
   a standalone exact pass at small scale): explode shingles, equi-join on
@@ -23,15 +26,50 @@ already collapses whitespace-only docs to one shingle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from intake_esm_spark.functions.text import (
     fingerprint_md5,
+    portable_hash60,
     shingles,
     shingles_of_words,
     words_array,
 )
+
+MERSENNE_P = (1 << 31) - 1
+"""Modulus of the MinHash permutation family h_i(x) = (a_i*x + b_i) mod p.
+
+A Mersenne prime < 2^31 keeps every intermediate product a_i * (x mod p)
+below 2^62 — exact int64 arithmetic in ANY engine (Spark bigint, DuckDB
+BIGINT, C int64_t), no overflow, no wrap divergence. That is the whole
+point of this hash family over seeded xxhash64: the signature (and thus
+every LSH candidate pair) is bit-reproducible by a plain-SQL oracle."""
+
+
+def perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for the MinHash permutation
+    family, derived from md5 of the permutation index — no RNG state, no
+    seed plumbing; the same list is regenerated identically by the engine,
+    the SQL-oracle generator, and any future reimplementation.
+    a_i ∈ [1, p-1], b_i ∈ [0, p-1]."""
+
+    def _h(tag: str) -> int:
+        return int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+
+    return [
+        (_h(f"minhash-a-{i}") % (MERSENNE_P - 1) + 1, _h(f"minhash-b-{i}") % MERSENNE_P)
+        for i in range(num_hashes)
+    ]
+
+
+def _perm_min(h: Column, a: int, b: int) -> Column:
+    """min-aggregatable permuted hash: (a*(h mod p) + b) mod p. ``h`` is the
+    non-negative 60-bit ``portable_hash60`` of a shingle, so every term is
+    non-negative and ``%`` agrees across engines (no pmod concerns)."""
+    return F.min((F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P)
 
 
 def _shingle_rows(
@@ -125,15 +163,16 @@ def minhash_signature(
     text_col: str, num_hashes: int = 32, shingle_n: int = 5
 ) -> F.Column:
     """array<bigint> MinHash signature: for permutation i, the min over
-    shingles of xxhash64(i, shingle). Seeded by position — deterministic
-    across runs and engines."""
-    sh = F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-
-    def _seeded_hash(seed: int):
-        return lambda h: F.xxhash64(F.lit(seed), h)
-
+    shingles of (a_i * portable_hash60(shingle) + b_i) mod p — the
+    engine-portable universal-hash family (see ``perm_coeffs``),
+    deterministic across runs AND engines (a SQL oracle recomputes it
+    bit-exactly)."""
+    sh = F.transform(shingles(F.col(text_col), shingle_n), portable_hash60)
     sigs = [
-        F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(num_hashes)
+        F.array_min(
+            F.transform(sh, lambda h, a=a, b=b: (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P)
+        )
+        for a, b in perm_coeffs(num_hashes)
     ]
     return F.array(*sigs)
 
@@ -157,7 +196,7 @@ def minhash_lsh_candidates(
     # normalization expression tree is evaluated once per shingle instead
     # of once per permutation (the naive form was ~100x slower at sf0.1).
     hashed = _shingle_rows(df, text_col, id_col, shingle_n, distinct=False).select(
-        "id", F.xxhash64(F.col("sh")).alias("h")
+        "id", portable_hash60(F.col("sh")).alias("h")
     )
     banded = _banded_from_hashed(hashed, num_hashes, bands)
     left = banded.alias("l")
@@ -386,7 +425,7 @@ def near_duplicates(
         # verify self-join (its join key IS the partitioning key) and the
         # sizes aggregate — the text is scanned and shingled exactly once
         sh_rows = _df_capped(sh_rows, "sh", max_doc_freq)
-    hashed = sh_rows.select("id", F.xxhash64(F.col("sh")).alias("h"))
+    hashed = sh_rows.select("id", portable_hash60(F.col("sh")).alias("h"))
     banded = _banded_from_hashed(hashed, num_hashes, bands)
     l, r = banded.alias("l"), banded.alias("r")
     cand_ids = (
@@ -474,16 +513,25 @@ def _banded_from_hashed(
     hashed: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
     """(id, band, band_hash) from (id, h) shingle-hash rows — THE
-    seed-sensitive MinHash banding construction. Every producer of band
-    hashes (the candidate self-joins, the materialized index write, the
-    index probe) MUST route through this one function: cross-function
+    hash-scheme-sensitive MinHash banding construction. Every producer of
+    band hashes (the candidate self-joins, the materialized index write,
+    the index probe) MUST route through this one function: cross-function
     signature agreement is a correctness contract, not a style choice.
     Per-permutation mins are plain aggregates with map-side partials, so
-    the shuffle carries (id, num_hashes longs) per document."""
+    the shuffle carries (id, num_hashes longs) per document.
+
+    The whole chain — ``portable_hash60`` base (callers), the
+    ``perm_coeffs`` affine permutations, and the md5 band hash here — is
+    engine-portable: a DuckDB oracle recomputes the exact candidate set
+    (see ``__spark_entry__._minhash_oracle_sql``)."""
     assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
     rows_per_band = num_hashes // bands
+    coeffs = perm_coeffs(num_hashes)
     sig = hashed.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            _perm_min(F.col("h"), a, b).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
     return sig.select(
         "id",
@@ -492,8 +540,14 @@ def _banded_from_hashed(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        portable_hash60(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -514,7 +568,7 @@ def _banded_rows(
     """Banded signatures straight from a documents frame (per-doc
     distinct shingles, no doc-frequency cap) — the index/probe path."""
     hashed = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True).select(
-        "id", F.xxhash64(F.col("sh")).alias("h")
+        "id", portable_hash60(F.col("sh")).alias("h")
     )
     return _banded_from_hashed(hashed, num_hashes, bands)
 
@@ -790,7 +844,7 @@ def simhash(text_col: str, shingle_n: int = 5, bits: int = 64) -> F.Column:
     pipeline per bit; hot paths should project the hash array first and use
     ``simhash_of_hashes``)."""
     sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
-    return simhash_of_hashes(F.transform(sh, lambda s: F.xxhash64(s)), bits)
+    return simhash_of_hashes(F.transform(sh, portable_hash60), bits)
 
 
 def simhash_candidates(
@@ -807,7 +861,7 @@ def simhash_candidates(
     # no array lambdas anywhere (the expression form re-walks the shingle
     # pipeline per bit)
     hash_rows = _shingle_rows(df, text_col, id_col, shingle_n, distinct=True).select(
-        "id", F.xxhash64(F.col("sh")).alias("h")
+        "id", portable_hash60(F.col("sh")).alias("h")
     )
     votes = hash_rows.groupBy("id").agg(
         *[
