@@ -640,7 +640,12 @@ def _media_frame(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_chars") % 480).cast("int").alias("height"),
             F.lit(3).cast("int").alias("n_channels"),
             F.lit(16000).cast("int").alias("sample_rate"),
-            (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+            # every 7th-ish asset has UNKNOWN duration (null metadata, the
+            # pre-probe state) so frame_sample_plan's null-marker row is
+            # driver-verified, not just unit-tested
+            F.when(F.col("doc_id") % 7 == 3, F.lit(None).cast("long"))
+            .otherwise(F.col("n_chars").cast("long") * 10)
+            .alias("duration_ms"),
         ).alias("meta"),
     )
 
@@ -1511,7 +1516,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    unnest(range(0, greatest(CAST(n_chars AS BIGINT) * 10 - 1, 0) + 1, 1000)) AS frame_ts_ms
             FROM documents
-            WHERE CAST(doc_id % 3 AS INT) = 2
+            WHERE CAST(doc_id % 3 AS INT) = 2 AND doc_id % 7 != 3
+            UNION ALL
+            SELECT doc_id AS media_id, CAST(NULL AS BIGINT) AS frame_ts_ms
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INT) = 2 AND doc_id % 7 = 3
         """,
         "dedup_embedding": """
             SELECT e.vec_id, e.label FROM embeddings e

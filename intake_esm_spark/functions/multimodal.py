@@ -124,13 +124,16 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     common before probing) yields ONE marker row with a null
     frame_ts_ms — dropping it silently would hide the asset from the
     decode stage with no diagnostic."""
+    # the sequence must be NULL (not empty, not [0]) for a null duration:
+    # greatest() SKIPS nulls, so greatest(NULL-1, 0) = 0 would silently
+    # emit frame_ts_ms=0 — indistinguishable from a real first frame
+    seq = F.when(F.col("meta.duration_ms").isNull(), F.lit(None)).otherwise(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+            F.lit(every_ms),
+        )
+    )
     return df.filter(F.col("media_type") == "video").select(
-        "media_id",
-        F.explode_outer(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
-                F.lit(every_ms),
-            )
-        ).alias("frame_ts_ms"),
+        "media_id", F.explode_outer(seq).alias("frame_ts_ms")
     )

@@ -173,17 +173,33 @@ def _read_format(spark: SparkSession, fmt: str, fpaths: list[str]) -> DataFrame:
         # input_file_name — not one scan+union per archive member
         plain = [p for p in fpaths if not asset_readers.is_tar_url(p)]
         staged = {t: asset_readers.stage_tar_url(t) for t in tar_paths}
-        tagged = None
-        for orig, local in staged.items():
-            cond = _norm(F.input_file_name()) == _norm(F.lit(local))
-            tag = _norm(F.lit(orig))
-            tagged = F.when(cond, tag) if tagged is None else tagged.when(cond, tag)
-        # fallback keeps the physical path: in strict mode an unmapped
-        # file then fails the attach LOUDLY instead of matching nothing
-        tagged = tagged.otherwise(_norm(F.input_file_name()))
-        tar_df = asset_readers.read_assets(spark, fmt, list(staged.values())).withColumn(
-            "__asset_path", tagged
-        )
+        if fmt == "reference":
+            # a manifest scan's input files are the REFERENCED members,
+            # never the staged manifest JSON, so the input_file_name
+            # mapping below can't ever match — tag each manifest's rows
+            # with its original tar:// URL directly (same per-manifest
+            # tagging as the non-tar reference branch)
+            parts = [
+                asset_readers.read_assets(spark, fmt, [local]).withColumn(
+                    "__asset_path", _norm(F.lit(orig))
+                )
+                for orig, local in staged.items()
+            ]
+            tar_df = parts[0]
+            for p in parts[1:]:
+                tar_df = tar_df.unionByName(p, allowMissingColumns=True)
+        else:
+            tagged = None
+            for orig, local in staged.items():
+                cond = _norm(F.input_file_name()) == _norm(F.lit(local))
+                tag = _norm(F.lit(orig))
+                tagged = F.when(cond, tag) if tagged is None else tagged.when(cond, tag)
+            # fallback keeps the physical path: in strict mode an unmapped
+            # file then fails the attach LOUDLY instead of matching nothing
+            tagged = tagged.otherwise(_norm(F.input_file_name()))
+            tar_df = asset_readers.read_assets(
+                spark, fmt, list(staged.values())
+            ).withColumn("__asset_path", tagged)
         if not plain:
             return tar_df
         return _read_format(spark, fmt, plain).unionByName(

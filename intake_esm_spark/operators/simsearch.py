@@ -140,13 +140,19 @@ def cosine_pairs_blocked(
         return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
 
     def _emit(block_val, a_ids, b_ids, sims, iu, ju):
-        mask = sims[iu, ju] >= threshold
-        iu, ju = iu[mask], ju[mask]
+        # iu/ju arrive PRE-MASKED (np.nonzero of the threshold test):
+        # materializing full index grids before masking cost two
+        # max_block_rows^2 int64 arrays (~540 MB each at 8192) on top of
+        # the sims matrix; nonzero allocates only the surviving pairs
         a, b = a_ids[iu], b_ids[ju]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
             {"id_a": lo, "id_b": hi, block_col: block_val, "cos_sim": sims[iu, ju]}
         )
+
+    def _upper_hits(sims):
+        """Indices of >=threshold entries strictly above the diagonal."""
+        return np.nonzero(np.triu(sims >= threshold, k=1))
 
     if max_block_rows is None:
 
@@ -154,7 +160,7 @@ def cosine_pairs_blocked(
             ids = pdf[id_col].to_numpy()
             X = _normed(pdf)
             sims = X @ X.T
-            iu, ju = np.triu_indices(len(ids), k=1)
+            iu, ju = _upper_hits(sims)
             return _emit(pdf[block_col].iloc[0], ids, ids, sims, iu, ju)
 
         return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
@@ -188,7 +194,7 @@ def cosine_pairs_blocked(
             ids = pdf[id_col].to_numpy()
             X = _normed(pdf)
             sims = X @ X.T
-            iu, ju = np.triu_indices(len(ids), k=1)
+            iu, ju = _upper_hits(sims)
             return _emit(block_val, ids, ids, sims, iu, ju)
         a_pdf = pdf[pdf["__tile"] == ta]
         b_pdf = pdf[pdf["__tile"] == tb]
@@ -203,10 +209,7 @@ def cosine_pairs_blocked(
             )
         A, B = _normed(a_pdf), _normed(b_pdf)
         sims = A @ B.T
-        iu, ju = np.meshgrid(
-            np.arange(len(a_pdf)), np.arange(len(b_pdf)), indexing="ij"
-        )
-        iu, ju = iu.ravel(), ju.ravel()
+        iu, ju = np.nonzero(sims >= threshold)
         return _emit(
             block_val, a_pdf[id_col].to_numpy(), b_pdf[id_col].to_numpy(), sims, iu, ju
         )

@@ -130,6 +130,21 @@ def stream_dedup_exact(
     s = s.join(hist_fp, on="__fp", how="left_anti")
     if ts_col is not None and stream_df.isStreaming:
         s = s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
+    elif ts_col is not None:
+        # batch fallback with a timestamp: keep the EARLIEST row per
+        # fingerprint (ties broken by the full row for determinism) — the
+        # batch mirror of first-arrival-wins, so batch-vs-streaming parity
+        # checks compare like with like instead of an arbitrary survivor
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__fp").orderBy(
+            F.col(ts_col).asc(), *[F.col(c).asc() for c in stream_df.columns if c != ts_col]
+        )
+        s = (
+            s.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     else:
         s = s.dropDuplicates(["__fp"])
     return s.drop("__fp")

@@ -102,6 +102,40 @@ def test_mixed_format_catalog(spark, tmp_path):
     assert vals == {"SHF": 1.0, "SST": 2.0}
 
 
+def test_manifest_inside_tar_attaches_to_tar_url(spark, tmp_path):
+    """tar:// chain URL + 'reference' format: a manifest scan's input files
+    are the referenced members, never the staged manifest JSON, so rows
+    must be tagged with the original tar URL directly (combine._read_format
+    reference-in-tar branch) — previously every row fell through to the
+    physical-path fallback and the attach dropped or raised."""
+    import tarfile
+
+    from intake_esm_spark.datastore import ESMDataStore
+    from intake_esm_spark.sources.descriptor import Assets, ESMCatalogDescriptor
+
+    member = str(tmp_path / "member.parquet")
+    pd.DataFrame({"variable": ["SST"], "value": [2.0]}).to_parquet(member)
+    manifest_inner = tmp_path / "m.json"
+    manifest_inner.write_text(json.dumps({"files": [member]}))
+    archive = tmp_path / "manifests.tar"
+    with tarfile.open(archive, "w") as tf:
+        tf.add(str(manifest_inner), arcname="m.json")
+    tar_url = f"tar://m.json::{archive}"
+
+    cat_df = spark.createDataFrame(
+        [("expA", 7, tar_url, "reference")],
+        ["experiment", "member_id", "path", "format"],
+    )
+    desc = ESMCatalogDescriptor(
+        assets=Assets(column_name="path", format_column_name="format")
+    )
+    store = ESMDataStore(spark, desc, cat_df)
+    rows = store.to_dataframe().collect()
+    assert [(r["variable"], r["value"], r["member_id"]) for r in rows] == [
+        ("SST", 2.0, 7)
+    ]
+
+
 def test_set_options_context():
     assert OPTIONS["attrs_prefix"] == "intake_esm_attrs"
     with set_options(attrs_prefix="xx"):

@@ -99,6 +99,27 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path):
     assert len(rows) == len(got_fps)  # one survivor per fingerprint
 
 
+def test_stream_dedup_exact_batch_keeps_earliest(spark):
+    """Batch fallback with ts_col must keep the EARLIEST row per
+    fingerprint (the batch mirror of streaming first-arrival-wins), not an
+    arbitrary dropDuplicates survivor."""
+    import datetime as dt
+
+    from intake_esm_spark.streaming.stateful import stream_dedup_exact
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "same doc", t0 + dt.timedelta(hours=2)),
+        (2, "same doc", t0),
+        (3, "same  DOC", t0 + dt.timedelta(hours=1)),  # same normalized fp
+        (4, "other", t0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    history = spark.createDataFrame([(99, "hist", t0)], "doc_id long, text string, ts timestamp")
+    out = stream_dedup_exact(df, history, ts_col="ts")
+    assert {r["doc_id"] for r in out.collect()} == {2, 4}
+
+
 def test_near_dup_pipeline_matches_exact(spark):
     """LSH-candidates + verify must reproduce the exact all-pairs result on
     real documents (the production path's correctness claim)."""

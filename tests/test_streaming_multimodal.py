@@ -190,6 +190,19 @@ def test_frame_sample_plan(media):
     assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]
 
 
+def test_frame_sample_plan_null_duration_marker(spark):
+    """A null-duration video must yield ONE null-ts marker row, NOT a
+    frame_ts_ms=0 row (greatest() skips nulls, so the sequence must be
+    nulled explicitly before explode_outer)."""
+    rows = [
+        (1, None, "video", (None, None, None, None, None)),
+        (2, None, "video", (None, None, None, None, 1500)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {(r["media_id"], r["frame_ts_ms"]) for r in mm.frame_sample_plan(df).collect()}
+    assert out == {(1, None), (2, 0), (2, 1000)}
+
+
 def test_sliding_watermark_drops_late_data(spark, tmp_path):
     """Sliding windows' late-data path: a late event overlaps TWO already
     closed windows; the watermark must drop it from both. (Tumbling and
