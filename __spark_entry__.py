@@ -668,6 +668,44 @@ def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL stdlib decode through the production mapInPandas feature stage:
+    even doc_ids become synthesized 16-bit PCM WAVs (decoded with ``wave``),
+    odd doc_ids binary PGMs (pure-Python parser). The payload sample/pixel
+    streams are closed-form in doc_id, so the DuckDB oracle recomputes the
+    decoded features symbolically — byte-exact round-trip proof."""
+    import pandas as pd
+
+    from intake_esm_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def _gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                mm.synth_wav_payload(int(d), 64 + int(d) % 64)
+                if d % 2 == 0
+                else mm.synth_pgm_payload(int(d))
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["audio" if d % 2 == 0 else "image" for d in ids],
+                }
+            )
+
+    media = docs.mapInPandas(_gen, "media_id long, payload binary, media_type string")
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling plan (one row per sampled timestamp, decode
     stubbed): the declarative explode-by-sequence pattern."""
@@ -860,8 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf": q_simsearch_ivf,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "multimodal_features": q_multimodal_features,
         "search_eq": q_search_eq,
-        "search_isin": q_search_isin,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
         "search_membership": q_search_membership,
@@ -904,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
         # ---- rotation tail: driver-green r1-r4, sacrificed to the 50-cap
+        "search_isin": q_search_isin,
         "groupby_keys": q_groupby_keys,
         "nunique": q_nunique,
         "unique_flat": q_unique_flat,
@@ -1511,6 +1550,41 @@ def oracle_sql() -> dict[str, str]:
                    n_chars % 640 AS width,
                    n_chars % 480 AS height
             FROM documents
+        """,
+        # symbolic replay of the stdlib decoders: the WAV sample stream /
+        # PGM pixel stream are closed-form in doc_id, integer sums are
+        # exact on both sides, so every decoded feature matches bit-for-bit
+        "multimodal_features": """
+            WITH wav AS (
+              SELECT doc_id AS media_id, 64 + doc_id % 64 AS n,
+                     list_transform(range(0, 64 + doc_id % 64),
+                                    i -> (doc_id * 7 + i * 13) % 256 - 128) AS s
+              FROM documents WHERE doc_id % 2 = 0
+            ), wavf AS (
+              SELECT media_id,
+                     CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+                     1.0 AS f0, 8000.0 AS f1, CAST(n AS DOUBLE) AS f2,
+                     1000.0 * n / 8000 AS f3,
+                     CAST(list_sum(s) AS DOUBLE) / n AS f4,
+                     sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / n) AS f5,
+                     CAST(list_aggregate(s, 'min') AS DOUBLE) AS f6,
+                     CAST(list_aggregate(s, 'max') AS DOUBLE) AS f7
+              FROM wav
+            ), pgm AS (
+              SELECT doc_id AS media_id,
+                     list_transform(range(0, 128), i -> (doc_id * 3 + i * 5) % 256) AS px
+              FROM documents WHERE doc_id % 2 = 1
+            ), pgmf AS (
+              SELECT media_id,
+                     CAST(12 + 128 AS BIGINT) AS n_bytes,
+                     16.0 AS f0, 8.0 AS f1, 1.0 AS f2, 255.0 AS f3,
+                     CAST(list_sum(px) AS DOUBLE) / 128 AS f4,
+                     CAST(list_aggregate(px, 'min') AS DOUBLE) AS f5,
+                     CAST(list_aggregate(px, 'max') AS DOUBLE) AS f6,
+                     128.0 AS f7
+              FROM pgm
+            )
+            SELECT * FROM wavf UNION ALL SELECT * FROM pgmf
         """,
         "multimodal_frames": """
             SELECT doc_id AS media_id,

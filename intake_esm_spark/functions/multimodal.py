@@ -2,11 +2,13 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The decode itself is STUBBED (no image/audio codecs
-in this container — see ``DecodeNotAvailable``) behind a deterministic fake
-so the Spark-side contract — schema, batch shape, partition behavior — is
-real and tested; swapping in PIL/torchaudio later only changes the body of
-``_decode_payload``.
+``mapInPandas`` stages. Two codecs are decoded FOR REAL with the stdlib —
+WAV PCM via ``wave`` and binary PGM/PPM via a pure-Python parser — chosen
+by magic-byte sniffing; every other payload falls back to a deterministic
+byte-statistics fake (no PIL/libav in this container — see
+``DecodeNotAvailable``) so the Spark-side contract — schema, batch shape,
+partition behavior — stays exercised end-to-end. Swapping in PIL/torchaudio
+later only adds branches to ``_decode_payload``.
 """
 
 from __future__ import annotations
@@ -49,21 +51,104 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("payload_hash", T.LongType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # double, not float: the features feed value-exact comparisons
+        # against SQL oracles; float32 would round them en route
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
 
+def _decode_wav(payload: bytes) -> list[float]:
+    """Real 16-bit PCM WAV decode via stdlib ``wave``. Features:
+    [n_channels, sample_rate, n_samples, duration_ms, mean, rms, min, max].
+    Integer sums are taken EXACTLY before any float op, so an oracle that
+    recomputes the sample stream symbolically reproduces every feature
+    bit-for-bit."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        raise DecodeNotAvailable(f"only 16-bit PCM WAV supported, got width {sw}")
+    samples = struct.unpack("<%dh" % (len(raw) // 2), raw)
+    n = len(samples)
+    if n == 0:
+        return [float(nch), float(sr), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    s = sum(samples)
+    ss = sum(v * v for v in samples)
+    return [
+        float(nch),
+        float(sr),
+        float(n),
+        1000.0 * n / (sr * nch),
+        s / n,
+        math.sqrt(ss / n),
+        float(min(samples)),
+        float(max(samples)),
+    ]
+
+
+def _decode_pnm(payload: bytes) -> list[float]:
+    """Pure-Python binary PGM (P5) / PPM (P6) decode. Features:
+    [width, height, n_channels, maxval, mean, min, max, n_values]."""
+    idx = 0
+    tokens: list[bytes] = []
+    n_data = len(payload)
+    while len(tokens) < 4:
+        while idx < n_data and payload[idx : idx + 1].isspace():
+            idx += 1
+        if idx >= n_data:
+            raise DecodeNotAvailable("truncated PNM header")
+        if payload[idx : idx + 1] == b"#":
+            while idx < n_data and payload[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < n_data and not payload[idx : idx + 1].isspace():
+            idx += 1
+        tokens.append(payload[start:idx])
+    idx += 1  # exactly one whitespace byte after maxval, then raster
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise DecodeNotAvailable("2-byte-per-sample PNM not supported")
+    nch = 3 if magic == b"P6" else 1
+    px = payload[idx : idx + w * h * nch]
+    n = len(px)
+    if n == 0:
+        return [float(w), float(h), float(nch), float(maxval), 0.0, 0.0, 0.0, 0.0]
+    return [
+        float(w),
+        float(h),
+        float(nch),
+        float(maxval),
+        sum(px) / n,
+        float(min(px)),
+        float(max(px)),
+        float(n),
+    ]
+
+
 def _decode_payload(payload: bytes, media_type: str) -> list[float]:
-    """STUB decode: a real implementation would decode pixels/samples.
-    Deterministic fake: 8 float features derived from byte statistics, so
-    the pipeline shape (binary in -> fixed-length feature out) is exercised
-    end-to-end and reproducible."""
+    """Decode a payload into 8 float features. REAL decode for the two
+    stdlib-decodable codecs (sniffed by magic bytes — WAV PCM, binary
+    PGM/PPM); deterministic byte-statistics fake for everything else, so
+    the pipeline shape (binary in -> fixed-length feature out) stays
+    exercised even for codecs this container can't decode."""
     if payload is None:
         return [0.0] * 8
     n = len(payload)
     if n == 0:
         return [0.0] * 8
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
     head = payload[: min(n, 64)]
     return [
         float(n),
@@ -75,6 +160,30 @@ def _decode_payload(payload: bytes, media_type: str) -> list[float]:
         float(len(set(head))),
         float(n % 251),
     ]
+
+
+def synth_wav_payload(doc_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic mono 16-bit PCM WAV fixture: sample i is
+    ``(doc_id*7 + i*13) % 256 - 128``. The closed-form sample stream is
+    what lets a SQL oracle recompute the decoded features exactly."""
+    import io
+    import struct
+    import wave
+
+    samples = [(doc_id * 7 + i * 13) % 256 - 128 for i in range(n_samples)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack("<%dh" % n_samples, *samples))
+    return buf.getvalue()
+
+
+def synth_pgm_payload(doc_id: int, width: int = 16, height: int = 8) -> bytes:
+    """Deterministic binary PGM fixture: pixel i is ``(doc_id*3 + i*5) % 256``."""
+    px = bytes((doc_id * 3 + i * 5) % 256 for i in range(width * height))
+    return b"P5\n%d %d\n255\n" % (width, height) + px
 
 
 def extract_features(df: DataFrame) -> DataFrame:

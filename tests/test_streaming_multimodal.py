@@ -190,6 +190,55 @@ def test_frame_sample_plan(media):
     assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]
 
 
+def test_decode_wav_roundtrip():
+    """synth_wav_payload -> real stdlib wave decode -> features match the
+    closed-form sample stream."""
+    n = 100
+    feats = mm._decode_payload(mm.synth_wav_payload(17, n), "audio")
+    samples = [(17 * 7 + i * 13) % 256 - 128 for i in range(n)]
+    import math
+
+    assert feats[0] == 1.0 and feats[1] == 8000.0 and feats[2] == float(n)
+    assert feats[3] == 1000.0 * n / 8000
+    assert feats[4] == sum(samples) / n
+    assert feats[5] == math.sqrt(sum(v * v for v in samples) / n)
+    assert feats[6] == float(min(samples)) and feats[7] == float(max(samples))
+
+
+def test_decode_pgm_and_ppm():
+    feats = mm._decode_payload(mm.synth_pgm_payload(5), "image")
+    px = [(5 * 3 + i * 5) % 256 for i in range(128)]
+    assert feats[:4] == [16.0, 8.0, 1.0, 255.0]
+    assert feats[4] == sum(px) / 128
+    assert feats[5] == float(min(px)) and feats[6] == float(max(px)) and feats[7] == 128.0
+    # P6 with a header comment: 2x2 RGB
+    raw = bytes(range(12))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raw
+    f6 = mm._decode_payload(ppm, "image")
+    assert f6[:4] == [2.0, 2.0, 3.0, 255.0]
+    assert f6[7] == 12.0 and f6[5] == 0.0 and f6[6] == 11.0
+
+
+def test_decode_fallback_for_unknown_codec():
+    """Non-WAV RIFF and arbitrary bytes still take the deterministic
+    byte-stat path (schema contract holds for undecodable codecs)."""
+    feats = mm._decode_payload(b"RIFF fake audio bytes longer payload", "audio")
+    assert len(feats) == 8 and feats[0] == 36.0
+
+
+def test_extract_features_real_codecs(spark):
+    rows = [
+        (1, bytearray(mm.synth_wav_payload(1, 64)), "audio", (None, None, 1, 8000, None)),
+        (2, bytearray(mm.synth_pgm_payload(2)), "image", (16, 8, 1, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_features(df).collect()}
+    assert out[1]["feature"] == mm._decode_payload(mm.synth_wav_payload(1, 64), "audio")
+    assert out[2]["feature"] == mm._decode_payload(mm.synth_pgm_payload(2), "image")
+    assert out[1]["n_bytes"] == 44 + 2 * 64
+    assert out[2]["n_bytes"] == len(mm.synth_pgm_payload(2))
+
+
 def test_frame_sample_plan_null_duration_marker(spark):
     """A null-duration video must yield ONE null-ts marker row, NOT a
     frame_ts_ms=0 row (greatest() skips nulls, so the sequence must be
