@@ -39,6 +39,10 @@ from intake_esm_spark.plans.query import Query
 from intake_esm_spark.sources import catalog_io
 from intake_esm_spark.sources.descriptor import ESMCatalogDescriptor
 
+MAX_DATASET_KEYS = 1_000_000
+"""Cap on dataset keys materialized driver-side by keys()/to_dataset_dict().
+See ESMDataStore._bounded_key_collect."""
+
 
 class ESMDataStore:
     """A catalog handle: descriptor + lazy catalog DataFrame + registries."""
@@ -158,11 +162,29 @@ class ESMDataStore:
     def keys(self) -> list[str]:
         if self._keys_cache is None:
             attrs = self._effective_attrs()
-            rows = (
-                grouping.group_keys(self._df, attrs, self.sep).select("key").collect()
+            keys_df = grouping.group_keys(self._df, attrs, self.sep).select("key")
+            self._keys_cache = sorted(
+                r["key"] for r in self._bounded_key_collect(keys_df, "keys()")
             )
-            self._keys_cache = sorted(r["key"] for r in rows)
         return self._keys_cache
+
+    def _bounded_key_collect(self, keys_df: DataFrame, api: str) -> list:
+        """Guarded driver-side collect for APIs whose CONTRACT is a Python
+        list/dict keyed by dataset group (keys(), to_dataset_dict(), mirroring
+        the reference's dict-of-datasets API). The collect is bounded by
+        dataset-GROUP count, not rows — generous for any real catalog (the
+        reference's largest cited catalog has ~27k assets) — but a catalog
+        whose groupby attrs have pathological cardinality gets a diagnostic
+        steering to keys_info() (a DataFrame) instead of a driver OOM."""
+        rows = keys_df.limit(MAX_DATASET_KEYS + 1).collect()
+        if len(rows) > MAX_DATASET_KEYS:
+            raise ValueError(
+                f"{api} would materialize more than {MAX_DATASET_KEYS:,} "
+                "dataset keys on the driver. This catalog's groupby attrs "
+                "produce pathological group cardinality — use keys_info() "
+                "(a DataFrame) or coarser groupby_attrs instead."
+            )
+        return rows
 
     def keys_info(self) -> DataFrame:
         """One row per dataset key with its group attribute values."""
@@ -318,16 +340,22 @@ class ESMDataStore:
             combined = preprocess(combined)
             # a preprocess may drop whole groups, so only then is a key
             # probe of the combined rows needed
-            keys = [r["key"] for r in combined.select("key").distinct().collect()]
+            keys = [
+                r["key"]
+                for r in self._bounded_key_collect(
+                    combined.select("key").distinct(), "to_dataset_dict()"
+                )
+            ]
         else:
             # keys come from the CATALOG — one metadata-scale job, never
             # a distinct scan over asset-scale data (same reasoning as
             # _catalog_dataset_variables)
             keys = [
                 r["key"]
-                for r in grouping.group_keys(self._df, attrs, sep)
-                .select("key")
-                .collect()
+                for r in self._bounded_key_collect(
+                    grouping.group_keys(self._df, attrs, sep).select("key"),
+                    "to_dataset_dict()",
+                )
             ]
         datasets = {k: combined.filter(F.col("key") == k) for k in sorted(keys)}
         var_col = self.descriptor.variable_column_name

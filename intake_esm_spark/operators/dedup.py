@@ -27,6 +27,7 @@ already collapses whitespace-only docs to one shingle.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +39,12 @@ from intake_esm_spark.functions.text import (
     shingles_of_words,
     words_array,
 )
+
+_log = logging.getLogger(__name__)
+
+LAST_CC_ROUNDS: int | None = None
+"""Rounds the most recent connected_components() run took to converge —
+observable for tests/telemetry pinning the O(log²) bound (SoCC'14)."""
 
 MERSENNE_P = (1 << 31) - 1
 """Modulus of the MinHash permutation family h_i(x) = (a_i*x + b_i) mod p.
@@ -752,6 +759,7 @@ def connected_components(
 
     e = edges
     prev_sig = _sig(e)
+    rounds = 0
     for _ in range(max_iterations):
         # large-star: for every node, attach each LARGER neighbor to the
         # min of the full neighborhood (incl. self)
@@ -778,6 +786,7 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
+        rounds += 1
         sig = _sig(e2)
         if sig == prev_sig and e2.subtract(e).isEmpty():
             e = e2
@@ -788,6 +797,9 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} "
             "large-star/small-star rounds"
         )
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = rounds
+    _log.info("connected_components converged in %d rounds", rounds)
     # at the fixpoint every edge is a star edge (node -> component min);
     # roots appear only on the v side, so close over all nodes
     comp = e.groupBy("u").agg(F.min("v").alias("__comp"))

@@ -388,6 +388,7 @@ def ivf_topk_indexed(
     vec_col: str | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate cosine top-k against a :func:`write_ivf_index` table.
 
@@ -402,6 +403,12 @@ def ivf_topk_indexed(
     names the query frame's vector column when it differs from the
     corpus's. Empty query sets return an empty result like the plan-based
     variants, instead of tripping numpy on a 0-row matmul.
+
+    ``max_queries`` bounds the driver-side collect of the query set (the
+    probe-bucket computation is inherently driver-side): pointing a
+    million-row table at the query side gets a diagnostic instead of a
+    driver OOM — batch the query table, or use the plan-based
+    :func:`ivf_topk` for query sets that are themselves data-scale.
     """
     import json as _json
 
@@ -415,7 +422,16 @@ def ivf_topk_indexed(
     query_vec_col = query_vec_col or vec_col
     C = np.array(sidecar["centroids"], dtype=np.float64)  # rows already unit-norm
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = (
+        queries.select(query_id_col, query_vec_col).limit(max_queries + 1).collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_topk_indexed collects the query set to the driver to plan "
+            f"partition pruning; got more than max_queries={max_queries} rows. "
+            "Batch the query table into chunks, or use ivf_topk for "
+            "data-scale query sets."
+        )
     qid_dtype = dict(queries.dtypes)[query_id_col]
     if not q_rows:
         id_dtype = dict(spark.read.parquet(path).dtypes)[id_col]

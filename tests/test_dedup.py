@@ -302,6 +302,28 @@ def test_connected_components_empty(spark):
     assert dedup.connected_components(pairs).count() == 0
 
 
+def test_connected_components_chain_round_bound(spark):
+    """Scale probe: a 10k-node CHAIN is the worst case for naive label
+    propagation (O(diameter) = 10k rounds). Large-star/small-star must
+    close it within the SoCC'14 O(log² n) bound — in practice ~log2(n)
+    rounds — turning the docstring's complexity claim into a tested
+    invariant."""
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = dedup.connected_components(pairs)
+    comps = out.select("component_id").distinct().collect()
+    assert [r["component_id"] for r in comps] == [0]
+    assert out.count() == n
+    # ceil(log2(10k)) = 14; the exact-set confirm can add one round
+    assert dedup.LAST_CC_ROUNDS is not None
+    assert dedup.LAST_CC_ROUNDS <= 15, (
+        f"chain graph took {dedup.LAST_CC_ROUNDS} rounds — label-propagation"
+        " regression?"
+    )
+
+
 def test_dedup_components_cluster_canonical(spark):
     """Chain A~B~C: pair-local dedup (drop id_b per pair) would keep only
     A; cluster-canonical keeps the component min and every unpaired doc."""

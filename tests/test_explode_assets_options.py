@@ -136,6 +136,30 @@ def test_manifest_inside_tar_attaches_to_tar_url(spark, tmp_path):
     ]
 
 
+def test_keys_group_count_guard(spark, monkeypatch):
+    """keys()/to_dataset_dict() materialize one entry per dataset GROUP on
+    the driver (the reference's dict-of-datasets contract); a catalog with
+    pathological group cardinality must get a diagnostic steering to
+    keys_info(), not a driver OOM."""
+    import intake_esm_spark.datastore as ds_mod
+    from intake_esm_spark.datastore import ESMDataStore
+    from intake_esm_spark.sources.descriptor import Assets, ESMCatalogDescriptor
+
+    cat_df = spark.createDataFrame(
+        [(f"exp{i}", f"/tmp/a{i}.parquet") for i in range(5)],
+        ["experiment", "path"],
+    )
+    desc = ESMCatalogDescriptor(assets=Assets(column_name="path", format="parquet"))
+    monkeypatch.setattr(ds_mod, "MAX_DATASET_KEYS", 3)
+    store = ESMDataStore(spark, desc, cat_df)
+    with pytest.raises(ValueError, match="keys_info"):
+        store.keys()
+    # under the cap everything still works
+    monkeypatch.setattr(ds_mod, "MAX_DATASET_KEYS", 5)
+    store2 = ESMDataStore(spark, desc, cat_df)
+    assert len(store2.keys()) == 5
+
+
 def test_set_options_context():
     assert OPTIONS["attrs_prefix"] == "intake_esm_attrs"
     with set_options(attrs_prefix="xx"):

@@ -318,6 +318,24 @@ def test_ivf_indexed_sidecar_columns_and_empty_queries(spark, tmp_path):
     assert set(empty.columns) == {"query_id", "doc_id", "cos_sim"}
 
 
+def test_ivf_indexed_max_queries_guard(spark, tmp_path):
+    """The query set is collected driver-side to plan partition pruning;
+    beyond max_queries the call must fail with a diagnostic (batch the
+    queries / use plan-based ivf_topk), never attempt a driver-OOM-scale
+    collect."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_guard")
+    simsearch.write_ivf_index(emb, path, n_centroids=4, sample_fraction=1.0)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        simsearch.ivf_topk_indexed(spark, path, queries, k=3, max_queries=2)
+    # at the boundary it still runs
+    ok = simsearch.ivf_topk_indexed(
+        spark, path, queries.limit(2), k=3, max_queries=2
+    )
+    assert ok.count() > 0
+
+
 def test_asof_join_fills_whole_rows_not_columns(spark):
     """Nulls inside right value columns must not cause values from
     DIFFERENT right rows to be stitched together (pd.merge_asof returns
