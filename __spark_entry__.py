@@ -875,6 +875,62 @@ def q_simsearch_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-pipeline operators (round 5): shuffle/packing, contamination,
+# repetition stats
+
+
+def q_docs_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle order — 0-based position of every
+    document in the md5-keyed training order, computed with the two-phase
+    distributed prefix sum (no single-task global window)."""
+    from intake_esm_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents")
+    out = packing.global_order_index(docs, "doc_id", salt="r5", n_buckets=64)
+    return out.select("doc_id", "position")
+
+
+def q_docs_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing: documents laid end-to-end in the
+    deterministic shuffle order, cut into 2048-token training bins."""
+    from intake_esm_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents")
+    with_tok = docs.withColumn(
+        "n_tokens", tx.ws_token_count(F.col("text")).cast("bigint")
+    )
+    out = packing.pack_token_bins(
+        with_tok, "n_tokens", budget=2048, key_col="doc_id", salt="r5", n_buckets=64
+    )
+    return out.select("doc_id", "n_tokens", "token_offset", "bin_id")
+
+
+_BENCH_BUCKETS = 50_000  # 5% of sampling.HASH_BUCKETS -> benchmark split
+
+
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark contamination: a deterministic 5% hash-split of documents
+    plays the eval set; every remaining document reports its distinct
+    5-gram overlap with it (broadcast hash-join on 60-bit gram hashes)."""
+    from intake_esm_spark.operators import contamination, sampling
+
+    docs = load_table(spark, sf, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"), "bench")
+    bench = docs.filter(b < _BENCH_BUCKETS)
+    corp = docs.filter(b >= _BENCH_BUCKETS)
+    return contamination.contamination_report(corp, bench, n=5, min_overlap=1)
+
+
+def q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document repetition signals (top-2-gram fraction, distinct
+    ratio) — computed fully in-row, zero shuffle."""
+    from intake_esm_spark.operators import corpus
+
+    docs = load_table(spark, sf, "documents")
+    return corpus.repetition_stats(docs, n=2)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -891,6 +947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reserved for entries that were driver-green in every round r1-r4
     # (rotate them back in once the head stabilizes).
     return {
+        "docs_shuffle": q_docs_shuffle,
+        "docs_pack_bins": q_docs_pack_bins,
+        "contamination_check": q_contamination_check,
+        "docs_repetition": q_docs_repetition,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
@@ -925,10 +985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_sample_stratified": q_docs_sample_stratified,
-        "docs_sample_per_source": q_docs_sample_per_source,
-        "docs_length_hist": q_docs_length_hist,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_prefix_groups": q_dedup_prefix_groups,
@@ -942,6 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
         # ---- rotation tail: driver-green r1-r4, sacrificed to the 50-cap
+        "docs_sample_per_source": q_docs_sample_per_source,
+        "docs_length_hist": q_docs_length_hist,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
         "search_isin": q_search_isin,
         "groupby_keys": q_groupby_keys,
         "nunique": q_nunique,
@@ -987,14 +1047,20 @@ _DIGIT_RATIO_SQL = (
     "/ length(text) END"
 )
 
-_SHINGLES_SQL = f"""
-    CASE WHEN len(string_split({_NORM_TEXT_SQL}, ' ')) <= 5
+def _shingles_sql_n(n: int) -> str:
+    """DuckDB replay of functions.text.shingles for word n-grams of ``n``
+    (docs with <= n words yield one whole-text shingle)."""
+    return f"""
+    CASE WHEN len(string_split({_NORM_TEXT_SQL}, ' ')) <= {n}
          THEN [array_to_string(string_split({_NORM_TEXT_SQL}, ' '), ' ')]
          ELSE list_transform(
-                range(1, len(string_split({_NORM_TEXT_SQL}, ' ')) - 5 + 2),
-                i -> array_to_string(string_split({_NORM_TEXT_SQL}, ' ')[i:i+4], ' '))
+                range(1, len(string_split({_NORM_TEXT_SQL}, ' ')) - {n} + 2),
+                i -> array_to_string(string_split({_NORM_TEXT_SQL}, ' ')[i:i+{n - 1}], ' '))
     END
 """
+
+
+_SHINGLES_SQL = _shingles_sql_n(5)
 
 
 def _jaccard_pairs_sql(
@@ -1183,7 +1249,74 @@ def _redact_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _sk_r5 = _h60_sql("'r5|' || CAST(doc_id AS VARCHAR)")
+    _ws_tok = (
+        "CAST(CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+    )
     return {
+        "docs_shuffle": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY {_sk_r5}, doc_id) - 1 AS BIGINT)
+                     AS position
+            FROM documents
+        """,
+        "docs_pack_bins": f"""
+            WITH t AS (
+              SELECT doc_id, {_ws_tok} AS n_tokens, {_sk_r5} AS sk FROM documents
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY sk, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS token_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, token_offset,
+                   CAST(FLOOR(CAST(token_offset AS DOUBLE) / 2048) AS BIGINT) AS bin_id
+            FROM p
+        """,
+        "contamination_check": f"""
+            WITH bucketed AS (
+              SELECT doc_id, text,
+                     {_h60_sql("'bench|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS __b
+              FROM documents
+            ), bench_grams AS (
+              SELECT DISTINCT {_h60_sql("shingle")} AS h
+              FROM (SELECT unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                    FROM bucketed WHERE __b < {_BENCH_BUCKETS})
+            ), corp_grams AS (
+              SELECT doc_id, {_h60_sql("shingle")} AS h
+              FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                    FROM bucketed WHERE __b >= {_BENCH_BUCKETS})
+            )
+            SELECT cg.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(coalesce(sum(CASE WHEN bg.h IS NOT NULL THEN 1 END), 0)
+                        AS BIGINT) AS n_overlap,
+                   CAST(coalesce(sum(CASE WHEN bg.h IS NOT NULL THEN 1 END), 0)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overlap_frac,
+                   coalesce(sum(CASE WHEN bg.h IS NOT NULL THEN 1 END), 0) >= 1
+                     AS contaminated
+            FROM corp_grams cg LEFT JOIN bench_grams bg ON cg.h = bg.h
+            GROUP BY cg.doc_id
+        """,
+        "docs_repetition": f"""
+            WITH sh AS (
+              SELECT doc_id, {_shingles_sql_n(2)} AS shingles FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(shingles) AS ng FROM sh
+            ), c AS (
+              SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(cnt) AS BIGINT) AS top_count,
+                   CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac,
+                   CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                     AS distinct_ratio
+            FROM c GROUP BY doc_id
+        """,
         "search_eq": """
             SELECT p_partkey, p_name, p_brand FROM part WHERE p_brand = 'Brand#13'
         """,

@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "simsearch_pairs_blocked",
     "simsearch_ivf_build",
     "simsearch_ivf_probe",
+    "docs_shuffle",
+    "docs_pack_bins",
+    "contamination_check",
+    "docs_repetition",
 ]
 
 

@@ -118,9 +118,16 @@ def _spread(df: DataFrame) -> DataFrame:
     with one row group arrives as ONE partition, serializing the whole
     n-gram pipeline. One narrow round-robin shuffle of (id, text) buys
     full parallelism; on a many-file 100 TB table the partition count is
-    already >= cores and this is a no-op."""
+    already >= cores and this is a no-op.
+
+    The width probe is ``df.inputFiles()`` — a driver-side file listing
+    (already cached by the scan relation), NOT ``df.rdd.getNumPartitions()``,
+    which would materialize an RDD lineage for the whole upstream plan.
+    Files under-count partitions when one file splits into several (large
+    files vs ``maxPartitionBytes``), so the probe errs toward adding the
+    narrow round-robin exchange — harmless where it wasn't needed."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
 

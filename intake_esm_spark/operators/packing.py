@@ -1,0 +1,156 @@
+"""Deterministic global shuffle + token-budget sequence packing.
+
+Training-data pipelines need two "global order" operations the reference
+engine (a catalog query engine — no analogue; extension per SURVEY §2.9)
+never needed:
+
+* **global shuffle** — a reproducible random-but-fixed ordering of the
+  corpus (the order documents are fed to the trainer). ``df.orderBy(rand())``
+  is partition- and seed-layout-dependent; ordering by an md5 hash of the
+  row key is a pure row function — the SAME order on any engine, any
+  partitioning, any run (same trick as ``operators.sampling.hash_bucket``).
+* **sequence packing** — concatenate documents (in that shuffled order)
+  into fixed token-budget training sequences. Each document is assigned
+  the bin containing its FIRST token: ``bin = floor(exclusive_prefix_sum
+  (tokens) / budget)``.
+
+The hard part at 100 TB is the **global prefix sum**: a single
+``Window.orderBy(...)`` over an unpartitioned window collapses to one
+task holding the whole corpus. This module computes it with the classic
+two-phase plan instead:
+
+1. every row gets a deterministic *range bucket* = the top bits of its
+   60-bit shuffle hash (uniform, so buckets are balanced — no sampling
+   pass, no nondeterministic ``repartitionByRange`` boundaries);
+2. a running sum WITHIN each bucket (window partitioned by bucket —
+   parallel, one shuffle);
+3. per-bucket totals (``n_buckets`` rows — bounded, default 1024) are
+   cumulated on the driver and broadcast-joined back as offsets.
+
+Total cost: one shuffle keyed by the bucket + one broadcast join of a
+``n_buckets``-row table. No stage ever sees more than ~1/n_buckets of
+the data in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_BUCKETS = 1024
+"""Range-bucket fan-out for the distributed prefix sum. 1024 buckets keep
+the driver-side offset table trivially small while bounding any single
+window task to ~0.1% of the corpus."""
+
+_HASH_SPACE = 1 << 60
+
+
+def shuffle_key(key: Column, salt: str = "") -> Column:
+    """60-bit deterministic shuffle position: ``md5(salt | key)`` as a
+    bigint (see ``functions.text.portable_hash60`` for portability notes).
+    Ties are impossible for distinct keys only modulo hash collisions, so
+    callers ALWAYS order by ``(shuffle_key, key)`` — a total order."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def _bucket(skey: Column, n_buckets: int) -> Column:
+    # Top bits of the uniform hash: value-derived range partitioning —
+    # deterministic (unlike repartitionByRange's sampled boundaries) and
+    # order-preserving (bucket asc, then skey asc == global skey asc).
+    return F.floor(skey / F.lit(_HASH_SPACE // n_buckets)).cast("int")
+
+
+def global_order_index(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    n_buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "position",
+) -> DataFrame:
+    """Attach a 0-based global position in the deterministic shuffle
+    order — ``row_number() over (order by shuffle_key, key)`` computed
+    without a single-task global window (see module docstring).
+
+    **Precondition:** ``key_col`` values are unique (they break hash
+    ties; duplicates would make positions partition-dependent)."""
+    out = _prefix_sum(df, key_col, F.lit(1).cast("bigint"), salt, n_buckets, out_col)
+    # inclusive sum of ones -> 1-based rank; shift to a 0-based index
+    return out.withColumn(out_col, F.col(out_col) - 1)
+
+
+def pack_token_bins(
+    df: DataFrame,
+    token_col: str | Column,
+    budget: int,
+    key_col: str,
+    salt: str = "",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: documents are laid end-to-end
+    in deterministic shuffle order and cut into ``budget``-token bins.
+    Adds ``token_offset`` (exclusive prefix sum — the global token index
+    where this document starts) and ``bin_id = floor(token_offset /
+    budget)`` (the training sequence containing the document's first
+    token; a document longer than the remaining bin space spills into the
+    next bin, as trainers concatenate-and-split).
+
+    Semantics are a pure function of (key set, token counts, salt,
+    budget) — re-running on a repartitioned or re-ingested corpus packs
+    identically, which is what makes training-order reproducible."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    out = _prefix_sum(df, key_col, tok.cast("bigint"), salt, n_buckets, "__incl")
+    return (
+        out.withColumn(
+            "token_offset", F.col("__incl") - tok.cast("bigint")
+        )
+        .withColumn("bin_id", F.floor(F.col("token_offset") / budget).cast("bigint"))
+        .drop("__incl")
+    )
+
+
+def _prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    value: Column,
+    salt: str,
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """INCLUSIVE prefix sum of ``value`` over the global order
+    ``(shuffle_key(key), key)``, as ``out_col``; also leaves a
+    ``__skey`` column for callers that want the order itself.
+
+    Two-phase: per-bucket window running sum + driver-cumulated bucket
+    offsets broadcast back. The offsets table has ``n_buckets`` rows —
+    collecting it is bounded and partition-count-independent.
+    ``global_order_index`` passes value=1, turning the prefix sum into a
+    1-based rank it then shifts to a 0-based index."""
+    skey = shuffle_key(F.col(key_col), salt)
+    with_key = df.withColumn("__skey", skey).withColumn(
+        "__bucket", _bucket(F.col("__skey"), n_buckets)
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("__skey").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_key.withColumn("__run", F.sum(value).over(w))
+    totals = (
+        with_key.groupBy("__bucket")
+        .agg(F.sum(value).alias("__tot"))
+        .orderBy("__bucket")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__bucket"], acc))
+        acc += r["__tot"] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, schema="__bucket int, __off bigint")
+    joined = local.join(F.broadcast(off_df), "__bucket", "left")
+    result = joined.withColumn(out_col, F.col("__run") + F.col("__off"))
+    return result.drop("__bucket", "__run", "__off")

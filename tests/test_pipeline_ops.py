@@ -1,0 +1,162 @@
+"""Tests for the round-5 training-pipeline operators: deterministic
+global shuffle / sequence packing, benchmark contamination, and
+zero-shuffle repetition stats."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators import contamination, corpus, packing
+
+
+def _md5_60(salt, key):
+    return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- packing
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (i, f"doc {i} " + " ".join(f"w{(i * 7 + j) % 13}" for j in range(i % 9 + 1)))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_global_order_matches_python_sort(spark, docs_df):
+    out = packing.global_order_index(docs_df, "doc_id", salt="s1", n_buckets=16)
+    got = {r["doc_id"]: r["position"] for r in out.collect()}
+    expected_order = sorted(range(200), key=lambda i: (_md5_60("s1", i), i))
+    for pos, doc in enumerate(expected_order):
+        assert got[doc] == pos
+
+
+def test_global_order_partition_independent(spark, docs_df):
+    a = packing.global_order_index(docs_df, "doc_id", salt="x", n_buckets=4)
+    b = packing.global_order_index(
+        docs_df.repartition(13), "doc_id", salt="x", n_buckets=64
+    )
+    assert sorted(map(tuple, a.select("doc_id", "position").collect())) == sorted(
+        map(tuple, b.select("doc_id", "position").collect())
+    )
+
+
+def test_pack_token_bins_contiguous(spark, docs_df):
+    with_tok = docs_df.withColumn("tok", F.size(F.split(F.col("text"), " ")))
+    out = packing.pack_token_bins(
+        with_tok, "tok", budget=50, key_col="doc_id", salt="p", n_buckets=8
+    )
+    rows = out.select("doc_id", "tok", "token_offset", "bin_id").collect()
+    by_pos = sorted(rows, key=lambda r: r["token_offset"])
+    # offsets are an exclusive prefix sum of token counts in shuffle order
+    acc = 0
+    for r in by_pos:
+        assert r["token_offset"] == acc
+        assert r["bin_id"] == acc // 50
+        acc += r["tok"]
+    # deterministic order: matches the driver-side md5 sort
+    expected_order = sorted(
+        (r["doc_id"] for r in rows), key=lambda i: (_md5_60("p", i), i)
+    )
+    assert [r["doc_id"] for r in by_pos] == list(expected_order)
+
+
+def test_pack_rejects_bad_budget(docs_df):
+    with pytest.raises(ValueError):
+        packing.pack_token_bins(docs_df, F.lit(1), 0, "doc_id")
+
+
+# ---------------------------------------------------------- contamination
+
+
+def test_contamination_report_counts(spark):
+    corp = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # shares 5-grams with bench doc 10
+            (2, "x y z p q r"),  # clean
+            (3, "a b c d e"),  # exactly 5 words -> single shingle, shared
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "a b c d e f g")], "doc_id long, text string"
+    )
+    rep = contamination.contamination_report(corp, bench, n=5).collect()
+    by_id = {r["doc_id"]: r for r in rep}
+    assert set(by_id) == {1, 2, 3}
+    # doc 1: shingles {a b c d e, b c d e f} both present in bench
+    assert by_id[1]["n_ngrams"] == 2 and by_id[1]["n_overlap"] == 2
+    assert by_id[1]["contaminated"] and by_id[1]["overlap_frac"] == 1.0
+    assert by_id[2]["n_overlap"] == 0 and not by_id[2]["contaminated"]
+    assert by_id[3]["n_ngrams"] == 1 and by_id[3]["n_overlap"] == 1
+
+
+def test_contaminated_ids_and_shuffle_join_parity(spark):
+    corp = spark.createDataFrame(
+        [(i, f"w{i} common phrase tail {i}") for i in range(20)]
+        + [(100, "the quick brown fox jumps over")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    ids_b = {
+        r["doc_id"]
+        for r in contamination.contaminated_ids(corp, bench, n=5).collect()
+    }
+    ids_s = {
+        r["doc_id"]
+        for r in contamination.contaminated_ids(
+            corp, bench, n=5, broadcast_benchmark=False
+        ).collect()
+    }
+    assert ids_b == ids_s == {100}
+
+
+# ------------------------------------------------------- repetition stats
+
+
+def test_repetition_stats_vs_exploded_plan(spark):
+    texts = [
+        (1, "a b a b a b a b"),
+        (2, "x x x x"),
+        (3, "one two three four five six"),
+        (4, ""),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fast = {r["doc_id"]: r for r in corpus.repetition_stats(df, n=2).collect()}
+
+    # oracle: exploded groupBy plan over the same shingles
+    from intake_esm_spark.functions.text import shingles
+
+    g = df.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("ng"))
+    slow = {
+        r["doc_id"]: r
+        for r in g.groupBy("doc_id", "ng")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .collect()
+    }
+    assert set(fast) == set(slow)
+    for d in fast:
+        for c in ("n_grams", "n_distinct", "top_count"):
+            assert fast[d][c] == slow[d][c], (d, c)
+    # doc 1: 2-grams = [a b, b a] * alternating -> top_frac near 0.5
+    assert fast[1]["n_distinct"] == 2
+    assert fast[2]["n_distinct"] == 1 and fast[2]["top_frac"] == 1.0
+
+
+def test_repetition_stats_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = corpus.repetition_stats(df, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

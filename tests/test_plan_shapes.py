@@ -162,3 +162,30 @@ def test_dedup_exact_single_fp_keyed_exchange(spark, queries):
     assert "__fp" in ex_line, ex_line
     # no join anywhere in the plan — the aggregation IS the dedup
     assert "Join" not in plan, plan
+
+
+def test_contamination_corpus_side_never_shuffles(spark, queries):
+    """Contamination = scan -> in-row shingle -> explode -> BROADCAST join
+    on gram hashes -> one map-side-combined agg keyed by doc_id. The only
+    allowed hash exchange is the final per-doc aggregation; the benchmark
+    gram set must broadcast (eval sets are MBs, the corpus is TBs).
+    Exactly TWO hash exchanges are allowed: the benchmark gram-set
+    distinct (benchmark-sized, feeds the BroadcastExchange) and the final
+    per-doc aggregation — the corpus text itself is never re-shuffled."""
+    plan = plan_of(queries["contamination_check"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_packing_no_global_single_task_sort(spark, queries):
+    """The packing prefix sum must never plan a global-order window (an
+    Exchange SinglePartition followed by a full Sort = one task holding
+    the corpus). All exchanges are keyed by the hash-derived range bucket
+    or the broadcast of the <=1024-row offsets table."""
+    plan = plan_of(queries["docs_pack_bins"](spark, SF), "simple")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # offsets join small side
+    # the window's sort is within __bucket partitions
+    assert "Window" in plan and "__bucket" in plan, plan
