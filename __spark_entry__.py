@@ -930,6 +930,34 @@ def q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.repetition_stats(docs, n=2)
 
 
+def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pass as ONE declarative plan — the pipeline a
+    training run actually ships: exact-dedup survivors ∩ token-length
+    window ∩ low-repetition ∩ decontaminated-vs-benchmark, composed from
+    the individually-oracled operators (dedup_exact × docs_repetition ×
+    contamination_check). Catalyst fuses the in-row stages (fingerprint,
+    token count, repetition RLE) into the same scan; the only exchanges
+    are the dedup's fingerprint agg, the repetition join, and the
+    contamination anti-join."""
+    from intake_esm_spark.operators import contamination, corpus, dedup, sampling
+
+    docs = load_table(spark, sf, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"), "bench")
+    bench = docs.filter(b < _BENCH_BUCKETS)
+    corp = docs.filter(b >= _BENCH_BUCKETS)
+    surv = dedup.dedup_exact(corp)
+    rep = corpus.repetition_stats(corp, n=2).select("doc_id", "top_frac")
+    bad = contamination.contaminated_ids(corp, bench, n=5)
+    return (
+        surv.withColumn("n_tokens", tx.ws_token_count(F.col("text")).cast("bigint"))
+        .filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000))
+        .join(rep, "doc_id")
+        .filter(F.col("top_frac") <= 0.3)
+        .join(bad, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tokens", "top_frac")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -951,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
         "docs_repetition": q_docs_repetition,
+        "docs_curated": q_docs_curated,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
@@ -984,7 +1013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_redact": q_text_redact,
         "docs_hash_sample": q_docs_hash_sample,
-        "docs_sample_stratified": q_docs_sample_stratified,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_prefix_groups": q_dedup_prefix_groups,
@@ -998,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
         # ---- rotation tail: driver-green r1-r4, sacrificed to the 50-cap
+        "docs_sample_stratified": q_docs_sample_stratified,
         "docs_sample_per_source": q_docs_sample_per_source,
         "docs_length_hist": q_docs_length_hist,
         "text_lang_id": q_text_lang_id,
@@ -1316,6 +1345,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
                      AS distinct_ratio
             FROM c GROUP BY doc_id
+        """,
+        "docs_curated": f"""
+            WITH bucketed AS (
+              SELECT doc_id, text, source,
+                     {_h60_sql("'bench|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS __b
+              FROM documents
+            ), corp AS (
+              SELECT * FROM bucketed WHERE __b >= {_BENCH_BUCKETS}
+            ), surv_ids AS (
+              SELECT min(doc_id) AS doc_id FROM corp
+              GROUP BY md5({_NORM_TEXT_SQL})
+            ), rep AS (
+              SELECT doc_id,
+                     CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac
+              FROM (
+                SELECT doc_id, ng, count(*) AS cnt
+                FROM (SELECT doc_id, unnest({_shingles_sql_n(2)}) AS ng FROM corp)
+                GROUP BY 1, 2
+              ) GROUP BY doc_id
+            ), bench_grams AS (
+              SELECT DISTINCT {_h60_sql("shingle")} AS h
+              FROM (SELECT unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                    FROM bucketed WHERE __b < {_BENCH_BUCKETS})
+            ), contaminated AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, {_h60_sql("shingle")} AS h
+                    FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                          FROM corp)) cg
+              WHERE cg.h IN (SELECT h FROM bench_grams)
+            )
+            SELECT c.doc_id, c.source, {_ws_tok} AS n_tokens, r.top_frac
+            FROM corp c
+            JOIN surv_ids s ON c.doc_id = s.doc_id
+            JOIN rep r ON c.doc_id = r.doc_id
+            WHERE {_ws_tok} BETWEEN 20 AND 2000
+              AND r.top_frac <= 0.3
+              AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "search_eq": """
             SELECT p_partkey, p_name, p_brand FROM part WHERE p_brand = 'Brand#13'

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "docs_pack_bins",
     "contamination_check",
     "docs_repetition",
+    "docs_curated",
 ]
 
 
