@@ -25,11 +25,14 @@ two-phase plan instead:
 2. a running sum WITHIN each bucket (window partitioned by bucket —
    parallel, one shuffle);
 3. per-bucket totals (``n_buckets`` rows — bounded, default 1024) are
-   cumulated on the driver and broadcast-joined back as offsets.
+   cumulated by a window over that TINY aggregate (its single-partition
+   exchange holds ≤ n_buckets rows, never corpus data) and
+   broadcast-joined back as offsets — all in ONE lazy plan, no driver
+   collect, no extra blocking job.
 
 Total cost: one shuffle keyed by the bucket + one broadcast join of a
 ``n_buckets``-row table. No stage ever sees more than ~1/n_buckets of
-the data in one task.
+the corpus in one task.
 """
 
 from __future__ import annotations
@@ -124,9 +127,12 @@ def _prefix_sum(
     ``(shuffle_key(key), key)``, as ``out_col``; also leaves a
     ``__skey`` column for callers that want the order itself.
 
-    Two-phase: per-bucket window running sum + driver-cumulated bucket
-    offsets broadcast back. The offsets table has ``n_buckets`` rows —
-    collecting it is bounded and partition-count-independent.
+    Two-phase, one lazy plan: per-bucket window running sums in parallel;
+    bucket offsets = an EXCLUSIVE running sum over the per-bucket totals,
+    computed by a global-order window over that ≤ ``n_buckets``-row
+    aggregate (its single-partition exchange holds bucket totals, never
+    corpus rows) and broadcast-joined back. No driver collect — the
+    operator composes lazily like any other DataFrame transform.
     ``global_order_index`` passes value=1, turning the prefix sum into a
     1-based rank it then shifts to a 0-based index."""
     skey = shuffle_key(F.col(key_col), salt)
@@ -139,18 +145,18 @@ def _prefix_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = with_key.withColumn("__run", F.sum(value).over(w))
-    totals = (
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
         with_key.groupBy("__bucket")
         .agg(F.sum(value).alias("__tot"))
-        .orderBy("__bucket")
-        .collect()
+        .withColumn(
+            "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).cast("bigint")
+        )
+        .select("__bucket", "__off")
     )
-    offsets, acc = [], 0
-    for r in totals:
-        offsets.append((r["__bucket"], acc))
-        acc += r["__tot"] or 0
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, schema="__bucket int, __off bigint")
-    joined = local.join(F.broadcast(off_df), "__bucket", "left")
+    joined = local.join(F.broadcast(offsets), "__bucket", "left")
     result = joined.withColumn(out_col, F.col("__run") + F.col("__off"))
     return result.drop("__bucket", "__run", "__off")

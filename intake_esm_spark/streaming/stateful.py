@@ -148,3 +148,72 @@ def stream_dedup_exact(
     else:
         s = s.dropDuplicates(["__fp"])
     return s.drop("__fp")
+
+def stream_curate(
+    stream_df: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 5,
+    min_tokens: int = 20,
+    max_tokens: int = 2000,
+    max_top_frac: float = 0.3,
+    rep_n: int = 2,
+    max_bench_grams: int = 5_000_000,
+) -> DataFrame:
+    """Streaming twin of the batch curation pass (``docs_curated`` minus
+    the dedup stage — compose with :func:`stream_dedup_exact` upstream for
+    the full ingest pipeline): per-row quality gates plus decontamination
+    against a STATIC benchmark set, all STATELESS, so the operator behaves
+    identically on a stream and on a batch frame (parity-tested).
+
+    * token-length window and top-``rep_n``-gram repetition cap are pure
+      in-row projections (``ws_token_count``; the zero-shuffle run-length
+      encoding shared with ``operators.corpus.repetition_stats``);
+    * decontamination broadcasts the benchmark's distinct ``shingle_n``-gram
+      60-bit hash set (eval sets are MBs by nature; ``max_bench_grams``
+      guards the driver collect with a diagnostic instead of an OOM) and
+      drops any document sharing a gram with it via an Arrow-batched
+      pandas UDF over the document's in-row gram-hash array. The batch
+      operator's explode+join shape would need a stream-stream anti-join
+      (unsupported); a broadcast-set membership projection is the
+      streaming-native formulation of the same predicate.
+    """
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.functions.text import (
+        portable_hash60,
+        shingles,
+        ws_token_count,
+    )
+    from intake_esm_spark.operators.contamination import benchmark_ngrams
+    from intake_esm_spark.operators.corpus import _run_lengths
+
+    bench = benchmark_ngrams(benchmark_df, text_col=text_col, n=shingle_n)
+    rows = bench.limit(max_bench_grams + 1).collect()
+    if len(rows) > max_bench_grams:
+        raise ValueError(
+            f"benchmark n-gram set exceeds max_bench_grams={max_bench_grams}; "
+            "a benchmark this large cannot broadcast — decontaminate in "
+            "batch with operators.contamination (shuffle join) instead"
+        )
+    bench_set = frozenset(r["__ng_h"] for r in rows)
+    bc = stream_df.sparkSession.sparkContext.broadcast(bench_set)
+
+    @F.pandas_udf("boolean")
+    def _is_clean(gram_hashes: pd.Series) -> pd.Series:
+        s = bc.value
+        return gram_hashes.map(lambda arr: not any(int(h) in s for h in arr))
+
+    text = F.col(text_col)
+    sorted_rep = F.array_sort(shingles(text, rep_n))
+    top_frac = F.array_max(_run_lengths(sorted_rep)) / F.size(sorted_rep).cast(
+        "double"
+    )
+    grams = F.transform(F.array_distinct(shingles(text, shingle_n)), portable_hash60)
+    n_tok = ws_token_count(text)
+    return stream_df.filter(
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (top_frac <= max_top_frac)
+        & _is_clean(grams)
+    )

@@ -180,12 +180,17 @@ def test_contamination_corpus_side_never_shuffles(spark, queries):
 
 
 def test_packing_no_global_single_task_sort(spark, queries):
-    """The packing prefix sum must never plan a global-order window (an
-    Exchange SinglePartition followed by a full Sort = one task holding
-    the corpus). All exchanges are keyed by the hash-derived range bucket
-    or the broadcast of the <=1024-row offsets table."""
+    """The packing prefix sum must never plan a global-order window over
+    CORPUS rows (an Exchange SinglePartition + full Sort = one task
+    holding everything). The only single-partition exchange allowed is
+    the one cumulating the ≤ n_buckets-row bucket-totals aggregate, and
+    it must sit on the broadcast side of the offsets join."""
     plan = plan_of(queries["docs_pack_bins"](spark, SF), "simple")
-    assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # offsets join small side
-    # the window's sort is within __bucket partitions
+    # corpus rows ordered only within __bucket partitions — a corpus-wide
+    # sort would be an Exchange rangepartitioning
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # ...and that single-partition exchange feeds the broadcast branch
+    assert plan.index("Exchange SinglePartition") > plan.index("BroadcastExchange"), plan
     assert "Window" in plan and "__bucket" in plan, plan

@@ -143,3 +143,68 @@ def test_near_dup_pipeline_matches_exact(spark):
         ).collect()
     }
     assert fused == exact
+
+
+def test_stream_curate_streaming_matches_batch(spark, tmp_path):
+    """stream_curate is stateless, so streaming and batch invocations must
+    keep exactly the same documents; the kept set must equal the
+    independently-composed batch predicate (token window + repetition cap
+    + gram-overlap decontamination via operators.contamination)."""
+    from intake_esm_spark.operators import contamination
+    from intake_esm_spark.operators.corpus import repetition_stats
+    from intake_esm_spark.functions.text import ws_token_count
+    from intake_esm_spark.streaming.stateful import stream_curate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+
+    # independent batch expectation from the individually-tested operators
+    rep = repetition_stats(corp, n=2).select("doc_id", "top_frac")
+    bad = {r["doc_id"] for r in contamination.contaminated_ids(corp, bench, n=5).collect()}
+    expected = {
+        r["doc_id"]
+        for r in corp.withColumn("__t", ws_token_count(F.col("text")))
+        .join(rep, "doc_id")
+        .filter((F.col("__t") >= 20) & (F.col("__t") <= 2000) & (F.col("top_frac") <= 0.3))
+        .collect()
+        if r["doc_id"] not in bad
+    }
+
+    # batch invocation of the streaming operator
+    got_batch = {r["doc_id"] for r in stream_curate(corp, bench).collect()}
+    assert got_batch == expected
+
+    # streaming invocation over the same rows
+    src_dir = tmp_path / "curate_src"
+    src_dir.mkdir()
+    corp.write.parquet(str(src_dir / "corp.parquet"))
+    stream = (
+        spark.readStream.schema(corp.schema)
+        .format("parquet")
+        .load(str(src_dir / "corp.parquet"))
+    )
+    out = stream_curate(stream, bench)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_curate_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt_curate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = {
+            r["doc_id"] for r in spark.sql("SELECT doc_id FROM stream_curate_t").collect()
+        }
+    finally:
+        q.stop()
+    assert got_stream == expected
+
+
+def test_stream_curate_bench_guard(spark):
+    from intake_esm_spark.streaming.stateful import stream_curate
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    with pytest.raises(ValueError, match="max_bench_grams"):
+        stream_curate(docs, docs, max_bench_grams=3)
