@@ -57,28 +57,45 @@ def length_histogram(
     )
 
 
-def _run_lengths(sorted_arr: Column) -> Column:
-    """Run lengths of consecutive equal elements in an ALREADY-SORTED
-    array, computed entirely in-row with array built-ins (no explode):
-    mark positions where the value changes, pair each run start with the
-    next, diff. Input must be non-empty."""
+def _rle_fold(sorted_arr: Column) -> Column:
+    """Run-length stats of an ALREADY-SORTED array as ONE left fold
+    (``F.aggregate``): returns ``struct(best, n_distinct)`` where ``best``
+    is the longest run of equal elements and ``n_distinct`` the number of
+    runs. Input must be non-empty.
+
+    Why a fold and not the prettier zip_with/slice pipeline: Catalyst
+    re-inlines alias definitions when it pushes a predicate through a
+    projection, and there is NO common-subexpression elimination inside
+    or across higher-order lambdas — an RLE built from zip_with/slice
+    references the (expensive) sorted-shingle array ~8 times, so a
+    downstream ``filter(top_frac <= t)`` was measured evaluating the
+    regex shingling 31 times PER ROW after pushdown. The fold references
+    its input exactly ONCE, bounding any inlining blow-up to the number
+    of output references (~2) instead of ~30."""
     s = sorted_arr
-    k = F.size(s)
-    # s shifted right by one (None sentinel first): s_prev[i] == s[i-1]
-    s_prev = F.concat(
-        F.array(F.lit(None).cast("string")), F.slice(s, 1, F.greatest(k - 1, F.lit(0)))
+
+    def _step(acc: Column, x: Column) -> Column:
+        is_new = acc["prev"].isNull() | (x != acc["prev"])
+        cur = F.when(is_new, F.lit(1)).otherwise(acc["cur"] + 1)
+        return F.struct(
+            x.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+            (acc["n_distinct"] + F.when(is_new, 1).otherwise(0)).alias("n_distinct"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("n_distinct"),
     )
-    new_flag = F.zip_with(s, s_prev, lambda a, b: b.isNull() | (a != b))
-    idx = F.sequence(F.lit(1), k)
-    starts = F.filter(
-        F.zip_with(new_flag, idx, lambda f, i: F.when(f, i)),
-        lambda x: x.isNotNull(),
+    return F.aggregate(
+        s,
+        init,
+        _step,
+        lambda acc: F.struct(acc["best"].alias("best"), acc["n_distinct"].alias("n_distinct")),
     )
-    ends = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(k + 1),
-    )
-    return F.zip_with(starts, ends, lambda a, b: b - a)
 
 
 def repetition_stats(
@@ -100,19 +117,26 @@ def repetition_stats(
     that shuffle is the whole corpus again. This implementation computes
     the same numbers **entirely in-row**: single-pass regex shingling
     (``functions.text.shingles``), ``array_sort``, then run-length
-    encoding with array built-ins — zero shuffle, zero Python, the
-    operator is a pure projection that pipelines into whatever runs
-    next. Cross-checked against the exploded two-agg plan in tests."""
-    s = F.array_sort(shingles(F.col(text_col), n))
-    runs = _run_lengths(s)
-    total = F.size(s).cast("bigint")
-    distinct = F.size(runs).cast("bigint")
-    top = F.array_max(runs).cast("bigint")
-    return df.select(
+    encoding as ONE ``F.aggregate`` fold — zero shuffle, zero Python,
+    the operator is a pure projection that pipelines into whatever runs
+    next. The sorted array and the fold result are each materialized in
+    their OWN projection and the fold references its input exactly once
+    (see ``_rle_fold`` for why that matters under predicate pushdown).
+    Cross-checked against the exploded two-agg plan in tests."""
+    s_df = df.select(
+        F.col(id_col), F.array_sort(shingles(F.col(text_col), n)).alias("__s")
+    )
+    r_df = s_df.select(
         F.col(id_col),
-        total.alias("n_grams"),
-        distinct.alias("n_distinct"),
-        top.alias("top_count"),
-        (top / total.cast("double")).alias("top_frac"),
-        (distinct / total.cast("double")).alias("distinct_ratio"),
+        F.size("__s").cast("bigint").alias("n_grams"),
+        _rle_fold(F.col("__s")).alias("__rle"),
+    )
+    total_d = F.col("n_grams").cast("double")
+    return r_df.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("__rle")["n_distinct"].cast("bigint").alias("n_distinct"),
+        F.col("__rle")["best"].cast("bigint").alias("top_count"),
+        (F.col("__rle")["best"].cast("bigint") / total_d).alias("top_frac"),
+        (F.col("__rle")["n_distinct"].cast("bigint") / total_d).alias("distinct_ratio"),
     )

@@ -353,22 +353,8 @@ def write_ivf_index(
     """
     import json as _json
 
-    from intake_esm_spark.operators.dedup import _spread
-
     centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
-    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
-    sims = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
-    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("sim"), i.alias("idx")))
-    bucket = F.reverse(F.array_sort(pairs))[0]["idx"]
-    assigned = _spread(corpus).withColumn("bucket", bucket)
-    if files_per_bucket is not None:
-        assigned = assigned.repartition(
-            len(centroids) * files_per_bucket,
-            F.col("bucket"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
-        )
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _write_assigned(corpus, centroids, path, id_col, vec_col, files_per_bucket, "overwrite")
     from intake_esm_spark.util import write_text_sidecar
 
     sidecar = _json.dumps(
@@ -376,6 +362,76 @@ def write_ivf_index(
     )
     write_text_sidecar(corpus.sparkSession, f"{path}/_ivf_centroids", sidecar)
     return centroids
+
+
+def _nearest_centroid_expr(centroids: list[list[float]], vec_col: str) -> F.Column:
+    """Bucket = argmax cosine(centroid, vec) as a codegen expression over
+    LITERAL centroid arrays (centroids are unit-norm, so dot == cosine)."""
+    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    sims = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("sim"), i.alias("idx")))
+    return F.reverse(F.array_sort(pairs))[0]["idx"]
+
+
+def _write_assigned(
+    rows: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str,
+    vec_col: str,
+    files_per_bucket: int | None,
+    mode: str,
+) -> None:
+    from intake_esm_spark.operators.dedup import _spread
+
+    assigned = _spread(rows).withColumn(
+        "bucket", _nearest_centroid_expr(centroids, vec_col)
+    )
+    if files_per_bucket is not None:
+        assigned = assigned.repartition(
+            len(centroids) * files_per_bucket,
+            F.col("bucket"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
+        )
+    assigned.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def ivf_index_append(
+    new_rows: DataFrame,
+    path: str,
+    files_per_bucket: int | None = 1,
+) -> int:
+    """Incrementally add vectors to an existing :func:`write_ivf_index`
+    table WITHOUT re-clustering: new rows are assigned to their nearest
+    EXISTING centroid (read from the sidecar, so append and build can
+    never disagree on the assignment rule) and appended into the matching
+    bucket partitions. Probes see the union immediately — an appended
+    index is plan-identical to one built in a single shot from the full
+    corpus with the same centroids (asserted in tests).
+
+    This is the index-maintenance path a streaming-ingest deployment
+    needs: per-batch cost is one assignment pass + an append write of
+    batch-sized data; the existing index bytes are never rewritten.
+    Centroids drift from the true corpus clustering as appends accumulate
+    (recall decays, correctness does not — probing is nearest-centroid on
+    the same sidecar either way); rebuild with ``write_ivf_index`` when
+    the appended fraction gets large. Returns the number of rows added.
+    """
+    import json as _json
+
+    spark = new_rows.sparkSession
+    sidecar = _json.loads(spark.read.text(f"{path}/_ivf_centroids").collect()[0][0])
+    _write_assigned(
+        new_rows,
+        sidecar["centroids"],
+        path,
+        sidecar["id_col"],
+        sidecar["vec_col"],
+        files_per_bucket,
+        "append",
+    )
+    return new_rows.count()
 
 
 def ivf_topk_indexed(

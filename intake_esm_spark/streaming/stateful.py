@@ -186,7 +186,7 @@ def stream_curate(
         ws_token_count,
     )
     from intake_esm_spark.operators.contamination import benchmark_ngrams
-    from intake_esm_spark.operators.corpus import _run_lengths
+    from intake_esm_spark.operators.corpus import _rle_fold
 
     bench = benchmark_ngrams(benchmark_df, text_col=text_col, n=shingle_n)
     rows = bench.limit(max_bench_grams + 1).collect()
@@ -206,9 +206,7 @@ def stream_curate(
 
     text = F.col(text_col)
     sorted_rep = F.array_sort(shingles(text, rep_n))
-    top_frac = F.array_max(_run_lengths(sorted_rep)) / F.size(sorted_rep).cast(
-        "double"
-    )
+    top_frac = _rle_fold(sorted_rep)["best"] / F.size(sorted_rep).cast("double")
     grams = F.transform(F.array_distinct(shingles(text, shingle_n)), portable_hash60)
     n_tok = ws_token_count(text)
     return stream_df.filter(

@@ -372,3 +372,65 @@ def test_range_join_suffixes_collisions(spark):
     )
     row = out.collect()[0]
     assert row["name"] == "ev" and row["name_right"] == "w1"
+
+
+def test_ivf_index_append_equals_one_shot_build(spark, embeddings, tmp_path):
+    """An index built on half the corpus then APPENDED with the other half
+    must be indistinguishable from a one-shot build over the full corpus
+    with the same centroids: identical (id -> bucket) assignment and
+    identical probe results."""
+    import json
+
+    from intake_esm_spark.util import write_text_sidecar
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+
+    appended = str(tmp_path / "ivf_appended")
+    centroids = simsearch.write_ivf_index(
+        half_a, appended, n_centroids=8, sample_fraction=1.0
+    )
+    added = simsearch.ivf_index_append(half_b, appended)
+    assert added == half_b.count()
+
+    # one-shot build over the FULL corpus with the SAME centroids
+    oneshot = str(tmp_path / "ivf_oneshot")
+    simsearch._write_assigned(
+        embeddings, centroids, oneshot, "vec_id", "embedding", 1, "overwrite"
+    )
+    write_text_sidecar(
+        spark,
+        f"{oneshot}/_ivf_centroids",
+        json.dumps(
+            {"centroids": centroids, "vec_col": "embedding", "id_col": "vec_id"}
+        ),
+    )
+
+    # identical assignment (every id, same bucket, no loss/dup)
+    a = {
+        (r["vec_id"], r["bucket"])
+        for r in spark.read.parquet(appended).select("vec_id", "bucket").collect()
+    }
+    b = {
+        (r["vec_id"], r["bucket"])
+        for r in spark.read.parquet(oneshot).select("vec_id", "bucket").collect()
+    }
+    assert a == b and len(a) == embeddings.count()
+
+    # identical probe results
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ivf_topk_indexed(
+            spark, appended, queries, k=5, nprobe=3
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ivf_topk_indexed(
+            spark, oneshot, queries, k=5, nprobe=3
+        ).collect()
+    }
+    assert got == want and len(want) > 0
