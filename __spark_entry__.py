@@ -930,6 +930,23 @@ def q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.repetition_stats(docs, n=2)
 
 
+def q_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector int8 quantization summary (scale + exact integer stats
+    of the quantized vector) — the 4x-storage lever for the ANN index;
+    floor(+0.5) rounding makes the integers engine-exact."""
+    emb = load_table(spark, sf, "embeddings")
+    out = simsearch.quantize_int8(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+    )
+
+
 def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation pass as ONE declarative plan — the pipeline a
     training run actually ships: exact-dedup survivors ∩ token-length
@@ -980,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "docs_repetition": q_docs_repetition,
         "docs_curated": q_docs_curated,
+        "embed_quantize": q_embed_quantize,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
@@ -1011,7 +1029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_vocab": q_text_vocab,
-        "text_redact": q_text_redact,
         "docs_hash_sample": q_docs_hash_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
@@ -1026,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
         # ---- rotation tail: driver-green r1-r4, sacrificed to the 50-cap
+        "text_redact": q_text_redact,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_sample_per_source": q_docs_sample_per_source,
         "docs_length_hist": q_docs_length_hist,
@@ -1345,6 +1363,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
                      AS distinct_ratio
             FROM c GROUP BY doc_id
+        """,
+        "embed_quantize": """
+            WITH x AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), s AS (
+              SELECT vec_id, e,
+                     list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+              FROM x
+            ), q AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale = 0
+                          THEN list_transform(e, v -> 0)
+                          ELSE list_transform(e, v -> greatest(-127, least(127,
+                               CAST(floor(v / scale + 0.5) AS INT))))
+                     END AS qv
+              FROM s
+            )
+            SELECT vec_id, scale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_min(qv) AS INT) AS q_min,
+                   CAST(list_max(qv) AS INT) AS q_max
+            FROM q
         """,
         "docs_curated": f"""
             WITH bucketed AS (

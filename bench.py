@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "docs_repetition",
     "docs_curated",
+    "embed_quantize",
 ]
 
 

@@ -616,3 +616,47 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i / scale + 0.5)`` clamped to [-127, 127] (explicit
+    floor(+0.5) instead of round() so every engine — and any SQL oracle —
+    computes the identical integer; an all-zero vector quantizes to zeros
+    with scale 0).
+
+    The storage lever for ANN at scale: an int8 index is 4x smaller than
+    float32 — 4x less to scan per probed IVF bucket, 4x more of the index
+    in page cache; compose with :func:`write_ivf_index` by quantizing
+    before the write and dequantizing (``q * scale``) in the probe's
+    score expression. Pure projection: zero shuffle, codegen'd array
+    transform, no Python.
+
+    The scale is materialized as its OWN column before the per-element
+    transform references it: inlining ``array_max(...)/127`` into the
+    lambda would re-evaluate the whole-array max once per element
+    (O(d^2) per row — no CSE inside lambdas, SCALE.md pitfall #2)."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    with_scale = df.withColumn(scale_col, amax / F.lit(127.0))
+    sc = F.col(scale_col)
+    q = F.when(sc == 0.0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(v / sc + F.lit(0.5)).cast("int")),
+            ),
+        )
+    )
+    return with_scale.withColumn(out_col, q)
+
+
+def dequantize(qvec: F.Column, scale: F.Column) -> F.Column:
+    """Reconstruct the float vector: ``q * scale`` (array<double>)."""
+    return F.transform(qvec, lambda v: v.cast("double") * scale)

@@ -434,3 +434,38 @@ def test_ivf_index_append_equals_one_shot_build(spark, embeddings, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, embeddings):
+    """Quantized vectors stay within one quantization step of the input
+    (|x - q*scale| <= scale/2 + eps per element), q is in [-127, 127],
+    and dequantize reconstructs with the documented error."""
+    import math
+
+    rows = (
+        simsearch.quantize_int8(embeddings.limit(50))
+        .select("vec_id", "embedding", "scale", "qvec")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        x = [float(v) for v in r["embedding"]]
+        scale, q = r["scale"], r["qvec"]
+        assert scale >= 0
+        assert all(-127 <= v <= 127 for v in q)
+        if scale == 0:
+            assert all(v == 0 for v in q)
+            continue
+        for xv, qv in zip(x, q):
+            assert qv == max(-127, min(127, math.floor(xv / scale + 0.5)))
+            assert abs(xv - qv * scale) <= scale / 2 + 1e-9
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in simsearch.quantize_int8(df).collect()}
+    assert got[1]["scale"] == 0.0 and got[1]["qvec"] == [0, 0, 0]
+    assert got[2]["qvec"][1] == -127  # max-magnitude element hits the rail
