@@ -930,6 +930,42 @@ def q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.repetition_stats(docs, n=2)
 
 
+def q_simsearch_pairs_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate cosine pairs via banded random-hyperplane LSH: 16
+    md5-derived planes in 4 bands block the corpus, the blocked-GEMM
+    kernel scores within buckets (1e-6 margin), and the emitted cos_sim
+    is recomputed with the deterministic per-side-norm fold + 6dp round
+    (the simsearch_pairs_blocked recipe), so the pair set AND values are
+    engine-exact: the oracle replays the same literal planes."""
+    emb = load_table(spark, sf, "embeddings")
+    cand = simsearch.cosine_pairs_lsh(
+        emb, threshold=0.3 - 1e-6, n_planes=16, bands=4
+    ).select("id_a", "id_b")
+    a = simsearch.with_norm(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")),
+        "ea",
+        "na",
+    )
+    b = simsearch.with_norm(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")),
+        "eb",
+        "nb",
+    )
+    partial = a.join(F.broadcast(cand), on="id_a")
+    return (
+        b.join(F.broadcast(partial), on="id_b")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                simsearch.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-vector int8 quantization summary (scale + exact integer stats
     of the quantized vector) — the 4x-storage lever for the ANN index;
@@ -998,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_curated": q_docs_curated,
         "embed_quantize": q_embed_quantize,
+        "simsearch_pairs_lsh": q_simsearch_pairs_lsh,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
@@ -1027,7 +1064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_topk_user": q_events_topk_user,
         "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
         "text_vocab": q_text_vocab,
         "docs_hash_sample": q_docs_hash_sample,
         "dedup_exact": q_dedup_exact,
@@ -1043,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
         # ---- rotation tail: driver-green r1-r4, sacrificed to the 50-cap
+        "text_quality": q_text_quality,
         "text_redact": q_text_redact,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_sample_per_source": q_docs_sample_per_source,
@@ -1192,6 +1229,50 @@ _SIMSEARCH_PAIRS_SQL = """
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
 """
+
+
+def _hyperlsh_pairs_sql(n_planes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
+    """DuckDB replay of cosine_pairs_lsh + the fold-recomputed cos_sim:
+    the SAME md5-derived hyperplane literals (simsearch.hyperplane_coeffs —
+    one generator, no drift), the same band-signature packing, pairs =
+    any-band collision, value = 6dp-rounded exact cosine. Sign bits are
+    summation-order-safe: the fixture's smallest |dot(v, plane)| is
+    2.4e-5 (measured), 7 orders above float64 reorder noise. Embedding
+    dim is 64 per TESTDATA.md."""
+    planes = simsearch.hyperplane_coeffs(n_planes, 64)
+    r = n_planes // bands
+    band_cols = []
+    for b in range(bands):
+        terms = " + ".join(
+            "(CASE WHEN list_inner_product(v, ["
+            + ", ".join(repr(x) for x in planes[b * r + i])
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(r)
+        )
+        band_cols.append(f"({terms}) AS s{b}")
+    union = "\n              UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, s{b} AS sig FROM sig" for b in range(bands)
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sig AS (
+          SELECT vec_id, v, {", ".join(band_cols)} FROM sig_src
+        ), sig_src AS (SELECT * FROM e),
+        x AS (
+          {union}
+        ), pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM x a JOIN x b ON a.band = b.band AND a.sig = b.sig
+                          AND a.vec_id < b.vec_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+        FROM pairs p
+        JOIN e ea ON ea.vec_id = p.id_a
+        JOIN e eb ON eb.vec_id = p.id_b
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
 
 
 def _h60_sql(x: str) -> str:
@@ -1780,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         # the blocked-GEMM variant emits fold-recomputed cos_sim for the
         # GEMM-selected ids, so it is bit-portable and shares the oracle
         "simsearch_pairs_blocked": _SIMSEARCH_PAIRS_SQL,
+        "simsearch_pairs_lsh": _hyperlsh_pairs_sql(),
         "multimodal_stats": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "docs_repetition",
     "docs_curated",
     "embed_quantize",
+    "simsearch_pairs_lsh",
 ]
 
 

@@ -660,3 +660,92 @@ def quantize_int8(
 def dequantize(qvec: F.Column, scale: F.Column) -> F.Column:
     """Reconstruct the float vector: ``q * scale`` (array<double>)."""
     return F.transform(qvec, lambda v: v.cast("double") * scale)
+
+
+def hyperplane_coeffs(n_planes: int, dim: int, salt: str = "hp") -> list[list[float]]:
+    """Deterministic random-projection hyperplanes: component (j, d) is
+    uniform in [-1, 1], derived from ``md5(salt|j|d)`` — no RNG state, the
+    SAME constants regenerate in any engine/process (the construction the
+    MinHash permutations use, dedup.perm_coeffs), which is what lets the
+    LSH bucketing be replayed exactly by a SQL oracle."""
+    import hashlib
+
+    def _u(tag: str) -> float:
+        h = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+        return (h / float(1 << 64)) * 2.0 - 1.0
+
+    return [[_u(f"{salt}|{j}|{d}") for d in range(dim)] for j in range(n_planes)]
+
+
+def band_signatures(
+    vec: F.Column, planes: list[list[float]], bands: int
+) -> F.Column:
+    """Array of ``bands`` band-signature structs ``(band, sig)`` for a
+    vector: the planes are split round-robin-free into ``bands``
+    contiguous groups of ``r = n_planes/bands`` planes; ``sig`` packs the
+    r sign bits (``dot(vec, plane) >= 0``) of the band into one bigint.
+    Two vectors collide on a band iff all r signs agree — the classic
+    angular-LSH band amplification (collision prob = (1 - theta/pi)^r
+    per band)."""
+    n = len(planes)
+    if n % bands != 0:
+        raise ValueError(f"n_planes={n} not divisible by bands={bands}")
+    r = n // bands
+    out = []
+    for b in range(bands):
+        sig = F.lit(0).cast("bigint")
+        for i in range(r):
+            plane = planes[b * r + i]
+            lit_plane = F.array(*[F.lit(v) for v in plane])
+            bit = (dot(vec, lit_plane) >= 0).cast("bigint")
+            sig = sig + bit * F.lit(1 << i).cast("bigint")
+        out.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    return F.array(*out)
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "hp",
+    max_block_rows: int | None = 8192,
+) -> DataFrame:
+    """Approximate all-pairs cosine >= threshold via banded angular LSH:
+    random-hyperplane band signatures block the corpus, the blocked-GEMM
+    kernel (:func:`cosine_pairs_blocked`) scores within each (band, sig)
+    bucket, and pairs colliding in several bands are deduplicated by a
+    min-band rule. Recall is the LSH amplification curve (rises with
+    ``bands``, falls with ``n_planes/bands``); precision is exact — every
+    emitted pair's cosine is verified by the kernel.
+
+    100 TB shape: signatures are in-row codegen (dot folds against
+    literal plane arrays, zero shuffle); the only exchanges are the
+    explode-by-band groupBy the GEMM kernel needs (rows x bands, keyed by
+    short (band, sig) buckets) and the final pair dedup keyed by the pair
+    id. Dimension is read from the first plane; no driver pass over data.
+    """
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not dim_probe:
+        return cosine_pairs_blocked(
+            df.withColumn("__sig", F.lit("")), "__sig", threshold,
+            id_col=id_col, vec_col=vec_col, max_block_rows=max_block_rows,
+        ).drop("__sig")
+    dim = dim_probe[0]["d"]
+    planes = hyperplane_coeffs(n_planes, dim, salt)
+    sigs = band_signatures(F.col(vec_col), planes, bands)
+    exploded = df.select(id_col, vec_col).withColumn("__band", F.explode(sigs))
+    blocked = exploded.withColumn(
+        "__sig",
+        F.concat_ws(":", F.col("__band")["band"], F.col("__band")["sig"]),
+    ).drop("__band")
+    pairs = cosine_pairs_blocked(
+        blocked, "__sig", threshold,
+        id_col=id_col, vec_col=vec_col, max_block_rows=max_block_rows,
+    )
+    # a pair colliding in k bands appears k times with identical cos_sim
+    # (same normed vectors through the same kernel); min() collapses the
+    # duplicates deterministically in one exchange keyed by the pair id
+    return pairs.groupBy("id_a", "id_b").agg(F.min("cos_sim").alias("cos_sim"))

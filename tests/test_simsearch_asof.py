@@ -469,3 +469,31 @@ def test_quantize_int8_zero_vector(spark):
     got = {r["vec_id"]: r for r in simsearch.quantize_int8(df).collect()}
     assert got[1]["scale"] == 0.0 and got[1]["qvec"] == [0, 0, 0]
     assert got[2]["qvec"][1] == -127  # max-magnitude element hits the rail
+
+
+def test_cosine_pairs_lsh_subset_and_recall(spark, embeddings):
+    """LSH pairs are a SUBSET of the exact >=threshold pair set (precision
+    1.0 — every emitted pair is kernel-verified), no pair is emitted
+    twice, and recall tracks the amplification curve: for a band of r
+    planes, P(collide) = (1 - theta/pi)^r per band, amplified over
+    bands. With 16 planes the theory at threshold 0.3 predicts ~0.42
+    recall for 4 bands (r=4) and ~0.97 for 8 bands (r=2); measured
+    0.432 / 0.974 on the fixture (deterministic planes — the values are
+    fixed, the floors sit safely under them)."""
+    thr = 0.3
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in simsearch.cosine_pairs_blocked(
+            embeddings.withColumn("__one", F.lit(1)), "__one", thr
+        ).collect()
+    }
+    assert exact  # fixture sanity
+    for bands, floor in [(4, 0.30), (8, 0.85)]:
+        rows = simsearch.cosine_pairs_lsh(
+            embeddings, threshold=thr, n_planes=16, bands=bands
+        ).collect()
+        got = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(got) == len(set(got))  # banding dedup worked
+        assert set(got) <= exact
+        recall = len(set(got)) / len(exact)
+        assert recall >= floor, (bands, recall)
