@@ -160,3 +160,33 @@ def test_repetition_stats_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = corpus.repetition_stats(df, n=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_packing_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "doc_id long, tok long")
+    assert packing.pack_token_bins(empty, "tok", 100, "doc_id").count() == 0
+    assert packing.global_order_index(empty, "doc_id").count() == 0
+    one = spark.createDataFrame([(7, 42)], "doc_id long, tok long")
+    row = packing.pack_token_bins(one, "tok", 100, "doc_id").collect()[0]
+    assert row["token_offset"] == 0 and row["bin_id"] == 0
+    assert packing.global_order_index(one, "doc_id").collect()[0]["position"] == 0
+
+
+def test_contamination_empty_benchmark(spark):
+    corp = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    rep = contamination.contamination_report(corp, bench).collect()
+    assert len(rep) == 1
+    assert rep[0]["n_overlap"] == 0 and not rep[0]["contaminated"]
+    assert contamination.contaminated_ids(corp, bench).count() == 0
+
+
+def test_repetition_stats_single_and_repeated(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y y y y y y")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in corpus.repetition_stats(df, n=2).collect()}
+    # one word -> single whole-text shingle
+    assert got[1]["n_grams"] == 1 and got[1]["top_frac"] == 1.0
+    # all-identical 2-grams -> one distinct gram covering everything
+    assert got[2]["n_distinct"] == 1 and got[2]["distinct_ratio"] == got[2]["n_distinct"] / got[2]["n_grams"]
