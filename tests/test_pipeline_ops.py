@@ -190,3 +190,33 @@ def test_repetition_stats_single_and_repeated(spark):
     assert got[1]["n_grams"] == 1 and got[1]["top_frac"] == 1.0
     # all-identical 2-grams -> one distinct gram covering everything
     assert got[2]["n_distinct"] == 1 and got[2]["distinct_ratio"] == got[2]["n_distinct"] / got[2]["n_grams"]
+
+
+def test_packing_property_random_tokens(spark):
+    """Hypothesis-style property over random draws (one Spark-backed
+    example per draw is too slow, so draws are batched into one frame):
+    for random (key, token) sets, salts, and budgets, the two-phase
+    prefix sum equals the driver-side md5 sort + cumsum oracle."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n = rng.randint(1, 300)
+        budget = rng.choice([1, 7, 64, 1000])
+        salt = f"t{trial}"
+        keys = rng.sample(range(100_000), n)
+        toks = [rng.randint(0, 50) for _ in range(n)]
+        df = spark.createDataFrame(
+            list(zip(keys, toks)), "doc_id long, tok long"
+        ).repartition(rng.randint(1, 8))
+        out = {
+            r["doc_id"]: (r["token_offset"], r["bin_id"])
+            for r in packing.pack_token_bins(
+                df, "tok", budget, "doc_id", salt=salt, n_buckets=rng.choice([1, 4, 32])
+            ).collect()
+        }
+        order = sorted(range(n), key=lambda i: (_md5_60(salt, keys[i]), keys[i]))
+        acc = 0
+        for i in order:
+            assert out[keys[i]] == (acc, acc // budget), (trial, keys[i])
+            acc += toks[i]

@@ -194,3 +194,15 @@ def test_packing_no_global_single_task_sort(spark, queries):
     # ...and that single-partition exchange feeds the broadcast branch
     assert plan.index("Exchange SinglePartition") > plan.index("BroadcastExchange"), plan
     assert "Window" in plan and "__bucket" in plan, plan
+
+
+def test_docs_curated_composition_plan(spark, queries):
+    """The composed curation plan must keep its joins broadcast (the
+    contamination id set and the candidate sides are result-scale, never
+    corpus-scale) and keep the dedup's single fingerprint exchange — no
+    sort-merge join anywhere."""
+    plan = plan_of(queries["docs_curated"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # rep join + anti-join
+    assert "LeftAnti" in plan, plan  # decontamination
+    assert "__fp" in plan, plan  # dedup survivor aggregation present
