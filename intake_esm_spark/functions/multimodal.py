@@ -94,9 +94,9 @@ def _decode_wav(payload: bytes) -> list[float]:
     ]
 
 
-def _decode_pnm(payload: bytes) -> list[float]:
-    """Pure-Python binary PGM (P5) / PPM (P6) decode. Features:
-    [width, height, n_channels, maxval, mean, min, max, n_values]."""
+def _parse_pnm(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a binary PGM (P5) / PPM (P6) header: returns
+    ``(magic, width, height, maxval, raster_offset)``."""
     idx = 0
     tokens: list[bytes] = []
     n_data = len(payload)
@@ -117,6 +117,13 @@ def _decode_pnm(payload: bytes) -> list[float]:
     magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval > 255:
         raise DecodeNotAvailable("2-byte-per-sample PNM not supported")
+    return magic, w, h, maxval, idx
+
+
+def _decode_pnm(payload: bytes) -> list[float]:
+    """Pure-Python binary PGM (P5) / PPM (P6) decode. Features:
+    [width, height, n_channels, maxval, mean, min, max, n_values]."""
+    magic, w, h, maxval, idx = _parse_pnm(payload)
     nch = 3 if magic == b"P6" else 1
     px = payload[idx : idx + w * h * nch]
     n = len(px)
@@ -246,3 +253,75 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.filter(F.col("media_type") == "video").select(
         "media_id", F.explode_outer(seq).alias("frame_ts_ms")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("resized", T.BooleanType(), False),
+    ]
+)
+
+
+def _resize_pnm(payload: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resize of a binary PGM/PPM payload, pure Python:
+    output pixel (x, y) samples source pixel (x*w//tw, y*h//th). Emits a
+    canonical single-newline header."""
+    magic, w, h, maxval, idx = _parse_pnm(payload)
+    nch = 3 if magic == b"P6" else 1
+    need = w * h * nch
+    px = payload[idx : idx + need]
+    if len(px) < need:
+        raise DecodeNotAvailable("truncated PNM raster")
+    out = bytearray()
+    for y in range(th):
+        sy = y * h // th
+        row = sy * w * nch
+        for x in range(tw):
+            sx = x * w // tw
+            p = row + sx * nch
+            out += px[p : p + nch]
+    return b"%s\n%d %d\n%d\n" % (magic, tw, th, maxval) + bytes(out)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize image payloads to ``(target_w, target_h)`` via Arrow-batched
+    ``mapInPandas`` — the production shape for a real resize stage (whole
+    Arrow batches into one Python worker per partition, binary out).
+    REAL nearest-neighbor resize for the stdlib-decodable PNM codecs
+    (magic-sniffed); any other codec passes its payload through unchanged
+    with ``resized = false`` (swapping in PIL later only adds a branch).
+    Compose AFTER a ``payload_stats``/metadata pre-filter so only rows
+    that need pixels ever reach Python."""
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError(f"target size must be positive, got {target_w}x{target_h}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, payloads, ok = [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else None
+                if b is not None and b[:2] in (b"P5", b"P6"):
+                    payloads.append(_resize_pnm(b, target_w, target_h))
+                    ws.append(target_w)
+                    hs.append(target_h)
+                    ok.append(True)
+                else:
+                    payloads.append(b)
+                    ws.append(None)
+                    hs.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "payload": payloads,
+                    "resized": ok,
+                }
+            )
+
+    return df.mapInPandas(_batches, RESIZE_SCHEMA)

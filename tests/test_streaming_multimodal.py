@@ -301,3 +301,39 @@ def test_sliding_watermark_drops_late_data(spark, tmp_path):
     # windows; each must keep its on-time-only count
     assert counts.get("2023-12-31T23:55:00") == 1
     assert counts.get("2024-01-01T00:00:00") == 2
+
+
+def test_resize_images_pnm_and_passthrough(spark):
+    """Nearest-neighbor PNM resize through the Arrow mapInPandas stage:
+    pixels match the python index oracle, non-PNM payloads pass through
+    unchanged with resized=false, and re-decoding the resized payload
+    yields the new dimensions."""
+    pgm = mm.synth_pgm_payload(7, 16, 8)
+    rows = [
+        (1, bytearray(pgm), "image", (16, 8, 1, None, None)),
+        (2, bytearray(b"\x89PNG-not-a-pnm"), "image", (None, None, None, None, None)),
+        (3, None, "image", (None, None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.resize_images(df, 8, 4).collect()}
+
+    assert out[1]["resized"] and (out[1]["width"], out[1]["height"]) == (8, 4)
+    resized = bytes(out[1]["payload"])
+    feats = mm._decode_pnm(resized)
+    assert feats[0] == 8.0 and feats[1] == 4.0
+    # pixel-level oracle: nearest-neighbor index mapping
+    src = bytes((7 * 3 + i * 5) % 256 for i in range(16 * 8))
+    expected = bytes(
+        src[(y * 8 // 4) * 16 + (x * 16 // 8)] for y in range(4) for x in range(8)
+    )
+    assert resized.split(b"255\n", 1)[1] == expected
+
+    assert not out[2]["resized"] and bytes(out[2]["payload"]) == b"\x89PNG-not-a-pnm"
+    assert out[2]["width"] is None
+    assert not out[3]["resized"] and out[3]["payload"] is None
+
+
+def test_resize_images_rejects_bad_target(spark):
+    df = spark.createDataFrame([], mm.MEDIA_SCHEMA)
+    with pytest.raises(ValueError):
+        mm.resize_images(df, 0, 4)
