@@ -879,6 +879,41 @@ def q_simsearch_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
 # repetition stats
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize through the production mapInPandas stage, proven end-to-end:
+    every doc_id becomes a synthesized 16x8 binary PGM (closed-form
+    pixels), resize_images scales it to 8x4 nearest-neighbor, and the
+    resized raster is re-decoded by the feature stage. The DuckDB oracle
+    recomputes the resized pixel stream symbolically —
+    pixel(x,y) = (3*doc_id + (32*y + 2*x)*5) % 256 — so means/extrema
+    match byte-exactly."""
+    import pandas as pd
+
+    from intake_esm_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def _gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [mm.synth_pgm_payload(int(d), 16, 8) for d in ids],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    media = docs.mapInPandas(_gen, "media_id long, payload binary, media_type string")
+    resized = mm.resize_images(media, 8, 4)
+    feats = mm.extract_features(
+        resized.select("media_id", "payload", F.lit("image").alias("media_type"))
+    )
+    return feats.select(
+        "media_id", *[F.col("feature")[i].alias(f"f{i}") for i in range(8)]
+    )
+
+
 def q_docs_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic global shuffle order — 0-based position of every
     document in the md5-keyed training order, computed with the two-phase
@@ -1035,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curated": q_docs_curated,
         "embed_quantize": q_embed_quantize,
         "simsearch_pairs_lsh": q_simsearch_pairs_lsh,
+        "multimodal_resize": q_multimodal_resize,
         "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
@@ -1063,7 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_numeric": q_profile_numeric,
         "events_sliding": q_events_sliding,
         "events_topk_user": q_events_topk_user,
-        "text_stats": q_text_stats,
         "text_vocab": q_text_vocab,
         "docs_hash_sample": q_docs_hash_sample,
         "dedup_exact": q_dedup_exact,
@@ -1079,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
         # ---- rotation tail: driver-green r1-r4, sacrificed to the 50-cap
+        "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_redact": q_text_redact,
         "docs_sample_stratified": q_docs_sample_stratified,
@@ -1444,6 +1480,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
                      AS distinct_ratio
             FROM c GROUP BY doc_id
+        """,
+        "multimodal_resize": """
+            WITH px AS (
+              SELECT doc_id, ((doc_id * 3 + (32 * y + 2 * x) * 5) % 256) AS v
+              FROM documents,
+                   generate_series(0, 3) t1(y),
+                   generate_series(0, 7) t2(x)
+            )
+            SELECT doc_id AS media_id,
+                   8.0 AS f0, 4.0 AS f1, 1.0 AS f2, 255.0 AS f3,
+                   CAST(sum(v) AS DOUBLE) / 32 AS f4,
+                   CAST(min(v) AS DOUBLE) AS f5,
+                   CAST(max(v) AS DOUBLE) AS f6,
+                   32.0 AS f7
+            FROM px GROUP BY doc_id
         """,
         "embed_quantize": """
             WITH x AS (

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "docs_curated",
     "embed_quantize",
     "simsearch_pairs_lsh",
+    "multimodal_resize",
 ]
 
 
