@@ -974,7 +974,7 @@ def q_simsearch_pairs_lsh(spark: SparkSession, sf: str) -> DataFrame:
     engine-exact: the oracle replays the same literal planes."""
     emb = load_table(spark, sf, "embeddings")
     cand = simsearch.cosine_pairs_lsh(
-        emb, threshold=0.3 - 1e-6, n_planes=16, bands=4
+        emb, threshold=0.3 - 1e-6, n_planes=16, bands=4, dim=64
     ).select("id_a", "id_b")
     a = simsearch.with_norm(
         emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")),

@@ -712,6 +712,7 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     salt: str = "hp",
     max_block_rows: int | None = 8192,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs cosine >= threshold via banded angular LSH:
     random-hyperplane band signatures block the corpus, the blocked-GEMM
@@ -727,13 +728,16 @@ def cosine_pairs_lsh(
     short (band, sig) buckets) and the final pair dedup keyed by the pair
     id. Dimension is read from the first plane; no driver pass over data.
     """
-    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if not dim_probe:
-        return cosine_pairs_blocked(
-            df.withColumn("__sig", F.lit("")), "__sig", threshold,
-            id_col=id_col, vec_col=vec_col, max_block_rows=max_block_rows,
-        ).drop("__sig")
-    dim = dim_probe[0]["d"]
+    if dim is None:
+        # 1-row schema probe; pass dim explicitly to keep the operator a
+        # pure plan transform (no driver action at construction time)
+        dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not dim_probe:
+            return cosine_pairs_blocked(
+                df.withColumn("__sig", F.lit("")), "__sig", threshold,
+                id_col=id_col, vec_col=vec_col, max_block_rows=max_block_rows,
+            ).drop("__sig")
+        dim = dim_probe[0]["d"]
     planes = hyperplane_coeffs(n_planes, dim, salt)
     sigs = band_signatures(F.col(vec_col), planes, bands)
     exploded = df.select(id_col, vec_col).withColumn("__band", F.explode(sigs))
