@@ -145,10 +145,10 @@ def main() -> None:
     qs.update(_ivf_phase_callables(os.path.join(ivf_dir, "index")))
     qs.update(_lsh_phase_callables(os.path.join(ivf_dir, "lsh_index")))
 
-    # warm-up (not counted): two passes — JVM/codegen for the first-slot
-    # query, plus one broadcast-join plan so the exchange/broadcast
-    # machinery is hot before any timed slot (r4's q1 medians absorbed
-    # first-slot warmup; two untimed actions pin steady state)
+    # warm-up (not counted): three untimed actions — q1 for JVM/codegen,
+    # q3 for the broadcast-join/exchange machinery, then q1 AGAIN so the
+    # first timed slot starts from fully steady state (r4's q1 medians
+    # were absorbing first-slot warmup)
     qs["q1_pricing_summary"](spark, sf_dir).count()
     qs["q3_shipping_priority"](spark, sf_dir).count()
     qs["q1_pricing_summary"](spark, sf_dir).count()

@@ -152,10 +152,17 @@ def _decode_payload(payload: bytes, media_type: str) -> list[float]:
     n = len(payload)
     if n == 0:
         return [0.0] * 8
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(payload)
-    if payload[:2] in (b"P5", b"P6"):
-        return _decode_pnm(payload)
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_pnm(payload)
+    except Exception:
+        # a matching magic with an undecodable body (unsupported sample
+        # width, truncated header, corrupt raster) must NOT abort the
+        # whole Spark job — fall through to the deterministic byte-stat
+        # fake, same as any codec this container can't decode
+        pass
     head = payload[: min(n, 64)]
     return [
         float(n),
@@ -304,8 +311,17 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             ws, hs, payloads, ok = [], [], [], []
             for p in pdf["payload"]:
                 b = bytes(p) if p is not None else None
+                resized_payload = None
                 if b is not None and b[:2] in (b"P5", b"P6"):
-                    payloads.append(_resize_pnm(b, target_w, target_h))
+                    try:
+                        resized_payload = _resize_pnm(b, target_w, target_h)
+                    except Exception:
+                        # malformed PNM (truncated raster, 16-bit maxval,
+                        # junk dims): pass through un-resized rather than
+                        # failing the job — same contract as unknown codecs
+                        resized_payload = None
+                if resized_payload is not None:
+                    payloads.append(resized_payload)
                     ws.append(target_w)
                     hs.append(target_h)
                     ok.append(True)

@@ -146,6 +146,17 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def salted_hash60(key: Column, salt: str = "") -> Column:
+    """Salted 60-bit engine-portable hash: ``portable_hash60(salt | key)``
+    with a ``|`` delimiter so shifted salt/key boundaries can't collide.
+    THE single definition of the salted-md5 construction — sampling
+    buckets (``operators.sampling.hash_bucket``) and the packing shuffle
+    key (``operators.packing.shuffle_key``) both derive from it, and the
+    SQL oracles replay the same formula, so there is exactly one place
+    the determinism contract can change."""
+    return portable_hash60(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
+
+
 def words_array(text: Column) -> Column:
     """Normalized word array — materialize this in its OWN projection before
     building shingles: expressions inlined into a higher-order lambda are

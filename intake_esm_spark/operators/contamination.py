@@ -64,8 +64,11 @@ def contamination_report(
     where ``n_ngrams`` counts the document's DISTINCT word n-grams,
     ``n_overlap`` how many of those appear anywhere in the benchmark,
     ``overlap_frac = n_overlap / n_ngrams`` and ``contaminated`` flags
-    ``n_overlap >= min_overlap``. Every document of ``corpus`` appears
-    exactly once (clean docs report 0 / 0.0 / false)."""
+    ``n_overlap >= min_overlap``. Every document of ``corpus`` with
+    non-null text appears exactly once (clean docs report 0 / 0.0 /
+    false); null-text documents have no n-grams and are OMITTED — they
+    are trivially uncontaminated, and the SQL oracle's unnest drops them
+    identically."""
     bench = benchmark_ngrams(benchmark, text_col=text_col, n=n).withColumn(
         "__hit", F.lit(1)
     )

@@ -57,11 +57,15 @@ def length_histogram(
     )
 
 
-def _rle_fold(sorted_arr: Column) -> Column:
+def _rle_fold(sorted_arr: Column, finish=None) -> Column:
     """Run-length stats of an ALREADY-SORTED array as ONE left fold
-    (``F.aggregate``): returns ``struct(best, n_distinct)`` where ``best``
-    is the longest run of equal elements and ``n_distinct`` the number of
-    runs. Input must be non-empty.
+    (``F.aggregate``): returns ``struct(best, n_distinct, n)`` where
+    ``best`` is the longest run of equal elements, ``n_distinct`` the
+    number of runs, and ``n`` the element count. Input must be non-empty.
+    ``finish`` overrides the output projection (it receives the
+    accumulator struct) — callers that need a single scalar predicate
+    pass one so the WHOLE computation stays a single-reference
+    expression (see the pushdown note below).
 
     Why a fold and not the prettier zip_with/slice pipeline: Catalyst
     re-inlines alias definitions when it pushes a predicate through a
@@ -82,6 +86,7 @@ def _rle_fold(sorted_arr: Column) -> Column:
             cur.alias("cur"),
             F.greatest(acc["best"], cur).alias("best"),
             (acc["n_distinct"] + F.when(is_new, 1).otherwise(0)).alias("n_distinct"),
+            (acc["n"] + 1).alias("n"),
         )
 
     init = F.struct(
@@ -89,13 +94,15 @@ def _rle_fold(sorted_arr: Column) -> Column:
         F.lit(0).alias("cur"),
         F.lit(0).alias("best"),
         F.lit(0).alias("n_distinct"),
+        F.lit(0).alias("n"),
     )
-    return F.aggregate(
-        s,
-        init,
-        _step,
-        lambda acc: F.struct(acc["best"].alias("best"), acc["n_distinct"].alias("n_distinct")),
-    )
+    if finish is None:
+        finish = lambda acc: F.struct(  # noqa: E731
+            acc["best"].alias("best"),
+            acc["n_distinct"].alias("n_distinct"),
+            acc["n"].alias("n"),
+        )
+    return F.aggregate(s, init, _step, finish)
 
 
 def repetition_stats(
@@ -122,8 +129,11 @@ def repetition_stats(
     next. The sorted array and the fold result are each materialized in
     their OWN projection and the fold references its input exactly once
     (see ``_rle_fold`` for why that matters under predicate pushdown).
-    Cross-checked against the exploded two-agg plan in tests."""
-    s_df = df.select(
+    Cross-checked against the exploded two-agg plan in tests.
+
+    Null-text documents are OMITTED (they have no n-grams) — the same
+    contract as the exploded plan and the SQL oracle's unnest."""
+    s_df = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.array_sort(shingles(F.col(text_col), n)).alias("__s")
     )
     r_df = s_df.select(

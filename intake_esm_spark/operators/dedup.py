@@ -120,14 +120,20 @@ def _spread(df: DataFrame) -> DataFrame:
     full parallelism; on a many-file 100 TB table the partition count is
     already >= cores and this is a no-op.
 
-    The width probe is ``df.inputFiles()`` — a driver-side file listing
-    (already cached by the scan relation), NOT ``df.rdd.getNumPartitions()``,
-    which would materialize an RDD lineage for the whole upstream plan.
-    Files under-count partitions when one file splits into several (large
-    files vs ``maxPartitionBytes``), so the probe errs toward adding the
-    narrow round-robin exchange — harmless where it wasn't needed."""
+    Two-step width probe: ``df.inputFiles()`` first — a driver-side file
+    listing (already cached by the scan relation) that settles the common
+    case (a many-file table is always wide) without touching ``.rdd``.
+    Only when the file count is below target does it fall back to the
+    precise ``df.rdd.getNumPartitions()`` (which materializes the RDD
+    lineage — acceptable on the rare narrow path): files UNDER-count
+    partitions when one large file splits against ``maxPartitionBytes``
+    (a 10×1 TB table is ~80k partitions, not 10 — repartitioning it
+    would be a full-corpus exchange), and a non-file source reports zero
+    files regardless of its real width."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if len(df.inputFiles()) >= target:
+        return df
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
@@ -230,6 +236,13 @@ def minhash_lsh_candidates(
     )
     return pairs
 
+
+LSH_HASH_SCHEME = "md5-60-affine-v1"
+"""Identifies the MinHash base-hash + permutation family. Stamped into
+every LSH index sidecar and checked on probe: signatures from different
+families band-join to ~zero collisions, so probing a stale index would
+silently report no near-duplicates. Bump when the family changes (it
+changed once: seeded xxhash64 -> md5-60 + affine, round 5)."""
 
 DEFAULT_MAX_DOC_FREQ = 256
 """Default document-frequency cap for the Jaccard shingle self-join.
@@ -617,6 +630,7 @@ def write_lsh_index(
             "shingle_n": shingle_n,
             "text_col": text_col,
             "id_col": id_col,
+            "hash_scheme": LSH_HASH_SCHEME,
         }
     )
     write_text_sidecar(docs.sparkSession, f"{path}/_lsh_params", sidecar)
@@ -647,6 +661,16 @@ def near_duplicates_incremental(
     params = _json.loads(
         spark.read.text(f"{index_path}/_lsh_params").collect()[0][0]
     )
+    scheme = params.get("hash_scheme")
+    if scheme != LSH_HASH_SCHEME:
+        # an index signatured under a different hash family band-joins to
+        # essentially ZERO collisions — near-dups would silently vanish.
+        # Refuse loudly instead.
+        raise ValueError(
+            f"LSH index at {index_path} was written with hash scheme "
+            f"{scheme!r}; this engine computes {LSH_HASH_SCHEME!r} — "
+            "rebuild the index with write_lsh_index before probing"
+        )
     text_col, id_col = params["text_col"], params["id_col"]
     # checkpoint: the batch signature plan is referenced twice below
     # (inside the index∪batch union and as the probe side) — without

@@ -51,11 +51,13 @@ _HASH_SPACE = 1 << 60
 
 def shuffle_key(key: Column, salt: str = "") -> Column:
     """60-bit deterministic shuffle position: ``md5(salt | key)`` as a
-    bigint (see ``functions.text.portable_hash60`` for portability notes).
+    bigint, via ``functions.text.salted_hash60`` (the one definition of
+    the salted-md5 construction — same family as sampling buckets).
     Ties are impossible for distinct keys only modulo hash collisions, so
     callers ALWAYS order by ``(shuffle_key, key)`` — a total order."""
-    h = F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    from intake_esm_spark.functions.text import salted_hash60
+
+    return salted_hash60(key, salt)
 
 
 def _bucket(skey: Column, n_buckets: int) -> Column:

@@ -31,9 +31,12 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
 
     Salt and key are joined with a ``|`` delimiter so shifted boundaries
     can't collide (salt 'v1' + key '23' vs salt 'v12' + key '3' hash
-    differently) — prefix-related salts still draw independent samples."""
-    h = F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % HASH_BUCKETS
+    differently) — prefix-related salts still draw independent samples.
+    Delegates to ``functions.text.salted_hash60`` — the one definition of
+    the salted-md5 construction the SQL oracles replay."""
+    from intake_esm_spark.functions.text import salted_hash60
+
+    return salted_hash60(key, salt) % HASH_BUCKETS
 
 
 def hash_sample(

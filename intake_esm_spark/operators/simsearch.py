@@ -401,7 +401,7 @@ def ivf_index_append(
     new_rows: DataFrame,
     path: str,
     files_per_bucket: int | None = 1,
-) -> int:
+) -> None:
     """Incrementally add vectors to an existing :func:`write_ivf_index`
     table WITHOUT re-clustering: new rows are assigned to their nearest
     EXISTING centroid (read from the sidecar, so append and build can
@@ -416,7 +416,10 @@ def ivf_index_append(
     Centroids drift from the true corpus clustering as appends accumulate
     (recall decays, correctness does not — probing is nearest-centroid on
     the same sidecar either way); rebuild with ``write_ivf_index`` when
-    the appended fraction gets large. Returns the number of rows added.
+    the appended fraction gets large. No return value: counting would
+    re-execute the whole batch plan a second time (and could disagree
+    with what a non-deterministic source actually wrote) — read the index
+    back if a count is needed.
     """
     import json as _json
 
@@ -431,7 +434,6 @@ def ivf_index_append(
         files_per_bucket,
         "append",
     )
-    return new_rows.count()
 
 
 def ivf_topk_indexed(

@@ -206,12 +206,22 @@ def stream_curate(
 
     text = F.col(text_col)
     sorted_rep = F.array_sort(shingles(text, rep_n))
-    top_frac = _rle_fold(sorted_rep)["best"] / F.size(sorted_rep).cast("double")
+    # ONE reference to the (expensive) sorted-shingle expression: the
+    # whole repetition gate is computed inside the fold's finish lambda,
+    # so the regex shingling runs once per row even though this lands in
+    # a Filter with no projection boundary (SCALE.md pitfall #4)
+    rep_ok = _rle_fold(
+        sorted_rep,
+        finish=lambda acc: (
+            acc["best"].cast("double") / acc["n"].cast("double")
+        )
+        <= F.lit(max_top_frac),
+    )
     grams = F.transform(F.array_distinct(shingles(text, shingle_n)), portable_hash60)
     n_tok = ws_token_count(text)
     return stream_df.filter(
         (n_tok >= min_tokens)
         & (n_tok <= max_tokens)
-        & (top_frac <= max_top_frac)
+        & rep_ok
         & _is_clean(grams)
     )

@@ -381,3 +381,24 @@ def test_candidates_cap_is_corpus_wide(spark):
         p: j for p, j in full.items() if p[0] in cand_docs and p[1] in cand_docs
     }
     assert sub == expected
+
+
+def test_lsh_index_rejects_foreign_hash_scheme(spark, tmp_path):
+    """Probing an index signatured under a DIFFERENT hash family would
+    band-join to ~zero collisions and silently report no near-dups; the
+    sidecar scheme stamp turns that into a loud error."""
+    import json
+
+    from intake_esm_spark.sources.tables import load_table
+    from intake_esm_spark.util import write_text_sidecar
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    path = str(tmp_path / "lsh_idx")
+    dedup.write_lsh_index(docs, path, num_hashes=8, bands=4)
+    params = json.loads(spark.read.text(f"{path}/_lsh_params").collect()[0][0])
+    assert params["hash_scheme"] == dedup.LSH_HASH_SCHEME
+
+    params.pop("hash_scheme")  # simulate a pre-round-5 xxhash64 index
+    write_text_sidecar(spark, f"{path}/_lsh_params", json.dumps(params))
+    with pytest.raises(ValueError, match="hash scheme"):
+        dedup.near_duplicates_incremental(spark, path, docs, docs, threshold=0.8)

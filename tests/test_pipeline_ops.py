@@ -220,3 +220,17 @@ def test_packing_property_random_tokens(spark):
         for i in order:
             assert out[keys[i]] == (acc, acc // budget), (trial, keys[i])
             acc += toks[i]
+
+
+def test_null_text_docs_omitted_consistently(spark):
+    """Null-text documents carry no n-grams: repetition_stats and
+    contamination_report OMIT them (matching the SQL oracles' unnest and
+    the exploded cross-check plan) instead of emitting all-null rows."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    rep = corpus.repetition_stats(df, n=2).collect()
+    assert {r["doc_id"] for r in rep} == {1}
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    con = contamination.contamination_report(df, bench).collect()
+    assert {r["doc_id"] for r in con} == {1}

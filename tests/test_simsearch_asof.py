@@ -393,8 +393,7 @@ def test_ivf_index_append_equals_one_shot_build(spark, embeddings, tmp_path):
     centroids = simsearch.write_ivf_index(
         half_a, appended, n_centroids=8, sample_fraction=1.0
     )
-    added = simsearch.ivf_index_append(half_b, appended)
-    assert added == half_b.count()
+    simsearch.ivf_index_append(half_b, appended)
 
     # one-shot build over the FULL corpus with the SAME centroids
     oneshot = str(tmp_path / "ivf_oneshot")

@@ -337,3 +337,38 @@ def test_resize_images_rejects_bad_target(spark):
     df = spark.createDataFrame([], mm.MEDIA_SCHEMA)
     with pytest.raises(ValueError):
         mm.resize_images(df, 0, 4)
+
+
+def test_decode_malformed_magic_falls_back_not_raises():
+    """Payloads that MATCH a decode magic but can't be decoded (8-bit WAV,
+    corrupt RIFF body, junk PNM header) must fall back to the byte-stat
+    fake instead of raising — one bad payload must never abort a job."""
+    import io
+    import struct
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit: unsupported by _decode_wav
+        w.setframerate(8000)
+        w.writeframes(bytes(range(64)))
+    eight_bit_wav = buf.getvalue()
+
+    for payload in (
+        eight_bit_wav,
+        b"RIFF\x00\x00\x00\x00WAVEgarbage",
+        b"P5\nnot numbers\n255\n\x00\x01",
+    ):
+        feats = mm._decode_payload(payload, "audio")
+        assert len(feats) == 8 and all(isinstance(v, float) for v in feats)
+
+
+def test_resize_malformed_pnm_passes_through(spark):
+    truncated = b"P5\n16 8\n255\n" + bytes(10)  # raster cut short
+    df = spark.createDataFrame(
+        [(1, bytearray(truncated), "image", (16, 8, 1, None, None))], mm.MEDIA_SCHEMA
+    )
+    out = mm.resize_images(df, 8, 4).collect()[0]
+    assert not out["resized"]
+    assert bytes(out["payload"]) == truncated
