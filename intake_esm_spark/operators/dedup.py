@@ -665,11 +665,19 @@ def near_duplicates_incremental(
     if scheme != LSH_HASH_SCHEME:
         # an index signatured under a different hash family band-joins to
         # essentially ZERO collisions — near-dups would silently vanish.
-        # Refuse loudly instead.
+        # Refuse loudly instead. A MISSING stamp means a pre-stamp index,
+        # and those are all seeded-xxhash64 (the stamp was introduced with
+        # the md5-60 family switch), so it is a forced-rebuild migration,
+        # not a legacy spelling of the current scheme.
+        detail = (
+            "predates the hash scheme stamp (seeded-xxhash64 family)"
+            if scheme is None
+            else f"was written with hash scheme {scheme!r}"
+        )
         raise ValueError(
-            f"LSH index at {index_path} was written with hash scheme "
-            f"{scheme!r}; this engine computes {LSH_HASH_SCHEME!r} — "
-            "rebuild the index with write_lsh_index before probing"
+            f"LSH index at {index_path} {detail}; this engine computes "
+            f"{LSH_HASH_SCHEME!r} — rebuild the index with write_lsh_index "
+            "before probing"
         )
     text_col, id_col = params["text_col"], params["id_col"]
     # checkpoint: the batch signature plan is referenced twice below

@@ -73,16 +73,21 @@ def global_order_index(
     salt: str = "",
     n_buckets: int = DEFAULT_BUCKETS,
     out_col: str = "position",
+    keep_order_key: bool = False,
 ) -> DataFrame:
     """Attach a 0-based global position in the deterministic shuffle
     order — ``row_number() over (order by shuffle_key, key)`` computed
     without a single-task global window (see module docstring).
 
+    With ``keep_order_key=True`` the 60-bit ``__skey`` order hash is
+    retained in the output; by default only ``out_col`` is added.
+
     **Precondition:** ``key_col`` values are unique (they break hash
     ties; duplicates would make positions partition-dependent)."""
     out = _prefix_sum(df, key_col, F.lit(1).cast("bigint"), salt, n_buckets, out_col)
     # inclusive sum of ones -> 1-based rank; shift to a 0-based index
-    return out.withColumn(out_col, F.col(out_col) - 1)
+    out = out.withColumn(out_col, F.col(out_col) - 1)
+    return out if keep_order_key else out.drop("__skey")
 
 
 def pack_token_bins(
@@ -92,6 +97,7 @@ def pack_token_bins(
     key_col: str,
     salt: str = "",
     n_buckets: int = DEFAULT_BUCKETS,
+    keep_order_key: bool = False,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: documents are laid end-to-end
     in deterministic shuffle order and cut into ``budget``-token bins.
@@ -103,18 +109,23 @@ def pack_token_bins(
 
     Semantics are a pure function of (key set, token counts, salt,
     budget) — re-running on a repartitioned or re-ingested corpus packs
-    identically, which is what makes training-order reproducible."""
+    identically, which is what makes training-order reproducible.
+
+    With ``keep_order_key=True`` the 60-bit ``__skey`` order hash is
+    retained (e.g. to sort documents within a bin); by default only
+    ``token_offset`` and ``bin_id`` are added."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     out = _prefix_sum(df, key_col, tok.cast("bigint"), salt, n_buckets, "__incl")
-    return (
+    out = (
         out.withColumn(
             "token_offset", F.col("__incl") - tok.cast("bigint")
         )
         .withColumn("bin_id", F.floor(F.col("token_offset") / budget).cast("bigint"))
         .drop("__incl")
     )
+    return out if keep_order_key else out.drop("__skey")
 
 
 def _prefix_sum(

@@ -202,7 +202,13 @@ def stream_curate(
     @F.pandas_udf("boolean")
     def _is_clean(gram_hashes: pd.Series) -> pd.Series:
         s = bc.value
-        return gram_hashes.map(lambda arr: not any(int(h) in s for h in arr))
+        # null text -> null gram array: tolerate it here (a null row is
+        # "clean" as far as decontamination goes — the token-count gate
+        # rejects it anyway) rather than rely on Catalyst ordering the
+        # deterministic conjuncts below this Python eval node.
+        return gram_hashes.map(
+            lambda arr: True if arr is None else not any(int(h) in s for h in arr)
+        )
 
     text = F.col(text_col)
     sorted_rep = F.array_sort(shingles(text, rep_n))
