@@ -1046,6 +1046,56 @@ def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LINE_CHUNK_WORDS = 8
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """Fixed 8-word-window segmentation of documents into 'lines'. The
+    synthetic corpus has no newlines, so the structural-dedup entries
+    derive lines as fixed word windows — near-duplicate documents (built
+    by copy+mutate) share ALIGNED windows, which produces genuine
+    cross-document duplicated lines (153 duplicated distinct lines across
+    93 docs at sf0.01). The word array is materialized in its OWN
+    projection before the window transform references it (SCALE.md
+    pitfall: no CSE inside higher-order lambdas)."""
+    w = _LINE_CHUNK_WORDS
+    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+    nch = F.ceil(F.size("__ws") / F.lit(float(w))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__ws"), i * w + 1, w)),
+    )
+    return d.select("doc_id", chunks.alias("__chunks"))
+
+
+def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style structural (line-level) dedup: lines duplicated across
+    >= 2 documents are removed from EVERY document, documents reassembled
+    preserving intra-document order (empty text + n_kept = 0 when nothing
+    survives). Completes the RefinedWeb-style chain line-dedup ->
+    doc-dedup -> repetition -> decontamination -> packing."""
+    from intake_esm_spark.operators import structural
+
+    docs = load_table(spark, sf, "documents")
+    return structural.line_dedup(
+        _doc_lines(docs), id_col="doc_id", lines=F.col("__chunks"),
+        min_doc_freq=2, keep="none",
+    )
+
+
+def q_dedup_lines_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural dedup, keep-first variant: the lowest-doc_id holder of
+    each duplicated line keeps its copy (exactly one copy of shared
+    content survives corpus-wide)."""
+    from intake_esm_spark.operators import structural
+
+    docs = load_table(spark, sf, "documents")
+    return structural.line_dedup(
+        _doc_lines(docs), id_col="doc_id", lines=F.col("__chunks"),
+        min_doc_freq=2, keep="first",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1063,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reserved for entries that were driver-green in every round r1-r4
     # (rotate them back in once the head stabilizes).
     return {
+        "dedup_lines": q_dedup_lines,
+        "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1418,7 +1470,55 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
     )
+    # shared CTE body for the structural-dedup oracles: 8-word-window
+    # segmentation (replays _doc_lines), per-line md5 of CCNet-normalized
+    # text, distinct-doc frequency + min-doc keeper, frequency joined back
+    _w = _LINE_CHUNK_WORDS
+    _doc_lines_body = f"""
+            ws AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), ch AS (
+              SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(w) / {_w}.0) AS INT)),
+                                    i -> array_to_string(w[i*{_w}+1:i*{_w}+{_w}], ' ')) AS chunks
+              FROM ws
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(chunks) AS line,
+                     unnest(range(1, len(chunks) + 1)) AS pos
+              FROM ch
+            ), fp AS (
+              SELECT doc_id, pos, line,
+                     md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS f
+              FROM lines
+            ), freq AS (
+              SELECT f, count(DISTINCT doc_id) AS df, min(doc_id) AS keeper
+              FROM fp GROUP BY f
+            ), j AS (
+              SELECT fp.doc_id, fp.pos, fp.line, freq.df, freq.keeper
+              FROM fp JOIN freq USING (f)
+            )"""
     return {
+        "dedup_lines": f"""
+            WITH {_doc_lines_body}
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN df < 2 THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM j GROUP BY doc_id
+        """,
+        "dedup_lines_keep_first": f"""
+            WITH {_doc_lines_body}
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN df < 2 OR doc_id = keeper THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN df < 2 OR doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept
+            FROM j GROUP BY doc_id
+        """,
         "docs_shuffle": f"""
             SELECT doc_id,
                    CAST(row_number() OVER (ORDER BY {_sk_r5}, doc_id) - 1 AS BIGINT)

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_vocab",
     "text_redact",
     "docs_hash_sample",
+    "dedup_lines",
     "dedup_exact",
     "dedup_minhash",
     "dedup_near",

@@ -1,0 +1,180 @@
+"""Line/paragraph-level structural dedup (CCNet / C4 style).
+
+Document-level dedup (``operators.dedup``) removes whole near-identical
+documents; what it cannot touch is the *boilerplate* problem — the same
+navigation bar, cookie banner, or license footer repeated across millions
+of otherwise-distinct pages. CCNet and C4 attack that structurally: split
+every document into lines (or paragraphs), fingerprint each line, and
+remove lines whose copies appear in many documents, then reassemble the
+documents. This module is that operator, Spark-first. (The reference
+engine — a catalog query engine — has no dedup at all; extension per
+SURVEY §2.9, same family as ``operators.dedup``.)
+
+Semantics
+---------
+* A document is split into lines by a regex separator (default ``\\n``),
+  or by any caller-supplied array expression (paragraphs, sentence-ish
+  chunks, fixed word windows — segmentation is policy, the
+  count/remove/reassemble machinery is not).
+* Each line is fingerprinted with ``md5`` of its CCNet-normalized text
+  (lowercase, collapsed whitespace, trimmed) — so trailing-space and
+  case variants of a boilerplate line dedup together; pass
+  ``normalize=False`` for byte-exact matching.
+* A line's **document frequency** is the number of *distinct* documents
+  containing it (a line repeated inside one document counts once — an
+  intra-document repeat is repetition, handled by
+  ``corpus.repetition_stats``, not cross-document boilerplate).
+* Lines with document frequency >= ``min_doc_freq`` are removed from
+  EVERY document (``keep="none"``, the CCNet rule) or from every document
+  except the lowest-id one (``keep="first"`` — preserves exactly one copy
+  of shared content, the C4-ish variant).
+* Documents are reassembled preserving intra-document line order; a
+  document whose every line was removed survives with empty text (the
+  downstream length filter is where empty documents die, with a
+  diagnostic ``n_kept = 0`` — silently dropping the row would hide the
+  document from the pipeline).
+
+100 TB shape
+------------
+Three exchanges, all at line grain with short keys, no global window, no
+driver collect:
+
+1. the document-frequency aggregation, keyed by the 32-hex md5
+   fingerprint (map-side partial aggregation applies — the per-partition
+   distinct-(fp, doc) collapse happens before the shuffle);
+2. the frequency join back onto the exploded lines, keyed by the same
+   fingerprint (the frequency side is line-vocabulary-sized — often
+   broadcastable in practice, but boilerplate vocabularies are corpus-
+   sized in the worst case, so the plan stays a shuffle join and lets AQE
+   downgrade it to broadcast when the stats allow);
+3. the per-document reassembly groupBy, keyed by document id.
+
+Removal happens INSIDE the reassembly aggregate (``collect_list`` skips
+the nulls a filtered ``when`` produces) rather than as a pre-filter, so
+fully-boilerplate documents are never lost and the kept/total counts come
+out of the same pass. Per-group state is one document's lines — bounded
+by document size, no skew beyond a pathological single document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from intake_esm_spark.functions.text import normalized_text
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    keep: str = "none",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    normalize: bool = True,
+    lines: Column | None = None,
+) -> DataFrame:
+    """Remove lines duplicated across >= ``min_doc_freq`` documents and
+    reassemble the documents (see module docstring for semantics).
+
+    Parameters
+    ----------
+    sep:
+        Regex separator splitting ``text_col`` into lines. Ignored when
+        ``lines`` is given.
+    join_sep:
+        LITERAL separator used to reassemble the kept lines (``sep`` is a
+        regex, so it cannot be reused for joining).
+    lines:
+        Optional array<string> expression producing the segmentation
+        directly (paragraphs, fixed word windows, ...). The reassembled
+        text joins those segments with ``join_sep``.
+    keep:
+        ``"none"`` removes every copy of an over-frequent line (CCNet);
+        ``"first"`` keeps the copy in the lowest-``id_col`` document.
+
+    Returns
+    -------
+    One row per input document with non-null lines:
+    ``(id_col, text_col, n_lines, n_kept)`` where ``text_col`` is the
+    reassembled text (empty string when nothing survived), ``n_lines``
+    the pre-dedup line count, ``n_kept`` the post-dedup count. Documents
+    with null ``text_col`` (null segmentation) are dropped, matching
+    SQL ``unnest`` semantics.
+    """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    if min_doc_freq < 2:
+        raise ValueError(
+            f"min_doc_freq must be >= 2 (1 would remove every line), got {min_doc_freq}"
+        )
+    arr = lines if lines is not None else F.split(F.col(text_col), sep)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(arr).alias("__pos", "__line")
+    )
+    fp_src = (
+        normalized_text(F.col("__line")) if normalize else F.col("__line")
+    )
+    line_rows = exploded.withColumn("__fp", F.md5(fp_src))
+
+    freq = line_rows.groupBy("__fp").agg(
+        F.countDistinct(id_col).alias("__df"),
+        F.min(id_col).alias("__keeper"),
+    )
+    joined = line_rows.join(freq, "__fp")
+
+    keep_line = F.col("__df") < F.lit(min_doc_freq)
+    if keep == "first":
+        keep_line = keep_line | (F.col(id_col) == F.col("__keeper"))
+
+    # removal inside the aggregate: when() without otherwise() yields null
+    # for removed lines and collect_list skips nulls, so a document whose
+    # every line is boilerplate still emits a row (text = "", n_kept = 0)
+    picked = F.when(keep_line, F.struct(F.col("__pos"), F.col("__line")))
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(picked)), lambda s: s["__line"]
+            ),
+            join_sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep_line.cast("bigint")).alias("n_kept"),
+    )
+
+
+def duplicated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    sep: str = "\n",
+    normalize: bool = True,
+    lines: Column | None = None,
+) -> DataFrame:
+    """The boilerplate REPORT: one row per line duplicated across >=
+    ``min_doc_freq`` documents — ``(fingerprint, line, doc_freq,
+    n_occurrences, first_doc)`` — the diagnostic a curation run reads
+    before choosing ``min_doc_freq`` (what IS the boilerplate, and how
+    widespread). ``line`` is one arbitrary-but-deterministic raw spelling
+    (the min) of the normalized fingerprint. Single exchange, keyed by
+    fingerprint."""
+    arr = lines if lines is not None else F.split(F.col(text_col), sep)
+    exploded = df.select(
+        F.col(id_col), F.explode(arr).alias("__line")
+    )
+    fp_src = (
+        normalized_text(F.col("__line")) if normalize else F.col("__line")
+    )
+    return (
+        exploded.withColumn("fingerprint", F.md5(fp_src))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("__line").alias("line"),
+            F.countDistinct(id_col).alias("doc_freq"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
