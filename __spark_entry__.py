@@ -1046,6 +1046,35 @@ def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_simsearch_ivf_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized ANN end-to-end: quantize_int8 -> int8 IVF index write
+    (bucket-partitioned parquet holding qvec+scale, 4x smaller than
+    float32) -> partition-pruned probe that dequantizes (q * scale) in
+    the score expression. Centroids pinned to vec_id 0..15 and every
+    stage (floor(+0.5) quantization, 6dp-rounded-cosine assignment with
+    higher-cid ties, probe, top-k) is exactly replayed by the DuckDB
+    oracle."""
+    import tempfile
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    # one stable per-sf dir, overwritten each call (same pattern as the
+    # LSH oracle index): the returned plan reads the index lazily
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf8_oracle_{os.path.basename(sf.rstrip('/'))}",
+    )
+    simsearch.write_ivf_index_int8(emb, path, centroids=cents)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.ivf_topk_indexed(spark, path, queries_df, k=10, nprobe=4)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 _LINE_CHUNK_WORDS = 8
 
 
@@ -1115,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        "simsearch_ivf_int8": q_simsearch_ivf_int8,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -2097,6 +2127,60 @@ def oracle_sql() -> dict[str, str]:
         # query probing, pruned scoring, top-k — is reproduced in SQL;
         # assignment and probing order by 6dp-rounded cosine with ties to
         # the higher centroid id, exactly as ivf_topk does
+        "simsearch_ivf_int8": """
+            WITH cent AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+              FROM embeddings WHERE vec_id < 16
+            ), x AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), s AS (
+              SELECT vec_id, e,
+                     list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+              FROM x
+            ), q8 AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale = 0
+                          THEN list_transform(e, v -> 0)
+                          ELSE list_transform(e, v -> greatest(-127, least(127,
+                               CAST(floor(v / scale + 0.5) AS INT))))
+                     END AS qv
+              FROM s
+            ), deq AS (
+              SELECT vec_id, list_transform(qv, v -> v * scale) AS dvec FROM q8
+            ), assign AS (
+              SELECT vec_id, dvec, cid AS bucket FROM (
+                SELECT d.vec_id, d.dvec, c.cid,
+                       row_number() OVER (
+                         PARTITION BY d.vec_id
+                         ORDER BY round(list_cosine_similarity(d.dvec, c.cvec), 6) DESC,
+                                  c.cid DESC
+                       ) AS rn
+                FROM deq d, cent c
+              ) WHERE rn = 1
+            ), probe AS (
+              SELECT query_id, qvec, cid AS bucket FROM (
+                SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qvec, c.cid,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                               c.cvec), 6) DESC,
+                                  c.cid DESC
+                       ) AS rn
+                FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q, cent c
+              ) WHERE rn <= 4
+            ), scored AS (
+              SELECT p.query_id, a.vec_id,
+                     list_cosine_similarity(a.dvec, p.qvec) AS cos_sim
+              FROM probe p JOIN assign a ON a.bucket = p.bucket
+            )
+            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+                     ) AS rnk
+              FROM scored
+            ) WHERE rnk <= 10
+        """,
         "simsearch_ivf": """
             WITH cent AS (
               SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "simsearch_pairs_blocked",
     "simsearch_ivf_build",
     "simsearch_ivf_probe",
+    "simsearch_ivf_int8_build",
+    "simsearch_ivf_int8_probe",
     "docs_shuffle",
     "docs_pack_bins",
     "contamination_check",
@@ -106,7 +108,28 @@ def _ivf_phase_callables(ivf_path: str):
         )
         return simsearch.ivf_topk_indexed(spark, ivf_path, queries, k=10, nprobe=4)
 
-    return {"simsearch_ivf_build": build, "simsearch_ivf_probe": probe}
+    int8_path = ivf_path + "_int8"
+
+    def build_int8(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        simsearch.write_ivf_index_int8(
+            emb, int8_path, n_centroids=16, sample_fraction=0.1
+        )
+        return None
+
+    def probe_int8(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return simsearch.ivf_topk_indexed(spark, int8_path, queries, k=10, nprobe=4)
+
+    return {
+        "simsearch_ivf_build": build,
+        "simsearch_ivf_probe": probe,
+        "simsearch_ivf_int8_build": build_int8,
+        "simsearch_ivf_int8_probe": probe_int8,
+    }
 
 
 def _lsh_phase_callables(lsh_path: str):

