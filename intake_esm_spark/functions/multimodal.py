@@ -274,24 +274,26 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def _resize_pnm(payload: bytes, tw: int, th: int) -> bytes:
-    """Nearest-neighbor resize of a binary PGM/PPM payload, pure Python:
-    output pixel (x, y) samples source pixel (x*w//tw, y*h//th). Emits a
-    canonical single-newline header."""
+    """Nearest-neighbor resize of a binary PGM/PPM payload: output pixel
+    (x, y) samples source pixel (x*w//tw, y*h//th). Vectorized as a numpy
+    index-map gather — two integer index vectors + one fancy-index per
+    image instead of tw*th Python-loop iterations (the arithmetic is the
+    identical floor-division map, so output bytes are unchanged; pinned
+    by a symbolic pixel oracle in the multimodal_resize driver entry and
+    a golden-bytes test). Emits a canonical single-newline header."""
+    import numpy as np
+
     magic, w, h, maxval, idx = _parse_pnm(payload)
     nch = 3 if magic == b"P6" else 1
     need = w * h * nch
     px = payload[idx : idx + need]
     if len(px) < need:
         raise DecodeNotAvailable("truncated PNM raster")
-    out = bytearray()
-    for y in range(th):
-        sy = y * h // th
-        row = sy * w * nch
-        for x in range(tw):
-            sx = x * w // tw
-            p = row + sx * nch
-            out += px[p : p + nch]
-    return b"%s\n%d %d\n%d\n" % (magic, tw, th, maxval) + bytes(out)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, nch)
+    sy = (np.arange(th, dtype=np.int64) * h) // th
+    sx = (np.arange(tw, dtype=np.int64) * w) // tw
+    out = arr[sy][:, sx]
+    return b"%s\n%d %d\n%d\n" % (magic, tw, th, maxval) + out.tobytes()
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:

@@ -803,6 +803,15 @@ def band_signatures(
     if n % bands != 0:
         raise ValueError(f"n_planes={n} not divisible by bands={bands}")
     r = n // bands
+    # Formulation note (round 6): an alternative computing ALL n plane
+    # partial sums in ONE F.aggregate fold (17-field struct accumulator,
+    # n element_at + n FMA per step — the _rle_fold trick) was built and
+    # A/B-measured against these per-plane folds: 38 ms vs 35 ms medians
+    # over 64k rows x 7 repeats, i.e. statistically indistinguishable and
+    # both inside fixed job overhead. The signature stage is <= 2% of
+    # cosine_pairs_lsh (profiled: the query's seconds are the blocking
+    # job + Arrow/Python GEMM startup at bench scale), so the simpler
+    # per-plane form stays. See BASELINE.md round-6 notes.
     out = []
     for b in range(bands):
         sig = F.lit(0).cast("bigint")

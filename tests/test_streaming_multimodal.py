@@ -372,3 +372,31 @@ def test_resize_malformed_pnm_passes_through(spark):
     out = mm.resize_images(df, 8, 4).collect()[0]
     assert not out["resized"]
     assert bytes(out["payload"]) == truncated
+
+
+def test_resize_pnm_gather_matches_reference_loop():
+    """The numpy index-map gather in _resize_pnm is byte-identical to the
+    per-pixel floor-division loop it replaced (upscale + downscale, P5 and
+    P6, non-divisible dims)."""
+    import numpy as np
+
+    def loop_resize(payload, tw, th):
+        magic, w, h, maxval, idx = mm._parse_pnm(payload)
+        nch = 3 if magic == b"P6" else 1
+        px = payload[idx : idx + w * h * nch]
+        out = bytearray()
+        for y in range(th):
+            sy = y * h // th
+            row = sy * w * nch
+            for x in range(tw):
+                sx = x * w // tw
+                p = row + sx * nch
+                out += px[p : p + nch]
+        return b"%s\n%d %d\n%d\n" % (magic, tw, th, maxval) + bytes(out)
+
+    rng = np.random.RandomState(7)
+    for magic, nch in ((b"P5", 1), (b"P6", 3)):
+        for (w, h), (tw, th) in [((13, 7), (5, 9)), ((6, 6), (17, 3)), ((1, 1), (4, 4))]:
+            raster = rng.randint(0, 256, size=w * h * nch, dtype=np.uint8).tobytes()
+            payload = b"%s\n%d %d\n255\n" % (magic, w, h) + raster
+            assert mm._resize_pnm(payload, tw, th) == loop_resize(payload, tw, th)
