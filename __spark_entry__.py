@@ -1046,6 +1046,49 @@ def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
+
+
+def q_docs_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture rebalancing: deterministic token-weighted
+    downsampling of the corpus to a 3:1:1:1 target mix over four sources
+    (sources outside the weight map drop entirely). Keep decision is the
+    salted-hash filter, rates derive in-plan from per-source token
+    masses — corpus never shuffles."""
+    from intake_esm_spark.operators import mixing
+
+    docs = load_table(spark, sf, "documents")
+    out = mixing.apply_mixture(
+        docs,
+        _MIX_WEIGHTS,
+        size_col=tx.ws_token_count(F.col("text")),
+        salt="mix",
+    )
+    return out.select("doc_id", "source")
+
+
+_QUALITY_BUCKETS = 64
+_QUALITY_WSALT = "qw6"
+_QUALITY_HSALT = "qf"
+
+
+def q_docs_quality_logit(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality scoring plumbing (CCNet-style): fastText-ish
+    hashed bag-of-words linear logit per document — salted-md5 word
+    buckets into a 64-weight literal vector, mean-pooled in ONE in-row
+    fold, zero shuffle. Weights are md5-derived stand-ins (the scoring
+    plan is identical for trained weights); 6dp-rounded for the oracle."""
+    docs = load_table(spark, sf, "documents")
+    wts = tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
+    words = docs.select("doc_id", tx.words_array(F.col("text")).alias("__w"))
+    return words.select(
+        "doc_id",
+        F.round(
+            tx.hashed_bow_logit(F.col("__w"), wts, salt=_QUALITY_HSALT), 6
+        ).alias("logit"),
+    )
+
+
 def q_simsearch_ivf_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Quantized ANN end-to-end: quantize_int8 -> int8 IVF index write
     (bucket-partitioned parquet holding qvec+scale, 4x smaller than
@@ -1145,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "simsearch_ivf_int8": q_simsearch_ivf_int8,
+        "docs_mixture": q_docs_mixture,
+        "docs_quality_logit": q_docs_quality_logit,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1529,7 +1574,50 @@ def oracle_sql() -> dict[str, str]:
               SELECT fp.doc_id, fp.pos, fp.line, freq.df, freq.keeper
               FROM fp JOIN freq USING (f)
             )"""
+    _mix_total = float(sum(_MIX_WEIGHTS.values()))
+    _mix_vals = ", ".join(
+        f"('{s}', {float(w) / _mix_total!r})" for s, w in _MIX_WEIGHTS.items()
+    )
+    _qwts_sql = "[" + ", ".join(
+        repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
+    ) + "]"
     return {
+        "docs_mixture": f"""
+            WITH masses AS (
+              SELECT source, CAST(sum({_ws_tok}) AS DOUBLE) AS mass
+              FROM documents GROUP BY source
+            ), wts(source, target_w) AS (
+              VALUES {_mix_vals}
+            ), joined AS (
+              SELECT m.source, m.mass, w.target_w
+              FROM masses m JOIN wts w USING (source)
+            ), t AS (
+              SELECT min(mass / target_w) AS bigt FROM joined
+            ), th AS (
+              SELECT source,
+                     CAST(floor(least(1.0, target_w * bigt / mass) * 1000000)
+                          AS BIGINT) AS keep_below
+              FROM joined, t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN th USING (source)
+            WHERE {_h60_sql("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  < keep_below
+        """,
+        "docs_quality_logit": f"""
+            WITH consts AS (
+              SELECT {_qwts_sql} AS wl
+            ), w AS (
+              SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(list_sum(list_transform(ws,
+                           x -> wl[({_h60_sql(f"'{_QUALITY_HSALT}|' || x")}
+                                    % {_QUALITY_BUCKETS})::INT + 1]))
+                         / len(ws), 6) AS logit
+            FROM w, consts
+        """,
         "dedup_lines": f"""
             WITH {_doc_lines_body}
             SELECT doc_id,

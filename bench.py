@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "contamination_check",
     "docs_repetition",
     "docs_curated",
+    "docs_mixture",
+    "docs_quality_logit",
     "embed_quantize",
     "simsearch_pairs_lsh",
     "multimodal_resize",

@@ -194,6 +194,55 @@ def shingles(text: Column, n: int = 5) -> Column:
     return F.when(F.size(arr) == 0, F.array(norm)).otherwise(arr)
 
 
+def hashed_bow_weights(n_buckets: int = 256, salt: str = "qw") -> list[float]:
+    """Deterministic md5-derived pseudo-weights in [-1, 1] for the hashed
+    bag-of-words scorer — a STAND-IN for a trained linear model's weight
+    vector (CCNet-style quality filtering trains a fastText/logistic model
+    offline; this engine's job is the SCORING plumbing, which is identical
+    whatever the weights are). The construction regenerates the same
+    constants in any engine/process (no RNG state — same trick as the LSH
+    hyperplanes), so the scoring pipeline is exactly replayable by a SQL
+    oracle. Swap in real trained weights by passing your own list to
+    :func:`hashed_bow_logit`."""
+    import hashlib
+
+    def _u(tag: str) -> float:
+        h = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+        return (h / float(1 << 64)) * 2.0 - 1.0
+
+    return [_u(f"{salt}|{b}") for b in range(n_buckets)]
+
+
+def hashed_bow_logit(
+    words: Column, weights: list[float], salt: str = "qf"
+) -> Column:
+    """fastText-style hashed bag-of-words linear score (the logit):
+    every word is hashed into one of ``len(weights)`` buckets with the
+    engine-portable salted md5 (``salted_hash60 % n_buckets``), and the
+    score is the MEAN of the bucket weights over the document's words —
+    the standard model-based quality-filter scoring pass, 100% in-row:
+    one codegen'd fold over an already-materialized word array (pass
+    ``words_array(text)`` materialized in its own projection — no CSE
+    inside lambdas), a literal weight array, zero shuffle, no Python.
+
+    Classification is ``hashed_bow_logit(...) >= threshold`` (keep the
+    comparison on the 6dp-rounded logit when an oracle must agree with
+    it). The sigmoid is deliberately NOT applied: it is monotone — the
+    threshold moves instead — and cross-engine ``exp`` differs in the
+    last ulp, which would make a boolean gate flap on borderline docs."""
+    n = len(weights)
+    if n == 0:
+        raise ValueError("weights must be non-empty")
+    wts = F.array(*[F.lit(float(w)) for w in weights])
+    bucket = lambda w: F.pmod(salted_hash60(w, salt), F.lit(n))  # noqa: E731
+    total = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, w: acc + F.element_at(wts, bucket(w).cast("int") + 1),
+    )
+    return total / F.size(words)
+
+
 def rolling_hashes(text: Column, n: int = 5) -> Column:
     """Rolling-window fingerprint: portable 60-bit hash of each word n-gram
     shingle (array<bigint>) — the document's hash sketch, recomputable by
