@@ -1168,6 +1168,56 @@ def q_dedup_lines_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL RefinedWeb-style curation chain as ONE declarative plan:
+    structural line-dedup (8-word-window lines, drop-all) -> exact-dedup
+    survivors on the CLEANED text -> token-length window -> low-repetition
+    -> decontamination vs the benchmark split -> hashed-BoW quality gate.
+    Extends docs_curated with the structural stage first (boilerplate out
+    before document fingerprints, the CCNet ordering) and the model-based
+    gate last; every stage is an individually-oracled operator, composed
+    lazily — Catalyst fuses all in-row stages into the reassembly output."""
+    from intake_esm_spark.operators import (
+        contamination,
+        corpus,
+        dedup,
+        sampling,
+        structural,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"), "bench")
+    bench = docs.filter(b < _BENCH_BUCKETS)
+    corp = docs.filter(b >= _BENCH_BUCKETS)
+
+    cleaned = structural.line_dedup(
+        _doc_lines(corp), id_col="doc_id", lines=F.col("__chunks"),
+        min_doc_freq=2, keep="none",
+    ).select("doc_id", "text")
+    cleaned = cleaned.join(corp.select("doc_id", "source"), "doc_id")
+
+    surv = dedup.dedup_exact(cleaned)
+    rep = corpus.repetition_stats(cleaned, n=2).select("doc_id", "top_frac")
+    bad = contamination.contaminated_ids(cleaned, bench, n=5)
+    wts = tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
+    with_words = surv.withColumn("__w", tx.words_array(F.col("text")))
+    logit6 = F.round(
+        tx.hashed_bow_logit(F.col("__w"), wts, salt=_QUALITY_HSALT), 6
+    )
+    return (
+        with_words.withColumn(
+            "n_tokens", tx.ws_token_count(F.col("text")).cast("bigint")
+        )
+        .withColumn("logit", logit6)
+        .filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000))
+        .join(rep, "doc_id")
+        .filter(F.col("top_frac") <= 0.3)
+        .join(bad, "doc_id", "left_anti")
+        .filter(F.col("logit") >= 0.0)
+        .select("doc_id", "source", "n_tokens", "top_frac", "logit")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1190,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_int8": q_simsearch_ivf_int8,
         "docs_mixture": q_docs_mixture,
         "docs_quality_logit": q_docs_quality_logit,
+        "docs_curated2": q_docs_curated2,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1552,10 +1603,16 @@ def oracle_sql() -> dict[str, str]:
     # segmentation (replays _doc_lines), per-line md5 of CCNet-normalized
     # text, distinct-doc frequency + min-doc keeper, frequency joined back
     _w = _LINE_CHUNK_WORDS
+
+    def _lines_cte(src: str) -> str:
+        """The segmentation->fingerprint->frequency CTE chain over table
+        ``src``, ending in ``j(doc_id, pos, line, df, keeper)``."""
+        return _doc_lines_body.replace("FROM __SRC__", f"FROM {src}")
+
     _doc_lines_body = f"""
             ws AS (
               SELECT doc_id, string_split(text, ' ') AS w
-              FROM documents WHERE text IS NOT NULL
+              FROM __SRC__ WHERE text IS NOT NULL
             ), ch AS (
               SELECT doc_id,
                      list_transform(range(0, CAST(ceil(len(w) / {_w}.0) AS INT)),
@@ -1622,7 +1679,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w, consts
         """,
         "dedup_lines": f"""
-            WITH {_doc_lines_body}
+            WITH {_lines_cte("documents")}
             SELECT doc_id,
                    coalesce(string_agg(CASE WHEN df < 2 THEN line END,
                                        chr(10) ORDER BY pos), '') AS text,
@@ -1631,7 +1688,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "dedup_lines_keep_first": f"""
-            WITH {_doc_lines_body}
+            WITH {_lines_cte("documents")}
             SELECT doc_id,
                    coalesce(string_agg(CASE WHEN df < 2 OR doc_id = keeper THEN line END,
                                        chr(10) ORDER BY pos), '') AS text,
@@ -1775,6 +1832,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_ws_tok} BETWEEN 20 AND 2000
               AND r.top_frac <= 0.3
               AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "docs_curated2": f"""
+            WITH bucketed AS (
+              SELECT doc_id, text, source,
+                     {_h60_sql("'bench|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS __b
+              FROM documents
+            ), corp AS (
+              SELECT * FROM bucketed WHERE __b >= {_BENCH_BUCKETS}
+            ), {_lines_cte("corp")}, cleaned AS (
+              SELECT doc_id,
+                     coalesce(string_agg(CASE WHEN df < 2 THEN line END,
+                                         chr(10) ORDER BY pos), '') AS text
+              FROM j GROUP BY doc_id
+            ), cleaned_src AS (
+              SELECT c.doc_id, c.text, b.source
+              FROM cleaned c JOIN corp b USING (doc_id)
+            ), surv_ids AS (
+              SELECT min(doc_id) AS doc_id FROM cleaned_src
+              GROUP BY md5({_NORM_TEXT_SQL})
+            ), rep AS (
+              SELECT doc_id,
+                     CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac
+              FROM (
+                SELECT doc_id, ng, count(*) AS cnt
+                FROM (SELECT doc_id, unnest({_shingles_sql_n(2)}) AS ng
+                      FROM cleaned_src)
+                GROUP BY 1, 2
+              ) GROUP BY doc_id
+            ), bench_grams AS (
+              SELECT DISTINCT {_h60_sql("shingle")} AS h
+              FROM (SELECT unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                    FROM bucketed WHERE __b < {_BENCH_BUCKETS})
+            ), contaminated AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, {_h60_sql("shingle")} AS h
+                    FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                          FROM cleaned_src)) cg
+              WHERE cg.h IN (SELECT h FROM bench_grams)
+            ), consts AS (
+              SELECT {_qwts_sql} AS wl
+            ), quality AS (
+              SELECT doc_id,
+                     round(list_sum(list_transform(ws2,
+                             x -> wl[({_h60_sql(f"'{_QUALITY_HSALT}|' || x")}
+                                      % {_QUALITY_BUCKETS})::INT + 1]))
+                           / len(ws2), 6) AS logit
+              FROM (SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS ws2
+                    FROM cleaned_src), consts
+            )
+            SELECT c.doc_id, c.source, {_ws_tok} AS n_tokens, r.top_frac, q.logit
+            FROM cleaned_src c
+            JOIN surv_ids s ON c.doc_id = s.doc_id
+            JOIN rep r ON c.doc_id = r.doc_id
+            JOIN quality q ON c.doc_id = q.doc_id
+            WHERE {_ws_tok} BETWEEN 20 AND 2000
+              AND r.top_frac <= 0.3
+              AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+              AND q.logit >= 0.0
         """,
         "search_eq": """
             SELECT p_partkey, p_name, p_brand FROM part WHERE p_brand = 'Brand#13'

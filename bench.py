@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "docs_repetition",
     "docs_curated",
+    "docs_curated2",
     "docs_mixture",
     "docs_quality_logit",
     "embed_quantize",
