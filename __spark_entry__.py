@@ -1168,6 +1168,19 @@ def q_dedup_lines_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_lines_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The boilerplate report behind the structural dedup: every line
+    duplicated across >= 2 documents with its document frequency, total
+    occurrence count, and first holder — what a curation run reads before
+    choosing the min_doc_freq policy. Single fingerprint-keyed exchange."""
+    from intake_esm_spark.operators import structural
+
+    docs = load_table(spark, sf, "documents")
+    return structural.duplicated_lines(
+        _doc_lines(docs), id_col="doc_id", lines=F.col("__chunks"), min_doc_freq=2
+    )
+
+
 def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
     """The FULL RefinedWeb-style curation chain as ONE declarative plan:
     structural line-dedup (8-word-window lines, drop-all) -> exact-dedup
@@ -1241,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture": q_docs_mixture,
         "docs_quality_logit": q_docs_quality_logit,
         "docs_curated2": q_docs_curated2,
+        "dedup_lines_report": q_dedup_lines_report,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1696,6 +1710,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN df < 2 OR doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_kept
             FROM j GROUP BY doc_id
+        """,
+        "dedup_lines_report": f"""
+            WITH {_lines_cte("documents")}
+            SELECT f AS fingerprint,
+                   min(line) AS line,
+                   count(DISTINCT doc_id) AS doc_freq,
+                   count(*) AS n_occurrences,
+                   min(doc_id) AS first_doc
+            FROM fp GROUP BY f
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         "docs_shuffle": f"""
             SELECT doc_id,

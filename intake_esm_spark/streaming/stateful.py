@@ -231,3 +231,76 @@ def stream_curate(
         & rep_ok
         & _is_clean(grams)
     )
+
+
+def stream_line_filter(
+    stream_df: DataFrame,
+    boilerplate_df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    normalize: bool = True,
+    fingerprint_col: str = "fingerprint",
+    max_boilerplate: int = 5_000_000,
+) -> DataFrame:
+    """Ingest-time structural dedup — the streaming twin of
+    ``operators.structural.line_dedup(keep="none")``: every arriving
+    document is rewritten with the lines whose fingerprint appears in a
+    STATIC boilerplate set removed, preserving the order of the surviving
+    lines. The set is built offline by
+    ``operators.structural.duplicated_lines`` over the history corpus
+    (cross-document frequency is corpus-global state a stream cannot
+    compute row-by-row, exactly like the LSH index: the set is a
+    snapshot — rebuild it as the corpus grows).
+
+    Stateless per-row projection: works in any output mode, needs no
+    watermark, composes before :func:`stream_dedup_exact` (boilerplate
+    out BEFORE document fingerprints, the CCNet ordering). The
+    fingerprints are collected once (guarded by ``max_boilerplate`` —
+    beyond that a broadcast set stops being the right shape; fall back to
+    a batch ``line_dedup`` pass), broadcast, and probed inside one
+    Arrow-batched pandas UDF.
+
+    Caveats mirroring the batch operator: ``sep`` here is a LITERAL
+    separator (``str.split``), matching ``line_dedup``'s default but not
+    its regex option; the md5-of-normalized-line replays
+    ``functions.text.normalized_text`` exactly for ASCII whitespace
+    (Python and Java ``\\s`` agree on ASCII; exotic unicode whitespace
+    classes may differ — normalize upstream if that matters). Null text
+    passes through as null.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        boilerplate_df.select(fingerprint_col).limit(max_boilerplate + 1).collect()
+    )
+    if len(rows) > max_boilerplate:
+        raise ValueError(
+            f"boilerplate set exceeds max_boilerplate={max_boilerplate}; a "
+            "set this large cannot broadcast — run the batch "
+            "operators.structural.line_dedup pass instead"
+        )
+    bset = frozenset(r[0] for r in rows)
+    bc = stream_df.sparkSession.sparkContext.broadcast(bset)
+    ws_re = re.compile(r"\s+")
+
+    @F.pandas_udf("string")
+    def _scrub(texts: pd.Series) -> pd.Series:
+        s = bc.value
+
+        def one(t):
+            if t is None:
+                return None
+            kept = []
+            for line in t.split(sep):
+                key = ws_re.sub(" ", line.lower()).strip() if normalize else line
+                if hashlib.md5(key.encode("utf-8")).hexdigest() not in s:
+                    kept.append(line)
+            return join_sep.join(kept)
+
+        return texts.map(one)
+
+    return stream_df.withColumn(text_col, _scrub(F.col(text_col)))

@@ -208,3 +208,69 @@ def test_stream_curate_bench_guard(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(50)
     with pytest.raises(ValueError, match="max_bench_grams"):
         stream_curate(docs, docs, max_bench_grams=3)
+
+
+def test_stream_line_filter_matches_batch_line_dedup(spark, tmp_path):
+    """Ingest-time boilerplate removal: a real streaming run through
+    stream_line_filter (static boilerplate set from duplicated_lines over
+    the same corpus) rewrites documents EXACTLY like the batch
+    line_dedup(keep='none') pass."""
+    from intake_esm_spark.operators import structural
+    from intake_esm_spark.streaming.stateful import stream_line_filter
+
+    rows = [
+        (1, "boiler\nalpha one\nshared tail"),
+        (2, "beta two\nboiler\nshared tail"),
+        (3, "gamma three\nboiler\ngamma four"),
+        (4, "all alone here"),
+        (5, "Boiler \nmine only"),  # normalized variant of 'boiler'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src_dir = tmp_path / "line_src"
+    docs.write.parquet(str(src_dir))
+
+    boiler = structural.duplicated_lines(docs, min_doc_freq=2)
+    expected = {
+        r["doc_id"]: r["text"]
+        for r in structural.line_dedup(docs, min_doc_freq=2).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(docs.schema).format("parquet").load(str(src_dir))
+    )
+    out = stream_line_filter(stream, boiler)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("line_filter_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["text"]
+            for r in spark.sql("SELECT * FROM line_filter_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+    # batch-mode application of the same operator agrees too
+    batch_got = {
+        r["doc_id"]: r["text"] for r in stream_line_filter(docs, boiler).collect()
+    }
+    assert batch_got == expected
+
+
+def test_stream_line_filter_guard_and_nulls(spark):
+    from intake_esm_spark.operators import structural
+    from intake_esm_spark.streaming.stateful import stream_line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, None)], "doc_id bigint, text string"
+    )
+    boiler = structural.duplicated_lines(docs, min_doc_freq=2)
+    with pytest.raises(ValueError, match="max_boilerplate"):
+        stream_line_filter(docs, boiler, max_boilerplate=0)
+    out = {r["doc_id"]: r["text"] for r in stream_line_filter(docs, boiler).collect()}
+    assert out[1] == "b" and out[2] == "c" and out[3] is None
