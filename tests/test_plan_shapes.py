@@ -206,3 +206,41 @@ def test_docs_curated_composition_plan(spark, queries):
     assert plan.count("BroadcastHashJoin") >= 2, plan  # rep join + anti-join
     assert "LeftAnti" in plan, plan  # decontamination
     assert "__fp" in plan, plan  # dedup survivor aggregation present
+
+
+def test_docs_curated2_composition_plan(spark, queries):
+    """The extended chain (line-dedup first) keeps the same discipline:
+    no cartesian product, decontamination anti-join present, and no
+    single-task global window anywhere (the structural stage's windows
+    are aggregations, not Window operators)."""
+    plan = plan_of(queries["docs_curated2"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dedup_lines_exchanges_are_line_grain_keys(spark, queries):
+    """Structural dedup: exactly the designed exchange keys appear —
+    the fingerprint (frequency agg + join) and the doc id (reassembly);
+    no cartesian, no window, no Python eval in the plan."""
+    plan = plan_of(queries["dedup_lines"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "__fp" in plan, plan
+
+
+def test_docs_mixture_corpus_never_shuffles(spark, queries):
+    """Mixture rebalancing: the rate table broadcasts onto the corpus;
+    the only exchanges belong to the tiny per-source aggregation."""
+    plan = plan_of(queries["docs_mixture"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_docs_quality_logit_zero_shuffle(spark, queries):
+    """The hashed-BoW logit is a pure in-row projection: no exchange at
+    all in the plan, and no Python eval."""
+    plan = plan_of(queries["docs_quality_logit"](spark, SF), "simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
