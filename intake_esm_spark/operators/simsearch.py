@@ -428,20 +428,54 @@ def write_ivf_index_int8(
     the O(dim) norm fold n_centroids times per row (no CSE inside
     lambdas) — and divides by driver-computed literal centroid norms."""
     import json as _json
+
+    if centroids is None:
+        centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
+    _write_assigned_int8(
+        corpus, centroids, path, id_col, vec_col, files_per_bucket, "overwrite"
+    )
+
+    from intake_esm_spark.util import write_text_sidecar
+
+    sidecar = _json.dumps(
+        {
+            "centroids": centroids,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "quantized": True,
+            "qvec_col": "qvec",
+            "scale_col": "scale",
+            "assign": "cosine6-tiehigh",
+        }
+    )
+    write_text_sidecar(corpus.sparkSession, f"{path}/_ivf_centroids", sidecar)
+    return centroids
+
+
+def _write_assigned_int8(
+    rows: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str,
+    vec_col: str,
+    files_per_bucket: int | None,
+    mode: str,
+) -> None:
+    """Quantize ``rows`` and write (id, qvec, scale) partitioned by the
+    6dp-rounded-cosine nearest centroid of the DEQUANTIZED vector (ties to
+    the higher centroid index) — shared by the one-shot int8 build and the
+    append path so the two can never disagree on the assignment rule."""
     import math as _math
 
     from intake_esm_spark.operators.dedup import _spread
 
-    if centroids is None:
-        centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
     cent_arr = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
     )
     cnorms = [
         _math.sqrt(sum(float(v) * float(v) for v in c)) for c in centroids
     ]
-
-    q = quantize_int8(corpus, vec_col=vec_col, out_col="qvec", scale_col="scale")
+    q = quantize_int8(rows, vec_col=vec_col, out_col="qvec", scale_col="scale")
     deq = dequantize(F.col("qvec"), F.col("scale"))
     staged = _spread(q).select(
         F.col(id_col), F.col("qvec"), F.col("scale"), deq.alias("__dvec")
@@ -463,23 +497,7 @@ def write_ivf_index_int8(
             F.col("bucket"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
         )
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
-
-    from intake_esm_spark.util import write_text_sidecar
-
-    sidecar = _json.dumps(
-        {
-            "centroids": centroids,
-            "vec_col": vec_col,
-            "id_col": id_col,
-            "quantized": True,
-            "qvec_col": "qvec",
-            "scale_col": "scale",
-            "assign": "cosine6-tiehigh",
-        }
-    )
-    write_text_sidecar(corpus.sparkSession, f"{path}/_ivf_centroids", sidecar)
-    return centroids
+    assigned.write.mode(mode).partitionBy("bucket").parquet(path)
 
 
 def ivf_index_append(
@@ -498,6 +516,9 @@ def ivf_index_append(
     This is the index-maintenance path a streaming-ingest deployment
     needs: per-batch cost is one assignment pass + an append write of
     batch-sized data; the existing index bytes are never rewritten.
+    Works on both index flavors: an int8 index (``quantized`` sidecar
+    stamp) quantizes the batch and assigns with the build's
+    rounded-cosine rule via the shared helper.
     Centroids drift from the true corpus clustering as appends accumulate
     (recall decays, correctness does not — probing is nearest-centroid on
     the same sidecar either way); rebuild with ``write_ivf_index`` when
@@ -511,12 +532,19 @@ def ivf_index_append(
     spark = new_rows.sparkSession
     sidecar = _json.loads(spark.read.text(f"{path}/_ivf_centroids").collect()[0][0])
     if sidecar.get("quantized"):
-        raise ValueError(
-            f"IVF index at {path} is int8-quantized; append would mix raw "
-            "float rows into quantized buckets — rebuild with "
-            "write_ivf_index_int8 (or quantize the batch and extend the "
-            "int8 writer) instead"
+        # quantize the batch and assign with the SAME sidecar centroids +
+        # rounded-cosine rule the int8 build used (shared helper), so an
+        # appended int8 index is plan-identical to a one-shot build
+        _write_assigned_int8(
+            new_rows,
+            sidecar["centroids"],
+            path,
+            sidecar["id_col"],
+            sidecar["vec_col"],
+            files_per_bucket,
+            "append",
         )
+        return
     _write_assigned(
         new_rows,
         sidecar["centroids"],

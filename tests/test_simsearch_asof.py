@@ -546,15 +546,45 @@ def test_ivf_int8_index_probe_matches_float_scores(spark, embeddings, tmp_path):
     assert shared  # the two probes overlap
 
 
-def test_ivf_int8_append_refused(spark, embeddings, tmp_path):
-    path = str(tmp_path / "ivf_q2")
+def test_ivf_int8_append_equals_one_shot_build(spark, embeddings, tmp_path):
+    """Appending to an int8 index quantizes the batch and assigns with the
+    sidecar centroids + the build's rounded-cosine rule, so append ==
+    one-shot build: identical stored rows AND identical probe results."""
     cents = [
         r["embedding"]
         for r in embeddings.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
     ]
-    simsearch.write_ivf_index_int8(embeddings.limit(50), path, centroids=cents)
-    with pytest.raises(ValueError, match="quantized"):
-        simsearch.ivf_index_append(embeddings.limit(5), path)
+    part1 = embeddings.filter(F.col("vec_id") < 100)
+    part2 = embeddings.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 160))
+    full = part1.unionByName(part2)
+
+    inc_path = str(tmp_path / "ivf_q_inc")
+    one_path = str(tmp_path / "ivf_q_one")
+    simsearch.write_ivf_index_int8(part1, inc_path, centroids=cents)
+    simsearch.ivf_index_append(part2, inc_path)
+    simsearch.write_ivf_index_int8(full, one_path, centroids=cents)
+
+    cols = ["vec_id", "bucket", "scale", "qvec"]
+    inc_rows = sorted(
+        (r["vec_id"], r["bucket"], r["scale"], tuple(r["qvec"]))
+        for r in spark.read.parquet(inc_path).select(cols).collect()
+    )
+    one_rows = sorted(
+        (r["vec_id"], r["bucket"], r["scale"], tuple(r["qvec"]))
+        for r in spark.read.parquet(one_path).select(cols).collect()
+    )
+    assert inc_rows == one_rows
+
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_inc = sorted(
+        map(tuple, simsearch.ivf_topk_indexed(spark, inc_path, queries, k=5).collect())
+    )
+    got_one = sorted(
+        map(tuple, simsearch.ivf_topk_indexed(spark, one_path, queries, k=5).collect())
+    )
+    assert got_inc == got_one
 
 
 def test_ivf_int8_partition_pruning(spark, embeddings, tmp_path):
