@@ -1046,6 +1046,34 @@ def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def q_embed_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed spherical k-means refinement of the IVF centroid set:
+    2 full-corpus Lloyd iterations (rounded-cosine assignment, map-side-
+    partial mean update — the treeAggregate-equivalent shuffle of
+    partitions x k x d rows, per-iteration 6dp rounding in the plan).
+    Output = the refined centroids exploded to (cid, pos, val); the
+    DuckDB oracle replays both iterations exactly, including the
+    empty-cluster keep-previous rule."""
+    from intake_esm_spark.operators import clustering
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _KMEANS_K).orderBy("vec_id").collect()
+    ]
+    refined = clustering.kmeans_refine(emb, cents, iters=_KMEANS_ITERS)
+    rows = [
+        (cid, pos, val)
+        for cid, c in enumerate(refined)
+        for pos, val in enumerate(c)
+    ]
+    return spark.createDataFrame(rows, "cid bigint, pos bigint, val double")
+
+
 _MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
 
 
@@ -1255,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_logit": q_docs_quality_logit,
         "docs_curated2": q_docs_curated2,
         "dedup_lines_report": q_dedup_lines_report,
+        "embed_kmeans": q_embed_kmeans,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1648,6 +1677,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT fp.doc_id, fp.pos, fp.line, freq.df, freq.keeper
               FROM fp JOIN freq USING (f)
             )"""
+    def _kmeans_iter_sql(i: int) -> str:
+        """One unrolled spherical-Lloyd iteration: c{i-1} -> c{i}."""
+        p, o = i - 1, i
+        return f"""a{o} AS (
+              SELECT vec_id, e, cid AS bucket FROM (
+                SELECT x.vec_id, x.e, p.cid,
+                       row_number() OVER (
+                         PARTITION BY x.vec_id
+                         ORDER BY round(list_cosine_similarity(x.e, p.cvec), 6) DESC,
+                                  p.cid DESC
+                       ) AS rn
+                FROM x, c{p} p
+              ) WHERE rn = 1
+            ), s{o} AS (
+              SELECT bucket, pos, sum(val) AS s, count(*) AS c
+              FROM (SELECT bucket, unnest(e) AS val,
+                           unnest(range(0, len(e))) AS pos
+                    FROM a{o})
+              GROUP BY 1, 2
+            ), m{o} AS (
+              SELECT bucket, list(s / c ORDER BY pos) AS mv FROM s{o} GROUP BY bucket
+            ), n{o} AS (
+              SELECT bucket, list_transform(mv, v -> round(v / nrm, 6)) AS cvec
+              FROM (SELECT bucket, mv,
+                           sqrt(list_sum(list_transform(mv, y -> y * y))) AS nrm
+                    FROM m{o})
+            ), c{o} AS (
+              SELECT p.cid,
+                     coalesce(n.cvec, list_transform(p.cvec, v -> round(v, 6))) AS cvec
+              FROM c{p} p LEFT JOIN n{o} n ON n.bucket = p.cid
+            )"""
+
+    _kmeans_iters_sql = ", ".join(
+        _kmeans_iter_sql(i) for i in range(1, _KMEANS_ITERS + 1)
+    )
     _mix_total = float(sum(_MIX_WEIGHTS.values()))
     _mix_vals = ", ".join(
         f"('{s}', {float(w) / _mix_total!r})" for s, w in _MIX_WEIGHTS.items()
@@ -1656,6 +1720,18 @@ def oracle_sql() -> dict[str, str]:
         repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
     ) + "]"
     return {
+        "embed_kmeans": f"""
+            WITH c0 AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+              FROM embeddings WHERE vec_id < {_KMEANS_K}
+            ), x AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), {_kmeans_iters_sql}
+            SELECT CAST(cid AS BIGINT) AS cid,
+                   unnest(range(0, len(cvec))) AS pos,
+                   unnest(cvec) AS val
+            FROM c{_KMEANS_ITERS}
+        """,
         "docs_mixture": f"""
             WITH masses AS (
               SELECT source, CAST(sum({_ws_tok}) AS DOUBLE) AS mass

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "docs_mixture",
     "docs_quality_logit",
     "embed_quantize",
+    "embed_kmeans",
     "simsearch_pairs_lsh",
     "multimodal_resize",
 ]
