@@ -2,7 +2,9 @@
 
 Every function here returns a Catalyst Column built from pyspark.sql.functions
 primitives — JVM-side, whole-stage-codegen'd, no Python in the hot path — so
-they run at full scan speed over a 100 TB documents table.
+they run at full scan speed over a 100 TB documents table. (Single documented
+exception: ``compression_ratio``, which needs a codec no JVM expression
+provides and is an Arrow-batched pandas UDF.)
 
 Provided surface:
 * token counting (whitespace + BPE-ish word/punct regex)
@@ -13,6 +15,7 @@ Provided surface:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -304,3 +307,33 @@ def redaction_counts(text: Column) -> Column:
         )
         cur = F.regexp_replace(cur, pattern, token)
     return F.struct(*fields)
+
+
+def compression_ratio(text: Column, level: int = 6) -> Column:
+    """zlib-compressed-size / raw-size ratio of the UTF-8 text — the
+    Gopher-style repetitiveness signal (template/boilerplate documents
+    compress dramatically; natural prose sits much higher, so a low-ratio
+    gate complements the n-gram ``repetition_stats``, catching long-range
+    repetition that a top-2-gram fraction misses).
+
+    The one text function here that is NOT a JVM expression: there is no
+    built-in compression expression, so this is an Arrow-batched pandas
+    UDF (the sanctioned Python boundary — vectorized transfer, one Python
+    worker per partition, still a pure in-row projection with zero
+    shuffle). Deterministic: zlib with a fixed ``level`` is a stable
+    codec. Null and empty text yield null (ratio undefined). No SQL
+    oracle exists for zlib, so this signal is test-verified rather than
+    driver-oracled — keep it out of hash-compared query surfaces."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            b = t.encode("utf-8")
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    return _ratio(text)

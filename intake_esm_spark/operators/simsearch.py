@@ -323,6 +323,7 @@ def write_ivf_index(
     vec_col: str = "embedding",
     sample_fraction: float = 0.1,
     files_per_bucket: int | None = 1,
+    refine_iters: int = 0,
 ) -> list[list[float]]:
     """Materialize the IVF index: the corpus written as parquet PARTITIONED
     BY nearest-centroid bucket, with the centroid vectors in an
@@ -354,6 +355,17 @@ def write_ivf_index(
     import json as _json
 
     centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
+    if refine_iters > 0:
+        # sample-bootstrap, then full-corpus spherical-Lloyd refinement:
+        # the sampled centroids are blind to tail clusters on skewed
+        # corpora; refinement re-centers them over ALL vectors at one
+        # extra job per iteration (map-side-partial update — shuffle is
+        # partitions x k x d rows, independent of corpus size). Refined
+        # centroids stay unit-norm (to 6dp), preserving the dot==cosine
+        # assignment invariant below.
+        from intake_esm_spark.operators.clustering import kmeans_refine
+
+        centroids = kmeans_refine(corpus, centroids, iters=refine_iters, vec_col=vec_col)
     _write_assigned(corpus, centroids, path, id_col, vec_col, files_per_bucket, "overwrite")
     from intake_esm_spark.util import write_text_sidecar
 

@@ -77,3 +77,29 @@ def test_refine_validates(spark, two_blobs):
         clustering.kmeans_refine(two_blobs, [[1.0, 0.0]], iters=0)
     with pytest.raises(ValueError, match="centroids"):
         clustering.kmeans_refine(two_blobs, [], iters=1)
+
+
+def test_write_ivf_index_with_refinement(spark, tmp_path):
+    """refine_iters composes the sampled bootstrap with full-corpus
+    refinement; the written sidecar carries the REFINED (unit-norm)
+    centroids and the probe path works unchanged."""
+    import json
+
+    from intake_esm_spark.operators import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_refined")
+    cents = simsearch.write_ivf_index(
+        emb, path, n_centroids=4, sample_fraction=0.5, refine_iters=1
+    )
+    sidecar = json.loads(
+        spark.read.text(f"{path}/_ivf_centroids").collect()[0][0]
+    )
+    assert sidecar["centroids"] == cents
+    for c in cents:
+        assert math.sqrt(sum(v * v for v in c)) == pytest.approx(1.0, abs=1e-5)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+    assert out.count() > 0

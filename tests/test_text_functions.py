@@ -126,3 +126,34 @@ def test_redact_pii_matches_duckdb_on_pii_text(spark):
                 "SELECT regexp_replace(?, ?, ?, 'g')", [cur, pattern, token]
             ).fetchone()[0]
         assert g == cur, t
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "spam " * 200),                      # pathologically repetitive
+        (2, "the quick brown fox jumps over the lazy dog and then "
+            "discusses seventeen unrelated topics with varied vocabulary "
+            "entropy calibration mechanisms during autumn festivals"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["cr"]
+        for r in df.select(
+            "doc_id", tx.compression_ratio(F.col("text")).alias("cr")
+        ).collect()
+    }
+    assert got[1] < 0.1          # boilerplate crushes
+    assert got[2] > 0.5          # varied prose does not
+    assert got[3] is None and got[4] is None
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["cr"]
+        for r in df.select(
+            "doc_id", tx.compression_ratio(F.col("text")).alias("cr")
+        ).collect()
+    }
+    assert got == again
