@@ -1218,13 +1218,8 @@ def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
     before document fingerprints, the CCNet ordering) and the model-based
     gate last; every stage is an individually-oracled operator, composed
     lazily — Catalyst fuses all in-row stages into the reassembly output."""
-    from intake_esm_spark.operators import (
-        contamination,
-        corpus,
-        dedup,
-        sampling,
-        structural,
-    )
+    from intake_esm_spark.operators import contamination, dedup, sampling, structural
+    from intake_esm_spark.operators.corpus import _rle_fold
 
     docs = load_table(spark, sf, "documents")
     b = sampling.hash_bucket(F.col("doc_id"), "bench")
@@ -1237,25 +1232,52 @@ def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text")
     cleaned = cleaned.join(corp.select("doc_id", "source"), "doc_id")
 
-    surv = dedup.dedup_exact(cleaned)
-    rep = corpus.repetition_stats(cleaned, n=2).select("doc_id", "top_frac")
-    bad = contamination.contaminated_ids(cleaned, bench, n=5)
+    # Single-pass shape: the repetition fraction, token count and quality
+    # logit are IN-ROW columns attached before the dedup exchange, so the
+    # expensive line-dedup subplan is consumed exactly once — the naive
+    # "join rep / join quality" formulation re-evaluated the whole
+    # 3-exchange structural pipeline per branch (column pruning makes the
+    # branches non-identical, so Spark's exchange reuse cannot merge
+    # them; measured 10 parquet scans at sf0.01). Values are identical to
+    # the standalone operators (same folds, same casts), so the oracle is
+    # untouched. Shingle array and word array materialize in their own
+    # projection; each fold references its input once (SCALE.md #4).
     wts = tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
-    with_words = surv.withColumn("__w", tx.words_array(F.col("text")))
-    logit6 = F.round(
-        tx.hashed_bow_logit(F.col("__w"), wts, salt=_QUALITY_HSALT), 6
+    staged = cleaned.select(
+        "doc_id", "source", "text",
+        F.array_sort(tx.shingles(F.col("text"), 2)).alias("__s"),
+        tx.words_array(F.col("text")).alias("__w"),
     )
-    return (
-        with_words.withColumn(
-            "n_tokens", tx.ws_token_count(F.col("text")).cast("bigint")
-        )
-        .withColumn("logit", logit6)
-        .filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000))
-        .join(rep, "doc_id")
-        .filter(F.col("top_frac") <= 0.3)
-        .join(bad, "doc_id", "left_anti")
-        .filter(F.col("logit") >= 0.0)
-        .select("doc_id", "source", "n_tokens", "top_frac", "logit")
+    enriched = staged.select(
+        "doc_id", "source", "text",
+        _rle_fold(
+            F.col("__s"),
+            finish=lambda acc: acc["best"].cast("bigint")
+            / acc["n"].cast("bigint").cast("double"),
+        ).alias("top_frac"),
+        tx.ws_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(
+            tx.hashed_bow_logit(F.col("__w"), wts, salt=_QUALITY_HSALT), 6
+        ).alias("logit"),
+    )
+    surv = dedup.dedup_exact(enriched)
+    filtered = surv.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 2000)
+        & (F.col("top_frac") <= 0.3)
+        & (F.col("logit") >= 0.0)
+    )
+    # decontamination is a per-document property, so probing it on the
+    # FILTERED survivors is output-equivalent to probing all cleaned docs
+    # while exploding far fewer grams. localCheckpoint: the filtered
+    # frame is referenced twice (gram source + anti-join left side) —
+    # without materialization the whole curation pipeline would run twice
+    # (the near_duplicates_incremental precedent; the materialized frame
+    # is the SMALL end-of-pipeline row set, not the corpus)
+    filtered = filtered.localCheckpoint()
+    bad = contamination.contaminated_ids(filtered, bench, n=5)
+    return filtered.join(bad, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_tokens", "top_frac", "logit"
     )
 
 
