@@ -64,16 +64,21 @@ def source_mixture_rates(
         mass = F.sum(sc.cast("double"))
     masses = df.groupBy(source_col).agg(mass.alias("mass"))
     joined = masses.join(F.broadcast(wdf), source_col)
-    # T = min_s(mass_s / w_s) over the tiny per-source frame; the global
-    # min is a one-row aggregate cross-joined back (broadcast, in-plan)
-    t = joined.agg(F.min(F.col("mass") / F.col("target_w")).alias("__T"))
-    return (
-        joined.crossJoin(F.broadcast(t))
-        .withColumn(
-            "rate",
-            F.least(F.lit(1.0), F.col("target_w") * F.col("__T") / F.col("mass")),
+    # T = min_s(mass_s / w_s) as a GLOBAL window over the per-source
+    # frame: that frame is sources-count-sized by construction, so the
+    # single-partition window holds a handful of rows — and unlike an
+    # agg + crossJoin-back, it references `joined` once (a second
+    # reference would re-run the corpus mass scan: no exchange reuse
+    # across differently-pruned branches)
+    from pyspark.sql.window import Window
+
+    t = F.min(F.col("mass") / F.col("target_w")).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        .drop("__T")
+    )
+    return joined.withColumn(
+        "rate", F.least(F.lit(1.0), F.col("target_w") * t / F.col("mass"))
     )
 
 

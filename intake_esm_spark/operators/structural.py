@@ -144,6 +144,67 @@ def line_dedup(
     )
 
 
+def line_dedup_against(
+    df: DataFrame,
+    report: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "none",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    normalize: bool = True,
+    lines: Column | None = None,
+) -> DataFrame:
+    """:func:`line_dedup` against a PRECOMPUTED boilerplate ``report``
+    (the output of :func:`duplicated_lines`, or any frame with
+    ``fingerprint`` + ``first_doc`` columns): lines whose fingerprint
+    appears in the report are removed (``keep="first"`` spares the
+    ``first_doc`` holder's copy), documents reassembled as in
+    :func:`line_dedup`.
+
+    The scan-count lever at 100 TB: :func:`line_dedup` must read and
+    shingle the corpus TWICE (the frequency branch and the join branch —
+    column pruning makes them non-identical, so exchange reuse cannot
+    merge them). With the report materialized once (it is
+    line-vocabulary-sized, and production reuses it across batches and
+    feeds the same snapshot to ``streaming.stateful.stream_line_filter``),
+    this variant is ONE corpus scan + one join against the small report +
+    the reassembly. ``line_dedup(df, ...)`` ≡
+    ``line_dedup_against(df, duplicated_lines(df, min_doc_freq=...), ...)``
+    (asserted in tests). Note the report's ``min_doc_freq`` plays the
+    threshold role here — this function removes every reported line."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    arr = lines if lines is not None else F.split(F.col(text_col), sep)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(arr).alias("__pos", "__line")
+    )
+    fp_src = (
+        normalized_text(F.col("__line")) if normalize else F.col("__line")
+    )
+    line_rows = exploded.withColumn("__fp", F.md5(fp_src))
+    rep = report.select(
+        F.col("fingerprint").alias("__fp"),
+        F.col("first_doc").alias("__keeper"),
+        F.lit(True).alias("__hit"),
+    )
+    joined = line_rows.join(rep, "__fp", "left")
+    keep_line = F.col("__hit").isNull()
+    if keep == "first":
+        keep_line = keep_line | (F.col(id_col) == F.col("__keeper"))
+    picked = F.when(keep_line, F.struct(F.col("__pos"), F.col("__line")))
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(picked)), lambda s: s["__line"]
+            ),
+            join_sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep_line.cast("bigint")).alias("n_kept"),
+    )
+
+
 def duplicated_lines(
     df: DataFrame,
     text_col: str = "text",

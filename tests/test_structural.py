@@ -122,3 +122,37 @@ def test_line_dedup_plan_shape(spark, docs):
     plan = structural.line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # operator uses aggregation, not windows
+
+
+def test_line_dedup_against_report_equivalence(spark, docs):
+    """line_dedup_against(df, duplicated_lines(df)) reproduces line_dedup
+    exactly, in both modes — the one-corpus-scan production shape."""
+    report = structural.duplicated_lines(docs, min_doc_freq=2)
+    for keep in ("none", "first"):
+        direct = sorted(
+            map(tuple, structural.line_dedup(docs, min_doc_freq=2, keep=keep).collect())
+        )
+        via_report = sorted(
+            map(tuple, structural.line_dedup_against(docs, report, keep=keep).collect())
+        )
+        assert direct == via_report
+
+
+def test_line_dedup_against_single_scan(spark, docs):
+    """With the report materialized, the corpus is scanned exactly once
+    (line_dedup proper needs two differently-pruned scans)."""
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    report = structural.duplicated_lines(corpus, min_doc_freq=2).localCheckpoint()
+    plan = (
+        structural.line_dedup_against(corpus, report)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    two_scan = (
+        structural.line_dedup(corpus)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert two_scan.count("Scan parquet") == 2
+    with pytest.raises(ValueError, match="keep"):
+        structural.line_dedup_against(corpus, report, keep="last")
