@@ -275,3 +275,100 @@ def test_redaction_portable_java_vs_re2(spark, text):
             "SELECT regexp_replace(?, ?, ?, 'g')", [cur, pattern, token]
         ).fetchone()[0]
     assert got == cur
+
+
+# --- structural line dedup vs a pure-python reference -----------------------
+
+_line_text = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=6), min_size=1, max_size=5
+).map(lambda ls: "\n".join(ls))
+
+
+def _norm_line(line: str) -> str:
+    return re.sub(r"\s+", " ", line.lower()).strip()
+
+
+def _ref_line_dedup(docs: dict, min_doc_freq: int, keep: str) -> dict:
+    """Driver-side reference implementation of line_dedup."""
+    from collections import defaultdict
+
+    holders = defaultdict(set)
+    for did, text in docs.items():
+        for line in text.split("\n"):
+            holders[_norm_line(line)].add(did)
+    first = {fp: min(ds) for fp, ds in holders.items()}
+    out = {}
+    for did, text in docs.items():
+        kept = []
+        for line in text.split("\n"):
+            fp = _norm_line(line)
+            ok = len(holders[fp]) < min_doc_freq
+            if keep == "first":
+                ok = ok or first[fp] == did
+            if ok:
+                kept.append(line)
+        out[did] = "\n".join(kept)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9), _line_text, min_size=1, max_size=6
+    ),
+    st.integers(min_value=2, max_value=3),
+    st.sampled_from(["none", "first"]),
+)
+def test_line_dedup_matches_python_reference(spark, docs, min_doc_freq, keep):
+    from intake_esm_spark.operators import structural
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in structural.line_dedup(
+            df, min_doc_freq=min_doc_freq, keep=keep
+        ).collect()
+    }
+    assert got == _ref_line_dedup(docs, min_doc_freq, keep)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.floats(min_value=0.1, max_value=5.0, allow_nan=False),
+        min_size=2,
+        max_size=2,
+    ),
+)
+def test_mixture_rates_feasible_and_binding(spark, rows, weights):
+    """Rates are in (0, 1], the binding source keeps everything, and the
+    realized masses are within one row of the target proportions' cap."""
+    from intake_esm_spark.operators import mixing
+
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    present = {s for _, s in rows}
+    wmap = dict(zip(["s0", "s1"], weights))
+    if not (present & set(wmap)):
+        return
+    rates = mixing.source_mixture_rates(df, wmap).collect()
+    assert rates  # at least the intersecting sources
+    by_src = {r["source"]: r for r in rates}
+    assert all(0.0 < r["rate"] <= 1.0 for r in rates)
+    # the binding source (min mass/target_w) has rate exactly 1.0
+    binding = min(rates, key=lambda r: r["mass"] / r["target_w"])
+    assert binding["rate"] == pytest.approx(1.0)
+    # realized mass never exceeds the feasibility cap w_s * T
+    t = min(r["mass"] / r["target_w"] for r in rates)
+    for r in rates:
+        assert r["rate"] * r["mass"] <= r["target_w"] * t + 1e-9
