@@ -173,3 +173,45 @@ def _prefix_sum(
     joined = local.join(F.broadcast(offsets), "__bucket", "left")
     result = joined.withColumn(out_col, F.col("__run") + F.col("__off"))
     return result.drop("__bucket", "__run", "__off")
+
+
+def write_packed_corpus(
+    df: DataFrame,
+    path: str,
+    token_col: str | Column,
+    budget: int,
+    key_col: str,
+    salt: str = "",
+    bins_per_shard: int = 1024,
+    files_per_shard: int = 1,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Materialize the training corpus: :func:`pack_token_bins` composed
+    with a shard-partitioned parquet write — the endpoint a trainer's
+    data loader consumes. ``shard = bin_id // bins_per_shard`` groups
+    ``bins_per_shard`` consecutive training sequences per directory, so a
+    loader streams shard directories in numeric order and reconstructs
+    the exact global order from ``(bin_id, token_offset)`` within each —
+    no global sort at read time, and resuming from step N means opening
+    shard ``N * budget_tokens_per_shard``'s directory, not scanning the
+    corpus.
+
+    Write shape mirrors ``write_ivf_index``: an explicit repartition on
+    (shard, key-hash-salt) bounds output to ``files_per_shard`` files per
+    shard with that many parallel writers — without it every input
+    partition would emit a file into every shard directory
+    (input_partitions x shards small files, the classic shuffle-write
+    explosion). Everything upstream is the two-phase prefix sum — no
+    single-task stage anywhere. Determinism: a pure function of
+    (key set, token counts, salt, budget), like the packing itself."""
+    if bins_per_shard <= 0:
+        raise ValueError(f"bins_per_shard must be positive, got {bins_per_shard}")
+    packed = pack_token_bins(df, token_col, budget, key_col, salt, n_buckets)
+    out = packed.withColumn(
+        "shard", F.floor(F.col("bin_id") / bins_per_shard).cast("bigint")
+    )
+    out = out.repartition(
+        F.col("shard"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(files_per_shard)),
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)

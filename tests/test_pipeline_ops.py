@@ -234,3 +234,32 @@ def test_null_text_docs_omitted_consistently(spark):
     bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
     con = contamination.contamination_report(df, bench).collect()
     assert {r["doc_id"] for r in con} == {1}
+
+
+def test_write_packed_corpus_shards_and_order(spark, tmp_path):
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 30).alias("tok")
+    )
+    path = str(tmp_path / "packed")
+    packing.write_packed_corpus(
+        docs, path, "tok", budget=256, key_col="doc_id",
+        salt="sh", bins_per_shard=4, n_buckets=16,
+    )
+    back = spark.read.parquet(path)
+    assert {"doc_id", "tok", "token_offset", "bin_id", "shard"} <= set(back.columns)
+    rows = back.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r["shard"] == r["bin_id"] // 4
+    # global order is recoverable: token_offset strictly increasing in the
+    # deterministic order, and matches a fresh in-plan packing run
+    expected = {
+        r["doc_id"]: (r["token_offset"], r["bin_id"])
+        for r in packing.pack_token_bins(
+            docs, "tok", 256, "doc_id", salt="sh", n_buckets=16
+        ).collect()
+    }
+    got = {r["doc_id"]: (r["token_offset"], r["bin_id"]) for r in rows}
+    assert got == expected
+    with pytest.raises(ValueError, match="bins_per_shard"):
+        packing.write_packed_corpus(docs, path, "tok", 256, "doc_id", bins_per_shard=0)
