@@ -64,20 +64,53 @@ def kmeans_refine(
     (double sums are order-dependent; the relative error of a mean over
     millions of terms is ~1e-13, seven orders under the rounding
     quantum), which is the same agree-to-6dp-not-to-the-ulp contract the
-    cosine entries use. The whole refinement replays in SQL."""
+    cosine entries use. The whole refinement replays in SQL.
+
+    Each iteration is one action over ``df`` — at real scale ``persist()``
+    the input before calling with ``iters > 1`` (as MLlib's k-means does)
+    so the corpus is scanned from cache instead of storage per iteration;
+    the operator does not persist for the caller because owning the
+    unpersist lifecycle across a library boundary leaks executor memory."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not centroids:
         raise ValueError("centroids must be non-empty")
     from intake_esm_spark.operators.dedup import _spread
 
+    import math
+
+    from intake_esm_spark.operators.simsearch import with_norm
+
     k = len(centroids)
     current = [[float(v) for v in c] for c in centroids]
     spread = _spread(df)
     for _ in range(iters):
-        assigned = spread.select(
-            _assign_rounded(F.col(vec_col), current).alias("__bucket"),
-            F.col(vec_col).alias("__v"),
+        # hot-path assignment hoists the row norm into its own column —
+        # the naive `_assign_rounded` recomputes the O(dim) norm fold
+        # once per centroid per row (no CSE inside lambdas: 2k folds/row
+        # instead of k+1). Centroid norms are driver-side literals
+        # (python double arithmetic == IEEE == the engine's, so the
+        # product round(dot/(vnorm*cnorm), 6) is the identical value the
+        # oracle computes via cosine).
+        cnorms = [math.sqrt(sum(v * v for v in c)) for c in current]
+        cent_arr = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in current]
+        )
+        base = with_norm(
+            spread.select(F.col(vec_col).alias("__v")), "__v", "__vn"
+        )
+        sims = F.zip_with(
+            cent_arr,
+            F.array(*[F.lit(n) for n in cnorms]),
+            lambda c, cn: F.round(dot(F.col("__v"), c) / (F.col("__vn") * cn), 6),
+        )
+        idx = F.sequence(F.lit(0), F.lit(k - 1))
+        prs = F.zip_with(
+            sims, idx, lambda s, i: F.struct(s.alias("sim"), i.alias("idx"))
+        )
+        assigned = base.select(
+            F.reverse(F.array_sort(prs))[0]["idx"].alias("__bucket"),
+            F.col("__v"),
         )
         sums = (
             assigned.select(
