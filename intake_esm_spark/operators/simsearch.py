@@ -713,16 +713,28 @@ def ivf_topk(
     float-summation orders agree on the argmax, and the tie rule makes
     the quantized comparison total.
     """
+    import math as _math
+
     if centroids is None:
         centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_fraction)
     cent_arr = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
     )
+    # centroid norms as driver-side literals + the row norm HOISTED to a
+    # column the score path needs anyway: assignment costs k dot folds
+    # per row, not 2k+1 (the inlined l2_norm(vec) would re-fold the
+    # vector once per centroid — no CSE inside lambdas). Python double
+    # arithmetic is IEEE-identical to the engine's, so the rounded
+    # assignment values are unchanged and the SQL oracle still matches.
+    cnorm_arr = F.array(
+        *[F.lit(_math.sqrt(sum(float(v) * float(v) for v in c))) for c in centroids]
+    )
 
-    def nearest_buckets(vec: F.Column, n: int) -> F.Column:
-        sims = F.transform(
+    def nearest_buckets(vec: F.Column, norm: F.Column, n: int) -> F.Column:
+        sims = F.zip_with(
             cent_arr,
-            lambda c: F.round(dot(vec, c) / (l2_norm(vec) * l2_norm(c)), 6),
+            cnorm_arr,
+            lambda c, cn: F.round(dot(vec, c) / (norm * cn), 6),
         )
         idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
         pairs = F.zip_with(
@@ -733,26 +745,31 @@ def ivf_topk(
     from intake_esm_spark.operators.dedup import _spread
 
     c_bucketed = with_norm(
-        _spread(corpus).select(
-            F.col(id_col),
-            F.col(vec_col).alias("__cvec"),
-            nearest_buckets(F.col(vec_col), 1)[0]["idx"].alias("bucket"),
-        ),
+        _spread(corpus).select(F.col(id_col), F.col(vec_col).alias("__cvec")),
         "__cvec",
         "__cnorm",
+    ).select(
+        id_col,
+        "__cvec",
+        "__cnorm",
+        nearest_buckets(F.col("__cvec"), F.col("__cnorm"), 1)[0]["idx"].alias(
+            "bucket"
+        ),
     )
     q_bucketed = with_norm(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            F.explode(
-                F.transform(
-                    nearest_buckets(F.col(vec_col), nprobe), lambda s: s["idx"]
-                )
-            ).alias("bucket"),
-        ),
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
         "__qvec",
         "__qnorm",
+    ).select(
+        query_id_col,
+        "__qvec",
+        "__qnorm",
+        F.explode(
+            F.transform(
+                nearest_buckets(F.col("__qvec"), F.col("__qnorm"), nprobe),
+                lambda s: s["idx"],
+            )
+        ).alias("bucket"),
     )
     scored = c_bucketed.join(F.broadcast(q_bucketed), on="bucket").select(
         query_id_col,
