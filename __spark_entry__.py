@@ -1149,7 +1149,7 @@ def q_simsearch_ivf_int8(spark: SparkSession, sf: str) -> DataFrame:
 _LINE_CHUNK_WORDS = 8
 
 
-def _doc_lines(docs: DataFrame) -> DataFrame:
+def _doc_lines(docs: DataFrame, extra: tuple = ()) -> DataFrame:
     """Fixed 8-word-window segmentation of documents into 'lines'. The
     synthetic corpus has no newlines, so the structural-dedup entries
     derive lines as fixed word windows — near-duplicate documents (built
@@ -1159,13 +1159,13 @@ def _doc_lines(docs: DataFrame) -> DataFrame:
     projection before the window transform references it (SCALE.md
     pitfall: no CSE inside higher-order lambdas)."""
     w = _LINE_CHUNK_WORDS
-    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+    d = docs.select("doc_id", *extra, F.split(F.col("text"), " ").alias("__ws"))
     nch = F.ceil(F.size("__ws") / F.lit(float(w))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nch - 1),
         lambda i: F.concat_ws(" ", F.slice(F.col("__ws"), i * w + 1, w)),
     )
-    return d.select("doc_id", chunks.alias("__chunks"))
+    return d.select("doc_id", *extra, chunks.alias("__chunks"))
 
 
 def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
@@ -1207,6 +1207,25 @@ def q_dedup_lines_report(spark: SparkSession, sf: str) -> DataFrame:
     return structural.duplicated_lines(
         _doc_lines(docs), id_col="doc_id", lines=F.col("__chunks"), min_doc_freq=2
     )
+
+
+def q_docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source boilerplate overlap: distinct shared line fingerprints
+    per unordered source pair (the "how much of A also appears in B"
+    dataset audit, over the same 8-word-window segmentation the
+    structural dedup uses). fp-keyed self-join bounded by sources-per-
+    fingerprint, never row counts."""
+    from intake_esm_spark.operators.corpus import source_overlap
+
+    docs = load_table(spark, sf, "documents")
+    seg = _doc_lines(docs, extra=("source",))
+    fps = seg.select(
+        "source", F.explode(F.col("__chunks")).alias("__line")
+    ).select(
+        F.md5(tx.normalized_text(F.col("__line"))).alias("fingerprint"),
+        "source",
+    )
+    return source_overlap(fps)
 
 
 def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
@@ -1306,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curated2": q_docs_curated2,
         "dedup_lines_report": q_dedup_lines_report,
         "embed_kmeans": q_embed_kmeans,
+        "docs_source_overlap": q_docs_source_overlap,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1808,6 +1828,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN df < 2 OR doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_kept
             FROM j GROUP BY doc_id
+        """,
+        "docs_source_overlap": f"""
+            WITH ws AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), ch AS (
+              SELECT source,
+                     list_transform(range(0, CAST(ceil(len(w) / {_w}.0) AS INT)),
+                                    i -> array_to_string(w[i*{_w}+1:i*{_w}+{_w}], ' ')) AS chunks
+              FROM ws
+            ), fps AS (
+              SELECT DISTINCT
+                     md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS fp,
+                     source
+              FROM (SELECT source, unnest(chunks) AS line FROM ch)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(DISTINCT a.fp) AS shared
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "dedup_lines_report": f"""
             WITH {_lines_cte("documents")}

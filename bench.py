@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_redact",
     "docs_hash_sample",
     "dedup_lines",
+    "docs_source_overlap",
     "dedup_exact",
     "dedup_minhash",
     "dedup_near",

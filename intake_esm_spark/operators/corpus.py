@@ -150,3 +150,40 @@ def repetition_stats(
         (F.col("__rle")["best"].cast("bigint") / total_d).alias("top_frac"),
         (F.col("__rle")["n_distinct"].cast("bigint") / total_d).alias("distinct_ratio"),
     )
+
+
+def source_overlap(
+    fps: DataFrame,
+    fingerprint_col: str = "fingerprint",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source content overlap — the dataset-audit staple ("how much
+    of source A's content also appears in source B"): given ANY
+    (fingerprint, source)-granularity frame (document fingerprints via
+    ``functions.text.fingerprint_md5``, line fingerprints via the
+    structural-dedup segmentation, gram hashes, ...), returns one row per
+    unordered source pair with the count of distinct shared fingerprints
+    — ``(source_a, source_b, shared)`` with ``source_a < source_b``.
+
+    100 TB shape: the input collapses to DISTINCT (fingerprint, source)
+    first (map-side partial), so the fingerprint-keyed self-join's output
+    is bounded by sum over fingerprints of s_fp^2 where s_fp <= the
+    number of SOURCES holding that fingerprint — a small constant per
+    key, never a row-count blowup. One fp-keyed exchange + one pair-keyed
+    aggregation; nothing corpus-sized shuffles twice."""
+    d = fps.select(
+        F.col(fingerprint_col).alias("__fp"), F.col(source_col).alias("__src")
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__fp") == F.col("b.__fp"))
+            & (F.col("a.__src") < F.col("b.__src")),
+        )
+        .groupBy(
+            F.col("a.__src").alias("source_a"),
+            F.col("b.__src").alias("source_b"),
+        )
+        .agg(F.countDistinct(F.col("a.__fp")).alias("shared"))
+    )

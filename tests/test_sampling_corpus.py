@@ -151,3 +151,20 @@ def test_hash_bucket_salt_key_boundary_unambiguous(spark):
         sampling.hash_bucket(F.col("k"), salt="v12").alias("b")
     ).collect()[0]["b"]
     assert b1 != b2
+
+
+def test_source_overlap_counts_shared_fingerprints(spark):
+    from intake_esm_spark.operators.corpus import source_overlap
+
+    rows = [
+        ("f1", "A"), ("f1", "B"), ("f1", "C"),   # f1 shared by A,B,C
+        ("f2", "A"), ("f2", "B"),                 # f2 shared by A,B
+        ("f3", "C"),                              # unique
+        ("f2", "A"),                              # duplicate row: ignored
+    ]
+    df = spark.createDataFrame(rows, "fingerprint string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["shared"]
+        for r in source_overlap(df).collect()
+    }
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
