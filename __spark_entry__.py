@@ -1046,6 +1046,21 @@ def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "query", "table"]
+
+
+def q_docs_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus retrieval: top-20 documents by Okapi BM25 for a 3-term
+    query — one stats aggregation (N, total length, per-term document
+    frequencies) broadcast back, then the whole score is in-row; ranking
+    on the 6dp-rounded score with doc_id ties makes the cutoff
+    engine-portable."""
+    from intake_esm_spark.operators import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    return retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 2
 
@@ -1326,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_report": q_dedup_lines_report,
         "embed_kmeans": q_embed_kmeans,
         "docs_source_overlap": q_docs_source_overlap,
+        "docs_bm25": q_docs_bm25,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1762,6 +1778,35 @@ def oracle_sql() -> dict[str, str]:
         repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
     ) + "]"
     return {
+        "docs_bm25": f"""
+            WITH base AS (
+              SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS ws,
+                     len(string_split({_NORM_TEXT_SQL}, ' ')) AS dl
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) AS sumdl,
+                     {", ".join(
+                         f"CAST(sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+                         for i, t in enumerate(_BM25_TERMS)
+                     )}
+              FROM base
+            ), scored AS (
+              SELECT doc_id,
+                     round({" + ".join(
+                         f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+                         f" * (CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE) * 2.2"
+                         f" / (CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE)"
+                         f"    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sumdl / n))))))"
+                         for i, t in enumerate(_BM25_TERMS)
+                     )}, 6) AS bm25
+              FROM base, stats
+            )
+            SELECT doc_id, bm25 FROM scored
+            WHERE bm25 > 0.0
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
+        """,
         "embed_kmeans": f"""
             WITH c0 AS (
               SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

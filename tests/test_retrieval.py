@@ -1,0 +1,84 @@
+"""BM25 retrieval (operators/retrieval.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators import retrieval
+
+
+def _ref_bm25(docs: dict, terms, k1=1.2, b=0.75):
+    words = {d: " ".join(t.lower().split()).split(" ") for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in words.values()) / n
+    dfs = {t: sum(1 for w in words.values() if t in w) for t in terms}
+    out = {}
+    for d, ws in words.items():
+        s = 0.0
+        for t in terms:
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            tf = ws.count(t)
+            s += idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl)))
+        if round(s, 6) > 0:
+            out[d] = s
+    return out
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "spark runs fast queries on big tables"),
+        (2, "spark spark spark nothing else matters spark"),
+        (3, "a totally unrelated document about gardening and soil"),
+        (4, "fast tables need fast queries and a fast engine"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_matches_python_reference(spark, corpus):
+    docs = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    terms = ["spark", "fast"]
+    expected = _ref_bm25(docs, terms)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in retrieval.bm25_scores(corpus, terms).collect()
+    }
+    assert set(got) == set(expected)
+    for d, s in expected.items():
+        assert got[d] == pytest.approx(s, abs=1e-6)
+
+
+def test_bm25_repetition_saturates(spark, corpus):
+    """BM25's tf saturation: the spam doc (4x 'spark') scores higher than
+    one mention but far less than 4x - and an unrelated doc scores 0
+    (filtered out)."""
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in retrieval.bm25_scores(corpus, ["spark"]).collect()
+    }
+    assert 3 not in got and 4 not in got
+    assert got[2] > got[1]
+    assert got[2] < 4 * got[1]
+
+
+def test_bm25_topk_order_and_validation(spark, corpus):
+    top = retrieval.bm25_topk(corpus, ["fast", "queries"], k=2).collect()
+    assert len(top) == 2
+    assert top[0]["bm25"] >= top[1]["bm25"]
+    assert top[0]["doc_id"] == 4  # three 'fast' + 'queries'
+    with pytest.raises(ValueError, match="terms"):
+        retrieval.bm25_scores(corpus, [])
+
+
+def test_bm25_single_stats_pass_plan(spark, corpus):
+    """Scoring is in-row after ONE stats aggregation: the plan has no
+    shuffle join (stats broadcast back) and no Python eval."""
+    plan = (
+        retrieval.bm25_scores(corpus, ["spark"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
