@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "docs_hash_sample",
     "dedup_lines",
     "docs_source_overlap",
+    "docs_bm25",
     "dedup_exact",
     "dedup_minhash",
     "dedup_near",
