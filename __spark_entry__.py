@@ -1061,6 +1061,18 @@ def q_docs_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
 
 
+def q_docs_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword extraction: top-3 characteristic terms per document by
+    tf·idf (min_df=2 drops hapaxes) — the canonical distributed tf·idf
+    plan: token-grain (doc, term) counts with map-side combine, term-
+    grain document frequencies derived FROM the counts, term-keyed join,
+    per-document top-k window on the rounded score."""
+    from intake_esm_spark.operators import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    return retrieval.tfidf_top_terms(docs, k=3, min_df=2)
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 2
 
@@ -1342,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "docs_source_overlap": q_docs_source_overlap,
         "docs_bm25": q_docs_bm25,
+        "docs_tfidf": q_docs_tfidf,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1778,6 +1791,31 @@ def oracle_sql() -> dict[str, str]:
         repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
     ) + "]"
     return {
+        "docs_tfidf": f"""
+            WITH words AS (
+              SELECT doc_id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+              HAVING count(*) >= 2
+            ), n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(CAST(tf.tf AS DOUBLE) * ln(nn / CAST(dft.df AS DOUBLE)), 6)
+                       AS tfidf
+              FROM tf JOIN dft USING (term), n
+            )
+            SELECT doc_id, term, tfidf, rank FROM (
+              SELECT doc_id, term, tfidf,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                     ) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
         "docs_bm25": f"""
             WITH base AS (
               SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS ws,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_lines",
     "docs_source_overlap",
     "docs_bm25",
+    "docs_tfidf",
     "dedup_exact",
     "dedup_minhash",
     "dedup_near",

