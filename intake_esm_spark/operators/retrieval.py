@@ -124,7 +124,17 @@ def tfidf_top_terms(
     frequencies FROM the counts (term grain, not token grain), a
     term-keyed join of the two, and the per-document top-k window (rank
     ≤ k, partial-ranked before the exchange). N comes from a 1-row
-    aggregate broadcast in-plan — no driver action."""
+    aggregate broadcast in-plan — no driver action.
+
+    Deliberate trade-off: ``tf`` feeds both the join and the
+    document-frequency aggregation, and differently-pruned branches defeat
+    exchange reuse, so the token-grain pass runs twice. The single-pass
+    alternative (df as ``count() over (partition by term)``) references
+    ``tf`` once but puts EVERY (doc, term) row of a stopword into one
+    window task — a dead executor at web scale, and AQE can split skewed
+    joins but not skewed windows. Two skew-safe passes beat one
+    skew-fatal pass; callers iterating on the same corpus should persist
+    ``docs`` (or pre-aggregate tf once) to pay the explode once."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     words = docs.select(
