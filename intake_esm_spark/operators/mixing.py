@@ -96,7 +96,13 @@ def apply_mixture(
     floor(rate * HASH_BUCKETS)``). Deterministic per (key, salt) — the
     same construction as ``sampling.hash_sample``, so re-runs and other
     engines keep the identical rows. Sources absent from ``weights`` are
-    dropped. Rate-table rows broadcast; the corpus never shuffles."""
+    dropped. Rate-table rows broadcast; the corpus never shuffles.
+
+    Streaming: with ``precomputed_rates`` (rates are corpus-global state,
+    like the LSH index — compute them in batch, refresh as the corpus
+    grows) the operator is a stateless stream-static broadcast-join
+    filter, valid in any output mode; parity with the batch pass is
+    asserted in tests."""
     rates = (
         precomputed_rates
         if precomputed_rates is not None

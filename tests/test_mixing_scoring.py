@@ -112,3 +112,38 @@ def test_hashed_bow_logit_engine_vs_python(spark):
 def test_hashed_bow_logit_validates():
     with pytest.raises(ValueError, match="non-empty"):
         tx.hashed_bow_logit(F.col("w"), [])
+
+
+def test_apply_mixture_streaming_with_precomputed_rates(spark, corpus, tmp_path):
+    """Mixture rates are corpus-global state (like the LSH index and the
+    boilerplate report): computed in batch, a STREAM applies them as a
+    stateless broadcast-join filter — same rows as the batch pass."""
+    rates = mixing.source_mixture_rates(
+        corpus, {"s0": 2.0, "s1": 1.0}
+    ).localCheckpoint()
+    expected = sorted(
+        r["doc_id"]
+        for r in mixing.apply_mixture(
+            corpus, {"s0": 2.0, "s1": 1.0}, precomputed_rates=rates
+        ).collect()
+    )
+    src = tmp_path / "mix_src"
+    corpus.write.parquet(str(src))
+    stream = spark.readStream.schema(corpus.schema).format("parquet").load(str(src))
+    out = mixing.apply_mixture(
+        stream, {"s0": 2.0, "s1": 1.0}, precomputed_rates=rates
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mix_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM mix_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
