@@ -1046,6 +1046,17 @@ def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_gram_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplication exposure: fraction of each doc's distinct
+    5-grams that appear in >= 2 documents corpus-wide — catches templated
+    documents assembled from corpus-common fragments that no pairwise
+    Jaccard threshold would remove. Exact integer ratios, no rounding."""
+    from intake_esm_spark.operators.corpus import gram_duplication
+
+    docs = load_table(spark, sf, "documents")
+    return gram_duplication(docs, n=5, min_doc_freq=2)
+
+
 _BM25_TERMS = ["spark", "query", "table"]
 
 
@@ -1355,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_overlap": q_docs_source_overlap,
         "docs_bm25": q_docs_bm25,
         "docs_tfidf": q_docs_tfidf,
+        "docs_gram_dup": q_docs_gram_dup,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1792,6 +1804,24 @@ def oracle_sql() -> dict[str, str]:
         repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
     ) + "]"
     return {
+        "docs_gram_dup": f"""
+            WITH grams AS (
+              SELECT DISTINCT doc_id, {_h60_sql("shingle")} AS g
+              FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                    FROM documents WHERE text IS NOT NULL)
+            ), gdf AS (
+              SELECT g, count(*) AS df FROM grams GROUP BY g
+            ), j AS (
+              SELECT grams.doc_id, gdf.df FROM grams JOIN gdf USING (g)
+            )
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_grams,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS dup_frac
+            FROM j GROUP BY doc_id
+        """,
         "docs_tfidf": f"""
             WITH words AS (
               SELECT doc_id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS term

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "docs_source_overlap",
     "docs_bm25",
     "docs_tfidf",
+    "docs_gram_dup",
     "dedup_exact",
     "dedup_minhash",
     "dedup_near",

@@ -187,3 +187,48 @@ def source_overlap(
         )
         .agg(F.countDistinct(F.col("a.__fp")).alias("shared"))
     )
+
+
+def gram_duplication(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Per-document duplication EXPOSURE: the fraction of a document's
+    distinct word ``n``-grams that appear in >= ``min_doc_freq`` documents
+    corpus-wide — ``(id_col, n_grams, n_dup_grams, dup_frac)``. The
+    signal between ``repetition_stats`` (intra-document) and pairwise
+    dedup: a templated document assembled from corpus-common fragments
+    scores high even when no single pair crosses a Jaccard threshold
+    (so no dedup pass would remove it).
+
+    Shape: distinct per-doc grams hashed to 60-bit keys (the
+    contamination trick — 8-byte shuffle keys, not 40-byte strings);
+    gram document-frequency is a count over those already-distinct rows;
+    frequency joins back gram-keyed and the per-doc fraction is one
+    aggregation. Like tf·idf, the gram pass runs twice (frequency branch
+    + join branch — skew-safe; a per-gram window would put a universal
+    gram's every row in one task). Fractions are exact integer ratios —
+    no rounding needed for engine agreement."""
+    from intake_esm_spark.functions.text import portable_hash60, shingles
+
+    grams = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n), portable_hash60)
+            )
+        ).alias("__g"),
+    )
+    gdf = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    joined = grams.join(gdf, "__g")
+    dup = (F.col("__df") >= min_doc_freq).cast("bigint")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(dup).alias("n_dup_grams"),
+        (F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "dup_frac"
+        ),
+    )

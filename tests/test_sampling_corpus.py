@@ -168,3 +168,21 @@ def test_source_overlap_counts_shared_fingerprints(spark):
         for r in source_overlap(df).collect()
     }
     assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_gram_duplication_exposure(spark):
+    from intake_esm_spark.operators.corpus import gram_duplication
+
+    rows = [
+        (1, "a b c d e f"),        # shares its whole run with doc 2
+        (2, "a b c d e f"),
+        (3, "z y x w v u"),        # unique
+        (4, None),                 # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in gram_duplication(df, n=5).collect()}
+    assert 4 not in got
+    # docs 1/2: both 5-grams shared -> dup_frac 1.0; doc 3: none
+    assert got[1]["dup_frac"] == 1.0 and got[2]["dup_frac"] == 1.0
+    assert got[3]["dup_frac"] == 0.0
+    assert got[1]["n_grams"] == 2  # 6 words -> two 5-grams
