@@ -1046,6 +1046,34 @@ def q_docs_curated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_select_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Data selection: the top-5 documents PER SOURCE by the hashed-BoW
+    quality logit (rank on the 6dp-rounded score, doc_id ties) — the
+    "keep the best N per domain" curation step that follows scoring.
+    Grouped top-k window: partial-ranked before the per-source exchange,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    wts = tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
+    words = docs.select(
+        "doc_id", "source", tx.words_array(F.col("text")).alias("__w")
+    )
+    scored = words.select(
+        "doc_id",
+        "source",
+        F.round(
+            tx.hashed_bow_logit(F.col("__w"), wts, salt=_QUALITY_HSALT), 6
+        ).alias("logit"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("logit"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "source", "logit", "rank")
+    )
+
+
 def q_docs_gram_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document duplication exposure: fraction of each doc's distinct
     5-grams that appear in >= 2 documents corpus-wide — catches templated
@@ -1367,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25": q_docs_bm25,
         "docs_tfidf": q_docs_tfidf,
         "docs_gram_dup": q_docs_gram_dup,
+        "docs_select_best": q_docs_select_best,
         "docs_shuffle": q_docs_shuffle,
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
@@ -1404,12 +1433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_topk_user": q_events_topk_user,
         "text_vocab": q_text_vocab,
-        "docs_hash_sample": q_docs_hash_sample,
         # ---- rotation tail: every entry below was driver-green in a
-        # prior round (r1-r5) and is UNCHANGED this round; the 12
+        # prior round (r1-r5) and is UNCHANGED this round; the 13
         # round-6 additions at the head push these past the driver's
         # 50-entry cap. All re-verified locally each round — see
-        # ORACLE_LOCAL_r6.txt (full 76-entry sweep, 0 failures)
+        # ORACLE_LOCAL_r6.txt (full 77-entry sweep, 0 failures)
+        "docs_hash_sample": q_docs_hash_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_prefix_groups": q_dedup_prefix_groups,
@@ -1804,6 +1833,27 @@ def oracle_sql() -> dict[str, str]:
         repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
     ) + "]"
     return {
+        "docs_select_best": f"""
+            WITH consts AS (
+              SELECT {_qwts_sql} AS wl
+            ), scored AS (
+              SELECT doc_id, source,
+                     round(list_sum(list_transform(ws2,
+                             x -> wl[({_h60_sql(f"'{_QUALITY_HSALT}|' || x")}
+                                      % {_QUALITY_BUCKETS})::INT + 1]))
+                           / len(ws2), 6) AS logit
+              FROM (SELECT doc_id, source,
+                           string_split({_NORM_TEXT_SQL}, ' ') AS ws2
+                    FROM documents), consts
+            )
+            SELECT doc_id, source, logit, rank FROM (
+              SELECT doc_id, source, logit,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY logit DESC, doc_id ASC
+                     ) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
         "docs_gram_dup": f"""
             WITH grams AS (
               SELECT DISTINCT doc_id, {_h60_sql("shingle")} AS g

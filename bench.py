@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "docs_bm25",
     "docs_tfidf",
     "docs_gram_dup",
+    "docs_select_best",
     "dedup_exact",
     "dedup_minhash",
     "dedup_near",

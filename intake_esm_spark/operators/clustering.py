@@ -1,5 +1,8 @@
 """Distributed spherical k-means refinement for the IVF centroid set.
 
+Extension per SURVEY §2.9 (no reference analogue — the reference has no
+embedding operators at all).
+
 ``simsearch._kmeans_centroids`` picks centroids from a bounded driver-side
 SAMPLE — the right cost model for index bootstrap, but sample-blind to
 tail clusters on skewed corpora. This module refines any centroid set

@@ -1,5 +1,7 @@
 """Source-mixture rebalancing: deterministic downsampling to a target mix.
 
+Extension per SURVEY §2.9 (no reference analogue).
+
 A training corpus is assembled from heterogeneous sources (web crawl,
 books, code, ...) whose NATURAL proportions rarely match the mixture the
 training run wants (DoReMi/Pile-style static mixing weights). The

@@ -1,6 +1,7 @@
 """BM25 relevance scoring — corpus search over the documents table.
 
-A curation stack needs retrieval as well as dedup: "find the documents
+Extension per SURVEY §2.9 (the reference is a catalog query engine with
+no text-retrieval analogue). A curation stack needs retrieval as well as dedup: "find the documents
 about X" (inspect what a filter removed, build topical eval slices, debug
 contamination hits). This is Okapi BM25, Spark-first:
 
