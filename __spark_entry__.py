@@ -1875,7 +1875,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_tfidf": f"""
             WITH words AS (
               SELECT doc_id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS term
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
             ), tf AS (
               SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
             ), dft AS (
@@ -1883,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
               HAVING count(*) >= 2
             ), n AS (
               SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents
+              WHERE text IS NOT NULL
             ), scored AS (
               SELECT tf.doc_id, tf.term,
                      round(CAST(tf.tf AS DOUBLE) * ln(nn / CAST(dft.df AS DOUBLE)), 6)
@@ -1901,7 +1902,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS ws,
                      len(string_split({_NORM_TEXT_SQL}, ' ')) AS dl
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
             ), stats AS (
               SELECT CAST(count(*) AS DOUBLE) AS n,
                      CAST(sum(dl) AS DOUBLE) AS sumdl,

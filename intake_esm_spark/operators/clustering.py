@@ -39,6 +39,22 @@ from pyspark.sql import functions as F
 from intake_esm_spark.operators.simsearch import dot, l2_norm
 
 
+def _round6_half_up(x: float) -> float:
+    """Driver-side replay of Spark ``F.round(x, 6)`` / DuckDB ``round``:
+    HALF_UP (away from zero on ties) over the double's shortest
+    round-trip decimal — Spark's Round(double) rounds
+    ``BigDecimal.valueOf(d)``, whose digits are what python ``repr``
+    also produces. Same construction as
+    ``simsearch.ivf_topk_indexed``'s probe rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _assign_rounded(vec, centroids: list[list[float]]):
     """Bucket = argmax of 6dp-rounded cosine(vec, centroid), ties to the
     HIGHER centroid index — the engine-portable IVF assignment rule."""
@@ -151,14 +167,15 @@ def kmeans_refine(
                 nxt.append(by_bucket[cid])
             else:
                 # empty cluster: keep the previous centroid, rounded the
-                # same way the survivors were (via a 1-row plan, so the
-                # rounding semantics are the ENGINE's, not python's)
-                prev = df.sparkSession.range(1).select(
-                    F.transform(
-                        F.array(*[F.lit(v) for v in current[cid]]),
-                        lambda v: F.round(v, 6),
-                    ).alias("c")
-                ).collect()[0]["c"]
-                nxt.append(list(prev))
+                # same way the survivors were. Driver-side replay of
+                # F.round (Decimal HALF_UP on the shortest round-trip
+                # decimal — exactly what Spark's Round(double) computes
+                # via BigDecimal.valueOf) instead of a 1-row Spark job:
+                # this host has measured multi-second latencies for 1-row
+                # jobs, and after iteration 1 the values are ALREADY on
+                # the 6dp grid (round of a rounded value is the identity
+                # in both modes), so only unrounded caller-provided
+                # initial centroids ever exercise the rounding rule.
+                nxt.append([_round6_half_up(v) for v in current[cid]])
         current = nxt
     return current

@@ -206,6 +206,10 @@ def write_packed_corpus(
     (key set, token counts, salt, budget), like the packing itself."""
     if bins_per_shard <= 0:
         raise ValueError(f"bins_per_shard must be positive, got {bins_per_shard}")
+    if files_per_shard <= 0:
+        # pmod(x, 0) is NULL, which would silently degenerate the
+        # repartition instead of failing fast like the sibling guards
+        raise ValueError(f"files_per_shard must be positive, got {files_per_shard}")
     packed = pack_token_bins(df, token_col, budget, key_col, salt, n_buckets)
     out = packed.withColumn(
         "shard", F.floor(F.col("bin_id") / bins_per_shard).cast("bigint")

@@ -52,7 +52,11 @@ def bm25_scores(
     contribute twice, like a bag-of-words query vector would."""
     if not terms:
         raise ValueError("terms must be non-empty")
-    base = docs.select(
+    # null-text documents can never match a term; counting them in N (and
+    # leaving their null dl out of sumdl) would skew idf/avgdl versus
+    # standard BM25 — same text IS NOT NULL convention as gram_duplication
+    # and the structural oracles
+    base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), words_array(F.col(text_col)).alias("__w")
     )
     base = base.select(id_col, "__w", F.size("__w").alias("__dl"))
@@ -138,14 +142,17 @@ def tfidf_top_terms(
     ``docs`` (or pre-aggregate tf once) to pay the explode once."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    words = docs.select(
+    # N counts only documents with text — null-text rows contribute no
+    # terms and would deflate every idf (see bm25_scores)
+    base = docs.filter(F.col(text_col).isNotNull())
+    words = base.select(
         F.col(id_col), F.explode(words_array(F.col(text_col))).alias("term")
     )
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         df_t = df_t.filter(F.col("df") >= min_df)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
         tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))

@@ -639,7 +639,29 @@ def ivf_topk_indexed(
     if rounded_assign:
         qn = np.linalg.norm(Q, axis=1, keepdims=True)
         cn = np.linalg.norm(C, axis=1, keepdims=True).T
-        sims = np.round(sims / (qn * cn), 6)
+        # replay the build's 'cosine6-tiehigh' rule EXACTLY: Spark F.round
+        # and DuckDB round() are half-AWAY-FROM-ZERO, while np.round is
+        # half-to-even — an exact .5 at the 7th decimal would probe a
+        # different bucket than the build/oracle. Spark's Round(double)
+        # rounds BigDecimal.valueOf(d) (the shortest round-trip decimal,
+        # which is what python repr() also produces) with HALF_UP, so
+        # Decimal(repr(x)).quantize(HALF_UP) is the faithful replay. The
+        # matrix is queries x k (driver-side, metadata-scale), so the
+        # per-element Decimal cost is irrelevant.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        _q6 = Decimal("0.000001")
+        sims = sims / (qn * cn)
+        sims = np.array(
+            [
+                [
+                    float(Decimal(repr(float(x))).quantize(_q6, rounding=ROUND_HALF_UP))
+                    for x in row
+                ]
+                for row in sims
+            ],
+            dtype=np.float64,
+        )
     probe: list[tuple] = []
     for qi, r in enumerate(q_rows):
         # desc sim, desc idx on ties — same order as reverse(array_sort(...))

@@ -183,11 +183,15 @@ def line_dedup_against(
         normalized_text(F.col("__line")) if normalize else F.col("__line")
     )
     line_rows = exploded.withColumn("__fp", F.md5(fp_src))
+    # the contract says "any frame with fingerprint + first_doc columns",
+    # so defend against duplicate fingerprint rows (each would duplicate
+    # every matching line in the reassembly and inflate n_lines/n_kept);
+    # the projection is line-vocabulary-sized, the distinct is cheap
     rep = report.select(
         F.col("fingerprint").alias("__fp"),
         F.col("first_doc").alias("__keeper"),
         F.lit(True).alias("__hit"),
-    )
+    ).dropDuplicates(["__fp"])
     joined = line_rows.join(rep, "__fp", "left")
     keep_line = F.col("__hit").isNull()
     if keep == "first":

@@ -285,7 +285,15 @@ def stream_line_filter(
         )
     bset = frozenset(r[0] for r in rows)
     bc = stream_df.sparkSession.sparkContext.broadcast(bset)
-    ws_re = re.compile(r"\s+")
+    # byte-replay of the batch report's JVM normalization, NOT python's
+    # defaults: Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) while python
+    # str-mode \s matches unicode whitespace (NBSP is common in
+    # HTML-derived boilerplate — a unicode-aware sub here would fingerprint
+    # those lines differently and reported boilerplate would silently
+    # survive streaming ingest); Spark SQL trim() strips only the SPACE
+    # character, which python's argless .strip() (any unicode whitespace)
+    # does not replay — hence .strip(" ").
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("string")
     def _scrub(texts: pd.Series) -> pd.Series:
@@ -296,7 +304,11 @@ def stream_line_filter(
                 return None
             kept = []
             for line in t.split(sep):
-                key = ws_re.sub(" ", line.lower()).strip() if normalize else line
+                key = (
+                    ws_re.sub(" ", line.lower()).strip(" ")
+                    if normalize
+                    else line
+                )
                 if hashlib.md5(key.encode("utf-8")).hexdigest() not in s:
                     kept.append(line)
             return join_sep.join(kept)

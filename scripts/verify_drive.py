@@ -1,4 +1,4 @@
-"""End-to-end drive of the public library surface, per .claude/skills/verify."""
+"""End-to-end drive of the public library surface."""
 import json
 import os
 import sys
