@@ -1275,6 +1275,32 @@ def q_dedup_lines_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-run dedup (the Lee et al. 2022 modality): cut every
+    run of >= 5 consecutive corpus-duplicated 5-token windows (>= 9-token
+    verbatim shared spans) out of every document and reassemble — catches
+    long copied passages embedded in otherwise-distinct documents, which
+    document-level MinHash and line-level structural dedup both miss.
+    Rolling 60-bit window hashes -> distinct-doc frequency -> per-doc
+    gaps-and-islands -> in-row token cut; oracle replays the identical
+    pipeline with SQL window functions."""
+    from intake_esm_spark.operators import spans
+
+    docs = load_table(spark, sf, "documents")
+    return spans.span_dedup(docs, n=5, min_doc_freq=2, min_run=5)
+
+
+def q_dedup_spans_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The span report behind dedup_spans: one row per maximal duplicated
+    run — (doc_id, start_token, end_token, n_windows, span text) — what a
+    curation run reads to pick the min_run threshold (what IS getting
+    cut, and how long the verbatim spans are)."""
+    from intake_esm_spark.operators import spans
+
+    docs = load_table(spark, sf, "documents")
+    return spans.duplicated_spans(docs, n=5, min_doc_freq=2, min_run=5)
+
+
 def q_docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source boilerplate overlap: distinct shared line fingerprints
     per unordered source pair (the "how much of A also appears in B"
@@ -1383,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reserved for entries that were driver-green in every round r1-r4
     # (rotate them back in once the head stabilizes).
     return {
+        "dedup_spans": q_dedup_spans,
+        "dedup_spans_report": q_dedup_spans_report,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "simsearch_ivf_int8": q_simsearch_ivf_int8,
@@ -1655,6 +1683,71 @@ def _h60_sql(x: str) -> str:
     return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
+def _spans_with(n: int = 5, min_doc_freq: int = 2, min_run: int = 5) -> str:
+    """CTE chain replaying operators.spans._window_runs: normalized word
+    arrays, the SAME n-gram shingles/60-bit hashes the engine computes,
+    distinct-doc window frequency, and window-function gaps-and-islands —
+    ending in runs(doc_id, s, e, nw) with s/e 0-based inclusive TOKEN
+    bounds (e = last window start + n - 1) and base(doc_id, w)."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id, {_shingles_sql_n(n)} AS shs
+      FROM documents WHERE text IS NOT NULL
+    ), wins AS (
+      SELECT doc_id, unnest(range(0, len(shs))) AS wpos,
+             unnest(list_transform(shs, s -> {_h60_sql("s")})) AS h
+      FROM sh
+    ), dupv AS (
+      SELECT h FROM wins GROUP BY h
+      HAVING count(DISTINCT doc_id) >= {min_doc_freq}
+    ), dup AS (
+      SELECT w.doc_id, w.wpos FROM wins w JOIN dupv USING (h)
+    ), isl AS (
+      SELECT doc_id, wpos,
+             wpos - row_number() OVER (PARTITION BY doc_id ORDER BY wpos) AS g
+      FROM dup
+    ), runs AS (
+      SELECT doc_id, min(wpos) AS s, max(wpos) + {n - 1} AS e, count(*) AS nw
+      FROM isl GROUP BY doc_id, g HAVING count(*) >= {min_run}
+    )"""
+
+
+_SPANS_DEDUP_SQL = f"""
+    {_spans_with()}, cov AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(range(s, e + 1)) AS tpos FROM runs
+      )
+    ), toks AS (
+      SELECT doc_id, unnest(range(0, len(w))) AS tpos, unnest(w) AS tok
+      FROM base
+    ), marked AS (
+      SELECT t.doc_id, t.tpos, t.tok, (c.tpos IS NOT NULL) AS rm
+      FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list(tok ORDER BY tpos ASC)
+                                    FILTER (WHERE NOT rm), ' '), '') AS text,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS INT) AS n_removed
+    FROM marked GROUP BY doc_id
+"""
+
+
+_SPANS_REPORT_SQL = f"""
+    {_spans_with()}
+    SELECT r.doc_id,
+           CAST(r.s AS INT) AS start_token,
+           CAST(least(r.e, len(b.w) - 1) AS INT) AS end_token,
+           r.nw AS n_windows,
+           array_to_string(b.w[r.s + 1 : least(r.e, len(b.w) - 1) + 1], ' ')
+             AS span
+    FROM runs r JOIN base b USING (doc_id)
+"""
+
+
 def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 16) -> str:
     """Bit-exact DuckDB replay of dedup.minhash_lsh_candidates: the same
     60-bit md5 base hash, the same perm_coeffs affine permutations (the
@@ -1833,6 +1926,8 @@ def oracle_sql() -> dict[str, str]:
         repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
     ) + "]"
     return {
+        "dedup_spans": _SPANS_DEDUP_SQL,
+        "dedup_spans_report": _SPANS_REPORT_SQL,
         "docs_select_best": f"""
             WITH consts AS (
               SELECT {_qwts_sql} AS wl
