@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from intake_esm_spark.functions import encoding as _enc
 from intake_esm_spark.functions import text as tx
 from intake_esm_spark.operators import dedup, grouping, simsearch
 from intake_esm_spark.operators.asof import asof_join
@@ -1301,6 +1302,47 @@ def q_dedup_spans_report(spark: SparkSession, sf: str) -> DataFrame:
     return spans.duplicated_spans(docs, n=5, min_doc_freq=2, min_run=5)
 
 
+def q_docs_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-damage audit — the signals a web-crawl pipeline reads
+    BEFORE any fingerprint-based stage (dirty encodings corrupt line
+    fingerprints and shingle hashes): garbage-control-char ratio, U+FFFD
+    replacement count, mojibake indicator-bigram count, non-ASCII ratio,
+    and whether NFC normalization would change the text. Rates are
+    codegen'd JVM regex expressions (Java-regex ∩ RE2 patterns, replayed
+    verbatim by the oracle); the NFC flag is the Arrow-batched
+    nfc_text UDF vs DuckDB's nfc_normalize."""
+    from intake_esm_spark.functions import encoding as enc
+
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.round(enc.control_char_ratio(t), 6).alias("control_ratio"),
+        enc.replacement_char_count(t).alias("replacement_chars"),
+        enc.mojibake_count(t).alias("mojibake_hits"),
+        F.round(enc.non_ascii_ratio(t), 6).alias("non_ascii_ratio"),
+        (enc.nfc_text(t) != t).alias("nfc_changed"),
+    )
+
+
+def q_text_fingerprint_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """NFC-normalized document fingerprint: repair-then-fingerprint —
+    canonically-equal unicode spellings (composed vs decomposed accents)
+    hash to the SAME fingerprint, where the plain text_fingerprint would
+    split them. The variant every fingerprint consumer should feed on
+    corpora that saw more than one text stack."""
+    from intake_esm_spark.functions import encoding as enc
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(tx.normalized_text(enc.nfc_text(F.col("text")))).alias(
+            "fingerprint"
+        ),
+    )
+
+
 def q_docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source boilerplate overlap: distinct shared line fingerprints
     per unordered source pair (the "how much of A also appears in B"
@@ -1411,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_spans": q_dedup_spans,
         "dedup_spans_report": q_dedup_spans_report,
+        "docs_encoding": q_docs_encoding,
+        "text_fingerprint_nfc": q_text_fingerprint_nfc,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "simsearch_ivf_int8": q_simsearch_ivf_int8,
@@ -1928,6 +1972,30 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_spans": _SPANS_DEDUP_SQL,
         "dedup_spans_report": _SPANS_REPORT_SQL,
+        "docs_encoding": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(text) - length(regexp_replace(text,
+                            '{_enc.CONTROL_CHAR_PATTERN}', '', 'g')) AS DOUBLE)
+                          / length(text) END, 6) AS control_ratio,
+                   CAST(length(text) - length(replace(text, '\ufffd', ''))
+                     AS INT) AS replacement_chars,
+                   CAST(len(regexp_extract_all(text,
+                     '{_enc.MOJIBAKE_PATTERN}')) AS INT) AS mojibake_hits,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(text) - length(regexp_replace(text,
+                            '{_enc.NON_ASCII_PATTERN}', '', 'g')) AS DOUBLE)
+                          / length(text) END, 6) AS non_ascii_ratio,
+                   (nfc_normalize(text) != text) AS nfc_changed
+            FROM documents
+        """,
+        "text_fingerprint_nfc": f"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                                           '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
         "docs_select_best": f"""
             WITH consts AS (
               SELECT {_qwts_sql} AS wl
