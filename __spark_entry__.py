@@ -1343,6 +1343,29 @@ def q_text_fingerprint_nfc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware cluster-canonical dedup: per near-dup component keep
+    the HIGHEST-quality member (hashed-BoW logit, ties to min id)
+    instead of the min-id member — production keeps the best copy, not
+    the first-crawled one. Same component formation as
+    dedup_cluster_survivors; the survivor rule is one
+    min(struct(-score, id)) aggregate."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.near_duplicates(
+        docs, num_hashes=32, bands=16, shingle_n=5, threshold=0.8
+    )
+    wts = tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
+    words = docs.select("doc_id", tx.words_array(F.col("text")).alias("__w"))
+    scores = words.select(
+        "doc_id",
+        F.round(
+            tx.hashed_bow_logit(F.col("__w"), wts, salt=_QUALITY_HSALT), 6
+        ).alias("score"),
+    )
+    out = dedup.dedup_components(docs, pairs, survivor_by=scores)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source boilerplate overlap: distinct shared line fingerprints
     per unordered source pair (the "how much of A also appears in B"
@@ -1455,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_report": q_dedup_spans_report,
         "docs_encoding": q_docs_encoding,
         "text_fingerprint_nfc": q_text_fingerprint_nfc,
+        "dedup_cluster_best": q_dedup_cluster_best,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "simsearch_ivf_int8": q_simsearch_ivf_int8,
@@ -1972,6 +1996,35 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_spans": _SPANS_DEDUP_SQL,
         "dedup_spans_report": _SPANS_REPORT_SQL,
+        "dedup_cluster_best": f"""
+            {_COMPONENTS_WITH}, comp AS (
+              SELECT id, min(comp) AS component_id FROM walk GROUP BY id
+            ), consts AS (
+              SELECT {_qwts_sql} AS wl
+            ), qw AS (
+              SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS ws
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                     round(list_sum(list_transform(ws,
+                             x -> wl[({_h60_sql(f"'{_QUALITY_HSALT}|' || x")}
+                                      % {_QUALITY_BUCKETS})::INT + 1]))
+                           / len(ws), 6) AS score
+              FROM qw, consts
+            ), surv AS (
+              SELECT id FROM (
+                SELECT c.id,
+                       row_number() OVER (PARTITION BY c.component_id
+                                          ORDER BY s.score DESC, c.id ASC)
+                         AS rn
+                FROM comp c JOIN scored s ON s.doc_id = c.id
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (
+              SELECT id FROM comp WHERE id NOT IN (SELECT id FROM surv)
+            )
+        """,
         "docs_encoding": f"""
             SELECT doc_id,
                    CAST(length(text) AS INT) AS n_chars,

@@ -855,16 +855,64 @@ def dedup_components(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    survivor_by=None,
 ) -> DataFrame:
-    """Cluster-canonical near-dup removal: keep each document iff it is the
-    canonical (min-id) member of its connected component in the pair
-    graph. Unlike the pair-local rule (drop id_b per pair), this keeps
-    EXACTLY ONE survivor per transitive duplicate cluster — with A~B, B~C
-    (A≁C directly) the pair-local rule can keep both A and C; this keeps
-    only A. Documents in no pair survive untouched (left_anti on the
-    non-canonical members)."""
+    """Cluster-canonical near-dup removal: keep EXACTLY ONE survivor per
+    connected component of the pair graph. Unlike the pair-local rule
+    (drop id_b per pair), with A~B, B~C (A≁C directly) the pair-local
+    rule can keep both A and C; this keeps one. Documents in no pair
+    survive untouched (left_anti on the non-survivor members).
+
+    ``survivor_by`` selects WHICH member survives:
+
+    * ``None`` (default) — the canonical min-``id_col`` member;
+    * a Column / column name — a numeric quality score evaluated
+      against ``df``; the HIGHEST-scoring member survives, ties to the
+      min id (production keeps the *best* copy, not the first crawled —
+      pass e.g. the hashed-BoW quality logit). Null scores lose to any
+      non-null score;
+    * a DataFrame of ``(id_col, <score>)`` — the same rule with a
+      precomputed score frame; use this when the score needs its own
+      projection (``hashed_bow_logit`` wants a materialized word array
+      — inlining it into a fold re-evaluates the split per element).
+
+    Scale shape: the score join and the per-component argmax are both
+    keyed exchanges (id, then component) over the *paired* membership —
+    cluster-membership-sized, not corpus-sized; the argmax is one
+    ``min(struct(-score, id))`` aggregate with map-side partials."""
     cc = connected_components(pairs, out_id=id_col, out_component="__comp")
-    dropped = cc.filter(F.col(id_col) != F.col("__comp")).select(id_col)
+    if survivor_by is None:
+        dropped = cc.filter(F.col(id_col) != F.col("__comp")).select(id_col)
+        return df.join(dropped, on=id_col, how="left_anti")
+
+    if isinstance(survivor_by, DataFrame):
+        other = [c for c in survivor_by.columns if c != id_col]
+        if len(other) != 1:
+            raise ValueError(
+                f"survivor_by frame must have exactly ({id_col}, <score>) "
+                f"columns, got {survivor_by.columns}"
+            )
+        scored = survivor_by.select(
+            F.col(id_col), F.col(other[0]).alias("__score")
+        )
+    else:
+        col = survivor_by if isinstance(survivor_by, Column) else F.col(survivor_by)
+        scored = df.select(F.col(id_col), col.alias("__score"))
+
+    memb = cc.join(scored, id_col)
+    # argmax score, ties to min id, as ONE min-aggregate: min of
+    # (-score, id) struct — null scores coalesce to +inf so they lose
+    # to any scored member (all-null components fall back to min id)
+    key = F.struct(
+        F.coalesce(-F.col("__score").cast("double"), F.lit(float("inf"))).alias("k"),
+        F.col(id_col).alias("i"),
+    )
+    survivors = (
+        memb.groupBy("__comp")
+        .agg(F.min(key).alias("__m"))
+        .select(F.col("__m.i").alias(id_col))
+    )
+    dropped = cc.select(id_col).join(survivors, id_col, "left_anti")
     return df.join(dropped, on=id_col, how="left_anti")
 
 

@@ -337,6 +337,63 @@ def test_dedup_components_cluster_canonical(spark):
     assert kept == [1, 4, 5]
 
 
+def test_dedup_components_survivor_by_keeps_best(spark):
+    """survivor_by keeps the HIGHEST-scoring member per component (not
+    the min id), ties to min id; unpaired docs survive untouched."""
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.1), (5, 0.7)],
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_components(
+            docs, pairs, survivor_by="score"
+        ).collect()
+    )
+    assert kept == [2, 4, 5]  # 2 beats min-id 1 on score
+
+
+def test_dedup_components_survivor_by_tie_and_null(spark):
+    # component {1,2,3}: 2 and 3 tie on the max score -> min id 2 wins;
+    # component {6,7}: null score loses to any scored member
+    docs = spark.createDataFrame(
+        [(1, 0.1), (2, 0.8), (3, 0.8), (6, None), (7, 0.0)],
+        "doc_id bigint, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (6, 7)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_components(docs, pairs, survivor_by="score").collect()
+    )
+    assert kept == [2, 7]
+
+
+def test_dedup_components_survivor_by_frame(spark):
+    # precomputed (id, score) frame form — and the all-null component
+    # falls back to min id
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3)], ["doc_id", "text"]
+    )
+    scores = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "doc_id bigint, s double"
+    )
+    pairs = spark.createDataFrame([(2, 3)], "id_a bigint, id_b bigint")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_components(docs, pairs, survivor_by=scores).collect()
+    )
+    assert kept == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="survivor_by"):
+        dedup.dedup_components(
+            docs, pairs, survivor_by=scores.withColumn("extra", scores["s"])
+        )
+
+
 def test_candidates_cap_is_corpus_wide(spark):
     """The doc-frequency cap under a candidate restriction must use
     CORPUS-wide frequencies: capping within the candidate subset would
