@@ -209,6 +209,46 @@ def line_dedup_against(
     )
 
 
+def merge_line_reports(*reports: DataFrame) -> DataFrame:
+    """Merge :func:`duplicated_lines` reports from DISJOINT document
+    batches into the report of their union — the incremental refresh
+    path: production keeps a line-frequency snapshot per ingest batch
+    and re-aggregates snapshots as the corpus grows, instead of
+    rescanning the whole history corpus per refresh (the
+    ``dedup_exact_incr`` pattern at line grain). The merged snapshot
+    feeds ``streaming.stateful.stream_line_filter`` and
+    :func:`line_dedup_against`.
+
+    PRECONDITIONS (both asserted nowhere — they are contracts):
+
+    * every input must be an UNFILTERED report (``min_doc_freq=1``) —
+      a line seen once in each of two batches only crosses the
+      threshold in the union, so merging already-filtered reports
+      undercounts; filter the MERGED output instead;
+    * the batches' document sets must be disjoint (true for ingest
+      batches) — ``doc_freq`` sums assume no document is counted twice.
+
+    Exactness: ``merge(report(A), report(B)) == report(A ∪ B)``
+    column-for-column (sums of disjoint counts; ``min`` of mins for the
+    representative spelling and first holder) — asserted in tests. The
+    merge is associative and commutative, so snapshots tree-merge.
+
+    One exchange, keyed by fingerprint over line-vocabulary-sized
+    inputs (not corpora) — the scan-count win at 100 TB: the delta
+    batch is segmented once, history is never re-read."""
+    if len(reports) < 2:
+        raise ValueError(f"need at least 2 reports to merge, got {len(reports)}")
+    merged = reports[0]
+    for r in reports[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy("fingerprint").agg(
+        F.min("line").alias("line"),
+        F.sum("doc_freq").alias("doc_freq"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+        F.min("first_doc").alias("first_doc"),
+    )
+
+
 def duplicated_lines(
     df: DataFrame,
     text_col: str = "text",

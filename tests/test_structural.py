@@ -156,3 +156,101 @@ def test_line_dedup_against_single_scan(spark, docs):
     assert two_scan.count("Scan parquet") == 2
     with pytest.raises(ValueError, match="keep"):
         structural.line_dedup_against(corpus, report, keep="last")
+
+
+# -- incremental report merge -------------------------------------------------
+
+
+def _report_sets(df):
+    return {
+        r["fingerprint"]: (
+            r["line"],
+            r["doc_freq"],
+            r["n_occurrences"],
+            r["first_doc"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_merge_line_reports_equals_full_report(spark):
+    """merge(report(A,1), report(B,1)) == report(A∪B,1) for disjoint
+    batches — the incremental-refresh contract, column for column."""
+    a_rows = [
+        (1, "boiler\nalpha one"),
+        (2, "boiler\nshared tail"),
+    ]
+    b_rows = [
+        (3, "shared tail\nbeta two"),
+        (4, "boiler\nBOILER \ngamma"),  # normalization variants merge
+    ]
+    a = spark.createDataFrame(a_rows, "doc_id bigint, text string")
+    b = spark.createDataFrame(b_rows, "doc_id bigint, text string")
+    full = spark.createDataFrame(a_rows + b_rows, "doc_id bigint, text string")
+
+    merged = structural.merge_line_reports(
+        structural.duplicated_lines(a, min_doc_freq=1),
+        structural.duplicated_lines(b, min_doc_freq=1),
+    )
+    want = structural.duplicated_lines(full, min_doc_freq=1)
+    assert _report_sets(merged) == _report_sets(want)
+
+    # filtering the MERGED report reproduces the thresholded report:
+    # "shared tail" has doc_freq 1 in each batch and only crosses
+    # min_doc_freq=2 in the union
+    got2 = _report_sets(
+        merged.filter(merged["doc_freq"] >= 2)
+    )
+    want2 = _report_sets(structural.duplicated_lines(full, min_doc_freq=2))
+    assert got2 == want2
+    assert any(line == "shared tail" for line, *_ in got2.values())
+
+
+def test_merge_line_reports_three_way_and_validation(spark):
+    import pytest as _pytest
+
+    batches = [
+        spark.createDataFrame(
+            [(i * 10 + j, f"common line\nunique {i} {j}") for j in range(2)],
+            "doc_id bigint, text string",
+        )
+        for i in range(3)
+    ]
+    full = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = structural.merge_line_reports(
+        *[structural.duplicated_lines(b, min_doc_freq=1) for b in batches]
+    )
+    want = structural.duplicated_lines(full, min_doc_freq=1)
+    assert _report_sets(merged) == _report_sets(want)
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        structural.merge_line_reports(want)
+
+
+def test_stream_line_filter_fed_by_merged_snapshot(spark):
+    """The production loop: snapshot per batch, merge, threshold, feed
+    the stream filter — identical scrubbing to a from-scratch report."""
+    from intake_esm_spark.streaming.stateful import stream_line_filter
+
+    a = spark.createDataFrame(
+        [(1, "cookie banner\nkeep a"), (2, "cookie banner\nkeep b")],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "new footer\nkeep c"), (4, "new footer\nkeep d")],
+        "doc_id bigint, text string",
+    )
+    merged = structural.merge_line_reports(
+        structural.duplicated_lines(a, min_doc_freq=1),
+        structural.duplicated_lines(b, min_doc_freq=1),
+    ).filter("doc_freq >= 2")
+
+    arriving = spark.createDataFrame(
+        [(9, "cookie banner\nnew footer\nfresh content")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in stream_line_filter(arriving, merged).collect()
+    }
+    assert got[9] == "fresh content"
