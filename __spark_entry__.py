@@ -1385,19 +1385,12 @@ def q_docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return source_overlap(fps)
 
 
-def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
-    """The FULL RefinedWeb-style curation chain as ONE declarative plan:
-    structural line-dedup (8-word-window lines, drop-all) -> exact-dedup
-    survivors on the CLEANED text -> token-length window -> low-repetition
-    -> decontamination vs the benchmark split -> hashed-BoW quality gate.
-    Extends docs_curated with the structural stage first (boilerplate out
-    before document fingerprints, the CCNet ordering) and the model-based
-    gate last; every stage is an individually-oracled operator, composed
-    lazily — Catalyst fuses all in-row stages into the reassembly output."""
+def _curated_chain(docs: DataFrame) -> DataFrame:
+    """The docs_curated2/3 chain body over a pre-loaded documents frame
+    (see :func:`q_docs_curated2` for the plan narrative)."""
     from intake_esm_spark.operators import contamination, dedup, sampling, structural
     from intake_esm_spark.operators.corpus import _rle_fold
 
-    docs = load_table(spark, sf, "documents")
     b = sampling.hash_bucket(F.col("doc_id"), "bench")
     bench = docs.filter(b < _BENCH_BUCKETS)
     corp = docs.filter(b >= _BENCH_BUCKETS)
@@ -1457,6 +1450,46 @@ def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL RefinedWeb-style curation chain as ONE declarative plan:
+    structural line-dedup (8-word-window lines, drop-all) -> exact-dedup
+    survivors on the CLEANED text -> token-length window -> low-repetition
+    -> decontamination vs the benchmark split -> hashed-BoW quality gate.
+    Extends docs_curated with the structural stage first (boilerplate out
+    before document fingerprints, the CCNet ordering) and the model-based
+    gate last; every stage is an individually-oracled operator, composed
+    lazily — Catalyst fuses all in-row stages into the reassembly output.
+
+    Single-pass shape notes (see _curated_chain): the repetition
+    fraction, token count and quality logit are IN-ROW columns attached
+    before the dedup exchange, so the expensive line-dedup subplan is
+    consumed exactly once — the naive "join rep / join quality"
+    formulation re-evaluated the whole 3-exchange structural pipeline
+    per branch (column pruning makes the branches non-identical, so
+    Spark's exchange reuse cannot merge them; measured 10 parquet scans
+    at sf0.01)."""
+    return _curated_chain(load_table(spark, sf, "documents"))
+
+
+def q_docs_curated3(spark: SparkSession, sf: str) -> DataFrame:
+    """docs_curated2 with the ENCODING-REPAIR stage prepended — the full
+    production ordering: NFC normalization FIRST (dirty encodings corrupt
+    line fingerprints, shingle hashes and exact-dedup fingerprints — a
+    composed/decomposed variant pair would sail through every later
+    stage as two 'distinct' documents), then the structural -> dedup ->
+    gates -> decontamination -> quality chain unchanged. The NFC pass is
+    the one pandas-UDF stage in the chain (no JVM expression exists);
+    everything downstream still fuses into the same single-corpus-scan
+    plan, and the oracle replays the whole chain with DuckDB's
+    nfc_normalize wrapped at the source."""
+    from intake_esm_spark.functions import encoding as _e
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "text", _e.nfc_text(F.col("text"))
+    )
+    return _curated_chain(docs)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1468,28 +1501,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is load-bearing: the correctness driver records at most
-    # 50 entries, so the queries whose oracles are newest / least
-    # driver-confirmed go FIRST (r4 recorded exactly the first 50 and the
-    # tail-positioned simsearch_* rows silently fell off). The tail is
-    # reserved for entries that were driver-green in every round r1-r4
-    # (rotate them back in once the head stabilizes).
+    # 50 entries, so (standing rule) any entry whose code or oracle
+    # changed this round is in the first 50, followed by the entries
+    # longest without a driver-green row. Round-7 head: the 6 new r7
+    # entries + 9 whose code changed this round (retrieval null-filter,
+    # ivf probe rounding, kmeans empty-cluster round, dedup_components
+    # survivor_by, structural file), then the 14 entries last
+    # driver-confirmed in ROUND 4 (the rotation the r6 verdict asked
+    # for), the 12 last confirmed in round 5, and 9 reference-parity
+    # core entries. The tail is exclusively entries driver-green in
+    # ROUND 6 (CORRECTNESS_r06) — they rotate back in round 8; no entry
+    # goes more than ~2 rounds without a driver row.
     return {
+        # -- new in round 7 --------------------------------------------
         "dedup_spans": q_dedup_spans,
         "dedup_spans_report": q_dedup_spans_report,
         "docs_encoding": q_docs_encoding,
         "text_fingerprint_nfc": q_text_fingerprint_nfc,
         "dedup_cluster_best": q_dedup_cluster_best,
+        "docs_curated3": q_docs_curated3,
+        # -- code or oracle changed in round 7 -------------------------
+        "docs_bm25": q_docs_bm25,
+        "docs_tfidf": q_docs_tfidf,
+        "simsearch_ivf_int8": q_simsearch_ivf_int8,
+        "simsearch_ivf": q_simsearch_ivf,
+        "embed_kmeans": q_embed_kmeans,
+        "dedup_cluster_survivors": q_dedup_cluster_survivors,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
-        "simsearch_ivf_int8": q_simsearch_ivf_int8,
+        "dedup_lines_report": q_dedup_lines_report,
+        # -- last driver-green in round 4 (r6 verdict #1) --------------
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_redact": q_text_redact,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_sample_per_source": q_docs_sample_per_source,
+        "docs_length_hist": q_docs_length_hist,
+        "search_isin": q_search_isin,
+        "groupby_keys": q_groupby_keys,
+        "nunique": q_nunique,
+        "unique_flat": q_unique_flat,
+        "union_dedup": q_union_dedup,
+        "events_json": q_events_json,
+        # -- last driver-green in round 5 ------------------------------
+        "docs_hash_sample": q_docs_hash_sample,
+        "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
+        "dedup_prefix_groups": q_dedup_prefix_groups,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_near": q_dedup_near,
+        "dedup_components": q_dedup_components,
+        "dedup_exact_incr": q_dedup_exact_incr,
+        "dedup_near_incr": q_dedup_near_incr,
+        "dedup_embedding": q_dedup_embedding,
+        "multimodal_stats": q_multimodal_stats,
+        "multimodal_frames": q_multimodal_frames,
+        # -- reference-parity core (keep freshly verified) -------------
+        "search_eq": q_search_eq,
+        "search_regex": q_search_regex,
+        "search_null": q_search_null,
+        "search_membership": q_search_membership,
+        "require_all_on": q_require_all_on,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "top_suppliers": q_top_suppliers,
+        # ---- rotation tail: every entry below was driver-green in
+        # ROUND 6 (CORRECTNESS_r06, all three checks) and is UNCHANGED
+        # this round; re-verified locally in ORACLE_LOCAL_r7.txt.
+        # They rotate back into the head in round 8.
+        "cube_rollup": q_cube_rollup,
         "docs_mixture": q_docs_mixture,
         "docs_quality_logit": q_docs_quality_logit,
         "docs_curated2": q_docs_curated2,
-        "dedup_lines_report": q_dedup_lines_report,
-        "embed_kmeans": q_embed_kmeans,
         "docs_source_overlap": q_docs_source_overlap,
-        "docs_bm25": q_docs_bm25,
-        "docs_tfidf": q_docs_tfidf,
         "docs_gram_dup": q_docs_gram_dup,
         "docs_select_best": q_docs_select_best,
         "docs_shuffle": q_docs_shuffle,
@@ -1504,20 +1591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
         "simsearch_pairs_blocked": q_simsearch_pairs_blocked,
-        "simsearch_ivf": q_simsearch_ivf,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "multimodal_features": q_multimodal_features,
-        "search_eq": q_search_eq,
-        "search_regex": q_search_regex,
-        "search_null": q_search_null,
-        "search_membership": q_search_membership,
-        "require_all_on": q_require_all_on,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier": q5_local_supplier,
-        "top_suppliers": q_top_suppliers,
-        "cube_rollup": q_cube_rollup,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
@@ -1529,38 +1605,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_topk_user": q_events_topk_user,
         "text_vocab": q_text_vocab,
-        # ---- rotation tail: every entry below was driver-green in a
-        # prior round (r1-r5) and is UNCHANGED this round; the 13
-        # round-6 additions at the head push these past the driver's
-        # 50-entry cap. All re-verified locally each round — see
-        # ORACLE_LOCAL_r6.txt (full 77-entry sweep, 0 failures)
-        "docs_hash_sample": q_docs_hash_sample,
-        "dedup_exact": q_dedup_exact,
-        "dedup_groups": q_dedup_groups,
-        "dedup_prefix_groups": q_dedup_prefix_groups,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_near": q_dedup_near,
-        "dedup_components": q_dedup_components,
-        "dedup_cluster_survivors": q_dedup_cluster_survivors,
-        "dedup_exact_incr": q_dedup_exact_incr,
-        "dedup_near_incr": q_dedup_near_incr,
-        "dedup_embedding": q_dedup_embedding,
-        "multimodal_stats": q_multimodal_stats,
-        "multimodal_frames": q_multimodal_frames,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_redact": q_text_redact,
-        "docs_sample_stratified": q_docs_sample_stratified,
-        "docs_sample_per_source": q_docs_sample_per_source,
-        "docs_length_hist": q_docs_length_hist,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "search_isin": q_search_isin,
-        "groupby_keys": q_groupby_keys,
-        "nunique": q_nunique,
-        "unique_flat": q_unique_flat,
-        "union_dedup": q_union_dedup,
-        "events_json": q_events_json,
     }
 
 
@@ -1993,7 +2037,7 @@ def oracle_sql() -> dict[str, str]:
     _qwts_sql = "[" + ", ".join(
         repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
     ) + "]"
-    return {
+    d = {
         "dedup_spans": _SPANS_DEDUP_SQL,
         "dedup_spans_report": _SPANS_REPORT_SQL,
         "dedup_cluster_best": f"""
@@ -2972,3 +3016,12 @@ def oracle_sql() -> dict[str, str]:
         # rows-only checks (hash-function-specific):
         #   dedup_minhash, dedup_simhash
     }
+    # docs_curated3 = docs_curated2 with the encoding-repair stage
+    # prepended: the identical chain replay over nfc_normalize(text) —
+    # derived from the curated2 SQL so the two oracles can never drift
+    d["docs_curated3"] = d["docs_curated2"].replace(
+        "SELECT doc_id, text, source,",
+        "SELECT doc_id, nfc_normalize(text) AS text, source,",
+        1,
+    )
+    return d

@@ -55,8 +55,10 @@ BENCH_QUERIES = [
     "text_quality",
     "text_vocab",
     "text_redact",
+    "docs_encoding",
     "docs_hash_sample",
     "dedup_lines",
+    "dedup_spans",
     "docs_source_overlap",
     "docs_bm25",
     "docs_tfidf",

@@ -77,11 +77,14 @@ def _window_runs(
     n: int,
     min_doc_freq: int,
     min_run: int,
+    dup_vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal runs of consecutive duplicated windows per document:
     ``(id_col, __s, __e_tok, n_windows)`` with ``__s`` the run's first
     token index and ``__e_tok`` its last covered token index (both
-    0-based, in the normalized word array)."""
+    0-based, in the normalized word array). ``dup_vocab`` (single-column
+    frame of duplicated window hashes) skips the corpus frequency pass —
+    the precomputed-report path."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_doc_freq < 2:
@@ -95,12 +98,13 @@ def _window_runs(
         F.col(id_col),
         F.posexplode(rolling_hashes(F.col(text_col), n)).alias("__wpos", "__h"),
     )
-    dup_vocab = (
-        wins.groupBy("__h")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .filter(F.col("__df") >= min_doc_freq)
-        .select("__h")
-    )
+    if dup_vocab is None:
+        dup_vocab = (
+            wins.groupBy("__h")
+            .agg(F.countDistinct(id_col).alias("__df"))
+            .filter(F.col("__df") >= min_doc_freq)
+            .select("__h")
+        )
     dup = wins.join(dup_vocab, "__h", "left_semi")
 
     # gaps-and-islands: consecutive window positions share (wpos - rank)
@@ -203,4 +207,115 @@ def duplicated_spans(
             ),
             " ",
         ).alias("span"),
+    )
+
+
+def duplicated_window_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """The window-frequency SNAPSHOT behind span dedup: one row per
+    distinct window hash with its distinct-document frequency and total
+    occurrence count — ``(window_hash, doc_freq, n_occurrences)``. The
+    line-report pattern (``structural.duplicated_lines``) at window
+    grain: production materializes this per ingest batch at
+    ``min_doc_freq=1``, tree-merges snapshots with
+    :func:`merge_window_reports`, and feeds the thresholded result to
+    :func:`span_dedup_against` — the corpus is window-hashed once per
+    batch, history never rescanned. Single exchange keyed by the 8-byte
+    hash."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    wins = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(rolling_hashes(F.col(text_col), n)).alias("window_hash"),
+    )
+    return (
+        wins.groupBy("window_hash")
+        .agg(
+            F.countDistinct(id_col).alias("doc_freq"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def merge_window_reports(*reports: DataFrame) -> DataFrame:
+    """Merge :func:`duplicated_window_hashes` snapshots from DISJOINT
+    document batches into the union snapshot — same contracts as
+    ``structural.merge_line_reports``: inputs must be UNFILTERED
+    (``min_doc_freq=1``) over disjoint doc sets; threshold the MERGED
+    output. Associative and commutative; one hash-keyed exchange over
+    vocabulary-sized inputs."""
+    if len(reports) < 2:
+        raise ValueError(f"need at least 2 reports to merge, got {len(reports)}")
+    merged = reports[0]
+    for r in reports[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy("window_hash").agg(
+        F.sum("doc_freq").alias("doc_freq"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+    )
+
+
+def span_dedup_against(
+    df: DataFrame,
+    report: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_run: int = 2,
+) -> DataFrame:
+    """:func:`span_dedup` against a PRECOMPUTED window snapshot (the
+    thresholded output of :func:`duplicated_window_hashes` /
+    :func:`merge_window_reports`, or any frame whose first column is the
+    duplicated window hashes): every window whose hash appears in the
+    report counts as duplicated; runs and token cutting as in
+    :func:`span_dedup`.
+
+    The scan-count lever, exactly as ``structural.line_dedup_against``:
+    :func:`span_dedup` window-hashes the corpus TWICE (frequency branch
+    + join branch — column pruning makes the branches non-identical, so
+    exchange reuse cannot merge them); with the snapshot materialized
+    this is ONE corpus window pass + the token pass. ``n`` must match
+    the snapshot's window size (hashes of different n never collide
+    into false runs — they simply miss — but the semantics the caller
+    gets would be silently empty; there is no sidecar to check against,
+    so the contract is documented, not enforced).
+
+    ``span_dedup(df, n, mdf, mr)`` ≡ ``span_dedup_against(df,
+    duplicated_window_hashes(df, n=n, min_doc_freq=mdf), n=n,
+    min_run=mr)`` — asserted in tests."""
+    vocab = report.select(F.col(report.columns[0]).alias("__h")).dropDuplicates(
+        ["__h"]
+    )
+    runs = _window_runs(
+        df, id_col, text_col, n, min_doc_freq=2, min_run=min_run, dup_vocab=vocab
+    )
+    spans_per_doc = runs.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("__s").alias("s"), F.col("__e_tok").alias("e"))
+        ).alias("__spans")
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words_array(F.col(text_col)).alias("__toks")
+    )
+    joined = toks.join(spans_per_doc, id_col, "left")
+    idx = F.transform(
+        F.col("__toks"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))
+    )
+    covered = lambda st: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (sp["s"] <= st["i"]) & (st["i"] <= sp["e"])
+    )
+    kept = F.when(F.col("__spans").isNull(), F.col("__toks")).otherwise(
+        F.transform(F.filter(idx, lambda st: ~covered(st)), lambda st: st["t"])
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
     )

@@ -263,11 +263,11 @@ def stream_line_filter(
 
     Caveats mirroring the batch operator: ``sep`` here is a LITERAL
     separator (``str.split``), matching ``line_dedup``'s default but not
-    its regex option; the md5-of-normalized-line replays
-    ``functions.text.normalized_text`` exactly for ASCII whitespace
-    (Python and Java ``\\s`` agree on ASCII; exotic unicode whitespace
-    classes may differ — normalize upstream if that matters). Null text
-    passes through as null.
+    its regex option; the md5-of-normalized-line BYTE-replays
+    ``functions.text.normalized_text`` (ASCII-explicit whitespace class
+    + space-only strip — python's unicode-aware ``\\s``/``strip()``
+    defaults would fingerprint NBSP-bearing lines differently than the
+    JVM report). Null text passes through as null.
     """
     import hashlib
     import re
@@ -316,3 +316,88 @@ def stream_line_filter(
         return texts.map(one)
 
     return stream_df.withColumn(text_col, _scrub(F.col(text_col)))
+
+
+def stream_span_filter(
+    stream_df: DataFrame,
+    window_hashes_df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_run: int = 2,
+    hash_col: str = "window_hash",
+    max_windows: int = 5_000_000,
+) -> DataFrame:
+    """Ingest-time substring-run dedup — the streaming twin of
+    ``operators.spans.span_dedup_against``: every arriving document is
+    rewritten with the token spans covered by >= ``min_run`` consecutive
+    KNOWN-duplicated windows cut out. The duplicated-window snapshot is
+    built offline by ``operators.spans.duplicated_window_hashes`` (+
+    ``merge_window_reports`` across batches) and thresholded by the
+    caller — corpus-global window frequency is exactly the state a
+    stream cannot compute row-by-row (the ``stream_line_filter`` /
+    LSH-index shape: snapshot, refresh as the corpus grows).
+
+    Stateless per-row projection (any output mode, no watermark);
+    composes with :func:`stream_line_filter` BEFORE
+    :func:`stream_dedup_exact` — boilerplate and verbatim spans out
+    before document fingerprints. The hash set is collected once
+    (``max_windows``-guarded: beyond that a broadcast set is the wrong
+    shape — run the batch pass), broadcast, and probed inside one
+    Arrow-batched pandas UDF that BYTE-replays the engine pipeline:
+    ASCII-whitespace normalization, the <=n-words whole-text window
+    rule, md5-based 60-bit window hashes, gaps-and-islands runs, token
+    cut. Parity with the batch operator is asserted in tests. Output
+    text is normalized text (the batch operator's convention). Null
+    passes through as null."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        window_hashes_df.select(hash_col).limit(max_windows + 1).collect()
+    )
+    if len(rows) > max_windows:
+        raise ValueError(
+            f"window-hash set exceeds max_windows={max_windows}; a set "
+            "this large cannot broadcast — run the batch "
+            "operators.spans.span_dedup_against pass instead"
+        )
+    hset = frozenset(r[0] for r in rows)
+    bc = stream_df.sparkSession.sparkContext.broadcast(hset)
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("string")
+    def _cut(texts: pd.Series) -> pd.Series:
+        s = bc.value
+
+        def h60(x: str) -> int:
+            return int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16)
+
+        def one(t):
+            if t is None:
+                return None
+            w = ws_re.sub(" ", t.lower()).strip(" ").split(" ")
+            if len(w) <= n:
+                wins = [" ".join(w)]
+            else:
+                wins = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+            covered = set()
+            i = 0
+            while i < len(wins):
+                if h60(wins[i]) in s:
+                    j = i
+                    while j < len(wins) and h60(wins[j]) in s:
+                        j += 1
+                    if j - i >= min_run:
+                        covered.update(range(i, j - 1 + n))
+                    i = j
+                else:
+                    i += 1
+            return " ".join(
+                tok for k, tok in enumerate(w) if k not in covered
+            )
+
+        return texts.map(one)
+
+    return stream_df.withColumn(text_col, _cut(F.col(text_col)))

@@ -6,6 +6,8 @@ driven through the public operator surface on real testdata.
 Stages (each an operator this engine ships, all lazily composed except
 the two materializations a real run would also pay):
 
+  0. encoding repair        (NFC normalization — FIRST, before any
+                             fingerprint-based stage)
   1. structural line-dedup  (boilerplate report -> one-scan removal)
   2. exact document dedup   (min-id survivor inside one exchange)
   3. quality gates          (token window, repetition, hashed-BoW logit)
@@ -47,6 +49,16 @@ def main() -> None:
     spark = get_spark(app_name="pipeline_demo")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counts = {"input": docs.count()}
+
+    # 0. encoding repair: NFC-normalize before anything fingerprints —
+    # dirty encodings corrupt line fingerprints, shingles and exact-dedup
+    # md5s (pinned by test_nfc_stage_changes_structural_dedup_outcome).
+    # The synthetic corpus is ASCII so this is a byte-identical pass-
+    # through here; the stage is in the chain because production crawls
+    # are not ASCII.
+    from intake_esm_spark.functions import encoding as enc
+
+    docs = docs.withColumn("text", enc.nfc_text(F.col("text")))
 
     # 1. structural dedup: the synthetic corpus has no newlines, so
     # "lines" are fixed 8-word windows (aligned windows of near-dup docs

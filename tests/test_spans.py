@@ -179,3 +179,63 @@ def test_parameter_validation(spark):
         spans.span_dedup(df, min_run=0)
     with pytest.raises(ValueError, match="n must be"):
         spans.duplicated_spans(df, n=0)
+
+
+# -- snapshot / merge / against-variant --------------------------------------
+
+
+def test_span_dedup_against_equals_inline(spark):
+    rows = [
+        (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+        (2, "the quick brown fox jumps over the lazy dog and more here"),
+        (3, "totally unrelated content in this third document"),
+    ]
+    df = _df(spark, rows)
+    inline = {r["doc_id"]: r for r in spans.span_dedup(df, n=3, min_run=3).collect()}
+    snap = spans.duplicated_window_hashes(df, n=3, min_doc_freq=2)
+    against = {
+        r["doc_id"]: r
+        for r in spans.span_dedup_against(df, snap, n=3, min_run=3).collect()
+    }
+    assert set(inline) == set(against)
+    for d in inline:
+        assert inline[d]["text"] == against[d]["text"]
+        assert inline[d]["n_removed"] == against[d]["n_removed"]
+
+
+def test_merge_window_reports_equals_full_snapshot(spark):
+    a_rows = [(1, "the common span text here alpha"), (2, "solo words one")]
+    b_rows = [(3, "the common span text here beta"), (4, "solo words two")]
+    a, b = _df(spark, a_rows), _df(spark, b_rows)
+    full = _df(spark, a_rows + b_rows)
+
+    merged = spans.merge_window_reports(
+        spans.duplicated_window_hashes(a, n=3, min_doc_freq=1),
+        spans.duplicated_window_hashes(b, n=3, min_doc_freq=1),
+    )
+    want = spans.duplicated_window_hashes(full, n=3, min_doc_freq=1)
+    to_map = lambda df_: {  # noqa: E731
+        r["window_hash"]: (r["doc_freq"], r["n_occurrences"]) for r in df_.collect()
+    }
+    assert to_map(merged) == to_map(want)
+
+    # the production loop end-to-end: merge -> threshold -> against ==
+    # from-scratch span_dedup over the union ("the common span text
+    # here" only crosses min_doc_freq=2 across batches)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spans.span_dedup_against(
+            full, merged.filter("doc_freq >= 2"), n=3, min_run=2
+        ).collect()
+    }
+    want_full = {
+        r["doc_id"]: r["text"]
+        for r in spans.span_dedup(full, n=3, min_doc_freq=2, min_run=2).collect()
+    }
+    assert got == want_full
+    assert got[1] == "alpha"  # the shared span was cut
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        spans.merge_window_reports(want)

@@ -274,3 +274,69 @@ def test_stream_line_filter_guard_and_nulls(spark):
         stream_line_filter(docs, boiler, max_boilerplate=0)
     out = {r["doc_id"]: r["text"] for r in stream_line_filter(docs, boiler).collect()}
     assert out[1] == "b" and out[2] == "c" and out[3] is None
+
+
+def test_stream_span_filter_matches_batch_span_dedup(spark, tmp_path):
+    """Ingest-time substring-run dedup: a real streaming run through
+    stream_span_filter (static window-hash snapshot over the same
+    corpus) rewrites documents EXACTLY like the batch
+    span_dedup_against pass — and both equal the from-scratch
+    span_dedup."""
+    from intake_esm_spark.operators import spans
+    from intake_esm_spark.streaming.stateful import stream_span_filter
+
+    rows = [
+        (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+        (2, "the quick brown fox jumps over the lazy dog and more here"),
+        (3, "totally unrelated content in this third document"),
+        (4, "MIXED Case  the QUICK brown fox jumps over the lazy dog tail"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src_dir = tmp_path / "span_src"
+    docs.write.parquet(str(src_dir))
+
+    snap = spans.duplicated_window_hashes(docs, n=3, min_doc_freq=2)
+    expected = {
+        r["doc_id"]: r["text"]
+        for r in spans.span_dedup_against(docs, snap, n=3, min_run=3).collect()
+    }
+    expected[5] = None  # span_dedup drops null-text rows; the stream keeps them
+
+    stream = (
+        spark.readStream.schema(docs.schema).format("parquet").load(str(src_dir))
+    )
+    out = stream_span_filter(stream, snap, n=3, min_run=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("span_filter_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["text"]
+            for r in spark.sql("SELECT * FROM span_filter_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+    batch_got = {
+        r["doc_id"]: r["text"]
+        for r in stream_span_filter(docs, snap, n=3, min_run=3).collect()
+    }
+    assert batch_got == expected
+
+
+def test_stream_span_filter_guard(spark):
+    from intake_esm_spark.operators import spans
+    from intake_esm_spark.streaming.stateful import stream_span_filter
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id bigint, text string"
+    )
+    snap = spans.duplicated_window_hashes(docs, n=3, min_doc_freq=2)
+    with pytest.raises(ValueError, match="max_windows"):
+        stream_span_filter(docs, snap, max_windows=0)
