@@ -244,3 +244,35 @@ def test_docs_quality_logit_zero_shuffle(spark, queries):
     plan = plan_of(queries["docs_quality_logit"](spark, SF), "simple")
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_span_dedup_plan_shape(spark, queries):
+    """Substring-run dedup at 100 TB: the islands window must be
+    PARTITIONED (per-document — a global window would collapse the
+    corpus into one task), no cartesian product anywhere, and the runs
+    aggregation must reuse the window's doc partitioning instead of
+    adding its own exchange."""
+    plan = plan_of(queries["dedup_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    # the Window operator's partition spec names the doc id — an empty
+    # spec is the single-task global window this plan must never have
+    spec = plan.lower().replace(" ", "")
+    assert "windowspecdefinition(doc_id" in spec
+    assert "windowspecdefinition()" not in spec
+
+
+def test_span_dedup_exchange_budget(spark, queries):
+    """The operator's exchange count is part of its contract (freq agg,
+    semi-join, doc window, final join +/- AQE broadcast conversions) —
+    a regression that doubles scans/shuffles shows up here. Formatted
+    mode lists each operator in the tree AND the detail section, so
+    count the numbered operator headers, not the substring."""
+    import re
+
+    plan = plan_of(queries["dedup_spans"](spark, SF))
+    n_exchanges = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
+    assert n_exchanges <= 6, f"span plan grew to {n_exchanges} exchanges"
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 3, f"span plan grew to {n_scans} corpus scans"
