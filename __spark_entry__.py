@@ -1162,6 +1162,24 @@ def q_docs_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_docs_mixture_temp(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixture (the multilingual mass^alpha rule,
+    alpha=0.5): target shares derive from the masses themselves instead
+    of a hand-tuned weight map — low-resource sources upweighted, head
+    not flattened. Rates computed in-plan over the sources-count frame
+    (12dp-rounded shares pin the pow() ulp cross-engine), applied with
+    the same salted-hash keep filter; corpus never shuffles."""
+    from intake_esm_spark.operators import mixing
+
+    docs = load_table(spark, sf, "documents")
+    toks = tx.ws_token_count(F.col("text"))
+    rates = mixing.temperature_mixture_rates(docs, alpha=0.5, size_col=toks)
+    out = mixing.apply_mixture(
+        docs, {}, salt="mixt", precomputed_rates=rates
+    )
+    return out.select("doc_id", "source")
+
+
 _QUALITY_BUCKETS = 64
 _QUALITY_WSALT = "qw6"
 _QUALITY_HSALT = "qf"
@@ -1503,12 +1521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is load-bearing: the correctness driver records at most
     # 50 entries, so (standing rule) any entry whose code or oracle
     # changed this round is in the first 50, followed by the entries
-    # longest without a driver-green row. Round-7 head: the 6 new r7
+    # longest without a driver-green row. Round-7 head: the 7 new r7
     # entries + 9 whose code changed this round (retrieval null-filter,
     # ivf probe rounding, kmeans empty-cluster round, dedup_components
     # survivor_by, structural file), then the 14 entries last
     # driver-confirmed in ROUND 4 (the rotation the r6 verdict asked
-    # for), the 12 last confirmed in round 5, and 9 reference-parity
+    # for), the 12 last confirmed in round 5, and 8 reference-parity
     # core entries. The tail is exclusively entries driver-green in
     # ROUND 6 (CORRECTNESS_r06) — they rotate back in round 8; no entry
     # goes more than ~2 rounds without a driver row.
@@ -1520,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_nfc": q_text_fingerprint_nfc,
         "dedup_cluster_best": q_dedup_cluster_best,
         "docs_curated3": q_docs_curated3,
+        "docs_mixture_temp": q_docs_mixture_temp,
         # -- code or oracle changed in round 7 -------------------------
         "docs_bm25": q_docs_bm25,
         "docs_tfidf": q_docs_tfidf,
@@ -1567,11 +1586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
-        "top_suppliers": q_top_suppliers,
         # ---- rotation tail: every entry below was driver-green in
         # ROUND 6 (CORRECTNESS_r06, all three checks) and is UNCHANGED
         # this round; re-verified locally in ORACLE_LOCAL_r7.txt.
         # They rotate back into the head in round 8.
+        "top_suppliers": q_top_suppliers,
         "cube_rollup": q_cube_rollup,
         "docs_mixture": q_docs_mixture,
         "docs_quality_logit": q_docs_quality_logit,
@@ -2068,6 +2087,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (
               SELECT id FROM comp WHERE id NOT IN (SELECT id FROM surv)
             )
+        """,
+        "docs_mixture_temp": f"""
+            WITH masses AS (
+              SELECT source, CAST(sum({_ws_tok}) AS DOUBLE) AS mass
+              FROM documents GROUP BY source
+            ), shared AS (
+              SELECT source, mass,
+                     round(pow(mass, 0.5) / sum(pow(mass, 0.5)) OVER (), 12)
+                       AS target_w
+              FROM masses
+            ), t AS (
+              SELECT min(mass / target_w) AS bigt FROM shared
+            ), th AS (
+              SELECT source,
+                     CAST(floor(least(1.0, target_w * bigt / mass) * 1000000)
+                          AS BIGINT) AS keep_below
+              FROM shared, t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN th USING (source)
+            WHERE {_h60_sql("'mixt|' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  < keep_below
         """,
         "docs_encoding": f"""
             SELECT doc_id,

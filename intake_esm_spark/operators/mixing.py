@@ -120,3 +120,56 @@ def apply_mixture(
         .filter(b < F.col("__keep_below"))
         .drop("__keep_below")
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+    size_col: str | Column | None = None,
+) -> DataFrame:
+    """Per-source keep-rates for TEMPERATURE-scaled sampling — the
+    multilingual-training rule (mBERT / XLM-R style): target share
+    ``w_s ∝ mass_s^alpha`` with ``alpha ∈ (0, 1]``. ``alpha = 1``
+    reproduces natural proportions (every rate 1.0); ``alpha → 0``
+    approaches a uniform mix; intermediate values upweight the tail
+    without flattening the head — the standard fix for low-resource
+    sources that static weight maps (:func:`source_mixture_rates`)
+    handle only with hand-tuning.
+
+    Returns ``(source, mass, target_w, rate)`` exactly like
+    :func:`source_mixture_rates` — same largest-achievable-total rule
+    (``T = min_s(mass_s / w_s)``, binding source keeps everything) and
+    the output feeds ``apply_mixture(precomputed_rates=...)``
+    unchanged. ``target_w`` is 12dp-rounded in-plan: the share involves
+    ``pow``, whose last-ulp can differ across engines, and the rounding
+    pins the downstream bucket thresholds to the same values everywhere
+    (the agree-to-rounding contract every scored operator uses).
+
+    Same 100 TB shape as the static variant: one map-side-partial mass
+    aggregation to a sources-count frame; the share normalization and
+    the global min run as windows over THAT tiny frame (each references
+    the masses subplan once — an agg + join-back would re-run the
+    corpus scan per branch); no corpus shuffle, no driver collect."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql.window import Window
+
+    if size_col is None:
+        mass = F.count(F.lit(1)).cast("double")
+    else:
+        sc = F.col(size_col) if isinstance(size_col, str) else size_col
+        mass = F.sum(sc.cast("double"))
+    masses = df.groupBy(source_col).agg(mass.alias("mass"))
+
+    allw = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scaled = masses.withColumn("__p", F.pow(F.col("mass"), F.lit(float(alpha))))
+    shared = scaled.withColumn(
+        "target_w", F.round(F.col("__p") / F.sum("__p").over(allw), 12)
+    ).drop("__p")
+    t = F.min(F.col("mass") / F.col("target_w")).over(allw)
+    return shared.withColumn(
+        "rate", F.least(F.lit(1.0), F.col("target_w") * t / F.col("mass"))
+    )

@@ -147,3 +147,56 @@ def test_apply_mixture_streaming_with_precomputed_rates(spark, corpus, tmp_path)
     finally:
         q.stop()
     assert got == expected
+
+
+# -- temperature-scaled mixture ----------------------------------------------
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    from intake_esm_spark.operators import mixing
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(40)],
+        "doc_id bigint, source string",
+    )
+    rates = {
+        r["source"]: r["rate"]
+        for r in mixing.temperature_mixture_rates(df, alpha=1.0).collect()
+    }
+    # alpha=1: target shares == natural proportions, every source binds
+    assert rates == {"a": 1.0, "b": 1.0}
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    from intake_esm_spark.operators import mixing
+
+    # masses 90 / 10: alpha=0.5 targets sqrt(90):sqrt(10) = 3:1, so the
+    # majority source is downsampled while the minority keeps everything
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id bigint, source string",
+    )
+    got = {
+        r["source"]: r
+        for r in mixing.temperature_mixture_rates(df, alpha=0.5).collect()
+    }
+    assert got["small"]["rate"] == 1.0  # binding source
+    # T = min(mass/w) = 10 / 0.25 = 40; big keeps 0.75*40/90 = 1/3
+    assert abs(got["big"]["rate"] - (1.0 / 3.0)) < 1e-9
+    # and the rates frame feeds apply_mixture unchanged
+    out = mixing.apply_mixture(
+        df, {}, salt="t", precomputed_rates=mixing.temperature_mixture_rates(df, alpha=0.5)
+    )
+    kept = out.groupBy("source").count().collect()
+    kept = {r["source"]: r["count"] for r in kept}
+    assert kept["small"] == 10
+    assert kept["big"] < 90  # majority actually downsampled
+
+
+def test_temperature_alpha_validation(spark):
+    from intake_esm_spark.operators import mixing
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            mixing.temperature_mixture_rates(df, alpha=bad)
