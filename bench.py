@@ -90,8 +90,10 @@ BENCH_QUERIES = [
     "docs_curated",
     "docs_curated2",
     "docs_mixture",
+    "docs_mixture_temp",
     "docs_quality_logit",
     "embed_quantize",
+    "simsearch_pq_topk",
     "embed_kmeans",
     "simsearch_pairs_lsh",
     "multimodal_resize",

@@ -16,10 +16,10 @@ Spark-first shape
   python ``m × k × d/m`` lists, so encode/decode/score are pure IN-ROW
   codegen'd expressions: zero shuffle, zero Python, and a SQL oracle
   can replay them from the same constants (the hyperplane-LSH /
-  IVF-pinned-centroid pattern). Real deployments train them per
-  subspace (``clustering.kmeans_refine`` over sliced vectors is the
-  hook); the driver entries derive them from the first ``k``
-  corpus vectors — deterministic AND data-shaped.
+  IVF-pinned-centroid pattern). :func:`train_codebooks` refines seeds
+  with distributed per-subspace Lloyd iterations (all m subspaces in
+  one corpus pass); the driver entries derive seeds from the first
+  ``k`` corpus vectors — deterministic AND data-shaped.
 * **Encode** (:func:`pq_encode`): per subspace, squared-L2 distance to
   each centroid as one fixed-order fold (6dp-rounded — the cosine6
   convention absorbing nothing here since the order is pinned, but
@@ -186,3 +186,104 @@ def codebooks_from_rows(
         [[float(v) for v in vec[j * dsub : (j + 1) * dsub]] for vec in vectors]
         for j in range(m)
     ]
+
+
+def train_codebooks(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """Refine PQ ``codebooks`` with ``iters`` Lloyd iterations over the
+    full corpus — the training step that turns the data-sampled seeds
+    (:func:`codebooks_from_rows`) into proper per-subspace quantizers.
+    All ``m`` subspaces train in ONE pass per iteration: the corpus
+    explodes to (subspace, subvector) rows, assignment is an in-row
+    argmin against the literal 3-D codebook array (indexed by the row's
+    subspace — no per-subspace plan branches), and the update is a
+    map-side-partial mean keyed by (subspace, code, position) — the
+    shuffle carries ``partitions x m x k x dsub`` partial sums and only
+    ``m x k x dsub`` rows reach the driver (1024 here). Empty codes keep
+    their previous centroid (the ``kmeans_refine`` rule). Deterministic:
+    assignment uses the same 6dp-rounded fixed-order distances as
+    :func:`pq_encode`, means are rounded with the engine's HALF_UP rule,
+    so the result is a pure function of (corpus multiset, seeds, iters).
+
+    Same caller contract as ``clustering.kmeans_refine``: ``persist()``
+    the input for ``iters > 1`` — each iteration is one action over
+    ``df``."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from intake_esm_spark.operators.clustering import _round6_half_up
+
+    m, k, dsub = validate_codebooks(codebooks)
+    current = [[[float(v) for v in c] for c in book] for book in codebooks]
+    for _ in range(iters):
+        books_lit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(v)) for v in current[j][i]])
+                        for i in range(k)
+                    ]
+                )
+                for j in range(m)
+            ]
+        )
+        vec = F.col(vec_col).cast("array<double>")
+        subs = df.select(
+            F.posexplode(
+                F.array(*[F.slice(vec, j * dsub + 1, dsub) for j in range(m)])
+            ).alias("__j", "__sub")
+        )
+        # assignment: distances against THIS row's subspace book via one
+        # literal-array index — the book element materializes in its own
+        # column first (no CSE inside lambdas)
+        withbook = subs.withColumn("__book", books_lit[F.col("__j")])
+        # named_struct, not struct(...alias...): field aliases are lost
+        # inside a transform() lambda (fields come out col1/x_1)
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.named_struct(
+                F.lit("d"),
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__sub"),
+                            F.col("__book")[i],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ),
+                F.lit("i"),
+                i,
+            ),
+        )
+        assigned = withbook.select(
+            "__j",
+            F.array_sort(pairs)[0]["i"].alias("__code"),
+            F.posexplode(F.col("__sub")).alias("__pos", "__x"),
+        )
+        sums = (
+            assigned.groupBy("__j", "__code", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[float]] = {}
+        for r in sums:
+            key = (r["__j"], r["__code"])
+            acc.setdefault(key, [0.0] * dsub)[r["__pos"]] = r["__s"] / r["__n"]
+        nxt = []
+        for j in range(m):
+            book = []
+            for i in range(k):
+                if (j, i) in acc:
+                    book.append([_round6_half_up(v) for v in acc[(j, i)]])
+                else:
+                    book.append([_round6_half_up(v) for v in current[j][i]])
+            nxt.append(book)
+        current = nxt
+    return current

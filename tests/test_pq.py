@@ -116,3 +116,51 @@ def test_validation(spark):
         pq.codebooks_from_rows([[1.0, 2.0, 3.0]], m=2)
     with pytest.raises(ValueError, match="at least one"):
         pq.codebooks_from_rows([], m=2)
+
+
+def test_train_codebooks_improves_quantizer(spark):
+    """One-pass-per-iteration Lloyd training: the mean reconstruction
+    error must drop vs the untrained seeds, and recall@10 must not get
+    worse. (The training is what production runs; the seeds are just
+    deterministic initialization.)"""
+    books0 = _books(spark)
+    emb = _emb(spark).persist()
+    try:
+        books2 = pq.train_codebooks(emb, books0, iters=2)
+
+        def mse(books):
+            vecs, coded = _coded(spark, books)
+            rec = coded.select(
+                "vec_id", pq.pq_decode(F.col("pq_codes"), books).alias("__r")
+            ).join(vecs, "vec_id")
+            return rec.select(
+                F.aggregate(
+                    F.zip_with("__r", "__v", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("e")
+            ).agg(F.avg("e")).collect()[0][0]
+
+        e0, e2 = mse(books0), mse(books2)
+        assert e2 < e0, f"training did not reduce error: {e0} -> {e2}"
+
+        # determinism: same inputs -> identical codebooks
+        again = pq.train_codebooks(emb, books0, iters=2)
+        assert again == books2
+    finally:
+        emb.unpersist()
+
+
+def test_train_codebooks_keeps_empty_codes(spark):
+    # 2 distinct vectors, 3 codes: one code never wins and must survive
+    # rounded-in-place (the kmeans_refine empty-cluster rule)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    seeds = [[[1.0, 0.0], [0.0, 1.0], [5.0, 5.0]]]
+    got = pq.train_codebooks(df, seeds, iters=1)
+    assert got[0][0] == [1.0, 0.0]
+    assert got[0][1] == [0.0, 1.0]
+    assert got[0][2] == [5.0, 5.0]
+    with pytest.raises(ValueError, match="iters"):
+        pq.train_codebooks(df, seeds, iters=0)
