@@ -603,3 +603,93 @@ def test_ivf_int8_partition_pruning(spark, embeddings, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [bucket" in plan.replace("\n", " ") or "bucket#" in plan
     assert out.count() > 0
+
+
+def test_ivf_pq_index_probe_and_pruning(spark, embeddings, tmp_path):
+    """IVFPQ: the index stores ONLY (vec_id, pq_codes, bucket); the probe
+    must partition-prune on bucket and score the PQ reconstruction —
+    results equal scoring the reconstructions by hand."""
+    from intake_esm_spark.operators import pq
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    books = pq.codebooks_from_rows(cents, m=8)
+    path = str(tmp_path / "ivfpq_index")
+    simsearch.write_ivf_index_pq(embeddings, path, books, centroids=cents)
+
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "pq_codes", "bucket"}
+
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "bucket" in scan and "IN" in scan.upper(), scan
+
+    # hand-score the reconstructions of the probed buckets
+    got = {(r["query_id"], r["vec_id"], round(r["cos_sim"], 6)) for r in out.collect()}
+    assert len(got) == 15  # 3 queries x k=5
+    rec = stored.select(
+        "vec_id", "bucket", pq.pq_decode(F.col("pq_codes"), books).alias("rv")
+    )
+    import numpy as np
+
+    recs = {r["vec_id"]: (r["bucket"], np.array(r["rv"])) for r in rec.collect()}
+    C = np.array(cents)
+    for q in queries.collect():
+        qv = np.array([float(x) for x in q["embedding"]])
+        sims = np.round(C @ qv / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv)), 6)
+        order = np.lexsort((np.arange(len(C)), sims))[::-1][:2]
+        probed = set(int(b) for b in order)
+        cand = [
+            (v, float(rv @ qv / (np.linalg.norm(rv) * np.linalg.norm(qv))))
+            for v, (b, rv) in recs.items()
+            if b in probed
+        ]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        want = {(q["query_id"], v, round(s, 6)) for v, s in cand[:5]}
+        have = {t for t in got if t[0] == q["query_id"]}
+        assert {(a, b) for a, b, _ in want} == {(a, b) for a, b, _ in have}
+
+
+def test_ivf_pq_append_equals_one_shot_build(spark, embeddings, tmp_path):
+    """Half-build + append == one-shot IVFPQ build: identical
+    (id, bucket, codes) rows and identical probe results."""
+    from intake_esm_spark.operators import pq
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    books = pq.codebooks_from_rows(cents, m=8)
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+
+    appended = str(tmp_path / "ivfpq_appended")
+    simsearch.write_ivf_index_pq(half_a, appended, books, centroids=cents)
+    simsearch.ivf_index_append(half_b, appended)
+
+    oneshot = str(tmp_path / "ivfpq_oneshot")
+    simsearch.write_ivf_index_pq(embeddings, oneshot, books, centroids=cents)
+
+    key = lambda r: (r["vec_id"], r["bucket"], tuple(r["pq_codes"]))  # noqa: E731
+    a = {key(r) for r in spark.read.parquet(appended).collect()}
+    b = {key(r) for r in spark.read.parquet(oneshot).collect()}
+    assert a == b
+
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pa = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ivf_topk_indexed(spark, appended, queries, k=5, nprobe=2).collect()
+    }
+    pb = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ivf_topk_indexed(spark, oneshot, queries, k=5, nprobe=2).collect()
+    }
+    assert pa == pb
