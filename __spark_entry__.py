@@ -1258,6 +1258,37 @@ def q_simsearch_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_simsearch_ivf_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """The compressed-index + refine recipe end-to-end: IVFPQ probe for
+    40 approximate candidates per query (4-byte codes, pruned
+    partitions), then exact rescoring of ONLY those candidates against
+    the full float vectors (an id-keyed candidate-set-sized join) and
+    the exact top-10. How a 100 TB deployment gets exact final scores
+    without exact scan costs."""
+    import tempfile
+
+    from intake_esm_spark.operators import pq as _pq
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    books = _pq.codebooks_from_rows(cents, m=_PQ_M)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_oracle_{os.path.basename(sf.rstrip('/'))}",
+    )
+    simsearch.write_ivf_index_pq(emb, path, books, centroids=cents)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.ivf_topk_rerank(
+        spark, path, queries_df, emb, k=10, nprobe=4
+    )
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_docs_mixture_temp(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled mixture (the multilingual mass^alpha rule,
     alpha=0.5): target shares derive from the masses themselves instead
@@ -1617,12 +1648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is load-bearing: the correctness driver records at most
     # 50 entries, so (standing rule) any entry whose code or oracle
     # changed this round is in the first 50, followed by the entries
-    # longest without a driver-green row. Round-7 head: the 10 new r7
+    # longest without a driver-green row. Round-7 head: the 11 new r7
     # entries + 9 whose code changed this round (retrieval null-filter,
     # ivf probe rounding, kmeans empty-cluster round, dedup_components
     # survivor_by, structural file), then the 14 entries last
     # driver-confirmed in ROUND 4 (the rotation the r6 verdict asked
-    # for), the 12 last confirmed in round 5, and 5 reference-parity
+    # for), the 12 last confirmed in round 5, and 4 reference-parity
     # core entries. The tail is exclusively entries driver-green in
     # ROUND 6 (CORRECTNESS_r06) — they rotate back in round 8; no entry
     # goes more than ~2 rounds without a driver row.
@@ -1638,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
         "simsearch_ivf_pq": q_simsearch_ivf_pq,
+        "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
         # -- code or oracle changed in round 7 -------------------------
         "docs_bm25": q_docs_bm25,
         "docs_tfidf": q_docs_tfidf,
@@ -1680,12 +1712,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
-        "search_membership": q_search_membership,
         "require_all_on": q_require_all_on,
         # ---- rotation tail: every entry below was driver-green in
         # ROUND 6 (CORRECTNESS_r06, all three checks) and is UNCHANGED
         # this round; re-verified locally in ORACLE_LOCAL_r7.txt.
         # They rotate back into the head in round 8.
+        "search_membership": q_search_membership,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
@@ -2072,6 +2104,58 @@ _IVFPQ_SQL = f"""
 """
 
 
+_IVFPQ_RERANK_SQL = f"""
+    {_pq_with()}, cent AS (
+      SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16
+    ), recon AS (
+      SELECT vec_id, flatten(list(c ORDER BY j)) AS rv FROM sel GROUP BY vec_id
+    ), assign AS (
+      SELECT vec_id, bucket FROM (
+        SELECT x.vec_id, c.cid AS bucket,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.v, c.cvec), 6) DESC,
+                          c.cid DESC
+               ) AS rn
+        FROM e x, cent c
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT query_id, qvec, cid AS bucket FROM (
+        SELECT q.vec_id AS query_id, q.v AS qvec, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, c.cvec), 6) DESC,
+                          c.cid DESC
+               ) AS rn
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q, cent c
+      ) WHERE rn <= 4
+    ), cand AS (
+      SELECT query_id, vec_id, qvec FROM (
+        SELECT p.query_id, a.vec_id, p.qvec,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(r.rv, p.qvec) DESC,
+                          a.vec_id ASC
+               ) AS rnk
+        FROM probe p
+        JOIN assign a ON a.bucket = p.bucket
+        JOIN recon r ON r.vec_id = a.vec_id
+      ) WHERE rnk <= 40
+    ), rescored AS (
+      SELECT c.query_id, c.vec_id,
+             list_cosine_similarity(f.v, c.qvec) AS cos_sim
+      FROM cand c JOIN e f ON f.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+             ) AS rnk
+      FROM rescored
+    ) WHERE rnk <= 10
+"""
+
+
 _SPANS_REPORT_SQL = f"""
     {_spans_with()}
     SELECT r.doc_id,
@@ -2296,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_pq_codes": _PQ_CODES_SQL,
         "simsearch_pq_topk": _PQ_TOPK_SQL,
         "simsearch_ivf_pq": _IVFPQ_SQL,
+        "simsearch_ivf_pq_rerank": _IVFPQ_RERANK_SQL,
         "docs_mixture_temp": f"""
             WITH masses AS (
               SELECT source, CAST(sum({_ws_tok}) AS DOUBLE) AS mass

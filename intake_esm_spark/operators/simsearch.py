@@ -1080,3 +1080,78 @@ def cosine_pairs_lsh(
     # (same normed vectors through the same kernel); min() collapses the
     # duplicates deterministically in one exchange keyed by the pair id
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos_sim").alias("cos_sim"))
+
+
+def ivf_topk_rerank(
+    spark,
+    path: str,
+    queries: DataFrame,
+    full_vectors: DataFrame,
+    k: int = 10,
+    k_candidates: int | None = None,
+    nprobe: int = 4,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """The standard compressed-index + refine recipe: probe a
+    :func:`write_ivf_index_pq` / :func:`write_ivf_index_int8` index for
+    ``k_candidates`` (default ``4*k``) approximate candidates per query,
+    then RERANK only those candidates against their FULL float vectors
+    (``full_vectors`` — the source-of-truth table the index was built
+    from) and return the exact-scored top ``k``.
+
+    This is how a 100 TB deployment gets exact final scores without
+    exact costs: the compressed index bounds the bytes scanned (the PQ
+    index reads 4-byte codes from nprobe/n_centroids of the
+    partitions), and the full-vector table is touched only via an
+    id-keyed join of queries x k_candidates rows — candidate-set-sized,
+    never corpus-sized. Recall is the index's candidate recall (raise
+    ``nprobe`` / ``k_candidates`` to buy more); scores and the final
+    ranking inside the candidate set are exact."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    sidecar = _json.loads(
+        spark.read.text(f"{path}/_ivf_centroids").collect()[0][0]
+    )
+    id_col = id_col or sidecar["id_col"]
+    vec_col = vec_col or sidecar["vec_col"]
+    query_vec_col = query_vec_col or vec_col
+    kc = k_candidates if k_candidates is not None else 4 * k
+    if kc < k:
+        raise ValueError(f"k_candidates={kc} must be >= k={k}")
+
+    cand = ivf_topk_indexed(
+        spark, path, queries, k=kc, nprobe=nprobe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    full = full_vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__fv")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    joined = (
+        cand.join(full, id_col)
+        .join(F.broadcast(q), query_id_col)
+    )
+    joined = with_norm(joined, "__fv", "__fn")
+    joined = with_norm(joined, "__qv", "__qn")
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        (
+            dot(F.col("__fv"), F.col("__qv"))
+            / (F.col("__fn") * F.col("__qn"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

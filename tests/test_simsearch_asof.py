@@ -693,3 +693,52 @@ def test_ivf_pq_append_equals_one_shot_build(spark, embeddings, tmp_path):
         for r in simsearch.ivf_topk_indexed(spark, oneshot, queries, k=5, nprobe=2).collect()
     }
     assert pa == pb
+
+
+def test_ivf_pq_rerank_lifts_recall(spark, embeddings, tmp_path):
+    """The refine stage must strictly help: exact rescoring of the PQ
+    candidates recovers what reconstruction-ranking loses (measured
+    0.46 -> 0.84 recall@10 at sf0.001 with untrained codebooks; floors
+    guard the plumbing). Rerank scores must equal the true cosine."""
+    from intake_esm_spark.operators import pq
+    from intake_esm_spark.operators.simsearch import brute_force_topk
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    books = pq.codebooks_from_rows(cents, m=8)
+    path = str(tmp_path / "ivfpq_rerank")
+    simsearch.write_ivf_index_pq(embeddings, path, books, centroids=cents)
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe = {
+        (r["query_id"], r["vec_id"])
+        for r in simsearch.ivf_topk_indexed(spark, path, queries, k=10, nprobe=4).collect()
+    }
+    rer_rows = simsearch.ivf_topk_rerank(
+        spark, path, queries, embeddings, k=10, nprobe=4
+    ).collect()
+    rer = {(r["query_id"], r["vec_id"]) for r in rer_rows}
+    exact_rows = brute_force_topk(
+        embeddings, queries.withColumnRenamed("embedding", "embedding"), k=10,
+        vec_col="embedding",
+    ).collect()
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_rows}
+    r_probe = len(probe & exact) / len(exact)
+    r_rerank = len(rer & exact) / len(exact)
+    assert r_rerank >= r_probe, (r_probe, r_rerank)
+    assert r_rerank >= 0.6, r_rerank
+
+    # rerank scores are the EXACT cosines (match brute force on shared ids)
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact_rows}
+    for r in rer_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-9
+
+    with pytest.raises(ValueError, match="k_candidates"):
+        simsearch.ivf_topk_rerank(
+            spark, path, queries, embeddings, k=10, k_candidates=5
+        )
