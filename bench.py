@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "simsearch_ivf_probe",
     "simsearch_ivf_int8_build",
     "simsearch_ivf_int8_probe",
+    "simsearch_ivf_pq_build",
+    "simsearch_ivf_pq_probe",
+    "simsearch_ivf_pq_rerank",
     "docs_shuffle",
     "docs_pack_bins",
     "contamination_check",
@@ -137,11 +140,42 @@ def _ivf_phase_callables(ivf_path: str):
         )
         return simsearch.ivf_topk_indexed(spark, int8_path, queries, k=10, nprobe=4)
 
+    pq_path = ivf_path + "_pq"
+
+    def build_pq(spark, sf_dir):
+        from intake_esm_spark.operators import pq
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        ]
+        books = pq.codebooks_from_rows(cents, m=8)
+        simsearch.write_ivf_index_pq(emb, pq_path, books, centroids=cents)
+        return None
+
+    def probe_pq(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return simsearch.ivf_topk_indexed(spark, pq_path, queries, k=10, nprobe=4)
+
+    def rerank_pq(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return simsearch.ivf_topk_rerank(spark, pq_path, queries, emb, k=10, nprobe=4)
+
     return {
         "simsearch_ivf_build": build,
         "simsearch_ivf_probe": probe,
         "simsearch_ivf_int8_build": build_int8,
         "simsearch_ivf_int8_probe": probe_int8,
+        "simsearch_ivf_pq_build": build_pq,
+        "simsearch_ivf_pq_probe": probe_pq,
+        "simsearch_ivf_pq_rerank": rerank_pq,
     }
 
 
