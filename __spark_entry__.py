@@ -1616,6 +1616,69 @@ def q_docs_curated2(spark: SparkSession, sf: str) -> DataFrame:
     return _curated_chain(load_table(spark, sf, "documents"))
 
 
+def q_docs_curation_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation OBSERVABILITY: per corpus document, the first stage of
+    the docs_curated2 chain that rejects it ('exact_dup', 'too_short',
+    'too_long', 'repetitive', 'contaminated', 'low_quality') or 'pass' —
+    what a curation run reads to tune thresholds (WHY is 40% of source X
+    dying?) and what an audit reads to attribute removals. Same signals
+    as the chain (one cleaned-corpus pass, in-row gates), but no
+    document is dropped: rejection is data, not absence."""
+    from intake_esm_spark.operators import contamination, sampling, structural
+    from intake_esm_spark.operators.corpus import _rle_fold
+
+    docs = load_table(spark, sf, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"), "bench")
+    bench = docs.filter(b < _BENCH_BUCKETS)
+    corp = docs.filter(b >= _BENCH_BUCKETS)
+
+    cleaned = structural.line_dedup(
+        _doc_lines(corp), id_col="doc_id", lines=F.col("__chunks"),
+        min_doc_freq=2, keep="none",
+    ).select("doc_id", "text")
+    cleaned = cleaned.join(corp.select("doc_id", "source"), "doc_id")
+
+    wts = tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
+    staged = cleaned.select(
+        "doc_id", "source", "text",
+        F.array_sort(tx.shingles(F.col("text"), 2)).alias("__s"),
+        tx.words_array(F.col("text")).alias("__w"),
+    )
+    enriched = staged.select(
+        "doc_id", "source",
+        tx.fingerprint_md5(F.col("text")).alias("__fp"),
+        _rle_fold(
+            F.col("__s"),
+            finish=lambda acc: acc["best"].cast("bigint")
+            / acc["n"].cast("bigint").cast("double"),
+        ).alias("top_frac"),
+        tx.ws_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(
+            tx.hashed_bow_logit(F.col("__w"), wts, salt=_QUALITY_HSALT), 6
+        ).alias("logit"),
+        F.col("text"),
+    )
+    surv = enriched.groupBy("__fp").agg(F.min("doc_id").alias("__keep"))
+    joined = enriched.join(surv, "__fp")
+    # contamination over ALL cleaned docs (the chain probes only its
+    # filtered survivors — output-equivalent there, but a report must
+    # attribute every document)
+    bad = contamination.contaminated_ids(
+        joined.select("doc_id", "text"), bench, n=5
+    ).withColumn("__bad", F.lit(True))
+    joined = joined.join(bad, "doc_id", "left")
+    stage = (
+        F.when(F.col("doc_id") != F.col("__keep"), F.lit("exact_dup"))
+        .when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("n_tokens") > 2000, F.lit("too_long"))
+        .when(F.col("top_frac") > 0.3, F.lit("repetitive"))
+        .when(F.col("__bad"), F.lit("contaminated"))
+        .when(F.col("logit") < 0.0, F.lit("low_quality"))
+        .otherwise(F.lit("pass"))
+    )
+    return joined.select("doc_id", "source", stage.alias("stage"))
+
+
 def q_docs_curated3(spark: SparkSession, sf: str) -> DataFrame:
     """docs_curated2 with the ENCODING-REPAIR stage prepended — the full
     production ordering: NFC normalization FIRST (dirty encodings corrupt
@@ -1648,12 +1711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is load-bearing: the correctness driver records at most
     # 50 entries, so (standing rule) any entry whose code or oracle
     # changed this round is in the first 50, followed by the entries
-    # longest without a driver-green row. Round-7 head: the 11 new r7
+    # longest without a driver-green row. Round-7 head: the 12 new r7
     # entries + 9 whose code changed this round (retrieval null-filter,
     # ivf probe rounding, kmeans empty-cluster round, dedup_components
     # survivor_by, structural file), then the 14 entries last
     # driver-confirmed in ROUND 4 (the rotation the r6 verdict asked
-    # for), the 12 last confirmed in round 5, and 4 reference-parity
+    # for), the 12 last confirmed in round 5, and 3 reference-parity
     # core entries. The tail is exclusively entries driver-green in
     # ROUND 6 (CORRECTNESS_r06) — they rotate back in round 8; no entry
     # goes more than ~2 rounds without a driver row.
@@ -1665,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_nfc": q_text_fingerprint_nfc,
         "dedup_cluster_best": q_dedup_cluster_best,
         "docs_curated3": q_docs_curated3,
+        "docs_curation_report": q_docs_curation_report,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -1712,11 +1776,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
-        "require_all_on": q_require_all_on,
         # ---- rotation tail: every entry below was driver-green in
         # ROUND 6 (CORRECTNESS_r06, all three checks) and is UNCHANGED
         # this round; re-verified locally in ORACLE_LOCAL_r7.txt.
         # They rotate back into the head in round 8.
+        "require_all_on": q_require_all_on,
         "search_membership": q_search_membership,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2753,6 +2817,70 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_ws_tok} BETWEEN 20 AND 2000
               AND r.top_frac <= 0.3
               AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "docs_curation_report": f"""
+            WITH bucketed AS (
+              SELECT doc_id, text, source,
+                     {_h60_sql("'bench|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS __b
+              FROM documents
+            ), corp AS (
+              SELECT * FROM bucketed WHERE __b >= {_BENCH_BUCKETS}
+            ), {_lines_cte("corp")}, cleaned AS (
+              SELECT doc_id,
+                     coalesce(string_agg(CASE WHEN df < 2 THEN line END,
+                                         chr(10) ORDER BY pos), '') AS text
+              FROM j GROUP BY doc_id
+            ), cleaned_src AS (
+              SELECT c.doc_id, c.text, b.source
+              FROM cleaned c JOIN corp b USING (doc_id)
+            ), fpv AS (
+              SELECT doc_id, source, text, md5({_NORM_TEXT_SQL}) AS fp
+              FROM cleaned_src
+            ), surv AS (
+              SELECT fp, min(doc_id) AS keep FROM fpv GROUP BY fp
+            ), rep AS (
+              SELECT doc_id,
+                     CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac
+              FROM (
+                SELECT doc_id, ng, count(*) AS cnt
+                FROM (SELECT doc_id, unnest({_shingles_sql_n(2)}) AS ng
+                      FROM cleaned_src)
+                GROUP BY 1, 2
+              ) GROUP BY doc_id
+            ), bench_grams AS (
+              SELECT DISTINCT {_h60_sql("shingle")} AS h
+              FROM (SELECT unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                    FROM bucketed WHERE __b < {_BENCH_BUCKETS})
+            ), contaminated AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, {_h60_sql("shingle")} AS h
+                    FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                          FROM cleaned_src)) cg
+              WHERE cg.h IN (SELECT h FROM bench_grams)
+            ), consts AS (
+              SELECT {_qwts_sql} AS wl
+            ), quality AS (
+              SELECT doc_id,
+                     round(list_sum(list_transform(ws2,
+                             x -> wl[({_h60_sql(f"'{_QUALITY_HSALT}|' || x")}
+                                      % {_QUALITY_BUCKETS})::INT + 1]))
+                           / len(ws2), 6) AS logit
+              FROM (SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS ws2
+                    FROM cleaned_src), consts
+            )
+            SELECT f.doc_id, f.source,
+                   CASE WHEN f.doc_id != s.keep THEN 'exact_dup'
+                        WHEN {_ws_tok} < 20 THEN 'too_short'
+                        WHEN {_ws_tok} > 2000 THEN 'too_long'
+                        WHEN r.top_frac > 0.3 THEN 'repetitive'
+                        WHEN f.doc_id IN (SELECT doc_id FROM contaminated)
+                          THEN 'contaminated'
+                        WHEN q.logit < 0.0 THEN 'low_quality'
+                        ELSE 'pass' END AS stage
+            FROM fpv f
+            JOIN surv s ON s.fp = f.fp
+            JOIN rep r ON r.doc_id = f.doc_id
+            JOIN quality q ON q.doc_id = f.doc_id
         """,
         "docs_curated2": f"""
             WITH bucketed AS (

@@ -263,3 +263,23 @@ def test_write_packed_corpus_shards_and_order(spark, tmp_path):
     assert got == expected
     with pytest.raises(ValueError, match="bins_per_shard"):
         packing.write_packed_corpus(docs, path, "tok", 256, "doc_id", bins_per_shard=0)
+
+
+def test_curation_report_pass_equals_curated2_survivors(spark):
+    """The rejection report must agree with the chain it explains: the
+    'pass' rows ARE docs_curated2's survivor set, and every stage label
+    is one of the chain's stages with a non-degenerate distribution."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rep = entry.q_docs_curation_report(spark, sf)
+    rows = rep.collect()
+    stages = {r["stage"] for r in rows}
+    assert stages <= {
+        "pass", "exact_dup", "too_short", "too_long",
+        "repetitive", "contaminated", "low_quality",
+    }
+    assert "pass" in stages and len(stages) >= 3  # not a constant column
+    passed = {r["doc_id"] for r in rows if r["stage"] == "pass"}
+    surv = {r["doc_id"] for r in entry.q_docs_curated2(spark, sf).collect()}
+    assert passed == surv

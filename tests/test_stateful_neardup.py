@@ -340,3 +340,86 @@ def test_stream_span_filter_guard(spark):
     snap = spans.duplicated_window_hashes(docs, n=3, min_doc_freq=2)
     with pytest.raises(ValueError, match="max_windows"):
         stream_span_filter(docs, snap, max_windows=0)
+
+
+def test_full_streaming_ingest_chain_matches_batch(spark, tmp_path):
+    """The WHOLE streaming ingest pipeline composed: line filter (static
+    boilerplate snapshot) -> span filter (static window-hash snapshot)
+    -> exact dedup vs history -> curation gates + decontamination — one
+    real streaming run, compared stage-for-stage against the batch
+    operators applied in the same order. This is the composition a
+    production ingest job runs; the parity is what makes the batch
+    oracles meaningful for the stream."""
+    from intake_esm_spark.operators import spans, structural
+    from intake_esm_spark.streaming.stateful import (
+        stream_curate,
+        stream_dedup_exact,
+        stream_line_filter,
+        stream_span_filter,
+    )
+
+    # history corpus defines the snapshots; the arriving batch carries
+    # boilerplate lines, a verbatim span, an exact dup, and clean docs
+    filler_a = " ".join(f"alpha{i} beta{i}" for i in range(12))
+    filler_b = " ".join(f"gamma{i} delta{i}" for i in range(12))
+    span = "the quick brown fox jumps over the lazy dog tonight again"
+    hist_rows = [
+        (100, f"cookie banner\n{filler_a}"),
+        (101, f"cookie banner\n{filler_b}"),
+        (102, f"{filler_a} {span} unique history tail words here"),
+        (103, f"{span} {filler_b}"),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(900, "benchmark probe sentence nothing shares this")],
+        "doc_id bigint, text string",
+    )
+
+    line_snap = structural.duplicated_lines(hist, min_doc_freq=2)
+    span_snap = spans.duplicated_window_hashes(hist, n=3, min_doc_freq=2)
+
+    arriving = [
+        # boilerplate line + long filler: line scrubbed, survives gates
+        (1, f"cookie banner\n{' '.join(f'w{i} x{i}' for i in range(15))}"),
+        # contains the history span: span cut, shortened but survives
+        (2, f"{span} {' '.join(f'y{i} z{i}' for i in range(15))}"),
+        # exact duplicate of history doc 103 (after normalization)
+        (3, f"{span} {filler_b}"),
+        # too short after all filters
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(arriving, "doc_id bigint, text string")
+    src = tmp_path / "chain_src"
+    docs.write.parquet(str(src))
+
+    def chain(frame):
+        out = stream_line_filter(frame, line_snap, join_sep=" ")
+        out = stream_span_filter(out, span_snap.filter("doc_freq >= 2"), n=3, min_run=3)
+        out = stream_dedup_exact(out, hist)
+        return stream_curate(out, bench, min_tokens=10, max_tokens=100)
+
+    stream = spark.readStream.schema(docs.schema).format("parquet").load(str(src))
+    q = (
+        chain(stream)
+        .writeStream.format("memory")
+        .queryName("chain_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["text"]
+            for r in spark.sql("SELECT doc_id, text FROM chain_sink").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch application of the same chain agrees row-for-row
+    batch = {r["doc_id"]: r["text"] for r in chain(docs).collect()}
+    assert got == batch
+
+    # and the outcomes are the intended ones
+    assert set(got) == {1, 2}          # 3 = exact dup of history, 4 = too short
+    assert "cookie banner" not in got[1]
+    assert "quick brown fox" not in got[2]
