@@ -319,3 +319,90 @@ def span_dedup_against(
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
     )
+
+
+# stamped into every materialized window snapshot; windows hash with
+# functions.text.portable_hash60 (the md5-60 family) — the same
+# refuse-loudly contract as the LSH index's hash_scheme
+SPAN_HASH_SCHEME = "md5-60-v1"
+
+
+def write_window_snapshot(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_doc_freq: int = 1,
+) -> None:
+    """Materialize the :func:`duplicated_window_hashes` snapshot as a
+    parquet table plus a parameter sidecar (Hadoop-FS-written like the
+    IVF/LSH ones) stamping ``n``, the threshold, and the hash scheme —
+    which turns the "``n`` must match the snapshot" contract from
+    documented into ENFORCED: :func:`span_dedup_indexed` reads the
+    sidecar and refuses a mismatched probe loudly (a wrong-``n`` probe
+    joins to essentially zero hits, so duplicated spans would silently
+    survive — the LSH stale-index failure mode at window grain)."""
+    import json as _json
+
+    from intake_esm_spark.util import write_text_sidecar
+
+    snap = duplicated_window_hashes(df, id_col, text_col, n, min_doc_freq)
+    snap.write.mode("overwrite").parquet(f"{path}/windows")
+    sidecar = _json.dumps(
+        {
+            "n": n,
+            "min_doc_freq": min_doc_freq,
+            "text_col": text_col,
+            "hash_scheme": SPAN_HASH_SCHEME,
+        }
+    )
+    write_text_sidecar(df.sparkSession, f"{path}/_span_params", sidecar)
+
+
+def span_dedup_indexed(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+    min_run: int = 2,
+) -> DataFrame:
+    """:func:`span_dedup_against` driven by a :func:`write_window_snapshot`
+    table: the window size comes FROM the sidecar (no way to pass a
+    mismatched ``n``), the snapshot is thresholded to ``min_doc_freq``
+    here (so one unfiltered snapshot serves every policy), and a
+    snapshot written under a different hash scheme or a sub-threshold
+    ``min_doc_freq`` stamp is refused loudly instead of silently
+    missing spans."""
+    import json as _json
+
+    params = _json.loads(
+        spark.read.text(f"{path}/_span_params").collect()[0][0]
+    )
+    scheme = params.get("hash_scheme")
+    if scheme != SPAN_HASH_SCHEME:
+        detail = (
+            "predates the hash scheme stamp"
+            if scheme is None
+            else f"was written with hash scheme {scheme!r}"
+        )
+        raise ValueError(
+            f"window snapshot at {path} {detail}; this engine computes "
+            f"{SPAN_HASH_SCHEME!r} — rebuild with write_window_snapshot"
+        )
+    if params["min_doc_freq"] > min_doc_freq:
+        raise ValueError(
+            f"window snapshot at {path} was thresholded at min_doc_freq="
+            f"{params['min_doc_freq']} — it cannot answer a min_doc_freq="
+            f"{min_doc_freq} probe (sub-threshold frequencies were "
+            "dropped at write time); rebuild with min_doc_freq=1"
+        )
+    snap = spark.read.parquet(f"{path}/windows").filter(
+        F.col("doc_freq") >= min_doc_freq
+    )
+    return span_dedup_against(
+        df, snap.select("window_hash"), id_col, text_col,
+        n=params["n"], min_run=min_run,
+    )

@@ -239,3 +239,44 @@ def test_merge_window_reports_equals_full_snapshot(spark):
 
     with _pytest.raises(ValueError, match="at least 2"):
         spans.merge_window_reports(want)
+
+
+def test_window_snapshot_round_trip_and_guards(spark, tmp_path):
+    rows = [
+        (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+        (2, "the quick brown fox jumps over the lazy dog and more here"),
+        (3, "totally unrelated content in this third document"),
+    ]
+    df = _df(spark, rows)
+    path = str(tmp_path / "win_snap")
+    spans.write_window_snapshot(df, path, n=3, min_doc_freq=1)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spans.span_dedup_indexed(
+            spark, path, df, min_doc_freq=2, min_run=3
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["text"]
+        for r in spans.span_dedup(df, n=3, min_doc_freq=2, min_run=3).collect()
+    }
+    assert got == want
+
+    # a filtered snapshot cannot answer a lower-threshold probe
+    path2 = str(tmp_path / "win_snap_f")
+    spans.write_window_snapshot(df, path2, n=3, min_doc_freq=3)
+    with pytest.raises(ValueError, match="min_doc_freq"):
+        spans.span_dedup_indexed(spark, path2, df, min_doc_freq=2)
+
+    # a foreign/missing hash scheme is refused loudly
+    import json
+
+    from intake_esm_spark.util import write_text_sidecar
+
+    write_text_sidecar(
+        spark, f"{path}/_span_params",
+        json.dumps({"n": 3, "min_doc_freq": 1, "hash_scheme": "other-v9"}),
+    )
+    with pytest.raises(ValueError, match="hash scheme"):
+        spans.span_dedup_indexed(spark, path, df)
