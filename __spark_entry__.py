@@ -1289,6 +1289,32 @@ def q_simsearch_ivf_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+_FUNNEL_WITHIN = "12 hours"
+
+
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel progression (signup -> view -> purchase, each step
+    within 12h of the previous): per cohort user, the step completion
+    timestamps and count — the product-analytics question no plain
+    groupBy answers (each step's eligible events depend on the previous
+    step's per-user time). One user-keyed min-agg + join per step,
+    type filters pushed to the scan."""
+    from intake_esm_spark.operators.funnel import funnel
+
+    events = load_table(spark, sf, "events")
+    return funnel(events, _FUNNEL_STEPS, within=_FUNNEL_WITHIN)
+
+
+def q_events_funnel_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The conversion chart behind events_funnel: users surviving each
+    step and the fraction of the step-1 cohort."""
+    from intake_esm_spark.operators.funnel import funnel_counts
+
+    events = load_table(spark, sf, "events")
+    return funnel_counts(events, _FUNNEL_STEPS, within=_FUNNEL_WITHIN)
+
+
 def q_docs_mixture_temp(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled mixture (the multilingual mass^alpha rule,
     alpha=0.5): target shares derive from the masses themselves instead
@@ -1729,6 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_best": q_dedup_cluster_best,
         "docs_curated3": q_docs_curated3,
         "docs_curation_report": q_docs_curation_report,
+        "events_funnel": q_events_funnel,
+        "events_funnel_counts": q_events_funnel_counts,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -2817,6 +2845,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_ws_tok} BETWEEN 20 AND 2000
               AND r.top_frac <= 0.3
               AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "events_funnel": f"""
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL '12 hours'
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s2.t2 + INTERVAL '12 hours'
+              GROUP BY e.user_id
+            )
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+                   CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                          + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+                        AS INT) AS steps_completed
+            FROM s1
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+        """,
+        "events_funnel_counts": f"""
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL '12 hours'
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s2.t2 + INTERVAL '12 hours'
+              GROUP BY e.user_id
+            ), n AS (
+              SELECT (SELECT count(*) FROM s1) AS n1,
+                     (SELECT count(*) FROM s2) AS n2,
+                     (SELECT count(*) FROM s3) AS n3
+            )
+            SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users,
+                   round(CAST(n1 AS DOUBLE) / n1, 6) AS frac_of_cohort FROM n
+            UNION ALL
+            SELECT 2, 'view', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+            UNION ALL
+            SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n
         """,
         "docs_curation_report": f"""
             WITH bucketed AS (

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_topk_user",
     "events_json",
+    "events_funnel",
     "asof_join",
     "text_stats",
     "text_quality",

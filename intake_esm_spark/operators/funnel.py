@@ -1,0 +1,125 @@
+"""Ordered-funnel analysis over event streams.
+
+Extension per SURVEY §2.9 (the reference is a catalog engine with no
+event analytics): the classic product-analytics question — of the users
+who did step 1, how many went on to do step 2 *after* it (and within a
+conversion window), then step 3 after that — which no plain groupBy can
+answer because each step's eligible events depend on the PREVIOUS
+step's per-user timestamp.
+
+Semantics
+---------
+* ``t_1`` = a user's earliest ``steps[0]`` event; the funnel cohort is
+  every user with a ``t_1`` (one output row per cohort user).
+* ``t_i`` = the earliest ``steps[i-1]`` event STRICTLY after ``t_{i-1}``
+  and, when ``within`` is given, no later than ``t_{i-1} + within`` —
+  the per-step conversion window (each step's clock restarts at the
+  previous step's completion, the standard funnel-window rule).
+  Strict ``>`` means a simultaneous-timestamp event does not satisfy
+  the next step.
+* Repeated step types are allowed (``view -> view`` needs two distinct
+  qualifying events because of the strict inequality).
+
+100 TB shape
+------------
+One aggregation + one join per step, ALL keyed by the user column: the
+step-1 min is a map-side-partial groupBy; every later step filters the
+events table to that step's type (predicate pushed to the scan — each
+step reads only its slice), joins the previous frontier (cohort-sized,
+usually broadcastable — AQE decides) and takes the per-user min. No
+window functions, no per-user event collections, no driver collect;
+state never exceeds one (user, timestamp) row per step. Funnels are
+short (k <= ~6), so the chain is k tiny user-keyed stages over
+pushed-down scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Per-user funnel progression: one row per user who completed step
+    1, with ``t1..tk`` completion timestamps (null once the funnel is
+    abandoned) and ``steps_completed``. ``within`` is a SQL interval
+    string (e.g. ``"12 hours"``) bounding each step relative to the
+    previous one; ``None`` means unbounded."""
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    if within is not None:
+        # validated here so a typo fails at plan-build, not mid-job
+        iv = F.expr(f"INTERVAL '{within}'")
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    out = frontier
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        cand = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        cond = F.col("__ts") > F.col(prev)
+        if within is not None:
+            cond = cond & (F.col("__ts") <= F.col(prev) + iv)
+        nxt = (
+            cand.join(out.select(user_col, prev), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    completed: Column = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        completed = completed + F.col(f"t{i}").isNotNull().cast("int")
+    return out.select(
+        F.col(user_col),
+        *[F.col(f"t{i}") for i in range(1, len(steps) + 1)],
+        completed.alias("steps_completed"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """The funnel REPORT: one row per step — ``(step_idx, step, n_users,
+    frac_of_cohort)`` — the conversion chart. Derived from
+    :func:`funnel` with one metadata-scale aggregation."""
+    per_user = funnel(events, steps, user_col, ts_col, type_col, within)
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("__n1"),
+        *[
+            F.sum(F.col(f"t{i}").isNotNull().cast("bigint")).alias(f"__n{i}")
+            for i in range(2, len(steps) + 1)
+        ],
+    )
+    # the 1-row stats frame is referenced once per step below, and a
+    # DataFrame referenced k times is computed k times (the whole funnel
+    # chain per branch) — materialize the single row
+    agg = agg.localCheckpoint()
+    rows = None
+    for i, step in enumerate(steps, start=1):
+        r = agg.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"__n{i}").alias("n_users"),
+            F.round(
+                F.col(f"__n{i}").cast("double") / F.col("__n1").cast("double"), 6
+            ).alias("frac_of_cohort"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -1,0 +1,111 @@
+"""Ordered-funnel analysis (operators/funnel.py).
+
+Pins the step semantics the oracle SQL encodes: cohort = step-1 users,
+each later step strictly after the previous step's per-user timestamp
+and (with ``within``) inside the per-step conversion window, repeated
+step types needing distinct events, and the counts report fractions.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators.funnel import funnel, funnel_counts
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # u1: full funnel inside windows
+        ("u1", "signup", _ts(0)),
+        ("u1", "view", _ts(1)),
+        ("u1", "purchase", _ts(2)),
+        # u2: view happens BEFORE signup -> only step 1 counts
+        ("u2", "view", _ts(0)),
+        ("u2", "signup", _ts(1)),
+        # u3: view simultaneous with signup -> strict > excludes it
+        ("u3", "signup", _ts(3)),
+        ("u3", "view", _ts(3)),
+        # u4: view outside the 2h window, purchase irrelevant
+        ("u4", "signup", _ts(0)),
+        ("u4", "view", _ts(5)),
+        ("u4", "purchase", _ts(6)),
+        # u5: no signup -> not in cohort at all
+        ("u5", "view", _ts(0)),
+        ("u5", "purchase", _ts(1)),
+        # u6: earliest signup is the anchor; a later signup is ignored
+        ("u6", "signup", _ts(0)),
+        ("u6", "signup", _ts(9)),
+        ("u6", "view", _ts(1, 30)),
+        # purchase within 2h of the VIEW (not the signup)
+        ("u6", "purchase", _ts(3)),
+    ]
+    return spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+
+
+def _by_user(df):
+    return {r["user_id"]: r.asDict() for r in df.collect()}
+
+
+def test_funnel_semantics(events):
+    out = _by_user(funnel(events, ["signup", "view", "purchase"], within="2 hours"))
+    assert set(out) == {"u1", "u2", "u3", "u4", "u6"}  # u5 has no signup
+    assert out["u1"]["steps_completed"] == 3
+    assert out["u1"]["t3"] == _ts(2)
+    # pre-signup view doesn't count
+    assert out["u2"]["steps_completed"] == 1 and out["u2"]["t2"] is None
+    # simultaneous timestamp excluded by strict >
+    assert out["u3"]["steps_completed"] == 1
+    # outside the window
+    assert out["u4"]["steps_completed"] == 1
+    # window restarts at the previous step's completion
+    assert out["u6"]["steps_completed"] == 3
+    assert out["u6"]["t1"] == _ts(0) and out["u6"]["t2"] == _ts(1, 30)
+
+
+def test_funnel_unbounded_window(events):
+    out = _by_user(funnel(events, ["signup", "view", "purchase"]))
+    # u4's 5h-later view now qualifies, and the 6h purchase after it
+    assert out["u4"]["steps_completed"] == 3
+
+
+def test_funnel_repeated_step_needs_distinct_events(spark):
+    rows = [
+        ("a", "view", _ts(0)),  # one view only -> can't satisfy view->view
+        ("b", "view", _ts(0)),
+        ("b", "view", _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = _by_user(funnel(df, ["view", "view"]))
+    assert out["a"]["steps_completed"] == 1
+    assert out["b"]["steps_completed"] == 2 and out["b"]["t2"] == _ts(1)
+
+
+def test_funnel_counts_fractions(events):
+    rows = {
+        r["step"]: r.asDict()
+        for r in funnel_counts(
+            events, ["signup", "view", "purchase"], within="2 hours"
+        ).collect()
+    }
+    assert rows["signup"]["n_users"] == 5
+    assert rows["signup"]["frac_of_cohort"] == 1.0
+    assert rows["view"]["n_users"] == 2  # u1, u6
+    assert rows["view"]["frac_of_cohort"] == 0.4
+    assert rows["purchase"]["n_users"] == 2
+    assert rows["purchase"]["step_idx"] == 3
+
+
+def test_funnel_empty_steps_raises(events):
+    with pytest.raises(ValueError):
+        funnel(events, [])
+
+
+def test_funnel_bad_interval_fails_at_plan_build(events):
+    with pytest.raises(Exception):
+        funnel(events, ["signup", "view"], within="12 bogons")
