@@ -1315,6 +1315,26 @@ def q_events_funnel_counts(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_counts(events, _FUNNEL_STEPS, within=_FUNNEL_WITHIN)
 
 
+def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily cohort retention matrix: users grouped by first-active
+    date; for each later day, how many came back. The classic
+    product-analytics chart next to the funnel — three keyed exchanges,
+    events collapsed to distinct (user, day) before anything else."""
+    from intake_esm_spark.operators.retention import retention_matrix
+
+    events = load_table(spark, sf, "events")
+    return retention_matrix(events, grain_days=1)
+
+
+def q_events_retention_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """The same matrix at weekly grain (offset buckets of 7 days) —
+    exercises the grain_days bucketing path."""
+    from intake_esm_spark.operators.retention import retention_matrix
+
+    events = load_table(spark, sf, "events")
+    return retention_matrix(events, grain_days=7)
+
+
 def q_docs_mixture_temp(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled mixture (the multilingual mass^alpha rule,
     alpha=0.5): target shares derive from the masses themselves instead
@@ -1757,6 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_report": q_docs_curation_report,
         "events_funnel": q_events_funnel,
         "events_funnel_counts": q_events_funnel_counts,
+        "events_retention": q_events_retention,
+        "events_retention_weekly": q_events_retention_weekly,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -2898,6 +2920,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'view', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
             UNION ALL
             SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n
+        """,
+        "events_retention": """
+            WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+              FROM events WHERE user_id IS NOT NULL
+            ), f AS (
+              SELECT user_id, min(d) AS cohort_date FROM days GROUP BY user_id
+            ), a AS (
+              SELECT f.cohort_date,
+                     CAST(floor(date_diff('day', f.cohort_date, days.d) / 1) AS INT)
+                       AS offset_periods,
+                     count(DISTINCT days.user_id) AS n_active
+              FROM days JOIN f USING (user_id)
+              GROUP BY 1, 2
+            ), s AS (
+              SELECT cohort_date, count(*) AS cohort_size FROM f GROUP BY 1
+            )
+            SELECT CAST(a.cohort_date AS VARCHAR) AS cohort_date,
+                   a.offset_periods, a.n_active, s.cohort_size,
+                   round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+            FROM a JOIN s USING (cohort_date)
+        """,
+        "events_retention_weekly": """
+            WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+              FROM events WHERE user_id IS NOT NULL
+            ), f AS (
+              SELECT user_id, min(d) AS cohort_date FROM days GROUP BY user_id
+            ), a AS (
+              SELECT f.cohort_date,
+                     CAST(floor(date_diff('day', f.cohort_date, days.d) / 7) AS INT)
+                       AS offset_periods,
+                     count(DISTINCT days.user_id) AS n_active
+              FROM days JOIN f USING (user_id)
+              GROUP BY 1, 2
+            ), s AS (
+              SELECT cohort_date, count(*) AS cohort_size FROM f GROUP BY 1
+            )
+            SELECT CAST(a.cohort_date AS VARCHAR) AS cohort_date,
+                   a.offset_periods, a.n_active, s.cohort_size,
+                   round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+            FROM a JOIN s USING (cohort_date)
         """,
         "docs_curation_report": f"""
             WITH bucketed AS (

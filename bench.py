@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "events_topk_user",
     "events_json",
     "events_funnel",
+    "events_retention",
     "asof_join",
     "text_stats",
     "text_quality",
