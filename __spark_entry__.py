@@ -1335,6 +1335,21 @@ def q_events_retention_weekly(spark: SparkSession, sf: str) -> DataFrame:
     return retention_matrix(events, grain_days=7)
 
 
+_KMV_K = 32
+
+
+def q_events_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (bottom-k) distinct-user sketch per event type: the
+    cardinality-estimation sketch with an EXACT SQL replay (unlike HLL,
+    whose registers no oracle can reproduce). Keeps the 32 smallest
+    md5-60 user hashes per group; estimate = (k-1)*2^60/h_k. The only
+    full-data exchange is the distinct (group, hash) dedup."""
+    from intake_esm_spark.operators.sketch import kmv_distinct
+
+    events = load_table(spark, sf, "events")
+    return kmv_distinct(events, "user_id", ["event_type"], k=_KMV_K)
+
+
 def q_docs_mixture_temp(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled mixture (the multilingual mass^alpha rule,
     alpha=0.5): target shares derive from the masses themselves instead
@@ -1779,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_counts": q_events_funnel_counts,
         "events_retention": q_events_retention,
         "events_retention_weekly": q_events_retention_weekly,
+        "events_distinct_kmv": q_events_distinct_kmv,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -2962,6 +2978,31 @@ def oracle_sql() -> dict[str, str]:
                    a.offset_periods, a.n_active, s.cohort_size,
                    round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
             FROM a JOIN s USING (cohort_date)
+        """,
+        # replays operators/sketch.kmv_distinct: distinct md5-60 user
+        # hashes per type, bottom-32 by row_number, (k-1)*2^60/h_k
+        "events_distinct_kmv": f"""
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     {_h60_sql("'|' || CAST(user_id AS VARCHAR)")} AS hv
+              FROM events WHERE user_id IS NOT NULL
+            ), rk AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+              FROM h
+            ), kept AS (
+              SELECT event_type,
+                     list(hv ORDER BY hv) AS kmv_hashes,
+                     count(*) AS n_kept,
+                     max(hv) AS hk
+              FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type
+            )
+            SELECT event_type, kmv_hashes, n_kept,
+                   round(CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                              ELSE {_KMV_K - 1}.0 * 1152921504606846976.0
+                                   / CAST(hk AS DOUBLE) END,
+                         6) AS distinct_est
+            FROM kept
         """,
         "docs_curation_report": f"""
             WITH bucketed AS (

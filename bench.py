@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "events_json",
     "events_funnel",
     "events_retention",
+    "events_distinct_kmv",
     "asof_join",
     "text_stats",
     "text_quality",

@@ -1,0 +1,101 @@
+"""Deterministic distinct-count sketches (KMV / bottom-k).
+
+Extension (SURVEY §2.9): cardinality estimation is the canonical
+big-data sketch problem — "distinct users per segment" over 100 TB
+without paying a full count-distinct shuffle of every key. Spark ships
+HyperLogLog (``approx_count_distinct``), but HLL's register layout is
+engine-internal and cannot be replayed by any SQL oracle. The KMV
+(k-minimum-values) sketch of Bar-Yossef et al. — keep the k smallest
+values of a uniform hash; with the k-th smallest at fraction ``u`` of
+the hash space, estimate ``(k-1)/u`` distinct keys — is just as
+streamable and mergeable, but is a pure ORDER BY/LIMIT construction
+over the engine-portable md5-60 hash (functions/text.py:141), so DuckDB
+reproduces every kept hash and the estimate bit-for-bit.
+
+Estimator: with ``h_k`` the k-th smallest 60-bit hash,
+``n_est = (k-1) * 2^60 / h_k``; when a group has fewer than k distinct
+hashes the sketch saw everything and the estimate is the exact count.
+
+100 TB shape
+------------
+(1) ``distinct (group, hash)`` — map-side-partial dedup, the only
+full-data exchange; (2) bottom-k per (group, hash%B) bucket via a
+row_number window — B-way parallel per group, each bucket sort spills
+independently, output <= k rows per bucket; (3) final bottom-k per
+group over the <= B*k survivors — a bounded-input groupBy (collect_list
+over at most B*k bigints), no second window. Nothing after step 1
+depends on corpus size. Sketches merge associatively (`kmv_union`), so
+per-day sketches roll up to per-month without touching raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from intake_esm_spark.functions.text import salted_hash60
+
+_HASH_SPACE = float(2**60)  # exclusive upper bound of portable_hash60
+_PHASE1_BUCKETS = 64
+
+
+def _finalize(sk: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Attach n_kept / k-th hash / estimate to a (group, kmv_hashes) frame."""
+    n = F.size("kmv_hashes")
+    hk = F.element_at("kmv_hashes", n).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / hk
+    )
+    return sk.select(
+        *group_cols,
+        "kmv_hashes",
+        n.cast("bigint").alias("n_kept"),
+        F.round(est, 6).alias("distinct_est"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per group: the k smallest md5-60 hashes of ``key_col``
+    (``kmv_hashes``, ascending), ``n_kept``, and ``distinct_est``.
+    Null keys are excluded (no identity to count)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for the (k-1)/u estimator, got {k}")
+    hashes = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, salted_hash60(F.col(key_col)).alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols, F.pmod("__h", _PHASE1_BUCKETS)).orderBy("__h")
+    survivors = (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    sk = survivors.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.collect_list("__h")), 1, k).alias("kmv_hashes")
+    )
+    return _finalize(sk, group_cols, k)
+
+
+def kmv_union(a: DataFrame, b: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Merge two KMV sketch frames (outputs of :func:`kmv_distinct` with
+    the same key/hash construction): union the kept hashes per group and
+    re-take the bottom k. ``kmv(A ∪ B) == kmv_union(kmv(A), kmv(B))`` —
+    the mergeability that lets per-shard sketches roll up without
+    re-reading data. Groups present in only one side pass through."""
+    both = a.select(*group_cols, "kmv_hashes").unionByName(
+        b.select(*group_cols, "kmv_hashes")
+    )
+    sk = both.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv_hashes")))),
+            1,
+            k,
+        ).alias("kmv_hashes")
+    )
+    return _finalize(sk, group_cols, k)

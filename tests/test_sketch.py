@@ -1,0 +1,73 @@
+"""KMV distinct-count sketch (operators/sketch.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators.sketch import kmv_distinct, kmv_union
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 400 distinct keys in group 'big', 5 in 'small', nulls ignored
+    rows = [("big", f"k{i % 400}") for i in range(1200)]
+    rows += [("small", f"s{i}") for i in range(5)]
+    rows += [("small", None)]
+    return spark.createDataFrame(rows, "g string, key string")
+
+
+def test_small_group_is_exact(keyed):
+    r = {x["g"]: x.asDict() for x in kmv_distinct(keyed, "key", ["g"], k=32).collect()}
+    assert r["small"]["n_kept"] == 5
+    assert r["small"]["distinct_est"] == 5.0  # saw everything -> exact
+    assert r["small"]["kmv_hashes"] == sorted(r["small"]["kmv_hashes"])
+
+
+def test_estimator_accuracy_and_shape(keyed):
+    r = {x["g"]: x.asDict() for x in kmv_distinct(keyed, "key", ["g"], k=64).collect()}
+    big = r["big"]
+    assert big["n_kept"] == 64
+    assert len(big["kmv_hashes"]) == 64
+    # KMV with k=64 has ~1/sqrt(62) ≈ 12.7% relative std error; 3 sigma
+    assert 250 <= big["distinct_est"] <= 600
+
+
+def test_duplicates_do_not_move_estimate(spark, keyed):
+    # repeating rows changes nothing: the sketch is over DISTINCT hashes
+    doubled = keyed.unionByName(keyed)
+    a = kmv_distinct(keyed, "key", ["g"], k=16).drop("kmv_hashes").collect()
+    b = kmv_distinct(doubled, "key", ["g"], k=16).drop("kmv_hashes").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_union_merges_to_whole_corpus_sketch(spark, keyed):
+    part_a = keyed.filter(F.crc32("key") % 2 == 0)
+    part_b = keyed.filter((F.crc32("key") % 2 == 1) | F.col("key").isNull())
+    k = 24
+    merged = kmv_union(
+        kmv_distinct(part_a, "key", ["g"], k=k),
+        kmv_distinct(part_b, "key", ["g"], k=k),
+        ["g"],
+        k=k,
+    )
+    whole = kmv_distinct(keyed, "key", ["g"], k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_union_passes_through_one_sided_groups(spark):
+    a = spark.createDataFrame([("x", f"a{i}") for i in range(3)], "g string, key string")
+    b = spark.createDataFrame([("y", f"b{i}") for i in range(4)], "g string, key string")
+    m = {
+        r["g"]: r.asDict()
+        for r in kmv_union(
+            kmv_distinct(a, "key", ["g"], k=8),
+            kmv_distinct(b, "key", ["g"], k=8),
+            ["g"],
+            k=8,
+        ).collect()
+    }
+    assert m["x"]["n_kept"] == 3 and m["y"]["n_kept"] == 4
+
+
+def test_k_validation(keyed):
+    with pytest.raises(ValueError):
+        kmv_distinct(keyed, "key", ["g"], k=1)
