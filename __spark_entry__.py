@@ -1807,8 +1807,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf": q_simsearch_ivf,
         "embed_kmeans": q_embed_kmeans,
         "dedup_cluster_survivors": q_dedup_cluster_survivors,
-        "dedup_lines": q_dedup_lines,
-        "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        # multimodal_stats/frames: r4 cohort, pulled up so the new
+        # entries above don't push them past the driver's 50-entry cap
+        # (dedup_lines/_keep_first moved to the tail in exchange —
+        # r6-driver-green, code+oracle unchanged since)
+        "multimodal_stats": q_multimodal_stats,
+        "multimodal_frames": q_multimodal_frames,
         "dedup_lines_report": q_dedup_lines_report,
         # -- last driver-green in round 4 (r6 verdict #1) --------------
         "text_stats": q_text_stats,
@@ -1836,8 +1840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_incr": q_dedup_exact_incr,
         "dedup_near_incr": q_dedup_near_incr,
         "dedup_embedding": q_dedup_embedding,
-        "multimodal_stats": q_multimodal_stats,
-        "multimodal_frames": q_multimodal_frames,
+        # dedup_lines/_keep_first: demoted from the head in exchange for
+        # the multimodal r4-cohort pair above; r6-driver-green, unchanged
+        "dedup_lines": q_dedup_lines,
+        "dedup_lines_keep_first": q_dedup_lines_keep_first,
         # -- reference-parity core (keep freshly verified) -------------
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
