@@ -1335,6 +1335,37 @@ def q_events_retention_weekly(spark: SparkSession, sf: str) -> DataFrame:
     return retention_matrix(events, grain_days=7)
 
 
+def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    latest click at-or-before it, within a 24h lookback — the as-of join
+    (operators/asof.py, one shuffle on the user key) composed into the
+    marketing-analytics shape. Out-of-window purchases keep a null
+    touch (unattributed). Gap computed on exact microsecond longs so
+    the double division replays bit-for-bit in the oracle."""
+    from intake_esm_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    touches = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_event_id"),
+    )
+    out = asof_join(purchases, touches, on="user_id", tolerance="24 hours")
+    gap = (F.unix_micros("ts") - F.unix_micros("touch_ts")) / F.lit(60000000.0)
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        "touch_event_id",
+        "touch_ts",
+        F.round(gap, 6).alias("gap_minutes"),
+    )
+
+
 _KMV_K = 32
 
 
@@ -1795,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_retention_weekly": q_events_retention_weekly,
         "events_distinct_kmv": q_events_distinct_kmv,
+        "events_attribution": q_events_attribution,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -1813,7 +1845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6-driver-green, code+oracle unchanged since)
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
-        "dedup_lines_report": q_dedup_lines_report,
         # -- last driver-green in round 4 (r6 verdict #1) --------------
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1844,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the multimodal r4-cohort pair above; r6-driver-green, unchanged
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        "dedup_lines_report": q_dedup_lines_report,
         # -- reference-parity core (keep freshly verified) -------------
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
@@ -2984,6 +3016,26 @@ def oracle_sql() -> dict[str, str]:
                    a.offset_periods, a.n_active, s.cohort_size,
                    round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
             FROM a JOIN s USING (cohort_date)
+        """,
+        "events_attribution": """
+            WITH p AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'
+            ), t AS (
+              SELECT user_id, ts, event_id AS touch_event_id FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id, p.value,
+                   CASE WHEN t.ts >= p.ts - INTERVAL '24 hours'
+                        THEN t.touch_event_id END AS touch_event_id,
+                   CASE WHEN t.ts >= p.ts - INTERVAL '24 hours'
+                        THEN t.ts END AS touch_ts,
+                   round(CASE WHEN t.ts >= p.ts - INTERVAL '24 hours'
+                              THEN (epoch_us(p.ts) - epoch_us(t.ts))
+                                   / 60000000.0 END,
+                         6) AS gap_minutes
+            FROM p ASOF LEFT JOIN t
+              ON p.user_id = t.user_id AND t.ts <= p.ts
         """,
         # replays operators/sketch.kmv_distinct: distinct md5-60 user
         # hashes per type, bottom-32 by row_number, (k-1)*2^60/h_k

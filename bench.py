@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "events_distinct_kmv",
+    "events_attribution",
     "asof_join",
     "text_stats",
     "text_quality",

@@ -401,3 +401,87 @@ def stream_span_filter(
         return texts.map(one)
 
     return stream_df.withColumn(text_col, _cut(F.col(text_col)))
+
+
+def stream_distinct_kmv(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming twin of ``operators.sketch.kmv_distinct``: a per-group
+    KMV bottom-k sketch maintained across micro-batches with
+    ``applyInPandasWithState`` — the live "distinct users per segment"
+    counter. State per group is exactly the sketch (<= k bigints, the
+    whole point of KMV: bounded state for unbounded key streams), and
+    because KMV merging is associative, after any batch split the final
+    update row per group equals the batch operator's output bit-for-bit
+    (hashes, n_kept, AND the HALF_UP-rounded estimate) — pinned by the
+    parity test.
+
+    In batch mode degenerates to the batch operator (the oracle).
+    """
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from intake_esm_spark.operators.sketch import _HASH_SPACE, kmv_distinct
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for the (k-1)/u estimator, got {k}")
+    if not df.isStreaming:
+        return kmv_distinct(df, key_col, [group_col], k)
+
+    group_type = df.schema[group_col].dataType
+    output_schema = T.StructType(
+        [
+            T.StructField(group_col, group_type),
+            T.StructField("kmv_hashes", T.ArrayType(T.LongType())),
+            T.StructField("n_kept", T.LongType()),
+            T.StructField("distinct_est", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("kept", T.ArrayType(T.LongType()))]
+    )
+
+    def _h60(key: str) -> int:
+        # byte-replay of functions.text.salted_hash60(key, salt=""):
+        # md5('|' + str(key)), first 15 hex chars as a 60-bit int
+        return int(hashlib.md5(("|" + key).encode("utf-8")).hexdigest()[:15], 16)
+
+    def _update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        kept = set(state.get[0]) if state.exists else set()
+        for pdf in batches:
+            col = pdf[key_col].dropna()
+            kept.update(_h60(str(v)) for v in col)
+            if len(kept) > 4 * k:  # keep the working set bounded mid-batch
+                kept = set(sorted(kept)[:k])
+        kept_sorted = sorted(kept)[:k]
+        state.update((kept_sorted,))
+        n = len(kept_sorted)
+        est = float(n) if n < k else (k - 1) * _HASH_SPACE / kept_sorted[-1]
+        est = float(
+            Decimal(repr(est)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "kmv_hashes": [kept_sorted],
+                "n_kept": [n],
+                "distinct_est": [est],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        _update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -71,3 +71,62 @@ def test_union_passes_through_one_sided_groups(spark):
 def test_k_validation(keyed):
     with pytest.raises(ValueError):
         kmv_distinct(keyed, "key", ["g"], k=1)
+
+
+def test_stream_kmv_matches_batch(spark, tmp_path):
+    """Streaming KMV across micro-batches must converge to the batch
+    sketch exactly — hashes, n_kept, and the rounded estimate."""
+    from intake_esm_spark.streaming.stateful import stream_distinct_kmv
+
+    rows = [("big", f"k{i}") for i in range(300)] + [
+        ("small", f"s{i}") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    batch = {
+        r["g"]: (tuple(r["kmv_hashes"]), r["n_kept"], r["distinct_est"])
+        for r in stream_distinct_kmv(df, "key", "g", k=32).collect()
+    }
+
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    src = tmp_path / "src"
+    df.filter(F.crc32("key") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
+    df.filter(F.crc32("key") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(src / "*" / "*.parquet")))):
+        shutil.copy(f, flat / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    out = stream_distinct_kmv(stream, "key", "g", k=32)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM kmv_stream").collect()
+    finally:
+        q.stop()
+    assert len(emitted) > len(batch), "expected updates from multiple batches"
+    final = {}
+    for r in emitted:
+        cur = final.get(r["g"])
+        cand = (r["n_kept"], [-h for h in r["kmv_hashes"]])
+        # later updates dominate: more kept hashes, then smaller hashes
+        if cur is None or cand > cur[0]:
+            final[r["g"]] = (cand, r)
+    streamed = {
+        g: (tuple(r["kmv_hashes"]), r["n_kept"], r["distinct_est"])
+        for g, (_, r) in final.items()
+    }
+    assert streamed == batch
