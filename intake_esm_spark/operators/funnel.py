@@ -31,6 +31,14 @@ window functions, no per-user event collections, no driver collect;
 state never exceeds one (user, timestamp) row per step. Funnels are
 short (k <= ~6), so the chain is k tiny user-keyed stages over
 pushed-down scans.
+
+Each frontier is referenced TWICE (by the next step's join and by the
+final assembly), and Spark re-plans a DataFrame per reference — without
+materialization a k-step funnel re-scans step i's event slice k-i+1
+times (measured: the 3-step plan showed the signup aggregate subtree
+3x). ``checkpoint=True`` (default) lazily ``localCheckpoint``s each
+frontier — they are (user, timestamp) frames, user-dimension-scale —
+so every event slice is scanned exactly once.
 """
 
 from __future__ import annotations
@@ -46,18 +54,27 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within: str | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-user funnel progression: one row per user who completed step
     1, with ``t1..tk`` completion timestamps (null once the funnel is
     abandoned) and ``steps_completed``. ``within`` is a SQL interval
     string (e.g. ``"12 hours"``) bounding each step relative to the
-    previous one; ``None`` means unbounded."""
+    previous one; ``None`` means unbounded. ``checkpoint`` materializes
+    each (user, ts) frontier so its event slice is scanned once (see
+    module docstring); disable only for plan-inspection tests."""
     if len(steps) < 1:
         raise ValueError("steps must be non-empty")
     if within is not None:
         # validated here so a typo fails at plan-build, not mid-job
         iv = F.expr(f"INTERVAL '{within}'")
-    frontier = (
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # lazy: materializes at the first action, reused by the second
+        # reference — never an extra job of its own
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    frontier = _pin(
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t1"))
@@ -71,7 +88,7 @@ def funnel(
         cond = F.col("__ts") > F.col(prev)
         if within is not None:
             cond = cond & (F.col("__ts") <= F.col(prev) + iv)
-        nxt = (
+        nxt = _pin(
             cand.join(out.select(user_col, prev), user_col)
             .filter(cond)
             .groupBy(user_col)
