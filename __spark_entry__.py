@@ -1381,6 +1381,21 @@ def q_events_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct(events, "user_id", ["event_type"], k=_KMV_K)
 
 
+_KMV_OVERLAP_K = 64
+
+
+def q_events_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise audience overlap between event types, computed entirely
+    from KMV sketches (union/intersection/Jaccard estimates via the
+    union-sketch construction) — every pairwise question answered from
+    sketch bytes after two corpus exchanges."""
+    from intake_esm_spark.operators.sketch import kmv_distinct, kmv_pairwise_overlap
+
+    events = load_table(spark, sf, "events")
+    sk = kmv_distinct(events, "user_id", ["event_type"], k=_KMV_OVERLAP_K)
+    return kmv_pairwise_overlap(sk, "event_type", k=_KMV_OVERLAP_K)
+
+
 def q_docs_mixture_temp(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled mixture (the multilingual mass^alpha rule,
     alpha=0.5): target shares derive from the masses themselves instead
@@ -1827,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_weekly": q_events_retention_weekly,
         "events_distinct_kmv": q_events_distinct_kmv,
         "events_attribution": q_events_attribution,
+        "events_audience_overlap": q_events_audience_overlap,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -3036,6 +3052,47 @@ def oracle_sql() -> dict[str, str]:
                          6) AS gap_minutes
             FROM p ASOF LEFT JOIN t
               ON p.user_id = t.user_id AND t.ts <= p.ts
+        """,
+        # replays sketch.kmv_distinct + kmv_pairwise_overlap: per-type
+        # bottom-64 sketches, union sketch per pair, (k-1)*2^60/h_k and
+        # the jaccard fraction of the union sketch present in both sides
+        "events_audience_overlap": f"""
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     {_h60_sql("'|' || CAST(user_id AS VARCHAR)")} AS hv
+              FROM events WHERE user_id IS NOT NULL
+            ), rk AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+              FROM h
+            ), sk AS (
+              SELECT event_type, list(hv ORDER BY hv) AS hs
+              FROM rk WHERE rn <= {_KMV_OVERLAP_K} GROUP BY event_type
+            ), pairs AS (
+              SELECT a.event_type AS group_a, b.event_type AS group_b,
+                     (list_sort(list_distinct(list_cat(a.hs, b.hs))))
+                       [1:{_KMV_OVERLAP_K}] AS u,
+                     list_intersect(a.hs, b.hs) AS iab
+              FROM sk a JOIN sk b ON a.event_type < b.event_type
+            ), m AS (
+              SELECT group_a, group_b,
+                     len(u) AS nu,
+                     CAST(u[len(u)] AS DOUBLE) AS hk,
+                     len(list_intersect(u, iab)) AS c
+              FROM pairs
+            ), est AS (
+              SELECT group_a, group_b,
+                     CASE WHEN nu < {_KMV_OVERLAP_K} THEN CAST(nu AS DOUBLE)
+                          ELSE {_KMV_OVERLAP_K - 1}.0 * 1152921504606846976.0 / hk
+                     END AS union_raw,
+                     CAST(c AS DOUBLE) / CAST(nu AS DOUBLE) AS jac_raw
+              FROM m
+            )
+            SELECT group_a, group_b,
+                   round(union_raw, 6) AS union_est,
+                   round(jac_raw * union_raw, 6) AS intersect_est,
+                   round(jac_raw, 6) AS jaccard_est
+            FROM est
         """,
         # replays operators/sketch.kmv_distinct: distinct md5-60 user
         # hashes per type, bottom-32 by row_number, (k-1)*2^60/h_k

@@ -99,3 +99,51 @@ def kmv_union(a: DataFrame, b: DataFrame, group_cols: list[str], k: int) -> Data
         ).alias("kmv_hashes")
     )
     return _finalize(sk, group_cols, k)
+
+
+def kmv_pairwise_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Set-operation estimates between every pair of groups, from their
+    KMV sketches alone (no raw data): for groups a < b, the union sketch
+    is the k smallest of ``kmv_hashes_a ∪ kmv_hashes_b`` (KMV is closed
+    under union — the Beyer et al. construction), ``union_est`` is the
+    KMV estimate over it, ``jaccard_est`` is the fraction of the union
+    sketch present in BOTH input sketches, and ``intersect_est`` is
+    ``jaccard * union``. When the union sketch holds fewer than k hashes
+    both sides saw everything and all three numbers are exact.
+
+    The input is an output of :func:`kmv_distinct`; the self-join and
+    all the array math run over the GROUP-cardinality frame (one row per
+    group) — sketch bytes, never data bytes. This is the ``audience
+    overlap between segments`` query at 100 TB: two scans to build the
+    sketches once, then every pairwise question answered from KBs.
+    """
+    # the self-join references the sketch frame twice; unpinned, Spark
+    # would run the whole sketch build (two corpus exchanges) per side —
+    # the frame is one row per group, so pinning is free
+    sketches = sketches.localCheckpoint(eager=False)
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("kmv_hashes").alias("__ha")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("kmv_hashes").alias("__hb")
+    )
+    paired = a.join(b, F.col("group_a") < F.col("group_b"))
+    u = F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k)
+    n_u = F.size(u)
+    hk = F.element_at(u, n_u).cast("double")
+    union_est = F.when(n_u < k, n_u.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / hk
+    )
+    c = F.size(F.array_intersect(u, F.array_intersect("__ha", "__hb")))
+    jac = c.cast("double") / n_u.cast("double")
+    return paired.select(
+        "group_a",
+        "group_b",
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jac * union_est, 6).alias("intersect_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+    )

@@ -130,3 +130,42 @@ def test_stream_kmv_matches_batch(spark, tmp_path):
         for g, (_, r) in final.items()
     }
     assert streamed == batch
+
+
+def test_pairwise_overlap_exact_when_sketches_complete(spark):
+    """Small groups (sketch saw everything) -> union/intersect/jaccard
+    are exact set arithmetic."""
+    from intake_esm_spark.operators.sketch import kmv_distinct, kmv_pairwise_overlap
+
+    rows = (
+        [("x", f"u{i}") for i in range(10)]
+        + [("y", f"u{i}") for i in range(5, 20)]  # |x∩y|=5 |x∪y|=20
+        + [("z", "only")]
+    )
+    df = spark.createDataFrame(rows, "g string, key string")
+    sk = kmv_distinct(df, "key", ["g"], k=64)
+    out = {
+        (r["group_a"], r["group_b"]): r.asDict()
+        for r in kmv_pairwise_overlap(sk, "g", k=64).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    xy = out[("x", "y")]
+    assert xy["union_est"] == 20.0
+    assert xy["intersect_est"] == 5.0
+    assert xy["jaccard_est"] == 0.25
+    assert out[("x", "z")]["intersect_est"] == 0.0
+
+
+def test_pairwise_overlap_estimates_at_scale(spark):
+    """Big overlapping groups: estimates within the sketch's error bars."""
+    from intake_esm_spark.operators.sketch import kmv_distinct, kmv_pairwise_overlap
+
+    rows = [("a", f"u{i}") for i in range(600)] + [
+        ("b", f"u{i}") for i in range(300, 900)
+    ]  # union 900, intersection 300, jaccard 1/3
+    df = spark.createDataFrame(rows, "g string, key string")
+    sk = kmv_distinct(df, "key", ["g"], k=128)
+    r = kmv_pairwise_overlap(sk, "g", k=128).collect()[0]
+    assert 650 <= r["union_est"] <= 1200
+    assert 180 <= r["intersect_est"] <= 450
+    assert 0.2 <= r["jaccard_est"] <= 0.5
