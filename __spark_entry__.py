@@ -1381,6 +1381,36 @@ def q_events_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct(events, "user_id", ["event_type"], k=_KMV_K)
 
 
+def q_docs_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Vassilvitskii
+    A-ES): 15 docs per source drawn proportional to text length — the
+    quality/importance-weighted subsampling step of a curation pipeline.
+    Deterministic: score = u^(1/w) over the md5-60 hash-uniform, 12dp
+    rounding + doc_id tiebreak make the selection engine-exact."""
+    from intake_esm_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "__w", F.length("text").cast("double")
+    )
+    out = sampling.weighted_take_per_group(
+        docs, 15, "__w", "source", "doc_id"
+    )
+    return out.select("doc_id", "source", F.col("__w").alias("weight"))
+
+
+def q_docs_sample_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Probability-proportional Bernoulli sampling: each doc kept with
+    its own inclusion probability p = min(1, len/5000) — longer docs
+    oversampled, zero-shuffle filter, deterministic forever."""
+    from intake_esm_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "__p", F.least(F.lit(1.0), F.length("text").cast("double") / F.lit(5000.0))
+    )
+    out = sampling.weighted_bernoulli_sample(docs, "__p", "doc_id")
+    return out.select("doc_id", "source", F.round("__p", 6).alias("p_keep"))
+
+
 _KMV_OVERLAP_K = 64
 
 
@@ -1843,6 +1873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_kmv": q_events_distinct_kmv,
         "events_attribution": q_events_attribution,
         "events_audience_overlap": q_events_audience_overlap,
+        "docs_sample_weighted": q_docs_sample_weighted,
+        "docs_sample_prop": q_docs_sample_prop,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -3052,6 +3084,36 @@ def oracle_sql() -> dict[str, str]:
                          6) AS gap_minutes
             FROM p ASOF LEFT JOIN t
               ON p.user_id = t.user_id AND t.ts <= p.ts
+        """,
+        # replays sampling.weighted_take_per_group: A-ES score
+        # u^(1/w) over the md5-60 hash-uniform, 12dp-rounded (pow ulp
+        # absorption, the docs_mixture_temp precedent), doc_id tiebreak
+        "docs_sample_weighted": f"""
+            SELECT doc_id, source, weight FROM (
+              SELECT doc_id, source,
+                     CAST(length(text) AS DOUBLE) AS weight,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY round(
+                           pow(CAST({_h60_sql("'|' || CAST(doc_id AS VARCHAR)")} + 1
+                                    AS DOUBLE) / 1152921504606846976.0,
+                               1.0 / CAST(length(text) AS DOUBLE)),
+                           12) DESC,
+                         doc_id ASC
+                     ) AS rk
+              FROM documents
+              WHERE length(text) IS NOT NULL
+                AND CAST(length(text) AS DOUBLE) > 0
+            ) WHERE rk <= 15
+        """,
+        "docs_sample_prop": f"""
+            SELECT doc_id, source, round(p, 6) AS p_keep FROM (
+              SELECT doc_id, source,
+                     least(1.0, CAST(length(text) AS DOUBLE) / 5000.0) AS p,
+                     CAST({_h60_sql("'|' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+              FROM documents
+            ) WHERE u < p
         """,
         # replays sketch.kmv_distinct + kmv_pairwise_overlap: per-type
         # bottom-64 sketches, union sketch per pair, (k-1)*2^60/h_k and

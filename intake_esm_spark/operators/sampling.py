@@ -106,3 +106,68 @@ def stratified_hash_sample(
     default_t = int(round(default_fraction * HASH_BUCKETS))
     thresh = F.lit(default_t) if thresh is None else thresh.otherwise(default_t)
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
+
+
+_HASH_SPACE_F = float(2**60)
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame, prob_col: str, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Probability-proportional deterministic sampling: keep a row iff
+    its hash-uniform ``u = md5_60(key)/2^60`` is below the row's own
+    inclusion probability (any [0,1] column — a quality score, a
+    per-source rate, an importance weight). The per-row generalization
+    of :func:`hash_sample`: still a pure zero-shuffle filter, still
+    partition-independent and engine-replayable, but the sampling rate
+    varies row by row. E[kept] = sum(p); inclusion is independent across
+    rows (distinct keys hash independently)."""
+    from intake_esm_spark.functions.text import salted_hash60
+
+    u = salted_hash60(F.col(key_col), salt).cast("double") / F.lit(_HASH_SPACE_F)
+    return df.filter(u < F.col(prob_col))
+
+
+def weighted_take_per_group(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    strata_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, n per
+    stratum — Efraimidis–Vassilvitskii A-ES: each row draws
+    ``score = u^(1/w)`` from its hash-uniform ``u`` and the n largest
+    scores win, which provably samples proportional-to-weight without
+    replacement. The weighted sibling of :func:`take_per_group` (same
+    single window shuffle keyed by the stratum, same determinism
+    contract). Scores are rounded to 12 decimals to absorb cross-engine
+    libm ulp drift in ``pow`` (the ``docs_mixture_temp`` precedent) with
+    ``key_col`` as the total tiebreak, so the SELECTION is engine-exact
+    even where the 16th digit of ``pow`` is not. Rows with null or
+    non-positive weight are excluded (they have zero inclusion mass).
+
+    **Precondition: ``key_col`` unique within each stratum** (ties on
+    both sort terms would fall back to partition order)."""
+    from pyspark.sql import Window
+
+    from intake_esm_spark.functions.text import salted_hash60
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    # +1 maps the hash into (0, 1]: u = 0 would send every weight to
+    # score 0 and u = 1 exactly is unreachable from a 60-bit hash
+    u = (salted_hash60(F.col(key_col), salt) + 1).cast("double") / F.lit(
+        _HASH_SPACE_F
+    )
+    score = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
+    w = Window.partitionBy(strata_col).orderBy(
+        score.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

@@ -186,3 +186,54 @@ def test_gram_duplication_exposure(spark):
     assert got[1]["dup_frac"] == 1.0 and got[2]["dup_frac"] == 1.0
     assert got[3]["dup_frac"] == 0.0
     assert got[1]["n_grams"] == 2  # 6 words -> two 5-grams
+
+
+def test_weighted_take_prefers_heavy_rows(spark):
+    """A-ES: a row with 100x the weight must appear in far more k=1
+    draws across independent salts than a light row."""
+    from intake_esm_spark.operators.sampling import weighted_take_per_group
+
+    rows = [("g", "heavy", 100.0)] + [("g", f"light{i}", 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id string, w double")
+    wins = 0
+    for salt in map(str, range(12)):
+        picked = weighted_take_per_group(df, 1, "w", "g", "id", salt=salt).collect()
+        wins += picked[0]["id"] == "heavy"
+    # heavy holds 100/110 of the mass; 12 independent draws all-light has
+    # p < 1e-12 — and the hash makes this exact assertion reproducible
+    assert wins >= 8
+
+
+def test_weighted_take_excludes_nonpositive_and_null(spark):
+    from intake_esm_spark.operators.sampling import weighted_take_per_group
+
+    rows = [("g", "a", 1.0), ("g", "b", 0.0), ("g", "c", -2.0), ("g", "d", None)]
+    df = spark.createDataFrame(rows, "g string, id string, w double")
+    out = weighted_take_per_group(df, 10, "w", "g", "id")
+    assert [r["id"] for r in out.collect()] == ["a"]
+
+
+def test_weighted_take_deterministic_across_partitionings(spark):
+    from intake_esm_spark.operators.sampling import weighted_take_per_group
+
+    rows = [("g", f"id{i}", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id string, w double")
+    a = {r["id"] for r in weighted_take_per_group(df, 20, "w", "g", "id").collect()}
+    b = {
+        r["id"]
+        for r in weighted_take_per_group(
+            df.repartition(13), 20, "w", "g", "id"
+        ).collect()
+    }
+    assert a == b and len(a) == 20
+
+
+def test_weighted_bernoulli_rate_tracks_probability(spark):
+    from intake_esm_spark.operators.sampling import weighted_bernoulli_sample
+
+    rows = [(f"id{i}", 0.9 if i % 2 == 0 else 0.05) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id string, p double")
+    kept = weighted_bernoulli_sample(df, "p", "id").groupBy("p").count().collect()
+    rates = {r["p"]: r["count"] / 1000.0 for r in kept}
+    assert 0.85 <= rates[0.9] <= 0.95
+    assert rates.get(0.05, 0.0) <= 0.1
