@@ -1411,6 +1411,41 @@ def q_docs_sample_prop(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", F.round("__p", 6).alias("p_keep"))
 
 
+def q_events_daily_ma(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily purchase revenue + trailing 7-day moving average: exact
+    decimal accumulation, calendar RANGE window over the day-grain
+    rollup (frame bounded by the calendar, not the data)."""
+    from intake_esm_spark.operators.timeseries import daily_rollup_ma
+
+    events = load_table(spark, sf, "events")
+    return daily_rollup_ma(
+        events.filter(F.col("event_type") == "purchase"), window_days=7
+    )
+
+
+def q_lineitem_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group quantiles: p25/p50/p75/p95 of extended price per
+    return flag — Spark's sort-based exact `percentile` (type-7 linear
+    interpolation, the same definition DuckDB's quantile_cont uses).
+    The exact form is the oracle-able one; at 100 TB swap in
+    approx_percentile (t-digest) for one-pass bounded memory."""
+    li = load_table(spark, sf, "lineitem")
+    qs = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("__q"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__q", 1), 6).alias("p25"),
+            F.round(F.element_at("__q", 2), 6).alias("p50"),
+            F.round(F.element_at("__q", 3), 6).alias("p75"),
+            F.round(F.element_at("__q", 4), 6).alias("p95"),
+        )
+    )
+
+
 _KMV_OVERLAP_K = 64
 
 
@@ -1875,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": q_events_audience_overlap,
         "docs_sample_weighted": q_docs_sample_weighted,
         "docs_sample_prop": q_docs_sample_prop,
+        "events_daily_ma": q_events_daily_ma,
+        "lineitem_quantiles": q_lineitem_quantiles,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -3084,6 +3121,31 @@ def oracle_sql() -> dict[str, str]:
                          6) AS gap_minutes
             FROM p ASOF LEFT JOIN t
               ON p.user_id = t.user_id AND t.ts <= p.ts
+        """,
+        "events_daily_ma": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     sum(CAST(value AS DECIMAL(18,6))) AS rev
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), d2 AS (
+              SELECT day, rev,
+                     date_diff('day', DATE '1970-01-01', day) AS dn
+              FROM daily
+            )
+            SELECT CAST(day AS VARCHAR) AS day,
+                   round(CAST(rev AS DOUBLE), 6) AS revenue,
+                   round(CAST(sum(rev) OVER w AS DOUBLE)
+                         / CAST(count(*) OVER w AS DOUBLE), 6) AS ma7
+            FROM d2
+            WINDOW w AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+            FROM lineitem GROUP BY l_returnflag
         """,
         # replays sampling.weighted_take_per_group: A-ES score
         # u^(1/w) over the md5-60 hash-uniform, 12dp-rounded (pow ulp

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "events_retention",
     "events_distinct_kmv",
     "events_attribution",
+    "events_daily_ma",
+    "lineitem_quantiles",
     "asof_join",
     "text_stats",
     "text_quality",

@@ -1,0 +1,56 @@
+"""Time-series rollups over event streams.
+
+Extension (SURVEY §2.9): the daily-revenue-with-moving-average chart —
+a calendar rollup followed by a trailing-window smooth. The interesting
+part at scale is what the window runs OVER: the corpus collapses to one
+row per calendar day in the first aggregation (map-side partial), so
+the unpartitioned ordered window — normally the cardinal sin — runs
+over a frame bounded by the CALENDAR (30 rows for a month, 3650 for a
+decade), not by the data. Same benign metadata-scale window class as
+mixing.py's rate frame, documented here for the same reason.
+
+Determinism: revenue accumulates as DECIMAL(18,6) (double summation is
+partition-order-dependent — the SCALE.md rule), cast back to double
+only for the final rounded output; the moving average is a true
+calendar RANGE window (6 preceding days), not a rows window, so missing
+days shrink the divisor instead of silently stretching the lookback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_rollup_ma(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per calendar day: total of ``value_col`` (exact decimal
+    accumulation) and the trailing ``window_days``-day moving average
+    over days PRESENT in that calendar range."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    daily = (
+        events.select(
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__v").alias("__rev"))
+        .withColumn("__dn", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.orderBy("__dn")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    ma = F.sum("__rev").over(w).cast("double") / F.count(F.lit(1)).over(w).cast(
+        "double"
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("__rev").cast("double"), 6).alias("revenue"),
+        F.round(ma, 6).alias(f"ma{window_days}"),
+    )
