@@ -1446,6 +1446,85 @@ def q_lineitem_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    two nations by ship year. Dim joins (supplier, both nation sides)
+    broadcast; the lineitem->orders orderkey join is the one real
+    shuffle and AQE picks its strategy; decimal-exact revenue."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(pair)
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item ranking): top 20 customers by
+    revenue lost to returns in one quarter — fact joins keyed on
+    orderkey/custkey, nation broadcast, deterministic top-k
+    (revenue desc, custkey tiebreak) via TakeOrderedAndProject."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 _KMV_OVERLAP_K = 64
 
 
@@ -1912,6 +1991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_prop": q_docs_sample_prop,
         "events_daily_ma": q_events_daily_ma,
         "lineitem_quantiles": q_lineitem_quantiles,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_items": q10_returned_items,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -3121,6 +3202,38 @@ def oracle_sql() -> dict[str, str]:
                          6) AS gap_minutes
             FROM p ASOF LEFT JOIN t
               ON p.user_id = t.user_id AND t.ts <= p.ts
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "events_daily_ma": """
             WITH daily AS (

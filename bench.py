@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
     "top_suppliers",
     "cube_rollup",
     "customer_order_stats",
