@@ -1423,6 +1423,21 @@ def q_events_daily_ma(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing z-score anomaly detection on daily purchase revenue:
+    each day scored against the preceding 7 days' decimal-exact
+    moments. The alerting query behind the daily_ma chart."""
+    from intake_esm_spark.operators.timeseries import detect_anomalies
+
+    events = load_table(spark, sf, "events")
+    out = detect_anomalies(
+        events.filter(F.col("event_type") == "purchase"),
+        window_days=7,
+        z_threshold=2.0,
+    )
+    return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
+
+
 def q_lineitem_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-group quantiles: p25/p50/p75/p95 of extended price per
     return flag — Spark's sort-based exact `percentile` (type-7 linear
@@ -1990,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_weighted": q_docs_sample_weighted,
         "docs_sample_prop": q_docs_sample_prop,
         "events_daily_ma": q_events_daily_ma,
+        "events_anomaly": q_events_anomaly,
         "lineitem_quantiles": q_lineitem_quantiles,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
@@ -3251,6 +3267,46 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) OVER w AS DOUBLE), 6) AS ma7
             FROM d2
             WINDOW w AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        # replays timeseries.detect_anomalies: decimal window moments,
+        # var = (s2 - n*mean^2)/(n-1) in the same IEEE expression shape
+        "events_anomaly": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS rd
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), d2 AS (
+              SELECT day, rd,
+                     date_diff('day', DATE '1970-01-01', day) AS dn
+              FROM daily
+            ), m AS (
+              SELECT day, rd,
+                     CAST(count(*) OVER w AS DOUBLE) AS n,
+                     CAST(sum(rd) OVER w AS DOUBLE) AS s,
+                     -- one operand widened: DuckDB does not auto-grow
+                     -- the product precision the way Spark does
+                     CAST(sum(CAST(rd AS DECIMAL(19,6)) * rd) OVER w
+                          AS DOUBLE) AS s2
+              FROM d2
+              WINDOW w AS (ORDER BY dn RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ), calc AS (
+              SELECT day, CAST(rd AS DOUBLE) AS r, n, s, s2,
+                     (s2 - n * (s / n) * (s / n)) / (n - 1.0) AS var
+              FROM m
+            ), z AS (
+              SELECT day, r, n, s,
+                     round((r - s / n)
+                           / (CASE WHEN var > 0 THEN sqrt(var) END), 6) AS zz
+              FROM calc
+            )
+            SELECT CAST(day AS VARCHAR) AS day,
+                   round(r, 6) AS revenue,
+                   CASE WHEN n >= 2 THEN round(s / n, 6) END AS trailing_mean,
+                   CASE WHEN n >= 2 THEN zz END AS z_score,
+                   CAST(coalesce(CASE WHEN n >= 2 THEN abs(zz) >= 2.0 END,
+                                 false) AS INT) AS is_anomaly
+            FROM z
         """,
         "lineitem_quantiles": """
             SELECT l_returnflag,

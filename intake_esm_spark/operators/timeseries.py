@@ -54,3 +54,61 @@ def daily_rollup_ma(
         F.round(F.col("__rev").cast("double"), 6).alias("revenue"),
         F.round(ma, 6).alias(f"ma{window_days}"),
     )
+
+
+def detect_anomalies(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing z-score anomaly flags on the daily rollup: each day is
+    scored against the mean/std of the PRECEDING ``window_days`` calendar
+    days (the day itself excluded — a spike must not defend itself).
+
+    Engine-exact by construction: the moments are DECIMAL window sums —
+    the daily totals are exact decimal(18,6) values, their squares exact
+    decimal products, so ``s`` and ``s2`` are order-independent no
+    matter how an engine's segment tree pairs the additions (a double
+    window sum is NOT) — cast to double only for the final fixed IEEE
+    expression ``var = (s2 - n*mean^2)/(n-1)``. Built-in ``stddev`` is
+    avoided for the same reason: its accumulation order is
+    engine-internal. Days with fewer than 2 trailing days, or a
+    degenerate (zero/negative from float cancellation) variance, get a
+    null z-score and ``is_anomaly = false``. The window runs over the
+    day-grain frame (calendar-bounded — the benign class).
+    """
+    if window_days < 2:
+        raise ValueError(f"window_days must be >= 2, got {window_days}")
+    daily = (
+        events.select(
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__v").cast("decimal(18,6)").alias("__rd"))
+        .select(
+            "day",
+            F.datediff("day", F.lit("1970-01-01")).alias("__dn"),
+            "__rd",
+        )
+    )
+    w = Window.orderBy("__dn").rangeBetween(-window_days, -1)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum("__rd").over(w).cast("double")
+    s2 = F.sum(F.col("__rd") * F.col("__rd")).over(w).cast("double")
+    r = F.col("__rd").cast("double")
+    mean = s / n
+    var = (s2 - n * mean * mean) / (n - F.lit(1.0))
+    sd = F.when(var > 0, F.sqrt(var))
+    z = F.round((r - mean) / sd, 6)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(r, 6).alias("revenue"),
+        F.when(n >= 2, F.round(mean, 6)).alias("trailing_mean"),
+        F.when(n >= 2, z).alias("z_score"),
+        F.coalesce(
+            F.when(n >= 2, F.abs(z) >= F.lit(z_threshold)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -46,3 +46,29 @@ def test_decimal_accumulation_is_partition_stable(spark):
 def test_window_days_validation(events):
     with pytest.raises(ValueError):
         daily_rollup_ma(events, window_days=0)
+
+
+def test_anomaly_detection_flags_spike(spark):
+    from intake_esm_spark.operators.timeseries import detect_anomalies
+
+    rows = [("p", _ts(d), 10.0 + (d % 3) * 0.5) for d in range(1, 11)]
+    rows.append(("p", _ts(11), 500.0))  # the spike
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["day"]: r.asDict() for r in detect_anomalies(df, window_days=7).collect()}
+    assert out["2024-03-11"]["is_anomaly"] is True
+    assert out["2024-03-11"]["z_score"] > 10
+    # first day has no trailing window
+    assert out["2024-03-01"]["z_score"] is None
+    assert out["2024-03-01"]["is_anomaly"] is False
+    # normal days unflagged
+    assert not out["2024-03-08"]["is_anomaly"]
+
+
+def test_anomaly_constant_series_degenerate_variance(spark):
+    from intake_esm_spark.operators.timeseries import detect_anomalies
+
+    rows = [("p", _ts(d), 10.0) for d in range(1, 8)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = detect_anomalies(df, window_days=7).collect()
+    assert all(r["z_score"] is None for r in out)
+    assert all(r["is_anomaly"] is False for r in out)
