@@ -2774,7 +2774,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint_nfc": f"""
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(nfc_normalize(text)),
-                                           '\s+', ' ', 'g'))) AS fingerprint
+                                           '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
         "docs_select_best": f"""

@@ -127,7 +127,7 @@ def funnel_counts(
     # the 1-row stats frame is referenced once per step below, and a
     # DataFrame referenced k times is computed k times (the whole funnel
     # chain per branch) — materialize the single row
-    agg = agg.localCheckpoint()
+    agg = agg.localCheckpoint(eager=False)
     rows = None
     for i, step in enumerate(steps, start=1):
         r = agg.select(
