@@ -1540,6 +1540,25 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV mergeability driven through the correctness gate: the corpus
+    is split in half by event-id hash, sketched per half, and the
+    halves are `kmv_union`-merged — the oracle is the DIRECT whole-
+    corpus sketch SQL, so the driver's hash compare IS the proof that
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B)."""
+    from intake_esm_spark.operators.sketch import kmv_distinct, kmv_union
+
+    events = load_table(spark, sf, "events")
+    half_a = events.filter(F.crc32(F.col("event_id").cast("string")) % 2 == 0)
+    half_b = events.filter(F.crc32(F.col("event_id").cast("string")) % 2 == 1)
+    return kmv_union(
+        kmv_distinct(half_a, "user_id", ["event_type"], k=_KMV_K),
+        kmv_distinct(half_b, "user_id", ["event_type"], k=_KMV_K),
+        ["event_type"],
+        k=_KMV_K,
+    )
+
+
 _KMV_OVERLAP_K = 64
 
 
@@ -2067,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_quantiles": q_lineitem_quantiles,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
+        "events_distinct_kmv_merged": q_events_distinct_kmv_merged,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -4088,4 +4108,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, nfc_normalize(text) AS text, source,",
         1,
     )
+    # the merged-sketch entry's oracle IS the direct whole-corpus sketch:
+    # the hash compare proves merge(sk(A), sk(B)) == sk(A ∪ B)
+    d["events_distinct_kmv_merged"] = d["events_distinct_kmv"]
     return d
