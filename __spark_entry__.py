@@ -1344,7 +1344,10 @@ def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
     the double division replays bit-for-bit in the oracle."""
     from intake_esm_spark.operators.asof import asof_join
 
-    ev = load_table(spark, sf, "events")
+    # null users excluded on BOTH sides: the as-of window's partitionBy
+    # groups NULL keys together while the oracle's equality join never
+    # matches them — the sibling entries' isNotNull convention
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -1997,8 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries, so (standing rule) any entry whose code or oracle
     # changed this round is in the first 50, followed by the entries
     # longest without a driver-green row. Round-7 head (exactly 50):
-    # 18 new r7 entries (of 26 — the 8 deferred to the tail top are
-    # variants of head siblings, see the tail comment), 6 whose code
+    # 18 new r7 entries (the 9 deferred to the tail top are variants of
+    # head siblings, see the tail comment), 6 whose code
     # changed this round (retrieval null-filter, ivf probe rounding,
     # kmeans empty-cluster round, dedup_components survivor_by), the 14
     # entries last driver-confirmed in ROUND 4 (the rotation the r6
@@ -2024,7 +2027,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
-        "simsearch_ivf_pq": q_simsearch_ivf_pq,
+        # funnel_counts shares the round-7 frontier-checkpoint change
+        # with events_funnel — changed code stays in the head; its slot
+        # comes from simsearch_ivf_pq, whose build+probe path the
+        # rerank entry below drives end-to-end
+        "events_funnel_counts": q_events_funnel_counts,
         "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
         # -- code or oracle changed in round 7 -------------------------
         "docs_bm25": q_docs_bm25,
@@ -2071,14 +2078,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "dedup_lines_report": q_dedup_lines_report,
         # ---- rotation tail -------------------------------------------
-        # First the 8 round-7 entries deferred from the head: each is a
-        # VARIANT of a head sibling (funnel_counts/retention_weekly/
-        # spans_report derive from the same operator; sample_prop shares
-        # the hash-uniform path with sample_weighted; daily_ma shares
-        # the decimal-window path with events_anomaly; q7/q10/quantiles
-        # are the repo's most battle-tested expression classes) — all
-        # green in ORACLE_LOCAL_r7.txt; they take head priority in r8.
-        "events_funnel_counts": q_events_funnel_counts,
+        # First the 9 round-7 entries deferred from the head: each is a
+        # VARIANT of a head sibling (retention_weekly/spans_report/
+        # kmv_merged derive from the same operator as a head entry;
+        # sample_prop shares the hash-uniform path with sample_weighted;
+        # daily_ma shares the decimal-window path with events_anomaly;
+        # simsearch_ivf_pq's build+probe is driven by the head rerank
+        # entry; q7/q10/quantiles are the repo's most battle-tested
+        # expression classes) — all green in ORACLE_LOCAL_r7.txt; they
+        # take head priority in r8.
+        "simsearch_ivf_pq": q_simsearch_ivf_pq,
         "events_retention_weekly": q_events_retention_weekly,
         "dedup_spans_report": q_dedup_spans_report,
         "docs_sample_prop": q_docs_sample_prop,
@@ -2314,6 +2323,34 @@ def _hyperlsh_pairs_sql(n_planes: int = 16, bands: int = 4, threshold: float = 0
         JOIN e eb ON eb.vec_id = p.id_b
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
     """
+
+
+def _retention_sql(grain_days: int) -> str:
+    """DuckDB replay of operators.retention.retention_matrix at the
+    given grain: distinct user-day collapse, first-day cohorts,
+    offset-bucketed count-distinct, cohort size from the cohort frame
+    (== the offset-0 count the engine reuses)."""
+    return f"""
+            WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+              FROM events WHERE user_id IS NOT NULL
+            ), f AS (
+              SELECT user_id, min(d) AS cohort_date FROM days GROUP BY user_id
+            ), a AS (
+              SELECT f.cohort_date,
+                     CAST(floor(date_diff('day', f.cohort_date, days.d)
+                                / {grain_days}) AS INT) AS offset_periods,
+                     count(DISTINCT days.user_id) AS n_active
+              FROM days JOIN f USING (user_id)
+              GROUP BY 1, 2
+            ), s AS (
+              SELECT cohort_date, count(*) AS cohort_size FROM f GROUP BY 1
+            )
+            SELECT CAST(a.cohort_date AS VARCHAR) AS cohort_date,
+                   a.offset_periods, a.n_active, s.cohort_size,
+                   round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+            FROM a JOIN s USING (cohort_date)
+        """
 
 
 def _h60_sql(x: str) -> str:
@@ -3185,55 +3222,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n
         """,
-        "events_retention": """
-            WITH days AS (
-              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-              FROM events WHERE user_id IS NOT NULL
-            ), f AS (
-              SELECT user_id, min(d) AS cohort_date FROM days GROUP BY user_id
-            ), a AS (
-              SELECT f.cohort_date,
-                     CAST(floor(date_diff('day', f.cohort_date, days.d) / 1) AS INT)
-                       AS offset_periods,
-                     count(DISTINCT days.user_id) AS n_active
-              FROM days JOIN f USING (user_id)
-              GROUP BY 1, 2
-            ), s AS (
-              SELECT cohort_date, count(*) AS cohort_size FROM f GROUP BY 1
-            )
-            SELECT CAST(a.cohort_date AS VARCHAR) AS cohort_date,
-                   a.offset_periods, a.n_active, s.cohort_size,
-                   round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
-            FROM a JOIN s USING (cohort_date)
-        """,
-        "events_retention_weekly": """
-            WITH days AS (
-              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-              FROM events WHERE user_id IS NOT NULL
-            ), f AS (
-              SELECT user_id, min(d) AS cohort_date FROM days GROUP BY user_id
-            ), a AS (
-              SELECT f.cohort_date,
-                     CAST(floor(date_diff('day', f.cohort_date, days.d) / 7) AS INT)
-                       AS offset_periods,
-                     count(DISTINCT days.user_id) AS n_active
-              FROM days JOIN f USING (user_id)
-              GROUP BY 1, 2
-            ), s AS (
-              SELECT cohort_date, count(*) AS cohort_size FROM f GROUP BY 1
-            )
-            SELECT CAST(a.cohort_date AS VARCHAR) AS cohort_date,
-                   a.offset_periods, a.n_active, s.cohort_size,
-                   round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
-            FROM a JOIN s USING (cohort_date)
-        """,
+        # one SQL body, grain parameterized — the two entries cannot drift
+        "events_retention": _retention_sql(grain_days=1),
+        "events_retention_weekly": _retention_sql(grain_days=7),
         "events_attribution": """
             WITH p AS (
               SELECT user_id, ts, event_id, value FROM events
-              WHERE event_type = 'purchase'
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
             ), t AS (
               SELECT user_id, ts, event_id AS touch_event_id FROM events
-              WHERE event_type = 'click'
+              WHERE event_type = 'click' AND user_id IS NOT NULL
             )
             SELECT p.event_id, p.user_id, p.value,
                    CASE WHEN t.ts >= p.ts - INTERVAL '24 hours'

@@ -138,6 +138,12 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+HASH_SPACE_60 = float(2**60)
+"""Exclusive upper bound of :func:`portable_hash60` — THE definition of
+the 60-bit hash range (hash-uniform u = hash / HASH_SPACE_60). Sampling
+and sketch operators import it so a hash-width change has one home."""
+
+
 def portable_hash60(col: Column) -> Column:
     """60-bit engine-portable string hash: first 15 hex chars of md5 as a
     non-negative bigint. The SAME value is computable in any engine with

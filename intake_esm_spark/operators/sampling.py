@@ -108,9 +108,6 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
 
 
-_HASH_SPACE_F = float(2**60)
-
-
 def weighted_bernoulli_sample(
     df: DataFrame, prob_col: str, key_col: str, salt: str = ""
 ) -> DataFrame:
@@ -122,9 +119,9 @@ def weighted_bernoulli_sample(
     partition-independent and engine-replayable, but the sampling rate
     varies row by row. E[kept] = sum(p); inclusion is independent across
     rows (distinct keys hash independently)."""
-    from intake_esm_spark.functions.text import salted_hash60
+    from intake_esm_spark.functions.text import HASH_SPACE_60, salted_hash60
 
-    u = salted_hash60(F.col(key_col), salt).cast("double") / F.lit(_HASH_SPACE_F)
+    u = salted_hash60(F.col(key_col), salt).cast("double") / F.lit(HASH_SPACE_60)
     return df.filter(u < F.col(prob_col))
 
 
@@ -152,14 +149,16 @@ def weighted_take_per_group(
     both sort terms would fall back to partition order)."""
     from pyspark.sql import Window
 
-    from intake_esm_spark.functions.text import salted_hash60
+    from intake_esm_spark.functions.text import HASH_SPACE_60, salted_hash60
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     # +1 maps the hash into (0, 1]: u = 0 would send every weight to
-    # score 0 and u = 1 exactly is unreachable from a 60-bit hash
+    # score 0; the (measure-2^-60) top hash gets u = 1.0 exactly — score
+    # 1.0 for any weight, deterministic and replayed identically by the
+    # oracle, just weight-blind for that one key
     u = (salted_hash60(F.col(key_col), salt) + 1).cast("double") / F.lit(
-        _HASH_SPACE_F
+        HASH_SPACE_60
     )
     score = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
     w = Window.partitionBy(strata_col).orderBy(

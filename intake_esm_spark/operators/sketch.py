@@ -33,9 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from intake_esm_spark.functions.text import HASH_SPACE_60 as _HASH_SPACE
 from intake_esm_spark.functions.text import salted_hash60
-
-_HASH_SPACE = float(2**60)  # exclusive upper bound of portable_hash60
 _PHASE1_BUCKETS = 64
 
 

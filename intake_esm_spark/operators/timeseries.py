@@ -22,6 +22,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _daily_frame(events: DataFrame, value_col: str, ts_col: str) -> DataFrame:
+    """Day-grain decimal totals shared by the rollup and the anomaly
+    scorer: ``(day, __dn epoch-day, __rd decimal(18,6))`` — ONE
+    definition so the two entries (and their oracles) cannot de-sync."""
+    return (
+        events.select(
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__v").cast("decimal(18,6)").alias("__rd"))
+        .select(
+            "day",
+            F.datediff("day", F.lit("1970-01-01")).alias("__dn"),
+            "__rd",
+        )
+    )
+
+
 def daily_rollup_ma(
     events: DataFrame,
     value_col: str = "value",
@@ -33,25 +52,17 @@ def daily_rollup_ma(
     over days PRESENT in that calendar range."""
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
-    daily = (
-        events.select(
-            F.to_date(ts_col).alias("day"),
-            F.col(value_col).cast("decimal(18,6)").alias("__v"),
-        )
-        .groupBy("day")
-        .agg(F.sum("__v").alias("__rev"))
-        .withColumn("__dn", F.datediff("day", F.lit("1970-01-01")))
-    )
+    daily = _daily_frame(events, value_col, ts_col)
     w = (
         Window.orderBy("__dn")
         .rangeBetween(-(window_days - 1), 0)
     )
-    ma = F.sum("__rev").over(w).cast("double") / F.count(F.lit(1)).over(w).cast(
+    ma = F.sum("__rd").over(w).cast("double") / F.count(F.lit(1)).over(w).cast(
         "double"
     )
     return daily.select(
         F.col("day").cast("string").alias("day"),
-        F.round(F.col("__rev").cast("double"), 6).alias("revenue"),
+        F.round(F.col("__rd").cast("double"), 6).alias("revenue"),
         F.round(ma, 6).alias(f"ma{window_days}"),
     )
 
@@ -81,19 +92,7 @@ def detect_anomalies(
     """
     if window_days < 2:
         raise ValueError(f"window_days must be >= 2, got {window_days}")
-    daily = (
-        events.select(
-            F.to_date(ts_col).alias("day"),
-            F.col(value_col).cast("decimal(18,6)").alias("__v"),
-        )
-        .groupBy("day")
-        .agg(F.sum("__v").cast("decimal(18,6)").alias("__rd"))
-        .select(
-            "day",
-            F.datediff("day", F.lit("1970-01-01")).alias("__dn"),
-            "__rd",
-        )
-    )
+    daily = _daily_frame(events, value_col, ts_col)
     w = Window.orderBy("__dn").rangeBetween(-window_days, -1)
     n = F.count(F.lit(1)).over(w).cast("double")
     s = F.sum("__rd").over(w).cast("double")

@@ -424,6 +424,8 @@ def stream_distinct_kmv(
     import hashlib
     from decimal import ROUND_HALF_UP, Decimal
 
+    from pyspark.sql import functions as F
+
     from intake_esm_spark.operators.sketch import _HASH_SPACE, kmv_distinct
 
     if k < 2:
@@ -431,6 +433,14 @@ def stream_distinct_kmv(
     if not df.isStreaming:
         return kmv_distinct(df, key_col, [group_col], k)
 
+    # cast the key to string JVM-side so the python hash replays the
+    # batch operator's CAST(key AS STRING) exactly — without this, a
+    # LongType key column with any null reaches pandas as float64 and
+    # str(5.0) = '5.0' hashes differently than Spark's '5' (and bool/
+    # double renderings diverge too)
+    df = df.select(
+        F.col(group_col), F.col(key_col).cast("string").alias(key_col)
+    )
     group_type = df.schema[group_col].dataType
     output_schema = T.StructType(
         [
@@ -457,10 +467,15 @@ def stream_distinct_kmv(
         kept = set(state.get[0]) if state.exists else set()
         for pdf in batches:
             col = pdf[key_col].dropna()
-            kept.update(_h60(str(v)) for v in col)
+            # values are Spark-cast strings (see the select above)
+            kept.update(_h60(v) for v in col)
             if len(kept) > 4 * k:  # keep the working set bounded mid-batch
                 kept = set(sorted(kept)[:k])
         kept_sorted = sorted(kept)[:k]
+        if not kept_sorted:
+            # all-null group: the batch operator emits no row for it
+            # (key IS NOT NULL filter) — neither do we
+            return
         state.update((kept_sorted,))
         n = len(kept_sorted)
         est = float(n) if n < k else (k - 1) * _HASH_SPACE / kept_sorted[-1]

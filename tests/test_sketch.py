@@ -169,3 +169,51 @@ def test_pairwise_overlap_estimates_at_scale(spark):
     assert 650 <= r["union_est"] <= 1200
     assert 180 <= r["intersect_est"] <= 450
     assert 0.2 <= r["jaccard_est"] <= 0.5
+
+
+def test_stream_kmv_long_key_with_nulls_matches_batch(spark, tmp_path):
+    """A LongType key column containing nulls arrives in pandas as
+    float64; the JVM-side string cast must keep hashes equal to the
+    batch operator's CAST(key AS STRING) — and an all-null group must
+    produce NO row, like the batch isNotNull filter."""
+    from intake_esm_spark.streaming.stateful import stream_distinct_kmv
+
+    rows = [("g", i) for i in range(50)] + [("g", None), ("empty", None)]
+    df = spark.createDataFrame(rows, "g string, key long")
+    batch = {
+        r["g"]: (tuple(r["kmv_hashes"]), r["n_kept"], r["distinct_est"])
+        for r in stream_distinct_kmv(df, "key", "g", k=16).collect()
+    }
+    assert set(batch) == {"g"}  # no row for the all-null group
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "a"))
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(src / "a" / "*.parquet")))):
+        shutil.copy(f, flat / f"p{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema).format("parquet").load(str(flat))
+    )
+    out = stream_distinct_kmv(stream, "key", "g", k=16)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_nulls")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM kmv_nulls").collect()
+    finally:
+        q.stop()
+    streamed = {
+        r["g"]: (tuple(r["kmv_hashes"]), r["n_kept"], r["distinct_est"])
+        for r in emitted
+    }
+    assert streamed == batch
