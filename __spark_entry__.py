@@ -1562,6 +1562,16 @@ def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage chunking (RAG/embedding prep): 500-char chunks with
+    100-char overlap — pure in-row sequence + posexplode + substring,
+    ZERO shuffle; chunk ids are derived arithmetic, not ordinality."""
+    from intake_esm_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, chunk_size=500, overlap=100)
+
+
 _KMV_OVERLAP_K = 64
 
 
@@ -2088,6 +2098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression classes) — all green in ORACLE_LOCAL_r7.txt; they
         # take head priority in r8.
         "simsearch_ivf_pq": q_simsearch_ivf_pq,
+        # docs_chunk: new but pure in-row substring arithmetic — the
+        # lowest-risk class; deferred with the other variants
+        "docs_chunk": q_docs_chunk,
         "events_retention_weekly": q_events_retention_weekly,
         "dedup_spans_report": q_dedup_spans_report,
         "docs_sample_prop": q_docs_sample_prop,
@@ -3341,6 +3354,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
                    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # replays chunking.chunk_documents: starts 0,400,800,... < len,
+        # chunk_id = start // step (derived, no ordinality needed)
+        "docs_chunk": """
+            SELECT doc_id,
+                   CAST(start // 400 AS INT) AS chunk_id,
+                   CAST(start AS INT) AS char_start,
+                   substr(text, CAST(start AS INT) + 1, 500) AS chunk_text
+            FROM (
+              SELECT doc_id, text,
+                     unnest(range(0, CASE WHEN length(text) > 0
+                                          THEN length(text) ELSE 0 END,
+                                  400)) AS start
+              FROM documents
+            )
         """,
         # replays sampling.weighted_take_per_group: A-ES score
         # u^(1/w) over the md5-60 hash-uniform, 12dp-rounded (pow ulp

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "text_vocab",
     "text_redact",
     "docs_encoding",
+    "docs_chunk",
     "docs_hash_sample",
     "dedup_lines",
     "dedup_spans",
