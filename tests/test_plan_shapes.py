@@ -276,3 +276,66 @@ def test_span_dedup_exchange_budget(spark, queries):
     assert n_exchanges <= 6, f"span plan grew to {n_exchanges} exchanges"
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans <= 3, f"span plan grew to {n_scans} corpus scans"
+
+
+def test_docs_chunk_zero_shuffle(spark, queries):
+    """Chunking is a pure projection+generate: no Exchange, no Python."""
+    plan = plan_of(queries["docs_chunk"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_partial_group_limit_before_shuffle(spark, queries):
+    """The bottom-k window must run as WindowGroupLimit with a PARTIAL
+    pass before the exchange — each map task ships at most k rows per
+    (group, bucket), not its whole distinct-hash set."""
+    import re
+
+    plan = plan_of(queries["events_distinct_kmv"](spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    # exactly one source scan (each scan prints one "(N) Scan parquet"
+    # detail entry in the formatted plan)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_funnel_each_slice_scanned_once(spark, queries):
+    """Frontier checkpoints: the final plan reads materialized RDDs, not
+    one re-derivation of the signup aggregate per reference."""
+    plan = plan_of(queries["events_funnel"](spark, SF))
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # every slice behind a checkpoint
+    assert "Window" not in plan  # the join-chain form, not a window form
+
+
+def test_retention_single_events_scan(spark, queries):
+    """The pinned user-day collapse is the only events access; the final
+    window runs over the cohorts x offsets aggregate only."""
+    plan = plan_of(queries["events_retention"](spark, SF))
+    assert plan.count("Scan parquet ") == 0  # collapse checkpointed
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_attribution_single_user_keyed_shuffle(spark, queries):
+    """The as-of union shuffles once on the user key; no cartesian, no
+    range-join explosion."""
+    plan = plan_of(queries["events_attribution"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the union+last(ignorenulls) form
+
+
+def test_daily_ma_window_over_day_grain_aggregate(spark, queries):
+    """The unpartitioned RANGE window must sit ABOVE the day-grain
+    aggregation (calendar-bounded frame), never over raw events."""
+    plan = plan_of(queries["events_daily_ma"](spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans print top-down: the window node appears before
+    # (above) the aggregate that feeds it
+    assert win_pos < agg_pos
+
+
+def test_weighted_bernoulli_pure_filter(spark, queries):
+    plan = plan_of(queries["docs_sample_prop"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
