@@ -500,3 +500,115 @@ def stream_distinct_kmv(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_INTERVAL_UNITS_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _interval_us(within: str) -> int:
+    """Parse the simple '<n> <unit>' interval strings funnel() accepts
+    into microseconds (the subset both the SQL INTERVAL literal and this
+    python replay agree on)."""
+    parts = within.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _INTERVAL_UNITS_US:
+        raise ValueError(
+            f"within must look like '12 hours' "
+            f"(units: {sorted(set(_INTERVAL_UNITS_US))}), got {within!r}"
+        )
+    return int(parts[0]) * _INTERVAL_UNITS_US[parts[1].lower()]
+
+
+def stream_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel``: the per-user
+    funnel state machine maintained across micro-batches with
+    ``applyInPandasWithState``. State per user is just the completed-step
+    timestamps (<= k epoch-micros longs — bounded regardless of how many
+    events the user produces), advanced one qualifying event at a time:
+    step 1 anchors on the first ``steps[0]`` event, step i+1 on the first
+    ``steps[i]`` event strictly after t_i (and inside ``within`` of it).
+    Each update emits the user's current funnel row.
+
+    Exactness caveat (stated, like ``stream_dedup_exact``'s): equals the
+    batch operator when each user's events are processed in event-time
+    order — in-batch events are sorted here, so single-batch delivery is
+    always exact, and cross-batch delivery is exact when arrival order
+    respects event time per user. A late-arriving EARLIER event cannot
+    re-anchor a funnel already past it (that would need unbounded state).
+
+    In batch mode degenerates to the batch operator (the oracle).
+    """
+    from intake_esm_spark.operators.funnel import funnel
+
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    if not df.isStreaming:
+        return funnel(df, steps, user_col, ts_col, type_col, within)
+
+    tol_us = _interval_us(within) if within is not None else None
+    k = len(steps)
+    user_type = df.schema[user_col].dataType
+    output_schema = T.StructType(
+        [T.StructField(user_col, user_type)]
+        + [T.StructField(f"t{i}", T.TimestampType()) for i in range(1, k + 1)]
+        + [T.StructField("steps_completed", T.IntegerType())]
+    )
+    state_schema = T.StructType([T.StructField("ts_us", T.ArrayType(T.LongType()))])
+
+    def _update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        done = list(state.get[0]) if state.exists else []
+        progressed = False
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[ts_col]).sort_values(ts_col, kind="mergesort")
+            for etype, ts in zip(pdf[type_col], pdf[ts_col]):
+                ts_us = ts.value // 1000  # pandas ns -> engine micros
+                j = len(done)
+                if j == 0:
+                    if etype == steps[0]:
+                        done.append(ts_us)
+                        progressed = True
+                elif j < k and etype == steps[j]:
+                    prev = done[-1]
+                    if ts_us > prev and (
+                        tol_us is None or ts_us <= prev + tol_us
+                    ):
+                        done.append(ts_us)
+                        progressed = True
+        if not done:
+            return  # not in the cohort: batch emits no row either
+        if progressed or not state.exists:
+            state.update((done,))
+        ts_vals = [
+            pd.Timestamp(done[i] * 1000) if i < len(done) else pd.NaT
+            for i in range(k)
+        ]
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                **{f"t{i+1}": [ts_vals[i]] for i in range(k)},
+                "steps_completed": [len(done)],
+            }
+        )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        _update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -109,3 +109,80 @@ def test_funnel_empty_steps_raises(events):
 def test_funnel_bad_interval_fails_at_plan_build(events):
     with pytest.raises(Exception):
         funnel(events, ["signup", "view"], within="12 bogons")
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Events streamed in two time-ordered micro-batches must yield the
+    batch funnel rows exactly (cohort set, timestamps, step counts)."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.streaming.stateful import stream_funnel
+
+    rows = [
+        ("u1", "signup", _ts(0)), ("u1", "view", _ts(1)), ("u1", "purchase", _ts(2)),
+        ("u2", "view", _ts(0)), ("u2", "signup", _ts(1)),
+        ("u3", "signup", _ts(3)), ("u3", "view", _ts(3)),
+        ("u4", "signup", _ts(0)), ("u4", "view", _ts(5)), ("u4", "purchase", _ts(6)),
+        ("u5", "view", _ts(0)), ("u5", "purchase", _ts(1)),
+        ("u6", "signup", _ts(0)), ("u6", "signup", _ts(9)),
+        ("u6", "view", _ts(1, 30)), ("u6", "purchase", _ts(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    steps = ["signup", "view", "purchase"]
+    batch = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"], r["steps_completed"])
+        for r in stream_funnel(df, steps, within="2 hours").collect()
+    }
+
+    # split by TIME so cross-batch arrival respects per-user event order
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    early = df.filter(F.col("ts") < _ts(2))
+    late = df.filter(F.col("ts") >= _ts(2))
+    early.coalesce(1).write.parquet(str(tmp_path / "a"))
+    late.coalesce(1).write.parquet(str(tmp_path / "b"))
+    import glob
+    import shutil
+
+    for part, name in [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]:
+        for f in glob.glob(str(part / "*.parquet")):
+            shutil.copy(f, flat / f"{name}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    out = stream_funnel(stream, steps, within="2 hours")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM funnel_stream").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in emitted:  # later updates have >= steps_completed
+        cur = final.get(r["user_id"])
+        if cur is None or r["steps_completed"] >= cur["steps_completed"]:
+            final[r["user_id"]] = r
+    streamed = {
+        u: (r["t1"], r["t2"], r["t3"], r["steps_completed"])
+        for u, r in final.items()
+    }
+    assert streamed == batch
+
+
+def test_stream_funnel_bad_interval(spark):
+    from intake_esm_spark.streaming.stateful import _interval_us
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _interval_us("12 bogons")
+    assert _interval_us("2 hours") == 7_200_000_000
