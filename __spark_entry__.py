@@ -3355,8 +3355,10 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
             FROM lineitem GROUP BY l_returnflag
         """,
-        # replays chunking.chunk_documents: starts 0,400,800,... < len,
-        # chunk_id = start // step (derived, no ordinality needed)
+        # replays chunking.chunk_documents: starts 0,400,800,... while
+        # start + overlap < len (start 0 always — greatest(len-100,1)
+        # keeps range non-empty for short docs), chunk_id = start //
+        # step (derived, no ordinality needed)
         "docs_chunk": """
             SELECT doc_id,
                    CAST(start // 400 AS INT) AS chunk_id,
@@ -3365,7 +3367,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id, text,
                      unnest(range(0, CASE WHEN length(text) > 0
-                                          THEN length(text) ELSE 0 END,
+                                          THEN greatest(length(text) - 100, 1)
+                                          ELSE 0 END,
                                   400)) AS start
               FROM documents
             )

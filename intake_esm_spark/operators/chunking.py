@@ -29,9 +29,14 @@ def chunk_documents(
     """One row per passage: ``(id, chunk_id, char_start, chunk_text)``.
 
     Starts are ``0, step, 2*step, ...`` for ``step = chunk_size -
-    overlap`` while ``start < length`` — the final chunk may be shorter
-    than ``chunk_size`` (never empty). Null or empty documents produce
-    no rows (explode of an empty sequence).
+    overlap``, emitted while ``start + overlap < length`` (start 0
+    always) — the bound guarantees every chunk after the first carries
+    at least one character BEYOND the previous chunk's overlap region,
+    so no chunk is wholly contained in its predecessor (a tail shorter
+    than ``overlap`` would otherwise ship a pure-duplicate passage to
+    the embedding stage). The final chunk may be shorter than
+    ``chunk_size`` (never empty). Null or empty documents produce no
+    rows (explode of an empty sequence).
     """
     if chunk_size < 1:
         raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
@@ -41,8 +46,11 @@ def chunk_documents(
         )
     step = chunk_size - overlap
     n = F.length(text_col)
+    # last valid start: the largest s with s + overlap < n, i.e.
+    # s <= n - overlap - 1 (clamped to 0 so short docs keep start 0)
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))
+        n > 0,
+        F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)),
     ).otherwise(F.array())
     out = docs.select(
         F.col(id_col),
@@ -53,7 +61,7 @@ def chunk_documents(
         id_col,
         (F.col("char_start") / step).cast("int").alias("chunk_id"),
         "char_start",
-        F.expr(f"substring({text_col}, char_start + 1, {chunk_size})").alias(
-            "chunk_text"
-        ),
+        F.substring(
+            F.col(text_col), F.col("char_start") + 1, F.lit(chunk_size)
+        ).alias("chunk_text"),
     )

@@ -540,12 +540,18 @@ def stream_funnel(
     ``steps[i]`` event strictly after t_i (and inside ``within`` of it).
     Each update emits the user's current funnel row.
 
-    Exactness caveat (stated, like ``stream_dedup_exact``'s): equals the
-    batch operator when each user's events are processed in event-time
-    order — in-batch events are sorted here, so single-batch delivery is
+    Exactness caveats (stated, like ``stream_dedup_exact``'s): equals
+    the batch operator when each user's events are processed in
+    event-time order — a micro-batch's events are gathered across ALL
+    Arrow chunks and sorted once here, so single-batch delivery is
     always exact, and cross-batch delivery is exact when arrival order
     respects event time per user. A late-arriving EARLIER event cannot
-    re-anchor a funnel already past it (that would need unbounded state).
+    re-anchor a funnel already past it (that would need unbounded
+    state). Timestamp arithmetic runs on epoch micros as rendered in the
+    session timezone — ``get_spark()`` pins ``spark.sql.session.
+    timeZone=UTC``, which this operator assumes (a DST-observing session
+    zone would make wall-clock deltas diverge from the batch operator's
+    instant arithmetic).
 
     In batch mode degenerates to the batch operator (the oracle).
     """
@@ -573,7 +579,14 @@ def stream_funnel(
     ) -> Iterator[pd.DataFrame]:
         done = list(state.get[0]) if state.exists else []
         progressed = False
-        for pdf in batches:
+        # a group's micro-batch arrives as MULTIPLE Arrow chunks (capped
+        # by arrow.maxRecordsPerBatch); sorting per-chunk would misorder
+        # events that straddle a chunk boundary — gather, then sort once
+        chunks = [c for c in batches if len(c)]
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(pdf):
             pdf = pdf.dropna(subset=[ts_col]).sort_values(ts_col, kind="mergesort")
             for etype, ts in zip(pdf[type_col], pdf[ts_col]):
                 ts_us = ts.value // 1000  # pandas ns -> engine micros
@@ -582,7 +595,10 @@ def stream_funnel(
                     if etype == steps[0]:
                         done.append(ts_us)
                         progressed = True
-                elif j < k and etype == steps[j]:
+                # a NULL user key can anchor step 1 (the batch groupBy
+                # keeps the null group) but never advance: the batch
+                # operator's equi-joins drop null keys past step 1
+                elif j < k and etype == steps[j] and key[0] is not None:
                     prev = done[-1]
                     if ts_us > prev and (
                         tol_us is None or ts_us <= prev + tol_us

@@ -7,6 +7,7 @@ step types needing distinct events, and the counts report fractions.
 """
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -144,9 +145,15 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     import glob
     import shutil
 
-    for part, name in [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]:
+    for i, (part, name) in enumerate(
+        [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
+    ):
         for f in glob.glob(str(part / "*.parquet")):
-            shutil.copy(f, flat / f"{name}.parquet")
+            dest = flat / f"{name}.parquet"
+            shutil.copy(f, dest)
+            # the file source orders micro-batches by mtime (ms grain);
+            # two copies in the same ms would make batch order random
+            os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
     stream = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
