@@ -1,0 +1,147 @@
+"""Randomized reference parity for the events-analytics family.
+
+Seeded random event sets compared against independent pure-Python
+implementations of the funnel / retention / KMV semantics — the
+fixture-independent evidence that the Spark plans implement the stated
+contracts, not just the shapes the hand-written fixtures exercise.
+"""
+
+import datetime as dt
+import hashlib
+import random
+
+import pytest
+
+STEPS = ["signup", "view", "purchase"]
+TYPES = STEPS + ["click", "error"]
+
+
+def _random_events(seed, n_users=40, n_events=400):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n_events):
+        rows.append(
+            (
+                f"u{rng.randrange(n_users)}",
+                rng.choice(TYPES),
+                base + dt.timedelta(minutes=rng.randrange(60 * 24 * 20)),
+            )
+        )
+    return rows
+
+
+def _py_funnel(rows, steps, within: dt.timedelta | None):
+    """Reference: t1 = min step-1 ts; t_i = min step-i ts strictly after
+    t_{i-1} (and within tolerance)."""
+    by_user = {}
+    for u, t, ts in rows:
+        by_user.setdefault(u, []).append((t, ts))
+    out = {}
+    for u, evs in by_user.items():
+        done = []
+        s1 = [ts for t, ts in evs if t == steps[0]]
+        if not s1:
+            continue
+        done.append(min(s1))
+        for step in steps[1:]:
+            prev = done[-1]
+            cand = [
+                ts
+                for t, ts in evs
+                if t == step
+                and ts > prev
+                and (within is None or ts <= prev + within)
+            ]
+            if not cand:
+                break
+            done.append(min(cand))
+        out[u] = (done + [None] * len(steps))[: len(steps)] + [len(done)]
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_funnel_matches_python_reference(spark, seed):
+    from intake_esm_spark.operators.funnel import funnel
+
+    rows = _random_events(seed)
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    got = {
+        r["user_id"]: [r["t1"], r["t2"], r["t3"], r["steps_completed"]]
+        for r in funnel(df, STEPS, within="12 hours").collect()
+    }
+    want = _py_funnel(rows, STEPS, dt.timedelta(hours=12))
+    assert got == {u: list(v) for u, v in want.items()}
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_retention_matches_python_reference(spark, seed):
+    from intake_esm_spark.operators.retention import retention_matrix
+
+    rows = _random_events(seed)
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    grain = 3
+    got = {
+        (r["cohort_date"], r["offset_periods"]): (r["n_active"], r["cohort_size"])
+        for r in retention_matrix(df, grain_days=grain).collect()
+    }
+    days = {(u, ts.date()) for u, _, ts in rows}
+    first = {}
+    for u, d in days:
+        if u not in first or d < first[u]:
+            first[u] = d
+    want = {}
+    for u, d in days:
+        key = (str(first[u]), (d - first[u]).days // grain)
+        want.setdefault(key, set()).add(u)
+    sizes = {}
+    for u, d0 in first.items():
+        sizes[str(d0)] = sizes.get(str(d0), 0) + 1
+    want = {k: (len(v), sizes[k[0]]) for k, v in want.items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_kmv_hashes_match_python_reference(spark, seed):
+    """The kept hashes ARE the md5-60 bottom-k of the distinct keys."""
+    from intake_esm_spark.operators.sketch import kmv_distinct
+
+    rng = random.Random(seed)
+    rows = [("g", f"k{rng.randrange(500)}") for _ in range(1500)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    k = 48
+    got = kmv_distinct(df, "key", ["g"], k=k).collect()[0]
+    keys = {key for _, key in rows}
+    hashes = sorted(
+        int(hashlib.md5(("|" + key).encode()).hexdigest()[:15], 16)
+        for key in keys
+    )[:k]
+    assert list(got["kmv_hashes"]) == hashes
+    assert got["n_kept"] == len(hashes)
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_chunking_matches_python_reference(spark, seed):
+    from intake_esm_spark.operators.chunking import chunk_documents
+
+    rng = random.Random(seed)
+    docs = [
+        (f"d{i}", "".join(rng.choice("abcdef ") for _ in range(rng.randrange(0, 1300))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    size, ov = 300, 60
+    step = size - ov
+    got = {
+        (r["doc_id"], r["char_start"]): r["chunk_text"]
+        for r in chunk_documents(df, chunk_size=size, overlap=ov).collect()
+    }
+    want = {}
+    for doc_id, text in docs:
+        s = 0
+        while len(text) > 0 and (s == 0 or s + ov < len(text)):
+            want[(doc_id, s)] = text[s : s + size]
+            s += step
+            if s + ov >= len(text):
+                break
+    assert got == want
