@@ -1572,6 +1572,26 @@ def q_docs_chunk(spark: SparkSession, sf: str) -> DataFrame:
     return chunk_documents(docs, chunk_size=500, overlap=100)
 
 
+_QCHECK_RULES = [
+    ("not_null", "text", 0.5),
+    ("unique", "doc_id", None),
+    ("min", "n_chars", 0.0),
+    ("max", "n_chars", 100000.0),
+    ("in_set", "source", [f"src{i}" for i in range(20)]),
+    ("not_null", "lang", 0.99),
+]
+
+
+def q_docs_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style data-quality validation: six declared constraints
+    (completeness, id uniqueness, value bounds, accepted source domain)
+    verified in ONE aggregate pass; report is rule-cardinality rows."""
+    from intake_esm_spark.operators.quality_checks import check_constraints
+
+    docs = load_table(spark, sf, "documents")
+    return check_constraints(docs, _QCHECK_RULES)
+
+
 _KMV_OVERLAP_K = 64
 
 
@@ -2098,9 +2118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression classes) — all green in ORACLE_LOCAL_r7.txt; they
         # take head priority in r8.
         "simsearch_ivf_pq": q_simsearch_ivf_pq,
-        # docs_chunk: new but pure in-row substring arithmetic — the
-        # lowest-risk class; deferred with the other variants
+        # docs_chunk / docs_quality_checks: new but built from the
+        # lowest-risk expression classes (in-row substring arithmetic;
+        # exact integer-ratio aggregates) — deferred with the variants
         "docs_chunk": q_docs_chunk,
+        "docs_quality_checks": q_docs_quality_checks,
         "events_retention_weekly": q_events_retention_weekly,
         "dedup_spans_report": q_dedup_spans_report,
         "docs_sample_prop": q_docs_sample_prop,
@@ -3355,6 +3377,52 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
             FROM lineitem GROUP BY l_returnflag
         """,
+        # replays quality_checks.check_constraints: one metrics CTE,
+        # one report row per declared rule (passed compares the ROUNDED
+        # fraction, like the engine)
+        "docs_quality_checks": """
+            WITH m AS (
+              SELECT count(*) AS n,
+                     count(text) AS m0,
+                     count(DISTINCT doc_id) AS m1, count(doc_id) AS m1nn,
+                     CAST(min(n_chars) AS DOUBLE) AS m2,
+                     CAST(max(n_chars) AS DOUBLE) AS m3,
+                     sum(CASE WHEN source IN (__SRCS__)
+                         THEN 1 ELSE 0 END) AS m4,
+                     count(source) AS m4nn,
+                     count(lang) AS m5
+              FROM documents
+            )
+            SELECT 0 AS rule_idx, 'not_null' AS rule, 'text' AS "column",
+                   round(CASE WHEN n > 0 THEN CAST(m0 AS DOUBLE) / n
+                              ELSE 1.0 END, 6) AS metric,
+                   CAST(round(CASE WHEN n > 0 THEN CAST(m0 AS DOUBLE) / n
+                              ELSE 1.0 END, 6) >= 0.5 AS INT) AS passed
+            FROM m
+            UNION ALL
+            SELECT 1, 'unique', 'doc_id',
+                   round(CASE WHEN m1nn > 0 THEN CAST(m1 AS DOUBLE) / m1nn
+                              ELSE 1.0 END, 6),
+                   CAST(m1 = m1nn AS INT) FROM m
+            UNION ALL
+            SELECT 2, 'min', 'n_chars', round(m2, 6),
+                   CAST(coalesce(m2 >= 0.0, true) AS INT) FROM m
+            UNION ALL
+            SELECT 3, 'max', 'n_chars', round(m3, 6),
+                   CAST(coalesce(m3 <= 100000.0, true) AS INT) FROM m
+            UNION ALL
+            SELECT 4, 'in_set', 'source',
+                   round(CASE WHEN m4nn > 0
+                              THEN CAST(coalesce(m4, 0) AS DOUBLE) / m4nn
+                              ELSE 1.0 END, 6),
+                   CAST(coalesce(m4, 0) = m4nn AS INT) FROM m
+            UNION ALL
+            SELECT 5, 'not_null', 'lang',
+                   round(CASE WHEN n > 0 THEN CAST(m5 AS DOUBLE) / n
+                              ELSE 1.0 END, 6),
+                   CAST(round(CASE WHEN n > 0 THEN CAST(m5 AS DOUBLE) / n
+                              ELSE 1.0 END, 6) >= 0.99 AS INT) FROM m
+        """.replace("__SRCS__", "'src0', 'src1', 'src2', 'src3', 'src4', 'src5', 'src6', 'src7', 'src8', 'src9', 'src10', 'src11', 'src12', 'src13', 'src14', 'src15', 'src16', 'src17', 'src18', 'src19'"),
         # replays chunking.chunk_documents: starts 0,400,800,... while
         # start + overlap < len (start 0 always — greatest(len-100,1)
         # keeps range non-empty for short docs), chunk_id = start //
