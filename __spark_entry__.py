@@ -2506,7 +2506,7 @@ _PQ_TOPK_SQL = f"""
              row_number() OVER (
                PARTITION BY q.query_id
                ORDER BY round(list_cosine_similarity(r.rv, q.qv), 6) DESC,
-                        r.vec_id DESC) AS rn
+                        r.vec_id ASC) AS rn
       FROM recon r, q
     ) WHERE rn <= 10
 """
@@ -3251,11 +3251,17 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT count(*) FROM s3) AS n3
             )
             SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users,
-                   round(CAST(n1 AS DOUBLE) / n1, 6) AS frac_of_cohort FROM n
+                   CASE WHEN n1 > 0
+                        THEN round(CAST(n1 AS DOUBLE) / n1, 6)
+                   END AS frac_of_cohort FROM n
             UNION ALL
-            SELECT 2, 'view', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+            SELECT 2, 'view', n2,
+                   CASE WHEN n1 > 0
+                        THEN round(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
             UNION ALL
-            SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n
+            SELECT 3, 'purchase', n3,
+                   CASE WHEN n1 > 0
+                        THEN round(CAST(n3 AS DOUBLE) / n1, 6) END FROM n
         """,
         # one SQL body, grain parameterized — the two entries cannot drift
         "events_retention": _retention_sql(grain_days=1),

@@ -899,7 +899,12 @@ def dedup_components(
         col = survivor_by if isinstance(survivor_by, Column) else F.col(survivor_by)
         scored = df.select(F.col(id_col), col.alias("__score"))
 
-    memb = cc.join(scored, id_col)
+    # LEFT join: a member missing from the score frame must still be a
+    # survivor candidate (an inner join would erase a fully-unscored
+    # component — every member then lands in the anti-join drop set,
+    # violating "exactly one survivor per component"); missing scores
+    # behave exactly like null scores below
+    memb = cc.join(scored, id_col, "left")
     # argmax score, ties to min id, as ONE min-aggregate: min of
     # (-score, id) struct — null scores coalesce to +inf so they lose
     # to any scored member (all-null components fall back to min id)

@@ -117,10 +117,14 @@ def funnel_counts(
     frac_of_cohort)`` — the conversion chart. Derived from
     :func:`funnel` with one metadata-scale aggregation."""
     per_user = funnel(events, steps, user_col, ts_col, type_col, within)
+    # coalesce: over an EMPTY cohort F.sum returns null while F.count
+    # returns 0 — the report must say 0 users at every step, not null
     agg = per_user.agg(
         F.count(F.lit(1)).alias("__n1"),
         *[
-            F.sum(F.col(f"t{i}").isNotNull().cast("bigint")).alias(f"__n{i}")
+            F.coalesce(
+                F.sum(F.col(f"t{i}").isNotNull().cast("bigint")), F.lit(0)
+            ).alias(f"__n{i}")
             for i in range(2, len(steps) + 1)
         ],
     )
@@ -134,8 +138,14 @@ def funnel_counts(
             F.lit(i).alias("step_idx"),
             F.lit(step).alias("step"),
             F.col(f"__n{i}").alias("n_users"),
-            F.round(
-                F.col(f"__n{i}").cast("double") / F.col("__n1").cast("double"), 6
+            # empty cohort: the fraction is undefined (null), never NaN
+            F.when(
+                F.col("__n1") > 0,
+                F.round(
+                    F.col(f"__n{i}").cast("double")
+                    / F.col("__n1").cast("double"),
+                    6,
+                ),
             ).alias("frac_of_cohort"),
         )
         rows = r if rows is None else rows.unionByName(r)

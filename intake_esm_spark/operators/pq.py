@@ -131,7 +131,19 @@ def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
             ),
         )
         codes.append(F.array_sort(pairs)[0]["i"])
-    return F.array(*codes)
+    # loud dimension guard: a vector whose length != m*dsub would slice
+    # short subvectors, null every distance via zip_with padding, and
+    # silently encode as code 0 everywhere — a garbage index with no
+    # error. CaseWhen evaluates branches lazily, so the error fires only
+    # on an actual mismatched row.
+    return F.when(F.size(vec) == m * dsub, F.array(*codes)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq_encode: vector dim != m*dsub = {m * dsub}, got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
 
 
 def pq_decode(codes: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -182,8 +194,11 @@ def pq_topk(
             6,
         ).alias("cos_sim"),
     )
+    # ties to the LOWER id — the same (rounded score desc, id asc)
+    # total order brute_force_topk / ivf_topk / rerank rank by, so PQ
+    # recall measured against the float path compares like with like
     w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos_sim"), F.desc(id_col)
+        F.desc("cos_sim"), F.asc(id_col)
     )
     return (
         scored.withColumn("__rk", F.row_number().over(w))

@@ -1102,6 +1102,15 @@ def ivf_topk_rerank(
     (``full_vectors`` — the source-of-truth table the index was built
     from) and return the exact-scored top ``k``.
 
+    **Precondition: ``full_vectors`` must cover every id in the index**
+    (including rows added later via :func:`ivf_index_append`). The
+    rerank join is an inner join by design — a candidate id missing
+    from ``full_vectors`` is silently dropped from the result, which is
+    the correct behavior for a source-of-truth table (the index entry
+    is stale) but means a DRIFTED table quietly lowers recall: if you
+    append to the index, rerank against the equally-appended vector
+    table.
+
     This is how a 100 TB deployment gets exact final scores without
     exact costs: the compressed index bounds the bytes scanned (the PQ
     index reads 4-byte codes from nprobe/n_centroids of the

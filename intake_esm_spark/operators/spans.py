@@ -122,6 +122,38 @@ def _window_runs(
     )
 
 
+def _cut_runs(df: DataFrame, runs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared reassembly for span_dedup / span_dedup_against: collect a
+    doc's run intervals, index the token array once, cut every covered
+    token in one in-row pass (O(tokens x runs), runs small), and emit
+    the rewritten text + diagnostics. ONE definition so the inline and
+    against-snapshot paths (whose equality tests assert) cannot drift."""
+    spans = runs.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("__s").alias("s"), F.col("__e_tok").alias("e"))
+        ).alias("__spans")
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words_array(F.col(text_col)).alias("__toks")
+    )
+    joined = toks.join(spans, id_col, "left")
+    idx = F.transform(
+        F.col("__toks"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))
+    )
+    covered = lambda st: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (sp["s"] <= st["i"]) & (st["i"] <= sp["e"])
+    )
+    kept = F.when(F.col("__spans").isNull(), F.col("__toks")).otherwise(
+        F.transform(F.filter(idx, lambda st: ~covered(st)), lambda st: st["t"])
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -147,32 +179,7 @@ def span_dedup(
     first if one canonical copy must survive.
     """
     runs = _window_runs(df, id_col, text_col, n, min_doc_freq, min_run)
-    spans = runs.groupBy(id_col).agg(
-        F.collect_list(
-            F.struct(F.col("__s").alias("s"), F.col("__e_tok").alias("e"))
-        ).alias("__spans")
-    )
-    toks = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), words_array(F.col(text_col)).alias("__toks")
-    )
-    joined = toks.join(spans, id_col, "left")
-    # index the token array once, then one in-row pass: token i survives
-    # iff no span interval covers it (O(tokens x runs), runs small)
-    idx = F.transform(
-        F.col("__toks"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))
-    )
-    covered = lambda st: F.exists(  # noqa: E731
-        F.col("__spans"), lambda sp: (sp["s"] <= st["i"]) & (st["i"] <= sp["e"])
-    )
-    kept = F.when(F.col("__spans").isNull(), F.col("__toks")).otherwise(
-        F.transform(F.filter(idx, lambda st: ~covered(st)), lambda st: st["t"])
-    )
-    return joined.select(
-        F.col(id_col),
-        F.array_join(kept, " ").alias(text_col),
-        F.size("__toks").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).alias("n_removed"),
-    )
+    return _cut_runs(df, runs, id_col, text_col)
 
 
 def duplicated_spans(
@@ -295,30 +302,7 @@ def span_dedup_against(
     runs = _window_runs(
         df, id_col, text_col, n, min_doc_freq=2, min_run=min_run, dup_vocab=vocab
     )
-    spans_per_doc = runs.groupBy(id_col).agg(
-        F.collect_list(
-            F.struct(F.col("__s").alias("s"), F.col("__e_tok").alias("e"))
-        ).alias("__spans")
-    )
-    toks = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), words_array(F.col(text_col)).alias("__toks")
-    )
-    joined = toks.join(spans_per_doc, id_col, "left")
-    idx = F.transform(
-        F.col("__toks"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))
-    )
-    covered = lambda st: F.exists(  # noqa: E731
-        F.col("__spans"), lambda sp: (sp["s"] <= st["i"]) & (st["i"] <= sp["e"])
-    )
-    kept = F.when(F.col("__spans").isNull(), F.col("__toks")).otherwise(
-        F.transform(F.filter(idx, lambda st: ~covered(st)), lambda st: st["t"])
-    )
-    return joined.select(
-        F.col(id_col),
-        F.array_join(kept, " ").alias(text_col),
-        F.size("__toks").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).alias("n_removed"),
-    )
+    return _cut_runs(df, runs, id_col, text_col)
 
 
 # stamped into every materialized window snapshot; windows hash with

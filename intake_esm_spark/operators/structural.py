@@ -187,11 +187,18 @@ def line_dedup_against(
     # so defend against duplicate fingerprint rows (each would duplicate
     # every matching line in the reassembly and inflate n_lines/n_kept);
     # the projection is line-vocabulary-sized, the distinct is cheap
-    rep = report.select(
-        F.col("fingerprint").alias("__fp"),
-        F.col("first_doc").alias("__keeper"),
-        F.lit(True).alias("__hit"),
-    ).dropDuplicates(["__fp"])
+    # (min, not dropDuplicates: duplicate fingerprints with DIFFERENT
+    # first_doc values would otherwise keep a partition-order-dependent
+    # keeper, breaking the determinism contract)
+    rep = (
+        report.select(
+            F.col("fingerprint").alias("__fp"),
+            F.col("first_doc").alias("__keeper"),
+        )
+        .groupBy("__fp")
+        .agg(F.min("__keeper").alias("__keeper"))
+        .withColumn("__hit", F.lit(True))
+    )
     joined = line_rows.join(rep, "__fp", "left")
     keep_line = F.col("__hit").isNull()
     if keep == "first":

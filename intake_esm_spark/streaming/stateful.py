@@ -354,6 +354,13 @@ def stream_span_filter(
 
     from pyspark.sql import functions as F
 
+    # mirror the batch twin's guards (spans._window_runs raises for
+    # these; silent acceptance here would cut every isolated window)
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
     rows = (
         window_hashes_df.select(hash_col).limit(max_windows + 1).collect()
     )

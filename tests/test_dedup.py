@@ -459,3 +459,21 @@ def test_lsh_index_rejects_foreign_hash_scheme(spark, tmp_path):
     write_text_sidecar(spark, f"{path}/_lsh_params", json.dumps(params))
     with pytest.raises(ValueError, match="hash scheme"):
         dedup.near_duplicates_incremental(spark, path, docs, docs, threshold=0.8)
+
+
+def test_dedup_components_survivor_by_partial_score_frame(spark):
+    """A component whose members are ALL missing from the score frame
+    must still keep its min-id survivor (the score join is a LEFT join;
+    an inner join would drop every member of the unscored component)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5)], ["doc_id", "text"]
+    )
+    # component {2,3} scored, component {4,5} entirely unscored
+    scores = spark.createDataFrame([(2, 1.0), (3, 9.0)], "doc_id bigint, s double")
+    pairs = spark.createDataFrame([(2, 3), (4, 5)], "id_a bigint, id_b bigint")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_components(docs, pairs, survivor_by=scores).collect()
+    )
+    # 1 untouched; 3 wins {2,3} on score; 4 survives {4,5} by min id
+    assert kept == [1, 3, 4]

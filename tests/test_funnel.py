@@ -193,3 +193,13 @@ def test_stream_funnel_bad_interval(spark):
     with _pytest.raises(ValueError):
         _interval_us("12 bogons")
     assert _interval_us("2 hours") == 7_200_000_000
+
+
+def test_funnel_counts_empty_cohort(spark):
+    """No step-1 events: every step reports 0 users and a null (not
+    NaN) fraction."""
+    rows = [("u1", "view", _ts(1)), ("u1", "purchase", _ts(2))]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = funnel_counts(df, ["signup", "view", "purchase"]).collect()
+    assert [r["n_users"] for r in sorted(out, key=lambda r: r["step_idx"])] == [0, 0, 0]
+    assert all(r["frac_of_cohort"] is None for r in out)

@@ -164,3 +164,18 @@ def test_train_codebooks_keeps_empty_codes(spark):
     assert got[0][2] == [5.0, 5.0]
     with pytest.raises(ValueError, match="iters"):
         pq.train_codebooks(df, seeds, iters=0)
+
+
+def test_pq_encode_dimension_mismatch_raises(spark):
+    """A vector whose length != m*dsub must fail loudly, not encode as
+    all-zero codes."""
+    from py4j.protocol import Py4JJavaError
+
+    from intake_esm_spark.operators import pq
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]  # m=2, dsub=2
+    df = spark.createDataFrame([(1, [0.1, 0.2, 0.3])], "id long, v array<double>")
+    out = df.select(pq.pq_encode(F.col("v"), books).alias("codes"))
+    with pytest.raises(Exception) as exc:
+        out.collect()
+    assert "pq_encode" in str(exc.value)
