@@ -2017,6 +2017,122 @@ def q_docs_curated3(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event-log shaping / CDC / privacy / split (§2.9 extensions, this session)
+
+
+def q_events_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths
+    (operators/eventlog.py): consecutive-pair counts + conditional
+    leave-probabilities, final events absorbed into 'end' so each
+    from-state's probabilities sum to 1. One exchange on the user key;
+    the normalization window runs over the |types|^2 matrix."""
+    from intake_esm_spark.operators.eventlog import transition_matrix
+
+    events = load_table(spark, sf, "events")
+    return transition_matrix(events, terminal="end")
+
+
+def q_events_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event log
+    (gaps-and-islands): each user's consecutive event_type repeats
+    collapse into versioned [effective_from, effective_to) intervals,
+    open-ended on the current value. Both windows share the user-key
+    exchange; output is bounded by value CHANGES, not events."""
+    from intake_esm_spark.operators.eventlog import scd2_from_log
+
+    events = load_table(spark, sf, "events")
+    return scd2_from_log(events, "user_id", "event_type")
+
+
+def q_events_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar gap-fill + forward fill: one row per (user, day) across
+    each user's own activity span — zero counts on silent days, the
+    last active day's decimal-exact value total carried forward. The
+    resample step before any fixed-stride feature window."""
+    from intake_esm_spark.operators.eventlog import gapfill_daily
+
+    events = load_table(spark, sf, "events")
+    return gapfill_daily(events)
+
+
+def q_customer_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot change-data-capture (operators/cdc.py): two
+    deterministically derived customer snapshots (old drops custkey%10=3,
+    new drops %10=7 and bumps acctbal for %4=0) full-outer-joined on the
+    key and classified insert/update/delete with null-safe column
+    compares. One co-keyed shuffle join; output bounded by change
+    volume."""
+    from intake_esm_spark.operators.cdc import snapshot_diff
+
+    cust = load_table(spark, sf, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 3).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = cust.filter(F.col("c_custkey") % 10 != 7).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 4 == 0, F.col("c_acctbal") + F.lit(100.0)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return snapshot_diff(old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+
+
+def _docs_len_bucket(sf_spark, sf: str, width: int):
+    """Documents with the quasi-identifier length bucket the privacy
+    entries share: floor(n_chars / width) over an explicit double
+    division (DuckDB's bare ``/`` on integers is decimal division, so
+    the oracle spells the same ``/ width.0`` + floor)."""
+    docs = load_table(sf_spark, sf, "documents")
+    return docs.withColumn(
+        "len_bucket",
+        F.floor(F.col("n_chars") / F.lit(float(width))).cast("bigint"),
+    )
+
+
+def q_privacy_kanon(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit (operators/privacy.py): per (lang, 50-char
+    length bucket) combination, the member count and whether it meets
+    k=5 — the release-gate report. One partial-aggregated groupBy."""
+    from intake_esm_spark.operators.privacy import k_anonymity_report
+
+    docs = _docs_len_bucket(spark, sf, 50)
+    return k_anonymity_report(docs, ["lang", "len_bucket"], k=5)
+
+
+def q_privacy_suppress(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity enforcement by suppression: rows whose (lang, source)
+    combination has fewer than k=3 members get both quasi columns
+    nulled; safe rows pass through. Count window on the quasi key —
+    one exchange."""
+    from intake_esm_spark.operators.privacy import suppress_quasi
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return suppress_quasi(docs, ["lang", "source"], k=3)
+
+
+def q_docs_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by salted doc_id
+    hash bucket: a pure row function — zero shuffle, and a document
+    keeps its split across re-ingests, repartitions and engines (the
+    leakage-proofing property a corpus split actually needs)."""
+    from intake_esm_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    out = sampling.deterministic_split(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id",
+        salt="split-v1",
+    )
+    return out.select("doc_id", "source", "split")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -2131,6 +2247,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "events_distinct_kmv_merged": q_events_distinct_kmv_merged,
+        # New in the round-7 CONTINUATION session (eventlog/cdc/privacy/
+        # split): verified in the committed local oracle sweep; they take
+        # head priority in r8 together with the deferred block above.
+        "events_transitions": q_events_transitions,
+        "events_scd2": q_events_scd2,
+        "events_gapfill": q_events_gapfill,
+        "customer_cdc": q_customer_cdc,
+        "privacy_kanon": q_privacy_kanon,
+        "privacy_suppress": q_privacy_suppress,
+        "docs_split": q_docs_split,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3383,6 +3509,136 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
             FROM lineitem GROUP BY l_returnflag
         """,
+        # replays eventlog.transition_matrix: lead over (user, ts,
+        # event_id), terminal 'end', prob = exact-int division in double
+        "events_transitions": """
+            WITH base AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), p AS (
+              SELECT event_type AS from_type,
+                     coalesce(lead(event_type) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id),
+                              'end') AS to_type
+              FROM base
+            ), c AS (
+              SELECT from_type, to_type, count(*) AS n_transitions
+              FROM p GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n_transitions,
+                   round(CAST(n_transitions AS DOUBLE)
+                         / CAST(sum(n_transitions) OVER
+                                (PARTITION BY from_type) AS DOUBLE),
+                         6) AS prob
+            FROM c
+        """,
+        # replays eventlog.scd2_from_log: rn=1 OR IS DISTINCT FROM gaps
+        # and islands, interval close-off over the change points
+        "events_scd2": """
+            WITH base AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL
+            ), m AS (
+              SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER w AS rn,
+                     lag(event_type) OVER w AS prev
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), chg AS (
+              SELECT user_id, event_type, ts, event_id FROM m
+              WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+            )
+            SELECT user_id, event_type,
+                   ts AS effective_from,
+                   lead(ts) OVER w2 AS effective_to,
+                   CAST(row_number() OVER w2 AS INT) AS version,
+                   CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
+            FROM chg
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # replays eventlog.gapfill_daily: decimal day totals,
+        # generate_series calendar, IGNORE NULLS forward fill
+        "events_gapfill": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     count(*) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS dv
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+            ), span AS (
+              SELECT user_id, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY 1
+            ), cal AS (
+              SELECT user_id,
+                     CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS day
+              FROM span
+            ), j AS (
+              SELECT c.user_id, c.day, d.n_events, d.dv
+              FROM cal c LEFT JOIN daily d
+                ON c.user_id = d.user_id AND c.day = d.day
+            )
+            SELECT user_id, CAST(day AS VARCHAR) AS day,
+                   coalesce(n_events, 0) AS n_events,
+                   CAST(n_events IS NULL AS INT) AS is_gap,
+                   round(CAST(dv AS DOUBLE), 6) AS day_value,
+                   round(last_value(CAST(dv AS DOUBLE) IGNORE NULLS) OVER
+                         (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         6) AS carried_value
+            FROM j
+        """,
+        # replays cdc.snapshot_diff over the derived customer snapshots:
+        # full outer join, IS DISTINCT FROM column compares
+        "customer_cdc": """
+            WITH o AS (
+              SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+              WHERE c_custkey % 10 <> 3
+            ), n AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0
+                          ELSE c_acctbal END AS c_acctbal,
+                     c_mktsegment
+              FROM customer WHERE c_custkey % 10 <> 7
+            ), d AS (
+              SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+                     CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                          WHEN n.c_custkey IS NULL THEN 'delete'
+                          WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                            OR (o.c_mktsegment IS DISTINCT FROM
+                                n.c_mktsegment) THEN 'update'
+                          ELSE 'unchanged' END AS change_type,
+                     o.c_acctbal AS old_c_acctbal,
+                     o.c_mktsegment AS old_c_mktsegment,
+                     n.c_acctbal AS new_c_acctbal,
+                     n.c_mktsegment AS new_c_mktsegment
+              FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+            )
+            SELECT * FROM d WHERE change_type <> 'unchanged'
+        """,
+        # replays privacy.k_anonymity_report over (lang, 50-char bucket);
+        # the bucket spells the same double division + floor the engine
+        # computes (DuckDB bare / on integers is decimal division)
+        "privacy_kanon": """
+            SELECT lang,
+                   CAST(floor(n_chars / 50.0) AS BIGINT) AS len_bucket,
+                   count(*) AS group_size,
+                   CAST(count(*) >= 5 AS INT) AS anonymous
+            FROM documents GROUP BY 1, 2
+        """,
+        # replays privacy.suppress_quasi on (lang, source), k=3
+        "privacy_suppress": """
+            WITH m AS (
+              SELECT doc_id, lang, source, n_chars,
+                     count(*) OVER (PARTITION BY lang, source) AS n
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN n >= 3 THEN lang END AS lang,
+                   CASE WHEN n >= 3 THEN source END AS source,
+                   n_chars
+            FROM m
+        """,
         # replays quality_checks.check_constraints: one metrics CTE,
         # one report row per declared rule (passed compares the ROUNDED
         # fraction, like the engine)
@@ -3921,6 +4177,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   % {1_000_000} < {100_000}
+        """,
+        # replays sampling.deterministic_split (80/10/10, salt split-v1):
+        # cumulative bucket thresholds in splits-dict order
+        "docs_split": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5('split-v1' || '|'
+                                              || CAST(doc_id AS VARCHAR)),
+                                          1, 15)) AS BIGINT)
+                     % {1_000_000} AS b
+              FROM documents
+            )
+            SELECT doc_id, source,
+                   CASE WHEN b < {800_000} THEN 'train'
+                        WHEN b < {900_000} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
         """,
         "docs_sample_stratified": f"""
             SELECT doc_id, lang FROM documents

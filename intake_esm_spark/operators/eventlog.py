@@ -1,0 +1,188 @@
+"""Event-log shaping operators: transition matrices, SCD2 dimension
+building, and calendar gap-filling.
+
+Extensions (SURVEY §2.9): the three classic "give the warehouse team an
+event stream" requests. All three share one scale property: every window
+and aggregation is keyed by the entity column, so each operator costs
+exactly one hash exchange on that key no matter how large the log is —
+consecutive windows over the same key reuse the partitioning (Spark
+recognizes the child's hash distribution through intervening
+filters/projects and plans no second exchange; pinned by the plan-shape
+tests).
+
+Determinism contract (the repo-wide rules): orderings always carry a
+unique tiebreak column (``order_col``) so window ranks never fall back
+to partition order; value sums accumulate as DECIMAL(18,6); fractions
+are divisions of exact integers cast to double, identical IEEE ops in
+Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_matrix(
+    events: DataFrame,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    terminal: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event paths:
+    for every ordered pair of consecutive events of one entity, count
+    ``from_type -> to_type`` and the conditional probability of leaving
+    ``from_type`` to ``to_type``.
+
+    Each entity's final event has no successor; with ``terminal`` set it
+    transitions to that absorbing label (making rows a proper stochastic
+    matrix — outgoing probabilities sum to 1), otherwise it is dropped.
+    Null entity keys and null types are excluded (a null key groups
+    unrelated events; a null type is not a state).
+
+    Scale: one exchange on ``key_col`` for the successor window; the
+    grouped matrix is at most ``|types|^2`` rows, so the per-from-state
+    normalization window runs over a metadata-scale frame (the benign
+    class — mixing.py's rate frame)."""
+    base = events.filter(
+        F.col(key_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    nxt = F.lead(type_col).over(w)
+    paired = base.select(
+        F.col(type_col).alias("from_type"),
+        (F.coalesce(nxt, F.lit(terminal)) if terminal is not None else nxt).alias(
+            "to_type"
+        ),
+    ).filter(F.col("to_type").isNotNull())
+    counts = paired.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    prob = F.col("n_transitions").cast("double") / F.sum("n_transitions").over(
+        wf
+    ).cast("double")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(prob, 6).alias("prob"),
+    )
+
+
+def scd2_from_log(
+    events: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an attribute change
+    log: collapse each entity's consecutive repeats of ``attr_col`` into
+    versioned ``[effective_from, effective_to)`` intervals, open-ended on
+    the current value — the gaps-and-islands shape every warehouse
+    dimension load runs (Kimball SCD type 2).
+
+    A row opens a new version iff it is the entity's first event or its
+    attribute differs from the previous event's (null-safe: null is a
+    legitimate attribute value and ``IS DISTINCT FROM`` semantics apply
+    on both engines). ``effective_to`` is the next version's start (null
+    ⇒ current); ``version`` numbers intervals from 1 in time order.
+    Entities with a null key are excluded.
+
+    Scale: both windows (change detection over all events, interval
+    close-off over the surviving change points) partition by ``key_col``
+    — one exchange total, the successor window reuses the first's
+    partitioning. Output is bounded by the number of VALUE CHANGES, not
+    events, so the dimension stays small even against a 100 TB log."""
+    base = events.filter(F.col(key_col).isNotNull())
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    prev = F.lag(attr_col).over(w)
+    rn = F.row_number().over(w)
+    changed = base.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col),
+        F.col(order_col),
+        ((rn == 1) | ~F.col(attr_col).eqNullSafe(prev)).alias("__chg"),
+    ).filter(F.col("__chg"))
+    wv = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    eff_to = F.lead(ts_col).over(wv)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("effective_from"),
+        eff_to.alias("effective_to"),
+        F.row_number().over(wv).alias("version"),
+        eff_to.isNull().cast("int").alias("is_current"),
+    )
+
+
+def gapfill_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity daily series with calendar gaps materialized: one row
+    for EVERY day between an entity's first and last activity, zero
+    counts on silent days and the last active day's value carried
+    forward — the resample-and-ffill step feature pipelines need before
+    any fixed-stride model sees the data (a raw event rollup silently
+    skips gap days; downstream lag features then span variable time).
+
+    Output per (entity, day): ``n_events`` (0 on gaps), ``is_gap``,
+    ``day_value`` (exact decimal day total, null on gaps) and
+    ``carried_value`` (last non-null ``day_value`` at or before the day
+    — forward fill).
+
+    Scale: the calendar frame is entities × their own day span — bounded
+    by the calendar, not the event count. Three keyed exchanges: the
+    day-grain rollup on (key, day); the calendar↔activity join on the
+    same compound key; the forward-fill window on ``key_col``. The
+    per-entity ``sequence()`` explode is in-row (zero shuffle). Entities
+    with a null key are excluded."""
+    daily = (
+        events.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy(key_col, "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__v").cast("decimal(18,6)").alias("__dv"),
+        )
+    )
+    # min/max reuse the rollup's (key, day) partitioning map-side; the
+    # explode of sequence() is a pure projection
+    calendar = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.sequence("__d0", "__d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = calendar.join(daily, [key_col, "day"], "left")
+    wff = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dv = F.col("__dv").cast("double")
+    return joined.select(
+        F.col(key_col),
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+        F.round(dv, 6).alias("day_value"),
+        F.round(F.last(dv, ignorenulls=True).over(wff), 6).alias(
+            "carried_value"
+        ),
+    )

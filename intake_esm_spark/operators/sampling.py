@@ -108,6 +108,47 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
 
 
+def deterministic_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test and friends) by
+    hash bucket: consecutive bucket ranges sized by the requested
+    fractions, in ``splits``' insertion order, with the LAST split
+    absorbing the remainder so every row lands somewhere even when the
+    fractions round. The split is a pure row function of (salt, key) —
+    zero shuffle, partition-independent, and a document keeps its split
+    across re-ingests, repartitions and engines, which is the actual
+    requirement for a train/test split (leakage via re-shuffling is a
+    silent eval bug). Changing ``salt`` redraws an independent split.
+
+    Fractions must be positive and sum to 1 (±1e-9). **``splits``'
+    insertion order is part of the contract** — it defines the bucket
+    layout, so a reordered dict is a DIFFERENT split."""
+    if len(splits) < 2:
+        raise ValueError("need at least 2 splits")
+    for name, f in splits.items():
+        if not 0.0 < f <= 1.0:
+            raise ValueError(f"fraction for split {name!r} must be in (0, 1], got {f}")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    names = list(splits)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        t = int(round(acc * HASH_BUCKETS))
+        w = F.when(bucket < t, F.lit(name))
+        expr = w if expr is None else expr.when(bucket < t, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
 def weighted_bernoulli_sample(
     df: DataFrame, prob_col: str, key_col: str, salt: str = ""
 ) -> DataFrame:

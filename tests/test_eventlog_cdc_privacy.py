@@ -1,0 +1,321 @@
+"""Event-log shaping (transitions/SCD2/gap-fill), snapshot CDC,
+k-anonymity, and deterministic splits."""
+
+import datetime as dt
+import hashlib
+
+import pytest
+
+from intake_esm_spark.operators.cdc import snapshot_diff
+from intake_esm_spark.operators.eventlog import (
+    gapfill_daily,
+    scd2_from_log,
+    transition_matrix,
+)
+from intake_esm_spark.operators.privacy import (
+    k_anonymity_report,
+    suppress_quasi,
+)
+from intake_esm_spark.operators.sampling import (
+    HASH_BUCKETS,
+    deterministic_split,
+)
+
+
+def _t(day, h=0, m=0):
+    return dt.datetime(2024, 3, day, h, m)
+
+
+EV_SCHEMA = "user_id long, event_type string, ts timestamp, event_id long, value double"
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix
+
+
+@pytest.fixture(scope="module")
+def path_events(spark):
+    rows = [
+        (1, "A", _t(1, 0), 1, 1.0),
+        (1, "B", _t(1, 1), 2, 1.0),
+        (1, "B", _t(1, 2), 3, 1.0),
+        (1, "A", _t(1, 3), 4, 1.0),
+        (2, "B", _t(1, 0), 5, 1.0),
+        (2, "A", _t(1, 1), 6, 1.0),
+        (None, "X", _t(1, 0), 7, 1.0),  # null user excluded
+        (3, None, _t(1, 0), 8, 1.0),  # null type is not a state
+        (3, "A", _t(1, 1), 9, 1.0),
+    ]
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def test_transitions_with_terminal(path_events):
+    out = {
+        (r["from_type"], r["to_type"]): r.asDict()
+        for r in transition_matrix(path_events, terminal="end").collect()
+    }
+    assert out[("A", "B")]["n_transitions"] == 1
+    assert out[("B", "B")]["n_transitions"] == 1
+    assert out[("B", "A")]["n_transitions"] == 2
+    # u1's final A, u2's final A, u3's only (non-null) event
+    assert out[("A", "end")]["n_transitions"] == 3
+    # from-state A: 1 to B + 3 to end
+    assert out[("A", "B")]["prob"] == 0.25
+    assert out[("A", "end")]["prob"] == 0.75
+    # each from-state's probabilities sum to 1 with a terminal
+    a_total = sum(v["prob"] for k, v in out.items() if k[0] == "A")
+    assert abs(a_total - 1.0) < 1e-9
+
+
+def test_transitions_without_terminal_drops_final(path_events):
+    out = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in transition_matrix(path_events).collect()
+    }
+    assert ("A", None) not in out and ("A", "end") not in out
+    assert out == {("A", "B"): 1, ("B", "B"): 1, ("B", "A"): 2}
+
+
+# ---------------------------------------------------------------------------
+# scd2_from_log
+
+
+def test_scd2_gaps_and_islands(spark):
+    rows = [
+        (1, "A", _t(1), 1, 0.0),
+        (1, "A", _t(2), 2, 0.0),  # repeat: collapses
+        (1, "B", _t(3), 3, 0.0),
+        (1, "A", _t(4), 4, 0.0),  # back to A: NEW version, not merged
+        (None, "Z", _t(1), 5, 0.0),  # null key excluded
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = sorted(
+        scd2_from_log(df, "user_id", "event_type").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["event_type"], r["version"]) for r in out] == [
+        ("A", 1),
+        ("B", 2),
+        ("A", 3),
+    ]
+    assert out[0]["effective_from"] == _t(1)
+    assert out[0]["effective_to"] == _t(3)  # closed by B, not by the repeat
+    assert out[2]["effective_to"] is None
+    assert [r["is_current"] for r in out] == [0, 0, 1]
+
+
+def test_scd2_null_attribute_is_a_value(spark):
+    rows = [
+        (2, None, _t(1), 1, 0.0),
+        (2, None, _t(2), 2, 0.0),  # null==null: same island (null-safe)
+        (2, "A", _t(3), 3, 0.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = sorted(
+        scd2_from_log(df, "user_id", "event_type").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["event_type"], r["version"]) for r in out] == [(None, 1), ("A", 2)]
+    assert out[0]["effective_to"] == _t(3)
+
+
+def test_scd2_same_ts_ordered_by_event_id(spark):
+    rows = [(3, "B", _t(1), 20, 0.0), (3, "A", _t(1), 10, 0.0)]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = sorted(
+        scd2_from_log(df, "user_id", "event_type").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [r["event_type"] for r in out] == ["A", "B"]
+
+
+# ---------------------------------------------------------------------------
+# gapfill_daily
+
+
+def test_gapfill_zero_days_and_forward_fill(spark):
+    rows = [
+        (1, "p", _t(1), 1, 10.0),
+        (1, "p", _t(1, 5), 2, 5.0),
+        # day 2 silent
+        (1, "p", _t(3), 3, None),  # active day with NULL value total
+        (1, "p", _t(4), 4, 2.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r["day"]: r.asDict() for r in gapfill_daily(df).collect()}
+    assert len(out) == 4  # full calendar span
+    assert out["2024-03-01"]["n_events"] == 2
+    assert out["2024-03-01"]["day_value"] == 15.0
+    assert out["2024-03-02"]["n_events"] == 0
+    assert out["2024-03-02"]["is_gap"] == 1
+    assert out["2024-03-02"]["day_value"] is None
+    assert out["2024-03-02"]["carried_value"] == 15.0  # forward fill
+    # day 3 is ACTIVE (not a gap) but its value total is null — the
+    # fill must carry day 1's total through it
+    assert out["2024-03-03"]["is_gap"] == 0
+    assert out["2024-03-03"]["day_value"] is None
+    assert out["2024-03-03"]["carried_value"] == 15.0
+    assert out["2024-03-04"]["carried_value"] == 2.0
+
+
+def test_gapfill_spans_are_per_user(spark):
+    rows = [
+        (1, "p", _t(1), 1, 1.0),
+        (1, "p", _t(5), 2, 1.0),
+        (2, "p", _t(10), 3, 1.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = gapfill_daily(df).collect()
+    days = {r["user_id"]: set() for r in out}
+    for r in out:
+        days[r["user_id"]].add(r["day"])
+    assert len(days[1]) == 5  # 1..5 inclusive
+    assert days[2] == {"2024-03-10"}  # no bleed into user 1's span
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+
+
+CUST_SCHEMA = "k long, bal double, seg string"
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (5, None, "E")],
+        CUST_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (4, 40.0, "D"), (5, None, "E")],
+        CUST_SCHEMA,
+    )
+    out = {
+        r["k"]: r.asDict()
+        for r in snapshot_diff(old, new, ["k"], ["bal", "seg"]).collect()
+    }
+    # unchanged keys (1: equal, 5: null==null null-safe) are dropped
+    assert set(out) == {2, 3, 4}
+    assert out[2]["change_type"] == "update"
+    assert out[2]["old_bal"] == 20.0 and out[2]["new_bal"] == 25.0
+    assert out[3]["change_type"] == "delete"
+    assert out[3]["new_bal"] is None and out[3]["old_bal"] == 30.0
+    assert out[4]["change_type"] == "insert"
+    assert out[4]["old_bal"] is None and out[4]["new_bal"] == 40.0
+
+
+def test_snapshot_diff_null_to_value_is_update(spark):
+    old = spark.createDataFrame([(6, None, "F")], CUST_SCHEMA)
+    new = spark.createDataFrame([(6, 1.0, "F")], CUST_SCHEMA)
+    out = snapshot_diff(old, new, ["k"], ["bal"]).collect()
+    assert len(out) == 1 and out[0]["change_type"] == "update"
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    old = spark.createDataFrame([(1, 1.0, "A")], CUST_SCHEMA)
+    new = spark.createDataFrame([(1, 1.0, "A")], CUST_SCHEMA)
+    assert snapshot_diff(old, new, ["k"], ["bal"]).count() == 0
+    full = snapshot_diff(old, new, ["k"], ["bal"], include_unchanged=True)
+    assert [r["change_type"] for r in full.collect()] == ["unchanged"]
+
+
+def test_snapshot_diff_validation(spark):
+    df = spark.createDataFrame([(1, 1.0, "A")], CUST_SCHEMA)
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, [], ["bal"])
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, ["k"], [])
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+
+
+@pytest.fixture(scope="module")
+def quasi_df(spark):
+    rows = [(i, "en", "s1") for i in range(5)] + [
+        (10, "de", "s2"),
+        (11, "de", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, source string")
+
+
+def test_k_anonymity_report(quasi_df):
+    out = {
+        (r["lang"], r["source"]): r.asDict()
+        for r in k_anonymity_report(quasi_df, ["lang", "source"], k=3).collect()
+    }
+    assert out[("en", "s1")]["group_size"] == 5
+    assert out[("en", "s1")]["anonymous"] == 1
+    assert out[("de", "s2")]["group_size"] == 2
+    assert out[("de", "s2")]["anonymous"] == 0
+
+
+def test_suppress_quasi_nulls_unsafe_groups_only(quasi_df):
+    out = {r["doc_id"]: r.asDict() for r in suppress_quasi(quasi_df, ["lang", "source"], k=3).collect()}
+    assert len(out) == 7  # every row survives; only values are suppressed
+    assert out[0]["lang"] == "en" and out[0]["source"] == "s1"
+    assert out[10]["lang"] is None and out[10]["source"] is None
+    assert out[10]["doc_id"] == 10  # non-quasi columns untouched
+
+
+def test_privacy_validation(quasi_df):
+    with pytest.raises(ValueError):
+        k_anonymity_report(quasi_df, [], k=3)
+    with pytest.raises(ValueError):
+        suppress_quasi(quasi_df, ["lang"], k=0)
+
+
+# ---------------------------------------------------------------------------
+# deterministic_split
+
+
+def _py_bucket(key, salt):
+    """Pure-python replay of sampling.hash_bucket (md5-60 of 'salt|key')."""
+    h = hashlib.md5(f"{salt}|{key}".encode()).hexdigest()
+    return int(h[:15], 16) % HASH_BUCKETS
+
+
+@pytest.fixture(scope="module")
+def keyed_df(spark):
+    return spark.createDataFrame(
+        [(i,) for i in range(1000)], "doc_id long"
+    )
+
+
+def test_split_matches_pure_python_replay(keyed_df):
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(keyed_df, splits, "doc_id", salt="v1").collect()
+    }
+    assert len(out) == 1000  # total: every row assigned
+    for k in (0, 1, 42, 999):
+        b = _py_bucket(k, "v1")
+        expect = "train" if b < 800_000 else ("val" if b < 900_000 else "test")
+        assert out[k] == expect
+    # fractions land near the targets on 1000 uniform hashes
+    n_train = sum(1 for v in out.values() if v == "train")
+    assert 700 < n_train < 900
+
+
+def test_split_is_partition_independent(keyed_df):
+    splits = {"train": 0.5, "test": 0.5}
+    a = deterministic_split(keyed_df, splits, "doc_id", salt="v1")
+    b = deterministic_split(keyed_df.repartition(13), splits, "doc_id", salt="v1")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_split_salt_redraws(keyed_df):
+    splits = {"train": 0.5, "test": 0.5}
+    a = dict(map(tuple, deterministic_split(keyed_df, splits, "doc_id", salt="v1").collect()))
+    b = dict(map(tuple, deterministic_split(keyed_df, splits, "doc_id", salt="v2").collect()))
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_split_validation(keyed_df):
+    with pytest.raises(ValueError):
+        deterministic_split(keyed_df, {"train": 1.0}, "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_split(keyed_df, {"a": 0.5, "b": 0.4}, "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_split(keyed_df, {"a": 0.5, "b": -0.5}, "doc_id")
