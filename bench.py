@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "events_distinct_kmv",
     "events_attribution",
     "events_daily_ma",
+    "events_transitions",
+    "events_scd2",
+    "events_gapfill",
+    "customer_cdc",
+    "docs_split",
     "lineitem_quantiles",
     "asof_join",
     "text_stats",

@@ -509,6 +509,137 @@ def stream_distinct_kmv(
     )
 
 
+def stream_scd2(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators.eventlog.scd2_from_log``: the
+    per-entity type-2 dimension maintained live across micro-batches
+    with ``applyInPandasWithState`` — the warehouse dimension that
+    updates as the change log arrives instead of on the nightly batch.
+
+    State per entity is ONE open version — (attribute value, null flag,
+    effective_from micros, version number) — bounded regardless of event
+    volume. Each qualifying event whose attribute IS DISTINCT FROM the
+    open version's closes that version (emitting it with its
+    ``effective_to``) and opens the next; every update re-emits the
+    current open row, so downstream sinks always hold the latest row per
+    (entity, version) — take last-write-wins per that pair and the table
+    equals the batch operator's output (the parity test's compare rule).
+
+    Exactness caveats (the ``stream_funnel`` contract): equal to the
+    batch operator when each entity's events are processed in event-time
+    order — a micro-batch's chunks are gathered and sorted once here
+    (ties broken like the batch window would with a monotone
+    ``order_col``: stable sort on arrival order), so single-batch
+    delivery is exact and cross-batch delivery is exact under per-entity
+    event-time-ordered arrival. A late EARLIER event cannot rewrite
+    already-closed versions (that would need unbounded state). The
+    attribute column must be string-typed (cast upstream) so the state
+    tuple round-trips without engine-specific renderings; null entity
+    keys are excluded like the batch operator.
+
+    In batch mode degenerates to the batch operator (the oracle).
+    """
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.eventlog import scd2_from_log
+
+    if not df.isStreaming:
+        return scd2_from_log(df, key_col, attr_col, ts_col)
+    if not isinstance(df.schema[attr_col].dataType, T.StringType):
+        raise ValueError(
+            f"stream_scd2 requires a string attribute column; cast "
+            f"{attr_col!r} upstream (got {df.schema[attr_col].dataType})"
+        )
+    key_type = df.schema[key_col].dataType
+    output_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField(attr_col, T.StringType()),
+            T.StructField("effective_from", T.TimestampType()),
+            T.StructField("effective_to", T.TimestampType()),
+            T.StructField("version", T.IntegerType()),
+            T.StructField("is_current", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("attr", T.StringType()),
+            T.StructField("attr_null", T.IntegerType()),
+            T.StructField("from_us", T.LongType()),
+            T.StructField("version", T.IntegerType()),
+        ]
+    )
+
+    def _update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            # batch operator filters null keys (a null long key reaches
+            # the python boundary as NaN, not None)
+            return
+        if state.exists:
+            attr, attr_null, from_us, version = state.get
+            cur = (None if attr_null else attr, from_us, version)
+        else:
+            cur = None
+        chunks = [c for c in batches if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        out_rows = []
+        changed = False
+        if len(pdf):
+            pdf = pdf.dropna(subset=[ts_col]).sort_values(
+                ts_col, kind="mergesort"
+            )
+            for val, ts in zip(pdf[attr_col], pdf[ts_col]):
+                v = None if pd.isna(val) else val
+                ts_us = ts.value // 1000
+                if cur is None:
+                    cur = (v, ts_us, 1)
+                    changed = True
+                elif v != cur[0]:  # IS DISTINCT FROM on (str|None) values
+                    out_rows.append(
+                        (cur[0], cur[1], ts_us, cur[2], 0)
+                    )  # close the open version
+                    cur = (v, ts_us, cur[2] + 1)
+                    changed = True
+        if cur is None:
+            return  # no qualifying events yet: batch emits nothing
+        if changed:
+            state.update(
+                (cur[0], 1 if cur[0] is None else 0, cur[1], cur[2])
+            )
+        out_rows.append((cur[0], cur[1], None, cur[2], 1))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_rows),
+                attr_col: [r[0] for r in out_rows],
+                "effective_from": [
+                    pd.Timestamp(r[1] * 1000) for r in out_rows
+                ],
+                "effective_to": [
+                    pd.Timestamp(r[2] * 1000) if r[2] is not None else pd.NaT
+                    for r in out_rows
+                ],
+                "version": [r[3] for r in out_rows],
+                "is_current": [r[4] for r in out_rows],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 _INTERVAL_UNITS_US = {
     "second": 1_000_000, "seconds": 1_000_000,
     "minute": 60_000_000, "minutes": 60_000_000,

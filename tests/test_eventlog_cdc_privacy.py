@@ -174,6 +174,110 @@ def test_gapfill_spans_are_per_user(spark):
 
 
 # ---------------------------------------------------------------------------
+# stream_scd2
+
+
+def test_stream_scd2_matches_batch(spark, tmp_path):
+    """Events streamed in two time-ordered micro-batches: last-write-wins
+    per (key, version) over the update-mode emissions must equal the
+    batch SCD2 rows exactly (values, intervals, version numbers,
+    is_current flags) — including a null-attribute island."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.streaming.stateful import stream_scd2
+
+    rows = [
+        (1, "X", _t(1), 1, 0.0),
+        (1, "X", _t(2), 2, 0.0),   # repeat: no new version
+        (1, "Y", _t(3), 3, 0.0),
+        (1, "X", _t(4), 4, 0.0),   # back to X: version 3
+        (2, None, _t(1), 5, 0.0),  # null attribute opens an island
+        (2, None, _t(2), 6, 0.0),
+        (2, "Z", _t(4), 7, 0.0),
+        (None, "W", _t(1), 8, 0.0),  # null key excluded
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    batch = {
+        (r["user_id"], r["version"]): (
+            r["event_type"],
+            r["effective_from"],
+            r["effective_to"],
+            r["is_current"],
+        )
+        for r in stream_scd2(df, "user_id", "event_type").collect()
+    }
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    early = df.filter(F.col("ts") < _t(3))
+    late = df.filter(F.col("ts") >= _t(3))
+    early.coalesce(1).write.parquet(str(tmp_path / "a"))
+    late.coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, (part, name) in enumerate(
+        [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
+    ):
+        for f in glob.glob(str(part / "*.parquet")):
+            dest = flat / f"{name}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    out = stream_scd2(stream, "user_id", "event_type")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("scd2_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM scd2_stream").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in emitted:  # memory sink appends in emission order
+        final[(r["user_id"], r["version"])] = (
+            r["event_type"],
+            r["effective_from"],
+            r["effective_to"],
+            r["is_current"],
+        )
+    assert final == batch
+    # sanity on the shape itself: user 1 has three versions X/Y/X
+    assert [final[(1, v)][0] for v in (1, 2, 3)] == ["X", "Y", "X"]
+    assert final[(2, 1)][0] is None and final[(2, 1)][3] == 0
+
+
+def test_stream_scd2_batch_fallback_is_the_operator(spark):
+    from intake_esm_spark.streaming.stateful import stream_scd2
+
+    df = spark.createDataFrame([(1, "A", _t(1), 1, 0.0)], EV_SCHEMA)
+    out = stream_scd2(df, "user_id", "event_type").collect()
+    assert len(out) == 1 and out[0]["is_current"] == 1
+
+
+def test_stream_scd2_rejects_non_string_attr_on_streams(spark, tmp_path):
+    from intake_esm_spark.streaming.stateful import stream_scd2
+
+    df = spark.createDataFrame([(1, "A", _t(1), 1, 0.0)], EV_SCHEMA)
+    df.write.parquet(str(tmp_path / "p"))
+    stream = (
+        spark.readStream.schema(df.schema).format("parquet").load(str(tmp_path / "p"))
+    )
+    with pytest.raises(ValueError):
+        stream_scd2(stream, "user_id", "event_id")  # long-typed attribute
+
+
+# ---------------------------------------------------------------------------
 # snapshot_diff
 
 
