@@ -339,3 +339,50 @@ def test_weighted_bernoulli_pure_filter(spark, queries):
     plan = plan_of(queries["docs_sample_prop"](spark, SF))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_single_key_exchange(spark, queries):
+    """Both SCD2 windows (change detection, interval close-off) partition
+    by the entity key — Spark must plan ONE exchange, reusing the child
+    partitioning through the change-point filter."""
+    plan = plan_of(queries["events_scd2"](spark, SF))
+    # formatted mode: one "(n) Exchange" node header per exchange
+    assert plan.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_transitions_normalization_window_is_keyed(spark, queries):
+    """No unpartitioned window anywhere: the per-from-state
+    normalization runs over the |types|^2 matrix, partitioned by
+    from_type — never a single-partition global window."""
+    plan = plan_of(queries["events_transitions"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_docs_split_zero_shuffle_jvm_only(spark, queries):
+    """The split is a pure row function: no exchange, no Python eval —
+    it must prune to the referenced columns at the scan too."""
+    plan = plan_of(queries["docs_split"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema  # 500-char payload never read
+
+
+def test_cdc_join_no_broadcast_of_corpus_sides(spark, queries):
+    """Snapshot diff is a co-keyed full-outer join: at scale NEITHER
+    snapshot is broadcastable — the plan must be a shuffle join (SMJ),
+    not a broadcast nested loop."""
+    plan = plan_of(queries["customer_cdc"](spark, SF))
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan
+    assert "Cartesian" not in plan
+
+
+def test_gapfill_explode_is_projection_side(spark, queries):
+    """The calendar explode (sequence per entity) must be a generator in
+    the plan, not a join against a driver-built calendar; the forward
+    fill window stays keyed (no single-partition window)."""
+    plan = plan_of(queries["events_gapfill"](spark, SF))
+    assert ") Generate" in plan and "explode(sequence(" in plan
+    assert "Exchange SinglePartition" not in plan
