@@ -1101,6 +1101,28 @@ def q_docs_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
 
 
+def q_docs_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The same BM25 top-20 answered from a MATERIALIZED inverted index
+    (term-bucket-partitioned postings + stats sidecar): the probe
+    partition-prunes to the query terms' buckets and reads postings, not
+    corpus text — the retrieval sibling of the IVF index path. Scores
+    are bit-identical to the inline operator (same IEEE expression in
+    query-term order), so this entry shares docs_bm25's oracle SQL."""
+    import tempfile
+
+    from intake_esm_spark.operators import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ii_oracle_{os.path.basename(sf.rstrip('/'))}",
+    )
+    # bucket count scales with the corpus (finer pruning at 100 TB);
+    # 16 at test scale keeps partition-commit overhead from dominating
+    retrieval.write_inverted_index(docs, path, n_term_buckets=16)
+    return retrieval.bm25_topk_indexed(spark, path, _BM25_TERMS, k=20)
+
+
 def q_docs_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """Keyword extraction: top-3 characteristic terms per document by
     tf·idf (min_df=2 drops hapaxes) — the canonical distributed tf·idf
@@ -2257,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_kanon": q_privacy_kanon,
         "privacy_suppress": q_privacy_suppress,
         "docs_split": q_docs_split,
+        "docs_bm25_indexed": q_docs_bm25_indexed,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -4487,4 +4510,8 @@ def oracle_sql() -> dict[str, str]:
     # the merged-sketch entry's oracle IS the direct whole-corpus sketch:
     # the hash compare proves merge(sk(A), sk(B)) == sk(A ∪ B)
     d["events_distinct_kmv_merged"] = d["events_distinct_kmv"]
+    # the indexed-BM25 entry's oracle IS the inline corpus-scan SQL: the
+    # hash compare proves the index probe reproduces the full-scan
+    # scores bit-for-bit (same IEEE expression in query-term order)
+    d["docs_bm25_indexed"] = d["docs_bm25"]
     return d

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "dedup_spans",
     "docs_source_overlap",
     "docs_bm25",
+    "bm25_index_build",
+    "bm25_index_probe",
     "docs_tfidf",
     "docs_gram_dup",
     "docs_select_best",
@@ -221,6 +223,28 @@ def _lsh_phase_callables(lsh_path: str):
     return {"dedup_lsh_build": build, "dedup_near_incr_probe": probe}
 
 
+def _ii_phase_callables(ii_path: str):
+    """Inverted-index retrieval as the two phases production pays: build
+    the postings index once (amortized per corpus), probe per query."""
+    import __spark_entry__ as entry
+    from intake_esm_spark.operators import retrieval
+    from intake_esm_spark.sources.tables import load_table
+
+    def build(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        # bucket count scales with the corpus; 16 at bench sf keeps the
+        # partition-commit overhead from dominating the measurement
+        retrieval.write_inverted_index(docs, ii_path, n_term_buckets=16)
+        return None  # the write IS the action
+
+    def probe(spark, sf_dir):
+        return retrieval.bm25_topk_indexed(
+            spark, ii_path, entry._BM25_TERMS, k=20
+        )
+
+    return {"bm25_index_build": build, "bm25_index_probe": probe}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -229,6 +253,7 @@ def main() -> None:
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
     qs.update(_ivf_phase_callables(os.path.join(ivf_dir, "index")))
     qs.update(_lsh_phase_callables(os.path.join(ivf_dir, "lsh_index")))
+    qs.update(_ii_phase_callables(os.path.join(ivf_dir, "ii_index")))
 
     # warm-up (not counted): three untimed actions — q1 for JVM/codegen,
     # q3 for the broadcast-join/exchange machinery, then q1 AGAIN so the

@@ -108,6 +108,171 @@ def bm25_topk(
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
 
 
+def write_inverted_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_term_buckets: int = 64,
+    files_per_bucket: int | None = 1,
+) -> dict:
+    """Materialize the inverted index: postings ``(term, doc, tf, dl)``
+    written as parquet PARTITIONED BY a hash bucket of the term, with
+    the corpus statistics BM25 needs (N, Σdl) in an underscore-prefixed
+    JSON sidecar — the retrieval sibling of
+    ``simsearch.write_ivf_index`` (same sidecar mechanism, same
+    partition-pruning contract).
+
+    This is what makes repeated retrieval an INDEX probe rather than a
+    corpus re-scan: :func:`bm25_scores` pays a full corpus pass per
+    query, which is right for one-off debugging but wrong for a query
+    workload; a :func:`bm25_topk_indexed` probe filters on the ``bucket``
+    partition column and reads ~|query terms|/n_term_buckets of the
+    postings bytes — the corpus text never gets read at all. Per-doc
+    length rides ON the postings rows (the standard norm-denormalization)
+    so probes never touch a second table.
+
+    Build cost is one token-grain exchange (the (doc, term) count — the
+    same inherent exchange tfidf_top_terms documents) plus the bounded
+    write repartition: at most n_term_buckets × files_per_bucket files
+    (size to bucket_bytes / target_file_size at scale; ``None`` skips
+    the repartition). The bucket is ``salted_hash60(term, 'ii') %
+    n_term_buckets`` — the engine-portable md5 construction, so any
+    engine (and the probe's driver-side bucket computation) can locate
+    a term's partition without Spark.
+
+    Returns the stats dict (also persisted in the sidecar).
+    """
+    import json as _json
+
+    from intake_esm_spark.functions.text import salted_hash60
+    from intake_esm_spark.util import write_text_sidecar
+
+    if n_term_buckets < 1:
+        raise ValueError(f"n_term_buckets must be >= 1, got {n_term_buckets}")
+    if files_per_bucket is not None and files_per_bucket < 1:
+        raise ValueError(
+            f"files_per_bucket must be >= 1 or None, got {files_per_bucket}"
+        )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words_array(F.col(text_col)).alias("__w")
+    )
+    base = base.select(id_col, "__w", F.size("__w").cast("bigint").alias("dl"))
+    stats_row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    stats = {
+        "n_docs": int(stats_row["n_docs"]),
+        "sum_dl": int(stats_row["sum_dl"] or 0),
+        "id_col": id_col,
+        "n_term_buckets": n_term_buckets,
+    }
+    postings = (
+        base.select(id_col, "dl", F.explode("__w").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "bucket", salted_hash60(F.col("term"), "ii") % n_term_buckets
+        )
+    )
+    if files_per_bucket is not None:
+        postings = postings.repartition(
+            F.col("bucket"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
+        )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark = docs.sparkSession
+    write_text_sidecar(spark, f"{path}/_ii_stats", _json.dumps(stats))
+    return stats
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` by BM25 against a :func:`write_inverted_index` table —
+    bit-identical to :func:`bm25_topk` over the indexed corpus (pinned
+    by an equality test), at probe cost instead of corpus-scan cost.
+
+    The query terms' buckets are computed driver-side with the sidecar's
+    hash rule and become a ``bucket IN (...)`` PARTITION filter (pruning,
+    not a post-scan filter), with ``term IN (...)`` pushed into the
+    pruned scan. Everything after reads only postings of the query's own
+    terms: per-term document frequencies from one metadata-scale
+    aggregate over that slice (df of term t = its posting count — the
+    postings for t ARE the docs containing t), per-doc term frequencies
+    pivoted into fixed columns, and the score summed in QUERY-TERM ORDER
+    with the exact expression :func:`bm25_scores` uses — same IEEE ops
+    in the same order, which is what makes the equality contract hold
+    to the bit (a groupBy-sum of contributions would re-associate the
+    floating-point additions). Duplicate query terms contribute twice,
+    like the inline operator."""
+    import hashlib
+    import json as _json
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    sidecar = _json.loads(
+        spark.read.text(f"{path}/_ii_stats").collect()[0][0]
+    )
+    nb = sidecar["n_term_buckets"]
+    id_col = sidecar["id_col"]
+    uniq = list(dict.fromkeys(terms))
+    buckets = sorted(
+        {
+            int(hashlib.md5(f"ii|{t}".encode()).hexdigest()[:15], 16) % nb
+            for t in uniq
+        }
+    )
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+    )
+    probe_stats = postings.groupBy().agg(
+        *[
+            F.sum((F.col("term") == t).cast("bigint")).alias(f"__df{i}")
+            for i, t in enumerate(uniq)
+        ]
+    )
+    pivoted = postings.groupBy(id_col, "dl").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"__tf{i}")
+            for i, t in enumerate(uniq)
+        ]
+    )
+    joined = pivoted.crossJoin(F.broadcast(probe_stats))
+    n = F.lit(int(sidecar["n_docs"])).cast("double")
+    avgdl = F.lit(int(sidecar["sum_dl"])).cast("double") / n
+    norm_len = F.col("dl").cast("double") / avgdl
+    pos = {t: i for i, t in enumerate(uniq)}
+
+    def term_score(t: str) -> F.Column:
+        i = pos[t]
+        # df sums arrive null (not 0) when the slice is empty — but an
+        # empty slice emits no doc rows either, so no coalesce needed
+        df_t = F.col(f"__df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+        tf = F.col(f"__tf{i}").cast("double")
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm_len)
+        return idf * (tf * F.lit(k1 + 1.0) / denom)
+
+    from functools import reduce as _reduce
+
+    score = _reduce(lambda a, c: a + c, [term_score(t) for t in terms])
+    return (
+        joined.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

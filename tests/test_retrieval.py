@@ -115,3 +115,56 @@ def test_tfidf_min_df_drops_hapaxes(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = retrieval.tfidf_top_terms(df, k=3, min_df=2).collect()
     assert all(r["term"] != "rare" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+
+
+def test_indexed_bm25_equals_inline(spark, corpus, tmp_path):
+    """The equality contract: a probe against the materialized index
+    reproduces the inline corpus-scan top-k bit-for-bit (ids AND
+    scores), including with duplicate query terms."""
+    path = str(tmp_path / "ii")
+    stats = retrieval.write_inverted_index(corpus, path)
+    assert stats["n_docs"] == 4
+    for terms in (["spark", "fast"], ["spark", "spark", "tables"]):
+        inline = retrieval.bm25_topk(corpus, terms, k=10).collect()
+        probed = retrieval.bm25_topk_indexed(spark, path, terms, k=10).collect()
+        assert [tuple(r) for r in probed] == [tuple(r) for r in inline]
+
+
+def test_indexed_probe_partition_prunes(spark, corpus, tmp_path):
+    """The probe must reach the scan as a bucket partition filter —
+    pruning, not a post-scan filter over all postings."""
+    import io
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path / "ii2")
+    retrieval.write_inverted_index(corpus, path)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        retrieval.bm25_topk_indexed(spark, path, ["spark"], k=5).explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in seg
+
+
+def test_indexed_bm25_unknown_term_scores_zero_docs(spark, corpus, tmp_path):
+    path = str(tmp_path / "ii3")
+    retrieval.write_inverted_index(corpus, path)
+    assert retrieval.bm25_topk_indexed(spark, path, ["zzzznope"], k=5).count() == 0
+
+
+def test_inverted_index_validation(spark, corpus, tmp_path):
+    with pytest.raises(ValueError):
+        retrieval.write_inverted_index(corpus, str(tmp_path / "x"), n_term_buckets=0)
+    with pytest.raises(ValueError):
+        retrieval.write_inverted_index(
+            corpus, str(tmp_path / "x"), files_per_bucket=0
+        )
+    path = str(tmp_path / "ii4")
+    retrieval.write_inverted_index(corpus, path)
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk_indexed(spark, path, [])
