@@ -186,6 +186,69 @@ def write_inverted_index(
     return stats
 
 
+def inverted_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    files_per_bucket: int | None = 1,
+) -> dict:
+    """Incrementally add documents to a :func:`write_inverted_index`
+    table WITHOUT rebuilding: the batch's postings are computed with the
+    sidecar's own bucket rule and appended into the matching partitions,
+    and the sidecar's corpus statistics are updated by exact integer
+    addition — so a probe against an appended index is bit-identical to
+    one against a single-shot build of the full corpus (asserted in
+    tests; integer stats make the equality exact, there is no float
+    drift to accumulate). The index-maintenance path a streaming-ingest
+    deployment needs: per-batch cost is batch-sized, existing postings
+    bytes are never rewritten.
+
+    **Precondition: the batch's ids are disjoint from the indexed ids**
+    — re-ingesting a document would leave its stale postings in place
+    and double-count it in N/Σdl (the :func:`simsearch.ivf_index_append`
+    contract; dedup upstream). Returns the updated stats."""
+    import json as _json
+
+    from intake_esm_spark.functions.text import salted_hash60
+    from intake_esm_spark.util import write_text_sidecar
+
+    if files_per_bucket is not None and files_per_bucket < 1:
+        raise ValueError(
+            f"files_per_bucket must be >= 1 or None, got {files_per_bucket}"
+        )
+    spark = new_docs.sparkSession
+    sidecar = _json.loads(
+        spark.read.text(f"{path}/_ii_stats").collect()[0][0]
+    )
+    id_col, nb = sidecar["id_col"], sidecar["n_term_buckets"]
+    base = new_docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words_array(F.col(text_col)).alias("__w")
+    )
+    base = base.select(id_col, "__w", F.size("__w").cast("bigint").alias("dl"))
+    batch = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    postings = (
+        base.select(id_col, "dl", F.explode("__w").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("bucket", salted_hash60(F.col("term"), "ii") % nb)
+    )
+    if files_per_bucket is not None:
+        postings = postings.repartition(
+            F.col("bucket"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
+        )
+    postings.write.mode("append").partitionBy("bucket").parquet(path)
+    stats = dict(
+        sidecar,
+        n_docs=sidecar["n_docs"] + int(batch["n_docs"]),
+        sum_dl=sidecar["sum_dl"] + int(batch["sum_dl"] or 0),
+    )
+    write_text_sidecar(spark, f"{path}/_ii_stats", _json.dumps(stats))
+    return stats
+
+
 def bm25_topk_indexed(
     spark,
     path: str,

@@ -168,3 +168,21 @@ def test_inverted_index_validation(spark, corpus, tmp_path):
     retrieval.write_inverted_index(corpus, path)
     with pytest.raises(ValueError):
         retrieval.bm25_topk_indexed(spark, path, [])
+
+
+def test_appended_index_equals_single_shot_build(spark, corpus, tmp_path):
+    """append(build(A), B) must probe bit-identically to build(A ∪ B):
+    postings union is identical and the sidecar stats update by exact
+    integer addition."""
+    a = corpus.filter(F.col("doc_id") <= 2)
+    b = corpus.filter(F.col("doc_id") > 2)
+    p_incr = str(tmp_path / "incr")
+    p_full = str(tmp_path / "full")
+    retrieval.write_inverted_index(a, p_incr)
+    stats = retrieval.inverted_index_append(b, p_incr)
+    full_stats = retrieval.write_inverted_index(corpus, p_full)
+    assert stats == full_stats
+    for terms in (["spark", "fast"], ["tables"]):
+        incr = retrieval.bm25_topk_indexed(spark, p_incr, terms, k=10).collect()
+        full = retrieval.bm25_topk_indexed(spark, p_full, terms, k=10).collect()
+        assert [tuple(r) for r in incr] == [tuple(r) for r in full]
