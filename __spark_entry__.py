@@ -2077,6 +2077,34 @@ def q_events_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     return gapfill_daily(events)
 
 
+def q_events_scd2_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase joined to the SCD2
+    version (the user's event_type 'segment' island) active at purchase
+    time — scd2_from_log composed with the shuffle-once as-of join plus
+    the interval validity mask. The query a type-2 dimension exists to
+    answer, oracled with DuckDB's ASOF JOIN."""
+    from intake_esm_spark.operators.eventlog import (
+        enrich_with_scd2,
+        scd2_from_log,
+    )
+
+    events = load_table(spark, sf, "events")
+    dim = scd2_from_log(events, "user_id", "event_type").select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        "effective_from",
+        "effective_to",
+        "version",
+    )
+    facts = events.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts", "value")
+    out = enrich_with_scd2(facts, dim, "user_id")
+    return out.select(
+        "event_id", "user_id", "ts", "value", "segment", "version"
+    )
+
+
 def q_customer_cdc(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot change-data-capture (operators/cdc.py): two
     deterministically derived customer snapshots (old drops custkey%10=3,
@@ -2280,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_suppress": q_privacy_suppress,
         "docs_split": q_docs_split,
         "docs_bm25_indexed": q_docs_bm25_indexed,
+        "events_scd2_enrich": q_events_scd2_enrich,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3610,6 +3639,41 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                          6) AS carried_value
             FROM j
+        """,
+        # replays eventlog.enrich_with_scd2: the scd2 CTE as the
+        # dimension, ASOF LEFT JOIN for latest-version-at-or-before,
+        # interval validity mask nulling past-the-interval matches
+        "events_scd2_enrich": """
+            WITH base AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL
+            ), m AS (
+              SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER w AS rn,
+                     lag(event_type) OVER w AS prev
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), chg AS (
+              SELECT user_id, event_type, ts, event_id FROM m
+              WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+            ), dim AS (
+              SELECT user_id, event_type AS segment,
+                     ts AS effective_from,
+                     lead(ts) OVER w2 AS effective_to,
+                     CAST(row_number() OVER w2 AS INT) AS version
+              FROM chg
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), p AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   CASE WHEN d.effective_to IS NULL OR p.ts < d.effective_to
+                        THEN d.segment END AS segment,
+                   CASE WHEN d.effective_to IS NULL OR p.ts < d.effective_to
+                        THEN d.version END AS version
+            FROM p ASOF LEFT JOIN dim d
+              ON p.user_id = d.user_id AND d.effective_from <= p.ts
         """,
         # replays cdc.snapshot_diff over the derived customer snapshots:
         # full outer join, IS DISTINCT FROM column compares

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_daily_ma",
     "events_transitions",
     "events_scd2",
+    "events_scd2_enrich",
     "events_gapfill",
     "customer_cdc",
     "docs_split",

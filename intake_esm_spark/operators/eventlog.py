@@ -120,6 +120,46 @@ def scd2_from_log(
     )
 
 
+def enrich_with_scd2(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time dimension enrichment: append to each fact row the
+    SCD2 version whose ``[from_col, to_col)`` interval contains the fact
+    timestamp — "which plan was this user on when they purchased", THE
+    query a type-2 dimension exists to answer. Composes directly with
+    :func:`scd2_from_log` output, or any effective-dated dimension.
+
+    Implemented on the shuffle-once as-of join (operators/asof.py): the
+    latest version with ``from_col <= ts`` per key, then an in-row
+    validity mask that nulls the dimension columns when the fact falls
+    PAST that version's ``to_col`` (a gapped dimension — deletes — has
+    intervals that don't touch; a contiguous :func:`scd2_from_log`
+    output makes the mask vacuous). Facts with no version at-or-before
+    them keep null dimension columns, like a LEFT join.
+
+    **Precondition: ``from_col`` is unique per key** (distinct change
+    instants — :func:`scd2_from_log` guarantees it unless two change
+    events share one timestamp exactly, which also yields a zero-length
+    version no fact can land in). Dimension columns colliding with fact
+    column names get the as-of join's ``_right`` suffix."""
+    right = dim.withColumn(ts_col, F.col(from_col)).drop(from_col)
+    from intake_esm_spark.operators.asof import asof_join
+
+    out = asof_join(facts, right, on=key_col, ts_col=ts_col)
+    dim_cols = [c for c in out.columns if c not in facts.columns]
+    to_out = to_col if to_col in dim_cols else f"{to_col}_right"
+    valid = F.col(to_out).isNull() | (F.col(ts_col) < F.col(to_out))
+    return out.select(
+        *facts.columns,
+        *[F.when(valid, F.col(c)).alias(c) for c in dim_cols],
+    )
+
+
 def gapfill_daily(
     events: DataFrame,
     key_col: str = "user_id",

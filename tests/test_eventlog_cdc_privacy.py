@@ -174,6 +174,65 @@ def test_gapfill_spans_are_per_user(spark):
 
 
 # ---------------------------------------------------------------------------
+# enrich_with_scd2
+
+
+def test_enrich_with_scd2_point_in_time(spark):
+    from intake_esm_spark.operators.eventlog import (
+        enrich_with_scd2,
+        scd2_from_log,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, "bronze", _t(1), 1, 0.0),
+            (1, "gold", _t(5), 2, 0.0),
+        ],
+        EV_SCHEMA,
+    )
+    dim = scd2_from_log(log, "user_id", "event_type").select(
+        "user_id", "event_type", "effective_from", "effective_to", "version"
+    )
+    facts = spark.createDataFrame(
+        [
+            (101, 1, _t(2)),   # inside bronze
+            (102, 1, _t(5)),   # exactly at the gold boundary -> gold
+            (103, 1, _t(9)),   # open-ended current version
+            (104, 2, _t(2)),   # no dimension rows for this key
+        ],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["fact_id"]: (r["event_type"], r["version"])
+        for r in enrich_with_scd2(facts, dim, "user_id").collect()
+    }
+    assert out[101] == ("bronze", 1)
+    assert out[102] == ("gold", 2)
+    assert out[103] == ("gold", 2)
+    assert out[104] == (None, None)
+
+
+def test_enrich_with_scd2_gapped_dim_nulls_out(spark):
+    """A gapped dimension (deletes): a fact AFTER a closed interval but
+    BEFORE the next one starts must get nulls, not the stale version."""
+    from intake_esm_spark.operators.eventlog import enrich_with_scd2
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", _t(1), _t(2), 1),
+            (1, "b", _t(5), None, 2),
+        ],
+        "user_id long, attr string, effective_from timestamp, "
+        "effective_to timestamp, version int",
+    )
+    facts = spark.createDataFrame(
+        [(201, 1, _t(3))], "fact_id long, user_id long, ts timestamp"
+    )
+    out = enrich_with_scd2(facts, dim, "user_id").collect()[0]
+    assert out["attr"] is None and out["version"] is None
+
+
+# ---------------------------------------------------------------------------
 # stream_scd2
 
 
