@@ -597,6 +597,20 @@ def q_profile_numeric(spark: SparkSession, sf: str) -> DataFrame:
     return li.agg(*aggs)
 
 
+def q_lineitem_correlations(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact pairwise Pearson correlations over the lineitem measures in
+    ONE aggregation pass (operators/profiling.py): decimal-exact moments
+    (Σx, Σx², Σxy — a double Σxy is partition-order-dependent), then
+    each coefficient is closed-form arithmetic on the one aggregate row.
+    The which-measures-move-together profile after profile_numeric."""
+    from intake_esm_spark.operators.profiling import correlation_matrix
+
+    li = load_table(spark, sf, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding window (1 h window, 30 min slide) batch parity."""
     from intake_esm_spark.streaming.windows import sliding_counts
@@ -2309,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split": q_docs_split,
         "docs_bm25_indexed": q_docs_bm25_indexed,
         "events_scd2_enrich": q_events_scd2_enrich,
+        "lineitem_correlations": q_lineitem_correlations,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -2571,6 +2586,47 @@ def _h60_sql(x: str) -> str:
     chars of md5 as a 60-bit non-negative BIGINT (same formulation the
     sampling oracles use)."""
     return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _corr_sql(table: str, cols: list[str]) -> str:
+    """DuckDB replay of profiling.correlation_matrix: decimal-exact
+    moments in one aggregate (one operand of every product widened to
+    DECIMAL(19,6) — DuckDB does not auto-grow product precision), then
+    the same IEEE expression per pair."""
+    from itertools import combinations
+
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    moment_sel = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        moment_sel.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s_{c}"
+        )
+        moment_sel.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(18,6)))"
+            f" AS DOUBLE) AS ss_{c}"
+        )
+    for a, b in combinations(cols, 2):
+        moment_sel.append(
+            f"CAST(sum(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(18,6)))"
+            f" AS DOUBLE) AS sp_{a}_{b}"
+        )
+    pair_sel = []
+    for a, b in combinations(cols, 2):
+        den = (
+            f"(sqrt(n * ss_{a} - s_{a} * s_{a})"
+            f" * sqrt(n * ss_{b} - s_{b} * s_{b}))"
+        )
+        pair_sel.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"CASE WHEN {den} > 0 THEN "
+            f"round((n * sp_{a}_{b} - s_{a} * s_{b}) / {den}, 6) END AS corr "
+            f"FROM s"
+        )
+    return (
+        f"WITH f AS (SELECT {', '.join(cols)} FROM {table} WHERE {notnull}), "
+        f"s AS (SELECT {', '.join(moment_sel)} FROM f) "
+        + " UNION ALL ".join(pair_sel)
+    )
 
 
 def _spans_with(n: int = 5, min_doc_freq: int = 2, min_run: int = 5) -> str:
@@ -4578,4 +4634,7 @@ def oracle_sql() -> dict[str, str]:
     # hash compare proves the index probe reproduces the full-scan
     # scores bit-for-bit (same IEEE expression in query-term order)
     d["docs_bm25_indexed"] = d["docs_bm25"]
+    d["lineitem_correlations"] = _corr_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
     return d

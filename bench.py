@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "customer_cdc",
     "docs_split",
     "lineitem_quantiles",
+    "lineitem_correlations",
     "asof_join",
     "text_stats",
     "text_quality",

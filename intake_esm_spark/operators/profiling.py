@@ -1,0 +1,78 @@
+"""Dataset profiling: exact pairwise Pearson correlations in one pass.
+
+Extension (SURVEY §2.9): the step after ``profile_numeric``'s per-column
+stats — "which measures move together" — run before feature selection or
+as a data-quality drift check. The whole matrix comes out of ONE
+aggregation pass (map-side partials): per column Σx and Σx², per pair
+Σxy, then every coefficient is closed-form arithmetic on the aggregate
+row. No per-pair scans, no ``df.stat.corr`` loop (which runs one job per
+pair).
+
+Determinism (the repo-wide contract): all moments accumulate as DECIMALS
+— a double Σxy is partition-order-dependent, a decimal one is exact, so
+Spark and DuckDB agree bitwise on the inputs to the final fixed IEEE
+expression ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̄) · √(n·Σy² − Σy²̄))``.
+Products widen one operand to DECIMAL(19,6) (DuckDB does not auto-grow
+product precision the way Spark does — the anomaly-detection precedent).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation for every unordered pair of ``cols``, complete
+    cases only (rows with a null in ANY profiled column are excluded —
+    pairwise-deletion would need per-pair counts and yields matrices
+    that aren't positive semi-definite). Output: one
+    ``(col_x, col_y, corr)`` row per pair, 6dp-rounded; a degenerate
+    (constant) column yields null against everything."""
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns to correlate")
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    base = df.filter(cond)
+
+    def dec(c: str) -> F.Column:
+        return F.col(c).cast("decimal(18,6)")
+
+    def dec_wide(c: str) -> F.Column:
+        # one operand widened: keeps the product rule identical across
+        # engines (DuckDB multiplies (19,6)x(18,6) without overflow)
+        return F.col(c).cast("decimal(19,6)")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(dec_wide(c) * dec(c)).alias(f"__ss_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(F.sum(dec_wide(a) * dec(b)).alias(f"__sp_{a}_{b}"))
+    stats = base.agg(*aggs)
+
+    n = F.col("__n").cast("double")
+    pair_rows = []
+    for a, b in combinations(cols, 2):
+        sa = F.col(f"__s_{a}").cast("double")
+        sb = F.col(f"__s_{b}").cast("double")
+        saa = F.col(f"__ss_{a}").cast("double")
+        sbb = F.col(f"__ss_{b}").cast("double")
+        sab = F.col(f"__sp_{a}_{b}").cast("double")
+        num = n * sab - sa * sb
+        da = F.sqrt(n * saa - sa * sa)
+        db = F.sqrt(n * sbb - sb * sb)
+        den = da * db
+        corr = F.when(den > 0, F.round(num / den, 6))
+        pair_rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), corr.alias("corr")
+            )
+        )
+    return stats.select(
+        F.explode(F.array(*pair_rows)).alias("__p")
+    ).select("__p.col_x", "__p.col_y", "__p.corr")
