@@ -2128,6 +2128,15 @@ def q_customer_cdc(spark: SparkSession, sf: str) -> DataFrame:
     volume."""
     from intake_esm_spark.operators.cdc import snapshot_diff
 
+    old, new = _customer_snapshots(spark, sf)
+    return snapshot_diff(old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+
+
+def _customer_snapshots(spark: SparkSession, sf: str):
+    """The deterministically derived before/after customer snapshots the
+    CDC entries share: old drops custkey%10=3, new drops %10=7 and bumps
+    acctbal for %4=0 — ONE definition so the diff and merge entries (and
+    their oracles) can never de-sync."""
     cust = load_table(spark, sf, "customer")
     old = cust.filter(F.col("c_custkey") % 10 != 3).select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -2141,7 +2150,38 @@ def q_customer_cdc(spark: SparkSession, sf: str) -> DataFrame:
         .alias("c_acctbal"),
         "c_mktsegment",
     )
-    return snapshot_diff(old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    return old, new
+
+
+def q_customer_scd2_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """The full warehouse merge flow: seed a type-2 dimension from the
+    old snapshot (every key at version 1, current), diff the snapshots
+    (cdc.snapshot_diff), MERGE the diff (cdc.scd2_apply) — changed and
+    deleted keys close at the merge timestamp, inserts/updates open
+    version current+1. Two change-volume-bounded joins; the dimension
+    is never rebuilt wholesale."""
+    from intake_esm_spark.operators.cdc import scd2_apply, snapshot_diff
+
+    old, new = _customer_snapshots(spark, sf)
+    dim0 = old.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(1).alias("version"),
+        F.lit(1).alias("is_current"),
+    )
+    changes = snapshot_diff(
+        old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    )
+    return scd2_apply(
+        dim0,
+        changes,
+        ["c_custkey"],
+        ["c_acctbal", "c_mktsegment"],
+        "2024-06-01 00:00:00",
+    )
 
 
 def _docs_len_bucket(sf_spark, sf: str, width: int):
@@ -2324,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_indexed": q_docs_bm25_indexed,
         "events_scd2_enrich": q_events_scd2_enrich,
         "lineitem_correlations": q_lineitem_correlations,
+        "customer_scd2_apply": q_customer_scd2_apply,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3758,6 +3799,66 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
             )
             SELECT * FROM d WHERE change_type <> 'unchanged'
+        """,
+        # replays cdc.scd2_apply over the seeded dimension + the diff:
+        # close changed/deleted currents at the merge ts, open new
+        # versions at prev+1
+        "customer_scd2_apply": """
+            WITH o AS (
+              SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+              WHERE c_custkey % 10 <> 3
+            ), n AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0
+                          ELSE c_acctbal END AS c_acctbal,
+                     c_mktsegment
+              FROM customer WHERE c_custkey % 10 <> 7
+            ), ch AS (
+              SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+                     CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                          WHEN n.c_custkey IS NULL THEN 'delete'
+                          WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                            OR (o.c_mktsegment IS DISTINCT FROM
+                                n.c_mktsegment) THEN 'update'
+                          ELSE 'unchanged' END AS change_type,
+                     n.c_acctbal AS new_c_acctbal,
+                     n.c_mktsegment AS new_c_mktsegment
+              FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+            ), chx AS (
+              SELECT * FROM ch WHERE change_type <> 'unchanged'
+            ), dim0 AS (
+              SELECT c_custkey, c_acctbal, c_mktsegment,
+                     TIMESTAMP '2024-01-01 00:00:00' AS effective_from,
+                     CAST(NULL AS TIMESTAMP) AS effective_to,
+                     1 AS version, 1 AS is_current
+              FROM o
+            ), closed AS (
+              SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment,
+                     d.effective_from,
+                     CASE WHEN d.is_current = 1
+                            AND c.change_type IN ('update', 'delete')
+                          THEN TIMESTAMP '2024-06-01 00:00:00'
+                          ELSE d.effective_to END AS effective_to,
+                     d.version,
+                     CASE WHEN d.is_current = 1
+                            AND c.change_type IN ('update', 'delete')
+                          THEN 0 ELSE d.is_current END AS is_current
+              FROM dim0 d LEFT JOIN chx c ON d.c_custkey = c.c_custkey
+            ), opened AS (
+              SELECT c.c_custkey,
+                     c.new_c_acctbal AS c_acctbal,
+                     c.new_c_mktsegment AS c_mktsegment,
+                     TIMESTAMP '2024-06-01 00:00:00' AS effective_from,
+                     CAST(NULL AS TIMESTAMP) AS effective_to,
+                     coalesce(v.version, 0) + 1 AS version,
+                     1 AS is_current
+              FROM chx c LEFT JOIN
+                   (SELECT c_custkey, version FROM dim0
+                    WHERE is_current = 1) v
+                ON c.c_custkey = v.c_custkey
+              WHERE c.change_type IN ('insert', 'update')
+            )
+            SELECT * FROM closed UNION ALL SELECT * FROM opened
         """,
         # replays privacy.k_anonymity_report over (lang, 50-char bucket);
         # the bucket spells the same double division + floor the engine

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "events_scd2_enrich",
     "events_gapfill",
     "customer_cdc",
+    "customer_scd2_apply",
     "docs_split",
     "lineitem_quantiles",
     "lineitem_correlations",

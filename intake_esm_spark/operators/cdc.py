@@ -18,6 +18,76 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_ts: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    version_col: str = "version",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` to a type-2 dimension — the full
+    warehouse merge flow (diff the snapshots, then merge only the
+    changes): every changed/deleted key's CURRENT version closes at
+    ``effective_ts``; inserts and updates open a new current version
+    (``version`` = the key's closed version + 1, or 1 for a brand-new
+    key); everything else passes through untouched.
+
+    ``changes`` is ``snapshot_diff`` output — ``key_cols``,
+    ``change_type``, and ``new_<attr>`` columns for every ``attr_cols``
+    entry (``unchanged`` rows, if present, are ignored).
+
+    Scale: two co-keyed joins, both bounded by CHANGE volume on one side
+    (the close-off join ships the keys+types of changed rows against the
+    dimension; the version-seed join runs change-rows against the
+    current-version slice) — the dimension is never windowed or
+    re-versioned wholesale, which is the point of merging a diff instead
+    of rebuilding from snapshots. Same key-uniqueness precondition as
+    ``snapshot_diff``."""
+    ts = F.lit(effective_ts).cast("timestamp")
+    ch = changes.filter(F.col("change_type") != "unchanged").select(
+        *key_cols,
+        "change_type",
+        *[F.col(f"new_{c}") for c in attr_cols],
+    )
+    closing = ch.select(*key_cols, "change_type")
+    closed = dim.join(closing, key_cols, "left")
+    closes_now = (F.col(current_col) == 1) & F.col("change_type").isin(
+        "update", "delete"
+    )
+    closed = closed.select(
+        *key_cols,
+        *attr_cols,
+        F.col(from_col),
+        F.when(closes_now, ts).otherwise(F.col(to_col)).alias(to_col),
+        F.col(version_col),
+        F.when(closes_now, F.lit(0))
+        .otherwise(F.col(current_col))
+        .alias(current_col),
+    )
+    current_versions = dim.filter(F.col(current_col) == 1).select(
+        *key_cols, F.col(version_col).alias("__prev_v")
+    )
+    opened = (
+        ch.filter(F.col("change_type").isin("insert", "update"))
+        .join(current_versions, key_cols, "left")
+        .select(
+            *key_cols,
+            *[F.col(f"new_{c}").alias(c) for c in attr_cols],
+            ts.alias(from_col),
+            F.lit(None).cast("timestamp").alias(to_col),
+            (F.coalesce(F.col("__prev_v"), F.lit(0)) + F.lit(1)).alias(
+                version_col
+            ),
+            F.lit(1).alias(current_col),
+        )
+    )
+    return closed.unionByName(opened)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

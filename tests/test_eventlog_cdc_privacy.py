@@ -390,6 +390,77 @@ def test_snapshot_diff_validation(spark):
 
 
 # ---------------------------------------------------------------------------
+# scd2_apply
+
+
+def test_scd2_apply_merge_flow(spark):
+    """diff two snapshots, merge into a seeded dimension: update closes
+    v1 and opens v2, delete closes without opening, insert opens v1,
+    untouched keys pass through."""
+    from intake_esm_spark.operators.cdc import scd2_apply, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")], CUST_SCHEMA
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (4, 40.0, "D")], CUST_SCHEMA
+    )
+    from pyspark.sql import functions as F
+
+    dim0 = old.select(
+        "k", "bal", "seg",
+        F.lit("2024-01-01").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(1).alias("version"),
+        F.lit(1).alias("is_current"),
+    )
+    changes = snapshot_diff(old, new, ["k"], ["bal", "seg"])
+    out = scd2_apply(
+        dim0, changes, ["k"], ["bal", "seg"], "2024-06-01"
+    ).collect()
+    rows = {(r["k"], r["version"]): r.asDict() for r in out}
+    assert len(rows) == 5  # 3 originals + v2 for key 2 + v1 for key 4
+    assert rows[(1, 1)]["is_current"] == 1  # unchanged: untouched
+    assert rows[(1, 1)]["effective_to"] is None
+    assert rows[(2, 1)]["is_current"] == 0  # update: closed...
+    assert rows[(2, 1)]["effective_to"] is not None
+    assert rows[(2, 2)]["is_current"] == 1  # ...and reopened at v2
+    assert rows[(2, 2)]["bal"] == 25.0
+    assert rows[(3, 1)]["is_current"] == 0  # delete: closed, not reopened
+    assert (3, 2) not in rows
+    assert rows[(4, 1)]["is_current"] == 1  # insert: fresh v1
+    assert rows[(4, 1)]["bal"] == 40.0
+
+
+def test_scd2_apply_second_merge_increments_version(spark):
+    """Apply twice: the second update opens v3 on top of v2."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.cdc import scd2_apply, snapshot_diff
+
+    s0 = spark.createDataFrame([(1, 1.0, "A")], CUST_SCHEMA)
+    s1 = spark.createDataFrame([(1, 2.0, "A")], CUST_SCHEMA)
+    s2 = spark.createDataFrame([(1, 3.0, "A")], CUST_SCHEMA)
+    dim = s0.select(
+        "k", "bal", "seg",
+        F.lit("2024-01-01").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(1).alias("version"),
+        F.lit(1).alias("is_current"),
+    )
+    dim = scd2_apply(
+        dim, snapshot_diff(s0, s1, ["k"], ["bal", "seg"]), ["k"], ["bal", "seg"], "2024-02-01"
+    )
+    dim = scd2_apply(
+        dim, snapshot_diff(s1, s2, ["k"], ["bal", "seg"]), ["k"], ["bal", "seg"], "2024-03-01"
+    )
+    rows = {r["version"]: r.asDict() for r in dim.collect()}
+    assert [rows[v]["is_current"] for v in (1, 2, 3)] == [0, 0, 1]
+    assert rows[3]["bal"] == 3.0
+    assert rows[2]["effective_to"] is not None
+
+
+# ---------------------------------------------------------------------------
 # k-anonymity
 
 
