@@ -2068,6 +2068,17 @@ def q_events_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return transition_matrix(events, terminal="end")
 
 
+def q_events_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 three-step event paths (overlapping per-user windows,
+    complete windows only): the lead chain shares ONE user-keyed window
+    sort, the count is map-side partial, the top-k is
+    TakeOrderedAndProject with a (count, path) total order."""
+    from intake_esm_spark.operators.eventlog import top_paths
+
+    events = load_table(spark, sf, "events")
+    return top_paths(events, length=3, k=20)
+
+
 def q_events_scd2(spark: SparkSession, sf: str) -> DataFrame:
     """Type-2 slowly-changing dimension built from the event log
     (gaps-and-islands): each user's consecutive event_type repeats
@@ -2365,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_enrich": q_events_scd2_enrich,
         "lineitem_correlations": q_lineitem_correlations,
         "customer_scd2_apply": q_customer_scd2_apply,
+        "events_paths": q_events_paths,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3680,6 +3692,26 @@ def oracle_sql() -> dict[str, str]:
                                 (PARTITION BY from_type) AS DOUBLE),
                          6) AS prob
             FROM c
+        """,
+        # replays eventlog.top_paths: one lead chain per window, complete
+        # windows only, (count desc, path asc) total-order cutoff
+        "events_paths": """
+            WITH base AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), p AS (
+              SELECT event_type AS s0,
+                     lead(event_type, 1) OVER w AS s1,
+                     lead(event_type, 2) OVER w AS s2
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT s0 || '>' || s1 || '>' || s2 AS path,
+                   count(*) AS n_paths
+            FROM p WHERE s2 IS NOT NULL
+            GROUP BY 1
+            ORDER BY n_paths DESC, path ASC
+            LIMIT 20
         """,
         # replays eventlog.scd2_from_log: rn=1 OR IS DISTINCT FROM gaps
         # and islands, interval close-off over the change points

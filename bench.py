@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "events_attribution",
     "events_daily_ma",
     "events_transitions",
+    "events_paths",
     "events_scd2",
     "events_scd2_enrich",
     "events_gapfill",

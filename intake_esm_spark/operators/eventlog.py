@@ -72,6 +72,53 @@ def transition_matrix(
     )
 
 
+def top_paths(
+    events: DataFrame,
+    length: int = 3,
+    k: int = 20,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Most frequent ``length``-step event paths across all entities:
+    every window of ``length`` consecutive events of one entity becomes
+    a ``a>b>c`` path, counted corpus-wide, top-``k`` by count — the
+    "what do users actually do" sibling of :func:`transition_matrix`
+    (which sees only single steps). Paths are OVERLAPPING windows
+    (an entity with events a,b,c,d contributes a>b>c AND b>c>d), only
+    COMPLETE windows count, and null entity keys / null types are
+    excluded like the sibling.
+
+    Scale: one exchange on ``key_col`` for the lead chain (all
+    ``length-1`` leads share one window — one sort, not one per step),
+    one path-keyed count with map-side partials, then a partial top-k
+    (``TakeOrderedAndProject`` — never a global sort of the path
+    vocabulary). Ranking by (count desc, path asc) is a total order, so
+    the cutoff is engine-portable."""
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = events.filter(
+        F.col(key_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    paths = base.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].isNotNull().alias("__complete"),
+    ).filter(F.col("__complete"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(k)
+    )
+
+
 def scd2_from_log(
     events: DataFrame,
     key_col: str,

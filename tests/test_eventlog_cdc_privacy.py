@@ -76,6 +76,27 @@ def test_transitions_without_terminal_drops_final(path_events):
     assert out == {("A", "B"): 1, ("B", "B"): 1, ("B", "A"): 2}
 
 
+def test_top_paths_overlapping_complete_windows(spark):
+    from intake_esm_spark.operators.eventlog import top_paths
+
+    rows = [
+        (1, "a", _t(1, 0), 1, 0.0),
+        (1, "b", _t(1, 1), 2, 0.0),
+        (1, "c", _t(1, 2), 3, 0.0),
+        (1, "d", _t(1, 3), 4, 0.0),
+        (2, "a", _t(1, 0), 5, 0.0),
+        (2, "b", _t(1, 1), 6, 0.0),
+        (2, "c", _t(1, 2), 7, 0.0),
+        (3, "a", _t(1, 0), 8, 0.0),  # too short: no complete window
+        (3, "b", _t(1, 1), 9, 0.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r["path"]: r["n_paths"] for r in top_paths(df, length=3).collect()}
+    assert out == {"a>b>c": 2, "b>c>d": 1}  # overlapping windows, u3 absent
+    with pytest.raises(ValueError):
+        top_paths(df, length=1)
+
+
 # ---------------------------------------------------------------------------
 # scd2_from_log
 
