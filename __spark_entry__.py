@@ -597,6 +597,28 @@ def q_profile_numeric(spark: SparkSession, sf: str) -> DataFrame:
     return li.agg(*aggs)
 
 
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (2 unrolled iterations, damping 0.85) over the
+    customer–supplier co-purchase bipartite graph (distinct pairs via
+    orders⋈lineitem, traversed both ways) — the third iterative shape
+    next to connected components and k-means. Contributions quantize to
+    12dp DECIMAL so the per-node accumulation is order-independent and
+    the unrolled SQL replay agrees bitwise."""
+    from intake_esm_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iters=2, damping=0.85)
+
+
 def q_lineitem_correlations(spark: SparkSession, sf: str) -> DataFrame:
     """Exact pairwise Pearson correlations over the lineitem measures in
     ONE aggregation pass (operators/profiling.py): decimal-exact moments
@@ -2377,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": q_lineitem_correlations,
         "customer_scd2_apply": q_customer_scd2_apply,
         "events_paths": q_events_paths,
+        "graph_pagerank": q_graph_pagerank,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3831,6 +3854,54 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
             )
             SELECT * FROM d WHERE change_type <> 'unchanged'
+        """,
+        # replays graph.pagerank, 2 iterations unrolled: teleport spelled
+        # (1.0 - 0.85)/n — NOT 0.15/n, a DIFFERENT double — and 12dp
+        # decimal contribution quantization for order-independent sums
+        "graph_pagerank": """
+            WITH raw AS (
+              SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                     's' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), e AS (
+              SELECT src, dst FROM raw
+              UNION ALL SELECT dst AS src, src AS dst FROM raw
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+              )
+            ), deg AS (
+              SELECT src, count(*) AS dg FROM e GROUP BY 1
+            ), nn AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+            ), r0 AS (
+              SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn
+            ), c1 AS (
+              SELECT e.dst,
+                     CAST(round(r0.r / deg.dg, 12) AS DECIMAL(28,12)) AS c
+              FROM r0 JOIN deg ON r0.node = deg.src
+                      JOIN e ON e.src = r0.node
+            ), s1 AS (
+              SELECT dst, sum(c) AS s FROM c1 GROUP BY 1
+            ), r1 AS (
+              SELECT nodes.node,
+                     ((1.0 - 0.85) / n)
+                     + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0) AS r
+              FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.node = s1.dst
+            ), c2 AS (
+              SELECT e.dst,
+                     CAST(round(r1.r / deg.dg, 12) AS DECIMAL(28,12)) AS c
+              FROM r1 JOIN deg ON r1.node = deg.src
+                      JOIN e ON e.src = r1.node
+            ), s2 AS (
+              SELECT dst, sum(c) AS s FROM c2 GROUP BY 1
+            ), r2 AS (
+              SELECT nodes.node,
+                     ((1.0 - 0.85) / n)
+                     + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0) AS r
+              FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.dst
+            )
+            SELECT node, round(r, 6) AS rank FROM r2
         """,
         # replays cdc.scd2_apply over the seeded dimension + the diff:
         # close changed/deleted currents at the merge ts, open new

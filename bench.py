@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "docs_split",
     "lineitem_quantiles",
     "lineitem_correlations",
+    "graph_pagerank",
     "asof_join",
     "text_stats",
     "text_quality",

@@ -46,7 +46,11 @@ def scd2_apply(
     current-version slice) — the dimension is never windowed or
     re-versioned wholesale, which is the point of merging a diff instead
     of rebuilding from snapshots. Same key-uniqueness precondition as
-    ``snapshot_diff``."""
+    ``snapshot_diff``, plus freshness: the diff's OLD side must be the
+    dimension's current snapshot — a stale diff can classify an
+    already-current key as ``insert``, which opens a second current row
+    instead of closing the first (diff against
+    ``dim.filter(current).select(keys + attrs)`` to be safe)."""
     ts = F.lit(effective_ts).cast("timestamp")
     ch = changes.filter(F.col("change_type") != "unchanged").select(
         *key_cols,

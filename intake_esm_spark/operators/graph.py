@@ -1,0 +1,98 @@
+"""Distributed PageRank — fixed-iteration message passing over an edge
+list.
+
+Extension (SURVEY §2.9): the third iterative-algorithm shape in the repo
+(connected components = min-label propagation, k-means = centroid
+refinement, PageRank = weighted message passing). Useful on any derived
+graph this engine builds: near-duplicate candidate pairs, cross-source
+overlap, entity co-occurrence — "which document/supplier/node is
+structurally central".
+
+Per iteration the plan is exactly two keyed exchanges: the rank frame
+joins the edge list on the source key (node-sized ⋈ edge-sized,
+co-keyed) and contributions aggregate by destination (map-side
+partials). The rank frame is node-sized throughout and is
+``localCheckpoint``ed each round — without it iteration N's plan embeds
+rounds 1..N-1 (the connected-components lesson). A hub node is one hot
+aggregation key; AQE's skew handling applies to the join, and the
+aggregate only sums.
+
+Determinism (the oracle contract): a double sum over a node's in-edges
+is partition-order-dependent, so each contribution is quantized to 12dp
+and accumulated as DECIMAL(28,12) — exact, order-independent — with the
+damping arithmetic done in fixed IEEE double form on the exact sum.
+Quantization perturbs ranks by < n·5e-13 per node per iteration, far
+below any ranking use, and makes Spark and a SQL replay agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """Ranks after ``iters`` rounds of ``r' = (1-d)/N + d·Σ r_u/deg_u``
+    over the in-neighbors, from a uniform ``1/N`` start. With
+    ``undirected=True`` every edge is traversed both ways (the
+    co-occurrence-graph setting); dangling nodes (no out-edges, only
+    possible when directed) leak their mass — the standard simplified
+    formulation, mirrored exactly by the oracle. Self-loops count like
+    any edge; parallel edges should be de-duplicated upstream if
+    unwanted. Returns ``(node, rank)`` with the rank 6dp-rounded."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if undirected:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # pin the (possibly expensive) upstream edge plan once: it is
+    # re-joined every iteration
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # degree rides ON the edge rows (loop-invariant — joining it inside
+    # the loop would pay an extra exchange per iteration); checkpointed
+    # so every round reuses the materialized (src, dst, deg) frame
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    base = 1.0 / n_nodes
+    teleport = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(base).alias("__r"))
+    for _ in range(iters):
+        contrib = ranks.join(
+            e_deg, ranks["node"] == e_deg["src"], "inner"
+        ).select(
+            F.col("dst"),
+            F.round(F.col("__r") / F.col("__deg"), 12)
+            .cast("decimal(28,12)")
+            .alias("__c"),
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0))
+                ).alias("__r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("__r", 6).alias("rank"))

@@ -1,0 +1,74 @@
+"""Fixed-iteration PageRank (operators/graph.py)."""
+
+from decimal import Decimal, ROUND_HALF_UP
+
+import pytest
+
+from intake_esm_spark.operators.graph import pagerank
+
+
+def _ref_pagerank(edges, iters=2, d=0.85, undirected=True):
+    """Pure-python replay incl. the 12dp decimal contribution rule."""
+    e = list(edges)
+    if undirected:
+        e = e + [(b, a) for a, b in e]
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    deg = {}
+    for a, _ in e:
+        deg[a] = deg.get(a, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    q12 = Decimal("0.000000000001")
+    for _ in range(iters):
+        s = {v: Decimal(0) for v in nodes}
+        for a, b in e:
+            c = Decimal(repr(round(r[a] / deg[a], 12))).quantize(
+                q12, rounding=ROUND_HALF_UP
+            )
+            s[b] += c
+        r = {v: (1.0 - d) / n + d * float(s[v]) for v in nodes}
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+def test_matches_python_reference(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=2).collect()}
+    assert got == _ref_pagerank(edges)
+    # a has degree 3 (hub): must outrank the leaf d
+    assert got["a"] > got["d"]
+
+
+def test_ranks_sum_to_one_undirected(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = pagerank(df, iters=3).collect()
+    assert sum(r["rank"] for r in out) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_directed_dangling_leaks_mass(spark):
+    edges = [("a", "b")]  # b has no out-edges when directed
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=1, undirected=False).collect()
+    }
+    # b receives a's full rank; a only teleport mass
+    assert out["b"] > out["a"]
+    assert sum(out.values()) < 1.0  # b's mass left the system
+
+
+def test_partition_independent(spark):
+    edges = [(f"n{i}", f"n{(i * 7) % 40}") for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, pagerank(df, iters=2).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(13), iters=2).collect()))
+    assert a == b
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
