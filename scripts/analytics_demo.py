@@ -1,0 +1,118 @@
+"""End-to-end event-analytics smoke: the product-analytics surface
+driven through the public operator modules on real testdata.
+
+    python scripts/analytics_demo.py [sf_dir]  # default /root/testdata/sf0.001
+
+Stages (each an operator this engine ships):
+
+  1. funnel + conversion counts     (signup -> view -> purchase)
+  2. cohort retention matrix        (weekly grain)
+  3. last-touch attribution         (as-of join, 24h lookback)
+  4. KMV distinct sketch            (users per event type)
+  5. Markov transitions + top paths (per-user event sequences)
+  6. SCD2 dimension from the log    + point-in-time purchase enrichment
+  7. daily rollup + anomaly flags   (decimal moments)
+  8. PageRank                       (customer-supplier co-purchase graph)
+
+Prints one JSON line with a scalar summary per stage, then exits 0 —
+the smoke check is that every stage runs against the same SparkSession
+and the invariants hold (funnel monotone, retention offsets bounded,
+enrichment covers every purchase with a prior version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators import eventlog, funnel, retention, sketch
+from intake_esm_spark.operators.asof import asof_join
+from intake_esm_spark.operators.graph import pagerank
+from intake_esm_spark.operators.timeseries import detect_anomalies
+from intake_esm_spark.session import get_spark
+from intake_esm_spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="analytics_demo")
+    events = load_table(spark, sf_dir, "events")
+    out: dict = {"analytics_demo": "OK"}
+
+    steps = ["signup", "view", "purchase"]
+    conv = {
+        r["step"]: r["n_users"]
+        for r in funnel.funnel_counts(events, steps, within="24 hours").collect()
+    }
+    assert all(
+        conv.get(a, 0) >= conv.get(b, 0) for a, b in zip(steps, steps[1:])
+    ), f"funnel not monotone: {conv}"
+    out["funnel"] = conv
+
+    ret = retention.retention_matrix(events, grain_days=7)
+    out["retention_cells"] = ret.count()
+
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id")
+    touches = events.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", F.col("event_id").alias("touch_id"))
+    attributed = asof_join(purchases, touches, on="user_id", tolerance="24 hours")
+    out["attributed"] = attributed.filter(F.col("touch_id").isNotNull()).count()
+
+    sk = sketch.kmv_distinct(events, "user_id", ["event_type"], k=32)
+    out["kmv_groups"] = sk.count()
+
+    out["transition_pairs"] = eventlog.transition_matrix(
+        events, terminal="end"
+    ).count()
+    out["top_path_rows"] = eventlog.top_paths(events, length=3, k=10).count()
+
+    dim = eventlog.scd2_from_log(events, "user_id", "event_type").select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        "effective_from",
+        "effective_to",
+        "version",
+    )
+    enriched = eventlog.enrich_with_scd2(
+        purchases, dim, "user_id"
+    )
+    n_purch = purchases.count()
+    n_enriched = enriched.filter(F.col("segment").isNotNull()).count()
+    # every purchase follows at least its own first event, so every row
+    # must land in SOME version of a contiguous log-derived dimension
+    assert n_enriched == n_purch, f"enrichment gap: {n_enriched}/{n_purch}"
+    out["enriched_purchases"] = n_enriched
+
+    anomalies = detect_anomalies(
+        events.filter(F.col("event_type") == "purchase"), window_days=7
+    )
+    out["anomaly_days"] = anomalies.filter(F.col("is_anomaly")).count()
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=2)
+    total_rank = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total_rank - 1.0) < 1e-3, f"rank mass {total_rank}"
+    out["pagerank_nodes"] = ranks.count()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
