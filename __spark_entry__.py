@@ -597,6 +597,26 @@ def q_profile_numeric(spark: SparkSession, sf: str) -> DataFrame:
     return li.agg(*aggs)
 
 
+def q_lineitem_winsorized(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag winsorization of extended price at the p05/p95
+    fences: exact type-7 percentiles from one grouped aggregation,
+    broadcast back (group-cardinality frame), in-row clamp — the
+    outlier-capping feature-prep step."""
+    from intake_esm_spark.operators.profiling import winsorize
+
+    li = load_table(spark, sf, "lineitem")
+    out = winsorize(
+        li, "l_extendedprice", ["l_returnflag"], lower=0.05, upper=0.95
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.round("l_extendedprice_w", 6).alias("price_w"),
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank (2 unrolled iterations, damping 0.85) over the
     customer–supplier co-purchase bipartite graph (distinct pairs via
@@ -2400,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_scd2_apply": q_customer_scd2_apply,
         "events_paths": q_events_paths,
         "graph_pagerank": q_graph_pagerank,
+        "lineitem_winsorized": q_lineitem_winsorized,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3684,6 +3705,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(CASE WHEN n >= 2 THEN abs(zz) >= 2.0 END,
                                  false) AS INT) AS is_anomaly
             FROM z
+        """,
+        # replays profiling.winsorize: type-7 quantile fences per group,
+        # least/greatest clamp (null guard explicit — both engines'
+        # least/greatest SKIP nulls)
+        "lineitem_winsorized": """
+            WITH fences AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.05) AS lo,
+                     quantile_cont(l_extendedprice, 0.95) AS hi
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_extendedprice,
+                   round(CASE WHEN l.l_extendedprice IS NOT NULL
+                              THEN least(greatest(l.l_extendedprice, f.lo),
+                                         f.hi) END,
+                         6) AS price_w
+            FROM lineitem l LEFT JOIN fences f
+              ON l.l_returnflag = f.l_returnflag
         """,
         "lineitem_quantiles": """
             SELECT l_returnflag,

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "lineitem_quantiles",
     "lineitem_correlations",
     "graph_pagerank",
+    "lineitem_winsorized",
     "asof_join",
     "text_stats",
     "text_quality",

@@ -24,6 +24,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` to its (per-group) ``[lower, upper]``
+    percentile fences — the outlier-capping step feature pipelines run
+    before scaling (a single fat-finger value otherwise owns the
+    min-max range). Adds ``out_col`` (default ``<value_col>_w``) with
+    the clamped value; null values stay null; all other columns pass
+    through.
+
+    Exact percentiles (Spark's sort-based ``percentile``, type-7 — the
+    `quantile_cont` parity the quantile entries pinned) from ONE
+    aggregation keyed by the group columns, joined back broadcast (the
+    fence frame is group-cardinality-sized); the clamp itself is an
+    in-row ``least(greatest(...))``. At 100 TB swap the exact
+    percentile for ``approx_percentile`` — the plan shape is unchanged.
+    Ungrouped (``group_cols=None``) uses a single global fence row."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got ({lower}, {upper})"
+        )
+    out_col = out_col or f"{value_col}_w"
+    fences_agg = [
+        F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+    ]
+    if group_cols:
+        fences = df.groupBy(*group_cols).agg(*fences_agg)
+        joined = df.join(F.broadcast(fences), group_cols, "left")
+    else:
+        fences = df.agg(*fences_agg)
+        joined = df.crossJoin(F.broadcast(fences))
+    # explicit null guard: least/greatest SKIP nulls in both engines, so
+    # a bare clamp would turn a null value into the lower fence
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    )
+    return joined.select(
+        *df.columns, clamped.alias(out_col)
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation for every unordered pair of ``cols``, complete
     cases only (rows with a null in ANY profiled column are excluded —

@@ -640,6 +640,103 @@ def stream_scd2(
     )
 
 
+def stream_transition_pairs(
+    df: DataFrame,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming side of ``operators.eventlog.transition_matrix``: the
+    per-entity consecutive-pair stream, maintained across micro-batches
+    with ``applyInPandasWithState`` — state per entity is ONE (ts, type)
+    tuple (the last seen event), so a cross-batch boundary pair
+    ``last_of_batch_N -> first_of_batch_N+1`` is emitted exactly like an
+    in-batch pair. Each emitted row is one ``(from_type, to_type)``
+    transition, exactly once; pipe into ``groupBy(from_type,
+    to_type).count()`` (streaming update mode) for live counts — the
+    aggregation is deliberately left to the caller so the pair stream
+    composes (count, probability, alerting) without re-reading state.
+
+    Total emitted pairs equal the batch operator's ``n_transitions``
+    totals (terminal=None form) under per-entity event-time-ordered
+    arrival — the ``stream_funnel`` exactness contract (in-batch chunks
+    gathered and stably sorted once; a late earlier event would pair in
+    arrival position). Null keys and null types are excluded like the
+    batch operator.
+
+    In batch mode degenerates to the batch pair derivation (lead window
+    — the oracle)."""
+    from pyspark.sql import functions as F
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        base = df.filter(
+            F.col(key_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        return base.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        ).filter(F.col("to_type").isNotNull())
+    if not isinstance(df.schema[type_col].dataType, T.StringType):
+        raise ValueError(
+            f"stream_transition_pairs requires a string type column; got "
+            f"{df.schema[type_col].dataType} for {type_col!r}"
+        )
+    output_schema = T.StructType(
+        [
+            T.StructField("from_type", T.StringType()),
+            T.StructField("to_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts_us", T.LongType()),
+            T.StructField("last_type", T.StringType()),
+        ]
+    )
+
+    def _update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            return
+        last = state.get if state.exists else None
+        chunks = [c for c in batches if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        pairs = []
+        if len(pdf):
+            pdf = pdf.dropna(subset=[ts_col, type_col]).sort_values(
+                ts_col, kind="mergesort"
+            )
+            for val, ts in zip(pdf[type_col], pdf[ts_col]):
+                ts_us = ts.value // 1000
+                if last is not None:
+                    pairs.append((last[1], val))
+                last = (ts_us, val)
+        if last is None:
+            return
+        state.update(tuple(last))
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "from_type": [p[0] for p in pairs],
+                    "to_type": [p[1] for p in pairs],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 _INTERVAL_UNITS_US = {
     "second": 1_000_000, "seconds": 1_000_000,
     "minute": 60_000_000, "minutes": 60_000_000,

@@ -194,6 +194,71 @@ def test_gapfill_spans_are_per_user(spark):
     assert days[2] == {"2024-03-10"}  # no bleed into user 1's span
 
 
+def test_stream_transition_pairs_matches_batch(spark, tmp_path):
+    """Two time-ordered micro-batches: total emitted pairs (including
+    the cross-batch boundary pair per user) grouped and counted must
+    equal the batch transition matrix (terminal=None form)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.eventlog import transition_matrix
+    from intake_esm_spark.streaming.stateful import stream_transition_pairs
+
+    rows = [
+        (1, "a", _t(1, 0), 1, 0.0),
+        (1, "b", _t(1, 1), 2, 0.0),
+        (1, "c", _t(2, 1), 3, 0.0),  # in batch 2: boundary pair b->c
+        (2, "a", _t(1, 0), 4, 0.0),
+        (2, "a", _t(2, 2), 5, 0.0),  # boundary pair a->a
+        (None, "x", _t(1, 0), 6, 0.0),
+        (3, None, _t(1, 0), 7, 0.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    batch = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in transition_matrix(df).collect()
+    }
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    df.filter(F.col("ts") < _t(2)).coalesce(1).write.parquet(str(tmp_path / "a"))
+    df.filter(F.col("ts") >= _t(2)).coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, (part, name) in enumerate(
+        [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
+    ):
+        for f in glob.glob(str(part / "*.parquet")):
+            dest = flat / f"{name}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    out = stream_transition_pairs(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pairs_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT from_type, to_type, count(*) AS n FROM pairs_stream GROUP BY 1, 2"
+        ).collect()
+    finally:
+        q.stop()
+    streamed = {(r["from_type"], r["to_type"]): r["n"] for r in emitted}
+    assert streamed == batch
+    assert streamed[("b", "c")] == 1  # the cross-batch boundary pair
+    assert streamed[("a", "a")] == 1
+
+
 # ---------------------------------------------------------------------------
 # enrich_with_scd2
 

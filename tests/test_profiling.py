@@ -60,3 +60,39 @@ def test_validation(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         correlation_matrix(df, ["x"])
+
+
+# ---------------------------------------------------------------------------
+# winsorize
+
+
+def test_winsorize_clamps_to_group_fences(spark):
+    from intake_esm_spark.operators.profiling import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 100)] + [
+        ("g", 10_000.0),      # the outlier
+        ("h", 5.0),
+        ("h", None),          # null stays null
+    ]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = {
+        (r["grp"], r["x"]): r["x_w"]
+        for r in winsorize(df, "x", ["grp"], 0.01, 0.99).collect()
+    }
+    assert out[("g", 10_000.0)] < 10_000.0  # capped at the p99 fence
+    assert out[("g", 50.0)] == 50.0         # interior values untouched
+    assert out[("h", 5.0)] == 5.0           # single-value group: lo==hi==x
+    assert out[("h", None)] is None         # null guarded, NOT set to lo
+
+
+def test_winsorize_global_and_validation(spark):
+    from intake_esm_spark.operators.profiling import winsorize
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "x double"
+    )
+    out = winsorize(df, "x", None, 0.10, 0.90).collect()
+    ws = [r["x_w"] for r in out]
+    assert min(ws) == pytest.approx(9.9) and max(ws) == pytest.approx(89.1)
+    with pytest.raises(ValueError):
+        winsorize(df, "x", None, 0.9, 0.1)
