@@ -597,6 +597,34 @@ def q_profile_numeric(spark: SparkSession, sf: str) -> DataFrame:
     return li.agg(*aggs)
 
 
+def q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B readout (operators/experiment.py): users split into two
+    deterministic variants (user_id parity), converted = power user
+    (>= 15 purchases — "any purchase" converts 100% of this synthetic
+    cohort and tests nothing); per-variant rates + the two-proportion z
+    vs control 'A' — closed-form arithmetic over four exact integers,
+    fully engine-portable."""
+    from intake_esm_spark.operators.experiment import ab_test_report
+
+    events = load_table(spark, sf, "events")
+    units = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("__np")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+                "variant"
+            ),
+            (F.col("__np") >= 15).cast("int").alias("converted"),
+        )
+    )
+    return ab_test_report(units, "variant", "converted", control="A")
+
+
 def q_lineitem_winsorized(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag winsorization of extended price at the p05/p95
     fences: exact type-7 percentiles from one grouped aggregation,
@@ -2421,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_paths": q_events_paths,
         "graph_pagerank": q_graph_pagerank,
         "lineitem_winsorized": q_lineitem_winsorized,
+        "events_ab_test": q_events_ab_test,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3705,6 +3734,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(CASE WHEN n >= 2 THEN abs(zz) >= 2.0 END,
                                  false) AS INT) AS is_anomaly
             FROM z
+        """,
+        # replays experiment.ab_test_report over the parity-split users:
+        # exact integer counts, fixed IEEE z expression, rounded BEFORE
+        # the significance compare (like the engine)
+        "events_ab_test": """
+            WITH units AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS variant,
+                     CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) >= 15
+                          THEN 1 ELSE 0 END AS converted
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            ), pv AS (
+              SELECT variant, count(*) AS n_units,
+                     CAST(sum(CASE WHEN converted > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_converted
+              FROM units GROUP BY 1
+            ), ctrl AS (
+              SELECT n_units AS nc, n_converted AS xc FROM pv
+              WHERE variant = 'A'
+            ), calc AS (
+              SELECT variant, n_units, n_converted,
+                     CAST(n_units AS DOUBLE) AS nv,
+                     CAST(n_converted AS DOUBLE) AS xv,
+                     CAST(nc AS DOUBLE) AS ncd, CAST(xc AS DOUBLE) AS xcd
+              FROM pv CROSS JOIN ctrl
+            ), zed AS (
+              SELECT variant, n_units, n_converted,
+                     round(xv / nv, 6) AS rate,
+                     round(
+                       CASE WHEN variant <> 'A'
+                             AND sqrt(((xv + xcd) / (nv + ncd))
+                                      * (1.0 - (xv + xcd) / (nv + ncd))
+                                      * (1.0 / nv + 1.0 / ncd)) > 0
+                            THEN (xv / nv - xcd / ncd)
+                                 / sqrt(((xv + xcd) / (nv + ncd))
+                                        * (1.0 - (xv + xcd) / (nv + ncd))
+                                        * (1.0 / nv + 1.0 / ncd)) END,
+                       6) AS z_vs_control
+              FROM calc
+            )
+            SELECT variant, n_units, n_converted, rate, z_vs_control,
+                   CAST(coalesce(abs(z_vs_control) >= 1.959964, false)
+                        AS INT) AS significant
+            FROM zed
         """,
         # replays profiling.winsorize: type-7 quantile fences per group,
         # least/greatest clamp (null guard explicit — both engines'

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "lineitem_correlations",
     "graph_pagerank",
     "lineitem_winsorized",
+    "events_ab_test",
     "asof_join",
     "text_stats",
     "text_quality",

@@ -1,0 +1,52 @@
+"""A/B two-proportion z-test report (operators/experiment.py)."""
+
+import math
+
+import pytest
+
+from intake_esm_spark.operators.experiment import ab_test_report
+
+
+def _ref_z(xv, nv, xc, nc):
+    p = (xv + xc) / (nv + nc)
+    se = math.sqrt(p * (1 - p) * (1 / nv + 1 / nc))
+    return (xv / nv - xc / nc) / se
+
+
+@pytest.fixture(scope="module")
+def units(spark):
+    rows = (
+        [("A", 1)] * 20 + [("A", 0)] * 80     # control: 20%
+        + [("B", 1)] * 40 + [("B", 0)] * 60   # treatment: 40%
+        + [("C", 1)] * 22 + [("C", 0)] * 78   # near-control: 22%
+        + [(None, 1)]                          # null variant excluded
+    )
+    return spark.createDataFrame(rows, "variant string, converted int")
+
+
+def test_report_counts_rates_and_z(units):
+    out = {r["variant"]: r.asDict() for r in ab_test_report(units, "variant", "converted", control="A").collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert out["A"]["n_units"] == 100 and out["A"]["n_converted"] == 20
+    assert out["A"]["rate"] == 0.2
+    assert out["A"]["z_vs_control"] is None  # control vs itself
+    assert out["A"]["significant"] == 0
+    assert out["B"]["z_vs_control"] == pytest.approx(
+        _ref_z(40, 100, 20, 100), abs=1e-6
+    )
+    assert out["B"]["significant"] == 1    # 20pp lift on n=100: z≈3.09
+    assert out["C"]["significant"] == 0    # 2pp lift: z≈0.35
+    assert out["C"]["z_vs_control"] == pytest.approx(
+        _ref_z(22, 100, 20, 100), abs=1e-6
+    )
+
+
+def test_duplicate_unit_warning_is_callers_problem(spark):
+    """The documented precondition: rows are unit-grain. A converted
+    column >1 still counts as ONE conversion (the >0 rule)."""
+    df = spark.createDataFrame(
+        [("A", 3), ("A", 0), ("B", 1), ("B", 1)], "variant string, converted int"
+    )
+    out = {r["variant"]: r.asDict() for r in ab_test_report(df, "variant", "converted", "A").collect()}
+    assert out["A"]["n_converted"] == 1
+    assert out["B"]["n_converted"] == 2
