@@ -57,10 +57,14 @@ def pagerank(
     # pin the (possibly expensive) upstream edge plan once: it is
     # re-joined every iteration
     e = e.localCheckpoint(eager=False)
+    # nodes is referenced every iteration (the teleport re-join) AND for
+    # N — without the pin each reference re-runs the corpus-scale
+    # distinct (the multi-reference re-planning pitfall)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # degree rides ON the edge rows (loop-invariant — joining it inside
     # the loop would pay an extra exchange per iteration); checkpointed
