@@ -1547,6 +1547,32 @@ def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
 
 
+def q_events_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user trailing 7/30-day feature snapshot (operators/eventlog
+    rolling_user_features): ONE entity-keyed exchange shared by the
+    day-grain rollup and all four RANGE windows — the feature-store
+    shape a model consumes."""
+    from intake_esm_spark.operators.eventlog import rolling_user_features
+
+    events = load_table(spark, sf, "events")
+    return rolling_user_features(events, windows=[7, 30])
+
+
+def q_events_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM level-shift alarms on daily purchase revenue: the textbook
+    recursion computed CLOSED-FORM as prefix-sum minus running-min over
+    the calendar-bounded day frame (no recursion, no UDF); drifts
+    quantize to decimal so the running sums are engine-exact."""
+    from intake_esm_spark.operators.timeseries import detect_level_shift
+
+    events = load_table(spark, sf, "events")
+    return detect_level_shift(
+        events.filter(F.col("event_type") == "purchase"),
+        k_sigma=0.5,
+        h_sigma=4.0,
+    )
+
+
 def q_lineitem_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-group quantiles: p25/p50/p75/p95 of extended price per
     return flag — Spark's sort-based exact `percentile` (type-7 linear
@@ -2452,6 +2478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "lineitem_winsorized": q_lineitem_winsorized,
         "events_ab_test": q_events_ab_test,
+        "events_rolling_features": q_events_rolling_features,
+        "events_cusum": q_events_cusum,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3875,6 +3903,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
             FROM chg
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # replays eventlog.rolling_user_features: shared entity-keyed
+        # RANGE windows over the day-grain rollup; DuckDB window sums of
+        # BIGINT widen — cast back
+        "events_rolling_features": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS dv
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+            ), d2 AS (
+              SELECT *, date_diff('day', DATE '1970-01-01', day) AS dn
+              FROM daily
+            )
+            SELECT user_id, CAST(day AS VARCHAR) AS day,
+                   CAST(sum(n) OVER w7 AS BIGINT) AS n_events_7d,
+                   round(CAST(sum(dv) OVER w7 AS DOUBLE), 6) AS value_7d,
+                   CAST(count(*) OVER w7 AS BIGINT) AS days_active_7d,
+                   CAST(sum(n) OVER w30 AS BIGINT) AS n_events_30d,
+                   round(CAST(sum(dv) OVER w30 AS DOUBLE), 6) AS value_30d,
+                   CAST(count(*) OVER w30 AS BIGINT) AS days_active_30d
+            FROM d2
+            WINDOW w7 AS (PARTITION BY user_id ORDER BY dn
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+                   w30 AS (PARTITION BY user_id ORDER BY dn
+                           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        """,
+        # replays timeseries.detect_level_shift: same IEEE moment shapes
+        # as events_anomaly; drifts quantized to DECIMAL(18,6) so the
+        # prefix sums are segment-tree-order-independent; CUSUM via
+        # prefix - running-min (the closed form of the recursion)
+        "events_cusum": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS rd
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), d2 AS (
+              SELECT day, rd,
+                     date_diff('day', DATE '1970-01-01', day) AS dn
+              FROM daily
+            ), st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(rd) AS DOUBLE) AS s,
+                     CAST(sum(CAST(rd AS DECIMAL(19,6)) * rd) AS DOUBLE)
+                       AS s2
+              FROM d2
+            ), m AS (
+              SELECT day, dn, CAST(rd AS DOUBLE) AS x, n, s, s2,
+                     CASE WHEN (s2 - n * (s / n) * (s / n)) / (n - 1.0) > 0
+                          THEN sqrt((s2 - n * (s / n) * (s / n))
+                                    / (n - 1.0)) END AS sd
+              FROM d2 CROSS JOIN st
+            ), dr AS (
+              SELECT day, dn, x, 4.0 * sd AS h,
+                     CAST(round(x - s / n - 0.5 * sd, 6)
+                          AS DECIMAL(18,6)) AS du,
+                     CAST(round(s / n - x - 0.5 * sd, 6)
+                          AS DECIMAL(18,6)) AS dd
+              FROM m
+            ), p AS (
+              SELECT day, x, h,
+                     sum(du) OVER wc AS pu,
+                     sum(dd) OVER wc AS pd
+              FROM dr
+              WINDOW wc AS (ORDER BY dn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+            ), f AS (
+              SELECT day, x, h,
+                     CAST(pu - least(CAST(0 AS DECIMAL(18,6)),
+                                     min(pu) OVER wc) AS DOUBLE) AS cu,
+                     CAST(pd - least(CAST(0 AS DECIMAL(18,6)),
+                                     min(pd) OVER wc) AS DOUBLE) AS cd
+              FROM p
+              WINDOW wc AS (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+            )
+            SELECT CAST(day AS VARCHAR) AS day,
+                   round(x, 6) AS revenue,
+                   round(cu, 6) AS cusum_up,
+                   round(cd, 6) AS cusum_down,
+                   CAST(coalesce(round(cu, 6) > h, false) AS INT)
+                     AS shift_up,
+                   CAST(coalesce(round(cd, 6) > h, false) AS INT)
+                     AS shift_down
+            FROM f
         """,
         # replays eventlog.gapfill_daily: decimal day totals,
         # generate_series calendar, IGNORE NULLS forward fill

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "lineitem_winsorized",
     "events_ab_test",
+    "events_rolling_features",
+    "events_cusum",
     "asof_join",
     "text_stats",
     "text_quality",

@@ -167,6 +167,61 @@ def scd2_from_log(
     )
 
 
+def rolling_user_features(
+    events: DataFrame,
+    windows: list[int] = [7, 30],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity trailing-window features at daily grain — the
+    feature-store snapshot a model consumes: for each (entity, active
+    day), the event count, exact value total and active-day count over
+    each trailing ``w``-day calendar window. Rows exist only for days
+    the entity was ACTIVE (compose with :func:`gapfill_daily` upstream
+    for a dense calendar).
+
+    Scale: one exchange total — the (key, day) rollup and every RANGE
+    window share the entity-key partitioning (all windows order by the
+    same epoch-day, so Spark plans ONE sort); window frames are
+    calendar-bounded per entity. Value totals accumulate as
+    DECIMAL(18,6) (the repo-wide order-independence rule).
+
+    Output columns per window w: ``n_events_{w}d``, ``value_{w}d``
+    (6dp-rounded), ``days_active_{w}d``."""
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError(f"windows must be positive day counts, got {windows}")
+    daily = (
+        events.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy(key_col, "day")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__v").cast("decimal(18,6)").alias("__dv"),
+        )
+        .withColumn("__dn", F.datediff("day", F.lit("1970-01-01")))
+    )
+    cols = [F.col(key_col), F.col("day").cast("string").alias("day")]
+    for w in windows:
+        win = (
+            Window.partitionBy(key_col)
+            .orderBy("__dn")
+            .rangeBetween(-(w - 1), 0)
+        )
+        cols.append(F.sum("__n").over(win).alias(f"n_events_{w}d"))
+        cols.append(
+            F.round(F.sum("__dv").over(win).cast("double"), 6).alias(
+                f"value_{w}d"
+            )
+        )
+        cols.append(F.count(F.lit(1)).over(win).alias(f"days_active_{w}d"))
+    return daily.select(*cols)
+
+
 def enrich_with_scd2(
     facts: DataFrame,
     dim: DataFrame,

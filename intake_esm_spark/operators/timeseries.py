@@ -67,6 +67,92 @@ def daily_rollup_ma(
     )
 
 
+def detect_level_shift(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM level-shift detection on the daily rollup: flags
+    the days where the cumulative evidence of an upward (or downward)
+    mean shift crosses ``h_sigma`` standard deviations — the
+    complementary alarm to :func:`detect_anomalies` (a z-score sees one
+    spiky day; CUSUM accumulates many small drifts a z-score never
+    flags).
+
+    Spark-first trick: the textbook recursion ``S⁺_t = max(0, S⁺_{t-1}
+    + d_t)`` is NOT a window sum, but its closed form IS —
+    ``S⁺_t = P_t − min(0, min_{j≤t} P_j)`` with ``P`` the running
+    prefix sum of the drifts ``d_t = x_t − mean − k·σ`` — so two
+    ordered windows (prefix sum, running min) over the CALENDAR-bounded
+    day frame compute it exactly, no recursion, no UDF. Mean/σ use the
+    same order-independent decimal moments as :func:`detect_anomalies`
+    (global, two-pass-free: both come from the same 1-row aggregate
+    broadcast back). Output per day: the day's value, ``cusum_up``,
+    ``cusum_down`` and the alarm flags (0 when σ is degenerate)."""
+    daily = _daily_frame(events, value_col, ts_col)
+    # global decimal moments -> mean/sd, broadcast back in-plan
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__rd").alias("__s"),
+        F.sum(F.col("__rd").cast("decimal(19,6)") * F.col("__rd")).alias(
+            "__s2"
+        ),
+    )
+    j = daily.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s / n
+    var = (s2 - n * mean * mean) / (n - F.lit(1.0))
+    sd = F.when(var > 0, F.sqrt(var))
+    x = F.col("__rd").cast("double")
+    # drifts quantize to 6dp DECIMAL before the running windows: a
+    # cumulative DOUBLE sum is segment-tree-order-dependent across
+    # engines (the detect_anomalies lesson), a decimal one is exact
+    d_up = F.round(x - mean - F.lit(k_sigma) * sd, 6).cast("decimal(18,6)")
+    d_dn = F.round(mean - x - F.lit(k_sigma) * sd, 6).cast("decimal(18,6)")
+    pre = j.select(
+        "day",
+        "__dn",
+        x.alias("__x"),
+        d_up.alias("__du"),
+        d_dn.alias("__dd"),
+        (F.lit(h_sigma) * sd).alias("__h"),
+    )
+    w = (
+        Window.orderBy("__dn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    # windows can't nest: materialize the prefix sums, then the running
+    # min in a second projection over the SAME ordered window (one sort)
+    pre = pre.select(
+        "*",
+        F.sum("__du").over(w).alias("__pu"),
+        F.sum("__dd").over(w).alias("__pd"),
+    )
+    cu = (
+        F.col("__pu") - F.least(zero, F.min("__pu").over(w))
+    ).cast("double")
+    cd = (
+        F.col("__pd") - F.least(zero, F.min("__pd").over(w))
+    ).cast("double")
+    return pre.select(
+        F.col("day").cast("string").alias("day"),
+        F.round("__x", 6).alias("revenue"),
+        F.round(cu, 6).alias("cusum_up"),
+        F.round(cd, 6).alias("cusum_down"),
+        F.coalesce((F.round(cu, 6) > F.col("__h")).cast("int"), F.lit(0)).alias(
+            "shift_up"
+        ),
+        F.coalesce((F.round(cd, 6) > F.col("__h")).cast("int"), F.lit(0)).alias(
+            "shift_down"
+        ),
+    )
+
+
 def detect_anomalies(
     events: DataFrame,
     value_col: str = "value",

@@ -3,6 +3,7 @@
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from intake_esm_spark.operators.timeseries import daily_rollup_ma
 
@@ -72,3 +73,84 @@ def test_anomaly_constant_series_degenerate_variance(spark):
     out = detect_anomalies(df, window_days=7).collect()
     assert all(r["z_score"] is None for r in out)
     assert all(r["is_anomaly"] is False for r in out)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The prefix-minus-running-min closed form must equal the textbook
+    recursion S+ = max(0, S+ + d) computed in python over the same
+    quantized drifts — and flag the injected level shift."""
+    import math
+    from intake_esm_spark.operators.timeseries import detect_level_shift
+
+    vals = [100.0] * 14 + [130.0] * 10  # +30 level shift on day 15
+    rows = [("p", _ts(1 + i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = sorted(
+        detect_level_shift(df, k_sigma=0.5, h_sigma=4.0).collect(),
+        key=lambda r: r["day"],
+    )
+    n = len(vals)
+    mean = sum(vals) / n
+    var = (sum(v * v for v in vals) - n * mean * mean) / (n - 1)
+    sd = math.sqrt(var)
+    s_up, s_dn = 0.0, 0.0
+    expect_up, expect_dn = [], []
+    for v in vals:
+        s_up = max(0.0, s_up + round(v - mean - 0.5 * sd, 6))
+        s_dn = max(0.0, s_dn + round(mean - v - 0.5 * sd, 6))
+        expect_up.append(s_up)
+        expect_dn.append(s_dn)
+    for r, eu, ed in zip(out, expect_up, expect_dn):
+        assert r["cusum_up"] == pytest.approx(eu, abs=1e-5)
+        assert r["cusum_down"] == pytest.approx(ed, abs=1e-5)
+    # the up-alarm fires only in the shifted regime; note the DOWN side
+    # also accumulates early (vs the GLOBAL mean, regime 1 sits low) —
+    # that is correct CUSUM behavior, covered by the recursion parity
+    assert all(r["shift_up"] == 0 for r in out[:14])
+    assert any(r["shift_up"] == 1 for r in out[14:])
+
+
+def test_cusum_degenerate_sigma_never_alarms(spark):
+    from intake_esm_spark.operators.timeseries import detect_level_shift
+
+    rows = [("p", _ts(1 + i), 50.0) for i in range(5)]  # constant series
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = detect_level_shift(df).collect()
+    assert all(r["shift_up"] == 0 and r["shift_down"] == 0 for r in out)
+    assert all(r["cusum_up"] is None for r in out)  # sd null -> null cusum
+
+
+# ---------------------------------------------------------------------------
+# rolling user features (eventlog, but shares the daily-grain contract)
+
+
+def test_rolling_user_features_trailing_windows(spark):
+    from intake_esm_spark.operators.eventlog import rolling_user_features
+
+    rows = [
+        (1, _ts(1), 10.0),
+        (1, _ts(2), 20.0),
+        (1, _ts(9), 5.0),   # day 9: day 1-2 outside the 7d window
+        (2, _ts(1), 1.0),
+        (None, _ts(1), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    out = {
+        (r["user_id"], r["day"]): r.asDict()
+        for r in rolling_user_features(df, windows=[7, 30]).collect()
+    }
+    assert len(out) == 4  # active days only; null user excluded
+    d2 = out[(1, "2024-03-02")]
+    assert d2["n_events_7d"] == 2 and d2["value_7d"] == 30.0
+    assert d2["days_active_7d"] == 2
+    d9 = out[(1, "2024-03-09")]
+    assert d9["n_events_7d"] == 1 and d9["value_7d"] == 5.0  # 1-2 aged out
+    assert d9["n_events_30d"] == 3 and d9["value_30d"] == 35.0
+    with pytest.raises(ValueError):
+        rolling_user_features(df, windows=[])
