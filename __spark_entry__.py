@@ -1547,6 +1547,24 @@ def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
 
 
+def q_lineitem_target_encoded(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of return flag by extended price
+    (operators/profiling.py): category sums from one partial-aggregated
+    groupBy joined back on the key, global prior broadcast, encoding
+    in-row — the no-leak categorical encoding for model prep."""
+    from intake_esm_spark.operators.profiling import target_encode
+
+    li = load_table(spark, sf, "lineitem")
+    out = target_encode(li, "l_returnflag", "l_extendedprice")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_returnflag_te",
+    )
+
+
 def q_events_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user trailing 7/30-day feature snapshot (operators/eventlog
     rolling_user_features): ONE entity-keyed exchange shared by the
@@ -2480,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": q_events_ab_test,
         "events_rolling_features": q_events_rolling_features,
         "events_cusum": q_events_cusum,
+        "lineitem_target_encoded": q_lineitem_target_encoded,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3903,6 +3922,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
             FROM chg
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # replays profiling.target_encode: decimal category sums, LOO
+        # (cs - y)/(cn - 1), deterministic fallbacks to prior/cat mean
+        "lineitem_target_encoded": """
+            WITH pc AS (
+              SELECT l_returnflag,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS cs,
+                     count(CASE WHEN l_extendedprice IS NOT NULL
+                                THEN 1 END) AS cn
+              FROM lineitem GROUP BY 1
+            ), pr AS (
+              SELECT sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS gs,
+                     count(CASE WHEN l_extendedprice IS NOT NULL
+                                THEN 1 END) AS gn
+              FROM lineitem
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_extendedprice,
+                   round(
+                     CASE WHEN l.l_returnflag IS NULL
+                            OR coalesce(pc.cn, 0) = 0
+                          THEN CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)
+                          WHEN l.l_extendedprice IS NULL
+                          THEN CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+                          WHEN pc.cn = 1
+                          THEN CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)
+                          ELSE (CAST(cs AS DOUBLE) - l.l_extendedprice)
+                               / (CAST(cn AS DOUBLE) - 1.0) END,
+                     6) AS l_returnflag_te
+            FROM lineitem l
+            LEFT JOIN pc ON l.l_returnflag = pc.l_returnflag
+            CROSS JOIN pr
         """,
         # replays eventlog.rolling_user_features: shared entity-keyed
         # RANGE windows over the day-grain rollup; DuckDB window sums of

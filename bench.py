@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_ab_test",
     "events_rolling_features",
     "events_cusum",
+    "lineitem_target_encoded",
     "asof_join",
     "text_stats",
     "text_quality",

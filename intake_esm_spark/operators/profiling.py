@@ -72,6 +72,52 @@ def winsorize(
     )
 
 
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding: row *i* in category *c* gets the
+    mean target of the OTHER rows of its category,
+    ``(Σ_c − y_i) / (n_c − 1)`` — the standard high-cardinality
+    categorical encoding that doesn't leak the row's own label (a plain
+    category mean memorizes singletons and the model reads its own
+    target). Fallbacks, all deterministic: null category or empty
+    category → the global mean (the prior); a null-target row → the
+    plain category mean (it contributed nothing to Σ_c); a singleton's
+    own row → the prior (no "others" exist).
+
+    Scale: one partial-aggregated groupBy on the category (category-
+    cardinality output) joined back on the same key — AQE broadcasts it
+    when small, shuffles co-keyed when not; the global prior is a 1-row
+    broadcast; the encoding itself is one in-row CASE. Sums accumulate
+    as DECIMAL(18,6) (order-independence), division in double,
+    6dp-rounded."""
+    out_col = out_col or f"{cat_col}_te"
+    tgt_dec = F.col(target_col).cast("decimal(18,6)")
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(tgt_dec).alias("__cs"),
+        F.count(F.when(F.col(target_col).isNotNull(), 1)).alias("__cn"),
+    )
+    prior = df.agg(
+        F.sum(tgt_dec).alias("__gs"),
+        F.count(F.when(F.col(target_col).isNotNull(), 1)).alias("__gn"),
+    )
+    j = df.join(per_cat, cat_col, "left").crossJoin(F.broadcast(prior))
+    y = F.col(target_col).cast("double")
+    cs = F.col("__cs").cast("double")
+    cn = F.col("__cn").cast("double")
+    gmean = F.col("__gs").cast("double") / F.col("__gn").cast("double")
+    enc = (
+        F.when(F.col(cat_col).isNull() | (F.coalesce("__cn", F.lit(0)) == 0), gmean)
+        .when(F.col(target_col).isNull(), cs / cn)
+        .when(F.col("__cn") == 1, gmean)
+        .otherwise((cs - y) / (cn - F.lit(1.0)))
+    )
+    return j.select(*df.columns, F.round(enc, 6).alias(out_col))
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation for every unordered pair of ``cols``, complete
     cases only (rows with a null in ANY profiled column are excluded —

@@ -96,3 +96,46 @@ def test_winsorize_global_and_validation(spark):
     assert min(ws) == pytest.approx(9.9) and max(ws) == pytest.approx(89.1)
     with pytest.raises(ValueError):
         winsorize(df, "x", None, 0.9, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# target encoding
+
+
+def test_target_encode_loo_and_fallbacks(spark):
+    from intake_esm_spark.operators.profiling import target_encode
+
+    rows = [
+        ("a", 10.0), ("a", 20.0), ("a", 30.0),  # LOO means: 25, 20, 15
+        ("b", 100.0),                            # singleton -> prior
+        ("a", None),                             # null target -> cat mean
+        (None, 50.0),                            # null cat -> prior
+    ]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = [
+        (r["cat"], r["y"], r["cat_te"])
+        for r in target_encode(df, "cat", "y").collect()
+    ]
+    prior = (10 + 20 + 30 + 100 + 50) / 5
+    enc = {(c, y): e for c, y, e in out}
+    assert enc[("a", 10.0)] == 25.0
+    assert enc[("a", 20.0)] == 20.0
+    assert enc[("a", 30.0)] == 15.0
+    assert enc[("b", 100.0)] == pytest.approx(prior, abs=1e-6)
+    assert enc[("a", None)] == 20.0   # category mean of non-null targets
+    assert enc[(None, 50.0)] == pytest.approx(prior, abs=1e-6)
+
+
+def test_target_encode_does_not_leak_own_row(spark):
+    """The defining property: a row's encoding is independent of its own
+    target — change y_i, every OTHER a-row's encoding moves, row i's
+    stays a function of the others."""
+    from intake_esm_spark.operators.profiling import target_encode
+
+    base = [("a", 10.0), ("a", 20.0)]
+    df1 = spark.createDataFrame(base, "cat string, y double")
+    df2 = spark.createDataFrame([("a", 10.0), ("a", 99.0)], "cat string, y double")
+    e1 = {r["y"]: r["cat_te"] for r in target_encode(df1, "cat", "y").collect()}
+    e2 = {r["y"]: r["cat_te"] for r in target_encode(df2, "cat", "y").collect()}
+    assert e1[10.0] == 20.0 and e2[10.0] == 99.0  # others moved it
+    assert e1[20.0] == 10.0 and e2[99.0] == 10.0  # own row never leaks
