@@ -2478,9 +2478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_kmv_merged": q_events_distinct_kmv_merged,
         # New in the round-7 CONTINUATION session (eventlog / cdc /
         # privacy / split / inverted-index / profiling / graph /
-        # experiment — 18 entries through events_ab_test below):
-        # verified in the committed local oracle sweep; they take head
-        # priority in r8 together with the deferred block above.
+        # experiment / timeseries — 18 entries, events_transitions
+        # through lineitem_target_encoded below): verified in the
+        # committed local oracle sweep; they take head priority in r8
+        # together with the deferred block above.
         "events_transitions": q_events_transitions,
         "events_scd2": q_events_scd2,
         "events_gapfill": q_events_gapfill,

@@ -23,6 +23,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _entity_daily(
+    events: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """(entity, day)-grain decimal rollup shared by the gap-fill and
+    trailing-feature operators: ``(key, day, n_events, __dv
+    decimal(18,6))`` — ONE definition so the two operators (and their
+    oracles) cannot de-sync (the ``timeseries._daily_frame`` rule).
+    Null entity keys excluded."""
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy(key_col, "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__v").cast("decimal(18,6)").alias("__dv"),
+        )
+    )
+
+
 def transition_matrix(
     events: DataFrame,
     type_col: str = "event_type",
@@ -191,19 +214,8 @@ def rolling_user_features(
     (6dp-rounded), ``days_active_{w}d``."""
     if not windows or any(w < 1 for w in windows):
         raise ValueError(f"windows must be positive day counts, got {windows}")
-    daily = (
-        events.filter(F.col(key_col).isNotNull())
-        .select(
-            F.col(key_col),
-            F.to_date(ts_col).alias("day"),
-            F.col(value_col).cast("decimal(18,6)").alias("__v"),
-        )
-        .groupBy(key_col, "day")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("__v").cast("decimal(18,6)").alias("__dv"),
-        )
-        .withColumn("__dn", F.datediff("day", F.lit("1970-01-01")))
+    daily = _entity_daily(events, key_col, ts_col, value_col).withColumn(
+        "__dn", F.datediff("day", F.lit("1970-01-01"))
     )
     cols = [F.col(key_col), F.col("day").cast("string").alias("day")]
     for w in windows:
@@ -212,7 +224,7 @@ def rolling_user_features(
             .orderBy("__dn")
             .rangeBetween(-(w - 1), 0)
         )
-        cols.append(F.sum("__n").over(win).alias(f"n_events_{w}d"))
+        cols.append(F.sum("n_events").over(win).alias(f"n_events_{w}d"))
         cols.append(
             F.round(F.sum("__dv").over(win).cast("double"), 6).alias(
                 f"value_{w}d"
@@ -286,19 +298,7 @@ def gapfill_daily(
     same compound key; the forward-fill window on ``key_col``. The
     per-entity ``sequence()`` explode is in-row (zero shuffle). Entities
     with a null key are excluded."""
-    daily = (
-        events.filter(F.col(key_col).isNotNull())
-        .select(
-            F.col(key_col),
-            F.to_date(ts_col).alias("day"),
-            F.col(value_col).cast("decimal(18,6)").alias("__v"),
-        )
-        .groupBy(key_col, "day")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("__v").cast("decimal(18,6)").alias("__dv"),
-        )
-    )
+    daily = _entity_daily(events, key_col, ts_col, value_col)
     # min/max reuse the rollup's (key, day) partitioning map-side; the
     # explode of sequence() is a pure projection
     calendar = (
