@@ -1567,9 +1567,9 @@ def q_lineitem_target_encoded(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_events_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user trailing 7/30-day feature snapshot (operators/eventlog
-    rolling_user_features): ONE entity-keyed exchange shared by the
-    day-grain rollup and all four RANGE windows — the feature-store
-    shape a model consumes."""
+    rolling_user_features): map-side-combined day rollup + a tiny
+    day-grain re-key, all four RANGE windows sharing one sort — the
+    feature-store shape a model consumes."""
     from intake_esm_spark.operators.eventlog import rolling_user_features
 
     events = load_table(spark, sf, "events")

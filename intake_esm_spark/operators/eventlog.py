@@ -204,11 +204,16 @@ def rolling_user_features(
     the entity was ACTIVE (compose with :func:`gapfill_daily` upstream
     for a dense calendar).
 
-    Scale: one exchange total — the (key, day) rollup and every RANGE
-    window share the entity-key partitioning (all windows order by the
-    same epoch-day, so Spark plans ONE sort); window frames are
-    calendar-bounded per entity. Value totals accumulate as
-    DECIMAL(18,6) (the repo-wide order-independence rule).
+    Scale: two keyed exchanges — the MAP-SIDE-COMBINED day rollup on
+    (key, day), then the windows re-key the day-grain frame by entity.
+    That second exchange ships only entity×day rows (tiny), which is
+    deliberately cheaper than the one-exchange alternative
+    (pre-repartitioning raw events by entity satisfies both clusterings
+    but forfeits the pre-shuffle combine — at 100 TB the raw event
+    volume dwarfs a day-grain re-shuffle). All RANGE windows share one
+    partitioning and ONE sort; frames are calendar-bounded per entity.
+    Value totals accumulate as DECIMAL(18,6) (the repo-wide
+    order-independence rule).
 
     Output columns per window w: ``n_events_{w}d``, ``value_{w}d``
     (6dp-rounded), ``days_active_{w}d``."""

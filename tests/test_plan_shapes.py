@@ -386,3 +386,41 @@ def test_gapfill_explode_is_projection_side(spark, queries):
     plan = plan_of(queries["events_gapfill"](spark, SF))
     assert ") Generate" in plan and "explode(sequence(" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_features_two_exchanges_one_sort(spark, queries):
+    """Exactly two keyed exchanges — the map-side-combined (key, day)
+    rollup, then the day-grain re-key for the windows (tiny frame; the
+    one-exchange alternative would ship raw uncombined events) — and
+    all four RANGE windows share ONE sort."""
+    plan = plan_of(queries["events_rolling_features"](spark, SF))
+    assert plan.count(") Exchange") == 2
+    assert plan.count(") Sort") == 1
+    assert plan.count(") Window") == 1  # one window node for all frames
+
+
+def test_cusum_windows_over_day_grain_only(spark, queries):
+    """Both CUSUM windows are unpartitioned-but-calendar-bounded: they
+    must sit ABOVE the day-grain aggregate (the daily_ma rule), and the
+    1-row moments frame must broadcast."""
+    plan = plan_of(queries["events_cusum"](spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1 and win_pos < agg_pos
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_target_encode_prior_broadcasts(spark, queries):
+    """The global prior is a 1-row broadcast; the category frame joins
+    on the key (AQE may broadcast it) — and nothing drops to Python."""
+    plan = plan_of(queries["lineitem_target_encoded"](spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_edge_and_node_frames_checkpointed(spark, queries):
+    """After the node/edge pins, an iteration's plan must reference
+    checkpointed scans (ExistingRDD), not re-derive the distinct/union
+    from parquet each round."""
+    plan = plan_of(queries["graph_pagerank"](spark, SF))
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
