@@ -1,10 +1,11 @@
-"""Change-data-capture between dimension snapshots.
+"""Change-data-capture between dimension snapshots, and the SCD2 merge
+that applies it.
 
-Extension (SURVEY §2.9): the snapshot-diff step of every incremental
-warehouse load — yesterday's dimension vs today's extract, classified
-into inserts / updates / deletes so downstream SCD merges (see
-``operators.eventlog.scd2_from_log`` for the log-driven sibling) touch
-only changed keys instead of rewriting the dimension.
+Extension (SURVEY §2.9): the diff-then-merge flow of every incremental
+warehouse load — yesterday's dimension vs today's extract classified
+into inserts / updates / deletes (``snapshot_diff``), then merged into
+the type-2 dimension touching only changed keys (``scd2_apply``; see
+``operators.eventlog.scd2_from_log`` for the log-driven sibling).
 
 Scale: one co-keyed full-outer shuffle join — both sides exchange on the
 key once, compare columns evaluate in-row, and with

@@ -1,14 +1,14 @@
-"""Event-log shaping operators: transition matrices, SCD2 dimension
-building, and calendar gap-filling.
+"""Event-log shaping operators: transition matrices, path mining, SCD2
+dimension building + point-in-time enrichment, calendar gap-filling,
+and trailing-window features.
 
-Extensions (SURVEY §2.9): the three classic "give the warehouse team an
-event stream" requests. All three share one scale property: every window
-and aggregation is keyed by the entity column, so each operator costs
-exactly one hash exchange on that key no matter how large the log is —
-consecutive windows over the same key reuse the partitioning (Spark
-recognizes the child's hash distribution through intervening
-filters/projects and plans no second exchange; pinned by the plan-shape
-tests).
+Extensions (SURVEY §2.9): the classic "give the warehouse team an event
+stream" requests. The shared scale property: every window and
+aggregation is keyed by the entity column (or the metadata-scale result
+of an entity-keyed collapse), and consecutive windows over the same key
+reuse one exchange — Spark recognizes the child's hash distribution
+through intervening filters/projects (pinned by the plan-shape tests;
+each operator's docstring states its exact exchange budget).
 
 Determinism contract (the repo-wide rules): orderings always carry a
 unique tiebreak column (``order_col``) so window ranks never fall back

@@ -1,12 +1,12 @@
-"""Dataset profiling: exact pairwise Pearson correlations in one pass.
+"""Dataset profiling and feature prep: one-pass exact correlations,
+percentile winsorization, leave-one-out target encoding.
 
-Extension (SURVEY §2.9): the step after ``profile_numeric``'s per-column
-stats — "which measures move together" — run before feature selection or
-as a data-quality drift check. The whole matrix comes out of ONE
-aggregation pass (map-side partials): per column Σx and Σx², per pair
-Σxy, then every coefficient is closed-form arithmetic on the aggregate
-row. No per-pair scans, no ``df.stat.corr`` loop (which runs one job per
-pair).
+Extensions (SURVEY §2.9): the steps between ``profile_numeric`` and a
+model — "which measures move together" (correlation matrix from ONE
+aggregation pass: per column Σx and Σx², per pair Σxy, coefficients as
+closed-form arithmetic on the aggregate row — no ``df.stat.corr`` loop,
+which runs one job per pair), outlier capping at percentile fences, and
+the no-leak categorical encoding.
 
 Determinism (the repo-wide contract): all moments accumulate as DECIMALS
 — a double Σxy is partition-order-dependent, a decimal one is exact, so
@@ -41,11 +41,14 @@ def winsorize(
 
     Exact percentiles (Spark's sort-based ``percentile``, type-7 — the
     `quantile_cont` parity the quantile entries pinned) from ONE
-    aggregation keyed by the group columns, joined back broadcast (the
-    fence frame is group-cardinality-sized); the clamp itself is an
-    in-row ``least(greatest(...))``. At 100 TB swap the exact
-    percentile for ``approx_percentile`` — the plan shape is unchanged.
-    Ungrouped (``group_cols=None``) uses a single global fence row."""
+    aggregation keyed by the group columns, joined back on the key —
+    AQE broadcasts the group-cardinality fence frame when it is small
+    and shuffles co-keyed when it is not (a FORCED broadcast would OOM
+    on a high-cardinality group column — the target_encode rule); the
+    clamp itself is an in-row ``least(greatest(...))``. At 100 TB swap
+    the exact percentile for ``approx_percentile`` — the plan shape is
+    unchanged. Ungrouped (``group_cols=None``) uses a single global
+    fence row (that one IS a forced 1-row broadcast)."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(
             f"need 0 <= lower < upper <= 1, got ({lower}, {upper})"
@@ -57,7 +60,7 @@ def winsorize(
     ]
     if group_cols:
         fences = df.groupBy(*group_cols).agg(*fences_agg)
-        joined = df.join(F.broadcast(fences), group_cols, "left")
+        joined = df.join(fences, group_cols, "left")
     else:
         fences = df.agg(*fences_agg)
         joined = df.crossJoin(F.broadcast(fences))
