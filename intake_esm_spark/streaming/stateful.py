@@ -640,6 +640,157 @@ def stream_scd2(
     )
 
 
+def stream_cusum(
+    df: DataFrame,
+    mean: float,
+    sd: float,
+    key_col: str = "series",
+    day_col: str = "day",
+    value_col: str = "value",
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Streaming CUSUM level-shift alerting — the live twin of
+    ``operators.timeseries.detect_level_shift``: per-series cumulative
+    drift evidence maintained across micro-batches with
+    ``applyInPandasWithState``, against a FIXED baseline ``(mean, sd)``
+    computed offline (corpus-global moments are exactly the state a
+    stream cannot compute — the ``stream_line_filter`` snapshot rule:
+    refresh the baseline as the history grows). Input is a DAY-GRAIN
+    stream ``(key, day, value)`` — the output of an upstream daily
+    rollup — and each update emits that day's ``cusum_up/down`` and
+    alarm flags.
+
+    State per series is FOUR int64s: the running drift prefix sums and
+    their running minimums, in exact millionths (the 6dp-quantized
+    drifts are integers at 1e-6 scale, so cross-batch accumulation is
+    EXACT — no float drift ever enters the state), giving bit-equality
+    with the batch operator's decimal windows when it is handed the same
+    baseline: the drifts replay ``F.round``'s HALF_UP via Decimal, and
+    S⁺ = prefix − min(0, min-prefix) is the same closed form. Exactness
+    needs per-series day-ordered arrival across batches (in-batch days
+    are sorted here); a late earlier day cannot rewrite emitted history.
+
+    In batch mode degenerates to the same closed form over ordered
+    windows with the given baseline (used by the parity test against
+    ``detect_level_shift``'s internally-computed moments)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    if sd is None or not sd > 0:
+        raise ValueError(f"sd must be a positive baseline sigma, got {sd}")
+    h = h_sigma * sd
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        x = F.col(value_col).cast("double")
+        du = F.round(x - F.lit(mean) - F.lit(k_sigma) * F.lit(sd), 6).cast(
+            "decimal(18,6)"
+        )
+        dn = F.round(F.lit(mean) - x - F.lit(k_sigma) * F.lit(sd), 6).cast(
+            "decimal(18,6)"
+        )
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(day_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pre = df.select(
+            key_col, day_col, x.alias("__x"), du.alias("__du"), dn.alias("__dd")
+        ).select(
+            key_col,
+            day_col,
+            "__x",
+            F.sum("__du").over(w).alias("__pu"),
+            F.sum("__dd").over(w).alias("__pd"),
+        )
+        zero = F.lit(0).cast("decimal(18,6)")
+        cu = (F.col("__pu") - F.least(zero, F.min("__pu").over(w))).cast("double")
+        cd = (F.col("__pd") - F.least(zero, F.min("__pd").over(w))).cast("double")
+        return pre.select(
+            key_col,
+            day_col,
+            F.round(cu, 6).alias("cusum_up"),
+            F.round(cd, 6).alias("cusum_down"),
+            (F.round(cu, 6) > F.lit(h)).cast("int").alias("shift_up"),
+            (F.round(cd, 6) > F.lit(h)).cast("int").alias("shift_down"),
+        )
+
+    key_type = df.schema[key_col].dataType
+    day_type = df.schema[day_col].dataType
+    output_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField(day_col, day_type),
+            T.StructField("cusum_up", T.DoubleType()),
+            T.StructField("cusum_down", T.DoubleType()),
+            T.StructField("shift_up", T.IntegerType()),
+            T.StructField("shift_down", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("pu", T.LongType()),
+            T.StructField("minu", T.LongType()),
+            T.StructField("pd", T.LongType()),
+            T.StructField("mind", T.LongType()),
+        ]
+    )
+    q6 = Decimal("0.000001")
+
+    def _drift_units(x: float, sign: int) -> int:
+        raw = (x - mean - k_sigma * sd) if sign > 0 else (mean - x - k_sigma * sd)
+        return int(
+            (Decimal(repr(raw)).quantize(q6, rounding=ROUND_HALF_UP))
+            .scaleb(6)
+            .to_integral_value()
+        )
+
+    def _update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pu, minu, pdn, mind = state.get if state.exists else (0, 0, 0, 0)
+        chunks = [c for c in batches if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        out = []
+        if len(pdf):
+            pdf = pdf.dropna(subset=[day_col, value_col]).sort_values(
+                day_col, kind="mergesort"
+            )
+            for day, val in zip(pdf[day_col], pdf[value_col]):
+                pu += _drift_units(float(val), +1)
+                minu = min(minu, pu)
+                pdn += _drift_units(float(val), -1)
+                mind = min(mind, pdn)
+                cu = float(Decimal(pu - min(0, minu)).scaleb(-6))
+                cd = float(Decimal(pdn - min(0, mind)).scaleb(-6))
+                out.append((day, cu, cd, int(cu > h), int(cd > h)))
+        if not out:
+            return
+        state.update((pu, minu, pdn, mind))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out),
+                day_col: [o[0] for o in out],
+                "cusum_up": [o[1] for o in out],
+                "cusum_down": [o[2] for o in out],
+                "shift_up": [o[3] for o in out],
+                "shift_down": [o[4] for o in out],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_transition_pairs(
     df: DataFrame,
     type_col: str = "event_type",

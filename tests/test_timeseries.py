@@ -124,6 +124,98 @@ def test_cusum_degenerate_sigma_never_alarms(spark):
     assert all(r["cusum_up"] is None for r in out)  # sd null -> null cusum
 
 
+def test_stream_cusum_matches_batch(spark, tmp_path):
+    """Two time-ordered micro-batches of day-grain rows, baseline =
+    the batch operator's own moments: per-day cusum values and alarm
+    flags must equal detect_level_shift row-for-row (the int64
+    millionth-units state makes cross-batch accumulation exact)."""
+    import glob
+    import math
+    import os
+    import shutil
+    from decimal import Decimal
+
+    from intake_esm_spark.operators.timeseries import detect_level_shift
+    from intake_esm_spark.streaming.stateful import stream_cusum
+
+    vals = [100.0, 101.5, 99.25, 130.0, 131.0, 98.0, 132.5, 133.0]
+    rows = [("p", _ts(1 + i), v) for i, v in enumerate(vals)]
+    events = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    batch = {
+        r["day"]: (r["cusum_up"], r["cusum_down"], r["shift_up"], r["shift_down"])
+        for r in detect_level_shift(events, k_sigma=0.5, h_sigma=0.5).collect()
+    }
+    # the baseline the batch op computed internally, replayed exactly:
+    # decimal day totals cast to double, the same IEEE moment shapes
+    daily = [float(Decimal(repr(v)).quantize(Decimal("0.000001"))) for v in vals]
+    n = len(daily)
+    s, s2 = sum(daily), sum(v * v for v in daily)
+    mean = s / n
+    sd = math.sqrt((s2 - n * mean * mean) / (n - 1.0))
+
+    day_rows = [
+        ("rev", f"2024-03-{d:02d}", v) for d, v in enumerate(daily, start=1)
+    ]
+    df = spark.createDataFrame(day_rows, "series string, day string, value double")
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    early = df.filter(F.col("day") <= "2024-03-04")
+    late = df.filter(F.col("day") > "2024-03-04")
+    early.coalesce(1).write.parquet(str(tmp_path / "a"))
+    late.coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, (part, name) in enumerate(
+        [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
+    ):
+        for f in glob.glob(str(part / "*.parquet")):
+            dest = flat / f"{name}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    out = stream_cusum(stream, mean, sd, k_sigma=0.5, h_sigma=0.5)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM cusum_stream").collect()
+    finally:
+        q.stop()
+    streamed = {
+        r["day"]: (r["cusum_up"], r["cusum_down"], r["shift_up"], r["shift_down"])
+        for r in emitted
+    }
+    assert streamed == batch
+    # the injected upward shift raised a streaming alarm
+    assert any(v[2] == 1 for v in streamed.values())
+
+
+def test_stream_cusum_batch_fallback_and_validation(spark):
+    from intake_esm_spark.streaming.stateful import stream_cusum
+
+    df = spark.createDataFrame(
+        [("rev", "2024-03-01", 10.0), ("rev", "2024-03-02", 50.0)],
+        "series string, day string, value double",
+    )
+    out = {r["day"]: r["cusum_up"] for r in stream_cusum(df, 10.0, 5.0).collect()}
+    # day 1: drift = 10-10-2.5 = -2.5 -> S+ = 0 - min(0,-2.5)... P=-2.5,
+    # min(0,P)=-2.5 -> cu = 0; day 2: P = -2.5+37.5 = 35 -> cu = 37.5
+    assert out["2024-03-01"] == 0.0
+    assert out["2024-03-02"] == 37.5
+    with pytest.raises(ValueError):
+        stream_cusum(df, 10.0, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # rolling user features (eventlog, but shares the daily-grain contract)
 
