@@ -1547,6 +1547,20 @@ def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
 
 
+def q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules over order→part baskets
+    (operators/basket.py): Apriori item prefilter BEFORE the quadratic
+    within-basket self-join, mega-basket guard, directional
+    support/confidence/lift — "bought A also bought B" on the TPC-H
+    shape. min_support 0.0002 ≈ pairs co-occurring ≥3 times here."""
+    from intake_esm_spark.operators.basket import association_rules
+
+    li = load_table(spark, sf, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support=0.0002
+    )
+
+
 def q_lineitem_target_encoded(spark: SparkSession, sf: str) -> DataFrame:
     """Leave-one-out target encoding of return flag by extended price
     (operators/profiling.py): category sums from one partial-aggregated
@@ -2500,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_features": q_events_rolling_features,
         "events_cusum": q_events_cusum,
         "lineitem_target_encoded": q_lineitem_target_encoded,
+        "basket_rules": q_basket_rules,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3923,6 +3938,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
             FROM chg
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # replays basket.association_rules: distinct (basket, item),
+        # mega-basket guard, Apriori item prefilter, within-basket
+        # self-join, directional support/confidence/lift
+        "basket_rules": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+            ), ok AS (
+              SELECT b FROM bi GROUP BY b HAVING count(*) <= 1000
+            ), bix AS (
+              SELECT bi.b, bi.i FROM bi JOIN ok ON bi.b = ok.b
+            ), nb AS (
+              SELECT count(DISTINCT b) AS n FROM bix
+            ), icnt AS (
+              SELECT i, count(*) AS ic FROM bix GROUP BY 1
+            ), freq AS (
+              SELECT i, ic FROM icnt CROSS JOIN nb
+              WHERE CAST(ic AS DOUBLE) >= 0.0002 * CAST(n AS DOUBLE)
+            ), bif AS (
+              SELECT bix.b, bix.i FROM bix JOIN freq ON bix.i = freq.i
+            ), pairs AS (
+              SELECT x.i AS ia, y.i AS ib, count(*) AS pn
+              FROM bif x JOIN bif y ON x.b = y.b AND x.i < y.i
+              GROUP BY 1, 2
+            ), directional AS (
+              SELECT ia AS antecedent, ib AS consequent, pn FROM pairs
+              UNION ALL
+              SELECT ib AS antecedent, ia AS consequent, pn FROM pairs
+            )
+            SELECT d.antecedent, d.consequent, d.pn AS pair_n,
+                   round(CAST(d.pn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS support,
+                   round(CAST(d.pn AS DOUBLE) / CAST(fa.ic AS DOUBLE), 6)
+                     AS confidence,
+                   round((CAST(d.pn AS DOUBLE) / CAST(fa.ic AS DOUBLE))
+                         / (CAST(fb.ic AS DOUBLE) / CAST(n AS DOUBLE)),
+                         6) AS lift
+            FROM directional d
+            JOIN freq fa ON d.antecedent = fa.i
+            JOIN freq fb ON d.consequent = fb.i
+            CROSS JOIN nb
+            WHERE CAST(d.pn AS DOUBLE) >= 0.0002 * CAST(n AS DOUBLE)
         """,
         # replays profiling.target_encode: decimal category sums, LOO
         # (cs - y)/(cn - 1), deterministic fallbacks to prior/cat mean

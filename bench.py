@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "events_rolling_features",
     "events_cusum",
     "lineitem_target_encoded",
+    "basket_rules",
     "asof_join",
     "text_stats",
     "text_quality",
