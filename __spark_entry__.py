@@ -1547,6 +1547,17 @@ def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
 
 
+def q_events_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-28d MAU / stickiness per day: COUNT DISTINCT over
+    a range window is unsupported, so MAU uses the contribution explode
+    (each user-day feeds the next 28 days' MAU) — ×28 amplification of
+    the already-collapsed user-day frame, never of raw events."""
+    from intake_esm_spark.operators.eventlog import dau_mau
+
+    events = load_table(spark, sf, "events")
+    return dau_mau(events, mau_days=28)
+
+
 def q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket association rules over order→part baskets
     (operators/basket.py): Apriori item prefilter BEFORE the quadratic
@@ -2515,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "lineitem_target_encoded": q_lineitem_target_encoded,
         "basket_rules": q_basket_rules,
+        "events_dau_mau": q_events_dau_mau,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3938,6 +3950,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
             FROM chg
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # replays eventlog.dau_mau: the MAU contribution explode (each
+        # user-day feeds the next 28 days), trailing window bounded at
+        # the data's max day
+        "events_dau_mau": """
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+              FROM events WHERE user_id IS NOT NULL
+            ), b AS (
+              SELECT max(day) AS dmax FROM ud
+            ), dau AS (
+              SELECT day, count(DISTINCT u) AS dau FROM ud GROUP BY 1
+            ), contrib AS (
+              SELECT u,
+                     CAST(unnest(generate_series(day,
+                                                 day + INTERVAL 27 DAY,
+                                                 INTERVAL 1 DAY))
+                          AS DATE) AS day
+              FROM ud
+            ), mau AS (
+              SELECT c.day, count(DISTINCT c.u) AS mau
+              FROM contrib c CROSS JOIN b
+              WHERE c.day <= b.dmax GROUP BY 1
+            )
+            SELECT CAST(d.day AS VARCHAR) AS day, d.dau, m.mau,
+                   round(CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE), 6)
+                     AS stickiness
+            FROM dau d JOIN mau m ON d.day = m.day
         """,
         # replays basket.association_rules: distinct (basket, item),
         # mega-basket guard, Apriori item prefilter, within-basket

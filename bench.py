@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "events_distinct_kmv",
     "events_attribution",
     "events_daily_ma",
+    "events_dau_mau",
     "events_transitions",
     "events_paths",
     "events_scd2",

@@ -190,6 +190,64 @@ def scd2_from_log(
     )
 
 
+def dau_mau(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    mau_days: int = 28,
+) -> DataFrame:
+    """Daily active users, trailing ``mau_days``-day active users, and
+    the DAU/MAU stickiness ratio per calendar day — the engagement
+    metric every analytics suite ships. Days within the first
+    ``mau_days − 1`` of the data have a partial-window MAU (the
+    standard convention).
+
+    A COUNT DISTINCT over a RANGE window is unsupported (and would be a
+    giant state anyway), so MAU uses the contribution trick: each
+    distinct (user, day) activity row CONTRIBUTES that user to the MAU
+    of days ``day .. day+mau_days−1`` via an in-row ``sequence()``
+    explode — ×``mau_days`` row amplification of the user-day frame
+    (already collapsed from raw events), then one countDistinct per
+    day. Scale: the user-day collapse is the only corpus exchange;
+    the explode is a projection; both daily aggregates are partial and
+    day-keyed; the DAU⋈MAU join is calendar-sized. Days with zero
+    active users are omitted (inner join on active days — compose with
+    a calendar frame upstream for dense dashboards)."""
+    if mau_days < 1:
+        raise ValueError(f"mau_days must be >= 1, got {mau_days}")
+    ud = (
+        events.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("__u"), F.to_date(ts_col).alias("day"))
+        .distinct()
+    )
+    bounds = ud.agg(F.max("day").alias("__dmax"))
+    dau = ud.groupBy("day").agg(F.countDistinct("__u").alias("dau"))
+    contrib = ud.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), mau_days - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    mau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("__dmax"))
+        .groupBy("day")
+        .agg(F.countDistinct("__u").alias("mau"))
+    )
+    out = dau.join(mau, "day")
+    ratio = F.col("dau").cast("double") / F.col("mau").cast("double")
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "dau",
+        "mau",
+        F.round(ratio, 6).alias("stickiness"),
+    )
+
+
 def rolling_user_features(
     events: DataFrame,
     windows: list[int] = [7, 30],

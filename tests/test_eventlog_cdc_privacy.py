@@ -639,3 +639,40 @@ def test_split_validation(keyed_df):
         deterministic_split(keyed_df, {"a": 0.5, "b": 0.4}, "doc_id")
     with pytest.raises(ValueError):
         deterministic_split(keyed_df, {"a": 0.5, "b": -0.5}, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU
+
+
+def test_dau_mau_contribution_window(spark):
+    from intake_esm_spark.operators.eventlog import dau_mau
+
+    rows = [
+        (1, "a", _t(1), 1, 0.0),
+        (2, "a", _t(1), 2, 0.0),
+        (1, "a", _t(1, 5), 3, 0.0),  # same user+day: counts once
+        (1, "a", _t(3), 4, 0.0),
+        (None, "a", _t(1), 5, 0.0),  # null user excluded
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r["day"]: r.asDict() for r in dau_mau(df, mau_days=7).collect()}
+    # only ACTIVE days appear (day 2 has no DAU)
+    assert set(out) == {"2024-03-01", "2024-03-03"}
+    assert out["2024-03-01"]["dau"] == 2
+    assert out["2024-03-01"]["mau"] == 2      # both users active on day 1
+    assert out["2024-03-03"]["dau"] == 1
+    assert out["2024-03-03"]["mau"] == 2      # day-1 activity still in window
+    assert out["2024-03-03"]["stickiness"] == 0.5
+    with pytest.raises(ValueError):
+        dau_mau(df, mau_days=0)
+
+
+def test_dau_mau_window_ages_out(spark):
+    from intake_esm_spark.operators.eventlog import dau_mau
+
+    rows = [(1, "a", _t(1), 1, 0.0), (2, "a", _t(20), 2, 0.0)]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r["day"]: r.asDict() for r in dau_mau(df, mau_days=7).collect()}
+    # user 1's day-1 activity is NOT in day 20's trailing 7-day window
+    assert out["2024-03-20"]["mau"] == 1
