@@ -1547,6 +1547,17 @@ def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
 
 
+def q_events_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row engagement summary over the 30-min session windows:
+    session/user counts, mean events per session, mean event-span
+    minutes (gap subtracted back out of session_window's closing pad),
+    bounce rate — spans accumulate as exact epoch-micro longs."""
+    from intake_esm_spark.streaming.windows import session_stats
+
+    events = load_table(spark, sf, "events")
+    return session_stats(events, gap="30 minutes", gap_minutes=30.0)
+
+
 def q_events_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
     """DAU / trailing-28d MAU / stickiness per day: COUNT DISTINCT over
     a range window is unsupported, so MAU uses the contribution explode
@@ -2527,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_target_encoded": q_lineitem_target_encoded,
         "basket_rules": q_basket_rules,
         "events_dau_mau": q_events_dau_mau,
+        "events_session_stats": q_events_session_stats,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3950,6 +3962,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
             FROM chg
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # replays windows.session_stats over the sessionize CTE: exact
+        # long span sums, one division on the totals
+        "events_session_stats": """
+            WITH marked AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            ), sessions AS (
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) + INTERVAL '30 minutes' AS session_end,
+                     count(*) AS n_events
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT count(*) AS n_sessions,
+                   count(DISTINCT user_id) AS n_users,
+                   round(CAST(sum(n_events) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6)
+                     AS avg_events_per_session,
+                   round(CAST(sum(epoch_us(session_end)
+                                  - epoch_us(session_start)) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) / 60000000.0 - 30.0,
+                         6) AS avg_span_minutes,
+                   round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                     AS bounce_rate
+            FROM sessions
         """,
         # replays eventlog.dau_mau: the MAU contribution explode (each
         # user-day feeds the next 28 days), trailing window bounded at

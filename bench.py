@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sliding",
     "events_sessionize",
+    "events_session_stats",
     "events_topk_user",
     "events_json",
     "events_funnel",

@@ -122,3 +122,46 @@ def dedup_within_watermark(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def session_stats(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """One-row session summary over :func:`session_windows`: session and
+    user counts, mean events per session, mean event-span minutes
+    (``session_end`` includes the closing gap — subtracted back out so
+    the span measures first-to-last EVENT), and the bounce rate
+    (single-event sessions). The engagement-overview row next to the
+    per-session frame.
+
+    ``gap_minutes`` must restate ``gap`` numerically (the interval
+    string feeds ``session_window``; the subtraction needs a number).
+    Exactness: counts and epoch-micro spans are exact integers; the
+    means are single divisions, 6dp-rounded. One aggregation over the
+    session frame — the session groupBy's exchange is the only
+    corpus-scale one."""
+    sessions = session_windows(df, gap, ts_col, key_col)
+    # spans accumulate as exact epoch-micro LONGS (a double sum would be
+    # partition-order-dependent); the division happens once on the total
+    span_us = F.unix_micros("session_end") - F.unix_micros("session_start")
+    n = F.count(F.lit(1)).cast("double")
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct(key_col).alias("n_users"),
+        F.round(F.sum("n_events").cast("double") / n, 6).alias(
+            "avg_events_per_session"
+        ),
+        F.round(
+            F.sum(span_us).cast("double") / n / F.lit(60_000_000.0)
+            - F.lit(gap_minutes),
+            6,
+        ).alias("avg_span_minutes"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("bigint")).cast("double") / n,
+            6,
+        ).alias("bounce_rate"),
+    )

@@ -400,3 +400,28 @@ def test_resize_pnm_gather_matches_reference_loop():
             raster = rng.randint(0, 256, size=w * h * nch, dtype=np.uint8).tobytes()
             payload = b"%s\n%d %d\n255\n" % (magic, w, h) + raster
             assert mm._resize_pnm(payload, tw, th) == loop_resize(payload, tw, th)
+
+
+def test_session_stats_summary(spark):
+    """Hand-checkable session summary: user 1 has two sessions (3 events
+    + 1 event), user 2 one single-event session."""
+    import datetime as dt
+
+    from intake_esm_spark.streaming.windows import session_stats
+
+    def t(m):
+        return dt.datetime(2024, 3, 1, 10, m)
+
+    rows = [
+        (1, t(0), 1.0), (1, t(10), 1.0), (1, t(20), 1.0),  # session A: span 20m
+        (1, dt.datetime(2024, 3, 1, 15, 0), 1.0),          # session B: bounce
+        (2, t(5), 1.0),                                     # session C: bounce
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = session_stats(df, gap="30 minutes", gap_minutes=30.0).collect()[0]
+    assert out["n_sessions"] == 3
+    assert out["n_users"] == 2
+    assert out["avg_events_per_session"] == pytest.approx(5 / 3, abs=1e-6)
+    # spans: 20, 0, 0 minutes -> mean 20/3
+    assert out["avg_span_minutes"] == pytest.approx(20 / 3, abs=1e-6)
+    assert out["bounce_rate"] == pytest.approx(2 / 3, abs=1e-6)
