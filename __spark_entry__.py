@@ -625,6 +625,19 @@ def q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     return ab_test_report(units, "variant", "converted", control="A")
 
 
+def q_lineitem_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag OLS trend of extended price over quantity
+    (operators/profiling.py trend_lines): closed-form slope/intercept/r²
+    from decimal moments in ONE partial-aggregated groupBy — the
+    distributed regression-per-group, no ML-library loop."""
+    from intake_esm_spark.operators.profiling import trend_lines
+
+    li = load_table(spark, sf, "lineitem")
+    return trend_lines(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+
+
 def q_lineitem_winsorized(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag winsorization of extended price at the p05/p95
     fences: exact type-7 percentiles from one grouped aggregation,
@@ -2539,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "events_dau_mau": q_events_dau_mau,
         "events_session_stats": q_events_session_stats,
+        "lineitem_trend": q_lineitem_trend,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -3962,6 +3976,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
             FROM chg
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # replays profiling.trend_lines: decimal moments per group, the
+        # same IEEE closed-form slope/intercept/r2 expressions
+        "lineitem_trend": """
+            WITH f AS (
+              SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), s AS (
+              SELECT l_returnflag, count(*) AS n,
+                     CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(x AS DECIMAL(19,6))
+                              * CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(y AS DECIMAL(19,6))
+                              * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(x AS DECIMAL(19,6))
+                              * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+              FROM f GROUP BY 1
+            ), c AS (
+              SELECT l_returnflag, n,
+                     CAST(n AS DOUBLE) AS nd, sx, sy, sxx, syy, sxy
+              FROM s
+            ), e AS (
+              SELECT l_returnflag, n, nd, sx, sy, sxx, syy, sxy,
+                     CASE WHEN nd * sxx - sx * sx > 0
+                          THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+                          END AS slope
+              FROM c
+            )
+            SELECT l_returnflag, n,
+                   round(slope, 6) AS slope,
+                   round((sy - slope * sx) / nd, 6) AS intercept,
+                   round(CASE WHEN nd * sxx - sx * sx > 0
+                               AND nd * syy - sy * sy > 0
+                              THEN ((nd * sxy - sx * sy)
+                                    * (nd * sxy - sx * sy))
+                                   / ((nd * sxx - sx * sx)
+                                      * (nd * syy - sy * sy)) END,
+                         6) AS r2
+            FROM e
         """,
         # replays windows.session_stats over the sessionize CTE: exact
         # long span sums, one division on the totals

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "lineitem_correlations",
     "graph_pagerank",
     "lineitem_winsorized",
+    "lineitem_trend",
     "events_ab_test",
     "events_rolling_features",
     "events_cusum",

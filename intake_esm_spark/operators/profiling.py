@@ -121,6 +121,65 @@ def target_encode(
     return j.select(*df.columns, F.round(enc, 6).alias(out_col))
 
 
+def trend_lines(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS): slope,
+    intercept, r² and n for ``y ~ x`` within each group — "what's the
+    revenue trend per segment" as ONE partial-aggregated groupBy, the
+    distributed closed form instead of an ML-library fit per group.
+
+    Same machinery as :func:`correlation_matrix`: decimal moments
+    (Σx, Σy, Σx², Σy², Σxy — order-independent), coefficients as fixed
+    IEEE arithmetic on the aggregate row:
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)``,
+    ``intercept = (Σy − slope·Σx) / n``, ``r² = corr²``. Complete cases
+    only (either column null drops the row); a degenerate x (constant
+    within its group) yields null slope/intercept/r². Ungrouped
+    (``group_cols=None``) emits one global row. 6dp-rounded."""
+
+    def dec(c: str) -> F.Column:
+        return F.col(c).cast("decimal(18,6)")
+
+    def dec_wide(c: str) -> F.Column:
+        return F.col(c).cast("decimal(19,6)")
+
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x_col)).alias("__sx"),
+        F.sum(dec(y_col)).alias("__sy"),
+        F.sum(dec_wide(x_col) * dec(x_col)).alias("__sxx"),
+        F.sum(dec_wide(y_col) * dec(y_col)).alias("__syy"),
+        F.sum(dec_wide(x_col) * dec(y_col)).alias("__sxy"),
+    ]
+    grouped = (
+        base.groupBy(*group_cols).agg(*aggs) if group_cols else base.agg(*aggs)
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    den_x = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    slope = F.when(den_x > 0, num / den_x)
+    intercept = (sy - slope * sx) / n
+    den_y = n * syy - sy * sy
+    r2 = F.when((den_x > 0) & (den_y > 0), (num * num) / (den_x * den_y))
+    return grouped.select(
+        *(group_cols or []),
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation for every unordered pair of ``cols``, complete
     cases only (rows with a null in ANY profiled column are excluded —

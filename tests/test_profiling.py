@@ -139,3 +139,41 @@ def test_target_encode_does_not_leak_own_row(spark):
     e2 = {r["y"]: r["cat_te"] for r in target_encode(df2, "cat", "y").collect()}
     assert e1[10.0] == 20.0 and e2[10.0] == 99.0  # others moved it
     assert e1[20.0] == 10.0 and e2[99.0] == 10.0  # own row never leaks
+
+
+# ---------------------------------------------------------------------------
+# trend lines (closed-form OLS)
+
+
+def test_trend_matches_numpy_polyfit(spark):
+    from intake_esm_spark.operators.profiling import trend_lines
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 10, 300).round(3)
+    y = (2.5 * x + 7.0 + rng.normal(0, 0.5, 300)).round(3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    out = trend_lines(df, "x", "y").collect()[0]
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n"] == 300
+    assert out["slope"] == pytest.approx(slope, abs=1e-6)
+    assert out["intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert out["r2"] == pytest.approx(r * r, abs=1e-6)
+
+
+def test_trend_per_group_and_degenerate_x(spark):
+    from intake_esm_spark.operators.profiling import trend_lines
+
+    rows = (
+        [("a", float(i), float(3 * i + 1)) for i in range(10)]  # exact line
+        + [("b", 5.0, float(i)) for i in range(5)]              # constant x
+        + [("a", None, 1.0), ("a", 1.0, None)]                  # dropped
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r.asDict() for r in trend_lines(df, "x", "y", ["g"]).collect()}
+    assert out["a"]["n"] == 10
+    assert out["a"]["slope"] == 3.0 and out["a"]["intercept"] == 1.0
+    assert out["a"]["r2"] == 1.0
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None
