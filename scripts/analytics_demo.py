@@ -111,6 +111,30 @@ def main() -> None:
     assert abs(total_rank - 1.0) < 1e-3, f"rank mass {total_rank}"
     out["pagerank_nodes"] = ranks.count()
 
+    from intake_esm_spark.operators.basket import association_rules
+    from intake_esm_spark.operators.eventlog import dau_mau
+    from intake_esm_spark.operators.profiling import trend_lines
+
+    out["basket_rules"] = association_rules(
+        li, "l_orderkey", "l_partkey", min_support=0.0002
+    ).count()
+
+    stick = dau_mau(events, mau_days=28)
+    bad = stick.filter(
+        (F.col("stickiness") > 1.0) | (F.col("dau") > F.col("mau"))
+    ).count()
+    assert bad == 0, "DAU exceeded MAU somewhere"
+    out["dau_mau_days"] = stick.count()
+
+    trend = trend_lines(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).collect()
+    # quantity varies in every group: a slope and an r2 in [0, 1] exist
+    assert all(
+        r["slope"] is not None and 0.0 <= r["r2"] <= 1.0 for r in trend
+    ), trend
+    out["trend_groups"] = len(trend)
+
     print(json.dumps(out))
 
 
