@@ -1571,6 +1571,20 @@ def q_events_session_stats(spark: SparkSession, sf: str) -> DataFrame:
     return session_stats(events, gap="30 minutes", gap_minutes=30.0)
 
 
+def q_events_funnel_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distributions per funnel transition: count, mean
+    and p50/p90 lag minutes over converting users — one aggregation on
+    the funnel frame, exact type-7 percentiles on identical per-user
+    minute doubles (the quantile_cont parity rule)."""
+    from intake_esm_spark.operators.funnel import funnel, funnel_lag_stats
+
+    events = load_table(spark, sf, "events")
+    steps = ["signup", "view", "purchase"]
+    return funnel_lag_stats(
+        funnel(events, steps, within="12 hours"), steps
+    )
+
+
 def q_events_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
     """DAU / trailing-28d MAU / stickiness per day: COUNT DISTINCT over
     a range window is unsupported, so MAU uses the contribution explode
@@ -2553,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_mau": q_events_dau_mau,
         "events_session_stats": q_events_session_stats,
         "lineitem_trend": q_lineitem_trend,
+        "events_funnel_lags": q_events_funnel_lags,
         # Every entry below was driver-green in ROUND 6
         # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
         # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
@@ -4051,6 +4066,55 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
                      AS bounce_rate
             FROM sessions
+        """,
+        # replays funnel.funnel_lag_stats over the funnel CTEs: exact
+        # long micro sums for the mean; percentiles on the SAME per-user
+        # minute doubles (double-cast before the division)
+        "events_funnel_lags": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL '12 hours'
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s2.t2 + INTERVAL '12 hours'
+              GROUP BY e.user_id
+            ), f AS (
+              SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+              FROM s1 LEFT JOIN s2 USING (user_id)
+                      LEFT JOIN s3 USING (user_id)
+            )
+            SELECT 'signup' AS step_from, 'view' AS step_to,
+                   count(t2) AS n_converted,
+                   round(CAST(sum(epoch_us(t2) - epoch_us(t1)) AS DOUBLE)
+                         / CAST(count(t2) AS DOUBLE) / 60000000.0, 6)
+                     AS mean_minutes,
+                   round(quantile_cont(CAST(epoch_us(t2) - epoch_us(t1)
+                                            AS DOUBLE) / 60000000.0, 0.5),
+                         6) AS p50_minutes,
+                   round(quantile_cont(CAST(epoch_us(t2) - epoch_us(t1)
+                                            AS DOUBLE) / 60000000.0, 0.9),
+                         6) AS p90_minutes
+            FROM f
+            UNION ALL
+            SELECT 'view', 'purchase',
+                   count(t3),
+                   round(CAST(sum(epoch_us(t3) - epoch_us(t2)) AS DOUBLE)
+                         / CAST(count(t3) AS DOUBLE) / 60000000.0, 6),
+                   round(quantile_cont(CAST(epoch_us(t3) - epoch_us(t2)
+                                            AS DOUBLE) / 60000000.0, 0.5),
+                         6),
+                   round(quantile_cont(CAST(epoch_us(t3) - epoch_us(t2)
+                                            AS DOUBLE) / 60000000.0, 0.9),
+                         6)
+            FROM f
         """,
         # replays eventlog.dau_mau: the MAU contribution explode (each
         # user-day feeds the next 28 days), trailing window bounded at

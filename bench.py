@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "events_topk_user",
     "events_json",
     "events_funnel",
+    "events_funnel_lags",
     "events_retention",
     "events_distinct_kmv",
     "events_attribution",

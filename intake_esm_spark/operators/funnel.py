@@ -150,3 +150,63 @@ def funnel_counts(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def funnel_lag_stats(
+    funnel_df: DataFrame, steps: list[str]
+) -> DataFrame:
+    """Time-to-convert distribution per funnel step transition: over the
+    users who completed step i+1, the count, mean and p50/p90 of the
+    ``t_{i+1} − t_i`` lag in minutes — the "WHERE do users stall"
+    readout next to the conversion counts. Input is :func:`funnel`
+    output (``t1..tk`` columns).
+
+    One aggregation over the user-count-sized funnel frame; every
+    statistic per transition comes out of the same pass (exact type-7
+    ``percentile`` — swap ``approx_percentile`` at extreme user counts;
+    the funnel frame is users-who-started-sized, usually fine). Lag
+    micros accumulate as exact longs for the mean; percentiles run on
+    the per-user minute doubles (identical IEEE inputs on both engines
+    — the `quantile_cont` parity rule). Non-converting users are
+    skipped per-transition by null-skipping aggregates."""
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps for lag stats")
+    aggs = []
+    for i in range(1, len(steps)):
+        us = F.unix_micros(F.col(f"t{i + 1}")) - F.unix_micros(F.col(f"t{i}"))
+        aggs += [
+            F.count(F.col(f"t{i + 1}")).alias(f"__n{i}"),
+            F.round(
+                F.sum(us).cast("double")
+                / F.count(F.col(f"t{i + 1}")).cast("double")
+                / F.lit(60_000_000.0),
+                6,
+            ).alias(f"__mean{i}"),
+            F.round(F.expr(f"percentile({_min_expr(i)}, 0.5)"), 6).alias(
+                f"__p50{i}"
+            ),
+            F.round(F.expr(f"percentile({_min_expr(i)}, 0.9)"), 6).alias(
+                f"__p90{i}"
+            ),
+        ]
+    stats = funnel_df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(steps[i - 1]).alias("step_from"),
+            F.lit(steps[i]).alias("step_to"),
+            F.col(f"__n{i}").alias("n_converted"),
+            F.col(f"__mean{i}").alias("mean_minutes"),
+            F.col(f"__p50{i}").alias("p50_minutes"),
+            F.col(f"__p90{i}").alias("p90_minutes"),
+        )
+        for i in range(1, len(steps))
+    ]
+    return stats.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")
+
+
+def _min_expr(i: int) -> str:
+    """SQL text of the per-user lag-minutes expression for step i→i+1 —
+    ONE definition shared by the percentile aggregates (F.expr needs
+    text) and quoted by the oracle, so the interpolation inputs are
+    bit-identical across engines."""
+    return f"(unix_micros(t{i + 1}) - unix_micros(t{i})) / 60000000.0D"

@@ -203,3 +203,34 @@ def test_funnel_counts_empty_cohort(spark):
     out = funnel_counts(df, ["signup", "view", "purchase"]).collect()
     assert [r["n_users"] for r in sorted(out, key=lambda r: r["step_idx"])] == [0, 0, 0]
     assert all(r["frac_of_cohort"] is None for r in out)
+
+
+def test_funnel_lag_stats(spark):
+    """Hand-checkable lags: three users convert signup->view in 10, 20,
+    60 minutes; only one reaches purchase."""
+    from intake_esm_spark.operators.funnel import funnel, funnel_lag_stats
+
+    rows = [
+        ("u1", "signup", _ts(0)), ("u1", "view", _ts(0, 10)),
+        ("u2", "signup", _ts(0)), ("u2", "view", _ts(0, 20)),
+        ("u3", "signup", _ts(0)), ("u3", "view", _ts(1, 0)),
+        ("u3", "purchase", _ts(1, 30)),
+        ("u4", "signup", _ts(0)),  # never converts
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    steps = ["signup", "view", "purchase"]
+    out = {
+        (r["step_from"], r["step_to"]): r.asDict()
+        for r in funnel_lag_stats(funnel(df, steps), steps).collect()
+    }
+    sv = out[("signup", "view")]
+    assert sv["n_converted"] == 3
+    assert sv["mean_minutes"] == 30.0
+    assert sv["p50_minutes"] == 20.0       # exact middle value
+    assert sv["p90_minutes"] == 52.0       # type-7: 20 + 0.8*(60-20)
+    vp = out[("view", "purchase")]
+    assert vp["n_converted"] == 1 and vp["p50_minutes"] == 30.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_lag_stats(funnel(df, steps), ["one"])
