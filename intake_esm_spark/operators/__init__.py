@@ -1,1 +1,8 @@
-"""Engine operators: relational division, grouping, combine, dedup, similarity, asof."""
+"""Engine operators.
+
+Reference-parity core: division, grouping, combine, asof. Training-data
+pipeline: dedup, structural, spans, simsearch, pq, clustering, sampling,
+mixing, packing, contamination, corpus, retrieval, chunking,
+quality_checks. Analytics: funnel, retention, sketch, timeseries,
+eventlog, cdc, privacy, profiling, graph, experiment, basket.
+"""
