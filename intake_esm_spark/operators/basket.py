@@ -50,20 +50,28 @@ def association_rules(
         raise ValueError(
             f"max_basket_items must be >= 2, got {max_basket_items}"
         )
+    from pyspark.sql import Window
+
     bi = (
         df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
         .distinct()
     )
-    # mega-basket guard BEFORE anything counts: the size aggregation
-    # reuses the distinct's (basket, item) partitioning map-side
-    ok = (
-        bi.groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__bs"))
+    # mega-basket guard as a count WINDOW on the basket key (not a
+    # sizes-aggregate join, which would cost an extra exchange of the
+    # whole frame): one basket-keyed exchange that the within-basket
+    # self-join below then REUSES — a mega basket is one partition of at
+    # most |b| rows, trivial next to the corpus
+    wb = Window.partitionBy("__b")
+    bix = (
+        bi.withColumn("__bs", F.count(F.lit(1)).over(wb))
         .filter(F.col("__bs") <= max_basket_items)
-        .select("__b")
+        .drop("__bs")
+        # pin: bix feeds nb, icnt, AND both self-join sides — unpinned,
+        # each reference re-runs the distinct+window (the multi-reference
+        # re-planning pitfall)
+        .localCheckpoint(eager=False)
     )
-    bix = bi.join(ok, "__b")
     nb = bix.agg(F.countDistinct("__b").alias("__nb"))
     icnt = bix.groupBy("__i").agg(F.count(F.lit(1)).alias("__ic"))
     freq = (
@@ -73,6 +81,9 @@ def association_rules(
             >= F.lit(min_support) * F.col("__nb").cast("double")
         )
         .select("__i", "__ic")
+        # frequency table is item-cardinality-sized; it seeds three
+        # joins below — pin it too
+        .localCheckpoint(eager=False)
     )
     bif = bix.join(freq.select("__i"), "__i")
     left = bif.select(F.col("__b"), F.col("__i").alias("__ia"))
