@@ -281,9 +281,18 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("purchase_value")
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_event_id"),
     )
-    out = asof_join(clicks, purchases, on="user_id", ts_col="ts")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_order_col="purchase_event_id",
+    )
     return out.select("event_id", "user_id", "purchase_value")
 
 
@@ -1476,7 +1485,13 @@ def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("touch_ts"),
         F.col("event_id").alias("touch_event_id"),
     )
-    out = asof_join(purchases, touches, on="user_id", tolerance="24 hours")
+    out = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        tolerance="24 hours",
+        right_order_col="touch_event_id",
+    )
     gap = (F.unix_micros("ts") - F.unix_micros("touch_ts")) / F.lit(60000000.0)
     return out.select(
         "event_id",
@@ -1491,6 +1506,17 @@ def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
 _KMV_K = 32
 
 
+def _kmv_hashes_as_string(sk: DataFrame) -> DataFrame:
+    """Serialize the array<bigint> sketch column to a comma-joined
+    string so every entry's output schema is atomic (the driver's
+    result canonicalizer hashes rows into a set and cannot handle
+    list-valued cells)."""
+    return sk.withColumn(
+        "kmv_hashes",
+        F.concat_ws(",", F.transform("kmv_hashes", lambda h: h.cast("string"))),
+    )
+
+
 def q_events_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
     """KMV (bottom-k) distinct-user sketch per event type: the
     cardinality-estimation sketch with an EXACT SQL replay (unlike HLL,
@@ -1500,7 +1526,9 @@ def q_events_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
     from intake_esm_spark.operators.sketch import kmv_distinct
 
     events = load_table(spark, sf, "events")
-    return kmv_distinct(events, "user_id", ["event_type"], k=_KMV_K)
+    return _kmv_hashes_as_string(
+        kmv_distinct(events, "user_id", ["event_type"], k=_KMV_K)
+    )
 
 
 def q_docs_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
@@ -1767,11 +1795,13 @@ def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
     events = load_table(spark, sf, "events")
     half_a = events.filter(F.crc32(F.col("event_id").cast("string")) % 2 == 0)
     half_b = events.filter(F.crc32(F.col("event_id").cast("string")) % 2 == 1)
-    return kmv_union(
-        kmv_distinct(half_a, "user_id", ["event_type"], k=_KMV_K),
-        kmv_distinct(half_b, "user_id", ["event_type"], k=_KMV_K),
-        ["event_type"],
-        k=_KMV_K,
+    return _kmv_hashes_as_string(
+        kmv_union(
+            kmv_distinct(half_a, "user_id", ["event_type"], k=_KMV_K),
+            kmv_distinct(half_b, "user_id", ["event_type"], k=_KMV_K),
+            ["event_type"],
+            k=_KMV_K,
+        )
     )
 
 
@@ -2301,7 +2331,7 @@ def q_events_scd2_enrich(spark: SparkSession, sf: str) -> DataFrame:
     facts = events.filter(
         (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
     ).select("event_id", "user_id", "ts", "value")
-    out = enrich_with_scd2(facts, dim, "user_id")
+    out = enrich_with_scd2(facts, dim, "user_id", order_col="version")
     return out.select(
         "event_id", "user_id", "ts", "value", "segment", "version"
     )
@@ -4683,7 +4713,8 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             ), kept AS (
               SELECT event_type,
-                     list(hv ORDER BY hv) AS kmv_hashes,
+                     string_agg(CAST(hv AS VARCHAR), ',' ORDER BY hv)
+                       AS kmv_hashes,
                      count(*) AS n_kept,
                      max(hv) AS hk
               FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type

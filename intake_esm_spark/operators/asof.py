@@ -25,6 +25,7 @@ def asof_join(
     ts_col: str = "ts",
     tolerance: str | None = None,
     direction: str = "backward",
+    right_order_col: str | None = None,
 ) -> DataFrame:
     """pd.merge_asof semantics, distributed.
 
@@ -37,6 +38,13 @@ def asof_join(
     ``tolerance`` is an INTERVAL string (e.g. '10 minutes') for timestamp
     ``ts_col``, or a number for numeric ``ts_col`` (pd.merge_asof
     supports both).
+
+    ``right_order_col``: a unique right-side column (e.g. an event id)
+    appended to the window ordering so that multiple right rows sharing
+    ``(on, ts_col)`` resolve deterministically — the row with the
+    GREATEST ``right_order_col`` wins the tie (both directions; the
+    within-tie order is independent of the ts direction). Without it,
+    equal-timestamp right rows resolve by partition order.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -45,6 +53,12 @@ def asof_join(
     collisions = (set(right.columns) - {on, ts_col}) & set(left.columns)
     for c in collisions:
         right = right.withColumnRenamed(c, f"{c}_right")
+    if right_order_col is not None and right_order_col in collisions:
+        right_order_col = f"{right_order_col}_right"
+    if right_order_col is not None and right_order_col not in right.columns:
+        raise ValueError(
+            f"right_order_col {right_order_col!r} is not a right column"
+        )
     value_cols = [c for c in right.columns if c not in (on, ts_col)]
     left_only = [c for c in left.columns if c not in (on, ts_col)]
     l_types, r_types = dict(left.dtypes), dict(right.dtypes)
@@ -66,13 +80,24 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # Tiebreak LAST in the ordering: within an equal-(ts, side) group of
+    # right rows, last() picks the final row in sort order, so ascending
+    # order makes the greatest right_order_col the deterministic winner —
+    # in both directions (the within-tie order is direction-independent).
+    # Left rows carry a null there (nulls first, so they can never
+    # displace a right row inside a tie group).
+    tiebreak = (
+        [F.col(right_order_col).asc_nulls_first()]
+        if right_order_col is not None
+        else []
+    )
     if direction == "backward":
         w = Window.partitionBy(on).orderBy(
-            F.col(ts_col).asc(), F.col("__side").asc()
+            F.col(ts_col).asc(), F.col("__side").asc(), *tiebreak
         ).rowsBetween(Window.unboundedPreceding, 0)
     else:
         w = Window.partitionBy(on).orderBy(
-            F.col(ts_col).desc(), F.col("__side").asc()
+            F.col(ts_col).desc(), F.col("__side").asc(), *tiebreak
         ).rowsBetween(Window.unboundedPreceding, 0)
 
     # ONE struct per right row: the fill picks whole rows, never mixes

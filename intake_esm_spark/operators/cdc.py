@@ -43,10 +43,12 @@ def scd2_apply(
 
     Scale: two co-keyed joins, both bounded by CHANGE volume on one side
     (the close-off join ships the keys+types of changed rows against the
-    dimension; the version-seed join runs change-rows against the
-    current-version slice) — the dimension is never windowed or
-    re-versioned wholesale, which is the point of merging a diff instead
-    of rebuilding from snapshots. Same key-uniqueness precondition as
+    dimension; the version-seed join runs change-rows against a
+    per-key max-version aggregate of the dimension — the full history,
+    not just the current slice, so a key re-inserted after a delete
+    resumes numbering instead of colliding at version 1) — the dimension
+    is never windowed or re-versioned wholesale, which is the point of
+    merging a diff instead of rebuilding from snapshots. Same key-uniqueness precondition as
     ``snapshot_diff``, plus freshness: the diff's OLD side must be the
     dimension's current snapshot — a stale diff can classify an
     already-current key as ``insert``, which opens a second current row
@@ -73,8 +75,14 @@ def scd2_apply(
         .otherwise(F.col(current_col))
         .alias(current_col),
     )
-    current_versions = dim.filter(F.col(current_col) == 1).select(
-        *key_cols, F.col(version_col).alias("__prev_v")
+    # Seed from max(version) over ALL of the key's rows, not the
+    # is_current slice: a key whose versions were all closed by a delete
+    # has no current row, and re-seeding it at 1 would duplicate the
+    # (key, version) pair its history already holds. The aggregate is
+    # one key-partitioned exchange over the dimension — same key as the
+    # close-off join, so AQE/exchange reuse can co-locate them.
+    current_versions = dim.groupBy(*key_cols).agg(
+        F.max(version_col).alias("__prev_v")
     )
     opened = (
         ch.filter(F.col("change_type").isin("insert", "update"))

@@ -215,10 +215,16 @@ def dau_mau(
     a calendar frame upstream for dense dashboards)."""
     if mau_days < 1:
         raise ValueError(f"mau_days must be >= 1, got {mau_days}")
+    # Pinned: bounds, dau, and contrib all reference the corpus-scale
+    # user-day distinct — without the checkpoint Spark re-plans (and
+    # re-scans) it once per reference, tripling the only corpus
+    # exchange (the repo's standing multi-reference rule, as applied in
+    # funnel/retention/kmv_pairwise_overlap).
     ud = (
         events.filter(F.col(key_col).isNotNull())
         .select(F.col(key_col).alias("__u"), F.to_date(ts_col).alias("day"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bounds = ud.agg(F.max("day").alias("__dmax"))
     dau = ud.groupBy("day").agg(F.countDistinct("__u").alias("dau"))
@@ -304,6 +310,7 @@ def enrich_with_scd2(
     ts_col: str = "ts",
     from_col: str = "effective_from",
     to_col: str = "effective_to",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Point-in-time dimension enrichment: append to each fact row the
     SCD2 version whose ``[from_col, to_col)`` interval contains the fact
@@ -322,12 +329,17 @@ def enrich_with_scd2(
     **Precondition: ``from_col`` is unique per key** (distinct change
     instants — :func:`scd2_from_log` guarantees it unless two change
     events share one timestamp exactly, which also yields a zero-length
-    version no fact can land in). Dimension columns colliding with fact
+    version no fact can land in). Pass ``order_col`` (e.g. the version
+    column) to make even THAT degenerate case deterministic — the
+    greatest value wins equal-``from_col`` ties via the as-of join's
+    ``right_order_col``. Dimension columns colliding with fact
     column names get the as-of join's ``_right`` suffix."""
     right = dim.withColumn(ts_col, F.col(from_col)).drop(from_col)
     from intake_esm_spark.operators.asof import asof_join
 
-    out = asof_join(facts, right, on=key_col, ts_col=ts_col)
+    out = asof_join(
+        facts, right, on=key_col, ts_col=ts_col, right_order_col=order_col
+    )
     dim_cols = [c for c in out.columns if c not in facts.columns]
     to_out = to_col if to_col in dim_cols else f"{to_col}_right"
     valid = F.col(to_out).isNull() | (F.col(ts_col) < F.col(to_out))

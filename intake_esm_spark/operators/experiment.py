@@ -32,8 +32,13 @@ def ab_test_report(
     pooled rate. ``units`` must be ONE ROW PER UNIT (deduplicate
     upstream — a unit counted twice silently narrows the standard
     error); ``converted_col`` is 0/1 (any numeric where >0 means
-    converted). The control row itself carries a null z. ``significant``
-    is 1 iff ``|z| >= z_threshold`` (default = two-sided 5%).
+    converted; NULL counts as not-converted — made explicit with a
+    coalesce so the unit stays in ``n_units`` without inflating the
+    rate). The control row itself carries a null z. ``significant``
+    is 1 iff ``|z| >= z_threshold`` (default = two-sided 5%). If
+    ``control`` matches no variant, every row survives with a null z
+    (control stats LEFT-join in) instead of the report silently
+    collapsing to zero rows.
 
     Determinism: counts are exact integers; every rate and the z are
     fixed IEEE expressions over them, 6dp-rounded."""
@@ -42,16 +47,19 @@ def ab_test_report(
         .groupBy(F.col(variant_col).alias("variant"))
         .agg(
             F.count(F.lit(1)).alias("n_units"),
-            F.sum((F.col(converted_col) > 0).cast("bigint")).alias(
-                "n_converted"
-            ),
+            F.sum(
+                F.coalesce((F.col(converted_col) > 0).cast("bigint"), F.lit(0))
+            ).alias("n_converted"),
         )
     )
     ctrl = per_variant.filter(F.col("variant") == control).select(
+        F.lit(1).alias("__ck"),
         F.col("n_units").alias("__nc"),
         F.col("n_converted").alias("__xc"),
     )
-    j = per_variant.crossJoin(F.broadcast(ctrl))
+    j = per_variant.withColumn("__ck", F.lit(1)).join(
+        F.broadcast(ctrl), "__ck", "left"
+    )
     nv = F.col("n_units").cast("double")
     xv = F.col("n_converted").cast("double")
     nc = F.col("__nc").cast("double")

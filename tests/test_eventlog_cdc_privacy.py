@@ -676,3 +676,60 @@ def test_dau_mau_window_ages_out(spark):
     out = {r["day"]: r.asDict() for r in dau_mau(df, mau_days=7).collect()}
     # user 1's day-1 activity is NOT in day 20's trailing 7-day window
     assert out["2024-03-20"]["mau"] == 1
+
+
+def test_scd2_apply_reinsert_after_delete_resumes_versions(spark):
+    """ADVICE r7: a key deleted (all versions closed) then re-inserted
+    must RESUME version numbering from its history's max, not restart at
+    1 — restarting duplicates the (key, version) pair and breaks the
+    SCD2 uniqueness enrich_with_scd2 depends on."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.cdc import scd2_apply, snapshot_diff
+
+    s0 = spark.createDataFrame([(1, 1.0, "A")], CUST_SCHEMA)
+    s1 = spark.createDataFrame([], CUST_SCHEMA)          # key 1 deleted
+    s2 = spark.createDataFrame([(1, 9.0, "A")], CUST_SCHEMA)  # re-inserted
+    dim = s0.select(
+        "k", "bal", "seg",
+        F.lit("2024-01-01").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(1).alias("version"),
+        F.lit(1).alias("is_current"),
+    )
+    dim = scd2_apply(
+        dim, snapshot_diff(s0, s1, ["k"], ["bal", "seg"]),
+        ["k"], ["bal", "seg"], "2024-02-01",
+    )
+    dim = scd2_apply(
+        dim, snapshot_diff(s1, s2, ["k"], ["bal", "seg"]),
+        ["k"], ["bal", "seg"], "2024-03-01",
+    )
+    rows = {(r["k"], r["version"]): r.asDict() for r in dim.collect()}
+    assert set(rows) == {(1, 1), (1, 2)}  # NOT a duplicated (1, 1)
+    assert rows[(1, 1)]["is_current"] == 0
+    assert rows[(1, 2)]["is_current"] == 1
+    assert rows[(1, 2)]["bal"] == 9.0
+
+
+def test_dau_mau_input_pinned_once(spark):
+    """The user-day distinct is referenced three times (bounds, dau,
+    contrib); it must be checkpointed so the corpus exchange happens
+    once — the plan references the pinned RDD, not three re-derivations."""
+    import io
+    from contextlib import redirect_stdout
+
+    from intake_esm_spark.operators.eventlog import dau_mau
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00")],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = dau_mau(df, mau_days=7)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "ExistingRDD" in buf.getvalue()
+    got = {r["day"]: r.asDict() for r in out.collect()}
+    assert got["2024-01-01"]["dau"] == 1 and got["2024-01-01"]["mau"] == 1
+    assert got["2024-01-02"]["mau"] == 2  # day-1 user still in window

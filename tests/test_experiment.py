@@ -50,3 +50,37 @@ def test_duplicate_unit_warning_is_callers_problem(spark):
     out = {r["variant"]: r.asDict() for r in ab_test_report(df, "variant", "converted", "A").collect()}
     assert out["A"]["n_converted"] == 1
     assert out["B"]["n_converted"] == 2
+
+
+def test_missing_control_keeps_variant_rows(spark):
+    """ADVICE r7: a control label matching no variant must NOT collapse
+    the report to zero rows — variants survive with null z (control
+    stats left-join in)."""
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 0), ("B", 1)], "variant string, converted int"
+    )
+    out = {
+        r["variant"]: r.asDict()
+        for r in ab_test_report(df, "variant", "converted", "ZZZ").collect()
+    }
+    assert set(out) == {"A", "B"}
+    assert out["A"]["z_vs_control"] is None
+    assert out["A"]["significant"] == 0
+    assert out["A"]["rate"] == 0.5
+
+
+def test_null_converted_counts_as_not_converted(spark):
+    """NULL converted = not-converted, explicitly: the unit stays in
+    n_units and contributes 0 conversions (no silent rate deflation
+    ambiguity)."""
+    df = spark.createDataFrame(
+        [("A", 1), ("A", None), ("A", 0), ("B", 1)],
+        "variant string, converted int",
+    )
+    out = {
+        r["variant"]: r.asDict()
+        for r in ab_test_report(df, "variant", "converted", "A").collect()
+    }
+    assert out["A"]["n_units"] == 3
+    assert out["A"]["n_converted"] == 1
+    assert out["A"]["rate"] == pytest.approx(1 / 3, abs=1e-6)

@@ -424,3 +424,24 @@ def test_pagerank_edge_and_node_frames_checkpointed(spark, queries):
     from parquet each round."""
     plan = plan_of(queries["graph_pagerank"](spark, SF))
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_every_entry_output_schema_is_atomic(spark, queries):
+    """Driver-canon compatibility: the correctness harness hashes result
+    rows into a set, so a list/map/struct-valued output column raises
+    `unhashable type` inside the DRIVER even when the local oracle sweep
+    (tuple-canon) passes — exactly the r7 `events_distinct_kmv` failure.
+    Every queries() entry must therefore emit only atomic column types.
+    """
+    complex_types = ("ArrayType", "MapType", "StructType")
+    offenders = {}
+    for name, fn in queries.items():
+        schema = fn(spark, SF).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if type(f.dataType).__name__ in complex_types
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-atomic output columns: {offenders}"

@@ -742,3 +742,40 @@ def test_ivf_pq_rerank_lifts_recall(spark, embeddings, tmp_path):
         simsearch.ivf_topk_rerank(
             spark, path, queries, embeddings, k=10, k_candidates=5
         )
+
+
+def test_asof_join_equal_ts_tiebreak_deterministic(spark):
+    """ADVICE r7: multiple right rows sharing (key, ts) must resolve by
+    the caller-named unique column — greatest right_order_col wins, in
+    both directions — not by partition order."""
+    from intake_esm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, "r1", 101), (1, 5, "r3", 103), (1, 5, "r2", 102)],
+        "k long, ts long, tag string, rid long",
+    ).repartition(3)
+    out_b = asof_join(
+        left, right, on="k", ts_col="ts",
+        direction="backward", right_order_col="rid",
+    ).collect()
+    assert len(out_b) == 1 and out_b[0]["tag"] == "r3"
+    # forward: left ts sits before the tie group so all three match
+    left2 = spark.createDataFrame([(1, 3)], "k long, ts long")
+    out_f = asof_join(
+        left2, right, on="k", ts_col="ts",
+        direction="forward", right_order_col="rid",
+    ).collect()
+    assert len(out_f) == 1 and out_f[0]["tag"] == "r3"
+
+
+def test_asof_join_order_col_validation(spark):
+    from intake_esm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, v double")
+    try:
+        asof_join(left, right, on="k", ts_col="ts", right_order_col="nope")
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "nope" in str(e)
