@@ -1688,20 +1688,15 @@ def q_lineitem_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     interpolation, the same definition DuckDB's quantile_cont uses).
     The exact form is the oracle-able one; at 100 TB swap in
     approx_percentile (t-digest) for one-pass bounded memory."""
+    from intake_esm_spark.operators.profiling import group_quantiles
+
     li = load_table(spark, sf, "lineitem")
-    qs = F.expr(
-        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
-    )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(qs.alias("__q"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("__q", 1), 6).alias("p25"),
-            F.round(F.element_at("__q", 2), 6).alias("p50"),
-            F.round(F.element_at("__q", 3), 6).alias("p75"),
-            F.round(F.element_at("__q", 4), 6).alias("p95"),
-        )
+    return group_quantiles(
+        li,
+        "l_extendedprice",
+        ["l_returnflag"],
+        [0.25, 0.5, 0.75, 0.95],
+        out_cols=["p25", "p50", "p75", "p95"],
     )
 
 

@@ -240,8 +240,8 @@ class ESMDataStore:
             out[f"derived_{var_col}"] = sorted(self.derivedcat.keys())
         return out
 
-    def nunique(self) -> dict[str, int]:
-        out = grouping.nunique(self._df)
+    def nunique(self, exact: bool = True) -> dict[str, int]:
+        out = grouping.nunique(self._df, exact=exact)
         var_col = self.descriptor.variable_column_name
         if var_col and len(self.derivedcat):
             out[f"derived_{var_col}"] = len(self.derivedcat)

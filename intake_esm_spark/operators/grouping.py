@@ -125,24 +125,55 @@ def unique(df: DataFrame, columns: list[str] | None = None) -> dict[str, list]:
     }
 
 
-def nunique(df: DataFrame, columns: list[str] | None = None) -> dict[str, int]:
+def nunique(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> dict[str, int]:
     """Distinct-value count per column (iterable columns count distinct
-    *elements*). Exact, to match a SQL oracle; swap in
-    ``approx_count_distinct`` for the 100 TB profile path."""
+    *elements*). ``exact=True`` (default) matches a SQL oracle exactly;
+    ``exact=False`` is the 100 TB profile path — HyperLogLog++
+    (``approx_count_distinct``, default 5% rsd) in a SINGLE partial-
+    aggregated pass with NO ``Expand`` node: multi-column exact
+    countDistinct expands the input once per distinct column (xN data
+    amplification before the shuffle), while the sketches fold map-side
+    in one pass. Iterable columns in approx mode explode to elements
+    first (one extra bounded job per array column — catalogs have few)."""
     columns = columns or df.columns
     dtypes = {f.name: f.dataType for f in df.schema.fields}
+    out: dict[str, int] = {}
     aggs = []
+    scalar_cols = []
     for c in columns:
         if _is_array(dtypes[c]):
-            # array_compact drops inner nulls after the flatten, matching
-            # unique()'s NA filter (and pandas nunique, which drops NA) —
-            # otherwise nunique could exceed len(unique(col)) by one
-            aggs.append(
-                F.size(
-                    F.array_distinct(F.array_compact(F.flatten(F.collect_set(F.col(c)))))
-                ).alias(c)
-            )
+            if exact:
+                # array_compact drops inner nulls after the flatten, matching
+                # unique()'s NA filter (and pandas nunique, which drops NA) —
+                # otherwise nunique could exceed len(unique(col)) by one
+                aggs.append(
+                    F.size(
+                        F.array_distinct(
+                            F.array_compact(F.flatten(F.collect_set(F.col(c))))
+                        )
+                    ).alias(c)
+                )
+                scalar_cols.append(c)
+            else:
+                row = (
+                    df.select(F.explode(c).alias("__e"))
+                    .agg(F.approx_count_distinct("__e").alias("n"))
+                    .collect()[0]
+                )
+                out[c] = int(row["n"])
         else:
-            aggs.append(F.countDistinct(F.col(c)).alias(c))
-    row = df.agg(*aggs).collect()[0]
-    return {c: int(row[c]) for c in columns}
+            aggs.append(
+                F.countDistinct(F.col(c)).alias(c)
+                if exact
+                else F.approx_count_distinct(F.col(c)).alias(c)
+            )
+            scalar_cols.append(c)
+    if aggs:
+        row = df.agg(*aggs).collect()[0]
+        for c in scalar_cols:
+            out[c] = int(row[c])
+    return {c: out[c] for c in columns}

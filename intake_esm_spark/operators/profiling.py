@@ -31,6 +31,8 @@ def winsorize(
     lower: float = 0.01,
     upper: float = 0.99,
     out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Clamp ``value_col`` to its (per-group) ``[lower, upper]``
     percentile fences — the outlier-capping step feature pipelines run
@@ -45,18 +47,22 @@ def winsorize(
     AQE broadcasts the group-cardinality fence frame when it is small
     and shuffles co-keyed when it is not (a FORCED broadcast would OOM
     on a high-cardinality group column — the target_encode rule); the
-    clamp itself is an in-row ``least(greatest(...))``. At 100 TB swap
-    the exact percentile for ``approx_percentile`` — the plan shape is
-    unchanged. Ungrouped (``group_cols=None``) uses a single global
-    fence row (that one IS a forced 1-row broadcast)."""
+    clamp itself is an in-row ``least(greatest(...))``. ``exact=False``
+    is the 100 TB path: ``approx_percentile`` (Greenwald–Khanna with
+    ``accuracy``-bounded error) replaces the value-buffering exact
+    aggregate with a fixed-size summary that folds map-side — the rest
+    of the plan is unchanged. Ungrouped (``group_cols=None``) uses a
+    single global fence row (that one IS a forced 1-row broadcast)."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(
             f"need 0 <= lower < upper <= 1, got ({lower}, {upper})"
         )
     out_col = out_col or f"{value_col}_w"
+    fn = "percentile" if exact else f"approx_percentile"
+    acc = "" if exact else f", {accuracy}"
     fences_agg = [
-        F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
-        F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+        F.expr(f"{fn}({value_col}, {lower}D{acc})").alias("__lo"),
+        F.expr(f"{fn}({value_col}, {upper}D{acc})").alias("__hi"),
     ]
     if group_cols:
         fences = df.groupBy(*group_cols).agg(*fences_agg)
@@ -72,6 +78,50 @@ def winsorize(
     )
     return joined.select(
         *df.columns, clamped.alias(out_col)
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: list[float],
+    out_cols: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group quantiles of ``value_col`` at each probability in
+    ``probs`` — the distribution-summary aggregate behind every "p50/p95
+    latency by segment" dashboard. ``exact=True`` uses Spark's
+    sort-based ``percentile`` (type-7 linear interpolation — bitwise
+    parity with DuckDB's ``quantile_cont``, the oracle-able form; it
+    buffers every group value in the aggregate, memory ∝ group size).
+    ``exact=False`` is the 100 TB path: one-pass ``approx_percentile``
+    (Greenwald–Khanna, ``accuracy``-bounded rank error) whose per-group
+    state is a FIXED-SIZE summary that folds map-side — group size never
+    touches executor memory. Same plan shape otherwise: one partial-
+    aggregated groupBy, output is group-cardinality-sized. 6dp-rounded
+    doubles either way."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    out_cols = out_cols or [
+        "p" + format(p * 100, "g").replace(".", "_") for p in probs
+    ]
+    if len(out_cols) != len(probs):
+        raise ValueError("out_cols must match probs in length")
+    arr = "array(" + ", ".join(f"{p}D" for p in probs) + ")"
+    fn = (
+        f"percentile({value_col}, {arr})"
+        if exact
+        else f"approx_percentile({value_col}, {arr}, {accuracy})"
+    )
+    agged = df.groupBy(*group_cols).agg(F.expr(fn).alias("__q"))
+    return agged.select(
+        *group_cols,
+        *[
+            F.round(F.element_at("__q", i + 1).cast("double"), 6).alias(c)
+            for i, c in enumerate(out_cols)
+        ],
     )
 
 
