@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "events_cusum",
     "lineitem_target_encoded",
     "basket_rules",
+    "basket_rules3",
     "asof_join",
     "text_stats",
     "text_quality",

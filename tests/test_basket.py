@@ -62,3 +62,69 @@ def test_validation(spark):
         association_rules(df, "basket", "item", 0.0)
     with pytest.raises(ValueError):
         association_rules(df, "basket", "item", 0.5, max_basket_items=1)
+
+
+def test_rules3_hand_example(spark):
+    """Baskets: {a,b,c}×2, {a,b}×1, {a,c}×1 over N=4 baskets.
+    min_support=0.5 → frequent triples: (a,b,c) tn=2."""
+    from intake_esm_spark.operators.basket import association_rules3
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = association_rules3(df, "b", "i", min_support=0.5)
+    got = {
+        (r["antecedent_1"], r["antecedent_2"], r["consequent"]): r.asDict()
+        for r in out.collect()
+    }
+    assert set(got) == {("b", "c", "a"), ("a", "c", "b"), ("a", "b", "c")}
+    r = got[("a", "b", "c")]
+    assert r["triple_n"] == 2
+    assert r["support"] == 0.5          # 2/4
+    assert r["confidence"] == pytest.approx(2 / 3, abs=1e-6)  # pair ab n=3
+    # lift = conf / (n_c/N) = (2/3) / (3/4)
+    assert r["lift"] == pytest.approx((2 / 3) / (3 / 4), abs=1e-5)
+    r = got[("b", "c", "a")]
+    assert r["confidence"] == 1.0       # pair bc n=2, both have a
+
+
+def test_rules3_support_monotone_vs_pairs(spark):
+    """Apriori monotonicity, asserted end-to-end on real data: every
+    frequent triple's support <= the support of EACH of its three
+    sub-pairs in the pairwise report (same min_support)."""
+    from intake_esm_spark.operators.basket import (
+        association_rules,
+        association_rules3,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    ms = 0.0005
+    pair_sup = {
+        (r["antecedent"], r["consequent"]): r["support"]
+        for r in association_rules(
+            li, "l_orderkey", "l_partkey", min_support=ms
+        ).collect()
+    }
+    tri = association_rules3(
+        li, "l_orderkey", "l_partkey", min_support=ms
+    ).collect()
+    for r in tri:
+        a1, a2, cq = r["antecedent_1"], r["antecedent_2"], r["consequent"]
+        for x, y in ((a1, a2), (a1, cq), (a2, cq)):
+            assert (x, y) in pair_sup or (y, x) in pair_sup
+            s = pair_sup.get((x, y), pair_sup.get((y, x)))
+            assert r["support"] <= s + 1e-9
+
+
+def test_rules3_validation(spark):
+    from intake_esm_spark.operators.basket import association_rules3
+
+    df = spark.createDataFrame([(1, "a")], "b long, i string")
+    with pytest.raises(ValueError):
+        association_rules3(df, "b", "i", min_support=0.0)
+    with pytest.raises(ValueError):
+        association_rules3(df, "b", "i", min_support=0.5, max_basket_items=2)
