@@ -54,6 +54,20 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
+    # Driver-canon probe (r7 failure mode): the DRIVER hashes raw result
+    # rows into a set, so a list/dict-valued cell raises `unhashable
+    # type` there even when our column-sorted tuple compare below
+    # passes. Replicate that canon so local green implies driver green.
+    for side, pdf in (("spark", spark_pdf), ("duck", duck_pdf)):
+        try:
+            set(map(tuple, pdf.itertuples(index=False)))
+        except TypeError as exc:
+            problems.append(
+                f"driver-canon incompatible ({side}): {exc} — "
+                "an output column holds unhashable (list/dict) cells"
+            )
+    if problems:
+        return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count {len(spark_pdf)} vs {len(duck_pdf)}")
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)

@@ -94,3 +94,35 @@ re_cat = open_esm_datastore(os.path.join(tmp, "verify_cat.json"), spark=spark)
 assert len(re_cat) == 2 and re_cat.df.count() == cat.df.count()
 
 print("VERIFY-DRIVE-OK")
+
+# --- driver-contract audit (VERDICT r7 #6): a local green sweep must
+# imply a driver green sweep. Three gaps the r7 round exposed:
+# (1) entry/oracle key drift, (2) non-atomic output columns (the
+# driver's set-hash canon raises `unhashable type` on list cells —
+# our tuple canon did not), (3) silent entry-count regressions.
+import __spark_entry__ as entrymod  # noqa: E402
+
+qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+extra_oracles = set(oracles) - set(qs)
+assert not extra_oracles, f"oracles without queries: {sorted(extra_oracles)}"
+missing_oracles = set(qs) - set(oracles)
+# rows-only entries are allowed but must be a deliberate, short list
+assert len(missing_oracles) == 0, (
+    f"entries without oracles (rows-only): {sorted(missing_oracles)} — "
+    "add oracles or document why not"
+)
+assert len(qs) >= 129, f"entry count regressed: {len(qs)} < 129"
+
+plan_sf = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
+complex_types = ("ArrayType", "MapType", "StructType")
+offenders = {}
+for name, fn in qs.items():
+    schema = fn(spark, plan_sf).schema
+    bad = [
+        f.name for f in schema.fields
+        if type(f.dataType).__name__ in complex_types
+    ]
+    if bad:
+        offenders[name] = bad
+assert not offenders, f"non-atomic entry output columns: {offenders}"
+print(f"DRIVER-CONTRACT-AUDIT-OK ({len(qs)} entries, all schemas atomic)")
