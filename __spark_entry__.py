@@ -1795,6 +1795,201 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): orders per
+    customer via left join (keeps zero-order customers), then the
+    histogram of counts — two partial-aggregated exchanges, the second
+    over customer-cardinality data only."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_custkey", "o_orderkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): percentage of one month's
+    revenue from PROMO-type parts — conditional decimal aggregate over
+    the fact ⋈ broadcast(part) join, one output row."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.sum(
+        F.expr(
+            "CAST(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END "
+            "AS DECIMAL(18,6))"
+        )
+    ).cast("double")
+    total = F.sum(
+        F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")
+    ).cast("double")
+    return j.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier view): per-supplier quarter
+    revenue, keep the row(s) equal to the max — the view + scalar
+    subquery replayed as an unpartitioned max window OVER the
+    supplier-cardinality aggregate (the window sits above the groupBy,
+    so the single-partition stage sees suppliers, not lineitems)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)", "total_revenue"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("__mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
+    return top.join(
+        F.broadcast(supp.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round("total_revenue", 6).alias("total_revenue"),
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): for one brand's
+    parts, revenue of lineitems below 20% of that part's average
+    quantity — the correlated subquery decorrelated into a per-part
+    aggregate joined back on the part key (both sides partial-agg /
+    broadcastable; the fact never sees a window)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    lib = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = lib.groupBy("l_partkey").agg(
+        (
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avg_q")
+    )
+    small = lib.join(
+        F.broadcast(avg_qty.select(F.col("l_partkey").alias("__pk"), "__avg_q")),
+        F.col("l_partkey") == F.col("__pk"),
+    ).filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_q"))
+    return small.agg(
+        F.round(
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast(
+                "double"
+            )
+            / F.lit(7.0),
+            6,
+        ).alias("avg_yearly")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose line
+    quantities sum past 250, ranked — the HAVING-subquery replayed as a
+    partial-aggregated groupBy on the fact, semi-joined back, customer
+    broadcast, deterministic top-100."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select(
+            "l_orderkey", F.col("__sq").cast("double").alias("sum_qty")
+        )
+    )
+    j = big.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).join(
+        F.broadcast(cust.select("c_custkey", "c_name")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("sum_qty", 6).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q22_idle_rich(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with
+    above-average positive balance and NO orders in a window — the
+    scalar subquery broadcast as a 1-row frame, the NOT EXISTS as a
+    left-anti join on the customer key, counts/sums per nation key
+    group. (Adapted: this dataset's customers all have SOME order, so
+    the anti-join window is 2000+.)"""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,6))")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__ab")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        "o_custkey"
+    )
+    idle = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum("c_acctbal", "totacctbal"),
+        )
+        .select(
+            "c_nationkey",
+            "numcust",
+            F.round("totacctbal", 6).alias("totacctbal"),
+        )
+    )
+
+
 def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
     """KMV mergeability driven through the correctness gate: the corpus
     is split in half by event-id hash, sketched per half, and the
@@ -2478,147 +2673,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is load-bearing: the correctness driver records at most
     # 50 entries, so (standing rule) any entry whose code or oracle
     # changed this round is in the first 50, followed by the entries
-    # longest without a driver-green row. Round-7 head (exactly 50):
-    # 18 new r7 entries (the 9 deferred to the tail top are variants of
-    # head siblings, see the tail comment), 6 whose code
-    # changed this round (retrieval null-filter, ivf probe rounding,
-    # kmeans empty-cluster round, dedup_components survivor_by), the 14
-    # entries last driver-confirmed in ROUND 4 (the rotation the r6
-    # verdict asked for), and the 12 last confirmed in round 5. The
-    # rest of the tail is exclusively entries driver-green in ROUND 6
-    # (CORRECTNESS_r06) — deferred-new + r6 cohort rotate into the r8
-    # head; no entry goes more than ~2 rounds without a driver row.
+    # longest without a driver-green row. Round-8 head (exactly 50,
+    # the r7 verdict's rotation plan): 8 changed/new this round, the 31
+    # entries never driver-verified (r7 deferrals + continuation block),
+    # and 11 from the r6 cohort (last driver row: round 6). The tail is
+    # the remaining r6 cohort (r9 head candidates) followed by the
+    # entries driver-green in round 7 — no entry goes more than ~2
+    # rounds without a driver row.
     return {
-        # -- new in round 7 --------------------------------------------
-        "dedup_spans": q_dedup_spans,
-        "docs_encoding": q_docs_encoding,
-        "text_fingerprint_nfc": q_text_fingerprint_nfc,
-        "dedup_cluster_best": q_dedup_cluster_best,
-        "docs_curated3": q_docs_curated3,
-        "docs_curation_report": q_docs_curation_report,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
+        # -- HEAD-50 (driver records the first 50 entries) -------------
+        # Block 1: code or oracle changed in ROUND 8 (KMV canon fix,
+        # asof tiebreak, cdc reseed, ab-test guard, approx-API refactor,
+        # new basket_rules3) — changed entries always driver-verify.
         "events_distinct_kmv": q_events_distinct_kmv,
-        "events_attribution": q_events_attribution,
-        "events_audience_overlap": q_events_audience_overlap,
-        "docs_sample_weighted": q_docs_sample_weighted,
-        "events_anomaly": q_events_anomaly,
-        "docs_mixture_temp": q_docs_mixture_temp,
-        "embed_pq_codes": q_embed_pq_codes,
-        "simsearch_pq_topk": q_simsearch_pq_topk,
-        # funnel_counts shares the round-7 frontier-checkpoint change
-        # with events_funnel — changed code stays in the head; its slot
-        # comes from simsearch_ivf_pq, whose build+probe path the
-        # rerank entry below drives end-to-end
-        "events_funnel_counts": q_events_funnel_counts,
-        "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
+        "events_distinct_kmv_merged": q_events_distinct_kmv_merged,
         "basket_rules3": q_basket_rules3,
-        # -- code or oracle changed in round 7 -------------------------
-        "docs_bm25": q_docs_bm25,
-        "docs_tfidf": q_docs_tfidf,
-        "simsearch_ivf_int8": q_simsearch_ivf_int8,
-        "simsearch_ivf": q_simsearch_ivf,
-        "embed_kmeans": q_embed_kmeans,
-        "dedup_cluster_survivors": q_dedup_cluster_survivors,
-        # multimodal_stats/frames: r4 cohort, pulled up so the new
-        # entries above don't push them past the driver's 50-entry cap
-        # (dedup_lines/_keep_first moved to the tail in exchange —
-        # r6-driver-green, code+oracle unchanged since)
-        "multimodal_stats": q_multimodal_stats,
-        "multimodal_frames": q_multimodal_frames,
-        # -- last driver-green in round 4 (r6 verdict #1) --------------
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_redact": q_text_redact,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "docs_sample_stratified": q_docs_sample_stratified,
-        "docs_sample_per_source": q_docs_sample_per_source,
-        "docs_length_hist": q_docs_length_hist,
-        "search_isin": q_search_isin,
-        "groupby_keys": q_groupby_keys,
+        "q13_custdist": q13_custdist,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q22_idle_rich": q22_idle_rich,
+        "events_attribution": q_events_attribution,
+        "asof_join": q_asof_join,
         "nunique": q_nunique,
-        "unique_flat": q_unique_flat,
-        "union_dedup": q_union_dedup,
-        "events_json": q_events_json,
-        # -- last driver-green in round 5 ------------------------------
-        "docs_hash_sample": q_docs_hash_sample,
-        "dedup_exact": q_dedup_exact,
-        "dedup_groups": q_dedup_groups,
-        "dedup_prefix_groups": q_dedup_prefix_groups,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_near": q_dedup_near,
-        "dedup_components": q_dedup_components,
-        "dedup_exact_incr": q_dedup_exact_incr,
-        "dedup_near_incr": q_dedup_near_incr,
-        "dedup_embedding": q_dedup_embedding,
-        # dedup_lines/_keep_first: demoted from the head in exchange for
-        # the multimodal r4-cohort pair above; r6-driver-green, unchanged
-        "dedup_lines": q_dedup_lines,
-        "dedup_lines_keep_first": q_dedup_lines_keep_first,
-        "dedup_lines_report": q_dedup_lines_report,
-        # ---- rotation tail -------------------------------------------
-        # First the 9 round-7 entries deferred from the head: each is a
-        # VARIANT of a head sibling (retention_weekly/spans_report/
-        # kmv_merged derive from the same operator as a head entry;
-        # sample_prop shares the hash-uniform path with sample_weighted;
-        # daily_ma shares the decimal-window path with events_anomaly;
-        # simsearch_ivf_pq's build+probe is driven by the head rerank
-        # entry; q7/q10/quantiles are the repo's most battle-tested
-        # expression classes) — all green in ORACLE_LOCAL_r7.txt; they
-        # take head priority in r8.
+        "lineitem_quantiles": q_lineitem_quantiles,
+        "lineitem_winsorized": q_lineitem_winsorized,
+        # Block 2: never driver-verified — the 31 r7 deferrals +
+        # continuation entries awaiting their first driver row (the r7
+        # verdict's rotation plan; scd2/cdc/dau_mau/ab_test members of
+        # this block also carry round-8 code changes).
+        "events_scd2_enrich": q_events_scd2_enrich,
+        "customer_scd2_apply": q_customer_scd2_apply,
+        "customer_cdc": q_customer_cdc,
+        "events_ab_test": q_events_ab_test,
+        "events_dau_mau": q_events_dau_mau,
         "simsearch_ivf_pq": q_simsearch_ivf_pq,
-        # docs_chunk / docs_quality_checks: new but built from the
-        # lowest-risk expression classes (in-row substring arithmetic;
-        # exact integer-ratio aggregates) — deferred with the variants
         "docs_chunk": q_docs_chunk,
         "docs_quality_checks": q_docs_quality_checks,
         "events_retention_weekly": q_events_retention_weekly,
         "dedup_spans_report": q_dedup_spans_report,
         "docs_sample_prop": q_docs_sample_prop,
         "events_daily_ma": q_events_daily_ma,
-        "lineitem_quantiles": q_lineitem_quantiles,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
-        "events_distinct_kmv_merged": q_events_distinct_kmv_merged,
-        # New in the round-7 CONTINUATION session (eventlog / cdc /
-        # privacy / split / inverted-index / profiling / graph /
-        # experiment / timeseries — 18 entries, events_transitions
-        # through lineitem_target_encoded below): verified in the
-        # committed local oracle sweep; they take head priority in r8
-        # together with the deferred block above.
         "events_transitions": q_events_transitions,
         "events_scd2": q_events_scd2,
         "events_gapfill": q_events_gapfill,
-        "customer_cdc": q_customer_cdc,
         "privacy_kanon": q_privacy_kanon,
         "privacy_suppress": q_privacy_suppress,
         "docs_split": q_docs_split,
         "docs_bm25_indexed": q_docs_bm25_indexed,
-        "events_scd2_enrich": q_events_scd2_enrich,
         "lineitem_correlations": q_lineitem_correlations,
-        "customer_scd2_apply": q_customer_scd2_apply,
         "events_paths": q_events_paths,
         "graph_pagerank": q_graph_pagerank,
-        "lineitem_winsorized": q_lineitem_winsorized,
-        "events_ab_test": q_events_ab_test,
         "events_rolling_features": q_events_rolling_features,
         "events_cusum": q_events_cusum,
         "lineitem_target_encoded": q_lineitem_target_encoded,
         "basket_rules": q_basket_rules,
-        "events_dau_mau": q_events_dau_mau,
         "events_session_stats": q_events_session_stats,
         "lineitem_trend": q_lineitem_trend,
         "events_funnel_lags": q_events_funnel_lags,
-        # Every entry below was driver-green in ROUND 6
-        # (CORRECTNESS_r06, all three checks) and is UNCHANGED this
-        # round; re-verified locally in ORACLE_LOCAL_r7.txt. They rotate
-        # back into the head in round 8.
+        # Block 3: r6-cohort rotation — last driver-green in ROUND 6,
+        # longest without a row.
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
         "require_all_on": q_require_all_on,
         "search_membership": q_search_membership,
+        # -- rotation tail ---------------------------------------------
+        # Remaining r6 cohort (driver-green r6, unchanged; they take the
+        # r9 head together with anything r8 leaves unverified —
+        # q1/q3/q5/top_suppliers/cube_rollup/docs_mixture displaced from
+        # the head by the six new TPC-H entries above):
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
@@ -2647,7 +2774,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        "asof_join": q_asof_join,
         "q6_forecast_revenue": q6_forecast_revenue,
         "pivot_returnflag": q_pivot_returnflag,
         "cube_agg": q_cube_agg,
@@ -2656,6 +2782,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_topk_user": q_events_topk_user,
         "text_vocab": q_text_vocab,
+        # Driver-green in ROUND 7 (CORRECTNESS_r07, freshest rows) or
+        # green locally this round; unchanged unless listed in Block 1:
+        "dedup_spans": q_dedup_spans,
+        "docs_encoding": q_docs_encoding,
+        "text_fingerprint_nfc": q_text_fingerprint_nfc,
+        "dedup_cluster_best": q_dedup_cluster_best,
+        "docs_curated3": q_docs_curated3,
+        "docs_curation_report": q_docs_curation_report,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_audience_overlap": q_events_audience_overlap,
+        "docs_sample_weighted": q_docs_sample_weighted,
+        "events_anomaly": q_events_anomaly,
+        "docs_mixture_temp": q_docs_mixture_temp,
+        "embed_pq_codes": q_embed_pq_codes,
+        "simsearch_pq_topk": q_simsearch_pq_topk,
+        "events_funnel_counts": q_events_funnel_counts,
+        "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
+        "docs_bm25": q_docs_bm25,
+        "docs_tfidf": q_docs_tfidf,
+        "simsearch_ivf_int8": q_simsearch_ivf_int8,
+        "simsearch_ivf": q_simsearch_ivf,
+        "embed_kmeans": q_embed_kmeans,
+        "dedup_cluster_survivors": q_dedup_cluster_survivors,
+        "multimodal_stats": q_multimodal_stats,
+        "multimodal_frames": q_multimodal_frames,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_redact": q_text_redact,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_sample_per_source": q_docs_sample_per_source,
+        "docs_length_hist": q_docs_length_hist,
+        "search_isin": q_search_isin,
+        "groupby_keys": q_groupby_keys,
+        "unique_flat": q_unique_flat,
+        "union_dedup": q_union_dedup,
+        "events_json": q_events_json,
+        "docs_hash_sample": q_docs_hash_sample,
+        "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
+        "dedup_prefix_groups": q_dedup_prefix_groups,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_near": q_dedup_near,
+        "dedup_components": q_dedup_components,
+        "dedup_exact_incr": q_dedup_exact_incr,
+        "dedup_near_incr": q_dedup_near_incr,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_lines": q_dedup_lines,
+        "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        "dedup_lines_report": q_dedup_lines_report,
+
     }
 
 
@@ -3837,6 +4016,99 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q13_custdist": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+              GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY 1
+        """,
+        "q14_promo_share": """
+            SELECT round(
+                     100.0
+                     * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,6))) AS DOUBLE),
+                     6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q17_small_qty_revenue": """
+            WITH lib AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#11'
+            ), aq AS (
+              SELECT l_partkey AS pk,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_q
+              FROM lib GROUP BY 1
+            )
+            SELECT round(
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE) / 7.0,
+                     6) AS avg_yearly
+            FROM lib JOIN aq ON l_partkey = pk
+            WHERE l_quantity < 0.2 * avg_q
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+              FROM lineitem GROUP BY 1 HAVING sq > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                     AS o_orderdate,
+                   o_totalprice,
+                   round(CAST(sq AS DOUBLE), 6) AS sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q22_idle_rich": """
+            WITH ab AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_bal
+              FROM customer WHERE c_acctbal > 0
+            ), idle AS (
+              SELECT c_nationkey, c_acctbal
+              FROM customer CROSS JOIN ab
+              WHERE c_acctbal > avg_bal
+                AND c_custkey NOT IN (
+                  SELECT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+                )
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS totacctbal
+            FROM idle GROUP BY 1
         """,
         "events_daily_ma": """
             WITH daily AS (

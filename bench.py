@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",
+    "q13_custdist",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q22_idle_rich",
     "top_suppliers",
     "cube_rollup",
     "customer_order_stats",

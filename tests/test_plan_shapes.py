@@ -445,3 +445,32 @@ def test_every_entry_output_schema_is_atomic(spark, queries):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-atomic output columns: {offenders}"
+
+
+def test_q14_part_broadcasts_and_filter_pushes(spark, queries):
+    """Q14: the month filter reaches the lineitem scan; part (the dim)
+    broadcasts; the conditional sum partial-aggregates."""
+    plan = plan_of(queries["q14_promo_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "partial" in plan.lower()
+
+
+def test_q18_having_is_partial_aggregated(spark, queries):
+    """Q18: the sum(l_quantity) HAVING subquery partial-aggregates on
+    the fact before its exchange, and customer broadcasts."""
+    plan = plan_of(queries["q18_large_orders"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # deterministic top-100
+
+
+def test_q15_window_sits_above_supplier_aggregate(spark, queries):
+    """Q15: the unpartitioned max window runs over the supplier-
+    cardinality aggregate, never the fact — the aggregate appears
+    below the window in the plan."""
+    plan = plan_of(queries["q15_top_supplier"](spark, SF))
+    win = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert win != -1 and agg != -1
