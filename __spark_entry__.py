@@ -1795,6 +1795,47 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EWMA_ALPHA, _EWMA_LAGS = 0.2, 14
+
+
+def q_events_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated EWMA of daily purchase revenue (α=0.2, 14 lags): the
+    exponential-decay smoother as a FIXED in-row expression over window
+    lags — no sequential recursion, so it parallelizes like any window.
+    Weights are Python double literals shared verbatim with the oracle
+    (repr round-trip), summed in identical lag order."""
+    from intake_esm_spark.operators.timeseries import ewma_daily
+
+    events = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return ewma_daily(events, alpha=_EWMA_ALPHA, lags=_EWMA_LAGS)
+
+
+def q_events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curves (operators/retention.py cohort_ltv): users
+    cohorted by first monetized day, weekly cumulative revenue per
+    cohort user — decimal accumulation through BOTH the period
+    aggregate and the cumulative window, one pinned corpus scan."""
+    from intake_esm_spark.operators.retention import cohort_ltv
+
+    events = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return cohort_ltv(events, grain_days=7)
+
+
+def q_lineitem_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit screen over extended price (operators/
+    profiling.py benford_profile): digit from the DECIMAL string
+    rendering (a double's string can go scientific; log10/pow drift in
+    the last ulp near powers of ten), one digit-keyed aggregate."""
+    from intake_esm_spark.operators.profiling import benford_profile
+
+    li = load_table(spark, sf, "lineitem")
+    return benford_profile(li, "l_extendedprice")
+
+
 def q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): orders per
     customer via left join (keeps zero-order customers), then the
@@ -2688,6 +2729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_kmv": q_events_distinct_kmv,
         "events_distinct_kmv_merged": q_events_distinct_kmv_merged,
         "basket_rules3": q_basket_rules3,
+        "events_ewma": q_events_ewma,
+        "events_cohort_ltv": q_events_cohort_ltv,
+        "lineitem_benford": q_lineitem_benford,
         "q13_custdist": q13_custdist,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
@@ -2738,14 +2782,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # longest without a row.
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
+        # -- rotation tail ---------------------------------------------
+        # Remaining r6 cohort (driver-green r6, unchanged; they take the
+        # r9 head together with anything r8 leaves unverified — the
+        # entries below down to docs_mixture were displaced from the
+        # head by this round's nine new entries, newest-first priority):
         "search_null": q_search_null,
         "require_all_on": q_require_all_on,
         "search_membership": q_search_membership,
-        # -- rotation tail ---------------------------------------------
-        # Remaining r6 cohort (driver-green r6, unchanged; they take the
-        # r9 head together with anything r8 leaves unverified —
-        # q1/q3/q5/top_suppliers/cube_rollup/docs_mixture displaced from
-        # the head by the six new TPC-H entries above):
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
@@ -3016,6 +3060,51 @@ def _hyperlsh_pairs_sql(n_planes: int = 16, bands: int = 4, threshold: float = 0
         JOIN e eb ON eb.vec_id = p.id_b
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
     """
+
+
+def _ewma_sql(alpha: float, lags: int) -> str:
+    """DuckDB replay of timeseries.ewma_daily: the SAME Python weight
+    doubles (repr round-trips to the identical IEEE value), the same
+    0.0-seeded left-to-right term order, lag windows over the observed
+    daily sequence."""
+    weights = [alpha * (1.0 - alpha) ** k for k in range(lags)]
+    num_terms = ["0.0"]
+    den_terms = ["0.0"]
+    for k, wk in enumerate(weights):
+        xk = "x" if k == 0 else f"lag(x, {k}) OVER w"
+        num_terms.append(f"coalesce({wk!r} * {xk}, 0.0)")
+        den_terms.append(
+            f"coalesce(CASE WHEN {xk} IS NOT NULL THEN {wk!r} END, 0.0)"
+        )
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS rd
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), d2 AS (
+              SELECT day,
+                     date_diff('day', DATE '1970-01-01', day) AS dn,
+                     round(CAST(rd AS DOUBLE), 6) AS x
+              FROM daily
+            )
+            SELECT CAST(day AS VARCHAR) AS day,
+                   x AS revenue,
+                   round(({num}) / ({den}), 6) AS ewma
+            FROM d2
+            WINDOW w AS (ORDER BY dn)
+        """
+
+
+def _benford_expected_sql() -> str:
+    """The Benford expected-share lookup as the same Python double
+    literals the engine inlines, 1-indexed by the digit."""
+    import math
+
+    lits = ", ".join(repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10))
+    return f"list_extract([{lits}], CAST(digit AS INT))"
 
 
 def _retention_sql(grain_days: int) -> str:
@@ -4016,6 +4105,69 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        # replays timeseries.ewma_daily: same weight literals (repr
+        # round-trip of the Python doubles), same left-to-right term
+        # order, lag windows over the observed daily sequence
+        "events_ewma": _ewma_sql(_EWMA_ALPHA, _EWMA_LAGS),
+        # replays retention.cohort_ltv: decimal through period sum AND
+        # cumulative window, floor-offset bucketing (the retention idiom)
+        "events_cohort_ltv": """
+            WITH ud AS (
+              SELECT user_id AS u, CAST(ts AS DATE) AS d,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS rv
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY 1, 2
+            ), f AS (
+              SELECT u, min(d) AS cd FROM ud GROUP BY 1
+            ), s AS (
+              SELECT cd, count(DISTINCT u) AS cohort_users FROM f GROUP BY 1
+            ), j AS (
+              SELECT f.cd,
+                     CAST(floor(date_diff('day', f.cd, ud.d) / 7.0) AS INT)
+                       AS offset_periods,
+                     ud.rv
+              FROM ud JOIN f USING (u)
+            ), pp AS (
+              SELECT cd, offset_periods,
+                     CAST(sum(rv) AS DECIMAL(18,6)) AS pr
+              FROM j GROUP BY 1, 2
+            )
+            SELECT CAST(pp.cd AS VARCHAR) AS cohort_date,
+                   pp.offset_periods, s.cohort_users,
+                   round(CAST(pp.pr AS DOUBLE), 6) AS period_revenue,
+                   round(CAST(CAST(sum(pp.pr) OVER (
+                                PARTITION BY pp.cd ORDER BY pp.offset_periods
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                              ) AS DECIMAL(18,6)) AS DOUBLE)
+                         / CAST(s.cohort_users AS DOUBLE), 6)
+                     AS ltv_per_user
+            FROM pp JOIN s USING (cd)
+        """,
+        # replays profiling.benford_profile: digit from the decimal
+        # string rendering, expected shares as the same double literals
+        "lineitem_benford": f"""
+            WITH base AS (
+              SELECT regexp_extract(
+                       CAST(CAST(abs(l_extendedprice) AS DECIMAL(18,6))
+                            AS VARCHAR),
+                       '[1-9]', 0) AS digit
+              FROM lineitem
+            ), agg AS (
+              SELECT digit, count(*) AS n FROM base
+              WHERE digit <> '' GROUP BY 1
+            )
+            SELECT digit, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER () AS DOUBLE), 6) AS share,
+                   round({_benford_expected_sql()}, 6) AS benford_share,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER () AS DOUBLE)
+                         - {_benford_expected_sql()}, 6) AS deviation
+            FROM agg
         """,
         "q13_custdist": """
             WITH per_cust AS (

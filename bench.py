@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "events_distinct_kmv",
     "events_attribution",
     "events_daily_ma",
+    "events_ewma",
+    "events_cohort_ltv",
     "events_dau_mau",
     "events_transitions",
     "events_paths",
@@ -79,6 +81,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "lineitem_winsorized",
     "lineitem_trend",
+    "lineitem_benford",
     "events_ab_test",
     "events_rolling_features",
     "events_cusum",

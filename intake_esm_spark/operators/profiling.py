@@ -282,3 +282,53 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return stats.select(
         F.explode(F.array(*pair_rows)).alias("__p")
     ).select("__p.col_x", "__p.col_y", "__p.corr")
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic numeric-forensics screen (fabricated or unit-mixed data
+    drifts from the log curve). Per (group,) digit 1-9: count, observed
+    share, expected Benford share ``log10(1 + 1/d)``, and the signed
+    deviation. Rows whose value is null/zero take no digit and are
+    excluded.
+
+    The digit comes from the DECIMAL(18,6) string rendering (both
+    engines print plain notation at a fixed scale — a double's string
+    can go scientific, and log10/pow on raw doubles disagree in the
+    last ulp near powers of ten), matched with one regexp. Zero-shuffle
+    per row; one digit-keyed partial aggregate; expected shares are
+    Python double literals."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("decimal(18,6)").cast("string"),
+        "[1-9]",
+        0,
+    )
+    base = (
+        df.select(*group_cols, digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy(*group_cols, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    import math
+
+    expected = F.element_at(
+        F.array(*[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    share = F.col("n").cast("double") / F.sum("n").over(wt).cast("double")
+    return base.select(
+        *group_cols,
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(share - expected, 6).alias("deviation"),
+    )

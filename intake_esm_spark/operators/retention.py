@@ -91,3 +91,70 @@ def retention_matrix(
             6,
         ).alias("retention"),
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain_days: int = 7,
+) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by their FIRST
+    monetized day, then per ``(cohort_date, offset_periods)`` the
+    per-user cumulative revenue — the chart that tells you when (if
+    ever) a cohort pays back acquisition. ``ltv`` at offset *n* =
+    cumulative revenue of the cohort through period *n* / cohort size.
+
+    Same one-scan discipline as :func:`retention_matrix`: the
+    ``(user, day, revenue)`` collapse is pinned (three references:
+    cohort-date aggregate, the offset join, nothing else touches the
+    corpus); revenue accumulates as DECIMAL through BOTH the period
+    aggregate and the cumulative window (order-independent), divides
+    once in double at the end. The cumulative window is per-cohort over
+    offsets — cohort×offset-cardinality, the benign class."""
+    if grain_days < 1:
+        raise ValueError(f"grain_days must be >= 1, got {grain_days}")
+    ud = (
+        events.filter(
+            F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("__u"),
+            F.to_date(ts_col).alias("__d"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy("__u", "__d")
+        .agg(F.sum("__v").cast("decimal(18,6)").alias("__rv"))
+        .localCheckpoint(eager=False)
+    )
+    cohorts = ud.groupBy("__u").agg(F.min("__d").alias("__cd"))
+    sizes = cohorts.groupBy("__cd").agg(
+        F.countDistinct("__u").alias("cohort_users")
+    )
+    j = ud.join(cohorts, "__u").select(
+        "__cd",
+        (F.datediff("__d", "__cd") / F.lit(grain_days))
+        .cast("int")
+        .alias("offset_periods"),
+        "__rv",
+    )
+    per_period = j.groupBy("__cd", "offset_periods").agg(
+        F.sum("__rv").cast("decimal(18,6)").alias("__pr")
+    )
+    wc = (
+        Window.partitionBy("__cd")
+        .orderBy("offset_periods")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("__pr").over(wc).cast("double")
+    out = per_period.join(F.broadcast(sizes), "__cd")
+    return out.select(
+        F.col("__cd").cast("string").alias("cohort_date"),
+        "offset_periods",
+        "cohort_users",
+        F.round(F.col("__pr").cast("double"), 6).alias("period_revenue"),
+        F.round(cum / F.col("cohort_users").cast("double"), 6).alias(
+            "ltv_per_user"
+        ),
+    )

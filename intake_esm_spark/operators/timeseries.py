@@ -197,3 +197,50 @@ def detect_anomalies(
             F.when(n >= 2, F.abs(z) >= F.lit(z_threshold)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    alpha: float = 0.2,
+    lags: int = 14,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average of the daily
+    total: ``ewma_t = Σ_{k<lags} w_k·x_{t-k} / Σ_{k<lags} w_k`` with
+    ``w_k = α(1−α)^k``, summed over the OBSERVED daily sequence (row
+    lags, not calendar — compose with gapfill upstream for calendar
+    semantics). The truncation makes the recursion a FIXED in-row
+    expression over ``lags`` window lags: no sequential dependency, so
+    it parallelizes like any window — the untruncated recursive form
+    would serialize the whole series (the CUSUM prefix-sum trick does
+    not apply to multiplicative decay).
+
+    Determinism: the weights are Python double literals inlined into
+    the plan (and the SQL oracle replays the SAME literals via repr
+    round-trip); terms are coalesced and summed left-to-right in lag
+    order, so both engines add identical doubles in identical order.
+    Scale: one day-grain aggregate (the only corpus exchange) + one
+    unpartitioned-but-day-grain window, the daily_rollup_ma class."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    daily = _daily_frame(events, value_col, ts_col)
+    x = F.round(F.col("__rd").cast("double"), 6)
+    d2 = daily.select("day", "__dn", x.alias("__x"))
+    w = Window.orderBy("__dn")
+    weights = [alpha * (1.0 - alpha) ** k for k in range(lags)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wk in enumerate(weights):
+        xk = F.col("__x") if k == 0 else F.lag("__x", k).over(w)
+        num = num + F.coalesce(F.lit(wk) * xk, F.lit(0.0))
+        den = den + F.coalesce(
+            F.when(xk.isNotNull(), F.lit(wk)), F.lit(0.0)
+        )
+    return d2.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("__x").alias("revenue"),
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -248,3 +248,32 @@ def test_group_quantiles_validation(spark):
         group_quantiles(df, "v", ["g"], [])
     with _pt.raises(ValueError):
         group_quantiles(df, "v", ["g"], [0.5], out_cols=["a", "b"])
+
+
+def test_benford_profile_hand_example(spark):
+    from intake_esm_spark.operators.profiling import benford_profile
+
+    import math
+
+    rows = [(v,) for v in [1.5, 19.0, 0.0012, 250.0, 2.0, None, 0.0, -3.5]]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r.asDict() for r in benford_profile(df, "v").collect()}
+    # digits: 1.5->1, 19->1, 0.0012->1, 250->2, 2->2, -3.5->3; null/0 dropped
+    assert {d: out[d]["n"] for d in out} == {"1": 3, "2": 2, "3": 1}
+    assert out["1"]["share"] == 0.5
+    assert out["1"]["benford_share"] == pytest.approx(math.log10(2), abs=1e-6)
+    assert out["3"]["deviation"] == pytest.approx(
+        1 / 6 - math.log10(1 + 1 / 3), abs=1e-6
+    )
+
+
+def test_benford_profile_grouped(spark):
+    from intake_esm_spark.operators.profiling import benford_profile
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["g"], r["digit"]): r["share"]
+        for r in benford_profile(df, "v", ["g"]).collect()
+    }
+    assert out[("a", "1")] == 0.5 and out[("b", "3")] == 1.0

@@ -246,3 +246,41 @@ def test_rolling_user_features_trailing_windows(spark):
     assert d9["n_events_30d"] == 3 and d9["value_30d"] == 35.0
     with pytest.raises(ValueError):
         rolling_user_features(df, windows=[])
+
+
+def test_ewma_daily_matches_python_reference(spark):
+    """Truncated EWMA replayed in pure python: partial-window rows
+    normalize by the sum of AVAILABLE weights."""
+    from intake_esm_spark.operators.timeseries import ewma_daily
+
+    rows = [
+        (f"2024-01-0{d} 10:00:00", v)
+        for d, v in [(1, 10.0), (2, 20.0), (3, 15.0), (4, 40.0)]
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "value", "'purchase' AS event_type"
+    )
+    out = {r["day"]: r.asDict() for r in ewma_daily(df, alpha=0.5, lags=3).collect()}
+    xs = [10.0, 20.0, 15.0, 40.0]
+    ws = [0.5 * 0.5**k for k in range(3)]
+    for t, day in enumerate(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]):
+        avail = [(ws[k], xs[t - k]) for k in range(3) if t - k >= 0]
+        # identical summation order to the engine: 0.0-seeded, k ascending
+        num = 0.0
+        den = 0.0
+        for wk, xv in avail:
+            num += wk * xv
+            den += wk
+        assert out[day]["ewma"] == pytest.approx(num / den, abs=1e-6), day
+
+
+def test_ewma_validation(spark):
+    from intake_esm_spark.operators.timeseries import ewma_daily
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0)], "ts string, value double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
+    with pytest.raises(ValueError):
+        ewma_daily(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma_daily(df, lags=0)
