@@ -1795,6 +1795,71 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_attribution_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/eventlog.py
+    multi_touch_attribution): every click in the 24h lookback shares
+    the purchase credit 1/n — the participation complement of the
+    as-of last-touch entry. Equi-keyed range join bounded by
+    touches-per-lookback; credits are exact integer-ratio doubles."""
+    from intake_esm_spark.operators.eventlog import multi_touch_attribution
+
+    events = load_table(spark, sf, "events")
+    out = multi_touch_attribution(events, "purchase", "click")
+    return out.select(
+        "conversion_id",
+        "user_id",
+        "touch_event_id",
+        "touch_ts",
+        "conversion_value",
+        "credit",
+        "credited_value",
+    )
+
+
+def q_events_attribution_position(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution: first and
+    last touches take 0.4 each, the middle splits the rest — the other
+    standard marketing credit model, same bounded range join."""
+    from intake_esm_spark.operators.eventlog import multi_touch_attribution
+
+    events = load_table(spark, sf, "events")
+    out = multi_touch_attribution(
+        events, "purchase", "click", position_weights=(0.4, 0.4)
+    )
+    return out.select(
+        "conversion_id",
+        "user_id",
+        "touch_event_id",
+        "credit",
+        "credited_value",
+    )
+
+
+def q_customer_dupes(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked entity resolution (operators/linkage.py): candidate
+    duplicate customers — same nation block, name Levenshtein ≤ 1.
+    The self-join is equi-keyed on the block with a mega-block guard
+    (Σ|block|² bounded); the integer edit distance keeps the report
+    engine-exact."""
+    from intake_esm_spark.operators.linkage import candidate_matches
+
+    cust = load_table(spark, sf, "customer")
+    return candidate_matches(
+        cust, "c_custkey", "c_name", ["c_nationkey"], max_distance=1
+    )
+
+
+def q_customer_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema/distribution drift report (operators/profiling.py
+    profile_drift) between the two derived customer snapshots the CDC
+    entry diffs: per column null rate, distinct count, decimal-exact
+    mean, and deltas — one aggregation pass per side."""
+    from intake_esm_spark.operators.profiling import profile_drift
+
+    old, new = _customer_snapshots(spark, sf)
+    return profile_drift(old, new)
+
+
 _EWMA_ALPHA, _EWMA_LAGS = 0.2, 14
 
 
@@ -2732,6 +2797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "events_cohort_ltv": q_events_cohort_ltv,
         "lineitem_benford": q_lineitem_benford,
+        "events_attribution_multi": q_events_attribution_multi,
+        "customer_dupes": q_customer_dupes,
+        "customer_profile_drift": q_customer_profile_drift,
         "q13_custdist": q13_custdist,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
@@ -2777,16 +2845,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "events_session_stats": q_events_session_stats,
         "lineitem_trend": q_lineitem_trend,
-        "events_funnel_lags": q_events_funnel_lags,
         # Block 3: r6-cohort rotation — last driver-green in ROUND 6,
         # longest without a row.
+        # -- rotation tail ---------------------------------------------
+        # Tail TOP, r9-head priority: events_attribution_position is a
+        # direct variant of the head's _multi entry (same operator +
+        # join, only the credit CASE differs); events_funnel_lags defers
+        # one more round (its funnel siblings are r7-driver-green);
+        # search_eq/search_regex are r6-green parity entries displaced
+        # by this round's 13 new entries. Then the remaining r6 cohort
+        # (down to docs_mixture) — all r9 head candidates.
+        "events_attribution_position": q_events_attribution_position,
+        "events_funnel_lags": q_events_funnel_lags,
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
-        # -- rotation tail ---------------------------------------------
-        # Remaining r6 cohort (driver-green r6, unchanged; they take the
-        # r9 head together with anything r8 leaves unverified — the
-        # entries below down to docs_mixture were displaced from the
-        # head by this round's nine new entries, newest-first priority):
         "search_null": q_search_null,
         "require_all_on": q_require_all_on,
         "search_membership": q_search_membership,
@@ -4105,6 +4177,155 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        # replays eventlog.multi_touch_attribution (linear): bounded
+        # range join + per-conversion count window; credit = 1/n raw in
+        # the product, rounded on output (the operator's order)
+        "events_attribution_multi": """
+            WITH p AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            ), t AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click' AND user_id IS NOT NULL
+            ), j AS (
+              SELECT p.event_id AS conversion_id, p.user_id,
+                     t.event_id AS touch_event_id, t.ts AS touch_ts,
+                     p.value AS conversion_value
+              FROM p JOIN t ON p.user_id = t.user_id
+                AND t.ts <= p.ts
+                AND t.ts >= p.ts - INTERVAL '24 hours'
+            )
+            SELECT conversion_id, user_id, touch_event_id, touch_ts,
+                   conversion_value,
+                   round(1.0 / CAST(count(*) OVER (
+                           PARTITION BY conversion_id) AS DOUBLE), 6)
+                     AS credit,
+                   round((1.0 / CAST(count(*) OVER (
+                            PARTITION BY conversion_id) AS DOUBLE))
+                         * conversion_value, 6) AS credited_value
+            FROM j
+        """,
+        # replays the position-based (0.4, 0.4) variant: rank by
+        # (touch_ts, touch_event_id), first/last take 0.4, middle splits
+        # 0.2 evenly; n=1 -> 1.0, n=2 -> 0.5/0.5
+        "events_attribution_position": """
+            WITH p AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            ), t AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click' AND user_id IS NOT NULL
+            ), j AS (
+              SELECT p.event_id AS conversion_id, p.user_id,
+                     t.event_id AS touch_event_id, t.ts AS touch_ts,
+                     p.value AS conversion_value
+              FROM p JOIN t ON p.user_id = t.user_id
+                AND t.ts <= p.ts
+                AND t.ts >= p.ts - INTERVAL '24 hours'
+            ), r AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY conversion_id) AS n,
+                     row_number() OVER (
+                       PARTITION BY conversion_id
+                       ORDER BY touch_ts ASC, touch_event_id ASC) AS pos
+              FROM j
+            ), c AS (
+              SELECT conversion_id, user_id, touch_event_id,
+                     conversion_value,
+                     CASE WHEN n = 1 THEN 1.0
+                          WHEN n = 2 THEN 0.5
+                          WHEN pos = 1 THEN 0.4
+                          WHEN pos = n THEN 0.4
+                          ELSE 0.19999999999999998
+                               / CAST(n - 2 AS DOUBLE) END AS cr
+              FROM r
+            )
+            SELECT conversion_id, user_id, touch_event_id,
+                   round(cr, 6) AS credit,
+                   round(cr * conversion_value, 6) AS credited_value
+            FROM c
+        """,
+        # replays linkage.candidate_matches: nation-blocked self-join
+        # (no block clears 10k rows here, the guard is vacuous),
+        # integer Levenshtein
+        "customer_dupes": """
+            SELECT a.c_nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_name AS name_a, b.c_name AS name_b,
+                   levenshtein(a.c_name, b.c_name) AS distance
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        # replays profiling.profile_drift over the shared CDC snapshots:
+        # per-column stats from one aggregate per side; dtype strings
+        # are the SPARK type names as literals
+        "customer_profile_drift": """
+            WITH old AS (
+              SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+              WHERE c_custkey % 10 <> 3
+            ), new AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0
+                          ELSE c_acctbal END AS c_acctbal,
+                     c_mktsegment
+              FROM customer WHERE c_custkey % 10 <> 7
+            ), so AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nk,
+                     count(DISTINCT c_custkey) AS dk,
+                     sum(CAST(c_custkey AS DECIMAL(18,6))) AS sk,
+                     sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS na,
+                     count(DISTINCT c_acctbal) AS da,
+                     sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sa,
+                     sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS nm,
+                     count(DISTINCT c_mktsegment) AS dm
+              FROM old
+            ), sn AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nk,
+                     count(DISTINCT c_custkey) AS dk,
+                     sum(CAST(c_custkey AS DECIMAL(18,6))) AS sk,
+                     sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS na,
+                     count(DISTINCT c_acctbal) AS da,
+                     sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sa,
+                     sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS nm,
+                     count(DISTINCT c_mktsegment) AS dm
+              FROM new
+            )
+            SELECT 'c_acctbal' AS "column", 'common' AS status,
+                   'double' AS dtype_old, 'double' AS dtype_new,
+                   round(CAST(so.na AS DOUBLE) / so.n, 6) AS null_rate_old,
+                   round(CAST(sn.na AS DOUBLE) / sn.n, 6) AS null_rate_new,
+                   round(round(CAST(sn.na AS DOUBLE) / sn.n, 6)
+                         - round(CAST(so.na AS DOUBLE) / so.n, 6), 6)
+                     AS null_rate_delta,
+                   so.da AS n_distinct_old, sn.da AS n_distinct_new,
+                   round(CAST(so.sa AS DOUBLE) / (so.n - so.na), 6)
+                     AS mean_old,
+                   round(CAST(sn.sa AS DOUBLE) / (sn.n - sn.na), 6)
+                     AS mean_new
+            FROM so, sn
+            UNION ALL
+            SELECT 'c_custkey', 'common', 'bigint', 'bigint',
+                   round(CAST(so.nk AS DOUBLE) / so.n, 6),
+                   round(CAST(sn.nk AS DOUBLE) / sn.n, 6),
+                   round(round(CAST(sn.nk AS DOUBLE) / sn.n, 6)
+                         - round(CAST(so.nk AS DOUBLE) / so.n, 6), 6),
+                   so.dk, sn.dk,
+                   round(CAST(so.sk AS DOUBLE) / (so.n - so.nk), 6),
+                   round(CAST(sn.sk AS DOUBLE) / (sn.n - sn.nk), 6)
+            FROM so, sn
+            UNION ALL
+            SELECT 'c_mktsegment', 'common', 'string', 'string',
+                   round(CAST(so.nm AS DOUBLE) / so.n, 6),
+                   round(CAST(sn.nm AS DOUBLE) / sn.n, 6),
+                   round(round(CAST(sn.nm AS DOUBLE) / sn.n, 6)
+                         - round(CAST(so.nm AS DOUBLE) / so.n, 6), 6),
+                   so.dm, sn.dm,
+                   NULL, NULL
+            FROM so, sn
         """,
         # replays timeseries.ewma_daily: same weight literals (repr
         # round-trip of the Python doubles), same left-to-right term

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "events_retention",
     "events_distinct_kmv",
     "events_attribution",
+    "events_attribution_multi",
     "events_daily_ma",
     "events_ewma",
     "events_cohort_ltv",
@@ -74,6 +75,8 @@ BENCH_QUERIES = [
     "events_scd2_enrich",
     "events_gapfill",
     "customer_cdc",
+    "customer_profile_drift",
+    "customer_dupes",
     "customer_scd2_apply",
     "docs_split",
     "lineitem_quantiles",

@@ -403,3 +403,94 @@ def gapfill_daily(
             "carried_value"
         ),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_type: str,
+    lookback: str = "24 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    position_weights: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Multi-touch attribution: every touch inside the conversion's
+    lookback window shares the credit — ``linear`` (1/n each) by
+    default, or position-based when ``position_weights=(first, last)``
+    is given (first/last touches take those shares, the middle splits
+    the remainder evenly; single-touch takes 1.0). The complement of
+    the as-of join's last-touch model, for the marketing question
+    "which campaigns PARTICIPATED in conversions".
+
+    Output: one row per (conversion, touch) with ``credit`` in [0, 1]
+    summing to 1 per attributed conversion and ``credited_value`` =
+    credit × conversion value. Unattributed conversions are absent
+    (count them upstream by anti-join if needed).
+
+    Scale: the touch expansion is an equi-keyed range join (key first,
+    so Catalyst hash-partitions both sides on the user before the
+    interval filter) — output bounded by touches-per-lookback, the
+    quantity marketing controls; the per-conversion ordering windows
+    run over that bounded frame, never the corpus. Credit shares are
+    exact integer-ratio doubles (n from a count window), 6dp-rounded."""
+    from pyspark.sql import Window
+
+    conv = events.filter(
+        (F.col("event_type") == conversion_type)
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__cts"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(value_col).alias("conversion_value"),
+    )
+    touch = events.filter(
+        (F.col("event_type") == touch_type) & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k2"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(id_col).alias("touch_event_id"),
+    )
+    delta = F.expr(f"INTERVAL {lookback}")
+    j = conv.join(
+        touch,
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("touch_ts") <= F.col("__cts"))
+        & (F.col("touch_ts") >= F.col("__cts") - delta),
+    )
+    wsz = Window.partitionBy("conversion_id")
+    word = Window.partitionBy("conversion_id").orderBy(
+        F.col("touch_ts").asc(), F.col("touch_event_id").asc()
+    )
+    n = F.count(F.lit(1)).over(wsz)
+    pos = F.row_number().over(word)
+    if position_weights is None:
+        credit = F.lit(1.0) / n.cast("double")
+    else:
+        w_first, w_last = float(position_weights[0]), float(position_weights[1])
+        if w_first < 0 or w_last < 0 or w_first + w_last > 1.0:
+            raise ValueError(
+                f"position_weights must be >= 0 and sum <= 1, got {position_weights}"
+            )
+        mid = F.lit(1.0 - w_first - w_last) / (n - 2).cast("double")
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when((n == 2) & (pos == 1), F.lit(w_first + (1.0 - w_first - w_last) / 2.0))
+            .when((n == 2) & (pos == 2), F.lit(w_last + (1.0 - w_first - w_last) / 2.0))
+            .when(pos == 1, F.lit(w_first))
+            .when(pos == n, F.lit(w_last))
+            .otherwise(mid)
+        )
+    return j.select(
+        "conversion_id",
+        F.col("__k").alias(key_col),
+        "touch_event_id",
+        "touch_ts",
+        "conversion_value",
+        F.round(credit, 6).alias("credit"),
+        F.round(credit * F.col("conversion_value"), 6).alias(
+            "credited_value"
+        ),
+    )

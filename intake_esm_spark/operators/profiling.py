@@ -332,3 +332,112 @@ def benford_profile(
         F.round(expected, 6).alias("benford_share"),
         F.round(share - expected, 6).alias("deviation"),
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Schema/distribution drift report between two snapshots of a
+    table — the data-contract check an ingestion pipeline runs before
+    promoting a batch: per column, presence in each side, null rate,
+    distinct count, and (for numerics) the decimal-exact mean, with
+    old→new deltas. One aggregation pass PER SIDE (all columns fold in
+    one partial-aggregated job each, never a job per column), joined on
+    the column name — a 2-row-per-column metadata frame at the end.
+
+    Columns defaults to the union of both schemas; a column missing on
+    one side reports null stats there (``status`` = added/removed).
+    Distinct counts are exact here (the profile table is
+    column-cardinality-sized); swap ``approx_count_distinct`` in at
+    100 TB exactly as :func:`~intake_esm_spark.operators.grouping.nunique`
+    does."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float | None) -> float | None:
+        # F.round-compatible HALF_UP on the repr double (the repo's
+        # oracle idiom) — python's built-in round() is HALF_EVEN and
+        # would diverge from both engines on exact .5e-6 ties
+        if x is None:
+            return None
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def side_stats(df: DataFrame, cols: list[str], tag: str):
+        dtypes = dict(df.dtypes)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        present = [c for c in cols if c in df.columns]
+        for c in present:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}")
+            )
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+            if dtypes.get(c) in ("int", "bigint", "double", "float", "smallint", "tinyint") or str(
+                dtypes.get(c, "")
+            ).startswith("decimal"):
+                aggs.append(
+                    F.sum(F.col(c).cast("decimal(18,6)")).alias(f"__s_{c}")
+                )
+        row = df.agg(*aggs).collect()[0]
+        out = {}
+        for c in present:
+            n = row["__n"]
+            nnull = int(row[f"__null_{c}"])
+            s = row[f"__s_{c}"] if f"__s_{c}" in row.asDict() else None
+            mean = (
+                _r6(float(s) / (n - nnull))
+                if s is not None and n - nnull > 0
+                else None
+            )
+            out[c] = {
+                f"dtype_{tag}": dtypes[c],
+                f"null_rate_{tag}": _r6(nnull / n) if n else None,
+                f"n_distinct_{tag}": int(row[f"__nd_{c}"]),
+                f"mean_{tag}": mean,
+            }
+        return out
+
+    cols = columns or sorted(set(old.columns) | set(new.columns))
+    so = side_stats(old, cols, "old")
+    sn = side_stats(new, cols, "new")
+    spark = old.sparkSession
+    rows = []
+    for c in cols:
+        o, n = so.get(c), sn.get(c)
+        status = (
+            "added" if o is None else "removed" if n is None else (
+                "retyped"
+                if o["dtype_old"] != n["dtype_new"]
+                else "common"
+            )
+        )
+        rows.append(
+            (
+                c,
+                status,
+                o["dtype_old"] if o else None,
+                n["dtype_new"] if n else None,
+                o["null_rate_old"] if o else None,
+                n["null_rate_new"] if n else None,
+                (
+                    _r6(n["null_rate_new"] - o["null_rate_old"])
+                    if o and n
+                    else None
+                ),
+                o["n_distinct_old"] if o else None,
+                n["n_distinct_new"] if n else None,
+                o["mean_old"] if o else None,
+                n["mean_new"] if n else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, status string, dtype_old string, dtype_new string,"
+        " null_rate_old double, null_rate_new double, null_rate_delta double,"
+        " n_distinct_old bigint, n_distinct_new bigint,"
+        " mean_old double, mean_new double",
+    )

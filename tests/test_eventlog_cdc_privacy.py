@@ -733,3 +733,77 @@ def test_dau_mau_input_pinned_once(spark):
     got = {r["day"]: r.asDict() for r in out.collect()}
     assert got["2024-01-01"]["dau"] == 1 and got["2024-01-01"]["mau"] == 1
     assert got["2024-01-02"]["mau"] == 2  # day-1 user still in window
+
+
+def test_multi_touch_linear_and_position(spark):
+    """3 touches in window, 1 outside: linear = 1/3 each; position
+    (0.4,0.4) = first 0.4, middle 0.2, last 0.4; credits sum to 1."""
+    from intake_esm_spark.operators.eventlog import multi_touch_attribution
+
+    rows = [
+        (1, "2024-01-02 12:00:00", "purchase", 100, 30.0),
+        (1, "2024-01-02 10:00:00", "click", 1, None),
+        (1, "2024-01-02 11:00:00", "click", 2, None),
+        (1, "2024-01-02 11:30:00", "click", 3, None),
+        (1, "2024-01-01 11:00:00", "click", 4, None),  # outside 24h
+        (2, "2024-01-02 12:00:00", "purchase", 200, 50.0),
+        (2, "2024-01-02 11:00:00", "click", 5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, event_id long, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "event_id", "value")
+    lin = {
+        (r["conversion_id"], r["touch_event_id"]): r.asDict()
+        for r in multi_touch_attribution(df, "purchase", "click").collect()
+    }
+    assert set(lin) == {(100, 1), (100, 2), (100, 3), (200, 5)}
+    assert lin[(100, 1)]["credit"] == pytest.approx(1 / 3, abs=1e-6)
+    assert lin[(200, 5)]["credit"] == 1.0
+    assert sum(lin[(100, t)]["credit"] for t in (1, 2, 3)) == pytest.approx(1.0, abs=1e-5)
+    assert lin[(100, 2)]["credited_value"] == pytest.approx(10.0, abs=1e-4)
+
+    pos = {
+        (r["conversion_id"], r["touch_event_id"]): r["credit"]
+        for r in multi_touch_attribution(
+            df, "purchase", "click", position_weights=(0.4, 0.4)
+        ).collect()
+    }
+    assert pos[(100, 1)] == 0.4   # earliest
+    assert pos[(100, 2)] == pytest.approx(0.2, abs=1e-6)
+    assert pos[(100, 3)] == 0.4   # latest
+    assert pos[(200, 5)] == 1.0   # single touch
+
+
+def test_multi_touch_position_weight_validation(spark):
+    from intake_esm_spark.operators.eventlog import multi_touch_attribution
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "purchase", 1, 1.0)],
+        "user_id long, ts string, event_type string, event_id long, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "event_id", "value")
+    with pytest.raises(ValueError):
+        multi_touch_attribution(
+            df, "purchase", "click", position_weights=(0.7, 0.7)
+        )
+
+
+def test_profile_drift_report(spark):
+    from intake_esm_spark.operators.profiling import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b")], "k long, v double, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, 20.0, 1), (2, 30.0, 2), (3, None, 3)], "k long, v double, s int"
+    )
+    out = {r["column"]: r.asDict() for r in profile_drift(old, new).collect()}
+    assert out["k"]["status"] == "common"
+    assert out["s"]["status"] == "retyped"
+    v = out["v"]
+    assert v["null_rate_old"] == 0.5 and v["null_rate_new"] == pytest.approx(1 / 3, abs=1e-6)
+    assert v["null_rate_delta"] == pytest.approx(1 / 3 - 0.5, abs=1e-6)
+    assert v["mean_old"] == 10.0 and v["mean_new"] == 25.0
+    # added/removed columns
+    old2 = old.withColumnRenamed("s", "gone")
+    out2 = {r["column"]: r["status"] for r in profile_drift(old2, new).collect()}
+    assert out2["gone"] == "removed" and out2["s"] == "added"
