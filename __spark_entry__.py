@@ -1795,6 +1795,17 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-word collocations by the word2vec phrase score (operators/
+    corpus.py collocations): adjacent-bigram lift over the normalized
+    token stream, exact integer arithmetic (no log-PMI ulp drift),
+    partial top-k — the phrase-merge step before tokenizer training."""
+    from intake_esm_spark.operators.corpus import collocations
+
+    docs = load_table(spark, sf, "documents")
+    return collocations(docs, min_count=5, k=50)
+
+
 def q_events_attribution_multi(spark: SparkSession, sf: str) -> DataFrame:
     """Linear multi-touch attribution (operators/eventlog.py
     multi_touch_attribution): every click in the 24h lookback shares
@@ -2800,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_multi": q_events_attribution_multi,
         "customer_dupes": q_customer_dupes,
         "customer_profile_drift": q_customer_profile_drift,
+        "docs_collocations": q_docs_collocations,
         "q13_custdist": q13_custdist,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
@@ -2844,19 +2856,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_target_encoded": q_lineitem_target_encoded,
         "basket_rules": q_basket_rules,
         "events_session_stats": q_events_session_stats,
-        "lineitem_trend": q_lineitem_trend,
-        # Block 3: r6-cohort rotation — last driver-green in ROUND 6,
-        # longest without a row.
         # -- rotation tail ---------------------------------------------
         # Tail TOP, r9-head priority: events_attribution_position is a
         # direct variant of the head's _multi entry (same operator +
-        # join, only the credit CASE differs); events_funnel_lags defers
-        # one more round (its funnel siblings are r7-driver-green);
-        # search_eq/search_regex are r6-green parity entries displaced
-        # by this round's 13 new entries. Then the remaining r6 cohort
-        # (down to docs_mixture) — all r9 head candidates.
+        # join, only the credit CASE differs); events_funnel_lags and
+        # lineitem_trend defer one more round (never driver-verified but
+        # lowest-risk expression classes, funnel/trend siblings are
+        # r7-driver-green); search_eq/search_regex are r6-green parity
+        # entries displaced by this round's 14 new entries. Then the
+        # remaining r6 cohort (down to docs_mixture) — all r9 head
+        # candidates.
         "events_attribution_position": q_events_attribution_position,
         "events_funnel_lags": q_events_funnel_lags,
+        "lineitem_trend": q_lineitem_trend,
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
@@ -4177,6 +4189,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        # replays corpus.collocations: same normalize+split, adjacency
+        # via list_transform over the 1-based index range, word2vec
+        # phrase score on exact counts, rounded-score top-k total order
+        "docs_collocations": f"""
+            WITH w AS (
+              SELECT string_split({_NORM_TEXT_SQL}, ' ') AS w
+              FROM documents
+            ), tok AS (
+              SELECT unnest(w) AS t FROM w
+            ), tok2 AS (
+              SELECT t FROM tok WHERE t <> ''
+            ), uni AS (
+              SELECT t, count(*) AS n1 FROM tok2 GROUP BY 1
+            ), tot AS (
+              SELECT count(*) AS nt FROM tok2
+            ), bi AS (
+              SELECT unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i+1])) AS bigram
+              FROM w WHERE len(w) >= 2
+            ), bc AS (
+              SELECT bigram, count(*) AS n_pair FROM bi
+              GROUP BY 1 HAVING count(*) >= 5
+            ), sp AS (
+              SELECT bigram, n_pair,
+                     string_split(bigram, ' ')[1] AS wa,
+                     string_split(bigram, ' ')[2] AS wb
+              FROM bc
+            )
+            SELECT sp.bigram, sp.n_pair, a.n1 AS n_a, b.n1 AS n_b,
+                   round((CAST(sp.n_pair AS DOUBLE) - 1.0)
+                         * CAST(tot.nt AS DOUBLE)
+                         / (CAST(a.n1 AS DOUBLE) * CAST(b.n1 AS DOUBLE)),
+                         6) AS score
+            FROM sp
+            JOIN uni a ON sp.wa = a.t
+            JOIN uni b ON sp.wb = b.t
+            CROSS JOIN tot
+            ORDER BY score DESC, sp.bigram ASC
+            LIMIT 50
         """,
         # replays eventlog.multi_touch_attribution (linear): bounded
         # range join + per-conversion count window; credit = 1/n raw in

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "bm25_index_probe",
     "docs_tfidf",
     "docs_gram_dup",
+    "docs_collocations",
     "docs_select_best",
     "dedup_exact",
     "dedup_minhash",

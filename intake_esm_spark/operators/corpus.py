@@ -232,3 +232,90 @@ def gram_duplication(
             "dup_frac"
         ),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    delta: float = 1.0,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` two-word collocations by the word2vec phrase score
+    ``(n_ab − δ) · N / (n_a · n_b)`` (Mikolov et al. 2013) — the phrase
+    detector a tokenization pipeline runs to merge "new york"-style
+    bigrams before training. ``n_ab`` counts ADJACENT ordered pairs in
+    the normalized token stream; ``δ`` discounts rare accidents;
+    ``N`` is the corpus token count, making the score the observed/
+    expected co-occurrence lift (exact integer arithmetic in double —
+    no logs, so no last-ulp PMI drift between engines).
+
+    Plan: in-row normalize + split (materialized once — the
+    ``words_array`` lambda rule), bigrams as one ``transform`` over the
+    index sequence (zero shuffle), then THREE map-side-combined count
+    aggregates (unigrams, bigrams, the 1-row token total) joined
+    item-keyed — unigram frames AQE-broadcast; top-k is a
+    ``TakeOrderedAndProject`` over (rounded score desc, bigram asc),
+    never a global sort of the bigram vocabulary."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = _spread(df.select(text_col)).select(
+        words_array(F.col(text_col)).alias("__w")
+    )
+    tokens = w.select(F.explode("__w").alias("__t")).filter(
+        F.col("__t") != ""
+    )
+    uni = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__n1"))
+    total = tokens.agg(F.count(F.lit(1)).alias("__nt"))
+    bi = (
+        w.filter(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+                    ),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    parts = F.split("bigram", " ")
+    bi2 = bi.select(
+        "bigram",
+        "n_pair",
+        F.element_at(parts, 1).alias("__wa"),
+        F.element_at(parts, 2).alias("__wb"),
+    )
+    j = (
+        bi2.join(
+            uni.select(F.col("__t").alias("__wa"), F.col("__n1").alias("n_a")),
+            "__wa",
+        )
+        .join(
+            uni.select(F.col("__t").alias("__wb"), F.col("__n1").alias("n_b")),
+            "__wb",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    score = (
+        (F.col("n_pair").cast("double") - F.lit(float(delta)))
+        * F.col("__nt").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        j.select(
+            "bigram",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("bigram"))
+        .limit(k)
+    )

@@ -237,3 +237,33 @@ def test_weighted_bernoulli_rate_tracks_probability(spark):
     rates = {r["p"]: r["count"] / 1000.0 for r in kept}
     assert 0.85 <= rates[0.9] <= 0.95
     assert rates.get(0.05, 0.0) <= 0.1
+
+
+def test_collocations_hand_example(spark):
+    """'new york' appears adjacently 3x; score = (3-1)*N/(n_new*n_york)."""
+    from intake_esm_spark.operators.corpus import collocations
+
+    rows = [
+        ("new york is big new york has new york",),
+        ("york new things",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = {
+        r["bigram"]: r.asDict()
+        for r in collocations(df, min_count=3, k=10).collect()
+    }
+    assert list(out) == ["new york"]
+    r = out["new york"]
+    # tokens: doc1 has 9, doc2 has 3 -> N=12; new: 4, york: 4
+    assert r["n_pair"] == 3 and r["n_a"] == 4 and r["n_b"] == 4
+    assert r["score"] == pytest.approx((3 - 1) * 12 / (4 * 4), abs=1e-6)
+
+
+def test_collocations_validation(spark):
+    from intake_esm_spark.operators.corpus import collocations
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        collocations(df, min_count=0)
+    with pytest.raises(ValueError):
+        collocations(df, k=0)
