@@ -1795,6 +1795,27 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py triangle_count,
+    compact-forward: id-oriented wedges + closing-edge join, each
+    triangle found once at its lowest corner) over the supplier
+    co-purchase graph — suppliers adjacent when they share an order.
+    The basket-bounded pair join feeds a Σd⁺² -bounded wedge join; all
+    counts exact integers."""
+    from intake_esm_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def q_docs_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Two-word collocations by the word2vec phrase score (operators/
     corpus.py collocations): adjacent-bigram lift over the normalized
@@ -2812,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_dupes": q_customer_dupes,
         "customer_profile_drift": q_customer_profile_drift,
         "docs_collocations": q_docs_collocations,
+        "graph_triangles": q_graph_triangles,
         "q13_custdist": q13_custdist,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
@@ -2855,7 +2877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "lineitem_target_encoded": q_lineitem_target_encoded,
         "basket_rules": q_basket_rules,
-        "events_session_stats": q_events_session_stats,
         # -- rotation tail ---------------------------------------------
         # Tail TOP, r9-head priority: events_attribution_position is a
         # direct variant of the head's _multi entry (same operator +
@@ -2869,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_position": q_events_attribution_position,
         "events_funnel_lags": q_events_funnel_lags,
         "lineitem_trend": q_lineitem_trend,
+        "events_session_stats": q_events_session_stats,
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
@@ -4189,6 +4211,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        # replays graph.triangle_count (compact-forward) over the
+        # supplier co-purchase graph: id-oriented edges, wedges joined
+        # on the low corner, closing-edge semi-join, 3x per-node union
+        "graph_triangles": """
+            WITH e AS (
+              SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a,
+                              greatest(x.l_suppkey, y.l_suppkey) AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_suppkey < y.l_suppkey
+            ), tri AS (
+              SELECT w1.a, w1.b AS x, w2.b AS y
+              FROM e w1
+              JOIN e w2 ON w1.a = w2.a AND w1.b < w2.b
+              JOIN e c ON c.a = w1.b AND c.b = w2.b
+            ), nodes AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri
+            )
+            SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1
         """,
         # replays corpus.collocations: same normalize+split, adjacency
         # via list_transform over the 1-based index range, word2vec

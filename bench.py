@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "lineitem_quantiles",
     "lineitem_correlations",
     "graph_pagerank",
+    "graph_triangles",
     "lineitem_winsorized",
     "lineitem_trend",
     "lineitem_benford",

@@ -100,3 +100,51 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("__r", 6).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal behind community/spam detection. Input edges are
+    treated as undirected (both orientations and self-loops are
+    normalized away; duplicates collapse).
+
+    The compact-forward algorithm: orient every edge low-id → high-id,
+    join oriented edges on their source to enumerate each WEDGE
+    (a→b, a→c with b < c) exactly once, then semi-join the closing edge
+    (b→c) — every triangle {a,b,c} is found exactly once, at its
+    lowest-id corner, so per-node counts sum each triangle three times
+    total with no double counting. At scale the wedge join's output is
+    Σ_v d⁺(v)² over ORIENTED degrees — a guard bound, since orientation
+    caps hub fan-out at the id-split (the classic improvement orders by
+    degree; id order keeps the whole computation engine-replayable).
+    Three exchanges: edge normalize (distinct), the wedge self-join, the
+    closing semi-join + the final per-node unions."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the wedge join twice + close
+    )
+    w1 = e.select(F.col("a"), F.col("b").alias("x"))
+    w2 = e.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").filter(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    ).select(F.col("a"), F.col("x"), F.col("y"))
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -72,3 +72,26 @@ def test_validation(spark):
         pagerank(df, iters=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+
+
+def test_triangle_count_hand_example(spark):
+    """K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    Nodes 1,2 sit in both; 3,4 in one each. Dup/reversed/self edges
+    normalize away."""
+    from intake_esm_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4),
+        (1, 1),          # self loop dropped
+        (4, 2),          # duplicate reversed
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_count_no_triangles(spark):
+    from intake_esm_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(df).count() == 0
