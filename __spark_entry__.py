@@ -1795,6 +1795,30 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation (operators/segmentation.py): per-user recency/
+    frequency/monetary quintiles against the corpus-max anchor, scored
+    so 555 = best — ntile over total orders (metric + user tiebreak)
+    keeps every boundary engine-exact."""
+    from intake_esm_spark.operators.segmentation import rfm_segments
+
+    events = load_table(spark, sf, "events")
+    return rfm_segments(events)
+
+
+def q_lineitem_abc(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto analysis (operators/segmentation.py): parts ranked
+    by discounted revenue, decimal cumulative share, 80/95 class cuts —
+    "which parts carry 80% of revenue"."""
+    from intake_esm_spark.operators.segmentation import abc_classification
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.expr("l_extendedprice * (1 - l_discount)").alias("__rev"),
+    )
+    return abc_classification(li, "l_partkey", "__rev")
+
+
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py triangle_count,
     compact-forward: id-oriented wedges + closing-edge join, each
@@ -2834,6 +2858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_profile_drift": q_customer_profile_drift,
         "docs_collocations": q_docs_collocations,
         "graph_triangles": q_graph_triangles,
+        "events_rfm": q_events_rfm,
+        "lineitem_abc": q_lineitem_abc,
         "q13_custdist": q13_custdist,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
@@ -2875,8 +2901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "events_rolling_features": q_events_rolling_features,
         "events_cusum": q_events_cusum,
-        "lineitem_target_encoded": q_lineitem_target_encoded,
-        "basket_rules": q_basket_rules,
         # -- rotation tail ---------------------------------------------
         # Tail TOP, r9-head priority: events_attribution_position is a
         # direct variant of the head's _multi entry (same operator +
@@ -2891,6 +2915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_lags": q_events_funnel_lags,
         "lineitem_trend": q_lineitem_trend,
         "events_session_stats": q_events_session_stats,
+        "lineitem_target_encoded": q_lineitem_target_encoded,
+        "basket_rules": q_basket_rules,
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
@@ -4211,6 +4237,68 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        # replays segmentation.rfm_segments: corpus-max anchor, ntile
+        # over total orders (metric + user tiebreak), 6 - tile inversion
+        "events_rfm": """
+            WITH pu AS (
+              SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+                     sum(CAST(value AS DECIMAL(18,6))) AS m
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ), a AS (
+              SELECT max(last_ts) AS anchor FROM pu
+            ), base AS (
+              SELECT user_id,
+                     CAST(date_diff('day', CAST(last_ts AS DATE),
+                                    CAST(anchor AS DATE)) AS INT)
+                       AS recency_days,
+                     frequency,
+                     round(coalesce(CAST(m AS DOUBLE), 0.0), 6) AS monetary
+              FROM pu CROSS JOIN a
+            ), s AS (
+              SELECT user_id, recency_days, frequency, monetary,
+                     CAST(6 - ntile(5) OVER (
+                       ORDER BY recency_days ASC, user_id ASC) AS INT)
+                       AS r_score,
+                     CAST(6 - ntile(5) OVER (
+                       ORDER BY frequency DESC, user_id ASC) AS INT)
+                       AS f_score,
+                     CAST(6 - ntile(5) OVER (
+                       ORDER BY monetary DESC, user_id ASC) AS INT)
+                       AS m_score
+              FROM base
+            )
+            SELECT user_id, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                     || CAST(m_score AS VARCHAR) AS segment
+            FROM s
+        """,
+        # replays segmentation.abc_classification: decimal cumulative
+        # revenue over (total desc, key asc), rounded-share class cuts
+        "lineitem_abc": """
+            WITH pk AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS t
+              FROM lineitem GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(t) AS DECIMAL(18,6)) AS gt FROM pk
+            ), c AS (
+              SELECT l_partkey,
+                     round(CAST(t AS DOUBLE), 6) AS value_total,
+                     round(CAST(CAST(sum(t) OVER (
+                             ORDER BY t DESC, l_partkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DECIMAL(18,6)) AS DOUBLE)
+                           / CAST(gt AS DOUBLE), 6) AS cum_share
+              FROM pk CROSS JOIN tot
+            )
+            SELECT l_partkey, value_total, cum_share,
+                   CASE WHEN cum_share <= 0.8 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c
         """,
         # replays graph.triangle_count (compact-forward) over the
         # supplier co-purchase graph: id-oriented edges, wedges joined

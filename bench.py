@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "events_session_stats",
+    "events_rfm",
     "events_topk_user",
     "events_json",
     "events_funnel",
@@ -86,6 +87,7 @@ BENCH_QUERIES = [
     "lineitem_winsorized",
     "lineitem_trend",
     "lineitem_benford",
+    "lineitem_abc",
     "events_ab_test",
     "events_rolling_features",
     "events_cusum",
