@@ -165,3 +165,61 @@ def session_stats(
             6,
         ).alias("bounce_rate"),
     )
+
+
+def touch_pairs(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    lookback: str = "24 hours",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(conversion, touch) pairs within the lookback window — the
+    STREAM-STREAM interval self-join (the one streaming join class no
+    other twin here exercises): conversions and touches are two
+    filtered views of the same stream, watermarked on both sides, inner
+    joined on the key with an event-time range condition. Spark buffers
+    each side's state only up to ``watermark + lookback`` and then
+    evicts — the condition is what makes an unbounded self-join run at
+    fixed memory forever.
+
+    This is exactly the join inside
+    :func:`~intake_esm_spark.operators.eventlog.multi_touch_attribution`
+    (minus the credit windows, which need the complete per-conversion
+    group and belong to the batch/report side). On a batch frame the
+    same plan runs un-watermarked — the parity oracle."""
+    conv = events.filter(
+        (F.col("event_type") == conversion_type)
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.col(id_col).alias("conversion_id"),
+    )
+    touch = events.filter(
+        (F.col("event_type") == touch_type) & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k2"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(id_col).alias("touch_event_id"),
+    )
+    if events.isStreaming:
+        conv = conv.withWatermark("conversion_ts", watermark)
+        touch = touch.withWatermark("touch_ts", watermark)
+    delta = F.expr(f"INTERVAL {lookback}")
+    j = conv.join(
+        touch,
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("touch_ts") <= F.col("conversion_ts"))
+        & (F.col("touch_ts") >= F.col("conversion_ts") - delta),
+    )
+    return j.select(
+        "conversion_id",
+        F.col("__k").alias(key_col),
+        "touch_event_id",
+        "touch_ts",
+        "conversion_ts",
+    )

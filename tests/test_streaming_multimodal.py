@@ -425,3 +425,73 @@ def test_session_stats_summary(spark):
     # spans: 20, 0, 0 minutes -> mean 20/3
     assert out["avg_span_minutes"] == pytest.approx(20 / 3, abs=1e-6)
     assert out["bounce_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_stream_stream_touch_pairs_matches_batch(spark, tmp_path):
+    """The stream-stream interval self-join twin: two time-ordered
+    micro-batches of purchases+clicks; the watermarked streaming join
+    must emit exactly the batch join's (conversion, touch) pair set,
+    including a cross-batch pair (click in batch 1, purchase in
+    batch 2)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.streaming.windows import touch_pairs
+
+    def t(day, h=0):
+        return dt.datetime(2024, 3, day, h)
+
+    schema = "user_id long, event_type string, ts timestamp, event_id long, value double"
+    rows = [
+        (1, "click", t(1, 9), 10, None),
+        (1, "purchase", t(1, 10), 11, 5.0),   # pairs with 10
+        (1, "click", t(1, 23), 12, None),
+        (1, "purchase", t(2, 10), 13, 7.0),   # cross-batch: pairs with 12 only (10, 11 outside 24h? 10 is at day1 9:00, purchase day2 10:00 -> 25h, outside)
+        (2, "purchase", t(1, 12), 14, 3.0),   # no clicks -> unattributed
+        (None, "click", t(1, 9), 15, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    batch_pairs = {
+        (r["conversion_id"], r["touch_event_id"])
+        for r in touch_pairs(df).collect()
+    }
+    assert batch_pairs == {(11, 10), (13, 12)}
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    df.filter(F.col("ts") < t(2)).coalesce(1).write.parquet(str(tmp_path / "a"))
+    df.filter(F.col("ts") >= t(2)).coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, (part, name) in enumerate(
+        [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
+    ):
+        for f in glob.glob(str(part / "*.parquet")):
+            dest = flat / f"{name}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    out = touch_pairs(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("touch_pairs_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT conversion_id, touch_event_id FROM touch_pairs_stream"
+        ).collect()
+    finally:
+        q.stop()
+    streamed = {(r["conversion_id"], r["touch_event_id"]) for r in emitted}
+    assert streamed == batch_pairs
