@@ -1795,6 +1795,54 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_did(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences readout (operators/experiment.py
+    did_report): hash-assigned treatment (user_id parity), calendar
+    pre/post split, per-(user, period) purchase totals as the unit
+    observations — 2×2 decimal cell moments, DiD estimate + SE in one
+    aggregation pass."""
+    from intake_esm_spark.operators.experiment import did_report
+
+    events = load_table(spark, sf, "events")
+    units = (
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .groupBy(
+            "user_id",
+            F.when(F.col("ts") < F.lit("2024-01-16"), "pre")
+            .otherwise("post")
+            .alias("period"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("obs")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "treatment")
+            .otherwise("control")
+            .alias("grp"),
+            "period",
+            "obs",
+        )
+    )
+    return did_report(units, "grp", "period", "obs")
+
+
+def q_events_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (operators/timeseries.py):
+    day-7 lag forecast of daily purchase revenue scored with
+    MAE/RMSE/MAPE and the lag-1 naive skill ratio — decimal error
+    accumulation, one corpus exchange."""
+    from intake_esm_spark.operators.timeseries import seasonal_naive_backtest
+
+    events = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return seasonal_naive_backtest(events, season=7)
+
+
 def q_events_rfm(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation (operators/segmentation.py): per-user recency/
     frequency/monetary quintiles against the corpus-max anchor, scored
@@ -2860,6 +2908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "events_rfm": q_events_rfm,
         "lineitem_abc": q_lineitem_abc,
+        "events_did": q_events_did,
+        "events_forecast_backtest": q_events_forecast_backtest,
         "q13_custdist": q13_custdist,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
@@ -2899,8 +2949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": q_lineitem_correlations,
         "events_paths": q_events_paths,
         "graph_pagerank": q_graph_pagerank,
-        "events_rolling_features": q_events_rolling_features,
-        "events_cusum": q_events_cusum,
         # -- rotation tail ---------------------------------------------
         # Tail TOP, r9-head priority: events_attribution_position is a
         # direct variant of the head's _multi entry (same operator +
@@ -2917,6 +2965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": q_events_session_stats,
         "lineitem_target_encoded": q_lineitem_target_encoded,
         "basket_rules": q_basket_rules,
+        "events_rolling_features": q_events_rolling_features,
+        "events_cusum": q_events_cusum,
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
@@ -4237,6 +4287,123 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        # replays experiment.did_report over hash-assigned 2x2 cells:
+        # decimal Σx / Σx² per cell (19,6 product widening), means /
+        # sample variance / SE as the same fixed IEEE expressions
+        "events_did": """
+            WITH units AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                          ELSE 'control' END AS grp,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 'pre' ELSE 'post' END AS period,
+                     round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                                AS DOUBLE), 6) AS obs
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY user_id,
+                       CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                            THEN 'pre' ELSE 'post' END
+            ), cells AS (
+              SELECT
+                sum(CASE WHEN grp='treatment' AND period='pre' THEN 1 ELSE 0 END) AS n_tp,
+                sum(CASE WHEN grp='treatment' AND period='pre' THEN CAST(obs AS DECIMAL(18,6)) END) AS s_tp,
+                sum(CASE WHEN grp='treatment' AND period='pre' THEN CAST(obs AS DECIMAL(19,6)) * CAST(obs AS DECIMAL(19,6)) END) AS q_tp,
+                sum(CASE WHEN grp='treatment' AND period='post' THEN 1 ELSE 0 END) AS n_tq,
+                sum(CASE WHEN grp='treatment' AND period='post' THEN CAST(obs AS DECIMAL(18,6)) END) AS s_tq,
+                sum(CASE WHEN grp='treatment' AND period='post' THEN CAST(obs AS DECIMAL(19,6)) * CAST(obs AS DECIMAL(19,6)) END) AS q_tq,
+                sum(CASE WHEN grp='control' AND period='pre' THEN 1 ELSE 0 END) AS n_cp,
+                sum(CASE WHEN grp='control' AND period='pre' THEN CAST(obs AS DECIMAL(18,6)) END) AS s_cp,
+                sum(CASE WHEN grp='control' AND period='pre' THEN CAST(obs AS DECIMAL(19,6)) * CAST(obs AS DECIMAL(19,6)) END) AS q_cp,
+                sum(CASE WHEN grp='control' AND period='post' THEN 1 ELSE 0 END) AS n_cq,
+                sum(CASE WHEN grp='control' AND period='post' THEN CAST(obs AS DECIMAL(18,6)) END) AS s_cq,
+                sum(CASE WHEN grp='control' AND period='post' THEN CAST(obs AS DECIMAL(19,6)) * CAST(obs AS DECIMAL(19,6)) END) AS q_cq
+              FROM units WHERE obs IS NOT NULL
+            )
+            SELECT CAST(n_tp AS BIGINT) AS n_treat_pre,
+                   CAST(n_tq AS BIGINT) AS n_treat_post,
+                   CAST(n_cp AS BIGINT) AS n_ctrl_pre,
+                   CAST(n_cq AS BIGINT) AS n_ctrl_post,
+                   round(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE), 6)
+                     AS mean_treat_pre,
+                   round(CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE), 6)
+                     AS mean_treat_post,
+                   round(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE), 6)
+                     AS mean_ctrl_pre,
+                   round(CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE), 6)
+                     AS mean_ctrl_post,
+                   round((CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE)
+                          - CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE))
+                         - (CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE)
+                            - CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)),
+                         6) AS did_estimate,
+                   round(sqrt(
+                     (CASE WHEN n_tp >= 2 THEN
+                       (CAST(q_tp AS DOUBLE)
+                        - CAST(s_tp AS DOUBLE) * CAST(s_tp AS DOUBLE)
+                          / CAST(n_tp AS DOUBLE))
+                       / (CAST(n_tp AS DOUBLE) - 1.0) / CAST(n_tp AS DOUBLE) END)
+                     + (CASE WHEN n_tq >= 2 THEN
+                       (CAST(q_tq AS DOUBLE)
+                        - CAST(s_tq AS DOUBLE) * CAST(s_tq AS DOUBLE)
+                          / CAST(n_tq AS DOUBLE))
+                       / (CAST(n_tq AS DOUBLE) - 1.0) / CAST(n_tq AS DOUBLE) END)
+                     + (CASE WHEN n_cp >= 2 THEN
+                       (CAST(q_cp AS DOUBLE)
+                        - CAST(s_cp AS DOUBLE) * CAST(s_cp AS DOUBLE)
+                          / CAST(n_cp AS DOUBLE))
+                       / (CAST(n_cp AS DOUBLE) - 1.0) / CAST(n_cp AS DOUBLE) END)
+                     + (CASE WHEN n_cq >= 2 THEN
+                       (CAST(q_cq AS DOUBLE)
+                        - CAST(s_cq AS DOUBLE) * CAST(s_cq AS DOUBLE)
+                          / CAST(n_cq AS DOUBLE))
+                       / (CAST(n_cq AS DOUBLE) - 1.0) / CAST(n_cq AS DOUBLE) END)
+                   ), 6) AS did_se
+            FROM cells
+        """,
+        # replays timeseries.seasonal_naive_backtest: day-7 row-lag
+        # forecast over the observed daily sequence, decimal error sums
+        "events_forecast_backtest": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS rd
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), d2 AS (
+              SELECT date_diff('day', DATE '1970-01-01', day) AS dn,
+                     round(CAST(rd AS DOUBLE), 6) AS x
+              FROM daily
+            ), lagged AS (
+              SELECT x,
+                     lag(x, 7) OVER (ORDER BY dn) AS f,
+                     lag(x, 1) OVER (ORDER BY dn) AS n1
+              FROM d2
+            ), scored AS (
+              SELECT * FROM lagged WHERE f IS NOT NULL AND n1 IS NOT NULL
+            ), agg AS (
+              SELECT count(*) AS n,
+                     sum(CAST(abs(x - f) AS DECIMAL(18,6))) AS sae,
+                     sum(CAST(x - f AS DECIMAL(19,6))
+                         * CAST(x - f AS DECIMAL(19,6))) AS sse,
+                     sum(CASE WHEN x <> 0 THEN
+                         CAST(abs(x - f) / abs(x) AS DECIMAL(18,6)) END)
+                       AS sape,
+                     count(CASE WHEN x <> 0 THEN 1 END) AS nape,
+                     sum(CAST(abs(x - n1) AS DECIMAL(18,6))) AS sae1
+              FROM scored
+            )
+            SELECT n AS n_scored_days,
+                   round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+                   round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                     AS rmse,
+                   round(100.0 * CAST(sape AS DOUBLE) / CAST(nape AS DOUBLE),
+                         6) AS mape_pct,
+                   round(CAST(sae1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS naive1_mae,
+                   round((CAST(sae AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(sae1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                     AS mase_vs_naive1
+            FROM agg
         """,
         # replays segmentation.rfm_segments: corpus-max anchor, ntile
         # over total orders (metric + user tiebreak), 6 - tile inversion

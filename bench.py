@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "events_attribution_multi",
     "events_daily_ma",
     "events_ewma",
+    "events_forecast_backtest",
     "events_cohort_ltv",
     "events_dau_mau",
     "events_transitions",
@@ -89,6 +90,7 @@ BENCH_QUERIES = [
     "lineitem_benford",
     "lineitem_abc",
     "events_ab_test",
+    "events_did",
     "events_rolling_features",
     "events_cusum",
     "lineitem_target_encoded",

@@ -80,3 +80,87 @@ def ab_test_report(
             (F.abs(F.round(z, 6)) >= F.lit(z_threshold)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def did_report(
+    units: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    treatment: str = "treatment",
+    control: str = "control",
+    pre: str = "pre",
+    post: str = "post",
+) -> DataFrame:
+    """Difference-in-differences readout: the 2×2 cell means
+    (treatment/control × pre/post) and the DiD estimate
+    ``(T_post − T_pre) − (C_post − C_pre)`` with its large-sample
+    standard error ``√(Σ s²ᵢ/nᵢ)`` over the four cells — the quasi-
+    experimental sibling of :func:`ab_test_report` for when treatment
+    wasn't randomized but a parallel-trend control exists.
+
+    ``units`` is one row per (unit, period) observation; rows whose
+    group/period labels aren't the four expected values are ignored.
+    Cells accumulate Σx and Σx² as DECIMAL (order-independent); means,
+    the sample variances ``(Σx² − n·x̄²)/(n−1)``, the estimate, and the
+    SE are fixed IEEE expressions over them, 6dp-rounded. A cell with
+    n < 2 yields a null SE (no variance estimate); a missing cell nulls
+    the estimate. One partial-aggregated groupBy over unit-grain rows —
+    the output is the four-row cell frame pivoted driver-free into one
+    row via conditional aggregation."""
+    x = F.col(value_col).cast("decimal(18,6)")
+    x2 = (
+        F.col(value_col).cast("decimal(19,6)")
+        * F.col(value_col).cast("decimal(19,6)")
+    )
+    labeled = units.filter(
+        F.col(group_col).isin(treatment, control)
+        & F.col(period_col).isin(pre, post)
+        & F.col(value_col).isNotNull()
+    )
+
+    def cell(g: str, p: str, tag: str):
+        cond = (F.col(group_col) == g) & (F.col(period_col) == p)
+        return [
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"__n_{tag}"),
+            F.sum(F.when(cond, x)).alias(f"__s_{tag}"),
+            F.sum(F.when(cond, x2)).alias(f"__q_{tag}"),
+        ]
+
+    aggs = (
+        cell(treatment, pre, "tp")
+        + cell(treatment, post, "tq")
+        + cell(control, pre, "cp")
+        + cell(control, post, "cq")
+    )
+    row = labeled.agg(*aggs)
+
+    def mean(tag: str):
+        return F.col(f"__s_{tag}").cast("double") / F.col(f"__n_{tag}").cast(
+            "double"
+        )
+
+    def var_over_n(tag: str):
+        n = F.col(f"__n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double")
+        q = F.col(f"__q_{tag}").cast("double")
+        return F.when(
+            F.col(f"__n_{tag}") >= 2, (q - s * s / n) / (n - F.lit(1.0)) / n
+        )
+
+    did = (mean("tq") - mean("tp")) - (mean("cq") - mean("cp"))
+    se = F.sqrt(
+        var_over_n("tp") + var_over_n("tq") + var_over_n("cp") + var_over_n("cq")
+    )
+    return row.select(
+        F.col("__n_tp").alias("n_treat_pre"),
+        F.col("__n_tq").alias("n_treat_post"),
+        F.col("__n_cp").alias("n_ctrl_pre"),
+        F.col("__n_cq").alias("n_ctrl_post"),
+        F.round(mean("tp"), 6).alias("mean_treat_pre"),
+        F.round(mean("tq"), 6).alias("mean_treat_post"),
+        F.round(mean("cp"), 6).alias("mean_ctrl_pre"),
+        F.round(mean("cq"), 6).alias("mean_ctrl_post"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(se, 6).alias("did_se"),
+    )

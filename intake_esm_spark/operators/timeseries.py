@@ -244,3 +244,73 @@ def ewma_daily(
         F.col("__x").alias("revenue"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's total with
+    the value one ``season`` earlier in the OBSERVED daily sequence
+    (row lag — compose with gapfill for calendar strictness) and score
+    the whole series in one pass: n scored days, MAE, RMSE, MAPE, and
+    the naive-baseline MAE (lag-1) for a skill ratio — the sanity
+    baseline every forecasting project must beat before anything
+    fancier ships.
+
+    Determinism: daily totals are decimal; absolute/squared errors are
+    fixed IEEE expressions over the rounded daily doubles; the final
+    metrics divide exact decimal error sums in double. Scale: one
+    day-grain aggregate (the only corpus exchange) + the benign ordered
+    window + a 1-row metrics aggregate."""
+    if season < 1:
+        raise ValueError(f"season must be >= 1, got {season}")
+    daily = _daily_frame(events, value_col, ts_col)
+    x = F.round(F.col("__rd").cast("double"), 6)
+    d2 = daily.select("__dn", x.alias("__x"))
+    w = Window.orderBy("__dn")
+    fc = F.lag("__x", season).over(w)
+    naive = F.lag("__x", 1).over(w)
+    scored = d2.select(
+        "__x",
+        fc.alias("__f"),
+        naive.alias("__n1"),
+    ).filter(F.col("__f").isNotNull() & F.col("__n1").isNotNull())
+    ae = F.abs(F.col("__x") - F.col("__f")).cast("decimal(18,6)")
+    se = (
+        (F.col("__x") - F.col("__f")).cast("decimal(19,6)")
+        * (F.col("__x") - F.col("__f")).cast("decimal(19,6)")
+    )
+    ape = F.when(
+        F.col("__x") != 0,
+        (F.abs(F.col("__x") - F.col("__f")) / F.abs(F.col("__x"))).cast(
+            "decimal(18,6)"
+        ),
+    )
+    ae1 = F.abs(F.col("__x") - F.col("__n1")).cast("decimal(18,6)")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(ae).alias("__sae"),
+        F.sum(se).alias("__sse"),
+        F.sum(ape).alias("__sape"),
+        F.count(ape).alias("__nape"),
+        F.sum(ae1).alias("__sae1"),
+    )
+    n = F.col("__n").cast("double")
+    mae = F.col("__sae").cast("double") / n
+    mae1 = F.col("__sae1").cast("double") / n
+    return agg.select(
+        F.col("__n").alias("n_scored_days"),
+        F.round(mae, 6).alias("mae"),
+        F.round(F.sqrt(F.col("__sse").cast("double") / n), 6).alias("rmse"),
+        F.round(
+            F.lit(100.0)
+            * F.col("__sape").cast("double")
+            / F.col("__nape").cast("double"),
+            6,
+        ).alias("mape_pct"),
+        F.round(mae1, 6).alias("naive1_mae"),
+        F.round(mae / mae1, 6).alias("mase_vs_naive1"),
+    )

@@ -84,3 +84,38 @@ def test_null_converted_counts_as_not_converted(spark):
     assert out["A"]["n_units"] == 3
     assert out["A"]["n_converted"] == 1
     assert out["A"]["rate"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_did_report_hand_example(spark):
+    """T: 10->20 (+10), C: 5->10 (+5) -> DiD = +5; exact means; SE from
+    the four sample variances."""
+    from intake_esm_spark.operators.experiment import did_report
+
+    rows = (
+        [("treatment", "pre", v) for v in (8.0, 12.0)]
+        + [("treatment", "post", v) for v in (18.0, 22.0)]
+        + [("control", "pre", v) for v in (4.0, 6.0)]
+        + [("control", "post", v) for v in (9.0, 11.0)]
+        + [("other", "pre", 999.0), ("treatment", "mid", 999.0)]  # ignored
+    )
+    df = spark.createDataFrame(rows, "grp string, period string, obs double")
+    r = did_report(df, "grp", "period", "obs").collect()[0].asDict()
+    assert r["n_treat_pre"] == 2 and r["n_ctrl_post"] == 2
+    assert r["mean_treat_pre"] == 10.0 and r["mean_treat_post"] == 20.0
+    assert r["did_estimate"] == 5.0
+    # cell variances: T cells ((8-10)^2+(12-10)^2)/1 = 8 -> /n = 4;
+    # C cells = 2 -> /n = 1; SE = sqrt(4+4+1+1) = sqrt(10)
+    assert r["did_se"] == pytest.approx(10 ** 0.5, abs=1e-6)
+
+
+def test_did_report_singleton_cell_nulls_se(spark):
+    from intake_esm_spark.operators.experiment import did_report
+
+    rows = [
+        ("treatment", "pre", 1.0), ("treatment", "post", 2.0),
+        ("control", "pre", 1.0), ("control", "post", 1.5),
+    ]
+    df = spark.createDataFrame(rows, "grp string, period string, obs double")
+    r = did_report(df, "grp", "period", "obs").collect()[0].asDict()
+    assert r["did_estimate"] == 0.5
+    assert r["did_se"] is None  # n=1 cells -> no variance estimate

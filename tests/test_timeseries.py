@@ -284,3 +284,38 @@ def test_ewma_validation(spark):
         ewma_daily(df, alpha=0.0)
     with pytest.raises(ValueError):
         ewma_daily(df, lags=0)
+
+
+def test_seasonal_naive_backtest_hand_example(spark):
+    """10 days, season=3: forecasts start day 4; errors computed by
+    hand for days 4..10 (both f and naive-1 defined)."""
+    from intake_esm_spark.operators.timeseries import seasonal_naive_backtest
+
+    xs = [10.0, 20.0, 30.0, 13.0, 26.0, 27.0, 13.0, 20.0, 33.0, 10.0]
+    rows = [
+        (f"2024-01-{d+1:02d} 10:00:00", xs[d]) for d in range(len(xs))
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    r = seasonal_naive_backtest(df, season=3).collect()[0].asDict()
+    scored = [(xs[t], xs[t - 3], xs[t - 1]) for t in range(3, 10)]
+    mae = sum(abs(x - f) for x, f, _ in scored) / len(scored)
+    mae1 = sum(abs(x - n1) for x, _, n1 in scored) / len(scored)
+    assert r["n_scored_days"] == 7
+    assert r["mae"] == pytest.approx(mae, abs=1e-6)
+    assert r["naive1_mae"] == pytest.approx(mae1, abs=1e-6)
+    assert r["mase_vs_naive1"] == pytest.approx(mae / mae1, abs=1e-5)
+    import math
+    rmse = math.sqrt(sum((x - f) ** 2 for x, f, _ in scored) / len(scored))
+    assert r["rmse"] == pytest.approx(rmse, abs=1e-6)
+
+
+def test_seasonal_naive_validation(spark):
+    from intake_esm_spark.operators.timeseries import seasonal_naive_backtest
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0)], "ts string, value double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
+    with pytest.raises(ValueError):
+        seasonal_naive_backtest(df, season=0)
