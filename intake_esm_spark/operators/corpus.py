@@ -261,14 +261,24 @@ def collocations(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # w is deliberately NOT pinned despite two references (unigram and
+    # bigram branches): checkpointing the tokenized corpus materializes
+    # ~corpus-size state, while the duplicate cost is one extra scan +
+    # in-row split — the cheap side of that trade at 100 TB. The SMALL
+    # frames are pinned: uni seeds both confidence joins, and the token
+    # total derives from uni (Σn₁ — exact) instead of re-reading tokens.
     w = _spread(df.select(text_col)).select(
         words_array(F.col(text_col)).alias("__w")
     )
     tokens = w.select(F.explode("__w").alias("__t")).filter(
         F.col("__t") != ""
     )
-    uni = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__n1"))
-    total = tokens.agg(F.count(F.lit(1)).alias("__nt"))
+    uni = (
+        tokens.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__n1"))
+        .localCheckpoint(eager=False)
+    )
+    total = uni.agg(F.sum("__n1").alias("__nt"))
     bi = (
         w.filter(F.size("__w") >= 2)
         .select(

@@ -39,6 +39,9 @@ def rfm_segments(
     order (identical classes away from boundaries)."""
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    # pinned: the per-user collapse feeds BOTH the anchor aggregate and
+    # the scored frame — unpinned, the anchor re-runs the corpus groupBy
+    # from the scan (the repo's multi-reference re-planning rule)
     per_user = (
         events.filter(F.col(key_col).isNotNull())
         .groupBy(key_col)
@@ -47,6 +50,7 @@ def rfm_segments(
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__m"),
         )
+        .localCheckpoint(eager=False)
     )
     anchor = per_user.agg(F.max("__last").alias("__anchor"))
     base = per_user.crossJoin(F.broadcast(anchor)).select(
@@ -98,6 +102,8 @@ def abc_classification(
     row. Cumulative sums stay DECIMAL until the final double divide."""
     if not 0.0 < a_cut < b_cut <= 1.0:
         raise ValueError(f"need 0 < a_cut < b_cut <= 1, got ({a_cut}, {b_cut})")
+    # pinned: the key collapse feeds the grand total AND the ranked
+    # frame (multi-reference rule — unpinned, the total re-scans)
     per_key = (
         df.filter(F.col(key_col).isNotNull())
         .groupBy(key_col)
@@ -106,6 +112,7 @@ def abc_classification(
             .cast("decimal(18,6)")
             .alias("__t")
         )
+        .localCheckpoint(eager=False)
     )
     total = per_key.agg(
         F.sum("__t").cast("decimal(18,6)").alias("__tot")

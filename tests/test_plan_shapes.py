@@ -474,3 +474,50 @@ def test_q15_window_sits_above_supplier_aggregate(spark, queries):
     win = plan.find("Window")
     agg = plan.find("HashAggregate")
     assert win != -1 and agg != -1
+
+
+def test_multi_touch_join_is_keyed_not_cartesian(spark, queries):
+    """The touch expansion must plan an equi-keyed join on the user
+    (hash partition + in-row interval filter), never a cartesian/BNLJ;
+    the credit windows partition by conversion."""
+    plan = plan_of(queries["events_attribution_multi"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rfm_collapses_once_before_windows(spark, queries):
+    """RFM: ONE entity-keyed partial aggregate collapses the corpus
+    (pinned — the anchor and the scored frame both reference it; the
+    plan must read the checkpointed RDD, not scan events twice), then
+    the ntile windows run over the entity frame."""
+    plan = plan_of(queries["events_rfm"](spark, SF))
+    assert "partial" in plan.lower()
+    assert "Window" in plan
+    assert "ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_collocations_bigrams_form_in_row(spark, queries):
+    """Collocations: bigram construction is an in-row transform (no
+    Python eval, no shuffle before the count aggregates); top-k is a
+    partial TakeOrderedAndProject."""
+    plan = plan_of(queries["docs_collocations"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangles_edges_pinned_once(spark, queries):
+    """Triangle counting references the normalized edge frame three
+    times — it must be checkpointed (ExistingRDD), not re-derived from
+    the lineitem self-join per reference."""
+    plan = plan_of(queries["graph_triangles"](spark, SF))
+    assert "ExistingRDD" in plan
+
+
+def test_did_is_single_aggregation_pass(spark, queries):
+    """DiD: all 12 cell moments fold in ONE partial-aggregated job over
+    the unit frame — exactly two HashAggregate pairs (units groupBy +
+    the cells agg), no joins."""
+    plan = plan_of(queries["events_did"](spark, SF))
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
