@@ -47,3 +47,38 @@ def test_candidate_matches_validation_and_nulls(spark):
         candidate_matches(df, "id", "name", ["country"], -1)
     with pytest.raises(ValueError):
         candidate_matches(df, "id", "name", ["country"], 1, max_block_rows=1)
+
+
+def test_deletion_index_equals_block_join(spark):
+    """FastSS candidate generation is lossless for lev<=1: identical
+    pair sets (incl. distances) on names with substitutions, an
+    insertion/deletion pair, and exact duplicates."""
+    rows = [
+        (1, "alice", "X"),
+        (2, "alise", "X"),    # substitution, lev 1
+        (3, "alice", "X"),    # exact dup, lev 0
+        (4, "alicee", "X"),   # insertion, lev 1
+        (5, "alic", "X"),     # deletion, lev 1
+        (6, "bob", "X"),
+        (7, "alice", "Y"),    # other block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, country string")
+    get = lambda m: {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in candidate_matches(
+            df, "id", "name", ["country"], 1, method=m
+        ).collect()
+    }
+    bj, di = get("block_join"), get("deletion_index")
+    assert bj == di
+    assert (1, 3, 0) in di and (1, 2, 1) in di
+    assert (1, 4, 1) in di and (1, 5, 1) in di
+    assert not any(6 in p[:2] or 7 in p[:2] for p in di)
+
+
+def test_deletion_index_rejects_large_distance(spark):
+    df = spark.createDataFrame([(1, "a", "X")], "id long, name string, country string")
+    with pytest.raises(ValueError):
+        candidate_matches(df, "id", "name", ["country"], 2, method="deletion_index")
+    with pytest.raises(ValueError):
+        candidate_matches(df, "id", "name", ["country"], 1, method="nope")
