@@ -1795,6 +1795,36 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Burst deduplication (operators/eventlog.py debounce_events):
+    events within 60s of their predecessor per (user, type) collapse to
+    the burst head — gaps-and-islands, one keyed exchange, survivors +
+    burst_size. The telemetry double-fire cleaner."""
+    from intake_esm_spark.operators.eventlog import debounce_events
+
+    events = load_table(spark, sf, "events")
+    out = debounce_events(events, gap="60 seconds")
+    return out.select(
+        "event_id", "user_id", "event_type", "ts", "value", "burst_size"
+    )
+
+
+def q_lineitem_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking lift/gains table (operators/profiling.py lift_table):
+    lineitems ranked by discount into deciles, outcome = returned flag
+    — "do high-discount lines get returned more", the decile chart a
+    ranking model is judged by. Total-order ntile + decimal outcome
+    sums through bins AND the cumulative capture window."""
+    from intake_esm_spark.operators.profiling import lift_table
+
+    li = load_table(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("__id"),
+        "l_discount",
+        (F.col("l_returnflag") == "R").cast("int").alias("__ret"),
+    )
+    return lift_table(li, "l_discount", "__ret", "__id")
+
+
 def q_events_did(spark: SparkSession, sf: str) -> DataFrame:
     """Difference-in-differences readout (operators/experiment.py
     did_report): hash-assigned treatment (user_id parity), calendar
@@ -2922,6 +2952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_abc": q_lineitem_abc,
         "events_did": q_events_did,
         "events_forecast_backtest": q_events_forecast_backtest,
+        "events_debounce": q_events_debounce,
+        "lineitem_lift": q_lineitem_lift,
         "q13_custdist": q13_custdist,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
@@ -2956,22 +2988,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "privacy_kanon": q_privacy_kanon,
         "privacy_suppress": q_privacy_suppress,
-        "docs_split": q_docs_split,
         "docs_bm25_indexed": q_docs_bm25_indexed,
         "lineitem_correlations": q_lineitem_correlations,
-        "events_paths": q_events_paths,
         "graph_pagerank": q_graph_pagerank,
         # -- rotation tail ---------------------------------------------
-        # Tail TOP, r9-head priority: events_attribution_position is a
-        # direct variant of the head's _multi entry (same operator +
-        # join, only the credit CASE differs); events_funnel_lags and
-        # lineitem_trend defer one more round (never driver-verified but
-        # lowest-risk expression classes, funnel/trend siblings are
-        # r7-driver-green); search_eq/search_regex are r6-green parity
-        # entries displaced by this round's 14 new entries. Then the
-        # remaining r6 cohort (down to docs_mixture) — all r9 head
-        # candidates.
+        # Tail TOP, r9-head priority — never-driver-verified entries
+        # displaced by this round's 18 new entries, lowest-risk first
+        # (each is a variant/sibling of a head or r7-green entry:
+        # attribution_position ~ _multi; funnel_lags ~ funnel; trend ~
+        # correlations; session_stats ~ sessionize; target_encoded ~
+        # profiling family; basket_rules ~ basket_rules3; rolling/cusum ~
+        # gapfill/anomaly; paths ~ transitions; split ~ hash_sample) —
+        # then search_eq/search_regex and the rest of the r6 cohort
+        # (down to docs_mixture). ALL r9 head candidates.
         "events_attribution_position": q_events_attribution_position,
+        "events_paths": q_events_paths,
+        "docs_split": q_docs_split,
         "events_funnel_lags": q_events_funnel_lags,
         "lineitem_trend": q_lineitem_trend,
         "events_session_stats": q_events_session_stats,
@@ -4299,6 +4331,80 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        # replays eventlog.debounce_events: lag-gap island detection,
+        # cumulative burst ids, burst-head survivor + burst size
+        "events_debounce": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type, ts, value
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), marked AS (
+              SELECT *,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w + INTERVAL '60 seconds'
+                          THEN 1 ELSE 0 END AS nb
+              FROM base
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)
+            ), isl AS (
+              SELECT *,
+                     sum(nb) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS burst
+              FROM marked
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type, burst
+                       ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (
+                       PARTITION BY user_id, event_type, burst)
+                       AS burst_size
+              FROM isl
+            )
+            SELECT event_id, user_id, event_type, ts, value,
+                   CAST(burst_size AS BIGINT) AS burst_size
+            FROM ranked WHERE rn = 1
+        """,
+        # replays profiling.lift_table: total-order ntile deciles by
+        # discount, decimal outcome sums, lift vs base rate, cumulative
+        # capture through the bin order
+        "lineitem_lift": """
+            WITH base AS (
+              SELECT l_orderkey * 100 + l_linenumber AS id,
+                     l_discount,
+                     CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                          AS DECIMAL(18,6)) AS y
+              FROM lineitem
+              WHERE l_discount IS NOT NULL
+            ), binned AS (
+              SELECT *, ntile(10) OVER (ORDER BY l_discount DESC, id ASC)
+                       AS bin
+              FROM base
+            ), pb AS (
+              SELECT bin, count(*) AS n_rows,
+                     CAST(sum(y) AS DECIMAL(18,6)) AS ys
+              FROM binned GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n_rows) AS BIGINT) AS nt,
+                     CAST(sum(ys) AS DECIMAL(18,6)) AS yt
+              FROM pb
+            )
+            SELECT bin, n_rows,
+                   round(CAST(ys AS DOUBLE), 6) AS outcome_total,
+                   round(CAST(ys AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                     AS outcome_rate,
+                   round((CAST(ys AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                         / (CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+                     AS lift,
+                   round(CAST(CAST(sum(ys) OVER (
+                           ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) AS DECIMAL(18,6)) AS DOUBLE)
+                         / CAST(yt AS DOUBLE), 6) AS cum_capture
+            FROM pb CROSS JOIN tot
         """,
         # replays experiment.did_report over hash-assigned 2x2 cells:
         # decimal Σx / Σx² per cell (19,6 product widening), means /

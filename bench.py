@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sliding",
     "events_sessionize",
+    "events_debounce",
     "events_session_stats",
     "events_rfm",
     "events_topk_user",
@@ -89,6 +90,7 @@ BENCH_QUERIES = [
     "lineitem_trend",
     "lineitem_benford",
     "lineitem_abc",
+    "lineitem_lift",
     "events_ab_test",
     "events_did",
     "events_rolling_features",

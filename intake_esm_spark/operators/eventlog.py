@@ -494,3 +494,56 @@ def multi_touch_attribution(
             "credited_value"
         ),
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    gap: str = "5 seconds",
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Burst deduplication (debounce): within each key, events closer
+    than ``gap`` to their predecessor form a BURST (gaps-and-islands —
+    the same construction as sessionization and SCD2); only the first
+    event of each burst survives. The telemetry-cleaning step for
+    double-clicks, retry storms, and sensor chatter.
+
+    Exact island semantics, not the lag-only approximation: "drop if
+    within gap of the PREVIOUS ROW" re-admits the third event of a
+    chained burst (a, a+3s, a+6s with a 5s gap keeps event 3), while
+    the island form anchors on the first KEPT event... which for
+    consecutive-gap bursts is precisely the island head. Output keeps
+    the full row of each survivor plus ``burst_size``.
+
+    Scale: one key-partitioned exchange; both windows (gap detection,
+    burst membership) share its sort; output bounded by burst count."""
+    key_cols = key_cols or ["user_id", "event_type"]
+    from pyspark.sql import Window
+
+    base = events
+    for c in key_cols:
+        base = base.filter(F.col(c).isNotNull())
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_delta = F.expr(f"INTERVAL {gap}")
+    new_burst = (
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap_delta)
+    ).cast("int")
+    marked = base.withColumn("__nb", new_burst).withColumn(
+        "__burst",
+        F.sum("__nb").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wb = Window.partitionBy(*key_cols, "__burst")
+    first_in_burst = F.row_number().over(
+        wb.orderBy(ts_col, order_col)
+    )
+    out = (
+        marked.withColumn("__rn", first_in_burst)
+        .withColumn("burst_size", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__nb", "__burst", "__rn")
+    )
+    return out

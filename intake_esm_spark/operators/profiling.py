@@ -441,3 +441,69 @@ def profile_drift(
         " n_distinct_old bigint, n_distinct_new bigint,"
         " mean_old double, mean_new double",
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Model-evaluation lift/gains table: rank rows by ``score_col``
+    descending into ``n_bins`` ntile bins (bin 1 = highest scores), and
+    per bin report size, outcome total and rate, lift vs the base rate,
+    and the cumulative capture share (gains) — how a ranking model's
+    decile chart is read before anyone trusts its AUC.
+
+    Determinism: the bin boundary is a TOTAL order (score desc +
+    ``id_col`` tiebreak — ntile splits remainders identically in both
+    engines); outcomes accumulate as DECIMAL through both the bin sums
+    and the cumulative window; rates/lift are fixed IEEE divisions of
+    the exact sums, 6dp. Scale: ranking runs over the ROW frame (one
+    unpartitioned-but-total-ordered ntile — swap percent_rank bucketing
+    at extreme row counts, the RFM note); everything after is a
+    ``n_bins``-row frame. Null scores/outcomes are excluded."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(outcome_col).cast("decimal(18,6)").alias("__y"),
+    )
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    binned = base.withColumn("bin", F.ntile(n_bins).over(w))
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__y").cast("decimal(18,6)").alias("__ys"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals AND the output
+    )
+    totals = per_bin.agg(
+        F.sum("n_rows").alias("__nt"),
+        F.sum("__ys").cast("decimal(18,6)").alias("__yt"),
+    )
+    wc = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_y = F.sum("__ys").over(wc).cast("decimal(18,6)")
+    j = per_bin.crossJoin(F.broadcast(totals))
+    rate = F.col("__ys").cast("double") / F.col("n_rows").cast("double")
+    base_rate = F.col("__yt").cast("double") / F.col("__nt").cast("double")
+    return j.select(
+        "bin",
+        "n_rows",
+        F.round(F.col("__ys").cast("double"), 6).alias("outcome_total"),
+        F.round(rate, 6).alias("outcome_rate"),
+        F.round(rate / base_rate, 6).alias("lift"),
+        F.round(
+            cum_y.cast("double") / F.col("__yt").cast("double"), 6
+        ).alias("cum_capture"),
+    )

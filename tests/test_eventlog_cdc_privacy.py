@@ -807,3 +807,23 @@ def test_profile_drift_report(spark):
     old2 = old.withColumnRenamed("s", "gone")
     out2 = {r["column"]: r["status"] for r in profile_drift(old2, new).collect()}
     assert out2["gone"] == "removed" and out2["s"] == "added"
+
+
+def test_debounce_chained_burst_collapses(spark):
+    """a, a+3s, a+6s with a 5s gap: consecutive-gap island -> ONE burst
+    (head survives, size 3); an event 10s later starts a new burst."""
+    from intake_esm_spark.operators.eventlog import debounce_events
+
+    rows = [
+        (1, "click", "2024-01-01 00:00:00", 1, 0.0),
+        (1, "click", "2024-01-01 00:00:03", 2, 0.0),
+        (1, "click", "2024-01-01 00:00:06", 3, 0.0),
+        (1, "click", "2024-01-01 00:00:16", 4, 0.0),
+        (1, "view", "2024-01-01 00:00:01", 5, 0.0),   # other type: own burst
+        (2, "click", "2024-01-01 00:00:02", 6, 0.0),  # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long, value double"
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "event_id", "value")
+    out = {r["event_id"]: r["burst_size"] for r in debounce_events(df, gap="5 seconds").collect()}
+    assert out == {1: 3, 4: 1, 5: 1, 6: 1}

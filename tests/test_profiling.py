@@ -277,3 +277,29 @@ def test_benford_profile_grouped(spark):
         for r in benford_profile(df, "v", ["g"]).collect()
     }
     assert out[("a", "1")] == 0.5 and out[("b", "3")] == 1.0
+
+
+def test_lift_table_hand_example(spark):
+    """20 rows, scores 20..1, outcome = score > 15 (top 5): with 4 bins
+    of 5 rows, bin 1 captures all 5 positives -> rate 1.0, lift 4.0,
+    cum_capture 1.0; other bins rate 0."""
+    from intake_esm_spark.operators.profiling import lift_table
+
+    rows = [(i, float(21 - i), 1 if 21 - i > 15 else 0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    out = {r["bin"]: r.asDict() for r in lift_table(df, "score", "y", "id", n_bins=4).collect()}
+    assert out[1]["n_rows"] == 5 and out[1]["outcome_rate"] == 1.0
+    assert out[1]["lift"] == 4.0          # 1.0 / (5/20)
+    assert out[1]["cum_capture"] == 1.0
+    assert out[2]["outcome_rate"] == 0.0 and out[2]["cum_capture"] == 1.0
+    assert out[4]["lift"] == 0.0
+
+
+def test_lift_table_validation(spark):
+    from intake_esm_spark.operators.profiling import lift_table
+
+    df = spark.createDataFrame([(1, 1.0, 1)], "id long, score double, y int")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lift_table(df, "score", "y", "id", n_bins=1)
