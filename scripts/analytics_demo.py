@@ -135,6 +135,79 @@ def main() -> None:
     ), trend
     out["trend_groups"] = len(trend)
 
+    # --- round-8 additions: segmentation, experiment, forecast, graph
+    from intake_esm_spark.operators.eventlog import (
+        debounce_events,
+        multi_touch_attribution,
+    )
+    from intake_esm_spark.operators.experiment import did_report
+    from intake_esm_spark.operators.segmentation import (
+        abc_classification,
+        rfm_segments,
+    )
+    from intake_esm_spark.operators.timeseries import seasonal_naive_backtest
+
+    rfm = rfm_segments(events)
+    best = rfm.filter(F.col("segment") == "555").count()
+    out["rfm_users"] = rfm.count()
+    assert out["rfm_users"] > 0 and best >= 0
+
+    abc = abc_classification(
+        li.select("l_partkey", F.expr("l_extendedprice * (1 - l_discount)").alias("rev")),
+        "l_partkey",
+        "rev",
+    )
+    shares = {r["abc_class"] for r in abc.select("abc_class").distinct().collect()}
+    assert shares <= {"A", "B", "C"} and "A" in shares
+    out["abc_parts"] = abc.count()
+
+    mt = multi_touch_attribution(events, "purchase", "click")
+    # credits sum to ~1 per attributed conversion
+    credit_check = (
+        mt.groupBy("conversion_id")
+        .agg(F.round(F.sum("credit"), 3).alias("s"))
+        .filter(F.abs(F.col("s") - 1.0) > 0.01)
+        .count()
+    )
+    assert credit_check == 0, "multi-touch credits must sum to 1"
+    out["multi_touch_pairs"] = mt.count()
+
+    units = (
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .groupBy(
+            "user_id",
+            F.when(F.col("ts") < F.lit("2024-01-16"), "pre")
+            .otherwise("post")
+            .alias("period"),
+        )
+        .agg(F.sum("value").alias("obs"))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "treatment")
+            .otherwise("control")
+            .alias("grp"),
+            "period",
+            "obs",
+        )
+    )
+    did = did_report(units, "grp", "period", "obs").collect()[0]
+    assert did["did_se"] is not None
+    out["did_estimate"] = did["did_estimate"]
+
+    fc = seasonal_naive_backtest(
+        events.filter(F.col("event_type") == "purchase"), season=7
+    ).collect()[0]
+    assert fc["mae"] is not None and fc["rmse"] >= fc["mae"]
+    out["forecast_scored_days"] = fc["n_scored_days"]
+
+    deb = debounce_events(events, gap="60 seconds")
+    n_deb = deb.count()
+    assert n_deb <= events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).count()
+    out["debounced_survivors"] = n_deb
+
     print(json.dumps(out))
 
 
