@@ -2242,6 +2242,428 @@ def q22_idle_rich(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supp(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier). Adapted: this dataset has no
+    partsupp, so the part-supplier relation is distilled from lineitem
+    and cost := the average unit price that supplier charged for that
+    part. The correlated MIN subquery is decorrelated into a per-part
+    aggregate joined back on (part, cost); every dimension join is
+    broadcast, so the fact contributes exactly one keyed exchange (the
+    pair aggregate) regardless of scale."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    eu_supp = (
+        supp.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast(
+                "double"
+            )
+            / F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double")
+        ).alias("supplycost")
+    )
+    target = part.filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") >= 15)
+    ).select("p_partkey", "p_brand")
+    cand = ps.join(
+        F.broadcast(target), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    minc = cand.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("supplycost").alias("__min_c")
+    )
+    return (
+        cand.join(
+            F.broadcast(minc),
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("supplycost") == F.col("__min_c")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            F.round("supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders placed in one
+    quarter where EXISTS a line shipped >90 days after the order date
+    (late-ship proxy — this dataset has no commit/receipt dates),
+    counted per priority. The EXISTS compiles to a left-semi join on
+    the order key with the date predicate inside the join condition;
+    the histogram is a 5-group aggregate over order-cardinality data."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    q = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    late = q.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of ECONOMY-part revenue
+    sold to ASIA customers in 1996-1997, the share supplied by
+    NATION_7's suppliers, per order year. Two nation joins — the
+    customer side filters the market, the supplier side labels the
+    numerator — all dims broadcast, one fact exchange into the
+    2-row year group."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    part = load_table(spark, sf, "part")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    asia_cust = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = supp.join(
+        F.broadcast(
+            nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    j = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    num = F.sum(
+        F.expr(
+            "CAST(CASE WHEN supp_nation = 'NATION_7' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END "
+            "AS DECIMAL(18,6))"
+        )
+    ).cast("double")
+    den = F.sum(
+        F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")
+    ).cast("double")
+    return j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.round(num / den, 6).alias("mkt_share"))
+
+
+def q9_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit). Adapted: supply cost has
+    no partsupp source here, so profit := revenue − 0.6·p_retailprice·
+    quantity (a fixed-margin cost proxy). Part-name LIKE filter,
+    supplier-nation and part dims broadcast, one fact exchange into
+    the (nation, year) group."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier")
+    part = load_table(spark, sf, "part")
+    nation = load_table(spark, sf, "nation")
+    j = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains("gear")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(
+                supp.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(
+                        nation.select(
+                            "n_nationkey", F.col("n_name").alias("nation")
+                        )
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        j.groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(l_extendedprice * (1 - l_discount) "
+                        "- CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity "
+                        "AS DECIMAL(18,6))"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification). Adapted:
+    stock value has no partsupp source, so a part's value held by
+    EUROPE suppliers is the extended price they shipped of it; parts
+    whose value exceeds 1.5x the average part value are kept (the
+    spec's 0.0001/SF fraction re-expressed scale-invariantly). The
+    global scalar subquery broadcasts as a 1-row frame over the
+    part-grain aggregate — the fact contributes one keyed exchange."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    eu = (
+        supp.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(_dec_sum("l_extendedprice", "value"))
+    )
+    total = per_part.agg(
+        (
+            F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avg")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(1.5) * F.col("__avg"))
+        .select("p_partkey", F.round("value", 6).alias("value"))
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+def q12_delay_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay priority). Adapted: no shipmode
+    column, so lines shipped in 1996 are bucketed by ship delay
+    (EARLY/ON_TIME/LATE vs the order date) and each bucket counts
+    urgent-vs-other order priorities — the classic CASE-sum pivot over
+    the fact ⋈ orders join, one exchange into a 3-row group."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay >= 180, "LATE")
+        .when(delay >= 0, "ON_TIME")
+        .otherwise("EARLY")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(bucket.alias("delay_bucket"), high.alias("__h"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("__h"), 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(F.col("__h"), 0).otherwise(1)).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def q16_part_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (part-supplier relationship). Adapted: the
+    part-supplier relation is the distinct (part, supplier) pairs seen
+    in lineitem, and 'complaint' suppliers are those with negative
+    balance (no comment column). Anti-join the excluded suppliers,
+    broadcast the filtered part dim, countDistinct suppliers per
+    (brand, type, size) — one distinct exchange + one group exchange,
+    both partial-aggregated."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ok = rel.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    dims = part.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ok.join(F.broadcast(dims), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q19_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR of three (brand, size-range, quantity-range) conjunctions
+    over the fact ⋈ broadcast(part) join — Catalyst pushes the
+    per-side conjuncts (quantity ranges to the scan, brand/size to the
+    dim) and the residual OR evaluates post-join; single scalar out."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    c1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#25")
+        & F.col("p_size").between(5, 25)
+        & F.col("l_quantity").between(10, 35)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        _dec_sum("l_extendedprice * (1 - l_discount)", "revenue")
+    ).select(F.round("revenue", 6).alias("revenue"))
+
+
+def q20_volume_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion). Adapted: availqty
+    has no source table, so a supplier qualifies if it shipped >25% of
+    some red-named part's total 1996 volume. The nested-IN chain
+    decorrelates into: pair aggregate → per-part total joined back →
+    share filter → distinct suppliers semi-joined to the dim. Two
+    keyed exchanges over the filtered fact, dims broadcast."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier")
+    red = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dec_sum("l_quantity", "pair_qty"))
+    )
+    tot = pairs.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.expr("CAST(pair_qty AS DECIMAL(18,6))"))
+        .cast("double")
+        .alias("__tot")
+    )
+    qualifying = (
+        pairs.join(F.broadcast(tot), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("pair_qty") > F.lit(0.25) * F.col("__tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on
+    finalized multi-supplier orders, count per supplier the orders
+    where it was the ONLY late shipper (late := shipped >180 days
+    after the order date — no receipt/commit dates here). The
+    exists/not-exists self-join pair decorrelates into ONE per-order
+    aggregate (distinct suppliers, distinct late suppliers, the sole
+    late supplier via max-over-case) — one fact exchange instead of
+    two self-joins."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier")
+    lo = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late_supp = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 180,
+        F.col("l_suppkey"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(late_supp).alias("__n_late"),
+        F.max(late_supp).alias("__late_supp"),
+    )
+    qual = per_order.filter(
+        (F.col("__n_supp") > 1) & (F.col("__n_late") == 1)
+    )
+    return (
+        qual.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("__late_supp") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
     """KMV mergeability driven through the correctness gate: the corpus
     is split in half by event-id hash, sketched per half, and the
@@ -2992,6 +3414,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": q_lineitem_correlations,
         "graph_pagerank": q_graph_pagerank,
         # -- rotation tail ---------------------------------------------
+        # Tail TOP block 0: the TPC-H completion set, added late in
+        # round 8 AFTER the head-50 was frozen and locally swept —
+        # never driver-verified, so these lead the r9 head together
+        # with the block below.
+        "q2_min_cost_supp": q2_min_cost_supp,
+        "q4_order_priority": q4_order_priority,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation": q9_profit_by_nation,
+        "q11_important_stock": q11_important_stock,
+        "q12_delay_priority": q12_delay_priority,
+        "q16_part_supplier_cnt": q16_part_supplier_cnt,
+        "q19_brand_revenue": q19_brand_revenue,
+        "q20_volume_suppliers": q20_volume_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -4952,6 +5388,204 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
                               AS DOUBLE), 6) AS totacctbal
             FROM idle GROUP BY 1
+        """,
+        "q2_min_cost_supp": """
+            WITH eu AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), ps AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                       / CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                              AS DOUBLE) AS supplycost
+              FROM lineitem GROUP BY 1, 2
+            ), cand AS (
+              SELECT p_partkey, p_brand, s_acctbal, s_name, n_name,
+                     supplycost
+              FROM ps
+              JOIN part ON l_partkey = p_partkey
+              JOIN eu ON l_suppkey = s_suppkey
+              WHERE p_type = 'LARGE' AND p_size >= 15
+            ), mc AS (
+              SELECT p_partkey AS pk, min(supplycost) AS min_c
+              FROM cand GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                   round(supplycost, 6) AS supplycost
+            FROM cand JOIN mc ON p_partkey = pk AND supplycost = min_c
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND date_diff('day', o_orderdate, l_shipdate) > 90)
+            GROUP BY 1
+        """,
+        "q8_market_share": """
+            WITH j AS (
+              SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS rev,
+                     sn.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT o_year,
+                   round(
+                     CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_7'
+                                   THEN rev ELSE 0 END AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     / CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE),
+                     6) AS mkt_share
+            FROM j GROUP BY 1
+        """,
+        "q9_profit_by_nation": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(CAST(sum(CAST(
+                       l_extendedprice * (1 - l_discount)
+                       - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity
+                       AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "q11_important_stock": """
+            WITH eu AS (
+              SELECT s_suppkey
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), per_part AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS value
+              FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+              GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_v
+              FROM per_part
+            )
+            SELECT p_partkey, round(value, 6) AS value
+            FROM per_part CROSS JOIN tot
+            WHERE value > 1.5 * avg_v
+            ORDER BY value DESC, p_partkey
+        """,
+        "q12_delay_priority": """
+            WITH j AS (
+              SELECT CASE
+                       WHEN date_diff('day', o_orderdate, l_shipdate) >= 180
+                         THEN 'LATE'
+                       WHEN date_diff('day', o_orderdate, l_shipdate) >= 0
+                         THEN 'ON_TIME'
+                       ELSE 'EARLY'
+                     END AS delay_bucket,
+                     o_orderpriority IN ('1-URGENT', '2-HIGH') AS h
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            )
+            SELECT delay_bucket,
+                   -- BIGINT: DuckDB widens sum(int) to HUGEINT
+                   CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM j GROUP BY 1
+        """,
+        "q16_part_supplier_cnt": """
+            WITH rel AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM rel JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q19_brand_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))) AS DOUBLE), 6)
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#25' AND p_size BETWEEN 5 AND 25
+                   AND l_quantity BETWEEN 10 AND 35)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)
+        """,
+        "q20_volume_suppliers": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                          AS DOUBLE) AS pair_qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1, 2
+            ), tot AS (
+              SELECT l_partkey AS pk,
+                     CAST(sum(CAST(pair_qty AS DECIMAL(18,6)))
+                          AS DOUBLE) AS tq
+              FROM pairs GROUP BY 1
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM pairs JOIN tot ON l_partkey = pk
+              WHERE pair_qty > 0.25 * tq)
+            ORDER BY s_suppkey
+        """,
+        "q21_waiting_suppliers": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                            > 180
+                          THEN l_suppkey END AS late_sk
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            ), per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT late_sk) AS n_late,
+                     max(late_sk) AS late_supp
+              FROM lo GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "events_daily_ma": """
             WITH daily AS (

@@ -41,11 +41,21 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",
+    "q2_min_cost_supp",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_stock",
+    "q12_delay_priority",
     "q13_custdist",
     "q14_promo_share",
     "q15_top_supplier",
+    "q16_part_supplier_cnt",
     "q17_small_qty_revenue",
     "q18_large_orders",
+    "q19_brand_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
     "q22_idle_rich",
     "top_suppliers",
     "cube_rollup",
