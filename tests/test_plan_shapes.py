@@ -521,3 +521,48 @@ def test_did_is_single_aggregation_pass(spark, queries):
     plan = plan_of(queries["events_did"](spark, SF))
     assert "Join" not in plan
     assert "partial" in plan.lower()
+
+
+def test_q2_dims_broadcast_fact_aggregates_once(spark, queries):
+    """Q2: the pair aggregate is the only fact-grain exchange; part,
+    supplier-region, and the min-cost frame all broadcast."""
+    plan = plan_of(queries["q2_min_cost_supp"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "partial" in plan.lower()
+
+
+def test_q4_exists_is_semi_join(spark, queries):
+    """Q4: EXISTS compiles to a left-semi join (one probe per order,
+    no duplicate-producing inner join + distinct)."""
+    plan = plan_of(queries["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q8_two_nation_joins_broadcast(spark, queries):
+    """Q8: market (customer-side) and share (supplier-side) nation
+    joins both broadcast; the fact shuffles only for the year group
+    and the orders join."""
+    plan = plan_of(queries["q8_market_share"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_stays_jvm_side(spark, queries):
+    """Q19: the OR-of-ANDs evaluates inside codegen — no Python eval,
+    part broadcasts, single scalar aggregate with a partial pass."""
+    plan = plan_of(queries["q19_brand_revenue"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+
+
+def test_q21_decorrelates_to_single_fact_scan(spark, queries):
+    """Q21: the exists/not-exists self-join pair is ONE per-order
+    aggregate — the lineitem fact is scanned once, not three times."""
+    plan = plan_of(queries["q21_waiting_suppliers"](spark, SF))
+    read_schemas = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema")[1:]
+    ]
+    li_scans = [s for s in read_schemas if "l_suppkey" in s or "l_shipdate" in s]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
