@@ -2664,6 +2664,65 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous label-propagation communities (4 rounds, self-vote,
+    min-label ties — operators/graph.py label_propagation) over the
+    same customer–supplier co-purchase graph PageRank ranks. Pure
+    integer/string arithmetic, so the unrolled SQL replay agrees
+    exactly; three keyed exchanges per round, label frame node-sized
+    and checkpointed."""
+    from intake_esm_spark.operators.graph import label_propagation
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, iters=4)
+
+
+def q_parts_also_bought(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-to-item co-occurrence recommendations (operators/recs.py
+    also_bought): top-3 cosine neighbors per part over order baskets —
+    the within-basket self-join is Σ|b|²-bounded exactly like the
+    basket-rules family, counts exact, cosine a fixed IEEE expression."""
+    from intake_esm_spark.operators.recs import also_bought
+
+    li = load_table(spark, sf, "lineitem")
+    return also_bought(
+        li, "l_orderkey", "l_partkey", top_k=3, min_pair_count=2
+    )
+
+
+def q_events_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier churn curve (operators/survival.py km_survival):
+    per-user duration = days between first and last event, censored if
+    the user was still active in the final 14 days of the corpus. One
+    user-keyed exchange; the at-risk/cumulative windows run over the
+    duration grain (bounded by the calendar)."""
+    from intake_esm_spark.operators.survival import km_survival
+
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__f"), F.max("ts").alias("__l"))
+    )
+    mx = per_user.agg(F.max("__l").alias("__m"))
+    subjects = per_user.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("__l"), F.col("__f")).alias("dur"),
+        (F.col("__l") < F.col("__m") - F.expr("INTERVAL 14 DAYS"))
+        .cast("int")
+        .alias("ev"),
+    )
+    return km_survival(subjects, "dur", "ev")
+
+
 def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
     """KMV mergeability driven through the correctness gate: the corpus
     is split in half by event-id hash, sketched per half, and the
@@ -3428,6 +3487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_brand_revenue": q19_brand_revenue,
         "q20_volume_suppliers": q20_volume_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "graph_label_prop": q_graph_label_prop,
+        "parts_also_bought": q_parts_also_bought,
+        "events_survival": q_events_survival,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -5586,6 +5648,135 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "graph_label_prop": """
+            WITH base AS (
+              SELECT DISTINCT
+                     concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+                     concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), e AS (
+              SELECT src, dst FROM base
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM base
+            ), l0 AS (
+              SELECT DISTINCT src AS node, src AS lbl FROM e
+            ), v1 AS (
+              SELECT e.src AS node, l.lbl FROM e JOIN l0 l ON e.dst = l.node
+              UNION ALL SELECT node, lbl FROM l0
+            ), c1 AS (
+              SELECT node, lbl, count(*) AS cnt FROM v1 GROUP BY 1, 2
+            ), l1 AS (
+              SELECT node, lbl FROM (
+                SELECT node, lbl, row_number() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+                FROM c1) WHERE rn = 1
+            ), v2 AS (
+              SELECT e.src AS node, l.lbl FROM e JOIN l1 l ON e.dst = l.node
+              UNION ALL SELECT node, lbl FROM l1
+            ), c2 AS (
+              SELECT node, lbl, count(*) AS cnt FROM v2 GROUP BY 1, 2
+            ), l2 AS (
+              SELECT node, lbl FROM (
+                SELECT node, lbl, row_number() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+                FROM c2) WHERE rn = 1
+            ), v3 AS (
+              SELECT e.src AS node, l.lbl FROM e JOIN l2 l ON e.dst = l.node
+              UNION ALL SELECT node, lbl FROM l2
+            ), c3 AS (
+              SELECT node, lbl, count(*) AS cnt FROM v3 GROUP BY 1, 2
+            ), l3 AS (
+              SELECT node, lbl FROM (
+                SELECT node, lbl, row_number() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+                FROM c3) WHERE rn = 1
+            ), v4 AS (
+              SELECT e.src AS node, l.lbl FROM e JOIN l3 l ON e.dst = l.node
+              UNION ALL SELECT node, lbl FROM l3
+            ), c4 AS (
+              SELECT node, lbl, count(*) AS cnt FROM v4 GROUP BY 1, 2
+            ), l4 AS (
+              SELECT node, lbl FROM (
+                SELECT node, lbl, row_number() OVER
+                  (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+                FROM c4) WHERE rn = 1
+            )
+            SELECT node, lbl AS community FROM l4
+        """,
+        "parts_also_bought": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem
+            ), sz AS (
+              SELECT b, i, count(*) OVER (PARTITION BY b) AS n FROM bi
+            ), bix AS (
+              SELECT b, i FROM sz WHERE n <= 1000
+            ), ic AS (
+              SELECT i, count(*) AS c FROM bix GROUP BY 1
+            ), p AS (
+              SELECT a.i AS ia, b2.i AS ib, count(*) AS n_both
+              FROM bix a JOIN bix b2 ON a.b = b2.b AND a.i < b2.i
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ), sym AS (
+              SELECT ia, ib, n_both FROM p
+              UNION ALL
+              SELECT ib AS ia, ia AS ib, n_both FROM p
+            ), sc AS (
+              SELECT ia AS item, ib AS neighbor, n_both,
+                     round(CAST(n_both AS DOUBLE)
+                           / sqrt(CAST(ca.c AS DOUBLE)
+                                  * CAST(cb.c AS DOUBLE)), 6) AS cosine
+              FROM sym
+              JOIN ic ca ON ia = ca.i
+              JOIN ic cb ON ib = cb.i
+            )
+            SELECT item, neighbor, n_both, cosine, rank FROM (
+              SELECT item, neighbor, n_both, cosine,
+                     CAST(row_number() OVER
+                       (PARTITION BY item
+                        ORDER BY cosine DESC, neighbor ASC) AS INT) AS rank
+              FROM sc)
+            WHERE rank <= 3
+        """,
+        "events_survival": """
+            WITH pu AS (
+              SELECT user_id, min(ts) AS f, max(ts) AS l
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ), mx AS (
+              SELECT max(l) AS m FROM pu
+            ), subj AS (
+              SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+                          AS INT) AS t,
+                     CASE WHEN l < m - INTERVAL 14 DAY THEN 1 ELSE 0 END AS e
+              FROM pu CROSS JOIN mx
+            ), per_t AS (
+              SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+                     CAST(sum(1 - e) AS BIGINT) AS n_censored,
+                     count(*) AS n_at_t
+              FROM subj GROUP BY 1
+            ), ar AS (
+              SELECT t, n_events, n_censored,
+                     CAST(sum(n_at_t) OVER
+                       (ORDER BY t ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+              FROM per_t
+            ), hz AS (
+              SELECT t, n_at_risk, n_events, n_censored,
+                     CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS h
+              FROM ar
+            )
+            SELECT t, n_at_risk, n_events, n_censored,
+                   round(h, 6) AS hazard,
+                   CASE WHEN max(CASE WHEN h >= 1.0 THEN 1 ELSE 0 END) OVER w
+                          = 1 THEN 0.0
+                        ELSE round(exp(coalesce(
+                               sum(CASE WHEN h < 1.0 THEN ln(1.0 - h) END)
+                                 OVER w, 0.0)), 6)
+                   END AS survival
+            FROM hz
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
         """,
         "events_daily_ma": """
             WITH daily AS (

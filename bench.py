@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "lineitem_correlations",
     "graph_pagerank",
     "graph_triangles",
+    "graph_label_prop",
+    "parts_also_bought",
+    "events_survival",
     "lineitem_winsorized",
     "lineitem_trend",
     "lineitem_benford",

@@ -148,3 +148,62 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    undirected graph: every node starts labeled with its own id and
+    each round adopts the label most frequent among its neighbors PLUS
+    one self-vote (the self-vote damps the label oscillation that pure
+    synchronous LPA exhibits on bipartite graphs and keeps isolated
+    nodes labeled). Ties break to the SMALLEST label, so the algorithm
+    is fully deterministic and an unrolled SQL replay agrees exactly —
+    no float arithmetic anywhere.
+
+    Scale shape: per round, the vote join is node-frame ⋈ edge-frame on
+    the dst key, the vote count is a (node, label)-keyed partial
+    aggregate bounded by the edge count, and the winner pick is a
+    row_number window partitioned by node — three keyed exchanges per
+    round, never node×label dense. The label frame is node-sized
+    throughout and localCheckpointed each round (iteration N's plan
+    would otherwise embed rounds 1..N-1). Returns ``(node, community)``.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("node", F.col("node").alias("__l"))
+    pick = Window.partitionBy("__n").orderBy(
+        F.col("__cnt").desc(), F.col("__l").asc()
+    )
+    for _ in range(iters):
+        nbr = e.join(labels, e["dst"] == labels["node"]).select(
+            F.col("src").alias("__n"), F.col("__l")
+        )
+        votes = nbr.unionAll(
+            labels.select(F.col("node").alias("__n"), F.col("__l"))
+        )
+        counts = votes.groupBy("__n", "__l").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__n").alias("node"), "__l")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("__l").alias("community"))

@@ -95,3 +95,44 @@ def test_triangle_count_no_triangles(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     assert triangle_count(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+
+
+def test_label_prop_path_converges_to_min_label(spark):
+    from intake_esm_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=2).collect()
+    }
+    # hand replay: r1 -> {a:a, b:a, c:b}; r2 -> all 'a'
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_label_prop_components_stay_separate(spark):
+    from intake_esm_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert got["x"] == got["y"] == "x"
+    assert got["a"] == got["b"] == got["c"] == "a"
+
+
+def test_label_prop_validation(spark):
+    from intake_esm_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        label_propagation(df, iters=0)

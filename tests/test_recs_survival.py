@@ -1,0 +1,101 @@
+"""also_bought (operators/recs.py) and km_survival (operators/survival.py)."""
+
+import pytest
+
+from intake_esm_spark.operators.recs import also_bought
+from intake_esm_spark.operators.survival import km_survival
+
+
+def _baskets(spark):
+    rows = [
+        ("b1", "A"), ("b1", "B"), ("b1", "C"),
+        ("b2", "A"), ("b2", "B"),
+        ("b3", "A"), ("b3", "C"),
+        ("b4", "B"), ("b4", "C"), ("b4", "C"),  # dup counts once
+    ]
+    return spark.createDataFrame(rows, "basket string, item string")
+
+
+def test_also_bought_hand_example(spark):
+    out = also_bought(
+        _baskets(spark), "basket", "item", top_k=2, min_pair_count=2
+    ).collect()
+    got = {(r["item"], r["neighbor"]): r for r in out}
+    # every pair co-occurs in exactly 2 baskets; every item is in 3
+    assert set(got) == {
+        ("A", "B"), ("A", "C"), ("B", "A"), ("B", "C"),
+        ("C", "A"), ("C", "B"),
+    }
+    for r in got.values():
+        assert r["n_both"] == 2
+        assert r["cosine"] == pytest.approx(round(2 / 3, 6))
+    # cosine ties rank by neighbor id
+    assert got[("A", "B")]["rank"] == 1 and got[("A", "C")]["rank"] == 2
+
+
+def test_also_bought_min_pair_floor(spark):
+    assert (
+        also_bought(
+            _baskets(spark), "basket", "item", top_k=2, min_pair_count=3
+        ).count()
+        == 0
+    )
+
+
+def test_also_bought_mega_basket_guard(spark):
+    out = also_bought(
+        _baskets(spark),
+        "basket",
+        "item",
+        top_k=2,
+        min_pair_count=1,
+        max_basket_items=2,
+    ).collect()
+    # 3-item basket b1 dropped: only b2 (A,B), b3 (A,C), b4 (B,C) pair up
+    got = {(r["item"], r["neighbor"]): r["n_both"] for r in out}
+    assert got[("A", "B")] == 1 and got[("A", "C")] == 1
+
+
+def test_also_bought_validation(spark):
+    df = _baskets(spark)
+    with pytest.raises(ValueError):
+        also_bought(df, "basket", "item", top_k=0)
+    with pytest.raises(ValueError):
+        also_bought(df, "basket", "item", min_pair_count=0)
+    with pytest.raises(ValueError):
+        also_bought(df, "basket", "item", max_basket_items=1)
+
+
+def test_km_textbook_example(spark):
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)], "dur int, ev int"
+    )
+    rows = {
+        r["t"]: r
+        for r in km_survival(subj, "dur", "ev").collect()
+    }
+    assert rows[1]["n_at_risk"] == 5 and rows[1]["n_events"] == 1
+    assert rows[1]["survival"] == pytest.approx(0.8)
+    assert rows[2]["n_at_risk"] == 4 and rows[2]["n_censored"] == 1
+    assert rows[2]["survival"] == pytest.approx(0.6)
+    assert rows[3]["n_at_risk"] == 2
+    assert rows[3]["survival"] == pytest.approx(0.3)
+    assert rows[4]["n_at_risk"] == 1 and rows[4]["n_events"] == 0
+    # censoring-only time: survival does NOT step down
+    assert rows[4]["survival"] == pytest.approx(0.3)
+    assert rows[4]["hazard"] == 0.0
+
+
+def test_km_survival_reaches_zero(spark):
+    subj = spark.createDataFrame([(1, 1), (1, 1)], "dur int, ev int")
+    r = km_survival(subj, "dur", "ev").collect()[0]
+    assert r["n_at_risk"] == 2 and r["n_events"] == 2
+    assert r["survival"] == 0.0
+
+
+def test_km_nulls_excluded(spark):
+    subj = spark.createDataFrame(
+        [(1, 1), (None, 1), (2, None)], "dur int, ev int"
+    )
+    out = km_survival(subj, "dur", "ev").collect()
+    assert len(out) == 1 and out[0]["n_at_risk"] == 1
