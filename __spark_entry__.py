@@ -2723,6 +2723,38 @@ def q_events_survival(spark: SparkSession, sf: str) -> DataFrame:
     return km_survival(subjects, "dur", "ev")
 
 
+def q_customer_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration (operators/
+    profiling.py gini_coefficient): one customer-keyed exchange, then
+    the rank/moment math over the entity-cardinality frame — the
+    scalar summary behind the ABC/Pareto views."""
+    from intake_esm_spark.operators.profiling import gini_coefficient
+
+    orders = load_table(spark, sf, "orders")
+    return gini_coefficient(orders, "o_custkey", "o_totalprice")
+
+
+def q_events_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence test (operators/experiment.py
+    chi_square_report) between a 3-way user cohort and the event-type
+    mix — the k×k categorical generalization of the A/B z-test. Full
+    r×c grid materialized (observed-zero cells contribute expected
+    mass); 12dp-decimal cell contributions make the cross-cell sum
+    order-independent."""
+    from intake_esm_spark.operators.experiment import chi_square_report
+
+    events = load_table(spark, sf, "events")
+    units = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string")).alias(
+            "grp"
+        ),
+        "event_type",
+    )
+    return chi_square_report(units, "grp", "event_type")
+
+
 def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
     """KMV mergeability driven through the correctness gate: the corpus
     is split in half by event-id hash, sketched per half, and the
@@ -3490,6 +3522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "parts_also_bought": q_parts_also_bought,
         "events_survival": q_events_survival,
+        "customer_gini": q_customer_gini,
+        "events_chi2": q_events_chi2,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -5777,6 +5811,68 @@ def oracle_sql() -> dict[str, str]:
             FROM hz
             WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)
+        """,
+        "customer_gini": """
+            WITH pk AS (
+              SELECT o_custkey AS k,
+                     sum(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+              GROUP BY 1
+            ), r AS (
+              SELECT k, v,
+                     row_number() OVER (ORDER BY v ASC, k ASC) AS rn
+              FROM pk
+            )
+            SELECT count(*) AS n_entities,
+                   round(CAST(sum(v) AS DOUBLE), 6) AS total,
+                   round(
+                     (2.0 * CAST(sum(CAST(CAST(rn AS DECIMAL(20,0)) * v
+                                          AS DECIMAL(38,6))) AS DOUBLE)
+                      - CAST(count(*) + 1 AS DOUBLE)
+                        * CAST(sum(v) AS DOUBLE))
+                     / (CAST(count(*) AS DOUBLE)
+                        * CAST(sum(v) AS DOUBLE)),
+                     6) AS gini
+            FROM r
+        """,
+        "events_chi2": """
+            WITH u AS (
+              SELECT concat('g', CAST(user_id % 3 AS VARCHAR)) AS g,
+                     event_type AS o
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), cells AS (
+              SELECT g, o, count(*) AS obs FROM u GROUP BY 1, 2
+            ), gm AS (
+              SELECT g, CAST(sum(obs) AS BIGINT) AS gt
+              FROM cells GROUP BY 1
+            ), om AS (
+              SELECT o, CAST(sum(obs) AS BIGINT) AS ot
+              FROM cells GROUP BY 1
+            ), nn AS (
+              SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells
+            ), grid AS (
+              SELECT gm.g, om.o,
+                     coalesce(obs, 0) AS obs,
+                     CAST(gt AS DOUBLE) * CAST(ot AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS e,
+                     n
+              FROM gm
+              CROSS JOIN om
+              LEFT JOIN cells ON cells.g = gm.g AND cells.o = om.o
+              CROSS JOIN nn
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n_units,
+                   count(DISTINCT g) AS n_groups,
+                   count(DISTINCT o) AS n_outcomes,
+                   CAST((count(DISTINCT g) - 1) * (count(DISTINCT o) - 1)
+                        AS BIGINT) AS dof,
+                   round(CAST(sum(CAST(round(
+                           (CAST(obs AS DOUBLE) - e)
+                           * (CAST(obs AS DOUBLE) - e) / e, 12)
+                         AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
+            FROM grid
         """,
         "events_daily_ma": """
             WITH daily AS (

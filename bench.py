@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "graph_label_prop",
     "parts_also_bought",
     "events_survival",
+    "customer_gini",
+    "events_chi2",
     "lineitem_winsorized",
     "lineitem_trend",
     "lineitem_benford",

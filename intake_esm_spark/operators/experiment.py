@@ -164,3 +164,73 @@ def did_report(
         F.round(did, 6).alias("did_estimate"),
         F.round(se, 6).alias("did_se"),
     )
+
+
+def chi_square_report(
+    units: DataFrame,
+    group_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    — the k-variant × k-outcome generalization of the two-proportion z
+    in :func:`ab_test_report`. Returns one row ``(n_units, n_groups,
+    n_outcomes, dof, chi2)``; compare ``chi2`` against the critical
+    value for ``dof`` client-side (the CDF is not SQL arithmetic).
+
+    The full r×c grid is materialized (margins cross-joined) so
+    observed-zero cells still contribute their expected mass — the
+    groupBy alone would silently drop them and understate the
+    statistic.
+
+    Scale: one partial-agged exchange over the units; everything after
+    runs on the cell grid (categorical-cardinality², metadata scale,
+    margins broadcast). Determinism: observed counts and margins are
+    exact integers; each cell's ``(o−e)²/e`` quantizes to 12dp
+    DECIMAL(28,12) before the cross-cell sum (a double sum over cells
+    is partition-order-dependent), the pagerank accumulation rule."""
+    cells = (
+        units.filter(
+            F.col(group_col).isNotNull() & F.col(outcome_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(outcome_col).alias("__o")
+        )
+        .agg(F.count(F.lit(1)).alias("__obs"))
+        # feeds both margins and the grid join
+        .localCheckpoint(eager=False)
+    )
+    gm = cells.groupBy("__g").agg(F.sum("__obs").alias("__gt"))
+    om = cells.groupBy("__o").agg(F.sum("__obs").alias("__ot"))
+    nn = cells.agg(F.sum("__obs").alias("__n"))
+    grid = (
+        gm.crossJoin(F.broadcast(om))
+        .join(cells, ["__g", "__o"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "__g",
+            "__o",
+            F.coalesce(F.col("__obs"), F.lit(0)).alias("__obs"),
+            (
+                F.col("__gt").cast("double")
+                * F.col("__ot").cast("double")
+                / F.col("__n").cast("double")
+            ).alias("__e"),
+            "__n",
+        )
+    )
+    contrib = F.round(
+        (F.col("__obs").cast("double") - F.col("__e"))
+        * (F.col("__obs").cast("double") - F.col("__e"))
+        / F.col("__e"),
+        12,
+    ).cast("decimal(28,12)")
+    return grid.agg(
+        F.max("__n").alias("n_units"),
+        F.countDistinct("__g").alias("n_groups"),
+        F.countDistinct("__o").alias("n_outcomes"),
+        (
+            (F.countDistinct("__g") - F.lit(1))
+            * (F.countDistinct("__o") - F.lit(1))
+        ).alias("dof"),
+        F.round(F.sum(contrib).cast("double"), 6).alias("chi2"),
+    )

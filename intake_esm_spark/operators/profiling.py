@@ -507,3 +507,64 @@ def lift_table(
             cum_y.cast("double") / F.col("__yt").cast("double"), 6
         ).alias("cum_capture"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of how unevenly ``value_col`` mass concentrates
+    across ``key_col`` entities (0 = perfectly even, →1 = one entity
+    holds everything) — the summary statistic behind the ABC/Pareto
+    views: ``G = (2·Σ i·vᵢ − (n+1)·Σv) / (n·Σv)`` over the per-entity
+    totals sorted ascending.
+
+    Scale shape: ONE corpus exchange (the entity-keyed partial-agged
+    rollup); the rank window and the i·vᵢ aggregate run over the
+    ENTITY-cardinality frame — the same documented unpartitioned-window
+    class as RFM/ABC (entity grain, not event grain).
+
+    Determinism: per-entity totals accumulate as DECIMAL(18,6); ranks
+    are integers with the entity id as tiebreak (equal values produce
+    the same G either way — the formula is tie-invariant — but the
+    tiebreak keeps intermediate frames engine-identical); Σ i·vᵢ stays
+    DECIMAL(38,6), so the final expression is one fixed IEEE division.
+    Returns one row ``(n_entities, total, gini)``."""
+    from pyspark.sql import Window
+
+    per_key = (
+        df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(
+            F.sum(F.expr(f"CAST({value_col} AS DECIMAL(18,6))")).alias("__v")
+        )
+    )
+    ranked = per_key.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy(F.col("__v").asc(), F.col("__k").asc())),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.round(
+            F.sum(F.col("__v").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total"),
+        F.round(
+            (
+                F.lit(2.0)
+                * F.sum(
+                    F.expr(
+                        "CAST(CAST(__rn AS DECIMAL(20,0)) * __v"
+                        " AS DECIMAL(38,6))"
+                    )
+                ).cast("double")
+                - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+                * F.sum(F.col("__v")).cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("__v")).cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )

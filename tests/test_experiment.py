@@ -119,3 +119,41 @@ def test_did_report_singleton_cell_nulls_se(spark):
     r = did_report(df, "grp", "period", "obs").collect()[0].asDict()
     assert r["did_estimate"] == 0.5
     assert r["did_se"] is None  # n=1 cells -> no variance estimate
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence
+
+
+def _chi2(spark, rows):
+    from intake_esm_spark.operators.experiment import chi_square_report
+
+    df = spark.createDataFrame(rows, "g string, o string")
+    return chi_square_report(df, "g", "o").collect()[0]
+
+
+def test_chi2_hand_example(spark):
+    # 2x2: g1 (a:10, b:20), g2 (a:20, b:10); e = 15 everywhere
+    rows = (
+        [("g1", "a")] * 10 + [("g1", "b")] * 20
+        + [("g2", "a")] * 20 + [("g2", "b")] * 10
+    )
+    r = _chi2(spark, rows)
+    assert r["n_units"] == 60 and r["dof"] == 1
+    assert r["chi2"] == round(4 * 25 / 15, 6)
+
+
+def test_chi2_zero_cells_contribute_expected_mass(spark):
+    # g1 only 'a', g2 only 'b' -> the two observed-zero cells carry e=2.5
+    rows = [("g1", "a")] * 5 + [("g2", "b")] * 5
+    r = _chi2(spark, rows)
+    assert r["chi2"] == 10.0 and r["dof"] == 1
+
+
+def test_chi2_independent_is_zero(spark):
+    rows = (
+        [("g1", "a")] * 6 + [("g1", "b")] * 3
+        + [("g2", "a")] * 4 + [("g2", "b")] * 2
+    )
+    r = _chi2(spark, rows)
+    assert r["chi2"] == 0.0

@@ -303,3 +303,37 @@ def test_lift_table_validation(spark):
 
     with _pt.raises(ValueError):
         lift_table(df, "score", "y", "id", n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+# gini
+
+
+def test_gini_uniform_is_zero(spark):
+    from intake_esm_spark.operators.profiling import gini_coefficient
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 1.0), ("d", 1.0)], "k string, v double"
+    )
+    r = gini_coefficient(df, "k", "v").collect()[0]
+    assert r["n_entities"] == 4 and r["total"] == 4.0 and r["gini"] == 0.0
+
+
+def test_gini_concentrated(spark):
+    from intake_esm_spark.operators.profiling import gini_coefficient
+
+    # v sorted asc = 0,0,0,4 -> G = (2*16 - 5*4) / (4*4) = 0.75
+    df = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0), ("c", 0.0), ("d", 4.0)], "k string, v double"
+    )
+    r = gini_coefficient(df, "k", "v").collect()[0]
+    assert r["gini"] == 0.75
+
+
+def test_gini_excludes_nulls(spark):
+    from intake_esm_spark.operators.profiling import gini_coefficient
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", None), (None, 5.0)], "k string, v double"
+    )
+    assert gini_coefficient(df, "k", "v").collect()[0]["n_entities"] == 1
