@@ -2755,6 +2755,44 @@ def q_events_chi2(spark: SparkSession, sf: str) -> DataFrame:
     return chi_square_report(units, "grp", "event_type")
 
 
+def q_events_theilsen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend (operators/timeseries.py
+    theil_sen_trend): median of pairwise slopes over the day-grain
+    frame — one corpus exchange, the days² pair join is
+    calendar-bounded; medians pick ELEMENTS by rank (no percentile
+    interpolation formula), so both engines select identical doubles."""
+    from intake_esm_spark.operators.timeseries import theil_sen_trend
+
+    events = load_table(spark, sf, "events")
+    return theil_sen_trend(
+        events.filter(F.col("event_type") == "purchase")
+    )
+
+
+def q_events_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney rank-sum test (operators/experiment.py
+    mannwhitney_report) on per-user purchase revenue between the
+    even/odd user cohorts — midranks via 2·midrank = 2·cum − t + 1
+    (INTEGER, so rank sums accumulate as exact DECIMAL(38,0)); the
+    statistic is one fixed IEEE expression over exact integers."""
+    from intake_esm_spark.operators.experiment import mannwhitney_report
+
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(_dec_sum("value", "rev"))
+    )
+    units = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c").alias("grp"),
+        "rev",
+    )
+    return mannwhitney_report(units, "grp", "rev", "t", "c")
+
+
 def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
     """KMV mergeability driven through the correctness gate: the corpus
     is split in half by event-id hash, sketched per half, and the
@@ -3524,6 +3562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": q_events_survival,
         "customer_gini": q_customer_gini,
         "events_chi2": q_events_chi2,
+        "events_theilsen": q_events_theilsen,
+        "events_mannwhitney": q_events_mannwhitney,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -5873,6 +5913,107 @@ def oracle_sql() -> dict[str, str]:
                            * (CAST(obs AS DOUBLE) - e) / e, 12)
                          AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
             FROM grid
+        """,
+        "events_theilsen": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6)) AS rd
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), d2 AS (
+              SELECT date_diff('day', DATE '1970-01-01', day) AS dn, rd
+              FROM daily
+            ), slopes AS (
+              SELECT CAST(b.rd - a.rd AS DOUBLE)
+                       / CAST(b.dn - a.dn AS DOUBLE) AS s
+              FROM d2 a JOIN d2 b ON a.dn < b.dn
+            ), rs AS (
+              SELECT s, row_number() OVER (ORDER BY s ASC) AS rn
+              FROM slopes
+            ), np AS (
+              SELECT count(*) AS n FROM slopes
+            ), sl AS (
+              SELECT sum(s) / CAST(count(*) AS DOUBLE) AS slope
+              FROM rs CROSS JOIN np
+              WHERE rn IN ((n + 1) // 2, n // 2 + 1)
+            ), res AS (
+              SELECT CAST(rd AS DOUBLE) - slope * CAST(dn AS DOUBLE) AS r,
+                     slope
+              FROM d2 CROSS JOIN sl
+            ), rr AS (
+              SELECT r, slope, row_number() OVER (ORDER BY r ASC) AS rn
+              FROM res
+            ), nd AS (
+              SELECT count(*) AS n FROM d2
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_days,
+                   (SELECT CAST(count(*) AS BIGINT) FROM slopes)
+                     AS n_pairs,
+                   round(max(slope), 6) AS slope,
+                   round(sum(r) / CAST(count(*) AS DOUBLE), 6) AS intercept
+            FROM rr CROSS JOIN nd
+            WHERE rn IN ((n + 1) // 2, n // 2 + 1)
+        """,
+        "events_mannwhitney": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS g,
+                     rev
+              FROM pu
+            ), pv AS (
+              SELECT rev AS val,
+                     CAST(sum(CASE WHEN g = 't' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ct,
+                     count(*) AS c
+              FROM u GROUP BY 1
+            ), rk AS (
+              SELECT val, ct, c,
+                     sum(c) OVER (ORDER BY val ASC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM pv
+            ), m AS (
+              SELECT CAST(sum(ct) AS BIGINT) AS n1,
+                     CAST(sum(c) - sum(ct) AS BIGINT) AS n2,
+                     CAST(sum(CAST(ct * (2 * cum - c + 1)
+                                   AS DECIMAL(38,0))) AS DOUBLE) AS r2,
+                     CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c - c)
+                          AS DOUBLE) AS tt
+              FROM rk
+            ), f AS (
+              SELECT n1, n2, r2, tt,
+                     CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+              FROM m
+            ), v AS (
+              SELECT n1, n2, r2, n1d, n2d,
+                     n1d * n2d / 12.0
+                       * ((n1d + n2d + 1.0)
+                          - tt / ((n1d + n2d) * (n1d + n2d - 1.0)))
+                       AS var
+              FROM f
+            )
+            SELECT n1 AS n_treat, n2 AS n_control,
+                   CASE WHEN n1 > 0 AND n2 > 0
+                        THEN round(r2 / 2.0
+                                   - n1d * (n1d + 1.0) / 2.0, 6)
+                   END AS u_stat,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND var > 0
+                        THEN round((r2 / 2.0 - n1d * (n1d + 1.0) / 2.0
+                                    - n1d * n2d / 2.0) / sqrt(var), 6)
+                   END AS z,
+                   CAST(coalesce(
+                     abs(CASE WHEN n1 > 0 AND n2 > 0 AND var > 0
+                              THEN round((r2 / 2.0
+                                          - n1d * (n1d + 1.0) / 2.0
+                                          - n1d * n2d / 2.0)
+                                         / sqrt(var), 6) END)
+                       >= 1.959964, false) AS INT) AS significant
+            FROM v
         """,
         "events_daily_ma": """
             WITH daily AS (

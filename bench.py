@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "events_survival",
     "customer_gini",
     "events_chi2",
+    "events_theilsen",
+    "events_mannwhitney",
     "lineitem_winsorized",
     "lineitem_trend",
     "lineitem_benford",

@@ -234,3 +234,88 @@ def chi_square_report(
         ).alias("dof"),
         F.round(F.sum(contrib).cast("double"), 6).alias("chi2"),
     )
+
+
+def mannwhitney_report(
+    units: DataFrame,
+    group_col: str,
+    value_col: str,
+    treatment: str,
+    control: str,
+    z_threshold: float = 1.959964,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the nonparametric
+    companion to :func:`ab_test_report` for CONTINUOUS outcomes
+    (revenue per user, latency): does the treatment distribution
+    stochastically dominate the control, without assuming normality?
+    Uses midranks for ties, the normal approximation with the standard
+    tie correction ``var = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1)))``, and no
+    continuity correction (one fewer arbitrary constant to replicate).
+
+    Scale shape: one value-keyed exchange collapses the units to the
+    distinct-value grain; the rank window and the final moments run
+    over that bounded frame (values repeat heavily in practice; the
+    worst case is units-sized, same class as the RFM ntile).
+
+    Determinism: ``2·midrank = 2·cumcount − t + 1`` is an INTEGER, so
+    the rank sum ``2·R₁`` and the tie term accumulate as exact
+    DECIMAL(38,0) — the whole statistic reduces to one fixed IEEE
+    expression over exact integers. Returns one row ``(n_treat,
+    n_control, u_stat, z, significant)``; z is null when either group
+    is empty or the variance degenerates (all values tied)."""
+    from pyspark.sql import Window
+
+    two = units.filter(
+        F.col(group_col).isin(treatment, control)
+        & F.col(value_col).isNotNull()
+    )
+    per_v = two.groupBy(F.col(value_col).alias("__val")).agg(
+        F.sum(
+            (F.col(group_col) == treatment).cast("bigint")
+        ).alias("__ct"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    w = Window.orderBy(F.col("__val").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_v.withColumn("__cum", F.sum("__c").over(w))
+    # 2·midrank(v) = 2·cum − c + 1 (integer); R1·2 = Σ ct·that
+    two_r1 = F.sum(
+        F.expr(
+            "CAST(__ct * (2 * __cum - __c + 1) AS DECIMAL(38,0))"
+        )
+    )
+    ties = F.sum(
+        F.expr("CAST(__c AS DECIMAL(38,0)) * __c * __c - __c")
+    )
+    m = ranked.agg(
+        F.sum("__ct").alias("__n1"),
+        (F.sum("__c") - F.sum("__ct")).alias("__n2"),
+        two_r1.cast("double").alias("__2r1"),
+        ties.cast("double").alias("__tt"),
+    )
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    nn = n1 + n2
+    u1 = F.col("__2r1") / F.lit(2.0) - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    var = (
+        n1
+        * n2
+        / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("__tt") / (nn * (nn - F.lit(1.0))))
+    )
+    z = F.when(
+        (F.col("__n1") > 0) & (F.col("__n2") > 0) & (var > 0),
+        (u1 - n1 * n2 / F.lit(2.0)) / F.sqrt(var),
+    )
+    return m.select(
+        F.col("__n1").alias("n_treat"),
+        F.col("__n2").alias("n_control"),
+        F.when(
+            (F.col("__n1") > 0) & (F.col("__n2") > 0), F.round(u1, 6)
+        ).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(
+            (F.abs(F.round(z, 6)) >= z_threshold).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -314,3 +314,95 @@ def seasonal_naive_backtest(
         F.round(mae1, 6).alias("naive1_mae"),
         F.round(mae / mae1, 6).alias("mase_vs_naive1"),
     )
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil-Sen robust trend over the daily totals: the median of all
+    pairwise slopes ``(v_j − v_i)/(d_j − d_i)``, with the intercept as
+    the median residual ``v_i − slope·d_i`` — resistant to ~29%
+    outlier days, where the OLS line in :func:`trend_lines`' family
+    tips over for a single bad day.
+
+    Scale shape: one day-grain exchange, then the pair self-join and
+    both medians run over the CALENDAR-bounded day frame (days² pairs
+    — 365 days is 66k rows, still metadata scale; the corpus itself
+    never self-joins).
+
+    Determinism: slopes divide a decimal-exact revenue difference by
+    an integer day difference (one IEEE division — identical in both
+    engines); the median picks ELEMENTS by row position and averages
+    the middle two (no percentile interpolation formula, whose
+    expression shape differs across engines). Returns one row
+    ``(n_days, n_pairs, slope, intercept)``."""
+    from pyspark.sql import Window
+
+    daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
+        eager=False
+    )
+    a = daily.select(
+        F.col("__dn").alias("__da"), F.col("__rd").alias("__va")
+    )
+    b = daily.select(
+        F.col("__dn").alias("__db"), F.col("__rd").alias("__vb")
+    )
+    slopes = (
+        a.crossJoin(b)
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            (
+                (F.col("__vb") - F.col("__va")).cast("double")
+                / (F.col("__db") - F.col("__da")).cast("double")
+            ).alias("__s")
+        )
+        .localCheckpoint(eager=False)  # feeds count + both middle picks
+    )
+
+    # median by POSITION: rank, filter to the two middle rows, average —
+    # no percentile interpolation formula (whose expression shape
+    # differs across engines); day-grain counts are driver-safe
+    n_pairs = slopes.count()
+    if n_pairs == 0:
+        return daily.agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.lit(0).cast("bigint").alias("n_pairs"),
+            F.lit(None).cast("double").alias("slope"),
+            F.lit(None).cast("double").alias("intercept"),
+        )
+    lo, hi = (n_pairs + 1) // 2, n_pairs // 2 + 1
+    w = Window.orderBy(F.col("__s").asc())
+    slope_row = (
+        slopes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn").isin(lo, hi))
+        .agg(
+            (F.sum("__s") / F.count(F.lit(1)).cast("double")).alias(
+                "__slope"
+            )
+        )
+    )
+    resid = daily.crossJoin(F.broadcast(slope_row)).select(
+        (
+            F.col("__rd").cast("double")
+            - F.col("__slope") * F.col("__dn").cast("double")
+        ).alias("__r"),
+        "__slope",
+    )
+    n_days = daily.count()
+    rlo, rhi = (n_days + 1) // 2, n_days // 2 + 1
+    wr = Window.orderBy(F.col("__r").asc())
+    out = (
+        resid.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn").isin(rlo, rhi))
+        .agg(
+            F.lit(n_days).cast("bigint").alias("n_days"),
+            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+            F.round(F.max("__slope"), 6).alias("slope"),
+            F.round(
+                F.sum("__r") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("intercept"),
+        )
+    )
+    return out

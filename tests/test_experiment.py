@@ -157,3 +157,39 @@ def test_chi2_independent_is_zero(spark):
     )
     r = _chi2(spark, rows)
     assert r["chi2"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U
+
+
+def _mw(spark, rows):
+    from intake_esm_spark.operators.experiment import mannwhitney_report
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    return mannwhitney_report(df, "g", "v", "t", "c").collect()[0]
+
+
+def test_mannwhitney_separated_groups(spark):
+    # t = {1,2,3}, c = {4,5,6}: R1 = 6, U1 = 0, var = 5.25
+    rows = [("t", 1.0), ("t", 2.0), ("t", 3.0),
+            ("c", 4.0), ("c", 5.0), ("c", 6.0)]
+    r = _mw(spark, rows)
+    assert r["n_treat"] == 3 and r["n_control"] == 3
+    assert r["u_stat"] == 0.0
+    assert r["z"] == round(-4.5 / 5.25 ** 0.5, 6)
+    assert r["significant"] == 1
+
+
+def test_mannwhitney_all_tied_degenerates(spark):
+    rows = [("t", 1.0), ("t", 1.0), ("c", 1.0), ("c", 1.0)]
+    r = _mw(spark, rows)
+    # midrank 2.5 each -> U1 = 2 exactly; tie correction kills the var
+    assert r["u_stat"] == 2.0
+    assert r["z"] is None and r["significant"] == 0
+
+
+def test_mannwhitney_empty_group(spark):
+    r = _mw(spark, [("t", 1.0), ("t", 2.0)])
+    assert r["n_control"] == 0
+    assert r["u_stat"] is None and r["z"] is None

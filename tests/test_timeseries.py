@@ -319,3 +319,44 @@ def test_seasonal_naive_validation(spark):
     ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
     with pytest.raises(ValueError):
         seasonal_naive_backtest(df, season=0)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen
+
+
+def _ts_events(spark, day_values):
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d, 12, 0, 0), float(v))
+        for d, v in day_values
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_theil_sen_perfect_line(spark):
+    from intake_esm_spark.operators.timeseries import theil_sen_trend
+
+    df = _ts_events(spark, [(d, 10 * (d + 1)) for d in range(5)])
+    r = theil_sen_trend(df).collect()[0]
+    assert r["n_days"] == 5 and r["n_pairs"] == 10
+    assert r["slope"] == 10.0
+
+
+def test_theil_sen_resists_outlier_day(spark):
+    from intake_esm_spark.operators.timeseries import theil_sen_trend
+
+    df = _ts_events(spark, [(0, 10), (1, 20), (2, 30), (3, 40), (4, 1000)])
+    r = theil_sen_trend(df).collect()[0]
+    # 6 of 10 pairwise slopes are exactly 10 -> the median ignores the spike
+    assert r["slope"] == 10.0
+
+
+def test_theil_sen_single_day(spark):
+    from intake_esm_spark.operators.timeseries import theil_sen_trend
+
+    df = _ts_events(spark, [(0, 10)])
+    r = theil_sen_trend(df).collect()[0]
+    assert r["n_days"] == 1 and r["n_pairs"] == 0
+    assert r["slope"] is None and r["intercept"] is None
