@@ -208,6 +208,83 @@ def main() -> None:
     ).count()
     out["debounced_survivors"] = n_deb
 
+    # --- late round-8 additions: communities, recs, survival, stats
+    from intake_esm_spark.operators.experiment import (
+        chi_square_report,
+        mannwhitney_report,
+    )
+    from intake_esm_spark.operators.graph import label_propagation
+    from intake_esm_spark.operators.profiling import gini_coefficient
+    from intake_esm_spark.operators.recs import also_bought
+    from intake_esm_spark.operators.survival import km_survival
+    from intake_esm_spark.operators.timeseries import theil_sen_trend
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    communities = label_propagation(edges, iters=4)
+    n_comm = communities.select("community").distinct().count()
+    assert 0 < n_comm <= communities.count()
+    out["lpa_communities"] = n_comm
+
+    recs = also_bought(li, "l_orderkey", "l_partkey", top_k=3)
+    assert recs.filter(F.col("rank") > 3).count() == 0
+    out["also_bought_rows"] = recs.count()
+
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    )
+    mxl = per_user.agg(F.max("l").alias("m"))
+    subj = per_user.crossJoin(F.broadcast(mxl)).select(
+        F.datediff("l", "f").alias("dur"),
+        (F.col("l") < F.col("m") - F.expr("INTERVAL 14 DAYS"))
+        .cast("int")
+        .alias("ev"),
+    )
+    km = km_survival(subj, "dur", "ev").orderBy("t").collect()
+    surv = [r["survival"] for r in km]
+    assert all(a >= b for a, b in zip(surv, surv[1:])), "KM must not rise"
+    out["km_curve_points"] = len(km)
+
+    gini = gini_coefficient(orders, "o_custkey", "o_totalprice").collect()[0]
+    assert 0.0 <= gini["gini"] < 1.0
+    out["customer_gini"] = gini["gini"]
+
+    chi = chi_square_report(
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        ).select(
+            (F.col("user_id") % 3).cast("string").alias("g"), "event_type"
+        ),
+        "g",
+        "event_type",
+    ).collect()[0]
+    assert chi["chi2"] >= 0.0 and chi["dof"] >= 1
+    out["chi2"] = chi["chi2"]
+
+    mw = mannwhitney_report(
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        ).select(
+            F.when(F.col("user_id") % 2 == 0, "t").otherwise("c").alias("g"),
+            "value",
+        ),
+        "g",
+        "value",
+        "t",
+        "c",
+    ).collect()[0]
+    assert mw["u_stat"] is not None
+    out["mannwhitney_z"] = mw["z"]
+
+    trend = theil_sen_trend(
+        events.filter(F.col("event_type") == "purchase")
+    ).collect()[0]
+    assert trend["n_pairs"] > 0 and trend["slope"] is not None
+    out["theil_sen_slope"] = trend["slope"]
+
     print(json.dumps(out))
 
 
