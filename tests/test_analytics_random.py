@@ -11,6 +11,7 @@ import hashlib
 import random
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 STEPS = ["signup", "view", "purchase"]
 TYPES = STEPS + ["click", "error"]
@@ -145,3 +146,106 @@ def test_chunking_matches_python_reference(spark, seed):
             if s + ov >= len(text):
                 break
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-8 statistical operators: randomized invariants
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gini_bounds_and_scale_invariance(spark, kv):
+    from intake_esm_spark.operators.profiling import gini_coefficient
+
+    rows = [(str(k), float(v)) for k, v in kv]
+    if sum(v for _, v in rows) == 0:
+        return
+    df = spark.createDataFrame(rows, "k string, v double")
+    g1 = gini_coefficient(df, "k", "v").collect()[0]["gini"]
+    assert 0.0 <= g1 < 1.0
+    # scaling every value by a constant cannot change concentration
+    df2 = spark.createDataFrame([(k, v * 3.0) for k, v in rows], "k string, v double")
+    g2 = gini_coefficient(df2, "k", "v").collect()[0]["gini"]
+    assert abs(g1 - g2) <= 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), st.sampled_from(["a", "b"])),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_chi2_nonnegative_and_proportional_rows_are_independent(spark, rows):
+    from intake_esm_spark.operators.experiment import chi_square_report
+
+    groups = {g for g, _ in rows}
+    outcomes = {o for _, o in rows}
+    if len(groups) < 2 or len(outcomes) < 2:
+        return
+    df = spark.createDataFrame(rows, "g string, o string")
+    r = chi_square_report(df, "g", "o").collect()[0]
+    assert r["chi2"] >= 0.0
+    assert r["dof"] == (len(groups) - 1) * (len(outcomes) - 1)
+    # duplicating every unit leaves independence structure intact: chi2 doubles
+    df2 = spark.createDataFrame(rows + rows, "g string, o string")
+    r2 = chi_square_report(df2, "g", "o").collect()[0]
+    assert abs(r2["chi2"] - 2 * r["chi2"]) <= 1e-5
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=12),
+)
+def test_mannwhitney_label_swap_symmetry(spark, tv, cv):
+    """U1 + U2 = n1*n2: swapping the labels must give the complement."""
+    from intake_esm_spark.operators.experiment import mannwhitney_report
+
+    rows = [("t", float(v)) for v in tv] + [("c", float(v)) for v in cv]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r1 = mannwhitney_report(df, "g", "v", "t", "c").collect()[0]
+    r2 = mannwhitney_report(df, "g", "v", "c", "t").collect()[0]
+    assert r1["u_stat"] + r2["u_stat"] == len(tv) * len(cv)
+    if r1["z"] is not None:
+        assert abs(r1["z"] + r2["z"]) <= 2e-6
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_label_prop_edge_order_invariant(spark, pairs, rnd):
+    from intake_esm_spark.operators.graph import label_propagation
+
+    edges = [
+        (f"n{a}", f"n{b}") for a, b in pairs if a != b
+    ]
+    if not edges:
+        return
+    df1 = spark.createDataFrame(edges, "src string, dst string")
+    shuffled = edges[:]
+    rnd.shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "src string, dst string")
+    got1 = sorted(map(tuple, label_propagation(df1, iters=3).collect()))
+    got2 = sorted(map(tuple, label_propagation(df2, iters=3).collect()))
+    assert got1 == got2
