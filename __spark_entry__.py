@@ -2793,6 +2793,46 @@ def q_events_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     return mannwhitney_report(units, "grp", "rev", "t", "c")
 
 
+def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """TARGET = the English docs (the distribution to select toward),
+    RAW = everything else (the pool) — the DSIR demo split."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+
+
+def q_docs_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR hashed-ngram importance model (operators/selection.py
+    dsir_bucket_weights): per-bucket add-1-smoothed log-likelihood-ratio
+    weights between the English target split and the non-English pool —
+    two map-side-combined B-bounded aggregations + a full-outer bucket
+    join; corpus totals via a window over the <=512-row bucket frame.
+    Weights are ln over exact integer counts rounded to 9dp (the
+    docs_bm25 ln precedent)."""
+    from intake_esm_spark.operators.selection import dsir_bucket_weights
+
+    target, raw = _dsir_splits(spark, sf)
+    w = dsir_bucket_weights(target, raw, n_buckets=512)
+    return w.select(
+        "bucket", "n_target", "n_raw", F.col("w").cast("double").alias("w")
+    )
+
+
+def q_docs_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling end-to-end (operators/selection.py
+    dsir_select): fit the hashed bag-of-ngrams model on each split,
+    score the pool docs by their broadcast-joined DECIMAL(18,9) weight
+    sums (order-independent), keep the top-50 by (score desc, doc_id) —
+    TakeOrderedAndProject, never a global sort. The 'make the pool look
+    like the target' pretraining selection stage (Xie et al. 2023)."""
+    from intake_esm_spark.operators.selection import dsir_select
+
+    target, raw = _dsir_splits(spark, sf)
+    return dsir_select(target, raw, k=50, n_buckets=512)
+
+
 def q_events_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
     """KMV mergeability driven through the correctness gate: the corpus
     is split in half by event-id hash, sketched per half, and the
@@ -3564,6 +3604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2": q_events_chi2,
         "events_theilsen": q_events_theilsen,
         "events_mannwhitney": q_events_mannwhitney,
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "docs_dsir": q_docs_dsir,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6014,6 +6056,104 @@ def oracle_sql() -> dict[str, str]:
                                          / sqrt(var), 6) END)
                        >= 1.959964, false) AS INT) AS significant
             FROM v
+        """,
+        # replays operators/selection.py: hashed unigram+bigram features
+        # (md5-60 mod 512), add-1-smoothed per-bucket log-likelihood
+        # ratio between the en/non-en splits, 9dp-decimal weights.
+        "docs_dsir_weights": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split({_NORM_TEXT_SQL}, ' '),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), feats AS (
+              SELECT doc_id, lang,
+                     unnest(ws || CASE WHEN len(ws) >= 2
+                       THEN list_transform(
+                              generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i + 1])
+                       ELSE [] END) AS f
+              FROM tok
+            ), b AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT)
+                       % 512 AS bucket
+              FROM feats
+            ), ct AS (
+              SELECT bucket, count(*) AS nt FROM b
+              WHERE lang = 'en' GROUP BY 1
+            ), cr AS (
+              SELECT bucket, count(*) AS nr FROM b
+              WHERE lang <> 'en' GROUP BY 1
+            ), bo AS (
+              SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+                     coalesce(nt, 0) AS n_target,
+                     coalesce(nr, 0) AS n_raw
+              FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket
+            )
+            SELECT bucket, n_target, n_raw,
+                   CAST(CAST(round(
+                     ln(n_target + 1.0)
+                     - ln(CAST(sum(n_target) OVER () AS DOUBLE) + 512.0)
+                     - ln(n_raw + 1.0)
+                     + ln(CAST(sum(n_raw) OVER () AS DOUBLE) + 512.0),
+                   9) AS DECIMAL(18,9)) AS DOUBLE) AS w
+            FROM bo
+        """,
+        # same model, then per-pool-doc decimal weight sums and the
+        # top-50 selection by (score desc, doc_id).
+        "docs_dsir": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split({_NORM_TEXT_SQL}, ' '),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), feats AS (
+              SELECT doc_id, lang,
+                     unnest(ws || CASE WHEN len(ws) >= 2
+                       THEN list_transform(
+                              generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i + 1])
+                       ELSE [] END) AS f
+              FROM tok
+            ), b AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT)
+                       % 512 AS bucket
+              FROM feats
+            ), ct AS (
+              SELECT bucket, count(*) AS nt FROM b
+              WHERE lang = 'en' GROUP BY 1
+            ), cr AS (
+              SELECT bucket, count(*) AS nr FROM b
+              WHERE lang <> 'en' GROUP BY 1
+            ), bo AS (
+              SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+                     coalesce(nt, 0) AS n_target,
+                     coalesce(nr, 0) AS n_raw
+              FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket
+            ), w AS (
+              SELECT bucket,
+                     CAST(round(
+                       ln(n_target + 1.0)
+                       - ln(CAST(sum(n_target) OVER () AS DOUBLE) + 512.0)
+                       - ln(n_raw + 1.0)
+                       + ln(CAST(sum(n_raw) OVER () AS DOUBLE) + 512.0),
+                     9) AS DECIMAL(18,9)) AS w
+              FROM bo
+            ), sc AS (
+              SELECT b.doc_id, count(*) AS n_feats,
+                     round(CAST(sum(w.w) AS DOUBLE), 6) AS score
+              FROM b JOIN w USING (bucket)
+              WHERE b.lang <> 'en'
+              GROUP BY 1
+            )
+            SELECT doc_id, n_feats, score,
+                   CAST(row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+            FROM sc
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 50
         """,
         "events_daily_ma": """
             WITH daily AS (

@@ -1,0 +1,208 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Given a small TARGET corpus (the distribution you want more of — e.g.
+curated wiki/books text) and a huge RAW pool, Data Selection with
+Importance Resampling (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling") scores every raw document by the
+log-likelihood ratio of a hashed bag-of-ngrams model fit on each side,
+then keeps the top-scoring documents. It is the standard cheap
+"make the pretraining pool look like the target" selection stage.
+
+No reference analogue (intake-esm is a catalog engine) — extension per
+SURVEY §2.9's training-pipeline charter.
+
+Scale design (the whole point at 100 TB):
+* features are word unigrams + adjacent bigrams hashed into
+  ``n_buckets`` (default 4096) buckets via the engine-portable md5-60
+  hash — the model is a FIXED-SIZE vector regardless of corpus size;
+* each side's bucket counts are ONE map-side-combined aggregation whose
+  output is ≤ ``n_buckets`` rows; the raw pool and target are each
+  scanned exactly once for fitting;
+* the per-bucket log-ratio weight table (≤ ``n_buckets`` rows) is
+  **broadcast** to score the pool — scoring is scan → in-row tokenize →
+  explode → broadcast hash join → one doc-keyed map-side-combined sum.
+  The raw corpus never shuffles at feature grain beyond that partial
+  aggregation;
+* selection is top-k by (score desc, id) via ``TakeOrderedAndProject``
+  (per-partition heaps + driver merge of k rows), never a global sort.
+  For frac-of-corpus selection at scale, compute the threshold score
+  once (``group_quantiles`` with ``exact=False`` on the doc-grain score
+  frame) and broadcast it as a filter instead.
+
+Engine-exactness (the oracle contract): bucket ids are md5-60 mod B
+(non-negative, so ``%`` and ``pmod`` agree across engines); weights are
+``ln`` over EXACT integer counts rounded to 9 decimals and accumulated
+per document as DECIMAL(20,9) — order-independent sums, so the score is
+bit-identical across partitionings and engines (``ln`` agrees to the
+last ulp on identical libm inputs — the docs_bm25/docs_tfidf precedent);
+final scores round to 6 decimals with the doc id as total tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from intake_esm_spark.functions.text import portable_hash60, words_array
+
+
+def _feature_stream(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """Explode each document into its hashed feature occurrences
+    (``id_cols...``, ``__feat``): non-empty word unigrams plus adjacent
+    bigrams over the normalized token array. The token array is
+    materialized in its own projection first (the ``words_array`` lambda
+    rule: expressions inlined into higher-order lambdas re-evaluate per
+    element). Null-text rows yield no features."""
+    w = df.filter(F.col(text_col).isNotNull()).select(
+        *id_cols,
+        F.filter(words_array(F.col(text_col)), lambda t: t != "").alias("__w"),
+    )
+    feats = F.concat(
+        F.col("__w"),
+        F.when(F.size("__w") >= 2, F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+            ),
+        )).otherwise(F.array().cast("array<string>")),
+    )
+    return w.select(*id_cols, F.explode(feats).alias("__feat"))
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    return F.pmod(portable_hash60(col), F.lit(n_buckets)).cast("int")
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, out: str
+) -> DataFrame:
+    """(bucket, <out>) hashed-feature occurrence counts — one map-side-
+    combined aggregation, ≤ n_buckets output rows."""
+    return (
+        _feature_stream(df, text_col, [])
+        .select(_bucket(F.col("__feat"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def dsir_bucket_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket importance log-weights ``(bucket, n_target, n_raw, w)``:
+
+    ``w = ln((n_target+α)/(N_target+α·B)) − ln((n_raw+α)/(N_raw+α·B))``
+
+    — the add-α-smoothed log-likelihood ratio of the two hashed
+    bag-of-ngrams models, rounded to 9 decimals as DECIMAL(18,9) (so
+    downstream per-document sums are order-independent). Buckets unseen
+    on BOTH sides are absent (their weight would be the constant
+    smoothing floor and no document references them); buckets seen on
+    one side get the smoothed weight via the full-outer join. Output is
+    ≤ ``n_buckets`` rows — materialize once, broadcast everywhere.
+
+    The corpus totals enter through an unpartitioned window over the
+    bucket frame — bounded by ``n_buckets``, never corpus-sized."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    t = _bucket_counts(target, text_col, n_buckets, "__ct")
+    r = _bucket_counts(raw, text_col, n_buckets, "__cr")
+    both = (
+        t.join(r, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("__ct", F.lit(0)).alias("n_target"),
+            F.coalesce("__cr", F.lit(0)).alias("n_raw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()  # bucket frame: <= n_buckets rows, bounded
+    ab = float(alpha) * n_buckets
+    w = (
+        F.log((F.col("n_target") + F.lit(float(alpha))))
+        - F.log(F.sum("n_target").over(tot).cast("double") + F.lit(ab))
+        - F.log((F.col("n_raw") + F.lit(float(alpha))))
+        + F.log(F.sum("n_raw").over(tot).cast("double") + F.lit(ab))
+    )
+    return both.select(
+        "bucket",
+        "n_target",
+        "n_raw",
+        F.round(w, 9).cast("decimal(18,9)").alias("w"),
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document importance scores ``(id_col, n_feats, score)`` over
+    the raw pool: score = Σ feature-occurrence log-weights (mean-free —
+    DSIR ranks by the sum; documents with zero features are omitted, as
+    the oracle's unnest drops them identically). The weight table is
+    broadcast; the only exchange is the doc-keyed partial-aggregated
+    groupBy. Score is the DECIMAL(18,9) weight sum cast to double and
+    rounded to 6 decimals — order-independent, engine-exact."""
+    feats = _feature_stream(raw, text_col, [id_col]).select(
+        F.col(id_col), _bucket(F.col("__feat"), n_buckets).alias("bucket")
+    )
+    joined = feats.join(F.broadcast(weights.select("bucket", "w")), "bucket")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").alias("__sw"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            F.round(F.col("__sw").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+def dsir_select(
+    target: DataFrame,
+    raw: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """End-to-end DSIR selection: fit both hashed models, score the raw
+    pool, keep the top-``k`` documents by (score desc, id asc) —
+    ``TakeOrderedAndProject``, never a global sort. Output
+    ``(id_col, n_feats, score, rank)`` with rank 1..k. For frac-based
+    selection at 100 TB, swap the top-k for a broadcast threshold from
+    ``profiling.group_quantiles(exact=False)`` on the score frame."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    weights = dsir_bucket_weights(
+        target, raw, text_col=text_col, n_buckets=n_buckets, alpha=alpha
+    ).localCheckpoint(eager=False)
+    scores = dsir_scores(
+        raw, weights, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    top = scores.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    # rank over the k-row result — bounded, post-TakeOrdered
+    rk = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        "n_feats",
+        "score",
+        F.row_number().over(rk).cast("int").alias("rank"),
+    )
