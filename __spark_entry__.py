@@ -1505,6 +1505,15 @@ def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
 
 _KMV_K = 32
 
+_BS_NBOOT = 200
+_BS_LEVEL = 0.95
+# the EXPRESSIONS the operator computes, replayed here so the oracle
+# embeds bit-identical doubles (1.0-0.95 is NOT 0.05 in IEEE — a naive
+# 0.025 literal would flip ceil() at exact rank boundaries)
+_BS_ALPHA = 1.0 - _BS_LEVEL
+_BS_LO_P = _BS_ALPHA / 2.0
+_BS_HI_P = 1.0 - _BS_ALPHA / 2.0
+
 
 def _kmv_hashes_as_string(sk: DataFrame) -> DataFrame:
     """Serialize the array<bigint> sketch column to a comma-joined
@@ -2793,6 +2802,51 @@ def q_events_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     return mannwhitney_report(units, "grp", "rev", "t", "c")
 
 
+def _purchase_rev_units(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared unit frame of the nonparametric-test entries: per-user
+    purchase revenue with the deterministic even/odd cohort label."""
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(_dec_sum("value", "rev"))
+    )
+    return per_user.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c").alias("grp"),
+        "rev",
+    )
+
+
+def q_events_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (operators/experiment.py
+    ks_test_report) on per-user purchase revenue between the even/odd
+    cohorts — ECDF gap kept as the exact integer |cum1*n2 - cum2*n1|
+    (DECIMAL(38,0)) until the final one-row divide; same value-grain
+    exchange + bounded windows as events_mannwhitney."""
+    from intake_esm_spark.operators.experiment import ks_test_report
+
+    units = _purchase_rev_units(spark, sf)
+    return ks_test_report(units, "grp", "rev", "t", "c")
+
+
+def q_events_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap mean CI (operators/experiment.py
+    bootstrap_mean_ci) over per-user purchase revenue: md5-60-derived
+    Poisson(1) weights per (user, replicate) — no RNG state, so the
+    resample itself is SQL-replayable; 200 replicates, rank-selected
+    95% bounds (no interpolation)."""
+    from intake_esm_spark.operators.experiment import bootstrap_mean_ci
+
+    units = _purchase_rev_units(spark, sf)
+    return bootstrap_mean_ci(
+        units, "rev", "user_id", n_boot=_BS_NBOOT, level=_BS_LEVEL
+    )
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3606,6 +3660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mannwhitney": q_events_mannwhitney,
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_dsir": q_docs_dsir,
+        "events_ks_test": q_events_ks_test,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -3973,6 +4029,22 @@ def _retention_sql(grain_days: int) -> str:
                    round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
             FROM a JOIN s USING (cohort_date)
         """
+
+
+def _pois_w_sql(u: str) -> str:
+    """DuckDB replay of the Poisson(1) inverse-CDF weight from
+    operators/experiment.bootstrap_mean_ci — the SAME cdf doubles the
+    Spark literals use (repr round-trips exactly)."""
+    from intake_esm_spark.operators.experiment import _poisson1_cdf
+
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {u} >= {c!r} THEN 1 ELSE 0 END)"
+            for c in _poisson1_cdf()
+        )
+        + ")"
+    )
 
 
 def _h60_sql(x: str) -> str:
@@ -6154,6 +6226,107 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays operators/experiment.ks_test_report: ECDF gap as the
+        # exact integer |cum1*n2 - cum2*n1| until the final divide.
+        "events_ks_test": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS g,
+                     rev
+              FROM pu
+            ), pv AS (
+              SELECT rev AS val,
+                     CAST(sum(CASE WHEN g = 't' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ct,
+                     count(*) AS c
+              FROM u GROUP BY 1
+            ), rk AS (
+              SELECT CAST(sum(ct) OVER w AS BIGINT) AS cum1,
+                     CAST(sum(c) OVER w - sum(ct) OVER w AS BIGINT) AS cum2,
+                     CAST(sum(ct) OVER () AS BIGINT) AS n1,
+                     CAST(sum(c) OVER () - sum(ct) OVER () AS BIGINT) AS n2
+              FROM pv
+              WINDOW w AS (ORDER BY val ASC ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), m AS (
+              SELECT max(n1) AS n1, max(n2) AS n2,
+                     CAST(max(abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+                                  - CAST(cum2 AS DECIMAL(38,0)) * n1))
+                          AS DOUBLE) AS dnum
+              FROM rk
+            ), f AS (
+              SELECT n1, n2,
+                     CASE WHEN n1 > 0 AND n2 > 0 THEN
+                       round(dnum / (CAST(n1 AS DOUBLE) * n2), 6)
+                     END AS d_stat,
+                     CASE WHEN n1 > 0 AND n2 > 0 THEN
+                       round(1.358102 * sqrt(
+                         (CAST(n1 AS DOUBLE) + n2)
+                         / (CAST(n1 AS DOUBLE) * n2)), 6)
+                     END AS d_crit
+              FROM m
+            )
+            SELECT n1 AS n_treat, n2 AS n_control, d_stat, d_crit,
+                   CAST(coalesce(d_stat > d_crit, false) AS INT)
+                     AS significant
+            FROM f
+        """,
+        # replays operators/experiment.bootstrap_mean_ci: md5-60-derived
+        # Poisson(1) weights per (user, replicate), decimal weighted
+        # sums, rank-selected bounds. The lo/hi probability literals
+        # replay the operator's own IEEE expressions (module constants).
+        "events_bootstrap_ci": f"""
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), rep AS (
+              SELECT user_id, rev, r,
+                     CAST({_h60_sql(
+                       "'bs|' || CAST(user_id AS VARCHAR) || '#'"
+                       " || CAST(r AS VARCHAR)"
+                     )} AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM pu, (SELECT unnest(generate_series(1, {_BS_NBOOT}))
+                        AS r)
+            ), wtd AS (
+              SELECT r, rev, {_pois_w_sql("u")} AS w FROM rep
+            ), mr AS (
+              SELECT r,
+                     round(CAST(sum(CAST(rev AS DECIMAL(28,6)) * w)
+                                AS DOUBLE)
+                           / CAST(sum(w) AS DOUBLE), 9) AS m
+              FROM wtd GROUP BY r
+              HAVING sum(w) > 0
+            ), rkd AS (
+              SELECT m,
+                     row_number() OVER (ORDER BY m ASC, r ASC) AS rnk,
+                     count(*) OVER () AS nb
+              FROM mr
+            )
+            SELECT
+              (SELECT count(*) FROM pu) AS n_units,
+              CAST(max(nb) AS INT) AS n_boot,
+              (SELECT round(CAST(sum(CAST(rev AS DECIMAL(28,6)))
+                                 AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE), 6)
+               FROM pu) AS mean,
+              round(max(CASE WHEN rnk = greatest(1,
+                  CAST(ceil(nb * {_BS_LO_P!r}) AS INT)) THEN m END), 6)
+                AS ci_lo,
+              round(max(CASE WHEN rnk = least(CAST(nb AS INT),
+                  CAST(ceil(nb * {_BS_HI_P!r}) AS INT)) THEN m END), 6)
+                AS ci_hi
+            FROM rkd
         """,
         "events_daily_ma": """
             WITH daily AS (

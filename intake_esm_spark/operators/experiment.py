@@ -5,8 +5,10 @@ Extension (SURVEY §2.9): the readout every product experiment ends with
 — per-variant conversion, lift vs control, and whether the difference
 clears significance. Deliberately the *frequentist two-proportion z*
 formulation: it is closed-form arithmetic over four exact integers per
-comparison, so the whole report is engine-portable (a bootstrap or a
-Bayesian posterior would not be).
+comparison, so the whole report is engine-portable (a Bayesian
+posterior would not be; the one bootstrap here — ``bootstrap_mean_ci``
+— stays portable by deriving its resample weights from the md5-60
+hash instead of an RNG).
 
 Scale: one partial-aggregated groupBy over unit-grain rows (the variant
 report is variant-cardinality-sized), then the control row broadcasts
@@ -318,4 +320,208 @@ def mannwhitney_report(
         F.coalesce(
             (F.abs(F.round(z, 6)) >= z_threshold).cast("int"), F.lit(0)
         ).alias("significant"),
+    )
+
+
+def ks_test_report(
+    units: DataFrame,
+    group_col: str,
+    value_col: str,
+    treatment: str,
+    control: str,
+    crit_coeff: float = 1.358102,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test — does the WHOLE treatment
+    distribution differ from control (any moment, not just the mean)?
+    ``D = max |F₁(x) − F₂(x)|`` over the pooled values, with the
+    asymptotic two-sided critical value ``c(α)·√((n₁+n₂)/(n₁n₂))``
+    (``crit_coeff`` defaults to c(0.05) = √(−ln(0.025)/2)).
+
+    Scale shape: identical to :func:`mannwhitney_report` — one
+    value-keyed exchange collapses units to the distinct-value grain;
+    the ECDF cumsum window and the final max run over that bounded
+    frame.
+
+    Determinism: the ECDF difference is kept as the EXACT integer
+    ``|cum₁·n₂ − cum₂·n₁|`` (DECIMAL(38,0)) and divided by ``n₁·n₂``
+    only in the final row — D is engine-exact to the last bit before
+    its 6dp rounding. Returns one row ``(n_treat, n_control, d_stat,
+    d_crit, significant)``; d/crit are null when either group is
+    empty."""
+    from pyspark.sql import Window
+
+    two = units.filter(
+        F.col(group_col).isin(treatment, control)
+        & F.col(value_col).isNotNull()
+    )
+    per_v = two.groupBy(F.col(value_col).alias("__val")).agg(
+        F.sum((F.col(group_col) == treatment).cast("bigint")).alias("__ct"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    w = Window.orderBy(F.col("__val").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()  # value-grain frame, same bound as w
+    ranked = per_v.select(
+        F.sum("__ct").over(w).alias("__cum1"),
+        (F.sum("__c").over(w) - F.sum("__ct").over(w)).alias("__cum2"),
+        F.sum("__ct").over(tot).alias("__n1"),
+        (F.sum("__c").over(tot) - F.sum("__ct").over(tot)).alias("__n2"),
+    )
+    diff = F.abs(
+        F.expr(
+            "CAST(__cum1 AS DECIMAL(38,0)) * __n2"
+            " - CAST(__cum2 AS DECIMAL(38,0)) * __n1"
+        )
+    )
+    m = ranked.agg(
+        F.max("__n1").alias("__n1"),
+        F.max("__n2").alias("__n2"),
+        F.max(diff).cast("double").alias("__dnum"),
+    )
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    ok = (F.col("__n1") > 0) & (F.col("__n2") > 0)
+    d = F.when(ok, F.round(F.col("__dnum") / (n1 * n2), 6))
+    crit = F.when(
+        ok, F.round(F.lit(crit_coeff) * F.sqrt((n1 + n2) / (n1 * n2)), 6)
+    )
+    return m.select(
+        F.col("__n1").alias("n_treat"),
+        F.col("__n2").alias("n_control"),
+        d.alias("d_stat"),
+        crit.alias("d_crit"),
+        F.coalesce((d > crit).cast("int"), F.lit(0)).alias("significant"),
+    )
+
+
+def _poisson1_cdf(max_k: int = 9) -> list[float]:
+    """Cumulative P(Poisson(1) <= k) for k = 0..max_k-1 — the inverse-CDF
+    thresholds of the bootstrap weights. Pure arithmetic (no RNG): both
+    the Spark literals and the SQL oracle embed the SAME doubles."""
+    import math
+
+    cdf, acc, fact = [], 0.0, 1.0
+    for k in range(max_k):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        cdf.append(acc)
+    return cdf
+
+
+def bootstrap_mean_ci(
+    units: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_boot: int = 200,
+    level: float = 0.95,
+    salt: str = "bs",
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean
+    of ``value_col`` over one-row-per-unit data. The classic n-out-of-n
+    bootstrap needs a global multinomial draw (unshardable); the
+    Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+    for Massively Parallel Algorithms", Google) replaces it with an
+    independent Poisson(1) weight per (unit, replicate) — each weight a
+    pure function of the unit key, so the whole resample is a ROW
+    FUNCTION: partition-independent, re-ingest-stable, and replayable
+    by a SQL oracle (no RNG state anywhere).
+
+    Weight construction: ``u = md5₆₀(salt|key#r)/2⁶⁰`` inverted through
+    the Poisson(1) CDF literals (k = 0..9; P(X>9) ≈ 1e-7 truncates to
+    9 — bias far below the CI's own Monte-Carlo error at any real
+    ``n_boot``).
+
+    Scale shape: one ``explode(sequence(1, n_boot))`` fans each unit
+    row out ×``n_boot`` (the deliberate, documented cost — 200× a
+    UNIT-grain frame, not the event corpus), one replicate-keyed
+    map-side-combined aggregation (``n_boot`` output rows), then the
+    CI bounds select replicate means BY RANK (no interpolation — the
+    Theil-Sen precedent) over the ``n_boot``-row frame. Weighted sums
+    accumulate as DECIMAL(28,6)·weight — order-independent.
+
+    Returns one row ``(n_units, n_boot, mean, ci_lo, ci_hi)`` with the
+    point estimate from the unweighted sample and rank-selected
+    ``level`` bounds; replicates with all-zero weight (probability
+    ~e^{-n} per replicate) yield a null mean and are excluded from the
+    rank selection."""
+    from pyspark.sql import Window
+
+    from intake_esm_spark.functions.text import HASH_SPACE_60, salted_hash60
+
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not (0.0 < level < 1.0):
+        raise ValueError(f"level must be in (0,1), got {level}")
+    cdf = _poisson1_cdf()
+    base = units.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("decimal(28,6)").alias("__x"),
+    )
+    rep = base.select(
+        "__k", "__x", F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("__r")
+    )
+    u = salted_hash60(
+        F.concat(F.col("__k").cast("string"), F.lit("#"), F.col("__r")),
+        salt,
+    ).cast("double") / F.lit(HASH_SPACE_60)
+    # weight = #thresholds at or below u  (inverse CDF; exact compares)
+    wgt = sum((u >= F.lit(c)).cast("int") for c in cdf)
+    means = (
+        rep.select("__r", "__x", wgt.alias("__w"))
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("__x") * F.col("__w")).alias("__sx"),
+            F.sum("__w").alias("__sw"),
+        )
+        .select(
+            "__r",
+            # divide as DOUBLE (decimal/decimal scale rules differ per
+            # engine; double division is the same IEEE op everywhere)
+            F.when(
+                F.col("__sw") > 0,
+                F.round(
+                    F.col("__sx").cast("double")
+                    / F.col("__sw").cast("double"),
+                    9,
+                ),
+            ).alias("__m"),
+        )
+        .filter(F.col("__m").isNotNull())
+    )
+    alpha = 1.0 - level
+    rk = Window.orderBy(F.col("__m").asc(), F.col("__r").asc())
+    cnt = Window.partitionBy()  # n_boot-row frame, bounded
+    picked = means.select(
+        F.col("__m"),
+        F.row_number().over(rk).alias("__rank"),
+        F.count(F.lit(1)).over(cnt).alias("__nb"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1), F.ceil(F.col("__nb") * F.lit(alpha / 2.0)).cast("int")
+    )
+    hi_rank = F.least(
+        F.col("__nb").cast("int"),
+        F.ceil(F.col("__nb") * F.lit(1.0 - alpha / 2.0)).cast("int"),
+    )
+    bounds = picked.agg(
+        F.max(F.when(F.col("__rank") == lo_rank, F.col("__m"))).alias("__lo"),
+        F.max(F.when(F.col("__rank") == hi_rank, F.col("__m"))).alias("__hi"),
+        F.max("__nb").alias("__nb"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.round(
+            F.sum("__x").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean"),
+    )
+    return point.crossJoin(F.broadcast(bounds)).select(
+        "n_units",
+        F.col("__nb").cast("int").alias("n_boot"),
+        "mean",
+        F.round("__lo", 6).alias("ci_lo"),
+        F.round("__hi", 6).alias("ci_hi"),
     )

@@ -193,3 +193,102 @@ def test_mannwhitney_empty_group(spark):
     r = _mw(spark, [("t", 1.0), ("t", 2.0)])
     assert r["n_control"] == 0
     assert r["u_stat"] is None and r["z"] is None
+
+
+# --- ks_test_report -------------------------------------------------------
+
+
+def _units(spark, rows):
+    return spark.createDataFrame(rows, "grp string, val double")
+
+
+def test_ks_fully_separated(spark):
+    """t={1,2} entirely below c={3,4}: D = 1.0 at x=2."""
+    df = _units(
+        spark, [("t", 1.0), ("t", 2.0), ("c", 3.0), ("c", 4.0)]
+    )
+    from intake_esm_spark.operators.experiment import ks_test_report
+
+    r = ks_test_report(df, "grp", "val", "t", "c").collect()[0]
+    assert (r["n_treat"], r["n_control"]) == (2, 2)
+    assert r["d_stat"] == 1.0
+    # crit = 1.358102 * sqrt(4/4)
+    assert r["d_crit"] == 1.358102
+    assert r["significant"] == 0  # 1.0 < crit at n=2+2
+
+
+def test_ks_interleaved(spark):
+    """t={1,3}, c={2,4}: max ECDF gap is 0.5 (after x=1 or x=3)."""
+    df = _units(
+        spark, [("t", 1.0), ("t", 3.0), ("c", 2.0), ("c", 4.0)]
+    )
+    from intake_esm_spark.operators.experiment import ks_test_report
+
+    r = ks_test_report(df, "grp", "val", "t", "c").collect()[0]
+    assert r["d_stat"] == 0.5
+
+
+def test_ks_identical_samples_and_ties(spark):
+    """Same values in both groups: every ECDF gap is 0."""
+    df = _units(
+        spark,
+        [("t", 1.0), ("t", 2.0), ("c", 1.0), ("c", 2.0)],
+    )
+    from intake_esm_spark.operators.experiment import ks_test_report
+
+    r = ks_test_report(df, "grp", "val", "t", "c").collect()[0]
+    assert r["d_stat"] == 0.0 and r["significant"] == 0
+
+
+def test_ks_empty_group_nulls(spark):
+    df = _units(spark, [("t", 1.0)])
+    from intake_esm_spark.operators.experiment import ks_test_report
+
+    r = ks_test_report(df, "grp", "val", "t", "c").collect()[0]
+    assert r["d_stat"] is None and r["d_crit"] is None
+    assert r["significant"] == 0
+
+
+# --- bootstrap_mean_ci ----------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from intake_esm_spark.operators.experiment import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)], "k long, v double"
+    )
+    r1 = bootstrap_mean_ci(df, "v", "k", n_boot=50).collect()[0]
+    r2 = bootstrap_mean_ci(df, "v", "k", n_boot=50).collect()[0]
+    assert r1 == r2  # pure hash function of the keys — no RNG state
+    assert r1["n_units"] == 20 and r1["mean"] == 10.5
+    assert 0 < r1["n_boot"] <= 50
+    # every replicate mean is a convex combination of the values
+    assert 1.0 <= r1["ci_lo"] <= r1["ci_hi"] <= 20.0
+    # a 95% CI from 20 iid-ish units should bracket the sample mean
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+
+
+def test_bootstrap_poisson_weights_shift_with_salt(spark):
+    """Different salts give different (but each deterministic) CIs."""
+    from intake_esm_spark.operators.experiment import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(1, 31)], "k long, v double"
+    )
+    a = bootstrap_mean_ci(df, "v", "k", n_boot=40, salt="a").collect()[0]
+    b = bootstrap_mean_ci(df, "v", "k", n_boot=40, salt="b").collect()[0]
+    assert (a["ci_lo"], a["ci_hi"]) != (b["ci_lo"], b["ci_hi"])
+    assert a["mean"] == b["mean"]  # the point estimate is resample-free
+
+
+def test_bootstrap_validation(spark):
+    from intake_esm_spark.operators.experiment import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bootstrap_mean_ci(df, "v", "k", n_boot=1)
+    with _pt.raises(ValueError):
+        bootstrap_mean_ci(df, "v", "k", level=1.0)
