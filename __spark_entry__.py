@@ -2847,6 +2847,34 @@ def q_events_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min frequency sketch driven through the gate
+    (operators/sketch.py cm_sketch/cm_estimate): 4x1024 salted-md5
+    counters over the document token stream, then the exact top-20
+    tokens probed against the BROADCAST sketch — output carries both
+    the exact count and the CM estimate (>= exact by construction; the
+    driver hash-compare proves the whole counter array matches, since
+    any differing cell shifts some estimate). Token counts pinned once
+    (feeds the top-k and the exact column)."""
+    from intake_esm_spark.operators.sketch import cm_estimate, cm_sketch
+
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(tx.words_array(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
+    top = counts.orderBy(F.col("exact_n").desc(), F.col("term").asc()).limit(20)
+    sk = cm_sketch(toks, "term", depth=4, width=1024)
+    est = cm_estimate(sk, top.select("term"), "term", depth=4, width=1024)
+    return top.join(est, "term").select("term", "exact_n", "cm_est")
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3662,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir": q_docs_dsir,
         "events_ks_test": q_events_ks_test,
         "events_bootstrap_ci": q_events_bootstrap_ci,
+        "docs_cm_heavy_hitters": q_docs_cm_heavy_hitters,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6226,6 +6255,43 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays operators/sketch.cm_sketch + cm_estimate: 4x1024
+        # salted-md5 counters over the token stream; exact top-20 probe.
+        "docs_cm_heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       string_split({_NORM_TEXT_SQL}, ' '),
+                       x -> x <> '')) AS term
+              FROM documents WHERE text IS NOT NULL
+            ), cnt AS (
+              SELECT term, count(*) AS exact_n FROM toks GROUP BY 1
+            ), top AS (
+              SELECT term, exact_n FROM cnt
+              ORDER BY exact_n DESC, term ASC LIMIT 20
+            ), cells AS (
+              SELECT r,
+                     {_h60_sql(
+                       "'cm|' || CAST(r AS VARCHAR) || '#' || term"
+                     )} % 1024 AS col,
+                     count(*) AS n
+              FROM toks, (SELECT unnest(generate_series(0, 3)) AS r)
+              GROUP BY 1, 2
+            ), fan AS (
+              SELECT term, r,
+                     {_h60_sql(
+                       "'cm|' || CAST(r AS VARCHAR) || '#' || term"
+                     )} % 1024 AS col
+              FROM top, (SELECT unnest(generate_series(0, 3)) AS r)
+            ), est AS (
+              SELECT fan.term,
+                     CAST(min(coalesce(cells.n, 0)) AS BIGINT) AS cm_est
+              FROM fan LEFT JOIN cells
+                ON cells.r = fan.r AND cells.col = fan.col
+              GROUP BY 1
+            )
+            SELECT top.term, top.exact_n, est.cm_est
+            FROM top JOIN est USING (term)
         """,
         # replays operators/experiment.ks_test_report: ECDF gap as the
         # exact integer |cum1*n2 - cum2*n1| until the final divide.

@@ -146,3 +146,107 @@ def kmv_pairwise_overlap(
         F.round(jac * union_est, 6).alias("intersect_est"),
         F.round(jac, 6).alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: frequency estimation / heavy hitters
+
+
+def cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the item
+    stream: ``depth × width`` counters, each row hashing items with its
+    own salted md5-60 function — the FREQUENCY companion of the KMV
+    cardinality sketch (same portability argument: Spark's own
+    frequent-items sketches are engine-internal; these counters are a
+    plain groupBy any engine replays bit-for-bit).
+
+    Returns ``(row, col, n)`` — at most ``depth·width`` rows, whatever
+    the corpus size. One explode (×depth, the documented fan-out) into
+    ONE map-side-combined aggregation; per-item estimates read
+    ``min over rows of counter[row, h_row(item)]``, an overestimate
+    with error ≤ ε·N at probability 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+    Sketches over disjoint corpora merge by element-wise ADDITION
+    (:func:`cm_union`) — the stream never needs re-reading."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    rows = df.select(
+        F.col(item_col).cast("string").alias("__it"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).filter(F.col("__it").isNotNull())
+    col = F.pmod(
+        salted_hash60(
+            F.concat(F.col("row").cast("string"), F.lit("#"), F.col("__it")),
+            salt,
+        ),
+        F.lit(width),
+    ).cast("int")
+    return (
+        rows.select("row", col.alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Count-Min sketches built with the SAME (depth, width,
+    salt): element-wise counter addition via one full-outer join on the
+    (row, col) cell — both inputs are ≤ depth·width rows, metadata
+    scale. The merged sketch is IDENTICAL to the sketch of the
+    concatenated streams (counts are additive), which is what makes
+    per-shard/per-day sketches roll up exactly."""
+    return (
+        a.withColumnRenamed("n", "__na")
+        .join(b.withColumnRenamed("n", "__nb"), ["row", "col"], "full_outer")
+        .select(
+            "row",
+            "col",
+            (
+                F.coalesce("__na", F.lit(0)) + F.coalesce("__nb", F.lit(0))
+            ).alias("n"),
+        )
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-frequency estimates for the ``probes`` items: re-derive
+    each probe's ``depth`` cells, look them up in the BROADCAST sketch
+    (always ≤ depth·width rows — the probe side can be arbitrarily
+    large and never shuffles beyond its own ×depth fan-out and the
+    item-keyed min), and take the per-item minimum. A cell absent from
+    the sketch means no item ever hashed there → that row's counter is
+    0 and the estimate floors at 0 (only possible for items not in the
+    stream). Output: ``(item_col, cm_est)`` with the CM guarantee
+    ``cm_est >= true count`` for every streamed item."""
+    p = probes.select(F.col(item_col).cast("string").alias("__it")).distinct()
+    fan = p.select(
+        "__it",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    col = F.pmod(
+        salted_hash60(
+            F.concat(F.col("row").cast("string"), F.lit("#"), F.col("__it")),
+            salt,
+        ),
+        F.lit(width),
+    ).cast("int")
+    looked = fan.select("__it", "row", col.alias("col")).join(
+        F.broadcast(sketch), ["row", "col"], "left"
+    )
+    return (
+        looked.groupBy("__it")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_est"))
+        .select(F.col("__it").alias(item_col), "cm_est")
+    )

@@ -217,3 +217,77 @@ def test_stream_kmv_long_key_with_nulls_matches_batch(spark, tmp_path):
         for r in emitted
     }
     assert streamed == batch
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+
+def _items(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "it string")
+
+
+def test_cm_estimate_never_underestimates(spark):
+    from intake_esm_spark.operators.sketch import cm_estimate, cm_sketch
+
+    stream = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]
+    df = _items(spark, stream)
+    sk = cm_sketch(df, "it", depth=4, width=64)
+    probes = _items(spark, ["a", "b", "c", "d"])
+    est = {
+        r["it"]: r["cm_est"]
+        for r in cm_estimate(sk, probes, "it", depth=4, width=64).collect()
+    }
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1}
+    for k, v in exact.items():
+        assert est[k] >= v  # the CM one-sided guarantee
+    # total mass bound: no estimate exceeds the stream length
+    assert all(v <= len(stream) for v in est.values())
+
+
+def test_cm_wide_sketch_is_exact_on_small_domains(spark):
+    """With width >> distinct items, collisions are (almost surely)
+    absent and every estimate is exact."""
+    from intake_esm_spark.operators.sketch import cm_estimate, cm_sketch
+
+    stream = ["x"] * 7 + ["y"] * 3
+    df = _items(spark, stream)
+    sk = cm_sketch(df, "it", depth=4, width=4096)
+    est = {
+        r["it"]: r["cm_est"]
+        for r in cm_estimate(
+            sk, _items(spark, ["x", "y", "zz"]), "it", depth=4, width=4096
+        ).collect()
+    }
+    assert est == {"x": 7, "y": 3, "zz": 0}  # missing item floors at 0
+
+
+def test_cm_union_equals_whole_stream_sketch(spark):
+    from intake_esm_spark.operators.sketch import cm_sketch, cm_union
+
+    a = ["a"] * 5 + ["b"] * 2
+    b = ["a"] * 3 + ["c"] * 4
+    sk_a = cm_sketch(_items(spark, a), "it", depth=3, width=32)
+    sk_b = cm_sketch(_items(spark, b), "it", depth=3, width=32)
+    merged = {
+        (r["row"], r["col"]): r["n"]
+        for r in cm_union(sk_a, sk_b).collect()
+    }
+    whole = {
+        (r["row"], r["col"]): r["n"]
+        for r in cm_sketch(_items(spark, a + b), "it", depth=3, width=32).collect()
+    }
+    assert merged == whole  # element-wise addition == one-pass sketch
+
+
+def test_cm_sketch_bounded_and_validated(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.sketch import cm_sketch
+
+    df = _items(spark, [f"i{i}" for i in range(500)])
+    sk = cm_sketch(df, "it", depth=2, width=16)
+    assert sk.count() <= 2 * 16  # counter array, whatever the stream
+    with _pt.raises(ValueError):
+        cm_sketch(df, "it", depth=0)
+    with _pt.raises(ValueError):
+        cm_sketch(df, "it", width=1)
