@@ -1932,6 +1932,28 @@ def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_graph_link_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (operators/graph.py
+    link_prediction_jaccard) over the same min-support-2 PART
+    co-purchase graph as graph_triangles: top-25 non-edges by shared-
+    neighbor Jaccard — integer intersection counts, one final divide,
+    pair tiebreak."""
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("ok").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return link_prediction_jaccard(edges, k=25)
+
+
 def q_docs_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Two-word collocations by the word2vec phrase score (operators/
     corpus.py collocations): adjacent-bigram lift over the normalized
@@ -3691,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_test": q_events_ks_test,
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "docs_cm_heavy_hitters": q_docs_cm_heavy_hitters,
+        "graph_link_pred": q_graph_link_pred,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -5322,6 +5345,45 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y FROM tri
             )
             SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1
+        """,
+        # replays graph.link_prediction_jaccard over the same
+        # min-support-2 co-purchase edges: co-neighbor pairs via the
+        # adjacency self-join, existing edges anti-joined, integer
+        # Jaccard with a single final divide, pair-tiebroken top-25.
+        "graph_link_pred": """
+            WITH e AS (
+              SELECT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2
+              HAVING count(DISTINCT x.l_orderkey) >= 2
+            ), adj AS (
+              SELECT a AS n, b AS v FROM e
+              UNION ALL SELECT b AS n, a AS v FROM e
+            ), deg AS (
+              SELECT v, count(*) AS deg FROM adj GROUP BY 1
+            ), pairs AS (
+              SELECT p.v AS u, q.v AS w, count(*) AS cn
+              FROM adj p JOIN adj q ON p.n = q.n AND p.v < q.v
+              GROUP BY 1, 2
+            ), cand AS (
+              SELECT u, w, cn FROM pairs
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.a = pairs.u AND e.b = pairs.w
+              )
+            )
+            SELECT cand.u AS src, cand.w AS dst,
+                   cn AS common_neighbors,
+                   du.deg AS degree_src, dw.deg AS degree_dst,
+                   round(CAST(cn AS DOUBLE)
+                         / CAST(du.deg + dw.deg - cn AS DOUBLE), 6)
+                     AS jaccard
+            FROM cand
+            JOIN deg du ON du.v = cand.u
+            JOIN deg dw ON dw.v = cand.w
+            ORDER BY jaccard DESC, src ASC, dst ASC
+            LIMIT 25
         """,
         # replays corpus.collocations: same normalize+split, adjacency
         # via list_transform over the 1-based index range, word2vec

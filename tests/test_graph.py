@@ -136,3 +136,71 @@ def test_label_prop_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         label_propagation(df, iters=0)
+
+
+# --- link_prediction_jaccard ------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_link_pred_path_graph(spark):
+    """1-2-3: the only candidate is (1,3) with Jaccard 1/1."""
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    out = link_prediction_jaccard(_edges(spark, [(1, 2), (2, 3)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src"], r["dst"]) == (1, 3)
+    assert r["common_neighbors"] == 1
+    assert (r["degree_src"], r["degree_dst"]) == (1, 1)
+    assert r["jaccard"] == 1.0
+
+
+def test_link_pred_square_graph(spark):
+    """Cycle 1-2-3-4-1: candidates are the two diagonals, each with two
+    shared neighbors and Jaccard 2/(2+2-2) = 1.0; existing edges are
+    never suggested."""
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    out = link_prediction_jaccard(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    ).collect()
+    got = {(r["src"], r["dst"]): r for r in out}
+    assert set(got) == {(1, 3), (2, 4)}
+    for r in got.values():
+        assert r["common_neighbors"] == 2 and r["jaccard"] == 1.0
+
+
+def test_link_pred_min_common_and_k(spark):
+    """Star 0-{1,2,3}: all leaf pairs share exactly the hub; min_common=2
+    filters everything, k=1 keeps only the (1,2) tiebreak winner."""
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    assert link_prediction_jaccard(e, min_common=2).count() == 0
+    top = link_prediction_jaccard(e, k=1).collect()
+    assert [(r["src"], r["dst"]) for r in top] == [(1, 2)]
+
+
+def test_link_pred_undirected_normalization(spark):
+    """Reversed/duplicate/self-loop edges collapse before scoring."""
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    out = link_prediction_jaccard(
+        _edges(spark, [(2, 1), (1, 2), (2, 3), (3, 3)])
+    ).collect()
+    assert len(out) == 1 and (out[0]["src"], out[0]["dst"]) == (1, 3)
+
+
+def test_link_pred_validation(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    e = _edges(spark, [(1, 2)])
+    with _pt.raises(ValueError):
+        link_prediction_jaccard(e, k=0)
+    with _pt.raises(ValueError):
+        link_prediction_jaccard(e, min_common=0)
