@@ -2897,6 +2897,30 @@ def q_docs_cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     return top.join(est, "term").select("term", "exact_n", "cm_est")
 
 
+def q_docs_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/selection.py
+    lm_train_counts + lm_cross_entropy): hashed bigram LM fit on the
+    English docs, every document scored by cross-entropy (nats/bigram)
+    under it — low = reads like the training corpus, the head/middle/
+    tail quality-tier signal of Wenzek et al. 2020. Both count tables
+    are <=512 rows, pinned and broadcast; per-position ln contributions
+    quantize to 9dp decimal before the doc-keyed sum."""
+    from intake_esm_spark.operators.selection import (
+        lm_cross_entropy,
+        lm_train_counts,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("lang") == "en")
+    ctx, bgc = lm_train_counts(train, n_buckets=512)
+    return lm_cross_entropy(
+        docs,
+        ctx.localCheckpoint(eager=False),
+        bgc.localCheckpoint(eager=False),
+        n_buckets=512,
+    )
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3714,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "docs_cm_heavy_hitters": q_docs_cm_heavy_hitters,
         "graph_link_pred": q_graph_link_pred,
+        "docs_lm_perplexity": q_docs_lm_perplexity,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6317,6 +6342,46 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays operators/selection.lm_train_counts + lm_cross_entropy:
+        # hashed-bigram LM on the en split (zipped positional unnests),
+        # per-position ln contributions quantized to 9dp decimal.
+        "docs_lm_perplexity": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split({_NORM_TEXT_SQL}, ' '),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), st AS (
+              SELECT doc_id, lang,
+                     {_h60_sql("unnest(list_transform("
+                       "generate_series(1, len(ws) - 1), i -> ws[i]))")}
+                       % 512 AS cb,
+                     {_h60_sql("unnest(list_transform("
+                       "generate_series(1, len(ws) - 1),"
+                       " i -> ws[i] || ' ' || ws[i + 1]))")}
+                       % 512 AS bb
+              FROM tok WHERE len(ws) >= 2
+            ), cc AS (
+              SELECT cb AS bucket, count(*) AS n FROM st
+              WHERE lang = 'en' GROUP BY 1
+            ), bc AS (
+              SELECT bb AS bucket, count(*) AS n FROM st
+              WHERE lang = 'en' GROUP BY 1
+            ), contrib AS (
+              SELECT st.doc_id,
+                     CAST(round(
+                       ln(CAST(coalesce(cc.n, 0) AS DOUBLE) + 512.0)
+                       - ln(CAST(coalesce(bc.n, 0) AS DOUBLE) + 1.0),
+                     9) AS DECIMAL(18,9)) AS c
+              FROM st
+              LEFT JOIN cc ON cc.bucket = st.cb
+              LEFT JOIN bc ON bc.bucket = st.bb
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(c) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS xent
+            FROM contrib GROUP BY 1
         """,
         # replays operators/sketch.cm_sketch + cm_estimate: 4x1024
         # salted-md5 counters over the token stream; exact top-20 probe.

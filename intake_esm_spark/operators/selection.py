@@ -206,3 +206,118 @@ def dsir_select(
         "score",
         F.row_number().over(rk).cast("int").alias("rank"),
     )
+
+
+def _bigram_stream(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id_cols..., __ctx, __bg): one row per adjacent-bigram position —
+    the context word and the joined bigram string. Docs with < 2
+    non-empty tokens yield no rows."""
+    w = df.filter(F.col(text_col).isNotNull()).select(
+        *id_cols,
+        F.filter(words_array(F.col(text_col)), lambda t: t != "").alias("__w"),
+    ).filter(F.size("__w") >= 2)
+    pos = w.select(
+        *id_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.struct(
+                    F.element_at("__w", i).alias("ctx"),
+                    F.concat_ws(
+                        " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("__p"),
+    )
+    return pos.select(
+        *id_cols, F.col("__p.ctx").alias("__ctx"), F.col("__p.bg").alias("__bg")
+    )
+
+
+def lm_train_counts(
+    train: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the hashed bigram LM on the training corpus: returns
+    ``(context_counts, bigram_counts)`` — each ``(bucket, n)`` with at
+    most ``n_buckets`` rows (one map-side-combined aggregation per
+    table; the model is fixed-size whatever the corpus). Bigram
+    probability is add-α estimated downstream as
+    ``P(w|ctx) = (n_bg(b(ctx w)) + α) / (n_ctx(b(ctx)) + α·B)``."""
+    bg = _bigram_stream(train, text_col, [])
+    ctx_counts = (
+        bg.select(_bucket(F.col("__ctx"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bg_counts = (
+        bg.select(_bucket(F.col("__bg"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ctx_counts, bg_counts
+
+
+def lm_cross_entropy(
+    pool: DataFrame,
+    ctx_counts: DataFrame,
+    bg_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document cross-entropy (nats/bigram) of the pool under the
+    hashed bigram LM — the CCNet/Wenzek et al. 2020 quality signal:
+    documents that "read like" the training corpus (wiki, curated text)
+    score LOW; gibberish and boilerplate score HIGH. Filter or tier on
+    the score exactly as CCNet's head/middle/tail split does.
+
+    Per position: ``xent = ln(n_ctx(b)+α·B) − ln(n_bg(b)+α)`` — ln over
+    exact integers, rounded to 9dp DECIMAL per position and summed
+    order-independently; the per-doc mean divides as double in the
+    final projection. Both count tables broadcast (≤ ``n_buckets``
+    rows); the pool's only exchange is the doc-keyed partial-aggregated
+    mean. Output: ``(id_col, n_bigrams, xent)``; docs with no bigram
+    are omitted (the oracle's stream construction drops them
+    identically)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    ab = float(alpha) * n_buckets
+    bg = _bigram_stream(pool, text_col, [id_col]).select(
+        F.col(id_col),
+        _bucket(F.col("__ctx"), n_buckets).alias("__cb"),
+        _bucket(F.col("__bg"), n_buckets).alias("__bb"),
+    )
+    ctx = F.broadcast(
+        ctx_counts.select(F.col("bucket").alias("__cb"), F.col("n").alias("__nc"))
+    )
+    bgc = F.broadcast(
+        bg_counts.select(F.col("bucket").alias("__bb"), F.col("n").alias("__nb"))
+    )
+    j = bg.join(ctx, "__cb", "left").join(bgc, "__bb", "left")
+    contrib = F.round(
+        F.log(F.coalesce(F.col("__nc"), F.lit(0)).cast("double") + F.lit(ab))
+        - F.log(
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("double")
+            + F.lit(float(alpha))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(contrib).alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("xent"),
+        )
+    )
