@@ -1014,3 +1014,28 @@ def stream_funnel(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Streaming twin of ``operators.sketch.cm_sketch`` — the live
+    frequency sketch. CM counters are plain additive counts, which is
+    EXACTLY the class Spark's built-in streaming aggregation maintains,
+    so unlike the KMV/CUSUM/SCD2 twins this one needs no
+    ``applyInPandasWithState``: the batch operator's own plan (in-row
+    cell derivation → groupBy(row, col) count) is a legal streaming
+    aggregation in update mode. Each update row is that cell's new
+    RUNNING total; the latest update per cell equals the batch sketch
+    of everything ingested so far bit-for-bit (integer counters, no
+    rounding anywhere) — pinned by the parity test. State per cell is
+    one long; the state store holds ≤ depth·width cells total, whatever
+    the stream length — the sketch's bounded-memory guarantee carries
+    straight over to the state store."""
+    from intake_esm_spark.operators.sketch import cm_sketch
+
+    return cm_sketch(df, item_col, depth=depth, width=width, salt=salt)

@@ -291,3 +291,60 @@ def test_cm_sketch_bounded_and_validated(spark):
         cm_sketch(df, "it", depth=0)
     with _pt.raises(ValueError):
         cm_sketch(df, "it", width=1)
+
+
+def test_stream_cm_sketch_matches_batch(spark, tmp_path):
+    """Two micro-batches of items: the final update per (row, col) cell
+    equals the whole-corpus batch sketch exactly (integer counters)."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.sketch import cm_sketch
+    from intake_esm_spark.streaming.stateful import stream_cm_sketch
+
+    rows = [("a",)] * 30 + [("b",)] * 10 + [(f"i{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "it string")
+    batch = {
+        (r["row"], r["col"]): r["n"]
+        for r in cm_sketch(df, "it", depth=3, width=64).collect()
+    }
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32("it") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    df.filter(F.crc32("it") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_cm_sketch(stream, "it", depth=3, width=64)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cm_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM cm_stream").collect()
+    finally:
+        q.stop()
+    assert len(emitted) > len(batch), "expected updates from both batches"
+    final = {}
+    for r in emitted:  # counters only grow: the max IS the latest update
+        cell = (r["row"], r["col"])
+        final[cell] = max(final.get(cell, 0), r["n"])
+    assert final == batch
