@@ -169,6 +169,13 @@ BENCH_QUERIES = [
     "embed_kmeans",
     "simsearch_pairs_lsh",
     "multimodal_resize",
+    # round-8 late additions (this session)
+    "docs_dsir",
+    "docs_lm_perplexity",
+    "docs_cm_heavy_hitters",
+    "graph_link_pred",
+    "events_ks_test",
+    "events_bootstrap_ci",
 ]
 
 

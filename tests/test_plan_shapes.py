@@ -566,3 +566,52 @@ def test_q21_decorrelates_to_single_fact_scan(spark, queries):
     ]
     li_scans = [s for s in read_schemas if "l_suppkey" in s or "l_shipdate" in s]
     assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+
+
+def test_dsir_weight_table_broadcasts_pool_exchanges_once(spark, queries):
+    """DSIR scoring: the bucket weight table reaches the pool through a
+    BroadcastHashJoin (never a shuffled join of the corpus at feature
+    grain); selection is a partial TakeOrderedAndProject, not a global
+    sort; everything stays JVM-side."""
+    plan = plan_of(queries["docs_dsir"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # weight table is pinned (fit once), so the scoring branch reads it
+    # as ExistingRDD instead of re-deriving both fit aggregations
+    assert "ExistingRDD" in plan
+
+
+def test_lm_scoring_broadcasts_both_count_tables(spark, queries):
+    """LM cross-entropy: both B-bounded count tables broadcast; the pool
+    side's only exchange is the doc-keyed partial-aggregated mean."""
+    plan = plan_of(queries["docs_lm_perplexity"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial aggregation before the doc-keyed exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_cm_probe_broadcasts_the_sketch(spark, queries):
+    """Count-Min estimate: the counter array (<= depth*width rows) is
+    the broadcast side; the probe never shuffles the token stream."""
+    plan = plan_of(queries["docs_cm_heavy_hitters"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_pred_pins_edges_and_takes_ordered(spark, queries):
+    """Link prediction references the normalized edge frame three times
+    (wedges x2, anti-join) — pinned once; top-k is partial."""
+    plan = plan_of(queries["graph_link_pred"](spark, SF))
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bootstrap_is_one_replicate_aggregation(spark, queries):
+    """Poisson bootstrap: weights are row functions (no Python, no RNG
+    exchange); the replicate means fold map-side before their exchange;
+    the bounds frame broadcasts back onto the 1-row point estimate."""
+    plan = plan_of(queries["events_bootstrap_ci"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
