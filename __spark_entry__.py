@@ -2921,6 +2921,37 @@ def q_docs_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust MAD outlier flags (operators/profiling.py mad_outliers)
+    on event value per event_type — resistant median/MAD fences
+    (Leys et al. 2013) instead of mean±kσ; exact type-7 medians
+    (quantile_cont parity), two group-keyed aggregate+join passes,
+    in-row flag. Returns the flagged rows only."""
+    from intake_esm_spark.operators.profiling import mad_outliers
+
+    events = load_table(spark, sf, "events")
+    out = mad_outliers(
+        events.select("event_id", "event_type", "value"),
+        "value",
+        ["event_type"],
+        k=3.0,
+    )
+    return out.filter(F.col("is_outlier")).select(
+        "event_id", "event_type", "value", "value_med", "value_mad"
+    )
+
+
+def q_docs_source_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source language-mix Shannon entropy (operators/profiling.py
+    entropy_report) — the corpus diversity profile: one (source, lang)
+    count collapse, −p·ln p terms quantized to 12dp decimal before the
+    cross-category sum (order-independent), normalized by ln(k)."""
+    from intake_esm_spark.operators.profiling import entropy_report
+
+    docs = load_table(spark, sf, "documents")
+    return entropy_report(docs, ["source"], "lang")
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3739,6 +3770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cm_heavy_hitters": q_docs_cm_heavy_hitters,
         "graph_link_pred": q_graph_link_pred,
         "docs_lm_perplexity": q_docs_lm_perplexity,
+        "events_mad_outliers": q_events_mad_outliers,
+        "docs_source_entropy": q_docs_source_entropy,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6342,6 +6375,58 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays profiling.mad_outliers: exact type-7 medians
+        # (quantile_cont parity), two aggregate+join passes, k=3 fences.
+        "events_mad_outliers": """
+            WITH m AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ), d AS (
+              SELECT e.event_id, e.event_type, e.value, m.med,
+                     abs(e.value - m.med) AS dev
+              FROM events e JOIN m USING (event_type)
+            ), md AS (
+              SELECT event_type, quantile_cont(dev, 0.5) AS mad
+              FROM d GROUP BY 1
+            )
+            SELECT d.event_id, d.event_type, d.value,
+                   round(d.med, 6) AS value_med,
+                   round(md.mad, 6) AS value_mad
+            FROM d JOIN md USING (event_type)
+            WHERE d.value IS NOT NULL AND md.mad > 0
+              AND abs(d.value - d.med) > 3.0 * md.mad
+        """,
+        # replays profiling.entropy_report: -p ln p quantized to 12dp
+        # decimal per category before the order-independent sum.
+        "docs_source_entropy": """
+            WITH cat AS (
+              SELECT source, lang, count(*) AS c
+              FROM documents WHERE lang IS NOT NULL
+              GROUP BY 1, 2
+            ), wt AS (
+              SELECT source, c,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM cat
+            ), terms AS (
+              SELECT source, CAST(n AS BIGINT) AS n,
+                     CAST(round(
+                       -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)),
+                     12) AS DECIMAL(28,12)) AS t
+              FROM wt
+            ), agged AS (
+              SELECT source, max(n) AS n_rows,
+                     count(*) AS n_categories,
+                     CAST(sum(t) AS DOUBLE) AS h
+              FROM terms GROUP BY 1
+            )
+            SELECT source, n_rows, n_categories,
+                   round(h, 6) AS entropy,
+                   CASE WHEN n_categories > 1 THEN
+                     round(h / ln(CAST(n_categories AS DOUBLE)), 6)
+                   END AS norm_entropy
+            FROM agged
         """,
         # replays operators/selection.lm_train_counts + lm_cross_entropy:
         # hashed-bigram LM on the en split (zipped positional unnests),

@@ -337,3 +337,77 @@ def test_gini_excludes_nulls(spark):
         [("a", 1.0), ("b", None), (None, 5.0)], "k string, v double"
     )
     assert gini_coefficient(df, "k", "v").collect()[0]["n_entities"] == 1
+
+
+# --- mad_outliers -----------------------------------------------------------
+
+
+def test_mad_flags_the_fat_finger(spark):
+    from intake_esm_spark.operators.profiling import mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["x"]: r for r in mad_outliers(df, "x").collect()}
+    # median of the six is 12.5, MAD = median(|x-12.5|) = 1.5
+    assert out[10.0]["x_med"] == 12.5 and out[10.0]["x_mad"] == 1.5
+    assert out[1000.0]["is_outlier"] is True
+    assert all(not out[v]["is_outlier"] for v in vals[:-1])
+    # the mean/std fence would have been dragged by the outlier itself:
+    # 1000 is the ONLY flag even at k=3
+    assert sum(r["is_outlier"] for r in out.values()) == 1
+
+
+def test_mad_grouped_and_zero_mad_guard(spark):
+    from intake_esm_spark.operators.profiling import mad_outliers
+
+    rows = [("a", 1.0), ("a", 1.0), ("a", 9.0), ("b", 5.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = mad_outliers(df, "x", ["g"]).collect()
+    by = {(r["g"], r["x"]): r["is_outlier"] for r in out}
+    # group a: med 1, MAD 0 -> zero-MAD guard, nothing flags
+    assert by[("a", 9.0)] is False
+    # null value never flags
+    assert by[("b", None)] is False
+
+
+def test_mad_approx_path_same_schema(spark):
+    from intake_esm_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    exact = mad_outliers(df, "x", exact=True)
+    approx = mad_outliers(df, "x", exact=False)
+    assert exact.columns == approx.columns
+    assert approx.filter("is_outlier").count() == 0
+
+
+# --- entropy_report ---------------------------------------------------------
+
+
+def test_entropy_uniform_and_single(spark):
+    import math
+
+    from intake_esm_spark.operators.profiling import entropy_report
+
+    rows = (
+        [("u", "a"), ("u", "b"), ("u", "c"), ("u", "d")]  # uniform over 4
+        + [("s", "only")] * 5                              # single category
+        + [("m", "x")] * 3 + [("m", "y")]                  # 3:1 mix
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in entropy_report(df, ["g"], "c").collect()}
+    assert out["u"]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out["u"]["norm_entropy"] == 1.0
+    assert out["s"]["entropy"] == 0.0 and out["s"]["norm_entropy"] is None
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert out["m"]["entropy"] == pytest.approx(h, abs=1e-6)
+    assert out["m"]["n_rows"] == 4 and out["m"]["n_categories"] == 2
+
+
+def test_entropy_null_categories_excluded(spark):
+    from intake_esm_spark.operators.profiling import entropy_report
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b")], "g string, c string"
+    )
+    r = entropy_report(df, ["g"], "c").collect()[0]
+    assert r["n_rows"] == 2 and r["n_categories"] == 2
