@@ -372,3 +372,125 @@ def test_mixture_rates_feasible_and_binding(spark, rows, weights):
     t = min(r["mass"] / r["target_w"] for r in rates)
     for r in rates:
         assert r["rate"] * r["mass"] <= r["target_w"] * t + 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.sampled_from([1.0, 2.0, 3.0, 5.0, 8.0]), min_size=1, max_size=12),
+    st.lists(st.sampled_from([1.0, 2.0, 4.0, 5.0, 9.0]), min_size=1, max_size=12),
+)
+def test_ks_statistic_equals_python_ecdf(spark, xs, ys):
+    """Hypothesis-generated tied samples: the operator's D must equal
+    the max pooled-ECDF gap computed driver-side (exact rationals)."""
+    from intake_esm_spark.operators.experiment import ks_test_report
+
+    rows = [("t", v) for v in xs] + [("c", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test_report(df, "g", "v", "t", "c").collect()[0]
+    n1, n2 = len(xs), len(ys)
+    vals = sorted(set(xs + ys))
+    d_num = max(
+        abs(
+            sum(1 for x in xs if x <= v) * n2
+            - sum(1 for y in ys if y <= v) * n1
+        )
+        for v in vals
+    )
+    assert r["d_stat"] == round(d_num / (n1 * n2), 6)
+    assert (r["n_treat"], r["n_control"]) == (n1, n2)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "f", "g", "hh"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cm_overestimate_property(spark, stream):
+    """Every streamed item's estimate >= its exact count, on arbitrary
+    streams and a deliberately collision-prone 8-bucket width."""
+    from collections import Counter
+
+    from intake_esm_spark.operators.sketch import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame([(v,) for v in stream], "it string")
+    sk = cm_sketch(df, "it", depth=3, width=8)
+    probes = spark.createDataFrame([(v,) for v in set(stream)], "it string")
+    est = {
+        r["it"]: r["cm_est"]
+        for r in cm_estimate(sk, probes, "it", depth=3, width=8).collect()
+    }
+    exact = Counter(stream)
+    for item, n in exact.items():
+        assert est[item] >= n
+        assert est[item] <= len(stream)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False).map(
+            lambda v: round(v, 3)
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    st.sampled_from([2.0, 3.0]),
+)
+def test_mad_flags_equal_python_reference(spark, vals, k):
+    """MAD outlier flags must equal a statistics.median reference
+    (type-7 median of an even list = midpoint — the quantile_cont
+    semantics the operator pins)."""
+    import statistics
+
+    from intake_esm_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        (r["x"], r["is_outlier"])
+        for r in mad_outliers(df, "x", k=k).collect()
+    ]
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    for v, flag in got:
+        expected = mad > 0 and abs(v - med) > k * mad
+        assert flag == expected, (v, med, mad, k)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+def test_link_pred_equals_bruteforce(spark, pairs):
+    """Jaccard link prediction must equal brute-force neighborhood math
+    on hypothesis-generated graphs (self-loops/duplicates included)."""
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    expected = {}
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if (u, w) in edges:
+                continue
+            cn = len(adj[u] & adj[w])
+            if cn >= 1:
+                expected[(u, w)] = round(cn / len(adj[u] | adj[w]), 6)
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in link_prediction_jaccard(
+            spark.createDataFrame(list(pairs), "src long, dst long"),
+            k=1000,
+        ).collect()
+    }
+    assert got == expected
