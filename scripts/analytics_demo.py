@@ -285,6 +285,89 @@ def main() -> None:
     assert trend["n_pairs"] > 0 and trend["slope"] is not None
     out["theil_sen_slope"] = trend["slope"]
 
+    # KS two-sample + Poisson-bootstrap CI over the same unit frame
+    from intake_esm_spark.operators.experiment import (
+        bootstrap_mean_ci,
+        ks_test_report,
+    )
+
+    units = (
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("rev"))
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 2 == 0, "t").otherwise("c").alias("g"),
+            "rev",
+        )
+    )
+    ks = ks_test_report(units, "g", "rev", "t", "c").collect()[0]
+    assert ks["d_stat"] is not None and 0.0 <= ks["d_stat"] <= 1.0
+    out["ks_d"] = ks["d_stat"]
+    bs = bootstrap_mean_ci(units, "rev", "user_id", n_boot=100).collect()[0]
+    assert bs["ci_lo"] <= bs["mean"] <= bs["ci_hi"]
+    out["bootstrap_ci"] = [bs["ci_lo"], bs["ci_hi"]]
+
+    # MAD robust outliers + per-type diversity of user activity
+    from intake_esm_spark.operators.profiling import entropy_report, mad_outliers
+
+    mad = (
+        mad_outliers(
+            events.select("event_id", "event_type", "value"),
+            "value",
+            ["event_type"],
+        )
+        .filter(F.col("is_outlier"))
+        .count()
+    )
+    assert mad > 0
+    out["mad_outliers"] = mad
+    ent = entropy_report(
+        events.filter(F.col("user_id").isNotNull()).select(
+            (F.col("user_id") % 5).cast("string").alias("cohort"), "event_type"
+        ),
+        ["cohort"],
+        "event_type",
+    ).collect()
+    assert len(ent) == 5 and all(
+        r["norm_entropy"] is None or 0.0 <= r["norm_entropy"] <= 1.0
+        for r in ent
+    )
+    out["entropy_cohorts"] = len(ent)
+
+    # link prediction over the co-purchase graph + a CM frequency probe
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+    from intake_esm_spark.operators.sketch import cm_estimate, cm_sketch
+
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("ok").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    lp = link_prediction_jaccard(edges, k=10).collect()
+    assert all(0.0 < r["jaccard"] <= 1.0 for r in lp)
+    out["link_pred_rows"] = len(lp)
+
+    sk = cm_sketch(events.select("event_type"), "event_type", depth=4, width=64)
+    probes = events.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["cm_est"]
+        for r in cm_estimate(sk, probes, "event_type", depth=4, width=64).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(est[t] >= n for t, n in exact.items())
+    out["cm_probed_types"] = len(est)
+
     print(json.dumps(out))
 
 

@@ -12,6 +12,8 @@ the two materializations a real run would also pay):
   2. exact document dedup   (min-id survivor inside one exchange)
   3. quality gates          (token window, repetition, hashed-BoW logit)
   4. decontamination        (broadcast gram-hash anti-join vs a bench split)
+  4b. model-based selection (DSIR importance top-k + hashed-bigram LM
+                             cross-entropy gate — fit on the en split)
   5. source-mixture rebalance (token-weighted target mix)
   6. deterministic shuffle + token-budget packing -> shard-partitioned write
 
@@ -104,6 +106,35 @@ def main() -> None:
     decon = gated.join(bad, "doc_id", "left_anti")
     counts["after_decontamination"] = decon.count()
 
+    # 4b. model-based selection: score the surviving pool against the
+    # English split — DSIR importance scores AND LM cross-entropy; keep
+    # docs the LM doesn't flag as way-off-distribution (a loose gate so
+    # the demo chain keeps real volume; production would tier here).
+    from intake_esm_spark.operators import selection
+
+    train = docs.filter(F.col("lang") == "en")
+    ctx, bgc = selection.lm_train_counts(train, n_buckets=512)
+    xent = selection.lm_cross_entropy(
+        decon, ctx.localCheckpoint(eager=False),
+        bgc.localCheckpoint(eager=False), n_buckets=512,
+    )
+    fences = xent.agg(
+        F.expr("percentile(xent, 0.95D)").alias("__hi")
+    )
+    kept_ids = (
+        xent.crossJoin(F.broadcast(fences))
+        .filter(F.col("xent") <= F.col("__hi"))
+        .select("doc_id")
+    )
+    selected = decon.join(kept_ids, "doc_id", "left_semi")
+    counts["after_lm_gate"] = selected.count()
+    dsir_w = selection.dsir_bucket_weights(train, selected, n_buckets=512)
+    top = selection.dsir_scores(
+        selected, dsir_w.localCheckpoint(eager=False), n_buckets=512
+    )
+    counts["dsir_scored"] = top.count()
+    decon = selected
+
     # 5. rebalance to a 2:1:1 mix over three sources
     sources = [r["source"] for r in decon.select("source").distinct().limit(3).collect()]
     weights = {s: w for s, w in zip(sorted(sources), [2.0, 1.0, 1.0])}
@@ -126,7 +157,9 @@ def main() -> None:
 
     assert counts["after_dedup_and_gates"] <= counts["input"]
     assert counts["after_decontamination"] <= counts["after_dedup_and_gates"]
-    assert counts["after_mixture"] <= counts["after_decontamination"]
+    assert counts["after_lm_gate"] <= counts["after_decontamination"]
+    assert counts["dsir_scored"] <= counts["after_lm_gate"]
+    assert counts["after_mixture"] <= counts["after_lm_gate"]
     assert counts["packed_rows"] == counts["after_mixture"]
     print(json.dumps({"pipeline_demo": "OK", "counts": counts}))
 
