@@ -2952,6 +2952,38 @@ def q_docs_source_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return entropy_report(docs, ["source"], "lang")
 
 
+def q_events_bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom membership sketch driven through the gate (operators/
+    sketch.py bloom_build/bloom_probe): filter built over the even-
+    event-id half's user ids, the odd half's distinct users probed
+    against the BROADCAST bit-position set; output carries the exact
+    membership flag alongside — every in_build row must probe true (no
+    false negatives), and the hash compare pins the whole bit array."""
+    from intake_esm_spark.operators.sketch import bloom_build, bloom_probe
+
+    events = load_table(spark, sf, "events")
+    ev = events.filter(F.col("user_id").isNotNull())
+    build = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    probe_src = ev.filter(F.col("event_id") % 2 == 1).select("user_id")
+    bloom = bloom_build(build, "user_id", n_hashes=7, n_bits=4096)
+    probed = bloom_probe(
+        bloom, probe_src, "user_id", n_hashes=7, n_bits=4096
+    )
+    exact = build.distinct().withColumn("__in", F.lit(1))
+    return (
+        probed.join(
+            F.broadcast(exact.withColumn("user_id", F.col("user_id").cast("string"))),
+            "user_id",
+            "left",
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "might_contain",
+            F.coalesce("__in", F.lit(0)).cast("int").alias("in_build"),
+        )
+    )
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3772,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_perplexity": q_docs_lm_perplexity,
         "events_mad_outliers": q_events_mad_outliers,
         "docs_source_entropy": q_docs_source_entropy,
+        "events_bloom_probe": q_events_bloom_probe,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6375,6 +6408,43 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays operators/sketch.bloom_build + bloom_probe: k=7 salted
+        # md5-60 bit positions mod 4096, distinct-bit filter over the
+        # even half, all-bits-set membership for the odd half's users.
+        "events_bloom_probe": f"""
+            WITH ev AS (
+              SELECT event_id, CAST(user_id AS VARCHAR) AS it
+              FROM events WHERE user_id IS NOT NULL
+            ), js AS (
+              SELECT unnest(generate_series(0, 6)) AS j
+            ), bits AS (
+              SELECT DISTINCT
+                     {_h60_sql(
+                       "'bf|' || CAST(j AS VARCHAR) || '#' || it"
+                     )} % 4096 AS pos
+              FROM ev, js WHERE event_id % 2 = 0
+            ), probes AS (
+              SELECT DISTINCT it FROM ev WHERE event_id % 2 = 1
+            ), fan AS (
+              SELECT it,
+                     {_h60_sql(
+                       "'bf|' || CAST(j AS VARCHAR) || '#' || it"
+                     )} % 4096 AS pos
+              FROM probes, js
+            ), look AS (
+              SELECT fan.it,
+                     count(*) = sum(CASE WHEN bits.pos IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS mc
+              FROM fan LEFT JOIN bits USING (pos)
+              GROUP BY 1
+            )
+            SELECT CAST(look.it AS BIGINT) AS user_id,
+                   mc AS might_contain,
+                   CASE WHEN look.it IN (
+                     SELECT it FROM ev WHERE event_id % 2 = 0
+                   ) THEN 1 ELSE 0 END AS in_build
+            FROM look
         """,
         # replays profiling.mad_outliers: exact type-7 medians
         # (quantile_cont parity), two aggregate+join passes, k=3 fences.

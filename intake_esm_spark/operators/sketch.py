@@ -250,3 +250,94 @@ def cm_estimate(
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_est"))
         .select(F.col("__it").alias(item_col), "cm_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set membership
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    n_hashes: int = 7,
+    n_bits: int = 65536,
+    salt: str = "bf",
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) of the item set — the MEMBERSHIP
+    companion completing the sketch trio (KMV = cardinality, Count-Min
+    = frequency): "have we ever seen this key?" over 100 TB without
+    shipping the key set. Spark's own ``bloom_filter_agg`` is a binary
+    engine-internal blob; this one is the set of SET BIT POSITIONS —
+    one ``(pos)`` row per lit bit, ≤ ``n_bits`` rows however large the
+    input — so a SQL oracle replays it bit-for-bit and two filters
+    merge by plain ``union().distinct()`` (:func:`bloom_merge`).
+
+    Plan: ×``n_hashes`` in-row fan-out → one map-side-combined
+    distinct. For the classic error math, ``n_hashes ≈ (m/n)·ln 2``
+    and FP rate ≈ ``(1 − e^{−kn/m})^k``; at the defaults (k=7,
+    m=64Ki) a 6k-item set false-positives at ~0.8%."""
+    if n_hashes < 1 or n_bits < 2:
+        raise ValueError(
+            f"need n_hashes >= 1, n_bits >= 2; got {n_hashes}, {n_bits}"
+        )
+    rows = df.select(
+        F.col(item_col).cast("string").alias("__it"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__j"),
+    ).filter(F.col("__it").isNotNull())
+    pos = F.pmod(
+        salted_hash60(
+            F.concat(F.col("__j").cast("string"), F.lit("#"), F.col("__it")),
+            salt,
+        ),
+        F.lit(n_bits),
+    ).cast("int")
+    return rows.select(pos.alias("pos")).distinct()
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two Bloom filters built with the SAME (n_hashes, n_bits,
+    salt): bitwise OR == union of set positions. Identical to the
+    filter of the concatenated inputs — per-shard filters roll up
+    without re-reading data."""
+    return a.unionAll(b).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    n_hashes: int = 7,
+    n_bits: int = 65536,
+    salt: str = "bf",
+) -> DataFrame:
+    """Membership test: ``(item_col, might_contain)`` — true iff ALL
+    ``n_hashes`` of the item's bit positions are set. No false
+    negatives ever (every inserted item's bits are set by
+    construction); false positives at the documented rate. The filter
+    (≤ ``n_bits`` rows) is BROADCAST; probes fan out ×``n_hashes``
+    in-row and collapse with one item-keyed count — the probe side
+    never shuffles the filter."""
+    p = probes.select(F.col(item_col).cast("string").alias("__it")).distinct()
+    fan = p.select(
+        "__it",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__j"),
+    )
+    pos = F.pmod(
+        salted_hash60(
+            F.concat(F.col("__j").cast("string"), F.lit("#"), F.col("__it")),
+            salt,
+        ),
+        F.lit(n_bits),
+    ).cast("int")
+    looked = fan.select("__it", pos.alias("pos")).join(
+        F.broadcast(bloom.withColumn("__hit", F.lit(1))), "pos", "left"
+    )
+    return (
+        looked.groupBy("__it")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce("__hit", F.lit(0)))).alias(
+                "might_contain"
+            )
+        )
+        .select(F.col("__it").alias(item_col), "might_contain")
+    )

@@ -348,3 +348,63 @@ def test_stream_cm_sketch_matches_batch(spark, tmp_path):
         cell = (r["row"], r["col"])
         final[cell] = max(final.get(cell, 0), r["n"])
     assert final == batch
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    from intake_esm_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = [f"m{i}" for i in range(200)]
+    others = [f"x{i}" for i in range(200)]
+    bloom = bloom_build(_items(spark, members), "it", n_hashes=7, n_bits=8192)
+    got = {
+        r["it"]: r["might_contain"]
+        for r in bloom_probe(
+            bloom,
+            _items(spark, members + others),
+            "it",
+            n_hashes=7,
+            n_bits=8192,
+        ).collect()
+    }
+    # EVERY member probes true — the structural no-false-negative law
+    assert all(got[m] for m in members)
+    # false positives exist in principle but are rare at these params
+    fp = sum(got[o] for o in others)
+    assert fp <= 10  # expected ~0.04% at k=7, m=8192, n=200
+
+
+def test_bloom_merge_equals_whole_build(spark):
+    from intake_esm_spark.operators.sketch import bloom_build, bloom_merge
+
+    a = [f"a{i}" for i in range(50)]
+    b = [f"b{i}" for i in range(50)]
+    merged = {
+        r["pos"]
+        for r in bloom_merge(
+            bloom_build(_items(spark, a), "it", n_hashes=3, n_bits=512),
+            bloom_build(_items(spark, b), "it", n_hashes=3, n_bits=512),
+        ).collect()
+    }
+    whole = {
+        r["pos"]
+        for r in bloom_build(
+            _items(spark, a + b), "it", n_hashes=3, n_bits=512
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_bloom_bounded_and_validation(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.sketch import bloom_build
+
+    df = _items(spark, [f"i{i}" for i in range(1000)])
+    assert bloom_build(df, "it", n_hashes=4, n_bits=64).count() <= 64
+    with _pt.raises(ValueError):
+        bloom_build(df, "it", n_hashes=0)
+    with _pt.raises(ValueError):
+        bloom_build(df, "it", n_bits=1)
