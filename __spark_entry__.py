@@ -362,6 +362,21 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Broder containment pairs >= 0.5 (operators/dedup.py
+    containment_pairs): n_inter/min(|A|,|B|) over capped distinct
+    shingles — the asymmetric modality that catches short-doc-inside-
+    long-doc syndication Jaccard misses; jaccard rides along."""
+    docs = load_table(spark, sf, "documents")
+    out = dedup.containment_pairs(docs, shingle_n=5, threshold=0.5)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     """The PRODUCTION near-dup pipeline: MinHash-LSH candidates, then exact
     Jaccard verification restricted to candidates. Its correctness CONTRACT
@@ -3805,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "docs_source_entropy": q_docs_source_entropy,
         "events_bloom_probe": q_events_bloom_probe,
+        "dedup_containment": q_dedup_containment,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -8090,6 +8106,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(num_hashes=32, bands=16),
         "dedup_simhash": _simhash_oracle_sql(max_hamming=3),
         "dedup_jaccard": _JACCARD_PAIRS_SQL,
+        # replays dedup.containment_pairs: same capped shingle frame,
+        # n_inter/min(n_a, n_b) with jaccard alongside
+        "dedup_containment": f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
+              FROM documents
+            ), exploded_all AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            ), exploded AS (
+              SELECT doc_id, shingle FROM exploded_all
+              WHERE shingle NOT IN (
+                SELECT shingle FROM exploded_all
+                GROUP BY shingle HAVING count(*) > {dedup.DEFAULT_MAX_DOC_FREQ}
+              )
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM exploded a JOIN exploded b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / least(sa.n_sh, sb.n_sh), 6) AS containment,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+        """,
         # the fused LSH+verify pipeline's contract is exact equality with
         # the all-pairs pass, so it shares the oracle — see q_dedup_near
         "dedup_near": _JACCARD_PAIRS_SQL,

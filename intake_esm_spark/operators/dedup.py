@@ -1020,3 +1020,65 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Broder CONTAINMENT pairs: ``n_inter / min(|A|, |B|)`` over
+    distinct shingles — the asymmetric cousin of :func:`jaccard_pairs`
+    that catches a short document quoted wholesale inside a long one
+    (Jaccard ≈ |short|/|long| ≈ 0 there; containment = 1). The dedup
+    modality for quote-farms, syndication wrappers, and prompt/document
+    concatenations.
+
+    Same plan as the capped Jaccard verify: in-row distinct shingles,
+    corpus-wide doc-frequency cap before the shingle-keyed self-join
+    (the quadratic-blowup guard and its deviation bound carry over),
+    AQE-broadcast size joins. Returns
+    ``(id_a, id_b, containment, jaccard)`` with id_a < id_b and
+    containment >= threshold — jaccard rides along so a consumer can
+    tell true near-dups from one-sided containment."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    exploded = _shingle_rows(
+        df, text_col, id_col, shingle_n, distinct=True
+    ).select("id", F.col("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        exploded = _df_capped(exploded, "shingle", max_doc_freq)
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )

@@ -477,3 +477,48 @@ def test_dedup_components_survivor_by_partial_score_frame(spark):
     )
     # 1 untouched; 3 wins {2,3} on score; 4 survives {4,5} by min id
     assert kept == [1, 3, 4]
+
+
+# --- containment_pairs ------------------------------------------------------
+
+
+def test_containment_catches_quote_inside_long_doc(spark):
+    """A short doc quoted wholesale inside a long one: containment 1.0
+    even though Jaccard is far below any dedup threshold — the
+    asymmetric modality's whole point."""
+    from intake_esm_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    out = containment_pairs(df, threshold=0.9, shingle_n=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.9  # jaccard alone would have missed it
+
+
+def test_containment_symmetric_on_identical_docs(spark):
+    from intake_esm_spark.operators.dedup import containment_pairs
+
+    t = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(df, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["containment"] == 1.0 and out[0]["jaccard"] == 1.0
+
+
+def test_containment_threshold_validation(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        containment_pairs(df, threshold=0.0)
