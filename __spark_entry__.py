@@ -2999,6 +2999,56 @@ def q_events_bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/experiment.py
+    cuped_report): per-user purchase revenue split at Jan 16 into the
+    pre-period covariate and the experiment metric, even/odd cohorts —
+    pooled theta from one decimal-moment aggregation, adjusted
+    means/variances expanded algebraically (no second pass), z on the
+    adjusted metric plus the variance-reduction percentage."""
+    from intake_esm_spark.operators.experiment import cuped_report
+
+    events = load_table(spark, sf, "events")
+    split = "2024-01-16"
+    per_user = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") < F.lit(split).cast("timestamp"),
+                        F.expr("CAST(value AS DECIMAL(18,6))"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("pre_rev"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= F.lit(split).cast("timestamp"),
+                        F.expr("CAST(value AS DECIMAL(18,6))"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("post_rev"),
+        )
+    )
+    units = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c").alias("grp"),
+        "pre_rev",
+        "post_rev",
+    )
+    return cuped_report(units, "grp", "post_rev", "pre_rev", "c")
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3821,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_entropy": q_docs_source_entropy,
         "events_bloom_probe": q_events_bloom_probe,
         "dedup_containment": q_dedup_containment,
+        "events_cuped": q_events_cuped,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6424,6 +6475,97 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays operators/experiment.cuped_report: one decimal-moment
+        # aggregation, pooled theta from the variant-frame totals,
+        # adjusted means/variances expanded algebraically.
+        "events_cuped": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                       AS DOUBLE) AS x,
+                     CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                       AS DOUBLE) AS y
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END
+                       AS variant, x, y
+              FROM pu
+            ), pv AS (
+              SELECT variant, count(*) AS n,
+                     sum(CAST(y AS DECIMAL(19,6))) AS sy,
+                     sum(CAST(x AS DECIMAL(19,6))) AS sx,
+                     sum(CAST(y AS DECIMAL(19,6))
+                         * CAST(y AS DECIMAL(19,6))) AS syy,
+                     sum(CAST(x AS DECIMAL(19,6))
+                         * CAST(x AS DECIMAL(19,6))) AS sxx,
+                     sum(CAST(y AS DECIMAL(19,6))
+                         * CAST(x AS DECIMAL(19,6))) AS sxy
+              FROM u GROUP BY 1
+            ), g AS (
+              SELECT variant, n,
+                     CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+                     CAST(syy AS DOUBLE) AS syyd,
+                     CAST(sxx AS DOUBLE) AS sxxd,
+                     CAST(sxy AS DOUBLE) AS sxyd,
+                     CAST(sum(n) OVER () AS DOUBLE) AS tnd,
+                     CAST(sum(sy) OVER () AS DOUBLE) AS tsy,
+                     CAST(sum(sx) OVER () AS DOUBLE) AS tsx,
+                     CAST(sum(sxx) OVER () AS DOUBLE) AS tsxx,
+                     CAST(sum(sxy) OVER () AS DOUBLE) AS tsxy
+              FROM pv
+            ), c1 AS (
+              SELECT variant, n,
+                     CAST(n AS DOUBLE) AS nd,
+                     syd / CAST(n AS DOUBLE) AS my,
+                     sxd / CAST(n AS DOUBLE) AS mx,
+                     syyd, sxxd, sxyd,
+                     CASE WHEN tsxx - tsx * tsx / tnd > 0
+                          THEN (tsxy - tsx * tsy / tnd)
+                               / (tsxx - tsx * tsx / tnd)
+                          ELSE 0.0 END AS theta,
+                     tsx / tnd AS xbar
+              FROM g
+            ), c2 AS (
+              SELECT variant, n, my,
+                     my - theta * (mx - xbar) AS madj,
+                     CASE WHEN n >= 2
+                          THEN (syyd - nd * my * my) / (nd - 1.0) END AS vy,
+                     CASE WHEN n >= 2
+                          THEN (syyd - nd * my * my) / (nd - 1.0)
+                               - 2.0 * theta
+                                 * ((sxyd - nd * mx * my) / (nd - 1.0))
+                               + theta * theta
+                                 * ((sxxd - nd * mx * mx) / (nd - 1.0))
+                          END AS vadj,
+                     nd
+              FROM c1
+            ), ctrl AS (
+              SELECT nd AS ncd, madj AS mc, vadj AS vc
+              FROM c2 WHERE variant = 'c'
+            ), f AS (
+              SELECT c2.variant, c2.n, c2.my, c2.madj, c2.vy, c2.vadj,
+                     CASE WHEN c2.variant <> 'c'
+                           AND sqrt(c2.vadj / c2.nd + ctrl.vc / ctrl.ncd) > 0
+                          THEN round((c2.madj - ctrl.mc)
+                               / sqrt(c2.vadj / c2.nd + ctrl.vc / ctrl.ncd), 6)
+                          END AS z_adj
+              FROM c2 LEFT JOIN ctrl ON TRUE
+            )
+            SELECT variant, n AS n_units,
+                   round(my, 6) AS mean_raw,
+                   round(madj, 6) AS mean_adj,
+                   z_adj,
+                   CASE WHEN vy > 0
+                        THEN round(100.0 * (1.0 - vadj / vy), 6)
+                        END AS var_reduction_pct,
+                   CAST(coalesce(abs(z_adj) >= 1.959964, false) AS INT)
+                     AS significant
+            FROM f
         """,
         # replays operators/sketch.bloom_build + bloom_probe: k=7 salted
         # md5-60 bit positions mod 4096, distinct-bit filter over the

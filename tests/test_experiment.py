@@ -292,3 +292,51 @@ def test_bootstrap_validation(spark):
         bootstrap_mean_ci(df, "v", "k", n_boot=1)
     with _pt.raises(ValueError):
         bootstrap_mean_ci(df, "v", "k", level=1.0)
+
+
+# --- cuped_report -----------------------------------------------------------
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    """Metric = covariate + constant lift: theta = 1, the adjusted
+    metric is constant per variant -> ~100% variance reduction and the
+    tiny lift becomes detectable."""
+    from intake_esm_spark.operators.experiment import cuped_report
+
+    rows = []
+    for i in range(40):
+        x = float(i % 10) * 10.0
+        wiggle = 0.01 * float(i % 3)  # keep var(y') > 0 so z is defined
+        rows.append(("c", x, x + 1.0 + wiggle))
+        rows.append(("t", x, x + 1.5 + wiggle))  # +0.5 lift over control
+    df = spark.createDataFrame(rows, "v string, x double, y double")
+    out = {r["variant"]: r for r in cuped_report(df, "v", "y", "x", "c").collect()}
+    t = out["t"]
+    assert t["var_reduction_pct"] > 99.9
+    assert out["c"]["z_adj"] is None  # control row carries no z
+    assert t["z_adj"] is not None and t["significant"] == 1
+    # adjusted means keep the unbiased lift
+    assert t["mean_adj"] - out["c"]["mean_adj"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_cuped_useless_covariate_no_reduction(spark):
+    """Covariate constant: var(x)=0 -> theta=0, adjusted == raw."""
+    from intake_esm_spark.operators.experiment import cuped_report
+
+    rows = [("c", 1.0, float(i % 7)) for i in range(20)] + [
+        ("t", 1.0, float(i % 7) + 1.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "v string, x double, y double")
+    out = {r["variant"]: r for r in cuped_report(df, "v", "y", "x", "c").collect()}
+    for r in out.values():
+        assert r["mean_adj"] == r["mean_raw"]
+        assert r["var_reduction_pct"] == 0.0
+
+
+def test_cuped_null_rows_excluded(spark):
+    from intake_esm_spark.operators.experiment import cuped_report
+
+    rows = [("c", 1.0, 2.0), ("c", None, 3.0), ("t", 1.0, None), ("t", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, "v string, x double, y double")
+    out = {r["variant"]: r["n_units"] for r in cuped_report(df, "v", "y", "x", "c").collect()}
+    assert out == {"c": 1, "t": 1}
