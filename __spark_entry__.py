@@ -3049,6 +3049,43 @@ def q_events_cuped(spark: SparkSession, sf: str) -> DataFrame:
     return cuped_report(units, "grp", "post_rev", "pre_rev", "c")
 
 
+def q_docs_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Classification eval of the engine's own lang-id heuristic
+    against the labeled lang column (operators/evaluation.py
+    confusion_report): per-class precision/recall/F1 from one
+    (actual, predicted) count collapse — the scoring loop a
+    model-assisted curation stage closes with."""
+    from intake_esm_spark.operators.evaluation import confusion_report
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "lang", tx.lang_id(F.col("text")).alias("lang_pred")
+    )
+    return confusion_report(scored, "lang", "lang_pred")
+
+
+def q_events_forecast_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic regression scorecard (operators/evaluation.py
+    regression_metrics) of the 7-day seasonal-naive forecast against
+    actual daily revenue: MAE/RMSE/bias/R² from ONE decimal-moment
+    aggregation over the day-grain frame."""
+    from pyspark.sql import Window
+
+    from intake_esm_spark.operators.evaluation import regression_metrics
+
+    events = load_table(spark, sf, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(_dec_sum("value", "rev"))
+    )
+    w = Window.orderBy("day")  # calendar-bounded day frame
+    scored = daily.select(
+        "rev", F.lag("rev", 7).over(w).alias("pred")
+    ).filter(F.col("pred").isNotNull())
+    return regression_metrics(scored, "rev", "pred")
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3872,6 +3909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bloom_probe": q_events_bloom_probe,
         "dedup_containment": q_dedup_containment,
         "events_cuped": q_events_cuped,
+        "docs_langid_confusion": q_docs_langid_confusion,
+        "events_forecast_metrics": q_events_forecast_metrics,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -8159,6 +8198,104 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fp FROM documents
+        """,
+        # replays evaluation.confusion_report over the lang-id replay:
+        # one (actual, predicted) count collapse, margins, IEEE metrics
+        # computed raw and rounded at the end (the operator's order).
+        "docs_langid_confusion": f"""
+            WITH hits AS (
+              SELECT doc_id, lang,
+                     {_sw_hits_sql('en')} AS h_en,
+                     {_sw_hits_sql('de')} AS h_de,
+                     {_sw_hits_sql('fr')} AS h_fr,
+                     {_sw_hits_sql('es')} AS h_es
+              FROM documents
+            ), scored AS (
+              SELECT lang AS a,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0
+                            THEN 'und'
+                          WHEN h_fr = greatest(h_en, h_de, h_fr, h_es)
+                            THEN 'fr'
+                          WHEN h_es = greatest(h_en, h_de, h_fr, h_es)
+                            THEN 'es'
+                          WHEN h_en = greatest(h_en, h_de, h_fr, h_es)
+                            THEN 'en'
+                          ELSE 'de' END AS p
+              FROM hits
+            ), pairs AS (
+              SELECT a, p, count(*) AS c FROM scored
+              WHERE a IS NOT NULL AND p IS NOT NULL
+              GROUP BY 1, 2
+            ), act AS (
+              SELECT a AS label, CAST(sum(c) AS BIGINT) AS n_actual,
+                     CAST(coalesce(sum(CASE WHEN a = p THEN c END), 0)
+                          AS BIGINT) AS n_correct
+              FROM pairs GROUP BY 1
+            ), pred AS (
+              SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_predicted
+              FROM pairs GROUP BY 1
+            ), m AS (
+              SELECT coalesce(act.label, pred.label) AS label,
+                     coalesce(n_actual, 0) AS n_actual,
+                     coalesce(n_predicted, 0) AS n_predicted,
+                     coalesce(n_correct, 0) AS n_correct
+              FROM act FULL OUTER JOIN pred ON act.label = pred.label
+            ), raw AS (
+              SELECT label, n_actual, n_predicted, n_correct,
+                     CASE WHEN n_predicted > 0 THEN
+                       CAST(n_correct AS DOUBLE)
+                       / CAST(n_predicted AS DOUBLE) END AS pr,
+                     CASE WHEN n_actual > 0 THEN
+                       CAST(n_correct AS DOUBLE)
+                       / CAST(n_actual AS DOUBLE) END AS rc
+              FROM m
+            )
+            SELECT label, n_actual, n_predicted, n_correct,
+                   round(pr, 6) AS precision,
+                   round(rc, 6) AS recall,
+                   CASE WHEN pr IS NOT NULL AND rc IS NOT NULL
+                         AND pr + rc > 0
+                        THEN round(2.0 * pr * rc / (pr + rc), 6)
+                        END AS f1
+            FROM raw
+        """,
+        # replays evaluation.regression_metrics over the 7-day
+        # seasonal-naive forecast: one decimal-moment aggregation.
+        "events_forecast_metrics": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), l AS (
+              SELECT rev, lag(rev, 7) OVER (ORDER BY day) AS pred
+              FROM daily
+            ), c AS (
+              SELECT rev AS y, pred FROM l WHERE pred IS NOT NULL
+            ), mm AS (
+              SELECT count(*) AS n,
+                     CAST(sum(CAST(abs(pred - y) AS DECIMAL(19,6)))
+                          AS DOUBLE) AS sae,
+                     CAST(sum(CAST(pred - y AS DECIMAL(19,6)))
+                          AS DOUBLE) AS se,
+                     CAST(sum(CAST(pred - y AS DECIMAL(19,6))
+                              * CAST(pred - y AS DECIMAL(19,6)))
+                          AS DOUBLE) AS see,
+                     CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(y AS DECIMAL(19,6))
+                              * CAST(y AS DECIMAL(19,6)))
+                          AS DOUBLE) AS syy
+              FROM c
+            )
+            SELECT n,
+                   round(sae / CAST(n AS DOUBLE), 6) AS mae,
+                   round(sqrt(see / CAST(n AS DOUBLE)), 6) AS rmse,
+                   round(se / CAST(n AS DOUBLE), 6) AS bias,
+                   CASE WHEN syy - sy * sy / CAST(n AS DOUBLE) > 0
+                        THEN round(1.0 - see
+                             / (syy - sy * sy / CAST(n AS DOUBLE)), 6)
+                        END AS r2
+            FROM mm
         """,
         # same md5-bucket construction as operators/sampling.hash_bucket:
         # md5(salt || '|' || key), first 15 hex chars -> 60-bit int ->
