@@ -1039,3 +1039,28 @@ def stream_cm_sketch(
     from intake_esm_spark.operators.sketch import cm_sketch
 
     return cm_sketch(df, item_col, depth=depth, width=width, salt=salt)
+
+
+def stream_bloom_build(
+    df: DataFrame,
+    item_col: str,
+    n_hashes: int = 7,
+    n_bits: int = 65536,
+    salt: str = "bf",
+) -> DataFrame:
+    """Streaming twin of ``operators.sketch.bloom_build`` — the live
+    membership filter. Like the Count-Min twin, no custom state: a
+    Bloom filter only ever SETS bits, so the build is exactly Spark's
+    built-in streaming deduplication (each bit position emitted once,
+    on the micro-batch that first lights it — append mode). The union
+    of all emitted rows equals the batch filter of everything ingested
+    bit-for-bit (parity-tested); dedup state is one entry per lit bit,
+    ≤ ``n_bits`` total whatever the stream length — the same bounded-
+    memory guarantee as the batch bit array, carried by the state
+    store. Downstream, snapshot the sink table and probe it with the
+    batch ``bloom_probe``."""
+    from intake_esm_spark.operators.sketch import bloom_build
+
+    return bloom_build(
+        df, item_col, n_hashes=n_hashes, n_bits=n_bits, salt=salt
+    )

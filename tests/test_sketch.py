@@ -408,3 +408,57 @@ def test_bloom_bounded_and_validation(spark):
         bloom_build(df, "it", n_hashes=0)
     with _pt.raises(ValueError):
         bloom_build(df, "it", n_bits=1)
+
+
+def test_stream_bloom_build_matches_batch(spark, tmp_path):
+    """Two micro-batches: the union of appended bit positions equals the
+    whole-corpus batch filter, each bit emitted exactly once."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.sketch import bloom_build
+    from intake_esm_spark.streaming.stateful import stream_bloom_build
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(120)], "it string"
+    )
+    batch = {
+        r["pos"]
+        for r in bloom_build(df, "it", n_hashes=5, n_bits=1024).collect()
+    }
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32("it") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    df.filter(F.crc32("it") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_bloom_build(stream, "it", n_hashes=5, n_bits=1024)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bloom_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = [r["pos"] for r in spark.sql("SELECT * FROM bloom_stream").collect()]
+    finally:
+        q.stop()
+    assert len(emitted) == len(set(emitted))  # each bit lit exactly once
+    assert set(emitted) == batch
