@@ -176,6 +176,13 @@ BENCH_QUERIES = [
     "graph_link_pred",
     "events_ks_test",
     "events_bootstrap_ci",
+    "events_cuped",
+    "events_mad_outliers",
+    "docs_source_entropy",
+    "events_bloom_probe",
+    "dedup_containment",
+    "docs_langid_confusion",
+    "events_forecast_metrics",
 ]
 
 
