@@ -3086,6 +3086,26 @@ def q_events_forecast_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return regression_metrics(scored, "rev", "pred")
 
 
+def q_orders_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout keys (operators/layout.py zorder_key) over
+    (customer, price-cents): integer min-max buckets + Morton bit
+    interleave — the multi-column file-skipping layout
+    (OPTIMIZE ZORDER) as an engine-exact row function; first 50 rows
+    of the curve with their keys."""
+    from intake_esm_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    z = zorder_key(o, ["o_custkey", "cents"], bits=16)
+    return z.orderBy("zkey", "o_orderkey").limit(50)
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3911,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cuped": q_events_cuped,
         "docs_langid_confusion": q_docs_langid_confusion,
         "events_forecast_metrics": q_events_forecast_metrics,
+        "orders_zorder": q_orders_zorder,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -4294,6 +4315,18 @@ def _pois_w_sql(u: str) -> str:
         )
         + ")"
     )
+
+
+def _morton_sql(u_exprs: list[str], bits: int) -> str:
+    """DuckDB replay of operators/layout._interleave: bit i of column j
+    lands at position i·n + j — the same fixed fold of shifts."""
+    n = len(u_exprs)
+    terms = [
+        f"((({u} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, u in enumerate(u_exprs)
+    ]
+    return " | ".join(terms)
 
 
 def _h60_sql(x: str) -> str:
@@ -6514,6 +6547,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays operators/layout.zorder_key: integer min-max buckets
+        # (pure BIGINT `//`), Morton interleave as the same shift fold.
+        "orders_zorder": f"""
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders
+            ), r AS (
+              SELECT min(o_custkey) AS mn1, max(o_custkey) AS mx1,
+                     min(cents) AS mn2, max(cents) AS mx2
+              FROM o
+            ), b AS (
+              SELECT o_orderkey, o_custkey, cents,
+                     least(coalesce(
+                       ((o_custkey - mn1) * 65536) // (mx1 - mn1 + 1), 0),
+                       65535) AS u1,
+                     least(coalesce(
+                       ((cents - mn2) * 65536) // (mx2 - mn2 + 1), 0),
+                       65535) AS u2
+              FROM o, r
+            )
+            SELECT o_orderkey, o_custkey, cents,
+                   CAST({_morton_sql(['u1', 'u2'], 16)} AS BIGINT) AS zkey
+            FROM b ORDER BY zkey, o_orderkey LIMIT 50
         """,
         # replays operators/experiment.cuped_report: one decimal-moment
         # aggregation, pooled theta from the variant-frame totals,
