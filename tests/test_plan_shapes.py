@@ -615,3 +615,36 @@ def test_bootstrap_is_one_replicate_aggregation(spark, queries):
     plan = plan_of(queries["events_bootstrap_ci"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cuped_is_one_moment_aggregation(spark, queries):
+    """CUPED: six decimal moments fold in one partial-agged pass over
+    the unit frame; the only join is the broadcast control row."""
+    plan = plan_of(queries["events_cuped"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # nothing corpus-sized ever joins
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mad_fences_join_back_in_row_flag(spark, queries):
+    """MAD: two aggregate+join passes; the flag itself is in-row (no
+    window over the corpus, no Python)."""
+    plan = plan_of(queries["events_mad_outliers"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no per-row window machinery — fences come from aggregates
+    assert "WindowExec" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, queries):
+    plan = plan_of(queries["events_bloom_probe"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_is_in_row_over_broadcast_ranges(spark, queries):
+    """Z-order: the key is pure in-row codegen; the only join is the
+    broadcast 1-row min/max frame; top-50 is a partial TakeOrdered."""
+    plan = plan_of(queries["orders_zorder"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
