@@ -3106,6 +3106,18 @@ def q_orders_zorder(spark: SparkSession, sf: str) -> DataFrame:
     return z.orderBy("zkey", "o_orderkey").limit(50)
 
 
+def q_docs_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact positional phrase matching (operators/retrieval.py
+    phrase_search) for the repeated-term phrase "table table": postings
+    exploded ONLY for the query's terms, consecutive-position semi-join
+    chain, per-doc match count + 1-based first position. Integer-only —
+    no floats anywhere."""
+    from intake_esm_spark.operators.retrieval import phrase_search
+
+    docs = load_table(spark, sf, "documents")
+    return phrase_search(docs, "table table")
+
+
 def _dsir_splits(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """TARGET = the English docs (the distribution to select toward),
     RAW = everything else (the pool) — the DSIR demo split."""
@@ -3935,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_langid_confusion": q_docs_langid_confusion,
         "events_forecast_metrics": q_events_forecast_metrics,
         "orders_zorder": q_orders_zorder,
+        "docs_phrase_search": q_docs_phrase_search,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6550,6 +6563,30 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays retrieval.phrase_search for "table table": zipped
+        # positional unnests, consecutive-position EXISTS chain.
+        "docs_phrase_search": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), post AS (
+              SELECT doc_id, unnest(ws) AS t,
+                     unnest(generate_series(1, len(ws))) AS pos
+              FROM w
+            ), p0 AS (
+              SELECT doc_id, pos FROM post WHERE t = 'table'
+            ), m AS (
+              SELECT p0.doc_id, p0.pos FROM p0
+              WHERE EXISTS (
+                SELECT 1 FROM post p1
+                WHERE p1.doc_id = p0.doc_id AND p1.t = 'table'
+                  AND p1.pos - 1 = p0.pos
+              )
+            )
+            SELECT doc_id, count(*) AS n_matches,
+                   CAST(min(pos) AS INT) AS first_pos
+            FROM m GROUP BY 1
         """,
         # replays operators/layout.zorder_key: integer min-max buckets
         # (pure BIGINT `//`), Morton interleave as the same shift fold.

@@ -402,3 +402,51 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching via POSITIONAL postings — the retrieval
+    modality BM25's bag-of-words can't express ("new york" as a phrase,
+    not two terms anywhere). Returns ``(id_col, n_matches, first_pos)``
+    for documents containing the normalized phrase as consecutive
+    tokens, with the 1-based token position of the first occurrence.
+
+    Plan: tokenize in-row, explode to positional postings ONLY for the
+    phrase's terms (the ``term IN (...)`` filter cuts the explode to
+    query-relevant tokens before anything shuffles), then the classic
+    positional join — term i's postings matched on
+    ``(doc, pos + i)`` against term 0's — collapsed per document. All
+    joins are doc+position equi-joins on frames already filtered to the
+    query terms (query-frequency-bounded, not corpus-bounded); a
+    repeated term in the phrase reuses the same filtered frame.
+    Engine-exact: positions are integers from one ``posexplode``;
+    no scores, no floats anywhere."""
+    from intake_esm_spark.functions.text import words_array
+
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    w = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words_array(F.col(text_col)).alias("__w")
+    )
+    post = w.select(
+        id_col, F.posexplode("__w").alias("__pos", "__t")
+    ).filter(F.col("__t").isin(terms))
+    base = (
+        post.filter(F.col("__t") == terms[0])
+        .select(F.col(id_col), F.col("__pos").alias("__p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("__t") == t).select(
+            F.col(id_col), (F.col("__pos") - i).alias("__p0")
+        )
+        base = base.join(nxt, [id_col, "__p0"], "left_semi")
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        (F.min("__p0") + F.lit(1)).cast("int").alias("first_pos"),
+    )

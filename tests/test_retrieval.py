@@ -186,3 +186,51 @@ def test_appended_index_equals_single_shot_build(spark, corpus, tmp_path):
         incr = retrieval.bm25_topk_indexed(spark, p_incr, terms, k=10).collect()
         full = retrieval.bm25_topk_indexed(spark, p_full, terms, k=10).collect()
         assert [tuple(r) for r in incr] == [tuple(r) for r in full]
+
+
+# --- phrase_search ----------------------------------------------------------
+
+
+def test_phrase_search_hand_examples(spark):
+    from intake_esm_spark.operators.retrieval import phrase_search
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "brown the quick dog"),          # words present, phrase absent
+        (3, "say the quick brown then the quick brown again"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in phrase_search(df, "the quick brown").collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_matches"] == 1 and out[1]["first_pos"] == 1
+    assert out[3]["n_matches"] == 2 and out[3]["first_pos"] == 2
+
+
+def test_phrase_search_repeated_term_and_overlap(spark):
+    """'a a a' contains 'a a' twice (overlapping starts 1 and 2)."""
+    from intake_esm_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in phrase_search(df, "a a").collect()}
+    assert set(out) == {1}
+    assert out[1]["n_matches"] == 2 and out[1]["first_pos"] == 1
+
+
+def test_phrase_search_normalizes_and_validates(spark):
+    from intake_esm_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "Foo   BAR baz")], "doc_id long, text string"
+    )
+    out = phrase_search(df, "  foo bar  ").collect()
+    assert len(out) == 1 and out[0]["first_pos"] == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        phrase_search(df, "   ")
