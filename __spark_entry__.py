@@ -3106,6 +3106,28 @@ def q_orders_zorder(spark: SparkSession, sf: str) -> DataFrame:
     return z.orderBy("zkey", "o_orderkey").limit(50)
 
 
+def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """3-core of the min-support-2 PART co-purchase graph
+    (operators/graph.py k_core): iterative peeling to the fixpoint
+    (10 rounds at sf0.01), per-round checkpointed; the oracle unrolls
+    20 idempotent peel rounds in SQL. Output: surviving nodes with
+    their in-core degree — all-integer."""
+    from intake_esm_spark.operators.graph import k_core
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("ok").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return k_core(edges, k=3)
+
+
 def q_docs_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     """Exact positional phrase matching (operators/retrieval.py
     phrase_search) for the repeated-term phrase "table table": postings
@@ -3948,6 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_metrics": q_events_forecast_metrics,
         "orders_zorder": q_orders_zorder,
         "docs_phrase_search": q_docs_phrase_search,
+        "graph_kcore": q_graph_kcore,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -4330,6 +4353,47 @@ def _pois_w_sql(u: str) -> str:
             for c in _poisson1_cdf()
         )
         + ")"
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """DuckDB replay of graph.k_core over the co-purchase edges:
+    ``rounds`` unrolled peel rounds — safe to over-unroll, peeling is
+    idempotent at the fixpoint (10 rounds suffice at sf0.01)."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+          SELECT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+           AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2
+          HAVING count(DISTINCT x.l_orderkey) >= 2
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT v FROM (
+                SELECT a AS v FROM {prev}
+                UNION ALL SELECT b AS v FROM {prev}
+              ) GROUP BY v HAVING count(*) >= {k}
+            ), e{r} AS MATERIALIZED (
+              SELECT a, b FROM {prev}
+              WHERE a IN (SELECT v FROM s{r})
+                AND b IN (SELECT v FROM s{r})
+            )"""
+        )
+    last = f"e{rounds}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT node, count(*) AS core_degree FROM (
+          SELECT a AS node FROM {last}
+          UNION ALL SELECT b AS node FROM {last}
+        ) GROUP BY node HAVING count(*) >= {k}
+        """
     )
 
 
@@ -6564,6 +6628,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
         """,
+        # replays graph.k_core: 20 unrolled idempotent peel rounds
+        "graph_kcore": _kcore_sql(k=3, rounds=20),
         # replays retrieval.phrase_search for "table table": zipped
         # positional unnests, consecutive-position EXISTS chain.
         "docs_phrase_search": f"""

@@ -204,3 +204,53 @@ def test_link_pred_validation(spark):
         link_prediction_jaccard(e, k=0)
     with _pt.raises(ValueError):
         link_prediction_jaccard(e, min_common=0)
+
+
+# --- k_core -----------------------------------------------------------------
+
+
+def test_kcore_peels_hub_of_leaves(spark):
+    """Triangle {1,2,3} + hub 1 with leaves 10..13: raw degree of node 1
+    is 6, but the 2-core is just the triangle — leaves die in round 1
+    and take the hub's degree with them."""
+    from intake_esm_spark.operators.graph import k_core
+
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (1, 10), (1, 11), (1, 12), (1, 13)],
+    )
+    out = {r["node"]: r["core_degree"] for r in k_core(e, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    """Path 1-2-3-4 attached to a square 4-5-6-7-4: the path peels node
+    by node (3 cascading rounds), the square survives as the 2-core."""
+    from intake_esm_spark.operators.graph import k_core
+
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 4)],
+    )
+    out = {r["node"]: r["core_degree"] for r in k_core(e, k=2).collect()}
+    assert out == {4: 2, 5: 2, 6: 2, 7: 2}
+
+
+def test_kcore_empty_when_k_too_large(spark):
+    from intake_esm_spark.operators.graph import k_core
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    assert k_core(e, k=3).count() == 0  # a triangle has no 3-core
+    assert k_core(e, k=2).count() == 3
+
+
+def test_kcore_validation(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.graph import k_core
+
+    e = _edges(spark, [(1, 2)])
+    with _pt.raises(ValueError):
+        k_core(e, k=0)
+    with _pt.raises(ValueError):
+        k_core(e, max_rounds=0)
