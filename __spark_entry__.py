@@ -3128,6 +3128,20 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(edges, k=3)
 
 
+def q_events_funnel_unordered(spark: SparkSession, sf: str) -> DataFrame:
+    """Any-order funnel (operators/funnel.py funnel_unordered) over
+    signup/view/purchase within 14 days of the user's first step — ONE
+    map-side-combined aggregation, zero joins whatever the step count
+    (the ordered funnel's join chain disappears when order doesn't
+    matter)."""
+    from intake_esm_spark.operators.funnel import funnel_unordered
+
+    events = load_table(spark, sf, "events")
+    return funnel_unordered(
+        events, ["signup", "view", "purchase"], within="14 days"
+    )
+
+
 def q_docs_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     """Exact positional phrase matching (operators/retrieval.py
     phrase_search) for the repeated-term phrase "table table": postings
@@ -3971,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_zorder": q_orders_zorder,
         "docs_phrase_search": q_docs_phrase_search,
         "graph_kcore": q_graph_kcore,
+        "events_funnel_unordered": q_events_funnel_unordered,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6627,6 +6642,41 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays funnel.funnel_unordered: per-step conditional mins in
+        # one aggregation; least/greatest skip nulls in BOTH engines.
+        "events_funnel_unordered": """
+            WITH pu AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END)
+                       AS t0,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       AS t1,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t2
+              FROM events
+              WHERE event_type IN ('signup', 'view', 'purchase')
+                AND user_id IS NOT NULL
+              GROUP BY 1
+            ), f AS (
+              SELECT user_id, t0, t1, t2,
+                     least(t0, t1, t2) AS t_first,
+                     greatest(t0, t1, t2) AS t_all,
+                     (t0 IS NOT NULL AND t1 IS NOT NULL
+                      AND t2 IS NOT NULL
+                      AND greatest(t0, t1, t2)
+                          <= least(t0, t1, t2) + INTERVAL 14 DAY)
+                       AS completed
+              FROM pu
+            )
+            SELECT user_id,
+                   (CAST(t0 IS NOT NULL AS INT)
+                    + CAST(t1 IS NOT NULL AS INT)
+                    + CAST(t2 IS NOT NULL AS INT)) AS steps_done,
+                   completed,
+                   t_first,
+                   CASE WHEN completed THEN t_all END AS t_complete
+            FROM f
         """,
         # replays graph.k_core: 20 unrolled idempotent peel rounds
         "graph_kcore": _kcore_sql(k=3, rounds=20),

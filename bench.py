@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "dedup_containment",
     "docs_langid_confusion",
     "events_forecast_metrics",
+    "orders_zorder",
+    "docs_phrase_search",
+    "graph_kcore",
 ]
 
 

@@ -43,6 +43,8 @@ so every event slice is scanned exactly once.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -210,3 +212,60 @@ def _min_expr(i: int) -> str:
     text) and quoted by the oracle, so the interpolation inputs are
     bit-identical across engines."""
     return f"(unix_micros(t{i + 1}) - unix_micros(t{i})) / 60000000.0D"
+
+
+def funnel_unordered(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """ANY-ORDER funnel: a user completes when every step has occurred,
+    in whatever order — the "did they eventually do all of X, Y, Z"
+    companion to the strictly-sequenced :func:`funnel` (product
+    analytics ships both; onboarding checklists are unordered).
+    ``within`` bounds the whole set: every step must land within the
+    interval of the user's FIRST occurrence of any step (the anchored
+    formulation — deterministic, no pair scan).
+
+    One pass: filter to the step types (pushed to the scan), per-user
+    conditional min per step in a single map-side-combined aggregation,
+    then in-row completion logic. Returns one row per user who did at
+    least one step: ``(user_col, steps_done, completed, t_first,
+    t_complete)`` — ``t_complete`` (max of the per-step firsts) is null
+    unless completed. Unlike the ordered funnel there are no joins at
+    all: the plan is ONE aggregation whatever the step count."""
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct for the unordered form")
+    ev = events.filter(
+        F.col(type_col).isin(steps) & F.col(user_col).isNotNull()
+    )
+    aggs = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"__t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = ev.groupBy(user_col).agg(*aggs)
+    firsts = [F.col(f"__t{i}") for i in range(len(steps))]
+    t_first = F.least(*firsts) if len(firsts) > 1 else firsts[0]
+    t_all = F.greatest(*firsts) if len(firsts) > 1 else firsts[0]
+    have_all = reduce(
+        lambda a, b: a & b, [c.isNotNull() for c in firsts]
+    )
+    if within is not None:
+        iv = F.expr(f"INTERVAL '{within}'")
+        have_all = have_all & (t_all <= t_first + iv)
+    steps_done = reduce(
+        lambda a, b: a + b,
+        [c.isNotNull().cast("int") for c in firsts],
+    )
+    return per_user.select(
+        user_col,
+        steps_done.alias("steps_done"),
+        have_all.alias("completed"),
+        t_first.alias("t_first"),
+        F.when(have_all, t_all).alias("t_complete"),
+    )

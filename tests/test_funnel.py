@@ -234,3 +234,71 @@ def test_funnel_lag_stats(spark):
 
     with _pytest.raises(ValueError):
         funnel_lag_stats(funnel(df, steps), ["one"])
+
+
+# --- funnel_unordered -------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+
+
+def test_unordered_completes_in_any_order(spark):
+    from intake_esm_spark.operators.funnel import funnel_unordered
+
+    rows = [
+        # user 1: reverse order — still completes
+        (1, "purchase", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-02 10:00:00"),
+        (1, "signup", "2024-01-03 10:00:00"),
+        # user 2: only two of three
+        (2, "signup", "2024-01-01 10:00:00"),
+        (2, "view", "2024-01-01 11:00:00"),
+        # user 3: irrelevant event only
+        (3, "click", "2024-01-01 10:00:00"),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in funnel_unordered(
+            _ev(spark, rows), ["signup", "view", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # user 3 did no step at all
+    assert out[1]["completed"] is True and out[1]["steps_done"] == 3
+    assert str(out[1]["t_first"]).startswith("2024-01-01")
+    assert str(out[1]["t_complete"]).startswith("2024-01-03")
+    assert out[2]["completed"] is False and out[2]["steps_done"] == 2
+    assert out[2]["t_complete"] is None
+
+
+def test_unordered_within_window_anchored_at_first(spark):
+    from intake_esm_spark.operators.funnel import funnel_unordered
+
+    rows = [
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-02 00:00:00"),
+        (1, "purchase", "2024-01-10 00:00:00"),  # 9 days after first
+    ]
+    df = _ev(spark, rows)
+    ok = funnel_unordered(
+        df, ["signup", "view", "purchase"], within="14 days"
+    ).collect()[0]
+    assert ok["completed"] is True
+    tight = funnel_unordered(
+        df, ["signup", "view", "purchase"], within="5 days"
+    ).collect()[0]
+    assert tight["completed"] is False and tight["steps_done"] == 3
+
+
+def test_unordered_validation(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.funnel import funnel_unordered
+
+    df = _ev(spark, [(1, "a", "2024-01-01 00:00:00")])
+    with _pt.raises(ValueError):
+        funnel_unordered(df, [])
+    with _pt.raises(ValueError):
+        funnel_unordered(df, ["a", "a"])
