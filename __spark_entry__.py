@@ -3128,6 +3128,44 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(edges, k=3)
 
 
+def q_simsearch_dim_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style truncation eval: exact top-10 under the full
+    64-d cosine vs under the FIRST-16-dims cosine, per-query overlap —
+    the 'how much recall does a 4x cheaper index lose' measurement
+    (Kusupati et al. 2022 MRL; truncate-and-renormalize is the standard
+    deployment trick, and cosine self-normalizes). Pure composition of
+    the oracled brute-force machinery — two top-k plans + one
+    (query, id) semi-overlap count."""
+    emb = load_table(spark, sf, "embeddings")
+    full_q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full_top = simsearch.brute_force_topk(emb, full_q, k=10)
+    t_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    t_q = full_q.select(
+        "query_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    t_top = simsearch.brute_force_topk(t_emb, t_q, k=10)
+    hits = (
+        full_top.select("query_id", "vec_id")
+        .join(t_top.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("overlap_at_10"))
+    )
+    qs = full_q.select("query_id")
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("overlap_at_10", F.lit(0)).alias("overlap_at_10"),
+        F.round(
+            F.coalesce("overlap_at_10", F.lit(0)).cast("double")
+            / F.lit(10.0),
+            6,
+        ).alias("recall_at_10"),
+    )
+
+
 def q_events_funnel_unordered(spark: SparkSession, sf: str) -> DataFrame:
     """Any-order funnel (operators/funnel.py funnel_unordered) over
     signup/view/purchase within 14 days of the user's first step — ONE
@@ -3986,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_phrase_search": q_docs_phrase_search,
         "graph_kcore": q_graph_kcore,
         "events_funnel_unordered": q_events_funnel_unordered,
+        "simsearch_dim_recall": q_simsearch_dim_recall,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -6642,6 +6681,53 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id ASC
             LIMIT 50
+        """,
+        # replays the dim-recall composition: both top-10s via the
+        # simsearch_topk idiom (full vs first-16-dims cosine), then the
+        # per-query overlap count.
+        "simsearch_dim_recall": """
+            WITH fullt AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) DESC,
+                                  e.vec_id ASC
+                       ) AS rnk
+                FROM embeddings e,
+                     (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 5) q
+              ) WHERE rnk <= 10
+            ), trunct AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    (CAST(e.embedding AS DOUBLE[]))[1:16],
+                                    (CAST(q.embedding AS DOUBLE[]))[1:16])
+                                  DESC,
+                                  e.vec_id ASC
+                       ) AS rnk
+                FROM embeddings e,
+                     (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 5) q
+              ) WHERE rnk <= 10
+            ), hits AS (
+              SELECT f.query_id, count(*) AS overlap_at_10
+              FROM fullt f JOIN trunct t
+                ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+              GROUP BY 1
+            )
+            SELECT q.vec_id AS query_id,
+                   CAST(coalesce(h.overlap_at_10, 0) AS BIGINT)
+                     AS overlap_at_10,
+                   round(CAST(coalesce(h.overlap_at_10, 0) AS DOUBLE)
+                         / 10.0, 6) AS recall_at_10
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+            LEFT JOIN hits h ON h.query_id = q.vec_id
         """,
         # replays funnel.funnel_unordered: per-step conditional mins in
         # one aggregation; least/greatest skip nulls in BOTH engines.
