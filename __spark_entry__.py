@@ -3128,6 +3128,30 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(edges, k=3)
 
 
+def q_graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank,
+    2 iterations, damping 0.85) over the customer–supplier bipartite
+    graph, seeded at customers 1-3 — random-walk-with-restart relevance
+    to the seed set; nodes outside the 2-hop neighborhood stay at 0.
+    Same 12dp-decimal contribution discipline as graph_pagerank."""
+    from intake_esm_spark.operators.graph import personalized_pagerank
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame(
+        [("c1",), ("c2",), ("c3",)], "node string"
+    )
+    return personalized_pagerank(edges, seeds, iters=2)
+
+
 def q_simsearch_dim_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Matryoshka-style truncation eval: exact top-10 under the full
     64-d cosine vs under the FIRST-16-dims cosine, per-query overlap —
@@ -4025,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "events_funnel_unordered": q_events_funnel_unordered,
         "simsearch_dim_recall": q_simsearch_dim_recall,
+        "graph_ppr": q_graph_ppr,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -7882,6 +7907,59 @@ def oracle_sql() -> dict[str, str]:
                      ((1.0 - 0.85) / n)
                      + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0) AS r
               FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.dst
+            )
+            SELECT node, round(r, 6) AS rank FROM r2
+        """,
+        # replays graph.personalized_pagerank: same unrolled shape as
+        # graph_pagerank, restart mass on the 3 seed customers only
+        "graph_ppr": """
+            WITH raw AS (
+              SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                     's' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), e AS (
+              SELECT src, dst FROM raw
+              UNION ALL SELECT dst AS src, src AS dst FROM raw
+            ), nodes AS (
+              SELECT node,
+                     node IN ('c1', 'c2', 'c3') AS is_seed
+              FROM (
+                SELECT DISTINCT node FROM (
+                  SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+                )
+              )
+            ), deg AS (
+              SELECT src, count(*) AS dg FROM e GROUP BY 1
+            ), r0 AS (
+              SELECT node, is_seed,
+                     CASE WHEN is_seed THEN 1.0 / 3 ELSE 0.0 END AS r
+              FROM nodes
+            ), c1 AS (
+              SELECT e.dst,
+                     CAST(round(r0.r / deg.dg, 12) AS DECIMAL(28,12)) AS c
+              FROM r0 JOIN deg ON r0.node = deg.src
+                      JOIN e ON e.src = r0.node
+            ), s1 AS (
+              SELECT dst, sum(c) AS s FROM c1 GROUP BY 1
+            ), r1 AS (
+              SELECT nodes.node, nodes.is_seed,
+                     (CASE WHEN nodes.is_seed
+                           THEN (1.0 - 0.85) / 3 ELSE 0.0 END)
+                     + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0) AS r
+              FROM nodes LEFT JOIN s1 ON nodes.node = s1.dst
+            ), c2 AS (
+              SELECT e.dst,
+                     CAST(round(r1.r / deg.dg, 12) AS DECIMAL(28,12)) AS c
+              FROM r1 JOIN deg ON r1.node = deg.src
+                      JOIN e ON e.src = r1.node
+            ), s2 AS (
+              SELECT dst, sum(c) AS s FROM c2 GROUP BY 1
+            ), r2 AS (
+              SELECT nodes.node,
+                     (CASE WHEN nodes.is_seed
+                           THEN (1.0 - 0.85) / 3 ELSE 0.0 END)
+                     + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0) AS r
+              FROM nodes LEFT JOIN s2 ON nodes.node = s2.dst
             )
             SELECT node, round(r, 6) AS rank FROM r2
         """,

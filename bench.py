@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "orders_zorder",
     "docs_phrase_search",
     "graph_kcore",
+    "events_funnel_unordered",
+    "simsearch_dim_recall",
 ]
 
 

@@ -352,3 +352,84 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    undirected: bool = True,
+) -> DataFrame:
+    """Personalized PageRank: teleport returns to the SEED set instead
+    of everywhere — "importance relative to these nodes", the random-
+    walk-with-restart scorer behind who-to-follow / related-items
+    (Gupta et al. 2013 WTF). Start mass ``1/|S|`` on the seeds, zero
+    elsewhere; per round ``r' = d·Σ r_u/deg_u + (1−d)·1_{v∈S}/|S|``.
+    Nodes outside the seeds' ``iters``-hop neighborhood keep rank 0 —
+    locality is the point.
+
+    Same plan discipline as :func:`pagerank` (this is its seeded
+    sibling): degree denormalized onto edges outside the loop, node and
+    rank frames checkpointed per round, 12dp-decimal contributions for
+    order-independent sums; the seed flag joins once onto the node
+    frame (seed sets are small — broadcast)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if undirected:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.localCheckpoint(eager=False)
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("seeds must be non-empty")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(F.broadcast(s.withColumn("__is_seed", F.lit(True))), "node", "left")
+        .select("node", F.coalesce("__is_seed", F.lit(False)).alias("__is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    restart = F.when(
+        F.col("__is_seed"), F.lit((1.0 - damping) / n_seeds)
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "node",
+        "__is_seed",
+        F.when(F.col("__is_seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("__r"),
+    )
+    for _ in range(iters):
+        contrib = ranks.join(
+            e_deg, ranks["node"] == e_deg["src"], "inner"
+        ).select(
+            F.col("dst"),
+            F.round(F.col("__r") / F.col("__deg"), 12)
+            .cast("decimal(28,12)")
+            .alias("__c"),
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .select(
+                "node",
+                "__is_seed",
+                (
+                    restart
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0))
+                ).alias("__r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("__r", 6).alias("rank"))

@@ -254,3 +254,47 @@ def test_kcore_validation(spark):
         k_core(e, k=0)
     with _pt.raises(ValueError):
         k_core(e, max_rounds=0)
+
+
+# --- personalized_pagerank --------------------------------------------------
+
+
+def test_ppr_mass_localizes_at_seeds(spark):
+    """Star 0-{1..4}, seed {1}: after 2 rounds only the seed, the hub,
+    and (via the hub) the other leaves carry mass — and the seed
+    outranks non-seed leaves."""
+    from intake_esm_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["rank"] for r in personalized_pagerank(e, seeds).collect()}
+    assert out[1] > out[2] == out[3] == out[4]
+    assert out[0] > 0  # one hop from the seed
+    # global mass stays ~1 (undirected graph, no dangling leak)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ppr_outside_neighborhood_is_zero(spark):
+    """Two disconnected edges; seeding one component leaves the other
+    at exactly 0."""
+    from intake_esm_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(1, 2), (10, 11)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["rank"] for r in personalized_pagerank(e, seeds).collect()}
+    assert out[10] == 0.0 and out[11] == 0.0
+    assert out[1] > 0 and out[2] > 0
+
+
+def test_ppr_validation(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(1, 2)])
+    empty = spark.createDataFrame([], "node long")
+    with _pt.raises(ValueError):
+        personalized_pagerank(e, empty)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with _pt.raises(ValueError):
+        personalized_pagerank(e, seeds, iters=0)
