@@ -3128,6 +3128,18 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(edges, k=3)
 
 
+def q_events_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnostics (operators/profiling.py skew_report) over
+    the shuffle-key candidates of the events table — per column: null
+    count, distinct count, heaviest key and its share, top-10 combined
+    share. One value-keyed count collapse per column (pinned: feeds
+    totals AND the top-n), union of the 1-row results."""
+    from intake_esm_spark.operators.profiling import skew_report
+
+    events = load_table(spark, sf, "events")
+    return skew_report(events, ["event_type", "user_id", "props"])
+
+
 def q_graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
     """Personalized PageRank (operators/graph.py personalized_pagerank,
     2 iterations, damping 0.85) over the customer–supplier bipartite
@@ -4050,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_unordered": q_events_funnel_unordered,
         "simsearch_dim_recall": q_simsearch_dim_recall,
         "graph_ppr": q_graph_ppr,
+        "events_skew_report": q_events_skew_report,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -4474,6 +4487,36 @@ def _kcore_sql(k: int, rounds: int) -> str:
         ) GROUP BY node HAVING count(*) >= {k}
         """
     )
+
+
+def _skew_col_sql(col: str, top_n: int) -> str:
+    """DuckDB replay of one profiling.skew_report column block."""
+    return f"""
+        SELECT '{col}' AS "column", t.n AS n_rows, t.nn AS n_nulls,
+               t.nd AS n_distinct, r.top AS top_value,
+               round(CAST(r.tc AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+                 AS top_share,
+               round(CAST(r.tnc AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+                 AS top_n_share
+        FROM (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0)
+                      AS BIGINT) AS nn,
+                 CAST(count(CASE WHEN v IS NOT NULL THEN 1 END)
+                      AS BIGINT) AS nd
+          FROM (SELECT CAST({col} AS VARCHAR) AS v, count(*) AS c
+                FROM events GROUP BY 1)
+        ) t, (
+          SELECT max(CASE WHEN rk = 1 THEN v END) AS top,
+                 max(CASE WHEN rk = 1 THEN c END) AS tc,
+                 CAST(sum(c) AS BIGINT) AS tnc
+          FROM (
+            SELECT v, c, row_number() OVER (ORDER BY c DESC, v ASC) AS rk
+            FROM (SELECT CAST({col} AS VARCHAR) AS v, count(*) AS c
+                  FROM events WHERE {col} IS NOT NULL GROUP BY 1)
+          ) WHERE rk <= {top_n}
+        ) r
+    """
 
 
 def _morton_sql(u_exprs: list[str], bits: int) -> str:
@@ -7910,6 +7953,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, round(r, 6) AS rank FROM r2
         """,
+        # replays profiling.skew_report per column (non-null top-n rank)
+        "events_skew_report": " UNION ALL ".join(
+            _skew_col_sql(c, 10) for c in ["event_type", "user_id", "props"]
+        ),
         # replays graph.personalized_pagerank: same unrolled shape as
         # graph_pagerank, restart mass on the 3 seed customers only
         "graph_ppr": """

@@ -672,3 +672,77 @@ def entropy_report(
             ),
         ).alias("norm_entropy"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-column key-skew diagnostics — the "will this column's groupBy
+    / join melt a partition" report an engineer runs BEFORE picking
+    shuffle keys: ``(column, n_rows, n_nulls, n_distinct, top_value,
+    top_share, top_n_share)`` where top_share is the heaviest key's row
+    fraction and top_n_share the heaviest ``top_n`` keys' combined
+    fraction (1.0 ≈ a dimension column; 1/n_distinct ≈ uniform; a
+    top_share over ~1/parallelism predicts a straggler under that key).
+
+    One value-keyed count aggregation PER COLUMN (each map-side
+    partial), each collapsed to one row via a bounded top-n sort over
+    its value-cardinality frame, then a union of the per-column rows —
+    column count is small and static, so the job count is too. Values
+    render as strings (one report schema for any column mix); shares
+    are exact-integer ratios, 6dp."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from pyspark.sql import Window
+
+    outs = []
+    for c in cols:
+        counts = (
+            df.groupBy(F.col(c).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=False)  # feeds totals AND the top-n
+        )
+        totals = counts.agg(
+            F.sum("__c").alias("__n"),
+            F.coalesce(
+                F.sum(F.when(F.col("__v").isNull(), F.col("__c"))), F.lit(0)
+            ).alias("__nn"),
+            F.count(F.when(F.col("__v").isNotNull(), F.lit(1))).alias("__nd"),
+        )
+        # rank NON-NULL values only: null ordering differs across
+        # engines (Spark ASC=NULLS FIRST, DuckDB=NULLS LAST), and nulls
+        # are already reported separately as n_nulls
+        w = Window.orderBy(F.col("__c").desc(), F.col("__v").asc())
+        ranked = (
+            counts.filter(F.col("__v").isNotNull())
+            .select("__v", "__c", F.row_number().over(w).alias("__rk"))
+            .filter(F.col("__rk") <= top_n)
+        )
+        row = ranked.agg(
+            F.max(F.when(F.col("__rk") == 1, F.col("__v"))).alias("__top"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__c"))).alias("__tc"),
+            F.sum("__c").alias("__tnc"),
+        ).crossJoin(F.broadcast(totals))
+        outs.append(
+            row.select(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col("__nn").alias("n_nulls"),
+                F.col("__nd").alias("n_distinct"),
+                F.col("__top").alias("top_value"),
+                F.round(
+                    F.col("__tc").cast("double") / F.col("__n").cast("double"), 6
+                ).alias("top_share"),
+                F.round(
+                    F.col("__tnc").cast("double") / F.col("__n").cast("double"), 6
+                ).alias("top_n_share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -411,3 +411,40 @@ def test_entropy_null_categories_excluded(spark):
     )
     r = entropy_report(df, ["g"], "c").collect()[0]
     assert r["n_rows"] == 2 and r["n_categories"] == 2
+
+
+# --- skew_report ------------------------------------------------------------
+
+
+def test_skew_report_hand_example(spark):
+    from intake_esm_spark.operators.profiling import skew_report
+
+    rows = [("hot",)] * 8 + [("warm",)] * 2 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = {x["column"]: x for x in skew_report(df, ["k"], top_n=1).collect()}["k"]
+    assert r["n_rows"] == 12 and r["n_nulls"] == 2 and r["n_distinct"] == 2
+    assert r["top_value"] == "hot"
+    assert r["top_share"] == pytest.approx(8 / 12, abs=1e-6)
+    assert r["top_n_share"] == pytest.approx(8 / 12, abs=1e-6)  # top_n=1
+
+
+def test_skew_report_multiple_columns_and_uniform(spark):
+    from intake_esm_spark.operators.profiling import skew_report
+
+    rows = [(i, "const") for i in range(10)]
+    df = spark.createDataFrame(rows, "u long, c string")
+    out = {r["column"]: r for r in skew_report(df, ["u", "c"]).collect()}
+    assert out["u"]["n_distinct"] == 10 and out["u"]["top_share"] == 0.1
+    assert out["c"]["n_distinct"] == 1 and out["c"]["top_share"] == 1.0
+    # numeric column values render as strings in the unified schema
+    assert out["u"]["top_value"] == "0"
+
+
+def test_skew_report_validation(spark):
+    from intake_esm_spark.operators.profiling import skew_report
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError):
+        skew_report(df, [])
+    with pytest.raises(ValueError):
+        skew_report(df, ["a"], top_n=0)
