@@ -4040,7 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theilsen": q_events_theilsen,
         "events_mannwhitney": q_events_mannwhitney,
         # Tail TOP block 0b: the second late-round-8 batch (this
-        # session) — 16 oracled entries, never driver-verified; r9-head
+        # session) — 23 oracled entries, never driver-verified; r9-head
         # candidates together with block 0 above.
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_dsir": q_docs_dsir,

@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "graph_kcore",
     "events_funnel_unordered",
     "simsearch_dim_recall",
+    "graph_ppr",
+    "events_skew_report",
 ]
 
 
