@@ -3128,6 +3128,24 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(edges, k=3)
 
 
+def q_events_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable hash-sample quantile sketch (operators/sketch.py
+    quantile_sketch + sketch_quantiles): per event_type, the k=128
+    smallest-hash rows form a uniform engine-replayable sample; p50/p95
+    selected BY RANK from the kept values (type-1, no interpolation).
+    Completes the sketch quartet through the gate."""
+    from intake_esm_spark.operators.sketch import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    events = load_table(spark, sf, "events")
+    sk = quantile_sketch(
+        events, "value", "event_id", ["event_type"], k=128
+    )
+    return sketch_quantiles(sk, [0.5, 0.95], ["event_type"], ["p50", "p95"])
+
+
 def q_events_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Key-skew diagnostics (operators/profiling.py skew_report) over
     the shuffle-key candidates of the events table — per column: null
@@ -4063,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_dim_recall": q_simsearch_dim_recall,
         "graph_ppr": q_graph_ppr,
         "events_skew_report": q_events_skew_report,
+        "events_quantile_sketch": q_events_quantile_sketch,
         # Tail TOP, r9-head priority — never-driver-verified entries
         # displaced by this round's 18 new entries, lowest-risk first
         # (each is a variant/sibling of a head or r7-green entry:
@@ -7952,6 +7971,40 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.dst
             )
             SELECT node, round(r, 6) AS rank FROM r2
+        """,
+        # replays sketch.quantile_sketch + sketch_quantiles: bottom-128
+        # by salted hash per type, rank-selected p50/p95 (type-1)
+        "events_quantile_sketch": f"""
+            WITH r AS (
+              SELECT event_type,
+                     {_h60_sql(
+                       "'qs|' || CAST(event_id AS VARCHAR)"
+                     )} AS h,
+                     CAST(value AS DOUBLE) AS v
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ), rk AS (
+              SELECT event_type, h, v,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY h ASC) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS cnt
+              FROM r
+            ), kept AS (
+              SELECT event_type, v,
+                     least(CAST(cnt AS BIGINT), 128) AS m
+              FROM rk WHERE rn <= 128
+            ), vr AS (
+              SELECT event_type, m, v,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY v ASC) AS vrn
+              FROM kept
+            )
+            SELECT event_type, m AS n_kept,
+                   round(max(CASE WHEN vrn = greatest(1,
+                     CAST(ceil(m * 0.5) AS INT)) THEN v END), 6) AS p50,
+                   round(max(CASE WHEN vrn = greatest(1,
+                     CAST(ceil(m * 0.95) AS INT)) THEN v END), 6) AS p95
+            FROM vr GROUP BY 1, 2
         """,
         # replays profiling.skew_report per column (non-null top-n rank)
         "events_skew_report": " UNION ALL ".join(

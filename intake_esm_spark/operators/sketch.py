@@ -341,3 +341,117 @@ def bloom_probe(
         )
         .select(F.col("__it").alias(item_col), "might_contain")
     )
+
+
+# ---------------------------------------------------------------------------
+# hash-sample quantile sketch
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 256,
+    salt: str = "qs",
+) -> DataFrame:
+    """Per-group mergeable quantile sketch completing the quartet (KMV =
+    cardinality, Count-Min = frequency, Bloom = membership): keep the
+    ``k`` rows whose salted md5-60 hash of ``key_col`` is smallest —
+    a UNIFORM k-sample selected by hash order, so (unlike reservoir
+    sampling) it is partition-independent, engine-replayable, AND
+    mergeable: the bottom-k of two sketches' union is exactly the
+    sketch of the concatenated data (:func:`quantile_sketch_merge`).
+    Spark's own ``approx_percentile`` (GK) summaries can't be hash-
+    checked across engines; this one can. Sampling error is the
+    standard ~1/√k quantile noise; ``k >= group size`` degenerates to
+    the exact distribution.
+
+    Returns one row per group: ``(group_cols..., qs_hashes, qs_values,
+    n_kept)`` — values ordered BY HASH (the merge key); quantile
+    extraction sorts by value (:func:`sketch_quantiles`). Null values
+    or keys are excluded. Same two-phase bottom-k as ``kmv_distinct``
+    (bucket-parallel phase 1, ≤ B·k rows in phase 2)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    rows = (
+        df.filter(F.col(value_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            salted_hash60(F.col(key_col), salt).alias("__h"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+    )
+    w = Window.partitionBy(*group_cols, F.pmod("__h", _PHASE1_BUCKETS)).orderBy(
+        "__h"
+    )
+    survivors = (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    pairs = F.slice(
+        F.array_sort(F.collect_list(F.struct("__h", "__v"))), 1, k
+    )
+    return survivors.groupBy(*group_cols).agg(
+        F.transform(pairs, lambda s: s["__h"]).alias("qs_hashes"),
+        F.transform(pairs, lambda s: s["__v"]).alias("qs_values"),
+        F.least(F.count(F.lit(1)), F.lit(k)).alias("n_kept"),
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge two quantile sketches built with the same (key, salt, k):
+    re-take the bottom-k of the unioned (hash, value) pairs — bit-equal
+    to the one-pass sketch of the concatenated data (keys are unique,
+    so hash collisions across sides carry identical values)."""
+    both = a.select(*group_cols, "qs_hashes", "qs_values").unionByName(
+        b.select(*group_cols, "qs_hashes", "qs_values")
+    )
+    exploded = both.select(
+        *group_cols,
+        F.explode(F.arrays_zip("qs_hashes", "qs_values")).alias("__p"),
+    ).select(
+        *group_cols,
+        F.col("__p.qs_hashes").alias("__h"),
+        F.col("__p.qs_values").alias("__v"),
+    ).distinct()
+    pairs = F.slice(
+        F.array_sort(F.collect_list(F.struct("__h", "__v"))), 1, k
+    )
+    return exploded.groupBy(*group_cols).agg(
+        F.transform(pairs, lambda s: s["__h"]).alias("qs_hashes"),
+        F.transform(pairs, lambda s: s["__v"]).alias("qs_values"),
+        F.least(F.count(F.lit(1)), F.lit(k)).alias("n_kept"),
+    )
+
+
+def sketch_quantiles(
+    sk: DataFrame,
+    probs: list[float],
+    group_cols: list[str],
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a :func:`quantile_sketch` frame: sort the
+    kept values, SELECT the element at rank ``max(1, ceil(p·m))``
+    (type-1 — element selection, no interpolation, the Theil-Sen
+    engine-exactness rule). In-row over the ≤ k-element arrays — no
+    shuffle at all."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    out_cols = out_cols or [
+        "p" + format(p * 100, "g").replace(".", "_") for p in probs
+    ]
+    if len(out_cols) != len(probs):
+        raise ValueError("out_cols must match probs in length")
+    sorted_vals = F.array_sort("qs_values")
+    m = F.col("n_kept")
+    sel = []
+    for p, name in zip(probs, out_cols):
+        rank = F.greatest(F.lit(1), F.ceil(m * F.lit(float(p))).cast("int"))
+        sel.append(
+            F.round(F.element_at(sorted_vals, rank), 6).alias(name)
+        )
+    return sk.select(*group_cols, "n_kept", *sel)

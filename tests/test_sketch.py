@@ -462,3 +462,77 @@ def test_stream_bloom_build_matches_batch(spark, tmp_path):
         q.stop()
     assert len(emitted) == len(set(emitted))  # each bit lit exactly once
     assert set(emitted) == batch
+
+
+# --- quantile sketch --------------------------------------------------------
+
+
+def test_quantile_sketch_exact_when_k_covers_group(spark):
+    """k >= group size: the sample IS the distribution and rank-select
+    quantiles are exact type-1."""
+    from intake_esm_spark.operators.sketch import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 101)]  # values 1..100
+    df = spark.createDataFrame(rows, "k long, v double")
+    sk = quantile_sketch(df, "v", "k", [], k=256)
+    q = sketch_quantiles(sk, [0.5, 0.95, 1.0], [], ["p50", "p95", "p100"])
+    r = q.collect()[0]
+    assert r["n_kept"] == 100
+    assert r["p50"] == 50.0 and r["p95"] == 95.0 and r["p100"] == 100.0
+
+
+def test_quantile_sketch_merge_equals_one_pass(spark):
+    from intake_esm_spark.operators.sketch import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    rows = [(i, float(i % 17)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    half_a = df.filter("k % 2 = 0")
+    half_b = df.filter("k % 2 = 1")
+    k = 32
+    whole = quantile_sketch(df, "v", "k", [], k=k).collect()[0]
+    merged = quantile_sketch_merge(
+        quantile_sketch(half_a, "v", "k", [], k=k),
+        quantile_sketch(half_b, "v", "k", [], k=k),
+        [],
+        k,
+    ).collect()[0]
+    assert merged["qs_hashes"] == whole["qs_hashes"]
+    assert merged["qs_values"] == whole["qs_values"]
+    assert merged["n_kept"] == whole["n_kept"] == k
+
+
+def test_quantile_sketch_estimates_within_sampling_noise(spark):
+    """Uniform 0..999 values, k=256: the p50 estimate must land within
+    ~3/sqrt(k) of the truth (deterministic — fixed hashes, no flake)."""
+    from intake_esm_spark.operators.sketch import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    rows = [(i, float(i % 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    sk = quantile_sketch(df, "v", "k", [], k=256)
+    r = sketch_quantiles(sk, [0.5], [], ["p50"]).collect()[0]
+    assert abs(r["p50"] - 500.0) < 1000 * 3 / (256 ** 0.5)
+
+
+def test_quantile_sketch_validation(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.sketch import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with _pt.raises(ValueError):
+        quantile_sketch(df, "v", "k", [], k=1)
+    sk = quantile_sketch(df, "v", "k", [], k=4)
+    with _pt.raises(ValueError):
+        sketch_quantiles(sk, [], [])
