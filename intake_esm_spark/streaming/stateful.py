@@ -1064,3 +1064,101 @@ def stream_bloom_build(
     return bloom_build(
         df, item_col, n_hashes=n_hashes, n_bits=n_bits, salt=salt
     )
+
+
+def stream_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+    salt: str = "qs",
+) -> DataFrame:
+    """Streaming twin of ``operators.sketch.quantile_sketch`` (#16 —
+    every sketch in the quartet has a live twin): per-group bottom-k
+    (hash, value) pairs maintained across micro-batches with
+    ``applyInPandasWithState``. State per group is exactly the sketch
+    (≤ k pairs — bounded for unbounded streams), and bottom-k merging
+    is associative, so after any batch split the final update per group
+    equals the batch operator bit-for-bit (hashes, values, n_kept) —
+    pinned by the parity test. In batch mode degenerates to the batch
+    operator (the oracle)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.sketch import quantile_sketch
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not df.isStreaming:
+        return quantile_sketch(df, value_col, key_col, [group_col], k, salt)
+
+    # cast JVM-side so the python hash replays CAST(key AS STRING)
+    # exactly (the stream_distinct_kmv float64-null lesson)
+    df = df.select(
+        F.col(group_col),
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    group_type = df.schema[group_col].dataType
+    output_schema = T.StructType(
+        [
+            T.StructField(group_col, group_type),
+            T.StructField("qs_hashes", T.ArrayType(T.LongType())),
+            T.StructField("qs_values", T.ArrayType(T.DoubleType())),
+            T.StructField("n_kept", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("vs", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _h60(key: str) -> int:
+        # byte-replay of salted_hash60(key, salt)
+        return int(
+            hashlib.md5((salt + "|" + key).encode("utf-8")).hexdigest()[:15],
+            16,
+        )
+
+    def _update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, vs = state.get
+            kept = dict(zip(hs, vs))
+        else:
+            kept = {}
+        for pdf in batches:
+            sub = pdf[[key_col, value_col]].dropna()
+            for kv, vv in zip(sub[key_col], sub[value_col]):
+                kept[_h60(kv)] = float(vv)
+            if len(kept) > 4 * k:
+                kept = dict(sorted(kept.items())[:k])
+        pairs = sorted(kept.items())[:k]
+        if not pairs:
+            return
+        hs = [h for h, _ in pairs]
+        vs = [v for _, v in pairs]
+        state.update((hs, vs))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "qs_hashes": [hs],
+                "qs_values": [vs],
+                "n_kept": [len(pairs)],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        _update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -536,3 +536,69 @@ def test_quantile_sketch_validation(spark):
     sk = quantile_sketch(df, "v", "k", [], k=4)
     with _pt.raises(ValueError):
         sketch_quantiles(sk, [], [])
+
+
+def test_stream_quantile_sketch_matches_batch(spark, tmp_path):
+    """Two micro-batches: the final update per group equals the batch
+    sketch bit-for-bit (hashes, values, n_kept)."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.sketch import quantile_sketch
+    from intake_esm_spark.streaming.stateful import stream_quantile_sketch
+
+    rows = [("g1", f"k{i}", float(i % 50)) for i in range(300)] + [
+        ("g2", f"s{i}", float(i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string, v double")
+    batch = {
+        r["g"]: (tuple(r["qs_hashes"]), tuple(r["qs_values"]), r["n_kept"])
+        for r in stream_quantile_sketch(df, "v", "key", "g", k=32).collect()
+    }
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32("key") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    df.filter(F.crc32("key") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_quantile_sketch(stream, "v", "key", "g", k=32)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("qs_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM qs_stream").collect()
+    finally:
+        q.stop()
+    assert len(emitted) > len(batch)
+    final = {}
+    for r in emitted:
+        cur = final.get(r["g"])
+        # later updates dominate: more kept pairs, then smaller hashes
+        cand = (r["n_kept"], [-h for h in r["qs_hashes"]])
+        if cur is None or cand > cur[0]:
+            final[r["g"]] = (cand, r)
+    streamed = {
+        g: (tuple(r["qs_hashes"]), tuple(r["qs_values"]), r["n_kept"])
+        for g, (_, r) in final.items()
+    }
+    assert streamed == batch
