@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "simsearch_dim_recall",
     "graph_ppr",
     "events_skew_report",
+    "events_quantile_sketch",
 ]
 
 

@@ -1129,18 +1129,23 @@ def stream_quantile_sketch(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # a SET of (hash, value) PAIRS, not a hash-keyed dict: the batch
+        # operator keeps BOTH pairs when distinct keys collide on the
+        # hash (or a duplicated key carries two values) — array_sort
+        # orders by (h, v) and the slice keeps each; a dict would drop
+        # one and break bit-parity
         if state.exists:
             hs, vs = state.get
-            kept = dict(zip(hs, vs))
+            kept = set(zip(hs, vs))
         else:
-            kept = {}
+            kept = set()
         for pdf in batches:
             sub = pdf[[key_col, value_col]].dropna()
             for kv, vv in zip(sub[key_col], sub[value_col]):
-                kept[_h60(kv)] = float(vv)
+                kept.add((_h60(kv), float(vv)))
             if len(kept) > 4 * k:
-                kept = dict(sorted(kept.items())[:k])
-        pairs = sorted(kept.items())[:k]
+                kept = set(sorted(kept)[:k])
+        pairs = sorted(kept)[:k]
         if not pairs:
             return
         hs = [h for h, _ in pairs]
