@@ -111,7 +111,7 @@ assert len(missing_oracles) == 0, (
     f"entries without oracles (rows-only): {sorted(missing_oracles)} — "
     "add oracles or document why not"
 )
-assert len(qs) >= 182, f"entry count regressed: {len(qs)} < 182"
+assert len(qs) >= 190, f"entry count regressed: {len(qs)} < 190"
 
 plan_sf = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
 complex_types = ("ArrayType", "MapType", "StructType")
