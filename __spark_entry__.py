@@ -3110,7 +3110,8 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     """3-core of the min-support-2 PART co-purchase graph
     (operators/graph.py k_core): iterative peeling to the fixpoint
     (10 rounds at sf0.01), per-round checkpointed; the oracle unrolls
-    20 idempotent peel rounds in SQL. Output: surviving nodes with
+    32 idempotent peel rounds in SQL (== max_rounds, so the two agree
+    even on graphs whose degeneracy depth exceeds the cap). Output: surviving nodes with
     their in-core degree — all-integer."""
     from intake_esm_spark.operators.graph import k_core
 
@@ -4470,7 +4471,8 @@ def _pois_w_sql(u: str) -> str:
 def _kcore_sql(k: int, rounds: int) -> str:
     """DuckDB replay of graph.k_core over the co-purchase edges:
     ``rounds`` unrolled peel rounds — safe to over-unroll, peeling is
-    idempotent at the fixpoint (10 rounds suffice at sf0.01)."""
+    idempotent at the fixpoint (10 rounds suffice at sf0.01); pinned to
+    the operator's max_rounds so a truncated peel matches too."""
     parts = [
         f"""e0 AS MATERIALIZED (
           SELECT x.l_partkey AS a, y.l_partkey AS b
@@ -6851,8 +6853,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN completed THEN t_all END AS t_complete
             FROM f
         """,
-        # replays graph.k_core: 20 unrolled idempotent peel rounds
-        "graph_kcore": _kcore_sql(k=3, rounds=20),
+        # replays graph.k_core: 32 unrolled idempotent peel rounds
+        # (== the operator max_rounds, so even a truncated peel matches)
+        "graph_kcore": _kcore_sql(k=3, rounds=32),
         # replays retrieval.phrase_search for "table table": zipped
         # positional unnests, consecutive-position EXISTS chain.
         "docs_phrase_search": f"""

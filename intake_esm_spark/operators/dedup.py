@@ -296,13 +296,20 @@ def _df_capped(exploded: DataFrame, shingle_col: str, max_doc_freq: int) -> Data
     )
 
 
-def _capped_pairs(kept: DataFrame, threshold: float) -> DataFrame:
-    """Pair computation over ALREADY df-capped (id, shingle) rows.
+def _capped_pairs(
+    kept: DataFrame, threshold: float, score: str = "jaccard"
+) -> DataFrame:
+    """Pair computation over ALREADY df-capped (id, shingle) rows — the
+    ONE canonical pair plan (jaccard_pairs and containment_pairs both
+    delegate here; cap semantics / join shape / id tiebreak have a
+    single definition to keep in sync with the SQL oracles).
 
     Per-doc sizes are a narrow (id, count) aggregate with map-side
     partials, joined back onto the pair aggregate (the same shape as the
     SQL oracle; both size joins are AQE-broadcastable since sizes rows are
-    two integers per doc)."""
+    two integers per doc). ``score`` picks the threshold target:
+    ``jaccard`` returns (id_a, id_b, jaccard); ``containment`` thresholds
+    n_inter/min(n_a, n_b) and returns jaccard alongside."""
     sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
@@ -314,7 +321,7 @@ def _capped_pairs(kept: DataFrame, threshold: float) -> DataFrame:
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    scored = (
         inter.join(
             sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
             on="id_a",
@@ -327,8 +334,18 @@ def _capped_pairs(kept: DataFrame, threshold: float) -> DataFrame:
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    )
+    if score == "containment":
+        return (
+            scored.withColumn(
+                "containment",
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment", "jaccard")
+        )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -1051,34 +1068,4 @@ def containment_pairs(
     ).select("id", F.col("sh").alias("shingle"))
     if max_doc_freq is not None:
         exploded = _df_capped(exploded, "shingle", max_doc_freq)
-    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            on="id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            on="id_b",
-        )
-        .withColumn(
-            "containment",
-            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment", "jaccard")
-    )
+    return _capped_pairs(exploded, threshold, score="containment")

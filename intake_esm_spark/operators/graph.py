@@ -329,10 +329,16 @@ def k_core(
         adj = live.select(F.col("a").alias("v")).unionAll(
             live.select(F.col("b").alias("v"))
         )
-        deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+            eager=False
+        )  # referenced by the probe AND the strong filter
         strong = deg.filter(F.col("d") >= k).select("v")
-        n_nodes = deg.count()
-        n_strong = strong.count()
+        # ONE action per round for the convergence probe (separate
+        # counts would re-run the degree aggregation lineage twice)
+        n_nodes, n_strong = deg.agg(
+            F.count(F.lit(1)), F.sum((F.col("d") >= k).cast("long"))
+        ).collect()[0]
+        n_strong = n_strong or 0
         if n_strong == n_nodes:
             break
         live = (
@@ -389,9 +395,14 @@ def personalized_pagerank(
     n_seeds = s.count()
     if n_seeds == 0:
         raise ValueError("seeds must be non-empty")
+    # node frame = edge endpoints UNION the seeds: a seed with no edges
+    # still holds its restart mass ((1-d)/|S| every round) and appears
+    # in the output — dropping it would silently dilute every other
+    # seed's teleport (n_seeds counts it) and lose rank mass
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
+        .union(s.select("node"))
         .distinct()
         .join(F.broadcast(s.withColumn("__is_seed", F.lit(True))), "node", "left")
         .select("node", F.coalesce("__is_seed", F.lit(False)).alias("__is_seed"))

@@ -599,9 +599,23 @@ def mad_outliers(
     fn = "percentile" if exact else "approx_percentile"
     acc = "" if exact else f", {accuracy}"
     med_agg = F.expr(f"{fn}({value_col}, 0.5D{acc})").alias("__med")
+
+    def _join_back(left: DataFrame, agg: DataFrame) -> DataFrame:
+        # NULL-SAFE equi-join: groupBy collects null group keys into
+        # their own group, so the join back must match them too — a
+        # plain equi-join would leave those rows with null fences and a
+        # NULL (not False) flag
+        cond = reduce(
+            lambda a, b: a & b,
+            [left[c].eqNullSafe(agg[c]) for c in group_cols],
+        )
+        return left.join(agg, cond).drop(*[agg[c] for c in group_cols])
+
+    from functools import reduce
+
     if group_cols:
         med = df.groupBy(*group_cols).agg(med_agg)
-        with_med = df.join(med, group_cols, "left")
+        with_med = _join_back(df, med)
     else:
         with_med = df.crossJoin(F.broadcast(df.agg(med_agg)))
     dev = F.abs(F.col(value_col) - F.col("__med"))
@@ -609,7 +623,7 @@ def mad_outliers(
     mad_agg = F.expr(f"{fn}(__dev, 0.5D{acc})").alias("__mad")
     if group_cols:
         mad = with_dev.groupBy(*group_cols).agg(mad_agg)
-        joined = with_dev.join(mad, group_cols, "left")
+        joined = _join_back(with_dev, mad)
     else:
         joined = with_dev.crossJoin(F.broadcast(with_dev.agg(mad_agg)))
     flag = (

@@ -148,6 +148,19 @@ def kmv_pairwise_overlap(
     )
 
 
+def _sketch_pos(item: Column, j: Column, modulus: int, salt: str) -> Column:
+    """THE single definition of the per-hash-function position used by
+    BOTH Count-Min cells and Bloom bits: ``salted_hash60(j # item, salt)
+    mod modulus`` (the ``salted_hash60`` single-definition rule — a salt
+    or delimiter edit that missed one of the four build/probe sites
+    would silently void the CM overestimate / Bloom no-false-negative
+    guarantees)."""
+    return F.pmod(
+        salted_hash60(F.concat(j.cast("string"), F.lit("#"), item), salt),
+        F.lit(modulus),
+    ).cast("int")
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch: frequency estimation / heavy hitters
 
@@ -179,13 +192,7 @@ def cm_sketch(
         F.col(item_col).cast("string").alias("__it"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
     ).filter(F.col("__it").isNotNull())
-    col = F.pmod(
-        salted_hash60(
-            F.concat(F.col("row").cast("string"), F.lit("#"), F.col("__it")),
-            salt,
-        ),
-        F.lit(width),
-    ).cast("int")
+    col = _sketch_pos(F.col("__it"), F.col("row"), width, salt)
     return (
         rows.select("row", col.alias("col"))
         .groupBy("row", "col")
@@ -235,13 +242,7 @@ def cm_estimate(
         "__it",
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
     )
-    col = F.pmod(
-        salted_hash60(
-            F.concat(F.col("row").cast("string"), F.lit("#"), F.col("__it")),
-            salt,
-        ),
-        F.lit(width),
-    ).cast("int")
+    col = _sketch_pos(F.col("__it"), F.col("row"), width, salt)
     looked = fan.select("__it", "row", col.alias("col")).join(
         F.broadcast(sketch), ["row", "col"], "left"
     )
@@ -284,13 +285,7 @@ def bloom_build(
         F.col(item_col).cast("string").alias("__it"),
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__j"),
     ).filter(F.col("__it").isNotNull())
-    pos = F.pmod(
-        salted_hash60(
-            F.concat(F.col("__j").cast("string"), F.lit("#"), F.col("__it")),
-            salt,
-        ),
-        F.lit(n_bits),
-    ).cast("int")
+    pos = _sketch_pos(F.col("__it"), F.col("__j"), n_bits, salt)
     return rows.select(pos.alias("pos")).distinct()
 
 
@@ -322,13 +317,7 @@ def bloom_probe(
         "__it",
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__j"),
     )
-    pos = F.pmod(
-        salted_hash60(
-            F.concat(F.col("__j").cast("string"), F.lit("#"), F.col("__it")),
-            salt,
-        ),
-        F.lit(n_bits),
-    ).cast("int")
+    pos = _sketch_pos(F.col("__it"), F.col("__j"), n_bits, salt)
     looked = fan.select("__it", pos.alias("pos")).join(
         F.broadcast(bloom.withColumn("__hit", F.lit(1))), "pos", "left"
     )
@@ -370,8 +359,12 @@ def quantile_sketch(
     Returns one row per group: ``(group_cols..., qs_hashes, qs_values,
     n_kept)`` — values ordered BY HASH (the merge key); quantile
     extraction sorts by value (:func:`sketch_quantiles`). Null values
-    or keys are excluded. Same two-phase bottom-k as ``kmv_distinct``
-    (bucket-parallel phase 1, ≤ B·k rows in phase 2)."""
+    or keys are excluded, and the sample is over DISTINCT (hash, value)
+    pairs — a duplicated (key, value) row carries no extra information,
+    and pair-set semantics are what make the merge and the streaming
+    twin (both set-based) bit-equal to this one-pass form. Same
+    two-phase bottom-k as ``kmv_distinct`` (bucket-parallel phase 1,
+    ≤ B·k rows in phase 2)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     rows = (
@@ -381,6 +374,7 @@ def quantile_sketch(
             salted_hash60(F.col(key_col), salt).alias("__h"),
             F.col(value_col).cast("double").alias("__v"),
         )
+        .distinct()
     )
     w = Window.partitionBy(*group_cols, F.pmod("__h", _PHASE1_BUCKETS)).orderBy(
         "__h"
@@ -404,9 +398,10 @@ def quantile_sketch_merge(
     a: DataFrame, b: DataFrame, group_cols: list[str], k: int
 ) -> DataFrame:
     """Merge two quantile sketches built with the same (key, salt, k):
-    re-take the bottom-k of the unioned (hash, value) pairs — bit-equal
-    to the one-pass sketch of the concatenated data (keys are unique,
-    so hash collisions across sides carry identical values)."""
+    re-take the bottom-k of the unioned DISTINCT (hash, value) pairs —
+    bit-equal to the one-pass sketch of the concatenated data (both
+    operate on pair SETS: colliding hashes with different values stay
+    as two pairs, duplicated pairs collapse, on both paths)."""
     both = a.select(*group_cols, "qs_hashes", "qs_values").unionByName(
         b.select(*group_cols, "qs_hashes", "qs_values")
     )

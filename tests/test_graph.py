@@ -298,3 +298,17 @@ def test_ppr_validation(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with _pt.raises(ValueError):
         personalized_pagerank(e, seeds, iters=0)
+
+
+def test_ppr_isolated_seed_keeps_restart_mass(spark):
+    """A seed with no edges still appears with its restart mass and
+    does not silently dilute the other seeds' teleport."""
+    from intake_esm_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    out = {r["node"]: r["rank"] for r in personalized_pagerank(e, seeds).collect()}
+    assert 99 in out
+    # the isolated seed holds exactly its per-round restart share
+    assert out[99] == round((1 - 0.85) / 2, 6)
+    assert out[1] > 0 and out[2] > 0

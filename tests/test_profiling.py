@@ -448,3 +448,16 @@ def test_skew_report_validation(spark):
         skew_report(df, [])
     with pytest.raises(ValueError):
         skew_report(df, ["a"], top_n=0)
+
+
+def test_mad_null_group_key_gets_own_fences(spark):
+    """Rows with a NULL group key form their own group (groupBy
+    semantics) and must get REAL fences, not a NULL flag."""
+    from intake_esm_spark.operators.profiling import mad_outliers
+
+    rows = [(None, 1.0), (None, 1.1), (None, 0.9), (None, 50.0), ("g", 2.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {(r["g"], r["x"]): r["is_outlier"] for r in mad_outliers(df, "x", ["g"]).collect()}
+    assert out[(None, 50.0)] is True
+    assert out[(None, 1.0)] is False  # real False, not NULL
+    assert out[("g", 2.0)] is False
