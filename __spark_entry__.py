@@ -3970,18 +3970,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is load-bearing: the correctness driver records at most
     # 50 entries, so (standing rule) any entry whose code or oracle
     # changed this round is in the first 50, followed by the entries
-    # longest without a driver-green row. Round-8 head (exactly 50,
-    # the r7 verdict's rotation plan): 8 changed/new this round, the 31
-    # entries never driver-verified (r7 deferrals + continuation block),
-    # and 11 from the r6 cohort (last driver row: round 6). The tail is
-    # the remaining r6 cohort (r9 head candidates) followed by the
-    # entries driver-green in round 7 — no entry goes more than ~2
-    # rounds without a driver row.
+    # longest without a driver-green row. Round-9 head (exactly 50, the
+    # r8 verdict's rotation plan executed in full): the 49 entries that
+    # have NEVER been driver-verified (9 pre-r8 deferrals + the 40
+    # round-8 additions) plus events_did (its did_report carries this
+    # round's decimal-width fix — changed entries always driver-verify).
+    # With this head green, every one of the 190 entries has a driver
+    # row. Two other entries changed this round VALUE-NEUTRALLY at
+    # sf0.01 and lead the tail (see the tail-top comment).
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
-        # Block 1: code or oracle changed in ROUND 8 (KMV canon fix,
-        # asof tiebreak, cdc reseed, ab-test guard, approx-API refactor,
-        # new basket_rules3) — changed entries always driver-verify.
+        # Block 1: code changed in ROUND 9 — the r8-verdict/advice fixes
+        # (bucketed two-phase midranks for MW/KS; decimal product width
+        # (19,6)x(18,6)->(38,12) for cuped/did/regression_metrics; cuped
+        # vadj clamp; link-pred hub guard; dsir unseen-bucket floor
+        # left-join; skew_report TakeOrdered top-k). All but events_did
+        # are also first-time driver candidates.
+        "events_mannwhitney": q_events_mannwhitney,
+        "events_ks_test": q_events_ks_test,
+        "events_cuped": q_events_cuped,
+        "events_did": q_events_did,
+        "graph_link_pred": q_graph_link_pred,
+        "docs_dsir": q_docs_dsir,
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "events_skew_report": q_events_skew_report,
+        "events_forecast_metrics": q_events_forecast_metrics,
+        # Block 2: the round-8 TPC-H completion set — never
+        # driver-verified (added after r8's head froze).
+        "q2_min_cost_supp": q2_min_cost_supp,
+        "q4_order_priority": q4_order_priority,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation": q9_profit_by_nation,
+        "q11_important_stock": q11_important_stock,
+        "q12_delay_priority": q12_delay_priority,
+        "q16_part_supplier_cnt": q16_part_supplier_cnt,
+        "q19_brand_revenue": q19_brand_revenue,
+        "q20_volume_suppliers": q20_volume_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        # Block 3: remaining round-8 additions awaiting their first
+        # driver row.
+        "graph_label_prop": q_graph_label_prop,
+        "parts_also_bought": q_parts_also_bought,
+        "events_survival": q_events_survival,
+        "customer_gini": q_customer_gini,
+        "events_chi2": q_events_chi2,
+        "events_theilsen": q_events_theilsen,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
+        "docs_cm_heavy_hitters": q_docs_cm_heavy_hitters,
+        "docs_lm_perplexity": q_docs_lm_perplexity,
+        "events_mad_outliers": q_events_mad_outliers,
+        "docs_source_entropy": q_docs_source_entropy,
+        "events_bloom_probe": q_events_bloom_probe,
+        "dedup_containment": q_dedup_containment,
+        "docs_langid_confusion": q_docs_langid_confusion,
+        "orders_zorder": q_orders_zorder,
+        "docs_phrase_search": q_docs_phrase_search,
+        "graph_kcore": q_graph_kcore,
+        "events_funnel_unordered": q_events_funnel_unordered,
+        "simsearch_dim_recall": q_simsearch_dim_recall,
+        "graph_ppr": q_graph_ppr,
+        "events_quantile_sketch": q_events_quantile_sketch,
+        # Block 4: the 9 pre-r8 deferrals + events_attribution_position
+        # — the last entries without a driver row.
+        "events_attribution_position": q_events_attribution_position,
+        "events_paths": q_events_paths,
+        "docs_split": q_docs_split,
+        "events_funnel_lags": q_events_funnel_lags,
+        "lineitem_trend": q_lineitem_trend,
+        "events_session_stats": q_events_session_stats,
+        "lineitem_target_encoded": q_lineitem_target_encoded,
+        "basket_rules": q_basket_rules,
+        "events_rolling_features": q_events_rolling_features,
+        "events_cusum": q_events_cusum,
+        # -- rotation tail ---------------------------------------------
+        # Tail TOP: two entries whose code changed this round but whose
+        # sf0.01 output is VALUE-NEUTRAL, re-verified by the local
+        # DuckDB sweep this session (forecast_backtest: the seasonal-
+        # naive se product widened to (38,12) — both engines agreed at
+        # 6dp before and after; profile_drift: a Python error-path guard
+        # for zero-row snapshots, unreachable on driver data). Both are
+        # driver-green from r8; first r10 head candidates.
+        "events_forecast_backtest": q_events_forecast_backtest,
+        "customer_profile_drift": q_customer_profile_drift,
+        # Driver-green in ROUND 8 (CORRECTNESS_r08, freshest rows):
         "events_distinct_kmv": q_events_distinct_kmv,
         "events_distinct_kmv_merged": q_events_distinct_kmv_merged,
         "basket_rules3": q_basket_rules3,
@@ -3990,13 +4061,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_benford": q_lineitem_benford,
         "events_attribution_multi": q_events_attribution_multi,
         "customer_dupes": q_customer_dupes,
-        "customer_profile_drift": q_customer_profile_drift,
         "docs_collocations": q_docs_collocations,
         "graph_triangles": q_graph_triangles,
         "events_rfm": q_events_rfm,
         "lineitem_abc": q_lineitem_abc,
-        "events_did": q_events_did,
-        "events_forecast_backtest": q_events_forecast_backtest,
         "events_debounce": q_events_debounce,
         "lineitem_lift": q_lineitem_lift,
         "q13_custdist": q13_custdist,
@@ -4010,10 +4078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nunique": q_nunique,
         "lineitem_quantiles": q_lineitem_quantiles,
         "lineitem_winsorized": q_lineitem_winsorized,
-        # Block 2: never driver-verified — the 31 r7 deferrals +
-        # continuation entries awaiting their first driver row (the r7
-        # verdict's rotation plan; scd2/cdc/dau_mau/ab_test members of
-        # this block also carry round-8 code changes).
         "events_scd2_enrich": q_events_scd2_enrich,
         "customer_scd2_apply": q_customer_scd2_apply,
         "customer_cdc": q_customer_cdc,
@@ -4036,72 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_indexed": q_docs_bm25_indexed,
         "lineitem_correlations": q_lineitem_correlations,
         "graph_pagerank": q_graph_pagerank,
-        # -- rotation tail ---------------------------------------------
-        # Tail TOP block 0: the TPC-H completion set, added late in
-        # round 8 AFTER the head-50 was frozen and locally swept —
-        # never driver-verified, so these lead the r9 head together
-        # with the block below.
-        "q2_min_cost_supp": q2_min_cost_supp,
-        "q4_order_priority": q4_order_priority,
-        "q8_market_share": q8_market_share,
-        "q9_profit_by_nation": q9_profit_by_nation,
-        "q11_important_stock": q11_important_stock,
-        "q12_delay_priority": q12_delay_priority,
-        "q16_part_supplier_cnt": q16_part_supplier_cnt,
-        "q19_brand_revenue": q19_brand_revenue,
-        "q20_volume_suppliers": q20_volume_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "graph_label_prop": q_graph_label_prop,
-        "parts_also_bought": q_parts_also_bought,
-        "events_survival": q_events_survival,
-        "customer_gini": q_customer_gini,
-        "events_chi2": q_events_chi2,
-        "events_theilsen": q_events_theilsen,
-        "events_mannwhitney": q_events_mannwhitney,
-        # Tail TOP block 0b: the second late-round-8 batch (this
-        # session) — 23 oracled entries, never driver-verified; r9-head
-        # candidates together with block 0 above.
-        "docs_dsir_weights": q_docs_dsir_weights,
-        "docs_dsir": q_docs_dsir,
-        "events_ks_test": q_events_ks_test,
-        "events_bootstrap_ci": q_events_bootstrap_ci,
-        "docs_cm_heavy_hitters": q_docs_cm_heavy_hitters,
-        "graph_link_pred": q_graph_link_pred,
-        "docs_lm_perplexity": q_docs_lm_perplexity,
-        "events_mad_outliers": q_events_mad_outliers,
-        "docs_source_entropy": q_docs_source_entropy,
-        "events_bloom_probe": q_events_bloom_probe,
-        "dedup_containment": q_dedup_containment,
-        "events_cuped": q_events_cuped,
-        "docs_langid_confusion": q_docs_langid_confusion,
-        "events_forecast_metrics": q_events_forecast_metrics,
-        "orders_zorder": q_orders_zorder,
-        "docs_phrase_search": q_docs_phrase_search,
-        "graph_kcore": q_graph_kcore,
-        "events_funnel_unordered": q_events_funnel_unordered,
-        "simsearch_dim_recall": q_simsearch_dim_recall,
-        "graph_ppr": q_graph_ppr,
-        "events_skew_report": q_events_skew_report,
-        "events_quantile_sketch": q_events_quantile_sketch,
-        # Tail TOP, r9-head priority — never-driver-verified entries
-        # displaced by this round's 18 new entries, lowest-risk first
-        # (each is a variant/sibling of a head or r7-green entry:
-        # attribution_position ~ _multi; funnel_lags ~ funnel; trend ~
-        # correlations; session_stats ~ sessionize; target_encoded ~
-        # profiling family; basket_rules ~ basket_rules3; rolling/cusum ~
-        # gapfill/anomaly; paths ~ transitions; split ~ hash_sample) —
-        # then search_eq/search_regex and the rest of the r6 cohort
-        # (down to docs_mixture). ALL r9 head candidates.
-        "events_attribution_position": q_events_attribution_position,
-        "events_paths": q_events_paths,
-        "docs_split": q_docs_split,
-        "events_funnel_lags": q_events_funnel_lags,
-        "lineitem_trend": q_lineitem_trend,
-        "events_session_stats": q_events_session_stats,
-        "lineitem_target_encoded": q_lineitem_target_encoded,
-        "basket_rules": q_basket_rules,
-        "events_rolling_features": q_events_rolling_features,
-        "events_cusum": q_events_cusum,
+        # Older cohorts (r6/r7 driver rows), unchanged order:
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
@@ -6966,11 +6965,13 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN n >= 2
                           THEN (syyd - nd * my * my) / (nd - 1.0) END AS vy,
                      CASE WHEN n >= 2
-                          THEN (syyd - nd * my * my) / (nd - 1.0)
+                          THEN greatest(
+                               (syyd - nd * my * my) / (nd - 1.0)
                                - 2.0 * theta
                                  * ((sxyd - nd * mx * my) / (nd - 1.0))
                                + theta * theta
-                                 * ((sxxd - nd * mx * mx) / (nd - 1.0))
+                                 * ((sxxd - nd * mx * mx) / (nd - 1.0)),
+                               0.0)
                           END AS vadj,
                      nd
               FROM c1

@@ -97,17 +97,22 @@ def regression_metrics(
     and ``r2 = 1 − Σe²/Σ(y−ȳ)²`` are fixed IEEE expressions over them,
     6dp-rounded. r2 is null when the actuals are constant (zero total
     variance)."""
-    d = lambda c: c.cast("decimal(19,6)")  # noqa: E731  (product width 38)
+    # one operand widened (19,6)x(18,6) -> product (38,12) in BOTH
+    # engines; (19,6)x(19,6) trips Spark's precision-39 overflow, which
+    # silently drops the product scale to 11 while DuckDB keeps 12 (the
+    # profiling.py one-wide-operand rule).
+    dw = lambda c: c.cast("decimal(19,6)")  # noqa: E731
+    dn = lambda c: c.cast("decimal(18,6)")  # noqa: E731
     y = F.col(actual_col)
     e = F.col(predicted_col) - y
     clean = df.filter(y.isNotNull() & F.col(predicted_col).isNotNull())
     row = clean.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(d(F.abs(e))).alias("__sae"),
-        F.sum(d(e)).alias("__se"),
-        F.sum(d(e) * d(e)).alias("__see"),
-        F.sum(d(y)).alias("__sy"),
-        F.sum(d(y) * d(y)).alias("__syy"),
+        F.sum(dn(F.abs(e))).alias("__sae"),
+        F.sum(dn(e)).alias("__se"),
+        F.sum(dw(e) * dn(e)).alias("__see"),
+        F.sum(dn(y)).alias("__sy"),
+        F.sum(dw(y) * dn(y)).alias("__syy"),
     )
     n = F.col("n").cast("double")
     sse = F.col("__see").cast("double")

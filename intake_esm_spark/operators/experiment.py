@@ -111,9 +111,13 @@ def did_report(
     the output is the four-row cell frame pivoted driver-free into one
     row via conditional aggregation."""
     x = F.col(value_col).cast("decimal(18,6)")
+    # one operand widened (19,6)x(18,6) -> product (38,12): Spark's rule
+    # for (19,6)x(19,6) hits precision 39 > 38 and silently DROPS scale
+    # to 11, while DuckDB keeps (38,12) — the profiling.py one-wide-
+    # operand rule keeps both engines bit-identical at scale 12.
     x2 = (
         F.col(value_col).cast("decimal(19,6)")
-        * F.col(value_col).cast("decimal(19,6)")
+        * F.col(value_col).cast("decimal(18,6)")
     )
     labeled = units.filter(
         F.col(group_col).isin(treatment, control)
@@ -238,6 +242,88 @@ def chi_square_report(
     )
 
 
+_RANK_BUCKETS = 64
+"""Value-range fan-out for the rank-statistic prefix sums (Mann-Whitney,
+KS).  64 buckets keep the offset table trivially small while bounding any
+single ordered window to ~1/64 of the distinct-value frame."""
+
+
+def _cum_by_value(per_v: DataFrame, sum_cols: list[str]) -> DataFrame:
+    """INCLUSIVE prefix sums of ``sum_cols`` over the distinct-value frame
+    ``per_v`` ordered by ``__val`` ascending — the two-phase bucketed
+    construction from ``operators.packing._prefix_sum`` adapted to a
+    VALUE order instead of a hash order: a global ``Window.orderBy(__val)``
+    would sort the whole frame in ONE task (for continuous outcomes
+    distinct-values ≈ units, so that is a corpus-scale single-partition
+    sort).  Instead:
+
+    1. every value gets an order-preserving *range bucket*
+       ``floor((v − min) / (max − min) · B)`` — monotone in ``v`` (IEEE
+       subtraction/multiplication by a positive constant preserve weak
+       monotonicity), so (bucket asc, value asc) == global value asc;
+       min/max come from a 1-row aggregate broadcast back in-plan;
+    2. running sums WITHIN each bucket (window partitioned by bucket —
+       parallel, each ≲ 1/B of the frame);
+    3. per-bucket totals (≤ B rows) get an EXCLUSIVE running sum over
+       that bounded aggregate (its single-partition exchange holds B
+       rows, never data) and broadcast-join back as offsets.
+
+    Bucket placement only shapes the EXECUTION — any order-preserving
+    assignment yields the same exact integer prefix sums (associativity),
+    so the statistic stays engine-exact without the oracle replaying the
+    buckets.  Adds ``__cum_<c>`` for each ``c`` in ``sum_cols``.
+    ``__val`` must be numeric (rank tests are over ordered outcomes)."""
+    from pyspark.sql import Window
+
+    span = per_v.agg(
+        F.min(F.col("__val").cast("double")).alias("__lo"),
+        F.max(F.col("__val").cast("double")).alias("__hi"),
+    )
+    vd = F.col("__val").cast("double")
+    bkt = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.lit(_RANK_BUCKETS - 1),
+            F.floor(
+                (vd - F.col("__lo"))
+                / (F.col("__hi") - F.col("__lo"))
+                * F.lit(float(_RANK_BUCKETS))
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    b = (
+        per_v.crossJoin(F.broadcast(span))
+        .withColumn("__bkt", bkt)
+        .drop("__lo", "__hi")
+    )
+    w_local = Window.partitionBy("__bkt").orderBy(
+        F.col("__val").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    for c in sum_cols:
+        b = b.withColumn(f"__loc_{c}", F.sum(c).over(w_local))
+    totals = b.groupBy("__bkt").agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(w_off), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = b.join(F.broadcast(offs), "__bkt")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__cum_{c}", F.col(f"__loc_{c}") + F.col(f"__off_{c}")
+        ).drop(f"__loc_{c}", f"__off_{c}")
+    return out.drop("__bkt")
+
+
 def mannwhitney_report(
     units: DataFrame,
     group_col: str,
@@ -255,18 +341,19 @@ def mannwhitney_report(
     continuity correction (one fewer arbitrary constant to replicate).
 
     Scale shape: one value-keyed exchange collapses the units to the
-    distinct-value grain; the rank window and the final moments run
-    over that bounded frame (values repeat heavily in practice; the
-    worst case is units-sized, same class as the RFM ntile).
+    distinct-value grain; the rank cumsum is the TWO-PHASE BUCKETED
+    prefix sum (:func:`_cum_by_value` — value-range buckets, per-bucket
+    windows, broadcast offsets), so no single task ever sorts the whole
+    frame even when the outcome is continuous and distinct ≈ units.
 
     Determinism: ``2·midrank = 2·cumcount − t + 1`` is an INTEGER, so
     the rank sum ``2·R₁`` and the tie term accumulate as exact
     DECIMAL(38,0) — the whole statistic reduces to one fixed IEEE
-    expression over exact integers. Returns one row ``(n_treat,
-    n_control, u_stat, z, significant)``; z is null when either group
-    is empty or the variance degenerates (all values tied)."""
-    from pyspark.sql import Window
-
+    expression over exact integers (prefix sums are associative, so the
+    bucketed evaluation is bit-identical to a global sort). Returns one
+    row ``(n_treat, n_control, u_stat, z, significant)``; z is null
+    when either group is empty or the variance degenerates (all values
+    tied)."""
     two = units.filter(
         F.col(group_col).isin(treatment, control)
         & F.col(value_col).isNotNull()
@@ -277,10 +364,9 @@ def mannwhitney_report(
         ).alias("__ct"),
         F.count(F.lit(1)).alias("__c"),
     )
-    w = Window.orderBy(F.col("__val").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked = _cum_by_value(per_v, ["__c"]).withColumnRenamed(
+        "__cum___c", "__cum"
     )
-    ranked = per_v.withColumn("__cum", F.sum("__c").over(w))
     # 2·midrank(v) = 2·cum − c + 1 (integer); R1·2 = Σ ct·that
     two_r1 = F.sum(
         F.expr(
@@ -339,8 +425,10 @@ def ks_test_report(
 
     Scale shape: identical to :func:`mannwhitney_report` — one
     value-keyed exchange collapses units to the distinct-value grain;
-    the ECDF cumsum window and the final max run over that bounded
-    frame.
+    the ECDF cumsums are the two-phase bucketed prefix sum
+    (:func:`_cum_by_value`) and the group totals a 1-row broadcast
+    aggregate, so no single-task sort and no single-partition window
+    anywhere in the plan.
 
     Determinism: the ECDF difference is kept as the EXACT integer
     ``|cum₁·n₂ − cum₂·n₁|`` (DECIMAL(38,0)) and divided by ``n₁·n₂``
@@ -348,8 +436,6 @@ def ks_test_report(
     its 6dp rounding. Returns one row ``(n_treat, n_control, d_stat,
     d_crit, significant)``; d/crit are null when either group is
     empty."""
-    from pyspark.sql import Window
-
     two = units.filter(
         F.col(group_col).isin(treatment, control)
         & F.col(value_col).isNotNull()
@@ -358,15 +444,19 @@ def ks_test_report(
         F.sum((F.col(group_col) == treatment).cast("bigint")).alias("__ct"),
         F.count(F.lit(1)).alias("__c"),
     )
-    w = Window.orderBy(F.col("__val").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    tot = per_v.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__n1"),
+        F.coalesce(F.sum("__c") - F.sum("__ct"), F.lit(0)).alias("__n2"),
     )
-    tot = Window.partitionBy()  # value-grain frame, same bound as w
-    ranked = per_v.select(
-        F.sum("__ct").over(w).alias("__cum1"),
-        (F.sum("__c").over(w) - F.sum("__ct").over(w)).alias("__cum2"),
-        F.sum("__ct").over(tot).alias("__n1"),
-        (F.sum("__c").over(tot) - F.sum("__ct").over(tot)).alias("__n2"),
+    ranked = (
+        _cum_by_value(per_v, ["__ct", "__c"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__cum___ct").alias("__cum1"),
+            (F.col("__cum___c") - F.col("__cum___ct")).alias("__cum2"),
+            "__n1",
+            "__n2",
+        )
     )
     diff = F.abs(
         F.expr(
@@ -559,7 +649,12 @@ def cuped_report(
     ``var_reduction_pct`` = ``100·(1 − var(y')/var(y))``."""
     from pyspark.sql import Window
 
-    d = lambda c: F.col(c).cast("decimal(19,6)")  # noqa: E731  (19: product width 38 = both engines' decimal cap, the did_report rule)
+    # one operand widened (19,6)x(18,6) -> product (38,12) in BOTH
+    # engines; (19,6)x(19,6) would hit Spark's precision-39 overflow and
+    # silently drop the product to scale 11 while DuckDB keeps 12 (the
+    # profiling.py rule).
+    dw = lambda c: F.col(c).cast("decimal(19,6)")  # noqa: E731
+    dn = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
     clean = units.filter(
         F.col(metric_col).isNotNull()
         & F.col(covariate_col).isNotNull()
@@ -567,11 +662,11 @@ def cuped_report(
     )
     per_v = clean.groupBy(F.col(variant_col).alias("variant")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(d(metric_col)).alias("sy"),
-        F.sum(d(covariate_col)).alias("sx"),
-        F.sum(d(metric_col) * d(metric_col)).alias("syy"),
-        F.sum(d(covariate_col) * d(covariate_col)).alias("sxx"),
-        F.sum(d(metric_col) * d(covariate_col)).alias("sxy"),
+        F.sum(dn(metric_col)).alias("sy"),
+        F.sum(dn(covariate_col)).alias("sx"),
+        F.sum(dw(metric_col) * dn(metric_col)).alias("syy"),
+        F.sum(dw(covariate_col) * dn(covariate_col)).alias("sxx"),
+        F.sum(dw(metric_col) * dn(covariate_col)).alias("sxy"),
     )
     tot = Window.partitionBy()  # variant-cardinality frame, bounded
     g = per_v.select(
@@ -604,13 +699,20 @@ def cuped_report(
         F.col("n") >= 2,
         (F.col("sxy").cast("double") - n * mx * my) / (n - F.lit(1.0)),
     )
+    # var(y') is mathematically >= 0, but when the covariate (near-)
+    # perfectly explains the metric the float expansion can dip a hair
+    # below 0 — sqrt would then return NaN, and Spark orders NaN ABOVE
+    # every number, so (se > 0) passes and `significant` fires on a NaN
+    # z. Clamp at 0 (null-preserving: n < 2 keeps its null variance).
+    vadj_raw = vy - F.lit(2.0) * theta * cxy + theta * theta * vx
+    vadj = F.when(vadj_raw.isNotNull(), F.greatest(vadj_raw, F.lit(0.0)))
     stats = g.select(
         "variant",
         F.col("n").alias("n_units"),
         my.alias("__my"),
         (my - theta * (mx - xbar)).alias("__madj"),
         vy.alias("__vy"),
-        (vy - F.lit(2.0) * theta * cxy + theta * theta * vx).alias("__vadj"),
+        vadj.alias("__vadj"),
     ).localCheckpoint(eager=False)  # tiny frame, referenced by the ctrl join
     ctrl = stats.filter(F.col("variant") == control).select(
         F.lit(1).alias("__ck"),

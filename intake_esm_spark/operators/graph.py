@@ -215,6 +215,7 @@ def link_prediction_jaccard(
     dst_col: str = "dst",
     k: int = 50,
     min_common: int = 1,
+    max_neighbor_degree: int = 10000,
 ) -> DataFrame:
     """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
     2003): for every NON-edge pair (u, w) sharing at least
@@ -228,15 +229,31 @@ def link_prediction_jaccard(
     Plan: normalize undirected edges once (pinned — feeds the wedge
     join, the known-edge anti-join, and degrees); enumerate co-neighbor
     pairs via the adjacency self-join on the shared neighbor (output
-    Σd(n)² over neighbor degrees — the triangle_count guard story:
-    threshold the input graph's edges upstream to keep hubs sane);
-    count-distinct shared neighbors per pair; anti-join existing edges;
-    AQE-decided degree joins (node-grain frames); top-k =
-    ``TakeOrderedAndProject`` with the pair as tiebreak."""
+    Σd(n)² over neighbor degrees); count-distinct shared neighbors per
+    pair; anti-join existing edges; AQE-decided degree joins (node-grain
+    frames); top-k = ``TakeOrderedAndProject`` with the pair as tiebreak.
+
+    **Hub guard**: the wedge join fans out Σd(n)² rows over SHARED-
+    neighbor degrees (unlike :func:`triangle_count`, whose low-id→high-id
+    orientation bounds fan-out by oriented degree) — one 10⁶-degree hub
+    would emit 10¹² pairs. ``max_neighbor_degree`` drops over-degree
+    nodes from the SHARED-NEIGHBOR role before the self-join (the
+    basket.py mega-basket pattern: a count window on the same key the
+    join shuffles on, so the guard rides the exchange the join needs
+    anyway). Semantics: a hub stops MEDIATING pairs ("everyone shares
+    the mega-hub" carries no signal — the Jaccard score of such pairs is
+    ~0 anyway) but keeps its own edges, its true degree in the union
+    denominator, and its own candidacy as an endpoint."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
+    if max_neighbor_degree < 1:
+        raise ValueError(
+            f"max_neighbor_degree must be >= 1, got {max_neighbor_degree}"
+        )
+    from pyspark.sql import Window
+
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -251,9 +268,18 @@ def link_prediction_jaccard(
         e.select(F.col("b").alias("n"), F.col("a").alias("v"))
     )
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    wn = Window.partitionBy("n")
+    capped = (
+        adj.withColumn("__dn", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__dn") <= max_neighbor_degree)
+        .drop("__dn")
+        # pin: both self-join sides reference this frame (the basket.py
+        # multi-reference rule)
+        .localCheckpoint(eager=False)
+    )
     pairs = (
-        adj.select(F.col("n"), F.col("v").alias("u"))
-        .join(adj.select(F.col("n"), F.col("v").alias("w")), "n")
+        capped.select(F.col("n"), F.col("v").alias("u"))
+        .join(capped.select(F.col("n"), F.col("v").alias("w")), "n")
         .filter(F.col("u") < F.col("w"))
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("cn"))

@@ -424,8 +424,14 @@ def profile_drift(
                 o["null_rate_old"] if o else None,
                 n["null_rate_new"] if n else None,
                 (
+                    # a zero-row snapshot carries a None null_rate while
+                    # the column is still status "common" — the delta is
+                    # undefined (null), not a TypeError
                     _r6(n["null_rate_new"] - o["null_rate_old"])
-                    if o and n
+                    if o
+                    and n
+                    and o["null_rate_old"] is not None
+                    and n["null_rate_new"] is not None
                     else None
                 ),
                 o["n_distinct_old"] if o else None,
@@ -729,12 +735,19 @@ def skew_report(
         )
         # rank NON-NULL values only: null ordering differs across
         # engines (Spark ASC=NULLS FIRST, DuckDB=NULLS LAST), and nulls
-        # are already reported separately as n_nulls
+        # are already reported separately as n_nulls. orderBy+limit
+        # plans TakeOrderedAndProject (distributed partial top-k per
+        # partition, k-row merge on the driver side of the exchange) —
+        # for near-unique columns (user ids, exactly this diagnostic's
+        # target) an unpartitioned row_number window here would be a
+        # corpus-scale single-task sort. The row_number below runs over
+        # the ≤ top_n-row result (the dsir_select post-limit pattern).
         w = Window.orderBy(F.col("__c").desc(), F.col("__v").asc())
         ranked = (
             counts.filter(F.col("__v").isNotNull())
+            .orderBy(F.col("__c").desc(), F.col("__v").asc())
+            .limit(top_n)
             .select("__v", "__c", F.row_number().over(w).alias("__rk"))
-            .filter(F.col("__rk") <= top_n)
         )
         row = ranked.agg(
             F.max(F.when(F.col("__rk") == 1, F.col("__v"))).alias("__top"),

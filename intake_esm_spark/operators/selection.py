@@ -146,6 +146,7 @@ def dsir_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    alpha: float = 1.0,
 ) -> DataFrame:
     """Per-document importance scores ``(id_col, n_feats, score)`` over
     the raw pool: score = Σ feature-occurrence log-weights (mean-free —
@@ -153,11 +154,36 @@ def dsir_scores(
     the oracle's unnest drops them identically). The weight table is
     broadcast; the only exchange is the doc-keyed partial-aggregated
     groupBy. Score is the DECIMAL(18,9) weight sum cast to double and
-    rounded to 6 decimals — order-independent, engine-exact."""
+    rounded to 6 decimals — order-independent, engine-exact.
+
+    ``raw`` may be a DIFFERENT pool than the one the weights were fit
+    on: buckets never seen during fitting LEFT-join to the constant
+    smoothing floor ``ln(α/(N_t+αB)) − ln(α/(N_r+αB))`` (an inner join
+    would silently drop those features — undercounting ``n_feats`` and
+    omitting their floor contribution). The fit totals ``N_t``/``N_r``
+    are recovered exactly from the weight table itself (absent buckets
+    contribute zero to either side by construction), so the floor needs
+    only ``alpha``/``n_buckets`` — which must match the fitting call."""
     feats = _feature_stream(raw, text_col, [id_col]).select(
         F.col(id_col), _bucket(F.col("__feat"), n_buckets).alias("bucket")
     )
-    joined = feats.join(F.broadcast(weights.select("bucket", "w")), "bucket")
+    ab = float(alpha) * n_buckets
+    floor = weights.agg(
+        F.round(
+            F.log(F.lit(float(alpha)))
+            - F.log(F.coalesce(F.sum("n_target"), F.lit(0)).cast("double") + F.lit(ab))
+            - F.log(F.lit(float(alpha)))
+            + F.log(F.coalesce(F.sum("n_raw"), F.lit(0)).cast("double") + F.lit(ab)),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("__floor_w")
+    )
+    joined = (
+        feats.join(F.broadcast(weights.select("bucket", "w")), "bucket", "left")
+        .crossJoin(F.broadcast(floor))
+        .withColumn("w", F.coalesce("w", "__floor_w"))
+    )
     return (
         joined.groupBy(id_col)
         .agg(
@@ -193,7 +219,12 @@ def dsir_select(
         target, raw, text_col=text_col, n_buckets=n_buckets, alpha=alpha
     ).localCheckpoint(eager=False)
     scores = dsir_scores(
-        raw, weights, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        raw,
+        weights,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
     )
     top = scores.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     from pyspark.sql import Window

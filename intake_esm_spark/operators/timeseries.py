@@ -279,9 +279,11 @@ def seasonal_naive_backtest(
         naive.alias("__n1"),
     ).filter(F.col("__f").isNotNull() & F.col("__n1").isNotNull())
     ae = F.abs(F.col("__x") - F.col("__f")).cast("decimal(18,6)")
+    # one operand widened (19,6)x(18,6) -> (38,12) in both engines (the
+    # profiling.py rule; (19,6)^2 would drop Spark's scale to 11)
     se = (
         (F.col("__x") - F.col("__f")).cast("decimal(19,6)")
-        * (F.col("__x") - F.col("__f")).cast("decimal(19,6)")
+        * (F.col("__x") - F.col("__f")).cast("decimal(18,6)")
     )
     ape = F.when(
         F.col("__x") != 0,

@@ -203,7 +203,58 @@ def test_link_pred_validation(spark):
     with _pt.raises(ValueError):
         link_prediction_jaccard(e, k=0)
     with _pt.raises(ValueError):
+        link_prediction_jaccard(e, max_neighbor_degree=0)
+    with _pt.raises(ValueError):
         link_prediction_jaccard(e, min_common=0)
+
+
+def test_link_pred_hub_guard_drops_mediation_only(spark):
+    """A shared neighbor above max_neighbor_degree stops MEDIATING wedge
+    pairs (the Σd(n)² guard) but keeps its edges, its true degree in the
+    union denominator, and its own endpoint candidacy.
+
+    Graph: hub 0 connected to leaves 1..12 (degree 12), plus the path
+    1-100-2. Unguarded, the hub mediates all C(12,2)=66 leaf pairs and
+    nodes 1/2 mediate (0,100) — 67 candidates. With
+    max_neighbor_degree=5 the hub stops mediating: only (1,2) (via
+    node 100) and (0,100) (via nodes 1 and 2) survive — and the degree
+    columns still report TRUE degrees (hub 0: 12; leaf 1: 2)."""
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    edges = [(0, i) for i in range(1, 13)] + [(1, 100), (100, 2)]
+    e = _edges(spark, edges)
+    unguarded = link_prediction_jaccard(e, k=100).collect()
+    assert len(unguarded) == 67
+    guarded = link_prediction_jaccard(
+        e, k=100, max_neighbor_degree=5
+    ).collect()
+    got = {(r["src"], r["dst"]): r for r in guarded}
+    assert set(got) == {(1, 2), (0, 100)}
+    r12 = got[(1, 2)]
+    assert r12["common_neighbors"] == 1  # hub mediation gone, 100 stays
+    assert (r12["degree_src"], r12["degree_dst"]) == (2, 2)  # true degs
+    r0h = got[(0, 100)]
+    assert r0h["common_neighbors"] == 2  # mediated by small nodes 1, 2
+    assert (r0h["degree_src"], r0h["degree_dst"]) == (12, 2)  # hub kept
+
+
+def test_link_pred_guard_inactive_matches_unguarded(spark):
+    """With the default cap the guard is a no-op on a small graph: same
+    rows, same scores as an explicit huge cap."""
+    from intake_esm_spark.operators.graph import link_prediction_jaccard
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5), (5, 3)])
+    a = sorted(
+        (r["src"], r["dst"], r["jaccard"])
+        for r in link_prediction_jaccard(e, k=100).collect()
+    )
+    b = sorted(
+        (r["src"], r["dst"], r["jaccard"])
+        for r in link_prediction_jaccard(
+            e, k=100, max_neighbor_degree=10**9
+        ).collect()
+    )
+    assert a == b and len(a) > 0
 
 
 # --- k_core -----------------------------------------------------------------

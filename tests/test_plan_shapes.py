@@ -648,3 +648,58 @@ def test_zorder_key_is_in_row_over_broadcast_ranges(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mannwhitney_no_single_partition_window_over_values(spark, queries):
+    """The rank cumsum is the two-phase bucketed prefix sum: per-bucket
+    windows over the distinct-value frame, an exclusive running sum over
+    the ≤64-row bucket-totals aggregate on the BROADCAST side. For
+    continuous outcomes distinct ≈ units, so a global orderBy window
+    here would be a corpus-scale single-task sort."""
+    plan = plan_of(queries["events_mannwhitney"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan  # offsets join small side
+    assert "__bkt" in plan, plan  # bucketed, not global, ordering
+    # the only single-partition exchanges sit under broadcast/1-row
+    # branches (span min/max, bucket offsets, the final 1-row moments) —
+    # the data-side window is partitioned by __bkt
+    assert "partitionBy=[__bkt" in plan.replace(" ", "") or "Window" in plan, plan
+    # a corpus-wide value sort would plan an Exchange rangepartitioning
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_ks_no_single_partition_window_over_values(spark, queries):
+    """Same discipline as Mann-Whitney: bucketed ECDF cumsums, group
+    totals from a broadcast 1-row aggregate, no global-order window."""
+    plan = plan_of(queries["events_ks_test"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "__bkt" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_kmv_pairwise_overlap_joins_sketch_frames_only(spark, queries):
+    """The pairwise overlap must join the pinned GROUP-cardinality
+    sketch frames (sketch bytes), never re-shuffle data: the pair join
+    is a broadcast nested-loop over checkpointed rows, with no parquet
+    re-scan and no corpus exchange in the final plan."""
+    plan = plan_of(queries["events_audience_overlap"](spark, SF), "simple")
+    assert "Scan parquet" not in plan, plan  # sketch build checkpointed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_sketch_quantiles_partial_group_limit_before_shuffle(spark, queries):
+    """The quantile sketch's bottom-k keeps the KMV discipline: a
+    PARTIAL WindowGroupLimit pass before the exchange — each map task
+    ships at most k rows per bucket, never its whole value set."""
+    plan = plan_of(queries["events_quantile_sketch"](spark, SF), "simple")
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+
+
+def test_skew_report_is_distributed_topk(spark, queries):
+    """skew_report ranks with orderBy+limit (TakeOrderedAndProject — a
+    per-partition partial top-k) — for near-unique columns an
+    unpartitioned row_number window would sort the whole value frame in
+    one task."""
+    plan = plan_of(queries["events_skew_report"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
