@@ -3966,6 +3966,151 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def q_events_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC-AUC of event value as a purchase-vs-rest score
+    (operators/evaluation.auc_report): the Mann-Whitney rank-sum
+    identity over the distinct-score grain with midranks for ties —
+    bucketed two-phase prefix sums, DECIMAL(38,0) exact rank
+    accumulation, one fixed IEEE expression at the end."""
+    from intake_esm_spark.operators.evaluation import auc_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.col("value").alias("score"),
+    )
+    return auc_report(u, "label", "score")
+
+
+def q_events_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability table (operators/evaluation.calibration_report) of a
+    hash-uniform pseudo-probability against the purchase label: 10
+    clamped score bins, one bin-keyed map-side-combined aggregation,
+    decimal score sums; per-bin |pos_rate − avg_score| gap."""
+    from intake_esm_spark.operators.evaluation import calibration_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("event_type").isNotNull()).select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        # exact-rational uniform score k/1e6: a 6dp decimal round-trips
+        # double -> DECIMAL(18,6) identically in both engines (no
+        # half-way cast cases), unlike a full-precision h/2^60 double
+        (
+            F.pmod(
+                tx.salted_hash60(F.col("event_id"), "cal"), F.lit(1_000_000)
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("score"),
+    )
+    return calibration_report(u, "label", "score", n_bins=10)
+
+
+def q_events_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa (operators/evaluation.cohens_kappa) between the
+    event type and a deterministically degraded copy (hash-parity keeps
+    the label, else 'view') — the label-quality agreement readout; one
+    pinned cell collapse, margins re-joined, DECIMAL(38,0) product
+    sum for chance agreement."""
+    from intake_esm_spark.operators.evaluation import cohens_kappa
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("event_type").isNotNull()).select(
+        F.col("event_type").alias("rater_a"),
+        F.when(
+            F.pmod(tx.salted_hash60(F.col("event_id"), "k"), F.lit(2)) == 0,
+            F.col("event_type"),
+        )
+        .otherwise(F.lit("view"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(u, "rater_a", "rater_b")
+
+
+def q_events_srm(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch check (operators/experiment.srm_report):
+    users hash into four arms but only a/b/c are configured at 25%
+    each — the unconfigured 'holdout' arm surfaces in n_unassigned on
+    every row; chi-square contributions vs N·share over the configured
+    total. One variant-keyed count collapse + a broadcast literal
+    expectation table."""
+    from intake_esm_spark.operators.experiment import srm_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("user_id").isNotNull()).select(
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("holdout")),
+            (F.pmod(F.col("user_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("variant")
+    )
+    return srm_report(
+        u, "variant", [("a", 0.25), ("b", 0.25), ("c", 0.25)]
+    ).orderBy("variant")
+
+
+def q_events_ips(spark: SparkSession, sf: str) -> DataFrame:
+    """Clipped IPS / SNIPS off-policy value (operators/experiment.
+    ips_value): a deterministic target policy (purchase 0.5 / click 0.3
+    / else 0.1) against a uniform 0.2 logging policy, rewards = event
+    values, clip = 2.0 (so the purchase weight 2.5 exercises the clip
+    diagnostic). One map-side-combined aggregation; 9dp-decimal weight
+    sums."""
+    from intake_esm_spark.operators.experiment import ips_value
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("reward"),
+        F.when(F.col("event_type") == "purchase", F.lit(0.5))
+        .when(F.col("event_type") == "click", F.lit(0.3))
+        .otherwise(F.lit(0.1))
+        .alias("p_target"),
+        F.lit(0.2).alias("p_logging"),
+    )
+    return ips_value(u, "reward", "p_target", "p_logging", clip=2.0)
+
+
+def q_events_qte(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile treatment effects (operators/experiment.
+    quantile_treatment_effects) on purchase values split by user
+    parity: p25/p50/p75 per arm (Spark percentile = type-7 = DuckDB
+    quantile_cont, the lineitem_quantiles parity) and their
+    differences; everything after the one grouped aggregation is 2-row
+    metadata."""
+    from intake_esm_spark.operators.experiment import (
+        quantile_treatment_effects,
+    )
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("t"))
+        .otherwise(F.lit("c"))
+        .alias("grp"),
+        F.col("value"),
+    )
+    return quantile_treatment_effects(
+        u, "grp", "value", "t", "c", probs=[0.25, 0.5, 0.75]
+    ).orderBy("prob")
+
+
+def q_docs_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit (operators/corpus.zipf_fit) over the corpus
+    term-frequency head: ln(freq)-on-ln(rank) least squares over the
+    top-1000 tokens — one map-side-combined token count,
+    TakeOrderedAndProject head, 9dp-decimal ln-moment fold, fixed IEEE
+    slope/r² over the 1-row moments."""
+    from intake_esm_spark.operators.corpus import zipf_fit
+
+    docs = load_table(spark, sf, "documents")
+    return zipf_fit(docs, "text", top_n=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is load-bearing: the correctness driver records at most
     # 50 entries, so (standing rule) any entry whose code or oracle
@@ -4043,6 +4188,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_features": q_events_rolling_features,
         "events_cusum": q_events_cusum,
         # -- rotation tail ---------------------------------------------
+        # Tail TOP block 0: NEW in round 9 (added after the head froze
+        # on the all-190-driver-rows rotation) — 7 oracled entries for
+        # the round-9 operators (exact ROC-AUC, calibration/reliability,
+        # Cohen's kappa, SRM check, IPS off-policy value, quantile
+        # treatment effects, Zipf fit). Never driver-verified; first
+        # r10-head candidates, locally swept this round.
+        "events_auc": q_events_auc,
+        "events_calibration": q_events_calibration,
+        "events_kappa": q_events_kappa,
+        "events_srm": q_events_srm,
+        "events_ips": q_events_ips,
+        "events_qte": q_events_qte,
+        "docs_zipf": q_docs_zipf,
         # Tail TOP: two entries whose code changed this round but whose
         # sf0.01 output is VALUE-NEUTRAL, re-verified by the local
         # DuckDB sweep this session (forecast_backtest: the seasonal-
@@ -5000,6 +5158,266 @@ def oracle_sql() -> dict[str, str]:
         repr(w) for w in tx.hashed_bow_weights(_QUALITY_BUCKETS, salt=_QUALITY_WSALT)
     ) + "]"
     d = {
+        # replays evaluation.auc_report: rank-sum AUC with midranks —
+        # 2·midrank = 2·cum − c + 1 exact-integer accumulation over the
+        # distinct-score grain (the Mann-Whitney identity)
+        "events_auc": """
+            WITH u AS (
+              SELECT value AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), pv AS (
+              SELECT s, sum(pos) AS ct, count(*) AS c FROM u GROUP BY s
+            ), r AS (
+              SELECT ct, c,
+                     sum(c) OVER (ORDER BY s ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+              FROM pv
+            ), m AS (
+              SELECT coalesce(sum(ct), 0) AS n1,
+                     coalesce(sum(c) - sum(ct), 0) AS n2,
+                     CAST(sum(CAST(ct AS DECIMAL(38,0))
+                              * (2 * cum - c + 1)) AS DOUBLE) AS r2x
+              FROM r
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_pos,
+                   CAST(n2 AS BIGINT) AS n_neg,
+                   round(CASE WHEN n1 > 0 AND n2 > 0
+                         THEN (r2x / 2.0
+                               - CAST(n1 AS DOUBLE)
+                                 * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+                              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                         END, 6) AS auc,
+                   round(CASE WHEN n1 > 0 AND n2 > 0
+                         THEN 2.0 * ((r2x / 2.0
+                               - CAST(n1 AS DOUBLE)
+                                 * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+                              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                              - 1.0
+                         END, 6) AS gini
+            FROM m
+        """,
+        # replays evaluation.calibration_report over the exact-rational
+        # hash score k/1e6: clamped floor bins, decimal score sums
+        "events_calibration": f"""
+            WITH u AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                     CAST({_h60_sql(
+                         "'cal|' || CAST(event_id AS VARCHAR)"
+                     )} % 1000000 AS DOUBLE) / 1000000.0 AS s
+              FROM events WHERE event_type IS NOT NULL
+            )
+            SELECT CAST(greatest(0, least(9, CAST(floor(s * 10.0) AS INT)))
+                        AS INT) AS bin,
+                   count(*) AS n_units,
+                   round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS avg_score,
+                   round(CAST(sum(label) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+                   round(abs(CAST(sum(label) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)
+                             - CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+                               / CAST(count(*) AS DOUBLE)), 6) AS abs_gap
+            FROM u GROUP BY 1
+        """,
+        # replays evaluation.cohens_kappa: pinned cell collapse, margins
+        # joined on the label, DECIMAL(38,0) product sum for p_e
+        "events_kappa": f"""
+            WITH u AS (
+              SELECT event_type AS a,
+                     CASE WHEN {_h60_sql(
+                         "'k|' || CAST(event_id AS VARCHAR)"
+                     )} % 2 = 0
+                          THEN event_type ELSE 'view' END AS b
+              FROM events WHERE event_type IS NOT NULL
+            ), cells AS (
+              SELECT a, b, count(*) AS c FROM u GROUP BY a, b
+            ), am AS (SELECT a AS l, sum(c) AS ra FROM cells GROUP BY a),
+            bm AS (SELECT b AS l, sum(c) AS rb FROM cells GROUP BY b),
+            p AS (
+              SELECT coalesce(sum(CAST(ra AS DECIMAL(38,0)) * rb), 0)
+                       AS pe_num
+              FROM am JOIN bm USING (l)
+            ), base AS (
+              SELECT coalesce(sum(c), 0) AS n,
+                     coalesce(sum(CASE WHEN a = b THEN c END), 0) AS diag
+              FROM cells
+            )
+            SELECT CAST(n AS BIGINT) AS n_units,
+                   round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS observed_agreement,
+                   round(CAST(pe_num AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                     AS expected_agreement,
+                   round(CASE WHEN n > 0
+                              AND CAST(pe_num AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                                  < 1.0
+                         THEN (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+                               - CAST(pe_num AS DOUBLE)
+                                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                              / (1.0 - CAST(pe_num AS DOUBLE)
+                                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                         END, 6) AS kappa
+            FROM base CROSS JOIN p
+        """,
+        # replays experiment.srm_report: configured a/b/c at 25% each,
+        # the hash-derived 'holdout' arm lands in n_unassigned
+        "events_srm": """
+            WITH v AS (
+              SELECT CASE user_id % 4 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                          WHEN 2 THEN 'c' ELSE 'holdout' END AS variant
+              FROM events WHERE user_id IS NOT NULL
+            ), counts AS (
+              SELECT variant, count(*) AS c FROM v GROUP BY variant
+            ), exp AS (
+              SELECT * FROM (VALUES ('a', 0.25), ('b', 0.25), ('c', 0.25))
+                     t(variant, share)
+            ), obs AS (
+              SELECT e.variant, CAST(e.share AS DOUBLE) AS share,
+                     coalesce(c.c, 0) AS n_obs
+              FROM exp e LEFT JOIN counts c USING (variant)
+            ), tot AS (SELECT sum(n_obs) AS n FROM obs),
+            una AS (
+              SELECT coalesce(sum(c), 0) AS u FROM counts
+              WHERE variant NOT IN ('a', 'b', 'c')
+            )
+            SELECT variant,
+                   CAST(n_obs AS BIGINT) AS n_obs,
+                   round(CAST(n AS DOUBLE) * share, 6) AS n_expected,
+                   round(share, 6) AS expected_share,
+                   round(CASE WHEN CAST(n AS DOUBLE) * share > 0
+                         THEN (CAST(n_obs AS DOUBLE)
+                               - CAST(n AS DOUBLE) * share)
+                              * (CAST(n_obs AS DOUBLE)
+                                 - CAST(n AS DOUBLE) * share)
+                              / (CAST(n AS DOUBLE) * share)
+                         END, 6) AS chi2_contribution,
+                   CAST(u AS BIGINT) AS n_unassigned
+            FROM obs CROSS JOIN tot CROSS JOIN una
+            ORDER BY variant
+        """,
+        # replays experiment.ips_value: clipped importance weights,
+        # 9dp-decimal weight/weighted-reward sums
+        "events_ips": """
+            WITH u AS (
+              SELECT value AS r,
+                     CASE WHEN event_type = 'purchase' THEN 0.5
+                          WHEN event_type = 'click' THEN 0.3
+                          ELSE 0.1 END AS pt
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), w AS (
+              SELECT r,
+                     least(2.0, CAST(pt AS DOUBLE) / 0.2) AS wv,
+                     CAST(pt AS DOUBLE) / 0.2 AS rawv
+              FROM u
+            ), m AS (
+              SELECT count(*) AS n,
+                     coalesce(sum(CASE WHEN rawv > 2.0 THEN 1 ELSE 0 END),
+                              0) AS ncl,
+                     sum(CAST(round(wv, 9) AS DECIMAL(28,12))) AS sw,
+                     sum(CAST(round(wv * r, 9) AS DECIMAL(28,12))) AS swr
+              FROM w
+            )
+            SELECT CAST(n AS BIGINT) AS n_units,
+                   CAST(ncl AS BIGINT) AS n_clipped,
+                   CASE WHEN n > 0 THEN round(CAST(sw AS DOUBLE)
+                        / CAST(n AS DOUBLE), 6) END AS mean_weight,
+                   CASE WHEN n > 0 THEN round(CAST(swr AS DOUBLE)
+                        / CAST(n AS DOUBLE), 6) END AS ips_value,
+                   CASE WHEN CAST(sw AS DOUBLE) > 0
+                        THEN round(CAST(swr AS DOUBLE)
+                             / CAST(sw AS DOUBLE), 6) END AS snips_value
+            FROM m
+        """,
+        # replays experiment.quantile_treatment_effects: per-arm
+        # quantile_cont (= Spark percentile, type-7) then per-prob diffs
+        "events_qte": """
+            WITH u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS g,
+                     value AS v
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                    AND value IS NOT NULL
+            ), q AS (
+              SELECT g,
+                     round(quantile_cont(v, 0.25), 6) AS q0,
+                     round(quantile_cont(v, 0.5), 6) AS q1,
+                     round(quantile_cont(v, 0.75), 6) AS q2
+              FROM u GROUP BY g
+            ), f AS (
+              SELECT max(CASE WHEN g = 't' THEN q0 END) AS t0,
+                     max(CASE WHEN g = 't' THEN q1 END) AS t1,
+                     max(CASE WHEN g = 't' THEN q2 END) AS t2,
+                     max(CASE WHEN g = 'c' THEN q0 END) AS c0,
+                     max(CASE WHEN g = 'c' THEN q1 END) AS c1,
+                     max(CASE WHEN g = 'c' THEN q2 END) AS c2
+              FROM q
+            )
+            SELECT * FROM (
+              SELECT CAST(0.25 AS DOUBLE) AS prob, t0 AS q_treatment,
+                     c0 AS q_control, round(t0 - c0, 6) AS qte FROM f
+              UNION ALL
+              SELECT CAST(0.5 AS DOUBLE), t1, c1, round(t1 - c1, 6) FROM f
+              UNION ALL
+              SELECT CAST(0.75 AS DOUBLE), t2, c2, round(t2 - c2, 6) FROM f
+            ) ORDER BY prob
+        """,
+        # replays corpus.zipf_fit: token counts, top-1000 head ranks,
+        # 9dp-decimal ln moments, fixed IEEE slope/intercept/r2
+        "docs_zipf": f"""
+            WITH t AS (
+              SELECT unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS token
+              FROM documents
+            ), c AS (
+              SELECT token, count(*) AS freq FROM t
+              WHERE token != '' GROUP BY token
+            ), tot AS (SELECT coalesce(sum(freq), 0) AS total FROM c),
+            h AS (
+              SELECT freq,
+                     row_number() OVER (ORDER BY freq DESC, token ASC) AS rk
+              FROM c ORDER BY freq DESC, token ASC LIMIT 1000
+            ), m AS (
+              SELECT count(*) AS n,
+                CAST(sum(CAST(round(ln(CAST(rk AS DOUBLE)), 9)
+                              AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(round(ln(CAST(freq AS DOUBLE)), 9)
+                              AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(round(ln(CAST(rk AS DOUBLE)), 9)
+                              AS DECIMAL(19,9))
+                         * CAST(round(ln(CAST(rk AS DOUBLE)), 9)
+                                AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(round(ln(CAST(rk AS DOUBLE)), 9)
+                              AS DECIMAL(19,9))
+                         * CAST(round(ln(CAST(freq AS DOUBLE)), 9)
+                                AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(round(ln(CAST(freq AS DOUBLE)), 9)
+                              AS DECIMAL(19,9))
+                         * CAST(round(ln(CAST(freq AS DOUBLE)), 9)
+                                AS DECIMAL(18,9))) AS DOUBLE) AS syy
+              FROM h
+            ), s AS (
+              SELECT n, sx, sy, CAST(n AS DOUBLE) AS nd,
+                     CAST(n AS DOUBLE) * sxx - sx * sx AS den_x,
+                     CAST(n AS DOUBLE) * syy - sy * sy AS den_y,
+                     CAST(n AS DOUBLE) * sxy - sx * sy AS num
+              FROM m
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   (SELECT CAST(total AS BIGINT) FROM tot) AS total_tokens,
+                   round(CASE WHEN n >= 2 AND den_x > 0
+                         THEN num / den_x END, 6) AS slope,
+                   round(CASE WHEN n >= 2 AND den_x > 0
+                         THEN (sy - (num / den_x) * sx) / nd END, 6)
+                     AS intercept,
+                   round(CASE WHEN n >= 2 AND den_x > 0 AND den_y > 0
+                         THEN (num * num) / (den_x * den_y) END, 6) AS r2
+            FROM s
+        """,
         "dedup_spans": _SPANS_DEDUP_SQL,
         "dedup_spans_report": _SPANS_REPORT_SQL,
         "dedup_cluster_best": f"""

@@ -329,3 +329,88 @@ def collocations(
         .orderBy(F.desc("score"), F.asc("bigram"))
         .limit(k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: the
+    least-squares slope of ``ln(freq)`` on ``ln(rank)`` over the
+    ``top_n`` most frequent tokens — the one-number "does this corpus
+    look like natural language" diagnostic (clean prose fits ≈ −1;
+    boilerplate/log spam flattens the head, OCR noise fattens the
+    tail). Returns one row ``(n_terms, total_tokens, slope, intercept,
+    r2)``; slope/r2 are null when fewer than 2 distinct terms exist or
+    the ranks are degenerate.
+
+    Plan: :func:`vocab_topk`'s shape — in-row tokenize, ONE map-side-
+    combined token count, ``TakeOrderedAndProject`` top-n (freq desc,
+    token asc: a total order, so ranks are deterministic) — then the
+    regression runs on the ≤ top_n-row survivor frame: rank stamp via
+    row_number over the bounded post-limit frame (the dsir_select
+    pattern), decimal ln-moment fold (each ln quantized to 9dp
+    DECIMAL(18,9) before summing — order-independent), slope/r² as
+    fixed IEEE expressions over the 1-row moments. ``total_tokens``
+    (the full count, not just the head) comes from the same count
+    collapse via a 1-row broadcast aggregate."""
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    from pyspark.sql import Window
+
+    counts = (
+        _spread(df.select(text_col))
+        .select(F.explode(words_array(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)  # feeds total AND the top-n head
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("freq"), F.lit(0)).alias("total_tokens")
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    head = (
+        counts.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_n)
+        .select("freq", F.row_number().over(w).alias("__rk"))
+    )
+    lx = F.round(F.log(F.col("__rk").cast("double")), 9).cast("decimal(18,9)")
+    ly = F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(18,9)")
+    lxw = F.round(F.log(F.col("__rk").cast("double")), 9).cast("decimal(19,9)")
+    m = head.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(lx).alias("__sx"),
+        F.sum(ly).alias("__sy"),
+        F.sum(lxw * lx).alias("__sxx"),
+        F.sum(lxw * ly).alias("__sxy"),
+        F.sum(
+            F.round(F.log(F.col("freq").cast("double")), 9).cast(
+                "decimal(19,9)"
+            )
+            * ly
+        ).alias("__syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when((F.col("n_terms") >= 2) & (den_x > 0), num / den_x)
+    intercept = (sy - slope * sx) / n
+    r2 = F.when(
+        (F.col("n_terms") >= 2) & (den_x > 0) & (den_y > 0),
+        (num * num) / (den_x * den_y),
+    )
+    return m.crossJoin(F.broadcast(total)).select(
+        "n_terms",
+        "total_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

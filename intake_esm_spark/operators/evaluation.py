@@ -126,3 +126,178 @@ def regression_metrics(
         F.round(F.col("__se").cast("double") / n, 6).alias("bias"),
         F.when(tss > 0, F.round(F.lit(1.0) - sse / tss, 6)).alias("r2"),
     )
+
+
+def auc_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label via the rank-sum
+    identity ``AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋)`` with midranks for
+    tied scores — mathematically the Mann-Whitney U normalized by the
+    pair count (ties contribute ½, the standard trapezoidal-ROC value),
+    so the implementation IS :func:`~.experiment._cum_by_value`'s
+    two-phase bucketed prefix sum over the distinct-score grain: one
+    score-keyed exchange, bucketed rank cumsums, never a single-task
+    sort (the Mann-Whitney plan discipline).
+
+    ``label_col`` is truthy-numeric (``> 0`` = positive; null = excluded
+    along with null scores). Returns one row ``(n_pos, n_neg, auc,
+    gini)`` — ``gini = 2·AUC − 1``; both null when either class is
+    empty. Determinism: ``2·R₊`` and the counts are exact integers
+    (DECIMAL(38,0) accumulation); AUC is one fixed IEEE expression over
+    them, 6dp-rounded."""
+    from .experiment import _cum_by_value
+
+    two = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    )
+    per_v = two.groupBy(F.col(score_col).alias("__val")).agg(
+        F.sum((F.col(label_col) > 0).cast("bigint")).alias("__ct"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    ranked = _cum_by_value(per_v, ["__c"]).withColumnRenamed(
+        "__cum___c", "__cum"
+    )
+    two_r1 = F.sum(
+        F.expr("CAST(__ct * (2 * __cum - __c + 1) AS DECIMAL(38,0))")
+    )
+    m = ranked.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__n1"),
+        F.coalesce(F.sum("__c") - F.sum("__ct"), F.lit(0)).alias("__n2"),
+        two_r1.cast("double").alias("__2r1"),
+    )
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    auc = F.when(
+        (F.col("__n1") > 0) & (F.col("__n2") > 0),
+        (F.col("__2r1") / F.lit(2.0) - n1 * (n1 + F.lit(1.0)) / F.lit(2.0))
+        / (n1 * n2),
+    )
+    return m.select(
+        F.col("__n1").alias("n_pos"),
+        F.col("__n2").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probability-like score: rows are score
+    bins ``floor(score·n_bins)`` (clamped into ``[0, n_bins−1]``, so a
+    score of exactly 1.0 lands in the top bin and out-of-range scores
+    saturate instead of vanishing), columns ``(bin, n_units, avg_score,
+    pos_rate, abs_gap)`` — ``abs_gap = |pos_rate − avg_score|`` is the
+    per-bin calibration error whose n-weighted sum is ECE. Empty bins
+    are absent (their weight is zero). Null label or score excludes the
+    row.
+
+    Plan: ONE bin-keyed map-side-combined aggregation (output ≤ n_bins
+    rows); the bin id is in-row codegen. Determinism: counts are exact
+    integers; scores accumulate as DECIMAL(18,6); rates/gaps are fixed
+    IEEE divides, 6dp. The bin edge is ``floor`` of one IEEE product —
+    identical in both engines on identical doubles."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(s * F.lit(float(n_bins))).cast("int"),
+        ),
+    )
+    binned = (
+        df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(s.cast("decimal(18,6)")).alias("__ss"),
+            F.sum((F.col(label_col) > 0).cast("bigint")).alias("__np"),
+        )
+    )
+    n = F.col("n_units").cast("double")
+    avg = F.col("__ss").cast("double") / n
+    rate = F.col("__np").cast("double") / n
+    return binned.select(
+        "bin",
+        "n_units",
+        F.round(avg, 6).alias("avg_score"),
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(F.abs(rate - avg), 6).alias("abs_gap"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement over paired categorical
+    labels: ``κ = (p_o − p_e) / (1 − p_e)`` with ``p_o`` the observed
+    agreement rate and ``p_e = Σᵢ rowᵢ·colᵢ / N²`` the chance agreement
+    from the marginals — the standard "are two annotators / a model and
+    a human actually agreeing beyond luck" readout for label-quality
+    audits. Rows with a null on either side are excluded.
+
+    Plan: one (a, b)-keyed count collapse (map-side partial, ≤ classes²
+    rows, pinned — feeds both margins), margins re-joined on the label,
+    one final fold. Determinism: N, the diagonal, and ``Σ rowᵢ·colᵢ``
+    are exact integers (DECIMAL(38,0) for the product sum); κ is one
+    fixed IEEE expression, 6dp. Returns one row ``(n_units,
+    observed_agreement, expected_agreement, kappa)``; κ is null when
+    ``p_e = 1`` (both raters constant — agreement is undefined, not
+    perfect)."""
+    cells = (
+        df.filter(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .groupBy(
+            F.col(rater_a_col).alias("__a"), F.col(rater_b_col).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)  # feeds both margins + the diagonal
+    )
+    am = cells.groupBy(F.col("__a").alias("__l")).agg(
+        F.sum("__c").alias("__ra")
+    )
+    bm = cells.groupBy(F.col("__b").alias("__l")).agg(
+        F.sum("__c").alias("__rb")
+    )
+    prod = (
+        am.join(bm, "__l")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr("CAST(__ra AS DECIMAL(38,0)) * __rb")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__pe_num")
+        )
+    )
+    base = cells.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))),
+            F.lit(0),
+        ).alias("__diag"),
+    )
+    j = base.crossJoin(F.broadcast(prod))
+    nd = F.col("__n").cast("double")
+    po = F.col("__diag").cast("double") / nd
+    pe = F.col("__pe_num").cast("double") / (nd * nd)
+    kappa = F.when(
+        (F.col("__n") > 0) & (pe < 1.0), (po - pe) / (F.lit(1.0) - pe)
+    )
+    return j.select(
+        F.col("__n").alias("n_units"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round(kappa, 6).alias("kappa"),
+    )

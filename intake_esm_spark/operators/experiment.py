@@ -744,3 +744,208 @@ def cuped_report(
             (F.abs(F.round(z, 6)) >= F.lit(z_threshold)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def srm_report(
+    units: DataFrame,
+    variant_col: str,
+    expected_shares: list[tuple[str, float]],
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the FIRST test run on any
+    experiment readout (a traffic split that doesn't match its config
+    invalidates every downstream metric: bot filtering, redirect loss,
+    or assignment bugs skew who got counted). Per configured variant:
+    observed units, expected units ``N·share``, and the chi-square
+    contribution ``(o − e)²/e``; the total chi-square against
+    ``len(shares) − 1`` degrees of freedom is the scalar gate (compare
+    client-side, the :func:`chi_square_report` convention).
+
+    ``expected_shares`` is the configured allocation (label, share);
+    shares must be > 0 (a zero-share arm with observed traffic is
+    trivially mismatched — model it upstream). Units with labels
+    OUTSIDE the configured set are counted into ``n_unassigned`` on
+    every row (a nonzero value is itself an SRM signal); null labels
+    are excluded. N is the total over CONFIGURED variants only.
+
+    Plan: one variant-keyed count collapse (map-side partial), the
+    expected table a broadcast literal frame — output is
+    len(shares)-sized. Determinism: counts exact; contributions fixed
+    IEEE over them, 6dp."""
+    if not expected_shares:
+        raise ValueError("expected_shares must be non-empty")
+    labels = [lab for lab, _ in expected_shares]
+    if len(set(labels)) != len(labels):
+        raise ValueError("expected_shares labels must be unique")
+    for lab, sh in expected_shares:
+        if not sh > 0:
+            raise ValueError(f"share for {lab!r} must be > 0, got {sh}")
+    spark = units.sparkSession
+    exp = spark.createDataFrame(
+        [(lab, float(sh)) for lab, sh in expected_shares],
+        "variant string, expected_share double",
+    )
+    counts = (
+        units.filter(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("variant"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)  # feeds the join + both totals
+    )
+    obs = exp.join(F.broadcast(counts), "variant", "left").select(
+        "variant",
+        "expected_share",
+        F.coalesce("__c", F.lit(0)).alias("n_obs"),
+    )
+    tot = obs.agg(F.sum("n_obs").alias("__n"))
+    other = (
+        counts.join(F.broadcast(exp.select("variant")), "variant", "left_anti")
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__unassigned"))
+    )
+    j = obs.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(other))
+    e = F.col("__n").cast("double") * F.col("expected_share")
+    o = F.col("n_obs").cast("double")
+    contrib = F.when(e > 0, (o - e) * (o - e) / e)
+    return j.select(
+        "variant",
+        "n_obs",
+        F.round(e, 6).alias("n_expected"),
+        F.round(F.col("expected_share"), 6).alias("expected_share"),
+        F.round(contrib, 6).alias("chi2_contribution"),
+        F.col("__unassigned").alias("n_unassigned"),
+    )
+
+
+def ips_value(
+    df: DataFrame,
+    reward_col: str,
+    target_prob_col: str,
+    logging_prob_col: str,
+    clip: float = 10.0,
+) -> DataFrame:
+    """Clipped inverse-propensity off-policy value estimate — "what
+    would the NEW policy's mean reward have been on the logged traffic"
+    (Horvitz-Thompson / IPS, the counterfactual-evaluation primitive
+    behind ranking and recommendation rollouts): per logged unit the
+    weight ``w = min(clip, p_target/p_logging)`` re-weights its reward;
+    ``ips_value = Σ w·r / n`` and the self-normalized
+    ``snips_value = Σ w·r / Σ w`` (lower variance, the production
+    default). Rows with null reward/probabilities or a non-positive
+    logging probability are excluded (an action the logger could never
+    take carries no counterfactual information).
+
+    Plan: one map-side-combined aggregation — weights are in-row IEEE
+    expressions. Determinism: ``w`` and ``w·r`` quantize to 9dp
+    DECIMAL(28,12) BEFORE summing (the chi-square cell rule: a double
+    sum over the corpus is partition-order-dependent); the final
+    ratios are fixed IEEE over the exact sums, 6dp. Returns one row
+    ``(n_units, n_clipped, mean_weight, ips_value, snips_value)`` —
+    ``n_clipped``/``mean_weight`` are the diagnostics that tell you the
+    estimate is extrapolating (weights piling on the clip ⇒ the
+    policies barely overlap and the number is not trustworthy)."""
+    if not clip > 0:
+        raise ValueError(f"clip must be > 0, got {clip}")
+    clean = df.filter(
+        F.col(reward_col).isNotNull()
+        & F.col(target_prob_col).isNotNull()
+        & F.col(logging_prob_col).isNotNull()
+        & (F.col(logging_prob_col) > 0)
+    )
+    raw_w = F.col(target_prob_col).cast("double") / F.col(
+        logging_prob_col
+    ).cast("double")
+    w = F.least(F.lit(float(clip)), raw_w)
+    wq = F.round(w, 9).cast("decimal(28,12)")
+    wrq = F.round(w * F.col(reward_col).cast("double"), 9).cast(
+        "decimal(28,12)"
+    )
+    m = clean.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.coalesce(
+            F.sum((raw_w > F.lit(float(clip))).cast("bigint")), F.lit(0)
+        ).alias("n_clipped"),
+        F.sum(wq).alias("__sw"),
+        F.sum(wrq).alias("__swr"),
+    )
+    n = F.col("n_units").cast("double")
+    sw = F.col("__sw").cast("double")
+    swr = F.col("__swr").cast("double")
+    return m.select(
+        "n_units",
+        "n_clipped",
+        F.when(F.col("n_units") > 0, F.round(sw / n, 6)).alias("mean_weight"),
+        F.when(F.col("n_units") > 0, F.round(swr / n, 6)).alias("ips_value"),
+        F.when(sw > 0, F.round(swr / sw, 6)).alias("snips_value"),
+    )
+
+
+def quantile_treatment_effects(
+    units: DataFrame,
+    group_col: str,
+    value_col: str,
+    treatment: str,
+    control: str,
+    probs: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Quantile treatment effects — where in the outcome distribution
+    the treatment moved (a mean shift of +2 can be "everyone +2" or
+    "the p90 exploded while the median fell"; regressions on means
+    can't tell them apart). Per probability: the treatment and control
+    quantiles and their difference.
+
+    Thin composition over :func:`~.profiling.group_quantiles`
+    (``exact=True``: Spark ``percentile`` = type-7 interpolation,
+    bitwise DuckDB ``quantile_cont`` parity; swap ``exact=False`` for
+    the fixed-state Greenwald-Khanna path at 100 TB): ONE grouped
+    aggregation over the two arms, the two quantile rows then pivot
+    via conditional aggregation into per-probability rows through a
+    ``posexplode`` of the probability literals — everything after the
+    group collapse is 2-row metadata. Returns ``(prob, q_treatment,
+    q_control, qte)`` rows; a missing arm nulls its side and the
+    effect."""
+    plist = list(probs)
+    if not plist:
+        raise ValueError("probs must be non-empty")
+    from .profiling import group_quantiles
+
+    two = units.filter(
+        F.col(group_col).isin(treatment, control)
+        & F.col(value_col).isNotNull()
+    )
+    cols = [f"__q{i}" for i in range(len(plist))]
+    q = group_quantiles(
+        two.select(F.col(group_col).alias("__g"), F.col(value_col)),
+        value_col,
+        ["__g"],
+        plist,
+        out_cols=cols,
+    )
+    folded = q.agg(
+        *[
+            F.max(F.when(F.col("__g") == treatment, F.col(c))).alias(
+                f"__t{i}"
+            )
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.max(F.when(F.col("__g") == control, F.col(c))).alias(f"__c{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    prob_arr = F.array(*[F.lit(float(p)) for p in plist])
+    rows = folded.select(
+        F.posexplode(prob_arr).alias("__i", "prob"),
+        *[F.col(f"__t{i}") for i in range(len(plist))],
+        *[F.col(f"__c{i}") for i in range(len(plist))],
+    )
+    qt = None
+    qc = None
+    for i in range(len(plist)):
+        t_i = F.when(F.col("__i") == i, F.col(f"__t{i}"))
+        c_i = F.when(F.col("__i") == i, F.col(f"__c{i}"))
+        qt = t_i if qt is None else F.coalesce(qt, t_i)
+        qc = c_i if qc is None else F.coalesce(qc, c_i)
+    return rows.select(
+        F.round("prob", 6).alias("prob"),
+        F.round(qt, 6).alias("q_treatment"),
+        F.round(qc, 6).alias("q_control"),
+        F.round(qt - qc, 6).alias("qte"),
+    )

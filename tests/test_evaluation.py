@@ -63,3 +63,117 @@ def test_regression_perfect_and_constant_actuals(spark):
     )
     r2 = regression_metrics(const, "y", "p").collect()[0]
     assert r2["r2"] is None  # zero total variance
+
+
+# --- auc_report -------------------------------------------------------------
+
+
+def test_auc_perfect_separation(spark):
+    from intake_esm_spark.operators.evaluation import auc_report
+
+    rows = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    r = auc_report(df, "label", "score").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+
+
+def test_auc_random_and_inverted(spark):
+    from intake_esm_spark.operators.evaluation import auc_report
+
+    # inverted ranking: every positive scores below every negative
+    rows = [(1, 0.1), (1, 0.2), (0, 0.8), (0, 0.9)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    r = auc_report(df, "label", "score").collect()[0]
+    assert r["auc"] == 0.0 and r["gini"] == -1.0
+
+
+def test_auc_ties_contribute_half(spark):
+    from intake_esm_spark.operators.evaluation import auc_report
+
+    # one pos and one neg tied, one clean pair: AUC = (1 + 0.5)/2... hand:
+    # pairs: (p=.5, n=.5) -> 0.5; (p=.5, n=.1) -> 1; (p=.9,...) both 1
+    rows = [(1, 0.5), (0, 0.5), (1, 0.9), (0, 0.1)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    r = auc_report(df, "label", "score").collect()[0]
+    # 4 pairs: (.5,.5)=.5 (.5,.1)=1 (.9,.5)=1 (.9,.1)=1 -> 3.5/4
+    assert r["auc"] == pytest.approx(0.875, abs=1e-6)
+
+
+def test_auc_single_class_null(spark):
+    from intake_esm_spark.operators.evaluation import auc_report
+
+    df = spark.createDataFrame([(1, 0.5), (1, 0.7)], "label int, score double")
+    r = auc_report(df, "label", "score").collect()[0]
+    assert r["n_neg"] == 0 and r["auc"] is None and r["gini"] is None
+
+
+# --- calibration_report -----------------------------------------------------
+
+
+def test_calibration_bins_and_gap(spark):
+    from intake_esm_spark.operators.evaluation import calibration_report
+
+    rows = [
+        (1, 0.95), (1, 0.92), (0, 0.91),   # bin 9: rate 2/3, avg .926667
+        (0, 0.05), (0, 0.08),              # bin 0: rate 0, avg .065
+        (1, 1.0),                          # score 1.0 clamps into bin 9
+        (0, -0.2), (1, 1.7),               # out-of-range saturate 0 / 9
+    ]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = {r["bin"]: r for r in calibration_report(df, "label", "score").collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["n_units"] == 3  # .05, .08 and the -0.2 saturate
+    assert out[9]["n_units"] == 5
+    assert out[9]["pos_rate"] == pytest.approx(0.8, abs=1e-6)
+    assert out[0]["pos_rate"] == 0.0
+    for r in out.values():
+        assert r["abs_gap"] == pytest.approx(
+            abs(r["pos_rate"] - r["avg_score"]), abs=2e-6
+        )
+
+
+def test_calibration_validation(spark):
+    from intake_esm_spark.operators.evaluation import calibration_report
+
+    df = spark.createDataFrame([(1, 0.5)], "label int, score double")
+    with pytest.raises(ValueError):
+        calibration_report(df, "label", "score", n_bins=1)
+
+
+# --- cohens_kappa -----------------------------------------------------------
+
+
+def test_kappa_perfect_agreement(spark):
+    from intake_esm_spark.operators.evaluation import cohens_kappa
+
+    rows = [("x", "x"), ("y", "y"), ("x", "x")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["observed_agreement"] == 1.0 and r["kappa"] == 1.0
+
+
+def test_kappa_hand_example(spark):
+    from intake_esm_spark.operators.evaluation import cohens_kappa
+
+    # classic 2x2: diag 20+15, margins a:(25,25), b:(30,20), N=50
+    rows = (
+        [("yes", "yes")] * 20 + [("yes", "no")] * 5
+        + [("no", "yes")] * 10 + [("no", "no")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 2500
+    assert r["observed_agreement"] == pytest.approx(po, abs=1e-6)
+    assert r["expected_agreement"] == pytest.approx(pe, abs=1e-6)
+    assert r["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+
+
+def test_kappa_constant_raters_null(spark):
+    from intake_esm_spark.operators.evaluation import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x"), ("x", "x")], "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # p_e = 1: chance agreement is total, kappa undefined (not perfect)
+    assert r["expected_agreement"] == 1.0 and r["kappa"] is None

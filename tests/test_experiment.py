@@ -340,3 +340,137 @@ def test_cuped_null_rows_excluded(spark):
     df = spark.createDataFrame(rows, "v string, x double, y double")
     out = {r["variant"]: r["n_units"] for r in cuped_report(df, "v", "y", "x", "c").collect()}
     assert out == {"c": 1, "t": 1}
+
+
+# --- srm_report -------------------------------------------------------------
+
+
+def test_srm_balanced_split(spark):
+    from intake_esm_spark.operators.experiment import srm_report
+
+    rows = [("a",)] * 50 + [("b",)] * 50
+    df = spark.createDataFrame(rows, "variant string")
+    out = {
+        r["variant"]: r
+        for r in srm_report(df, "variant", [("a", 0.5), ("b", 0.5)]).collect()
+    }
+    assert out["a"]["n_obs"] == 50 and out["a"]["n_expected"] == 50.0
+    assert out["a"]["chi2_contribution"] == 0.0
+    assert out["a"]["n_unassigned"] == 0
+
+
+def test_srm_mismatch_and_unassigned(spark):
+    from intake_esm_spark.operators.experiment import srm_report
+
+    rows = [("a",)] * 75 + [("b",)] * 25 + [("zzz",)] * 7 + [(None,)]
+    df = spark.createDataFrame(rows, "variant string")
+    out = {
+        r["variant"]: r
+        for r in srm_report(df, "variant", [("a", 0.5), ("b", 0.5)]).collect()
+    }
+    # N = 100 configured units; zzz is unassigned, null excluded
+    assert out["a"]["n_expected"] == 50.0
+    assert out["a"]["chi2_contribution"] == 12.5  # (75-50)^2/50
+    assert out["b"]["chi2_contribution"] == 12.5
+    assert out["a"]["n_unassigned"] == 7 and out["b"]["n_unassigned"] == 7
+
+
+def test_srm_missing_arm_counts_zero(spark):
+    from intake_esm_spark.operators.experiment import srm_report
+
+    df = spark.createDataFrame([("a",)] * 10, "variant string")
+    out = {
+        r["variant"]: r
+        for r in srm_report(df, "variant", [("a", 0.9), ("b", 0.1)]).collect()
+    }
+    assert out["b"]["n_obs"] == 0 and out["b"]["n_expected"] == 1.0
+    assert out["b"]["chi2_contribution"] == 1.0  # (0-1)^2/1
+
+
+def test_srm_validation(spark):
+    from intake_esm_spark.operators.experiment import srm_report
+
+    df = spark.createDataFrame([("a",)], "variant string")
+    with pytest.raises(ValueError):
+        srm_report(df, "variant", [])
+    with pytest.raises(ValueError):
+        srm_report(df, "variant", [("a", 0.5), ("a", 0.5)])
+    with pytest.raises(ValueError):
+        srm_report(df, "variant", [("a", 0.0)])
+
+
+# --- ips_value --------------------------------------------------------------
+
+
+def test_ips_identity_policy(spark):
+    from intake_esm_spark.operators.experiment import ips_value
+
+    # target == logging => every weight 1, IPS = SNIPS = plain mean
+    rows = [(10.0, 0.2, 0.2), (20.0, 0.5, 0.5), (30.0, 0.3, 0.3)]
+    df = spark.createDataFrame(rows, "r double, pt double, pl double")
+    out = ips_value(df, "r", "pt", "pl").collect()[0]
+    assert out["n_units"] == 3 and out["n_clipped"] == 0
+    assert out["mean_weight"] == 1.0
+    assert out["ips_value"] == 20.0 and out["snips_value"] == 20.0
+
+
+def test_ips_clipping_and_diagnostics(spark):
+    from intake_esm_spark.operators.experiment import ips_value
+
+    # raw weights: 5.0 (clipped to 2), 0.5
+    rows = [(10.0, 0.5, 0.1), (10.0, 0.1, 0.2)]
+    df = spark.createDataFrame(rows, "r double, pt double, pl double")
+    out = ips_value(df, "r", "pt", "pl", clip=2.0).collect()[0]
+    assert out["n_clipped"] == 1
+    assert out["mean_weight"] == 1.25  # (2 + .5)/2
+    assert out["ips_value"] == 12.5    # (20 + 5)/2
+    assert out["snips_value"] == 10.0  # 25/2.5
+
+
+def test_ips_excludes_invalid_rows(spark):
+    from intake_esm_spark.operators.experiment import ips_value
+
+    rows = [(10.0, 0.2, 0.2), (99.0, 0.2, 0.0), (None, 0.2, 0.2)]
+    df = spark.createDataFrame(rows, "r double, pt double, pl double")
+    out = ips_value(df, "r", "pt", "pl").collect()[0]
+    assert out["n_units"] == 1 and out["ips_value"] == 10.0
+    with pytest.raises(ValueError):
+        ips_value(df, "r", "pt", "pl", clip=0.0)
+
+
+# --- quantile_treatment_effects ---------------------------------------------
+
+
+def test_qte_uniform_shift(spark):
+    from intake_esm_spark.operators.experiment import (
+        quantile_treatment_effects,
+    )
+
+    # treatment = control + 10 everywhere: every QTE is exactly 10
+    c = [("c", float(v)) for v in range(1, 10)]
+    t = [("t", float(v) + 10.0) for v in range(1, 10)]
+    df = spark.createDataFrame(c + t, "g string, v double")
+    out = quantile_treatment_effects(df, "g", "v", "t", "c").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["qte"] == 10.0
+        assert r["q_treatment"] == r["q_control"] + 10.0
+
+
+def test_qte_probs_and_missing_arm(spark):
+    from intake_esm_spark.operators.experiment import (
+        quantile_treatment_effects,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 1.0), ("c", 2.0), ("c", 3.0)], "g string, v double"
+    )
+    out = quantile_treatment_effects(
+        df, "g", "v", "t", "c", probs=[0.5]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["prob"] == 0.5 and r["q_control"] == 2.0
+    assert r["q_treatment"] is None and r["qte"] is None
+    with pytest.raises(ValueError):
+        quantile_treatment_effects(df, "g", "v", "t", "c", probs=[])

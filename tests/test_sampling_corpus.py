@@ -267,3 +267,40 @@ def test_collocations_validation(spark):
         collocations(df, min_count=0)
     with pytest.raises(ValueError):
         collocations(df, k=0)
+
+
+# --- zipf_fit ---------------------------------------------------------------
+
+
+def test_zipf_exact_powerlaw_slope(spark):
+    """Frequencies constructed as an exact power law freq = 64/rank:
+    ln(freq) = ln(64) − 1·ln(rank), so the fit recovers slope −1 with
+    r² = 1 on any head size."""
+    import pytest as _pt
+
+    from intake_esm_spark.operators.corpus import zipf_fit
+
+    # token at rank r repeated 60/r times => freq(rank) = 60/rank for
+    # ranks 1..5 (60, 30, 20, 15, 12 — all distinct, so ranks are the
+    # positional ranks)
+    docs = []
+    for r in (1, 2, 3, 4, 5):
+        docs.extend([(f"tok{r:02d}",)] * (60 // r))
+    df = spark.createDataFrame(docs, "text string")
+    out = zipf_fit(df, "text", top_n=10).collect()[0]
+    assert out["n_terms"] == 5
+    assert out["total_tokens"] == 60 + 30 + 20 + 15 + 12
+    assert out["slope"] == _pt.approx(-1.0, abs=1e-5)
+    assert out["r2"] == _pt.approx(1.0, abs=1e-6)
+
+
+def test_zipf_degenerate_and_validation(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.corpus import zipf_fit
+
+    one = spark.createDataFrame([("hello",)], "text string")
+    r = zipf_fit(one, "text").collect()[0]
+    assert r["n_terms"] == 1 and r["slope"] is None and r["r2"] is None
+    with _pt.raises(ValueError):
+        zipf_fit(one, "text", top_n=1)
