@@ -1167,3 +1167,29 @@ def stream_quantile_sketch(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_calibration(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Streaming twin of ``operators.evaluation.calibration_report`` —
+    the LIVE reliability table for a deployed probability-emitting
+    model ("is the quality classifier still calibrated on today's
+    traffic"). Like the Count-Min twin, no custom state: the batch
+    plan is (in-row clamped bin id → groupBy(bin) count/decimal-sum
+    aggregation → in-row rate projection), and per-bin additive
+    counters are EXACTLY the class Spark's built-in streaming
+    aggregation maintains — the batch operator's own plan is a legal
+    streaming aggregation in update mode. Each update row is that
+    bin's new running (n_units, avg_score, pos_rate, abs_gap); the
+    latest update per bin equals the batch report over everything
+    ingested so far bit-for-bit (integer counts + DECIMAL(18,6) score
+    sums — no float accumulation, pinned by the parity test). State is
+    one counter triple per bin, ≤ n_bins entries total whatever the
+    stream length."""
+    from intake_esm_spark.operators.evaluation import calibration_report
+
+    return calibration_report(df, label_col, score_col, n_bins=n_bins)

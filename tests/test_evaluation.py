@@ -177,3 +177,68 @@ def test_kappa_constant_raters_null(spark):
     r = cohens_kappa(df, "a", "b").collect()[0]
     # p_e = 1: chance agreement is total, kappa undefined (not perfect)
     assert r["expected_agreement"] == 1.0 and r["kappa"] is None
+
+
+def test_stream_calibration_matches_batch(spark, tmp_path):
+    """Two micro-batches of scored units: the LAST update per bin equals
+    the whole-corpus batch calibration report exactly (integer counts +
+    decimal score sums — no float accumulation drift)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.evaluation import calibration_report
+    from intake_esm_spark.streaming.stateful import stream_calibration
+
+    rows = [
+        (1, 0.95), (0, 0.91), (1, 0.85), (0, 0.15),
+        (1, 0.05), (0, 0.45), (1, 0.55), (0, 0.52),
+    ] * 5
+    df = spark.createDataFrame(rows, "label int, score double")
+    batch = {
+        r["bin"]: r
+        for r in calibration_report(df, "label", "score").collect()
+    }
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32(F.col("score").cast("string")) % 2 == 0).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "a"))
+    df.filter(F.crc32(F.col("score").cast("string")) % 2 == 1).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_calibration(stream, "label", "score")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cal_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT * FROM cal_stream ORDER BY n_units ASC"
+        ).collect()
+    finally:
+        q.stop()
+    # the LAST emitted update per bin (max n_units — counters only grow)
+    final = {}
+    for r in emitted:
+        final[r["bin"]] = r
+    assert set(final) == set(batch)
+    for b, r in final.items():
+        for c in ("n_units", "avg_score", "pos_rate", "abs_gap"):
+            assert r[c] == batch[b][c], (b, c, r[c], batch[b][c])
