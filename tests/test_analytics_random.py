@@ -249,3 +249,94 @@ def test_label_prop_edge_order_invariant(spark, pairs, rnd):
     got1 = sorted(map(tuple, label_propagation(df1, iters=3).collect()))
     got2 = sorted(map(tuple, label_propagation(df2, iters=3).collect()))
     assert got1 == got2
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=20)),
+        min_size=2,
+        max_size=20,
+    ),
+)
+def test_auc_monotone_transform_invariance_and_reference(spark, pairs):
+    """ROC-AUC depends only on the score ORDER: a strictly monotone
+    transform (x -> 3x + 7) leaves it unchanged, and both match the
+    O(n²) pairwise reference (ties count half)."""
+    from intake_esm_spark.operators.evaluation import auc_report
+
+    rows = [(int(lab), float(s)) for lab, s in pairs]
+    pos = [s for l, s in rows if l]
+    neg = [s for l, s in rows if not l]
+    df = spark.createDataFrame(rows, "label int, score double")
+    r1 = auc_report(df, "label", "score").collect()[0]
+    df2 = spark.createDataFrame(
+        [(l, 3.0 * s + 7.0) for l, s in rows], "label int, score double"
+    )
+    r2 = auc_report(df2, "label", "score").collect()[0]
+    if not pos or not neg:
+        assert r1["auc"] is None and r2["auc"] is None
+        return
+    ref = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert r1["auc"] == pytest.approx(ref, abs=2e-6)
+    assert r2["auc"] == pytest.approx(ref, abs=2e-6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_kappa_symmetry_and_reference(spark, pairs):
+    """Cohen's kappa is symmetric in the raters and matches the direct
+    po/pe formula computed in Python."""
+    from intake_esm_spark.operators.evaluation import cohens_kappa
+
+    rows = [(f"l{a}", f"l{b}") for a, b in pairs]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r_ab = cohens_kappa(df, "a", "b").collect()[0]
+    r_ba = cohens_kappa(df, "b", "a").collect()[0]
+    n = len(rows)
+    po = sum(1 for a, b in rows if a == b) / n
+    from collections import Counter
+
+    ca, cb = Counter(a for a, _ in rows), Counter(b for _, b in rows)
+    pe = sum(ca[l] * cb.get(l, 0) for l in ca) / (n * n)
+    assert r_ab["observed_agreement"] == pytest.approx(po, abs=1e-6)
+    assert r_ab["expected_agreement"] == pytest.approx(pe, abs=1e-6)
+    if pe < 1.0:
+        ref = (po - pe) / (1 - pe)
+        assert r_ab["kappa"] == pytest.approx(ref, abs=2e-6)
+        assert r_ba["kappa"] == pytest.approx(ref, abs=2e-6)
+    else:
+        assert r_ab["kappa"] is None and r_ba["kappa"] is None
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.floats(min_value=0.0, max_value=1.0,
+                                           allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_calibration_mass_conservation(spark, pairs):
+    """Bin populations partition the units; the n-weighted pos_rate over
+    bins reconstructs the global positive rate."""
+    from intake_esm_spark.operators.evaluation import calibration_report
+
+    rows = [(int(l), float(s)) for l, s in pairs]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = calibration_report(df, "label", "score").collect()
+    assert sum(r["n_units"] for r in out) == len(rows)
+    wpos = sum(r["n_units"] * r["pos_rate"] for r in out)
+    assert wpos == pytest.approx(sum(l for l, _ in rows), abs=1e-3)
