@@ -4099,6 +4099,45 @@ def q_events_qte(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("prob")
 
 
+def q_docs_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source tf-idf keywords (operators/corpus.source_keywords):
+    one (source, token) count collapse, df/S on the vocabulary frame,
+    WindowGroupLimit top-10 per source by (score desc, token asc)."""
+    from intake_esm_spark.operators.corpus import source_keywords
+
+    docs = load_table(spark, sf, "documents")
+    return source_keywords(docs, "source", "text", k=10, min_count=2)
+
+
+def q_docs_jsd(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/corpus.source_divergence): one
+    (source, token) collapse, shared-token pair join at vocabulary
+    scale, 12dp-decimal term sums with the one-sided mass recovered
+    exactly as (2 − Σpa − Σpb)·ln2."""
+    from intake_esm_spark.operators.corpus import source_divergence
+
+    docs = load_table(spark, sf, "documents")
+    return source_divergence(docs, "source", "text", min_count=2)
+
+
+def q_events_trend_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran-Armitage proportion-trend z (operators/experiment.
+    trend_test) across five hash-ordered exposure tiers with purchase
+    as the conversion — one map-side-combined decimal-moment
+    aggregation."""
+    from intake_esm_spark.operators.experiment import trend_test
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("dose"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return trend_test(u, "dose", "conv")
+
+
 def q_docs_zipf(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf's-law fit (operators/corpus.zipf_fit) over the corpus
     term-frequency head: ln(freq)-on-ln(rank) least squares over the
@@ -4201,6 +4240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ips": q_events_ips,
         "events_qte": q_events_qte,
         "docs_zipf": q_docs_zipf,
+        "docs_keywords": q_docs_keywords,
+        "docs_jsd": q_docs_jsd,
+        "events_trend_test": q_events_trend_test,
         # Tail TOP: two entries whose code changed this round but whose
         # sf0.01 output is VALUE-NEUTRAL, re-verified by the local
         # DuckDB sweep this session (forecast_backtest: the seasonal-
@@ -5366,6 +5408,112 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT CAST(0.75 AS DOUBLE), t2, c2, round(t2 - c2, 6) FROM f
             ) ORDER BY prob
+        """,
+        # replays corpus.source_keywords: (source, token) tf counts,
+        # df/S idf, per-source top-10 by (score desc, token asc)
+        "docs_keywords": f"""
+            WITH gt AS (
+              SELECT grp, token, count(*) AS tf FROM (
+                SELECT source AS grp,
+                       unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS token
+                FROM documents WHERE source IS NOT NULL
+              ) WHERE token != ''
+              GROUP BY grp, token HAVING count(*) >= 2
+            ), d AS (SELECT token, count(*) AS df FROM gt GROUP BY token),
+            s AS (SELECT count(DISTINCT grp) AS sc FROM gt),
+            scd AS (
+              SELECT grp, gt.token AS token, tf, df,
+                     round(CAST(tf AS DOUBLE)
+                           * ln(CAST(sc AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                       AS score
+              FROM gt JOIN d ON gt.token = d.token CROSS JOIN s
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY grp ORDER BY score DESC, token ASC
+                     ) AS rank
+              FROM scd WHERE score > 0
+            )
+            SELECT grp AS source, token, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, score, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        # replays corpus.source_divergence: shared-token pair join,
+        # 12dp-decimal JSD terms, one-sided mass via (2 − Σpa − Σpb)·ln2
+        "docs_jsd": f"""
+            WITH gt AS (
+              SELECT grp, token, count(*) AS n FROM (
+                SELECT source AS grp,
+                       unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS token
+                FROM documents WHERE source IS NOT NULL
+              ) WHERE token != ''
+              GROUP BY grp, token HAVING count(*) >= 2
+            ), tot AS (SELECT grp, sum(n) AS t FROM gt GROUP BY grp),
+            p AS (
+              SELECT gt.grp, token,
+                     CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p, t
+              FROM gt JOIN tot ON gt.grp = tot.grp
+            ), pr AS (
+              SELECT a.grp AS ga, b.grp AS gb, a.t AS ta, b.t AS tb,
+                     a.p AS pa, b.p AS pb
+              FROM p a JOIN p b ON a.token = b.token AND a.grp < b.grp
+            ), agg AS (
+              SELECT ga, gb, ta, tb,
+                sum(CAST(round(pa * ln(2.0 * pa / (pa + pb))
+                               + pb * ln(2.0 * pb / (pa + pb)), 12)
+                         AS DECIMAL(28,12))) AS sb,
+                sum(CAST(round(pa, 12) AS DECIMAL(28,12))) AS ma,
+                sum(CAST(round(pb, 12) AS DECIMAL(28,12))) AS mb
+              FROM pr GROUP BY ga, gb, ta, tb
+            )
+            SELECT ga AS group_a, gb AS group_b,
+                   CAST(ta AS BIGINT) AS n_tokens_a,
+                   CAST(tb AS BIGINT) AS n_tokens_b,
+                   round((CAST(sb AS DOUBLE)
+                          + (2.0 - CAST(ma AS DOUBLE) - CAST(mb AS DOUBLE))
+                            * 0.6931471805599453) / 2.0, 6) AS jsd
+            FROM agg
+        """,
+        # replays experiment.trend_test: Cochran-Armitage z over exact
+        # decimal dose moments, purchase conversion, 5 hash tiers
+        "events_trend_test": """
+            WITH u AS (
+              SELECT CAST(user_id % 5 AS DOUBLE) AS dose,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ), m AS (
+              SELECT count(*) AS n, coalesce(sum(conv), 0) AS r,
+                     count(DISTINCT dose) AS nd,
+                     sum(CAST(dose AS DECIMAL(18,6))) AS sx,
+                     sum(CAST(dose AS DECIMAL(19,6))
+                         * CAST(dose AS DECIMAL(18,6))) AS sxx,
+                     sum(CASE WHEN conv = 1
+                              THEN CAST(dose AS DECIMAL(18,6)) END) AS sxc
+              FROM u
+            ), c AS (
+              SELECT n, r, nd,
+                     CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pb,
+                     CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+                     coalesce(CAST(sxc AS DOUBLE), 0.0) AS sxcd
+              FROM m
+            ), z AS (
+              SELECT n, r, nd,
+                     round(CASE WHEN n > 0 AND pb * (1.0 - pb)
+                                * (sxxd - sxd * sxd / CAST(n AS DOUBLE)) > 0
+                           THEN (sxcd - pb * sxd)
+                                / sqrt(pb * (1.0 - pb)
+                                  * (sxxd - sxd * sxd / CAST(n AS DOUBLE)))
+                           END, 6) AS zv
+              FROM c
+            )
+            SELECT CAST(n AS BIGINT) AS n_units,
+                   CAST(r AS BIGINT) AS n_converted,
+                   CAST(nd AS BIGINT) AS n_doses,
+                   zv AS z,
+                   CAST(coalesce(abs(zv) >= 1.959964, false) AS INT)
+                     AS significant
+            FROM z
         """,
         # replays corpus.zipf_fit: token counts, top-1000 head ranks,
         # 9dp-decimal ln moments, fixed IEEE slope/intercept/r2

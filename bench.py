@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "events_ips",
     "events_qte",
     "docs_zipf",
+    "docs_keywords",
+    "docs_jsd",
+    "events_trend_test",
 ]
 
 

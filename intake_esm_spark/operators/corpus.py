@@ -414,3 +414,171 @@ def zipf_fit(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def source_keywords(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top-``k`` characteristic tokens per source by tf-idf
+    ``tf · ln(S / df)`` — tf the token's count within the source, df
+    the number of sources containing it, S the source count — the
+    "what is each slice of the corpus actually about" summary run
+    before choosing mixture weights. Tokens in every source score 0
+    (ln 1) and never surface; ``min_count`` drops hapax noise.
+
+    Plan: in-row tokenize, ONE (group, token) count collapse (map-side
+    partial — the only corpus-grain exchange), then df/S aggregates on
+    the group-token frame (vocabulary scale) with S broadcast back;
+    per-group top-k via rank over (score desc, token asc) — a
+    ``WindowGroupLimit`` partial pass ships at most k rows per
+    (group, partition). Determinism: tf/df/S are exact integers; the
+    score is one ln over their exact ratio, 6dp-rounded, with the
+    (score desc, token asc) total order making the k-boundary
+    engine-stable."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    gt = (
+        _spread(df.filter(F.col(group_col).isNotNull()).select(group_col, text_col))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(words_array(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_count)
+        .localCheckpoint(eager=False)  # feeds df counts AND the rank
+    )
+    dfreq = gt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    s = gt.agg(F.countDistinct("grp").alias("__s"))
+    scored = (
+        gt.join(dfreq, "token")
+        .crossJoin(F.broadcast(s))
+        .select(
+            "grp",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("__s").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col), "token", "tf", "df", "score", "rank"
+        )
+    )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    distributions — the "how different are these corpus slices really"
+    number behind mixture design and drift monitoring (0 = identical
+    wording, ln 2 ≈ 0.693 = disjoint vocabularies; symmetric and
+    bounded, unlike raw KL). Token mass missing from one side
+    contributes its exact ``p·ln 2`` term (JSD needs no smoothing —
+    ``m = (p+q)/2`` is never zero where either side has mass).
+
+    Plan: ONE (group, token) count collapse (the only corpus-grain
+    exchange, map-side partial) + group totals broadcast back; the
+    pairwise self-join runs at (vocabulary × pairs) scale on the
+    group-token frame — sources are few by construction (a mixture has
+    tens of components, not thousands). Determinism: probabilities are
+    exact-integer ratios in double; each ``x·ln(...)`` term quantizes
+    to 12dp DECIMAL(28,12) before the cross-token sum (the chi-square
+    cell rule), so accumulation is order-independent; final JSD =
+    half the exact term sum, 6dp. Returns one row per unordered pair
+    ``(group_a, group_b, n_tokens_a, n_tokens_b, jsd)``."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    gt = (
+        _spread(df.filter(F.col(group_col).isNotNull()).select(group_col, text_col))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(words_array(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .localCheckpoint(eager=False)  # feeds totals AND both join sides
+    )
+    tot = gt.groupBy("grp").agg(F.sum("n").alias("tot"))
+    a = gt.join(tot, "grp").select(
+        F.col("grp").alias("ga"),
+        "token",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("pa"),
+        F.col("tot").alias("ta"),
+    )
+    b = gt.join(tot, "grp").select(
+        F.col("grp").alias("gb"),
+        "token",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("pb"),
+        F.col("tot").alias("tb"),
+    )
+    # pair frame over SHARED tokens only (ordered pairs); the one-sided
+    # mass needs no second join — see the ln2 recovery below. A pair of
+    # groups sharing zero min_count-tokens has no row (its JSD would be
+    # exactly ln 2 — fully disjoint; callers wanting those rows can
+    # cross-join the group list and coalesce to ln 2).
+    paired = (
+        a.join(b, "token", "inner")
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb", "ta", "tb", "pa", "pb")
+    )
+    # terms where both sides have mass
+    m2 = F.col("pa") + F.col("pb")  # 2m
+    term_both = F.round(
+        F.col("pa") * F.log(F.lit(2.0) * F.col("pa") / m2)
+        + F.col("pb") * F.log(F.lit(2.0) * F.col("pb") / m2),
+        12,
+    ).cast("decimal(28,12)")
+    both_sum = paired.groupBy("ga", "gb", "ta", "tb").agg(
+        F.sum(term_both).alias("__sb"),
+        F.sum(F.round(F.col("pa"), 12).cast("decimal(28,12)")).alias("__ma"),
+        F.sum(F.round(F.col("pb"), 12).cast("decimal(28,12)")).alias("__mb"),
+    )
+    # one-sided mass (tokens absent from the other group) contributes
+    # x·ln2 exactly: sum = (1 − shared_mass)·ln2 per side — recovered
+    # from the shared-mass totals, no second join needed
+    ln2 = 0.6931471805599453
+    jsd = (
+        F.col("__sb").cast("double")
+        + (
+            F.lit(2.0)
+            - F.col("__ma").cast("double")
+            - F.col("__mb").cast("double")
+        )
+        * F.lit(ln2)
+    ) / F.lit(2.0)
+    return both_sum.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("ta").alias("n_tokens_a"),
+        F.col("tb").alias("n_tokens_b"),
+        F.round(jsd, 6).alias("jsd"),
+    )

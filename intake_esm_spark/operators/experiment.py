@@ -949,3 +949,60 @@ def quantile_treatment_effects(
         F.round(qc, 6).alias("q_control"),
         F.round(qt - qc, 6).alias("qte"),
     )
+
+
+def trend_test(
+    units: DataFrame,
+    dose_col: str,
+    converted_col: str,
+    z_threshold: float = 1.959964,
+) -> DataFrame:
+    """Cochran-Armitage test for a TREND in proportions across ordered
+    exposure levels — "does conversion rise WITH the dose" (price
+    tiers, ranking positions, model-score buckets), strictly stronger
+    than the k-group chi-square when the alternative is monotone:
+    ``z = (Σxᵢcᵢ − p̄·Σxᵢ) / √(p̄(1−p̄)(Σxᵢ² − (Σxᵢ)²/N))`` over
+    per-unit doses xᵢ and 0/1 conversions cᵢ, with ``p̄`` the pooled
+    rate. Null dose or conversion excludes the unit; any numeric dose
+    works (the statistic uses the doses as scores).
+
+    Plan: ONE map-side-combined aggregation. Determinism: doses
+    accumulate as DECIMAL(18,6) (Σx, Σxc) with the squared moment at
+    the (19,6)×(18,6) → (38,12) width (the profiling.py rule); z is a
+    fixed IEEE expression over the exact moments, 6dp. z is null when
+    the dose is constant or the pooled rate degenerates (0 or 1).
+    Returns one row ``(n_units, n_converted, n_doses, z,
+    significant)``."""
+    clean = units.filter(
+        F.col(dose_col).isNotNull() & F.col(converted_col).isNotNull()
+    )
+    x = F.col(dose_col).cast("decimal(18,6)")
+    xw = F.col(dose_col).cast("decimal(19,6)")
+    conv = (F.col(converted_col) > 0).cast("bigint")
+    m = clean.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.coalesce(F.sum(conv), F.lit(0)).alias("n_converted"),
+        F.countDistinct(F.col(dose_col)).alias("n_doses"),
+        F.sum(x).alias("__sx"),
+        F.sum(xw * x).alias("__sxx"),
+        F.sum(F.when(conv == 1, x)).alias("__sxc"),
+    )
+    n = F.col("n_units").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxc = F.coalesce(F.col("__sxc").cast("double"), F.lit(0.0))
+    pbar = F.col("n_converted").cast("double") / n
+    var = pbar * (F.lit(1.0) - pbar) * (sxx - sx * sx / n)
+    z = F.when(
+        (F.col("n_units") > 0) & (var > 0),
+        (sxc - pbar * sx) / F.sqrt(var),
+    )
+    return m.select(
+        "n_units",
+        "n_converted",
+        "n_doses",
+        F.round(z, 6).alias("z"),
+        F.coalesce(
+            (F.abs(F.round(z, 6)) >= F.lit(z_threshold)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

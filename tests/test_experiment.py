@@ -474,3 +474,63 @@ def test_qte_probs_and_missing_arm(spark):
     assert r["q_treatment"] is None and r["qte"] is None
     with pytest.raises(ValueError):
         quantile_treatment_effects(df, "g", "v", "t", "c", probs=[])
+
+
+# --- trend_test (Cochran-Armitage) ------------------------------------------
+
+
+def test_trend_monotone_vs_flat(spark):
+    from intake_esm_spark.operators.experiment import trend_test
+
+    # conversion rises with dose 0/1/2: strong positive z
+    rows = (
+        [(0.0, 0)] * 90 + [(0.0, 1)] * 10
+        + [(1.0, 0)] * 50 + [(1.0, 1)] * 50
+        + [(2.0, 0)] * 10 + [(2.0, 1)] * 90
+    )
+    df = spark.createDataFrame(rows, "dose double, conv int")
+    r = trend_test(df, "dose", "conv").collect()[0]
+    assert r["n_units"] == 300 and r["n_doses"] == 3
+    assert r["z"] > 10 and r["significant"] == 1
+
+    # same pooled rate, flat across doses: z ~ 0
+    flat = [(float(d), c) for d in range(3) for c in [0] * 50 + [1] * 50]
+    df2 = spark.createDataFrame(flat, "dose double, conv int")
+    r2 = trend_test(df2, "dose", "conv").collect()[0]
+    assert abs(r2["z"]) < 1e-9 and r2["significant"] == 0
+
+
+def test_trend_reference_formula(spark):
+    import math
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.experiment import trend_test
+
+    rows = [(0.0, 0), (0.0, 1), (1.0, 1), (1.0, 1), (2.0, 1), (2.0, 0)]
+    df = spark.createDataFrame(rows, "dose double, conv int")
+    r = trend_test(df, "dose", "conv").collect()[0]
+    n = len(rows)
+    conv = sum(c for _, c in rows)
+    sx = sum(d for d, _ in rows)
+    sxx = sum(d * d for d, _ in rows)
+    sxc = sum(d for d, c in rows if c)
+    pb = conv / n
+    z = (sxc - pb * sx) / math.sqrt(pb * (1 - pb) * (sxx - sx * sx / n))
+    assert r["z"] == _pt.approx(z, abs=1e-6)
+
+
+def test_trend_degenerate_null(spark):
+    from intake_esm_spark.operators.experiment import trend_test
+
+    # constant dose: no trend direction exists
+    df = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1)], "dose double, conv int"
+    )
+    r = trend_test(df, "dose", "conv").collect()[0]
+    assert r["z"] is None and r["significant"] == 0
+    # all converted: pooled rate 1 degenerates the variance
+    df2 = spark.createDataFrame(
+        [(0.0, 1), (1.0, 1)], "dose double, conv int"
+    )
+    assert trend_test(df2, "dose", "conv").collect()[0]["z"] is None

@@ -304,3 +304,75 @@ def test_zipf_degenerate_and_validation(spark):
     assert r["n_terms"] == 1 and r["slope"] is None and r["r2"] is None
     with _pt.raises(ValueError):
         zipf_fit(one, "text", top_n=1)
+
+
+# --- source_keywords --------------------------------------------------------
+
+
+def test_source_keywords_discriminative_tokens_surface(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.corpus import source_keywords
+
+    rows = (
+        [("a", "alpha alpha alpha common common")] * 2
+        + [("b", "beta beta common common")] * 2
+        + [("c", "gamma gamma common")] * 2
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_keywords(df, "source", "text", k=5, min_count=2)
+    got = {(r["source"], r["token"]): r for r in out.collect()}
+    # 'common' is in every source -> idf 0 -> never surfaces
+    assert not any(t == "common" for _, t in got)
+    a = got[("a", "alpha")]
+    assert a["tf"] == 6 and a["df"] == 1 and a["rank"] == 1
+    import math
+
+    assert a["score"] == _pt.approx(6 * math.log(3.0), abs=1e-6)
+    with _pt.raises(ValueError):
+        source_keywords(df, k=0)
+
+
+# --- source_divergence ------------------------------------------------------
+
+
+def test_source_divergence_identical_and_hand_value(spark):
+    import math
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.corpus import source_divergence
+
+    # identical distributions -> JSD 0
+    rows = [("a", "x x y y"), ("b", "x x y y")] * 2
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_divergence(df, "source", "text", min_count=2).collect()
+    assert len(out) == 1 and out[0]["jsd"] == 0.0
+
+    # hand case: A = {x:1}, B = {x:.5, y:.5} (each token appears >= 2x)
+    rows2 = [("a", "x x x x"), ("b", "x x y y")]
+    df2 = spark.createDataFrame(rows2, "source string, text string")
+    r = source_divergence(df2, "source", "text", min_count=2).collect()[0]
+    pa, pb = 1.0, 0.5
+    shared = pa * math.log(2 * pa / (pa + pb)) + pb * math.log(
+        2 * pb / (pa + pb)
+    )
+    expect = (shared + (2.0 - pa - pb) * math.log(2.0)) / 2.0
+    assert r["jsd"] == _pt.approx(expect, abs=1e-6)
+    assert (r["n_tokens_a"], r["n_tokens_b"]) == (4, 4)
+
+
+def test_source_divergence_symmetric_bounds(spark):
+    import math
+
+    from intake_esm_spark.operators.corpus import source_divergence
+
+    rows = [
+        ("a", "p p q q r r"), ("b", "q q r r s s"), ("c", "p p s s"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_divergence(df, "source", "text", min_count=2).collect()
+    assert len(out) == 3  # all pairs share at least one token
+    for r in out:
+        assert 0.0 <= r["jsd"] <= math.log(2.0) + 1e-9
+        assert r["group_a"] < r["group_b"]
