@@ -6368,6 +6368,9 @@ def oracle_sql() -> dict[str, str]:
         # min-support-2 co-purchase edges: co-neighbor pairs via the
         # adjacency self-join, existing edges anti-joined, integer
         # Jaccard with a single final divide, pair-tiebroken top-25.
+        # The capped CTE mirrors the operator's max_neighbor_degree
+        # hub guard (default 10000): over-degree nodes stop MEDIATING
+        # wedges but keep their true degree in deg.
         "graph_link_pred": """
             WITH e AS (
               SELECT x.l_partkey AS a, y.l_partkey AS b
@@ -6381,9 +6384,14 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT b AS n, a AS v FROM e
             ), deg AS (
               SELECT v, count(*) AS deg FROM adj GROUP BY 1
+            ), capped AS (
+              SELECT n, v FROM (
+                SELECT n, v, count(*) OVER (PARTITION BY n) AS dn
+                FROM adj
+              ) WHERE dn <= 10000
             ), pairs AS (
               SELECT p.v AS u, q.v AS w, count(*) AS cn
-              FROM adj p JOIN adj q ON p.n = q.n AND p.v < q.v
+              FROM capped p JOIN capped q ON p.n = q.n AND p.v < q.v
               GROUP BY 1, 2
             ), cand AS (
               SELECT u, w, cn FROM pairs
@@ -7203,8 +7211,8 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (
               SELECT CAST(sum(ct) AS BIGINT) AS n1,
                      CAST(sum(c) - sum(ct) AS BIGINT) AS n2,
-                     CAST(sum(CAST(ct * (2 * cum - c + 1)
-                                   AS DECIMAL(38,0))) AS DOUBLE) AS r2,
+                     CAST(sum(CAST(ct AS DECIMAL(38,0))
+                              * (2 * cum - c + 1)) AS DOUBLE) AS r2,
                      CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c - c)
                           AS DOUBLE) AS tt
               FROM rk

@@ -160,8 +160,12 @@ def auc_report(
     ranked = _cum_by_value(per_v, ["__c"]).withColumnRenamed(
         "__cum___c", "__cum"
     )
+    # cast-FIRST: __ct * (2·cum − c + 1) in int64 wraps near 9.2e18
+    # (reachable at ~3e9 heavily-tied units) while the DuckDB oracle
+    # multiplies in DECIMAL(38,0) — cast before the product so both
+    # engines run the identical exact arithmetic
     two_r1 = F.sum(
-        F.expr("CAST(__ct * (2 * __cum - __c + 1) AS DECIMAL(38,0))")
+        F.expr("CAST(__ct AS DECIMAL(38,0)) * (2 * __cum - __c + 1)")
     )
     m = ranked.agg(
         F.coalesce(F.sum("__ct"), F.lit(0)).alias("__n1"),

@@ -367,10 +367,13 @@ def mannwhitney_report(
     ranked = _cum_by_value(per_v, ["__c"]).withColumnRenamed(
         "__cum___c", "__cum"
     )
-    # 2·midrank(v) = 2·cum − c + 1 (integer); R1·2 = Σ ct·that
+    # 2·midrank(v) = 2·cum − c + 1 (integer); R1·2 = Σ ct·that.
+    # cast-FIRST (the ties term's existing form): the int64 product
+    # wraps near 9.2e18 at ~3e9 tied units while DECIMAL(38,0) stays
+    # exact — and matches the oracle's cast-before-multiply exactly
     two_r1 = F.sum(
         F.expr(
-            "CAST(__ct * (2 * __cum - __c + 1) AS DECIMAL(38,0))"
+            "CAST(__ct AS DECIMAL(38,0)) * (2 * __cum - __c + 1)"
         )
     )
     ties = F.sum(
@@ -444,9 +447,13 @@ def ks_test_report(
         F.sum((F.col(group_col) == treatment).cast("bigint")).alias("__ct"),
         F.count(F.lit(1)).alias("__c"),
     )
+    # no coalesce-to-0: on empty input the crossJoin below yields zero
+    # rows and the final max-over-empty returns NULL counts — the same
+    # empty-input contract as the oracle (a coalesce here would be dead
+    # code suggesting otherwise)
     tot = per_v.agg(
-        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__n1"),
-        F.coalesce(F.sum("__c") - F.sum("__ct"), F.lit(0)).alias("__n2"),
+        F.sum("__ct").alias("__n1"),
+        (F.sum("__c") - F.sum("__ct")).alias("__n2"),
     )
     ranked = (
         _cum_by_value(per_v, ["__ct", "__c"])

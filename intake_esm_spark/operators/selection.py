@@ -164,6 +164,14 @@ def dsir_scores(
     are recovered exactly from the weight table itself (absent buckets
     contribute zero to either side by construction), so the floor needs
     only ``alpha``/``n_buckets`` — which must match the fitting call."""
+    missing = {"bucket", "w", "n_target", "n_raw"} - set(weights.columns)
+    if missing:
+        raise ValueError(
+            "dsir_scores needs the full dsir_bucket_weights output "
+            f"(bucket, n_target, n_raw, w) — missing {sorted(missing)}; "
+            "the n_target/n_raw columns recover the fit totals for the "
+            "unseen-bucket smoothing floor"
+        )
     feats = _feature_stream(raw, text_col, [id_col]).select(
         F.col(id_col), _bucket(F.col("__feat"), n_buckets).alias("bucket")
     )

@@ -159,10 +159,16 @@ def main() -> None:
         enriched.filter((F.col("n_tokens") >= 5) & (F.col("logit") >= -0.5)),
     )
 
-    # 7. source-mixture rebalance (2:1:1 over the three heaviest sources)
+    # 7. source-mixture rebalance (2:1:1 over the three heaviest
+    # sources — ordered by size so the pick is run-to-run deterministic,
+    # unlike a bare distinct().limit(3))
     sources = sorted(
         r["source"]
-        for r in gated.select("source").distinct().limit(3).collect()
+        for r in gated.groupBy("source")
+        .count()
+        .orderBy(F.desc("count"), F.asc("source"))
+        .limit(3)
+        .collect()
     )
     weights = {s: w for s, w in zip(sources, [2.0, 1.0, 1.0])}
     mixed = timed(

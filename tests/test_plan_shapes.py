@@ -661,8 +661,13 @@ def test_mannwhitney_no_single_partition_window_over_values(spark, queries):
     assert "__bkt" in plan, plan  # bucketed, not global, ordering
     # the only single-partition exchanges sit under broadcast/1-row
     # branches (span min/max, bucket offsets, the final 1-row moments) —
-    # the data-side window is partitioned by __bkt
-    assert "partitionBy=[__bkt" in plan.replace(" ", "") or "Window" in plan, plan
+    # the data-side window must be PARTITIONED by __bkt (no "or Window"
+    # escape hatch: a regression to an unpartitioned orderBy window
+    # would still print a Window node). The simple plan prints the
+    # partition spec as windowspecdefinition(__bkt#N, __val#M ASC ...).
+    import re as _re
+
+    assert _re.search(r"windowspecdefinition\(__bkt#\d+, __val", plan), plan
     # a corpus-wide value sort would plan an Exchange rangepartitioning
     assert "Exchange rangepartitioning" not in plan, plan
 
@@ -671,8 +676,10 @@ def test_ks_no_single_partition_window_over_values(spark, queries):
     """Same discipline as Mann-Whitney: bucketed ECDF cumsums, group
     totals from a broadcast 1-row aggregate, no global-order window."""
     plan = plan_of(queries["events_ks_test"](spark, SF), "simple")
+    import re as _re
+
     assert "BroadcastHashJoin" in plan, plan
-    assert "__bkt" in plan, plan
+    assert _re.search(r"windowspecdefinition\(__bkt#\d+, __val", plan), plan
     assert "Exchange rangepartitioning" not in plan, plan
 
 
