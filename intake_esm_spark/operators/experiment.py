@@ -242,86 +242,21 @@ def chi_square_report(
     )
 
 
-_RANK_BUCKETS = 64
-"""Value-range fan-out for the rank-statistic prefix sums (Mann-Whitney,
-KS).  64 buckets keep the offset table trivially small while bounding any
-single ordered window to ~1/64 of the distinct-value frame."""
-
-
 def _cum_by_value(per_v: DataFrame, sum_cols: list[str]) -> DataFrame:
     """INCLUSIVE prefix sums of ``sum_cols`` over the distinct-value frame
     ``per_v`` ordered by ``__val`` ascending — the two-phase bucketed
-    construction from ``operators.packing._prefix_sum`` adapted to a
-    VALUE order instead of a hash order: a global ``Window.orderBy(__val)``
-    would sort the whole frame in ONE task (for continuous outcomes
-    distinct-values ≈ units, so that is a corpus-scale single-partition
-    sort).  Instead:
+    construction that keeps rank statistics free of single-task global
+    sorts (for continuous outcomes distinct-values ≈ units, so a global
+    ``Window.orderBy(__val)`` would be a corpus-scale single-partition
+    sort).  Round 10 moved the machinery to the shared
+    :func:`~.ranks.bucketed_cumsum` (same buckets, same plan shape, same
+    exact results — the construction is order-preserving and the sums
+    associative); this delegate keeps the rank-test call sites and their
+    distinct-value contract (``per_v`` has one row per ``__val``, so no
+    tiebreaks are needed for exactness)."""
+    from .ranks import bucketed_cumsum
 
-    1. every value gets an order-preserving *range bucket*
-       ``floor((v − min) / (max − min) · B)`` — monotone in ``v`` (IEEE
-       subtraction/multiplication by a positive constant preserve weak
-       monotonicity), so (bucket asc, value asc) == global value asc;
-       min/max come from a 1-row aggregate broadcast back in-plan;
-    2. running sums WITHIN each bucket (window partitioned by bucket —
-       parallel, each ≲ 1/B of the frame);
-    3. per-bucket totals (≤ B rows) get an EXCLUSIVE running sum over
-       that bounded aggregate (its single-partition exchange holds B
-       rows, never data) and broadcast-join back as offsets.
-
-    Bucket placement only shapes the EXECUTION — any order-preserving
-    assignment yields the same exact integer prefix sums (associativity),
-    so the statistic stays engine-exact without the oracle replaying the
-    buckets.  Adds ``__cum_<c>`` for each ``c`` in ``sum_cols``.
-    ``__val`` must be numeric (rank tests are over ordered outcomes)."""
-    from pyspark.sql import Window
-
-    span = per_v.agg(
-        F.min(F.col("__val").cast("double")).alias("__lo"),
-        F.max(F.col("__val").cast("double")).alias("__hi"),
-    )
-    vd = F.col("__val").cast("double")
-    bkt = F.when(
-        F.col("__hi") > F.col("__lo"),
-        F.least(
-            F.lit(_RANK_BUCKETS - 1),
-            F.floor(
-                (vd - F.col("__lo"))
-                / (F.col("__hi") - F.col("__lo"))
-                * F.lit(float(_RANK_BUCKETS))
-            ).cast("int"),
-        ),
-    ).otherwise(F.lit(0))
-    b = (
-        per_v.crossJoin(F.broadcast(span))
-        .withColumn("__bkt", bkt)
-        .drop("__lo", "__hi")
-    )
-    w_local = Window.partitionBy("__bkt").orderBy(
-        F.col("__val").asc()
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    for c in sum_cols:
-        b = b.withColumn(f"__loc_{c}", F.sum(c).over(w_local))
-    totals = b.groupBy("__bkt").agg(
-        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
-    )
-    w_off = Window.orderBy("__bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = totals.select(
-        "__bkt",
-        *[
-            F.coalesce(F.sum(f"__tot_{c}").over(w_off), F.lit(0)).alias(
-                f"__off_{c}"
-            )
-            for c in sum_cols
-        ],
-    )
-    out = b.join(F.broadcast(offs), "__bkt")
-    for c in sum_cols:
-        out = out.withColumn(
-            f"__cum_{c}", F.col(f"__loc_{c}") + F.col(f"__off_{c}")
-        ).drop(f"__loc_{c}", f"__off_{c}")
-    return out.drop("__bkt")
+    return bucketed_cumsum(per_v, sum_cols, val_col="__val")
 
 
 def mannwhitney_report(

@@ -463,37 +463,54 @@ def lift_table(
     decile chart is read before anyone trusts its AUC.
 
     Determinism: the bin boundary is a TOTAL order (score desc +
-    ``id_col`` tiebreak — ntile splits remainders identically in both
-    engines); outcomes accumulate as DECIMAL through both the bin sums
-    and the cumulative window; rates/lift are fixed IEEE divisions of
-    the exact sums, 6dp. Scale: ranking runs over the ROW frame (one
-    unpartitioned-but-total-ordered ntile — swap percent_rank bucketing
-    at extreme row counts, the RFM note); everything after is a
-    ``n_bins``-row frame. Null scores/outcomes are excluded."""
+    ``id_col`` tiebreak); outcomes accumulate as DECIMAL through both
+    the bin sums and the cumulative window; rates/lift are fixed IEEE
+    divisions of the exact sums, 6dp. Scale: the rank is the bucketed
+    prefix sum (:func:`~.ranks.global_rank` — per-bucket windows, a
+    broadcast ≤64-row offset table, NO single-task row-frame sort; the
+    r9 Mann-Whitney discipline replacing the r8 unpartitioned ntile),
+    the tile id pure rank arithmetic (:func:`~.ranks.ntile_from_rank` —
+    identical remainder splits, so every boundary row keeps its bin);
+    everything after is a ``n_bins``-row frame (its cumulative window
+    is bin-bounded, the offset-table class). Null scores/outcomes are
+    excluded."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     from pyspark.sql import Window
 
-    base = df.filter(
-        F.col(score_col).isNotNull() & F.col(outcome_col).isNotNull()
-    ).select(
-        F.col(id_col),
-        F.col(score_col),
-        F.col(outcome_col).cast("decimal(18,6)").alias("__y"),
-    )
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-    binned = base.withColumn("bin", F.ntile(n_bins).over(w))
-    per_bin = (
-        binned.groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("__y").cast("decimal(18,6)").alias("__ys"),
+    from .ranks import global_rank, ntile_from_rank
+
+    base = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(outcome_col).isNotNull()
         )
-        .localCheckpoint(eager=False)  # feeds totals AND the output
+        .select(
+            F.col(id_col),
+            F.col(score_col).alias("__val"),
+            F.col(outcome_col).cast("decimal(18,6)").alias("__y"),
+        )
+        .localCheckpoint(eager=False)  # feeds the row count AND the ranks
     )
-    totals = per_bin.agg(
-        F.sum("n_rows").alias("__nt"),
-        F.sum("__ys").cast("decimal(18,6)").alias("__yt"),
+    nrows = base.agg(F.count(F.lit(1)).alias("__nr"))
+    ranked = global_rank(
+        base.crossJoin(F.broadcast(nrows)),
+        "__val",
+        [id_col],
+        descending=True,
+    )
+    binned = ranked.withColumn(
+        "bin", ntile_from_rank(F.col("__rank"), F.col("__nr"), n_bins)
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__y").cast("decimal(18,6)").alias("__ys"),
+    )
+    # grand totals from the pinned base (identical sums, and per_bin
+    # stays single-reference — no checkpoint needed, so the bucketed
+    # rank plan stays visible to the plan-shape pins)
+    totals = base.agg(
+        F.count(F.lit(1)).alias("__nt"),
+        F.sum("__y").cast("decimal(18,6)").alias("__yt"),
     )
     wc = (
         Window.orderBy("bin")
@@ -527,17 +544,22 @@ def gini_coefficient(
     totals sorted ascending.
 
     Scale shape: ONE corpus exchange (the entity-keyed partial-agged
-    rollup); the rank window and the i·vᵢ aggregate run over the
-    ENTITY-cardinality frame — the same documented unpartitioned-window
-    class as RFM/ABC (entity grain, not event grain).
+    rollup), then the formula is evaluated at the DISTINCT-VALUE grain:
+    the rank-sum identity collapses every tie group of ``c`` entities
+    at value ``v`` with ``N_prev`` entities below it into one exact
+    term ``Σᵢ i·v = v·(c·N_prev + c(c+1)/2)`` (G is tie-invariant —
+    any rank permutation within a tie group sums identically), and
+    ``N_prev`` comes from the bucketed prefix sum
+    (:func:`~.ranks.bucketed_cumsum` — the r9 Mann-Whitney discipline),
+    so the r8 unpartitioned entity-frame ``row_number`` window is GONE.
 
-    Determinism: per-entity totals accumulate as DECIMAL(18,6); ranks
-    are integers with the entity id as tiebreak (equal values produce
-    the same G either way — the formula is tie-invariant — but the
-    tiebreak keeps intermediate frames engine-identical); Σ i·vᵢ stays
-    DECIMAL(38,6), so the final expression is one fixed IEEE division.
-    Returns one row ``(n_entities, total, gini)``."""
-    from pyspark.sql import Window
+    Determinism: per-entity totals accumulate as DECIMAL(18,6); rank
+    sums are exact integers (DECIMAL(20,0), same width the per-row form
+    used); each ``v·R`` term is an exact DECIMAL(38,6) product, so the
+    cross-value sum is order-independent and the final expression one
+    fixed IEEE division. Returns one row ``(n_entities, total,
+    gini)``."""
+    from .ranks import bucketed_cumsum
 
     per_key = (
         df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
@@ -546,30 +568,40 @@ def gini_coefficient(
             F.sum(F.expr(f"CAST({value_col} AS DECIMAL(18,6))")).alias("__v")
         )
     )
-    ranked = per_key.withColumn(
-        "__rn",
-        F.row_number().over(Window.orderBy(F.col("__v").asc(), F.col("__k").asc())),
+    per_val = per_key.groupBy(F.col("__v").alias("__val")).agg(
+        F.count(F.lit(1)).alias("__c")
     )
+    ranked = bucketed_cumsum(per_val, ["__c"], val_col="__val")
+    # rank sum of the tie group: ranks N_prev+1 .. N_prev+c, summed —
+    # exact in DECIMAL(20,0) (≤ c·N ≲ 10²⁰ headroom at 3e9 entities)
+    rank_sum = F.expr(
+        "CAST(__c AS DECIMAL(20,0)) * (__cum___c - __c)"
+        " + CAST(__c AS DECIMAL(20,0)) * (__c + 1) / 2"
+    ).cast("decimal(20,0)")
     return ranked.agg(
-        F.count(F.lit(1)).alias("n_entities"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_entities"),
         F.round(
-            F.sum(F.col("__v").cast("decimal(18,6)")).cast("double"), 6
+            F.sum(
+                F.expr("CAST(__val * __c AS DECIMAL(28,6))")
+            ).cast("double"),
+            6,
         ).alias("total"),
         F.round(
             (
                 F.lit(2.0)
                 * F.sum(
-                    F.expr(
-                        "CAST(CAST(__rn AS DECIMAL(20,0)) * __v"
-                        " AS DECIMAL(38,6))"
-                    )
+                    (rank_sum * F.col("__val")).cast("decimal(38,6)")
                 ).cast("double")
-                - (F.count(F.lit(1)) + F.lit(1)).cast("double")
-                * F.sum(F.col("__v")).cast("double")
+                - (F.sum("__c") + F.lit(1)).cast("double")
+                * F.sum(
+                    F.expr("CAST(__val * __c AS DECIMAL(28,6))")
+                ).cast("double")
             )
             / (
-                F.count(F.lit(1)).cast("double")
-                * F.sum(F.col("__v")).cast("double")
+                F.sum("__c").cast("double")
+                * F.sum(
+                    F.expr("CAST(__val * __c AS DECIMAL(28,6))")
+                ).cast("double")
             ),
             6,
         ).alias("gini"),

@@ -4,10 +4,13 @@ Extension (SURVEY §2.9): the two segmentation reports every commerce
 warehouse ships — RFM (recency / frequency / monetary quintiles per
 customer) and ABC analysis (rank items by revenue, class A = the head
 that carries 80% of it). Both reduce the corpus to an entity-grain
-aggregate first, so every window below runs over entity-cardinality
-frames (the benign class), never raw events.
+aggregate first; ranks and cumulative shares over that frame then come
+from the bucketed prefix sum (``operators.ranks``), NOT from an
+unpartitioned total-order window — at billions of entities the latter
+is a one-task global sort (the round-10 rewrite of the r8 shape).
 
-Determinism: quintiles use ``ntile`` over a TOTAL order (metric +
+Determinism: quintiles follow the SQL ``ntile`` remainder rule exactly
+(``ranks.ntile_from_rank`` over the exact global rank, metric +
 entity-id tiebreak — both engines split remainder rows into the
 earliest buckets identically); money accumulates as DECIMAL(18,6);
 cumulative shares divide exact decimals in double at the end.
@@ -15,7 +18,7 @@ cumulative shares divide exact decimals in double at the end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -29,16 +32,19 @@ def rfm_segments(
     """Per entity: recency (days since last activity, vs the corpus max
     timestamp — a deterministic anchor), frequency (event count),
     monetary (decimal value total), each scored 1..``n_tiles`` by
-    ``ntile`` (higher = better: most recent / most frequent / highest
-    spend), plus the concatenated segment code ("555" = best).
+    ``ntile`` semantics (higher = better: most recent / most frequent /
+    highest spend), plus the concatenated segment code ("555" = best).
 
     Scale: one entity-keyed aggregate (map-side partial) collapses the
-    corpus; the three ntile windows are unpartitioned BUT run over the
-    entity-cardinality aggregate with a total order each — at extreme
-    entity counts swap ntile for a percent_rank bucketing over the same
-    order (identical classes away from boundaries)."""
+    corpus; each of the three tiles is then EXACT rank arithmetic over
+    the bucketed prefix sum (:func:`~.ranks.global_rank` +
+    :func:`~.ranks.ntile_from_rank` — per-bucket windows, broadcast
+    ≤64-row offsets, identical remainder splits to the SQL ``ntile``),
+    so the r8 unpartitioned entity-frame ntile windows are GONE: at
+    billions of entities nothing sorts in one task."""
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    from .ranks import global_rank, ntile_from_rank
     # pinned: the per-user collapse feeds BOTH the anchor aggregate and
     # the scored frame — unpinned, the anchor re-runs the corpus groupBy
     # from the scan (the repo's multi-reference re-planning rule)
@@ -52,35 +58,57 @@ def rfm_segments(
         )
         .localCheckpoint(eager=False)
     )
-    anchor = per_user.agg(F.max("__last").alias("__anchor"))
-    base = per_user.crossJoin(F.broadcast(anchor)).select(
-        F.col(key_col),
-        F.datediff(F.to_date("__anchor"), F.to_date("__last")).alias(
-            "recency_days"
-        ),
-        "frequency",
-        F.round(F.coalesce(F.col("__m").cast("double"), F.lit(0.0)), 6).alias(
-            "monetary"
-        ),
+    anchor = per_user.agg(
+        F.max("__last").alias("__anchor"),
+        F.count(F.lit(1)).alias("__ne"),
     )
-    # higher score = better: recency orders ASC (0 days ago = tile n),
-    # frequency/monetary DESC — ntile fills earliest buckets first, so
-    # invert via (n_tiles + 1 - tile) on ASC orders instead where needed
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col(key_col).asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col(key_col).asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col(key_col).asc())
+    base = (
+        per_user.crossJoin(F.broadcast(anchor))
+        .select(
+            F.col(key_col),
+            F.datediff(F.to_date("__anchor"), F.to_date("__last")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            F.round(
+                F.coalesce(F.col("__m").cast("double"), F.lit(0.0)), 6
+            ).alias("monetary"),
+            "__ne",
+        )
+        # pinned: three rank passes each re-reference this frame (span
+        # aggregate + ranked side) — unpinned, each re-plans the join
+        .localCheckpoint(eager=False)
+    )
+    # higher score = better: recency ranks ASC (0 days ago = tile n),
+    # frequency/monetary DESC — tiles fill earliest buckets first, so
+    # invert via (n_tiles + 1 - tile) on the ASC order where needed
     nt = n_tiles
-    r = (F.lit(nt + 1) - F.ntile(nt).over(wr)).alias("r_score")
-    f_ = (F.lit(nt + 1) - F.ntile(nt).over(wf)).alias("f_score")
-    m = (F.lit(nt + 1) - F.ntile(nt).over(wm)).alias("m_score")
-    out = base.select(key_col, "recency_days", "frequency", "monetary", r, f_, m)
-    return out.withColumn(
-        "segment",
+    scored = base
+    for rank_col, val, ties_desc, score in [
+        ("__rr", "recency_days", False, "r_score"),
+        ("__rf", "frequency", True, "f_score"),
+        ("__rm", "monetary", True, "m_score"),
+    ]:
+        scored = global_rank(
+            scored, val, [key_col], descending=ties_desc, out_col=rank_col
+        ).withColumn(
+            score,
+            F.lit(nt + 1)
+            - ntile_from_rank(F.col(rank_col), F.col("__ne"), nt),
+        ).drop(rank_col)
+    return scored.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
         F.concat(
             F.col("r_score").cast("string"),
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
-        ),
+        ).alias("segment"),
     )
 
 
@@ -97,11 +125,16 @@ def abc_classification(
     "which 20% of parts carry 80% of revenue".
 
     Scale: one keyed aggregate collapses the corpus to key grain; the
-    cumulative window is unpartitioned but key-cardinality, totally
-    ordered by (total desc, key asc); the grand total broadcasts as one
-    row. Cumulative sums stay DECIMAL until the final double divide."""
+    cumulative sum is the bucketed prefix sum over the total order
+    (value desc, key asc) — :func:`~.ranks.bucketed_cumsum` with the
+    key as tiebreak, so every boundary row gets the same exact
+    cumulative as the r8 unpartitioned window it replaces, with no
+    single-task key-frame sort; the grand total broadcasts as one row.
+    Cumulative sums stay DECIMAL until the final double divide."""
     if not 0.0 < a_cut < b_cut <= 1.0:
         raise ValueError(f"need 0 < a_cut < b_cut <= 1, got ({a_cut}, {b_cut})")
+    from .ranks import bucketed_cumsum
+
     # pinned: the key collapse feeds the grand total AND the ranked
     # frame (multi-reference rule — unpinned, the total re-scans)
     per_key = (
@@ -117,14 +150,16 @@ def abc_classification(
     total = per_key.agg(
         F.sum("__t").cast("decimal(18,6)").alias("__tot")
     )
-    w = (
-        Window.orderBy(F.col("__t").desc(), F.col(key_col).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cummed = bucketed_cumsum(
+        per_key.crossJoin(F.broadcast(total)),
+        ["__t"],
+        val_col="__t",
+        tiebreaks=[key_col],
+        descending=True,
     )
-    cum = F.sum("__t").over(w).cast("decimal(18,6)")
-    j = per_key.crossJoin(F.broadcast(total))
+    cum = F.col("__cum___t").cast("decimal(18,6)")
     share = cum.cast("double") / F.col("__tot").cast("double")
-    return j.select(
+    return cummed.select(
         key_col,
         F.round(F.col("__t").cast("double"), 6).alias("value_total"),
         F.round(share, 6).alias("cum_share"),

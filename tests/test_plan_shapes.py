@@ -710,3 +710,56 @@ def test_skew_report_is_distributed_topk(spark, queries):
     one task."""
     plan = plan_of(queries["events_skew_report"](spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+_BUCKETED_WINDOW = r"windowspecdefinition\(__bkt#\d+"
+
+
+def _assert_no_entity_grain_window(plan):
+    """The r10 contract for the segmentation/profiling family: every
+    data-sized window is PARTITIONED by the range bucket (the MW/KS
+    two-phase prefix-sum discipline); the only unpartitioned
+    windowspecdefinitions left sit over bounded aggregate frames (the
+    ≤64-row bucket offsets, n_bins-row outputs). A corpus-wide value
+    sort would plan an Exchange rangepartitioning — banned outright."""
+    import re as _re
+
+    assert _re.search(_BUCKETED_WINDOW, plan), plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_lift_table_ranks_via_bucketed_prefix_sum(spark, queries):
+    """lift_table: the per-row decile id is rank arithmetic over the
+    bucketed cumsum, not an unpartitioned ntile over the ROW frame —
+    the r9-verdict scale-killer rewrite. The remaining unpartitioned
+    window is the n_bins-row cumulative-capture frame."""
+    plan = plan_of(queries["lineitem_lift"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    assert "BroadcastHashJoin" in plan, plan  # bucket offsets join
+
+
+def test_gini_is_distinct_value_grain_no_row_number(spark, queries):
+    """gini: the rank-sum identity collapses tie groups at the
+    distinct-value grain — no per-entity row_number window anywhere
+    (the formula is tie-invariant, so the bucketed cumsum of counts
+    carries the exact Σ i·vᵢ)."""
+    plan = plan_of(queries["customer_gini"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    assert "row_number" not in plan, plan
+
+
+def test_rfm_tiles_via_bucketed_prefix_sum(spark, queries):
+    """rfm_segments: all three quintile scores are ntile_from_rank over
+    bucketed ranks — the entity frame is never globally sorted in one
+    task."""
+    plan = plan_of(queries["events_rfm"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    assert "ntile" not in plan, plan
+
+
+def test_abc_cumshare_via_bucketed_prefix_sum(spark, queries):
+    """abc_classification: the cumulative revenue share is the bucketed
+    prefix sum with the key tiebreak — exact boundary rows, no
+    single-task key-frame sort."""
+    plan = plan_of(queries["lineitem_abc"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
