@@ -5252,6 +5252,9 @@ def oracle_sql() -> dict[str, str]:
                      )} % 1000000 AS DOUBLE) / 1000000.0 AS s
               FROM events WHERE event_type IS NOT NULL
             )
+            -- finite-score contract mirrored from calibration_report
+            -- (the synthetic hash score is always finite; the filter
+            -- keeps the engines' exclusion rules aligned)
             SELECT CAST(greatest(0, least(9, CAST(floor(s * 10.0) AS INT)))
                         AS INT) AS bin,
                    count(*) AS n_units,
@@ -5263,7 +5266,7 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(count(*) AS DOUBLE)
                              - CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
                                / CAST(count(*) AS DOUBLE)), 6) AS abs_gap
-            FROM u GROUP BY 1
+            FROM u WHERE isfinite(s) GROUP BY 1
         """,
         # replays evaluation.cohens_kappa: pinned cell collapse, margins
         # joined on the label, DECIMAL(38,0) product sum for p_e
@@ -5359,7 +5362,7 @@ def oracle_sql() -> dict[str, str]:
               FROM u
             ), m AS (
               SELECT count(*) AS n,
-                     coalesce(sum(CASE WHEN rawv > 2.0 THEN 1 ELSE 0 END),
+                     coalesce(sum(CASE WHEN rawv >= 2.0 THEN 1 ELSE 0 END),
                               0) AS ncl,
                      sum(CAST(round(wv, 9) AS DECIMAL(28,12))) AS sw,
                      sum(CAST(round(wv * r, 9) AS DECIMAL(28,12))) AS swr
@@ -5438,7 +5441,9 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 10
         """,
         # replays corpus.source_divergence: shared-token pair join,
-        # 12dp-decimal JSD terms, one-sided mass via (2 − Σpa − Σpb)·ln2
+        # 12dp-decimal JSD terms, one-sided mass via (2 − Σpa − Σpb)·ln2;
+        # ALL unordered pairs from the totals frame (a fully-disjoint
+        # pair coalesces to zero shared mass = exactly ln 2)
         "docs_jsd": f"""
             WITH gt AS (
               SELECT grp, token, count(*) AS n FROM (
@@ -5450,28 +5455,31 @@ def oracle_sql() -> dict[str, str]:
             ), tot AS (SELECT grp, sum(n) AS t FROM gt GROUP BY grp),
             p AS (
               SELECT gt.grp, token,
-                     CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p, t
+                     CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
               FROM gt JOIN tot ON gt.grp = tot.grp
             ), pr AS (
-              SELECT a.grp AS ga, b.grp AS gb, a.t AS ta, b.t AS tb,
-                     a.p AS pa, b.p AS pb
+              SELECT a.grp AS ga, b.grp AS gb, a.p AS pa, b.p AS pb
               FROM p a JOIN p b ON a.token = b.token AND a.grp < b.grp
             ), agg AS (
-              SELECT ga, gb, ta, tb,
+              SELECT ga, gb,
                 sum(CAST(round(pa * ln(2.0 * pa / (pa + pb))
                                + pb * ln(2.0 * pb / (pa + pb)), 12)
                          AS DECIMAL(28,12))) AS sb,
                 sum(CAST(round(pa, 12) AS DECIMAL(28,12))) AS ma,
                 sum(CAST(round(pb, 12) AS DECIMAL(28,12))) AS mb
-              FROM pr GROUP BY ga, gb, ta, tb
+              FROM pr GROUP BY ga, gb
+            ), pairs AS (
+              SELECT ta.grp AS ga, tb.grp AS gb, ta.t AS ta, tb.t AS tb
+              FROM tot ta JOIN tot tb ON ta.grp < tb.grp
             )
             SELECT ga AS group_a, gb AS group_b,
                    CAST(ta AS BIGINT) AS n_tokens_a,
                    CAST(tb AS BIGINT) AS n_tokens_b,
-                   round((CAST(sb AS DOUBLE)
-                          + (2.0 - CAST(ma AS DOUBLE) - CAST(mb AS DOUBLE))
+                   round((coalesce(CAST(sb AS DOUBLE), 0.0)
+                          + (2.0 - coalesce(CAST(ma AS DOUBLE), 0.0)
+                                 - coalesce(CAST(mb AS DOUBLE), 0.0))
                             * 0.6931471805599453) / 2.0, 6) AS jsd
-            FROM agg
+            FROM pairs LEFT JOIN agg USING (ga, gb)
         """,
         # replays experiment.trend_test: Cochran-Armitage z over exact
         # decimal dose moments, purchase conversion, 5 hash tiers

@@ -494,6 +494,7 @@ def source_divergence(
     group_col: str = "source",
     text_col: str = "text",
     min_count: int = 2,
+    max_groups: int = 100,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between the sources' unigram
     distributions — the "how different are these corpus slices really"
@@ -506,15 +507,40 @@ def source_divergence(
     Plan: ONE (group, token) count collapse (the only corpus-grain
     exchange, map-side partial) + group totals broadcast back; the
     pairwise self-join runs at (vocabulary × pairs) scale on the
-    group-token frame — sources are few by construction (a mixture has
-    tens of components, not thousands). Determinism: probabilities are
-    exact-integer ratios in double; each ``x·ln(...)`` term quantizes
-    to 12dp DECIMAL(28,12) before the cross-token sum (the chi-square
-    cell rule), so accumulation is order-independent; final JSD =
-    half the exact term sum, 6dp. Returns one row per unordered pair
-    ``(group_a, group_b, n_tokens_a, n_tokens_b, jsd)``."""
+    group-token frame, so group cardinality is GUARDED: ``max_groups``
+    (default 100 — a mixture has tens of components, not thousands) is
+    validated by one cheap ``limit(N+1)`` distinct probe on the group
+    column, and a caller passing a high-cardinality column (domain
+    instead of source) gets an informative error instead of a quadratic
+    explosion (the linkage ``max_block_rows`` convention). Determinism:
+    probabilities are exact-integer ratios in double; each
+    ``x·ln(...)`` term quantizes to 12dp DECIMAL(28,12) before the
+    cross-token sum (the chi-square cell rule), so accumulation is
+    order-independent; final JSD = half the exact term sum, 6dp.
+    Returns one row per unordered pair ``(group_a, group_b,
+    n_tokens_a, n_tokens_b, jsd)`` — INCLUDING fully-disjoint pairs at
+    exactly ``jsd = ln 2`` (the maximal-divergence case a drift monitor
+    most wants to see; absence must never read as "no drift"). Groups
+    whose every token falls under ``min_count`` carry no distribution
+    and are absent entirely."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_groups < 2:
+        raise ValueError(f"max_groups must be >= 2, got {max_groups}")
+    n_probe = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(group_col)
+        .distinct()
+        .limit(max_groups + 1)
+        .count()
+    )
+    if n_probe > max_groups:
+        raise ValueError(
+            f"source_divergence: {group_col!r} has more than "
+            f"{max_groups} distinct groups — the pair join is "
+            "(vocabulary x pairs)-quadratic in groups; pass a coarser "
+            "group column or raise max_groups explicitly"
+        )
     gt = (
         _spread(df.filter(F.col(group_col).isNotNull()).select(group_col, text_col))
         .select(
@@ -527,7 +553,12 @@ def source_divergence(
         .filter(F.col("n") >= min_count)
         .localCheckpoint(eager=False)  # feeds totals AND both join sides
     )
-    tot = gt.groupBy("grp").agg(F.sum("n").alias("tot"))
+    tot = (
+        gt.groupBy("grp")
+        .agg(F.sum("n").alias("tot"))
+        # pinned: feeds both probability sides AND the all-pairs frame
+        .localCheckpoint(eager=False)
+    )
     a = gt.join(tot, "grp").select(
         F.col("grp").alias("ga"),
         "token",
@@ -540,15 +571,12 @@ def source_divergence(
         (F.col("n").cast("double") / F.col("tot").cast("double")).alias("pb"),
         F.col("tot").alias("tb"),
     )
-    # pair frame over SHARED tokens only (ordered pairs); the one-sided
-    # mass needs no second join — see the ln2 recovery below. A pair of
-    # groups sharing zero min_count-tokens has no row (its JSD would be
-    # exactly ln 2 — fully disjoint; callers wanting those rows can
-    # cross-join the group list and coalesce to ln 2).
+    # shared-token terms (ordered pairs); the one-sided mass needs no
+    # second token join — see the ln2 recovery below
     paired = (
         a.join(b, "token", "inner")
         .filter(F.col("ga") < F.col("gb"))
-        .select("ga", "gb", "ta", "tb", "pa", "pb")
+        .select("ga", "gb", "pa", "pb")
     )
     # terms where both sides have mass
     m2 = F.col("pa") + F.col("pb")  # 2m
@@ -557,25 +585,33 @@ def source_divergence(
         + F.col("pb") * F.log(F.lit(2.0) * F.col("pb") / m2),
         12,
     ).cast("decimal(28,12)")
-    both_sum = paired.groupBy("ga", "gb", "ta", "tb").agg(
+    shared = paired.groupBy("ga", "gb").agg(
         F.sum(term_both).alias("__sb"),
         F.sum(F.round(F.col("pa"), 12).cast("decimal(28,12)")).alias("__ma"),
         F.sum(F.round(F.col("pb"), 12).cast("decimal(28,12)")).alias("__mb"),
     )
+    # EVERY unordered pair of groups gets a row — built from the
+    # max_groups-bounded totals frame, then left-joined with the shared
+    # sums so a fully-disjoint pair coalesces to zero shared mass and
+    # reports exactly ln 2 instead of silently vanishing
+    ta_f = tot.select(F.col("grp").alias("ga"), F.col("tot").alias("ta"))
+    tb_f = tot.select(F.col("grp").alias("gb"), F.col("tot").alias("tb"))
+    all_pairs = ta_f.join(tb_f, F.col("ga") < F.col("gb"))
+    joined = all_pairs.join(shared, ["ga", "gb"], "left")
     # one-sided mass (tokens absent from the other group) contributes
     # x·ln2 exactly: sum = (1 − shared_mass)·ln2 per side — recovered
     # from the shared-mass totals, no second join needed
     ln2 = 0.6931471805599453
     jsd = (
-        F.col("__sb").cast("double")
+        F.coalesce(F.col("__sb").cast("double"), F.lit(0.0))
         + (
             F.lit(2.0)
-            - F.col("__ma").cast("double")
-            - F.col("__mb").cast("double")
+            - F.coalesce(F.col("__ma").cast("double"), F.lit(0.0))
+            - F.coalesce(F.col("__mb").cast("double"), F.lit(0.0))
         )
         * F.lit(ln2)
     ) / F.lit(2.0)
-    return both_sum.select(
+    return joined.select(
         F.col("ga").alias("group_a"),
         F.col("gb").alias("group_b"),
         F.col("ta").alias("n_tokens_a"),

@@ -200,7 +200,12 @@ def calibration_report(
     pos_rate, abs_gap)`` — ``abs_gap = |pos_rate − avg_score|`` is the
     per-bin calibration error whose n-weighted sum is ECE. Empty bins
     are absent (their weight is zero). Null label or score excludes the
-    row.
+    row, and so does a NON-FINITE score: in non-ANSI Spark
+    ``floor(NaN·n)`` casts to 0, so a NaN would land in bin 0, count
+    into ``n_units``, yet drop out of the decimal score sum — deflating
+    ``avg_score`` while DuckDB errors on the same cast. Excluding
+    NaN/±Inf up front keeps both engines on the null-exclusion
+    contract.
 
     Plan: ONE bin-keyed map-side-combined aggregation (output ≤ n_bins
     rows); the bin id is in-row codegen. Determinism: counts are exact
@@ -218,7 +223,12 @@ def calibration_report(
         ),
     )
     binned = (
-        df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
+        df.filter(
+            F.col(label_col).isNotNull()
+            & F.col(score_col).isNotNull()
+            & ~F.isnan(s)
+            & (F.abs(s) != F.lit(float("inf")))
+        )
         .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n_units"),

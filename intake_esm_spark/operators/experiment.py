@@ -780,9 +780,11 @@ def ips_value(
     sum over the corpus is partition-order-dependent); the final
     ratios are fixed IEEE over the exact sums, 6dp. Returns one row
     ``(n_units, n_clipped, mean_weight, ips_value, snips_value)`` —
-    ``n_clipped``/``mean_weight`` are the diagnostics that tell you the
-    estimate is extrapolating (weights piling on the clip ⇒ the
-    policies barely overlap and the number is not trustworthy)."""
+    ``n_clipped`` counts weights AT or above the clip (a ratio landing
+    exactly on the boundary is saturated too) and, with
+    ``mean_weight``, tells you the estimate is extrapolating (weights
+    piling on the clip ⇒ the policies barely overlap and the number is
+    not trustworthy)."""
     if not clip > 0:
         raise ValueError(f"clip must be > 0, got {clip}")
     clean = df.filter(
@@ -801,8 +803,11 @@ def ips_value(
     )
     m = clean.agg(
         F.count(F.lit(1)).alias("n_units"),
+        # >= : a ratio landing exactly ON the clip is saturated — the
+        # estimator can no longer follow it up, so the diagnostic must
+        # count it (strict > hid boundary weights)
         F.coalesce(
-            F.sum((raw_w > F.lit(float(clip))).cast("bigint")), F.lit(0)
+            F.sum((raw_w >= F.lit(float(clip))).cast("bigint")), F.lit(0)
         ).alias("n_clipped"),
         F.sum(wq).alias("__sw"),
         F.sum(wrq).alias("__swr"),

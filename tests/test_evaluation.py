@@ -141,6 +141,24 @@ def test_calibration_validation(spark):
         calibration_report(df, "label", "score", n_bins=1)
 
 
+def test_calibration_excludes_non_finite_scores(spark):
+    from intake_esm_spark.operators.evaluation import calibration_report
+
+    # NaN/Inf scores are excluded like nulls: in non-ANSI Spark a NaN
+    # would land in bin 0 and deflate avg_score while DuckDB errors on
+    # the cast — the finite filter keeps both engines aligned
+    rows = [
+        (1, 0.05), (0, 0.05),
+        (1, float("nan")), (0, float("inf")), (1, float("-inf")),
+    ]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = calibration_report(df, "label", "score").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bin"] == 0 and r["n_units"] == 2
+    assert r["avg_score"] == 0.05 and r["pos_rate"] == 0.5
+
+
 # --- cohens_kappa -----------------------------------------------------------
 
 

@@ -438,6 +438,18 @@ def test_ips_excludes_invalid_rows(spark):
         ips_value(df, "r", "pt", "pl", clip=0.0)
 
 
+def test_ips_boundary_weight_counts_as_clipped(spark):
+    from intake_esm_spark.operators.experiment import ips_value
+
+    # raw weight EXACTLY on the clip: the estimator is saturated at the
+    # boundary, so the diagnostic must count it (>= not strict >)
+    rows = [(10.0, 0.4, 0.2), (10.0, 0.1, 0.2)]  # raw 2.0 and 0.5
+    df = spark.createDataFrame(rows, "r double, pt double, pl double")
+    out = ips_value(df, "r", "pt", "pl", clip=2.0).collect()[0]
+    assert out["n_clipped"] == 1
+    assert out["mean_weight"] == 1.25  # value path unchanged by the count
+
+
 # --- quantile_treatment_effects ---------------------------------------------
 
 

@@ -376,3 +376,37 @@ def test_source_divergence_symmetric_bounds(spark):
     for r in out:
         assert 0.0 <= r["jsd"] <= math.log(2.0) + 1e-9
         assert r["group_a"] < r["group_b"]
+
+
+def test_source_divergence_disjoint_pair_reports_ln2(spark):
+    import math
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.corpus import source_divergence
+
+    # a and b share nothing above min_count: the maximal-divergence
+    # case must be a ROW at exactly ln 2, never a silent absence
+    rows = [("a", "x x y y"), ("b", "p p q q")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_divergence(df, "source", "text", min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["jsd"] == _pt.approx(math.log(2.0), abs=1e-6)
+    assert (r["n_tokens_a"], r["n_tokens_b"]) == (4, 4)
+
+
+def test_source_divergence_max_groups_guard(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.corpus import source_divergence
+
+    rows = [(f"g{i}", "x x y y") for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    with _pt.raises(ValueError, match="more than 3 distinct groups"):
+        source_divergence(df, "source", "text", max_groups=3)
+    # raising the guard admits the same frame
+    assert len(source_divergence(df, "source", "text", max_groups=5).collect()) == 10
+    with _pt.raises(ValueError):
+        source_divergence(df, "source", "text", max_groups=1)
