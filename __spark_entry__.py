@@ -4150,28 +4150,219 @@ def q_docs_zipf(spark: SparkSession, sf: str) -> DataFrame:
     return zipf_fit(docs, "text", top_n=1000)
 
 
+def q_events_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision-recall AUC / average precision (operators/evaluation.
+    pr_auc_report) of event value as a purchase-vs-rest score — the
+    rare-positive companion to events_auc: descending distinct-score
+    cumulatives via the bucketed prefix sum, 12dp-decimal step terms,
+    one n_pos division at the end."""
+    from intake_esm_spark.operators.evaluation import pr_auc_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.col("value").alias("score"),
+    )
+    return pr_auc_report(u, "label", "score")
+
+
+def q_events_ece(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected/maximum calibration error (operators/evaluation.
+    ece_report) over the same hash-uniform pseudo-probability as
+    events_calibration: the n-weighted gap telescopes to one
+    decimal-exact |np − Σs| sum over the pinned bin collapse."""
+    from intake_esm_spark.operators.evaluation import ece_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("event_type").isNotNull()).select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        (
+            F.pmod(
+                tx.salted_hash60(F.col("event_id"), "cal"), F.lit(1_000_000)
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("score"),
+    )
+    return ece_report(u, "label", "score", n_bins=10)
+
+
+def q_events_brier(spark: SparkSession, sf: str) -> DataFrame:
+    """Brier score + log-loss (operators/evaluation.
+    scoring_rules_report) of the calibration pseudo-probability against
+    the purchase label — one map-side-combined aggregation of
+    12dp-decimal per-unit terms."""
+    from intake_esm_spark.operators.evaluation import scoring_rules_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("event_type").isNotNull()).select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        (
+            F.pmod(
+                tx.salted_hash60(F.col("event_id"), "cal"), F.lit(1_000_000)
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("score"),
+    )
+    return scoring_rules_report(u, "label", "score")
+
+
+def q_events_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index (operators/evaluation.psi_report)
+    between the even- and odd-user slices of a hash score: one
+    bin-keyed conditional-count collapse, 12dp-decimal terms over
+    two-sided bins, one-sided bins surfaced."""
+    from intake_esm_spark.operators.evaluation import psi_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("user_id").isNotNull()).select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("base"))
+        .otherwise(F.lit("cur"))
+        .alias("slice"),
+        (
+            F.pmod(
+                tx.salted_hash60(F.col("event_id"), "psi"), F.lit(1_000_000)
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("score"),
+    )
+    return psi_report(u, "slice", "base", "cur", "score", n_bins=10)
+
+
+def q_events_mcc(spark: SparkSession, sf: str) -> DataFrame:
+    """Matthews correlation (operators/evaluation.mcc_report) of a
+    hash-derived predictor against the purchase label: one aggregation
+    of the four confusion cells, DECIMAL(38,0) cast-first numerator
+    products, margin-sqrt denominator."""
+    from intake_esm_spark.operators.evaluation import mcc_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("event_type").isNotNull()).select(
+        (F.col("event_type") == "purchase").cast("int").alias("actual"),
+        (
+            F.pmod(tx.salted_hash60(F.col("event_id"), "mcc"), F.lit(5)) == 0
+        ).cast("int").alias("predicted"),
+    )
+    return mcc_report(u, "actual", "predicted")
+
+
+def q_events_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@5 / MRR@5 (operators/evaluation.ranking_metrics) of the
+    per-user event ordering by value against purchase relevance —
+    query-partitioned rank windows (bounded per-user frames),
+    12dp-decimal per-query metrics before the cross-query mean."""
+    from intake_esm_spark.operators.evaluation import ranking_metrics
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").alias("q"),
+        F.col("event_id").alias("item"),
+        (F.col("event_type") == "purchase").cast("int").alias("rel"),
+        F.col("value").alias("score"),
+    )
+    return ranking_metrics(u, "q", "item", "rel", "score", k=5)
+
+
+def q_events_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum detectable effect at the current sample (operators/
+    experiment.power_mde_report) for the parity-split arms over event
+    value — one decimal-moment aggregation, fixed normal quantiles
+    (two-sided 5%, 80% power)."""
+    from intake_esm_spark.operators.experiment import power_mde_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("t"))
+        .otherwise(F.lit("c"))
+        .alias("grp"),
+        F.col("value"),
+    )
+    return power_mde_report(u, "grp", "value", "t", "c")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Entry ORDER is load-bearing: the correctness driver records at most
-    # 50 entries, so (standing rule) any entry whose code or oracle
-    # changed this round is in the first 50, followed by the entries
-    # longest without a driver-green row. Round-9 head (exactly 50, the
-    # r8 verdict's rotation plan executed in full): the 49 entries that
-    # have NEVER been driver-verified (9 pre-r8 deferrals + the 40
-    # round-8 additions) plus events_did (its did_report carries this
-    # round's decimal-width fix — changed entries always driver-verify).
-    # With this head green, every one of the 190 entries has a driver
-    # row. Two other entries changed this round VALUE-NEUTRALLY at
-    # sf0.01 and lead the tail (see the tail-top comment).
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
-        # Block 1: code changed in ROUND 9 — the r8-verdict/advice fixes
-        # (bucketed two-phase midranks for MW/KS; decimal product width
-        # (19,6)x(18,6)->(38,12) for cuped/did/regression_metrics; cuped
-        # vadj clamp; link-pred hub guard; dsir unseen-bucket floor
-        # left-join; skew_report TakeOrdered top-k). All but events_did
-        # are also first-time driver candidates.
+        # Entry ORDER is load-bearing: the correctness driver records at
+        # most 50 entries, so (standing rule) any entry whose code or
+        # oracle changed this round is in the first 50, followed by the
+        # entries longest without a driver-green row.
+        # Block 1: the 10 round-9 additions — the only entries without a
+        # cumulative driver row (r9 verdict task #1); calibration (finite
+        # -score filter), ips (boundary clip count) and jsd (max_groups
+        # guard + disjoint-pair ln2 rows) also changed in round 10.
+        "events_auc": q_events_auc,
+        "events_calibration": q_events_calibration,
+        "events_kappa": q_events_kappa,
+        "events_srm": q_events_srm,
+        "events_ips": q_events_ips,
+        "events_qte": q_events_qte,
+        "events_trend_test": q_events_trend_test,
+        "docs_zipf": q_docs_zipf,
+        "docs_keywords": q_docs_keywords,
+        "docs_jsd": q_docs_jsd,
+        # Block 2: NEW in round 10 — the evaluation-scoreboard completion
+        # (PR-AUC, ECE/MCE, Brier+log-loss, PSI, MCC, NDCG/MRR, MDE).
+        "events_pr_auc": q_events_pr_auc,
+        "events_ece": q_events_ece,
+        "events_brier": q_events_brier,
+        "events_psi": q_events_psi,
+        "events_mcc": q_events_mcc,
+        "events_ndcg": q_events_ndcg,
+        "events_power": q_events_power,
+        # Block 3: code changed in round 10 — the four entity-grain
+        # windows rewritten on ranks.bucketed_cumsum (r9 verdict task #2)
+        # plus MW/KS whose _cum_by_value now delegates to the shared
+        # helper (changed entries always driver-verify).
+        "events_rfm": q_events_rfm,
+        "lineitem_abc": q_lineitem_abc,
+        "lineitem_lift": q_lineitem_lift,
+        "customer_gini": q_customer_gini,
         "events_mannwhitney": q_events_mannwhitney,
         "events_ks_test": q_events_ks_test,
+        # Block 4: round-9 value-neutral code changes promoted into the
+        # head per driver ADVICE (seasonal-naive decimal width; drift
+        # zero-row guard).
+        "events_forecast_backtest": q_events_forecast_backtest,
+        "customer_profile_drift": q_customer_profile_drift,
+        # Block 5: the oldest driver rows (r6 cohort) — re-verified for
+        # freshness now that every entry has a cumulative driver row.
+        "search_eq": q_search_eq,
+        "search_regex": q_search_regex,
+        "search_null": q_search_null,
+        "require_all_on": q_require_all_on,
+        "search_membership": q_search_membership,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "top_suppliers": q_top_suppliers,
+        "cube_rollup": q_cube_rollup,
+        "docs_mixture": q_docs_mixture,
+        "docs_quality_logit": q_docs_quality_logit,
+        "docs_curated2": q_docs_curated2,
+        "docs_source_overlap": q_docs_source_overlap,
+        "docs_gram_dup": q_docs_gram_dup,
+        "docs_select_best": q_docs_select_best,
+        "docs_shuffle": q_docs_shuffle,
+        "docs_pack_bins": q_docs_pack_bins,
+        "contamination_check": q_contamination_check,
+        "docs_repetition": q_docs_repetition,
+        "docs_curated": q_docs_curated,
+        "embed_quantize": q_embed_quantize,
+        "simsearch_pairs_lsh": q_simsearch_pairs_lsh,
+        "multimodal_resize": q_multimodal_resize,
+        "simsearch_scores": q_simsearch_scores,
+        # -- rotation tail ---------------------------------------------
+        # All driver-green r7-r9; unchanged in round 10 unless noted in
+        # the head blocks. Order: freshest rows last.
         "events_cuped": q_events_cuped,
         "events_did": q_events_did,
         "graph_link_pred": q_graph_link_pred,
@@ -4179,8 +4370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": q_docs_dsir_weights,
         "events_skew_report": q_events_skew_report,
         "events_forecast_metrics": q_events_forecast_metrics,
-        # Block 2: the round-8 TPC-H completion set — never
-        # driver-verified (added after r8's head froze).
         "q2_min_cost_supp": q2_min_cost_supp,
         "q4_order_priority": q4_order_priority,
         "q8_market_share": q8_market_share,
@@ -4191,12 +4380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_brand_revenue": q19_brand_revenue,
         "q20_volume_suppliers": q20_volume_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        # Block 3: remaining round-8 additions awaiting their first
-        # driver row.
         "graph_label_prop": q_graph_label_prop,
         "parts_also_bought": q_parts_also_bought,
         "events_survival": q_events_survival,
-        "customer_gini": q_customer_gini,
         "events_chi2": q_events_chi2,
         "events_theilsen": q_events_theilsen,
         "events_bootstrap_ci": q_events_bootstrap_ci,
@@ -4214,8 +4400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_dim_recall": q_simsearch_dim_recall,
         "graph_ppr": q_graph_ppr,
         "events_quantile_sketch": q_events_quantile_sketch,
-        # Block 4: the 9 pre-r8 deferrals + events_attribution_position
-        # — the last entries without a driver row.
         "events_attribution_position": q_events_attribution_position,
         "events_paths": q_events_paths,
         "docs_split": q_docs_split,
@@ -4226,33 +4410,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "events_rolling_features": q_events_rolling_features,
         "events_cusum": q_events_cusum,
-        # -- rotation tail ---------------------------------------------
-        # Tail TOP block 0: NEW in round 9 (added after the head froze
-        # on the all-190-driver-rows rotation) — 7 oracled entries for
-        # the round-9 operators (exact ROC-AUC, calibration/reliability,
-        # Cohen's kappa, SRM check, IPS off-policy value, quantile
-        # treatment effects, Zipf fit). Never driver-verified; first
-        # r10-head candidates, locally swept this round.
-        "events_auc": q_events_auc,
-        "events_calibration": q_events_calibration,
-        "events_kappa": q_events_kappa,
-        "events_srm": q_events_srm,
-        "events_ips": q_events_ips,
-        "events_qte": q_events_qte,
-        "docs_zipf": q_docs_zipf,
-        "docs_keywords": q_docs_keywords,
-        "docs_jsd": q_docs_jsd,
-        "events_trend_test": q_events_trend_test,
-        # Tail TOP: two entries whose code changed this round but whose
-        # sf0.01 output is VALUE-NEUTRAL, re-verified by the local
-        # DuckDB sweep this session (forecast_backtest: the seasonal-
-        # naive se product widened to (38,12) — both engines agreed at
-        # 6dp before and after; profile_drift: a Python error-path guard
-        # for zero-row snapshots, unreachable on driver data). Both are
-        # driver-green from r8; first r10 head candidates.
-        "events_forecast_backtest": q_events_forecast_backtest,
-        "customer_profile_drift": q_customer_profile_drift,
-        # Driver-green in ROUND 8 (CORRECTNESS_r08, freshest rows):
         "events_distinct_kmv": q_events_distinct_kmv,
         "events_distinct_kmv_merged": q_events_distinct_kmv_merged,
         "basket_rules3": q_basket_rules3,
@@ -4263,10 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_dupes": q_customer_dupes,
         "docs_collocations": q_docs_collocations,
         "graph_triangles": q_graph_triangles,
-        "events_rfm": q_events_rfm,
-        "lineitem_abc": q_lineitem_abc,
         "events_debounce": q_events_debounce,
-        "lineitem_lift": q_lineitem_lift,
         "q13_custdist": q13_custdist,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
@@ -4300,32 +4454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_indexed": q_docs_bm25_indexed,
         "lineitem_correlations": q_lineitem_correlations,
         "graph_pagerank": q_graph_pagerank,
-        # Older cohorts (r6/r7 driver rows), unchanged order:
-        "search_eq": q_search_eq,
-        "search_regex": q_search_regex,
-        "search_null": q_search_null,
-        "require_all_on": q_require_all_on,
-        "search_membership": q_search_membership,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier": q5_local_supplier,
-        "top_suppliers": q_top_suppliers,
-        "cube_rollup": q_cube_rollup,
-        "docs_mixture": q_docs_mixture,
-        "docs_quality_logit": q_docs_quality_logit,
-        "docs_curated2": q_docs_curated2,
-        "docs_source_overlap": q_docs_source_overlap,
-        "docs_gram_dup": q_docs_gram_dup,
-        "docs_select_best": q_docs_select_best,
-        "docs_shuffle": q_docs_shuffle,
-        "docs_pack_bins": q_docs_pack_bins,
-        "contamination_check": q_contamination_check,
-        "docs_repetition": q_docs_repetition,
-        "docs_curated": q_docs_curated,
-        "embed_quantize": q_embed_quantize,
-        "simsearch_pairs_lsh": q_simsearch_pairs_lsh,
-        "multimodal_resize": q_multimodal_resize,
-        "simsearch_scores": q_simsearch_scores,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_pairs": q_simsearch_pairs,
         "simsearch_pairs_blocked": q_simsearch_pairs_blocked,
@@ -4342,8 +4470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_topk_user": q_events_topk_user,
         "text_vocab": q_text_vocab,
-        # Driver-green in ROUND 7 (CORRECTNESS_r07, freshest rows) or
-        # green locally this round; unchanged unless listed in Block 1:
         "dedup_spans": q_dedup_spans,
         "docs_encoding": q_docs_encoding,
         "text_fingerprint_nfc": q_text_fingerprint_nfc,
@@ -4394,7 +4520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "dedup_lines_report": q_dedup_lines_report,
-
     }
 
 
@@ -5480,6 +5605,281 @@ def oracle_sql() -> dict[str, str]:
                                  - coalesce(CAST(mb AS DOUBLE), 0.0))
                             * 0.6931471805599453) / 2.0, 6) AS jsd
             FROM pairs LEFT JOIN agg USING (ga, gb)
+        """,
+        # replays evaluation.pr_auc_report: descending distinct-score
+        # cumulatives, 12dp-decimal step terms, one n_pos division
+        "events_pr_auc": """
+            WITH u AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label, value AS s
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), pv AS (
+              SELECT s, sum(label) AS ct, count(*) AS c FROM u GROUP BY s
+            ), cum AS (
+              SELECT ct, c,
+                     sum(ct) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cp,
+                     sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS cc
+              FROM pv
+            ), m AS (
+              SELECT coalesce(sum(ct), 0) AS n1,
+                     coalesce(sum(c) - sum(ct), 0) AS n2,
+                     sum(CAST(round(CAST(ct AS DOUBLE) * CAST(cp AS DOUBLE)
+                                    / CAST(cc AS DOUBLE), 12)
+                              AS DECIMAL(28,12))) AS apn
+              FROM cum
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+                   CASE WHEN n1 + n2 > 0
+                        THEN round(CAST(n1 AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)), 6)
+                        END AS baseline,
+                   CASE WHEN n1 > 0 AND n2 > 0
+                        THEN round(CAST(apn AS DOUBLE)
+                             / CAST(n1 AS DOUBLE), 6)
+                        END AS pr_auc
+            FROM m
+        """,
+        # replays evaluation.ece_report: the n-weighted bin gap
+        # telescopes to |np - decimal score sum| per bin, summed exactly
+        "events_ece": """
+            WITH u AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                     CAST(CAST(('0x' || substr(md5('cal|' ||
+                          CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 1000000 AS DOUBLE) / 1000000.0 AS s
+              FROM events WHERE event_type IS NOT NULL
+            ), b AS (
+              SELECT CAST(greatest(0, least(9, CAST(floor(s * 10.0) AS INT)))
+                          AS INT) AS bin,
+                     count(*) AS n,
+                     sum(CAST(s AS DECIMAL(18,6))) AS ss,
+                     sum(label) AS np
+              FROM u WHERE isfinite(s) GROUP BY 1
+            ), m AS (
+              SELECT coalesce(sum(n), 0) AS nu, count(*) AS nb,
+                     sum(abs(CAST(np AS DECIMAL(18,6)) - ss)) AS gm,
+                     max(CAST(abs(CAST(np AS DECIMAL(18,6)) - ss) AS DOUBLE)
+                         / CAST(n AS DOUBLE)) AS mce
+              FROM b
+            )
+            SELECT CAST(nu AS BIGINT) AS n_units,
+                   CAST(nb AS BIGINT) AS n_bins_used,
+                   CASE WHEN nu > 0 THEN round(CAST(gm AS DOUBLE)
+                        / CAST(nu AS DOUBLE), 6) END AS ece,
+                   round(mce, 6) AS mce
+            FROM m
+        """,
+        # replays evaluation.scoring_rules_report: 12dp-decimal per-unit
+        # Brier and clamped cross-entropy terms
+        "events_brier": """
+            WITH u AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                     CAST(CAST(('0x' || substr(md5('cal|' ||
+                          CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 1000000 AS DOUBLE) / 1000000.0 AS s
+              FROM events WHERE event_type IS NOT NULL
+            )
+            SELECT count(*) AS n_units,
+                   CASE WHEN count(*) > 0 THEN
+                     round(CAST(sum(CAST(round(
+                       (s - CAST(label AS DOUBLE))
+                       * (s - CAST(label AS DOUBLE)), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) END AS brier,
+                   CASE WHEN count(*) > 0 THEN
+                     round(CAST(sum(CAST(round(
+                       -(CAST(label AS DOUBLE)
+                         * ln(least(greatest(s, CAST(1e-15 AS DOUBLE)),
+                                    CAST(0.999999999999999 AS DOUBLE)))
+                         + (1.0 - CAST(label AS DOUBLE))
+                           * ln(1.0 - least(greatest(s,
+                                    CAST(1e-15 AS DOUBLE)),
+                                    CAST(0.999999999999999 AS DOUBLE)))),
+                       12) AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) END AS log_loss
+            FROM u WHERE isfinite(s)
+        """,
+        # replays evaluation.psi_report: one bin-keyed conditional-count
+        # collapse, 12dp-decimal terms over two-sided bins only
+        "events_psi": """
+            WITH u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'base' ELSE 'cur' END
+                       AS sl,
+                     CAST(CAST(('0x' || substr(md5('psi|' ||
+                          CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 1000000 AS DOUBLE) / 1000000.0 AS s
+              FROM events WHERE user_id IS NOT NULL
+            ), b AS (
+              SELECT CAST(greatest(0, least(9, CAST(floor(s * 10.0) AS INT)))
+                          AS INT) AS bin,
+                     sum(CASE WHEN sl = 'base' THEN 1 ELSE 0 END) AS nb,
+                     sum(CASE WHEN sl = 'cur' THEN 1 ELSE 0 END) AS nc
+              FROM u WHERE isfinite(s) GROUP BY 1
+            ), tot AS (
+              SELECT coalesce(sum(nb), 0) AS tb, coalesce(sum(nc), 0) AS tc
+              FROM b
+            ), m AS (
+              SELECT max(tb) AS tb, max(tc) AS tc, count(*) AS nbins,
+                     coalesce(sum(CASE WHEN nb > 0 AND nc > 0
+                                       THEN 0 ELSE 1 END), 0) AS ones,
+                     sum(CASE WHEN nb > 0 AND nc > 0 THEN
+                       CAST(round((CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)
+                                   - CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))
+                            * ln((CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+                                 / (CAST(nc AS DOUBLE)
+                                    / CAST(tc AS DOUBLE))), 12)
+                            AS DECIMAL(28,12)) END) AS psi
+              FROM b CROSS JOIN tot
+            )
+            SELECT coalesce(CAST(tb AS BIGINT), 0) AS n_baseline,
+                   coalesce(CAST(tc AS BIGINT), 0) AS n_current,
+                   CAST(nbins AS BIGINT) AS n_bins_used,
+                   CAST(ones AS BIGINT) AS n_onesided_bins,
+                   CASE WHEN tb > 0 AND tc > 0
+                        THEN round(coalesce(CAST(psi AS DOUBLE), 0.0), 6)
+                        END AS psi
+            FROM m
+        """,
+        # replays evaluation.mcc_report: four exact confusion cells,
+        # DECIMAL(38,0) numerator products, margin-sqrt denominator
+        "events_mcc": """
+            WITH u AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS a,
+                     CASE WHEN CAST(('0x' || substr(md5('mcc|' ||
+                          CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 5 = 0 THEN 1 ELSE 0 END AS p
+              FROM events WHERE event_type IS NOT NULL
+            ), m AS (
+              SELECT count(*) AS n,
+                coalesce(sum(CASE WHEN a = 1 AND p = 1 THEN 1 END), 0) AS tp,
+                coalesce(sum(CASE WHEN a = 0 AND p = 1 THEN 1 END), 0) AS fp,
+                coalesce(sum(CASE WHEN a = 0 AND p = 0 THEN 1 END), 0) AS tn,
+                coalesce(sum(CASE WHEN a = 1 AND p = 0 THEN 1 END), 0) AS fn
+              FROM u
+            )
+            SELECT CAST(n AS BIGINT) AS n_units,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+                   CASE WHEN n > 0 THEN
+                     round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     END AS accuracy,
+                   CASE WHEN sqrt(CAST(tp + fp AS DOUBLE))
+                             * sqrt(CAST(tp + fn AS DOUBLE))
+                             * sqrt(CAST(tn + fp AS DOUBLE))
+                             * sqrt(CAST(tn + fn AS DOUBLE)) > 0 THEN
+                     round((CAST(CAST(tp AS DECIMAL(38,0)) * tn AS DOUBLE)
+                            - CAST(CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE))
+                           / (sqrt(CAST(tp + fp AS DOUBLE))
+                              * sqrt(CAST(tp + fn AS DOUBLE))
+                              * sqrt(CAST(tn + fp AS DOUBLE))
+                              * sqrt(CAST(tn + fn AS DOUBLE))), 6)
+                     END AS mcc
+            FROM m
+        """,
+        # replays evaluation.ranking_metrics: query-partitioned rank
+        # windows, 12dp-decimal per-item gains then per-query metrics
+        "events_ndcg": """
+            WITH u AS (
+              SELECT user_id AS q, event_id AS item,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS rel,
+                     value AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                    AND event_type IS NOT NULL AND value IS NOT NULL
+            ), r AS (
+              SELECT q, CAST(rel AS DOUBLE) AS rel,
+                     row_number() OVER (PARTITION BY q
+                                        ORDER BY s DESC, item) AS rk,
+                     row_number() OVER (PARTITION BY q
+                                        ORDER BY rel DESC, item) AS irk
+              FROM u
+            ), pq AS (
+              SELECT q,
+                sum(CASE WHEN rk <= 5 THEN
+                  CAST(round(rel / log2(CAST(rk AS DOUBLE) + 1.0), 12)
+                       AS DECIMAL(28,12)) END) AS dcg,
+                sum(CASE WHEN irk <= 5 THEN
+                  CAST(round(rel / log2(CAST(irk AS DOUBLE) + 1.0), 12)
+                       AS DECIMAL(28,12)) END) AS idcg,
+                min(CASE WHEN rel > 0 AND rk <= 5 THEN rk END) AS fr
+              FROM r GROUP BY q
+            ), m AS (
+              SELECT count(*) AS nt,
+                coalesce(sum(CASE WHEN idcg > 0 THEN 1 ELSE 0 END), 0) AS nq,
+                sum(CASE WHEN idcg > 0 THEN
+                  CAST(round(coalesce(CAST(dcg AS DOUBLE), 0.0)
+                             / CAST(idcg AS DOUBLE), 12)
+                       AS DECIMAL(28,12)) END) AS sn,
+                sum(CASE WHEN idcg > 0 THEN
+                  CAST(round(coalesce(1.0 / CAST(fr AS DOUBLE), 0.0), 12)
+                       AS DECIMAL(28,12)) END) AS sr
+              FROM pq
+            )
+            SELECT CAST(nt AS BIGINT) AS n_queries_total,
+                   CAST(nq AS BIGINT) AS n_queries,
+                   CASE WHEN nq > 0 THEN round(CAST(sn AS DOUBLE)
+                        / CAST(nq AS DOUBLE), 6) END AS ndcg_at_k,
+                   CASE WHEN nq > 0 THEN round(CAST(sr AS DOUBLE)
+                        / CAST(nq AS DOUBLE), 6) END AS mrr_at_k
+            FROM m
+        """,
+        # replays experiment.power_mde_report: per-arm decimal moments,
+        # (z_alpha + z_power) * sqrt(var_t/n_t + var_c/n_c)
+        "events_power": """
+            WITH u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS g,
+                     value AS v
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ), m AS (
+              SELECT
+                coalesce(sum(CASE WHEN g = 't' THEN 1 END), 0) AS nt,
+                coalesce(sum(CASE WHEN g = 'c' THEN 1 END), 0) AS nc,
+                sum(CASE WHEN g = 't'
+                         THEN CAST(v AS DECIMAL(18,6)) END) AS st,
+                sum(CASE WHEN g = 't' THEN CAST(v AS DECIMAL(19,6))
+                         * CAST(v AS DECIMAL(18,6)) END) AS stt,
+                sum(CASE WHEN g = 'c'
+                         THEN CAST(v AS DECIMAL(18,6)) END) AS sc,
+                sum(CASE WHEN g = 'c' THEN CAST(v AS DECIMAL(19,6))
+                         * CAST(v AS DECIMAL(18,6)) END) AS scc
+              FROM u
+            ), d AS (
+              SELECT nt, nc,
+                CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc,
+                (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                 * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                / (CAST(nt AS DOUBLE) - 1.0) AS vt,
+                (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+                 * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                / (CAST(nc AS DOUBLE) - 1.0) AS vc
+              FROM m
+            )
+            SELECT CAST(nt AS BIGINT) AS n_treatment,
+                   CAST(nc AS BIGINT) AS n_control,
+                   CASE WHEN nc > 0 THEN round(mc, 6) END AS mean_control,
+                   CASE WHEN nt > 1 AND nc > 1 THEN
+                     round(sqrt(vt / CAST(nt AS DOUBLE)
+                                + vc / CAST(nc AS DOUBLE)), 6)
+                     END AS se_diff,
+                   CASE WHEN nt > 1 AND nc > 1 THEN
+                     round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                           * sqrt(vt / CAST(nt AS DOUBLE)
+                                  + vc / CAST(nc AS DOUBLE)), 6)
+                     END AS mde_abs,
+                   CASE WHEN nt > 1 AND nc > 1 AND mc != 0 THEN
+                     round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                           * sqrt(vt / CAST(nt AS DOUBLE)
+                                  + vc / CAST(nc AS DOUBLE)) / mc, 6)
+                     END AS mde_rel
+            FROM d
         """,
         # replays experiment.trend_test: Cochran-Armitage z over exact
         # decimal dose moments, purchase conversion, 5 hash tiers

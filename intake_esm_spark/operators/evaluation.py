@@ -187,6 +187,45 @@ def auc_report(
     )
 
 
+def _calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """The shared bin collapse behind :func:`calibration_report` and
+    :func:`ece_report`: ONE bin-keyed map-side-combined aggregation of
+    ``(bin, n_units, __ss decimal score sum, __np positive count)``
+    over clean units — null label/score and NON-FINITE scores excluded
+    (in non-ANSI Spark ``floor(NaN·n)`` casts to 0, so a NaN would land
+    in bin 0, count into n_units, yet drop out of the decimal sum —
+    deflating avg_score while DuckDB errors on the same cast)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(s * F.lit(float(n_bins))).cast("int"),
+        ),
+    )
+    return (
+        df.filter(
+            F.col(label_col).isNotNull()
+            & F.col(score_col).isNotNull()
+            & ~F.isnan(s)
+            & (F.abs(s) != F.lit(float("inf")))
+        )
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(s.cast("decimal(18,6)")).alias("__ss"),
+            F.sum((F.col(label_col) > 0).cast("bigint")).alias("__np"),
+        )
+    )
+
+
 def calibration_report(
     df: DataFrame,
     label_col: str,
@@ -212,30 +251,7 @@ def calibration_report(
     integers; scores accumulate as DECIMAL(18,6); rates/gaps are fixed
     IEEE divides, 6dp. The bin edge is ``floor`` of one IEEE product —
     identical in both engines on identical doubles."""
-    if n_bins < 2:
-        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    s = F.col(score_col).cast("double")
-    b = F.greatest(
-        F.lit(0),
-        F.least(
-            F.lit(n_bins - 1),
-            F.floor(s * F.lit(float(n_bins))).cast("int"),
-        ),
-    )
-    binned = (
-        df.filter(
-            F.col(label_col).isNotNull()
-            & F.col(score_col).isNotNull()
-            & ~F.isnan(s)
-            & (F.abs(s) != F.lit(float("inf")))
-        )
-        .groupBy(b.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n_units"),
-            F.sum(s.cast("decimal(18,6)")).alias("__ss"),
-            F.sum((F.col(label_col) > 0).cast("bigint")).alias("__np"),
-        )
-    )
+    binned = _calibration_bins(df, label_col, score_col, n_bins)
     n = F.col("n_units").cast("double")
     avg = F.col("__ss").cast("double") / n
     rate = F.col("__np").cast("double") / n
@@ -314,4 +330,433 @@ def cohens_kappa(
         F.round(po, 6).alias("observed_agreement"),
         F.round(pe, 6).alias("expected_agreement"),
         F.round(kappa, 6).alias("kappa"),
+    )
+
+
+def ece_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error — the one-number summary of
+    :func:`calibration_report` (its n-weighted |pos_rate − avg_score|
+    sum) plus MCE, the worst single bin: the scalar gate a
+    quality-classifier rollout checks before trusting thresholds.
+
+    The n-weighted per-bin gap telescopes EXACTLY:
+    ``n_b·|pos_b/n_b − scoresum_b/n_b| = |np_b − Σs_b|``, so ECE is one
+    decimal-exact sum of per-bin |integer − decimal| over the same
+    pinned bin collapse calibration uses (``≤ n_bins`` rows), divided
+    by N once — no per-bin IEEE division enters the sum. MCE is the
+    max of the per-bin gaps (fixed IEEE divides, max order-free).
+    Returns one row ``(n_units, n_bins_used, ece, mce)``; both null on
+    an empty clean frame. Same exclusions as calibration (null label/
+    score, non-finite scores)."""
+    binned = _calibration_bins(df, label_col, score_col, n_bins)
+    gap_mass = F.abs(
+        F.col("__np").cast("decimal(18,6)") - F.col("__ss")
+    )
+    per_bin_gap = gap_mass.cast("double") / F.col("n_units").cast("double")
+    m = binned.agg(
+        F.coalesce(F.sum("n_units"), F.lit(0)).alias("n_units"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.sum(gap_mass).alias("__gm"),
+        F.max(per_bin_gap).alias("__mce"),
+    )
+    return m.select(
+        "n_units",
+        "n_bins_used",
+        F.when(
+            F.col("n_units") > 0,
+            F.round(
+                F.col("__gm").cast("double")
+                / F.col("n_units").cast("double"),
+                6,
+            ),
+        ).alias("ece"),
+        F.round(F.col("__mce"), 6).alias("mce"),
+    )
+
+
+def pr_auc_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Precision-Recall AUC (average precision) — the companion to
+    :func:`auc_report` when positives are RARE (exactly the
+    quality-classifier regime: ROC-AUC stays flattering under class
+    imbalance, AP does not). Steps descend the DISTINCT-score
+    thresholds; at each step ``k``: precision ``P_k = cum_pos/cum_n``
+    and recall increment ``ΔR_k = pos_k/n_pos`` (ties grouped — the
+    sklearn ``average_precision_score`` step convention), and
+    ``AP = Σ ΔR_k·P_k``.
+
+    Plan: one score-keyed exchange to the distinct-score grain, then
+    DESCENDING cumulative counts via the bucketed prefix sum
+    (:func:`~.ranks.bucketed_cumsum` — the Mann-Whitney discipline, no
+    single-task score sort). Determinism: cumulative counts are exact
+    integers; each ``pos_k·cum_pos/cum_n`` term quantizes to 12dp
+    DECIMAL(28,12) before the cross-step sum (order-independent), and
+    AP divides the exact term sum by ``n_pos`` once. Returns one row
+    ``(n_pos, n_neg, baseline, pr_auc)`` — ``baseline = n_pos/N`` is
+    the random-classifier AP; ``pr_auc`` is null when either class is
+    empty (no ranking to score). ``label_col`` truthy-numeric (> 0 =
+    positive); null label/score excluded."""
+    from .ranks import bucketed_cumsum
+
+    two = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    )
+    per_v = two.groupBy(F.col(score_col).alias("__val")).agg(
+        F.sum((F.col(label_col) > 0).cast("bigint")).alias("__ct"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    cum = bucketed_cumsum(
+        per_v, ["__ct", "__c"], val_col="__val", descending=True
+    )
+    term = F.round(
+        F.col("__ct").cast("double")
+        * F.col("__cum___ct").cast("double")
+        / F.col("__cum___c").cast("double"),
+        12,
+    ).cast("decimal(28,12)")
+    m = cum.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__n1"),
+        F.coalesce(F.sum("__c") - F.sum("__ct"), F.lit(0)).alias("__n2"),
+        F.sum(term).alias("__ap_num"),
+    )
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    ap = F.when(
+        (F.col("__n1") > 0) & (F.col("__n2") > 0),
+        F.col("__ap_num").cast("double") / n1,
+    )
+    return m.select(
+        F.col("__n1").alias("n_pos"),
+        F.col("__n2").alias("n_neg"),
+        F.when(
+            (F.col("__n1") + F.col("__n2")) > 0,
+            F.round(n1 / (n1 + n2), 6),
+        ).alias("baseline"),
+        F.round(ap, 6).alias("pr_auc"),
+    )
+
+
+def scoring_rules_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Proper scoring rules for a probability-like score against a
+    binary label: Brier score (mean squared probability error) and
+    log-loss (cross-entropy) — the two numbers that, unlike accuracy,
+    cannot be gamed by confident miscalibration; the standard training
+    monitors for the corpus quality classifiers.
+
+    Plan: ONE map-side-combined aggregation; both are in-row terms.
+    Determinism: each per-unit term — ``(s − y)²`` and
+    ``−(y·ln s̃ + (1−y)·ln(1−s̃))`` with ``s̃`` clamped into
+    ``[eps, 1−eps]`` (a hard 0/1 score would blow the log up) —
+    quantizes to 12dp DECIMAL(28,12) before the corpus sum (the
+    chi-square cell rule: a raw double sum is partition-order-
+    dependent); the final means are fixed IEEE divides, 6dp. Null
+    label/score and non-finite scores are excluded (the calibration
+    contract). Returns one row ``(n_units, brier, log_loss)``."""
+    if not 0.0 < eps < 0.5:
+        raise ValueError(f"eps must be in (0, 0.5), got {eps}")
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col) > 0).cast("int").cast("double")
+    sc = F.least(F.greatest(s, F.lit(float(eps))), F.lit(1.0 - eps))
+    brier_t = F.round((s - y) * (s - y), 12).cast("decimal(28,12)")
+    ll_t = F.round(
+        -(y * F.log(sc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - sc)), 12
+    ).cast("decimal(28,12)")
+    m = df.filter(
+        F.col(label_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & ~F.isnan(s)
+        & (F.abs(s) != F.lit(float("inf")))
+    ).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(brier_t).alias("__sb"),
+        F.sum(ll_t).alias("__sl"),
+    )
+    n = F.col("n_units").cast("double")
+    return m.select(
+        "n_units",
+        F.when(
+            F.col("n_units") > 0,
+            F.round(F.col("__sb").cast("double") / n, 6),
+        ).alias("brier"),
+        F.when(
+            F.col("n_units") > 0,
+            F.round(F.col("__sl").cast("double") / n, 6),
+        ).alias("log_loss"),
+    )
+
+
+def mcc_report(
+    df: DataFrame,
+    actual_col: str,
+    predicted_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient over binary (actual, predicted)
+    pairs — the single-number confusion summary that stays honest under
+    class imbalance (accuracy and F1 both saturate when one class
+    dominates; MCC needs all four cells to be right). Truthy-numeric
+    sides (> 0 = positive); null on either side excludes the row.
+
+    Plan: ONE map-side-combined aggregation of the four cells.
+    Determinism: cells are exact integers; the numerator products run
+    cast-first in DECIMAL(38,0) (tp·tn at 3e9 units overflows int64);
+    the denominator multiplies the four margin square roots in double
+    (√(ab) = √a·√b each margin ≤ N, so no decimal overflow and one
+    fixed IEEE expression), 6dp. MCC is null when any margin is zero
+    (a constant side — correlation undefined). Returns one row
+    ``(n_units, tp, fp, tn, fn, accuracy, mcc)``."""
+    a = (F.col(actual_col) > 0).cast("int")
+    p = (F.col(predicted_col) > 0).cast("int")
+    m = df.filter(
+        F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.coalesce(F.sum(((a == 1) & (p == 1)).cast("bigint")), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(((a == 0) & (p == 1)).cast("bigint")), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(((a == 0) & (p == 0)).cast("bigint")), F.lit(0)).alias("tn"),
+        F.coalesce(F.sum(((a == 1) & (p == 0)).cast("bigint")), F.lit(0)).alias("fn"),
+    )
+    num = (
+        F.expr("CAST(tp AS DECIMAL(38,0)) * tn").cast("double")
+        - F.expr("CAST(fp AS DECIMAL(38,0)) * fn").cast("double")
+    )
+    den = (
+        F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fn")).cast("double"))
+    )
+    return m.select(
+        "n_units",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.when(
+            F.col("n_units") > 0,
+            F.round(
+                (F.col("tp") + F.col("tn")).cast("double")
+                / F.col("n_units").cast("double"),
+                6,
+            ),
+        ).alias("accuracy"),
+        F.when(den > 0, F.round(num / den, 6)).alias("mcc"),
+    )
+
+
+def psi_report(
+    df: DataFrame,
+    group_col: str,
+    baseline: str,
+    current: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two slices' score
+    distributions — the standard "has the scored population drifted
+    since the model shipped" monitor (rule of thumb: < 0.1 stable,
+    0.1–0.25 watch, > 0.25 retrain): ``PSI = Σ_b (p_b − q_b)·ln(p_b/
+    q_b)`` over the same clamped ``floor(score·n_bins)`` bins
+    calibration uses.
+
+    Plan: ONE bin-keyed map-side-combined aggregation with conditional
+    counts for both slices (output ≤ n_bins rows); totals are a 1-row
+    broadcast over that bounded frame. Bins where exactly one side has
+    mass make the term infinite — they are EXCLUDED from the sum and
+    surfaced as ``n_onesided_bins`` (a nonzero value is itself maximal
+    drift; the count keeps it impossible to misread the finite PSI as
+    calm). Determinism: proportions are exact-integer ratios in
+    double; each term quantizes to 12dp DECIMAL(28,12) before the
+    cross-bin sum, 6dp at the end. Null/non-finite scores and rows in
+    neither slice are excluded. Returns one row ``(n_baseline,
+    n_current, n_bins_used, n_onesided_bins, psi)``; psi null when
+    either slice is empty."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if baseline == current:
+        raise ValueError("baseline and current must differ")
+    s = F.col(score_col).cast("double")
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(s * F.lit(float(n_bins))).cast("int"),
+        ),
+    )
+    g = F.col(group_col)
+    binned = (
+        df.filter(
+            g.isin(baseline, current)
+            & F.col(score_col).isNotNull()
+            & ~F.isnan(s)
+            & (F.abs(s) != F.lit(float("inf")))
+        )
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.sum((g == baseline).cast("bigint")).alias("__nb"),
+            F.sum((g == current).cast("bigint")).alias("__nc"),
+        )
+    )
+    tot = binned.agg(
+        F.coalesce(F.sum("__nb"), F.lit(0)).alias("__tb"),
+        F.coalesce(F.sum("__nc"), F.lit(0)).alias("__tc"),
+    )
+    j = binned.crossJoin(F.broadcast(tot))
+    pb = F.col("__nb").cast("double") / F.col("__tb").cast("double")
+    pc = F.col("__nc").cast("double") / F.col("__tc").cast("double")
+    two_sided = (F.col("__nb") > 0) & (F.col("__nc") > 0)
+    term = F.when(
+        two_sided,
+        F.round((pb - pc) * F.log(pb / pc), 12).cast("decimal(28,12)"),
+    )
+    m = j.agg(
+        F.max("__tb").alias("n_baseline"),
+        F.max("__tc").alias("n_current"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.coalesce(
+            F.sum((~two_sided).cast("bigint")), F.lit(0)
+        ).alias("n_onesided_bins"),
+        F.sum(term).alias("__psi"),
+    )
+    return m.select(
+        F.coalesce("n_baseline", F.lit(0)).alias("n_baseline"),
+        F.coalesce("n_current", F.lit(0)).alias("n_current"),
+        "n_bins_used",
+        "n_onesided_bins",
+        F.when(
+            (F.col("n_baseline") > 0) & (F.col("n_current") > 0),
+            F.round(
+                F.coalesce(F.col("__psi").cast("double"), F.lit(0.0)), 6
+            ),
+        ).alias("psi"),
+    )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    label_col: str,
+    score_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality scoreboard — NDCG@k and MRR@k of ``score_col``'s
+    per-query ordering against graded relevance ``label_col``: the
+    retrieval-evaluation companion to the brute-force ANN oracles
+    (simsearch recall measures candidate coverage; this measures the
+    final ORDER a reranker ships). Linear gain ``rel/log₂(rank+1)``
+    (DuckDB-replayable; swap 2^rel−1 upstream for exponential gain),
+    ideal ranking by (relevance desc, item asc), reciprocal rank of the
+    first relevant (> 0) item within the top k.
+
+    Queries whose relevance is all-zero/negative have no ideal ranking
+    and are EXCLUDED from both means — ``n_queries`` counts the scored
+    ones, ``n_queries_total`` everything seen (the gap is itself a data
+    signal). Null query/item/label/score excludes the row.
+
+    Plan: the rank windows PARTITION BY the query (bounded per-query
+    frames — the benign class, never a global order); per-query metrics
+    collapse in the same pass, then per-query NDCG/RR quantize to 12dp
+    DECIMAL(28,12) before the cross-query mean (the chi-square cell
+    rule). Ties on score break by item id, so both engines rank
+    identically. Returns one row ``(n_queries_total, n_queries,
+    ndcg_at_k, mrr_at_k)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    q = F.col(query_col)
+    clean = df.filter(
+        q.isNotNull()
+        & F.col(item_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        q.alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(label_col).cast("double").alias("__rel"),
+        F.col(score_col).alias("__s"),
+    )
+    w_score = Window.partitionBy("__q").orderBy(
+        F.col("__s").desc(), F.col("__i").asc()
+    )
+    w_ideal = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__i").asc()
+    )
+    ranked = clean.withColumn(
+        "__r", F.row_number().over(w_score)
+    ).withColumn("__ir", F.row_number().over(w_ideal))
+    disc = lambda r: F.log2(r.cast("double") + F.lit(1.0))  # noqa: E731
+    # per-ITEM gain terms quantize to 12dp decimals BEFORE the per-query
+    # sum: a ≤k-term double sum is accumulation-order-dependent in its
+    # last ulp, and across thousands of queries a last-ulp flip lands on
+    # a rounding boundary often enough to break engine parity
+    gain = lambda r: F.round(  # noqa: E731
+        F.col("__rel") / disc(r), 12
+    ).cast("decimal(28,12)")
+    per_q = ranked.groupBy("__q").agg(
+        F.sum(F.when(F.col("__r") <= k, gain(F.col("__r")))).alias("__dcg"),
+        F.sum(F.when(F.col("__ir") <= k, gain(F.col("__ir")))).alias(
+            "__idcg"
+        ),
+        F.min(
+            F.when(
+                (F.col("__rel") > 0) & (F.col("__r") <= k), F.col("__r")
+            )
+        ).alias("__first_rel"),
+    )
+    scored = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries_total"),
+        F.coalesce(
+            F.sum((F.col("__idcg") > 0).cast("bigint")), F.lit(0)
+        ).alias("n_queries"),
+        F.sum(
+            F.when(
+                F.col("__idcg") > 0,
+                F.round(
+                    F.coalesce(
+                        F.col("__dcg").cast("double"), F.lit(0.0)
+                    )
+                    / F.col("__idcg").cast("double"),
+                    12,
+                ).cast("decimal(28,12)"),
+            )
+        ).alias("__sn"),
+        F.sum(
+            F.when(
+                F.col("__idcg") > 0,
+                F.round(
+                    F.coalesce(
+                        F.lit(1.0) / F.col("__first_rel").cast("double"),
+                        F.lit(0.0),
+                    ),
+                    12,
+                ).cast("decimal(28,12)"),
+            )
+        ).alias("__sr"),
+    )
+    nq = F.col("n_queries").cast("double")
+    return scored.select(
+        "n_queries_total",
+        "n_queries",
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(F.col("__sn").cast("double") / nq, 6),
+        ).alias("ndcg_at_k"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(F.col("__sr").cast("double") / nq, 6),
+        ).alias("mrr_at_k"),
     )

@@ -953,3 +953,78 @@ def trend_test(
             (F.abs(F.round(z, 6)) >= F.lit(z_threshold)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def power_mde_report(
+    units: DataFrame,
+    group_col: str,
+    value_col: str,
+    treatment: str,
+    control: str,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample — the experiment
+    design readout run before (and during) any A/B test: given the two
+    arms' realized sizes and variances, the smallest true lift the
+    z-test could flag, ``MDE = (z_{1−α/2} + z_{power})·√(s²_t/n_t +
+    s²_c/n_c)``. An observed effect under the MDE is not evidence of
+    absence; shipping decisions need this number next to the p-value.
+    Defaults: two-sided α = 0.05 (1.959964) at 80% power (0.841621) —
+    pass other normal quantiles for other levels (kept as explicit
+    parameters; no closed-form inverse-normal in either engine).
+
+    Plan: ONE map-side-combined aggregation of both arms' decimal
+    moments (the :func:`ab_test_report` shape — count, Σx, Σx² per arm
+    via conditional aggregation). Determinism: moments accumulate as
+    DECIMAL with the (19,6)×(18,6) → (38,12) one-wide-operand product
+    rule; MDE/SE are fixed IEEE expressions over them, 6dp. Sample
+    variances use n−1; an arm with < 2 units nulls the result. Returns
+    one row ``(n_treatment, n_control, mean_control, se_diff, mde_abs,
+    mde_rel)`` — ``mde_rel`` (the % lift floor) is null when the
+    control mean is 0. Null values excluded."""
+    if not z_alpha > 0 or not z_power >= 0:
+        raise ValueError(
+            f"need z_alpha > 0 and z_power >= 0, got ({z_alpha}, {z_power})"
+        )
+    dw = lambda c: c.cast("decimal(19,6)")  # noqa: E731
+    dn = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    v = F.col(value_col)
+    is_t = F.col(group_col) == treatment
+    is_c = F.col(group_col) == control
+    m = units.filter(
+        (is_t | is_c) & v.isNotNull()
+    ).agg(
+        F.coalesce(F.sum(is_t.cast("bigint")), F.lit(0)).alias("__nt"),
+        F.coalesce(F.sum(is_c.cast("bigint")), F.lit(0)).alias("__nc"),
+        F.sum(F.when(is_t, dn(v))).alias("__st"),
+        F.sum(F.when(is_t, dw(v) * dn(v))).alias("__stt"),
+        F.sum(F.when(is_c, dn(v))).alias("__sc"),
+        F.sum(F.when(is_c, dw(v) * dn(v))).alias("__scc"),
+    )
+
+    def _var(n, s, ss):
+        nd = n.cast("double")
+        return (ss.cast("double") - s.cast("double") * s.cast("double") / nd) / (
+            nd - F.lit(1.0)
+        )
+
+    var_t = _var(F.col("__nt"), F.col("__st"), F.col("__stt"))
+    var_c = _var(F.col("__nc"), F.col("__sc"), F.col("__scc"))
+    se = F.sqrt(
+        var_t / F.col("__nt").cast("double")
+        + var_c / F.col("__nc").cast("double")
+    )
+    ok = (F.col("__nt") > 1) & (F.col("__nc") > 1)
+    mean_c = F.col("__sc").cast("double") / F.col("__nc").cast("double")
+    mde = (F.lit(float(z_alpha)) + F.lit(float(z_power))) * se
+    return m.select(
+        F.col("__nt").alias("n_treatment"),
+        F.col("__nc").alias("n_control"),
+        F.when(F.col("__nc") > 0, F.round(mean_c, 6)).alias("mean_control"),
+        F.when(ok, F.round(se, 6)).alias("se_diff"),
+        F.when(ok, F.round(mde, 6)).alias("mde_abs"),
+        F.when(ok & (mean_c != 0), F.round(mde / mean_c, 6)).alias(
+            "mde_rel"
+        ),
+    )

@@ -260,3 +260,182 @@ def test_stream_calibration_matches_batch(spark, tmp_path):
     for b, r in final.items():
         for c in ("n_units", "avg_score", "pos_rate", "abs_gap"):
             assert r[c] == batch[b][c], (b, c, r[c], batch[b][c])
+
+
+# --- pr_auc_report -----------------------------------------------------------
+
+
+def test_pr_auc_hand_case_and_degenerate(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.evaluation import pr_auc_report
+
+    # scores desc: 0.9(+) 0.8(-) 0.7(+) 0.6(-): AP = 1/2*1 + 1/2*(2/3)
+    rows = [(1, 0.9), (0, 0.8), (1, 0.7), (0, 0.6)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = pr_auc_report(df, "label", "score").collect()[0]
+    assert (out["n_pos"], out["n_neg"]) == (2, 2)
+    assert out["baseline"] == 0.5
+    assert out["pr_auc"] == _pt.approx(0.833333, abs=1e-6)
+
+    # all scores tied: one step, AP = precision = base rate
+    df2 = spark.createDataFrame(
+        [(1, 0.5), (0, 0.5), (0, 0.5), (0, 0.5)], "label int, score double"
+    )
+    out2 = pr_auc_report(df2, "label", "score").collect()[0]
+    assert out2["pr_auc"] == 0.25
+
+    # single-class frame: no ranking to score
+    df3 = spark.createDataFrame([(1, 0.5), (1, 0.9)], "label int, score double")
+    out3 = pr_auc_report(df3, "label", "score").collect()[0]
+    assert out3["pr_auc"] is None and out3["n_neg"] == 0
+
+
+def test_pr_auc_perfect_ranking_is_one(spark):
+    from intake_esm_spark.operators.evaluation import pr_auc_report
+
+    rows = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    assert pr_auc_report(df, "label", "score").collect()[0]["pr_auc"] == 1.0
+
+
+# --- ece_report --------------------------------------------------------------
+
+
+def test_ece_hand_case(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.evaluation import ece_report
+
+    # bin0: labels (1,0) scores 0.05 -> gap mass |1 - 0.1| = 0.9
+    # bin9: label 1 score 0.95 -> gap mass |1 - 0.95| = 0.05
+    rows = [(1, 0.05), (0, 0.05), (1, 0.95)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = ece_report(df, "label", "score").collect()[0]
+    assert out["n_units"] == 3 and out["n_bins_used"] == 2
+    assert out["ece"] == _pt.approx((0.9 + 0.05) / 3, abs=1e-6)
+    assert out["mce"] == _pt.approx(0.45, abs=1e-6)  # worst bin is bin0
+
+
+def test_ece_perfectly_calibrated_is_zero(spark):
+    from intake_esm_spark.operators.evaluation import ece_report
+
+    # each bin's pos_rate equals its avg score exactly
+    rows = [(1, 0.5), (0, 0.5), (1, 0.75), (1, 0.75), (1, 0.75), (0, 0.75)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = ece_report(df, "label", "score", n_bins=4).collect()[0]
+    assert out["ece"] == 0.0 and out["mce"] == 0.0
+
+
+# --- scoring_rules_report ----------------------------------------------------
+
+
+def test_scoring_rules_hand_values(spark):
+    import math
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.evaluation import scoring_rules_report
+
+    rows = [(1, 1.0), (0, 0.0)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = scoring_rules_report(df, "label", "score").collect()[0]
+    assert out["brier"] == 0.0 and out["log_loss"] == 0.0  # eps-clamped
+
+    df2 = spark.createDataFrame([(1, 0.5), (0, 0.5)], "label int, score double")
+    out2 = scoring_rules_report(df2, "label", "score").collect()[0]
+    assert out2["brier"] == 0.25
+    assert out2["log_loss"] == _pt.approx(math.log(2.0), abs=1e-6)
+
+    # NaN score excluded; bad eps rejected
+    df3 = spark.createDataFrame(
+        [(1, 0.5), (0, float("nan"))], "label int, score double"
+    )
+    assert scoring_rules_report(df3, "label", "score").collect()[0]["n_units"] == 1
+    with _pt.raises(ValueError):
+        scoring_rules_report(df2, "label", "score", eps=0.7)
+
+
+# --- mcc_report --------------------------------------------------------------
+
+
+def test_mcc_perfect_inverted_and_constant(spark):
+    from intake_esm_spark.operators.evaluation import mcc_report
+
+    rows = [(1, 1), (1, 1), (0, 0), (0, 0)]
+    df = spark.createDataFrame(rows, "a int, p int")
+    out = mcc_report(df, "a", "p").collect()[0]
+    assert out["mcc"] == 1.0 and out["accuracy"] == 1.0
+    assert (out["tp"], out["fp"], out["tn"], out["fn"]) == (2, 0, 2, 0)
+
+    inv = spark.createDataFrame([(1, 0), (1, 0), (0, 1), (0, 1)], "a int, p int")
+    assert mcc_report(inv, "a", "p").collect()[0]["mcc"] == -1.0
+
+    # constant predictor: a margin is zero -> mcc undefined, not 0
+    const = spark.createDataFrame([(1, 1), (0, 1)], "a int, p int")
+    r = mcc_report(const, "a", "p").collect()[0]
+    assert r["mcc"] is None and r["accuracy"] == 0.5
+
+
+# --- psi_report --------------------------------------------------------------
+
+
+def test_psi_identical_and_onesided(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.evaluation import psi_report
+
+    # identical bin distributions -> PSI 0
+    rows = [("base", 0.1), ("cur", 0.1), ("base", 0.9), ("cur", 0.9)]
+    df = spark.createDataFrame(rows, "slice string, score double")
+    out = psi_report(df, "slice", "base", "cur", "score").collect()[0]
+    assert out["psi"] == 0.0 and out["n_onesided_bins"] == 0
+    assert (out["n_baseline"], out["n_current"]) == (2, 2)
+
+    # a bin populated on one side only is excluded and surfaced
+    rows2 = rows + [("base", 0.5)]
+    df2 = spark.createDataFrame(rows2, "slice string, score double")
+    out2 = psi_report(df2, "slice", "base", "cur", "score").collect()[0]
+    assert out2["n_onesided_bins"] == 1
+    # shared bins now carry 1/3 vs 1/2 mass each
+    import math
+
+    term = (1 / 3 - 0.5) * math.log((1 / 3) / 0.5)
+    assert out2["psi"] == _pt.approx(2 * term, abs=1e-6)
+
+    with _pt.raises(ValueError):
+        psi_report(df, "slice", "base", "base", "score")
+    with _pt.raises(ValueError):
+        psi_report(df, "slice", "base", "cur", "score", n_bins=1)
+
+
+# --- ranking_metrics ---------------------------------------------------------
+
+
+def test_ranking_metrics_hand_case(spark):
+    import math
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.evaluation import ranking_metrics
+
+    # query 1: items a(rel1,s3) b(rel0,s2) c(rel1,s1)
+    #   DCG@5 = 1/log2(2) + 1/log2(4) = 1.5
+    #   IDCG  = 1/log2(2) + 1/log2(3)
+    # query 2: all-zero relevance -> excluded from the means
+    rows = [
+        (1, "a", 1, 3.0), (1, "b", 0, 2.0), (1, "c", 1, 1.0),
+        (2, "d", 0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "q int, item string, rel int, s double")
+    out = ranking_metrics(df, "q", "item", "rel", "s", k=5).collect()[0]
+    assert out["n_queries_total"] == 2 and out["n_queries"] == 1
+    idcg = 1.0 + 1.0 / math.log2(3.0)
+    assert out["ndcg_at_k"] == _pt.approx(1.5 / idcg, abs=1e-6)
+    assert out["mrr_at_k"] == 1.0
+
+    # k truncation: with k=1 only the top item counts
+    out1 = ranking_metrics(df, "q", "item", "rel", "s", k=1).collect()[0]
+    assert out1["ndcg_at_k"] == 1.0  # top item is relevant, ideal@1 = 1
+    with _pt.raises(ValueError):
+        ranking_metrics(df, "q", "item", "rel", "s", k=0)

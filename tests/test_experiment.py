@@ -546,3 +546,33 @@ def test_trend_degenerate_null(spark):
         [(0.0, 1), (1.0, 1)], "dose double, conv int"
     )
     assert trend_test(df2, "dose", "conv").collect()[0]["z"] is None
+
+
+# --- power_mde_report --------------------------------------------------------
+
+
+def test_power_mde_hand_case(spark):
+    import math
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.experiment import power_mde_report
+
+    # both arms [1,2,3]: var 1 each, se = sqrt(2/3)
+    rows = [("t", 1.0), ("t", 2.0), ("t", 3.0),
+            ("c", 1.0), ("c", 2.0), ("c", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = power_mde_report(df, "g", "v", "t", "c").collect()[0]
+    assert (out["n_treatment"], out["n_control"]) == (3, 3)
+    se = math.sqrt(2.0 / 3.0)
+    assert out["se_diff"] == _pt.approx(se, abs=1e-6)
+    assert out["mde_abs"] == _pt.approx((1.959964 + 0.841621) * se, abs=1e-6)
+    assert out["mean_control"] == 2.0
+    assert out["mde_rel"] == _pt.approx(out["mde_abs"] / 2.0, rel=1e-4)
+
+    # an arm with < 2 units has no variance estimate
+    small = spark.createDataFrame([("t", 1.0), ("c", 2.0)], "g string, v double")
+    r = power_mde_report(small, "g", "v", "t", "c").collect()[0]
+    assert r["mde_abs"] is None and r["mean_control"] == 2.0
+    with _pt.raises(ValueError):
+        power_mde_report(df, "g", "v", "t", "c", z_alpha=0.0)

@@ -763,3 +763,42 @@ def test_abc_cumshare_via_bucketed_prefix_sum(spark, queries):
     single-task key-frame sort."""
     plan = plan_of(queries["lineitem_abc"](spark, SF), "simple")
     _assert_no_entity_grain_window(plan)
+
+
+def test_pr_auc_no_single_partition_window_over_scores(spark, queries):
+    """pr_auc: descending cumulatives via the bucketed prefix sum over
+    the distinct-score grain — the Mann-Whitney discipline; a global
+    score-order window would be a single-task corpus sort."""
+    plan = plan_of(queries["events_pr_auc"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    assert "BroadcastHashJoin" in plan, plan  # bucket offsets join
+
+
+def test_ece_bin_aggregation_is_map_side_partial(spark, queries):
+    """ece: the bin collapse must plan a partial aggregation pass (each
+    map task ships <= n_bins rows, never units) and stay entirely
+    JVM-side."""
+    plan = plan_of(queries["events_ece"](spark, SF))
+    assert "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_psi_is_one_bin_keyed_collapse(spark, queries):
+    """psi: one conditional-count bin collapse (map-side partial), the
+    totals a broadcast over the bounded bin frame — the corpus is
+    scanned once."""
+    plan = plan_of(queries["events_psi"](spark, SF), "simple")
+    assert plan.count("Scan parquet") <= 2, plan  # binned + its totals ref
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_ndcg_windows_are_query_partitioned(spark, queries):
+    """ranking_metrics: every rank window PARTITIONS BY the query
+    (bounded per-query frames) — no unpartitioned windowspecdefinition
+    anywhere in the plan."""
+    import re as _re
+
+    plan = plan_of(queries["events_ndcg"](spark, SF), "simple")
+    for spec in _re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "__q" in spec, plan
