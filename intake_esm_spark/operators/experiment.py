@@ -713,6 +713,17 @@ def srm_report(
     expected table a broadcast literal frame — output is
     len(shares)-sized. Determinism: counts exact; contributions fixed
     IEEE over them, 6dp."""
+    _validate_srm_shares(expected_shares)
+    counts = (
+        units.filter(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("variant"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)  # feeds the join + both totals
+    )
+    return srm_from_counts(counts, expected_shares)
+
+
+def _validate_srm_shares(expected_shares: list[tuple[str, float]]) -> None:
     if not expected_shares:
         raise ValueError("expected_shares must be non-empty")
     labels = [lab for lab, _ in expected_shares]
@@ -721,16 +732,24 @@ def srm_report(
     for lab, sh in expected_shares:
         if not sh > 0:
             raise ValueError(f"share for {lab!r} must be > 0, got {sh}")
-    spark = units.sparkSession
+
+
+def srm_from_counts(
+    counts: DataFrame,
+    expected_shares: list[tuple[str, float]],
+) -> DataFrame:
+    """The :func:`srm_report` readout over an ALREADY-COLLAPSED
+    ``(variant, __c)`` count frame — the shared tail that makes the
+    streaming twin (``streaming.stateful.stream_srm``) bit-identical to
+    the batch report: the stream maintains the per-variant counters,
+    and snapshotting them through this function IS the batch operator
+    (same broadcast expectation table, same fixed IEEE contributions).
+    Variants outside the configured set fold into ``n_unassigned``."""
+    _validate_srm_shares(expected_shares)
+    spark = counts.sparkSession
     exp = spark.createDataFrame(
         [(lab, float(sh)) for lab, sh in expected_shares],
         "variant string, expected_share double",
-    )
-    counts = (
-        units.filter(F.col(variant_col).isNotNull())
-        .groupBy(F.col(variant_col).cast("string").alias("variant"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=False)  # feeds the join + both totals
     )
     obs = exp.join(F.broadcast(counts), "variant", "left").select(
         "variant",

@@ -1193,3 +1193,41 @@ def stream_calibration(
     from intake_esm_spark.operators.evaluation import calibration_report
 
     return calibration_report(df, label_col, score_col, n_bins=n_bins)
+
+
+def stream_srm(
+    df: DataFrame,
+    variant_col: str,
+    expected_shares: list[tuple[str, float]],
+) -> DataFrame:
+    """Streaming twin of ``operators.experiment.srm_report``'s counter
+    half — the LIVE sample-ratio-mismatch monitor (an assignment bug
+    shows up in the traffic split within minutes; waiting for the batch
+    readout wastes the experiment). Like the Count-Min and calibration
+    twins, no custom state: per-variant counters are plain additive
+    counts, exactly the class Spark's built-in streaming aggregation
+    maintains in update mode. Unconfigured labels fold into ONE
+    ``__unassigned`` counter pre-aggregation (so state stays bounded at
+    len(shares)+1 rows even if a bug sprays garbage labels); each
+    update row is that arm's new running ``(variant, n_obs)``.
+
+    The chi-square readout needs the cross-variant total — a second
+    aggregation over this one, which streaming update mode cannot
+    legally express — so the twin emits the counters and the snapshot
+    goes through :func:`~.operators.experiment.srm_from_counts`, the
+    SAME code path the batch report tails into: latest-update-per-
+    variant → srm_from_counts == batch srm_report bit-for-bit (integer
+    counters, no rounding anywhere; pinned by the parity test)."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.experiment import _validate_srm_shares
+
+    _validate_srm_shares(expected_shares)
+    labels = [lab for lab, _ in expected_shares]
+    v = F.col(variant_col).cast("string")
+    mapped = df.filter(F.col(variant_col).isNotNull()).select(
+        F.when(v.isin(labels), v).otherwise(F.lit("__unassigned")).alias(
+            "variant"
+        )
+    )
+    return mapped.groupBy("variant").agg(F.count(F.lit(1)).alias("__c"))

@@ -576,3 +576,89 @@ def test_power_mde_hand_case(spark):
     assert r["mde_abs"] is None and r["mean_control"] == 2.0
     with _pt.raises(ValueError):
         power_mde_report(df, "g", "v", "t", "c", z_alpha=0.0)
+
+
+# --- stream_srm --------------------------------------------------------------
+
+
+def test_stream_srm_matches_batch(spark, tmp_path):
+    """Two micro-batches of assigned units: the LAST update per variant,
+    snapshotted through srm_from_counts, equals the whole-corpus batch
+    srm_report exactly (integer counters — the calibration-twin parity
+    argument verbatim)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.experiment import (
+        srm_from_counts,
+        srm_report,
+    )
+    from intake_esm_spark.streaming.stateful import stream_srm
+
+    shares = [("a", 0.5), ("b", 0.5)]
+    rows = (
+        [("a",)] * 11 + [("b",)] * 7 + [("holdout",)] * 3 + [("ghost",)] * 2
+    )
+    df = spark.createDataFrame(rows, "variant string")
+    batch = {
+        r["variant"]: r
+        for r in srm_report(df, "variant", shares).collect()
+    }
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.withColumn("__h", F.crc32(F.col("variant")) + F.lit(1)).filter(
+        F.col("__h") % 2 == 0
+    ).drop("__h").coalesce(1).write.parquet(str(tmp_path / "a"))
+    df.withColumn("__h", F.crc32(F.col("variant")) + F.lit(1)).filter(
+        F.col("__h") % 2 == 1
+    ).drop("__h").coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema("variant string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_srm(stream, "variant", shares)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("srm_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM srm_stream").collect()
+    finally:
+        q.stop()
+    # state is bounded: configured arms + the one __unassigned counter
+    assert {r["variant"] for r in emitted} <= {"a", "b", "__unassigned"}
+    last = {}
+    for r in emitted:  # memory sink appends updates in batch order
+        last[r["variant"]] = r["__c"]
+    counts = spark.createDataFrame(
+        [(k, v) for k, v in last.items()], "variant string, __c long"
+    )
+    streamed = {
+        r["variant"]: r
+        for r in srm_from_counts(counts, shares).collect()
+    }
+    assert set(streamed) == set(batch)
+    for k in batch:
+        for c in (
+            "n_obs",
+            "n_expected",
+            "expected_share",
+            "chi2_contribution",
+            "n_unassigned",
+        ):
+            assert streamed[k][c] == batch[k][c], (k, c)
+    # the unassigned fold caught both garbage labels
+    assert batch["a"]["n_unassigned"] == 5
