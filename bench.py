@@ -202,6 +202,14 @@ BENCH_QUERIES = [
     "docs_keywords",
     "docs_jsd",
     "events_trend_test",
+    # round-10 additions
+    "events_pr_auc",
+    "events_ece",
+    "events_brier",
+    "events_psi",
+    "events_mcc",
+    "events_ndcg",
+    "events_power",
 ]
 
 

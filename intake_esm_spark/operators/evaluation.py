@@ -583,6 +583,23 @@ def psi_report(
     neither slice are excluded. Returns one row ``(n_baseline,
     n_current, n_bins_used, n_onesided_bins, psi)``; psi null when
     either slice is empty."""
+    binned = _psi_bins(df, group_col, baseline, current, score_col, n_bins)
+    return psi_from_bins(binned)
+
+
+def _psi_bins(
+    df: DataFrame,
+    group_col: str,
+    baseline: str,
+    current: str,
+    score_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """The shared bin collapse behind :func:`psi_report` and its
+    streaming twin (``streaming.stateful.stream_psi``): ONE bin-keyed
+    map-side-combined aggregation of ``(bin, __nb, __nc)`` conditional
+    counts — plain additive counters, so the identical plan is a legal
+    streaming aggregation in update mode."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     if baseline == current:
@@ -596,7 +613,7 @@ def psi_report(
         ),
     )
     g = F.col(group_col)
-    binned = (
+    return (
         df.filter(
             g.isin(baseline, current)
             & F.col(score_col).isNotNull()
@@ -609,6 +626,14 @@ def psi_report(
             F.sum((g == current).cast("bigint")).alias("__nc"),
         )
     )
+
+
+def psi_from_bins(binned: DataFrame) -> DataFrame:
+    """The :func:`psi_report` readout over an ALREADY-COLLAPSED
+    ``(bin, __nb, __nc)`` count frame — the shared tail that makes the
+    streaming twin's snapshot bit-identical to the batch report
+    (integer bin counters in, the same 12dp-decimal terms and fixed
+    IEEE expressions out)."""
     tot = binned.agg(
         F.coalesce(F.sum("__nb"), F.lit(0)).alias("__tb"),
         F.coalesce(F.sum("__nc"), F.lit(0)).alias("__tc"),

@@ -1231,3 +1231,32 @@ def stream_srm(
         )
     )
     return mapped.groupBy("variant").agg(F.count(F.lit(1)).alias("__c"))
+
+
+def stream_psi(
+    df: DataFrame,
+    group_col: str,
+    baseline: str,
+    current: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Streaming twin of ``operators.evaluation.psi_report``'s counter
+    half — the LIVE score-drift monitor (a feature pipeline regression
+    shifts the scored population within one deploy window; PSI is the
+    number on the dashboard that catches it). Like the SRM and
+    calibration twins, no custom state: the shared ``_psi_bins``
+    collapse is per-bin conditional ADDITIVE counters — exactly Spark's
+    built-in streaming aggregation in update mode; each update row is
+    that bin's new running ``(bin, __nb, __nc)``, state bounded at
+    ``n_bins`` rows whatever the stream length.
+
+    The PSI scalar needs cross-bin totals — a second aggregation over
+    this one, illegal in streaming update mode — so the snapshot goes
+    through :func:`~.operators.evaluation.psi_from_bins`, the SAME
+    readout the batch report tails into: latest-update-per-bin →
+    psi_from_bins == batch psi_report bit-for-bit (integer counters;
+    pinned by the parity test)."""
+    from intake_esm_spark.operators.evaluation import _psi_bins
+
+    return _psi_bins(df, group_col, baseline, current, score_col, n_bins)

@@ -439,3 +439,77 @@ def test_ranking_metrics_hand_case(spark):
     assert out1["ndcg_at_k"] == 1.0  # top item is relevant, ideal@1 = 1
     with _pt.raises(ValueError):
         ranking_metrics(df, "q", "item", "rel", "s", k=0)
+
+
+def test_stream_psi_matches_batch(spark, tmp_path):
+    """Two micro-batches of scored slices: the LAST update per bin,
+    snapshotted through psi_from_bins, equals the whole-corpus batch
+    psi_report exactly (integer bin counters — the SRM-twin parity
+    argument verbatim)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.evaluation import (
+        psi_from_bins,
+        psi_report,
+    )
+    from intake_esm_spark.streaming.stateful import stream_psi
+
+    rows = (
+        [("base", 0.05), ("cur", 0.07), ("base", 0.15), ("cur", 0.17)] * 4
+        + [("base", 0.95)] * 3  # one-sided bin
+        + [("cur", 0.55), ("base", 0.52)] * 2
+    )
+    df = spark.createDataFrame(rows, "slice string, score double")
+    batch = psi_report(df, "slice", "base", "cur", "score").collect()[0]
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.withColumn("__h", F.crc32(F.col("score").cast("string"))).filter(
+        F.col("__h") % 2 == 0
+    ).drop("__h").coalesce(1).write.parquet(str(tmp_path / "a"))
+    df.withColumn("__h", F.crc32(F.col("score").cast("string"))).filter(
+        F.col("__h") % 2 == 1
+    ).drop("__h").coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_psi(stream, "slice", "base", "cur", "score")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("psi_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM psi_stream").collect()
+    finally:
+        q.stop()
+    last = {}
+    for r in emitted:  # memory sink appends updates in batch order
+        last[r["bin"]] = (r["__nb"], r["__nc"])
+    bins = spark.createDataFrame(
+        [(k, nb, nc) for k, (nb, nc) in last.items()],
+        "bin int, __nb long, __nc long",
+    )
+    streamed = psi_from_bins(bins).collect()[0]
+    for c in (
+        "n_baseline",
+        "n_current",
+        "n_bins_used",
+        "n_onesided_bins",
+        "psi",
+    ):
+        assert streamed[c] == batch[c], c
+    assert batch["n_onesided_bins"] == 1  # the 0.95 bin is base-only
