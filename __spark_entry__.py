@@ -5854,12 +5854,12 @@ def oracle_sql() -> dict[str, str]:
             ), d AS (
               SELECT nt, nc,
                 CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc,
-                (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                greatest((CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
                  * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
-                / (CAST(nt AS DOUBLE) - 1.0) AS vt,
-                (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+                / (CAST(nt AS DOUBLE) - 1.0), 0.0) AS vt,
+                greatest((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
                  * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
-                / (CAST(nc AS DOUBLE) - 1.0) AS vc
+                / (CAST(nc AS DOUBLE) - 1.0), 0.0) AS vc
               FROM m
             )
             SELECT CAST(nt AS BIGINT) AS n_treatment,

@@ -509,10 +509,14 @@ def source_divergence(
     pairwise self-join runs at (vocabulary × pairs) scale on the
     group-token frame, so group cardinality is GUARDED: ``max_groups``
     (default 100 — a mixture has tens of components, not thousands) is
-    validated by one cheap ``limit(N+1)`` distinct probe on the group
-    column, and a caller passing a high-cardinality column (domain
-    instead of source) gets an informative error instead of a quadratic
-    explosion (the linkage ``max_block_rows`` convention). Determinism:
+    enforced LAZILY in-plan by an ``assert_true`` over the
+    group-cardinality totals frame, broadcast onto both probability
+    sides BEFORE the pair join — no eager probe scan, the plan stays
+    lazy like every other operator, and a caller passing a
+    high-cardinality column (domain instead of source) gets an
+    informative runtime error on the join's inputs instead of a
+    quadratic explosion (the linkage ``max_block_rows`` convention,
+    raised at execution rather than construction). Determinism:
     probabilities are exact-integer ratios in double; each
     ``x·ln(...)`` term quantizes to 12dp DECIMAL(28,12) before the
     cross-token sum (the chi-square cell rule), so accumulation is
@@ -527,20 +531,6 @@ def source_divergence(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if max_groups < 2:
         raise ValueError(f"max_groups must be >= 2, got {max_groups}")
-    n_probe = (
-        df.filter(F.col(group_col).isNotNull())
-        .select(group_col)
-        .distinct()
-        .limit(max_groups + 1)
-        .count()
-    )
-    if n_probe > max_groups:
-        raise ValueError(
-            f"source_divergence: {group_col!r} has more than "
-            f"{max_groups} distinct groups — the pair join is "
-            "(vocabulary x pairs)-quadratic in groups; pass a coarser "
-            "group column or raise max_groups explicitly"
-        )
     gt = (
         _spread(df.filter(F.col(group_col).isNotNull()).select(group_col, text_col))
         .select(
@@ -559,13 +549,31 @@ def source_divergence(
         # pinned: feeds both probability sides AND the all-pairs frame
         .localCheckpoint(eager=False)
     )
-    a = gt.join(tot, "grp").select(
+    # LAZY cardinality guard: a 1-row count over the (checkpointed,
+    # group-sized) totals frame, broadcast onto BOTH pair-join inputs as
+    # an assert_true filter — it executes with the plan (no eager probe
+    # scan) and aborts the job before the quadratic join can emit when a
+    # high-cardinality group column sneaks in
+    ngroups = tot.agg(F.count(F.lit(1)).alias("__ng"))
+    guard = F.assert_true(
+        F.col("__ng") <= F.lit(max_groups),
+        F.lit(
+            f"source_divergence: more than {max_groups} distinct groups "
+            "— the pair join is (vocabulary x pairs)-quadratic in "
+            "groups; pass a coarser group column or raise max_groups "
+            "explicitly"
+        ),
+    ).isNull()
+    gt_g = (
+        gt.crossJoin(F.broadcast(ngroups)).filter(guard).drop("__ng")
+    )
+    a = gt_g.join(tot, "grp").select(
         F.col("grp").alias("ga"),
         "token",
         (F.col("n").cast("double") / F.col("tot").cast("double")).alias("pa"),
         F.col("tot").alias("ta"),
     )
-    b = gt.join(tot, "grp").select(
+    b = gt_g.join(tot, "grp").select(
         F.col("grp").alias("gb"),
         "token",
         (F.col("n").cast("double") / F.col("tot").cast("double")).alias("pb"),

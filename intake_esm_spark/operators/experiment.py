@@ -1024,8 +1024,13 @@ def power_mde_report(
 
     def _var(n, s, ss):
         nd = n.cast("double")
-        return (ss.cast("double") - s.cast("double") * s.cast("double") / nd) / (
-            nd - F.lit(1.0)
+        # clamped at 0: the float expansion can dip ~1e-10 below zero on
+        # a constant arm, and sqrt(negative) is NaN, not null — the
+        # CUPED vadj clamp (experiment.py ~l.650) applied here too
+        return F.greatest(
+            (ss.cast("double") - s.cast("double") * s.cast("double") / nd)
+            / (nd - F.lit(1.0)),
+            F.lit(0.0),
         )
 
     var_t = _var(F.col("__nt"), F.col("__st"), F.col("__stt"))

@@ -64,14 +64,20 @@ def bucketed_cumsum(
 
     ``val_col`` must be numeric (it is range-bucketed through a double
     cast; the within-bucket ORDER uses the original column, so decimal
-    sort exactness is preserved).  A constant frame (min = max) — or a
-    frame polluted by NaN, which poisons the span comparison — degrades
-    to one bucket: results stay exact, parallelism does not (callers
-    feeding scores should filter non-finite values).  ``tiebreaks``
-    make the order total; without them, rows tied on ``val_col`` get
-    physical-order cumsums — fine when only value-grain aggregates of
-    the cumsum are consumed (the Mann-Whitney case: one row per
-    distinct value), required otherwise."""
+    sort exactness is preserved).  NULL sort values get their own
+    dedicated bucket at the position Spark's window order gives them —
+    FIRST under ascending, LAST under descending (the default
+    NULLS FIRST/NULLS LAST placement of the unpartitioned windows this
+    replaces); engines whose default null order differs (DuckDB sorts
+    nulls last under ASC) need a null filter upstream for oracle
+    parity.  A constant frame (min = max) — or a frame polluted by NaN,
+    which poisons the span comparison — degrades to one bucket: results
+    stay exact, parallelism does not (callers feeding scores should
+    filter non-finite values).  ``tiebreaks`` make the order total;
+    without them, rows tied on ``val_col`` get physical-order cumsums —
+    fine when only value-grain aggregates of the cumsum are consumed
+    (the Mann-Whitney case: one row per distinct value), required
+    otherwise."""
     ties = list(tiebreaks or [])
     span = df.agg(
         F.min(F.col(val_col).cast("double")).alias("__lo"),
@@ -84,10 +90,19 @@ def bucketed_cumsum(
         * F.lit(float(n_buckets))
     ).cast("int")
     asc_bkt = F.least(F.lit(n_buckets - 1), up)
-    bkt = F.when(
-        F.col("__hi") > F.col("__lo"),
-        F.lit(n_buckets - 1) - asc_bkt if descending else asc_bkt,
-    ).otherwise(F.lit(0))
+    # nulls: a plain F.least would SKIP the null bucket expression and
+    # drop null-valued rows into the last bucket (an arbitrary
+    # mid-order rank) — give them the dedicated first/last bucket the
+    # window null order they replace would
+    null_bkt = F.lit(n_buckets) if descending else F.lit(-1)
+    bkt = (
+        F.when(F.col(val_col).isNull(), null_bkt)
+        .when(
+            F.col("__hi") > F.col("__lo"),
+            F.lit(n_buckets - 1) - asc_bkt if descending else asc_bkt,
+        )
+        .otherwise(F.lit(0))
+    )
     b = (
         df.crossJoin(F.broadcast(span))
         .withColumn("__bkt", bkt)

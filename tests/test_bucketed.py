@@ -98,3 +98,34 @@ def test_sorted_buckets_skip_the_sort(spark, bucketed_tables):
         assert "Sort [" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_rank_null_placement_matches_window_order(spark):
+    """NULL sort values rank FIRST under ascending and LAST under
+    descending — the default null placement of the unpartitioned
+    row_number windows the bucketed rank replaces (a bare F.least would
+    silently drop nulls into the last value bucket, an arbitrary
+    mid-order rank)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.ranks import global_rank
+
+    rows = [(i, float(i)) for i in range(10)] + [(10, None), (11, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    for desc in (False, True):
+        order = [
+            F.col("v").desc() if desc else F.col("v").asc(),
+            F.col("id").asc(),
+        ]
+        expect = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy(*order))
+            ).collect()
+        }
+        got = {
+            r["id"]: r["__rank"]
+            for r in global_rank(df, "v", ["id"], descending=desc).collect()
+        }
+        assert got == expect, (desc, got, expect)

@@ -662,3 +662,20 @@ def test_stream_srm_matches_batch(spark, tmp_path):
             assert streamed[k][c] == batch[k][c], (k, c)
     # the unassigned fold caught both garbage labels
     assert batch["a"]["n_unassigned"] == 5
+
+
+def test_power_mde_constant_arms_zero_not_nan(spark):
+    """A constant arm's variance expansion can dip ~1e-10 below zero in
+    float; sqrt of that is NaN, which Spark sorts ABOVE every number —
+    a silent poison for any downstream effect >= mde gate. Clamped to
+    exactly 0."""
+    import math
+
+    from intake_esm_spark.operators.experiment import power_mde_report
+
+    rows = [("t", 817.077202)] * 30 + [("c", 817.077202)] * 30
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = power_mde_report(df, "g", "v", "t", "c").collect()[0]
+    for c in ("se_diff", "mde_abs", "mde_rel"):
+        assert out[c] is not None and not math.isnan(out[c]), c
+    assert out["se_diff"] == 0.0 and out["mde_abs"] == 0.0

@@ -404,8 +404,11 @@ def test_source_divergence_max_groups_guard(spark):
 
     rows = [(f"g{i}", "x x y y") for i in range(5)]
     df = spark.createDataFrame(rows, "source string, text string")
-    with _pt.raises(ValueError, match="more than 3 distinct groups"):
-        source_divergence(df, "source", "text", max_groups=3)
+    # the guard is LAZY (in-plan assert_true): construction stays cheap,
+    # the informative error fires at execution
+    plan = source_divergence(df, "source", "text", max_groups=3)
+    with _pt.raises(Exception, match="more than 3 distinct groups"):
+        plan.collect()
     # raising the guard admits the same frame
     assert len(source_divergence(df, "source", "text", max_groups=5).collect()) == 10
     with _pt.raises(ValueError):
