@@ -4113,8 +4113,10 @@ def q_docs_jsd(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between source unigram
     distributions (operators/corpus.source_divergence): one
     (source, token) collapse, shared-token pair join at vocabulary
-    scale, 12dp-decimal term sums with the one-sided mass recovered
-    exactly as (2 − Σpa − Σpb)·ln2."""
+    scale (lazily max_groups-guarded in-plan), 12dp-decimal term sums
+    with the one-sided mass recovered exactly as (2 − Σpa − Σpb)·ln2;
+    every unordered pair emits a row — fully-disjoint pairs at exactly
+    ln 2."""
     from intake_esm_spark.operators.corpus import source_divergence
 
     docs = load_table(spark, sf, "documents")
