@@ -55,6 +55,7 @@ def bucketed_cumsum(
     tiebreaks: list[str] | None = None,
     descending: bool = False,
     n_buckets: int = N_RANK_BUCKETS,
+    bounds: tuple[str, str] | None = None,
 ) -> DataFrame:
     """INCLUSIVE prefix sums of ``sum_cols`` over ``df`` globally
     ordered by (``val_col`` asc/desc, ``tiebreaks`` asc) — exact, with
@@ -77,17 +78,31 @@ def bucketed_cumsum(
     without them, rows tied on ``val_col`` get physical-order cumsums —
     fine when only value-grain aggregates of the cumsum are consumed
     (the Mann-Whitney case: one row per distinct value), required
-    otherwise."""
+    otherwise.
+
+    ``bounds`` (optional): names of two columns ALREADY ON ``df``
+    holding a conservative span for ``val_col`` — ``lo ≤`` every value
+    ``≤ hi`` (over-wide is fine: bucketing only needs a monotone
+    assignment, and the top bucket clamps).  Skips the span aggregate +
+    broadcast entirely; callers ranking several metrics over one pinned
+    frame (RFM) fold all spans into the aggregate they already run
+    instead of paying one full-frame pass per metric."""
     ties = list(tiebreaks or [])
-    span = df.agg(
-        F.min(F.col(val_col).cast("double")).alias("__lo"),
-        F.max(F.col(val_col).cast("double")).alias("__hi"),
-    )
+    if bounds is None:
+        span = df.agg(
+            F.min(F.col(val_col).cast("double")).alias("__lo"),
+            F.max(F.col(val_col).cast("double")).alias("__hi"),
+        )
+        df = df.crossJoin(F.broadcast(span))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+        span_drop = ["__lo", "__hi"]
+    else:
+        lo_c = F.col(bounds[0]).cast("double")
+        hi_c = F.col(bounds[1]).cast("double")
+        span_drop = []
     vd = F.col(val_col).cast("double")
     up = F.floor(
-        (vd - F.col("__lo"))
-        / (F.col("__hi") - F.col("__lo"))
-        * F.lit(float(n_buckets))
+        (vd - lo_c) / (hi_c - lo_c) * F.lit(float(n_buckets))
     ).cast("int")
     asc_bkt = F.least(F.lit(n_buckets - 1), up)
     # nulls: a plain F.least would SKIP the null bucket expression and
@@ -98,16 +113,12 @@ def bucketed_cumsum(
     bkt = (
         F.when(F.col(val_col).isNull(), null_bkt)
         .when(
-            F.col("__hi") > F.col("__lo"),
+            hi_c > lo_c,
             F.lit(n_buckets - 1) - asc_bkt if descending else asc_bkt,
         )
         .otherwise(F.lit(0))
     )
-    b = (
-        df.crossJoin(F.broadcast(span))
-        .withColumn("__bkt", bkt)
-        .drop("__lo", "__hi")
-    )
+    b = df.withColumn("__bkt", bkt).drop(*span_drop)
     order = [
         F.col(val_col).desc() if descending else F.col(val_col).asc(),
         *[F.col(t).asc() for t in ties],
@@ -149,17 +160,18 @@ def global_rank(
     tiebreaks: list[str],
     descending: bool = False,
     out_col: str = "__rank",
+    bounds: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Exact 1-based ``row_number`` over the global total order
     (``val_col`` asc/desc, ``tiebreaks`` asc) via the bucketed cumsum of
     a unit count — the drop-in replacement for an unpartitioned
     ``row_number()/ntile()`` window.  ``tiebreaks`` must make the order
     total (typically the entity id) or ranks among ties follow physical
-    order."""
+    order.  ``bounds`` as in :func:`bucketed_cumsum`."""
     marked = df.withColumn("__one", F.lit(1))
     ranked = bucketed_cumsum(
         marked, ["__one"], val_col=val_col, tiebreaks=tiebreaks,
-        descending=descending,
+        descending=descending, bounds=bounds,
     )
     return ranked.withColumnRenamed("__cum___one", out_col).drop("__one")
 

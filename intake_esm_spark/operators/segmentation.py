@@ -58,9 +58,19 @@ def rfm_segments(
         )
         .localCheckpoint(eager=False)
     )
+    # ONE aggregate carries the anchor, the entity count AND a
+    # conservative span for every ranked metric — the three rank passes
+    # then bucket off these broadcast bounds instead of each paying its
+    # own full-frame span aggregate (3 entity-frame passes saved; the
+    # monetary span is widened to include the null→0 coalesce)
     anchor = per_user.agg(
         F.max("__last").alias("__anchor"),
+        F.min("__last").alias("__first"),
         F.count(F.lit(1)).alias("__ne"),
+        F.min("frequency").alias("__lo_f"),
+        F.max("frequency").alias("__hi_f"),
+        F.least(F.min("__m").cast("double"), F.lit(0.0)).alias("__lo_m"),
+        F.greatest(F.max("__m").cast("double"), F.lit(0.0)).alias("__hi_m"),
     )
     base = (
         per_user.crossJoin(F.broadcast(anchor))
@@ -74,9 +84,17 @@ def rfm_segments(
                 F.coalesce(F.col("__m").cast("double"), F.lit(0.0)), 6
             ).alias("monetary"),
             "__ne",
+            F.lit(0.0).alias("__lo_r"),
+            F.datediff(F.to_date("__anchor"), F.to_date("__first"))
+            .cast("double")
+            .alias("__hi_r"),
+            "__lo_f",
+            "__hi_f",
+            "__lo_m",
+            "__hi_m",
         )
-        # pinned: three rank passes each re-reference this frame (span
-        # aggregate + ranked side) — unpinned, each re-plans the join
+        # pinned: three rank passes re-reference this frame — unpinned,
+        # each re-plans the join
         .localCheckpoint(eager=False)
     )
     # higher score = better: recency ranks ASC (0 days ago = tile n),
@@ -84,13 +102,18 @@ def rfm_segments(
     # invert via (n_tiles + 1 - tile) on the ASC order where needed
     nt = n_tiles
     scored = base
-    for rank_col, val, ties_desc, score in [
-        ("__rr", "recency_days", False, "r_score"),
-        ("__rf", "frequency", True, "f_score"),
-        ("__rm", "monetary", True, "m_score"),
+    for rank_col, val, ties_desc, score, bnds in [
+        ("__rr", "recency_days", False, "r_score", ("__lo_r", "__hi_r")),
+        ("__rf", "frequency", True, "f_score", ("__lo_f", "__hi_f")),
+        ("__rm", "monetary", True, "m_score", ("__lo_m", "__hi_m")),
     ]:
         scored = global_rank(
-            scored, val, [key_col], descending=ties_desc, out_col=rank_col
+            scored,
+            val,
+            [key_col],
+            descending=ties_desc,
+            out_col=rank_col,
+            bounds=bnds,
         ).withColumn(
             score,
             F.lit(nt + 1)
