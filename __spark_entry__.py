@@ -4290,6 +4290,44 @@ def q_events_power(spark: SparkSession, sf: str) -> DataFrame:
     return power_mde_report(u, "grp", "value", "t", "c")
 
 
+def q_events_qini(spark: SparkSession, sf: str) -> DataFrame:
+    """Qini / uplift curve (operators/experiment.qini_report) of event
+    value as an uplift score for the parity-split arms with purchase as
+    the outcome: bucketed-prefix-sum deciles (the lift_table plan
+    discipline), exact cumulative arm counts, fixed-IEEE uplift/qini
+    per depth."""
+    from intake_esm_spark.operators.experiment import qini_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("treated"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+        F.col("value").alias("score"),
+    )
+    return qini_report(
+        u, "treated", "converted", "score", "event_id", n_bins=10
+    )
+
+
+def q_events_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive seasonal decomposition (operators/timeseries.
+    seasonal_decompose) of the daily value rollup: centered 7-day
+    moving-average trend (null where the calendar window is not fully
+    present), mean-centered per-phase seasonal over the detrended
+    series, residual remainder — all windows on the calendar-bounded
+    daily frame."""
+    from intake_esm_spark.operators.timeseries import seasonal_decompose
+
+    events = load_table(spark, sf, "events")
+    return seasonal_decompose(events, "value", "ts", period=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4320,6 +4358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mcc": q_events_mcc,
         "events_ndcg": q_events_ndcg,
         "events_power": q_events_power,
+        "events_qini": q_events_qini,
+        "events_seasonal": q_events_seasonal,
         # Block 3: code changed in round 10 — the four entity-grain
         # windows rewritten on ranks.bucketed_cumsum (r9 verdict task #2)
         # plus MW/KS whose _cum_by_value now delegates to the shared
@@ -4337,6 +4377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_profile_drift": q_customer_profile_drift,
         # Block 5: the oldest driver rows (r6 cohort) — re-verified for
         # freshness now that every entry has a cumulative driver row.
+        # The 50-entry driver window ends partway through this block
+        # (every entry below already has a cumulative driver row, so
+        # nothing is lost where the cut falls).
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
@@ -5882,6 +5925,95 @@ def oracle_sql() -> dict[str, str]:
                                   + vc / CAST(nc AS DOUBLE)) / mc, 6)
                      END AS mde_rel
             FROM d
+        """,
+        # replays experiment.qini_report: score-desc ntile deciles,
+        # cumulative arm counts, uplift and Qini per depth
+        "events_qini": """
+            WITH u AS (
+              SELECT event_id AS id, CAST(user_id % 2 AS INT) AS t,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y,
+                     value AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                    AND value IS NOT NULL AND event_id IS NOT NULL
+            ), b AS (
+              SELECT ntile(10) OVER (ORDER BY s DESC, id) AS bin, t, y
+              FROM u
+            ), pb AS (
+              SELECT bin, count(*) AS n_units,
+                     sum(t) AS nt, sum(1 - t) AS nc,
+                     sum(y * t) AS yt, sum(y * (1 - t)) AS yc
+              FROM b GROUP BY bin
+            ), c AS (
+              SELECT bin, n_units,
+                sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+                sum(yt) OVER w AS cyt, sum(yc) OVER w AS cyc
+              FROM pb
+              WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT CAST(bin AS INT) AS bin,
+                   CAST(n_units AS BIGINT) AS n_units,
+                   CAST(cnt AS BIGINT) AS cum_n_treat,
+                   CAST(cnc AS BIGINT) AS cum_n_ctrl,
+                   CAST(cyt AS BIGINT) AS cum_resp_treat,
+                   CAST(cyc AS BIGINT) AS cum_resp_ctrl,
+                   CASE WHEN cnt > 0 AND cnc > 0 THEN
+                     round(CAST(cyt AS DOUBLE) / CAST(cnt AS DOUBLE)
+                           - CAST(cyc AS DOUBLE) / CAST(cnc AS DOUBLE), 6)
+                     END AS uplift_at_depth,
+                   CASE WHEN cnc > 0 THEN
+                     round(CAST(cyt AS DOUBLE)
+                           - CAST(cyc AS DOUBLE) * CAST(cnt AS DOUBLE)
+                             / CAST(cnc AS DOUBLE), 6)
+                     END AS qini
+            FROM c
+        """,
+        # replays timeseries.seasonal_decompose: decimal daily totals,
+        # centered full-window 7-day MA trend, 12dp-decimal detrended
+        # phase means (mean-centered), residual remainder
+        "events_seasonal": """
+            WITH d AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     sum(CAST(value AS DECIMAL(18,6))) AS rd
+              FROM events GROUP BY 1
+            ), dn AS (
+              SELECT day, rd,
+                     date_diff('day', DATE '1970-01-01', day) AS n
+              FROM d
+            ), t AS (
+              SELECT day, n, CAST(rd AS DOUBLE) AS y,
+                     CASE WHEN count(*) OVER w = 7 THEN
+                       CAST(sum(rd) OVER w AS DOUBLE) / 7.0 END AS tr,
+                     n % 7 AS phase
+              FROM dn
+              WINDOW w AS (ORDER BY n RANGE BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING)
+            ), pm AS (
+              SELECT phase,
+                     CAST(round(CAST(sum(CAST(round(y - tr, 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 12)
+                       AS DECIMAL(28,12)) AS m
+              FROM t WHERE tr IS NOT NULL GROUP BY phase
+            ), ctr AS (
+              SELECT CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS c
+              FROM pm
+            ), s AS (
+              SELECT phase, CAST(m AS DOUBLE) - c AS sv
+              FROM pm CROSS JOIN ctr
+            )
+            SELECT CAST(t.day AS VARCHAR) AS day,
+                   round(t.y, 6) AS value,
+                   round(t.tr, 6) AS trend,
+                   round(CASE WHEN t.tr IS NOT NULL THEN s.sv END, 6)
+                     AS seasonal,
+                   round(t.y - t.tr
+                         - CASE WHEN t.tr IS NOT NULL THEN s.sv END, 6)
+                     AS residual
+            FROM t LEFT JOIN s ON t.phase = s.phase
         """,
         # replays experiment.trend_test: Cochran-Armitage z over exact
         # decimal dose moments, purchase conversion, 5 hash tiers

@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "events_mcc",
     "events_ndcg",
     "events_power",
+    "events_qini",
+    "events_seasonal",
 ]
 
 

@@ -408,3 +408,86 @@ def theil_sen_trend(
         )
     )
     return out
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily rollup:
+    ``value = trend + seasonal + residual`` — the "is Monday always low
+    or is something broken" view that turns the raw daily series into
+    three readable components (the moving-average sibling of
+    :func:`seasonal_naive_backtest`, which scores rather than
+    explains). Trend is the centered ``period``-day moving average
+    (null at the edges and wherever the calendar window is not fully
+    present — gaps make a centered average lie); seasonal is the
+    mean-centered per-phase (``epoch_day mod period``) average of the
+    detrended series; residual is what remains.
+
+    ``period`` must be odd and >= 3 (a centered window needs a middle
+    day; weekly = 7). Scale: everything after the ONE day-grain
+    collapse runs on the calendar-bounded daily frame — the documented
+    benign window class shared with the rollup/anomaly operators; the
+    phase table is ``period`` rows, broadcast back.
+
+    Determinism: daily totals are exact DECIMAL(18,6); trend is one
+    fixed IEEE division of the exact window sum; detrended values
+    quantize to 12dp DECIMAL(28,12) before the per-phase mean (the
+    chi-square cell rule), per-phase means re-quantize to 12dp before
+    the centering sum, so every accumulation is order-independent;
+    outputs are 6dp. Returns ``(day, value, trend, seasonal, residual)``
+    — seasonal/residual null where trend is null."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = period // 2
+    daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
+        eager=False
+    )  # pinned: feeds the trend frame AND the phase aggregate
+    w = Window.orderBy("__dn").rangeBetween(-half, half)
+    full = F.count(F.lit(1)).over(w) == period
+    trend = F.when(
+        full,
+        F.sum("__rd").over(w).cast("double") / F.lit(float(period)),
+    )
+    t_frame = daily.select(
+        "day",
+        "__dn",
+        F.col("__rd").cast("double").alias("__y"),
+        trend.alias("__t"),
+        F.pmod(F.col("__dn"), F.lit(period)).alias("__phase"),
+    ).localCheckpoint(eager=False)  # feeds phase means AND the output
+    det_q = F.round(F.col("__y") - F.col("__t"), 12).cast("decimal(28,12)")
+    phase_means = (
+        t_frame.filter(F.col("__t").isNotNull())
+        .groupBy("__phase")
+        .agg(
+            F.round(
+                F.sum(det_q).cast("double") / F.count(F.lit(1)).cast("double"),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("__pm")
+        )
+    )
+    center = phase_means.agg(
+        (
+            F.sum("__pm").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__c")
+    )
+    seas = phase_means.crossJoin(F.broadcast(center)).select(
+        "__phase",
+        (F.col("__pm").cast("double") - F.col("__c")).alias("__s"),
+    )
+    out = t_frame.join(F.broadcast(seas), "__phase", "left")
+    seasonal = F.when(F.col("__t").isNotNull(), F.col("__s"))
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("__y"), 6).alias("value"),
+        F.round(F.col("__t"), 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(F.col("__y") - F.col("__t") - seasonal, 6).alias("residual"),
+    )

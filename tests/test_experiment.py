@@ -679,3 +679,47 @@ def test_power_mde_constant_arms_zero_not_nan(spark):
     for c in ("se_diff", "mde_abs", "mde_rel"):
         assert out[c] is not None and not math.isnan(out[c]), c
     assert out["se_diff"] == 0.0 and out["mde_abs"] == 0.0
+
+
+# --- qini_report -------------------------------------------------------------
+
+
+def test_qini_hand_case(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.experiment import qini_report
+
+    # 8 units, scores 8..1 desc, alternating arms; hand-traced cums
+    rows = [
+        (1, 8.0, 1, 1), (2, 7.0, 0, 0), (3, 6.0, 1, 1), (4, 5.0, 0, 1),
+        (5, 4.0, 1, 0), (6, 3.0, 0, 0), (7, 2.0, 1, 0), (8, 1.0, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "id int, s double, t int, y int")
+    out = {
+        r["bin"]: r
+        for r in qini_report(df, "t", "y", "s", "id", n_bins=4).collect()
+    }
+    assert out[1]["uplift_at_depth"] == 1.0 and out[1]["qini"] == 1.0
+    assert out[2]["uplift_at_depth"] == 0.5 and out[2]["qini"] == 1.0
+    assert out[3]["uplift_at_depth"] == _pt.approx(1 / 3, abs=1e-6)
+    assert out[3]["qini"] == 1.0
+    assert out[4]["uplift_at_depth"] == 0.0 and out[4]["qini"] == 0.0
+    assert out[4]["cum_n_treat"] == 4 and out[4]["cum_resp_ctrl"] == 2
+    with _pt.raises(ValueError):
+        qini_report(df, "t", "y", "s", "id", n_bins=1)
+
+
+def test_qini_flat_for_pure_propensity_score(spark):
+    """A score that ranks by OUTCOME propensity (not uplift) puts equal
+    treated/control responders first — qini stays ~0 at every depth
+    when arms behave identically."""
+    from intake_esm_spark.operators.experiment import qini_report
+
+    rows = []
+    for i in range(200):
+        y = 1 if i < 100 else 0
+        rows.append((i, float(200 - i), i % 2, y))
+    df = spark.createDataFrame(rows, "id int, s double, t int, y int")
+    out = qini_report(df, "t", "y", "s", "id", n_bins=5).collect()
+    for r in out:
+        assert abs(r["qini"]) < 1e-9, r

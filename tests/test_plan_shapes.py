@@ -802,3 +802,21 @@ def test_ndcg_windows_are_query_partitioned(spark, queries):
     plan = plan_of(queries["events_ndcg"](spark, SF), "simple")
     for spec in _re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "__q" in spec, plan
+
+
+def test_qini_ranks_via_bucketed_prefix_sum(spark, queries):
+    """qini: score-desc deciles via the bucketed rank (the lift_table
+    discipline) — no single-task row-frame sort; the only unpartitioned
+    window left is the n_bins cumulative frame."""
+    plan = plan_of(queries["events_qini"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    assert "ntile" not in plan, plan
+
+
+def test_seasonal_windows_are_day_grain_only(spark, queries):
+    """seasonal_decompose: one day-grain collapse, then every window
+    runs on the calendar-bounded daily frame (the timeseries benign
+    class); the phase table joins back as a broadcast."""
+    plan = plan_of(queries["events_seasonal"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

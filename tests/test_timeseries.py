@@ -360,3 +360,76 @@ def test_theil_sen_single_day(spark):
     r = theil_sen_trend(df).collect()[0]
     assert r["n_days"] == 1 and r["n_pairs"] == 0
     assert r["slope"] is None and r["intercept"] is None
+
+
+# --- seasonal_decompose ------------------------------------------------------
+
+
+def test_seasonal_decompose_pure_weekly_pattern(spark):
+    """A constant-level series with an exact weekly pattern decomposes
+    into flat trend = overall mean, mean-centered per-phase seasonal,
+    and ZERO residual on every full-window day."""
+    import datetime
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.timeseries import seasonal_decompose
+
+    effects = [0.0, 10.0, -5.0, 3.0, -3.0, 7.0, -12.0]
+    base = datetime.date(2024, 1, 1)
+    epoch = datetime.date(1970, 1, 1)
+    rows = []
+    for d in range(21):
+        day = base + datetime.timedelta(days=d)
+        phase = (day - epoch).days % 7
+        rows.append(
+            (datetime.datetime.combine(day, datetime.time(12)),
+             100.0 + effects[phase])
+        )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["day"]: r for r in seasonal_decompose(df).collect()}
+    assert len(out) == 21
+    mean_level = 100.0 + sum(effects) / 7.0
+    full = [r for r in out.values() if r["trend"] is not None]
+    assert len(full) == 21 - 6  # 3 edge days lost each side
+    for r in full:
+        assert r["trend"] == _pt.approx(mean_level, abs=1e-6)
+        assert r["residual"] == _pt.approx(0.0, abs=1e-6)
+        assert r["value"] == _pt.approx(
+            r["trend"] + r["seasonal"] + r["residual"], abs=1e-6
+        )
+    # seasonal indexes are mean-centered
+    seas = {r["seasonal"] for r in full}
+    assert abs(sum(seas)) < 1e-6 and len(seas) == 7
+    with _pt.raises(ValueError):
+        seasonal_decompose(df, period=6)
+
+
+def test_seasonal_decompose_gap_nulls_trend(spark):
+    """A missing calendar day breaks every centered window that spans
+    it — trend (and with it seasonal/residual) is null there instead of
+    a silently-shrunken average."""
+    import datetime
+
+    from intake_esm_spark.operators.timeseries import seasonal_decompose
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=d),
+                                   datetime.time(12)), 100.0)
+        for d in range(15) if d != 7
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["day"]: r for r in seasonal_decompose(df).collect()}
+    assert "2024-01-08" not in out  # the gap day itself has no row
+    # days 4..10 (0-indexed) have windows spanning the gap -> null trend
+    for d in range(15):
+        if d == 7:
+            continue
+        day = str(base + datetime.timedelta(days=d))
+        near_gap = 4 <= d <= 10
+        edge = d < 3 or d > 11
+        if near_gap or edge:
+            assert out[day]["trend"] is None, day
+        else:
+            assert out[day]["trend"] == 100.0, day
