@@ -4328,6 +4328,30 @@ def q_events_seasonal(spark: SparkSession, sf: str) -> DataFrame:
     return seasonal_decompose(events, "value", "ts", period=7)
 
 
+def q_events_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-rank survival-curve test (operators/survival.logrank_test)
+    between the parity arms with value as a CONTINUOUS duration and
+    purchase as the event — the at-risk reverse cumulatives run on the
+    bucketed prefix sum (distinct durations ~ subjects here, so the
+    km-style event-time window exception would not hold); 12dp-decimal
+    O−E / variance terms, one fixed IEEE z."""
+    from intake_esm_spark.operators.survival import logrank_test
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("t"))
+        .otherwise(F.lit("c"))
+        .alias("grp"),
+        F.col("value").alias("dur"),
+        (F.col("event_type") == "purchase").cast("int").alias("ev"),
+    )
+    return logrank_test(u, "grp", "dur", "ev", "t", "c")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4360,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power": q_events_power,
         "events_qini": q_events_qini,
         "events_seasonal": q_events_seasonal,
+        "events_logrank": q_events_logrank,
         # Block 3: code changed in round 10 — the four entity-grain
         # windows rewritten on ranks.bucketed_cumsum (r9 verdict task #2)
         # plus MW/KS whose _cum_by_value now delegates to the shared
@@ -6014,6 +6039,63 @@ def oracle_sql() -> dict[str, str]:
                          - CASE WHEN t.tr IS NOT NULL THEN s.sv END, 6)
                      AS residual
             FROM t LEFT JOIN s ON t.phase = s.phase
+        """,
+        # replays survival.logrank_test: duration-grain collapse,
+        # reverse-cumulative at-risk counts, 12dp-decimal O-E/variance
+        "events_logrank": """
+            WITH u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+                     value AS t,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS e
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+                    AND event_type IS NOT NULL
+            ), pt AS (
+              SELECT t, sum(e * g1) AS d1, sum(e) AS d,
+                     sum(g1) AS a1, count(*) AS a
+              FROM u GROUP BY t
+            ), tot AS (
+              SELECT coalesce(sum(a1), 0) AS t1, coalesce(sum(a), 0) AS ta,
+                     coalesce(sum(d), 0) AS td
+              FROM pt
+            ), c AS (
+              SELECT d1, d,
+                     t1 - sum(a1) OVER w + a1 AS n1,
+                     ta - sum(a) OVER w + a AS n
+              FROM pt CROSS JOIN tot
+              WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ), m AS (
+              SELECT
+                sum(CAST(round(CAST(d1 AS DOUBLE)
+                               - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                                 / CAST(n AS DOUBLE), 12)
+                         AS DECIMAL(28,12))) AS oe,
+                sum(CAST(round(CASE WHEN n > 1 THEN
+                      CAST(d AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0)
+                      ELSE 0.0 END, 12) AS DECIMAL(28,12))) AS v
+              FROM c WHERE d > 0
+            )
+            , zz AS (
+              SELECT t1, ta, td,
+                     CASE WHEN CAST(v AS DOUBLE) > 0
+                          THEN CAST(oe AS DOUBLE)
+                               / sqrt(CAST(v AS DOUBLE)) END AS zv
+              FROM tot CROSS JOIN m
+            )
+            SELECT CAST(t1 AS BIGINT) AS n_treatment,
+                   CAST(ta - t1 AS BIGINT) AS n_control,
+                   CAST(td AS BIGINT) AS n_events,
+                   round(zv, 6) AS z,
+                   round(zv * zv, 6) AS chi2,
+                   CAST(coalesce(abs(round(zv, 6)) >= 1.959964, FALSE)
+                        AS INT) AS significant
+            FROM zz
         """,
         # replays experiment.trend_test: Cochran-Armitage z over exact
         # decimal dose moments, purchase conversion, 5 hash tiers

@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "events_power",
     "events_qini",
     "events_seasonal",
+    "events_logrank",
 ]
 
 

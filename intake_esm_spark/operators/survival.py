@@ -99,3 +99,101 @@ def km_survival(
         F.round("hazard", 6).alias("hazard"),
         F.round("survival", 6).alias("survival"),
     )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    treatment: str,
+    control: str,
+    z_threshold: float = 1.959964,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test that two survival curves differ — the
+    significance companion to :func:`km_survival` (eyeballing two KM
+    curves cannot say whether the gap is noise; this is the standard
+    test): at each event time, the treatment arm's observed deaths are
+    compared with the expectation under the shared-hazard null,
+    ``E₁ = d·n₁/n`` with hypergeometric variance
+    ``V = d·(n₁/n)·(1 − n₁/n)·(n − d)/(n − 1)``, and
+    ``z = Σ(d₁ − E₁)/√ΣV`` (``chi2 = z²``, 1 dof).
+
+    Scale: one subject-frame collapse to the duration grain, then the
+    at-risk counts are reverse cumulatives built from the bucketed
+    prefix sum (:func:`~.ranks.bucketed_cumsum` over the duration
+    grain: ``n(t) = total − cum(t) + at(t)``) — for CONTINUOUS
+    durations distinct times ≈ subjects, so this operator does NOT
+    lean on km_survival's bounded event-time-grain window exception;
+    nothing sorts in one task at any duration grain.
+
+    Determinism: counts are exact integers; each per-time ``d₁ − E₁``
+    and ``V`` term quantizes to 12dp DECIMAL(28,12) before the sum
+    (order-independent); z is one fixed IEEE expression, 6dp. Null
+    group/duration/event excludes the subject; z is null when ΣV = 0
+    (no comparable event times). Returns one row ``(n_treatment,
+    n_control, n_events, z, chi2, significant)``."""
+    from .ranks import bucketed_cumsum
+
+    obs = subjects.filter(
+        F.col(group_col).isin(treatment, control)
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    ).select(
+        F.col(duration_col).alias("__val"),
+        (F.col(group_col) == treatment).cast("bigint").alias("__g1"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per_t = (
+        obs.groupBy("__val")
+        .agg(
+            F.sum(F.col("__e") * F.col("__g1")).alias("__d1"),
+            F.sum("__e").alias("__d"),
+            F.sum("__g1").alias("__a1"),
+            F.count(F.lit(1)).alias("__a"),
+        )
+        .localCheckpoint(eager=False)  # feeds the totals AND the cumsum
+    )
+    tot = per_t.agg(
+        F.coalesce(F.sum("__a1"), F.lit(0)).alias("__t1"),
+        F.coalesce(F.sum("__a"), F.lit(0)).alias("__ta"),
+        F.coalesce(F.sum("__d"), F.lit(0)).alias("__td"),
+    )
+    cum = bucketed_cumsum(per_t, ["__a1", "__a"], val_col="__val").crossJoin(
+        F.broadcast(tot)
+    )
+    # at-risk = subjects with duration >= t, per arm and overall
+    n1 = (F.col("__t1") - F.col("__cum___a1") + F.col("__a1")).cast("double")
+    n = (F.col("__ta") - F.col("__cum___a") + F.col("__a")).cast("double")
+    d = F.col("__d").cast("double")
+    e1 = d * n1 / n
+    v = F.when(
+        n > 1.0,
+        d * (n1 / n) * (F.lit(1.0) - n1 / n) * (n - d) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    ev = cum.filter(F.col("__d") > 0)
+    sums = ev.agg(
+        F.sum(
+            F.round(F.col("__d1").cast("double") - e1, 12).cast(
+                "decimal(28,12)"
+            )
+        ).alias("__oe"),
+        F.sum(F.round(v, 12).cast("decimal(28,12)")).alias("__v"),
+    )
+    # totals frame carries the counts even when no events exist at all
+    out = tot.crossJoin(F.broadcast(sums))
+    z = F.when(
+        F.col("__v").cast("double") > 0,
+        F.col("__oe").cast("double") / F.sqrt(F.col("__v").cast("double")),
+    )
+    return out.select(
+        F.col("__t1").alias("n_treatment"),
+        (F.col("__ta") - F.col("__t1")).alias("n_control"),
+        F.col("__td").alias("n_events"),
+        F.round(z, 6).alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+        F.coalesce(
+            (F.abs(F.round(z, 6)) >= F.lit(z_threshold)).cast("int"),
+            F.lit(0),
+        ).alias("significant"),
+    )

@@ -820,3 +820,12 @@ def test_seasonal_windows_are_day_grain_only(spark, queries):
     plan = plan_of(queries["events_seasonal"](spark, SF), "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_logrank_at_risk_via_bucketed_prefix_sum(spark, queries):
+    """logrank: reverse-cumulative at-risk counts over the duration
+    grain come from the bucketed prefix sum — continuous durations make
+    distinct times ~ subjects, so the km-style bounded-frame window
+    exception would NOT hold here."""
+    plan = plan_of(queries["events_logrank"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)

@@ -99,3 +99,62 @@ def test_km_nulls_excluded(spark):
     )
     out = km_survival(subj, "dur", "ev").collect()
     assert len(out) == 1 and out[0]["n_at_risk"] == 1
+
+
+# --- logrank_test ------------------------------------------------------------
+
+
+def test_logrank_matches_reference_computation(spark):
+    """Hand reference: per event time, O-E and hypergeometric variance
+    computed by a plain python loop over the same subjects (ties and
+    censoring included)."""
+    import math
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.survival import logrank_test
+
+    # (treated?, duration, event): ties at 3 and 5, censored rows mixed
+    data = [
+        (1, 1.0, 1), (1, 3.0, 1), (1, 3.0, 0), (1, 5.0, 1), (1, 7.0, 0),
+        (1, 9.0, 1), (0, 2.0, 1), (0, 3.0, 1), (0, 4.0, 1), (0, 5.0, 1),
+        (0, 6.0, 0), (0, 8.0, 1),
+    ]
+    oe = vv = 0.0
+    for t in sorted({d for _, d, e in data if e == 1}):
+        n1 = sum(1 for g, d, _ in data if g and d >= t)
+        n = sum(1 for _, d, _ in data if d >= t)
+        d1 = sum(1 for g, d, e in data if g and d == t and e)
+        dd = sum(1 for _, d, e in data if d == t and e)
+        oe += d1 - dd * n1 / n
+        if n > 1:
+            vv += dd * (n1 / n) * (1 - n1 / n) * (n - dd) / (n - 1)
+    expect_z = oe / math.sqrt(vv)
+
+    rows = [("t" if g else "c", d, e) for g, d, e in data]
+    df = spark.createDataFrame(rows, "grp string, dur double, ev int")
+    out = logrank_test(df, "grp", "dur", "ev", "t", "c").collect()[0]
+    assert (out["n_treatment"], out["n_control"]) == (6, 6)
+    assert out["n_events"] == 9
+    assert out["z"] == _pt.approx(expect_z, abs=1e-5)
+    assert out["chi2"] == _pt.approx(expect_z * expect_z, abs=1e-5)
+
+
+def test_logrank_identical_arms_is_null_or_zero(spark):
+    """Same durations in both arms: O = E at every time, z ~ 0; an
+    event-free frame yields null z with counts intact."""
+    from intake_esm_spark.operators.survival import logrank_test
+
+    rows = [("t", float(d), 1) for d in range(1, 8)] + [
+        ("c", float(d), 1) for d in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "grp string, dur double, ev int")
+    out = logrank_test(df, "grp", "dur", "ev", "t", "c").collect()[0]
+    assert out["z"] == 0.0 and out["significant"] == 0
+
+    censored = spark.createDataFrame(
+        [("t", 1.0, 0), ("c", 2.0, 0)], "grp string, dur double, ev int"
+    )
+    r = logrank_test(censored, "grp", "dur", "ev", "t", "c").collect()[0]
+    assert r["z"] is None and r["n_events"] == 0
+    assert (r["n_treatment"], r["n_control"]) == (1, 1)
