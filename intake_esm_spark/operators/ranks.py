@@ -161,6 +161,7 @@ def global_rank(
     descending: bool = False,
     out_col: str = "__rank",
     bounds: tuple[str, str] | None = None,
+    n_buckets: int = N_RANK_BUCKETS,
 ) -> DataFrame:
     """Exact 1-based ``row_number`` over the global total order
     (``val_col`` asc/desc, ``tiebreaks`` asc) via the bucketed cumsum of
@@ -171,7 +172,7 @@ def global_rank(
     marked = df.withColumn("__one", F.lit(1))
     ranked = bucketed_cumsum(
         marked, ["__one"], val_col=val_col, tiebreaks=tiebreaks,
-        descending=descending, bounds=bounds,
+        descending=descending, bounds=bounds, n_buckets=n_buckets,
     )
     return ranked.withColumnRenamed("__cum___one", out_col).drop("__one")
 

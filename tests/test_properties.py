@@ -494,3 +494,70 @@ def test_link_pred_equals_bruteforce(spark, pairs):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-50, max_value=50).map(float),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    desc=st.booleans(),
+    n_buckets=st.sampled_from([2, 7, 64]),
+)
+def test_bucketed_rank_equals_window_row_number(spark, vals, desc, n_buckets):
+    """ranks.global_rank == unpartitioned row_number() over the same
+    total order, for ANY value multiset (heavy ties), null placement
+    (NULLS FIRST asc / LAST desc), direction, and bucket fan-out —
+    the exactness contract the round-10 rewrites stand on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.ranks import global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id").asc()]
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    got = {
+        r["id"]: r["__rank"]
+        for r in global_rank(
+            df, "v", ["id"], descending=desc, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_rows=st.integers(min_value=1, max_value=40),
+    n_tiles=st.integers(min_value=2, max_value=9),
+)
+def test_ntile_from_rank_equals_sql_ntile(spark, n_rows, n_tiles):
+    """ranks.ntile_from_rank reproduces F.ntile's remainder rule for
+    every (N, n) shape — including N < n where each row sits alone."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.ranks import ntile_from_rank
+
+    df = spark.range(1, n_rows + 1).withColumnRenamed("id", "rk")
+    w = Window.orderBy("rk")
+    out = df.select(
+        "rk",
+        F.ntile(n_tiles).over(w).alias("expect"),
+        ntile_from_rank(
+            F.col("rk"), F.lit(n_rows).cast("bigint"), n_tiles
+        ).alias("got"),
+    ).collect()
+    for r in out:
+        assert r["got"] == r["expect"], (n_rows, n_tiles, r)
