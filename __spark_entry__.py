@@ -4352,6 +4352,42 @@ def q_events_logrank(spark: SparkSession, sf: str) -> DataFrame:
     return logrank_test(u, "grp", "dur", "ev", "t", "c")
 
 
+def q_events_prop_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilson score intervals (operators/experiment.proportion_ci_report)
+    for the purchase rate of three hash arms — one variant-keyed count
+    collapse, in-row IEEE interval arithmetic, [0,1]-clamped bounds."""
+    from intake_esm_spark.operators.experiment import proportion_ci_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return proportion_ci_report(u, "variant", "conv").orderBy("variant")
+
+
+def q_events_eb_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes shrunk per-user purchase rates (operators/
+    experiment.eb_shrunk_rates): method-of-moments beta-binomial prior
+    from one pinned entity collapse + one broadcast moment row;
+    12dp-decimal rate moments, fixed-IEEE shrinkage."""
+    from intake_esm_spark.operators.experiment import eb_shrunk_rates
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("user_id"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return eb_shrunk_rates(u, "user_id", "conv")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4385,6 +4421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_qini": q_events_qini,
         "events_seasonal": q_events_seasonal,
         "events_logrank": q_events_logrank,
+        "events_prop_ci": q_events_prop_ci,
+        "events_eb_rates": q_events_eb_rates,
         # Block 3: code changed in round 10 — the four entity-grain
         # windows rewritten on ranks.bucketed_cumsum (r9 verdict task #2)
         # plus MW/KS whose _cum_by_value now delegates to the shared
@@ -6096,6 +6134,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(abs(round(zv, 6)) >= 1.959964, FALSE)
                         AS INT) AS significant
             FROM zz
+        """,
+        # replays experiment.proportion_ci_report: Wilson interval,
+        # in-row IEEE arithmetic over exact variant counts
+        "events_prop_ci": """
+            WITH u AS (
+              SELECT CASE user_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                          ELSE 'c' END AS variant,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), pv AS (
+              SELECT variant, count(*) AS n, coalesce(sum(conv), 0) AS x
+              FROM u GROUP BY variant
+            ), c AS (
+              SELECT variant, n, x,
+                     CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(1.959964 AS DOUBLE) AS z,
+                     CAST(1.959964 AS DOUBLE) * CAST(1.959964 AS DOUBLE)
+                       AS z2
+              FROM pv
+            )
+            SELECT variant,
+                   CAST(n AS BIGINT) AS n_units,
+                   CAST(x AS BIGINT) AS n_converted,
+                   round(p, 6) AS rate,
+                   round(greatest(
+                     (p + z2 / (2.0 * nd)
+                      - z * sqrt(p * (1.0 - p) / nd
+                                 + z2 / (4.0 * nd * nd)))
+                     / (1.0 + z2 / nd), 0.0), 6) AS ci_low,
+                   round(least(
+                     (p + z2 / (2.0 * nd)
+                      + z * sqrt(p * (1.0 - p) / nd
+                                 + z2 / (4.0 * nd * nd)))
+                     / (1.0 + z2 / nd), 1.0), 6) AS ci_high
+            FROM c ORDER BY variant
+        """,
+        # replays experiment.eb_shrunk_rates: 12dp-decimal rate moments,
+        # method-of-moments beta-binomial prior, per-entity shrinkage
+        "events_eb_rates": """
+            WITH u AS (
+              SELECT user_id,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), pk AS (
+              SELECT user_id, count(*) AS n, coalesce(sum(conv), 0) AS x
+              FROM u GROUP BY user_id
+            ), mom AS (
+              SELECT count(*) AS k,
+                sum(CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 12)
+                         AS DECIMAL(28,12))) AS sr,
+                sum(CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                               * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)),
+                               12) AS DECIMAL(28,12))) AS sr2
+              FROM pk
+            ), pr AS (
+              SELECT k,
+                     CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS m,
+                     CASE WHEN k > 1 THEN
+                       (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE)
+                        * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+                       / (CAST(k AS DOUBLE) - 1.0) END AS v
+              FROM mom
+            ), st AS (
+              SELECT m,
+                     CASE WHEN v IS NOT NULL AND v > 0
+                               AND m * (1.0 - m) > v
+                          THEN (m * (1.0 - m) - v) / v END AS strength
+              FROM pr
+            )
+            SELECT pk.user_id,
+                   CAST(n AS BIGINT) AS n_units,
+                   CAST(x AS BIGINT) AS n_converted,
+                   round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+                   round(strength, 6) AS prior_strength,
+                   round(CASE WHEN strength IS NOT NULL THEN
+                           (CAST(x AS DOUBLE) + m * strength)
+                           / (CAST(n AS DOUBLE) + strength)
+                         ELSE CAST(x AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+                     AS shrunk_rate
+            FROM pk CROSS JOIN st
         """,
         # replays experiment.trend_test: Cochran-Armitage z over exact
         # decimal dose moments, purchase conversion, 5 hash tiers

@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "events_qini",
     "events_seasonal",
     "events_logrank",
+    "events_prop_ci",
+    "events_eb_rates",
 ]
 
 

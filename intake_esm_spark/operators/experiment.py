@@ -1148,3 +1148,136 @@ def qini_report(
         F.round(uplift, 6).alias("uplift_at_depth"),
         F.round(qini, 6).alias("qini"),
     )
+
+
+def proportion_ci_report(
+    units: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-variant Wilson score interval for the conversion rate — the
+    CI that belongs NEXT TO :func:`ab_test_report`'s z readout (a
+    Wald interval collapses to zero width at 0/n and overshoots [0,1];
+    Wilson stays honest at small n and extreme rates):
+    ``(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)``.
+
+    Plan: ONE variant-keyed count collapse (map-side partial, output
+    variant-cardinality); the interval is pure in-row IEEE arithmetic
+    over exact integers, 6dp. NULL conversions count as not-converted
+    (the ab_test_report contract); a zero-unit variant cannot occur
+    (groupBy only sees existing rows). Returns ``(variant, n_units,
+    n_converted, rate, ci_low, ci_high)``."""
+    if not z > 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    per_variant = (
+        units.filter(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(
+                F.coalesce(
+                    (F.col(converted_col) > 0).cast("bigint"), F.lit(0)
+                )
+            ).alias("n_converted"),
+        )
+    )
+    n = F.col("n_units").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    z2 = F.lit(float(z) * float(z))
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(float(z)) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return per_variant.select(
+        "variant",
+        "n_units",
+        "n_converted",
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest((center - margin) / denom, F.lit(0.0)), 6).alias(
+            "ci_low"
+        ),
+        F.round(F.least((center + margin) / denom, F.lit(1.0)), 6).alias(
+            "ci_high"
+        ),
+    )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    key_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-entity conversion rates toward the corpus prior — the fix for
+    "the top-rated item has 1/1 conversions": a raw rate from 3 trials
+    should not outrank a 48% rate from 10,000. The prior strength
+    ``K = α+β = (m(1−m) − v)/v`` comes from the across-entity mean
+    ``m`` and variance ``v`` of raw rates; each entity reports
+    ``shrunk = (x + m·K)/(n + K)``.
+
+    Plan: one entity-keyed count collapse (map-side partial, pinned —
+    feeds the moment aggregate AND the output), a 1-row moment
+    aggregate broadcast back. Determinism: n/x are exact integers; raw
+    rates and their squares quantize to 12dp DECIMAL(28,12) before the
+    moment sums (order-independent); m, v, K and the shrunk rate are
+    fixed IEEE expressions, 6dp. When the rate spread is degenerate
+    (``v = 0`` or ``v ≥ m(1−m)`` — no informative prior) shrinkage is
+    undefined and ``shrunk_rate`` falls back to the raw rate with
+    ``prior_strength`` null. NULL conversions count as not-converted;
+    null keys are excluded. Returns ``(key, n_units, n_converted,
+    rate, prior_strength, shrunk_rate)``."""
+    per_key = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(
+                F.coalesce(
+                    (F.col(converted_col) > 0).cast("bigint"), F.lit(0)
+                )
+            ).alias("n_converted"),
+        )
+        .localCheckpoint(eager=False)  # feeds the moments AND the output
+    )
+    raw = F.col("n_converted").cast("double") / F.col("n_units").cast(
+        "double"
+    )
+    rq = F.round(raw, 12).cast("decimal(28,12)")
+    rq2 = F.round(raw * raw, 12).cast("decimal(28,12)")
+    mom = per_key.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(rq).alias("__sr"),
+        F.sum(rq2).alias("__sr2"),
+    )
+    kd = F.col("__k").cast("double")
+    m = F.col("__sr").cast("double") / kd
+    v = F.when(
+        F.col("__k") > 1,
+        (
+            F.col("__sr2").cast("double")
+            - F.col("__sr").cast("double")
+            * F.col("__sr").cast("double")
+            / kd
+        )
+        / (kd - F.lit(1.0)),
+    )
+    strength = F.when(
+        v.isNotNull() & (v > 0) & (m * (F.lit(1.0) - m) > v),
+        (m * (F.lit(1.0) - m) - v) / v,
+    )
+    j = per_key.crossJoin(F.broadcast(mom))
+    shrunk = F.when(
+        strength.isNotNull(),
+        (F.col("n_converted").cast("double") + m * strength)
+        / (F.col("n_units").cast("double") + strength),
+    ).otherwise(raw)
+    return j.select(
+        F.col(key_col),
+        "n_units",
+        "n_converted",
+        F.round(raw, 6).alias("rate"),
+        F.round(strength, 6).alias("prior_strength"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )

@@ -1260,3 +1260,25 @@ def stream_psi(
     from intake_esm_spark.operators.evaluation import _psi_bins
 
     return _psi_bins(df, group_col, baseline, current, score_col, n_bins)
+
+
+def stream_scoring_rules(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Streaming twin #20 — ``operators.evaluation.
+    scoring_rules_report`` as a LIVE training monitor (Brier/log-loss
+    drifting upward on fresh traffic is the earliest "the classifier
+    went stale" signal). Like the calibration twin, no custom state:
+    the batch plan is ONE global aggregation of additive 12dp-decimal
+    per-unit terms plus a count — exactly a legal streaming global
+    aggregation in update mode (state: two decimal sums + one long).
+    Each update row is the new running ``(n_units, brier, log_loss)``;
+    the LAST update equals the batch report over everything ingested
+    bit-for-bit (decimal term sums — no float accumulation; pinned by
+    the parity test)."""
+    from intake_esm_spark.operators.evaluation import scoring_rules_report
+
+    return scoring_rules_report(df, label_col, score_col, eps=eps)

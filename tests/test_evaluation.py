@@ -513,3 +513,59 @@ def test_stream_psi_matches_batch(spark, tmp_path):
     ):
         assert streamed[c] == batch[c], c
     assert batch["n_onesided_bins"] == 1  # the 0.95 bin is base-only
+
+
+def test_stream_scoring_rules_matches_batch(spark, tmp_path):
+    """Two micro-batches of scored units: the LAST update equals the
+    whole-corpus batch Brier/log-loss exactly (decimal term sums — the
+    calibration-twin parity argument verbatim)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.evaluation import scoring_rules_report
+    from intake_esm_spark.streaming.stateful import stream_scoring_rules
+
+    rows = [
+        (1, 0.95), (0, 0.91), (1, 0.85), (0, 0.15),
+        (1, 0.05), (0, 0.45), (1, 0.55), (0, 0.52),
+    ] * 3
+    df = spark.createDataFrame(rows, "label int, score double")
+    batch = scoring_rules_report(df, "label", "score").collect()[0]
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32(F.col("score").cast("string")) % 2 == 0).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "a"))
+    df.filter(F.crc32(F.col("score").cast("string")) % 2 == 1).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_scoring_rules(stream, "label", "score")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sr_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM sr_stream").collect()
+    finally:
+        q.stop()
+    last = emitted[-1]  # memory sink appends updates in batch order
+    assert last["n_units"] == batch["n_units"] == len(rows)
+    assert last["brier"] == batch["brier"]
+    assert last["log_loss"] == batch["log_loss"]

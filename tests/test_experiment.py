@@ -723,3 +723,73 @@ def test_qini_flat_for_pure_propensity_score(spark):
     out = qini_report(df, "t", "y", "s", "id", n_bins=5).collect()
     for r in out:
         assert abs(r["qini"]) < 1e-9, r
+
+
+# --- proportion_ci_report / eb_shrunk_rates ----------------------------------
+
+
+def test_wilson_ci_hand_case_and_bounds(spark):
+    import math
+
+    import pytest as _pt
+
+    from intake_esm_spark.operators.experiment import proportion_ci_report
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] + [("c", 0)] * 5
+    df = spark.createDataFrame(rows, "variant string, conv int")
+    out = {
+        r["variant"]: r
+        for r in proportion_ci_report(df, "variant", "conv").collect()
+    }
+    # hand Wilson for a: p=.8 n=10 z=1.959964
+    z = 1.959964
+    p, n = 0.8, 10.0
+    c = p + z * z / (2 * n)
+    mgn = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    d = 1 + z * z / n
+    assert out["a"]["ci_low"] == _pt.approx((c - mgn) / d, abs=1e-6)
+    assert out["a"]["ci_high"] == _pt.approx((c + mgn) / d, abs=1e-6)
+    # 1/1 and 0/5 stay inside [0, 1] with nonzero width (not Wald)
+    assert 0.0 < out["b"]["ci_low"] < 1.0 and out["b"]["ci_high"] == 1.0
+    assert out["c"]["ci_low"] == 0.0 and 0.0 < out["c"]["ci_high"] < 1.0
+    with _pt.raises(ValueError):
+        proportion_ci_report(df, "variant", "conv", z=0.0)
+
+
+def test_eb_shrinkage_pulls_small_samples_harder(spark):
+    import pytest as _pt
+
+    from intake_esm_spark.operators.experiment import eb_shrunk_rates
+
+    # twenty 50-trial entities with rates tightly around 0.5 define a
+    # STRONG prior (low across-entity variance); a 1/1 entity should be
+    # pulled hard toward it while a 1000-trial entity barely moves
+    df_rows = []
+    for k in range(20):
+        x = 23 + (k % 5)  # 23..27 of 50 -> rates 0.46..0.54
+        df_rows += [(f"e{k}", 1)] * x + [(f"e{k}", 0)] * (50 - x)
+    big = [("big", 1)] * 480 + [("big", 0)] * 520  # 0.48 over 1000
+    tiny = [("tiny", 1)]  # 1/1
+    df = spark.createDataFrame(
+        df_rows + big + tiny, "key string, conv int"
+    )
+    out = {
+        r["key"]: r for r in eb_shrunk_rates(df, "key", "conv").collect()
+    }
+    assert out["tiny"]["rate"] == 1.0
+    # the 1-trial entity is pulled far toward the prior mean...
+    assert out["tiny"]["shrunk_rate"] < 0.8
+    # ...while the 1000-trial entity barely moves
+    assert abs(out["big"]["shrunk_rate"] - 0.48) < 0.02
+    assert out["big"]["prior_strength"] is not None
+
+
+def test_eb_shrinkage_degenerate_prior_falls_back_to_raw(spark):
+    from intake_esm_spark.operators.experiment import eb_shrunk_rates
+
+    # all entities share one rate -> zero variance -> no prior
+    rows = [(f"e{k}", 1) for k in range(5)]
+    df = spark.createDataFrame(rows, "key string, conv int")
+    for r in eb_shrunk_rates(df, "key", "conv").collect():
+        assert r["prior_strength"] is None
+        assert r["shrunk_rate"] == r["rate"] == 1.0
