@@ -7820,11 +7820,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t, n_at_risk, n_events, n_censored,
                    round(h, 6) AS hazard,
+                   -- log terms quantize to 12dp DECIMAL before the
+                   -- cumulative sum (round 11): the Spark side now runs
+                   -- the bucketed prefix sum, whose bucket totals add
+                   -- out of sequence, so accumulation must be
+                   -- order-independent on both engines
                    CASE WHEN max(CASE WHEN h >= 1.0 THEN 1 ELSE 0 END) OVER w
                           = 1 THEN 0.0
-                        ELSE round(exp(coalesce(
-                               sum(CASE WHEN h < 1.0 THEN ln(1.0 - h) END)
-                                 OVER w, 0.0)), 6)
+                        ELSE round(exp(coalesce(CAST(
+                               sum(CASE WHEN h < 1.0 THEN
+                                     CAST(round(ln(1.0 - h), 12)
+                                          AS DECIMAL(28,12)) END)
+                                 OVER w AS DOUBLE), 0.0)), 6)
                    END AS survival
             FROM hz
             WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING

@@ -567,6 +567,13 @@ def source_divergence(
     gt_g = (
         gt.crossJoin(F.broadcast(ngroups)).filter(guard).drop("__ng")
     )
+    # the guard must sit on EVERY quadratic branch: the all-pairs frame
+    # below is built straight from the totals frame, so an unguarded
+    # tot would still materialize the O(G²) pair join before the
+    # guarded token branch ever executed (round-11 ADVICE fix)
+    tot_g = (
+        tot.crossJoin(F.broadcast(ngroups)).filter(guard).drop("__ng")
+    )
     a = gt_g.join(tot, "grp").select(
         F.col("grp").alias("ga"),
         "token",
@@ -602,8 +609,8 @@ def source_divergence(
     # max_groups-bounded totals frame, then left-joined with the shared
     # sums so a fully-disjoint pair coalesces to zero shared mass and
     # reports exactly ln 2 instead of silently vanishing
-    ta_f = tot.select(F.col("grp").alias("ga"), F.col("tot").alias("ta"))
-    tb_f = tot.select(F.col("grp").alias("gb"), F.col("tot").alias("tb"))
+    ta_f = tot_g.select(F.col("grp").alias("ga"), F.col("tot").alias("ta"))
+    tb_f = tot_g.select(F.col("grp").alias("gb"), F.col("tot").alias("tb"))
     all_pairs = ta_f.join(tb_f, F.col("ga") < F.col("gb"))
     joined = all_pairs.join(shared, ["ga", "gb"], "left")
     # one-sided mass (tokens absent from the other group) contributes

@@ -403,11 +403,19 @@ def pr_auc_report(
     ``(n_pos, n_neg, baseline, pr_auc)`` — ``baseline = n_pos/N`` is
     the random-classifier AP; ``pr_auc`` is null when either class is
     empty (no ranking to score). ``label_col`` truthy-numeric (> 0 =
-    positive); null label/score excluded."""
+    positive); null label/score AND non-finite scores excluded — the
+    calibration/scoring-rules finite-score contract (round-11 ADVICE
+    fix: a NaN score would otherwise become its own distinct-score
+    group, collapse the bucketed span to one task, and sort as the top
+    threshold under descending, silently skewing AP)."""
     from .ranks import bucketed_cumsum
 
+    s = F.col(score_col).cast("double")
     two = df.filter(
-        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+        F.col(label_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & ~F.isnan(s)
+        & (F.abs(s) != F.lit(float("inf")))
     )
     per_v = two.groupBy(F.col(score_col).alias("__val")).agg(
         F.sum((F.col(label_col) > 0).cast("bigint")).alias("__ct"),

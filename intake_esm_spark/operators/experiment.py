@@ -1076,14 +1076,20 @@ def qini_report(
 
     Scale: the rank is the bucketed prefix sum
     (:func:`~.ranks.global_rank` + :func:`~.ranks.ntile_from_rank` —
-    the lift_table discipline, no single-task row-frame sort);
+    the lift_table discipline, no single-task row-frame sort), run
+    with ``tie_fanout`` (round 11: uplift scores clamp/quantize to
+    mass points, and value-only bucketing would hold such a tied run
+    in one window task — heavy scores sub-bucket by the id tiebreak);
     everything after is the ``n_bins``-row frame (its cumulative
     window is the bounded offset-table class). Determinism: all four
     cumulative quantities are exact integer counts; uplift/qini are
     fixed IEEE expressions over them, 6dp. Null treatment/outcome/
-    score excludes the unit; uplift is null until both arms appear,
-    qini null until the control arm appears. ``treatment_col`` and
-    ``outcome_col`` are truthy-numeric (> 0 = treated / converted)."""
+    score/id excludes the unit (a null id would break the total order
+    the bin boundary stands on — and make bin assignment among tied
+    scores physical-order nondeterministic); uplift is null until
+    both arms appear, qini null until the control arm appears.
+    ``treatment_col`` and ``outcome_col`` are truthy-numeric (> 0 =
+    treated / converted)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     from pyspark.sql import Window
@@ -1097,6 +1103,7 @@ def qini_report(
             F.col(treatment_col).isNotNull()
             & F.col(outcome_col).isNotNull()
             & F.col(score_col).isNotNull()
+            & F.col(id_col).isNotNull()
         )
         .select(
             F.col(id_col),
@@ -1112,6 +1119,7 @@ def qini_report(
         "__val",
         [id_col],
         descending=True,
+        tie_fanout=True,
     )
     binned = ranked.withColumn(
         "bin", ntile_from_rank(F.col("__rank"), F.col("__nr"), n_bins)

@@ -472,8 +472,12 @@ def lift_table(
     the tile id pure rank arithmetic (:func:`~.ranks.ntile_from_rank` —
     identical remainder splits, so every boundary row keeps its bin);
     everything after is a ``n_bins``-row frame (its cumulative window
-    is bin-bounded, the offset-table class). Null scores/outcomes are
-    excluded."""
+    is bin-bounded, the offset-table class). The rank runs with
+    ``tie_fanout`` (round 11): clamped/quantized model scores mass at
+    point values, and value-only bucketing would hold such a tied run
+    in ONE window task — heavy scores sub-bucket by the id tiebreak.
+    Null scores/outcomes/ids are excluded (a null id would break the
+    total order the bin boundary stands on)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     from pyspark.sql import Window
@@ -482,7 +486,9 @@ def lift_table(
 
     base = (
         df.filter(
-            F.col(score_col).isNotNull() & F.col(outcome_col).isNotNull()
+            F.col(score_col).isNotNull()
+            & F.col(outcome_col).isNotNull()
+            & F.col(id_col).isNotNull()
         )
         .select(
             F.col(id_col),
@@ -497,6 +503,7 @@ def lift_table(
         "__val",
         [id_col],
         descending=True,
+        tie_fanout=True,
     )
     binned = ranked.withColumn(
         "bin", ntile_from_rank(F.col("__rank"), F.col("__nr"), n_bins)

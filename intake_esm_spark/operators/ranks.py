@@ -26,14 +26,36 @@ a corpus-scale single-partition sort at 100 TB.  Here instead:
 Bucket placement only shapes the EXECUTION — any order-preserving
 assignment yields the same exact prefix sums (associativity of the
 sum), so results are engine-exact and the DuckDB oracles replay a plain
-SQL window, never the buckets.  Ties on the sort value always share a
-bucket (the bucket is a function of the value alone), so tiebreak
-columns order rows exactly within one partition-local window.
+SQL window, never the buckets.
+
+Tie skew (round 11): a bucket that is a function of the VALUE alone
+puts every row tied on the value into ONE bucket — harmless for
+distinct-value-grain consumers (Mann-Whitney/KS/AUC/PR-AUC/gini
+collapse to one row per distinct value first), but row/entity-grain
+rankers routinely sort frames where massive ties are the norm (half of
+all customers share order-count 1; clamped model scores mass at 0/1),
+and a 50%-modal value would put half the frame back into one window
+task.  ``tie_fanout=True`` closes that: a one-pass value-keyed
+aggregate finds the *heavy* values (count ≥ N/B — at most B of them),
+collects them as ≤ B boundary literals (the span-aggregate discipline,
+driver-side this time because the segment index needs ordered
+literals), and the bucket becomes a composite ``segment · (B+1) +
+sub``: heavy values get a PRIVATE segment whose sub-bucket range-splits
+the first tiebreak (order-preserving in the tiebreak, so the total
+order (value, tiebreak) still maps monotonically onto bucket ids);
+values between heavy values keep the plain range bucket.  Any monotone
+assignment is exact (above), so results are byte-identical with the
+fan-out on or off — only the task shape changes.
 
 ``ntile_from_rank`` converts the exact global rank into the standard
 SQL ``ntile(n)`` bucket id (first ``N mod n`` tiles take the remainder
 row — the semantics Spark and DuckDB share), letting callers replace an
-unpartitioned ``ntile`` window with rank arithmetic.
+unpartitioned ``ntile`` window with rank arithmetic.  Round 11: the
+double-division candidates are corrected with exact BIGINT product
+comparisons (a correctly-rounded double quotient is within one unit of
+the true integer result), so tile ids are exact at ANY frame size — the
+prior form could misround a boundary rank once ``rank·(q+1)``
+approached 2⁵³.
 """
 
 from __future__ import annotations
@@ -44,8 +66,41 @@ from pyspark.sql import functions as F
 N_RANK_BUCKETS = 64
 """Value-range fan-out for the bucketed prefix sums.  64 buckets keep
 the offset table trivially small while bounding any single ordered
-window to ~1/64 of the frame (raise for extreme skew-free frames; the
+window to ~1/B of the frame (raise for extreme skew-free frames; the
 value is execution-only, never visible in results)."""
+
+
+def _heavy_values(
+    df: DataFrame, val_col: str, tie0: str, n_buckets: int
+) -> list:
+    """The ≤ ``n_buckets`` values carrying ≥ N/B of the frame each,
+    with the double-cast span of the first tiebreak inside each —
+    sorted ascending.  ONE value-keyed map-side-combined aggregate plus
+    a bounded collect (count ≥ N/B caps the result at B rows by
+    pigeonhole); NaN values are excluded from candidacy (the documented
+    non-finite contract — a NaN-polluted frame degrades to the
+    single-bucket span collapse either way)."""
+    vd = F.col(val_col).cast("double")
+    per_v = (
+        df.filter(F.col(val_col).isNotNull() & ~F.isnan(vd))
+        .groupBy(F.col(val_col).alias("__hv"))
+        .agg(
+            F.count(F.lit(1)).alias("__hc"),
+            F.min(F.col(tie0).cast("double")).alias("__hlo"),
+            F.max(F.col(tie0).cast("double")).alias("__hhi"),
+        )
+        # pinned: feeds the N total AND the threshold filter in the
+        # same action (multi-reference rule)
+        .localCheckpoint(eager=False)
+    )
+    n = per_v.agg(F.coalesce(F.sum("__hc"), F.lit(0)).alias("__N"))
+    rows = (
+        per_v.crossJoin(F.broadcast(n))
+        .filter(F.col("__hc") * F.lit(n_buckets) >= F.col("__N"))
+        .select("__hv", "__hlo", "__hhi")
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r["__hv"])
 
 
 def bucketed_cumsum(
@@ -56,6 +111,7 @@ def bucketed_cumsum(
     descending: bool = False,
     n_buckets: int = N_RANK_BUCKETS,
     bounds: tuple[str, str] | None = None,
+    tie_fanout: bool = False,
 ) -> DataFrame:
     """INCLUSIVE prefix sums of ``sum_cols`` over ``df`` globally
     ordered by (``val_col`` asc/desc, ``tiebreaks`` asc) — exact, with
@@ -86,39 +142,21 @@ def bucketed_cumsum(
     assignment, and the top bucket clamps).  Skips the span aggregate +
     broadcast entirely; callers ranking several metrics over one pinned
     frame (RFM) fold all spans into the aggregate they already run
-    instead of paying one full-frame pass per metric."""
+    instead of paying one full-frame pass per metric.
+
+    ``tie_fanout`` (round 11): sub-bucket heavy tied runs by the first
+    tiebreak so a modal value cannot collapse the frame into one window
+    task (module docstring).  Costs one value-keyed aggregate + a ≤ B
+    -row collect (an eager action — callers should pin ``df`` with
+    ``localCheckpoint``, which every consumer already does), so it is
+    OPT-IN for the row/entity-grain rankers whose tiebreak makes the
+    order total; value-grain consumers skip it.  The first tiebreak is
+    range-split through a double cast — a non-numeric tiebreak casts to
+    null and the heavy segment degrades to one bucket (still exact)."""
     ties = list(tiebreaks or [])
-    if bounds is None:
-        span = df.agg(
-            F.min(F.col(val_col).cast("double")).alias("__lo"),
-            F.max(F.col(val_col).cast("double")).alias("__hi"),
-        )
-        df = df.crossJoin(F.broadcast(span))
-        lo_c, hi_c = F.col("__lo"), F.col("__hi")
-        span_drop = ["__lo", "__hi"]
-    else:
-        lo_c = F.col(bounds[0]).cast("double")
-        hi_c = F.col(bounds[1]).cast("double")
-        span_drop = []
-    vd = F.col(val_col).cast("double")
-    up = F.floor(
-        (vd - lo_c) / (hi_c - lo_c) * F.lit(float(n_buckets))
-    ).cast("int")
-    asc_bkt = F.least(F.lit(n_buckets - 1), up)
-    # nulls: a plain F.least would SKIP the null bucket expression and
-    # drop null-valued rows into the last bucket (an arbitrary
-    # mid-order rank) — give them the dedicated first/last bucket the
-    # window null order they replace would
-    null_bkt = F.lit(n_buckets) if descending else F.lit(-1)
-    bkt = (
-        F.when(F.col(val_col).isNull(), null_bkt)
-        .when(
-            hi_c > lo_c,
-            F.lit(n_buckets - 1) - asc_bkt if descending else asc_bkt,
-        )
-        .otherwise(F.lit(0))
+    b = _with_bucket(
+        df, val_col, ties, descending, n_buckets, bounds, tie_fanout
     )
-    b = df.withColumn("__bkt", bkt).drop(*span_drop)
     order = [
         F.col(val_col).desc() if descending else F.col(val_col).asc(),
         *[F.col(t).asc() for t in ties],
@@ -133,7 +171,8 @@ def bucketed_cumsum(
     )
     # bucket ids already follow the requested direction (descending
     # flips the id), so the offset scan is always bucket-ascending —
-    # a single-partition exchange over ≤ n_buckets aggregate rows
+    # a single-partition exchange over the bounded aggregate rows
+    # (≤ B+2 plain, ≤ (2B+1)(B+1)+2 fanned out — never data-sized)
     w_off = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -154,6 +193,110 @@ def bucketed_cumsum(
     return out.drop("__bkt")
 
 
+def _with_bucket(
+    df: DataFrame,
+    val_col: str,
+    ties: list[str],
+    descending: bool,
+    n_buckets: int,
+    bounds: tuple[str, str] | None,
+    tie_fanout: bool,
+) -> DataFrame:
+    """``df`` plus the order-preserving ``__bkt`` assignment (module
+    docstring; the span sidecar columns are consumed and dropped here).
+    Private seam so the skew tests can assert FAN-OUT directly — that a
+    modal-value frame spreads over >1 bucket — which the public API
+    hides by design (bucket placement is execution-only)."""
+    heavy = (
+        _heavy_values(df, val_col, ties[0], n_buckets)
+        if tie_fanout and ties
+        else []
+    )
+    if bounds is None:
+        span = df.agg(
+            F.min(F.col(val_col).cast("double")).alias("__lo"),
+            F.max(F.col(val_col).cast("double")).alias("__hi"),
+        )
+        df = df.crossJoin(F.broadcast(span))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+        span_drop = ["__lo", "__hi"]
+    else:
+        lo_c = F.col(bounds[0]).cast("double")
+        hi_c = F.col(bounds[1]).cast("double")
+        span_drop = []
+    vd = F.col(val_col).cast("double")
+    up = F.floor(
+        (vd - lo_c) / (hi_c - lo_c) * F.lit(float(n_buckets))
+    ).cast("int")
+    asc_bkt = F.least(F.lit(n_buckets - 1), up)
+    # the plain range bucket over the full span — the whole story
+    # without fan-out, the open-segment sub-bucket with it
+    rb = F.when(hi_c > lo_c, asc_bkt).otherwise(F.lit(0))
+    if heavy:
+        vcol = F.col(val_col)
+        k = len(heavy)
+        # segment index (ascending id space): heavy value i (0-based,
+        # value-ascending) owns PRIVATE segment 2i+1; a non-heavy value
+        # with c heavy values below it sits in open segment 2c — ≤ B
+        # literal comparisons, pure codegen
+        seg: Column = F.lit(0)
+        for h in heavy:
+            seg = seg + (vcol > F.lit(h["__hv"])).cast("int") * F.lit(2)
+        # sub-bucket: open segments reuse the range bucket (flipped
+        # under descending — it is value-based); heavy segments range-
+        # split the first tiebreak (NEVER flipped — tiebreaks order
+        # ascending under either direction), nulls first (slot 0), the
+        # NaN-or-degenerate tail clamped to the top slot
+        sub = F.lit(n_buckets - 1) - rb if descending else rb
+        t0d = F.col(ties[0]).cast("double")
+        for i, h in enumerate(heavy):
+            hlo, hhi = h["__hlo"], h["__hhi"]
+            if hlo is not None and hhi is not None and hhi > hlo:
+                tb = F.lit(1) + F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (t0d - F.lit(hlo))
+                        / (F.lit(hhi) - F.lit(hlo))
+                        * F.lit(float(n_buckets))
+                    ).cast("int"),
+                )
+                hsub = (
+                    F.when(t0d.isNull(), F.lit(0))
+                    .when(F.isnan(t0d), F.lit(n_buckets))
+                    .otherwise(F.coalesce(tb, F.lit(n_buckets)))
+                )
+            else:
+                hsub = F.when(t0d.isNull(), F.lit(0)).otherwise(F.lit(1))
+            eq = vcol == F.lit(h["__hv"])
+            seg = F.when(eq, F.lit(2 * i + 1)).otherwise(seg)
+            sub = F.when(eq, hsub).otherwise(sub)
+        if descending:
+            seg = F.lit(2 * k) - seg
+        null_bkt = (
+            F.lit((2 * k + 1) * (n_buckets + 1))
+            if descending
+            else F.lit(-1)
+        )
+        bkt = F.when(vcol.isNull(), null_bkt).otherwise(
+            seg * F.lit(n_buckets + 1) + sub
+        )
+    else:
+        # nulls: a plain F.least would SKIP the null bucket expression
+        # and drop null-valued rows into the last bucket (an arbitrary
+        # mid-order rank) — give them the dedicated first/last bucket
+        # the window null order they replace would
+        null_bkt = F.lit(n_buckets) if descending else F.lit(-1)
+        bkt = (
+            F.when(F.col(val_col).isNull(), null_bkt)
+            .when(
+                hi_c > lo_c,
+                F.lit(n_buckets - 1) - asc_bkt if descending else asc_bkt,
+            )
+            .otherwise(F.lit(0))
+        )
+    return df.withColumn("__bkt", bkt).drop(*span_drop)
+
+
 def global_rank(
     df: DataFrame,
     val_col: str,
@@ -162,19 +305,44 @@ def global_rank(
     out_col: str = "__rank",
     bounds: tuple[str, str] | None = None,
     n_buckets: int = N_RANK_BUCKETS,
+    tie_fanout: bool = False,
 ) -> DataFrame:
     """Exact 1-based ``row_number`` over the global total order
     (``val_col`` asc/desc, ``tiebreaks`` asc) via the bucketed cumsum of
     a unit count — the drop-in replacement for an unpartitioned
     ``row_number()/ntile()`` window.  ``tiebreaks`` must make the order
     total (typically the entity id) or ranks among ties follow physical
-    order.  ``bounds`` as in :func:`bucketed_cumsum`."""
+    order.  ``bounds`` / ``tie_fanout`` as in :func:`bucketed_cumsum` —
+    row/entity-grain rankers pass ``tie_fanout=True`` so a modal value
+    (half the customers at frequency 1, clamped scores massed at 0/1)
+    cannot collapse into one window task."""
     marked = df.withColumn("__one", F.lit(1))
     ranked = bucketed_cumsum(
         marked, ["__one"], val_col=val_col, tiebreaks=tiebreaks,
         descending=descending, bounds=bounds, n_buckets=n_buckets,
+        tie_fanout=tie_fanout,
     )
     return ranked.withColumnRenamed("__cum___one", out_col).drop("__one")
+
+
+def _correct_div(cand: Column, num: Column, den: Column, kind: str) -> Column:
+    """Exact integer floor/ceil division from a double-division
+    candidate: a correctly-rounded double quotient is within one unit
+    of the true result, so two BIGINT product comparisons pin it —
+    exact at any frame size (the double alone misrounds once the
+    operands approach 2⁵³)."""
+    if kind == "floor":  # largest k with k·den ≤ num
+        return (
+            F.when(cand * den > num, cand - F.lit(1))
+            .when((cand + F.lit(1)) * den <= num, cand + F.lit(1))
+            .otherwise(cand)
+        )
+    # ceil: smallest k with k·den ≥ num
+    return (
+        F.when((cand - F.lit(1)) * den >= num, cand - F.lit(1))
+        .when(cand * den < num, cand + F.lit(1))
+        .otherwise(cand)
+    )
 
 
 def ntile_from_rank(rank: Column, n_rows: Column, n_tiles: int) -> Column:
@@ -183,11 +351,19 @@ def ntile_from_rank(rank: Column, n_rows: Column, n_tiles: int) -> Column:
     first ``rem`` tiles hold ``q+1`` rows and the rest ``q`` — the
     remainder rule Spark and DuckDB (and the standard) share, so
     replacing the window keeps every boundary row in the same tile.
-    Pure in-row integer codegen; when ``N < n_tiles`` (q = 0) every row
-    is alone in tile = rank, which the first branch already yields."""
-    q = (n_rows / F.lit(n_tiles)).cast("bigint")
-    rem = n_rows - q * F.lit(n_tiles)
-    head = rem * (q + F.lit(1))
-    return F.when(
-        rank <= head, F.ceil(rank / (q + F.lit(1)))
-    ).otherwise(rem + F.ceil((rank - head) / q)).cast("int")
+    Pure in-row integer codegen — each double-division candidate is
+    corrected with exact BIGINT product comparisons
+    (:func:`_correct_div`), so tile ids are exact at any scale; when
+    ``N < n_tiles`` (q = 0) every row is alone in tile = rank, which
+    the first branch already yields."""
+    nt = F.lit(n_tiles).cast("bigint")
+    q = _correct_div(
+        F.floor(n_rows / nt).cast("bigint"), n_rows, nt, "floor"
+    )
+    rem = n_rows - q * nt
+    q1 = q + F.lit(1)
+    head = rem * q1
+    k1 = _correct_div(F.ceil(rank / q1).cast("bigint"), rank, q1, "ceil")
+    r2 = rank - head
+    k2 = _correct_div(F.ceil(r2 / q).cast("bigint"), r2, q, "ceil")
+    return F.when(rank <= head, k1).otherwise(rem + k2).cast("int")

@@ -41,7 +41,14 @@ def rfm_segments(
     :func:`~.ranks.ntile_from_rank` — per-bucket windows, broadcast
     ≤64-row offsets, identical remainder splits to the SQL ``ntile``),
     so the r8 unpartitioned entity-frame ntile windows are GONE: at
-    billions of entities nothing sorts in one task."""
+    billions of entities nothing sorts in one task.  Ranks run with
+    ``tie_fanout`` (round 11): frequency/monetary are exactly the
+    frames where a MODAL value is the norm (half of all customers can
+    share order-count 1), and value-only bucketing would put that
+    entire tied run back into one window task — heavy values
+    sub-bucket by the entity-id tiebreak instead.  Each rank pass is
+    lineage-pinned so the next pass's heavy-value probe reads the
+    materialized frame instead of replaying the prior rank stages."""
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
     from .ranks import global_rank, ntile_from_rank
@@ -102,11 +109,12 @@ def rfm_segments(
     # invert via (n_tiles + 1 - tile) on the ASC order where needed
     nt = n_tiles
     scored = base
-    for rank_col, val, ties_desc, score, bnds in [
+    passes = [
         ("__rr", "recency_days", False, "r_score", ("__lo_r", "__hi_r")),
         ("__rf", "frequency", True, "f_score", ("__lo_f", "__hi_f")),
         ("__rm", "monetary", True, "m_score", ("__lo_m", "__hi_m")),
-    ]:
+    ]
+    for i, (rank_col, val, ties_desc, score, bnds) in enumerate(passes):
         scored = global_rank(
             scored,
             val,
@@ -114,11 +122,18 @@ def rfm_segments(
             descending=ties_desc,
             out_col=rank_col,
             bounds=bnds,
+            tie_fanout=True,
         ).withColumn(
             score,
             F.lit(nt + 1)
             - ntile_from_rank(F.col(rank_col), F.col("__ne"), nt),
         ).drop(rank_col)
+        if i < len(passes) - 1:
+            # pin BETWEEN passes only: the next pass's heavy-value probe
+            # re-references this frame (unpinned it would replay the
+            # prior rank stages); the last pass stays unpinned so the
+            # bucketed-window plan remains visible end-to-end
+            scored = scored.localCheckpoint(eager=False)
     return scored.select(
         key_col,
         "recency_days",
@@ -153,7 +168,11 @@ def abc_classification(
     key as tiebreak, so every boundary row gets the same exact
     cumulative as the r8 unpartitioned window it replaces, with no
     single-task key-frame sort; the grand total broadcasts as one row.
-    Cumulative sums stay DECIMAL until the final double divide."""
+    ``tie_fanout`` (round 11) sub-buckets heavy tied revenue totals by
+    the key so a modal value (thousands of keys carrying one
+    identically-priced order each) cannot collapse into one window
+    task.  Cumulative sums stay DECIMAL until the final double
+    divide."""
     if not 0.0 < a_cut < b_cut <= 1.0:
         raise ValueError(f"need 0 < a_cut < b_cut <= 1, got ({a_cut}, {b_cut})")
     from .ranks import bucketed_cumsum
@@ -179,6 +198,7 @@ def abc_classification(
         val_col="__t",
         tiebreaks=[key_col],
         descending=True,
+        tie_fanout=True,
     )
     cum = F.col("__cum___t").cast("decimal(18,6)")
     share = cum.cast("double") / F.col("__tot").cast("double")
