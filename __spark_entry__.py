@@ -4388,6 +4388,36 @@ def q_events_eb_rates(spark: SparkSession, sf: str) -> DataFrame:
     return eb_shrunk_rates(u, "user_id", "conv")
 
 
+def q_events_msprt(spark: SparkSession, sf: str) -> DataFrame:
+    """Always-valid A/B readout (operators/experiment.py msprt_report):
+    the mixture-SPRT p-value over the SAME synthetic cohort as
+    events_ab_test (user-parity variants, converted = power user), so
+    the two reports can be read side-by-side — the fixed-horizon z and
+    the peek-safe sequential p. One unit collapse, in-row IEEE over
+    four exact integers."""
+    from intake_esm_spark.operators.experiment import msprt_report
+
+    events = load_table(spark, sf, "events")
+    units = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("__np")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+                "variant"
+            ),
+            (F.col("__np") >= 15).cast("int").alias("converted"),
+        )
+    )
+    return msprt_report(
+        units, "variant", "converted", treatment="B", control="A"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4395,11 +4425,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most 50 entries, so (standing rule) any entry whose code or
         # oracle changed this round is in the first 50, followed by the
         # entries longest without a driver-green row.
-        # Block 1: the 10 round-9 additions — the only entries without a
-        # cumulative driver row (r9 verdict task #1); calibration (finite
-        # -score filter), ips (boundary clip count) and jsd (max_groups
-        # guard + disjoint-pair ln2 rows) also changed in round 10.
+        # Block 1: round-11 changes — events_msprt is NEW (mixture-SPRT
+        # always-valid p); events_survival was ported onto the bucketed
+        # prefix sum (oracle quantization changed with it); the next ten
+        # consume operators/ranks.py, which gained tie_fanout this round
+        # (rfm/abc/lift/qini enable it; gini/MW/KS/AUC/pr_auc/logrank
+        # share the rewritten module); pr_auc also took the finite-score
+        # ADVICE fix and docs_jsd the all-pairs guard ADVICE fix.
+        "events_msprt": q_events_msprt,
+        "events_survival": q_events_survival,
+        "events_logrank": q_events_logrank,
+        "events_rfm": q_events_rfm,
+        "lineitem_abc": q_lineitem_abc,
+        "lineitem_lift": q_lineitem_lift,
+        "events_qini": q_events_qini,
+        "customer_gini": q_customer_gini,
+        "events_mannwhitney": q_events_mannwhitney,
+        "events_ks_test": q_events_ks_test,
         "events_auc": q_events_auc,
+        "events_pr_auc": q_events_pr_auc,
+        "docs_jsd": q_docs_jsd,
+        # Block 2: the entries longest without a driver-green row — the
+        # r6/r7-era rows the r10 head's 50-entry cut fell short of
+        # (cumulative coverage is 212/212, so this is freshness-only).
+        "docs_curated": q_docs_curated,  # last green r6
+        "embed_quantize": q_embed_quantize,  # last green r6
+        "simsearch_pairs_lsh": q_simsearch_pairs_lsh,  # last green r6
+        "multimodal_resize": q_multimodal_resize,  # last green r6
+        "simsearch_scores": q_simsearch_scores,  # last green r6
+        "simsearch_topk": q_simsearch_topk,  # last green r6
+        "simsearch_pairs": q_simsearch_pairs,  # last green r6
+        "simsearch_pairs_blocked": q_simsearch_pairs_blocked,  # last green r6
+        "dedup_minhash": q_dedup_minhash,  # last green r6
+        "dedup_simhash": q_dedup_simhash,  # last green r6
+        "multimodal_features": q_multimodal_features,  # last green r6
+        "events_hourly": q_events_hourly,  # last green r6
+        "events_sessionize": q_events_sessionize,  # last green r6
+        "q6_forecast_revenue": q6_forecast_revenue,  # last green r6
+        "pivot_returnflag": q_pivot_returnflag,  # last green r6
+        "cube_agg": q_cube_agg,  # last green r6
+        "customer_order_stats": q_customer_order_stats,  # last green r6
+        "profile_numeric": q_profile_numeric,  # last green r6
+        "events_sliding": q_events_sliding,  # last green r6
+        "events_topk_user": q_events_topk_user,  # last green r6
+        "text_vocab": q_text_vocab,  # last green r6
+        "dedup_lines": q_dedup_lines,  # last green r6
+        "dedup_lines_keep_first": q_dedup_lines_keep_first,  # last green r6
+        "dedup_lines_report": q_dedup_lines_report,  # last green r6
+        "dedup_spans": q_dedup_spans,  # last green r7
+        "docs_encoding": q_docs_encoding,  # last green r7
+        "text_fingerprint_nfc": q_text_fingerprint_nfc,  # last green r7
+        "dedup_cluster_best": q_dedup_cluster_best,  # last green r7
+        "docs_curated3": q_docs_curated3,  # last green r7
+        "docs_curation_report": q_docs_curation_report,  # last green r7
+        "events_funnel": q_events_funnel,  # last green r7
+        "events_retention": q_events_retention,  # last green r7
+        "events_audience_overlap": q_events_audience_overlap,  # last green r7
+        "docs_sample_weighted": q_docs_sample_weighted,  # last green r7
+        "events_anomaly": q_events_anomaly,  # last green r7
+        "docs_mixture_temp": q_docs_mixture_temp,  # last green r7
+        "embed_pq_codes": q_embed_pq_codes,  # last green r7
+        # -- rotation tail ---------------------------------------------
+        # All driver-green r7-r10; unchanged this round. Order: the
+        # prior rotation order (freshest rows last).
         "events_calibration": q_events_calibration,
         "events_kappa": q_events_kappa,
         "events_srm": q_events_srm,
@@ -4408,41 +4496,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_test": q_events_trend_test,
         "docs_zipf": q_docs_zipf,
         "docs_keywords": q_docs_keywords,
-        "docs_jsd": q_docs_jsd,
-        # Block 2: NEW in round 10 — the evaluation-scoreboard completion
-        # (PR-AUC, ECE/MCE, Brier+log-loss, PSI, MCC, NDCG/MRR, MDE).
-        "events_pr_auc": q_events_pr_auc,
         "events_ece": q_events_ece,
         "events_brier": q_events_brier,
         "events_psi": q_events_psi,
         "events_mcc": q_events_mcc,
         "events_ndcg": q_events_ndcg,
         "events_power": q_events_power,
-        "events_qini": q_events_qini,
         "events_seasonal": q_events_seasonal,
-        "events_logrank": q_events_logrank,
         "events_prop_ci": q_events_prop_ci,
         "events_eb_rates": q_events_eb_rates,
-        # Block 3: code changed in round 10 — the four entity-grain
-        # windows rewritten on ranks.bucketed_cumsum (r9 verdict task #2)
-        # plus MW/KS whose _cum_by_value now delegates to the shared
-        # helper (changed entries always driver-verify).
-        "events_rfm": q_events_rfm,
-        "lineitem_abc": q_lineitem_abc,
-        "lineitem_lift": q_lineitem_lift,
-        "customer_gini": q_customer_gini,
-        "events_mannwhitney": q_events_mannwhitney,
-        "events_ks_test": q_events_ks_test,
-        # Block 4: round-9 value-neutral code changes promoted into the
-        # head per driver ADVICE (seasonal-naive decimal width; drift
-        # zero-row guard).
         "events_forecast_backtest": q_events_forecast_backtest,
         "customer_profile_drift": q_customer_profile_drift,
-        # Block 5: the oldest driver rows (r6 cohort) — re-verified for
-        # freshness now that every entry has a cumulative driver row.
-        # The 50-entry driver window ends partway through this block
-        # (every entry below already has a cumulative driver row, so
-        # nothing is lost where the cut falls).
         "search_eq": q_search_eq,
         "search_regex": q_search_regex,
         "search_null": q_search_null,
@@ -4463,14 +4527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_bins": q_docs_pack_bins,
         "contamination_check": q_contamination_check,
         "docs_repetition": q_docs_repetition,
-        "docs_curated": q_docs_curated,
-        "embed_quantize": q_embed_quantize,
-        "simsearch_pairs_lsh": q_simsearch_pairs_lsh,
-        "multimodal_resize": q_multimodal_resize,
-        "simsearch_scores": q_simsearch_scores,
-        # -- rotation tail ---------------------------------------------
-        # All driver-green r7-r9; unchanged in round 10 unless noted in
-        # the head blocks. Order: freshest rows last.
         "events_cuped": q_events_cuped,
         "events_did": q_events_did,
         "graph_link_pred": q_graph_link_pred,
@@ -4490,7 +4546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "graph_label_prop": q_graph_label_prop,
         "parts_also_bought": q_parts_also_bought,
-        "events_survival": q_events_survival,
         "events_chi2": q_events_chi2,
         "events_theilsen": q_events_theilsen,
         "events_bootstrap_ci": q_events_bootstrap_ci,
@@ -4562,35 +4617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_indexed": q_docs_bm25_indexed,
         "lineitem_correlations": q_lineitem_correlations,
         "graph_pagerank": q_graph_pagerank,
-        "simsearch_topk": q_simsearch_topk,
-        "simsearch_pairs": q_simsearch_pairs,
-        "simsearch_pairs_blocked": q_simsearch_pairs_blocked,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "multimodal_features": q_multimodal_features,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "pivot_returnflag": q_pivot_returnflag,
-        "cube_agg": q_cube_agg,
-        "customer_order_stats": q_customer_order_stats,
-        "profile_numeric": q_profile_numeric,
-        "events_sliding": q_events_sliding,
-        "events_topk_user": q_events_topk_user,
-        "text_vocab": q_text_vocab,
-        "dedup_spans": q_dedup_spans,
-        "docs_encoding": q_docs_encoding,
-        "text_fingerprint_nfc": q_text_fingerprint_nfc,
-        "dedup_cluster_best": q_dedup_cluster_best,
-        "docs_curated3": q_docs_curated3,
-        "docs_curation_report": q_docs_curation_report,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_audience_overlap": q_events_audience_overlap,
-        "docs_sample_weighted": q_docs_sample_weighted,
-        "events_anomaly": q_events_anomaly,
-        "docs_mixture_temp": q_docs_mixture_temp,
-        "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
         "events_funnel_counts": q_events_funnel_counts,
         "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
@@ -4625,9 +4651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_incr": q_dedup_exact_incr,
         "dedup_near_incr": q_dedup_near_incr,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_lines": q_dedup_lines,
-        "dedup_lines_keep_first": q_dedup_lines_keep_first,
-        "dedup_lines_report": q_dedup_lines_report,
     }
 
 
@@ -6219,6 +6242,69 @@ def oracle_sql() -> dict[str, str]:
                          ELSE CAST(x AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
                      AS shrunk_rate
             FROM pk CROSS JOIN st
+        """,
+        # replays experiment.msprt_report: mixture-SPRT always-valid
+        # p over the same four exact integers as the z readout —
+        # normal mixture with tau=0.05, one arm collapse, in-row IEEE
+        "events_msprt": """
+            WITH pu AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END) AS np
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ), u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS variant,
+                     CASE WHEN np >= 15 THEN 1 ELSE 0 END AS conv
+              FROM pu
+            ), m AS (
+              SELECT
+                CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nt,
+                CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END)
+                     AS BIGINT) AS xt,
+                CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nc,
+                CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+                     AS BIGINT) AS xc
+              FROM u
+            ), e AS (
+              SELECT nt, nc, xt, xc,
+                     CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) AS pt,
+                     CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) AS pc
+              FROM m
+            ), v AS (
+              SELECT *,
+                     pt * (1.0 - pt) / CAST(nt AS DOUBLE)
+                     + pc * (1.0 - pc) / CAST(nc AS DOUBLE) AS vn,
+                     pt - pc AS theta,
+                     0.05 * 0.05 AS t2
+              FROM e
+            ), lr AS (
+              SELECT *,
+                     CASE WHEN nt > 0 AND nc > 0 AND vn > 0 THEN
+                       sqrt(vn / (vn + t2))
+                       * exp(theta * theta * t2
+                             / (2.0 * vn * (vn + t2))) END AS l
+              FROM v
+            )
+            SELECT nt AS n_treatment, nc AS n_control,
+                   xt AS conv_treatment, xc AS conv_control,
+                   CASE WHEN nt > 0 THEN round(pt, 6) END
+                     AS rate_treatment,
+                   CASE WHEN nc > 0 THEN round(pc, 6) END
+                     AS rate_control,
+                   CASE WHEN nt > 0 AND nc > 0 THEN round(theta, 6) END
+                     AS uplift,
+                   round(l, 6) AS lr,
+                   round(CASE WHEN l IS NOT NULL
+                              THEN least(1.0, 1.0 / l) END, 6)
+                     AS always_valid_p,
+                   coalesce(CAST(round(CASE WHEN l IS NOT NULL
+                                            THEN least(1.0, 1.0 / l) END,
+                                       6) <= 0.05 AS INT), 0)
+                     AS significant
+            FROM lr
         """,
         # replays experiment.trend_test: Cochran-Armitage z over exact
         # decimal dose moments, purchase conversion, 5 hash tiers

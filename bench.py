@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "events_logrank",
     "events_prop_ci",
     "events_eb_rates",
+    "events_msprt",
 ]
 
 

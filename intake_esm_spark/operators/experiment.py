@@ -1289,3 +1289,97 @@ def eb_shrunk_rates(
         F.round(strength, 6).alias("prior_strength"),
         F.round(shrunk, 6).alias("shrunk_rate"),
     )
+
+
+def msprt_report(
+    units: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    treatment: str,
+    control: str,
+    tau: float = 0.05,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Always-valid two-proportion readout via the mixture sequential
+    probability ratio test (mSPRT) — the missing companion to
+    :func:`ab_test_report` for the #1 real-world A/B failure that a
+    fixed-horizon z cannot survive: PEEKING. A team that reads the z
+    p-value every day and stops at the first p < 0.05 inflates its
+    false-positive rate far past 5%; the mSPRT p-value is valid at
+    EVERY sample size simultaneously (Robbins' mixture martingale:
+    under H₀ the likelihood ratio Λₙ is a nonnegative martingale with
+    mean 1, so P(sup Λₙ ≥ 1/α) ≤ α by Ville/Markov), so "significant"
+    here may be acted on whenever it first appears.
+
+    Formulation (the normal-approximation mixture with a N(0, τ²)
+    prior over the uplift — the standard industrial form): with
+    ``θ̂ = p_t − p_c`` and its estimated variance
+    ``Vₙ = p_t(1−p_t)/n_t + p_c(1−p_c)/n_c``,
+
+        ``Λₙ = √(Vₙ/(Vₙ+τ²)) · exp(θ̂²·τ²/(2·Vₙ·(Vₙ+τ²)))``
+
+    and ``p = min(1, 1/Λₙ)``. ``tau`` is the prior scale of plausible
+    uplifts (absolute rate points — 0.05 spans typical product
+    effects; a horizon-matched τ maximizes power at that horizon but
+    any fixed τ keeps validity). This single-snapshot readout
+    computes the CURRENT Λₙ; the running-minimum-p variant is its
+    streaming twin (the p is monotone under repeated evaluation
+    because a rejection, once reached, is acted on).
+
+    Plan: ONE variant-keyed count collapse (map-side partial) to the
+    same four exact integers as :func:`ab_test_report`, pivoted
+    in-row; Λ and p are fixed IEEE expressions over them, 6dp. NULL
+    conversions count as not-converted (the ab_test_report contract);
+    a missing arm or a degenerate variance (both arms all-0 or all-1)
+    yields null lr/p and significant = 0. Returns one row
+    ``(n_treatment, n_control, conv_treatment, conv_control,
+    rate_treatment, rate_control, uplift, lr, always_valid_p,
+    significant)``."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    g1 = (F.col(variant_col) == treatment).cast("bigint")
+    conv = F.coalesce((F.col(converted_col) > 0).cast("bigint"), F.lit(0))
+    m = units.filter(F.col(variant_col).isin(treatment, control)).agg(
+        F.coalesce(F.sum(g1), F.lit(0)).alias("__nt"),
+        F.coalesce(F.sum(g1 * conv), F.lit(0)).alias("__xt"),
+        F.coalesce(F.sum(F.lit(1) - g1), F.lit(0)).alias("__nc"),
+        F.coalesce(F.sum((F.lit(1) - g1) * conv), F.lit(0)).alias("__xc"),
+    )
+    nt = F.col("__nt").cast("double")
+    xt = F.col("__xt").cast("double")
+    nc = F.col("__nc").cast("double")
+    xc = F.col("__xc").cast("double")
+    # ANSI-safe: an empty arm must yield null rates, not a
+    # divide-by-zero (the agg pivot, unlike a groupBy, CAN see n = 0)
+    pt = F.when(F.col("__nt") > 0, xt / nt)
+    pc = F.when(F.col("__nc") > 0, xc / nc)
+    theta = pt - pc
+    v = pt * (F.lit(1.0) - pt) / nt + pc * (F.lit(1.0) - pc) / nc
+    t2 = F.lit(float(tau) * float(tau))
+    lr = F.when(
+        (F.col("__nt") > 0) & (F.col("__nc") > 0) & (v > 0),
+        F.sqrt(v / (v + t2))
+        * F.exp(theta * theta * t2 / (F.lit(2.0) * v * (v + t2))),
+    )
+    # least() SKIPS nulls on both engines, so gate explicitly: a null
+    # lr (missing arm / degenerate variance) must yield a null p, not
+    # least(1.0, null) = 1.0
+    p = F.when(lr.isNotNull(), F.least(F.lit(1.0), F.lit(1.0) / lr))
+    return m.select(
+        F.col("__nt").alias("n_treatment"),
+        F.col("__nc").alias("n_control"),
+        F.col("__xt").alias("conv_treatment"),
+        F.col("__xc").alias("conv_control"),
+        F.when(F.col("__nt") > 0, F.round(pt, 6)).alias("rate_treatment"),
+        F.when(F.col("__nc") > 0, F.round(pc, 6)).alias("rate_control"),
+        F.when(
+            (F.col("__nt") > 0) & (F.col("__nc") > 0), F.round(theta, 6)
+        ).alias("uplift"),
+        F.round(lr, 6).alias("lr"),
+        F.round(p, 6).alias("always_valid_p"),
+        F.coalesce(
+            (F.round(p, 6) <= F.lit(alpha)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -793,3 +793,78 @@ def test_eb_shrinkage_degenerate_prior_falls_back_to_raw(spark):
     for r in eb_shrunk_rates(df, "key", "conv").collect():
         assert r["prior_strength"] is None
         assert r["shrunk_rate"] == r["rate"] == 1.0
+
+
+def test_msprt_matches_closed_form_and_caps_at_one(spark):
+    """msprt_report reproduces the mixture-SPRT closed form over the
+    four exact arm integers, and the always-valid p caps at 1 for a
+    null effect (the LR can dip below 1; the p may not exceed it)."""
+    import math
+
+    from intake_esm_spark.operators.experiment import msprt_report
+
+    rows = (
+        [("t", 1)] * 400 + [("t", 0)] * 600
+        + [("c", 1)] * 300 + [("c", 0)] * 700
+    )
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    out = msprt_report(df, "variant", "converted", "t", "c", tau=0.05).collect()[0]
+    assert (out["n_treatment"], out["conv_treatment"]) == (1000, 400)
+    assert (out["n_control"], out["conv_control"]) == (1000, 300)
+    pt, pc = 0.4, 0.3
+    v = pt * (1 - pt) / 1000 + pc * (1 - pc) / 1000
+    t2 = 0.05 * 0.05
+    lr = math.sqrt(v / (v + t2)) * math.exp((pt - pc) ** 2 * t2 / (2 * v * (v + t2)))
+    assert out["lr"] == round(lr, 6)
+    assert out["always_valid_p"] == round(min(1.0, 1.0 / lr), 6)
+    assert out["significant"] == (1 if round(min(1.0, 1.0 / lr), 6) <= 0.05 else 0)
+    # a strong uplift this size must reject
+    assert out["significant"] == 1
+
+    # null effect: LR < 1 (the prior spreads mass over effects that
+    # didn't happen), p capped at exactly 1, never significant
+    rows0 = [("t", i % 10 == 0) for i in range(500)] + [
+        ("c", i % 10 == 0) for i in range(500)
+    ]
+    df0 = spark.createDataFrame(
+        [(v, int(c)) for v, c in rows0], "variant string, converted int"
+    )
+    out0 = msprt_report(df0, "variant", "converted", "t", "c").collect()[0]
+    assert out0["lr"] < 1.0
+    assert out0["always_valid_p"] == 1.0
+    assert out0["significant"] == 0
+
+
+def test_msprt_degenerate_and_null_handling(spark):
+    """Degenerate variance (both arms all-0) and a missing arm yield
+    null lr/p with significant = 0; NULL conversions count as
+    not-converted (the ab_test_report contract)."""
+    from intake_esm_spark.operators.experiment import msprt_report
+
+    allzero = spark.createDataFrame(
+        [("t", 0)] * 5 + [("c", 0)] * 5, "variant string, converted int"
+    )
+    r = msprt_report(allzero, "variant", "converted", "t", "c").collect()[0]
+    assert r["lr"] is None and r["always_valid_p"] is None
+    assert r["significant"] == 0
+
+    onearm = spark.createDataFrame(
+        [("t", 1), ("t", 0)], "variant string, converted int"
+    )
+    r1 = msprt_report(onearm, "variant", "converted", "t", "c").collect()[0]
+    assert r1["n_control"] == 0 and r1["rate_control"] is None
+    assert r1["always_valid_p"] is None and r1["significant"] == 0
+
+    nulls = spark.createDataFrame(
+        [("t", 1), ("t", None), ("c", 1), ("c", 0)],
+        "variant string, converted int",
+    )
+    rn = msprt_report(nulls, "variant", "converted", "t", "c").collect()[0]
+    assert (rn["n_treatment"], rn["conv_treatment"]) == (2, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        msprt_report(nulls, "variant", "converted", "t", "c", tau=0.0)
+    with _pytest.raises(ValueError):
+        msprt_report(nulls, "variant", "converted", "t", "c", alpha=1.5)
