@@ -4418,6 +4418,76 @@ def q_events_msprt(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR across a scoreboard of always-valid
+    p-values (operators/experiment.py bh_adjust + the msprt formula
+    per cell): 20 (event_type × engagement-cohort) metric cells, arms
+    by user parity, conversion = high-value event. The multiplicity
+    control a 20-metric experiment dashboard needs — at α=0.05 one
+    uncorrected metric "wins" by luck almost every experiment. One
+    cell collapse; p per cell in-row; BH at the distinct-p grain via
+    bucketed cumsum/cummin."""
+    from intake_esm_spark.operators.experiment import bh_adjust
+
+    events = load_table(spark, sf, "events")
+    g1 = (F.col("user_id") % 2 == 0).cast("bigint")
+    conv = F.coalesce((F.col("value") > 50).cast("bigint"), F.lit(0))
+    cells = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            F.concat(
+                F.col("event_type"),
+                F.lit("_c"),
+                (F.floor(F.col("user_id") / 2) % 4).cast("string"),
+            ).alias("metric"),
+            g1.alias("__g"),
+            conv.alias("__conv"),
+        )
+        .groupBy("metric")
+        .agg(
+            F.sum("__g").alias("__nt"),
+            F.sum(F.col("__g") * F.col("__conv")).alias("__xt"),
+            F.sum(F.lit(1) - F.col("__g")).alias("__nc"),
+            F.sum((F.lit(1) - F.col("__g")) * F.col("__conv")).alias("__xc"),
+        )
+    )
+    nt = F.col("__nt").cast("double")
+    nc = F.col("__nc").cast("double")
+    pt = F.when(F.col("__nt") > 0, F.col("__xt").cast("double") / nt)
+    pc = F.when(F.col("__nc") > 0, F.col("__xc").cast("double") / nc)
+    v = pt * (F.lit(1.0) - pt) / nt + pc * (F.lit(1.0) - pc) / nc
+    t2 = F.lit(0.05 * 0.05)
+    theta = pt - pc
+    lam = F.when(
+        (F.col("__nt") > 0) & (F.col("__nc") > 0) & (v > 0),
+        F.sqrt(v / (v + t2))
+        * F.exp(theta * theta * t2 / (F.lit(2.0) * v * (v + t2))),
+    )
+    pv = F.when(lam.isNotNull(), F.least(F.lit(1.0), F.lit(1.0) / lam))
+    scored = cells.select("metric", pv.alias("pv"))
+    return bh_adjust(scored, "pv", "metric")
+
+
+def q_orders_trimmed(spark: SparkSession, sf: str) -> DataFrame:
+    """Trimmed-mean A/B readout (operators/experiment.py
+    trimmed_means_report): order value by customer-parity arms, 5%
+    trimmed from each tail of each arm — the whale-robust revenue
+    comparison. Two distinct-value-grain bucketed passes; tie groups
+    keep exact partial mass, so no row-grain rank join exists."""
+    from intake_esm_spark.operators.experiment import trimmed_means_report
+
+    orders = load_table(spark, sf, "orders")
+    units = orders.filter(F.col("o_custkey").isNotNull()).select(
+        F.when(F.col("o_custkey") % 2 == 0, "t").otherwise("c").alias(
+            "arm"
+        ),
+        F.col("o_totalprice").alias("val"),
+    )
+    return trimmed_means_report(units, "arm", "val", "t", "c", trim=0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4425,14 +4495,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most 50 entries, so (standing rule) any entry whose code or
         # oracle changed this round is in the first 50, followed by the
         # entries longest without a driver-green row.
-        # Block 1: round-11 changes — events_msprt is NEW (mixture-SPRT
-        # always-valid p); events_survival was ported onto the bucketed
-        # prefix sum (oracle quantization changed with it); the next ten
-        # consume operators/ranks.py, which gained tie_fanout this round
-        # (rfm/abc/lift/qini enable it; gini/MW/KS/AUC/pr_auc/logrank
-        # share the rewritten module); pr_auc also took the finite-score
-        # ADVICE fix and docs_jsd the all-pairs guard ADVICE fix.
+        # Block 1: round-11 changes — events_msprt, events_fdr and
+        # orders_trimmed are NEW (mixture-SPRT always-valid p;
+        # Benjamini-Hochberg FDR over a 20-cell scoreboard;
+        # whale-robust trimmed means);
+        # events_survival was ported onto the bucketed prefix sum
+        # (oracle quantization changed with it, Nelson-Aalen column
+        # added); the next ten consume operators/ranks.py, which gained
+        # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
+        # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
+        # rewritten module); pr_auc also took the finite-score ADVICE
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 17 changed +
+        # 33 oldest = the 50-entry driver window; the last 4 of the
+        # oldest block below sit just past the cut and keep their
+        # cumulative green rows.
         "events_msprt": q_events_msprt,
+        "events_fdr": q_events_fdr,
+        "orders_trimmed": q_orders_trimmed,
         "events_survival": q_events_survival,
         "events_logrank": q_events_logrank,
         "events_rfm": q_events_rfm,
@@ -6306,6 +6385,150 @@ def oracle_sql() -> dict[str, str]:
                      AS significant
             FROM lr
         """,
+        # replays experiment.bh_adjust over 20 per-cell msprt p-values:
+        # the per-row suffix-min window form is value-identical to the
+        # Spark side's distinct-p-grain bucketed construction (within a
+        # tie group p*n/rank decreases, so the suffix min is the
+        # group-end value for every member)
+        "events_fdr": """
+            WITH u AS (
+              SELECT event_type || '_c' ||
+                       CAST(CAST(floor(user_id / 2.0) AS BIGINT) % 4
+                            AS VARCHAR) AS metric,
+                     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g,
+                     CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), cells AS (
+              SELECT metric,
+                     CAST(sum(g) AS BIGINT) AS nt,
+                     CAST(sum(g * conv) AS BIGINT) AS xt,
+                     CAST(sum(1 - g) AS BIGINT) AS nc,
+                     CAST(sum((1 - g) * conv) AS BIGINT) AS xc
+              FROM u GROUP BY 1
+            ), e AS (
+              SELECT metric, nt, nc,
+                     CASE WHEN nt > 0 THEN
+                       CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) END AS pt,
+                     CASE WHEN nc > 0 THEN
+                       CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) END AS pc
+              FROM cells
+            ), v AS (
+              SELECT metric, nt, nc,
+                     pt * (1.0 - pt) / CAST(nt AS DOUBLE)
+                     + pc * (1.0 - pc) / CAST(nc AS DOUBLE) AS vn,
+                     pt - pc AS theta,
+                     0.05 * 0.05 AS t2
+              FROM e
+            ), lam AS (
+              SELECT metric,
+                     CASE WHEN nt > 0 AND nc > 0 AND vn > 0 THEN
+                       sqrt(vn / (vn + t2))
+                       * exp(theta * theta * t2
+                             / (2.0 * vn * (vn + t2))) END AS l
+              FROM v
+            ), pv AS (
+              SELECT metric,
+                     CASE WHEN l IS NOT NULL
+                          THEN least(1.0, 1.0 / l) END AS p
+              FROM lam
+            ), ranked AS (
+              SELECT metric, p,
+                     count(*) OVER () AS n,
+                     row_number() OVER (ORDER BY p, metric) AS r
+              FROM pv
+              WHERE p IS NOT NULL AND NOT isnan(p)
+                    AND abs(p) <> 'infinity'::DOUBLE
+            ), adj AS (
+              SELECT metric, p, n,
+                     least(1.0,
+                           min(p * CAST(n AS DOUBLE) / CAST(r AS DOUBLE))
+                             OVER (ORDER BY p DESC, metric DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) AS q
+              FROM ranked
+            )
+            SELECT metric, round(p, 6) AS p, round(q, 6) AS q,
+                   CAST(round(q, 6) <= 0.05 AS INT) AS rejected,
+                   CAST(n AS BIGINT) AS n_tests
+            FROM adj
+        """,
+        # replays experiment.trimmed_means_report: the naive per-row
+        # rank window form is value-identical to the Spark side's
+        # tie-group partial-mass construction (tied rows share one
+        # value, so the trimmed SUM is selection-invariant)
+        "orders_trimmed": """
+            WITH u AS (
+              SELECT CASE WHEN o_custkey % 2 = 0 THEN 't' ELSE 'c' END
+                       AS arm,
+                     CAST(o_totalprice AS DECIMAL(18,6)) AS v
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+            ), r AS (
+              SELECT arm, v,
+                     row_number() OVER (PARTITION BY arm ORDER BY v)
+                       AS rn,
+                     count(*) OVER (PARTITION BY arm) AS n
+              FROM u
+            ), st AS (
+              SELECT arm,
+                     CAST(max(n) AS BIGINT) AS n,
+                     CAST(sum(v) AS DECIMAL(38,6)) AS s,
+                     CAST(sum(CASE WHEN rn > CAST(floor(
+                              CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE))
+                              AS BIGINT)
+                              AND rn <= n - CAST(floor(
+                              CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE))
+                              AS BIGINT)
+                              THEN v END) AS DECIMAL(38,6)) AS ts,
+                     CAST(sum(CASE WHEN rn > CAST(floor(
+                              CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE))
+                              AS BIGINT)
+                              AND rn <= n - CAST(floor(
+                              CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE))
+                              AS BIGINT)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM r GROUP BY arm
+            ), p AS (
+              SELECT
+                coalesce(max(CASE WHEN arm = 't' THEN n END), 0) AS nt,
+                max(CASE WHEN arm = 't' THEN s END) AS s_t,
+                coalesce(max(CASE WHEN arm = 't' THEN tn END), 0) AS tnt,
+                max(CASE WHEN arm = 't' THEN ts END) AS ts_t,
+                coalesce(max(CASE WHEN arm = 'c' THEN n END), 0) AS ncl,
+                max(CASE WHEN arm = 'c' THEN s END) AS s_c,
+                coalesce(max(CASE WHEN arm = 'c' THEN tn END), 0) AS tnc,
+                max(CASE WHEN arm = 'c' THEN ts END) AS ts_c
+              FROM st
+            )
+            SELECT nt AS n_treatment, ncl AS n_control,
+                   CASE WHEN nt > 0 THEN
+                     round(CAST(s_t AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+                     END AS mean_treatment,
+                   CASE WHEN ncl > 0 THEN
+                     round(CAST(s_c AS DOUBLE) / CAST(ncl AS DOUBLE), 6)
+                     END AS mean_control,
+                   tnt AS n_kept_treatment, tnc AS n_kept_control,
+                   CASE WHEN tnt > 0 THEN
+                     round(CAST(ts_t AS DOUBLE) / CAST(tnt AS DOUBLE), 6)
+                     END AS trimmed_mean_treatment,
+                   CASE WHEN tnc > 0 THEN
+                     round(CAST(ts_c AS DOUBLE) / CAST(tnc AS DOUBLE), 6)
+                     END AS trimmed_mean_control,
+                   round(CASE WHEN nt > 0 THEN
+                           round(CAST(s_t AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+                           END
+                         - CASE WHEN ncl > 0 THEN
+                           round(CAST(s_c AS DOUBLE) / CAST(ncl AS DOUBLE), 6)
+                           END, 6) AS mean_diff,
+                   round(CASE WHEN tnt > 0 THEN
+                           round(CAST(ts_t AS DOUBLE) / CAST(tnt AS DOUBLE), 6)
+                           END
+                         - CASE WHEN tnc > 0 THEN
+                           round(CAST(ts_c AS DOUBLE) / CAST(tnc AS DOUBLE), 6)
+                           END, 6) AS trimmed_mean_diff
+            FROM p
+        """,
         # replays experiment.trend_test: Cochran-Armitage z over exact
         # decimal dose moments, purchase conversion, 5 hash tiers
         "events_trend_test": """
@@ -7918,7 +8141,9 @@ def oracle_sql() -> dict[str, str]:
                                      CAST(round(ln(1.0 - h), 12)
                                           AS DECIMAL(28,12)) END)
                                  OVER w AS DOUBLE), 0.0)), 6)
-                   END AS survival
+                   END AS survival,
+                   round(CAST(sum(CAST(round(h, 12) AS DECIMAL(28,12)))
+                              OVER w AS DOUBLE), 6) AS cum_hazard
             FROM hz
             WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)

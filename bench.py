@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "events_prop_ci",
     "events_eb_rates",
     "events_msprt",
+    "events_fdr",
+    "orders_trimmed",
 ]
 
 

@@ -1383,3 +1383,198 @@ def msprt_report(
             (F.round(p, 6) <= F.lit(alpha)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    id_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment across a frame of p-values —
+    the multiple-testing companion the experiment family needs the
+    moment it reports more than one metric (20 independent readouts at
+    α=0.05 produce a false positive EVERY experiment; BH controls the
+    expected false-discovery rate at α across all of them): with
+    p₍₁₎ ≤ … ≤ p₍ₙ₎, ``q₍ᵢ₎ = min(1, min_{j≥i} p₍ⱼ₎·n/j)`` and a test
+    is rejected iff its q ≤ α — the standard step-up, q monotone in p.
+
+    Scale (the whole point of having it here — BH over millions of
+    per-item tests, not a dozen dashboard metrics): ties in p share
+    one exact q (within a tie group ``p·n/j`` is decreasing in j, so
+    the suffix min is the group-end value for every member — the same
+    smoothing the step-up itself performs), which drops the whole
+    computation to the DISTINCT-p grain: one p-keyed collapse, the
+    max-rank per distinct p from :func:`~.ranks.bucketed_cumsum`, the
+    suffix min as a PREFIX min under the reversed order from
+    :func:`~.ranks.bucketed_cummin` (tie-free at this grain), and one
+    keyed join back to rows. Nothing sorts in one task at any p
+    cardinality.
+
+    Determinism: ranks are exact integers; ``p·n/rank`` is two
+    correctly-rounded IEEE ops on exact inputs, and min is exact
+    selection (no accumulation), so q is bit-identical across engines
+    before the 6dp output rounding. Null and non-finite p-values are
+    excluded (they carry no evidence and would poison the span);
+    ``n_tests`` counts what remained. Returns one row per surviving
+    input row: ``(id_col, p, q, rejected, n_tests)``."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from .ranks import bucketed_cummin, bucketed_cumsum
+
+    pd_ = F.col(p_col).cast("double")
+    rows = df.filter(
+        F.col(p_col).isNotNull()
+        & ~F.isnan(pd_)
+        & (F.abs(pd_) != F.lit(float("inf")))
+    ).select(F.col(id_col), pd_.alias("p"))
+    per_p = (
+        rows.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # pinned: feeds the n total, the rank cumsum AND the row join
+        .localCheckpoint(eager=False)
+    )
+    n = per_p.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+    ranked = bucketed_cumsum(
+        per_p.crossJoin(F.broadcast(n)), ["__c"], val_col="p"
+    )
+    # max rank of the tie group = inclusive cumulative count; the
+    # group-end raw value is the suffix min within the group
+    raw = (
+        F.col("p") * F.col("__n").cast("double")
+        / F.col("__cum___c").cast("double")
+    )
+    staged = ranked.withColumn("__raw", raw)
+    qmin = bucketed_cummin(
+        staged, ["__raw"], val_col="p", descending=True
+    )
+    q = F.least(F.lit(1.0), F.col("__cum___raw"))
+    adjusted = qmin.select(
+        "p",
+        F.col("__n").alias("n_tests"),
+        F.round(q, 6).alias("q"),
+        (F.round(q, 6) <= F.lit(alpha)).cast("int").alias("rejected"),
+    )
+    return rows.join(adjusted, "p").select(
+        F.col(id_col),
+        F.round(F.col("p"), 6).alias("p"),
+        "q",
+        "rejected",
+        "n_tests",
+    )
+
+
+def trimmed_means_report(
+    units: DataFrame,
+    variant_col: str,
+    value_col: str,
+    treatment: str,
+    control: str,
+    trim: float = 0.05,
+) -> DataFrame:
+    """Trimmed-mean A/B readout — the robust companion to the raw-mean
+    comparisons (:func:`cuped_report` etc.) for heavy-tailed value
+    metrics: one whale order moves a revenue mean by itself, so the
+    standard practice is to compare means after dropping the extreme
+    ``trim`` fraction from EACH tail of EACH arm. Reports both raw and
+    trimmed means per arm plus the differences.
+
+    Scale: per arm, one value-keyed collapse to the distinct-value
+    grain, cumulative counts from :func:`~.ranks.bucketed_cumsum`, and
+    the trimmed sum computed PER TIE GROUP — a group spanning
+    cumulative positions ``(prev, cum]`` keeps
+    ``max(0, min(cum, hi) − max(prev, lo))`` of its rows, and because
+    tied rows share one value the trimmed SUM is invariant to which
+    tied rows are notionally dropped. No row-grain rank join, no
+    single-task sort; two bounded arms → two bucketed passes.
+
+    Determinism: values accumulate as DECIMAL(18,6); each tie group's
+    kept mass is an exact DECIMAL(38,6) product (the gini widening
+    rule); cut points ``lo = floor(trim·n)``, ``hi = n − lo`` use the
+    IEEE double product both engines compute identically. Means are
+    final IEEE divisions, 6dp. Null values are excluded; an arm whose
+    trimmed window is empty (n too small for the trim) reports a null
+    trimmed mean. Returns one row."""
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    from .ranks import bucketed_cumsum
+
+    def arm(label: str, tag: str) -> DataFrame:
+        per_v = (
+            units.filter(
+                (F.col(variant_col) == label) & F.col(value_col).isNotNull()
+            )
+            .groupBy(F.col(value_col).cast("decimal(18,6)").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            # pinned: feeds the totals aggregate AND the cumsum
+            .localCheckpoint(eager=False)
+        )
+        tot = per_v.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"),
+            F.sum(
+                F.expr("CAST(CAST(__c AS DECIMAL(20,0)) * __v AS DECIMAL(38,6))")
+            ).alias("__s"),
+        )
+        cum = bucketed_cumsum(
+            per_v.crossJoin(F.broadcast(tot)), ["__c"], val_col="__v"
+        )
+        nd = F.col("__n").cast("double")
+        lo = F.floor(F.lit(float(trim)) * nd).cast("bigint")
+        hi = F.col("__n") - lo
+        prev = F.col("__cum___c") - F.col("__c")
+        kept = F.greatest(
+            F.lit(0),
+            F.least(F.col("__cum___c"), hi) - F.greatest(prev, lo),
+        )
+        kept_sum = F.sum(
+            F.expr(
+                "CAST(CAST(__kept AS DECIMAL(20,0)) * __v AS DECIMAL(38,6))"
+            )
+        )
+        m = cum.withColumn("__kept", kept).agg(
+            kept_sum.alias("__ts"),
+            F.coalesce(F.sum("__kept"), F.lit(0)).alias("__tn"),
+            F.max("__n").alias("__nn"),
+            F.max("__s").alias("__ss"),
+        )
+        return m.select(
+            F.coalesce(F.col("__nn"), F.lit(0)).alias(f"n_{tag}"),
+            F.when(
+                F.coalesce(F.col("__nn"), F.lit(0)) > 0,
+                F.round(
+                    F.col("__ss").cast("double")
+                    / F.col("__nn").cast("double"),
+                    6,
+                ),
+            ).alias(f"mean_{tag}"),
+            F.col("__tn").alias(f"n_kept_{tag}"),
+            F.when(
+                F.col("__tn") > 0,
+                F.round(
+                    F.col("__ts").cast("double")
+                    / F.col("__tn").cast("double"),
+                    6,
+                ),
+            ).alias(f"trimmed_mean_{tag}"),
+        )
+
+    j = arm(treatment, "treatment").crossJoin(
+        F.broadcast(arm(control, "control"))
+    )
+    return j.select(
+        "n_treatment",
+        "n_control",
+        "mean_treatment",
+        "mean_control",
+        "n_kept_treatment",
+        "n_kept_control",
+        "trimmed_mean_treatment",
+        "trimmed_mean_control",
+        F.round(
+            F.col("mean_treatment") - F.col("mean_control"), 6
+        ).alias("mean_diff"),
+        F.round(
+            F.col("trimmed_mean_treatment") - F.col("trimmed_mean_control"),
+            6,
+        ).alias("trimmed_mean_diff"),
+    )

@@ -297,6 +297,64 @@ def _with_bucket(
     return df.withColumn("__bkt", bkt).drop(*span_drop)
 
 
+def bucketed_cummin(
+    df: DataFrame,
+    min_cols: list[str],
+    val_col: str = "__val",
+    tiebreaks: list[str] | None = None,
+    descending: bool = False,
+    n_buckets: int = N_RANK_BUCKETS,
+    bounds: tuple[str, str] | None = None,
+    tie_fanout: bool = False,
+) -> DataFrame:
+    """INCLUSIVE prefix MINIMA of ``min_cols`` over the same global
+    order as :func:`bucketed_cumsum` — the min-monoid instance of the
+    identical two-phase construction (min is associative and
+    order-insensitive, so any order-preserving bucket assignment yields
+    the same exact running minima): per-bucket window minima, then an
+    EXCLUSIVE prefix min over the bounded bucket-totals aggregate
+    broadcast back (its identity is "no prefix", carried as a null
+    offset and folded with ``least``-style null handling, not a
+    sentinel).  Adds ``__cum_<c>`` per column; nulls inside ``min_cols``
+    are skipped exactly as a window ``min`` skips them.  Built for the
+    Benjamini-Hochberg step-up (the suffix min of ``p·n/rank`` is a
+    prefix min under the reversed order) and any other running-extreme
+    over a data-sized frame where ``Window.orderBy`` alone would plan
+    one task."""
+    ties = list(tiebreaks or [])
+    b = _with_bucket(
+        df, val_col, ties, descending, n_buckets, bounds, tie_fanout
+    )
+    order = [
+        F.col(val_col).desc() if descending else F.col(val_col).asc(),
+        *[F.col(t).asc() for t in ties],
+    ]
+    w_local = Window.partitionBy("__bkt").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    for c in min_cols:
+        b = b.withColumn(f"__loc_{c}", F.min(c).over(w_local))
+    totals = b.groupBy("__bkt").agg(
+        *[F.min(c).alias(f"__tot_{c}") for c in min_cols]
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        "__bkt",
+        *[F.min(f"__tot_{c}").over(w_off).alias(f"__off_{c}") for c in min_cols],
+    )
+    out = b.join(F.broadcast(offs), "__bkt")
+    for c in min_cols:
+        # least() skips nulls on purpose here: a null offset is the
+        # empty-prefix identity, a null local min means every value so
+        # far was null (window min semantics) — least covers both
+        out = out.withColumn(
+            f"__cum_{c}", F.least(F.col(f"__loc_{c}"), F.col(f"__off_{c}"))
+        ).drop(f"__loc_{c}", f"__off_{c}")
+    return out.drop("__bkt")
+
+
 def global_rank(
     df: DataFrame,
     val_col: str,

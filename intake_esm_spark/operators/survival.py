@@ -47,8 +47,13 @@ def km_survival(
     (numeric time-to-event-or-censoring, >= 0) and ``event_col`` (1 =
     event observed, 0 = right-censored). Returns one row per distinct
     duration, ordered ascending: ``(t, n_at_risk, n_events, n_censored,
-    hazard, survival)`` — survival steps down only at event times
-    (censoring reduces the risk set without a step, the KM property).
+    hazard, survival, cum_hazard)`` — survival steps down only at event
+    times (censoring reduces the risk set without a step, the KM
+    property); ``cum_hazard`` is the Nelson-Aalen estimator
+    ``H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ`` (round 11 — the standard companion
+    readout: rate comparisons read H directly, and ``−ln S(t)``
+    systematically overshoots it), accumulated as 12dp-decimal terms in
+    the SAME bucketed pass as the survival log-sum.
     Null durations/events are excluded. ``S(t)`` uses the convention
     that events at ``t`` have already happened (left-continuous curve
     evaluated just after ``t``)."""
@@ -96,15 +101,19 @@ def km_survival(
     # keep survival positive) — clamp via an explicit flag whose
     # cumulative SUM is positive exactly where the cumulative max of
     # the r10 window form was set
-    staged = staged.withColumn(
-        "__lt",
-        F.when(h < 1.0, F.round(F.log(F.lit(1.0) - h), 12)).cast(
-            "decimal(28,12)"
-        ),
-    ).withColumn("__hz", (h >= 1.0).cast("bigint"))
+    staged = (
+        staged.withColumn(
+            "__lt",
+            F.when(h < 1.0, F.round(F.log(F.lit(1.0) - h), 12)).cast(
+                "decimal(28,12)"
+            ),
+        )
+        .withColumn("__hz", (h >= 1.0).cast("bigint"))
+        .withColumn("__dh", F.round(h, 12).cast("decimal(28,12)"))
+    )
     cum2 = bucketed_cumsum(
         staged,
-        ["__lt", "__hz"],
+        ["__lt", "__hz", "__dh"],
         val_col="t",
         bounds=("__lo_t", "__hi_t"),
     )
@@ -120,6 +129,7 @@ def km_survival(
         "n_censored",
         F.round(h, 6).alias("hazard"),
         F.round(survival, 6).alias("survival"),
+        F.round(F.col("__cum___dh").cast("double"), 6).alias("cum_hazard"),
     )
 
 

@@ -1282,3 +1282,34 @@ def stream_scoring_rules(
     from intake_esm_spark.operators.evaluation import scoring_rules_report
 
     return scoring_rules_report(df, label_col, score_col, eps=eps)
+
+
+def stream_msprt(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    treatment: str,
+    control: str,
+    tau: float = 0.05,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Streaming twin #21 — ``operators.experiment.msprt_report`` as a
+    LIVE always-valid experiment monitor, and the one readout in the
+    family that is DESIGNED to be watched continuously: the mixture-
+    SPRT p-value is valid at every sample size simultaneously, so
+    acting on the first significant update is statistically sound
+    (this twin is the intended consumption mode; the batch report is
+    the snapshot). Like the scoring-rules twin, no custom state: the
+    batch plan is ONE global aggregation of four additive integer arm
+    counters with an in-row closed-form projection on top — exactly a
+    legal streaming global aggregation in update mode (state: four
+    longs). Each update row is the new running report; the LAST update
+    equals the batch report over everything ingested bit-for-bit
+    (exact integer counters into fixed IEEE expressions; pinned by the
+    parity test)."""
+    from intake_esm_spark.operators.experiment import msprt_report
+
+    return msprt_report(
+        df, variant_col, converted_col, treatment, control,
+        tau=tau, alpha=alpha,
+    )

@@ -868,3 +868,191 @@ def test_msprt_degenerate_and_null_handling(spark):
         msprt_report(nulls, "variant", "converted", "t", "c", tau=0.0)
     with _pytest.raises(ValueError):
         msprt_report(nulls, "variant", "converted", "t", "c", alpha=1.5)
+
+
+def test_stream_msprt_matches_batch(spark, tmp_path):
+    """Two micro-batches of units: the LAST update equals the batch
+    mSPRT report exactly (four integer counters into fixed IEEE
+    expressions — the scoring-rules-twin parity argument verbatim),
+    and intermediate updates are themselves valid readouts (the
+    always-valid property is the twin's reason to exist)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.experiment import msprt_report
+    from intake_esm_spark.streaming.stateful import stream_msprt
+
+    rows = [("t", i % 3 == 0) for i in range(60)] + [
+        ("c", i % 5 == 0) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(v, int(c)) for v, c in rows], "variant string, converted int"
+    )
+    batch = msprt_report(df, "variant", "converted", "t", "c").collect()[0]
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32(F.col("variant")) % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    df.filter(F.crc32(F.col("variant")) % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_msprt(stream, "variant", "converted", "t", "c")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("msprt_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_msprt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM msprt_stream").collect()
+    finally:
+        q.stop()
+    last = emitted[-1]
+    for c in (
+        "n_treatment", "n_control", "conv_treatment", "conv_control",
+        "rate_treatment", "rate_control", "uplift", "lr",
+        "always_valid_p", "significant",
+    ):
+        assert last[c] == batch[c], (c, last[c], batch[c])
+    # every intermediate update is a well-formed readout
+    for r in emitted:
+        assert r["always_valid_p"] is None or 0.0 <= r["always_valid_p"] <= 1.0
+
+
+def test_bh_adjust_matches_stepup_reference(spark):
+    """bh_adjust == the textbook step-up computed in Python (suffix min
+    of p*n/rank over the sorted p's, capped at 1), including heavy p
+    ties (all members of a tie group share one q — the grain the
+    distributed form stands on) and null/NaN exclusion."""
+    import math
+
+    from intake_esm_spark.operators.experiment import bh_adjust
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341,
+          0.05, 0.05, 0.05, 0.05]  # a 4-way tie group
+    rows = [(f"m{i:02d}", p) for i, p in enumerate(ps)]
+    rows += [("null_p", None), ("nan_p", float("nan"))]
+    df = spark.createDataFrame(rows, "metric string, pv double")
+
+    def reference(pvals):
+        n = len(pvals)
+        order = sorted(range(n), key=lambda i: pvals[i])
+        q = [None] * n
+        running = math.inf
+        for pos in range(n - 1, -1, -1):
+            i = order[pos]
+            running = min(running, pvals[i] * n / (pos + 1))
+            q[i] = min(1.0, running)
+        return q
+
+    expect_q = reference(ps)
+    out = {r["metric"]: r for r in bh_adjust(df, "pv", "metric").collect()}
+    assert "null_p" not in out and "nan_p" not in out
+    assert len(out) == len(ps)
+    for i, p in enumerate(ps):
+        r = out[f"m{i:02d}"]
+        assert r["n_tests"] == len(ps)
+        assert r["q"] == round(expect_q[i], 6), (i, p, r["q"], expect_q[i])
+        assert r["rejected"] == int(round(expect_q[i], 6) <= 0.05)
+    # the 4-way tie at p=0.05 shares one q
+    tie_qs = {out[f"m{i:02d}"]["q"] for i in (16, 17, 18, 19)}
+    assert len(tie_qs) == 1
+    # q is monotone in p
+    qs = [out[f"m{i:02d}"]["q"] for i in sorted(range(len(ps)), key=lambda i: ps[i])]
+    assert qs == sorted(qs)
+
+    with __import__("pytest").raises(ValueError):
+        bh_adjust(df, "pv", "metric", alpha=0.0)
+
+
+def test_bucketed_cummin_equals_window_min(spark):
+    """bucketed_cummin == an unpartitioned running min over the same
+    order, for asc/desc and frames with nulls in the min column (the
+    empty-prefix identity must stay null, not a sentinel)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.ranks import bucketed_cummin
+
+    rows = [
+        (i, float(i % 13), None if i % 7 == 0 else float((i * 31) % 97))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id int, v double, x double")
+    for desc in (False, True):
+        order = [
+            F.col("v").desc() if desc else F.col("v").asc(),
+            F.col("id").asc(),
+        ]
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        expect = {
+            r["id"]: r["m"]
+            for r in df.withColumn("m", F.min("x").over(w)).collect()
+        }
+        got = {
+            r["id"]: r["__cum_x"]
+            for r in bucketed_cummin(
+                df, ["x"], val_col="v", tiebreaks=["id"], descending=desc
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_trimmed_means_report_matches_reference(spark):
+    """trimmed_means_report == the textbook per-arm trimmed mean
+    (drop floor(trim*n) from each tail), on a frame with heavy value
+    ties straddling the cut (the tie-group partial-mass case) and a
+    whale that only the raw mean sees."""
+    from intake_esm_spark.operators.experiment import trimmed_means_report
+
+    tvals = [10.0] * 8 + [20.0] * 8 + [30.0] * 3 + [100000.0]
+    cvals = [10.0] * 10 + [20.0] * 9 + [30.0]
+    rows = [("t", v) for v in tvals] + [("c", v) for v in cvals]
+    df = spark.createDataFrame(rows, "arm string, val double")
+    out = trimmed_means_report(df, "arm", "val", "t", "c", trim=0.1).collect()[0]
+
+    def ref(vals, trim):
+        k = int(trim * len(vals))
+        kept = sorted(vals)[k: len(vals) - k]
+        return sum(kept) / len(kept), len(kept)
+
+    tm_t, nk_t = ref(tvals, 0.1)
+    tm_c, nk_c = ref(cvals, 0.1)
+    assert out["n_treatment"] == 20 and out["n_control"] == 20
+    assert out["n_kept_treatment"] == nk_t
+    assert out["n_kept_control"] == nk_c
+    assert out["trimmed_mean_treatment"] == round(tm_t, 6)
+    assert out["trimmed_mean_control"] == round(tm_c, 6)
+    assert out["mean_treatment"] == round(sum(tvals) / 20, 6)
+    # the whale moves the raw mean thousands of points; trimmed barely
+    assert out["mean_diff"] > 4000
+    assert abs(out["trimmed_mean_diff"]) < 10
+
+    # degenerate: empty trimmed window (n too small for the trim)
+    tiny = spark.createDataFrame(
+        [("t", 1.0), ("c", 2.0)], "arm string, val double"
+    )
+    r = trimmed_means_report(tiny, "arm", "val", "t", "c", trim=0.4).collect()[0]
+    assert r["n_treatment"] == 1 and r["n_kept_treatment"] == 1
+    assert r["trimmed_mean_treatment"] == 1.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        trimmed_means_report(tiny, "arm", "val", "t", "c", trim=0.5)

@@ -841,3 +841,12 @@ def test_km_survival_cumulatives_via_bucketed_prefix_sum(spark, queries):
     plan = plan_of(queries["events_survival"](spark, SF), "simple")
     _assert_no_entity_grain_window(plan)
     assert "BroadcastHashJoin" in plan, plan  # bucket offsets join
+
+
+def test_bh_fdr_runs_at_distinct_p_grain_bucketed(spark, queries):
+    """bh_adjust (round 11): the step-up runs at the distinct-p grain
+    on bucketed cumsum/cummin — no unpartitioned data-sized window, no
+    corpus-wide p sort (millions of per-item tests is the design
+    point)."""
+    plan = plan_of(queries["events_fdr"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)

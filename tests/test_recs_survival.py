@@ -158,3 +158,19 @@ def test_logrank_identical_arms_is_null_or_zero(spark):
     r = logrank_test(censored, "grp", "dur", "ev", "t", "c").collect()[0]
     assert r["z"] is None and r["n_events"] == 0
     assert (r["n_treatment"], r["n_control"]) == (1, 1)
+
+
+def test_km_nelson_aalen_cum_hazard(spark):
+    """cum_hazard (round 11) is the running sum of d/n at each distinct
+    time — hand-checked on a small censored cohort."""
+    subj = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0), (3, 1), (3, 0), (4, 1)],
+        "dur int, ev int",
+    )
+    rows = {r["t"]: r for r in km_survival(subj, "dur", "ev").collect()}
+    # t=1: n=6 d=2 -> H=2/6; t=2: censored only, H unchanged;
+    # t=3: n=3 d=1 -> +1/3; t=4: n=1 d=1 -> +1
+    assert rows[1]["cum_hazard"] == round(2 / 6, 6)
+    assert rows[2]["cum_hazard"] == round(2 / 6, 6)
+    assert rows[3]["cum_hazard"] == round(2 / 6 + 1 / 3, 6)
+    assert rows[4]["cum_hazard"] == round(2 / 6 + 1 / 3 + 1.0, 6)
