@@ -4488,6 +4488,31 @@ def q_orders_trimmed(spark: SparkSession, sf: str) -> DataFrame:
     return trimmed_means_report(units, "arm", "val", "t", "c", trim=0.05)
 
 
+def q_lineitem_exact_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact type-7 quantiles WITHOUT value buffering (operators/
+    profiling.py exact_quantiles): the percentile aggregate holds the
+    whole frame in one buffer at corpus scale — this keeps exactness
+    via the distinct-value-grain bucketed cumsum + a ≤2·|probs|-rank
+    broadcast probe."""
+    from intake_esm_spark.operators.profiling import exact_quantiles
+
+    lineitem = load_table(spark, sf, "lineitem")
+    return exact_quantiles(
+        lineitem, "l_extendedprice", probs=[0.25, 0.5, 0.75, 0.95]
+    )
+
+
+def q_orders_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformity of order totals (operators/
+    profiling.py benford_report) — the classic fabricated-amounts
+    screen. Leading digit from the decimal STRING form (libm-free,
+    engine-identical); one ≤9-group collapse."""
+    from intake_esm_spark.operators.profiling import benford_report
+
+    orders = load_table(spark, sf, "orders")
+    return benford_report(orders, "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4495,10 +4520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most 50 entries, so (standing rule) any entry whose code or
         # oracle changed this round is in the first 50, followed by the
         # entries longest without a driver-green row.
-        # Block 1: round-11 changes — events_msprt, events_fdr and
-        # orders_trimmed are NEW (mixture-SPRT always-valid p;
-        # Benjamini-Hochberg FDR over a 20-cell scoreboard;
-        # whale-robust trimmed means);
+        # Block 1: round-11 changes — events_msprt, events_fdr,
+        # orders_trimmed, lineitem_exact_quantiles and orders_benford
+        # are NEW (mixture-SPRT always-valid p; Benjamini-Hochberg FDR
+        # over a 20-cell scoreboard; whale-robust trimmed means; exact
+        # type-7 quantiles without value buffering; Benford first-digit
+        # conformity);
         # events_survival was ported onto the bucketed prefix sum
         # (oracle quantization changed with it, Nelson-Aalen column
         # added); the next ten consume operators/ranks.py, which gained
@@ -4512,6 +4539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
+        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        "orders_benford": q_orders_benford,
         "events_survival": q_events_survival,
         "events_logrank": q_events_logrank,
         "events_rfm": q_events_rfm,
@@ -6528,6 +6557,93 @@ def oracle_sql() -> dict[str, str]:
                            round(CAST(ts_c AS DOUBLE) / CAST(tnc AS DOUBLE), 6)
                            END, 6) AS trimmed_mean_diff
             FROM p
+        """,
+        # replays profiling.exact_quantiles: the naive row_number form
+        # picks the identical order statistics the bucketed span probe
+        # picks; h/interpolation are the same fixed IEEE expressions
+        "lineitem_exact_quantiles": """
+            WITH v AS (
+              SELECT l_extendedprice AS val FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+            ), nn AS (
+              SELECT count(*) AS n FROM v
+            ), r AS (
+              SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v
+            ), pr AS (
+              SELECT * FROM (VALUES
+                (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))
+              ) AS t(p)
+            ), hh AS (
+              SELECT p, n,
+                     (CAST(n AS DOUBLE) - 1.0) * p + 1.0 AS h
+              FROM pr CROSS JOIN nn
+            ), b AS (
+              SELECT p, n, h,
+                     CAST(floor(h) AS BIGINT) AS lo,
+                     CAST(ceil(h) AS BIGINT) AS hi
+              FROM hh
+            )
+            SELECT b.p AS prob,
+                   CAST(b.n AS BIGINT) AS n_values,
+                   round(CAST(rl.val AS DOUBLE)
+                         + (b.h - floor(b.h))
+                           * (CAST(rh.val AS DOUBLE)
+                              - CAST(rl.val AS DOUBLE)), 6) AS quantile
+            FROM b
+            JOIN r rl ON rl.rn = b.lo
+            JOIN r rh ON rh.rn = b.hi
+        """,
+        # replays profiling.benford_report: leading digit from the
+        # DECIMAL(18,6) string form (libm-free), 9-digit left frame,
+        # ln-ratio Benford shares, decimal-quantized MAD
+        "orders_benford": """
+            WITH d AS (
+              SELECT CAST(regexp_extract(
+                       CAST(abs(CAST(o_totalprice AS DECIMAL(18,6)))
+                            AS VARCHAR), '([1-9])', 1) AS INT) AS digit
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND regexp_extract(
+                      CAST(abs(CAST(o_totalprice AS DECIMAL(18,6)))
+                           AS VARCHAR), '([1-9])', 1) <> ''
+            ), obs AS (
+              SELECT digit, count(*) AS c FROM d GROUP BY 1
+            ), digits AS (
+              SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9))
+                AS t(digit)
+            ), full_f AS (
+              SELECT digits.digit,
+                     coalesce(obs.c, 0) AS c
+              FROM digits LEFT JOIN obs ON digits.digit = obs.digit
+            ), tot AS (
+              SELECT coalesce(sum(c), 0) AS n FROM full_f
+            ), scored AS (
+              SELECT digit, CAST(c AS BIGINT) AS n_d,
+                     CASE WHEN n > 0 THEN
+                       CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END AS share,
+                     ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+                       AS expected
+              FROM full_f CROSS JOIN tot
+            ), g AS (
+              SELECT digit, n_d, share, expected,
+                     abs(share - expected) AS gap,
+                     CAST(round(abs(share - expected), 12)
+                          AS DECIMAL(28,12)) AS g12
+              FROM scored
+            ), m AS (
+              SELECT CAST(sum(g12) AS DOUBLE) / 9.0 AS mad FROM g
+            )
+            SELECT digit, n_d AS n,
+                   round(share, 6) AS observed_share,
+                   round(expected, 6) AS expected_share,
+                   round(gap, 6) AS abs_gap,
+                   round(mad, 6) AS mad,
+                   CASE WHEN round(mad, 6) < 0.006 THEN 'close'
+                        WHEN round(mad, 6) < 0.012 THEN 'acceptable'
+                        WHEN round(mad, 6) < 0.015 THEN 'marginal'
+                        ELSE 'nonconforming' END AS conformity
+            FROM g CROSS JOIN m
         """,
         # replays experiment.trend_test: Cochran-Armitage z over exact
         # decimal dose moments, purchase conversion, 5 hash tiers

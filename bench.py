@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "events_msprt",
     "events_fdr",
     "orders_trimmed",
+    "lineitem_exact_quantiles",
+    "orders_benford",
 ]
 
 

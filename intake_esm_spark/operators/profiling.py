@@ -812,3 +812,164 @@ def skew_report(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT type-7 quantiles with no value buffering — the scale-safe
+    sibling of :func:`group_quantiles`'s ``exact=True`` path: Spark's
+    sort-based ``percentile`` aggregate holds every value of the frame
+    in one aggregation buffer (at corpus scale that task simply dies),
+    and the usual escape is approximate (Greenwald-Khanna). This keeps
+    exactness instead: ONE value-keyed collapse to the distinct-value
+    grain, cumulative counts from :func:`~.ranks.bucketed_cumsum`
+    (each distinct value owns the rank span ``(prev, cum]``), and the
+    two order statistics every probability needs (``lo = ⌊h⌋``,
+    ``hi = ⌈h⌉`` with ``h = (n−1)p + 1``) are picked by a
+    broadcast-nested-loop probe of ≤ 2·|probs| rank literals against
+    that span — the corpus never sorts in one task and never leaves
+    the distinct-value grain.
+
+    Determinism: ranks/counts are exact integers; ``h`` and the
+    interpolation ``v_lo + (h−⌊h⌋)·(v_hi−v_lo)`` are the same fixed
+    IEEE expressions both engines evaluate (bitwise parity with
+    Spark ``percentile`` / DuckDB ``quantile_cont`` pinned by test),
+    6dp-rounded. Null values are excluded; an empty frame returns
+    zero rows. Returns one row per probability: ``(prob, n_values,
+    quantile)``."""
+    plist = [float(p) for p in probs]
+    if not plist or any(not 0.0 <= p <= 1.0 for p in plist):
+        raise ValueError(f"probs must be non-empty, each in [0, 1]: {probs}")
+    from .ranks import bucketed_cumsum
+
+    per_v = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # pinned: feeds the total AND the cumsum
+        .localCheckpoint(eager=False)
+    )
+    n = per_v.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+    # n stays on the probe side only (the span side would make every
+    # probe-join column ambiguous); the cumsum pays its own span pass
+    # over the pinned frame
+    cum = bucketed_cumsum(per_v, ["__c"], val_col="__v")
+    # ≤ |probs| rows: each probability's h and its two needed ranks
+    h = (F.col("__n").cast("double") - F.lit(1.0)) * F.col("p") + F.lit(1.0)
+    needs = (
+        n.select(
+            "__n",
+            F.posexplode(F.array(*[F.lit(p) for p in plist])).alias(
+                "idx", "p"
+            ),
+        )
+        .withColumn("h", h)
+        .withColumn("lo", F.floor(F.col("h")).cast("bigint"))
+        .withColumn("hi", F.ceil(F.col("h")).cast("bigint"))
+    )
+    # ≤ 2|probs| probe rows (rank, side) — broadcast against the span
+    probes = needs.select(
+        "idx", "p", "h", "__n",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("r"), F.lit("l").alias("s")),
+                F.struct(F.col("hi").alias("r"), F.lit("h").alias("s")),
+            )
+        ).alias("pr"),
+    ).select("idx", "p", "h", "__n", F.col("pr.r").alias("r"), F.col("pr.s").alias("s"))
+    prev = F.col("__cum___c") - F.col("__c")
+    hit = F.broadcast(probes).join(
+        cum, (F.col("r") > prev) & (F.col("r") <= F.col("__cum___c"))
+    )
+    vd = F.col("__v").cast("double")
+    picked = hit.groupBy("idx", "p", "h", "__n").agg(
+        F.max(F.when(F.col("s") == "l", vd)).alias("__vl"),
+        F.max(F.when(F.col("s") == "h", vd)).alias("__vh"),
+    )
+    q = F.col("__vl") + (F.col("h") - F.floor(F.col("h"))) * (
+        F.col("__vh") - F.col("__vl")
+    )
+    return picked.select(
+        F.col("p").alias("prob"),
+        F.col("__n").alias("n_values"),
+        F.round(q, 6).alias("quantile"),
+    )
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford first-digit conformity — the classic anomaly screen for
+    transaction-amount columns (organically-grown magnitudes follow
+    ``P(d) = log₁₀(1 + 1/d)``; fabricated, capped, or unit-converted
+    data does not): per leading digit 1–9, the observed share vs the
+    Benford share, plus the mean absolute deviation (MAD) with
+    Nigrini's standard conformity reading (< 0.006 close, < 0.012
+    acceptable, < 0.015 marginal, else nonconforming).
+
+    The leading digit is extracted from the DECIMAL(18,6) string form
+    (first nonzero digit character) — arithmetically via
+    ``floor(v/10^⌊log₁₀ v⌋)`` a last-ulp libm difference flips the
+    digit at exact powers of ten, while the string form is exact and
+    engine-identical. One digit-keyed collapse (map-side partial, ≤ 9
+    groups); zero/null values are excluded (they have no leading
+    digit). Determinism: counts exact; shares and MAD are fixed IEEE
+    expressions (the Benford shares via ``ln(1+1/d)/ln(10)`` on both
+    engines), 6dp. Returns 9 rows ``(digit, n, observed_share,
+    expected_share, abs_gap, mad, conformity)`` — digits never
+    observed still appear (their gap is the full expected share)."""
+    digit_s = F.regexp_extract(
+        F.abs(F.col(value_col).cast("decimal(18,6)")).cast("string"),
+        "([1-9])",
+        1,
+    )
+    obs = (
+        df.filter(F.col(value_col).isNotNull() & (digit_s != ""))
+        .groupBy(digit_s.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = digits.join(F.broadcast(obs), "digit", "left").select(
+        "digit", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    tot = full.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+    j = full.crossJoin(F.broadcast(tot))
+    dd = F.col("digit").cast("double")
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / dd) / F.log(F.lit(10.0))
+    share = F.when(
+        F.col("__n") > 0,
+        F.col("__c").cast("double") / F.col("__n").cast("double"),
+    )
+    gap = F.abs(share - expected)
+    scored = j.select(
+        "digit",
+        F.col("__c").alias("n"),
+        F.round(share, 6).alias("observed_share"),
+        F.round(expected, 6).alias("expected_share"),
+        F.round(gap, 6).alias("abs_gap"),
+        F.round(gap, 12).cast("decimal(28,12)").alias("__g12"),
+    )
+    # the 9-row MAD rollup broadcasts back (bounded-frame class)
+    mad_row = scored.agg(
+        (F.sum("__g12").cast("double") / F.lit(9.0)).alias("__mad")
+    )
+    out = scored.crossJoin(F.broadcast(mad_row))
+    mad6 = F.round(F.col("__mad"), 6)
+    return out.select(
+        "digit",
+        "n",
+        "observed_share",
+        "expected_share",
+        "abs_gap",
+        mad6.alias("mad"),
+        F.when(mad6 < 0.006, "close")
+        .when(mad6 < 0.012, "acceptable")
+        .when(mad6 < 0.015, "marginal")
+        .otherwise("nonconforming")
+        .alias("conformity"),
+    )

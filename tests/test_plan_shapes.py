@@ -850,3 +850,14 @@ def test_bh_fdr_runs_at_distinct_p_grain_bucketed(spark, queries):
     point)."""
     plan = plan_of(queries["events_fdr"](spark, SF), "simple")
     _assert_no_entity_grain_window(plan)
+
+
+def test_exact_quantiles_probe_is_broadcast_no_global_sort(spark, queries):
+    """exact_quantiles (round 11): the order statistics come from a
+    broadcast probe of rank literals against the bucketed cumulative
+    spans — no corpus-wide sort, no value-buffering percentile
+    aggregate, the frame never leaves the distinct-value grain."""
+    plan = plan_of(queries["lineitem_exact_quantiles"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the rank-span probe
+    assert "percentile" not in plan.lower(), plan

@@ -461,3 +461,66 @@ def test_mad_null_group_key_gets_own_fences(spark):
     assert out[(None, 50.0)] is True
     assert out[(None, 1.0)] is False  # real False, not NULL
     assert out[("g", 2.0)] is False
+
+
+def test_exact_quantiles_matches_percentile_aggregate(spark):
+    """exact_quantiles == Spark's sort-based percentile (type-7) on
+    frames with duplicates, negatives and a singleton — the bucketed
+    span probe picks the identical order statistics."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.profiling import exact_quantiles
+
+    vals = [5.0, -3.5, 5.0, 12.25, 0.0, 5.0, 99.5, -3.5, 7.75, 1.0, 1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    probs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    arr = "array(" + ", ".join(f"{p}D" for p in probs) + ")"
+    expect = df.agg(F.expr(f"percentile(x, {arr})").alias("q")).collect()[0]["q"]
+    got = {
+        r["prob"]: r["quantile"]
+        for r in exact_quantiles(df, "x", probs=probs).collect()
+    }
+    assert len(got) == len(probs)
+    for p, e in zip(probs, expect):
+        assert got[p] == round(e, 6), (p, got[p], e)
+        assert all(r == len(vals) for r in [len(vals)])
+
+    single = spark.createDataFrame([(42.0,)], "x double")
+    one = exact_quantiles(single, "x", probs=[0.5]).collect()[0]
+    assert one["quantile"] == 42.0 and one["n_values"] == 1
+
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles(empty, "x", probs=[0.5]).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "x", probs=[1.5])
+
+
+def test_benford_report_digits_and_conformity(spark):
+    """benford_report: exact string-form leading digits (incl. values
+    < 1 whose digit sits after leading zeros, negatives, and nulls),
+    all nine digits present in the output, shares sum to 1."""
+    from intake_esm_spark.operators.profiling import benford_report
+
+    vals = (
+        [1.0, 19.9, 0.00123, -1.5] * 30    # digit 1
+        + [2.5, 0.29, 250.0] * 18          # digit 2
+        + [3.0] * 12 + [4.4] * 10 + [5.01] * 8
+        + [6.9] * 7 + [70.0] * 6 + [0.08] * 5 + [9999.0] * 4
+        + [None, 0.0]                      # excluded: null and zero
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["digit"]: r for r in benford_report(df, "x").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    n_total = sum(r["n"] for r in rows.values())
+    assert n_total == len(vals) - 2
+    assert rows[1]["n"] == 120 and rows[2]["n"] == 54
+    assert rows[8]["n"] == 5  # 0.08 -> digit 8
+    assert abs(sum(r["observed_share"] for r in rows.values()) - 1.0) < 1e-5
+    assert rows[1]["expected_share"] == round(0.3010299956639812, 6)
+    mads = {r["mad"] for r in rows.values()}
+    assert len(mads) == 1  # constant summary column
+    assert rows[1]["conformity"] in {
+        "close", "acceptable", "marginal", "nonconforming"
+    }
