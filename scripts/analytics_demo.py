@@ -368,6 +368,75 @@ def main() -> None:
     assert all(est[t] >= n for t, n in exact.items())
     out["cm_probed_types"] = len(est)
 
+    # --- round-11 additions: always-valid p, FDR, robust means,
+    # exact quantiles, Benford, Nelson-Aalen
+    from intake_esm_spark.operators.experiment import (
+        bh_adjust,
+        msprt_report,
+        trimmed_means_report,
+    )
+    from intake_esm_spark.operators.profiling import (
+        benford_report,
+        exact_quantiles,
+    )
+
+    units = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias(
+                "np"
+            )
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+                "arm"
+            ),
+            (F.col("np") >= 15).cast("int").alias("conv"),
+        )
+    )
+    av = msprt_report(units, "arm", "conv", "B", "A").collect()[0]
+    assert av["always_valid_p"] is None or 0.0 <= av["always_valid_p"] <= 1.0
+    out["msprt_p"] = av["always_valid_p"]
+
+    pvals = spark.createDataFrame(
+        [(f"m{i}", (i + 1) / 40.0) for i in range(20)],
+        "metric string, pv double",
+    )
+    fdr = bh_adjust(pvals, "pv", "metric").collect()
+    qs_sorted = sorted(r["q"] for r in fdr)
+    assert all(0.0 <= q <= 1.0 for q in qs_sorted)
+    out["fdr_rejected"] = sum(r["rejected"] for r in fdr)
+
+    tm = trimmed_means_report(
+        orders.select(
+            F.when(F.col("o_custkey") % 2 == 0, "t").otherwise("c").alias(
+                "arm"
+            ),
+            F.col("o_totalprice").alias("val"),
+        ),
+        "arm", "val", "t", "c", trim=0.05,
+    ).collect()[0]
+    assert tm["n_kept_treatment"] <= tm["n_treatment"]
+    out["trimmed_diff"] = tm["trimmed_mean_diff"]
+
+    eq = {
+        r["prob"]: r["quantile"]
+        for r in exact_quantiles(
+            li, "l_extendedprice", probs=[0.25, 0.5, 0.75]
+        ).collect()
+    }
+    assert eq[0.25] <= eq[0.5] <= eq[0.75]
+    out["exact_p50"] = eq[0.5]
+
+    bf = benford_report(orders, "o_totalprice").collect()
+    assert len(bf) == 9
+    out["benford_mad"] = bf[0]["mad"]
+
+    nah = [r["cum_hazard"] for r in km]
+    assert all(a <= b for a, b in zip(nah, nah[1:])), "NA hazard rises"
+    out["na_final_cum_hazard"] = nah[-1] if nah else None
+
     print(json.dumps(out))
 
 
