@@ -4513,6 +4513,20 @@ def q_orders_benford(spark: SparkSession, sf: str) -> DataFrame:
     return benford_report(orders, "o_totalprice")
 
 
+def q_orders_priority_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group exact quantiles WITHOUT value buffering (operators/
+    profiling.py group_exact_quantiles): p50/p95 order value per order
+    priority via the grouped bucketed cumsum — no group ever sorts in
+    one task, no executor holds a group's values (the percentile
+    aggregate does both)."""
+    from intake_esm_spark.operators.profiling import group_exact_quantiles
+
+    orders = load_table(spark, sf, "orders")
+    return group_exact_quantiles(
+        orders, "o_totalprice", ["o_orderpriority"], probs=[0.5, 0.95]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4521,25 +4535,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle changed this round is in the first 50, followed by the
         # entries longest without a driver-green row.
         # Block 1: round-11 changes — events_msprt, events_fdr,
-        # orders_trimmed, lineitem_exact_quantiles and orders_benford
-        # are NEW (mixture-SPRT always-valid p; Benjamini-Hochberg FDR
-        # over a 20-cell scoreboard; whale-robust trimmed means; exact
-        # type-7 quantiles without value buffering; Benford first-digit
-        # conformity);
+        # orders_trimmed, lineitem_exact_quantiles,
+        # orders_priority_quantiles and orders_benford are NEW
+        # (mixture-SPRT always-valid p; Benjamini-Hochberg FDR over a
+        # 20-cell scoreboard; whale-robust trimmed means; exact type-7
+        # quantiles without value buffering, global and per-group;
+        # Benford first-digit conformity);
         # events_survival was ported onto the bucketed prefix sum
         # (oracle quantization changed with it, Nelson-Aalen column
         # added); the next ten consume operators/ranks.py, which gained
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 17 changed +
-        # 33 oldest = the 50-entry driver window; the last 4 of the
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 18 changed +
+        # 32 oldest = the 50-entry driver window; the last 5 of the
         # oldest block below sit just past the cut and keep their
         # cumulative green rows.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
         "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        "orders_priority_quantiles": q_orders_priority_quantiles,
         "orders_benford": q_orders_benford,
         "events_survival": q_events_survival,
         "events_logrank": q_events_logrank,
@@ -6593,6 +6609,46 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             JOIN r rl ON rl.rn = b.lo
             JOIN r rh ON rh.rn = b.hi
+        """,
+        # replays profiling.group_exact_quantiles: per-group row_number
+        # picks the identical order statistics the grouped bucketed
+        # span probe picks
+        "orders_priority_quantiles": """
+            WITH v AS (
+              SELECT o_orderpriority AS g, o_totalprice AS val
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+            ), nn AS (
+              SELECT g, count(*) AS n FROM v GROUP BY 1
+            ), r AS (
+              SELECT g, val,
+                     row_number() OVER (PARTITION BY g ORDER BY val)
+                       AS rn
+              FROM v
+            ), pr AS (
+              SELECT * FROM (VALUES
+                (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))
+              ) AS t(p)
+            ), b AS (
+              SELECT nn.g, pr.p, nn.n,
+                     (CAST(nn.n AS DOUBLE) - 1.0) * pr.p + 1.0 AS h
+              FROM nn CROSS JOIN pr
+            ), bb AS (
+              SELECT g, p, n, h,
+                     CAST(floor(h) AS BIGINT) AS lo,
+                     CAST(ceil(h) AS BIGINT) AS hi
+              FROM b
+            )
+            SELECT bb.g AS o_orderpriority, bb.p AS prob,
+                   CAST(bb.n AS BIGINT) AS n_values,
+                   round(CAST(rl.val AS DOUBLE)
+                         + (bb.h - floor(bb.h))
+                           * (CAST(rh.val AS DOUBLE)
+                              - CAST(rl.val AS DOUBLE)), 6) AS quantile
+            FROM bb
+            JOIN r rl ON rl.g = bb.g AND rl.rn = bb.lo
+            JOIN r rh ON rh.g = bb.g AND rh.rn = bb.hi
         """,
         # replays profiling.benford_report: leading digit from the
         # DECIMAL(18,6) string form (libm-free), 9-digit left frame,

@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "events_fdr",
     "orders_trimmed",
     "lineitem_exact_quantiles",
+    "orders_priority_quantiles",
     "orders_benford",
 ]
 

@@ -973,3 +973,102 @@ def benford_report(
         .otherwise("nonconforming")
         .alias("conformity"),
     )
+
+
+def group_exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """PER-GROUP exact type-7 quantiles with no value buffering — what
+    :func:`group_quantiles` ``exact=True`` cannot offer at scale (its
+    ``percentile`` aggregate holds every group value in one buffer —
+    one hot group OOMs the executor) and ``exact=False`` only
+    approximates. The :func:`exact_quantiles` construction applied per
+    group: one (group, value)-keyed collapse, per-group cumulative
+    counts from :func:`~.ranks.grouped_bucketed_cumsum`, and each
+    group's needed order statistics picked by an EQUI-keyed probe join
+    (group equality + rank-span containment — hash-joinable, the probe
+    frame is group-cardinality × 2·|probs|, aggregate-sized). No group
+    ever sorts in one task; no executor ever holds a group's values.
+
+    Determinism: exact integer ranks; ``h``/interpolation are the same
+    fixed IEEE expressions as the global form (``percentile`` /
+    ``quantile_cont`` parity), 6dp. Null values AND null group keys
+    are excluded. Returns one row per (group, probability):
+    ``(*group_cols, prob, n_values, quantile)``."""
+    plist = [float(p) for p in probs]
+    if not plist or any(not 0.0 <= p <= 1.0 for p in plist):
+        raise ValueError(f"probs must be non-empty, each in [0, 1]: {probs}")
+    from .ranks import grouped_bucketed_cumsum
+
+    gl = list(group_cols)
+    if not gl:
+        raise ValueError("group_cols must be non-empty (use exact_quantiles)")
+    base = df.filter(F.col(value_col).isNotNull())
+    for g in gl:
+        base = base.filter(F.col(g).isNotNull())
+    per_v = (
+        base.groupBy(*gl, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # pinned: feeds the group totals AND the grouped cumsum
+        .localCheckpoint(eager=False)
+    )
+    cum = grouped_bucketed_cumsum(per_v, ["__c"], gl, val_col="__v")
+    ng = per_v.groupBy(*gl).agg(F.sum("__c").alias("__qn"))
+    h = (F.col("__qn").cast("double") - F.lit(1.0)) * F.col("__qp") + F.lit(
+        1.0
+    )
+    needs = (
+        ng.select(
+            *gl,
+            "__qn",
+            F.posexplode(F.array(*[F.lit(p) for p in plist])).alias(
+                "__qi", "__qp"
+            ),
+        )
+        .withColumn("__qh", h)
+        .withColumn("__qlo", F.floor(F.col("__qh")).cast("bigint"))
+        .withColumn("__qhi", F.ceil(F.col("__qh")).cast("bigint"))
+    )
+    probes = needs.select(
+        *[F.col(g).alias(f"__pg_{i}") for i, g in enumerate(gl)],
+        "__qi", "__qp", "__qh", "__qn",
+        F.explode(
+            F.array(
+                F.struct(F.col("__qlo").alias("r"), F.lit("l").alias("s")),
+                F.struct(F.col("__qhi").alias("r"), F.lit("h").alias("s")),
+            )
+        ).alias("__pr"),
+    ).select(
+        *[f"__pg_{i}" for i in range(len(gl))],
+        "__qi", "__qp", "__qh", "__qn",
+        F.col("__pr.r").alias("__qr"),
+        F.col("__pr.s").alias("__qs"),
+    )
+    prev = F.col("__cum___c") - F.col("__c")
+    cond = (F.col("__qr") > prev) & (F.col("__qr") <= F.col("__cum___c"))
+    for i, g in enumerate(gl):
+        cond = cond & (F.col(f"__pg_{i}") == F.col(g))
+    hit = probes.join(cum, cond)
+    vd = F.col("__v").cast("double")
+    picked = hit.groupBy(
+        *[f"__pg_{i}" for i in range(len(gl))], "__qi", "__qp", "__qh",
+        "__qn",
+    ).agg(
+        F.max(F.when(F.col("__qs") == "l", vd)).alias("__vl"),
+        F.max(F.when(F.col("__qs") == "h", vd)).alias("__vh"),
+    )
+    q = F.col("__vl") + (F.col("__qh") - F.floor(F.col("__qh"))) * (
+        F.col("__vh") - F.col("__vl")
+    )
+    return picked.select(
+        *[
+            F.col(f"__pg_{i}").alias(g)
+            for i, g in enumerate(gl)
+        ],
+        F.col("__qp").alias("prob"),
+        F.col("__qn").alias("n_values"),
+        F.round(q, 6).alias("quantile"),
+    )

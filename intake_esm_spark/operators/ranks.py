@@ -425,3 +425,95 @@ def ntile_from_rank(rank: Column, n_rows: Column, n_tiles: int) -> Column:
     r2 = rank - head
     k2 = _correct_div(F.ceil(r2 / q).cast("bigint"), r2, q, "ceil")
     return F.when(rank <= head, k1).otherwise(rem + k2).cast("int")
+
+
+def grouped_bucketed_cumsum(
+    df: DataFrame,
+    sum_cols: list[str],
+    group_cols: list[str],
+    val_col: str = "__val",
+    tiebreaks: list[str] | None = None,
+    descending: bool = False,
+    n_buckets: int = N_RANK_BUCKETS,
+) -> DataFrame:
+    """PER-GROUP inclusive prefix sums of ``sum_cols`` over the
+    within-group order (``val_col`` asc/desc, ``tiebreaks`` asc) — the
+    group-partitioned instance of :func:`bucketed_cumsum`, exact for
+    ANY group cardinality and ANY per-group size: a plain
+    ``Window.partitionBy(groups).orderBy(...)`` holds each whole group
+    in one task (fine for bounded groups, fatal when one group is half
+    the corpus), while here every group range-buckets over its OWN span
+    (one group-keyed aggregate joined back — a keyed join, never a
+    broadcast of a group-cardinality frame), windows partition by
+    ``(groups…, bucket)``, and the per-group offset scan is a window
+    over the ``(groups…, ≤B)``-row bucket-totals aggregate partitioned
+    by group — bounded per partition whatever the group count.  Adds
+    ``__cum_<c>``; exactness is the single-level argument applied per
+    group (monotone assignment + associativity).
+
+    Rows with a NULL group key are EXCLUDED (the span join cannot key
+    on null; callers filter — every consumer already does).  NULL sort
+    values get the dedicated first/last bucket within their group; a
+    constant or NaN-poisoned group span degrades that one group to one
+    bucket (results exact, parallelism not — per-group, not global)."""
+    ties = list(tiebreaks or [])
+    gl = list(group_cols)
+    nn = df
+    for g in gl:
+        nn = nn.filter(F.col(g).isNotNull())
+    span = nn.groupBy(*gl).agg(
+        F.min(F.col(val_col).cast("double")).alias("__glo"),
+        F.max(F.col(val_col).cast("double")).alias("__ghi"),
+    )
+    b = nn.join(span, gl)
+    lo_c, hi_c = F.col("__glo"), F.col("__ghi")
+    vd = F.col(val_col).cast("double")
+    up = F.floor(
+        (vd - lo_c) / (hi_c - lo_c) * F.lit(float(n_buckets))
+    ).cast("int")
+    asc_bkt = F.least(F.lit(n_buckets - 1), up)
+    null_bkt = F.lit(n_buckets) if descending else F.lit(-1)
+    bkt = (
+        F.when(F.col(val_col).isNull(), null_bkt)
+        .when(
+            hi_c > lo_c,
+            F.lit(n_buckets - 1) - asc_bkt if descending else asc_bkt,
+        )
+        .otherwise(F.lit(0))
+    )
+    b = b.withColumn("__bkt", bkt).drop("__glo", "__ghi")
+    order = [
+        F.col(val_col).desc() if descending else F.col(val_col).asc(),
+        *[F.col(t).asc() for t in ties],
+    ]
+    w_local = Window.partitionBy(*gl, "__bkt").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    for c in sum_cols:
+        b = b.withColumn(f"__loc_{c}", F.sum(c).over(w_local))
+    totals = b.groupBy(*gl, "__bkt").agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    # per-group exclusive scan over ≤ B+2 aggregate rows per group —
+    # PARTITIONED by group, so group cardinality never concentrates
+    w_off = Window.partitionBy(*gl).orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        *gl,
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(w_off), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    # group-keyed equi-join (AQE broadcasts when small, shuffles
+    # co-keyed when not — offs is aggregate-sized either way)
+    out = b.join(offs, [*gl, "__bkt"])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__cum_{c}", F.col(f"__loc_{c}") + F.col(f"__off_{c}")
+        ).drop(f"__loc_{c}", f"__off_{c}")
+    return out.drop("__bkt")

@@ -861,3 +861,14 @@ def test_exact_quantiles_probe_is_broadcast_no_global_sort(spark, queries):
     _assert_no_entity_grain_window(plan)
     assert "BroadcastNestedLoopJoin" in plan, plan  # the rank-span probe
     assert "percentile" not in plan.lower(), plan
+
+
+def test_group_exact_quantiles_no_global_sort_no_percentile(spark, queries):
+    """group_exact_quantiles (round 11): per-group bucketed cumulative
+    spans + an equi-keyed probe join — no percentile (value-buffering)
+    aggregate, no corpus-wide sort; the offset scan partitions BY GROUP
+    so group cardinality never concentrates."""
+    plan = plan_of(queries["orders_priority_quantiles"](spark, SF), "simple")
+    assert "percentile" not in plan.lower(), plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "__bkt" in plan, plan

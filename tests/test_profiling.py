@@ -524,3 +524,40 @@ def test_benford_report_digits_and_conformity(spark):
     assert rows[1]["conformity"] in {
         "close", "acceptable", "marginal", "nonconforming"
     }
+
+
+def test_group_exact_quantiles_matches_percentile(spark):
+    """group_exact_quantiles == the per-group percentile aggregate on
+    groups of very different sizes, with ties, a singleton group, and
+    null value/group exclusion — the grouped bucketed construction
+    picks identical order statistics."""
+    from intake_esm_spark.operators.profiling import (
+        group_exact_quantiles,
+        group_quantiles,
+    )
+
+    rows = (
+        [("a", float(i % 17) - 5.0) for i in range(300)]
+        + [("b", float(i)) for i in range(40)]
+        + [("c", 7.5)]                       # singleton group
+        + [("a", None), (None, 3.0)]         # excluded
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    probs = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = {
+        (r["g"], r["prob"]): (r["n_values"], r["quantile"])
+        for r in group_exact_quantiles(df, "x", ["g"], probs).collect()
+    }
+    cols = [f"q{i}" for i in range(len(probs))]
+    clean = df.filter("x IS NOT NULL AND g IS NOT NULL")
+    exp_rows = group_quantiles(clean, "x", ["g"], probs, out_cols=cols).collect()
+    expect = {
+        (r["g"], p): r[c]
+        for r in exp_rows
+        for p, c in zip(probs, cols)
+    }
+    assert set(got) == set(expect)
+    for k, (n, q) in got.items():
+        assert q == expect[k], (k, q, expect[k])
+    assert got[("c", 0.5)] == (1, 7.5)
+    assert got[("a", 0.5)][0] == 300
