@@ -1,0 +1,533 @@
+"""K-sample group-comparison statistics: Kruskal-Wallis, one-way /
+Welch ANOVA, Brown-Forsythe, Spearman rank correlation, and the
+categorical association report (mutual information + Cramér's V).
+
+Extension (SURVEY §2.9): the two-sample readouts in ``experiment.py``
+(two-proportion z, Mann-Whitney, KS) answer "did the treatment move the
+metric"; this module answers the K-ARM and ASSOCIATION questions a
+training-data pipeline asks of the same frames — "do the k data sources
+differ in quality score" (Kruskal-Wallis / ANOVA), "is the variance
+stable across shards" (Brown-Forsythe), "do these two features carry
+the same information" (Spearman / mutual information).  No reference
+counterpart (the reference is a catalog engine, intake_esm/_search.py);
+these follow the repo's experiment-family discipline instead.
+
+Scale shapes, by construction:
+
+- rank statistics (Kruskal-Wallis, Spearman) collapse to the
+  DISTINCT-VALUE grain with one value-keyed exchange, then take
+  cumulative counts from the two-phase bucketed prefix sum
+  (:func:`~.ranks.bucketed_cumsum`) — no single task ever sorts the
+  frame, even for continuous outcomes where distinct ≈ units (the
+  Mann-Whitney discipline, ``experiment.py``);
+- moment statistics (ANOVA, Brown-Forsythe) are ONE partial-aggregated
+  groupBy to the group grain (map-side combine makes the exchange
+  group-cardinality-sized), then closed-form IEEE over the k-row frame;
+- the association report is one cell-grain exchange with margins
+  broadcast back (the ``chi_square_report`` shape).
+
+Determinism: counts, rank sums (via ``2·midrank = 2·cum − c + 1``,
+an integer) and 6dp-quantized value moments accumulate as exact
+DECIMALs; every cross-group / cross-cell double sum quantizes to
+decimal first (order-independent); the final statistic is one fixed
+IEEE expression over those exact inputs, so the DuckDB oracles replay
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _group_moments(
+    units: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group additive moments ``(group, __n, __s1, __s2)`` — the
+    exact-decimal half shared by :func:`anova_report` and
+    :func:`brown_forsythe_report`, and the state of the streaming twin
+    (``streaming.stateful.stream_anova``): values quantize to 6dp
+    DECIMAL(18,6) first, so the sum and sum-of-squares are EXACT and
+    additive (any partition order, any micro-batch split — same
+    moments).  One partial-aggregated exchange, group-cardinality-sized
+    output.  Null group keys and null values are excluded."""
+    xq = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    return (
+        units.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(xq).alias("__s1"),
+            F.sum(
+                (xq * xq).cast("decimal(38,12)")
+            ).alias("__s2"),
+        )
+    )
+
+
+def anova_from_moments(per_g: DataFrame) -> DataFrame:
+    """One-way fixed-effects F and Welch's heteroscedastic F from the
+    per-group moment frame of :func:`_group_moments` — the shared
+    readout of the batch report and the streaming twin's snapshot.
+
+    Closed-form over exact moments: ``SSB = Σ s1_g²/n_g − S1²/N``,
+    ``SSW = Σ (s2_g − s1_g²/n_g)``; per-group double contributions
+    quantize to 12dp DECIMAL(38,12) before the cross-group sum (the
+    chi² cell discipline — a double sum over groups is
+    partition-order-dependent).  Welch needs the weight total first, so
+    the 1-row weight aggregate broadcasts back onto the k-row frame —
+    aggregate-sized, never data.  Returns one row ``(n_units, n_groups,
+    df_between, df_within, f_stat, eta_sq, welch_f, welch_df2)``;
+    ``f_stat`` is null when k < 2, N ≤ k, or SSW degenerates to 0;
+    Welch columns are additionally null when any group has n < 2 or
+    zero variance (its 1/s² weight is undefined)."""
+    nd = F.col("__n").cast("double")
+    s1d = F.col("__s1").cast("double")
+    s2d = F.col("__s2").cast("double")
+    d12 = "decimal(38,12)"
+    contrib_b = F.round(s1d * s1d / nd, 12).cast(d12)
+    contrib_w = F.round(s2d - s1d * s1d / nd, 12).cast(d12)
+    # per-group sample variance for Welch (null-safe: n ≥ 2 only)
+    var_g = F.when(
+        F.col("__n") >= 2,
+        (s2d - s1d * s1d / nd) / (nd - F.lit(1.0)),
+    )
+    w_g = F.when(var_g > 0, nd / var_g)
+    base = per_g.select(
+        "__n",
+        "__s1",
+        contrib_b.alias("__cb"),
+        contrib_w.alias("__cw"),
+        w_g.alias("__w"),
+        (w_g * (s1d / nd)).alias("__wm"),
+    )
+    tot1 = base.agg(
+        F.sum("__n").alias("__tn"),
+        F.sum("__s1").alias("__ts1"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__cb").alias("__sb"),
+        F.sum("__cw").alias("__sw"),
+        # Welch weight totals: null-propagating on purpose — ANY
+        # degenerate group (n<2 or var=0) nulls the Welch columns
+        F.sum(F.when(F.col("__w").isNotNull(), 1).otherwise(None)).alias(
+            "__wk"
+        ),
+        F.sum("__w").alias("__tw"),
+        F.sum("__wm").alias("__twm"),
+    )
+    # second k-row pass for the Welch dispersion terms (needs W first)
+    wjoined = base.crossJoin(F.broadcast(tot1.select("__tw", "__twm")))
+    wterms = wjoined.agg(
+        F.sum(
+            F.round(
+                F.col("__w")
+                * (
+                    F.col("__s1").cast("double") / F.col("__n").cast("double")
+                    - F.col("__twm") / F.col("__tw")
+                )
+                * (
+                    F.col("__s1").cast("double") / F.col("__n").cast("double")
+                    - F.col("__twm") / F.col("__tw")
+                ),
+                12,
+            ).cast(d12)
+        ).alias("__wa"),
+        F.sum(
+            F.round(
+                (F.lit(1.0) - F.col("__w") / F.col("__tw"))
+                * (F.lit(1.0) - F.col("__w") / F.col("__tw"))
+                / (F.col("__n").cast("double") - F.lit(1.0)),
+                12,
+            ).cast(d12)
+        ).alias("__wb"),
+    )
+    m = tot1.crossJoin(F.broadcast(wterms))
+    tn = F.col("__tn").cast("double")
+    ts1 = F.col("__ts1").cast("double")
+    k = F.col("__k").cast("double")
+    ssb = F.col("__sb").cast("double") - ts1 * ts1 / tn
+    ssw = F.col("__sw").cast("double")
+    sst = ssb + ssw
+    df1 = F.col("__k") - F.lit(1)
+    df2 = F.col("__tn") - F.col("__k")
+    ok = (F.col("__k") >= 2) & (F.col("__tn") > F.col("__k"))
+    f_stat = F.when(
+        ok & (ssw > 0),
+        (ssb / (k - F.lit(1.0))) / (ssw / (tn - k)),
+    )
+    eta = F.when(ok & (sst > 0), ssb / sst)
+    # Welch: valid only when every group carried a finite weight
+    wok = ok & (F.col("__wk") == F.col("__k"))
+    wa = F.col("__wa").cast("double")
+    wb = F.col("__wb").cast("double")
+    kk = (k - F.lit(1.0)) * (k + F.lit(1.0))  # k² − 1
+    welch_f = F.when(
+        wok & (wb >= 0),
+        (wa / (k - F.lit(1.0)))
+        / (F.lit(1.0) + F.lit(2.0) * (k - F.lit(2.0)) / kk * wb),
+    )
+    welch_df2 = F.when(wok & (wb > 0), kk / (F.lit(3.0) * wb))
+    return m.select(
+        F.col("__tn").alias("n_units"),
+        F.col("__k").alias("n_groups"),
+        F.when(ok, df1).alias("df_between"),
+        F.when(ok, df2).alias("df_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+        F.round(welch_f, 6).alias("welch_f"),
+        F.round(welch_df2, 6).alias("welch_df2"),
+    )
+
+
+def anova_report(
+    units: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA across k groups — the parametric k-arm
+    generalization of :func:`~.experiment.ab_test_report`'s mean
+    comparison: does ANY data source / experiment arm / shard differ in
+    mean outcome?  Reports both the classical fixed-effects F (equal
+    variances) and Welch's F (heteroscedastic — the robust default when
+    group variances differ, the common case for per-source quality
+    scores), plus eta² effect size.  Compare ``f_stat`` against the
+    F(df_between, df_within) critical value client-side (the CDF is not
+    SQL arithmetic — the :func:`~.experiment.chi_square_report`
+    convention).
+
+    Scale: one partial-aggregated exchange to the group grain
+    (:func:`_group_moments`), then closed-form IEEE over the k-row
+    frame with 12dp-decimal cross-group sums.  The moments are additive
+    and exact, which is what makes the streaming twin
+    (``streaming.stateful.stream_anova``) bit-identical."""
+    return anova_from_moments(_group_moments(units, group_col, value_col))
+
+
+def brown_forsythe_report(
+    units: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe test of EQUAL VARIANCES across k groups — the
+    median-centered Levene variant (robust to non-normality): one-way
+    ANOVA on ``|x − median_g|``.  A shard whose metric variance blows
+    up (upstream dedup regression, corrupted source) moves this test
+    long before the mean moves.
+
+    Per-group medians come from
+    :func:`~.profiling.group_exact_quantiles` (exact type-7 selection
+    via per-group bucketed cumulative counts — no group ever sorts in
+    one task, no value buffering), rounded to 6dp and broadcast back
+    (group-cardinality frame); the centered deviations then take the
+    one-exchange moment path of :func:`anova_report`.  Returns one row
+    ``(n_units, n_groups, df1, df2, bf_stat)``; null statistic when
+    k < 2, N ≤ k, or the deviations degenerate."""
+    from .profiling import group_exact_quantiles
+
+    base = units.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    med = group_exact_quantiles(
+        base, value_col, [group_col], probs=[0.5]
+    ).select(
+        F.col(group_col).alias("__mg"), F.col("quantile").alias("__med")
+    )
+    dev = base.join(
+        F.broadcast(med), F.col(group_col) == F.col("__mg")
+    ).select(
+        F.col(group_col).alias("__bfg"),
+        F.abs(F.col(value_col).cast("double") - F.col("__med")).alias(
+            "__bfz"
+        ),
+    )
+    out = anova_from_moments(_group_moments(dev, "__bfg", "__bfz"))
+    return out.select(
+        "n_units",
+        "n_groups",
+        F.col("df_between").alias("df1"),
+        F.col("df_within").alias("df2"),
+        F.col("f_stat").alias("bf_stat"),
+    )
+
+
+def kruskal_wallis_report(
+    units: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-sample generalization of
+    :func:`~.experiment.mannwhitney_report`: do the k groups draw from
+    the same distribution, without assuming normality?  Midranks for
+    ties with the standard tie correction ``C = 1 − Σ(t³−t)/(N³−N)``;
+    ``h_stat`` is the tie-corrected statistic, chi²(dof)-distributed
+    under the null — compare client-side (the ``chi_square_report``
+    convention).
+
+    Scale shape (the Mann-Whitney discipline): one (value, group)-keyed
+    exchange collapses the units, cumulative counts over the
+    distinct-value grain come from the TWO-PHASE BUCKETED prefix sum
+    (:func:`~.ranks.bucketed_cumsum` — value-range buckets, per-bucket
+    windows, broadcast offsets), so no single task ever sorts the frame
+    even when the outcome is continuous and distinct ≈ units; per-group
+    rank sums are then one group-grain aggregate.
+
+    Determinism: ``2·midrank = 2·cum − c + 1`` is an INTEGER, so each
+    group's doubled rank sum accumulates as exact DECIMAL(38,0); the
+    cross-group ``R_g²/n_g`` sum quantizes to 6dp decimal (the H
+    statistic is O(chi²)-sized, so 6dp absolute error on the 12/(N(N+1))
+    -scaled term is far below the 6dp output rounding); ties
+    ``Σ(t³−t)`` is an exact decimal.  Returns one row ``(n_units,
+    n_groups, dof, h_stat)``; null when k < 2 or every value is tied
+    (C = 0)."""
+    from .ranks import bucketed_cumsum
+
+    per_vg = (
+        units.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(value_col).alias("__val"),
+            F.col(group_col).alias("__g"),
+        )
+        .agg(F.count(F.lit(1)).alias("__cg"))
+        # pinned: feeds the value-grain collapse AND the rank join-back
+        .localCheckpoint(eager=False)
+    )
+    per_v = per_vg.groupBy("__val").agg(F.sum("__cg").alias("__c"))
+    cum = bucketed_cumsum(per_v, ["__c"], val_col="__val")
+    j = per_vg.join(cum, "__val")
+    per_g = j.groupBy("__g").agg(
+        F.sum("__cg").alias("__ng"),
+        F.sum(
+            F.expr("CAST(__cg AS DECIMAL(38,0)) * (2 * __cum___c - __c + 1)")
+        ).alias("__2r"),
+    )
+    ties = per_v.agg(
+        F.sum(
+            F.expr("CAST(__c AS DECIMAL(38,0)) * __c * __c - __c")
+        )
+        .cast("double")
+        .alias("__tt")
+    )
+    ngd = F.col("__ng").cast("double")
+    rg = F.col("__2r").cast("double") / F.lit(2.0)
+    term = F.round(rg * rg / ngd, 6).cast("decimal(38,6)")
+    m = per_g.agg(
+        F.sum("__ng").alias("__tn"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(term).cast("double").alias("__st"),
+    ).crossJoin(F.broadcast(ties))
+    tn = F.col("__tn").cast("double")
+    h_raw = (
+        F.lit(12.0) / (tn * (tn + F.lit(1.0))) * F.col("__st")
+        - F.lit(3.0) * (tn + F.lit(1.0))
+    )
+    c_tie = F.lit(1.0) - F.col("__tt") / (tn * tn * tn - tn)
+    h = F.when(
+        (F.col("__k") >= 2) & (F.col("__tn") >= 2) & (c_tie > 0),
+        h_raw / c_tie,
+    )
+    return m.select(
+        F.col("__tn").alias("n_units"),
+        F.col("__k").alias("n_groups"),
+        F.when(F.col("__k") >= 2, F.col("__k") - F.lit(1)).alias("dof"),
+        F.round(h, 6).alias("h_stat"),
+    )
+
+
+def spearman_report(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — Pearson
+    on midranks, the monotone-association measure that survives
+    outliers and nonlinearity (feature-vs-quality screening, where raw
+    Pearson chases heavy tails).  With ``t = rho·√((n−2)/(1−rho²))``
+    reported for the usual t(n−2) reference.
+
+    Scale shape: each column collapses to its distinct-value grain with
+    one value-keyed exchange; cumulative counts come from the bucketed
+    prefix sum (no single-task sort); the midrank maps join back onto
+    the row frame by value (two keyed hash joins — rank maps are
+    distinct-value-sized, co-partitioned on the value).
+
+    Determinism: the whole statistic reduces to THREE exact integer
+    sums — ``Σ(2rx·2ry)``, ``Σ(2rx)²``, ``Σ(2ry)²`` as DECIMAL(38,0)
+    (``2·midrank ≤ 2N``, so products stay within 38 digits for any
+    realistic N) — because midranks preserve the rank total:
+    ``Σ2r = N(N+1)`` identically, making the means known constants.
+    ``rho = (Σ2rx·2ry − N(N+1)²) / √((Σ(2rx)² − N(N+1)²)(Σ(2ry)² −
+    N(N+1)²))`` is one fixed IEEE expression over those integers.
+    Non-finite and null values in either column are excluded.  Returns
+    one row ``(n_rows, rho, t_stat)``; null when n < 2 or either margin
+    is constant."""
+    from .ranks import bucketed_cumsum
+
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & ~F.isnan(xd)
+        & ~F.isnan(yd)
+        & (F.abs(xd) != F.lit(float("inf")))
+        & (F.abs(yd) != F.lit(float("inf")))
+    ).select(xd.alias("__x"), yd.alias("__y"))
+
+    def _rank_map(col: str, out: str) -> DataFrame:
+        per_v = base.groupBy(F.col(col).alias("__val")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        cum = bucketed_cumsum(per_v, ["__c"], val_col="__val")
+        return cum.select(
+            F.col("__val").alias(col),
+            (
+                F.lit(2) * F.col("__cum___c") - F.col("__c") + F.lit(1)
+            ).alias(out),
+        )
+
+    rx = _rank_map("__x", "__tmx")
+    ry = _rank_map("__y", "__tmy")
+    rowed = base.join(rx, "__x").join(ry, "__y")
+    m = rowed.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.expr("CAST(__tmx AS DECIMAL(38,0)) * __tmy")
+        ).cast("double").alias("__sxy"),
+        F.sum(
+            F.expr("CAST(__tmx AS DECIMAL(38,0)) * __tmx")
+        ).cast("double").alias("__sxx"),
+        F.sum(
+            F.expr("CAST(__tmy AS DECIMAL(38,0)) * __tmy")
+        ).cast("double").alias("__syy"),
+    )
+    nd = F.col("__n").cast("double")
+    mm = nd * (nd + F.lit(1.0)) * (nd + F.lit(1.0))
+    vx = F.col("__sxx") - mm
+    vy = F.col("__syy") - mm
+    rho = F.when(
+        (F.col("__n") >= 2) & (vx > 0) & (vy > 0),
+        (F.col("__sxy") - mm) / F.sqrt(vx * vy),
+    )
+    rho6 = F.round(rho, 6)
+    t = F.when(
+        (F.col("__n") > 2) & (F.abs(rho6) < 1),
+        rho6
+        * F.sqrt(
+            (nd - F.lit(2.0)) / (F.lit(1.0) - rho6 * rho6)
+        ),
+    )
+    return m.select(
+        F.col("__n").alias("n_rows"),
+        rho6.alias("rho"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+def association_report(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Association between two CATEGORICAL columns, three measures in
+    one row: mutual information (nats), normalized MI
+    (``MI/√(H_a·H_b)``, the geometric-mean normalization — 0 =
+    independent, 1 = deterministic), and Cramér's V
+    (``√(χ²/(N·(min(r,c)−1)))``).  The feature-redundancy screen of a
+    training-data pipeline: two metadata columns with NMI ≈ 1 carry the
+    same signal, and a source column with high V against the label
+    leaks it.
+
+    Scale: ONE cell-grain exchange (partial-agged groupBy to (a, b)
+    counts, pinned — it feeds both margins and the grid); margins
+    broadcast back; χ² uses the full r×c grid (zero cells still
+    contribute expected mass — the :func:`~.experiment.
+    chi_square_report` rule) while MI sums observed cells only (its
+    zero-cell terms are 0 by continuity).  Determinism: counts and
+    margins are exact integers; every per-cell double term quantizes to
+    12dp DECIMAL(28,12) before the cross-cell sum.  Returns one row
+    ``(n_units, n_a, n_b, mi, nmi, cramers_v)``; ``nmi`` is null when
+    either margin is constant (its entropy is 0), ``cramers_v`` when
+    min(r,c) < 2."""
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__obs"))
+        # pinned: feeds both margins, the MI sum, and the chi² grid
+        .localCheckpoint(eager=False)
+    )
+    am = cells.groupBy("__a").agg(F.sum("__obs").alias("__at"))
+    bm = cells.groupBy("__b").agg(F.sum("__obs").alias("__bt"))
+    nn = cells.agg(F.sum("__obs").alias("__n"))
+    d12 = "decimal(28,12)"
+    # entropies of the margins (12dp-quantized cross-row sums)
+    h_a = (
+        am.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("__at").cast("double") / F.col("__n"))
+                    * F.log(F.col("__at").cast("double") / F.col("__n")),
+                    12,
+                ).cast(d12)
+            )
+            .cast("double")
+            .alias("__ha"),
+            F.count(F.lit(1)).alias("__ka"),
+        )
+    )
+    h_b = (
+        bm.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("__bt").cast("double") / F.col("__n"))
+                    * F.log(F.col("__bt").cast("double") / F.col("__n")),
+                    12,
+                ).cast(d12)
+            )
+            .cast("double")
+            .alias("__hb"),
+            F.count(F.lit(1)).alias("__kb"),
+        )
+    )
+    # observed cells with both margins: MI terms + chi² observed part
+    withm = (
+        cells.join(F.broadcast(am), "__a")
+        .join(F.broadcast(bm), "__b")
+        .crossJoin(F.broadcast(nn))
+    )
+    nd = F.col("__n").cast("double")
+    od = F.col("__obs").cast("double")
+    ed = F.col("__at").cast("double") * F.col("__bt").cast("double") / nd
+    mi_sum = withm.agg(
+        F.sum(
+            F.round(od / nd * F.log(od / ed), 12).cast(d12)
+        )
+        .cast("double")
+        .alias("__mi"),
+        # χ² over OBSERVED cells: Σ(o−e)²/e + the zero-cell remainder
+        # Σ_{o=0} e = N − Σ_{o>0} e (margins are exact), so the full
+        # grid never materializes — cell-grain only
+        F.sum(F.round((od - ed) * (od - ed) / ed, 12).cast(d12))
+        .cast("double")
+        .alias("__x2obs"),
+        F.sum(F.round(ed, 12).cast(d12)).cast("double").alias("__eobs"),
+    )
+    m = (
+        nn.crossJoin(F.broadcast(h_a))
+        .crossJoin(F.broadcast(h_b))
+        .crossJoin(F.broadcast(mi_sum))
+    )
+    chi2 = F.col("__x2obs") + (nd - F.col("__eobs"))
+    minrc = F.least(F.col("__ka"), F.col("__kb")).cast("double")
+    v = F.when(
+        minrc >= 2,
+        F.sqrt(
+            F.greatest(chi2, F.lit(0.0))
+            / (nd * (minrc - F.lit(1.0)))
+        ),
+    )
+    nmi = F.when(
+        (F.col("__ha") > 0) & (F.col("__hb") > 0),
+        F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")),
+    )
+    return m.select(
+        F.col("__n").alias("n_units"),
+        F.col("__ka").alias("n_a"),
+        F.col("__kb").alias("n_b"),
+        F.round(F.col("__mi"), 6).alias("mi"),
+        F.round(nmi, 6).alias("nmi"),
+        F.round(v, 6).alias("cramers_v"),
+    )

@@ -1072,3 +1072,83 @@ def group_exact_quantiles(
         F.col("__qn").alias("n_values"),
         F.round(q, 6).alias("quantile"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT weighted quantiles with no value buffering — the
+    importance-weighted sibling of :func:`exact_quantiles` for frames
+    where rows carry unequal mass (token counts weighting a per-doc
+    score, sampling weights after :func:`~.selection.dsir` resampling):
+    the ``p``-quantile is the SMALLEST value whose inclusive cumulative
+    weight reaches ``p·W`` (the left-continuous inverse of the weighted
+    CDF — element SELECTION, no interpolation, so both engines pick the
+    identical stored double and ties in the weight boundary cannot
+    split them).
+
+    Scale shape (the :func:`exact_quantiles` discipline): ONE
+    value-keyed collapse to the distinct-value grain summing exact
+    6dp-decimal weights, cumulative weights from
+    :func:`~.ranks.bucketed_cumsum`, and each probability picked by a
+    broadcast-nested-loop probe of ≤ |probs| target literals against
+    the weight span ``(cum − w, cum]`` — the corpus never sorts in one
+    task. Determinism: weights quantize to DECIMAL(18,6) so cumulative
+    weights are exact decimals; the target ``p·W`` and the span
+    comparison evaluate on the same correctly-rounded doubles in both
+    engines. Rows with null value, null weight, or weight ≤ 0 are
+    excluded (a zero-weight value must not be pickable as a quantile).
+    ``probs`` must each lie in (0, 1]. Returns one row per
+    probability: ``(prob, n_rows, total_weight, quantile)``; empty
+    frame returns zero rows."""
+    plist = [float(p) for p in probs]
+    if not plist or any(not 0.0 < p <= 1.0 for p in plist):
+        raise ValueError(
+            f"probs must be non-empty, each in (0, 1]: {probs}"
+        )
+    from .ranks import bucketed_cumsum
+
+    wq = F.round(F.col(weight_col).cast("double"), 6).cast("decimal(18,6)")
+    per_v = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col).cast("double") > 0)
+        )
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(wq).cast("decimal(38,6)").alias("__w"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        # pinned: feeds the weight total AND the cumsum
+        .localCheckpoint(eager=False)
+    )
+    tot = per_v.agg(
+        F.coalesce(F.sum("__w"), F.lit(0).cast("decimal(38,6)")).alias(
+            "__tw"
+        ),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"),
+    )
+    cum = bucketed_cumsum(per_v, ["__w"], val_col="__v")
+    targets = tot.select(
+        "__tw",
+        "__n",
+        F.explode(F.array(*[F.lit(p) for p in plist])).alias("__p"),
+    ).withColumn(
+        "__tgt", F.col("__p") * F.col("__tw").cast("double")
+    )
+    prev = (F.col("__cum___w") - F.col("__w")).cast("double")
+    hit = F.broadcast(targets).join(
+        cum,
+        (F.col("__tgt") > prev)
+        & (F.col("__tgt") <= F.col("__cum___w").cast("double")),
+    )
+    return hit.select(
+        F.col("__p").alias("prob"),
+        F.col("__n").alias("n_rows"),
+        F.col("__tw").cast("double").alias("total_weight"),
+        F.col("__v").cast("double").alias("quantile"),
+    )

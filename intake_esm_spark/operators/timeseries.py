@@ -491,3 +491,86 @@ def seasonal_decompose(
         F.round(seasonal, 6).alias("seasonal"),
         F.round(F.col("__y") - F.col("__t") - seasonal, 6).alias("residual"),
     )
+
+
+def pettitt_test(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pettitt change-point test on the daily rollup — the
+    nonparametric "WHEN did the series shift" companion to
+    :func:`detect_level_shift` (which needs a window width) and
+    :func:`trend_test` (which assumes a monotone drift): finds the
+    single most likely abrupt change in the daily-total distribution
+    with no distributional assumptions, via the rank statistic
+    ``U_t = 2·S_t − t(N+1)`` (``S_t`` = sum of the midranks of the
+    first ``t`` days); the change day maximizes ``|U_t|`` and the
+    classic approximation ``p ≈ 2·exp(−6K²/(N³+N²))`` calibrates it.
+
+    Scale: everything after the ONE day-grain collapse
+    (:func:`_daily_frame`) runs on the calendar-bounded daily frame —
+    the documented benign window class of this module. Determinism:
+    ``2·midrank = 2·min_rank + t_v − 1`` and therefore ``2·S_t`` and
+    ``U_t`` are exact INTEGERS (midranks over a doubled scale), so
+    ``K = max|U_t|`` is exact; ties on ``|U_t|`` resolve to the
+    EARLIEST day (min-day over argmax — deterministic both engines);
+    the p-value is one fixed IEEE expression over (K, N), clamped to
+    [0, 1]. Returns one row ``(n_days, change_day, k_stat, p_value)``;
+    zero rows when the series has < 2 days (no interior split point
+    exists — ``U_N ≡ 0`` is anchored, not a candidate)."""
+    daily = _daily_frame(events, value_col, ts_col)
+    w_rank = Window.orderBy("__rd")
+    t_v = Window.partitionBy("__rd")
+    two_mid = (
+        F.lit(2) * F.rank().over(w_rank)
+        + F.count(F.lit(1)).over(t_v)
+        - F.lit(1)
+    ).cast("bigint")
+    w_day = Window.orderBy("__dn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t_idx = F.row_number().over(Window.orderBy("__dn")).cast("bigint")
+    ranked = daily.select(
+        "day", "__dn", two_mid.alias("__2r")
+    )
+    nn = ranked.agg(F.count(F.lit(1)).alias("__nd"))
+    u = (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            "day",
+            "__dn",
+            "__nd",
+            (
+                F.sum("__2r").over(w_day)
+                - t_idx * (F.col("__nd") + F.lit(1))
+            ).alias("__u"),
+            t_idx.alias("__t"),
+        )
+        # t = N is the anchored endpoint (U_N ≡ 0) — not a candidate
+        .filter(F.col("__t") < F.col("__nd"))
+    )
+    best = u.groupBy("__nd").agg(
+        F.max(F.abs(F.col("__u"))).alias("__k")
+    )
+    pick = (
+        u.join(F.broadcast(best), "__nd")
+        .filter(F.abs(F.col("__u")) == F.col("__k"))
+        .groupBy("__nd", "__k")
+        .agg(F.min("day").alias("__day"))
+    )
+    ndd = F.col("__nd").cast("double")
+    kd = F.col("__k").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0)
+        * F.exp(
+            F.lit(-6.0) * kd * kd / (ndd * ndd * ndd + ndd * ndd)
+        ),
+    )
+    return pick.select(
+        F.col("__nd").alias("n_days"),
+        F.col("__day").cast("string").alias("change_day"),
+        F.col("__k").alias("k_stat"),
+        F.round(p, 6).alias("p_value"),
+    )

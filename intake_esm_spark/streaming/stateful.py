@@ -1313,3 +1313,31 @@ def stream_msprt(
         df, variant_col, converted_col, treatment, control,
         tau=tau, alpha=alpha,
     )
+
+
+def stream_anova_moments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming twin #22 — ``operators.groupstats.anova_report``'s
+    moment half as a LIVE k-arm monitor (per-source mean quality
+    drifting apart across shards is a between-run regression signal;
+    watching the F statistic move beats re-running the batch sweep).
+    Like the PSI twin, no custom state: the batch plan's first half is
+    ONE grouped aggregation of additive counters — a count, a 6dp
+    DECIMAL(18,6) sum, and a DECIMAL(38,12) sum of squares — exactly
+    Spark's built-in streaming aggregation in update mode; each update
+    row is that group's new running ``(__g, __n, __s1, __s2)``, state
+    bounded at k rows whatever the stream length.
+
+    The F statistic needs cross-group totals — a second aggregation
+    over this one, illegal in streaming update mode — so the snapshot
+    goes through :func:`~.operators.groupstats.anova_from_moments`,
+    the SAME readout the batch report tails into: latest-update-per-
+    group → anova_from_moments == batch anova_report bit-for-bit
+    (exact additive decimals, any micro-batch split; pinned by the
+    parity test)."""
+    from intake_esm_spark.operators.groupstats import _group_moments
+
+    return _group_moments(df, group_col, value_col)

@@ -1,0 +1,417 @@
+"""K-sample group statistics, Pettitt change-point, weighted
+quantiles, and the embedding covariance matrix — each checked against
+an independent in-test numpy/pandas computation of the textbook
+formula (scipy is absent from the container, so the references are
+computed from first principles the way the module docstrings state
+them)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from intake_esm_spark.operators.groupstats import (
+    anova_from_moments,
+    anova_report,
+    association_report,
+    brown_forsythe_report,
+    kruskal_wallis_report,
+    spearman_report,
+)
+
+
+def _fixture():
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 3, 40)
+    x = np.round(rng.normal(10, 2, 40) + g * 0.5, 3)
+    y = np.round(x * 0.7 + rng.normal(0, 1, 40), 3)
+    return pd.DataFrame({"g": g.astype(str), "x": x, "y": y})
+
+
+def test_kruskal_wallis_matches_textbook(spark):
+    pdf = _fixture()
+    df = spark.createDataFrame(pdf)
+    row = kruskal_wallis_report(df, "g", "x").collect()[0]
+    # reference: midranks + tie correction
+    r = pd.Series(pdf["x"]).rank(method="average").values
+    n = len(pdf)
+    h = 12 / (n * (n + 1)) * sum(
+        r[pdf["g"].values == k].sum() ** 2
+        / (pdf["g"].values == k).sum()
+        for k in "012"
+    ) - 3 * (n + 1)
+    _, cnt = np.unique(pdf["x"].values, return_counts=True)
+    c = 1 - (cnt**3 - cnt).sum() / (n**3 - n)
+    assert row["n_units"] == n
+    assert row["n_groups"] == 3
+    assert row["dof"] == 2
+    assert row["h_stat"] == pytest.approx(h / c, abs=1e-6)
+
+
+def test_kruskal_heavy_ties_stays_exact(spark):
+    # 90% of values tied at one point — the tie-correction branch
+    rows = [("a", 1.0)] * 18 + [("b", 1.0)] * 18 + [
+        ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    row = kruskal_wallis_report(df, "g", "x").collect()[0]
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    r = pdf["x"].rank(method="average").values
+    n = len(pdf)
+    h = 12 / (n * (n + 1)) * sum(
+        r[pdf["g"].values == k].sum() ** 2 / (pdf["g"].values == k).sum()
+        for k in "ab"
+    ) - 3 * (n + 1)
+    _, cnt = np.unique(pdf["x"].values, return_counts=True)
+    c = 1 - (cnt**3 - cnt).sum() / (n**3 - n)
+    assert row["h_stat"] == pytest.approx(h / c, abs=1e-6)
+
+
+def test_kruskal_all_tied_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("a", 5.0)], "g string, x double"
+    )
+    row = kruskal_wallis_report(df, "g", "x").collect()[0]
+    assert row["h_stat"] is None  # C = 0: no ordering information
+
+
+def test_anova_matches_textbook(spark):
+    pdf = _fixture()
+    df = spark.createDataFrame(pdf)
+    row = anova_report(df, "g", "x").collect()[0]
+    x, g = pdf["x"].values, pdf["g"].values
+    n, k = len(x), 3
+    means = {c: x[g == c].mean() for c in "012"}
+    gm = x.mean()
+    ssb = sum((g == c).sum() * (means[c] - gm) ** 2 for c in "012")
+    ssw = sum(((x[g == c] - means[c]) ** 2).sum() for c in "012")
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["df_between"] == 2 and row["df_within"] == 37
+    assert row["f_stat"] == pytest.approx(f, abs=1e-6)
+    assert row["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=1e-6)
+    # Welch
+    ns = np.array([(g == c).sum() for c in "012"], float)
+    vs = np.array([x[g == c].var(ddof=1) for c in "012"])
+    ms = np.array([means[c] for c in "012"])
+    w = ns / vs
+    mw = (w * ms).sum() / w.sum()
+    a = (w * (ms - mw) ** 2).sum() / (k - 1)
+    b = 2 * (k - 2) / (k**2 - 1) * ((1 - w / w.sum()) ** 2 / (ns - 1)).sum()
+    assert row["welch_f"] == pytest.approx(a / (1 + b), abs=1e-6)
+    assert row["welch_df2"] == pytest.approx(
+        (k**2 - 1) / (3 * ((1 - w / w.sum()) ** 2 / (ns - 1)).sum()),
+        abs=1e-4,
+    )
+
+
+def test_anova_degenerate_group_nulls_welch_only(spark):
+    # one singleton group: classical F still defined, Welch is not
+    rows = [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0), ("c", 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    row = anova_report(df, "g", "x").collect()[0]
+    assert row["f_stat"] is not None
+    assert row["welch_f"] is None and row["welch_df2"] is None
+
+
+def test_anova_single_group_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, x double"
+    )
+    row = anova_report(df, "g", "x").collect()[0]
+    assert row["f_stat"] is None and row["eta_sq"] is None
+
+
+def test_brown_forsythe_matches_textbook(spark):
+    pdf = _fixture()
+    df = spark.createDataFrame(pdf)
+    row = brown_forsythe_report(df, "g", "x").collect()[0]
+    x, g = pdf["x"].values, pdf["g"].values
+    n, k = len(x), 3
+    meds = {c: np.median(x[g == c]) for c in "012"}
+    z = np.abs(x - np.array([meds[c] for c in g]))
+    mz = {c: z[g == c].mean() for c in "012"}
+    gz = z.mean()
+    ssb = sum((g == c).sum() * (mz[c] - gz) ** 2 for c in "012")
+    ssw = sum(((z[g == c] - mz[c]) ** 2).sum() for c in "012")
+    bf = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["df1"] == 2 and row["df2"] == 37
+    # group medians are 6dp-rounded before centering; odd group sizes
+    # in this fixture make the exact median an element, so parity holds
+    assert row["bf_stat"] == pytest.approx(bf, abs=1e-4)
+
+
+def test_spearman_matches_rank_pearson(spark):
+    pdf = _fixture()
+    df = spark.createDataFrame(pdf)
+    row = spearman_report(df, "x", "y").collect()[0]
+    rx = pdf["x"].rank(method="average").values
+    ry = pdf["y"].rank(method="average").values
+    rho = np.corrcoef(rx, ry)[0, 1]
+    n = len(pdf)
+    assert row["n_rows"] == n
+    assert row["rho"] == pytest.approx(rho, abs=1e-6)
+    assert row["t_stat"] == pytest.approx(
+        rho * np.sqrt((n - 2) / (1 - rho**2)), abs=1e-4
+    )
+
+
+def test_spearman_ties_and_filters(spark):
+    rows = [
+        (1.0, 2.0), (1.0, 3.0), (2.0, 3.0), (2.0, 5.0),
+        (3.0, 7.0), (None, 1.0), (4.0, None),
+        (float("nan"), 2.0), (5.0, float("inf")),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    row = spearman_report(df, "x", "y").collect()[0]
+    pdf = pd.DataFrame(rows[:5], columns=["x", "y"])
+    rx = pdf["x"].rank(method="average").values
+    ry = pdf["y"].rank(method="average").values
+    assert row["n_rows"] == 5  # null / NaN / inf rows excluded
+    assert row["rho"] == pytest.approx(np.corrcoef(rx, ry)[0, 1], abs=1e-6)
+
+
+def test_spearman_constant_margin_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0)], "x double, y double"
+    )
+    row = spearman_report(df, "x", "y").collect()[0]
+    assert row["rho"] is None and row["t_stat"] is None
+
+
+def test_association_independent_and_deterministic(spark):
+    # deterministic mapping: NMI = 1, V = 1
+    det = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 5 + [("c", "z")] * 5,
+        "u string, v string",
+    )
+    row = association_report(det, "u", "v").collect()[0]
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert row["cramers_v"] == pytest.approx(1.0, abs=1e-6)
+    # perfectly independent 2x2: MI = 0, V = 0
+    ind = spark.createDataFrame(
+        [("a", "x")] * 4 + [("a", "y")] * 4
+        + [("b", "x")] * 4 + [("b", "y")] * 4,
+        "u string, v string",
+    )
+    row = association_report(ind, "u", "v").collect()[0]
+    assert row["mi"] == pytest.approx(0.0, abs=1e-6)
+    assert row["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_association_chi2_matches_full_grid_report(spark):
+    """The zero-cell shortcut (Σ_{o=0} e = N − Σ_{o>0} e) must agree
+    with chi_square_report's explicit full-grid χ² on a frame WITH an
+    empty cell."""
+    from intake_esm_spark.operators.experiment import chi_square_report
+
+    rows = (
+        [("a", "x")] * 6 + [("a", "y")] * 2
+        + [("b", "x")] * 1 + [("b", "y")] * 7
+        + [("c", "x")] * 4  # (c, y) is the zero cell
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    grid = chi_square_report(df, "u", "v").collect()[0]
+    assoc = association_report(df, "u", "v").collect()[0]
+    n = grid["n_units"]
+    v_from_grid = np.sqrt(grid["chi2"] / (n * (min(3, 2) - 1)))
+    assert assoc["cramers_v"] == pytest.approx(v_from_grid, abs=1e-6)
+    # and MI against the direct formula over observed cells
+    pdf = pd.DataFrame(rows, columns=["u", "v"])
+    ct = pdf.groupby(["u", "v"]).size()
+    na = pdf.groupby("u").size()
+    nb = pdf.groupby("v").size()
+    mi = sum(
+        c / n * np.log(n * c / (na[a] * nb[b]))
+        for (a, b), c in ct.items()
+    )
+    assert assoc["mi"] == pytest.approx(mi, abs=1e-6)
+
+
+def test_pettitt_matches_pairwise_definition(spark):
+    rng = np.random.RandomState(11)
+    vals = np.concatenate(
+        [rng.normal(10, 1, 12), rng.normal(14, 1, 13)]
+    ).round(2)
+    days = pd.date_range("2024-03-01", periods=25, freq="D")
+    rows = [
+        (pd.Timestamp(d).to_pydatetime(), float(v))
+        for d, v in zip(days, vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    from intake_esm_spark.operators.timeseries import pettitt_test
+
+    row = pettitt_test(df).collect()[0]
+    x = vals  # one event per day: daily totals are the values
+    t_count = len(x)
+    u = [
+        sum(
+            np.sign(x[i] - x[j])
+            for i in range(t + 1)
+            for j in range(t + 1, t_count)
+        )
+        for t in range(t_count - 1)
+    ]
+    k = int(max(abs(np.array(u))))
+    am = int(np.argmax(np.abs(u)))
+    p = min(1.0, 2 * np.exp(-6 * k**2 / (t_count**3 + t_count**2)))
+    assert row["n_days"] == t_count
+    assert row["k_stat"] == k
+    assert row["change_day"] == str(days[am].date())
+    assert row["p_value"] == pytest.approx(p, abs=1e-6)
+    assert row["p_value"] < 0.01  # the shift is real
+
+
+def test_pettitt_short_series_empty(spark):
+    from intake_esm_spark.operators.timeseries import pettitt_test
+
+    one = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 5.0)], "ts string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    assert pettitt_test(one).count() == 0
+
+
+def test_weighted_quantiles_matches_searchsorted(spark):
+    from intake_esm_spark.operators.profiling import weighted_quantiles
+
+    rng = np.random.RandomState(3)
+    v = rng.normal(50, 10, 200).round(3)
+    w = rng.randint(1, 9, 200).astype(float)
+    pdf = pd.DataFrame({"v": v, "w": w})
+    df = spark.createDataFrame(pdf)
+    probs = [0.1, 0.5, 0.9, 1.0]
+    got = {
+        r["prob"]: r
+        for r in weighted_quantiles(df, "v", "w", probs).collect()
+    }
+    agg = pdf.groupby("v", as_index=False)["w"].sum().sort_values("v")
+    cw = agg["w"].cumsum().values
+    total = agg["w"].sum()
+    for p in probs:
+        idx = int(np.searchsorted(cw, p * total, side="left"))
+        assert got[p]["quantile"] == pytest.approx(
+            agg["v"].values[idx], abs=1e-9
+        ), p
+        assert got[p]["n_rows"] == 200
+        assert got[p]["total_weight"] == pytest.approx(total)
+
+
+def test_weighted_quantiles_excludes_nonpositive_weights(spark):
+    from intake_esm_spark.operators.profiling import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, -3.0), (3.0, 1.0), (4.0, None), (None, 1.0)],
+        "v double, w double",
+    )
+    rows = weighted_quantiles(df, "v", "w", [0.5, 1.0]).collect()
+    assert all(r["n_rows"] == 1 and r["quantile"] == 3.0 for r in rows)
+
+
+def test_weighted_quantiles_validates_probs(spark):
+    from intake_esm_spark.operators.profiling import weighted_quantiles
+
+    df = spark.createDataFrame([(1.0, 1.0)], "v double, w double")
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [0.0, 0.5])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [])
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    from intake_esm_spark.operators.matrix import embedding_covariance
+
+    rng = np.random.RandomState(5)
+    mat = rng.normal(0, 1, (60, 6)).round(4)
+    df = spark.createDataFrame(
+        [(r.tolist(),) for r in mat], "embedding array<double>"
+    )
+    rows = embedding_covariance(df).collect()
+    assert len(rows) == 6 * 7 // 2
+    n = mat.shape[0]
+    s1 = mat.sum(0)
+    cov = (mat.T @ mat - np.outer(s1, s1) / n) / (n - 1)
+    var = np.diag(cov)
+    for r in rows:
+        assert r["n_vecs"] == n
+        assert r["cov"] == pytest.approx(cov[r["i"], r["j"]], abs=2e-6)
+        assert r["corr"] == pytest.approx(
+            cov[r["i"], r["j"]] / np.sqrt(var[r["i"]] * var[r["j"]]),
+            abs=1e-4,
+        )
+
+
+def test_embedding_covariance_small_n_and_no_corr(spark):
+    from intake_esm_spark.operators.matrix import embedding_covariance
+
+    one = spark.createDataFrame(
+        [([1.0, 2.0],)], "embedding array<double>"
+    )
+    assert embedding_covariance(one).count() == 0  # n < 2: undefined
+    two = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 5.0],)], "embedding array<double>"
+    )
+    out = embedding_covariance(two, include_corr=False)
+    assert out.columns == ["i", "j", "n_vecs", "cov"]
+    got = {(r["i"], r["j"]): r["cov"] for r in out.collect()}
+    assert got[(0, 0)] == pytest.approx(2.0)
+    assert got[(0, 1)] == pytest.approx(3.0)
+    assert got[(1, 1)] == pytest.approx(4.5)
+
+
+def test_stream_anova_matches_batch(spark, tmp_path):
+    """Two micro-batches of grouped values: the LAST update per group,
+    snapshotted through anova_from_moments, equals the whole-corpus
+    batch anova_report exactly (additive exact-decimal moments — the
+    PSI-twin parity argument verbatim)."""
+    import glob
+    import shutil
+
+    from intake_esm_spark.streaming.stateful import stream_anova_moments
+
+    pdf = _fixture()
+    df = spark.createDataFrame(pdf).select("g", F.col("x").alias("x"))
+    batch = anova_report(df, "g", "x").collect()[0]
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32(F.col("x").cast("string")) % 2 == 0).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "a"))
+    df.filter(F.crc32(F.col("x").cast("string")) % 2 == 1).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_anova_moments(stream, "g", "x")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("anova_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM anova_stream").collect()
+    finally:
+        q.stop()
+    last = {}
+    for r in emitted:  # memory sink appends updates in batch order
+        last[r["__g"]] = (r["__n"], r["__s1"], r["__s2"])
+    moms = spark.createDataFrame(
+        [(g, n, s1, s2) for g, (n, s1, s2) in last.items()],
+        "__g string, __n long, __s1 decimal(18,6), __s2 decimal(38,12)",
+    )
+    streamed = anova_from_moments(moms).collect()[0]
+    for c in (
+        "n_units", "n_groups", "df_between", "df_within",
+        "f_stat", "eta_sq", "welch_f", "welch_df2",
+    ):
+        assert streamed[c] == batch[c], c
