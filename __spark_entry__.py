@@ -4527,6 +4527,135 @@ def q_orders_priority_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _cohort3_rev_units(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared unit frame of the k-sample test entries: per-user
+    purchase revenue with a deterministic THREE-way cohort label
+    (user_id mod 3) — the k-arm sibling of _purchase_rev_units."""
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(_dec_sum("value", "rev"))
+    )
+    return per_user.select(
+        (F.col("user_id") % 3).cast("string").alias("grp"), "rev"
+    )
+
+
+def q_events_kruskal(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal-Wallis H across three user cohorts (operators/
+    groupstats.py kruskal_wallis_report): midranks via the bucketed
+    prefix sum over the distinct-value grain — the k-sample
+    generalization of events_mannwhitney; per-group doubled rank sums
+    accumulate as exact DECIMAL(38,0), tie correction from exact
+    Σ(t³−t)."""
+    from intake_esm_spark.operators.groupstats import (
+        kruskal_wallis_report,
+    )
+
+    units = _cohort3_rev_units(spark, sf)
+    return kruskal_wallis_report(units, "grp", "rev")
+
+
+def q_events_anova(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way + Welch ANOVA across three user cohorts (operators/
+    groupstats.py anova_report): ONE partial-agged exchange to 6dp-
+    decimal per-group moments, closed-form F / eta² / Welch over the
+    k-row frame with 12dp-decimal cross-group sums. The moment half is
+    streaming twin #22 (stream_anova_moments)."""
+    from intake_esm_spark.operators.groupstats import anova_report
+
+    units = _cohort3_rev_units(spark, sf)
+    return anova_report(units, "grp", "rev")
+
+
+def q_events_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown-Forsythe equal-variance test across three user cohorts
+    (operators/groupstats.py brown_forsythe_report): per-group exact
+    medians from the grouped bucketed cumsum, then the one-exchange
+    ANOVA moment path on |x − median_g|."""
+    from intake_esm_spark.operators.groupstats import (
+        brown_forsythe_report,
+    )
+
+    units = _cohort3_rev_units(spark, sf)
+    return brown_forsythe_report(units, "grp", "rev")
+
+
+def q_lineitem_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    (operators/groupstats.py spearman_report): midrank maps from the
+    bucketed prefix sum join back by value; the statistic reduces to
+    THREE exact DECIMAL(38,0) integer sums (midranks preserve the rank
+    total, so the means are known constants). Quantity has ~50
+    distinct values over 600k rows at sf0.1 — the tie-heavy shape the
+    midrank algebra must absorb."""
+    from intake_esm_spark.operators.groupstats import spearman_report
+
+    lineitem = load_table(spark, sf, "lineitem")
+    return spearman_report(lineitem, "l_quantity", "l_extendedprice")
+
+
+def q_events_pettitt(spark: SparkSession, sf: str) -> DataFrame:
+    """Pettitt change-point test on daily purchase revenue (operators/
+    timeseries.py pettitt_test): U_t = 2S_t − t(N+1) kept as exact
+    integers via doubled midranks over the calendar-bounded daily
+    frame; earliest-day tiebreak; classic 2·exp(−6K²/(N³+N²))
+    calibration."""
+    from intake_esm_spark.operators.timeseries import pettitt_test
+
+    events = load_table(spark, sf, "events")
+    return pettitt_test(events.filter(F.col("event_type") == "purchase"))
+
+
+def q_events_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical association between event type and hour-of-day
+    (operators/groupstats.py association_report): mutual information,
+    NMI, and Cramér's V from ONE cell-grain exchange — χ² takes the
+    zero-cell shortcut Σ_{o=0}e = N − Σ_{o>0}e instead of
+    materializing the full grid; 12dp-decimal term sums."""
+    from intake_esm_spark.operators.groupstats import association_report
+
+    events = load_table(spark, sf, "events")
+    frame = events.select(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    )
+    return association_report(frame, "event_type", "hour_of_day")
+
+
+def q_lineitem_wquantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted exact price quantiles (operators/profiling.py
+    weighted_quantiles): smallest value whose inclusive cumulative
+    6dp-decimal weight reaches p·W — element selection over the
+    distinct-value grain via the bucketed cumsum, broadcast target
+    probes, no interpolation and no single-task sort."""
+    from intake_esm_spark.operators.profiling import weighted_quantiles
+
+    lineitem = load_table(spark, sf, "lineitem")
+    return weighted_quantiles(
+        lineitem,
+        "l_extendedprice",
+        "l_quantity",
+        probs=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+
+
+def q_embed_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact covariance + correlation of every embedding dimension
+    pair (operators/matrix.py embedding_covariance): the d(d+1)/2
+    upper-triangle products are generated IN-ROW by a JVM higher-order
+    function — no self-join, the only exchange is the partial-agged
+    groupBy to the dimension² grain; 12dp-decimal product sums, 6dp
+    first moments."""
+    from intake_esm_spark.operators.matrix import embedding_covariance
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_covariance(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4534,7 +4663,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most 50 entries, so (standing rule) any entry whose code or
         # oracle changed this round is in the first 50, followed by the
         # entries longest without a driver-green row.
-        # Block 1: round-11 changes — events_msprt, events_fdr,
+        # Block 0: round-11 late additions (NEW this round, never
+        # driver-seen) — the k-sample statistics family
+        # (Kruskal-Wallis / one-way+Welch ANOVA / Brown-Forsythe on the
+        # three-cohort revenue frame; Spearman on the tie-heavy
+        # quantity×price pair; categorical MI/NMI/Cramér's V), the
+        # Pettitt change-point on daily revenue, quantity-weighted
+        # exact price quantiles, and the embedding dimension-pair
+        # covariance/correlation matrix.
+        "events_kruskal": q_events_kruskal,
+        "events_anova": q_events_anova,
+        "events_brown_forsythe": q_events_brown_forsythe,
+        "lineitem_spearman": q_lineitem_spearman,
+        "events_pettitt": q_events_pettitt,
+        "events_mutual_info": q_events_mutual_info,
+        "lineitem_wquantiles": q_lineitem_wquantiles,
+        "embed_covariance": q_embed_covariance,
+        # Block 1: round-11 earlier changes — events_msprt, events_fdr,
         # orders_trimmed, lineitem_exact_quantiles,
         # orders_priority_quantiles and orders_benford are NEW
         # (mixture-SPRT always-valid p; Benjamini-Hochberg FDR over a
@@ -4547,10 +4692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 18 changed +
-        # 32 oldest = the 50-entry driver window; the last 5 of the
-        # oldest block below sit just past the cut and keep their
-        # cumulative green rows.
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 8 new + 18
+        # changed + 24 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -10925,6 +11068,506 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rnk
               FROM scored
             ) WHERE rnk <= 10
+        """,
+        # replays operators/groupstats.py kruskal_wallis_report: the
+        # Mann-Whitney midrank algebra generalized to k groups —
+        # 2·midrank = 2·cum − c + 1 (integer), per-group doubled rank
+        # sums as DECIMAL(38,0), 6dp-decimal cross-group R²/n sum,
+        # exact Σ(t³−t) tie correction
+        "events_kruskal": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT CAST(user_id % 3 AS VARCHAR) AS g, rev FROM pu
+            ), pvg AS (
+              SELECT rev AS val, g, count(*) AS cg FROM u GROUP BY 1, 2
+            ), pv AS (
+              SELECT val, CAST(sum(cg) AS BIGINT) AS c
+              FROM pvg GROUP BY 1
+            ), rk AS (
+              SELECT val, c,
+                     sum(c) OVER (ORDER BY val ASC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM pv
+            ), pg AS (
+              SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+                     CAST(sum(CAST(cg AS DECIMAL(38,0))
+                              * (2 * rk.cum - rk.c + 1)) AS DOUBLE)
+                       AS r2
+              FROM pvg JOIN rk USING (val) GROUP BY 1
+            ), tt AS (
+              SELECT CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c - c)
+                          AS DOUBLE) AS tt
+              FROM pv
+            ), m AS (
+              SELECT CAST(sum(ng) AS BIGINT) AS tn,
+                     count(*) AS k,
+                     CAST(sum(CAST(round((r2 / 2.0) * (r2 / 2.0)
+                                         / CAST(ng AS DOUBLE), 6)
+                                   AS DECIMAL(38,6))) AS DOUBLE) AS st
+              FROM pg
+            ), f AS (
+              SELECT tn, k, st, tt, CAST(tn AS DOUBLE) AS tnd
+              FROM m CROSS JOIN tt
+            )
+            SELECT tn AS n_units, k AS n_groups,
+                   CASE WHEN k >= 2 THEN k - 1 END AS dof,
+                   CASE WHEN k >= 2 AND tn >= 2
+                         AND (1.0 - tt / (tnd * tnd * tnd - tnd)) > 0
+                        THEN round(
+                          (12.0 / (tnd * (tnd + 1.0)) * st
+                           - 3.0 * (tnd + 1.0))
+                          / (1.0 - tt / (tnd * tnd * tnd - tnd)), 6)
+                   END AS h_stat
+            FROM f
+        """,
+        # replays operators/groupstats.py anova_report: 6dp-decimal
+        # per-group moments, 12dp-decimal cross-group SSB/SSW
+        # contributions, Welch weight totals broadcast back — the
+        # identical closed-form IEEE expressions
+        "events_anova": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT CAST(user_id % 3 AS VARCHAR) AS g, rev FROM pu
+            ), pg AS (
+              SELECT g, count(*) AS n,
+                     sum(CAST(round(rev, 6) AS DECIMAL(18,6))) AS s1,
+                     sum(CAST(CAST(round(rev, 6) AS DECIMAL(19,6))
+                              * CAST(round(rev, 6) AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS s2
+              FROM u GROUP BY 1
+            ), base AS (
+              SELECT n, s1,
+                     CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                / CAST(n AS DOUBLE), 12)
+                          AS DECIMAL(38,12)) AS cb,
+                     CAST(round(CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / CAST(n AS DOUBLE), 12)
+                          AS DECIMAL(38,12)) AS cw,
+                     CASE WHEN n >= 2
+                           AND (CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                               / (CAST(n AS DOUBLE) - 1.0) > 0
+                          THEN CAST(n AS DOUBLE)
+                               / ((CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE)
+                                     * CAST(s1 AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) - 1.0))
+                     END AS w
+              FROM pg
+            ), base2 AS (
+              SELECT n, s1, cb, cw, w,
+                     w * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS wm
+              FROM base
+            ), tot1 AS (
+              SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s1) AS ts1,
+                     count(*) AS k,
+                     CAST(sum(cb) AS DOUBLE) AS sb,
+                     CAST(sum(cw) AS DOUBLE) AS sw,
+                     sum(CASE WHEN w IS NOT NULL THEN 1 END) AS wk,
+                     sum(w) AS tw, sum(wm) AS twm
+              FROM base2
+            ), wt AS (
+              SELECT
+                CAST(sum(CAST(round(
+                  b.w * (CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)
+                         - t.twm / t.tw)
+                      * (CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)
+                         - t.twm / t.tw), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS wa,
+                CAST(sum(CAST(round(
+                  (1.0 - b.w / t.tw) * (1.0 - b.w / t.tw)
+                    / (CAST(b.n AS DOUBLE) - 1.0), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS wb
+              FROM base2 b CROSS JOIN tot1 t
+            ), f AS (
+              SELECT tn, k, wk, wa, wb,
+                     CAST(tn AS DOUBLE) AS tnd,
+                     CAST(k AS DOUBLE) AS kd,
+                     sb - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                          / CAST(tn AS DOUBLE) AS ssb,
+                     sw AS ssw,
+                     (k >= 2 AND tn > k) AS ok
+              FROM tot1 CROSS JOIN wt
+            )
+            SELECT tn AS n_units, k AS n_groups,
+                   CASE WHEN ok THEN k - 1 END AS df_between,
+                   CASE WHEN ok THEN tn - k END AS df_within,
+                   round(CASE WHEN ok AND ssw > 0
+                         THEN (ssb / (kd - 1.0)) / (ssw / (tnd - kd))
+                         END, 6) AS f_stat,
+                   round(CASE WHEN ok AND ssb + ssw > 0
+                         THEN ssb / (ssb + ssw) END, 6) AS eta_sq,
+                   round(CASE WHEN ok AND wk = k AND wb >= 0
+                         THEN (wa / (kd - 1.0))
+                              / (1.0 + 2.0 * (kd - 2.0)
+                                 / ((kd - 1.0) * (kd + 1.0)) * wb)
+                         END, 6) AS welch_f,
+                   round(CASE WHEN ok AND wk = k AND wb > 0
+                         THEN (kd - 1.0) * (kd + 1.0) / (3.0 * wb)
+                         END, 6) AS welch_df2
+            FROM f
+        """,
+        # replays operators/groupstats.py brown_forsythe_report:
+        # per-group type-7 medians by row_number element selection
+        # (6dp), then the anova moment replay on |x − median_g|
+        "events_brown_forsythe": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT CAST(user_id % 3 AS VARCHAR) AS g, rev FROM pu
+            ), nn AS (
+              SELECT g, count(*) AS n FROM u GROUP BY 1
+            ), r AS (
+              SELECT g, rev,
+                     row_number() OVER (PARTITION BY g ORDER BY rev)
+                       AS rn
+              FROM u
+            ), hh AS (
+              SELECT g, n,
+                     (CAST(n AS DOUBLE) - 1.0) * 0.5 + 1.0 AS h
+              FROM nn
+            ), med AS (
+              SELECT hh.g,
+                     round(CAST(rl.rev AS DOUBLE)
+                           + (hh.h - floor(hh.h))
+                             * (CAST(rh.rev AS DOUBLE)
+                                - CAST(rl.rev AS DOUBLE)), 6) AS m
+              FROM hh
+              JOIN r rl ON rl.g = hh.g
+                AND rl.rn = CAST(floor(hh.h) AS BIGINT)
+              JOIN r rh ON rh.g = hh.g
+                AND rh.rn = CAST(ceil(hh.h) AS BIGINT)
+            ), z AS (
+              SELECT u.g, abs(u.rev - med.m) AS zv
+              FROM u JOIN med ON u.g = med.g
+            ), pg AS (
+              SELECT g, count(*) AS n,
+                     sum(CAST(round(zv, 6) AS DECIMAL(18,6))) AS s1,
+                     sum(CAST(CAST(round(zv, 6) AS DECIMAL(19,6))
+                              * CAST(round(zv, 6) AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS s2
+              FROM z GROUP BY 1
+            ), tot1 AS (
+              SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s1) AS ts1,
+                     count(*) AS k,
+                     CAST(sum(CAST(round(CAST(s1 AS DOUBLE)
+                                         * CAST(s1 AS DOUBLE)
+                                         / CAST(n AS DOUBLE), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+                     CAST(sum(CAST(round(CAST(s2 AS DOUBLE)
+                                         - CAST(s1 AS DOUBLE)
+                                           * CAST(s1 AS DOUBLE)
+                                           / CAST(n AS DOUBLE), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS sw
+              FROM pg
+            ), f AS (
+              SELECT tn, k,
+                     CAST(tn AS DOUBLE) AS tnd, CAST(k AS DOUBLE) AS kd,
+                     sb - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                          / CAST(tn AS DOUBLE) AS ssb,
+                     sw AS ssw,
+                     (k >= 2 AND tn > k) AS ok
+              FROM tot1
+            )
+            SELECT tn AS n_units, k AS n_groups,
+                   CASE WHEN ok THEN k - 1 END AS df1,
+                   CASE WHEN ok THEN tn - k END AS df2,
+                   round(CASE WHEN ok AND ssw > 0
+                         THEN (ssb / (kd - 1.0)) / (ssw / (tnd - kd))
+                         END, 6) AS bf_stat
+            FROM f
+        """,
+        # replays operators/groupstats.py spearman_report: midrank maps
+        # per column (2·cum − c + 1, integer) joined back by value;
+        # three exact DECIMAL(38,0) sums; means are the known constant
+        # N(N+1)² because midranks preserve the rank total
+        "lineitem_spearman": """
+            WITH b AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS x,
+                     CAST(l_extendedprice AS DOUBLE) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ), rx AS (
+              SELECT x, 2 * cum - c + 1 AS tmx FROM (
+                SELECT x, c,
+                       sum(c) OVER (ORDER BY x ASC ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM (SELECT x, count(*) AS c FROM b GROUP BY 1)
+              )
+            ), ry AS (
+              SELECT y, 2 * cum - c + 1 AS tmy FROM (
+                SELECT y, c,
+                       sum(c) OVER (ORDER BY y ASC ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM (SELECT y, count(*) AS c FROM b GROUP BY 1)
+              )
+            ), rowd AS (
+              SELECT tmx, tmy
+              FROM b JOIN rx USING (x) JOIN ry USING (y)
+            ), m AS (
+              SELECT count(*) AS n,
+                     CAST(sum(CAST(tmx AS DECIMAL(38,0))
+                              * CAST(tmy AS DECIMAL(38,0)))
+                          AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(tmx AS DECIMAL(38,0))
+                              * CAST(tmx AS DECIMAL(38,0)))
+                          AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(tmy AS DECIMAL(38,0))
+                              * CAST(tmy AS DECIMAL(38,0)))
+                          AS DOUBLE) AS syy
+              FROM rowd
+            ), f AS (
+              SELECT n,
+                     CASE WHEN n >= 2
+                           AND sxx - CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) + 1.0)
+                               * (CAST(n AS DOUBLE) + 1.0) > 0
+                           AND syy - CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) + 1.0)
+                               * (CAST(n AS DOUBLE) + 1.0) > 0
+                          THEN round(
+                            (sxy - CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) + 1.0)
+                               * (CAST(n AS DOUBLE) + 1.0))
+                            / sqrt(
+                              (sxx - CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) + 1.0)
+                                 * (CAST(n AS DOUBLE) + 1.0))
+                              * (syy - CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) + 1.0)
+                                 * (CAST(n AS DOUBLE) + 1.0))), 6)
+                     END AS rho
+              FROM m
+            )
+            SELECT n AS n_rows, rho,
+                   CASE WHEN n > 2 AND abs(rho) < 1
+                        THEN round(rho * sqrt(
+                          (CAST(n AS DOUBLE) - 2.0)
+                          / (1.0 - rho * rho)), 6)
+                   END AS t_stat
+            FROM f
+        """,
+        # replays operators/timeseries.py pettitt_test: doubled
+        # midranks over the day-grain decimal totals keep U_t an exact
+        # integer; earliest-day argmax tiebreak; the classic
+        # 2·exp(−6K²/(N³+N²)) calibration
+        "events_pettitt": """
+            WITH d AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     sum(CAST(value AS DECIMAL(18,6))) AS rd
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1
+            ), r AS (
+              SELECT day,
+                     CAST(2 * rank() OVER (ORDER BY rd)
+                          + count(*) OVER (PARTITION BY rd) - 1
+                          AS BIGINT) AS r2
+              FROM d
+            ), nn AS (
+              SELECT count(*) AS nd FROM d
+            ), u AS (
+              SELECT day, nd,
+                     CAST(sum(r2) OVER (ORDER BY day ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - row_number() OVER (ORDER BY day)
+                            * (nd + 1) AS BIGINT) AS uu,
+                     row_number() OVER (ORDER BY day) AS t
+              FROM r CROSS JOIN nn
+            ), uf AS (
+              SELECT * FROM u WHERE t < nd
+            ), best AS (
+              SELECT nd, CAST(max(abs(uu)) AS BIGINT) AS k
+              FROM uf GROUP BY 1
+            ), pick AS (
+              SELECT uf.nd, best.k, min(uf.day) AS day
+              FROM uf JOIN best
+                ON uf.nd = best.nd AND abs(uf.uu) = best.k
+              GROUP BY 1, 2
+            )
+            SELECT nd AS n_days, CAST(day AS VARCHAR) AS change_day,
+                   k AS k_stat,
+                   round(least(1.0, 2.0 * exp(
+                     -6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                     / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                          * CAST(nd AS DOUBLE)
+                        + CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))),
+                     6) AS p_value
+            FROM pick
+        """,
+        # replays operators/groupstats.py association_report: one
+        # cell-grain collapse, margin entropies and MI as 12dp-decimal
+        # term sums, χ² via the zero-cell shortcut
+        # Σ_{o=0}e = N − Σ_{o>0}e (margins are exact, so the full grid
+        # never materializes)
+        "events_mutual_info": """
+            WITH cells AS (
+              SELECT event_type AS a,
+                     hour(CAST(ts AS TIMESTAMP)) AS b,
+                     count(*) AS obs
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2
+            ), am AS (
+              SELECT a, CAST(sum(obs) AS BIGINT) AS at FROM cells
+              GROUP BY 1
+            ), bm AS (
+              SELECT b, CAST(sum(obs) AS BIGINT) AS bt FROM cells
+              GROUP BY 1
+            ), nn AS (
+              SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells
+            ), ha AS (
+              SELECT CAST(sum(CAST(round(
+                       -(CAST(at AS DOUBLE) / n)
+                       * ln(CAST(at AS DOUBLE) / n), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS ha,
+                     count(*) AS ka
+              FROM am CROSS JOIN nn
+            ), hb AS (
+              SELECT CAST(sum(CAST(round(
+                       -(CAST(bt AS DOUBLE) / n)
+                       * ln(CAST(bt AS DOUBLE) / n), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS hb,
+                     count(*) AS kb
+              FROM bm CROSS JOIN nn
+            ), terms AS (
+              SELECT CAST(obs AS DOUBLE) AS od,
+                     CAST(at AS DOUBLE) * CAST(bt AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS ed,
+                     CAST(n AS DOUBLE) AS ndd
+              FROM cells JOIN am USING (a) JOIN bm USING (b)
+              CROSS JOIN nn
+            ), mis AS (
+              SELECT
+                CAST(sum(CAST(round(od / ndd * ln(od / ed), 12)
+                              AS DECIMAL(28,12))) AS DOUBLE) AS mi,
+                CAST(sum(CAST(round((od - ed) * (od - ed) / ed, 12)
+                              AS DECIMAL(28,12))) AS DOUBLE) AS x2obs,
+                CAST(sum(CAST(round(ed, 12) AS DECIMAL(28,12)))
+                     AS DOUBLE) AS eobs
+              FROM terms
+            )
+            SELECT n AS n_units, ka AS n_a, kb AS n_b,
+                   round(mi, 6) + 0.0 AS mi,
+                   round(CASE WHEN ha > 0 AND hb > 0
+                         THEN mi / sqrt(ha * hb) END, 6) AS nmi,
+                   round(CASE WHEN least(ka, kb) >= 2
+                         THEN sqrt(
+                           greatest(x2obs + (CAST(n AS DOUBLE) - eobs),
+                                    0.0)
+                           / (CAST(n AS DOUBLE)
+                              * (CAST(least(ka, kb) AS DOUBLE) - 1.0)))
+                         END, 6) AS cramers_v
+            FROM nn CROSS JOIN ha CROSS JOIN hb CROSS JOIN mis
+        """,
+        # replays operators/profiling.py weighted_quantiles: 6dp-
+        # decimal weights to the distinct-value grain, inclusive
+        # cumulative weight window, smallest value whose cum reaches
+        # p·W (element selection, no interpolation)
+        "lineitem_wquantiles": """
+            WITH v AS (
+              SELECT l_extendedprice AS val,
+                     CAST(round(CAST(l_quantity AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS w
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND CAST(l_quantity AS DOUBLE) > 0
+            ), pv AS (
+              SELECT val, CAST(sum(w) AS DECIMAL(38,6)) AS w,
+                     count(*) AS c
+              FROM v GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(w) AS DECIMAL(38,6)) AS tw,
+                     CAST(sum(c) AS BIGINT) AS n
+              FROM pv
+            ), ck AS (
+              SELECT val, w,
+                     sum(w) OVER (ORDER BY val ASC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM pv
+            ), pr AS (
+              SELECT * FROM (VALUES
+                (CAST(0.1 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+                (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+                (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))
+              ) AS t(p)
+            ), tg AS (
+              SELECT p, tw, n, p * CAST(tw AS DOUBLE) AS tgt
+              FROM pr CROSS JOIN tot
+            )
+            SELECT tg.p AS prob, tg.n AS n_rows,
+                   CAST(tg.tw AS DOUBLE) AS total_weight,
+                   CAST(ck.val AS DOUBLE) AS quantile
+            FROM tg JOIN ck
+              ON tg.tgt > CAST(ck.cum - ck.w AS DOUBLE)
+             AND tg.tgt <= CAST(ck.cum AS DOUBLE)
+        """,
+        # replays operators/matrix.py embedding_covariance: the oracle
+        # may use the naive unnest + self-join (it need not be
+        # scale-shaped) — 6dp components, 12dp-decimal product sums,
+        # 6dp-decimal first moments, covariance/correlation over the
+        # identical exact sums
+        "embed_covariance": """
+            WITH f AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), p AS (
+              SELECT a.i AS i, b.i AS j,
+                     CAST(round(a.v * b.v, 12) AS DECIMAL(28,12)) AS pr
+              FROM f a JOIN f b
+                ON a.vec_id = b.vec_id AND b.i >= a.i
+            ), s2 AS (
+              SELECT i, j, sum(pr) AS s2, count(*) AS n
+              FROM p GROUP BY 1, 2
+            ), m1 AS (
+              SELECT i, sum(CAST(v AS DECIMAL(18,6))) AS s1
+              FROM f GROUP BY 1
+            ), c AS (
+              SELECT CAST(s2.i AS INT) AS i, CAST(s2.j AS INT) AS j,
+                     CAST(s2.n AS BIGINT) AS n,
+                     round((CAST(s2.s2 AS DOUBLE)
+                            - CAST(mi.s1 AS DOUBLE)
+                              * CAST(mj.s1 AS DOUBLE)
+                              / CAST(s2.n AS DOUBLE))
+                           / (CAST(s2.n AS DOUBLE) - 1.0), 6)
+                       + 0.0 AS cov
+              FROM s2
+              JOIN m1 mi ON s2.i = mi.i
+              JOIN m1 mj ON s2.j = mj.i
+              WHERE s2.n >= 2
+            ), dg AS (
+              SELECT i AS di, cov AS var FROM c WHERE i = j
+            )
+            SELECT c.i, c.j, c.n AS n_vecs, c.cov,
+                   round(CASE WHEN d1.var > 0 AND d2.var > 0
+                         THEN c.cov / sqrt(d1.var * d2.var) END, 6)
+                       + 0.0 AS corr
+            FROM c
+            JOIN dg d1 ON c.i = d1.di
+            JOIN dg d2 ON c.j = d2.di
         """,
         # rows-only checks (hash-function-specific):
         #   dedup_minhash, dedup_simhash

@@ -221,6 +221,14 @@ BENCH_QUERIES = [
     "lineitem_exact_quantiles",
     "orders_priority_quantiles",
     "orders_benford",
+    "events_kruskal",
+    "events_anova",
+    "events_brown_forsythe",
+    "lineitem_spearman",
+    "events_pettitt",
+    "events_mutual_info",
+    "lineitem_wquantiles",
+    "embed_covariance",
 ]
 
 

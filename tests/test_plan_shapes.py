@@ -872,3 +872,55 @@ def test_group_exact_quantiles_no_global_sort_no_percentile(spark, queries):
     assert "percentile" not in plan.lower(), plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "__bkt" in plan, plan
+
+
+def test_kruskal_ranks_via_bucketed_prefix_sum(spark, queries):
+    """kruskal_wallis (round 11): the k-sample midranks come from the
+    bucketed cumsum over the distinct-value grain — no corpus-wide
+    value sort even when the outcome is continuous (distinct ≈ units);
+    the k-row group frame carries the rest."""
+    plan = plan_of(queries["events_kruskal"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+
+
+def test_spearman_rank_maps_bucketed_no_global_sort(spark, queries):
+    """spearman (round 11): BOTH midrank maps are bucketed cumsums
+    joined back by value — no Exchange rangepartitioning anywhere, no
+    row_number over an unpartitioned frame."""
+    plan = plan_of(queries["lineitem_spearman"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    assert "row_number" not in plan, plan
+
+
+def test_weighted_quantiles_probe_is_broadcast_no_global_sort(
+    spark, queries
+):
+    """weighted_quantiles (round 11): same discipline as the unweighted
+    probe — bucketed cumulative weights + a broadcast target probe; no
+    percentile aggregate, no corpus-wide sort."""
+    plan = plan_of(queries["lineitem_wquantiles"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the target probe
+    assert "percentile" not in plan.lower(), plan
+
+
+def test_embed_covariance_no_self_join_one_pair_exchange(spark, queries):
+    """embedding_covariance (round 11): the d(d+1)/2 pair products are
+    generated IN-ROW (higher-order functions inside codegen) — the plan
+    must contain NO row-id self-join (no SortMergeJoin at all; the only
+    joins are broadcast moment/diagonal rejoins) and no generate-then-
+    shuffle of a row-id-keyed frame."""
+    plan = plan_of(queries["embed_covariance"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "vec_id" not in plan.split("Scan parquet")[0], plan
+    assert "Generate explode" in plan, plan  # the in-row pair explode
+    assert "BroadcastHashJoin" in plan, plan  # moment rejoins
+
+
+def test_anova_single_exchange_partial_agg(spark, queries):
+    """anova (round 11): the moment half is ONE partial-aggregated
+    groupBy — HashAggregate partial + final around a single group-key
+    exchange; the Welch pass runs on the k-row frame via broadcast."""
+    plan = plan_of(queries["events_anova"](spark, SF), "formatted")
+    assert "HashAggregate" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
