@@ -4656,6 +4656,45 @@ def q_embed_covariance(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_covariance(emb)
 
 
+def q_lineitem_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's tau-b between quantity and discount (operators/
+    groupstats.py kendall_tau_b): concordant/discordant pair counts as
+    exact DECIMAL(38,0) over the 50×11 contingency cell grid — the
+    dominance self-join is cells²-bounded and guarded in-plan by
+    assert_true (a continuous column aborts before the quadratic join
+    emits)."""
+    from intake_esm_spark.operators.groupstats import kendall_tau_b
+
+    lineitem = load_table(spark, sf, "lineitem")
+    return kendall_tau_b(lineitem, "l_quantity", "l_discount")
+
+
+def q_events_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-revenue autocorrelation at lags 1..7 (operators/
+    timeseries.py acf_report): per-lag Pearson over aligned day pairs
+    — exact decimal moments on the calendar-bounded daily frame,
+    calendar gaps shrink n_pairs instead of fabricating zeros."""
+    from intake_esm_spark.operators.timeseries import acf_report
+
+    events = load_table(spark, sf, "events")
+    return acf_report(
+        events.filter(F.col("event_type") == "purchase"), max_lag=7
+    )
+
+
+def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-2 principal-component projection of the embedding table
+    (operators/matrix.py pca_project): covariance moments via the
+    in-row pair explode, driver-side eigh over the BOUNDED d(d+1)/2
+    sidecar, loadings broadcast back as literals, projection one
+    in-row zip_with/aggregate fold. ROWS-ONLY oracle: LAPACK eigh is
+    not SQL arithmetic (the minhash-permutation precedent)."""
+    from intake_esm_spark.operators.matrix import pca_project
+
+    emb = load_table(spark, sf, "embeddings")
+    return pca_project(emb, k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4667,10 +4706,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-seen) — the k-sample statistics family
         # (Kruskal-Wallis / one-way+Welch ANOVA / Brown-Forsythe on the
         # three-cohort revenue frame; Spearman on the tie-heavy
-        # quantity×price pair; categorical MI/NMI/Cramér's V), the
-        # Pettitt change-point on daily revenue, quantity-weighted
-        # exact price quantiles, and the embedding dimension-pair
-        # covariance/correlation matrix.
+        # quantity×price pair; Kendall's tau-b on the guarded
+        # contingency grid; categorical MI/NMI/Cramér's V), the
+        # Pettitt change-point and lag-1..7 autocorrelation on daily
+        # revenue, quantity-weighted exact price quantiles, and the
+        # embedding dimension-pair covariance/correlation matrix plus
+        # its top-2 PCA projection (the one rows-only entry).
         "events_kruskal": q_events_kruskal,
         "events_anova": q_events_anova,
         "events_brown_forsythe": q_events_brown_forsythe,
@@ -4679,6 +4720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mutual_info": q_events_mutual_info,
         "lineitem_wquantiles": q_lineitem_wquantiles,
         "embed_covariance": q_embed_covariance,
+        "lineitem_kendall": q_lineitem_kendall,
+        "events_acf": q_events_acf,
+        "embed_pca": q_embed_pca,
         # Block 1: round-11 earlier changes — events_msprt, events_fdr,
         # orders_trimmed, lineitem_exact_quantiles,
         # orders_priority_quantiles and orders_benford are NEW
@@ -4692,8 +4736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 8 new + 18
-        # changed + 24 oldest = the 50-entry driver window.
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 11 new + 18
+        # changed + 21 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -11569,8 +11613,107 @@ def oracle_sql() -> dict[str, str]:
             JOIN dg d1 ON c.i = d1.di
             JOIN dg d2 ON c.j = d2.di
         """,
-        # rows-only checks (hash-function-specific):
-        #   dedup_minhash, dedup_simhash
+        # replays operators/groupstats.py kendall_tau_b: dominance
+        # self-join over the contingency cells, exact DECIMAL(38,0)
+        # concordant/discordant sums, doubled tie terms from margins
+        "lineitem_kendall": """
+            WITH cells AS (
+              SELECT l_quantity AS x, l_discount AS y,
+                     count(*) AS n
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+              GROUP BY 1, 2
+            ), cd AS (
+              SELECT
+                coalesce(sum(CASE WHEN a.ya < b.yb
+                  THEN CAST(a.na AS DECIMAL(38,0))
+                       * CAST(b.nb AS DECIMAL(38,0)) END),
+                  CAST(0 AS DECIMAL(38,0))) AS cc,
+                coalesce(sum(CASE WHEN a.ya > b.yb
+                  THEN CAST(a.na AS DECIMAL(38,0))
+                       * CAST(b.nb AS DECIMAL(38,0)) END),
+                  CAST(0 AS DECIMAL(38,0))) AS dd
+              FROM (SELECT x AS xa, y AS ya, n AS na FROM cells) a
+              JOIN (SELECT x AS xb, y AS yb, n AS nb FROM cells) b
+                ON a.xa < b.xb
+            ), t1 AS (
+              SELECT CAST(sum(CAST(nx AS DECIMAL(38,0)) * (nx - 1))
+                          AS DOUBLE) AS t1,
+                     CAST(sum(nx) AS BIGINT) AS nr
+              FROM (SELECT x, CAST(sum(n) AS BIGINT) AS nx
+                    FROM cells GROUP BY 1)
+            ), t2 AS (
+              SELECT CAST(sum(CAST(ny AS DECIMAL(38,0)) * (ny - 1))
+                          AS DOUBLE) AS t2
+              FROM (SELECT y, CAST(sum(n) AS BIGINT) AS ny
+                    FROM cells GROUP BY 1)
+            ), nc AS (
+              SELECT count(*) AS ncells FROM cells
+            ), f AS (
+              SELECT nr, ncells,
+                     CAST(cc AS DOUBLE) AS ccd,
+                     CAST(dd AS DOUBLE) AS ddd,
+                     sqrt((CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0)
+                           - t1)
+                          * (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0)
+                             - t2)) / 2.0 AS den
+              FROM cd CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nc
+            )
+            SELECT nr AS n_rows, ncells AS n_cells,
+                   ccd AS concordant, ddd AS discordant,
+                   round(CASE WHEN den > 0
+                         THEN (ccd - ddd) / den END, 6) + 0.0 AS tau_b
+            FROM f
+        """,
+        # replays operators/timeseries.py acf_report: day-grain decimal
+        # totals, lag fan-out, per-lag exact decimal moments (DuckDB
+        # needs DECIMAL(19,6) operands for the int128 product path)
+        "events_acf": """
+            WITH d AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     sum(CAST(value AS DECIMAL(18,6))) AS rd
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1
+            ), dd AS (
+              SELECT datediff('day', DATE '1970-01-01', day) AS dn, rd
+              FROM d
+            ), lags AS (
+              SELECT unnest(generate_series(1, 7)) AS lag
+            ), pairs AS (
+              SELECT l.lag, a.rd AS x, b.rd AS y
+              FROM dd a CROSS JOIN lags l
+              JOIN dd b ON b.dn = a.dn + l.lag
+            ), m AS (
+              SELECT lag, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(CAST(CAST(x AS DECIMAL(19,6))
+                              * CAST(y AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS sxy,
+                     sum(CAST(CAST(x AS DECIMAL(19,6))
+                              * CAST(x AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS sxx,
+                     sum(CAST(CAST(y AS DECIMAL(19,6))
+                              * CAST(y AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS syy
+              FROM pairs GROUP BY 1
+            ), f AS (
+              SELECT lag, n,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                     CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+                     CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy
+              FROM m
+            )
+            SELECT lag, n AS n_pairs,
+                   round(CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+                         THEN cxy / sqrt(vx * vy) END, 6) + 0.0 AS acf
+            FROM f
+        """,
+        # rows-only check: embed_pca — the projection is a fixed IEEE
+        # expression over LAPACK eigh loadings, which are not SQL
+        # arithmetic; every other entry has an exact oracle above
     }
     # docs_curated3 = docs_curated2 with the encoding-repair stage
     # prepended: the identical chain replay over nfc_normalize(text) —

@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "events_mutual_info",
     "lineitem_wquantiles",
     "embed_covariance",
+    "lineitem_kendall",
+    "events_acf",
+    "embed_pca",
 ]
 
 

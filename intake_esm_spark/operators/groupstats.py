@@ -417,6 +417,133 @@ def spearman_report(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """Kendall's tau-b between two LOW-CARDINALITY numeric columns —
+    the third leg of the correlation trio (Pearson in
+    :func:`~.profiling.correlation_matrix`, Spearman in
+    :func:`spearman_report`): concordant-vs-discordant pair agreement
+    with the standard tie normalization
+    ``τ_b = (C − D)/√((n₀ − n₁)(n₀ − n₂))``.
+
+    Scale contract — and the reason this operator is CELL-GRAIN ONLY:
+    tau over continuous columns is inherently pairwise (distributed
+    O(n log n) inversion counting doesn't decompose into Spark's
+    associative primitives), but over bounded-cardinality columns
+    (quantized features, ratings, ordinal tiers — tau's natural home)
+    every pair statistic is exact on the r×c contingency table: ONE
+    cell-grain exchange, then a cell×cell dominance self-join bounded
+    by ``max_cells²``. The cardinality is GUARDED lazily in-plan by an
+    ``assert_true`` broadcast onto BOTH join inputs (the
+    ``source_divergence`` convention) — a continuous column aborts
+    with an informative error before the quadratic join can emit.
+
+    Determinism: C and D are exact DECIMAL(38,0) sums of n_a·n_b over
+    strictly-dominating cell pairs; tie terms n₁/n₂ come from the
+    margins as exact decimals; the final ratio is one fixed IEEE
+    expression. Returns one row ``(n_rows, n_cells, concordant,
+    discordant, tau_b)``; null τ when either margin is constant."""
+    if max_cells < 4:
+        raise ValueError(f"max_cells must be >= 4, got {max_cells}")
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        # pinned: feeds the guard count, both join sides, and margins
+        .localCheckpoint(eager=False)
+    )
+    ncells = cells.agg(F.count(F.lit(1)).alias("__nc"))
+    guard = F.assert_true(
+        F.col("__nc") <= F.lit(max_cells),
+        F.lit(
+            f"kendall_tau_b: more than {max_cells} distinct (x, y) "
+            "cells — the dominance join is cells²-quadratic; tau-b is "
+            "for bounded-cardinality columns (quantize first, or raise "
+            "max_cells explicitly)"
+        ),
+    ).isNull()
+    cg = cells.crossJoin(F.broadcast(ncells)).filter(guard).drop("__nc")
+    a = cg.select(
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__n").alias("__na"),
+    )
+    b = cg.select(
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__n").alias("__nb"),
+    )
+    prod = F.expr("CAST(__na AS DECIMAL(38,0)) * __nb")
+    pairs = a.join(b, F.col("__xa") < F.col("__xb")).select(
+        F.when(F.col("__ya") < F.col("__yb"), prod).alias("__c"),
+        F.when(F.col("__ya") > F.col("__yb"), prod).alias("__d"),
+    )
+    cd = pairs.agg(
+        F.coalesce(F.sum("__c"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__cc"
+        ),
+        F.coalesce(F.sum("__d"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__dd"
+        ),
+    )
+    xm = cells.groupBy("__x").agg(F.sum("__n").alias("__nx"))
+    ym = cells.groupBy("__y").agg(F.sum("__n").alias("__ny"))
+    t1 = xm.agg(
+        F.sum(
+            F.expr("CAST(__nx AS DECIMAL(38,0)) * (__nx - 1)")
+        ).alias("__t1"),
+        F.sum("__nx").alias("__nr"),
+    )
+    t2 = ym.agg(
+        F.sum(
+            F.expr("CAST(__ny AS DECIMAL(38,0)) * (__ny - 1)")
+        ).alias("__t2")
+    )
+    nc2 = cells.agg(F.count(F.lit(1)).alias("__ncells"))
+    m = (
+        cd.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(nc2))
+    )
+    nd = F.col("__nr").cast("double")
+    # doubled pair counts keep everything integer: 2n₀ = n(n−1),
+    # 2n₁ = Σnx(nx−1), 2n₂ = Σny(ny−1)
+    two_n0 = nd * (nd - F.lit(1.0))
+    den = F.sqrt(
+        (two_n0 - F.col("__t1").cast("double"))
+        * (two_n0 - F.col("__t2").cast("double"))
+    ) / F.lit(2.0)
+    tau = F.when(
+        den > 0,
+        (F.col("__cc").cast("double") - F.col("__dd").cast("double"))
+        / den,
+    )
+    return m.select(
+        F.col("__nr").alias("n_rows"),
+        F.col("__ncells").alias("n_cells"),
+        F.col("__cc").cast("double").alias("concordant"),
+        F.col("__dd").cast("double").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+def _assoc_cells(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """The (a, b) cell-count collapse shared by
+    :func:`association_report` and the streaming twin
+    (``streaming.stateful.stream_association_cells``): additive integer
+    counters to the cell grain — exactly a legal streaming aggregation
+    in update mode, state bounded by the categorical cross product."""
+    return (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__obs"))
+    )
+
+
 def association_report(
     df: DataFrame, a_col: str, b_col: str
 ) -> DataFrame:
@@ -440,13 +567,17 @@ def association_report(
     ``(n_units, n_a, n_b, mi, nmi, cramers_v)``; ``nmi`` is null when
     either margin is constant (its entropy is 0), ``cramers_v`` when
     min(r,c) < 2."""
-    cells = (
-        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
-        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__obs"))
-        # pinned: feeds both margins, the MI sum, and the chi² grid
-        .localCheckpoint(eager=False)
+    return association_from_cells(
+        # pinned: feeds both margins, the MI sum, and the chi² terms
+        _assoc_cells(df, a_col, b_col).localCheckpoint(eager=False)
     )
+
+
+def association_from_cells(cells: DataFrame) -> DataFrame:
+    """The association readout over a ``(__a, __b, __obs)`` cell frame
+    — shared by the batch report and the streaming twin's snapshot
+    (latest update per cell → this readout == batch bit-for-bit:
+    integer counters into the same quantized term sums)."""
     am = cells.groupBy("__a").agg(F.sum("__obs").alias("__at"))
     bm = cells.groupBy("__b").agg(F.sum("__obs").alias("__bt"))
     nn = cells.agg(F.sum("__obs").alias("__n"))

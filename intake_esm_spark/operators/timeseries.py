@@ -574,3 +574,70 @@ def pettitt_test(
         F.col("__k").alias("k_stat"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def acf_report(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    max_lag: int = 14,
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily rollup, k = 1..``max_lag`` —
+    the "is there a weekly cycle / how fast does the series forget"
+    diagnostic that tells :func:`seasonal_decompose` which period to
+    use and :func:`ewma_daily` how much memory matters.  Per-lag
+    Pearson over the aligned day pairs ``(x_t, x_{t+k})`` (the
+    sample-pair variant: each lag correlates only the days BOTH
+    endpoints of which exist, so calendar gaps shrink ``n_pairs``
+    instead of fabricating zeros; the classic
+    divide-by-global-variance ACF assumes a gapless series).
+
+    Scale: everything after the ONE day-grain collapse runs on the
+    calendar-bounded daily frame — the documented benign class of this
+    module; the lag fan-out is an in-row ``explode(sequence(...))``
+    (``max_lag`` rows per day) followed by a day-keyed self-join of
+    the bounded frame.  Determinism: daily totals are exact
+    DECIMAL(18,6); per-lag moments accumulate as exact decimals
+    (products as DECIMAL(38,12)); each lag's coefficient is one fixed
+    IEEE expression.  Returns one row per lag ``(lag, n_pairs, acf)``;
+    null acf when a lag has < 2 pairs or either margin degenerates."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
+        eager=False
+    )  # pinned: feeds both sides of the lag join
+    lhs = daily.select(
+        "__dn",
+        F.col("__rd").alias("__x"),
+        F.explode(
+            F.expr(f"sequence(1, {int(max_lag)})")
+        ).alias("lag"),
+    ).withColumn("__dn2", F.col("__dn") + F.col("lag"))
+    rhs = daily.select(
+        F.col("__dn").alias("__dn2"), F.col("__rd").alias("__y")
+    )
+    pairs = lhs.join(rhs, "__dn2")
+    d12 = "decimal(38,12)"
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(d12)).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(d12)).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(d12)).alias("__syy"),
+    )
+    nd = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    vx = nd * F.col("__sxx").cast("double") - sx * sx
+    vy = nd * F.col("__syy").cast("double") - sy * sy
+    r = F.when(
+        (F.col("__n") >= 2) & (vx > 0) & (vy > 0),
+        (nd * F.col("__sxy").cast("double") - sx * sy)
+        / F.sqrt(vx * vy),
+    )
+    return m.select(
+        "lag",
+        F.col("__n").alias("n_pairs"),
+        F.round(r, 6).alias("acf"),
+    )

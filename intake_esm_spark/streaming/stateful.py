@@ -1341,3 +1341,31 @@ def stream_anova_moments(
     from intake_esm_spark.operators.groupstats import _group_moments
 
     return _group_moments(df, group_col, value_col)
+
+
+def stream_association_cells(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Streaming twin #23 — ``operators.groupstats.
+    association_report``'s cell half as a LIVE dependence monitor (a
+    routing bug that couples source to language, or a label leak
+    coupling a metadata column to the target, shows up as NMI /
+    Cramér's V moving on fresh traffic). Like the PSI and ANOVA twins,
+    no custom state: the batch plan's first half is ONE grouped
+    aggregation of additive integer cell counters — exactly Spark's
+    built-in streaming aggregation in update mode; each update row is
+    that (a, b) cell's new running count, state bounded by the
+    categorical cross product.
+
+    The MI/χ² scalars need cross-cell totals — a second aggregation,
+    illegal in streaming update mode — so the snapshot goes through
+    :func:`~.operators.groupstats.association_from_cells`, the SAME
+    readout the batch report tails into: latest-update-per-cell →
+    association_from_cells == batch association_report bit-for-bit
+    (integer counters into identical quantized term sums; pinned by
+    the parity test)."""
+    from intake_esm_spark.operators.groupstats import _assoc_cells
+
+    return _assoc_cells(df, a_col, b_col)

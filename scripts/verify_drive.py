@@ -106,10 +106,15 @@ qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 extra_oracles = set(oracles) - set(qs)
 assert not extra_oracles, f"oracles without queries: {sorted(extra_oracles)}"
 missing_oracles = set(qs) - set(oracles)
-# rows-only entries are allowed but must be a deliberate, short list
-assert len(missing_oracles) == 0, (
-    f"entries without oracles (rows-only): {sorted(missing_oracles)} — "
-    "add oracles or document why not"
+# rows-only entries are allowed but must be a deliberate, short
+# allowlist with the reason documented at the entry's docstring:
+#   embed_pca — LAPACK eigh loadings are not SQL arithmetic (the
+#   projection itself is a fixed IEEE fold over those literals)
+ROWS_ONLY_ALLOWED = {"embed_pca"}
+assert missing_oracles <= ROWS_ONLY_ALLOWED, (
+    f"entries without oracles (rows-only): "
+    f"{sorted(missing_oracles - ROWS_ONLY_ALLOWED)} — "
+    "add oracles or add to the documented allowlist"
 )
 assert len(qs) >= 190, f"entry count regressed: {len(qs)} < 190"
 

@@ -415,3 +415,215 @@ def test_stream_anova_matches_batch(spark, tmp_path):
         "f_stat", "eta_sq", "welch_f", "welch_df2",
     ):
         assert streamed[c] == batch[c], c
+
+
+def test_kendall_tau_b_matches_contingency_formula(spark):
+    from intake_esm_spark.operators.groupstats import kendall_tau_b
+
+    rng = np.random.RandomState(9)
+    x = rng.randint(1, 8, 300)
+    y = np.clip(x + rng.randint(-2, 3, 300), 0, 9)
+    pdf = pd.DataFrame({"x": x.astype(float), "y": y.astype(float)})
+    df = spark.createDataFrame(pdf)
+    row = kendall_tau_b(df, "x", "y").collect()[0]
+    ct = pd.crosstab(pdf["x"], pdf["y"]).values
+    r, c = ct.shape
+    cc = dd = 0
+    for i in range(r):
+        for j in range(c):
+            if ct[i, j] == 0:
+                continue
+            cc += ct[i, j] * ct[i + 1:, j + 1:].sum()
+            dd += ct[i, j] * ct[i + 1:, :j].sum()
+    n = len(pdf)
+    nx = ct.sum(1)
+    ny = ct.sum(0)
+    n0 = n * (n - 1) / 2
+    tau = (cc - dd) / np.sqrt(
+        (n0 - (nx * (nx - 1) / 2).sum()) * (n0 - (ny * (ny - 1) / 2).sum())
+    )
+    assert row["n_rows"] == n
+    assert row["concordant"] == cc and row["discordant"] == dd
+    assert row["tau_b"] == pytest.approx(tau, abs=1e-6)
+
+
+def test_kendall_guard_aborts_high_cardinality(spark):
+    from intake_esm_spark.operators.groupstats import kendall_tau_b
+    from py4j.protocol import Py4JJavaError
+
+    rng = np.random.RandomState(1)
+    pdf = pd.DataFrame(
+        {"x": rng.normal(size=300), "y": rng.normal(size=300)}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception) as ei:
+        kendall_tau_b(df, "x", "y", max_cells=64).collect()
+    assert "kendall_tau_b" in str(ei.value)
+
+
+def test_kendall_perfect_and_reversed(spark):
+    from intake_esm_spark.operators.groupstats import kendall_tau_b
+
+    up = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(10)], "x double, y double"
+    )
+    assert kendall_tau_b(up, "x", "y").collect()[0]["tau_b"] == 1.0
+    dn = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(10)], "x double, y double"
+    )
+    assert kendall_tau_b(dn, "x", "y").collect()[0]["tau_b"] == -1.0
+
+
+def test_acf_matches_numpy_pairs(spark):
+    from intake_esm_spark.operators.timeseries import acf_report
+
+    rng = np.random.RandomState(4)
+    days = pd.date_range("2024-05-01", periods=40, freq="D")
+    vals = (np.sin(np.arange(40) * 2 * np.pi / 7) * 10 + 50
+            + rng.normal(0, 1, 40)).round(2)
+    rows = [
+        (pd.Timestamp(d).to_pydatetime(), float(v))
+        for d, v in zip(days, vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r["lag"]: r for r in acf_report(df, max_lag=7).collect()}
+    for k in range(1, 8):
+        x, y = vals[:-k], vals[k:]
+        ref = np.corrcoef(x, y)[0, 1]
+        assert got[k]["n_pairs"] == 40 - k
+        assert got[k]["acf"] == pytest.approx(ref, abs=1e-6), k
+    # the planted weekly cycle must dominate
+    assert got[7]["acf"] > 0.9
+
+
+def test_acf_gap_shrinks_pairs(spark):
+    from intake_esm_spark.operators.timeseries import acf_report
+
+    days = [d for i, d in enumerate(
+        pd.date_range("2024-05-01", periods=10, freq="D")
+    ) if i != 4]  # drop one day
+    rows = [
+        (pd.Timestamp(d).to_pydatetime(), float(i))
+        for i, d in enumerate(days)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r["lag"]: r for r in acf_report(df, max_lag=2).collect()}
+    # 9 days, one interior gap: lag-1 loses the two pairs crossing it
+    assert got[1]["n_pairs"] == 7
+    with pytest.raises(ValueError):
+        acf_report(df, max_lag=0)
+
+
+def test_pca_project_matches_numpy(spark):
+    from intake_esm_spark.operators.matrix import pca_project
+
+    rng = np.random.RandomState(12)
+    # anisotropic cloud: one dominant direction
+    base = rng.normal(0, 1, (80, 1)) @ np.array([[3.0, 1.0, 0.2, 0.0]])
+    mat = (base + rng.normal(0, 0.3, (80, 4))).round(4)
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r for r in pca_project(df, k=2).collect()
+    }
+    q = np.round(mat, 6)
+    cmat = np.cov(q.T)
+    _, vv = np.linalg.eigh(cmat)
+    for c in range(2):
+        v = vv[:, -1 - c]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        ref = (mat - q.mean(0)) @ v
+        errs = [
+            abs(got[i][f"pc_{c+1}"] - ref[i]) for i in range(len(mat))
+        ]
+        assert max(errs) < 1e-4, (c, max(errs))
+
+
+def test_pca_project_validates(spark):
+    from intake_esm_spark.operators.matrix import pca_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError):
+        pca_project(df, k=3)
+    with pytest.raises(ValueError):
+        pca_project(df, k=0)
+    with pytest.raises(ValueError):
+        pca_project(df.filter("vec_id < 0"), k=1)
+    with pytest.raises(ValueError):
+        pca_project(df, k=1, max_dim=1)
+
+
+def test_stream_association_matches_batch(spark, tmp_path):
+    """Two micro-batches of (a, b) pairs: the LAST update per cell,
+    snapshotted through association_from_cells, equals the whole-corpus
+    batch association_report exactly (integer cell counters — the
+    PSI-twin parity argument verbatim)."""
+    import glob
+    import shutil
+
+    from intake_esm_spark.operators.groupstats import (
+        association_from_cells,
+    )
+    from intake_esm_spark.streaming.stateful import (
+        stream_association_cells,
+    )
+
+    rows = (
+        [("a", "x")] * 7 + [("a", "y")] * 2
+        + [("b", "x")] * 3 + [("b", "y")] * 8
+        + [("c", "x")] * 5
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    batch = association_report(df, "u", "v").collect()[0]
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.withColumn(
+        "__h", F.crc32(F.concat(F.col("u"), F.col("v")))
+    ).filter(F.col("__h") % 2 == 0).drop("__h").coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    df.withColumn(
+        "__h", F.crc32(F.concat(F.col("u"), F.col("v")))
+    ).filter(F.col("__h") % 2 == 1).drop("__h").coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_association_cells(stream, "u", "v")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("assoc_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM assoc_stream").collect()
+    finally:
+        q.stop()
+    last = {}
+    for r in emitted:  # memory sink appends updates in batch order
+        last[(r["__a"], r["__b"])] = r["__obs"]
+    cells = spark.createDataFrame(
+        [(a, b, n) for (a, b), n in last.items()],
+        "__a string, __b string, __obs long",
+    )
+    streamed = association_from_cells(cells).collect()[0]
+    for c in ("n_units", "n_a", "n_b", "mi", "nmi", "cramers_v"):
+        assert streamed[c] == batch[c], c
