@@ -4695,6 +4695,60 @@ def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
     return pca_project(emb, k=2)
 
 
+def q_lineitem_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal interval for a naive price predictor
+    (operators/evaluation.py conformal_interval): pred = quantity ×
+    global price-per-unit ratio (a broadcast 1-row scalar), q_hat =
+    the ⌈(n+1)(1−α)⌉-th smallest |residual| picked by a broadcast
+    rank probe against the bucketed cumulative spans — the
+    distribution-free guarantee next to RMSE."""
+    from intake_esm_spark.operators.evaluation import conformal_interval
+
+    lineitem = load_table(spark, sf, "lineitem")
+    ratio = lineitem.agg(
+        (
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast(
+                "double"
+            )
+            / F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).cast(
+                "double"
+            )
+        ).alias("__ratio")
+    )
+    scored = lineitem.crossJoin(F.broadcast(ratio)).select(
+        F.col("l_extendedprice").cast("double").alias("y"),
+        (F.col("l_quantity").cast("double") * F.col("__ratio")).alias(
+            "pred"
+        ),
+    )
+    return conformal_interval(scored, "y", "pred", alpha=0.1)
+
+
+def q_events_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily purchase revenue
+    (operators/timeseries.py mann_kendall_test): exact integer S over
+    the calendar-bounded day-pair join, tie-corrected variance,
+    continuity-corrected z — the significance companion of
+    events_theilsen's slope."""
+    from intake_esm_spark.operators.timeseries import mann_kendall_test
+
+    events = load_table(spark, sf, "events")
+    return mann_kendall_test(
+        events.filter(F.col("event_type") == "purchase")
+    )
+
+
+def q_embed_fisher(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension Fisher scores of the embeddings against their
+    label (operators/matrix.py fisher_scores): between-class over
+    within-class scatter from ONE (label, dim)-grain exchange —
+    which dimensions separate the classes."""
+    from intake_esm_spark.operators.matrix import fisher_scores
+
+    emb = load_table(spark, sf, "embeddings")
+    return fisher_scores(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4723,6 +4777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_kendall": q_lineitem_kendall,
         "events_acf": q_events_acf,
         "embed_pca": q_embed_pca,
+        "lineitem_conformal": q_lineitem_conformal,
+        "events_mann_kendall": q_events_mann_kendall,
+        "embed_fisher": q_embed_fisher,
         # Block 1: round-11 earlier changes — events_msprt, events_fdr,
         # orders_trimmed, lineitem_exact_quantiles,
         # orders_priority_quantiles and orders_benford are NEW
@@ -4736,8 +4793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 11 new + 18
-        # changed + 21 oldest = the 50-entry driver window.
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 14 new + 18
+        # changed + 18 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -11710,6 +11767,135 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n >= 2 AND vx > 0 AND vy > 0
                          THEN cxy / sqrt(vx * vy) END, 6) + 0.0 AS acf
             FROM f
+        """,
+        # replays operators/evaluation.py conformal_interval: the same
+        # broadcast price-per-unit scalar, 6dp residuals to the
+        # distinct-value grain, the single k-th order statistic
+        "lineitem_conformal": """
+            WITH c AS (
+              SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                            AS DOUBLE) AS ratio
+              FROM lineitem
+            ), b AS (
+              SELECT round(abs(CAST(l_extendedprice AS DOUBLE)
+                               - CAST(l_quantity AS DOUBLE) * ratio),
+                           6) AS r
+              FROM lineitem CROSS JOIN c
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+            ), pv AS (
+              SELECT r, count(*) AS cnt FROM b GROUP BY 1
+            ), nn AS (
+              SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+                     CAST(ceil((CAST(coalesce(sum(cnt), 0) AS DOUBLE)
+                                + 1.0) * 0.9) AS BIGINT) AS k
+              FROM pv
+            ), ck AS (
+              SELECT r, cnt,
+                     sum(cnt) OVER (ORDER BY r ASC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM pv
+            )
+            SELECT nn.n AS n_calib, CAST(0.1 AS DOUBLE) AS alpha,
+                   nn.k AS k_rank,
+                   CASE WHEN nn.k <= nn.n THEN max(ck.r) END AS q_hat,
+                   round(CAST(nn.k AS DOUBLE)
+                         / (CAST(nn.n AS DOUBLE) + 1.0), 6)
+                     AS coverage_guarantee
+            FROM nn LEFT JOIN ck
+              ON nn.k > ck.cum - ck.cnt AND nn.k <= ck.cum
+            GROUP BY nn.n, nn.k
+        """,
+        # replays operators/timeseries.py mann_kendall_test: exact
+        # integer S over the day-pair join, tie-corrected variance,
+        # continuity-corrected z
+        "events_mann_kendall": """
+            WITH d AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     sum(CAST(value AS DECIMAL(18,6))) AS rd
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1
+            ), s AS (
+              SELECT CAST(coalesce(sum(
+                       CASE WHEN b.rd > a.rd THEN 1
+                            WHEN b.rd < a.rd THEN -1
+                            ELSE 0 END), 0) AS BIGINT) AS s
+              FROM d a JOIN d b ON a.day < b.day
+            ), t AS (
+              SELECT CAST(coalesce(sum(CAST(tc AS DECIMAL(38,0))
+                                       * (tc - 1) * (2 * tc + 5)), 0)
+                          AS DOUBLE) AS tt,
+                     CAST(sum(tc) AS BIGINT) AS nd
+              FROM (SELECT rd, count(*) AS tc FROM d GROUP BY 1)
+            ), f AS (
+              SELECT s, nd,
+                     (CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) - 1.0)
+                      * (2.0 * CAST(nd AS DOUBLE) + 5.0) - tt) / 18.0
+                       AS var
+              FROM s CROSS JOIN t
+            ), z AS (
+              SELECT s, nd,
+                     round(CASE WHEN nd >= 2 AND var > 0 THEN
+                       CASE WHEN s > 0
+                            THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var)
+                            WHEN s < 0
+                            THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var)
+                            ELSE 0.0 END
+                     END, 6) + 0.0 AS z6
+              FROM f
+            )
+            SELECT nd AS n_days, s AS s_stat, z6 AS z,
+                   CAST(coalesce(abs(z6) >= 1.959964, false) AS INT)
+                     AS significant
+            FROM z
+        """,
+        # replays operators/matrix.py fisher_scores: (label, dim)
+        # decimal moments via unnest, 12dp-decimal scatter sums
+        "embed_fisher": """
+            WITH f AS (
+              SELECT label AS l,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS v
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL
+            ), cells AS (
+              SELECT l, i, count(*) AS n, sum(v) AS s1,
+                     sum(CAST(CAST(v AS DECIMAL(19,6)) * v
+                              AS DECIMAL(38,12))) AS s2
+              FROM f GROUP BY 1, 2
+            ), gstats AS (
+              SELECT i, CAST(sum(n) AS BIGINT) AS gn, sum(s1) AS gs1
+              FROM cells GROUP BY 1
+            ), j AS (
+              SELECT cells.i,
+                     CAST(round(CAST(cells.n AS DOUBLE)
+                       * (CAST(cells.s1 AS DOUBLE)
+                            / CAST(cells.n AS DOUBLE)
+                          - CAST(gstats.gs1 AS DOUBLE)
+                            / CAST(gstats.gn AS DOUBLE))
+                       * (CAST(cells.s1 AS DOUBLE)
+                            / CAST(cells.n AS DOUBLE)
+                          - CAST(gstats.gs1 AS DOUBLE)
+                            / CAST(gstats.gn AS DOUBLE)), 12)
+                       AS DECIMAL(38,12)) AS btw,
+                     CAST(round(CAST(cells.s2 AS DOUBLE)
+                       - CAST(cells.s1 AS DOUBLE)
+                         * (CAST(cells.s1 AS DOUBLE)
+                            / CAST(cells.n AS DOUBLE)), 12)
+                       AS DECIMAL(38,12)) AS wth
+              FROM cells JOIN gstats ON cells.i = gstats.i
+            ), o AS (
+              SELECT CAST(i AS INT) AS i, count(*) AS k,
+                     CAST(sum(btw) AS DOUBLE) AS b,
+                     CAST(sum(wth) AS DOUBLE) AS w
+              FROM j GROUP BY 1
+            )
+            SELECT i, k AS n_labels,
+                   round(CASE WHEN w > 0 THEN b / w END, 6) AS fisher
+            FROM o
         """,
         # rows-only check: embed_pca — the projection is a fixed IEEE
         # expression over LAPACK eigh loadings, which are not SQL

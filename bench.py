@@ -232,6 +232,9 @@ BENCH_QUERIES = [
     "lineitem_kendall",
     "events_acf",
     "embed_pca",
+    "lineitem_conformal",
+    "events_mann_kendall",
+    "embed_fisher",
 ]
 
 

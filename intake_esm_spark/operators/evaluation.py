@@ -793,3 +793,87 @@ def ranking_metrics(
             F.round(F.col("__sr").cast("double") / nq, 6),
         ).alias("mrr_at_k"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction half-width — the distribution-free
+    wrapper that turns ANY point predictor into a (1−α) interval with
+    a finite-sample guarantee (Vovk; Lei et al. 2018): on a held-out
+    calibration set the half-width is the ``k = ⌈(n+1)(1−α)⌉``-th
+    smallest absolute residual, and ``pred ± q_hat`` then covers fresh
+    exchangeable points with probability ≥ 1−α.  The "how wrong can
+    this model be, with a guarantee" number a scored-data pipeline
+    reports next to RMSE (:func:`regression_metrics`, which has no
+    guarantee).
+
+    Scale shape (the :func:`~.profiling.exact_quantiles` discipline):
+    one value-keyed collapse of the residuals to the distinct-value
+    grain, cumulative counts from the bucketed prefix sum, and the
+    single needed order statistic picked by a broadcast 1-row rank
+    probe — element selection (conformal quantiles are type-1 by
+    definition), no value buffering, no single-task sort.
+
+    Determinism: residuals round to 6dp (both engines' fixed rounding),
+    ranks are exact integers.  Null/non-finite labels or predictions
+    are excluded.  Returns one row ``(n_calib, alpha, k_rank, q_hat,
+    coverage_guarantee)`` where ``coverage_guarantee = k/(n+1)`` is the
+    exact finite-sample level; ``q_hat`` is null when k > n (n too
+    small for the requested α — the honest answer, not the max)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    from .ranks import bucketed_cumsum
+
+    yd = F.col(label_col).cast("double")
+    pd_ = F.col(pred_col).cast("double")
+    r = F.round(F.abs(yd - pd_), 6)
+    base = df.filter(
+        F.col(label_col).isNotNull()
+        & F.col(pred_col).isNotNull()
+        & ~F.isnan(yd)
+        & ~F.isnan(pd_)
+        & (F.abs(yd) != F.lit(float("inf")))
+        & (F.abs(pd_) != F.lit(float("inf")))
+    )
+    per_v = (
+        base.groupBy(r.alias("__r"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # pinned: feeds the count AND the cumsum
+        .localCheckpoint(eager=False)
+    )
+    nn = per_v.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+    probe = nn.select(
+        "__n",
+        F.ceil(
+            (F.col("__n").cast("double") + F.lit(1.0))
+            * F.lit(1.0 - alpha)
+        )
+        .cast("bigint")
+        .alias("__k"),
+    )
+    cum = bucketed_cumsum(per_v, ["__c"], val_col="__r")
+    prev = F.col("__cum___c") - F.col("__c")
+    hit = F.broadcast(probe).join(
+        cum,
+        (F.col("__k") > prev) & (F.col("__k") <= F.col("__cum___c")),
+        "left",
+    )
+    return hit.groupBy("__n", "__k").agg(
+        F.max("__r").alias("__q")
+    ).select(
+        F.col("__n").alias("n_calib"),
+        F.lit(float(alpha)).alias("alpha"),
+        F.col("__k").alias("k_rank"),
+        F.when(F.col("__k") <= F.col("__n"), F.col("__q")).alias(
+            "q_hat"
+        ),
+        F.round(
+            F.col("__k").cast("double")
+            / (F.col("__n").cast("double") + F.lit(1.0)),
+            6,
+        ).alias("coverage_guarantee"),
+    )

@@ -228,3 +228,85 @@ def pca_project(
         )
         cols.append(F.round(dot - F.lit(offset), 6).alias(f"pc_{c}"))
     return base.select(*cols)
+
+
+def fisher_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-dimension Fisher score of the embedding against a class
+    label — ``F_i = Σ_l n_l(m_li − m_i)² / Σ_l (n_l − 1)·s²_li``
+    (between-class scatter over within-class scatter): the
+    feature-selection view of the embedding table that says WHICH
+    dimensions actually separate the classes (keep the top-m before
+    building an index; a near-zero row is ballast, an extreme row may
+    be a leak).
+
+    Scale: ONE partial-aggregated exchange to the (label, dimension)
+    grain — the explode is in-row, the exchange is
+    |labels|·d-sized; global per-dimension means come from rolling the
+    label grain up (aggregate-sized), broadcast back. Determinism:
+    components quantize to 6dp, per-cell moments accumulate as exact
+    decimals, the cross-label scatter sums quantize to 12dp decimal
+    (order-independent), one fixed IEEE ratio. Null vectors/labels are
+    excluded. Returns one row per dimension ``(i, n_labels, fisher)``;
+    null when the within-class scatter degenerates to 0."""
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(label_col).alias("__l"), F.col(vec_col).alias("__vec"))
+    cells = (
+        base.select(
+            "__l", F.posexplode("__vec").alias("__i", "__raw")
+        )
+        .select(
+            "__l",
+            "__i",
+            F.round(F.col("__raw").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("__v"),
+        )
+        .groupBy("__l", "__i")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__v").alias("__s1"),
+            F.sum(
+                (F.col("__v").cast("decimal(19,6)") * F.col("__v")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("__s2"),
+        )
+        # pinned: feeds the global rollup AND the scatter sums
+        .localCheckpoint(eager=False)
+    )
+    glob = cells.groupBy("__i").agg(
+        F.sum("__n").alias("__gn"), F.sum("__s1").alias("__gs1")
+    )
+    j = cells.join(
+        F.broadcast(
+            glob.select(
+                F.col("__i").alias("__gi"), "__gn", "__gs1"
+            )
+        ),
+        F.col("__i") == F.col("__gi"),
+    )
+    nd = F.col("__n").cast("double")
+    m_l = F.col("__s1").cast("double") / nd
+    m_g = F.col("__gs1").cast("double") / F.col("__gn").cast("double")
+    d12 = "decimal(38,12)"
+    between = F.round(nd * (m_l - m_g) * (m_l - m_g), 12).cast(d12)
+    within = F.round(
+        F.col("__s2").cast("double") - F.col("__s1").cast("double") * m_l,
+        12,
+    ).cast(d12)
+    out = j.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(between).cast("double").alias("__b"),
+        F.sum(within).cast("double").alias("__w"),
+    )
+    fisher = F.when(F.col("__w") > 0, F.col("__b") / F.col("__w"))
+    return out.select(
+        F.col("__i").alias("i"),
+        F.col("__k").alias("n_labels"),
+        F.round(fisher, 6).alias("fisher"),
+    )

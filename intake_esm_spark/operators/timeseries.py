@@ -641,3 +641,86 @@ def acf_report(
         F.col("__n").alias("n_pairs"),
         F.round(r, 6).alias("acf"),
     )
+
+
+def mann_kendall_test(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    z_threshold: float = 1.959964,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily rollup — the
+    significance companion to :func:`theil_sen_trend` (which estimates
+    the slope this test certifies) and the nonparametric alternative
+    to fitting a line and eyeballing r²: is the daily series going
+    somewhere, without assuming linearity or normality?
+    ``S = Σ_{i<j} sgn(x_j − x_i)`` over time-ordered days, the
+    tie-corrected variance ``(n(n−1)(2n+5) − Σt(t−1)(2t+5))/18``, and
+    the standard continuity-corrected z.
+
+    Scale: the pair sum runs on the self-joined CALENDAR-BOUNDED daily
+    frame (the theil_sen day-pair shape — k days → k²/2 pairs, bounded
+    by the calendar, not the data). Determinism: S is an exact integer
+    sum of {−1, 0, 1} over exact decimal comparisons; the tie term is
+    an exact decimal; z is one fixed IEEE expression. Returns one row
+    ``(n_days, s_stat, z, significant)``; z null when n < 2 or the
+    variance degenerates (all days tied)."""
+    daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
+        eager=False
+    )  # pinned: feeds both pair sides, the tie term, and the count
+    a = daily.select(
+        F.col("__dn").alias("__da"), F.col("__rd").alias("__xa")
+    )
+    b = daily.select(
+        F.col("__dn").alias("__db"), F.col("__rd").alias("__xb")
+    )
+    s = (
+        a.join(b, F.col("__da") < F.col("__db"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__xb") > F.col("__xa"), 1)
+                    .when(F.col("__xb") < F.col("__xa"), -1)
+                    .otherwise(0)
+                    .cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("__s")
+        )
+    )
+    ties = daily.groupBy("__rd").agg(F.count(F.lit(1)).alias("__t"))
+    tt = ties.agg(
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (2 * __t + 5)"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("double")
+        .alias("__tt"),
+        F.sum("__t").alias("__nd"),
+    )
+    m = s.crossJoin(F.broadcast(tt))
+    nd = F.col("__nd").cast("double")
+    var = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("__tt")
+    ) / F.lit(18.0)
+    sd = F.col("__s").cast("double")
+    z = F.when(
+        (F.col("__nd") >= 2) & (var > 0),
+        F.when(F.col("__s") > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+        .when(F.col("__s") < 0, (sd + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    z6 = F.round(z, 6)
+    return m.select(
+        F.col("__nd").alias("n_days"),
+        F.col("__s").alias("s_stat"),
+        z6.alias("z"),
+        F.coalesce(
+            (F.abs(z6) >= F.lit(z_threshold)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

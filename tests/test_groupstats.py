@@ -627,3 +627,136 @@ def test_stream_association_matches_batch(spark, tmp_path):
     streamed = association_from_cells(cells).collect()[0]
     for c in ("n_units", "n_a", "n_b", "mi", "nmi", "cramers_v"):
         assert streamed[c] == batch[c], c
+
+
+def test_conformal_interval_matches_order_statistic(spark):
+    from intake_esm_spark.operators.evaluation import conformal_interval
+
+    rng = np.random.RandomState(2)
+    y = rng.normal(10, 3, 200).round(3)
+    p = (y + rng.normal(0, 1, 200)).round(3)
+    df = spark.createDataFrame(pd.DataFrame({"y": y, "p": p}))
+    row = conformal_interval(df, "y", "p", alpha=0.1).collect()[0]
+    r = np.round(np.abs(y - p), 6)
+    k = int(np.ceil(201 * 0.9))
+    assert row["n_calib"] == 200
+    assert row["k_rank"] == k
+    assert row["q_hat"] == pytest.approx(np.sort(r)[k - 1])
+    assert row["coverage_guarantee"] == pytest.approx(k / 201, abs=1e-6)
+    # empirical coverage on the calibration set itself >= the guarantee
+    assert (r <= row["q_hat"]).mean() >= row["coverage_guarantee"] - 1e-9
+
+
+def test_conformal_small_n_returns_null_qhat(spark):
+    from intake_esm_spark.operators.evaluation import conformal_interval
+
+    df = spark.createDataFrame(
+        [(1.0, 1.5), (2.0, 2.2)], "y double, p double"
+    )
+    # k = ceil(3 * 0.99) = 3 > n = 2: no rank exists -> honest null
+    row = conformal_interval(df, "y", "p", alpha=0.01).collect()[0]
+    assert row["q_hat"] is None and row["k_rank"] == 3
+    with pytest.raises(ValueError):
+        conformal_interval(df, "y", "p", alpha=0.0)
+    with pytest.raises(ValueError):
+        conformal_interval(df, "y", "p", alpha=1.0)
+
+
+def test_mann_kendall_detects_planted_trend(spark):
+    from intake_esm_spark.operators.timeseries import mann_kendall_test
+
+    rng = np.random.RandomState(6)
+    days = pd.date_range("2024-02-01", periods=30, freq="D")
+    vals = (np.arange(30) * 2.0 + rng.normal(0, 1, 30)).round(2)
+    df = spark.createDataFrame(
+        [
+            (pd.Timestamp(d).to_pydatetime(), float(v))
+            for d, v in zip(days, vals)
+        ],
+        "ts timestamp, value double",
+    )
+    row = mann_kendall_test(df).collect()[0]
+    x = vals
+    n = len(x)
+    s = sum(
+        np.sign(x[j] - x[i]) for i in range(n) for j in range(i + 1, n)
+    )
+    _, t = np.unique(x, return_counts=True)
+    var = (
+        n * (n - 1) * (2 * n + 5) - (t * (t - 1) * (2 * t + 5)).sum()
+    ) / 18
+    z = (s - 1) / np.sqrt(var) if s > 0 else (s + 1) / np.sqrt(var)
+    assert row["s_stat"] == s
+    assert row["z"] == pytest.approx(z, abs=1e-6)
+    assert row["significant"] == 1
+
+
+def test_mann_kendall_ties_and_constant(spark):
+    from intake_esm_spark.operators.timeseries import mann_kendall_test
+
+    days = pd.date_range("2024-02-01", periods=8, freq="D")
+    vals = [5.0, 5.0, 7.0, 5.0, 7.0, 7.0, 9.0, 9.0]
+    df = spark.createDataFrame(
+        [
+            (pd.Timestamp(d).to_pydatetime(), float(v))
+            for d, v in zip(days, vals)
+        ],
+        "ts timestamp, value double",
+    )
+    row = mann_kendall_test(df).collect()[0]
+    x = np.array(vals)
+    n = 8
+    s = sum(
+        np.sign(x[j] - x[i]) for i in range(n) for j in range(i + 1, n)
+    )
+    _, t = np.unique(x, return_counts=True)
+    var = (n * (n - 1) * (2 * n + 5) - (t * (t - 1) * (2 * t + 5)).sum()) / 18
+    z = (s - 1) / np.sqrt(var) if s > 0 else (s + 1) / np.sqrt(var)
+    assert row["s_stat"] == s
+    assert row["z"] == pytest.approx(z, abs=1e-6)
+    const = spark.createDataFrame(
+        [
+            (pd.Timestamp(d).to_pydatetime(), 3.0)
+            for d in pd.date_range("2024-02-01", periods=5, freq="D")
+        ],
+        "ts timestamp, value double",
+    )
+    crow = mann_kendall_test(const).collect()[0]
+    assert crow["s_stat"] == 0 and crow["z"] is None
+    assert crow["significant"] == 0
+
+
+def test_fisher_scores_match_numpy(spark):
+    from intake_esm_spark.operators.matrix import fisher_scores
+
+    rng = np.random.RandomState(8)
+    lab = rng.randint(0, 3, 90)
+    # dim 0 separates the classes, dim 1 is noise, dim 2 is constant
+    mat = np.stack(
+        [
+            lab * 2.0 + rng.normal(0, 0.3, 90),
+            rng.normal(0, 1, 90),
+            np.zeros(90),
+        ],
+        axis=1,
+    ).round(4)
+    df = spark.createDataFrame(
+        [(int(l), r.tolist()) for l, r in zip(lab, mat)],
+        "label int, embedding array<double>",
+    )
+    got = {r["i"]: r for r in fisher_scores(df).collect()}
+    for i in range(2):
+        xi = mat[:, i]
+        mg = xi.mean()
+        btw = sum(
+            (lab == c).sum() * (xi[lab == c].mean() - mg) ** 2
+            for c in range(3)
+        )
+        wth = sum(
+            ((xi[lab == c] - xi[lab == c].mean()) ** 2).sum()
+            for c in range(3)
+        )
+        assert got[i]["fisher"] == pytest.approx(btw / wth, rel=1e-4), i
+        assert got[i]["n_labels"] == 3
+    assert got[0]["fisher"] > 50 * got[1]["fisher"]  # separator dominates
+    assert got[2]["fisher"] is None  # zero within-class scatter
