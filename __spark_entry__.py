@@ -4749,6 +4749,63 @@ def q_embed_fisher(spark: SparkSession, sf: str) -> DataFrame:
     return fisher_scores(emb)
 
 
+def _revenue_per_event_units(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared unit frame of the ratio-metric entries: per-user purchase
+    revenue (numerator) over total event count (denominator) with the
+    even/odd cohort label — the classic 'revenue per session' shape
+    whose naive per-unit-mean variance is wrong."""
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.expr("CAST(value AS DECIMAL(18,6))"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c").alias("grp"),
+        "rev",
+        "n_events",
+    )
+
+
+def q_events_ratio_ab(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-method ratio-metric A/B test (operators/experiment.py
+    ratio_ab_test): revenue-per-event between the even/odd cohorts —
+    per-arm conditional exact-decimal moments in ONE aggregation, the
+    unit-level numerator/denominator covariance the naive mean test
+    ignores."""
+    from intake_esm_spark.operators.experiment import ratio_ab_test
+
+    units = _revenue_per_event_units(spark, sf)
+    return ratio_ab_test(units, "grp", "rev", "n_events", "t", "c")
+
+
+def q_events_jackknife(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-one-bucket jackknife CI for revenue-per-event
+    (operators/experiment.py jackknife_ratio_ci): md5-60 hash buckets,
+    leave-one-out ratios from bucket sums alone, (B−1)/B spread — the
+    assumption-free cross-check of events_ratio_ab's delta method."""
+    from intake_esm_spark.operators.experiment import jackknife_ratio_ci
+
+    units = _revenue_per_event_units(spark, sf)
+    return jackknife_ratio_ci(
+        units, "rev", "n_events", "user_id", n_buckets=32
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4780,6 +4837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_conformal": q_lineitem_conformal,
         "events_mann_kendall": q_events_mann_kendall,
         "embed_fisher": q_embed_fisher,
+        "events_ratio_ab": q_events_ratio_ab,
+        "events_jackknife": q_events_jackknife,
         # Block 1: round-11 earlier changes — events_msprt, events_fdr,
         # orders_trimmed, lineitem_exact_quantiles,
         # orders_priority_quantiles and orders_benford are NEW
@@ -4793,8 +4852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 14 new + 18
-        # changed + 18 oldest = the 50-entry driver window.
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 16 new + 18
+        # changed + 16 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -11896,6 +11955,170 @@ def oracle_sql() -> dict[str, str]:
             SELECT i, k AS n_labels,
                    round(CASE WHEN w > 0 THEN b / w END, 6) AS fisher
             FROM o
+        """,
+        # replays operators/experiment.py ratio_ab_test: per-arm
+        # conditional exact-decimal moments, the delta-method variance
+        # (sigma_x^2 - 2R sigma_xy + R^2 sigma_y^2)/(n mu_y^2)
+        "events_ratio_ab": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,6)) END),
+                          0) AS DOUBLE) AS rev,
+                     count(*) AS n_events
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS g,
+                     CAST(round(rev, 6) AS DECIMAL(18,6)) AS xq,
+                     CAST(round(CAST(n_events AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS yq
+              FROM pu
+            ), m AS (
+              SELECT
+                CAST(sum(CASE WHEN g = 't' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nt,
+                sum(CASE WHEN g = 't' THEN xq END) AS sxt,
+                sum(CASE WHEN g = 't' THEN yq END) AS syt,
+                sum(CASE WHEN g = 't' THEN CAST(CAST(xq AS DECIMAL(19,6))
+                    * xq AS DECIMAL(38,12)) END) AS sxxt,
+                sum(CASE WHEN g = 't' THEN CAST(CAST(yq AS DECIMAL(19,6))
+                    * yq AS DECIMAL(38,12)) END) AS syyt,
+                sum(CASE WHEN g = 't' THEN CAST(CAST(xq AS DECIMAL(19,6))
+                    * yq AS DECIMAL(38,12)) END) AS sxyt,
+                CAST(sum(CASE WHEN g = 'c' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nc,
+                sum(CASE WHEN g = 'c' THEN xq END) AS sxc,
+                sum(CASE WHEN g = 'c' THEN yq END) AS syc,
+                sum(CASE WHEN g = 'c' THEN CAST(CAST(xq AS DECIMAL(19,6))
+                    * xq AS DECIMAL(38,12)) END) AS sxxc,
+                sum(CASE WHEN g = 'c' THEN CAST(CAST(yq AS DECIMAL(19,6))
+                    * yq AS DECIMAL(38,12)) END) AS syyc,
+                sum(CASE WHEN g = 'c' THEN CAST(CAST(xq AS DECIMAL(19,6))
+                    * yq AS DECIMAL(38,12)) END) AS sxyc
+              FROM u
+            ), f AS (
+              SELECT nt, nc,
+                CASE WHEN CAST(syt AS DOUBLE) <> 0
+                     THEN CAST(sxt AS DOUBLE) / CAST(syt AS DOUBLE)
+                END AS rt,
+                CASE WHEN CAST(syc AS DOUBLE) <> 0
+                     THEN CAST(sxc AS DOUBLE) / CAST(syc AS DOUBLE)
+                END AS rc,
+                CASE WHEN nt >= 2 AND CAST(syt AS DOUBLE) <> 0 THEN
+                  ((CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE)
+                      * CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE))
+                     / (CAST(nt AS DOUBLE) - 1.0)
+                   - 2.0 * (CAST(sxt AS DOUBLE) / CAST(syt AS DOUBLE))
+                     * ((CAST(sxyt AS DOUBLE) - CAST(sxt AS DOUBLE)
+                          * CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))
+                        / (CAST(nt AS DOUBLE) - 1.0))
+                   + (CAST(sxt AS DOUBLE) / CAST(syt AS DOUBLE))
+                     * (CAST(sxt AS DOUBLE) / CAST(syt AS DOUBLE))
+                     * ((CAST(syyt AS DOUBLE) - CAST(syt AS DOUBLE)
+                          * CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))
+                        / (CAST(nt AS DOUBLE) - 1.0)))
+                  / (CAST(nt AS DOUBLE)
+                     * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))
+                     * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)))
+                END AS vt,
+                CASE WHEN nc >= 2 AND CAST(syc AS DOUBLE) <> 0 THEN
+                  ((CAST(sxxc AS DOUBLE) - CAST(sxc AS DOUBLE)
+                      * CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE))
+                     / (CAST(nc AS DOUBLE) - 1.0)
+                   - 2.0 * (CAST(sxc AS DOUBLE) / CAST(syc AS DOUBLE))
+                     * ((CAST(sxyc AS DOUBLE) - CAST(sxc AS DOUBLE)
+                          * CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+                        / (CAST(nc AS DOUBLE) - 1.0))
+                   + (CAST(sxc AS DOUBLE) / CAST(syc AS DOUBLE))
+                     * (CAST(sxc AS DOUBLE) / CAST(syc AS DOUBLE))
+                     * ((CAST(syyc AS DOUBLE) - CAST(syc AS DOUBLE)
+                          * CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+                        / (CAST(nc AS DOUBLE) - 1.0)))
+                  / (CAST(nc AS DOUBLE)
+                     * (CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+                     * (CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE)))
+                END AS vc
+              FROM m
+            ), zz AS (
+              SELECT nt, nc, rt, rc,
+                     round(CASE WHEN vt IS NOT NULL AND vc IS NOT NULL
+                                 AND vt + vc > 0
+                           THEN (rt - rc) / sqrt(vt + vc) END, 6) + 0.0
+                       AS z6
+              FROM f
+            )
+            SELECT nt AS n_treat, nc AS n_control,
+                   round(rt, 6) AS ratio_treat,
+                   round(rc, 6) AS ratio_control,
+                   round(rt - rc, 6) + 0.0 AS diff,
+                   z6 AS z,
+                   CAST(coalesce(abs(z6) >= 1.959964, false) AS INT)
+                     AS significant
+            FROM zz
+        """,
+        # replays operators/experiment.py jackknife_ratio_ci: md5-60
+        # unit buckets mod 32, leave-one-out ratios from bucket sums,
+        # (B-1)/B spread with 12dp-decimal cross-bucket sums
+        "events_jackknife": f"""
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,6)) END),
+                          0) AS DOUBLE) AS rev,
+                     count(*) AS n_events
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1
+            ), q AS (
+              SELECT CAST(('0x' || substr(md5('|'
+                       || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {1_000_000} % 32 AS b,
+                     CAST(round(rev, 6) AS DECIMAL(18,6)) AS xq,
+                     CAST(round(CAST(n_events AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS yq
+              FROM pu
+            ), pb AS (
+              SELECT b, count(*) AS n, sum(xq) AS sx, sum(yq) AS sy
+              FROM q GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sx) AS ts,
+                     sum(sy) AS tt, count(*) AS bu
+              FROM pb
+            ), th AS (
+              SELECT CASE WHEN CAST(tot.tt - pb.sy AS DOUBLE) <> 0
+                          THEN CAST(tot.ts - pb.sx AS DOUBLE)
+                               / CAST(tot.tt - pb.sy AS DOUBLE)
+                     END AS thb
+              FROM pb CROSS JOIN tot
+            ), s1 AS (
+              SELECT CAST(sum(CAST(round(thb, 12) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS sth,
+                     count(*) AS b2, count(thb) AS bv
+              FROM th
+            ), s2 AS (
+              SELECT CAST(sum(CAST(round(
+                       (thb - s1.sth / CAST(s1.b2 AS DOUBLE))
+                       * (thb - s1.sth / CAST(s1.b2 AS DOUBLE)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sdev
+              FROM th CROSS JOIN s1
+            ), f AS (
+              SELECT tot.tn, tot.bu,
+                     CASE WHEN CAST(tot.tt AS DOUBLE) <> 0
+                          THEN CAST(tot.ts AS DOUBLE)
+                               / CAST(tot.tt AS DOUBLE) END AS ratio,
+                     CASE WHEN tot.bu >= 2 AND s1.bv = tot.bu
+                          AND (CAST(tot.bu AS DOUBLE) - 1.0)
+                              / CAST(tot.bu AS DOUBLE) * s2.sdev >= 0
+                          THEN sqrt((CAST(tot.bu AS DOUBLE) - 1.0)
+                               / CAST(tot.bu AS DOUBLE) * s2.sdev)
+                     END AS se
+              FROM tot CROSS JOIN s1 CROSS JOIN s2
+            )
+            SELECT tn AS n_units, bu AS n_buckets_used,
+                   round(ratio, 6) AS ratio, round(se, 6) AS se,
+                   round(ratio - 1.959964 * se, 6) AS ci_lo,
+                   round(ratio + 1.959964 * se, 6) AS ci_hi
+            FROM f
         """,
         # rows-only check: embed_pca — the projection is a fixed IEEE
         # expression over LAPACK eigh loadings, which are not SQL

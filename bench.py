@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "lineitem_conformal",
     "events_mann_kendall",
     "embed_fisher",
+    "events_ratio_ab",
+    "events_jackknife",
 ]
 
 

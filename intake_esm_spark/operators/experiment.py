@@ -1578,3 +1578,192 @@ def trimmed_means_report(
             6,
         ).alias("trimmed_mean_diff"),
     )
+
+
+def ratio_ab_test(
+    units: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+    treatment: str,
+    control: str,
+    z_threshold: float = 1.959964,
+) -> DataFrame:
+    """Delta-method z-test for a RATIO metric (revenue per session,
+    clicks per view) — the readout :func:`ab_test_report` gets wrong
+    when the metric is a quotient of two unit-level quantities: the
+    naive per-unit-mean variance ignores that numerator and
+    denominator covary within a unit (Deng et al., KDD 2018).  With
+    ``R = ΣX/ΣY`` per arm, the delta approximation gives
+    ``var(R) = (σ²_x − 2Rσ_xy + R²σ²_y) / (n·μ²_y)`` over the
+    unit-level sample (co)variances; the z compares the two arms'
+    independent ratios.
+
+    Scale: ONE global aggregation with per-arm conditional 6dp-decimal
+    moments (map-side partial, 1-row output) — no second pass, no
+    broadcast.  Determinism: all six moments per arm are exact
+    decimals; the statistic is one fixed IEEE expression.  Returns one
+    row ``(n_treat, n_control, ratio_treat, ratio_control, diff, z,
+    significant)``; z null when either arm has n < 2, a zero
+    denominator total, or degenerate variance."""
+    xq = F.round(F.col(num_col).cast("double"), 6).cast("decimal(18,6)")
+    yq = F.round(F.col(den_col).cast("double"), 6).cast("decimal(18,6)")
+    d12 = "decimal(38,12)"
+
+    def arm(tag: str, label: str) -> list:
+        c = F.col(group_col) == label
+        return [
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"__n{tag}"),
+            F.sum(F.when(c, xq)).alias(f"__sx{tag}"),
+            F.sum(F.when(c, yq)).alias(f"__sy{tag}"),
+            F.sum(F.when(c, (xq.cast("decimal(19,6)") * xq).cast(d12))).alias(
+                f"__sxx{tag}"
+            ),
+            F.sum(F.when(c, (yq.cast("decimal(19,6)") * yq).cast(d12))).alias(
+                f"__syy{tag}"
+            ),
+            F.sum(F.when(c, (xq.cast("decimal(19,6)") * yq).cast(d12))).alias(
+                f"__sxy{tag}"
+            ),
+        ]
+
+    base = units.filter(
+        F.col(group_col).isin(treatment, control)
+        & F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+    )
+    m = base.agg(*(arm("t", treatment) + arm("c", control)))
+
+    def ratio_var(tag: str):
+        n = F.col(f"__n{tag}").cast("double")
+        sx = F.col(f"__sx{tag}").cast("double")
+        sy = F.col(f"__sy{tag}").cast("double")
+        sxx = F.col(f"__sxx{tag}").cast("double")
+        syy = F.col(f"__syy{tag}").cast("double")
+        sxy = F.col(f"__sxy{tag}").cast("double")
+        r = F.when(sy != 0, sx / sy)
+        vx = (sxx - sx * sx / n) / (n - F.lit(1.0))
+        vy = (syy - sy * sy / n) / (n - F.lit(1.0))
+        vxy = (sxy - sx * sy / n) / (n - F.lit(1.0))
+        muy = sy / n
+        var = F.when(
+            (F.col(f"__n{tag}") >= 2) & (sy != 0),
+            (vx - F.lit(2.0) * r * vxy + r * r * vy)
+            / (n * muy * muy),
+        )
+        return r, var
+
+    rt, vt = ratio_var("t")
+    rc, vc = ratio_var("c")
+    z = F.when(
+        vt.isNotNull() & vc.isNotNull() & (vt + vc > 0),
+        (rt - rc) / F.sqrt(vt + vc),
+    )
+    z6 = F.round(z, 6)
+    return m.select(
+        F.col("__nt").cast("bigint").alias("n_treat"),
+        F.col("__nc").cast("bigint").alias("n_control"),
+        F.round(rt, 6).alias("ratio_treat"),
+        F.round(rc, 6).alias("ratio_control"),
+        F.round(rt - rc, 6).alias("diff"),
+        z6.alias("z"),
+        F.coalesce(
+            (F.abs(z6) >= F.lit(z_threshold)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )
+
+
+def jackknife_ratio_ci(
+    units: DataFrame,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    n_buckets: int = 50,
+    salt: str = "",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Delete-one-bucket jackknife CI for a ratio metric — the
+    assumption-free companion to :func:`ratio_ab_test`'s delta method
+    (and the standard cross-check when the delta's unit-level
+    normality is in doubt): units hash into ``n_buckets`` deterministic
+    buckets (the md5-60 construction every sampler here uses, so the
+    split is partition-independent and engine-replayable), each
+    leave-one-bucket-out ratio ``θ_(b) = (S−s_b)/(T−t_b)`` is computed
+    from the bucket sums alone, and ``var = (B−1)/B · Σ(θ_(b) − θ̄)²``.
+
+    Scale: ONE bucket-grain exchange (≤ n_buckets rows, map-side
+    partial), then two passes over the bounded bucket frame (the mean
+    must exist before the spread — the Welch shape, 1-row broadcast).
+    Determinism: bucket sums are exact 6dp decimals; each θ_(b) and
+    its squared deviation quantize to 12dp decimal before the
+    cross-bucket sums.  Returns one row ``(n_units, n_buckets_used,
+    ratio, se, ci_lo, ci_hi)``; se/CI null when any leave-one-out
+    denominator is 0 or fewer than 2 buckets are populated."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from .sampling import hash_bucket
+
+    xq = F.round(F.col(num_col).cast("double"), 6).cast("decimal(18,6)")
+    yq = F.round(F.col(den_col).cast("double"), 6).cast("decimal(18,6)")
+    per_b = (
+        units.filter(
+            F.col(num_col).isNotNull()
+            & F.col(den_col).isNotNull()
+            & F.col(unit_col).isNotNull()
+        )
+        .groupBy(
+            (hash_bucket(F.col(unit_col), salt) % n_buckets).alias("__b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(xq).alias("__sx"),
+            F.sum(yq).alias("__sy"),
+        )
+        # pinned: feeds the totals AND both jackknife passes
+        .localCheckpoint(eager=False)
+    )
+    tot = per_b.agg(
+        F.sum("__n").alias("__tn"),
+        F.sum("__sx").alias("__ts"),
+        F.sum("__sy").alias("__tt"),
+        F.count(F.lit(1)).alias("__bu"),
+    )
+    wtot = per_b.crossJoin(F.broadcast(tot))
+    d12 = "decimal(38,12)"
+    th_b = F.when(
+        (F.col("__tt") - F.col("__sy")).cast("double") != 0,
+        (F.col("__ts") - F.col("__sx")).cast("double")
+        / (F.col("__tt") - F.col("__sy")).cast("double"),
+    )
+    s1 = wtot.agg(
+        F.sum(F.round(th_b, 12).cast(d12)).alias("__sth"),
+        F.count(F.lit(1)).alias("__b2"),
+        # SQL sum SKIPS a null θ_(b) instead of propagating it — count
+        # the valid ones so a zero leave-one-out denominator nulls the
+        # whole CI (the documented contract), not just its own term
+        F.count(th_b).alias("__bv"),
+    )
+    # second pass: squared deviations about the jackknife mean
+    wm = wtot.crossJoin(F.broadcast(s1))
+    thbar = F.col("__sth").cast("double") / F.col("__b2").cast("double")
+    dev = F.round((th_b - thbar) * (th_b - thbar), 12).cast(d12)
+    s2 = wm.agg(F.sum(dev).alias("__sdev"))
+    m = tot.crossJoin(F.broadcast(s1)).crossJoin(F.broadcast(s2))
+    bu = F.col("__bu").cast("double")
+    ratio = F.when(
+        F.col("__tt").cast("double") != 0,
+        F.col("__ts").cast("double") / F.col("__tt").cast("double"),
+    )
+    var = F.when(
+        (F.col("__bu") >= 2) & (F.col("__bv") == F.col("__bu")),
+        (bu - F.lit(1.0)) / bu * F.col("__sdev").cast("double"),
+    )
+    se = F.when(var >= 0, F.sqrt(var))
+    return m.select(
+        F.col("__tn").alias("n_units"),
+        F.col("__bu").alias("n_buckets_used"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(ratio - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(ratio + F.lit(z) * se, 6).alias("ci_hi"),
+    )

@@ -760,3 +760,95 @@ def test_fisher_scores_match_numpy(spark):
         assert got[i]["n_labels"] == 3
     assert got[0]["fisher"] > 50 * got[1]["fisher"]  # separator dominates
     assert got[2]["fisher"] is None  # zero within-class scatter
+
+
+def test_ratio_ab_test_matches_delta_method(spark):
+    from intake_esm_spark.operators.experiment import ratio_ab_test
+
+    rng = np.random.RandomState(3)
+    n = 400
+    g = np.where(rng.rand(n) < 0.5, "t", "c")
+    y = rng.poisson(10, n) + 1.0
+    x = np.round(y * (1.5 + (g == "t") * 0.1) + rng.normal(0, 2, n), 3)
+    pdf = pd.DataFrame({"g": g, "x": x, "y": y})
+    df = spark.createDataFrame(pdf)
+    row = ratio_ab_test(df, "g", "x", "y", "t", "c").collect()[0]
+
+    def delta(arm):
+        d = pdf[pdf.g == arm]
+        xx, yy = np.round(d.x.values, 6), d.y.values
+        nn = len(d)
+        r = xx.sum() / yy.sum()
+        vx, vy = xx.var(ddof=1), yy.var(ddof=1)
+        vxy = np.cov(xx, yy, ddof=1)[0, 1]
+        return r, (vx - 2 * r * vxy + r * r * vy) / (nn * yy.mean() ** 2)
+
+    rt, vt = delta("t")
+    rc, vc = delta("c")
+    assert row["ratio_treat"] == pytest.approx(rt, abs=1e-6)
+    assert row["ratio_control"] == pytest.approx(rc, abs=1e-6)
+    assert row["z"] == pytest.approx((rt - rc) / np.sqrt(vt + vc), abs=1e-5)
+    assert row["significant"] == 1
+
+
+def test_ratio_ab_degenerate_nulls(spark):
+    from intake_esm_spark.operators.experiment import ratio_ab_test
+
+    # singleton treatment arm: n < 2 -> z null
+    df = spark.createDataFrame(
+        [("t", 1.0, 2.0), ("c", 1.0, 2.0), ("c", 3.0, 4.0)],
+        "g string, x double, y double",
+    )
+    row = ratio_ab_test(df, "g", "x", "y", "t", "c").collect()[0]
+    assert row["z"] is None and row["significant"] == 0
+    assert row["ratio_treat"] == pytest.approx(0.5)
+
+
+def test_jackknife_ratio_ci_matches_hash_replay(spark):
+    from intake_esm_spark.operators.experiment import jackknife_ratio_ci
+    import hashlib
+
+    rng = np.random.RandomState(3)
+    n = 300
+    y = rng.poisson(10, n) + 1.0
+    x = np.round(y * 1.5 + rng.normal(0, 2, n), 3)
+    pdf = pd.DataFrame({"x": x, "y": y, "uid": np.arange(n)})
+    df = spark.createDataFrame(pdf)
+    row = jackknife_ratio_ci(df, "x", "y", "uid", n_buckets=20).collect()[0]
+
+    def h60(key, salt=""):
+        s = f"{salt}|{key}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1_000_000
+
+    b = np.array([h60(str(u)) % 20 for u in pdf.uid])
+    xs = np.round(pdf.x.values, 6)
+    big_s, big_t = xs.sum(), pdf.y.values.sum()
+    ths = np.array(
+        [
+            (big_s - xs[b == bb].sum()) / (big_t - pdf.y.values[b == bb].sum())
+            for bb in np.unique(b)
+        ]
+    )
+    bb_n = len(ths)
+    var = (bb_n - 1) / bb_n * ((ths - ths.mean()) ** 2).sum()
+    assert row["n_buckets_used"] == bb_n
+    assert row["ratio"] == pytest.approx(big_s / big_t, abs=1e-6)
+    assert row["se"] == pytest.approx(np.sqrt(var), abs=1e-5)
+    assert row["ci_lo"] < row["ratio"] < row["ci_hi"]
+    with pytest.raises(ValueError):
+        jackknife_ratio_ci(df, "x", "y", "uid", n_buckets=1)
+
+
+def test_jackknife_null_when_loo_denominator_zero(spark):
+    """A bucket whose removal zeroes the denominator total must null
+    the whole CI — SQL sum would silently skip the null theta."""
+    from intake_esm_spark.operators.experiment import jackknife_ratio_ci
+
+    # two units; with 2 buckets each unit is alone, so removing the
+    # y=5 unit leaves denominator 0 for one leave-one-out ratio
+    df = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, 2.0, 5.0)], "uid long, x double, y double"
+    )
+    row = jackknife_ratio_ci(df, "x", "y", "uid", n_buckets=2).collect()[0]
+    assert row["ratio"] == pytest.approx(0.6)
+    assert row["se"] is None and row["ci_lo"] is None
