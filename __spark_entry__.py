@@ -4806,6 +4806,37 @@ def q_events_jackknife(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embed_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Calinski-Harabasz + Davies-Bouldin validity indices over the
+    labeled embeddings (operators/matrix.py cluster_quality): one
+    (cluster, dim)-grain exchange, scatters on the k·d moment frame,
+    DB centroid pairs behind the clusters² assert_true guard."""
+    from intake_esm_spark.operators.matrix import cluster_quality
+
+    emb = load_table(spark, sf, "embeddings")
+    return cluster_quality(emb)
+
+
+def q_events_stratified_ate(spark: SparkSession, sf: str) -> DataFrame:
+    """Propensity-stratified ATE of the even/odd cohort on per-user
+    purchase revenue, stratifying on activity (event count) as the
+    score (operators/experiment.py stratified_ate): quintile strata
+    from the exact bucketed global rank (SQL ntile remainder rule),
+    within-stratum arm contrasts, size-weighted average; no-common-
+    support strata dropped and counted."""
+    from intake_esm_spark.operators.experiment import stratified_ate
+
+    units = _revenue_per_event_units(spark, sf).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("treat"),
+        "rev",
+        "n_events",
+    )
+    return stratified_ate(
+        units, "treat", "rev", "n_events", "user_id", n_strata=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4839,6 +4870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_fisher": q_embed_fisher,
         "events_ratio_ab": q_events_ratio_ab,
         "events_jackknife": q_events_jackknife,
+        "embed_cluster_quality": q_embed_cluster_quality,
+        "events_stratified_ate": q_events_stratified_ate,
         # Block 1: round-11 earlier changes — events_msprt, events_fdr,
         # orders_trimmed, lineitem_exact_quantiles,
         # orders_priority_quantiles and orders_benford are NEW
@@ -4852,8 +4885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 16 new + 18
-        # changed + 16 oldest = the 50-entry driver window.
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 18 new + 18
+        # changed + 14 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -12119,6 +12152,184 @@ def oracle_sql() -> dict[str, str]:
                    round(ratio - 1.959964 * se, 6) AS ci_lo,
                    round(ratio + 1.959964 * se, 6) AS ci_hi
             FROM f
+        """,
+        # replays operators/matrix.py cluster_quality: (cluster, dim)
+        # decimal moments via unnest, 12dp scatter sums, centroid-pair
+        # distances, CH + DB with identical guards
+        "embed_cluster_quality": """
+            WITH f AS (
+              SELECT label AS c,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS v
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL
+            ), cells AS (
+              SELECT c, i, count(*) AS n, sum(v) AS s1,
+                     sum(CAST(CAST(v AS DECIMAL(19,6)) * v
+                              AS DECIMAL(38,12))) AS s2
+              FROM f GROUP BY 1, 2
+            ), gstats AS (
+              SELECT i, CAST(sum(n) AS BIGINT) AS gn, sum(s1) AS gs1
+              FROM cells GROUP BY 1
+            ), perc AS (
+              SELECT c, CAST(max(cells.n) AS BIGINT) AS nc,
+                CAST(sum(CAST(round(CAST(cells.n AS DOUBLE)
+                  * (CAST(cells.s1 AS DOUBLE) / CAST(cells.n AS DOUBLE)
+                     - CAST(gstats.gs1 AS DOUBLE)
+                       / CAST(gstats.gn AS DOUBLE))
+                  * (CAST(cells.s1 AS DOUBLE) / CAST(cells.n AS DOUBLE)
+                     - CAST(gstats.gs1 AS DOUBLE)
+                       / CAST(gstats.gn AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS bc,
+                CAST(sum(CAST(round(CAST(cells.s2 AS DOUBLE)
+                  - CAST(cells.s1 AS DOUBLE)
+                    * (CAST(cells.s1 AS DOUBLE)
+                       / CAST(cells.n AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS wc
+              FROM cells JOIN gstats ON cells.i = gstats.i
+              GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(nc) AS BIGINT) AS tn, count(*) AS tk,
+                     CAST(sum(CAST(round(bc, 12) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS tb,
+                     CAST(sum(CAST(round(wc, 12) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS tw
+              FROM perc
+            ), means AS (
+              SELECT c, i,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+              FROM cells
+            ), pd2 AS (
+              SELECT a.c AS ca, b.c AS cb,
+                     CAST(sum(CAST(round((a.m - b.m) * (a.m - b.m), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS d2
+              FROM means a JOIN means b
+                ON a.i = b.i AND a.c < b.c
+              GROUP BY 1, 2
+            ), sc AS (
+              SELECT c, sqrt(wc / CAST(nc AS DOUBLE)) AS s FROM perc
+            ), rcd AS (
+              SELECT ca, cb,
+                     CASE WHEN d2 > 0
+                          THEN (sa.s + sb.s) / sqrt(d2) END AS r
+              FROM pd2
+              JOIN sc sa ON pd2.ca = sa.c
+              JOIN sc sb ON pd2.cb = sb.c
+            ), orient AS (
+              SELECT ca AS cc, r FROM rcd
+              UNION ALL
+              SELECT cb AS cc, r FROM rcd
+            ), pm AS (
+              SELECT cc, max(r) AS mr FROM orient GROUP BY 1
+            ), dbx AS (
+              SELECT CAST(sum(CAST(round(mr, 12) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS sdb,
+                     count(*) AS kdb, count(mr) AS kv
+              FROM pm
+            )
+            SELECT tn AS n_vecs, tk AS n_clusters,
+                   round(CASE WHEN tk >= 2 AND tn > tk AND tw > 0
+                         THEN (tb / (CAST(tk AS DOUBLE) - 1.0))
+                              / (tw / (CAST(tn AS DOUBLE)
+                                       - CAST(tk AS DOUBLE)))
+                         END, 6) AS calinski_harabasz,
+                   round(CASE WHEN tk >= 2 AND kv = tk AND kdb = tk
+                         THEN sdb / CAST(kdb AS DOUBLE) END, 6)
+                     AS davies_bouldin
+            FROM tot CROSS JOIN dbx
+        """,
+        # replays operators/experiment.py stratified_ate: ntile strata
+        # over (score, id), per-stratum conditional decimal moments,
+        # size-weighted effects, no-common-support strata dropped
+        "events_stratified_ate": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,6)) END),
+                          0) AS DOUBLE) AS rev,
+                     count(*) AS ne
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT user_id,
+                     CASE WHEN user_id % 2 > 0 THEN 1 ELSE 0 END AS t,
+                     CAST(round(rev, 6) AS DECIMAL(18,6)) AS y,
+                     ne AS s
+              FROM pu
+            ), r AS (
+              SELECT t, y,
+                     ntile(5) OVER (ORDER BY s, user_id) AS st
+              FROM u
+            ), ps AS (
+              SELECT st,
+                CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nt,
+                CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ncn,
+                sum(CASE WHEN t = 1 THEN y END) AS sty,
+                sum(CASE WHEN t = 0 THEN y END) AS sc0,
+                sum(CASE WHEN t = 1 THEN CAST(CAST(y AS DECIMAL(19,6))
+                    * y AS DECIMAL(38,12)) END) AS stt,
+                sum(CASE WHEN t = 0 THEN CAST(CAST(y AS DECIMAL(19,6))
+                    * y AS DECIMAL(38,12)) END) AS scc
+              FROM r GROUP BY 1
+            ), e AS (
+              SELECT st, nt, ncn,
+                (nt > 0 AND ncn > 0) AS used,
+                CAST(nt + ncn AS DOUBLE) AS ns,
+                CAST(sty AS DOUBLE) / CAST(nt AS DOUBLE) AS mt,
+                CAST(sc0 AS DOUBLE) / CAST(ncn AS DOUBLE) AS mc,
+                CASE WHEN nt >= 2 THEN
+                  (CAST(stt AS DOUBLE) - CAST(sty AS DOUBLE)
+                     * (CAST(sty AS DOUBLE) / CAST(nt AS DOUBLE)))
+                  / (CAST(nt AS DOUBLE) - 1.0) END AS vt,
+                CASE WHEN ncn >= 2 THEN
+                  (CAST(scc AS DOUBLE) - CAST(sc0 AS DOUBLE)
+                     * (CAST(sc0 AS DOUBLE) / CAST(ncn AS DOUBLE)))
+                  / (CAST(ncn AS DOUBLE) - 1.0) END AS vc
+              FROM ps
+            ), nn AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM u
+            ), m AS (
+              SELECT nn.n,
+                CAST(sum(CASE WHEN used THEN 1 ELSE 0 END)
+                     AS BIGINT) AS used_k,
+                CAST(sum(CASE WHEN NOT used THEN 1 ELSE 0 END)
+                     AS BIGINT) AS dropped_k,
+                CAST(sum(CASE WHEN used
+                     THEN CAST(ns AS DECIMAL(28,6)) END) AS DOUBLE)
+                  AS wtot,
+                CAST(sum(CASE WHEN used THEN CAST(round(
+                     ns * (mt - mc), 12) AS DECIMAL(38,12)) END)
+                     AS DOUBLE) AS eff,
+                CAST(sum(CASE WHEN used THEN CAST(round(
+                     ns * ns * (vt / CAST(nt AS DOUBLE)
+                                + vc / CAST(ncn AS DOUBLE)), 12)
+                     AS DECIMAL(38,12)) END) AS DOUBLE) AS var,
+                sum(CASE WHEN used AND vt IS NOT NULL
+                         AND vc IS NOT NULL THEN 1 END) AS vok
+              FROM e CROSS JOIN nn
+              GROUP BY nn.n
+            ), z AS (
+              SELECT n, used_k, dropped_k,
+                CASE WHEN used_k >= 1 THEN eff / wtot END AS ate,
+                CASE WHEN used_k >= 1 AND vok = used_k AND var >= 0
+                     THEN sqrt(var) / wtot END AS se
+              FROM m
+            ), zz AS (
+              SELECT n, used_k, dropped_k, ate, se,
+                     round(CASE WHEN se > 0 THEN ate / se END, 6) + 0.0
+                       AS z6
+              FROM z
+            )
+            SELECT n AS n_units, used_k AS n_strata_used,
+                   dropped_k AS n_strata_dropped,
+                   round(ate, 6) + 0.0 AS ate, round(se, 6) AS se,
+                   z6 AS z,
+                   CAST(coalesce(abs(z6) >= 1.959964, false) AS INT)
+                     AS significant
+            FROM zz
         """,
         # rows-only check: embed_pca — the projection is a fixed IEEE
         # expression over LAPACK eigh loadings, which are not SQL

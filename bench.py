@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "embed_fisher",
     "events_ratio_ab",
     "events_jackknife",
+    "embed_cluster_quality",
+    "events_stratified_ate",
 ]
 
 

@@ -1767,3 +1767,155 @@ def jackknife_ratio_ci(
         F.round(ratio - F.lit(z) * se, 6).alias("ci_lo"),
         F.round(ratio + F.lit(z) * se, 6).alias("ci_hi"),
     )
+
+
+def stratified_ate(
+    units: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    score_col: str,
+    id_col: str,
+    n_strata: int = 5,
+    z_threshold: float = 1.959964,
+) -> DataFrame:
+    """Propensity-stratified average treatment effect — the
+    observational-causal workhorse (Rosenbaum-Rubin subclassification):
+    rank units by a propensity/activity score into ``n_strata``
+    quantile strata, difference the arm means WITHIN each stratum
+    (where units are comparable), and average the per-stratum effects
+    weighted by stratum size.  Closes the causal family's gap between
+    :func:`ips_value` (needs logged probabilities) and
+    :func:`did_report` (needs a time axis): this one needs only a
+    score.  Strata missing either arm have no within-stratum contrast
+    (no common support) — they are EXCLUDED and counted, not silently
+    imputed.
+
+    Scale shape: stratum ids come from the exact bucketed global rank
+    (:func:`~.ranks.global_rank` with ``tie_fanout`` + the SQL
+    ``ntile`` remainder rule via :func:`~.ranks.ntile_from_rank`) — a
+    clamped score massed at 0/1 cannot collapse the rank pass into one
+    task, and no unpartitioned row-frame window exists anywhere; the
+    per-stratum moments are one grouped aggregation (≤ n_strata rows).
+
+    Determinism: outcomes quantize to 6dp decimals; per-stratum
+    contributions quantize to 12dp decimal before the cross-stratum
+    sums.  ``SE² = Σ w_s²·(var_t/n_t + var_c/n_c)`` (large-sample,
+    within-stratum independence).  Returns one row ``(n_units,
+    n_strata_used, n_strata_dropped, ate, se, z, significant)``; null
+    ate when no stratum has both arms, null se/z when any used stratum
+    has an arm with n < 2 or the variance degenerates."""
+    if n_strata < 2:
+        raise ValueError(f"n_strata must be >= 2, got {n_strata}")
+    from .ranks import global_rank, ntile_from_rank
+
+    sd = F.col(score_col).cast("double")
+    base = units.filter(
+        F.col(treatment_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & ~F.isnan(sd)
+        & (F.abs(sd) != F.lit(float("inf")))
+    ).select(
+        F.col(id_col).alias("__id"),
+        (F.col(treatment_col) > 0).cast("int").alias("__t"),
+        F.round(F.col(outcome_col).cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("__y"),
+        F.col(score_col).alias("__sc"),
+    ).localCheckpoint(eager=False)  # feeds the count AND the rank pass
+    nn = base.agg(F.count(F.lit(1)).alias("__nn"))
+    ranked = global_rank(
+        base, "__sc", ["__id"], out_col="__rk", tie_fanout=True
+    ).crossJoin(F.broadcast(nn))
+    strat = ranked.select(
+        "__t",
+        "__y",
+        ntile_from_rank(
+            F.col("__rk"), F.col("__nn").cast("bigint"), n_strata
+        ).alias("__s"),
+    )
+    d12 = "decimal(38,12)"
+    per_s = strat.groupBy("__s").agg(
+        F.sum(F.when(F.col("__t") == 1, 1).otherwise(0)).alias("__nt"),
+        F.sum(F.when(F.col("__t") == 0, 1).otherwise(0)).alias("__ncn"),
+        F.sum(F.when(F.col("__t") == 1, F.col("__y"))).alias("__st"),
+        F.sum(F.when(F.col("__t") == 0, F.col("__y"))).alias("__sc0"),
+        F.sum(
+            F.when(
+                F.col("__t") == 1,
+                (F.col("__y").cast("decimal(19,6)") * F.col("__y")).cast(
+                    d12
+                ),
+            )
+        ).alias("__stt"),
+        F.sum(
+            F.when(
+                F.col("__t") == 0,
+                (F.col("__y").cast("decimal(19,6)") * F.col("__y")).cast(
+                    d12
+                ),
+            )
+        ).alias("__scc"),
+    )
+    used = (F.col("__nt") > 0) & (F.col("__ncn") > 0)
+    ntd = F.col("__nt").cast("double")
+    ncd = F.col("__ncn").cast("double")
+    ns = ntd + ncd
+    mt = F.col("__st").cast("double") / ntd
+    mc = F.col("__sc0").cast("double") / ncd
+    vt = F.when(
+        F.col("__nt") >= 2,
+        (F.col("__stt").cast("double") - F.col("__st").cast("double") * mt)
+        / (ntd - F.lit(1.0)),
+    )
+    vc = F.when(
+        F.col("__ncn") >= 2,
+        (F.col("__scc").cast("double") - F.col("__sc0").cast("double") * mc)
+        / (ncd - F.lit(1.0)),
+    )
+    m = per_s.crossJoin(F.broadcast(nn)).agg(
+        F.max("__nn").alias("__n"),
+        F.sum(F.when(used, 1).otherwise(0)).alias("__used"),
+        F.sum(F.when(~used, 1).otherwise(0)).alias("__dropped"),
+        # effects weighted by FULL stratum size over the USED total —
+        # each term quantized before the cross-stratum sum
+        F.sum(F.when(used, ns.cast("decimal(28,6)"))).alias("__wtot"),
+        F.sum(
+            F.when(used, F.round(ns * (mt - mc), 12).cast(d12))
+        ).alias("__eff"),
+        F.sum(
+            F.when(
+                used,
+                F.round(ns * ns * (vt / ntd + vc / ncd), 12).cast(d12),
+            )
+        ).alias("__var"),
+        # null-propagation probe: a used stratum with a degenerate arm
+        # must null the SE (sum skips nulls — the jackknife lesson)
+        F.sum(F.when(used & vt.isNotNull() & vc.isNotNull(), 1)).alias(
+            "__vok"
+        ),
+    )
+    wt = F.col("__wtot").cast("double")
+    ate = F.when(
+        F.col("__used") >= 1, F.col("__eff").cast("double") / wt
+    )
+    se = F.when(
+        (F.col("__used") >= 1)
+        & (F.col("__vok") == F.col("__used"))
+        & (F.col("__var").cast("double") >= 0),
+        F.sqrt(F.col("__var").cast("double")) / wt,
+    )
+    z = F.when(se > 0, ate / se)
+    z6 = F.round(z, 6)
+    return m.select(
+        F.col("__n").alias("n_units"),
+        F.col("__used").alias("n_strata_used"),
+        F.col("__dropped").alias("n_strata_dropped"),
+        F.round(ate, 6).alias("ate"),
+        F.round(se, 6).alias("se"),
+        z6.alias("z"),
+        F.coalesce(
+            (F.abs(z6) >= F.lit(z_threshold)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -310,3 +310,193 @@ def fisher_scores(
         F.col("__k").alias("n_labels"),
         F.round(fisher, 6).alias("fisher"),
     )
+
+
+def cluster_quality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    max_clusters: int = 1024,
+) -> DataFrame:
+    """Internal cluster-validity indices for a labeled/clustered
+    embedding table — Calinski-Harabasz (between/within scatter ratio;
+    higher = tighter, the multivariate ANOVA F) and Davies-Bouldin
+    (mean worst-pair ``(S_c + S_d)/‖m_c − m_d‖``; lower = better) — the
+    "was k right / did the clustering do anything" readout for
+    :func:`~.clustering.kmeans_refine` assignments (silhouette is
+    O(n²) and stays out of scope; these two are moment-computable).
+    ``S_c`` is the RMS distance to the centroid
+    (``√(W_c/n_c)`` — the variance-based form of the DB scatter).
+
+    Scale: ONE (cluster, dim)-grain partial-agged exchange (the
+    :func:`fisher_scores` shape); everything after runs on the k·d
+    moment frame — per-cluster scatters roll up to k rows, the DB
+    centroid-pair distances are a (k·d)×(k·d on dim) self-join bounded
+    by ``max_clusters`` via the lazy ``assert_true`` guard. Exact
+    decimal moments, 12dp-quantized cross-dim/cross-cluster sums, 6dp
+    outputs. Returns one row ``(n_vecs, n_clusters,
+    calinski_harabasz, davies_bouldin)``; CH null when k < 2 or W = 0,
+    DB null when k < 2 or any centroid pair coincides."""
+    if max_clusters < 2:
+        raise ValueError(f"max_clusters must be >= 2, got {max_clusters}")
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(cluster_col).isNotNull()
+    ).select(F.col(cluster_col).alias("__c"), F.col(vec_col).alias("__vec"))
+    cells = (
+        base.select("__c", F.posexplode("__vec").alias("__i", "__raw"))
+        .select(
+            "__c",
+            "__i",
+            F.round(F.col("__raw").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("__v"),
+        )
+        .groupBy("__c", "__i")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__v").alias("__s1"),
+            F.sum(
+                (F.col("__v").cast("decimal(19,6)") * F.col("__v")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("__s2"),
+        )
+        # pinned: feeds the global rollup, scatters, AND the pair join
+        .localCheckpoint(eager=False)
+    )
+    kc = cells.select("__c").distinct().agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    guard = F.assert_true(
+        F.col("__k") <= F.lit(max_clusters),
+        F.lit(
+            f"cluster_quality: more than {max_clusters} clusters — the "
+            "Davies-Bouldin pair join is clusters²-quadratic; coarsen "
+            "the clustering or raise max_clusters explicitly"
+        ),
+    ).isNull()
+    cg = cells.crossJoin(F.broadcast(kc)).filter(guard).drop("__k")
+    glob = cells.groupBy("__i").agg(
+        F.sum("__n").alias("__gn"), F.sum("__s1").alias("__gs1")
+    )
+    d12 = "decimal(38,12)"
+    nd = F.col("__n").cast("double")
+    m_c = F.col("__s1").cast("double") / nd
+    m_g = F.col("__gs1").cast("double") / F.col("__gn").cast("double")
+    withg = cg.join(
+        F.broadcast(
+            glob.select(F.col("__i").alias("__gi"), "__gn", "__gs1")
+        ),
+        F.col("__i") == F.col("__gi"),
+    )
+    per_c = withg.groupBy("__c").agg(
+        F.max("__n").alias("__nc"),
+        F.sum(F.round(nd * (m_c - m_g) * (m_c - m_g), 12).cast(d12))
+        .cast("double")
+        .alias("__bc"),
+        F.sum(
+            F.round(
+                F.col("__s2").cast("double")
+                - F.col("__s1").cast("double") * m_c,
+                12,
+            ).cast(d12)
+        )
+        .cast("double")
+        .alias("__wc"),
+    ).localCheckpoint(eager=False)  # feeds CH totals AND DB scatters
+    tot = per_c.agg(
+        F.sum("__nc").alias("__tn"),
+        F.count(F.lit(1)).alias("__tk"),
+        F.sum(F.round(F.col("__bc"), 12).cast(d12))
+        .cast("double")
+        .alias("__tb"),
+        F.sum(F.round(F.col("__wc"), 12).cast(d12))
+        .cast("double")
+        .alias("__tw"),
+    )
+    # DB: centroid pair distances from the (cluster, dim) mean frame
+    means = cg.select(
+        "__c", "__i", (F.col("__s1").cast("double") / nd).alias("__m")
+    )
+    ma = means.select(
+        F.col("__c").alias("__ca"),
+        F.col("__i").alias("__ia"),
+        F.col("__m").alias("__maa"),
+    )
+    mb = means.select(
+        F.col("__c").alias("__cb"),
+        F.col("__i").alias("__ib"),
+        F.col("__m").alias("__mbb"),
+    )
+    pd2 = (
+        ma.join(
+            mb,
+            (F.col("__ia") == F.col("__ib"))
+            & (F.col("__ca") < F.col("__cb")),
+        )
+        .groupBy("__ca", "__cb")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("__maa") - F.col("__mbb"))
+                    * (F.col("__maa") - F.col("__mbb")),
+                    12,
+                ).cast(d12)
+            )
+            .cast("double")
+            .alias("__d2")
+        )
+    )
+    sc = per_c.select(
+        "__c",
+        F.sqrt(
+            F.col("__wc") / F.col("__nc").cast("double")
+        ).alias("__s"),
+    )
+    s_a = sc.select(F.col("__c").alias("__ca"), F.col("__s").alias("__sa"))
+    s_b = sc.select(F.col("__c").alias("__cb"), F.col("__s").alias("__sb"))
+    rcd = (
+        pd2.join(F.broadcast(s_a), "__ca")
+        .join(F.broadcast(s_b), "__cb")
+        .select(
+            "__ca",
+            "__cb",
+            F.when(
+                F.col("__d2") > 0,
+                (F.col("__sa") + F.col("__sb")) / F.sqrt(F.col("__d2")),
+            ).alias("__r"),
+        )
+    )
+    # both orientations: max over d≠c needs each cluster on the left
+    both = rcd.select(F.col("__ca").alias("__cc"), "__r").unionByName(
+        rcd.select(F.col("__cb").alias("__cc"), "__r")
+    )
+    per_max = both.groupBy("__cc").agg(F.max("__r").alias("__mr"))
+    db = per_max.agg(
+        F.sum(F.round(F.col("__mr"), 12).cast(d12))
+        .cast("double")
+        .alias("__sdb"),
+        F.count(F.lit(1)).alias("__kdb"),
+        F.count("__mr").alias("__kv"),
+    )
+    m = tot.crossJoin(F.broadcast(db))
+    tnd = F.col("__tn").cast("double")
+    tkd = F.col("__tk").cast("double")
+    ch = F.when(
+        (F.col("__tk") >= 2) & (F.col("__tn") > F.col("__tk"))
+        & (F.col("__tw") > 0),
+        (F.col("__tb") / (tkd - F.lit(1.0)))
+        / (F.col("__tw") / (tnd - tkd)),
+    )
+    dbi = F.when(
+        (F.col("__tk") >= 2)
+        & (F.col("__kv") == F.col("__tk"))
+        & (F.col("__kdb") == F.col("__tk")),
+        F.col("__sdb") / F.col("__kdb").cast("double"),
+    )
+    return m.select(
+        F.col("__tn").alias("n_vecs"),
+        F.col("__tk").alias("n_clusters"),
+        F.round(ch, 6).alias("calinski_harabasz"),
+        F.round(dbi, 6).alias("davies_bouldin"),
+    )

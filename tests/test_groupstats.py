@@ -852,3 +852,130 @@ def test_jackknife_null_when_loo_denominator_zero(spark):
     row = jackknife_ratio_ci(df, "x", "y", "uid", n_buckets=2).collect()[0]
     assert row["ratio"] == pytest.approx(0.6)
     assert row["se"] is None and row["ci_lo"] is None
+
+
+def test_cluster_quality_matches_numpy(spark):
+    from intake_esm_spark.operators.matrix import cluster_quality
+
+    rng = np.random.RandomState(10)
+    k, per, d = 4, 30, 5
+    cents = rng.normal(0, 5, (k, d))
+    mat = np.vstack(
+        [cents[c] + rng.normal(0, 1, (per, d)) for c in range(k)]
+    ).round(4)
+    lab = np.repeat(np.arange(k), per)
+    df = spark.createDataFrame(
+        [(int(l), r.tolist()) for l, r in zip(lab, mat)],
+        "label int, embedding array<double>",
+    )
+    row = cluster_quality(df).collect()[0]
+    q = np.round(mat, 6)
+    n = len(q)
+    mg = q.mean(0)
+    b = sum(
+        (lab == c).sum() * ((q[lab == c].mean(0) - mg) ** 2).sum()
+        for c in range(k)
+    )
+    w = sum(((q[lab == c] - q[lab == c].mean(0)) ** 2).sum() for c in range(k))
+    ch = (b / (k - 1)) / (w / (n - k))
+    cm = {c: q[lab == c].mean(0) for c in range(k)}
+    s = {
+        c: np.sqrt(((q[lab == c] - cm[c]) ** 2).sum() / per)
+        for c in range(k)
+    }
+    dbv = np.mean(
+        [
+            max(
+                (s[c] + s[e]) / np.linalg.norm(cm[c] - cm[e])
+                for e in range(k)
+                if e != c
+            )
+            for c in range(k)
+        ]
+    )
+    assert row["n_vecs"] == n and row["n_clusters"] == k
+    assert row["calinski_harabasz"] == pytest.approx(ch, rel=1e-5)
+    assert row["davies_bouldin"] == pytest.approx(dbv, rel=1e-5)
+    # a well-separated clustering: CH should dominate a random labeling
+    rand = spark.createDataFrame(
+        [
+            (int(l), r.tolist())
+            for l, r in zip(rng.randint(0, k, n), mat)
+        ],
+        "label int, embedding array<double>",
+    )
+    rrow = cluster_quality(rand).collect()[0]
+    assert row["calinski_harabasz"] > 10 * rrow["calinski_harabasz"]
+    assert row["davies_bouldin"] < rrow["davies_bouldin"]
+
+
+def test_cluster_quality_guard_and_degenerate(spark):
+    from intake_esm_spark.operators.matrix import cluster_quality
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "label int, embedding array<double>",
+    )
+    with pytest.raises(Exception) as ei:
+        cluster_quality(df, max_clusters=4).collect()
+    assert "cluster_quality" in str(ei.value)
+    one = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [2.0, 3.0])],
+        "label int, embedding array<double>",
+    )
+    row = cluster_quality(one).collect()[0]
+    assert row["calinski_harabasz"] is None
+    assert row["davies_bouldin"] is None
+
+
+def test_stratified_ate_deconfounds(spark):
+    from intake_esm_spark.operators.experiment import stratified_ate
+
+    rng = np.random.RandomState(5)
+    n = 500
+    score = rng.rand(n).round(4)
+    t = (rng.rand(n) < 0.3 + 0.4 * score).astype(int)
+    y = np.round(2 * score * 10 + t * 1.5 + rng.normal(0, 1, n), 3)
+    pdf = pd.DataFrame({"uid": np.arange(n), "t": t, "y": y, "s": score})
+    df = spark.createDataFrame(pdf)
+    row = stratified_ate(df, "t", "y", "s", "uid", n_strata=5).collect()[0]
+    # numpy replay with SQL ntile semantics (order by score, id)
+    o = pdf.sort_values(["s", "uid"]).reset_index(drop=True)
+    q, rem = divmod(n, 5)
+    idx = np.repeat(np.arange(5), [q + 1] * rem + [q] * (5 - rem))
+    yq = np.round(o.y.values, 6)
+    eff = var = wtot = 0.0
+    for s_ in range(5):
+        mask = idx == s_
+        ts, ys = o.t.values[mask], yq[mask]
+        nt, nc = ts.sum(), (1 - ts).sum()
+        mtv, mcv = ys[ts == 1].mean(), ys[ts == 0].mean()
+        ns = nt + nc
+        eff += ns * (mtv - mcv)
+        wtot += ns
+        var += ns * ns * (
+            ys[ts == 1].var(ddof=1) / nt + ys[ts == 0].var(ddof=1) / nc
+        )
+    assert row["ate"] == pytest.approx(eff / wtot, abs=1e-5)
+    assert row["se"] == pytest.approx(np.sqrt(var) / wtot, abs=1e-5)
+    assert row["n_strata_used"] == 5 and row["n_strata_dropped"] == 0
+    # the stratification recovers ~1.5 where the naive diff is ~4
+    naive = yq[o.t.values == 1].mean() - yq[o.t.values == 0].mean()
+    assert abs(row["ate"] - 1.5) < 0.2 < abs(naive - 1.5)
+
+
+def test_stratified_ate_drops_unsupported_strata(spark):
+    from intake_esm_spark.operators.experiment import stratified_ate
+
+    # no treated units in the bottom half of scores: those strata have
+    # no within-stratum contrast and must be dropped, not imputed
+    rows = [
+        (i, (i % 2 if i >= 10 else 0), float(i), float(i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "uid long, t int, y double, s double")
+    row = stratified_ate(df, "t", "y", "s", "uid", n_strata=4).collect()[0]
+    assert row["n_strata_dropped"] == 2  # strata 1-2 are all-control
+    assert row["n_strata_used"] == 2
+    with pytest.raises(ValueError):
+        stratified_ate(df, "t", "y", "s", "uid", n_strata=1)
