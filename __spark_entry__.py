@@ -4837,6 +4837,47 @@ def q_events_stratified_ate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lineitem_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigating salted join (operators/layout.py salted_join):
+    lineitem joined to orders across 8 salts — the salt is EXECUTION-
+    ONLY (spark_partition_id mod salts on the big side, an in-row
+    explode replicating the small side), so the per-priority revenue
+    rollup is byte-identical to the plain join, which is exactly what
+    the oracle replays."""
+    from intake_esm_spark.operators.layout import salted_join
+
+    lineitem = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(lineitem, orders, "okey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum("l_extendedprice", "revenue"),
+    )
+
+
+def q_lineitem_qbins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency price bins (operators/profiling.py
+    quantile_bin): row-grain SQL-ntile deciles under the total order
+    (price, rowid) via the exact bucketed rank — rolled up to the
+    per-bin count/revenue profile (the WoE/monotone-binning prep
+    step); no unpartitioned ntile window anywhere."""
+    from intake_esm_spark.operators.profiling import quantile_bin
+
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_extendedprice",
+        F.expr("l_orderkey * 16 + l_linenumber").alias("rid"),
+    )
+    binned = quantile_bin(lineitem, "l_extendedprice", "rid", n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dec_sum("l_extendedprice", "revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4872,6 +4913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_jackknife": q_events_jackknife,
         "embed_cluster_quality": q_embed_cluster_quality,
         "events_stratified_ate": q_events_stratified_ate,
+        "lineitem_salted_join": q_lineitem_salted_join,
+        "lineitem_qbins": q_lineitem_qbins,
         # Block 1: round-11 earlier changes — events_msprt, events_fdr,
         # orders_trimmed, lineitem_exact_quantiles,
         # orders_priority_quantiles and orders_benford are NEW
@@ -4885,8 +4928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 18 new + 18
-        # changed + 14 oldest = the 50-entry driver window.
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 20 new + 18
+        # changed + 12 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -12330,6 +12373,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(abs(z6) >= 1.959964, false) AS INT)
                      AS significant
             FROM zz
+        """,
+        # the salted join is EXECUTION-ONLY: the oracle replays the
+        # plain unsalted join — the hash compare proves salting changed
+        # nothing but the task shape
+        "lineitem_salted_join": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        # replays operators/profiling.py quantile_bin: SQL ntile under
+        # (value, rowid) — the remainder-rule semantics ntile_from_rank
+        # reproduces exactly
+        "lineitem_qbins": """
+            WITH b AS (
+              SELECT l_extendedprice,
+                     ntile(10) OVER (ORDER BY l_extendedprice,
+                                     l_orderkey * 16 + l_linenumber)
+                       AS bin
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT bin, count(*) AS n_rows,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM b GROUP BY 1
         """,
         # rows-only check: embed_pca — the projection is a fixed IEEE
         # expression over LAPACK eigh loadings, which are not SQL

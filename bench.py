@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "events_jackknife",
     "embed_cluster_quality",
     "events_stratified_ate",
+    "lineitem_salted_join",
+    "lineitem_qbins",
 ]
 
 

@@ -92,3 +92,55 @@ def zorder_key(
         for c in cols
     ]
     return tmp.select(*df.columns, _interleave(bucketed, bits).alias(out_col))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread each hot key of ``big`` across
+    ``n_salts`` sub-partitions and replicate ``small`` once per salt,
+    so one pathological key (the null-ish sentinel everyone joins on,
+    the one whale customer) stops pinning an entire shuffle partition
+    to a single straggler task. The classic manual remedy when AQE's
+    runtime skew-split can't apply (it only splits SORT-merge
+    partitions after materialization; a straggler inside an ongoing
+    stage, or a shuffled-hash join, still wants pre-salting).
+
+    SALTING IS EXECUTION-ONLY: the output rows are byte-identical to
+    the plain join (the salt never reaches the output schema, and any
+    big-row→salt assignment is valid), which is exactly what lets the
+    DuckDB oracle replay the UNSALTED join. The salt here is
+    ``spark_partition_id() mod n_salts`` — zero compute, deterministic
+    within a run, and it spreads a hot key over as many salts as
+    source partitions carry it.
+
+    Cost model (why this is not the default): ``small`` is duplicated
+    ``n_salts``× through the shuffle — worth it only when ``small`` is
+    much smaller than the skewed side yet too big to broadcast. ``how``
+    supports ``inner`` and ``left`` (the skewed-side-preserving
+    outer); a right/full outer would multiply unmatched ``small`` rows
+    per salt and is rejected."""
+    if n_salts < 2:
+        raise ValueError(f"n_salts must be >= 2, got {n_salts}")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how must be 'inner' or 'left' (got {how!r}): outer sides "
+            "on the replicated input would duplicate unmatched rows"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = set(keys) & {"__salt"}
+    if clash or "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("'__salt' column name is reserved")
+    b = big.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.expr(f"sequence(0, {int(n_salts) - 1})")),
+    )
+    out = b.join(s, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -1152,3 +1152,44 @@ def weighted_quantiles(
         F.col("__tw").cast("double").alias("total_weight"),
         F.col("__v").cast("double").alias("quantile"),
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency (quantile) binning as a PUBLIC row-grain
+    operator — the discretizer feature pipelines run before target
+    encoding, WoE scoring, or monotone-binned calibration: each row
+    gets the SQL ``ntile(n_bins)`` bucket of its value under the total
+    order ``(value, id)``.
+
+    This is the building block :func:`lift_table` /
+    :func:`~.segmentation.rfm_segments` already use, exposed directly:
+    the exact bucketed global rank (:func:`~.ranks.global_rank` with
+    ``tie_fanout`` — a modal value cannot collapse the pass into one
+    window task) plus the exact-integer ntile remainder arithmetic
+    (:func:`~.ranks.ntile_from_rank`), so there is NO unpartitioned
+    ntile window anywhere and results equal the SQL window
+    bit-for-bit. Null values or ids are excluded. Returns the input
+    columns plus ``out_col`` (1-based bin id)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    from .ranks import global_rank, ntile_from_rank
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).localCheckpoint(eager=False)  # feeds the count AND the rank pass
+    nn = base.agg(F.count(F.lit(1)).alias("__qbn"))
+    ranked = global_rank(
+        base, value_col, [id_col], out_col="__qbr", tie_fanout=True
+    ).crossJoin(F.broadcast(nn))
+    return ranked.withColumn(
+        out_col,
+        ntile_from_rank(
+            F.col("__qbr"), F.col("__qbn").cast("bigint"), n_bins
+        ),
+    ).drop("__qbr", "__qbn")

@@ -1369,3 +1369,30 @@ def stream_association_cells(
     from intake_esm_spark.operators.groupstats import _assoc_cells
 
     return _assoc_cells(df, a_col, b_col)
+
+
+def stream_ratio_ab(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+    treatment: str,
+    control: str,
+) -> DataFrame:
+    """Streaming twin #24 — ``operators.experiment.ratio_ab_test`` as
+    a LIVE ratio-metric monitor (revenue-per-session is the metric
+    most experiments actually ship on, and its delta-method variance
+    needs the within-unit numerator/denominator covariance — all
+    twelve moments of which are ADDITIVE). Like the mSPRT twin, no
+    custom state: the batch plan is ONE global aggregation of per-arm
+    conditional exact-decimal moments with an in-row closed-form
+    projection on top — a legal streaming global aggregation in update
+    mode (state: two longs + ten decimals). Each update row is the new
+    running report; the LAST update equals the batch report over
+    everything ingested bit-for-bit (exact decimal moments into fixed
+    IEEE expressions; pinned by the parity test)."""
+    from intake_esm_spark.operators.experiment import ratio_ab_test
+
+    return ratio_ab_test(
+        df, group_col, num_col, den_col, treatment, control
+    )

@@ -979,3 +979,118 @@ def test_stratified_ate_drops_unsupported_strata(spark):
     assert row["n_strata_used"] == 2
     with pytest.raises(ValueError):
         stratified_ate(df, "t", "y", "s", "uid", n_strata=1)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from intake_esm_spark.operators.layout import salted_join
+
+    rng = np.random.RandomState(13)
+    # heavy skew: 80% of rows share one key
+    keys = np.where(rng.rand(500) < 0.8, 7, rng.randint(0, 50, 500))
+    big = spark.createDataFrame(
+        [(int(k), float(i)) for i, k in enumerate(keys)],
+        "k long, v double",
+    ).repartition(8)
+    small = spark.createDataFrame(
+        [(int(k), f"dim{k}") for k in range(0, 50, 2)],
+        "k long, name string",
+    )
+    plain = (
+        big.join(small, "k").groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    salted = (
+        salted_join(big, small, "k", n_salts=4)
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left join preserves unmatched big rows exactly once
+    lp = big.join(small, "k", "left").count()
+    ls = salted_join(big, small, "k", n_salts=4, how="left").count()
+    assert lp == ls == 500
+    # the small side is replicated through an explode in the plan
+    plan_df = salted_join(big, small, "k", n_salts=4)
+    assert "explode" in plan_df._jdf.queryExecution().toString().lower()
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", n_salts=1)
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")
+
+
+def test_quantile_bin_matches_sql_ntile(spark):
+    from intake_esm_spark.operators.profiling import quantile_bin
+
+    rng = np.random.RandomState(14)
+    vals = rng.randint(0, 7, 103).astype(float)  # heavy ties
+    pdf = pd.DataFrame({"uid": np.arange(103), "v": vals})
+    df = spark.createDataFrame(pdf)
+    got = quantile_bin(df, "v", "uid", n_bins=4)
+    ref = df.selectExpr(
+        "uid", "v", "ntile(4) OVER (ORDER BY v, uid) AS bin"
+    )
+    assert sorted(map(tuple, got.select("uid", "bin").collect())) == sorted(
+        map(tuple, ref.select("uid", "bin").collect())
+    )
+    with pytest.raises(ValueError):
+        quantile_bin(df, "v", "uid", n_bins=0)
+
+
+def test_stream_ratio_ab_matches_batch(spark, tmp_path):
+    """Two micro-batches of ratio-metric units: the LAST update equals
+    the whole-corpus batch delta-method report exactly (additive
+    decimal moments — the mSPRT-twin parity argument verbatim)."""
+    import glob
+    import shutil
+
+    from intake_esm_spark.operators.experiment import ratio_ab_test
+    from intake_esm_spark.streaming.stateful import stream_ratio_ab
+
+    rng = np.random.RandomState(15)
+    n = 60
+    g = np.where(rng.rand(n) < 0.5, "t", "c")
+    y = rng.poisson(8, n) + 1.0
+    x = np.round(y * 1.4 + rng.normal(0, 1, n), 3)
+    pdf = pd.DataFrame({"g": g, "x": x, "y": y})
+    df = spark.createDataFrame(pdf)
+    batch = ratio_ab_test(df, "g", "x", "y", "t", "c").collect()[0]
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32(F.col("x").cast("string")) % 2 == 0).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "a"))
+    df.filter(F.crc32(F.col("x").cast("string")) % 2 == 1).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_ratio_ab(stream, "g", "x", "y", "t", "c")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ratio_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM ratio_stream").collect()
+    finally:
+        q.stop()
+    last = emitted[-1]
+    for c in (
+        "n_treat", "n_control", "ratio_treat", "ratio_control",
+        "diff", "z", "significant",
+    ):
+        assert last[c] == batch[c], c
