@@ -4878,6 +4878,30 @@ def q_lineitem_qbins(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct l-diversity audit (operators/privacy.py
+    l_diversity_report): per event-type quasi-group, row count +
+    distinct users (the sensitive attribute here) + the diversity
+    flag — the homogeneity-attack gate k-anonymity misses."""
+    from intake_esm_spark.operators.privacy import l_diversity_report
+
+    events = load_table(spark, sf, "events")
+    return l_diversity_report(
+        events, ["event_type"], "user_id", l_threshold=5
+    )
+
+
+def q_events_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Laplace-mechanism noisy per-type counts with deterministic
+    md5-inverse-CDF noise (operators/privacy.py dp_noisy_counts):
+    the DP release shape as a pure function of (data, epsilon, salt) —
+    engine-replayable, which is what the oracle proves."""
+    from intake_esm_spark.operators.privacy import dp_noisy_counts
+
+    events = load_table(spark, sf, "events")
+    return dp_noisy_counts(events, ["event_type"], epsilon=1.0, salt="v1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4915,6 +4939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stratified_ate": q_events_stratified_ate,
         "lineitem_salted_join": q_lineitem_salted_join,
         "lineitem_qbins": q_lineitem_qbins,
+        "events_l_diversity": q_events_l_diversity,
+        "events_dp_counts": q_events_dp_counts,
         # Block 1: round-11 earlier changes — events_msprt, events_fdr,
         # orders_trimmed, lineitem_exact_quantiles,
         # orders_priority_quantiles and orders_benford are NEW
@@ -4928,8 +4954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 20 new + 18
-        # changed + 12 oldest = the 50-entry driver window.
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 22 new + 18
+        # changed + 10 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -12402,6 +12428,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
                         AS DOUBLE) AS revenue
             FROM b GROUP BY 1
+        """,
+        # replays operators/privacy.py l_diversity_report: grouped
+        # count-distinct of the sensitive value, nulls added back as
+        # their own disclosure
+        "events_l_diversity": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(count(DISTINCT user_id)
+                        + max(CASE WHEN user_id IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sensitive,
+                   CAST(count(DISTINCT user_id)
+                        + max(CASE WHEN user_id IS NULL
+                              THEN 1 ELSE 0 END) >= 5 AS INT)
+                     AS is_diverse
+            FROM events GROUP BY 1
+        """,
+        # replays operators/privacy.py dp_noisy_counts: the md5-60
+        # inverse-Laplace draw keyed by (salt, cell) — noise is a pure
+        # deterministic function, so both engines release identical
+        # noisy counts
+        "events_dp_counts": f"""
+            WITH c AS (
+              SELECT event_type, count(*) AS n FROM events GROUP BY 1
+            ), u AS (
+              SELECT event_type, n,
+                     CAST(('0x' || substr(md5('v1' || '|'
+                            || event_type), 1, 15)) AS BIGINT)
+                       / CAST({2**60} AS DOUBLE) - 0.5 AS half
+              FROM c
+            )
+            SELECT event_type,
+                   greatest(CAST(round(CAST(n AS DOUBLE)
+                     - 1.0 * sign(half)
+                       * ln(greatest(1.0 - 2.0 * abs(half), 1e-18)),
+                     0) AS BIGINT), 0) AS noisy_count
+            FROM u
         """,
         # rows-only check: embed_pca — the projection is a fixed IEEE
         # expression over LAPACK eigh loadings, which are not SQL

@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "events_stratified_ate",
     "lineitem_salted_join",
     "lineitem_qbins",
+    "events_l_diversity",
+    "events_dp_counts",
 ]
 
 

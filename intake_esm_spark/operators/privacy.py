@@ -60,3 +60,107 @@ def suppress_quasi(
             for c in df.columns
         ]
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity audit — the gate k-anonymity misses
+    (Machanavajjhala et al. 2007): a 50-row quasi-group is k-safe, but
+    if all 50 share ONE sensitive value the attacker learns it without
+    re-identifying anyone (the homogeneity attack). Per quasi
+    combination: the row count, the number of DISTINCT sensitive
+    values, and the ``is_diverse`` flag (≥ l distinct).
+
+    Scale: one partial-aggregated groupBy on the quasi columns with an
+    exact count-distinct of the sensitive value INSIDE the same
+    aggregation (Spark's count(DISTINCT x) over a grouped agg — the
+    expand is per-group, bounded by group size); output bounded by the
+    number of distinct combinations. Null sensitive values are a
+    disclosure of their own and count as one distinct value (documented
+    — both engines' count(DISTINCT) excludes nulls, so they are added
+    back explicitly when present)."""
+    if l_threshold < 1:
+        raise ValueError(f"l_threshold must be >= 1, got {l_threshold}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    agg = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.countDistinct(F.col(sensitive_col))
+            + F.max(
+                F.when(F.col(sensitive_col).isNull(), 1).otherwise(0)
+            )
+        ).alias("n_sensitive"),
+    )
+    return agg.select(
+        *quasi_cols,
+        "n_rows",
+        "n_sensitive",
+        (F.col("n_sensitive") >= l_threshold)
+        .cast("int")
+        .alias("is_diverse"),
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Laplace-mechanism noisy counts with DETERMINISTIC noise — the
+    ε-DP release shape (count + Lap(1/ε) per cell, sensitivity 1 for
+    add/remove-one-row) with the noise drawn by inverting the Laplace
+    CDF at ``u = md5₆₀(salt|cell)/2⁶⁰`` instead of an RNG: the same
+    engine-portable construction as the Poisson bootstrap
+    (:func:`~.experiment.bootstrap_mean_ci`), so a release is a pure
+    function of (data, ε, salt) — reproducible across engines, runs,
+    and partitionings, and SQL-oracle-replayable.
+
+    HONEST CAVEAT (documented, not hidden): a cryptographic-hash draw
+    keyed by the cell is pseudorandom, not random — formally this is
+    the DP *mechanism shape* with a PRF noise source (the standard
+    practice in deterministic/replayable pipelines); an adversary who
+    knows the salt can subtract the noise, so the salt must be treated
+    as a secret key. For a release where formal ε-DP against
+    salt-knowing adversaries is required, swap the draw for a true RNG
+    — everything else (sensitivity, scale, clamping) is unchanged.
+
+    Scale: one partial-aggregated groupBy; the noise is in-row
+    arithmetic on the cell grain. Noisy counts are rounded to the
+    nearest integer and clamped at 0 (the usual post-processing, which
+    DP composition permits). Returns ``(*group_cols, noisy_count)`` —
+    the true count never appears in the output schema."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from intake_esm_spark.functions.text import salted_hash60
+
+    cells = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+    )
+    u = (
+        salted_hash60(key, salt).cast("double")
+        / F.lit(float(2**60))
+    )
+    # inverse Laplace CDF at u ∈ [0, 1): b = 1/ε, centered at 0.5;
+    # clamp the log argument away from 0 (u = 0.5 exactly gives 0)
+    b = 1.0 / float(epsilon)
+    half = u - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(half)
+    noise = (
+        -F.lit(b)
+        * F.signum(half)
+        * F.log(F.greatest(mag, F.lit(1e-18)))
+    )
+    noisy = F.greatest(
+        F.round(F.col("__n").cast("double") + noise, 0).cast("bigint"),
+        F.lit(0),
+    )
+    return cells.select(*group_cols, noisy.alias("noisy_count"))

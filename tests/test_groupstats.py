@@ -1094,3 +1094,55 @@ def test_stream_ratio_ab_matches_batch(spark, tmp_path):
         "diff", "z", "significant",
     ):
         assert last[c] == batch[c], c
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from intake_esm_spark.operators.privacy import l_diversity_report
+
+    rows = (
+        [("NY", "flu")] * 5              # k-safe but homogeneous
+        + [("SF", "flu"), ("SF", "cold"), ("SF", "covid")]
+        + [("LA", None), ("LA", "flu")]  # null is its own disclosure
+    )
+    df = spark.createDataFrame(rows, "zip string, diagnosis string")
+    got = {
+        r["zip"]: r
+        for r in l_diversity_report(df, ["zip"], "diagnosis", 2).collect()
+    }
+    assert got["NY"]["n_sensitive"] == 1 and got["NY"]["is_diverse"] == 0
+    assert got["SF"]["n_sensitive"] == 3 and got["SF"]["is_diverse"] == 1
+    assert got["LA"]["n_sensitive"] == 2  # null counted as a value
+    with pytest.raises(ValueError):
+        l_diversity_report(df, [], "diagnosis")
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ["zip"], "diagnosis", 0)
+
+
+def test_dp_noisy_counts_deterministic_and_scaled(spark):
+    from intake_esm_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(f"g{i % 40}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string")
+    a = sorted(map(tuple, dp_noisy_counts(df, ["g"], 1.0, "s1").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dp_noisy_counts(df.repartition(17), ["g"], 1.0, "s1").collect(),
+        )
+    )
+    assert a == b  # partition-independent
+    c = sorted(map(tuple, dp_noisy_counts(df, ["g"], 1.0, "s2").collect()))
+    assert a != c  # salt actually moves the draw
+    # noise magnitude tracks 1/epsilon: mean |noisy - true| ~ b
+    true = 100
+    err1 = np.mean([abs(n - true) for _, n in a])
+    wide = sorted(
+        map(tuple, dp_noisy_counts(df, ["g"], 0.05, "s1").collect())
+    )
+    err2 = np.mean([abs(n - true) for _, n in wide])
+    assert err2 > 4 * err1  # b = 20 vs b = 1
+    assert all(n >= 0 for _, n in wide)  # clamped
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], 0.0)
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, [], 1.0)
