@@ -669,3 +669,140 @@ def test_ntile_from_rank_exact_at_huge_frame_sizes(spark):
     ).collect()
     for r in out:
         assert r["got"] == py_ntile(r["rk"], n_rows, n_tiles), r
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-50, max_value=50,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.floats(
+                min_value=-50, max_value=50,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_spearman_invariant_under_monotone_transform(spark, vals):
+    """Spearman depends only on the RANKS: applying a strictly
+    increasing transform to either margin must leave rho unchanged —
+    the defining property that distinguishes it from Pearson, checked
+    for any value multiset including heavy ties (values round to 1dp
+    so ties are common)."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.groupstats import spearman_report
+
+    rows = [(round(x, 1), round(y, 1)) for x, y in vals]
+    df = spark.createDataFrame(rows, "x double, y double")
+    base = spearman_report(df, "x", "y").collect()[0]
+    # strictly increasing: exp(x/25) preserves order (and all ties)
+    tdf = df.select(F.exp(F.col("x") / 25).alias("x"), "y")
+    trans = spearman_report(tdf, "x", "y").collect()[0]
+    assert trans["rho"] == base["rho"]
+    assert trans["n_rows"] == base["n_rows"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(
+                min_value=-50, max_value=50,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_kruskal_invariant_under_monotone_transform(spark, vals):
+    """Kruskal-Wallis is a rank statistic: strictly increasing
+    transforms of the outcome leave H unchanged exactly (same midranks,
+    same tie pattern)."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.groupstats import (
+        kruskal_wallis_report,
+    )
+
+    rows = [(g, round(x, 1)) for g, x in vals]
+    df = spark.createDataFrame(rows, "g string, x double")
+    base = kruskal_wallis_report(df, "g", "x").collect()[0]
+    tdf = df.select("g", (F.col("x") * 3 + 1000).alias("x"))
+    trans = kruskal_wallis_report(tdf, "g", "x").collect()[0]
+    assert trans["h_stat"] == base["h_stat"]
+    assert trans["n_units"] == base["n_units"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=0.1, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    p=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+def test_weighted_quantile_equals_searchsorted(spark, vals, p):
+    """weighted_quantiles == the left-continuous inverse weighted CDF
+    computed by numpy searchsorted, for any (value, weight) multiset
+    and probability."""
+    import numpy as np
+
+    from intake_esm_spark.operators.profiling import weighted_quantiles
+
+    rows = [(round(v, 2), float(w)) for v, w in vals]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = weighted_quantiles(df, "v", "w", [p]).collect()[0]
+    agg = {}
+    for v, w in rows:
+        agg[v] = agg.get(v, 0.0) + w
+    ks = sorted(agg)
+    cw = np.cumsum([agg[k] for k in ks])
+    idx = int(np.searchsorted(cw, p * cw[-1], side="left"))
+    assert got["quantile"] == pytest.approx(ks[idx], abs=1e-9)
+    assert got["n_rows"] == len(rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=3, max_value=60),
+    alpha=st.sampled_from([0.05, 0.1, 0.25]),
+)
+def test_conformal_coverage_guarantee_holds_empirically(spark, n, alpha):
+    """The split-conformal rank: on the calibration set itself, the
+    share of residuals ≤ q_hat is at least k/(n+1) — the finite-sample
+    guarantee the k = ⌈(n+1)(1−α)⌉ order statistic exists to provide
+    (when k ≤ n; otherwise q_hat is null by contract)."""
+    import numpy as np
+
+    from intake_esm_spark.operators.evaluation import conformal_interval
+
+    rng = np.random.RandomState(n)
+    y = rng.normal(0, 1, n).round(3)
+    pred = (y + rng.normal(0, 0.5, n)).round(3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, pred)],
+        "y double, p double",
+    )
+    row = conformal_interval(df, "y", "p", alpha=alpha).collect()[0]
+    k = math.ceil((n + 1) * (1 - alpha))
+    assert row["k_rank"] == k
+    if k > n:
+        assert row["q_hat"] is None
+    else:
+        r = np.round(np.abs(y - pred), 6)
+        assert (r <= row["q_hat"]).mean() >= k / (n + 1) - 1e-12
