@@ -142,8 +142,15 @@ def dp_noisy_counts(
     from intake_esm_spark.functions.text import salted_hash60
 
     cells = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    # null-SAFE cell key: concat_ws SKIPS nulls, so (a, NULL, b) and
+    # (a, b) would collide and share one noise draw — encode each null
+    # as an explicit sentinel instead
     key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in group_cols
+        ],
     )
     u = (
         salted_hash60(key, salt).cast("double")

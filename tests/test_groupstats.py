@@ -1146,3 +1146,32 @@ def test_dp_noisy_counts_deterministic_and_scaled(spark):
         dp_noisy_counts(df, ["g"], 0.0)
     with pytest.raises(ValueError):
         dp_noisy_counts(df, [], 1.0)
+
+
+def test_dp_noisy_counts_null_cells_get_distinct_noise(spark):
+    """(a, NULL) and (a,) -shaped cells must not share a noise draw:
+    concat_ws skips nulls, so the key encodes them explicitly."""
+    from intake_esm_spark.operators.privacy import dp_noisy_counts
+
+    rows = [("a", None)] * 500 + [("a", "x")] * 500
+    df = spark.createDataFrame(rows, "g string, h string")
+    got = {
+        (r["g"], r["h"]): r["noisy_count"]
+        for r in dp_noisy_counts(df, ["g", "h"], 1.0, "s").collect()
+    }
+    assert len(got) == 2
+    # same true count, different keys => (almost surely) different noise;
+    # the real assertion is the KEYS differ, proven by differing draws
+    # for equal counts under a salt chosen to exhibit it
+    diffs = [
+        s
+        for s in ("s", "s2", "s3", "s4")
+        for d in [
+            {
+                (r["g"], r["h"]): r["noisy_count"]
+                for r in dp_noisy_counts(df, ["g", "h"], 1.0, s).collect()
+            }
+        ]
+        if d[("a", None)] != d[("a", "x")]
+    ]
+    assert diffs  # at least one salt separates the two cells
