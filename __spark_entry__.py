@@ -11754,7 +11754,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
               WHERE l_extendedprice IS NOT NULL
                 AND l_quantity IS NOT NULL
-                AND CAST(l_quantity AS DOUBLE) > 0
+                AND round(CAST(l_quantity AS DOUBLE), 6) > 0
             ), pv AS (
               SELECT val, CAST(sum(w) AS DECIMAL(38,6)) AS w,
                      count(*) AS c
@@ -11924,10 +11924,12 @@ def oracle_sql() -> dict[str, str]:
                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy
               FROM m
             )
-            SELECT lag, n AS n_pairs,
-                   round(CASE WHEN n >= 2 AND vx > 0 AND vy > 0
-                         THEN cxy / sqrt(vx * vy) END, 6) + 0.0 AS acf
-            FROM f
+            SELECT lags.lag,
+                   coalesce(f.n, 0) AS n_pairs,
+                   round(CASE WHEN f.n >= 2 AND f.vx > 0 AND f.vy > 0
+                         THEN f.cxy / sqrt(f.vx * f.vy) END, 6) + 0.0
+                     AS acf
+            FROM lags LEFT JOIN f ON lags.lag = f.lag
         """,
         # replays operators/evaluation.py conformal_interval: the same
         # broadcast price-per-unit scalar, 6dp residuals to the
@@ -12290,11 +12292,15 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT cb AS cc, r FROM rcd
             ), pm AS (
-              SELECT cc, max(r) AS mr FROM orient GROUP BY 1
+              SELECT cc, max(r) AS mr,
+                     sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END)
+                       AS mnull
+              FROM orient GROUP BY 1
             ), dbx AS (
               SELECT CAST(sum(CAST(round(mr, 12) AS DECIMAL(38,12)))
                           AS DOUBLE) AS sdb,
-                     count(*) AS kdb, count(mr) AS kv
+                     count(*) AS kdb, count(mr) AS kv,
+                     CAST(sum(mnull) AS BIGINT) AS nulpairs
               FROM pm
             )
             SELECT tn AS n_vecs, tk AS n_clusters,
@@ -12304,6 +12310,7 @@ def oracle_sql() -> dict[str, str]:
                                        - CAST(tk AS DOUBLE)))
                          END, 6) AS calinski_harabasz,
                    round(CASE WHEN tk >= 2 AND kv = tk AND kdb = tk
+                              AND nulpairs = 0
                          THEN sdb / CAST(kdb AS DOUBLE) END, 6)
                      AS davies_bouldin
             FROM tot CROSS JOIN dbx
@@ -12455,7 +12462,9 @@ def oracle_sql() -> dict[str, str]:
             ), u AS (
               SELECT event_type, n,
                      CAST(('0x' || substr(md5('v1' || '|'
-                            || event_type), 1, 15)) AS BIGINT)
+                            || coalesce(event_type,
+                                        chr(0) || 'null')), 1, 15))
+                          AS BIGINT)
                        / CAST({2**60} AS DOUBLE) - 0.5 AS half
               FROM c
             )

@@ -1605,9 +1605,14 @@ def ratio_ab_test(
     decimals; the statistic is one fixed IEEE expression.  Returns one
     row ``(n_treat, n_control, ratio_treat, ratio_control, diff, z,
     significant)``; z null when either arm has n < 2, a zero
-    denominator total, or degenerate variance."""
-    xq = F.round(F.col(num_col).cast("double"), 6).cast("decimal(18,6)")
-    yq = F.round(F.col(den_col).cast("double"), 6).cast("decimal(18,6)")
+    denominator total, or degenerate variance. Null or NON-FINITE
+    numerators/denominators are excluded (a NaN would be counted by n
+    yet vanish from the decimal sums — the count/sum mismatch that
+    silently biases moments)."""
+    xdr = F.col(num_col).cast("double")
+    ydr = F.col(den_col).cast("double")
+    xq = F.round(xdr, 6).cast("decimal(18,6)")
+    yq = F.round(ydr, 6).cast("decimal(18,6)")
     d12 = "decimal(38,12)"
 
     def arm(tag: str, label: str) -> list:
@@ -1631,6 +1636,10 @@ def ratio_ab_test(
         F.col(group_col).isin(treatment, control)
         & F.col(num_col).isNotNull()
         & F.col(den_col).isNotNull()
+        & ~F.isnan(xdr)
+        & ~F.isnan(ydr)
+        & (F.abs(xdr) != F.lit(float("inf")))
+        & (F.abs(ydr) != F.lit(float("inf")))
     )
     m = base.agg(*(arm("t", treatment) + arm("c", control)))
 
@@ -1703,13 +1712,20 @@ def jackknife_ratio_ci(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     from .sampling import hash_bucket
 
-    xq = F.round(F.col(num_col).cast("double"), 6).cast("decimal(18,6)")
-    yq = F.round(F.col(den_col).cast("double"), 6).cast("decimal(18,6)")
+    xdr = F.col(num_col).cast("double")
+    ydr = F.col(den_col).cast("double")
+    xq = F.round(xdr, 6).cast("decimal(18,6)")
+    yq = F.round(ydr, 6).cast("decimal(18,6)")
     per_b = (
         units.filter(
             F.col(num_col).isNotNull()
             & F.col(den_col).isNotNull()
             & F.col(unit_col).isNotNull()
+            # finite only — the ratio_ab_test count/sum-mismatch rule
+            & ~F.isnan(xdr)
+            & ~F.isnan(ydr)
+            & (F.abs(xdr) != F.lit(float("inf")))
+            & (F.abs(ydr) != F.lit(float("inf")))
         )
         .groupBy(
             (hash_bucket(F.col(unit_col), salt) % n_buckets).alias("__b")
@@ -1809,6 +1825,7 @@ def stratified_ate(
     from .ranks import global_rank, ntile_from_rank
 
     sd = F.col(score_col).cast("double")
+    yd0 = F.col(outcome_col).cast("double")
     base = units.filter(
         F.col(treatment_col).isNotNull()
         & F.col(outcome_col).isNotNull()
@@ -1816,6 +1833,9 @@ def stratified_ate(
         & F.col(id_col).isNotNull()
         & ~F.isnan(sd)
         & (F.abs(sd) != F.lit(float("inf")))
+        # outcome too — the count/sum mismatch rule
+        & ~F.isnan(yd0)
+        & (F.abs(yd0) != F.lit(float("inf")))
     ).select(
         F.col(id_col).alias("__id"),
         (F.col(treatment_col) > 0).cast("int").alias("__t"),

@@ -50,11 +50,19 @@ def _group_moments(
     DECIMAL(18,6) first, so the sum and sum-of-squares are EXACT and
     additive (any partition order, any micro-batch split — same
     moments).  One partial-aggregated exchange, group-cardinality-sized
-    output.  Null group keys and null values are excluded."""
-    xq = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    output.  Null group keys and null or NON-FINITE values are
+    excluded — a NaN would pass isNotNull, be COUNTED by n, yet vanish
+    from the decimal sums (round(NaN) casts to null), silently biasing
+    every downstream mean/variance; |values| ≥ 1e12 remain the
+    documented DECIMAL(18,6) domain bound shared by the whole repo."""
+    xd = F.col(value_col).cast("double")
+    xq = F.round(xd, 6).cast("decimal(18,6)")
     return (
         units.filter(
-            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+            F.col(group_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & ~F.isnan(xd)
+            & (F.abs(xd) != F.lit(float("inf")))
         )
         .groupBy(F.col(group_col).alias("__g"))
         .agg(
@@ -277,9 +285,16 @@ def kruskal_wallis_report(
     (C = 0)."""
     from .ranks import bucketed_cumsum
 
+    kvd = F.col(value_col).cast("double")
     per_vg = (
         units.filter(
-            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+            F.col(group_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            # finite only — the spearman/bucketed-span contract: NaN
+            # would rank above every finite value AND poison the
+            # bucket span (ranks.py docstring)
+            & ~F.isnan(kvd)
+            & (F.abs(kvd) != F.lit(float("inf")))
         )
         .groupBy(
             F.col(value_col).alias("__val"),

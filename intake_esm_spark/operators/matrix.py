@@ -48,10 +48,12 @@ def embedding_covariance(
     contract the simsearch operators already rely on); null vectors
     are excluded. Returns ``d(d+1)/2`` rows ``(i, j, n_vecs, cov[,
     corr])``, 0-based dims; ``corr`` is null when either diagonal
-    degenerates. Requires N ≥ 2."""
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(vec_col).alias("__vec")
-    )
+    degenerates. Requires N ≥ 2. Empty arrays are excluded like nulls
+    (a failed upstream embed must not kill the job — ``element_at`` on
+    a 0-element array throws)."""
+    base = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1)
+    ).select(F.col(vec_col).alias("__vec"))
     # 6dp-quantized components, computed once per row
     q = base.select(
         F.expr(
@@ -166,7 +168,9 @@ def pca_project(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    base = df.filter(F.col(vec_col).isNotNull())
+    base = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1)
+    )
     moms = (
         base.select(F.posexplode(vec_col).alias("__i", "__v"))
         .groupBy("__i")
@@ -471,13 +475,21 @@ def cluster_quality(
     both = rcd.select(F.col("__ca").alias("__cc"), "__r").unionByName(
         rcd.select(F.col("__cb").alias("__cc"), "__r")
     )
-    per_max = both.groupBy("__cc").agg(F.max("__r").alias("__mr"))
+    per_max = both.groupBy("__cc").agg(
+        F.max("__r").alias("__mr"),
+        # a null R (coincident centroids: d2 = 0) means THIS cluster's
+        # worst-pair ratio is infinite — max() would silently skip it
+        F.sum(F.when(F.col("__r").isNull(), 1).otherwise(0)).alias(
+            "__mnull"
+        ),
+    )
     db = per_max.agg(
         F.sum(F.round(F.col("__mr"), 12).cast(d12))
         .cast("double")
         .alias("__sdb"),
         F.count(F.lit(1)).alias("__kdb"),
         F.count("__mr").alias("__kv"),
+        F.sum("__mnull").alias("__nulpairs"),
     )
     m = tot.crossJoin(F.broadcast(db))
     tnd = F.col("__tn").cast("double")
@@ -491,7 +503,8 @@ def cluster_quality(
     dbi = F.when(
         (F.col("__tk") >= 2)
         & (F.col("__kv") == F.col("__tk"))
-        & (F.col("__kdb") == F.col("__tk")),
+        & (F.col("__kdb") == F.col("__tk"))
+        & (F.col("__nulpairs") == 0),
         F.col("__sdb") / F.col("__kdb").cast("double"),
     )
     return m.select(

@@ -1099,8 +1099,11 @@ def weighted_quantiles(
     task. Determinism: weights quantize to DECIMAL(18,6) so cumulative
     weights are exact decimals; the target ``p·W`` and the span
     comparison evaluate on the same correctly-rounded doubles in both
-    engines. Rows with null value, null weight, or weight ≤ 0 are
-    excluded (a zero-weight value must not be pickable as a quantile).
+    engines. Rows whose value or weight is null, or whose 6dp-ROUNDED
+    weight is ≤ 0, are excluded (a zero-weight value must not be
+    pickable as a quantile — and the filter applies to the QUANTIZED
+    weight, so a 1e-7 weight that rounds to zero mass cannot pass the
+    filter yet vanish from the cumulative spans).
     ``probs`` must each lie in (0, 1]. Returns one row per
     probability: ``(prob, n_rows, total_weight, quantile)``; empty
     frame returns zero rows."""
@@ -1116,7 +1119,7 @@ def weighted_quantiles(
         df.filter(
             F.col(value_col).isNotNull()
             & F.col(weight_col).isNotNull()
-            & (F.col(weight_col).cast("double") > 0)
+            & (F.round(F.col(weight_col).cast("double"), 6) > 0)
         )
         .groupBy(F.col(value_col).alias("__v"))
         .agg(

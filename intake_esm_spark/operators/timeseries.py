@@ -599,8 +599,12 @@ def acf_report(
     the bounded frame.  Determinism: daily totals are exact
     DECIMAL(18,6); per-lag moments accumulate as exact decimals
     (products as DECIMAL(38,12)); each lag's coefficient is one fixed
-    IEEE expression.  Returns one row per lag ``(lag, n_pairs, acf)``;
-    null acf when a lag has < 2 pairs or either margin degenerates."""
+    IEEE expression.  Returns EXACTLY one row per lag 1..``max_lag``
+    ``(lag, n_pairs, acf)`` — a lag with zero aligned pairs (series
+    shorter than the lag, or a gap swallowing it) reports
+    ``n_pairs = 0`` with null acf rather than silently vanishing (a
+    consumer iterating the lags must see the hole); acf is also null
+    when a lag has < 2 pairs or either margin degenerates."""
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
@@ -636,10 +640,19 @@ def acf_report(
         (nd * F.col("__sxy").cast("double") - sx * sy)
         / F.sqrt(vx * vy),
     )
-    return m.select(
+    got = m.select(
         "lag",
         F.col("__n").alias("n_pairs"),
         F.round(r, 6).alias("acf"),
+    )
+    # every requested lag appears, even with zero pairs (doc contract)
+    all_lags = events.sparkSession.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    return all_lags.join(got, "lag", "left").select(
+        "lag",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        "acf",
     )
 
 
