@@ -437,6 +437,93 @@ def main() -> None:
     assert all(a <= b for a, b in zip(nah, nah[1:])), "NA hazard rises"
     out["na_final_cum_hazard"] = nah[-1] if nah else None
 
+    # round-11 second session: k-sample stats, change point, causal,
+    # matrix analytics — driven end-to-end on the same frames
+    from intake_esm_spark.operators.groupstats import (
+        anova_report,
+        kruskal_wallis_report,
+    )
+    from intake_esm_spark.operators.timeseries import (
+        mann_kendall_test,
+        pettitt_test,
+    )
+    from intake_esm_spark.operators.matrix import cluster_quality
+    from intake_esm_spark.operators.experiment import (
+        ratio_ab_test,
+        stratified_ate,
+    )
+
+    cohorts = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(value AS DECIMAL(18,6))"))
+            .cast("double")
+            .alias("rev")
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") % 3).cast("string").alias("grp"),
+            "rev",
+        )
+    )
+    kw = kruskal_wallis_report(cohorts, "grp", "rev").collect()[0]
+    an = anova_report(cohorts, "grp", "rev").collect()[0]
+    assert kw["n_units"] == an["n_units"] > 0
+    out["kruskal_h"] = kw["h_stat"]
+    out["anova_f"] = an["f_stat"]
+
+    purch = events.filter(F.col("event_type") == "purchase")
+    cp = pettitt_test(purch).collect()
+    mk = mann_kendall_test(purch).collect()[0]
+    assert mk["n_days"] >= 2
+    out["pettitt_p"] = cp[0]["p_value"] if cp else None
+    out["mann_kendall_z"] = mk["z"]
+
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.expr("CAST(value AS DECIMAL(18,6))"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("ne"),
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).alias("treat"),
+            F.when(F.col("user_id") % 2 == 0, "t")
+            .otherwise("c")
+            .alias("arm"),
+            "rev",
+            "ne",
+        )
+    )
+    rab = ratio_ab_test(per_user, "arm", "rev", "ne", "t", "c").collect()[0]
+    assert rab["n_treat"] > 0 and rab["n_control"] > 0
+    out["ratio_ab_z"] = rab["z"]
+    ate = stratified_ate(
+        per_user, "treat", "rev", "ne", "user_id", n_strata=5
+    ).collect()[0]
+    assert ate["n_strata_used"] + ate["n_strata_dropped"] == 5
+    out["stratified_ate"] = ate["ate"]
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cq = cluster_quality(emb).collect()[0]
+    assert cq["n_clusters"] >= 2
+    out["cluster_ch"] = cq["calinski_harabasz"]
+
     print(json.dumps(out))
 
 
