@@ -4902,6 +4902,50 @@ def q_events_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
     return dp_noisy_counts(events, ["event_type"], epsilon=1.0, salt="v1")
 
 
+def q_events_wilcoxon(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilcoxon signed-rank test (operators/experiment.py
+    wilcoxon_signed_rank) on each user's even-day vs odd-day purchase
+    revenue — the PAIRED nonparametric readout (each user is their own
+    control); zero differences discarded per the standard convention,
+    |d| midranks via the bucketed prefix sum, exact DECIMAL(38,0) rank
+    sums."""
+    from intake_esm_spark.operators.experiment import wilcoxon_signed_rank
+
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.dayofmonth("ts") % 2 == 0,
+                        F.expr("CAST(value AS DECIMAL(18,6))"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("pre"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.dayofmonth("ts") % 2 == 1,
+                        F.expr("CAST(value AS DECIMAL(18,6))"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("post"),
+        )
+    )
+    return wilcoxon_signed_rank(per_user, "pre", "post")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4941,6 +4985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_qbins": q_lineitem_qbins,
         "events_l_diversity": q_events_l_diversity,
         "events_dp_counts": q_events_dp_counts,
+        "events_wilcoxon": q_events_wilcoxon,
         # Block 1: round-11 earlier changes — events_msprt, events_fdr,
         # orders_trimmed, lineitem_exact_quantiles,
         # orders_priority_quantiles and orders_benford are NEW
@@ -4954,8 +4999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
         # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
         # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 22 new + 18
-        # changed + 10 oldest = the 50-entry driver window.
+        # fix and docs_jsd the all-pairs guard ADVICE fix. 23 new + 18
+        # changed + 9 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -12474,6 +12519,73 @@ def oracle_sql() -> dict[str, str]:
                        * ln(greatest(1.0 - 2.0 * abs(half), 1e-18)),
                      0) AS BIGINT), 0) AS noisy_count
             FROM u
+        """,
+        # replays operators/experiment.py wilcoxon_signed_rank: exact
+        # decimal differences (zero diffs discarded), |d| midranks via
+        # the window cumsum, tie-corrected variance
+        "events_wilcoxon": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(coalesce(sum(CASE WHEN
+                            day(CAST(ts AS TIMESTAMP)) % 2 = 0
+                            THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                          AS DOUBLE) AS pre,
+                     CAST(coalesce(sum(CASE WHEN
+                            day(CAST(ts AS TIMESTAMP)) % 2 = 1
+                            THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                          AS DOUBLE) AS post
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), dd AS (
+              SELECT CAST(round(post, 6) AS DECIMAL(18,6))
+                     - CAST(round(pre, 6) AS DECIMAL(18,6)) AS d
+              FROM pu
+            ), np AS (
+              SELECT count(*) AS n_pairs FROM dd
+            ), nz AS (
+              SELECT d FROM dd WHERE d <> 0
+            ), pv AS (
+              SELECT abs(d) AS val,
+                     CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cp,
+                     count(*) AS c
+              FROM nz GROUP BY 1
+            ), rk AS (
+              SELECT val, cp, c,
+                     sum(c) OVER (ORDER BY val ASC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM pv
+            ), m AS (
+              SELECT CAST(sum(c) AS BIGINT) AS nn,
+                     CAST(sum(CAST(cp AS DECIMAL(38,0))
+                              * (2 * cum - c + 1)) AS DOUBLE) AS w2,
+                     CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c - c)
+                          AS DOUBLE) AS tt
+              FROM rk
+            ), f AS (
+              SELECT np.n_pairs, coalesce(m.nn, 0) AS nn, m.w2, m.tt,
+                     CAST(coalesce(m.nn, 0) AS DOUBLE) AS nd
+              FROM np CROSS JOIN m
+            ), z AS (
+              SELECT n_pairs, nn, w2, nd,
+                     round(CASE WHEN nn > 0
+                            AND nd * (nd + 1.0) * (2.0 * nd + 1.0)
+                                / 24.0 - tt / 48.0 > 0
+                           THEN (w2 / 2.0 - nd * (nd + 1.0) / 4.0)
+                                / sqrt(nd * (nd + 1.0)
+                                       * (2.0 * nd + 1.0) / 24.0
+                                       - tt / 48.0)
+                           END, 6) + 0.0 AS z6
+              FROM f
+            )
+            SELECT n_pairs, nn AS n_nonzero,
+                   CASE WHEN nn > 0 THEN round(w2 / 2.0, 6) END
+                     AS w_plus,
+                   z6 AS z,
+                   CAST(coalesce(abs(z6) >= 1.959964, false) AS INT)
+                     AS significant
+            FROM z
         """,
         # rows-only check: embed_pca — the projection is a fixed IEEE
         # expression over LAPACK eigh loadings, which are not SQL

@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "lineitem_qbins",
     "events_l_diversity",
     "events_dp_counts",
+    "events_wilcoxon",
 ]
 
 

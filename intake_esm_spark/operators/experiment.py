@@ -1939,3 +1939,88 @@ def stratified_ate(
             (F.abs(z6) >= F.lit(z_threshold)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def wilcoxon_signed_rank(
+    units: DataFrame,
+    pre_col: str,
+    post_col: str,
+    z_threshold: float = 1.959964,
+) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED nonparametric companion:
+    :func:`mannwhitney_report` compares two independent samples, this
+    compares each unit WITH ITSELF (pre/post, A-vs-B on the same user),
+    which removes between-unit variance the way :func:`cuped_report`
+    does parametrically but without assuming normality of the
+    differences. Zero differences are discarded (the standard Wilcoxon
+    convention), |d| midranks carry ties, and the normal approximation
+    uses the tie-corrected variance
+    ``n(n+1)(2n+1)/24 − Σ(t³−t)/48``.
+
+    Scale shape (the Mann-Whitney discipline): one |d|-keyed exchange
+    collapses the pairs to the distinct-|difference| grain; cumulative
+    counts come from the bucketed prefix sum, so no single task ever
+    sorts the frame even when differences are continuous.
+
+    Determinism: differences quantize to 6dp decimals (so d = 0 is
+    exact, not an IEEE accident); ``2·midrank = 2·cum − c + 1`` is an
+    integer, and ``2·W⁺ = Σ₊ c₊·(2·cum − c + 1)`` accumulates as exact
+    DECIMAL(38,0); the z is one fixed IEEE expression. Null or
+    non-finite pre/post values are excluded (the count/sum-mismatch
+    rule). Returns one row ``(n_pairs, n_nonzero, w_plus, z,
+    significant)``; z null when no nonzero pairs remain or the
+    variance degenerates (all |d| tied at one value still leaves a
+    valid variance unless n_nonzero = 0)."""
+    pre = F.col(pre_col).cast("double")
+    post = F.col(post_col).cast("double")
+    d = (
+        F.round(post, 6).cast("decimal(18,6)")
+        - F.round(pre, 6).cast("decimal(18,6)")
+    )
+    base = units.filter(
+        F.col(pre_col).isNotNull()
+        & F.col(post_col).isNotNull()
+        & ~F.isnan(pre)
+        & ~F.isnan(post)
+        & (F.abs(pre) != F.lit(float("inf")))
+        & (F.abs(post) != F.lit(float("inf")))
+    ).select(d.alias("__d"))
+    n_all = base.agg(F.count(F.lit(1)).alias("__np"))
+    nz = base.filter(F.col("__d") != 0)
+    per_v = nz.groupBy(F.abs(F.col("__d")).alias("__val")).agg(
+        F.sum((F.col("__d") > 0).cast("bigint")).alias("__cp"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    from .ranks import bucketed_cumsum
+
+    ranked = bucketed_cumsum(per_v, ["__c"], val_col="__val")
+    two_wp = F.sum(
+        F.expr("CAST(__cp AS DECIMAL(38,0)) * (2 * __cum___c - __c + 1)")
+    )
+    ties = F.sum(F.expr("CAST(__c AS DECIMAL(38,0)) * __c * __c - __c"))
+    m = (
+        ranked.agg(
+            F.sum("__c").alias("__nn"),
+            two_wp.cast("double").alias("__2wp"),
+            ties.cast("double").alias("__tt"),
+        )
+        .crossJoin(F.broadcast(n_all))
+    )
+    nn = F.coalesce(F.col("__nn"), F.lit(0))
+    nd = nn.cast("double")
+    wp = F.col("__2wp") / F.lit(2.0)
+    mean = nd * (nd + F.lit(1.0)) / F.lit(4.0)
+    var = nd * (nd + F.lit(1.0)) * (
+        F.lit(2.0) * nd + F.lit(1.0)
+    ) / F.lit(24.0) - F.col("__tt") / F.lit(48.0)
+    z = F.when((nn > 0) & (var > 0), (wp - mean) / F.sqrt(var))
+    z6 = F.round(z, 6)
+    return m.select(
+        F.col("__np").alias("n_pairs"),
+        nn.alias("n_nonzero"),
+        F.when(nn > 0, F.round(wp, 6)).alias("w_plus"),
+        z6.alias("z"),
+        F.coalesce(
+            (F.abs(z6) >= F.lit(z_threshold)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

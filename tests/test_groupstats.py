@@ -1175,3 +1175,45 @@ def test_dp_noisy_counts_null_cells_get_distinct_noise(spark):
         if d[("a", None)] != d[("a", "x")]
     ]
     assert diffs  # at least one salt separates the two cells
+
+
+def test_wilcoxon_signed_rank_matches_exact_reference(spark):
+    from intake_esm_spark.operators.experiment import wilcoxon_signed_rank
+
+    rng = np.random.RandomState(21)
+    pre = rng.normal(10, 2, 200).round(2)
+    post = (pre + 0.4 + rng.normal(0, 1, 200)).round(2)
+    df = spark.createDataFrame(pd.DataFrame({"pre": pre, "post": post}))
+    row = wilcoxon_signed_rank(df, "pre", "post").collect()[0]
+    # EXACT integer-cents differences — double subtraction of 2dp
+    # values splits ties the decimal arithmetic correctly keeps
+    d = np.round(post * 100).astype(int) - np.round(pre * 100).astype(int)
+    nzd = d[d != 0]
+    r = pd.Series(np.abs(nzd)).rank(method="average").values
+    wplus = r[nzd > 0].sum()
+    n = len(nzd)
+    _, t = np.unique(np.abs(nzd), return_counts=True)
+    var = n * (n + 1) * (2 * n + 1) / 24 - ((t**3 - t).sum()) / 48
+    z = (wplus - n * (n + 1) / 4) / np.sqrt(var)
+    assert row["n_pairs"] == 200 and row["n_nonzero"] == n
+    assert row["w_plus"] == wplus
+    assert row["z"] == pytest.approx(z, abs=1e-6)
+    assert row["significant"] == 1
+
+
+def test_wilcoxon_zero_diffs_and_degenerate(spark):
+    from intake_esm_spark.operators.experiment import wilcoxon_signed_rank
+
+    # half the pairs tie exactly: discarded per the Wilcoxon convention
+    rows = [(1.0, 1.0)] * 5 + [(1.0, 2.0), (3.0, 1.0), (2.0, 4.0)]
+    df = spark.createDataFrame(rows, "pre double, post double")
+    row = wilcoxon_signed_rank(df, "pre", "post").collect()[0]
+    assert row["n_pairs"] == 8 and row["n_nonzero"] == 3
+    # |d| = 1, 2, 2 -> ranks 1, 2.5, 2.5; positives d=+1 (rank 1), d=+2
+    # (rank 2.5) -> W+ = 3.5
+    assert row["w_plus"] == 3.5
+    # all pairs tied: no evidence, null z
+    allz = spark.createDataFrame([(1.0, 1.0)] * 4, "pre double, post double")
+    zrow = wilcoxon_signed_rank(allz, "pre", "post").collect()[0]
+    assert zrow["n_nonzero"] == 0 and zrow["z"] is None
+    assert zrow["w_plus"] is None and zrow["significant"] == 0
