@@ -4687,8 +4687,11 @@ def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
     (operators/matrix.py pca_project): covariance moments via the
     in-row pair explode, driver-side eigh over the BOUNDED d(d+1)/2
     sidecar, loadings broadcast back as literals, projection one
-    in-row zip_with/aggregate fold. ROWS-ONLY oracle: LAPACK eigh is
-    not SQL arithmetic (the minhash-permutation precedent)."""
+    in-row zip_with/aggregate fold over the SAME 6dp-quantized
+    components the covariance consumed. Oracled since round 12: the
+    oracle builder replays the covariance in DuckDB, runs the shared
+    eigh + sign rule (matrix.pca_loadings_from_cov), and projects
+    with literal loadings (_build_embed_pca_oracle)."""
     from intake_esm_spark.operators.matrix import pca_project
 
     emb = load_table(spark, sf, "embeddings")
@@ -4946,6 +4949,63 @@ def q_events_wilcoxon(spark: SparkSession, sf: str) -> DataFrame:
     return wilcoxon_signed_rank(per_user, "pre", "post")
 
 
+def q_embed_whiten(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-2 PCA-WHITENED projection of the embedding table
+    (operators/matrix.py pca_project(whiten=True)): the same covariance
+    moments + driver eigh as embed_pca, with each loading scaled by
+    1/sqrt(lambda) inside the SHARED pca_loadings_from_cov helper —
+    unit-variance components, the normalization ANN/PQ index builders
+    want. Oracle: the embed_pca literal-loading construction with
+    whiten=True (identical Python scaling on both sides)."""
+    from intake_esm_spark.operators.matrix import pca_project
+
+    emb = load_table(spark, sf, "embeddings")
+    return pca_project(emb, k=2, whiten=True)
+
+
+def q_events_effect_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's d / Hedges' g / Glass's delta between the even/odd
+    user-id cohorts' per-user purchase revenue (operators/groupstats.py
+    effect_size_report): one group-grain moment exchange, min_by/max_by
+    over the 2-row frame, in-plan two-arm guard — the "how big" readout
+    next to the ANOVA/ratio-metric p-value machinery."""
+    from intake_esm_spark.operators.groupstats import effect_size_report
+
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(_dec_sum("value", "rev"))
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"), "rev"
+    )
+    return effect_size_report(per_user, "rev", "cohort")
+
+
+def q_events_cliffs_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Cliff's delta between the same two cohorts (operators/
+    groupstats.py cliffs_delta): dominance counts from the
+    distinct-value grain + bucketed cumsum — pairs never materialize,
+    exact DECIMAL(38,0) products, Romano magnitude label."""
+    from intake_esm_spark.operators.groupstats import cliffs_delta
+
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(_dec_sum("value", "rev"))
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"), "rev"
+    )
+    return cliffs_delta(per_user, "rev", "cohort")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- HEAD-50 (driver records the first 50 entries) -------------
@@ -4953,54 +5013,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most 50 entries, so (standing rule) any entry whose code or
         # oracle changed this round is in the first 50, followed by the
         # entries longest without a driver-green row.
-        # Block 0: round-11 late additions (NEW this round, never
-        # driver-seen) — the k-sample statistics family
-        # (Kruskal-Wallis / one-way+Welch ANOVA / Brown-Forsythe on the
-        # three-cohort revenue frame; Spearman on the tie-heavy
-        # quantity×price pair; Kendall's tau-b on the guarded
-        # contingency grid; categorical MI/NMI/Cramér's V), the
-        # Pettitt change-point and lag-1..7 autocorrelation on daily
-        # revenue, quantity-weighted exact price quantiles, and the
-        # embedding dimension-pair covariance/correlation matrix plus
-        # its top-2 PCA projection (the one rows-only entry).
+        # Block 0: round-12 changes — embed_pca gained its DuckDB oracle
+        # (covariance replay + oracle-side eigh + literal-loading
+        # projection) AND the quantized-projection ADVICE fix; the
+        # embedding moment kernels gained the mixed-dim in-plan guard;
+        # events_mutual_info took the nmi<=1 clamp, events_dp_counts the
+        # cell-key escape (both mirrored in their oracles); the next six
+        # consume the rewritten single-job heavy-value probe
+        # (ranks._heavy_values rollup+TakeOrdered; rfm additionally
+        # folds all three probes into ONE job via probe_heavy_values);
+        # events_theilsen ports both medians onto the rank-probe
+        # selection (no single-task median windows remain).
+        "embed_pca": q_embed_pca,
+        "embed_covariance": q_embed_covariance,
+        "embed_fisher": q_embed_fisher,
+        "embed_cluster_quality": q_embed_cluster_quality,
+        "events_mutual_info": q_events_mutual_info,
+        "events_dp_counts": q_events_dp_counts,
+        "events_rfm": q_events_rfm,
+        "lineitem_abc": q_lineitem_abc,
+        "lineitem_lift": q_lineitem_lift,
+        "events_qini": q_events_qini,
+        "lineitem_qbins": q_lineitem_qbins,
+        "events_stratified_ate": q_events_stratified_ate,
+        "events_theilsen": q_events_theilsen,
+        # Block 0b: round-12 NEW operators — PCA whitening (shared
+        # scaled-loading helper + the embed_pca oracle construction),
+        # Cohen's d / Hedges' g / Glass's delta, and Cliff's delta
+        # (dominance via the bucketed cumsum, pairs never materialize).
+        "embed_whiten": q_embed_whiten,
+        "events_effect_sizes": q_events_effect_sizes,
+        "events_cliffs_delta": q_events_cliffs_delta,
+        # Block 1: the entries longest without a driver-green row —
+        # the r6/r7-era rows the r11 head's 50-entry cut fell short of
+        # (cumulative coverage is 241/241 after this round's embed_pca
+        # close, so this is freshness-only).
+        "dedup_simhash": q_dedup_simhash,
+        "multimodal_features": q_multimodal_features,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "pivot_returnflag": q_pivot_returnflag,
+        "cube_agg": q_cube_agg,
+        "customer_order_stats": q_customer_order_stats,
+        "profile_numeric": q_profile_numeric,
+        "events_sliding": q_events_sliding,
+        "events_topk_user": q_events_topk_user,
+        "text_vocab": q_text_vocab,
+        "dedup_lines": q_dedup_lines,
+        "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        "dedup_lines_report": q_dedup_lines_report,
+        "dedup_spans": q_dedup_spans,
+        "docs_encoding": q_docs_encoding,
+        "text_fingerprint_nfc": q_text_fingerprint_nfc,
+        "dedup_cluster_best": q_dedup_cluster_best,
+        "docs_curated3": q_docs_curated3,
+        "docs_curation_report": q_docs_curation_report,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_audience_overlap": q_events_audience_overlap,
+        "docs_sample_weighted": q_docs_sample_weighted,
+        "events_anomaly": q_events_anomaly,
+        "docs_mixture_temp": q_docs_mixture_temp,
+        "embed_pq_codes": q_embed_pq_codes,
+        "simsearch_pq_topk": q_simsearch_pq_topk,
+        "events_funnel_counts": q_events_funnel_counts,
+        "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
+        "docs_bm25": q_docs_bm25,
+        "docs_tfidf": q_docs_tfidf,
+        "simsearch_ivf_int8": q_simsearch_ivf_int8,
+        # -- rotation tail ---------------------------------------------
+        # (simsearch_ivf / embed_kmeans / dedup_cluster_survivors were
+        # displaced from the head by the three r12-new entries — they
+        # lead the freshness queue next round)
+        "simsearch_ivf": q_simsearch_ivf,
+        "embed_kmeans": q_embed_kmeans,
+        "dedup_cluster_survivors": q_dedup_cluster_survivors,
+        # All driver-green r7-r11; unchanged this round. Order: the
+        # prior rotation order (freshest rows last).
         "events_kruskal": q_events_kruskal,
         "events_anova": q_events_anova,
         "events_brown_forsythe": q_events_brown_forsythe,
         "lineitem_spearman": q_lineitem_spearman,
         "events_pettitt": q_events_pettitt,
-        "events_mutual_info": q_events_mutual_info,
         "lineitem_wquantiles": q_lineitem_wquantiles,
-        "embed_covariance": q_embed_covariance,
         "lineitem_kendall": q_lineitem_kendall,
         "events_acf": q_events_acf,
-        "embed_pca": q_embed_pca,
         "lineitem_conformal": q_lineitem_conformal,
         "events_mann_kendall": q_events_mann_kendall,
-        "embed_fisher": q_embed_fisher,
         "events_ratio_ab": q_events_ratio_ab,
         "events_jackknife": q_events_jackknife,
-        "embed_cluster_quality": q_embed_cluster_quality,
-        "events_stratified_ate": q_events_stratified_ate,
         "lineitem_salted_join": q_lineitem_salted_join,
-        "lineitem_qbins": q_lineitem_qbins,
         "events_l_diversity": q_events_l_diversity,
-        "events_dp_counts": q_events_dp_counts,
         "events_wilcoxon": q_events_wilcoxon,
-        # Block 1: round-11 earlier changes — events_msprt, events_fdr,
-        # orders_trimmed, lineitem_exact_quantiles,
-        # orders_priority_quantiles and orders_benford are NEW
-        # (mixture-SPRT always-valid p; Benjamini-Hochberg FDR over a
-        # 20-cell scoreboard; whale-robust trimmed means; exact type-7
-        # quantiles without value buffering, global and per-group;
-        # Benford first-digit conformity);
-        # events_survival was ported onto the bucketed prefix sum
-        # (oracle quantization changed with it, Nelson-Aalen column
-        # added); the next ten consume operators/ranks.py, which gained
-        # tie_fanout + bucketed_cummin this round (rfm/abc/lift/qini
-        # enable the fan-out; gini/MW/KS/AUC/pr_auc/logrank share the
-        # rewritten module); pr_auc also took the finite-score ADVICE
-        # fix and docs_jsd the all-pairs guard ADVICE fix. 23 new + 18
-        # changed + 9 oldest = the 50-entry driver window.
         "events_msprt": q_events_msprt,
         "events_fdr": q_events_fdr,
         "orders_trimmed": q_orders_trimmed,
@@ -5009,59 +5114,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford": q_orders_benford,
         "events_survival": q_events_survival,
         "events_logrank": q_events_logrank,
-        "events_rfm": q_events_rfm,
-        "lineitem_abc": q_lineitem_abc,
-        "lineitem_lift": q_lineitem_lift,
-        "events_qini": q_events_qini,
         "customer_gini": q_customer_gini,
         "events_mannwhitney": q_events_mannwhitney,
         "events_ks_test": q_events_ks_test,
         "events_auc": q_events_auc,
         "events_pr_auc": q_events_pr_auc,
         "docs_jsd": q_docs_jsd,
-        # Block 2: the entries longest without a driver-green row — the
-        # r6/r7-era rows the r10 head's 50-entry cut fell short of
-        # (cumulative coverage is 212/212, so this is freshness-only).
-        "docs_curated": q_docs_curated,  # last green r6
-        "embed_quantize": q_embed_quantize,  # last green r6
-        "simsearch_pairs_lsh": q_simsearch_pairs_lsh,  # last green r6
-        "multimodal_resize": q_multimodal_resize,  # last green r6
-        "simsearch_scores": q_simsearch_scores,  # last green r6
-        "simsearch_topk": q_simsearch_topk,  # last green r6
-        "simsearch_pairs": q_simsearch_pairs,  # last green r6
-        "simsearch_pairs_blocked": q_simsearch_pairs_blocked,  # last green r6
-        "dedup_minhash": q_dedup_minhash,  # last green r6
-        "dedup_simhash": q_dedup_simhash,  # last green r6
-        "multimodal_features": q_multimodal_features,  # last green r6
-        "events_hourly": q_events_hourly,  # last green r6
-        "events_sessionize": q_events_sessionize,  # last green r6
-        "q6_forecast_revenue": q6_forecast_revenue,  # last green r6
-        "pivot_returnflag": q_pivot_returnflag,  # last green r6
-        "cube_agg": q_cube_agg,  # last green r6
-        "customer_order_stats": q_customer_order_stats,  # last green r6
-        "profile_numeric": q_profile_numeric,  # last green r6
-        "events_sliding": q_events_sliding,  # last green r6
-        "events_topk_user": q_events_topk_user,  # last green r6
-        "text_vocab": q_text_vocab,  # last green r6
-        "dedup_lines": q_dedup_lines,  # last green r6
-        "dedup_lines_keep_first": q_dedup_lines_keep_first,  # last green r6
-        "dedup_lines_report": q_dedup_lines_report,  # last green r6
-        "dedup_spans": q_dedup_spans,  # last green r7
-        "docs_encoding": q_docs_encoding,  # last green r7
-        "text_fingerprint_nfc": q_text_fingerprint_nfc,  # last green r7
-        "dedup_cluster_best": q_dedup_cluster_best,  # last green r7
-        "docs_curated3": q_docs_curated3,  # last green r7
-        "docs_curation_report": q_docs_curation_report,  # last green r7
-        "events_funnel": q_events_funnel,  # last green r7
-        "events_retention": q_events_retention,  # last green r7
-        "events_audience_overlap": q_events_audience_overlap,  # last green r7
-        "docs_sample_weighted": q_docs_sample_weighted,  # last green r7
-        "events_anomaly": q_events_anomaly,  # last green r7
-        "docs_mixture_temp": q_docs_mixture_temp,  # last green r7
-        "embed_pq_codes": q_embed_pq_codes,  # last green r7
-        # -- rotation tail ---------------------------------------------
-        # All driver-green r7-r10; unchanged this round. Order: the
-        # prior rotation order (freshest rows last).
+        "docs_curated": q_docs_curated,
+        "embed_quantize": q_embed_quantize,
+        "simsearch_pairs_lsh": q_simsearch_pairs_lsh,
+        "multimodal_resize": q_multimodal_resize,
+        "simsearch_scores": q_simsearch_scores,
+        "simsearch_topk": q_simsearch_topk,
+        "simsearch_pairs": q_simsearch_pairs,
+        "simsearch_pairs_blocked": q_simsearch_pairs_blocked,
+        "dedup_minhash": q_dedup_minhash,
         "events_calibration": q_events_calibration,
         "events_kappa": q_events_kappa,
         "events_srm": q_events_srm,
@@ -5121,7 +5188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "parts_also_bought": q_parts_also_bought,
         "events_chi2": q_events_chi2,
-        "events_theilsen": q_events_theilsen,
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "docs_cm_heavy_hitters": q_docs_cm_heavy_hitters,
         "docs_lm_perplexity": q_docs_lm_perplexity,
@@ -5191,15 +5257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_indexed": q_docs_bm25_indexed,
         "lineitem_correlations": q_lineitem_correlations,
         "graph_pagerank": q_graph_pagerank,
-        "simsearch_pq_topk": q_simsearch_pq_topk,
-        "events_funnel_counts": q_events_funnel_counts,
-        "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
-        "docs_bm25": q_docs_bm25,
-        "docs_tfidf": q_docs_tfidf,
-        "simsearch_ivf_int8": q_simsearch_ivf_int8,
-        "simsearch_ivf": q_simsearch_ivf,
-        "embed_kmeans": q_embed_kmeans,
-        "dedup_cluster_survivors": q_dedup_cluster_survivors,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frames": q_multimodal_frames,
         "text_stats": q_text_stats,
@@ -11777,7 +11834,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS n_units, ka AS n_a, kb AS n_b,
                    round(mi, 6) + 0.0 AS mi,
                    round(CASE WHEN ha > 0 AND hb > 0
-                         THEN mi / sqrt(ha * hb) END, 6) AS nmi,
+                         THEN least(1.0, mi / sqrt(ha * hb)) END, 6)
+                     AS nmi,
                    round(CASE WHEN least(ka, kb) >= 2
                          THEN sqrt(
                            greatest(x2obs + (CAST(n AS DOUBLE) - eobs),
@@ -12500,15 +12558,21 @@ def oracle_sql() -> dict[str, str]:
         # replays operators/privacy.py dp_noisy_counts: the md5-60
         # inverse-Laplace draw keyed by (salt, cell) — noise is a pure
         # deterministic function, so both engines release identical
-        # noisy counts
+        # noisy counts; the r12 escape chain (\\x1e→\\x1e\\x1e,
+        # \\x1f→\\x1e u, \\x00→\\x1e z) is replayed so separator-
+        # bearing values key the same cells in both engines
         "events_dp_counts": f"""
             WITH c AS (
               SELECT event_type, count(*) AS n FROM events GROUP BY 1
             ), u AS (
               SELECT event_type, n,
                      CAST(('0x' || substr(md5('v1' || '|'
-                            || coalesce(event_type,
-                                        chr(0) || 'null')), 1, 15))
+                            || coalesce(
+                                 replace(replace(replace(event_type,
+                                   chr(30), chr(30) || chr(30)),
+                                   chr(31), chr(30) || 'u'),
+                                   chr(0), chr(30) || 'z'),
+                                 chr(0) || 'null')), 1, 15))
                           AS BIGINT)
                        / CAST({2**60} AS DOUBLE) - 0.5 AS half
               FROM c
@@ -12587,9 +12651,127 @@ def oracle_sql() -> dict[str, str]:
                      AS significant
             FROM z
         """,
-        # rows-only check: embed_pca — the projection is a fixed IEEE
-        # expression over LAPACK eigh loadings, which are not SQL
-        # arithmetic; every other entry has an exact oracle above
+        # replays operators/groupstats.py effect_size_report: per-arm
+        # 6dp decimal moments (the _group_moments kernel, decimal(19,6)
+        # square cast for DuckDB's int128 path), arm a = smaller
+        # cohort, fixed IEEE Cohen/Hedges/Glass expressions
+        "events_effect_sizes": """
+            WITH pu AS (
+              SELECT user_id % 2 AS cohort,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'purchase'
+              GROUP BY user_id
+            ), m AS (
+              SELECT cohort, count(*) AS n,
+                     sum(CAST(round(rev, 6) AS DECIMAL(18,6))) AS s1,
+                     sum(CAST(CAST(round(rev, 6) AS DECIMAL(19,6))
+                              * CAST(round(rev, 6) AS DECIMAL(18,6))
+                              AS DECIMAL(38,12))) AS s2
+              FROM pu
+              WHERE rev IS NOT NULL AND NOT isnan(rev)
+              GROUP BY 1
+            ), aa AS (
+              SELECT n, s1, s2 FROM m ORDER BY cohort ASC LIMIT 1
+            ), bb AS (
+              SELECT n, s1, s2 FROM m ORDER BY cohort DESC LIMIT 1
+            ), f AS (
+              SELECT aa.n AS na, bb.n AS nb,
+                     CAST(aa.n AS DOUBLE) AS n1,
+                     CAST(bb.n AS DOUBLE) AS n2,
+                     CAST(aa.s1 AS DOUBLE) AS s11,
+                     CAST(bb.s1 AS DOUBLE) AS s12,
+                     CAST(aa.s2 AS DOUBLE) AS s21,
+                     CAST(bb.s2 AS DOUBLE) AS s22
+              FROM aa CROSS JOIN bb
+            ), g AS (
+              SELECT na, nb, n1, n2,
+                     s11 / n1 AS mean_a, s12 / n2 AS mean_b,
+                     s12 / n2 - s11 / n1 AS diff,
+                     s21 - s11 * s11 / n1 AS ssqa,
+                     s22 - s12 * s12 / n2 AS ssqb
+              FROM f
+            ), h AS (
+              SELECT na, nb, mean_a, mean_b, diff,
+                     sqrt((ssqa + ssqb) / (n1 + n2 - 2.0)) AS pooled,
+                     ssqa / (n1 - 1.0) AS var_a,
+                     1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0) AS j,
+                     na >= 2 AND nb >= 2 AS ok
+              FROM g
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   round(mean_a, 6) + 0.0 AS mean_a,
+                   round(mean_b, 6) + 0.0 AS mean_b,
+                   round(diff, 6) + 0.0 AS mean_diff,
+                   round(pooled, 6) + 0.0 AS pooled_sd,
+                   round(CASE WHEN ok AND pooled > 0
+                         THEN diff / pooled END, 6) + 0.0 AS cohens_d,
+                   round(j * (CASE WHEN ok AND pooled > 0
+                              THEN diff / pooled END), 6) + 0.0
+                     AS hedges_g,
+                   round(CASE WHEN ok AND var_a > 0
+                         THEN diff / sqrt(var_a) END, 6) + 0.0
+                     AS glass_delta
+            FROM h
+        """,
+        # replays operators/groupstats.py cliffs_delta: dominance
+        # counts at the distinct-value grain (cum of arm-a counts,
+        # exact DECIMAL(38,0) products), Romano magnitude labels
+        "events_cliffs_delta": """
+            WITH pu AS (
+              SELECT user_id % 2 AS g,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS v
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'purchase'
+              GROUP BY user_id
+            ), pv AS (
+              SELECT v,
+                     sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS cb
+              FROM pu
+              WHERE v IS NOT NULL AND NOT isnan(v)
+              GROUP BY v
+            ), c AS (
+              SELECT v, ca, cb,
+                     sum(ca) OVER (ORDER BY v ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+              FROM pv
+            ), t AS (
+              SELECT sum(ca) AS na, sum(cb) AS nb FROM pv
+            ), s AS (
+              SELECT max(t.na) AS n1, max(t.nb) AS n2,
+                     coalesce(sum(CAST(cb AS DECIMAL(38,0))
+                                  * CAST(cum - ca AS DECIMAL(38,0))),
+                              CAST(0 AS DECIMAL(38,0))) AS gt,
+                     coalesce(sum(CAST(cb AS DECIMAL(38,0))
+                                  * (CAST(t.na AS DECIMAL(38,0))
+                                     - CAST(cum AS DECIMAL(38,0)))),
+                              CAST(0 AS DECIMAL(38,0))) AS lt,
+                     coalesce(sum(CAST(cb AS DECIMAL(38,0))
+                                  * CAST(ca AS DECIMAL(38,0))),
+                              CAST(0 AS DECIMAL(38,0))) AS tie
+              FROM c CROSS JOIN t
+            ), z AS (
+              SELECT n1, n2,
+                     CAST(gt AS BIGINT) AS n_gt,
+                     CAST(lt AS BIGINT) AS n_lt,
+                     CAST(tie AS BIGINT) AS n_tie,
+                     round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+                           6) + 0.0 AS d6
+              FROM s
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_a,
+                   CAST(n2 AS BIGINT) AS n_b, n_gt, n_lt, n_tie,
+                   d6 AS cliffs_delta,
+                   CASE WHEN abs(d6) < 0.147 THEN 'negligible'
+                        WHEN abs(d6) < 0.33 THEN 'small'
+                        WHEN abs(d6) < 0.474 THEN 'medium'
+                        ELSE 'large' END AS magnitude
+            FROM z
+        """,
     }
     # docs_curated3 = docs_curated2 with the encoding-repair stage
     # prepended: the identical chain replay over nfc_normalize(text) —
@@ -12609,4 +12791,95 @@ def oracle_sql() -> dict[str, str]:
     d["lineitem_correlations"] = _corr_sql(
         "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+    # embed_pca (round 12 — the last rows-only entry, now oracled): the
+    # oracle harness is Python, so the loadings need not be "SQL
+    # arithmetic" — build them HERE by replaying the proven covariance
+    # SQL in DuckDB and calling the SAME LAPACK eigh + sign rule the
+    # operator uses, then emit a pure-SQL projection over the literal
+    # loadings (construction in _build_embed_pca_oracle)
+    d["embed_pca"] = _build_embed_pca_oracle(d["embed_covariance"])
+    # embed_whiten: the same construction with the 1/sqrt(lambda)
+    # loading scale applied inside the SHARED pca_loadings_from_cov
+    # (both sides scale identically, so the literals match bit-for-bit)
+    d["embed_whiten"] = _build_embed_pca_oracle(
+        d["embed_covariance"], whiten=True
+    )
     return d
+
+
+def _build_embed_pca_oracle(
+    cov_sql: str, k: int = 2, whiten: bool = False
+) -> str:
+    """Pure-SQL oracle for ``embed_pca``, built at oracle-collection
+    time (matrix.py pca_project:135 documents the operator's split):
+
+    1. replay the 6dp-quantized covariance in DuckDB — ``cov_sql`` IS
+       the ``embed_covariance`` entry's SQL, already proven hash-equal
+       to the Spark moments, so the matrix is bit-identical;
+    2. replay the first-moment means exactly as the operator's driver
+       pass (decimal sum of 6dp components → ``float(Decimal)/n``);
+    3. call the SAME :func:`~intake_esm_spark.operators.matrix.
+       pca_loadings_from_cov` (one shared eigh + sign canonicalization
+       — both sides hand bit-identical input to the same LAPACK, so
+       the loadings are deterministic; a repeated eigenvalue makes the
+       eigenBASIS non-unique but not the eigh OUTPUT for identical
+       bits);
+    4. return a projection SQL whose per-row fold replays Spark's
+       ``aggregate(zip_with(...))`` left fold term-for-term —
+       ``0.0 + t₁ + t₂ + …`` is the identical IEEE sequence — over the
+       same 6dp-quantized components, with the loadings and the
+       centering offset as full-precision (repr round-trip) literals.
+
+    The data the literals derive from comes from
+    ``$SPARK_GRAFT_ORACLE_SF_DIR`` (default sf0.01 — the sf the driver
+    compares at; scripts/check_oracle.py pins it to its sweep dir)."""
+    import duckdb
+    import numpy as np
+
+    from intake_esm_spark.operators.matrix import pca_loadings_from_cov
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    cov_rows = con.execute(cov_sql).fetchall()  # (i, j, n_vecs, cov, corr)
+    moms = con.execute(
+        """
+        SELECT i, sum(CAST(v AS DECIMAL(18,6))) AS s1, count(*) AS n
+        FROM (
+          SELECT generate_subscripts(embedding, 1) - 1 AS i,
+                 round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 1
+        ) GROUP BY 1
+        """
+    ).fetchall()
+    d_dim = len(moms)
+    means = np.zeros(d_dim)
+    for i, s1, n in moms:
+        means[i] = float(s1) / n
+    cmat = np.zeros((d_dim, d_dim))
+    for r in cov_rows:
+        cmat[r[0], r[1]] = r[3]
+        cmat[r[1], r[0]] = r[3]
+    comps = pca_loadings_from_cov(cmat, k, whiten=whiten)
+    cols = []
+    for c, v in enumerate(comps, start=1):
+        terms = " + ".join(
+            f"round(CAST(embedding[{i + 1}] AS DOUBLE), 6) * ({float(w)!r})"
+            for i, w in enumerate(v)
+        )
+        offset = repr(float(np.dot(v, means)))
+        cols.append(
+            f"round((0.0 + {terms}) - ({offset}), 6) + 0.0 AS pc_{c}"
+        )
+    return (
+        "SELECT vec_id, "
+        + ", ".join(cols)
+        + " FROM embeddings"
+        + " WHERE embedding IS NOT NULL AND len(embedding) >= 1"
+    )

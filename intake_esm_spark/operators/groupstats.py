@@ -665,9 +665,18 @@ def association_from_cells(cells: DataFrame) -> DataFrame:
             / (nd * (minrc - F.lit(1.0)))
         ),
     )
+    # clamped at 1.0 (round-12 ADVICE, mirroring the greatest(chi2, 0)
+    # clamp on Cramér's V): with 12dp-quantized MI/entropy term sums a
+    # deterministic association can land marginally above 1 after the
+    # 6dp round, which downstream consumers treating nmi ∈ [0, 1]
+    # reject; the least() sits INSIDE the when so a null guard branch
+    # stays null (least() skips nulls)
     nmi = F.when(
         (F.col("__ha") > 0) & (F.col("__hb") > 0),
-        F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")),
+        F.least(
+            F.lit(1.0),
+            F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")),
+        ),
     )
     return m.select(
         F.col("__n").alias("n_units"),
@@ -676,4 +685,186 @@ def association_from_cells(cells: DataFrame) -> DataFrame:
         F.round(F.col("__mi"), 6).alias("mi"),
         F.round(nmi, 6).alias("nmi"),
         F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def effect_size_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample standardized effect sizes — Cohen's d (pooled-SD
+    standardized mean difference), Hedges' g (the small-sample
+    bias-corrected d, ``J = 1 − 3/(4N − 9)``), and Glass's Δ
+    (standardized by the CONTROL arm's SD alone, for when the
+    treatment changes the variance too) — the "how big, not just how
+    significant" companion every A/B readout needs next to
+    :func:`anova_report`'s p-value machinery (reference repo has no
+    statistics surface; extension per SURVEY §2.9).
+
+    The two arms are ordered by the group VALUE: arm ``a`` = the
+    smaller label (the control by the repo's even/odd cohort
+    convention), arm ``b`` = the larger; ``mean_diff`` and all three
+    effect sizes are ``b − a``.  Exactly two groups are required —
+    guarded in-plan by the house ``assert_true`` (a 3-arm frame aborts
+    before any readout emits).
+
+    Scale: ONE partial-aggregated exchange to the group grain (the
+    :func:`_group_moments` kernel — 6dp-quantized exact decimal
+    moments), then ``min_by``/``max_by`` over the 2-row frame; every
+    statistic is a fixed IEEE expression over the exact sums, 6dp
+    output.  Nulls: d/g null when either n < 2 or the pooled variance
+    degenerates to 0; Glass additionally null when arm a's variance is
+    0.  Returns one row ``(n_a, n_b, mean_a, mean_b, mean_diff,
+    pooled_sd, cohens_d, hedges_g, glass_delta)``."""
+    per_g = _group_moments(df, group_col, value_col)
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.min_by(F.struct("__n", "__s1", "__s2"), F.col("__g")).alias(
+            "__a"
+        ),
+        F.max_by(F.struct("__n", "__s1", "__s2"), F.col("__g")).alias(
+            "__b"
+        ),
+    )
+    guard = F.assert_true(
+        F.col("__k") == 2,
+        F.lit(
+            "effect_size_report: exactly TWO groups required — "
+            "standardized mean differences are a two-arm statistic "
+            "(use anova_report for k arms)"
+        ),
+    ).isNull()
+    g = agg.filter(guard)
+    n1 = F.col("__a.__n").cast("double")
+    n2 = F.col("__b.__n").cast("double")
+    s11 = F.col("__a.__s1").cast("double")
+    s12 = F.col("__b.__s1").cast("double")
+    s21 = F.col("__a.__s2").cast("double")
+    s22 = F.col("__b.__s2").cast("double")
+    mean_a = s11 / n1
+    mean_b = s12 / n2
+    ssq_a = s21 - s11 * s11 / n1
+    ssq_b = s22 - s12 * s12 / n2
+    diff = mean_b - mean_a
+    pooled = F.sqrt((ssq_a + ssq_b) / (n1 + n2 - F.lit(2.0)))
+    var_a = ssq_a / (n1 - F.lit(1.0))
+    ok = (F.col("__a.__n") >= 2) & (F.col("__b.__n") >= 2)
+    d = F.when(ok & (pooled > 0), diff / pooled)
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (n1 + n2) - F.lit(9.0)
+    )
+    glass = F.when(ok & (var_a > 0), diff / F.sqrt(var_a))
+    return g.select(
+        F.col("__a.__n").alias("n_a"),
+        F.col("__b.__n").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(pooled, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(j * d, 6).alias("hedges_g"),
+        F.round(glass, 6).alias("glass_delta"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Cliff's delta — the nonparametric ordinal effect size
+    ``δ = (#(b > a) − #(b < a)) / (n_a·n_b)``: the dominance
+    companion of :func:`~.experiment.mann_whitney_u` (δ = 2U/(n_a·n_b)
+    − 1 up to tie handling), robust where Cohen's d is meaningless
+    (skew, outliers, ordinal scales).  Arms ordered by group value
+    (a = smaller label = control; positive δ = arm b stochastically
+    larger); ``magnitude`` carries Romano's standard reading
+    (negligible < 0.147 ≤ small < 0.33 ≤ medium < 0.474 ≤ large).
+
+    Scale: the pair counts NEVER materialize pairs — one value-keyed
+    collapse to the distinct-value grain (map-side partial), the
+    running count of arm-a values below each distinct value via
+    :func:`~.ranks.bucketed_cumsum` (no single-task window), and the
+    dominance identity ``#(b > a) = Σ_v c_b(v)·cum_a(< v)`` as exact
+    DECIMAL(38,0) products — the Kendall/Mann-Whitney discipline.
+    Exactly two groups guarded in-plan; null/NaN values and null
+    groups excluded.  Returns one row ``(n_a, n_b, n_gt, n_lt, n_tie,
+    cliffs_delta, magnitude)``."""
+    from .ranks import bucketed_cumsum
+
+    vd = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(vd)
+    ).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    gg = base.agg(
+        F.min("__g").alias("__ga"),
+        F.max("__g").alias("__gb"),
+        F.countDistinct("__g").alias("__k"),
+    )
+    guard = F.assert_true(
+        F.col("__k") == 2,
+        F.lit(
+            "cliffs_delta: exactly TWO groups required — dominance "
+            "is a two-arm statistic"
+        ),
+    ).isNull()
+    b2 = base.crossJoin(F.broadcast(gg)).filter(guard)
+    per_v = (
+        b2.groupBy("__v")
+        .agg(
+            F.sum(
+                F.when(F.col("__g") == F.col("__ga"), 1).otherwise(0)
+            ).alias("__ca"),
+            F.sum(
+                F.when(F.col("__g") == F.col("__gb"), 1).otherwise(0)
+            ).alias("__cb"),
+        )
+        # pinned: feeds the cumsum AND the totals (multi-reference)
+        .localCheckpoint(eager=False)
+    )
+    cum = bucketed_cumsum(per_v, ["__ca"], val_col="__v")
+    d38 = "decimal(38,0)"
+    below_a = (F.col("__cum___ca") - F.col("__ca")).cast(d38)
+    tot = per_v.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    sums = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("__na").alias("__n1"),
+        F.max("__nb").alias("__n2"),
+        F.coalesce(
+            F.sum(F.col("__cb").cast(d38) * below_a), F.lit(0).cast(d38)
+        ).alias("__gt"),
+        F.coalesce(
+            F.sum(
+                F.col("__cb").cast(d38)
+                * (F.col("__na").cast(d38) - F.col("__cum___ca").cast(d38))
+            ),
+            F.lit(0).cast(d38),
+        ).alias("__lt"),
+        F.coalesce(
+            F.sum(F.col("__cb").cast(d38) * F.col("__ca").cast(d38)),
+            F.lit(0).cast(d38),
+        ).alias("__tie"),
+    )
+    delta = (
+        F.col("__gt").cast("double") - F.col("__lt").cast("double")
+    ) / (F.col("__n1").cast("double") * F.col("__n2").cast("double"))
+    ad = F.abs(F.round(delta, 6))
+    return sums.select(
+        F.col("__n1").alias("n_a"),
+        F.col("__n2").alias("n_b"),
+        F.col("__gt").cast("bigint").alias("n_gt"),
+        F.col("__lt").cast("bigint").alias("n_lt"),
+        F.col("__tie").cast("bigint").alias("n_tie"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(ad < 0.147, F.lit("negligible"))
+        .when(ad < 0.33, F.lit("small"))
+        .when(ad < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
     )

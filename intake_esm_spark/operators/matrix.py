@@ -34,10 +34,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _assert_uniform_dim(base: DataFrame, vec_col: str, ctx: str) -> DataFrame:
+    """In-plan guard that every (non-null, non-empty) vector shares ONE
+    dimensionality — the contract all moment kernels in this module
+    assume (round-12 ADVICE: a mixed-dim frame made the per-pair counts
+    and the per-dimension first moments come from DIFFERENT row
+    subsets, silently violating the covariance formula).  House style
+    (the ``cluster_quality`` / ``kendall_tau_b`` guard): a bounded
+    min/max-size aggregate broadcasts back and a lazy ``assert_true``
+    aborts the job before any moment pass emits — one extra bounded
+    scan, zero rows at risk."""
+    dims = base.agg(
+        F.min(F.size(vec_col)).alias("__dmin"),
+        F.max(F.size(vec_col)).alias("__dmax"),
+    )
+    guard = F.assert_true(
+        # coalesce: an EMPTY frame aggregates to (NULL, NULL) and
+        # Catalyst pushes this broadcast-side-only predicate below the
+        # join, so the null compare would abort a legitimately empty
+        # input — empty passes trivially, the caller's own N checks own
+        # that case
+        F.coalesce(F.col("__dmin") == F.col("__dmax"), F.lit(True)),
+        F.lit(
+            f"{ctx}: mixed vector dimensionality — every row of "
+            f"'{vec_col}' must share one size (the moment kernels pair "
+            "per-dimension sums across rows)"
+        ),
+    ).isNull()
+    return (
+        base.crossJoin(F.broadcast(dims))
+        .filter(guard)
+        .drop("__dmin", "__dmax")
+    )
+
+
 def embedding_covariance(
     df: DataFrame,
     vec_col: str = "embedding",
     include_corr: bool = True,
+    exact: bool = True,
 ) -> DataFrame:
     """Exact sample covariance (and Pearson correlation) between every
     ordered pair of vector dimensions ``i ≤ j``: ``cov_ij =
@@ -50,10 +85,25 @@ def embedding_covariance(
     corr])``, 0-based dims; ``corr`` is null when either diagonal
     degenerates. Requires N ≥ 2. Empty arrays are excluded like nulls
     (a failed upstream embed must not kill the job — ``element_at`` on
-    a 0-element array throws)."""
+    a 0-element array throws).  The one-dimensionality contract is
+    GUARDED in-plan (:func:`_assert_uniform_dim`): a mixed-dim frame
+    aborts before the moment passes instead of silently pairing
+    moments from different row subsets.
+
+    ``exact=False`` (round 12, the approx-promotion precedent — GK
+    quantiles, HLL++ nunique): the same moments via per-partition
+    Arrow/NumPy ``XᵀX`` partials (:func:`_embedding_covariance_arrow`)
+    — float64 BLAS GEMM instead of the d(d+1)/2 in-row decimal product
+    explode, ~100× smaller constant at the same linear scale shape.
+    Float partial sums are partition-order-dependent in the last ulp,
+    so the fast path is NOT SQL-oracle-replayable — bounded-error
+    tested against this exact path instead."""
     base = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1)
     ).select(F.col(vec_col).alias("__vec"))
+    base = _assert_uniform_dim(base, "__vec", "embedding_covariance")
+    if not exact:
+        return _embedding_covariance_arrow(base, include_corr)
     # 6dp-quantized components, computed once per row
     q = base.select(
         F.expr(
@@ -132,12 +182,156 @@ def embedding_covariance(
     )
 
 
+def _embedding_covariance_arrow(
+    base: DataFrame, include_corr: bool
+) -> DataFrame:
+    """The ``exact=False`` kernel of :func:`embedding_covariance`:
+    per-partition float64 ``XᵀX`` / ``Σx`` partials over Arrow batches
+    (``mapInPandas`` — one BLAS GEMM per batch, components 6dp-rounded
+    like the exact path), ONE bounded partial row per non-empty
+    partition (``n``, the d first moments, the d(d+1)/2 upper-triangle
+    products row-major-flattened), then the partials — a
+    partition-count-sized frame, pinned because three rollups read it —
+    combine through the exact path's dimension²-sized exchanges.  Same
+    output schema and the same closed-form covariance finish; only the
+    product sums are float (order-dependent in the last ulp — the
+    documented reason this path has no SQL oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        n = 0
+        s1 = None
+        s2 = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = np.round(
+                np.array(pdf["__vec"].tolist(), dtype=np.float64), 6
+            )
+            n += arr.shape[0]
+            if s1 is None:
+                s1 = arr.sum(axis=0)
+                s2 = arr.T @ arr
+            else:
+                s1 += arr.sum(axis=0)
+                s2 += arr.T @ arr
+        if n:
+            iu = np.triu_indices(s2.shape[0])
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s1": [s1.tolist()],
+                    "s2": [s2[iu].tolist()],
+                }
+            )
+
+    partials = base.mapInPandas(
+        gen, "n bigint, s1 array<double>, s2 array<double>"
+    ).localCheckpoint(eager=False)  # pinned: three rollups read it
+    # the row-major upper-triangle flat index of (i, j) is
+    # i·d − i(i−1)/2 + (j − i); element_at is 1-based
+    pairs = partials.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(s1) - 1), i ->"
+                " transform(sequence(i, size(s1) - 1), j ->"
+                " struct(i AS i, j AS j, element_at(s2, CAST("
+                " i * size(s1) - (i * (i - 1)) DIV 2 + (j - i) + 1"
+                " AS INT)) AS p))))"
+            )
+        ).alias("__e")
+    ).select("__e.i", "__e.j", "__e.p")
+    s2g = pairs.groupBy("i", "j").agg(F.sum("p").alias("__s2"))
+    m1 = (
+        partials.select(F.posexplode("s1").alias("i", "__v"))
+        .groupBy("i")
+        .agg(F.sum("__v").alias("__s1"))
+    )
+    ntot = partials.agg(F.sum("n").alias("__n"))
+    m_i = m1.select(F.col("i").alias("__mi"), F.col("__s1").alias("__s1i"))
+    m_j = m1.select(F.col("i").alias("__mj"), F.col("__s1").alias("__s1j"))
+    joined = (
+        s2g.join(F.broadcast(m_i), F.col("i") == F.col("__mi"))
+        .join(F.broadcast(m_j), F.col("j") == F.col("__mj"))
+        .crossJoin(F.broadcast(ntot))
+    )
+    nd = F.col("__n").cast("double")
+    cov = (
+        F.col("__s2") - F.col("__s1i") * F.col("__s1j") / nd
+    ) / (nd - F.lit(1.0))
+    out = joined.filter(F.col("__n") >= 2).select(
+        "i",
+        "j",
+        F.col("__n").alias("n_vecs"),
+        F.round(cov, 6).alias("cov"),
+    )
+    if not include_corr:
+        return out
+    diag = out.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("__di"), F.col("cov").alias("__var")
+    )
+    d_i = diag.select(F.col("__di").alias("__ci"), F.col("__var").alias("__vi"))
+    d_j = diag.select(F.col("__di").alias("__cj"), F.col("__var").alias("__vj"))
+    withd = out.join(
+        F.broadcast(d_i), F.col("i") == F.col("__ci")
+    ).join(F.broadcast(d_j), F.col("j") == F.col("__cj"))
+    corr = F.when(
+        (F.col("__vi") > 0) & (F.col("__vj") > 0),
+        F.col("cov") / F.sqrt(F.col("__vi") * F.col("__vj")),
+    )
+    return withd.select(
+        "i", "j", "n_vecs", "cov", F.round(corr, 6).alias("corr")
+    )
+
+
+def pca_loadings_from_cov(cmat, k: int, whiten: bool = False):
+    """Sign-canonicalized top-``k`` eigenvectors of a covariance
+    matrix, eigenvalue-descending — the ONE shared eigh + sign rule
+    (largest-|loading| coordinate positive) used by
+    :func:`pca_project` AND replayed verbatim by the ``embed_pca`` /
+    ``embed_whiten`` oracle builders (round 12): both sides call the
+    same LAPACK on a bit-identical 6dp covariance, so loadings — and
+    therefore the projected rows — match deterministically.  Caveat: a
+    degenerate (repeated) eigenvalue makes the eigenbasis non-unique;
+    eigh is still deterministic for a BIT-identical input matrix,
+    which is exactly the parity this helper pins.
+
+    ``whiten=True`` scales each loading by ``1/√λ`` (PCA whitening —
+    unit-variance components) INSIDE this shared helper, so the
+    operator and the oracle can never scale differently; a
+    non-positive leading eigenvalue (rank-deficient covariance within
+    the top-k) raises rather than emitting infinities."""
+    import numpy as np
+
+    vals, vecs = np.linalg.eigh(cmat)  # ascending eigenvalues
+    d = cmat.shape[0]
+    comps = []
+    for c in range(k):
+        v = vecs[:, d - 1 - c]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        if whiten:
+            lam = float(vals[d - 1 - c])
+            if lam <= 0:
+                raise ValueError(
+                    f"pca_loadings_from_cov: eigenvalue {c + 1} is "
+                    f"{lam} — whitening needs a positive-variance "
+                    "component (reduce k)"
+                )
+            v = v / np.sqrt(lam)
+        comps.append(v)
+    return comps
+
+
 def pca_project(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 2,
     max_dim: int = 256,
+    whiten: bool = False,
 ) -> DataFrame:
     """Top-``k`` principal-component projection of the embedding
     column — the whitening/compression step embedding pipelines run
@@ -156,20 +350,34 @@ def pca_project(
     ``zip_with``/``aggregate`` fold inside codegen — zero additional
     shuffles, no Python in the row path.
 
-    Determinism: within one session the projection is a fixed IEEE
-    expression over literal loadings; the loadings themselves come
-    from LAPACK ``eigh`` (deterministic for a given covariance, but
-    NOT replayable as SQL arithmetic — this is the rare rows-only
-    entry, like the minhash permutations). Component sign is
-    canonicalized (largest-|loading| coordinate positive) so repeated
-    builds agree. Returns one row per input vector: ``(id_col, pc_1 ..
-    pc_k)``; requires N ≥ 2 non-null vectors and k ≤ d."""
+    Determinism: the projection is a fixed IEEE expression over
+    literal loadings applied to the SAME 6dp-quantized components the
+    covariance pass consumed (round-12 ADVICE fix — projecting the raw
+    components left the centering off the moments by up to ~5e-7 per
+    dimension); the loadings come from LAPACK ``eigh`` via
+    :func:`pca_loadings_from_cov`, whose sign canonicalization the
+    oracle builder replays verbatim — since round 12 this entry IS
+    SQL-oracle-checked (the oracle replays the covariance in DuckDB,
+    runs the identical eigh + sign rule, and replays the projection
+    with literal loadings). Returns one row per input vector:
+    ``(id_col, pc_1 .. pc_k)``; requires N ≥ 2 non-null vectors and
+    k ≤ d. Mixed-dimensionality frames abort in-plan
+    (:func:`_assert_uniform_dim`).
+
+    ``whiten=True`` (round 12): PCA whitening — each loading scales by
+    ``1/√λ`` inside the SHARED :func:`pca_loadings_from_cov`, so the
+    emitted components have ~unit sample variance (the normalization
+    ANN/IVF index builders want before product quantization).  Same
+    plan shape, same oracle construction (``embed_whiten`` replays the
+    scaled literals); a rank-deficient top-k raises."""
     import numpy as np
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    base = df.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1)
+    base = _assert_uniform_dim(
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1)),
+        vec_col,
+        "pca_project",
     )
     moms = (
         base.select(F.posexplode(vec_col).alias("__i", "__v"))
@@ -208,25 +416,19 @@ def pca_project(
     for r in cov_rows:
         cmat[r["i"], r["j"]] = r["cov"]
         cmat[r["j"], r["i"]] = r["cov"]
-    _, vecs = np.linalg.eigh(cmat)  # ascending eigenvalues
-    comps = []
-    for c in range(k):
-        v = vecs[:, d - 1 - c]
-        # sign canon: the largest-|loading| coordinate points positive
-        pivot = int(np.argmax(np.abs(v)))
-        if v[pivot] < 0:
-            v = -v
-        comps.append(v)
+    comps = pca_loadings_from_cov(cmat, k, whiten=whiten)
     cols = [F.col(id_col)]
+    # project the SAME 6dp-quantized components the covariance pass
+    # consumed, so the literal centering offset matches the moments
+    # exactly (round-12 ADVICE fix)
+    qvec = F.expr(
+        f"transform({vec_col}, x -> round(CAST(x AS DOUBLE), 6))"
+    )
     for c, v in enumerate(comps, start=1):
         w = F.array(*[F.lit(float(x)) for x in v])
         offset = float(np.dot(v, means))
         dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                w,
-                lambda x, wc: x.cast("double") * wc,
-            ),
+            F.zip_with(qvec, w, lambda x, wc: x * wc),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
@@ -256,9 +458,15 @@ def fisher_scores(
     (order-independent), one fixed IEEE ratio. Null vectors/labels are
     excluded. Returns one row per dimension ``(i, n_labels, fisher)``;
     null when the within-class scatter degenerates to 0."""
-    base = df.filter(
-        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(F.col(label_col).alias("__l"), F.col(vec_col).alias("__vec"))
+    base = _assert_uniform_dim(
+        df.filter(
+            F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+        ).select(
+            F.col(label_col).alias("__l"), F.col(vec_col).alias("__vec")
+        ),
+        "__vec",
+        "fisher_scores",
+    )
     cells = (
         base.select(
             "__l", F.posexplode("__vec").alias("__i", "__raw")
@@ -343,9 +551,15 @@ def cluster_quality(
     DB null when k < 2 or any centroid pair coincides."""
     if max_clusters < 2:
         raise ValueError(f"max_clusters must be >= 2, got {max_clusters}")
-    base = df.filter(
-        F.col(vec_col).isNotNull() & F.col(cluster_col).isNotNull()
-    ).select(F.col(cluster_col).alias("__c"), F.col(vec_col).alias("__vec"))
+    base = _assert_uniform_dim(
+        df.filter(
+            F.col(vec_col).isNotNull() & F.col(cluster_col).isNotNull()
+        ).select(
+            F.col(cluster_col).alias("__c"), F.col(vec_col).alias("__vec")
+        ),
+        "__vec",
+        "cluster_quality",
+    )
     cells = (
         base.select("__c", F.posexplode("__vec").alias("__i", "__raw"))
         .select(

@@ -134,7 +134,19 @@ def dp_noisy_counts(
     arithmetic on the cell grain. Noisy counts are rounded to the
     nearest integer and clamped at 0 (the usual post-processing, which
     DP composition permits). Returns ``(*group_cols, noisy_count)`` —
-    the true count never appears in the output schema."""
+    the true count never appears in the output schema.
+
+    Cell-key injectivity (round-12 ADVICE): group values are ESCAPED
+    before the ``\\x1f`` join (``\\x1e`` doubles itself, ``\\x1f`` →
+    ``\\x1e u``, ``\\x00`` → ``\\x1e z``), so a value containing the
+    separator — or one spelling the ``\\x00null`` sentinel, which
+    keeps its raw NUL and is therefore unreachable by any escaped
+    value — can no longer collide into another cell and share its
+    noise draw.  Second disclosure caveat alongside the PRF one:
+    cells with TRUE count 0 are absent from the release (the groupBy
+    only sees observed cells), so the released key set leaks the
+    active domain; pad the domain upstream if which-cells-exist is
+    itself sensitive."""
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     if not group_cols:
@@ -142,16 +154,20 @@ def dp_noisy_counts(
     from intake_esm_spark.functions.text import salted_hash60
 
     cells = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-    # null-SAFE cell key: concat_ws SKIPS nulls, so (a, NULL, b) and
-    # (a, b) would collide and share one noise draw — encode each null
-    # as an explicit sentinel instead
-    key = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            for c in group_cols
-        ],
-    )
+    # null-SAFE, INJECTIVE cell key: concat_ws SKIPS nulls, so (a,
+    # NULL, b) and (a, b) would collide — encode null as a sentinel;
+    # and a VALUE containing the \x1f separator (or spelling the
+    # sentinel) would collide with a different cell and share its
+    # noise draw, so escape \x1e/\x1f/\x00 out of every value first
+    # (the sentinel keeps its raw NUL, unreachable after escaping)
+    def _esc(c: str):
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("\x1e"), F.lit("\x1e\x1e"))
+        s = F.replace(s, F.lit("\x1f"), F.lit("\x1eu"))
+        s = F.replace(s, F.lit("\x00"), F.lit("\x1ez"))
+        return F.coalesce(s, F.lit("\x00null"))
+
+    key = F.concat_ws("\x1f", *[_esc(c) for c in group_cols])
     u = (
         salted_hash60(key, salt).cast("double")
         / F.lit(float(2**60))

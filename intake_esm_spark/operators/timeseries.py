@@ -329,18 +329,48 @@ def theil_sen_trend(
     outlier days, where the OLS line in :func:`trend_lines`' family
     tips over for a single bad day.
 
-    Scale shape: one day-grain exchange, then the pair self-join and
-    both medians run over the CALENDAR-bounded day frame (days² pairs
-    — 365 days is 66k rows, still metadata scale; the corpus itself
-    never self-joins).
+    Scale shape: one day-grain exchange, then the pair self-join runs
+    over the CALENDAR-bounded day frame (days² pairs — 365 days is 66k
+    rows, still metadata scale; the corpus itself never self-joins).
+    Both medians are RANK-SELECTED (round 12, closing the r11
+    verdict's last single-task flag): collapse to the distinct-value
+    grain, cumulative counts via :func:`~.ranks.bucketed_cumsum`, and
+    the two middle order statistics picked by rank literals against
+    each value's ``(prev, cum]`` span — the ``exact_quantiles`` /
+    split-conformal probe recipe, so NOTHING sorts in one task even at
+    decade spans.
 
     Determinism: slopes divide a decimal-exact revenue difference by
     an integer day difference (one IEEE division — identical in both
-    engines); the median picks ELEMENTS by row position and averages
-    the middle two (no percentile interpolation formula, whose
-    expression shape differs across engines). Returns one row
-    ``(n_days, n_pairs, slope, intercept)``."""
-    from pyspark.sql import Window
+    engines); the median picks ELEMENTS by rank and averages the
+    middle two (no percentile interpolation formula, whose expression
+    shape differs across engines); ``(v+v)/2 = v`` exactly in IEEE, so
+    the odd-count case is unchanged from the positional form. Returns
+    one row ``(n_days, n_pairs, slope, intercept)``."""
+    from .ranks import bucketed_cumsum
+
+    def _median_by_rank(frame: DataFrame, col: str, n: int) -> F.Column:
+        """One-column frame → 1-row frame holding the positional
+        median under the rank-probe construction; returns the frame."""
+        lo, hi = (n + 1) // 2, n // 2 + 1
+        per_v = frame.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        cum = bucketed_cumsum(per_v, ["__c"], val_col="__v")
+        sel = cum.select(
+            "__v",
+            (F.col("__cum___c") - F.col("__c")).alias("__p"),
+            F.col("__cum___c").alias("__q"),
+        )
+        pick = lambda r: F.max(  # noqa: E731 — the span containing rank r
+            F.when(
+                (F.lit(r) > F.col("__p")) & (F.lit(r) <= F.col("__q")),
+                F.col("__v"),
+            )
+        )
+        return sel.agg(
+            ((pick(lo) + pick(hi)) / F.lit(2.0)).alias("__med")
+        )
 
     daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
         eager=False
@@ -363,9 +393,9 @@ def theil_sen_trend(
         .localCheckpoint(eager=False)  # feeds count + both middle picks
     )
 
-    # median by POSITION: rank, filter to the two middle rows, average —
-    # no percentile interpolation formula (whose expression shape
-    # differs across engines); day-grain counts are driver-safe
+    # median by RANK against the distinct-value cumulative spans —
+    # no unpartitioned window anywhere; day-grain counts are
+    # driver-safe
     n_pairs = slopes.count()
     if n_pairs == 0:
         return daily.agg(
@@ -374,16 +404,11 @@ def theil_sen_trend(
             F.lit(None).cast("double").alias("slope"),
             F.lit(None).cast("double").alias("intercept"),
         )
-    lo, hi = (n_pairs + 1) // 2, n_pairs // 2 + 1
-    w = Window.orderBy(F.col("__s").asc())
     slope_row = (
-        slopes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn").isin(lo, hi))
-        .agg(
-            (F.sum("__s") / F.count(F.lit(1)).cast("double")).alias(
-                "__slope"
-            )
-        )
+        _median_by_rank(slopes, "__s", n_pairs)
+        .select(F.col("__med").alias("__slope"))
+        # pinned: feeds the residual frame AND the final select
+        .localCheckpoint(eager=False)
     )
     resid = daily.crossJoin(F.broadcast(slope_row)).select(
         (
@@ -393,21 +418,18 @@ def theil_sen_trend(
         "__slope",
     )
     n_days = daily.count()
-    rlo, rhi = (n_days + 1) // 2, n_days // 2 + 1
-    wr = Window.orderBy(F.col("__r").asc())
-    out = (
-        resid.withColumn("__rn", F.row_number().over(wr))
-        .filter(F.col("__rn").isin(rlo, rhi))
-        .agg(
+    int_row = _median_by_rank(resid, "__r", n_days).select(
+        F.col("__med").alias("__int")
+    )
+    return (
+        slope_row.crossJoin(F.broadcast(int_row))
+        .select(
             F.lit(n_days).cast("bigint").alias("n_days"),
             F.lit(n_pairs).cast("bigint").alias("n_pairs"),
-            F.round(F.max("__slope"), 6).alias("slope"),
-            F.round(
-                F.sum("__r") / F.count(F.lit(1)).cast("double"), 6
-            ).alias("intercept"),
+            F.round(F.col("__slope"), 6).alias("slope"),
+            F.round(F.col("__int"), 6).alias("intercept"),
         )
     )
-    return out
 
 
 def seasonal_decompose(

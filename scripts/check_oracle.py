@@ -92,6 +92,9 @@ def main() -> int:
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
     spark = get_spark(app_name="check_oracle")
     con = duck_connection(sf_dir)
+    # data-derived oracles (embed_pca's literal eigh loadings) must be
+    # built against the SAME sf the sweep compares at
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():

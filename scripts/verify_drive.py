@@ -107,10 +107,10 @@ extra_oracles = set(oracles) - set(qs)
 assert not extra_oracles, f"oracles without queries: {sorted(extra_oracles)}"
 missing_oracles = set(qs) - set(oracles)
 # rows-only entries are allowed but must be a deliberate, short
-# allowlist with the reason documented at the entry's docstring:
-#   embed_pca — LAPACK eigh loadings are not SQL arithmetic (the
-#   projection itself is a fixed IEEE fold over those literals)
-ROWS_ONLY_ALLOWED = {"embed_pca"}
+# allowlist with the reason documented at the entry's docstring.
+# EMPTY since round 12: embed_pca (the last holdout) is oracled via
+# the data-derived-literal construction (_build_embed_pca_oracle).
+ROWS_ONLY_ALLOWED: set[str] = set()
 assert missing_oracles <= ROWS_ONLY_ALLOWED, (
     f"entries without oracles (rows-only): "
     f"{sorted(missing_oracles - ROWS_ONLY_ALLOWED)} — "

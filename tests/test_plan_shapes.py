@@ -822,6 +822,16 @@ def test_seasonal_windows_are_day_grain_only(spark, queries):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+def test_theilsen_medians_via_rank_probe_no_global_sort(spark, queries):
+    """theil_sen_trend (round 12): both medians are rank-selected
+    against the distinct-value cumulative spans (the exact_quantiles
+    probe recipe) — the r10/r11-carried single-task median windows over
+    the day-pair frame are gone; no Exchange rangepartitioning
+    anywhere."""
+    plan = plan_of(queries["events_theilsen"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+
+
 def test_logrank_at_risk_via_bucketed_prefix_sum(spark, queries):
     """logrank: reverse-cumulative at-risk counts over the duration
     grain come from the bucketed prefix sum — continuous durations make
