@@ -2870,6 +2870,35 @@ def q_events_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     return ks_test_report(units, "grp", "rev", "t", "c")
 
 
+def q_events_anderson(spark: SparkSession, sf: str) -> DataFrame:
+    """k-sample Anderson-Darling test across the three user cohorts
+    (operators/groupstats.py anderson_darling_ksample — the tie-
+    adjusted Scholz-Stephens midrank variant, scipy.anderson_ksamp
+    parity): dense (group x pooled-value) midrank cumulatives via the
+    grouped bucketed prefix sum, exact-integer per-value terms, and
+    the sigma_N harmonic constants computed DISTRIBUTED over a
+    spark.range index frame (never scipy's O(N) driver loop)."""
+    from intake_esm_spark.operators.groupstats import (
+        anderson_darling_ksample,
+    )
+
+    units = _cohort3_rev_units(spark, sf)
+    return anderson_darling_ksample(units, "rev", "grp")
+
+
+def q_events_cvm(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Cramér-von Mises test (operators/experiment.py
+    cvm_test_report) on per-user purchase revenue between the even/odd
+    cohorts — the squared-ECDF-gap integral between Mann-Whitney
+    (location) and KS (supremum); per-value terms 12dp-decimal-
+    quantized, Anderson's exact finite-N moments map the statistic
+    onto the limiting omega-square scale."""
+    from intake_esm_spark.operators.experiment import cvm_test_report
+
+    units = _purchase_rev_units(spark, sf)
+    return cvm_test_report(units, "grp", "rev", "t", "c")
+
+
 def q_events_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic Poisson-bootstrap mean CI (operators/experiment.py
     bootstrap_mean_ci) over per-user purchase revenue: md5-60-derived
@@ -5044,6 +5073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_whiten": q_embed_whiten,
         "events_effect_sizes": q_events_effect_sizes,
         "events_cliffs_delta": q_events_cliffs_delta,
+        "events_cvm": q_events_cvm,
+        "events_anderson": q_events_anderson,
         # Block 1: the entries longest without a driver-green row —
         # the r6/r7-era rows the r11 head's 50-entry cut fell short of
         # (cumulative coverage is 241/241 after this round's embed_pca
@@ -5080,12 +5111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_counts": q_events_funnel_counts,
         "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
         "docs_bm25": q_docs_bm25,
+        # -- rotation tail ---------------------------------------------
+        # (docs_tfidf / simsearch_ivf_int8 / simsearch_ivf /
+        # embed_kmeans / dedup_cluster_survivors were displaced from
+        # the head by the five r12-new entries — they lead the
+        # freshness queue next round)
         "docs_tfidf": q_docs_tfidf,
         "simsearch_ivf_int8": q_simsearch_ivf_int8,
-        # -- rotation tail ---------------------------------------------
-        # (simsearch_ivf / embed_kmeans / dedup_cluster_survivors were
-        # displaced from the head by the three r12-new entries — they
-        # lead the freshness queue next round)
         "simsearch_ivf": q_simsearch_ivf,
         "embed_kmeans": q_embed_kmeans,
         "dedup_cluster_survivors": q_dedup_cluster_survivors,
@@ -9532,6 +9564,226 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d_stat > d_crit, false) AS INT)
                      AS significant
             FROM f
+        """,
+        # replays operators/groupstats.anderson_darling_ksample: the
+        # Scholz-Stephens midrank A2 over the dense (group x pooled
+        # value) grid with exact-integer doubled midranks, and the
+        # sigma_N harmonic constants from a row_number index frame
+        # (same 15dp-decimal quantized sums as the spark.range path);
+        # k = 3 cohorts, so the Spark side's Python-computed k
+        # literals are written out (k-1 = 2.0, k^2 = 9.0, 8k = 24.0,
+        # 4k = 12.0) and crit = 1.645 + 0.678/sqrt(2) - 0.362/2
+        # rounds to 1.943418
+        "events_anderson": """
+            WITH pu AS (
+              SELECT CAST(user_id % 3 AS VARCHAR) AS g,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS v
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY user_id
+            ), cells AS (
+              SELECT g, v, count(*) AS f FROM pu
+              WHERE v IS NOT NULL AND NOT isnan(v)
+              GROUP BY 1, 2
+            ), nn AS (
+              SELECT CAST(sum(f) AS BIGINT) AS N FROM cells
+            ), pooled AS (
+              SELECT v, CAST(sum(f) AS BIGINT) AS h FROM cells GROUP BY 1
+            ), pcum AS (
+              SELECT v, h,
+                     CAST(sum(h) OVER (ORDER BY v ASC ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS hcum
+              FROM pooled
+            ), grps AS (
+              SELECT DISTINCT g FROM cells
+            ), dense AS (
+              SELECT grps.g, pooled.v, coalesce(cells.f, 0) AS f
+              FROM pooled CROSS JOIN grps
+              LEFT JOIN cells
+                ON cells.g = grps.g AND cells.v = pooled.v
+            ), gcum AS (
+              SELECT g, v, f,
+                     CAST(sum(f) OVER (PARTITION BY g ORDER BY v ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS BIGINT) AS fcum
+              FROM dense
+            ), ni AS (
+              SELECT g, CAST(sum(f) AS BIGINT) AS n_i FROM cells
+              GROUP BY 1
+            ), terms AS (
+              SELECT gcum.g, ni.n_i,
+                     CAST(pcum.h AS DOUBLE) AS hd,
+                     CAST(nn.N AS DOUBLE) AS nd,
+                     CAST(CAST(nn.N AS DECIMAL(18,0))
+                            * CAST(2 * gcum.fcum - gcum.f
+                                   AS DECIMAL(19,0))
+                          - CAST(ni.n_i AS DECIMAL(18,0))
+                            * CAST(2 * pcum.hcum - pcum.h
+                                   AS DECIMAL(19,0)) AS DOUBLE) AS num,
+                     CAST(CAST(2 * pcum.hcum - pcum.h AS DECIMAL(19,0))
+                            * CAST(2 * nn.N - (2 * pcum.hcum - pcum.h)
+                                   AS DECIMAL(19,0))
+                          - CAST(nn.N AS DECIMAL(18,0))
+                            * CAST(pcum.h AS DECIMAL(19,0))
+                          AS DOUBLE) AS den4
+              FROM gcum
+              JOIN pcum ON gcum.v = pcum.v
+              JOIN ni ON ni.g = gcum.g
+              CROSS JOIN nn
+            ), perg AS (
+              SELECT g, max(n_i) AS n_i,
+                     CAST(sum(CAST(round(hd * num * num / (nd * den4),
+                                         12) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS si
+              FROM terms GROUP BY 1
+            ), a2r AS (
+              SELECT CAST(sum(CAST(round(si / CAST(n_i AS DOUBLE), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE)
+                       * ((CAST(nn.N AS DOUBLE) - 1.0)
+                          / CAST(nn.N AS DOUBLE)) AS a2
+              FROM perg CROSS JOIN nn GROUP BY nn.N
+            ), iframe AS (
+              SELECT row_number() OVER () AS i FROM pu
+            ), hseq AS (
+              SELECT i, CAST(round(1.0 / CAST(i AS DOUBLE), 15)
+                             AS DECIMAL(38,15)) AS t
+              FROM iframe WHERE i < (SELECT N FROM nn)
+            ), hcum2 AS (
+              SELECT i, sum(t) OVER (ORDER BY i ASC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW) AS ht
+              FROM hseq
+            ), hrow AS (
+              SELECT CAST(max(ht) AS DOUBLE) AS hc FROM hcum2
+            ), grow AS (
+              SELECT CAST(sum(CAST(round(
+                       (1.0 / CAST(u.i AS DOUBLE))
+                       * (hrow.hc - CAST(h2.ht AS DOUBLE)), 15)
+                       AS DECIMAL(38,15))) AS DOUBLE) AS gc
+              FROM hcum2 u
+              JOIN hcum2 h2 ON h2.i = (SELECT N FROM nn) - u.i
+              CROSS JOIN hrow
+              WHERE u.i >= 2
+            ), bigh AS (
+              SELECT CAST(sum(CAST(round(1.0 / CAST(n_i AS DOUBLE), 15)
+                                   AS DECIMAL(38,15))) AS DOUBLE) AS HH
+              FROM ni
+            ), fin AS (
+              SELECT a2, hc, gc, HH, CAST(nn.N AS DOUBLE) AS nd, nn.N
+              FROM a2r CROSS JOIN hrow CROSS JOIN grow
+              CROSS JOIN bigh CROSS JOIN nn
+            ), abcd AS (
+              SELECT a2, nd, N,
+                     (4.0 * gc - 6.0) * 2.0 + (10.0 - 6.0 * gc) * HH
+                       AS ca,
+                     (2.0 * gc - 4.0) * 9.0 + 24.0 * hc
+                       + (2.0 * gc - 14.0 * hc - 4.0) * HH
+                       - 8.0 * hc + 4.0 * gc - 6.0 AS cb,
+                     (6.0 * hc + 2.0 * gc - 2.0) * 9.0
+                       + (4.0 * hc - 4.0 * gc + 6.0) * 3.0
+                       + (2.0 * hc - 6.0) * HH + 4.0 * hc AS cc,
+                     (2.0 * hc + 6.0) * 9.0 - 12.0 * hc AS cd
+              FROM fin
+            ), sig AS (
+              SELECT a2, N,
+                     (ca * (nd * nd * nd) + cb * (nd * nd)
+                      + cc * nd + cd)
+                     / ((nd - 1.0) * (nd - 2.0) * (nd - 3.0)) AS ss
+              FROM abcd
+            ), z AS (
+              SELECT a2, N,
+                     CASE WHEN ss > 0 THEN sqrt(ss) END AS sigma
+              FROM sig
+            )
+            SELECT CAST(N AS BIGINT) AS n_units,
+                   CAST(3 AS INT) AS n_groups,
+                   round(a2, 6) AS a2_stat,
+                   round(sigma, 6) AS sigma,
+                   round((a2 - 2.0) / sigma, 6) + 0.0 AS t_stat,
+                   1.943418 AS t_crit_05,
+                   CAST(coalesce(round((a2 - 2.0) / sigma, 6)
+                                 > 1.943418, false) AS INT)
+                     AS significant
+            FROM z
+        """,
+        # replays operators/experiment.cvm_test_report: squared-ECDF-
+        # gap integral at the pooled distinct-value grain, 12dp-decimal
+        # per-value terms, Anderson's exact moments, omega-square-scale
+        # adjustment — every expression in the operator's IEEE order
+        "events_cvm": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS rev
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY 1
+            ), u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS g,
+                     rev
+              FROM pu
+            ), pv AS (
+              SELECT rev AS val,
+                     CAST(sum(CASE WHEN g = 't' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ct,
+                     count(*) AS c
+              FROM u GROUP BY 1
+            ), rk AS (
+              SELECT c,
+                     CAST(sum(ct) OVER w AS BIGINT) AS cum1,
+                     CAST(sum(c) OVER w - sum(ct) OVER w AS BIGINT)
+                       AS cum2,
+                     CAST(sum(ct) OVER () AS BIGINT) AS n1,
+                     CAST(sum(c) OVER () - sum(ct) OVER () AS BIGINT)
+                       AS n2
+              FROM pv
+              WINDOW w AS (ORDER BY val ASC ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), g AS (
+              SELECT c, n1, n2,
+                     CAST(CAST(cum1 AS DECIMAL(38,0)) * n2
+                          - CAST(cum2 AS DECIMAL(38,0)) * n1 AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                       AS gap
+              FROM rk
+            ), m AS (
+              SELECT max(n1) AS n1, max(n2) AS n2,
+                     CAST(sum(CAST(round(CAST(c AS DOUBLE) * gap * gap,
+                                         12) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS s
+              FROM g
+            ), f AS (
+              SELECT n1, n2,
+                     CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                     CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn,
+                     s
+              FROM m
+            ), z AS (
+              SELECT n1, n2,
+                     CASE WHEN n1 > 0 AND n2 > 0
+                          THEN n1d * n2d / (nn * nn) * s END AS t,
+                     (1.0 + 1.0 / nn) / 6.0 AS et,
+                     (nn + 1.0)
+                       * (4.0 * n1d * n2d * nn
+                          - 3.0 * (n1d * n1d + n2d * n2d)
+                          - 2.0 * n1d * n2d)
+                       / (45.0 * nn * nn * 4.0 * n1d * n2d) AS vt
+              FROM f
+            ), w2 AS (
+              SELECT n1, n2, t,
+                     CASE WHEN n1 > 0 AND n2 > 0 AND vt > 0
+                          THEN round((1.0 / 6.0)
+                               + (t - et) * sqrt((1.0 / 45.0) / vt), 6)
+                               + 0.0
+                     END AS t_adj
+              FROM z
+            )
+            SELECT n1 AS n_treat, n2 AS n_control,
+                   round(t, 6) AS t_stat, t_adj,
+                   CAST(coalesce(t_adj > 0.461249, false) AS INT)
+                     AS significant
+            FROM w2
         """,
         # replays operators/experiment.bootstrap_mean_ci: md5-60-derived
         # Poisson(1) weights per (user, replicate), decimal weighted

@@ -244,6 +244,12 @@ BENCH_QUERIES = [
     "events_l_diversity",
     "events_dp_counts",
     "events_wilcoxon",
+    # round-12 additions
+    "embed_whiten",
+    "events_effect_sizes",
+    "events_cliffs_delta",
+    "events_cvm",
+    "events_anderson",
 ]
 
 

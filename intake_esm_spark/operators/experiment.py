@@ -427,6 +427,106 @@ def ks_test_report(
     )
 
 
+def cvm_test_report(
+    units: DataFrame,
+    group_col: str,
+    value_col: str,
+    treatment: str,
+    control: str,
+    crit: float = 0.461249,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises test (round 12) — the
+    whole-distribution companion between Mann-Whitney (location only)
+    and KS (supremum only): ``T = (n₁n₂/N²)·Σ_pooled (F₁(x)−F₂(x))²``
+    integrates the SQUARED ECDF gap over every pooled observation, so
+    it sees broad moderate divergence KS's single worst point misses.
+    Tie handling: the sum runs over the pooled distinct values
+    weighted by their pooled multiplicities (the ECDF-integral form —
+    identical to the classic rank formula on tie-free data, and the
+    natural extension under ties; documented divergence from midrank
+    variants).  The readout standardizes with Anderson's exact finite-
+    sample moments ``E[T] = (1+1/N)/6``, ``Var[T] = (N+1)(4n₁n₂N −
+    3(n₁²+n₂²) − 2n₁n₂) / (45N²·4n₁n₂)`` and maps back onto the
+    limiting ω² scale (``t_adj = 1/6 + (T−E)√(Var∞/Var)`` with
+    ``Var∞ = 1/45`` — the scipy adjustment), compared against the ω²
+    table's 5% point (``crit`` = 0.461249).
+
+    Scale shape: identical to :func:`ks_test_report` — one value-keyed
+    exchange to the distinct-value grain, ECDF cumsums via the
+    two-phase bucketed prefix sum, group totals a 1-row broadcast;
+    per-value terms quantize to 12dp DECIMAL(38,12) before the
+    cross-value sum (order-independent), the integer ECDF gap
+    ``cum₁n₂ − cum₂n₁`` is exact DECIMAL(38,0) before its one double
+    division.  Returns one row ``(n_treat, n_control, t_stat, t_adj,
+    significant)``; null t when either group is empty."""
+    two = units.filter(
+        F.col(group_col).isin(treatment, control)
+        & F.col(value_col).isNotNull()
+    )
+    per_v = two.groupBy(F.col(value_col).alias("__val")).agg(
+        F.sum((F.col(group_col) == treatment).cast("bigint")).alias("__ct"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    tot = per_v.agg(
+        F.sum("__ct").alias("__n1"),
+        (F.sum("__c") - F.sum("__ct")).alias("__n2"),
+    )
+    ranked = (
+        _cum_by_value(per_v, ["__ct", "__c"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__c",
+            F.col("__cum___ct").alias("__cum1"),
+            (F.col("__cum___c") - F.col("__cum___ct")).alias("__cum2"),
+            "__n1",
+            "__n2",
+        )
+    )
+    gap = F.expr(
+        "CAST(__cum1 AS DECIMAL(38,0)) * __n2"
+        " - CAST(__cum2 AS DECIMAL(38,0)) * __n1"
+    ).cast("double") / (
+        F.col("__n1").cast("double") * F.col("__n2").cast("double")
+    )
+    term = F.round(F.col("__c").cast("double") * gap * gap, 12).cast(
+        "decimal(38,12)"
+    )
+    m = ranked.agg(
+        F.max("__n1").alias("__n1"),
+        F.max("__n2").alias("__n2"),
+        F.sum(term).cast("double").alias("__s"),
+    )
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    nn = n1 + n2
+    ok = (F.col("__n1") > 0) & (F.col("__n2") > 0)
+    t = F.when(ok, n1 * n2 / (nn * nn) * F.col("__s"))
+    et = (F.lit(1.0) + F.lit(1.0) / nn) / F.lit(6.0)
+    vt = (
+        (nn + F.lit(1.0))
+        * (
+            F.lit(4.0) * n1 * n2 * nn
+            - F.lit(3.0) * (n1 * n1 + n2 * n2)
+            - F.lit(2.0) * n1 * n2
+        )
+        / (F.lit(45.0) * nn * nn * F.lit(4.0) * n1 * n2)
+    )
+    t_adj = F.when(
+        ok & (vt > 0),
+        F.lit(1.0 / 6.0)
+        + (t - et) * F.sqrt(F.lit(1.0 / 45.0) / vt),
+    )
+    return m.select(
+        F.col("__n1").alias("n_treat"),
+        F.col("__n2").alias("n_control"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(t_adj, 6).alias("t_adj"),
+        F.coalesce(
+            (F.round(t_adj, 6) > F.lit(crit)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )
+
+
 def _poisson1_cdf(max_k: int = 9) -> list[float]:
     """Cumulative P(Poisson(1) <= k) for k = 0..max_k-1 — the inverse-CDF
     thresholds of the bootstrap weights. Pure arithmetic (no RNG): both

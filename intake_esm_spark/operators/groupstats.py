@@ -717,7 +717,19 @@ def effect_size_report(
     degenerates to 0; Glass additionally null when arm a's variance is
     0.  Returns one row ``(n_a, n_b, mean_a, mean_b, mean_diff,
     pooled_sd, cohens_d, hedges_g, glass_delta)``."""
-    per_g = _group_moments(df, group_col, value_col)
+    return effect_sizes_from_moments(
+        _group_moments(df, group_col, value_col)
+    )
+
+
+def effect_sizes_from_moments(per_g: DataFrame) -> DataFrame:
+    """The readout half of :func:`effect_size_report` over a
+    :func:`_group_moments` frame — split out (round 12) so the
+    STREAMING path composes exactly like the ANOVA twin: the live
+    state is ``stream_anova_moments`` (twin #22's additive per-arm
+    counters), and snapshot-through-this-readout == the batch report
+    bit-for-bit (exact decimal moments, any micro-batch split; pinned
+    by the parity test)."""
     agg = per_g.agg(
         F.count(F.lit(1)).alias("__k"),
         F.min_by(F.struct("__n", "__s1", "__s2"), F.col("__g")).alias(
@@ -867,4 +879,237 @@ def cliffs_delta(
         .when(ad < 0.474, F.lit("medium"))
         .otherwise(F.lit("large"))
         .alias("magnitude"),
+    )
+
+
+def anderson_darling_ksample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """k-sample Anderson-Darling test (Scholz & Stephens 1987, the
+    tie-adjusted "midrank" version — the same variant scipy's
+    ``anderson_ksamp`` computes): did these k samples come from one
+    common distribution, with the tail-sensitive AD weighting that
+    catches divergence KS/CvM underweight.  The pipeline question is
+    "do the k shards / sources / time slices draw from one quality
+    distribution" — the omnibus companion of :func:`anova_report`
+    (means only) and :func:`kruskal_wallis_report` (locations only).
+
+    Statistic: ``A²akN = (N−1)/N · Σ_i (1/n_i) Σ_j (h_j/N)·
+    (N·M_ij − n_i·B_j)² / (B_j(N−B_j) − N·h_j/4)`` over the pooled
+    distinct values, with midrank cumulatives ``M_ij = F_ij − f_ij/2``
+    and ``B_j = H_j − h_j/2``; standardized ``T = (A² − (k−1))/σ_N``
+    where σ_N's exact variance constants are closed forms in the
+    harmonic sums ``h = Σ_{i<N} 1/i`` and ``g = Σ_u (1/u)(h − H_{N−u})``.
+    Compared against the Scholz-Stephens Table-2 5% critical value
+    ``1.645 + 0.678/√m − 0.362/m`` (m = k−1).
+
+    Scale shape: the A² sum is ONE (group, value)-grain exchange —
+    per-group midrank cumulatives via
+    :func:`~.ranks.grouped_bucketed_cumsum`, pooled cumulatives via
+    :func:`~.ranks.bucketed_cumsum`, a value-keyed join between the
+    two (never a broadcast of a value-grain frame), per-group k-row
+    rollup.  The harmonic constants are NOT an O(N) driver loop
+    (scipy's shape): ``h`` and the H-prefix table come from a
+    ``spark.range(N)`` bucketed cumsum and ``g`` from one keyed
+    self-join of that N-row index frame — distributed, exact-decimal
+    (18dp-quantized terms, order-independent), one bounded 1-row
+    collect fetches (N, k, L) only.  Determinism: every cumulative is
+    an exact integer (doubled to keep midrank halves integral:
+    ``2M = 2F−f``, ``2B = 2H−h``; the per-j term reduces to
+    ``h·num²/(N·den4)`` with ``num = N(2F−f) − n_i(2H−h)`` and
+    ``den4 = (2B)(2N−2B) − N·h`` both exact), per-j/per-i terms
+    quantize to 12dp decimals before cross-row sums, one fixed IEEE
+    finish.  Null/NaN values and null groups excluded; returns one
+    row ``(n_units, n_groups, a2_stat, sigma, t_stat, t_crit_05,
+    significant)`` — stats null when N < 4, k < 2, or the pooled
+    frame has a single distinct value."""
+    from .ranks import bucketed_cumsum, grouped_bucketed_cumsum
+
+    vd = F.col(value_col).cast("double")
+    units = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(vd)
+        & (F.abs(vd) != F.lit(float("inf")))
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+    cells = (
+        units.groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        # pinned: feeds the (N,k,L) sidecar, both cumulative passes,
+        # and the group totals (multi-reference rule)
+        .localCheckpoint(eager=False)
+    )
+    meta = cells.agg(
+        F.coalesce(F.sum("__f"), F.lit(0)).alias("__N"),
+        F.countDistinct("__g").alias("__k"),
+        F.countDistinct("__v").alias("__L"),
+    ).collect()[0]
+    n_total, k, n_l = int(meta["__N"]), int(meta["__k"]), int(meta["__L"])
+    if n_total < 4 or k < 2 or n_l < 2:
+        return cells.agg(
+            F.coalesce(F.sum("__f"), F.lit(0)).alias("n_units"),
+            F.countDistinct("__g").alias("n_groups"),
+            F.lit(None).cast("double").alias("a2_stat"),
+            F.lit(None).cast("double").alias("sigma"),
+            F.lit(None).cast("double").alias("t_stat"),
+            F.lit(None).cast("double").alias("t_crit_05"),
+            F.lit(0).alias("significant"),
+        )
+    spark = df.sparkSession
+    nn = float(n_total)
+    # pooled per-value counts + midrank cumulative (value grain);
+    # pinned: feeds the pooled cumsum AND the dense-grid scaffold
+    pooled = (
+        cells.groupBy("__v")
+        .agg(F.sum("__f").alias("__h"))
+        .localCheckpoint(eager=False)
+    )
+    # NB: Spark's resolver is case-INSENSITIVE — naming these __h/__H
+    # (or __ph/__pH) makes every later unqualified reference ambiguous
+    pooled_cum = bucketed_cumsum(pooled, ["__h"], val_col="__v").select(
+        F.col("__v").alias("__pv"),
+        F.col("__h").alias("__hj"),
+        F.col("__cum___h").alias("__cumh"),
+    )
+    # per-group midrank cumulative over the DENSE (group x pooled
+    # value) grid: the inner sum runs over EVERY pooled distinct value
+    # for EVERY sample (at values a group never hit, f = 0 but its
+    # cumulative M is not, and the term still contributes) — a k-fold
+    # blowup of the value grain, the price the statistic itself sets
+    groups = cells.select("__g").distinct()
+    dense = (
+        pooled.select("__v")
+        .crossJoin(F.broadcast(groups))
+        .join(cells, ["__g", "__v"], "left")
+        .select(
+            "__g", "__v", F.coalesce(F.col("__f"), F.lit(0)).alias("__f")
+        )
+    )
+    grp_cum = grouped_bucketed_cumsum(
+        dense, ["__f"], ["__g"], val_col="__v"
+    ).select("__g", "__v", "__f", F.col("__cum___f").alias("__cumf"))
+    n_i = cells.groupBy("__g").agg(F.sum("__f").alias("__ni"))
+    j = (
+        grp_cum.join(pooled_cum, F.col("__v") == F.col("__pv"))
+        .join(F.broadcast(n_i.withColumnRenamed("__g", "__gg")),
+              F.col("__g") == F.col("__gg"))
+    )
+    d38 = "decimal(38,0)"
+    two_m = (F.lit(2) * F.col("__cumf") - F.col("__f")).cast(d38)  # 2M_ij
+    two_b = (F.lit(2) * F.col("__cumh") - F.col("__hj")).cast(d38)  # 2B_j
+    num = (
+        F.lit(n_total).cast(d38) * two_m
+        - F.col("__ni").cast(d38) * two_b
+    ).cast("double")
+    den4 = (
+        two_b * (F.lit(2 * n_total).cast(d38) - two_b)
+        - F.lit(n_total).cast(d38) * F.col("__hj").cast(d38)
+    ).cast("double")
+    hd = F.col("__hj").cast("double")
+    inner = hd * num * num / (F.lit(nn) * den4)
+    per_g = j.groupBy("__g", "__ni").agg(
+        F.sum(F.round(inner, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("__si")
+    )
+    a2_row = per_g.agg(
+        F.sum(
+            F.round(
+                F.col("__si") / F.col("__ni").cast("double"), 12
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("__tot")
+    ).select(
+        (F.col("__tot") * F.lit((nn - 1.0) / nn)).alias("__a2")
+    )
+    # harmonic constants, DISTRIBUTED: H-prefix table over range(1, N)
+    rng = spark.range(1, n_total).select(
+        F.col("id"),
+        # 15dp, not 18: Spark casts double->decimal through the
+        # SHORTEST decimal repr (BigDecimal.valueOf) while DuckDB
+        # quantizes the exact binary expansion — they agree only
+        # within the shortest-repr digit budget
+        F.round(F.lit(1.0) / F.col("id").cast("double"), 15)
+        .cast("decimal(38,15)")
+        .alias("__t"),
+    )
+    hpref = bucketed_cumsum(rng, ["__t"], val_col="id").select(
+        "id", F.col("__cum___t").alias("__Ht")
+    ).localCheckpoint(eager=False)  # feeds h, g-left AND g-right
+    h_row = hpref.agg(F.max("__Ht").cast("double").alias("__hc"))
+    left = hpref.filter(F.col("id") >= 2).select(
+        F.col("id").alias("__u"),
+        (F.lit(n_total) - F.col("id")).alias("__pk"),
+    )
+    right = hpref.select(F.col("id").alias("__t2"), F.col("__Ht"))
+    g_row = (
+        left.join(right, F.col("__pk") == F.col("__t2"))
+        .crossJoin(F.broadcast(h_row))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.lit(1.0) / F.col("__u").cast("double"))
+                    * (F.col("__hc") - F.col("__Ht").cast("double")),
+                    15,
+                ).cast("decimal(38,15)")
+            )
+            .cast("double")
+            .alias("__gc")
+        )
+    )
+    m = a2_row.crossJoin(F.broadcast(h_row)).crossJoin(F.broadcast(g_row))
+    kd, nd = float(k), nn
+    hh = F.col("__hc")
+    gg = F.col("__gc")
+    big_h = n_i.agg(
+        F.sum(
+            F.round(F.lit(1.0) / F.col("__ni").cast("double"), 15).cast(
+                "decimal(38,15)"
+            )
+        )
+        .cast("double")
+        .alias("__HH")
+    )
+    m = m.crossJoin(F.broadcast(big_h))
+    HH = F.col("__HH")
+    a = (F.lit(4.0) * gg - F.lit(6.0)) * F.lit(kd - 1.0) + (
+        F.lit(10.0) - F.lit(6.0) * gg
+    ) * HH
+    b = (
+        (F.lit(2.0) * gg - F.lit(4.0)) * F.lit(kd * kd)
+        + F.lit(8.0 * kd) * hh
+        + (F.lit(2.0) * gg - F.lit(14.0) * hh - F.lit(4.0)) * HH
+        - F.lit(8.0) * hh
+        + F.lit(4.0) * gg
+        - F.lit(6.0)
+    )
+    c = (
+        (F.lit(6.0) * hh + F.lit(2.0) * gg - F.lit(2.0)) * F.lit(kd * kd)
+        + (F.lit(4.0) * hh - F.lit(4.0) * gg + F.lit(6.0)) * F.lit(kd)
+        + (F.lit(2.0) * hh - F.lit(6.0)) * HH
+        + F.lit(4.0) * hh
+    )
+    d = (F.lit(2.0) * hh + F.lit(6.0)) * F.lit(kd * kd) - F.lit(
+        4.0 * kd
+    ) * hh
+    sigmasq = (
+        a * F.lit(nd * nd * nd) + b * F.lit(nd * nd) + c * F.lit(nd) + d
+    ) / F.lit((nd - 1.0) * (nd - 2.0) * (nd - 3.0))
+    sigma = F.when(sigmasq > 0, F.sqrt(sigmasq))
+    mm = kd - 1.0
+    t = (F.col("__a2") - F.lit(mm)) / sigma
+    crit = 1.645 + 0.678 / (mm**0.5) - 0.362 / mm
+    return m.select(
+        F.lit(n_total).cast("bigint").alias("n_units"),
+        F.lit(k).cast("int").alias("n_groups"),
+        F.round(F.col("__a2"), 6).alias("a2_stat"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(t, 6).alias("t_stat"),
+        F.lit(round(crit, 6)).alias("t_crit_05"),
+        F.coalesce(
+            (F.round(t, 6) > F.lit(round(crit, 6))).cast("int"), F.lit(0)
+        ).alias("significant"),
     )

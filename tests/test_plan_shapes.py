@@ -822,6 +822,18 @@ def test_seasonal_windows_are_day_grain_only(spark, queries):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+def test_anderson_ksample_cumulatives_bucketed_no_global_sort(
+    spark, queries
+):
+    """anderson_darling_ksample (round 12): pooled AND per-group
+    midrank cumulatives run through the bucketed prefix sums (value
+    windows partitioned by bucket / (group, bucket)); the harmonic
+    constants come from a spark.range index frame — nowhere an
+    Exchange rangepartitioning or a data-sized single-task window."""
+    plan = plan_of(queries["events_anderson"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+
+
 def test_theilsen_medians_via_rank_probe_no_global_sort(spark, queries):
     """theil_sen_trend (round 12): both medians are rank-selected
     against the distinct-value cumulative spans (the exact_quantiles

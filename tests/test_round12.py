@@ -296,3 +296,204 @@ def test_pca_whiten_unit_variance(spark):
     )
     with pytest.raises(ValueError, match="whitening"):
         pca_project(flat, k=2, whiten=True)
+
+
+def test_cvm_two_sample_matches_numpy(spark):
+    """ECDF-integral form vs first-principles numpy; on TIE-FREE data
+    it must also equal the classic rank formula
+    U/(n m N) - (4mn-1)/(6N)."""
+    from intake_esm_spark.operators.experiment import cvm_test_report
+
+    rng = np.random.RandomState(17)
+    a = np.unique(rng.normal(0, 1, 80).round(6))
+    b = np.unique(rng.normal(0.4, 1.3, 70).round(6) + 1e-4)
+    rows = [("t", float(x)) for x in a] + [("c", float(y)) for y in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = cvm_test_report(df, "g", "v", "t", "c").collect()[0]
+    n, m = len(a), len(b)
+    N = n + m
+    pooled = np.sort(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pooled, side="right") / n
+    fb = np.searchsorted(np.sort(b), pooled, side="right") / m
+    t_int = n * m / N**2 * np.sum((fa - fb) ** 2)
+    assert r["t_stat"] == pytest.approx(t_int, abs=1e-5)
+    # rank formula (tie-free): U = n*sum((r_i - i)^2) + m*sum((s_j - j)^2)
+    ranks = {v: i + 1 for i, v in enumerate(pooled)}
+    ra = np.array(sorted(ranks[v] for v in a))
+    rb = np.array(sorted(ranks[v] for v in b))
+    u = n * np.sum((ra - np.arange(1, n + 1)) ** 2) + m * np.sum(
+        (rb - np.arange(1, m + 1)) ** 2
+    )
+    t_rank = u / (n * m * N) - (4 * m * n - 1) / (6 * N)
+    assert r["t_stat"] == pytest.approx(t_rank, abs=1e-5)
+    # scipy-identical finite-N adjustment
+    et = (1 + 1 / N) / 6
+    vt = (N + 1) * (4 * n * m * N - 3 * (n**2 + m**2) - 2 * n * m) / (
+        45 * N**2 * 4 * n * m
+    )
+    assert r["t_adj"] == pytest.approx(
+        1 / 6 + (t_int - et) * np.sqrt((1 / 45) / vt), abs=1e-5
+    )
+    assert r["significant"] in (0, 1)
+    # identical samples -> tiny statistic, not significant
+    same = spark.createDataFrame(
+        [("t", float(i % 13)) for i in range(50)]
+        + [("c", float(i % 13)) for i in range(50)],
+        "g string, v double",
+    )
+    r0 = cvm_test_report(same, "g", "v", "t", "c").collect()[0]
+    assert r0["t_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r0["significant"] == 0
+
+
+def test_stream_effect_sizes_matches_batch(spark, tmp_path):
+    """The effect-size readout composes with the EXISTING streaming
+    moments twin (#22, stream_anova_moments): last update per arm →
+    effect_sizes_from_moments == whole-corpus effect_size_report
+    bit-for-bit (the additive exact-decimal parity argument)."""
+    import glob
+    import shutil
+
+    from intake_esm_spark.operators.groupstats import (
+        effect_size_report,
+        effect_sizes_from_moments,
+    )
+    from intake_esm_spark.streaming.stateful import stream_anova_moments
+
+    rng = np.random.RandomState(44)
+    rows = [("a" if i % 2 else "b", float(v))
+            for i, v in enumerate(rng.normal(5, 2, 120).round(4))]
+    df = spark.createDataFrame(rows, "g string, x double")
+    batch = effect_size_report(df, "x", "g").collect()[0]
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32(F.col("x").cast("string")) % 2 == 0).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "a"))
+    df.filter(F.crc32(F.col("x").cast("string")) % 2 == 1).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    q = (
+        stream_anova_moments(stream, "g", "x")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("es_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM es_stream").collect()
+    finally:
+        q.stop()
+    last = {}
+    for r in emitted:
+        last[r["__g"]] = (r["__n"], r["__s1"], r["__s2"])
+    moms = spark.createDataFrame(
+        [(g, n, s1, s2) for g, (n, s1, s2) in last.items()],
+        "__g string, __n long, __s1 decimal(18,6), __s2 decimal(38,12)",
+    )
+    streamed = effect_sizes_from_moments(moms).collect()[0]
+    for c in (
+        "n_a", "n_b", "mean_a", "mean_b", "mean_diff",
+        "pooled_sd", "cohens_d", "hedges_g", "glass_delta",
+    ):
+        assert streamed[c] == batch[c], c
+
+
+def ad_ksamp_midrank_ref(samples):
+    """Independent numpy translation of Scholz & Stephens (1987):
+    tie-adjusted (midrank) A2akN, exact variance constants, normalized
+    statistic — the formulas scipy.anderson_ksamp implements."""
+    Z = np.sort(np.concatenate(samples))
+    Zstar = np.unique(Z)
+    k = len(samples)
+    n = np.array([len(s) for s in samples])
+    N = len(Z)
+    lj = Z.searchsorted(Zstar, "right") - Z.searchsorted(Zstar, "left")
+    Bj = Z.searchsorted(Zstar, "left") + lj / 2.0
+    A2 = 0.0
+    for i in range(k):
+        s = np.sort(samples[i])
+        Mij = s.searchsorted(Zstar, "right").astype(float)
+        fij = Mij - s.searchsorted(Zstar, "left")
+        Mij -= fij / 2.0
+        inner = (
+            lj
+            / float(N)
+            * (N * Mij - Bj * n[i]) ** 2
+            / (Bj * (N - Bj) - N * lj / 4.0)
+        )
+        A2 += inner.sum() / n[i]
+    A2 *= (N - 1.0) / N
+    H = (1.0 / n).sum()
+    hs = (1.0 / np.arange(1, N)).sum()
+    g = 0.0
+    for l in range(1, N - 1):
+        g += (1.0 / (N - l)) * (1.0 / np.arange(l + 1, N)).sum()
+    a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * H
+    b = (
+        (2 * g - 4) * k**2
+        + 8 * hs * k
+        + (2 * g - 14 * hs - 4) * H
+        - 8 * hs
+        + 4 * g
+        - 6
+    )
+    c = (
+        (6 * hs + 2 * g - 2) * k**2
+        + (4 * hs - 4 * g + 6) * k
+        + (2 * hs - 6) * H
+        + 4 * hs
+    )
+    d = (2 * hs + 6) * k**2 - 4 * hs * k
+    sigsq = (a * N**3 + b * N**2 + c * N + d) / (
+        (N - 1.0) * (N - 2.0) * (N - 3.0)
+    )
+    return A2, np.sqrt(sigsq), (A2 - (k - 1)) / np.sqrt(sigsq)
+
+
+def test_anderson_darling_ksample_matches_reference(spark):
+    from intake_esm_spark.operators.groupstats import (
+        anderson_darling_ksample,
+    )
+
+    rng = np.random.RandomState(7)
+    samples = [
+        rng.randint(0, 25, 60).astype(float),
+        (rng.randint(0, 25, 45) + rng.binomial(1, 0.5, 45)).astype(float),
+        rng.randint(2, 27, 50).astype(float),
+    ]
+    rows = [(f"g{i}", float(v)) for i, s in enumerate(samples) for v in s]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anderson_darling_ksample(df, "v", "g").collect()[0]
+    a2, sig, t = ad_ksamp_midrank_ref(samples)
+    assert r["n_units"] == 155 and r["n_groups"] == 3
+    assert r["a2_stat"] == pytest.approx(a2, abs=1e-5)
+    assert r["sigma"] == pytest.approx(sig, abs=1e-5)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-5)
+    # a genuinely shifted third sample must reject
+    shifted = samples[:2] + [samples[2] + 30.0]
+    rows2 = [(f"g{i}", float(v)) for i, s in enumerate(shifted) for v in s]
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    r2 = anderson_darling_ksample(df2, "v", "g").collect()[0]
+    a2b, sigb, tb = ad_ksamp_midrank_ref(shifted)
+    assert r2["t_stat"] == pytest.approx(tb, abs=1e-4)
+    assert r2["significant"] == 1
+    # degenerate guards: one group / tiny N / single value -> nulls
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("a", 1.0)], "g string, v double"
+    )
+    row = anderson_darling_ksample(tiny, "v", "g").collect()[0]
+    assert row["a2_stat"] is None and row["significant"] == 0
