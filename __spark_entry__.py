@@ -2886,6 +2886,73 @@ def q_events_anderson(spark: SparkSession, sf: str) -> DataFrame:
     return anderson_darling_ksample(units, "rev", "grp")
 
 
+def q_lineitem_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple-OLS coefficients for extendedprice ~ quantity +
+    discount (operators/regression.py ols_report): ONE partial-agged
+    exact-decimal moment pass, driver solve over the (p+1)x(p+1)
+    sidecar, closed-form standard errors / t — no residual pass.
+    Oracle: the moment SQL replayed in DuckDB + the SAME shared
+    ols_solve_from_moments, literals compared (_build_ols_oracles)."""
+    from intake_esm_spark.operators.regression import ols_report
+
+    li = load_table(spark, sf, "lineitem")
+    return ols_report(li, "l_extendedprice", ["l_quantity", "l_discount"])
+
+
+def q_lineitem_ols_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-level OLS diagnostics (operators/regression.py
+    ols_fit_report): R2 / RMSE / residual SE / F from the SAME
+    second-order moments — SSE is closed-form, the corpus is scanned
+    exactly once."""
+    from intake_esm_spark.operators.regression import ols_fit_report
+
+    li = load_table(spark, sf, "lineitem")
+    return ols_fit_report(
+        li, "l_extendedprice", ["l_quantity", "l_discount"]
+    )
+
+
+def _returnflag_logit_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared frame of the logistic entries: predict the returned flag
+    from quantity and discount at the lineitem grain."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(F.col("l_returnflag").isNotNull()).select(
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        "l_quantity",
+        "l_discount",
+    )
+
+
+def q_lineitem_logit(spark: SparkSession, sf: str) -> DataFrame:
+    """Logistic-regression coefficients for P(returned) ~ quantity +
+    discount (operators/regression.py logistic_report): 8 unrolled
+    IRLS/Newton passes, each ONE 1-row partial-agged scan of
+    12dp-quantized gradient/Hessian terms at the current beta
+    literals; driver Newton solve on the bounded sidecar. Oracle:
+    the identical pass SQL looped in DuckDB through the SAME shared
+    step/finalize helpers (_build_logistic_oracles)."""
+    from intake_esm_spark.operators.regression import logistic_report
+
+    return logistic_report(
+        _returnflag_logit_frame(spark, sf),
+        "ret",
+        ["l_quantity", "l_discount"],
+    )
+
+
+def q_lineitem_logit_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-level logistic diagnostics (operators/regression.py
+    logistic_fit_report): n, fixed iteration count, mean clamped
+    log-loss at the final iterate."""
+    from intake_esm_spark.operators.regression import logistic_fit_report
+
+    return logistic_fit_report(
+        _returnflag_logit_frame(spark, sf),
+        "ret",
+        ["l_quantity", "l_discount"],
+    )
+
+
 def q_events_cvm(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sample Cramér-von Mises test (operators/experiment.py
     cvm_test_report) on per-user purchase revenue between the even/odd
@@ -5075,6 +5142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cliffs_delta": q_events_cliffs_delta,
         "events_cvm": q_events_cvm,
         "events_anderson": q_events_anderson,
+        "lineitem_ols": q_lineitem_ols,
+        "lineitem_ols_fit": q_lineitem_ols_fit,
+        "lineitem_logit": q_lineitem_logit,
+        "lineitem_logit_fit": q_lineitem_logit_fit,
         # Block 1: the entries longest without a driver-green row —
         # the r6/r7-era rows the r11 head's 50-entry cut fell short of
         # (cumulative coverage is 241/241 after this round's embed_pca
@@ -5107,15 +5178,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
+        # -- rotation tail ---------------------------------------------
+        # (simsearch_pq_topk / events_funnel_counts /
+        # simsearch_ivf_pq_rerank / docs_bm25 / docs_tfidf /
+        # simsearch_ivf_int8 / simsearch_ivf / embed_kmeans /
+        # dedup_cluster_survivors were displaced from the head by the
+        # nine r12-new entries — they lead the freshness queue next
+        # round)
         "simsearch_pq_topk": q_simsearch_pq_topk,
         "events_funnel_counts": q_events_funnel_counts,
         "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
         "docs_bm25": q_docs_bm25,
-        # -- rotation tail ---------------------------------------------
-        # (docs_tfidf / simsearch_ivf_int8 / simsearch_ivf /
-        # embed_kmeans / dedup_cluster_survivors were displaced from
-        # the head by the five r12-new entries — they lead the
-        # freshness queue next round)
         "docs_tfidf": q_docs_tfidf,
         "simsearch_ivf_int8": q_simsearch_ivf_int8,
         "simsearch_ivf": q_simsearch_ivf,
@@ -13056,7 +13129,173 @@ def oracle_sql() -> dict[str, str]:
     d["embed_whiten"] = _build_embed_pca_oracle(
         d["embed_covariance"], whiten=True
     )
+    # lineitem_ols / lineitem_ols_fit: data-derived literal oracles —
+    # the moment SQL replays in DuckDB, the SAME shared solve emits
+    # bit-identical literals (the embed_pca construction)
+    d["lineitem_ols"], d["lineitem_ols_fit"] = _build_ols_oracles()
+    # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
+    # replayed pass-by-pass in DuckDB through the same shared
+    # step/finalize helpers
+    d["lineitem_logit"], d["lineitem_logit_fit"] = (
+        _build_logistic_oracles()
+    )
     return d
+
+
+def _build_logistic_oracles() -> tuple[str, str]:
+    """Oracles for the logistic entries: loop the SAME fixed IRLS
+    pass count in DuckDB — each pass mirrors the operator's per-row
+    expressions text-for-text (decimal-quantized features, 12dp
+    decimal term sums, beta literals at full double precision) and
+    feeds the SAME shared ``logistic_step`` / ``logistic_finalize``,
+    so both engines walk one float trajectory; the final coefficients
+    and fit stats are emitted as literal SELECTs."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        N_IRLS_ITER,
+        logistic_finalize,
+        logistic_step,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+
+    def xq(c: str) -> str:
+        return (
+            f"CAST(CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(18,6))"
+            " AS DOUBLE)"
+        )
+
+    def pass_sql(beta: list[float]) -> str:
+        eta = repr(float(beta[0]))
+        for bj, c in zip(beta[1:], xs):
+            eta = f"{eta} + {float(bj)!r} * {xq(c)}"
+        pre = (
+            f"WITH r AS (SELECT CAST(l_returnflag = 'R' AS INT) AS y,"
+            f" {xq(xs[0])} AS x1, {xq(xs[1])} AS x2,"
+            f" 1.0 / (1.0 + exp(-({eta}))) AS mu"
+            f" FROM '{sf_dir}/lineitem.parquet'"
+            " WHERE l_returnflag IS NOT NULL"
+            " AND l_quantity IS NOT NULL AND l_discount IS NOT NULL)"
+        )
+        terms = ["count(*) AS n"]
+        xcols = ["1.0", "x1", "x2"]
+        for j2, xj in enumerate(xcols):
+            terms.append(
+                f"sum(CAST(round((CAST(y AS DOUBLE) - mu) * {xj}, 12)"
+                f" AS DECIMAL(38,12))) AS g_{j2}"
+            )
+            for i in range(j2, len(xcols)):
+                terms.append(
+                    f"sum(CAST(round(mu * (1.0 - mu) * {xj} * {xcols[i]},"
+                    f" 12) AS DECIMAL(38,12))) AS h_{j2}_{i}"
+                )
+        clamp = (
+            f"greatest(least(mu, {1.0 - 1e-15!r}), {1e-15!r})"
+        )
+        terms.append(
+            "sum(CAST(round(-(CAST(y AS DOUBLE) * ln(" + clamp + ")"
+            " + (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - " + clamp + ")),"
+            " 12) AS DECIMAL(38,12))) AS ll"
+        )
+        return pre + " SELECT " + ", ".join(terms) + " FROM r"
+
+    con = duckdb.connect()
+
+    def run(sql: str) -> dict:
+        row = con.execute(sql).fetchone()
+        return dict(zip([d0[0] for d0 in con.description], row))
+
+    beta = [0.0] * (len(xs) + 1)
+    for _ in range(N_IRLS_ITER):
+        beta = logistic_step(run(pass_sql(beta)), beta, len(xs))
+    sol = logistic_finalize(run(pass_sql(beta)), beta, xs)
+
+    def lit(v) -> str:
+        return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))
+
+    coef_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {lit(c)} AS coef, {lit(s)} AS std_err,"
+        f" {lit(z)} AS z_stat"
+        for t, c, s, z in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"]
+        )
+    )
+    fit_sql = (
+        f"SELECT CAST({sol['n']} AS BIGINT) AS n_rows,"
+        f" CAST({sol['n_iter']} AS INT) AS n_iter,"
+        f" {lit(sol['log_loss'])} AS log_loss"
+    )
+    return coef_rows, fit_sql
+
+
+def _build_ols_oracles() -> tuple[str, str]:
+    """Oracles for the OLS entries (regression.py module docstring):
+    replay the exact-decimal second-order moment aggregate in DuckDB
+    over the same complete-case filter, hand the Decimal moments to
+    the SAME :func:`~intake_esm_spark.operators.regression.
+    ols_solve_from_moments` the operator uses (bit-identical floats —
+    the solve never crosses an engine boundary), and emit the
+    coefficient rows / fit row as literal SELECTs."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        ols_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+    y = "l_extendedprice"
+
+    def q6(c: str) -> str:
+        return f"CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(18,6))"
+
+    def prod(a: str, b: str) -> str:
+        return (
+            f"CAST(CAST(round(CAST({a} AS DOUBLE), 6) AS DECIMAL(19,6))"
+            f" * {q6(b)} AS DECIMAL(38,12))"
+        )
+
+    cols = ["count(*) AS n"]
+    for i, c in enumerate(xs):
+        cols.append(f"sum({q6(c)}) AS s_{i}")
+        cols.append(f"sum({prod(c, y)}) AS q_{i}")
+        for j2 in range(i, len(xs)):
+            cols.append(f"sum({prod(c, xs[j2])}) AS p_{i}_{j2}")
+    cols.append(f"sum({q6(y)}) AS sy")
+    cols.append(f"sum({prod(y, y)}) AS syy")
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs])
+    con = duckdb.connect()
+    row = con.execute(
+        f"SELECT {', '.join(cols)} FROM "
+        f"'{sf_dir}/lineitem.parquet' WHERE {notnull}"
+    ).fetchone()
+    names = [d[0] for d in con.description]
+    sol = ols_solve_from_moments(dict(zip(names, row)), xs)
+
+    def lit(v) -> str:
+        return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))
+
+    coef_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {lit(c)} AS coef, {lit(s)} AS std_err,"
+        f" {lit(ts)} AS t_stat"
+        for t, c, s, ts in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"]
+        )
+    )
+    fit_sql = (
+        f"SELECT CAST({sol['n']} AS BIGINT) AS n_rows,"
+        f" CAST({sol['df_resid']} AS BIGINT) AS df_resid,"
+        f" {lit(sol['r2'])} AS r2, {lit(sol['rmse'])} AS rmse,"
+        f" {lit(sol['resid_se'])} AS resid_se,"
+        f" {lit(sol['f_stat'])} AS f_stat"
+    )
+    return coef_rows, fit_sql
 
 
 def _build_embed_pca_oracle(

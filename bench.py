@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "events_cliffs_delta",
     "events_cvm",
     "events_anderson",
+    "lineitem_ols",
+    "lineitem_logit",
 ]
 
 

@@ -1,0 +1,396 @@
+"""Closed-form multiple linear regression (OLS) on Spark: coefficients,
+standard errors, t statistics, and fit diagnostics from ONE distributed
+moment pass.
+
+Extension (SURVEY §2.9): the regression readout every analytics stack
+reaches for right after the two-sample tests — "how much does each
+driver move the metric, holding the others fixed".  No reference
+counterpart (the reference is a catalog engine); the design follows the
+repo's PCA split (``matrix.pca_project``):
+
+Scale shape — the ONLY corpus-sized work is one partial-aggregated
+moment pass: with ``p`` features (p ≤ 16, guarded) the normal-equation
+inputs are the ``(p+1)(p+2)/2`` second-order sums ``n, Σxᵢ, Σxᵢxⱼ, Σy,
+Σxᵢy, Σy²`` — a SINGLE 1-row aggregate with map-side combine, no
+shuffle wider than one row.  The ``(p+1)×(p+1)`` solve runs on the
+DRIVER (``numpy.linalg.solve`` over a bounded sidecar — the
+``pca_project`` eigh precedent), and every fit statistic (SSE, R²,
+standard errors, t, F) is closed-form driver arithmetic over the same
+exact moments — no residual pass over the corpus at all.
+
+Determinism: every variable quantizes to 6dp DECIMAL(18,6), every
+product to DECIMAL(38,12) — the sums are EXACT and order-independent,
+so the solve consumes bit-identical inputs on every run and engine;
+the DuckDB oracle replays the moment SQL, calls the SAME shared
+:func:`ols_solve_from_moments`, and compares the identical literals
+(the ``embed_pca`` data-derived-oracle construction).  LAPACK ``solve``
+is deterministic for bit-identical inputs; a singular (collinear)
+design raises rather than emitting garbage coefficients.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_FEATURES = 16
+"""Moment-pass width guard: p features cost (p+1)(p+2)/2 decimal sums
+in one aggregate row — fine through 16 (153 sums), a smell above it
+(use hashed-feature scoring for wide inputs)."""
+
+
+def _q(col: str):
+    return F.round(F.col(col).cast("double"), 6).cast("decimal(18,6)")
+
+
+def _finite(col: str):
+    cd = F.col(col).cast("double")
+    return (
+        F.col(col).isNotNull()
+        & ~F.isnan(cd)
+        & (F.abs(cd) != F.lit(float("inf")))
+    )
+
+
+def ols_moments(df: DataFrame, y_col: str, x_cols: list[str]) -> dict:
+    """The one distributed pass: exact-decimal second-order moments of
+    ``(1, x₁..x_p, y)`` as a plain dict (Decimal values) — shared verbatim
+    by :func:`ols_report` / :func:`ols_fit_report` and replayed in SQL
+    by the oracle builder.  Rows with any null/non-finite variable are
+    excluded (complete-case, the _group_moments rule)."""
+    if not x_cols:
+        raise ValueError("ols: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"ols: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES} — the moment row grows quadratically; use "
+            "hashed-feature scoring (operators/corpus.py) for wide inputs"
+        )
+    cond = _finite(y_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    d38 = "decimal(38,12)"
+    for i, c in enumerate(x_cols):
+        aggs.append(F.sum(_q(c)).alias(f"s_{i}"))
+        aggs.append(
+            F.sum(
+                (_q(c).cast("decimal(19,6)") * _q(y_col)).cast(d38)
+            ).alias(f"q_{i}")
+        )
+        for j2 in range(i, len(x_cols)):
+            aggs.append(
+                F.sum(
+                    (
+                        _q(c).cast("decimal(19,6)") * _q(x_cols[j2])
+                    ).cast(d38)
+                ).alias(f"p_{i}_{j2}")
+            )
+    aggs.append(F.sum(_q(y_col)).alias("sy"))
+    aggs.append(
+        F.sum(
+            (_q(y_col).cast("decimal(19,6)") * _q(y_col)).cast(d38)
+        ).alias("syy")
+    )
+    return base.agg(*aggs).collect()[0].asDict()
+
+
+def ols_solve_from_moments(mom: dict, x_cols: list[str]) -> dict:
+    """Driver-side closed-form solve over the exact moments — ONE
+    shared implementation consumed by the Spark operators AND the
+    DuckDB oracle builder, so both sides emit bit-identical literals.
+    Returns ``{terms, coef, std_err, t_stat, n, r2, rmse, resid_se,
+    f_stat, df_resid}`` (lists ordered intercept-first); raises on a
+    singular design or n ≤ p."""
+    import numpy as np
+
+    p = len(x_cols)
+    n = int(mom["n"])
+    if n <= p + 1:
+        raise ValueError(f"ols: n={n} rows cannot fit {p + 1} parameters")
+    xtx = np.zeros((p + 1, p + 1))
+    xty = np.zeros(p + 1)
+    xtx[0, 0] = float(n)
+    xty[0] = float(mom["sy"])
+    for i in range(p):
+        s = float(mom[f"s_{i}"])
+        xtx[0, i + 1] = xtx[i + 1, 0] = s
+        xty[i + 1] = float(mom[f"q_{i}"])
+        for j2 in range(i, p):
+            v = float(mom[f"p_{i}_{j2}"])
+            xtx[i + 1, j2 + 1] = xtx[j2 + 1, i + 1] = v
+    # quantized sums perturb an exactly-singular matrix into an
+    # ill-conditioned-but-invertible one, so LU alone won't raise —
+    # guard on the condition number (SVD: deterministic given bits)
+    cond = float(np.linalg.cond(xtx))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            "ols: singular or ill-conditioned design matrix "
+            f"(cond={cond:.3g}, collinear features) — drop a "
+            "redundant column"
+        )
+    beta = np.linalg.solve(xtx, xty)
+    inv = np.linalg.inv(xtx)
+    syy = float(mom["syy"])
+    sy = float(mom["sy"])
+    sse = max(
+        0.0, syy - 2.0 * float(beta @ xty) + float(beta @ xtx @ beta)
+    )
+    sst = syy - sy * sy / n
+    df_resid = n - p - 1
+    sigma2 = sse / df_resid
+    se = [float(np.sqrt(max(0.0, sigma2 * inv[j, j]))) for j in range(p + 1)]
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    f_stat = (
+        ((sst - sse) / p) / (sse / df_resid)
+        if p > 0 and sse > 0 and sst > sse
+        else None
+    )
+    return {
+        "terms": ["_intercept", *x_cols],
+        "coef": [round(float(b), 6) for b in beta],
+        "std_err": [round(s, 6) for s in se],
+        "t_stat": [
+            round(float(b) / s, 6) if s > 0 else None
+            for b, s in zip(beta, se)
+        ],
+        "n": n,
+        "r2": round(r2, 6) if r2 is not None else None,
+        "rmse": round(float(np.sqrt(sse / n)), 6),
+        "resid_se": round(float(np.sqrt(sigma2)), 6),
+        "f_stat": round(f_stat, 6) if f_stat is not None else None,
+        "df_resid": df_resid,
+    }
+
+
+def ols_report(df: DataFrame, y_col: str, x_cols: list[str]) -> DataFrame:
+    """Per-coefficient OLS readout: one row per term (intercept first)
+    with ``(term, coef, std_err, t_stat)`` — module docstring for the
+    one-pass moment construction and the determinism argument."""
+    sol = ols_solve_from_moments(ols_moments(df, y_col, x_cols), x_cols)
+    spark = df.sparkSession
+    rows = list(
+        zip(sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"])
+    )
+    return spark.createDataFrame(
+        rows, "term string, coef double, std_err double, t_stat double"
+    )
+
+
+def ols_fit_report(
+    df: DataFrame, y_col: str, x_cols: list[str]
+) -> DataFrame:
+    """Model-level OLS diagnostics: one row ``(n_rows, df_resid, r2,
+    rmse, resid_se, f_stat)`` from the SAME moments (no residual pass
+    — SSE is closed-form in the second-order sums)."""
+    sol = ols_solve_from_moments(ols_moments(df, y_col, x_cols), x_cols)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                sol["n"],
+                sol["df_resid"],
+                sol["r2"],
+                sol["rmse"],
+                sol["resid_se"],
+                sol["f_stat"],
+            )
+        ],
+        "n_rows bigint, df_resid bigint, r2 double, rmse double,"
+        " resid_se double, f_stat double",
+    )
+
+
+N_IRLS_ITER = 8
+"""Fixed IRLS/Newton iteration count for :func:`logistic_report` —
+fixed, never convergence-tested, so the computation is a DETERMINISTIC
+unrolled pipeline (the kmeans_refine precedent): every engine and
+every run executes byte-identical passes."""
+
+
+def _logistic_exprs(y_col: str, x_cols: list[str], beta: list[float]):
+    """The per-row IRLS expressions at literal ``beta`` — eta through
+    a left-assoc literal fold, mu = 1/(1+exp(-eta)), w = mu(1-mu),
+    resid = y - mu — shared column builders for the Spark pass (the
+    DuckDB oracle mirrors the same text order)."""
+    eta = F.lit(float(beta[0]))
+    for bj, c in zip(beta[1:], x_cols):
+        eta = eta + F.lit(float(bj)) * _q(c).cast("double")
+    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    w = mu * (F.lit(1.0) - mu)
+    resid = F.col(y_col).cast("double") - mu
+    return mu, w, resid
+
+
+def _logistic_pass(
+    df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
+) -> dict:
+    """One distributed IRLS pass: the gradient/Hessian sufficient
+    statistics ``g_j = Σ (y−μ)x_j`` and ``h_ij = Σ w·x_i·x_j`` (x₀ = 1)
+    at literal ``beta``, every term 12dp-decimal-quantized before the
+    cross-row sum (order-independent), plus n and the clamped
+    log-loss sum — ONE 1-row partial-aggregated scan."""
+    mu, w, resid = _logistic_exprs(y_col, x_cols, beta)
+    xs = [F.lit(1.0)] + [_q(c).cast("double") for c in x_cols]
+    d38 = "decimal(38,12)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j2, xj in enumerate(xs):
+        aggs.append(
+            F.sum(F.round(resid * xj, 12).cast(d38)).alias(f"g_{j2}")
+        )
+        for i in range(j2, len(xs)):
+            aggs.append(
+                F.sum(F.round(w * xj * xs[i], 12).cast(d38)).alias(
+                    f"h_{j2}_{i}"
+                )
+            )
+    mc = F.greatest(F.least(mu, F.lit(1.0 - 1e-15)), F.lit(1e-15))
+    yd = F.col(y_col).cast("double")
+    ll = -(yd * F.log(mc) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - mc))
+    aggs.append(F.sum(F.round(ll, 12).cast(d38)).alias("ll"))
+    # label-domain sidecar (checked once by _logistic_fit; the oracle's
+    # pass omits these — logistic_step ignores extra keys)
+    aggs.append(F.min(yd).alias("ymin"))
+    aggs.append(F.max(yd).alias("ymax"))
+    return df.agg(*aggs).collect()[0].asDict()
+
+
+def logistic_step(mom: dict, beta: list[float], p: int) -> list[float]:
+    """One Newton update ``β' = β + H⁻¹g`` over a pass's exact-decimal
+    sums — shared by the Spark loop and the oracle builder, so both
+    sides walk the identical float trajectory.  Raises on a singular
+    Hessian (separated/collinear design)."""
+    import numpy as np
+
+    h = np.zeros((p + 1, p + 1))
+    g = np.zeros(p + 1)
+    for j2 in range(p + 1):
+        g[j2] = float(mom[f"g_{j2}"])
+        for i in range(j2, p + 1):
+            h[j2, i] = h[i, j2] = float(mom[f"h_{j2}_{i}"])
+    cond = float(np.linalg.cond(h))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            "logistic: singular Hessian (collinear features or "
+            f"complete separation; cond={cond:.3g})"
+        )
+    step = np.linalg.solve(h, g)
+    return [float(b + s) for b, s in zip(beta, step)]
+
+
+def logistic_finalize(
+    mom: dict, beta: list[float], x_cols: list[str]
+) -> dict:
+    """Final readout from the LAST pass (run at the final β): standard
+    errors from the observed-information inverse, Wald z, mean
+    log-loss, McFadden pseudo-R² against the null (intercept-only
+    closed form ``p̄`` from g₀'s identity Σy = Σμ + g₀)."""
+    import numpy as np
+
+    p = len(x_cols)
+    h = np.zeros((p + 1, p + 1))
+    for j2 in range(p + 1):
+        for i in range(j2, p + 1):
+            h[j2, i] = h[i, j2] = float(mom[f"h_{j2}_{i}"])
+    try:
+        inv = np.linalg.inv(h)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "logistic: singular Hessian at the final iterate — "
+            f"separated or collinear design: {exc}"
+        ) from exc
+    se = [float(np.sqrt(max(0.0, inv[j, j]))) for j in range(p + 1)]
+    n = int(mom["n"])
+    ll = float(mom["ll"])
+    return {
+        "terms": ["_intercept", *x_cols],
+        "coef": [round(float(b), 6) for b in beta],
+        "std_err": [round(s, 6) for s in se],
+        "z_stat": [
+            round(float(b) / s, 6) if s > 0 else None
+            for b, s in zip(beta, se)
+        ],
+        "n": n,
+        "log_loss": round(ll / n, 6),
+        "n_iter": N_IRLS_ITER,
+    }
+
+
+def _logistic_fit(
+    df: DataFrame, y_col: str, x_cols: list[str], n_iter: int
+) -> dict:
+    if not x_cols:
+        raise ValueError("logistic: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"logistic: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    cond = _finite(y_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond).localCheckpoint(eager=False)
+    p = len(x_cols)
+    beta = [0.0] * (p + 1)
+    for it in range(n_iter):
+        last = _logistic_pass(base, y_col, x_cols, beta)
+        if it == 0:
+            ymin, ymax = last["ymin"], last["ymax"]
+            if ymin is None or ymin < 0.0 or ymax > 1.0:
+                raise ValueError(
+                    f"logistic: label must lie in [0, 1], got "
+                    f"[{ymin}, {ymax}]"
+                )
+        beta = logistic_step(last, beta, p)
+    final = _logistic_pass(base, y_col, x_cols, beta)
+    return logistic_finalize(final, beta, x_cols)
+
+
+def logistic_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    n_iter: int = N_IRLS_ITER,
+) -> DataFrame:
+    """Logistic regression via UNROLLED IRLS/Newton — the classifier
+    companion of :func:`ols_report` (SURVEY §2.9; sklearn
+    ``LogisticRegression(penalty=None)`` / statsmodels ``Logit``
+    parity at convergence).  ``y_col`` must be 0/1.
+
+    Scale shape: ``n_iter + 1`` distributed passes, each a ONE-row
+    partial-aggregated scan computing the gradient/Hessian sufficient
+    statistics at the current β literals (the kmeans unrolled-Lloyd
+    precedent — no driver-side data, only (p+1)² sums cross the
+    boundary per pass); the Newton solve is driver arithmetic on the
+    bounded sidecar.  Determinism: features 6dp-quantized, every
+    per-row term 12dp-decimal-quantized before its cross-row sum, β
+    literals carried at full double precision between passes, fixed
+    iteration count — the oracle builder replays the identical pass
+    SQL + the SAME shared step/finalize helpers, so both engines walk
+    one float trajectory.  Returns one row per term ``(term, coef,
+    std_err, z_stat)``."""
+    sol = _logistic_fit(df, y_col, x_cols, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        list(zip(sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"])),
+        "term string, coef double, std_err double, z_stat double",
+    )
+
+
+def logistic_fit_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    n_iter: int = N_IRLS_ITER,
+) -> DataFrame:
+    """Model-level logistic diagnostics: one row ``(n_rows, n_iter,
+    log_loss)`` — the mean clamped negative log-likelihood at the
+    final iterate (clamp 1e-15, documented; same moments pass as
+    :func:`logistic_report`)."""
+    sol = _logistic_fit(df, y_col, x_cols, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(sol["n"], sol["n_iter"], sol["log_loss"])],
+        "n_rows bigint, n_iter int, log_loss double",
+    )

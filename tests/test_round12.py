@@ -497,3 +497,94 @@ def test_anderson_darling_ksample_matches_reference(spark):
     )
     row = anderson_darling_ksample(tiny, "v", "g").collect()[0]
     assert row["a2_stat"] is None and row["significant"] == 0
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    from intake_esm_spark.operators.regression import (
+        ols_fit_report,
+        ols_report,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 300
+    x1 = rng.normal(5, 2, n).round(4)
+    x2 = rng.normal(-1, 3, n).round(4)
+    y = (2.5 + 1.2 * x1 - 0.7 * x2 + rng.normal(0, 1.5, n)).round(4)
+    df = spark.createDataFrame(
+        list(zip(map(float, y), map(float, x1), map(float, x2))),
+        "y double, x1 double, x2 double",
+    )
+    got = {r["term"]: r for r in ols_report(df, "y", ["x1", "x2"]).collect()}
+    X = np.column_stack([np.ones(n), np.round(x1, 6), np.round(x2, 6)])
+    yq = np.round(y, 6)
+    beta, *_ = np.linalg.lstsq(X, yq, rcond=None)
+    resid = yq - X @ beta
+    sse = float(resid @ resid)
+    sigma2 = sse / (n - 3)
+    inv = np.linalg.inv(X.T @ X)
+    se = np.sqrt(sigma2 * np.diag(inv))
+    for i, t in enumerate(["_intercept", "x1", "x2"]):
+        assert got[t]["coef"] == pytest.approx(beta[i], abs=1e-5), t
+        assert got[t]["std_err"] == pytest.approx(se[i], abs=1e-5), t
+        assert got[t]["t_stat"] == pytest.approx(beta[i] / se[i], abs=1e-3)
+    fit = ols_fit_report(df, "y", ["x1", "x2"]).collect()[0]
+    sst = float((yq - yq.mean()) @ (yq - yq.mean()))
+    assert fit["n_rows"] == n and fit["df_resid"] == n - 3
+    assert fit["r2"] == pytest.approx(1 - sse / sst, abs=1e-5)
+    assert fit["rmse"] == pytest.approx(np.sqrt(sse / n), abs=1e-5)
+    assert fit["f_stat"] == pytest.approx(
+        ((sst - sse) / 2) / (sse / (n - 3)), rel=1e-4
+    )
+    # guards: collinear design, too few rows, feature cap
+    dup = df.withColumn("x3", F.col("x1") * 2.0)
+    with pytest.raises(ValueError, match="singular"):
+        ols_report(dup, "y", ["x1", "x3"])
+    with pytest.raises(ValueError, match="cannot fit"):
+        ols_report(df.limit(3), "y", ["x1", "x2"])
+    with pytest.raises(ValueError, match="MAX_FEATURES"):
+        ols_report(df, "y", ["x1"] * 17)
+
+
+def test_logistic_irls_matches_numpy(spark):
+    from intake_esm_spark.operators.regression import (
+        logistic_fit_report,
+        logistic_report,
+    )
+
+    rng = np.random.RandomState(21)
+    n = 400
+    x1 = rng.normal(0, 1.5, n).round(4)
+    x2 = rng.normal(1, 2, n).round(4)
+    eta = -0.5 + 1.1 * x1 - 0.6 * x2
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(int)
+    df = spark.createDataFrame(
+        list(zip(map(int, y), map(float, x1), map(float, x2))),
+        "y int, x1 double, x2 double",
+    )
+    got = {
+        r["term"]: r
+        for r in logistic_report(df, "y", ["x1", "x2"]).collect()
+    }
+    # converged numpy IRLS reference (30 iterations, unquantized sums)
+    X = np.column_stack([np.ones(n), np.round(x1, 6), np.round(x2, 6)])
+    b = np.zeros(3)
+    for _ in range(30):
+        mu = 1 / (1 + np.exp(-X @ b))
+        b = b + np.linalg.solve(X.T * (mu * (1 - mu)) @ X, X.T @ (y - mu))
+    mu = 1 / (1 + np.exp(-X @ b))
+    inv = np.linalg.inv(X.T * (mu * (1 - mu)) @ X)
+    se = np.sqrt(np.diag(inv))
+    for i, t in enumerate(["_intercept", "x1", "x2"]):
+        assert got[t]["coef"] == pytest.approx(b[i], abs=1e-5), t
+        assert got[t]["std_err"] == pytest.approx(se[i], abs=1e-5), t
+    fit = logistic_fit_report(df, "y", ["x1", "x2"]).collect()[0]
+    ref_ll = float((-(y * np.log(mu) + (1 - y) * np.log(1 - mu))).mean())
+    assert fit["log_loss"] == pytest.approx(ref_ll, abs=1e-5)
+    assert fit["n_rows"] == n and fit["n_iter"] == 8
+    # guards: non-binary label, collinear features
+    bad = df.withColumn("y", F.col("y") * 3)
+    with pytest.raises(ValueError, match="label must lie"):
+        logistic_report(bad, "y", ["x1"])
+    dup = df.withColumn("x3", F.col("x1") * 2.0)
+    with pytest.raises(ValueError, match="singular Hessian"):
+        logistic_report(dup, "y", ["x1", "x3"])
