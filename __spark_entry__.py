@@ -2953,6 +2953,29 @@ def q_lineitem_logit_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lineitem_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
+    """Jarque-Bera normality gate on extendedprice (operators/
+    groupstats.py jarque_bera_report): skewness/kurtosis from one
+    1-row moment scan — exact decimal first/second moments, 12dp-
+    quantized per-row cubic/quartic terms, chi-square(2) readout."""
+    from intake_esm_spark.operators.groupstats import jarque_bera_report
+
+    li = load_table(spark, sf, "lineitem")
+    return jarque_bera_report(li, "l_extendedprice")
+
+
+def q_events_mood_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Mood's median test across the three user cohorts (operators/
+    groupstats.py moods_median_test): exact type-7 pooled median via
+    the rank probe, one group-grain conditional aggregate, chi-square
+    over the 2xk above/not-above table, Wilson-Hilferty 5% critical
+    value."""
+    from intake_esm_spark.operators.groupstats import moods_median_test
+
+    units = _cohort3_rev_units(spark, sf)
+    return moods_median_test(units, "rev", "grp")
+
+
 def q_events_cvm(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sample Cramér-von Mises test (operators/experiment.py
     cvm_test_report) on per-user purchase revenue between the even/odd
@@ -5146,6 +5169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_ols_fit": q_lineitem_ols_fit,
         "lineitem_logit": q_lineitem_logit,
         "lineitem_logit_fit": q_lineitem_logit_fit,
+        "lineitem_jarque_bera": q_lineitem_jarque_bera,
+        "events_mood_median": q_events_mood_median,
         # Block 1: the entries longest without a driver-green row —
         # the r6/r7-era rows the r11 head's 50-entry cut fell short of
         # (cumulative coverage is 241/241 after this round's embed_pca
@@ -5176,15 +5201,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": q_events_audience_overlap,
         "docs_sample_weighted": q_docs_sample_weighted,
         "events_anomaly": q_events_anomaly,
+        # -- rotation tail ---------------------------------------------
+        # (docs_mixture_temp / embed_pq_codes / simsearch_pq_topk /
+        # events_funnel_counts / simsearch_ivf_pq_rerank / docs_bm25 /
+        # docs_tfidf / simsearch_ivf_int8 / simsearch_ivf /
+        # embed_kmeans / dedup_cluster_survivors were displaced from
+        # the head by the eleven r12-new entries — they lead the
+        # freshness queue next round)
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
-        # -- rotation tail ---------------------------------------------
-        # (simsearch_pq_topk / events_funnel_counts /
-        # simsearch_ivf_pq_rerank / docs_bm25 / docs_tfidf /
-        # simsearch_ivf_int8 / simsearch_ivf / embed_kmeans /
-        # dedup_cluster_survivors were displaced from the head by the
-        # nine r12-new entries — they lead the freshness queue next
-        # round)
         "simsearch_pq_topk": q_simsearch_pq_topk,
         "events_funnel_counts": q_events_funnel_counts,
         "simsearch_ivf_pq_rerank": q_simsearch_ivf_pq_rerank,
@@ -9637,6 +9662,147 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d_stat > d_crit, false) AS INT)
                      AS significant
             FROM f
+        """,
+        # replays operators/groupstats.jarque_bera_report: exact
+        # decimal s1/s2, 12dp-quantized per-row cubic/quartic double
+        # terms, raw-to-central identities in the operator's IEEE order
+        "lineitem_jarque_bera": """
+            WITH b AS (
+              SELECT round(CAST(l_extendedprice AS DOUBLE), 6) AS x
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), m AS (
+              SELECT count(*) AS n,
+                     sum(CAST(x AS DECIMAL(18,6))) AS s1,
+                     sum(CAST(CAST(x AS DECIMAL(19,6))
+                              * CAST(x AS DECIMAL(18,6))
+                              AS DECIMAL(38,12))) AS s2,
+                     sum(CAST(round(x * x * x, 12)
+                              AS DECIMAL(38,12))) AS s3,
+                     sum(CAST(round(x * x * x * x, 12)
+                              AS DECIMAL(38,12))) AS s4
+              FROM b
+            ), c AS (
+              SELECT n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                     CAST(s2 AS DOUBLE) AS s2d,
+                     CAST(s3 AS DOUBLE) AS s3d,
+                     CAST(s4 AS DOUBLE) AS s4d
+              FROM m
+            ), mm AS (
+              SELECT n, nd,
+                     s2d / nd - mean * mean AS m2,
+                     s3d / nd - 3.0 * mean * (s2d / nd)
+                       + 2.0 * mean * mean * mean AS m3,
+                     s4d / nd - 4.0 * mean * (s3d / nd)
+                       + 6.0 * mean * mean * (s2d / nd)
+                       - 3.0 * mean * mean * mean * mean AS m4
+              FROM c
+            ), z AS (
+              SELECT n, nd,
+                     CASE WHEN n >= 3 AND m2 > 0
+                          THEN m3 / sqrt(m2 * m2 * m2) END AS skew,
+                     CASE WHEN n >= 3 AND m2 > 0
+                          THEN m4 / (m2 * m2) - 3.0 END AS kurt
+              FROM mm
+            ), f AS (
+              SELECT n, skew, kurt,
+                     nd / 6.0 * (skew * skew + kurt * kurt / 4.0) AS jb
+              FROM z
+            )
+            SELECT CAST(n AS BIGINT) AS n_values,
+                   round(skew, 6) + 0.0 AS skewness,
+                   round(kurt, 6) + 0.0 AS kurtosis_excess,
+                   round(jb, 6) AS jb_stat,
+                   5.991465 AS jb_crit_05,
+                   CAST(coalesce(round(jb, 6) > 5.991465, false) AS INT)
+                     AS significant
+            FROM f
+        """,
+        # replays operators/groupstats.moods_median_test: type-7 pooled
+        # median by row_number (the exact_quantiles oracle pattern),
+        # 2xk above/not-above chi-square, Wilson-Hilferty critical
+        "events_mood_median": """
+            WITH pu AS (
+              SELECT CAST(user_id % 3 AS VARCHAR) AS g,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS v
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              GROUP BY user_id
+            ), b AS (
+              SELECT g, v FROM pu
+              WHERE v IS NOT NULL AND NOT isnan(v)
+            ), nn AS (
+              SELECT count(*) AS n FROM b
+            ), r AS (
+              SELECT v, row_number() OVER (ORDER BY v) AS rn FROM b
+            ), hh AS (
+              SELECT n, (CAST(n AS DOUBLE) - 1.0) * 0.5 + 1.0 AS h
+              FROM nn
+            ), med AS (
+              SELECT round(CAST(rl.v AS DOUBLE)
+                           + (hh.h - floor(hh.h))
+                             * (CAST(rh.v AS DOUBLE)
+                                - CAST(rl.v AS DOUBLE)), 6) AS med
+              FROM hh
+              JOIN r rl ON rl.rn = CAST(floor(hh.h) AS BIGINT)
+              JOIN r rh ON rh.rn = CAST(ceil(hh.h) AS BIGINT)
+            ), perg AS (
+              SELECT g, count(*) AS ng,
+                     CAST(sum(CASE WHEN CAST(v AS DOUBLE) > med.med
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ag,
+                     max(med.med) AS medv
+              FROM b CROSS JOIN med GROUP BY g
+            ), tot AS (
+              SELECT CAST(sum(ng) AS BIGINT) AS N,
+                     CAST(sum(ag) AS BIGINT) AS A,
+                     count(*) AS k, max(medv) AS gm
+              FROM perg
+            ), terms AS (
+              SELECT tot.N, tot.A, tot.k, tot.gm,
+                     CAST(ng AS DOUBLE)
+                       * (CAST(A AS DOUBLE) / CAST(N AS DOUBLE)) AS ea,
+                     CAST(ng AS DOUBLE)
+                       * (1.0 - CAST(A AS DOUBLE) / CAST(N AS DOUBLE))
+                       AS eb,
+                     CAST(ag AS DOUBLE) AS oa,
+                     CAST(ng - ag AS DOUBLE) AS ob
+              FROM perg CROSS JOIN tot
+            ), s AS (
+              SELECT max(N) AS n, max(k) AS k, max(gm) AS gm,
+                     max(A) AS a,
+                     CAST(sum(CAST(round((oa - ea) * (oa - ea) / ea
+                                         + (ob - eb) * (ob - eb) / eb,
+                                         12) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS chi2
+              FROM terms
+            ), z AS (
+              SELECT n, k, gm, chi2,
+                     CAST(k - 1 AS INT) AS dof,
+                     CAST(k - 1 AS DOUBLE) AS dd,
+                     k >= 2 AND a > 0 AND a < n AS ok
+              FROM s
+            ), w AS (
+              SELECT n, k, gm, dof, ok,
+                     CASE WHEN ok THEN chi2 END AS chi2,
+                     1.0 - 2.0 / (9.0 * dd)
+                       + 1.644854 * sqrt(2.0 / (9.0 * dd)) AS wh,
+                     dd
+              FROM z
+            )
+            SELECT CAST(n AS BIGINT) AS n_units,
+                   CAST(k AS BIGINT) AS n_groups,
+                   gm AS grand_median,
+                   round(chi2, 6) AS chi2,
+                   dof,
+                   round(CASE WHEN k >= 2
+                         THEN dd * wh * wh * wh END, 6)
+                     AS chi2_crit_05,
+                   CAST(coalesce(round(chi2, 6)
+                                 > round(dd * wh * wh * wh, 6), false)
+                        AS INT) AS significant
+            FROM w
         """,
         # replays operators/groupstats.anderson_darling_ksample: the
         # Scholz-Stephens midrank A2 over the dense (group x pooled

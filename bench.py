@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "events_anderson",
     "lineitem_ols",
     "lineitem_logit",
+    "lineitem_jarque_bera",
+    "events_mood_median",
 ]
 
 

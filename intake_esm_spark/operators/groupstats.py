@@ -1113,3 +1113,179 @@ def anderson_darling_ksample(
             (F.round(t, 6) > F.lit(round(crit, 6))).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def jarque_bera_report(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality test — skewness and excess kurtosis from
+    one moment pass, ``JB = n/6·(S² + K²/4)`` against χ²(2): the
+    distribution-shape gate run before trusting any z/t-based readout
+    on a metric column (heavy revenue tails are the norm, and JB says
+    so cheaply where a full ECDF test is overkill).
+
+    Scale: ONE partial-aggregated 1-row scan.  Determinism: values
+    quantize to 6dp; Σx and Σx² accumulate as exact decimals (the
+    _group_moments kernel); the cubed/quartic terms cannot stay exact
+    decimal (the product chain exceeds DECIMAL(38) precision), so each
+    per-row x³/x⁴ is ONE fixed IEEE double expression quantized to
+    12dp DECIMAL(38,12) before the cross-row sum — order-independent,
+    the chi²-cell discipline.  Central moments via the closed
+    raw-to-central identities, one fixed IEEE finish; the 5% critical
+    value is the χ²(2) literal 5.991465.  Null/NaN excluded.  Returns
+    one row ``(n_values, skewness, kurtosis_excess, jb_stat,
+    jb_crit_05, significant)``; stats null when n < 3 or the variance
+    degenerates."""
+    xd = F.col(value_col).cast("double")
+    xq6 = F.round(xd, 6)
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(xd)
+        & (F.abs(xd) != F.lit(float("inf")))
+    )
+    d38 = "decimal(38,12)"
+    agg = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xq6.cast("decimal(18,6)")).alias("__s1"),
+        F.sum(
+            (
+                xq6.cast("decimal(19,6)") * xq6.cast("decimal(18,6)")
+            ).cast(d38)
+        ).alias("__s2"),
+        F.sum(F.round(xq6 * xq6 * xq6, 12).cast(d38)).alias("__s3"),
+        F.sum(F.round(xq6 * xq6 * xq6 * xq6, 12).cast(d38)).alias("__s4"),
+    )
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    ok = (F.col("__n") >= 3) & (m2 > 0)
+    skew = F.when(ok, m3 / F.sqrt(m2 * m2 * m2))
+    kurt = F.when(ok, m4 / (m2 * m2) - F.lit(3.0))
+    jb = F.when(
+        ok,
+        n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0)),
+    )
+    return agg.select(
+        F.col("__n").alias("n_values"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+        F.round(jb, 6).alias("jb_stat"),
+        F.lit(5.991465).alias("jb_crit_05"),
+        F.coalesce(
+            (F.round(jb, 6) > F.lit(5.991465)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )
+
+
+def moods_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mood's median test — the k-sample location test that asks only
+    "does each group straddle the GRAND median the same way" (χ² over
+    the 2×k above/not-above contingency): maximally robust, the
+    companion of :func:`kruskal_wallis_report` when even rank sums
+    are too parametric (censored/clipped metrics).  Values equal to
+    the grand median count as NOT-above (scipy ``median_test``'s
+    ``ties='below'`` default); the grand median is the exact type-7
+    pooled median (:func:`~.profiling.exact_quantiles`'s rank-probe —
+    interpolated on even counts, so ties at it then only occur for
+    odd counts, matching numpy/scipy).  No continuity correction at
+    any k (scipy applies Yates only at k = 2 — divergence documented
+    rather than silently matched for one shape and not the other).
+
+    Scale: the median via the distinct-value-grain rank probe (no
+    single-task sort), then ONE group-grain conditional aggregate;
+    χ² closed-form over the k-row frame with 12dp-decimal
+    cross-group term sums.  The 5% critical value uses the
+    Wilson-Hilferty cube approximation (engine-exact arithmetic;
+    within ~0.1% of the exact χ² quantile — documented).  Returns one
+    row ``(n_units, n_groups, grand_median, chi2, dof, chi2_crit_05,
+    significant)``; null when k < 2 or a margin degenerates."""
+    from .profiling import exact_quantiles
+
+    vd = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(vd)
+        & (F.abs(vd) != F.lit(float("inf")))
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+    med = exact_quantiles(base, "__v", [0.5]).select(
+        F.col("quantile").alias("__med")
+    )
+    per_g = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__ng"),
+            F.sum(
+                (F.col("__v").cast("double") > F.col("__med")).cast(
+                    "bigint"
+                )
+            ).alias("__ag"),
+            F.max("__med").alias("__medv"),
+        )
+    )
+    tot = per_g.agg(
+        F.sum("__ng").alias("__N"),
+        F.sum("__ag").alias("__A"),
+        F.count(F.lit(1)).alias("__k"),
+        F.max("__medv").alias("__gm"),
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    nd = F.col("__N").cast("double")
+    share = F.col("__A").cast("double") / nd
+    e_above = F.col("__ng").cast("double") * share
+    e_below = F.col("__ng").cast("double") * (F.lit(1.0) - share)
+    o_above = F.col("__ag").cast("double")
+    o_below = (F.col("__ng") - F.col("__ag")).cast("double")
+    term = F.round(
+        (o_above - e_above) * (o_above - e_above) / e_above
+        + (o_below - e_below) * (o_below - e_below) / e_below,
+        12,
+    ).cast("decimal(38,12)")
+    out = j.agg(
+        F.max("__N").alias("__n"),
+        F.max("__k").alias("__kk"),
+        F.max("__gm").alias("__med"),
+        F.max("__A").alias("__a"),
+        F.sum(term).cast("double").alias("__chi2"),
+    )
+    kk = F.col("__kk")
+    dof = (kk - F.lit(1)).cast("int")
+    dd = dof.cast("double")
+    # Wilson-Hilferty: chi2_q(p, df) ~ df*(1 - 2/(9df) + z_p*sqrt(2/(9df)))^3
+    wh = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dd)
+        + F.lit(1.644854) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dd))
+    )
+    crit = dd * wh * wh * wh
+    ok = (
+        (kk >= 2)
+        & (F.col("__a") > 0)
+        & (F.col("__a") < F.col("__n"))
+    )
+    chi2 = F.when(ok, F.col("__chi2"))
+    return out.select(
+        F.col("__n").alias("n_units"),
+        kk.alias("n_groups"),
+        F.col("__med").alias("grand_median"),
+        F.round(chi2, 6).alias("chi2"),
+        dof.alias("dof"),
+        F.round(F.when(kk >= 2, crit), 6).alias("chi2_crit_05"),
+        F.coalesce(
+            (F.round(chi2, 6) > F.round(crit, 6)).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )

@@ -588,3 +588,53 @@ def test_logistic_irls_matches_numpy(spark):
     dup = df.withColumn("x3", F.col("x1") * 2.0)
     with pytest.raises(ValueError, match="singular Hessian"):
         logistic_report(dup, "y", ["x1", "x3"])
+
+
+def test_jarque_bera_matches_numpy(spark):
+    from intake_esm_spark.operators.groupstats import jarque_bera_report
+
+    rng = np.random.RandomState(3)
+    x = np.exp(rng.normal(0, 0.8, 400)).round(4)  # lognormal: skewed
+    df = spark.createDataFrame([(float(v),) for v in x], "v double")
+    r = jarque_bera_report(df, "v").collect()[0]
+    q = np.round(x, 6)
+    m = q.mean()
+    m2 = ((q - m) ** 2).mean()
+    m3 = ((q - m) ** 3).mean()
+    m4 = ((q - m) ** 4).mean()
+    S = m3 / m2**1.5
+    K = m4 / m2**2 - 3
+    assert r["skewness"] == pytest.approx(S, abs=1e-5)
+    assert r["kurtosis_excess"] == pytest.approx(K, abs=1e-5)
+    assert r["jb_stat"] == pytest.approx(len(q) / 6 * (S**2 + K**2 / 4), rel=1e-5)
+    assert r["significant"] == 1  # lognormal is decisively non-normal
+    norm = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 1, 2000).round(4)], "v double"
+    )
+    assert jarque_bera_report(norm, "v").collect()[0]["significant"] == 0
+
+
+def test_moods_median_matches_bruteforce(spark):
+    from intake_esm_spark.operators.groupstats import moods_median_test
+
+    rng = np.random.RandomState(13)
+    g = np.array(["a", "b", "c"])[np.arange(300) % 3]
+    x = rng.normal(0, 1, 300).round(4) + np.where(g == "c", 0.8, 0.0)
+    df = spark.createDataFrame(
+        [(str(gg), float(v)) for gg, v in zip(g, x)], "g string, v double"
+    )
+    r = moods_median_test(df, "v", "g").collect()[0]
+    med = float(np.median(np.round(x, 4)))
+    assert r["grand_median"] == pytest.approx(med, abs=1e-6)
+    chi2 = 0.0
+    A = int((x > r["grand_median"]).sum())
+    for gg in "abc":
+        ng = int((g == gg).sum())
+        oa = int(((g == gg) & (x > r["grand_median"])).sum())
+        ea = ng * A / 300
+        eb = ng * (300 - A) / 300
+        chi2 += (oa - ea) ** 2 / ea + (ng - oa - eb) ** 2 / eb
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-5)
+    assert r["dof"] == 2 and r["significant"] == 1
+    # exact chi2(2) 5% point is 5.991465 — Wilson-Hilferty lands within 1%
+    assert r["chi2_crit_05"] == pytest.approx(5.991465, rel=0.01)
