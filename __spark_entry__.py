@@ -13330,10 +13330,10 @@ def _build_logistic_oracles() -> tuple[str, str]:
     xs = ["l_quantity", "l_discount"]
 
     def xq(c: str) -> str:
-        return (
-            f"CAST(CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(18,6))"
-            " AS DOUBLE)"
-        )
+        # plain round: the double IS the nearest double to the 6dp
+        # decimal (the decimal round-trip is a numeric no-op the Spark
+        # pass also dropped for per-row cost)
+        return f"round(CAST({c} AS DOUBLE), 6)"
 
     def pass_sql(beta: list[float]) -> str:
         eta = repr(float(beta[0]))

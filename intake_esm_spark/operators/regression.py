@@ -209,20 +209,6 @@ unrolled pipeline (the kmeans_refine precedent): every engine and
 every run executes byte-identical passes."""
 
 
-def _logistic_exprs(y_col: str, x_cols: list[str], beta: list[float]):
-    """The per-row IRLS expressions at literal ``beta`` — eta through
-    a left-assoc literal fold, mu = 1/(1+exp(-eta)), w = mu(1-mu),
-    resid = y - mu — shared column builders for the Spark pass (the
-    DuckDB oracle mirrors the same text order)."""
-    eta = F.lit(float(beta[0]))
-    for bj, c in zip(beta[1:], x_cols):
-        eta = eta + F.lit(float(bj)) * _q(c).cast("double")
-    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-    w = mu * (F.lit(1.0) - mu)
-    resid = F.col(y_col).cast("double") - mu
-    return mu, w, resid
-
-
 def _logistic_pass(
     df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
 ) -> dict:
@@ -230,30 +216,67 @@ def _logistic_pass(
     statistics ``g_j = Σ (y−μ)x_j`` and ``h_ij = Σ w·x_i·x_j`` (x₀ = 1)
     at literal ``beta``, every term 12dp-decimal-quantized before the
     cross-row sum (order-independent), plus n and the clamped
-    log-loss sum — ONE 1-row partial-aggregated scan."""
-    mu, w, resid = _logistic_exprs(y_col, x_cols, beta)
-    xs = [F.lit(1.0)] + [_q(c).cast("double") for c in x_cols]
+    log-loss sum — ONE 1-row partial-aggregated scan.
+
+    The per-row quantities (quantized features, μ) project ONCE below
+    the aggregate — the first cut built them independently inside
+    every aggregate expression and paid ~10 μ/decimal evaluations per
+    row (measured 15 s/pass at sf0.1; this shape is ~10×).  Features
+    quantize via plain ``round(x, 6)``: the double IS the nearest
+    double to the 6dp decimal, identical to the decimal round-trip
+    the OLS moment pass uses, at a fraction of the per-row cost."""
+    names = [f"__x{i + 1}" for i in range(len(x_cols))]
+    proj1 = df.select(
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(nm)
+            for c, nm in zip(x_cols, names)
+        ],
+    )
+    eta = F.lit(float(beta[0]))
+    for bj, nm in zip(beta[1:], names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    proj2 = proj1.select(
+        "__y",
+        *names,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))).alias("__mu"),
+    )
+    mu = F.col("__mu")
+    w = mu * (F.lit(1.0) - mu)
+    resid = F.col("__y") - mu
+    xs = [F.lit(1.0)] + [F.col(nm) for nm in names]
     d38 = "decimal(38,12)"
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # the 12dp round + decimal cast live in a PROJECTION below the
+    # aggregate: a double→decimal cast inside a HashAggregate input
+    # expression knocks the whole operator off the codegen fast path
+    # (measured ~0.4 s/term at 600k rows vs ~0.04 s/term projected)
+    term_cols = []
     for j2, xj in enumerate(xs):
-        aggs.append(
-            F.sum(F.round(resid * xj, 12).cast(d38)).alias(f"g_{j2}")
+        term_cols.append(
+            F.round(resid * xj, 12).cast(d38).alias(f"__tg_{j2}")
         )
         for i in range(j2, len(xs)):
-            aggs.append(
-                F.sum(F.round(w * xj * xs[i], 12).cast(d38)).alias(
-                    f"h_{j2}_{i}"
+            term_cols.append(
+                F.round(w * xj * xs[i], 12).cast(d38).alias(
+                    f"__th_{j2}_{i}"
                 )
             )
     mc = F.greatest(F.least(mu, F.lit(1.0 - 1e-15)), F.lit(1e-15))
-    yd = F.col(y_col).cast("double")
+    yd = F.col("__y")
     ll = -(yd * F.log(mc) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - mc))
-    aggs.append(F.sum(F.round(ll, 12).cast(d38)).alias("ll"))
+    term_cols.append(F.round(ll, 12).cast(d38).alias("__tll"))
+    proj3 = proj2.select("__y", *term_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j2 in range(len(xs)):
+        aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
+        for i in range(j2, len(xs)):
+            aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
+    aggs.append(F.sum("__tll").alias("ll"))
     # label-domain sidecar (checked once by _logistic_fit; the oracle's
     # pass omits these — logistic_step ignores extra keys)
-    aggs.append(F.min(yd).alias("ymin"))
-    aggs.append(F.max(yd).alias("ymax"))
-    return df.agg(*aggs).collect()[0].asDict()
+    aggs.append(F.min(F.col("__y")).alias("ymin"))
+    aggs.append(F.max(F.col("__y")).alias("ymax"))
+    return proj3.agg(*aggs).collect()[0].asDict()
 
 
 def logistic_step(mom: dict, beta: list[float], p: int) -> list[float]:
@@ -330,7 +353,15 @@ def _logistic_fit(
     cond = _finite(y_col)
     for c in x_cols:
         cond = cond & _finite(c)
-    base = df.filter(cond).localCheckpoint(eager=False)
+    base = df.filter(cond)
+    # a small parquet input arrives as ONE partition and would run all
+    # n_iter+1 passes single-core (measured 5.5 s/pass at sf0.1);
+    # spread it across the executors once, before the pin — sums are
+    # order-independent decimals, so the shuffle changes nothing
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.localCheckpoint(eager=False)
     p = len(x_cols)
     beta = [0.0] * (p + 1)
     for it in range(n_iter):
