@@ -13260,7 +13260,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN abs(d6) < 0.147 THEN 'negligible'
                         WHEN abs(d6) < 0.33 THEN 'small'
                         WHEN abs(d6) < 0.474 THEN 'medium'
-                        ELSE 'large' END AS magnitude
+                        WHEN abs(d6) >= 0.474 THEN 'large' END
+                     AS magnitude
             FROM z
         """,
     }

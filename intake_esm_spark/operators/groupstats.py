@@ -874,10 +874,12 @@ def cliffs_delta(
         F.col("__lt").cast("bigint").alias("n_lt"),
         F.col("__tie").cast("bigint").alias("n_tie"),
         F.round(delta, 6).alias("cliffs_delta"),
+        # closed when-chain (no otherwise): an empty input aggregates
+        # to a null-delta row, which must NOT read as 'large'
         F.when(ad < 0.147, F.lit("negligible"))
         .when(ad < 0.33, F.lit("small"))
         .when(ad < 0.474, F.lit("medium"))
-        .otherwise(F.lit("large"))
+        .when(ad >= 0.474, F.lit("large"))
         .alias("magnitude"),
     )
 

@@ -638,3 +638,15 @@ def test_moods_median_matches_bruteforce(spark):
     assert r["dof"] == 2 and r["significant"] == 1
     # exact chi2(2) 5% point is 5.991465 — Wilson-Hilferty lands within 1%
     assert r["chi2_crit_05"] == pytest.approx(5.991465, rel=0.01)
+
+
+def test_cliffs_delta_empty_input_raises_two_group_guard(spark):
+    """Review finding: an empty frame has ZERO groups, and the two-arm
+    guard rejects it with the same message as any other k != 2 (the
+    magnitude when-chain was ALSO closed — no otherwise branch — so a
+    hypothetical null-delta row can never read as 'large')."""
+    from intake_esm_spark.operators.groupstats import cliffs_delta
+
+    empty = spark.createDataFrame([], "g string, v double")
+    with pytest.raises(Exception, match="exactly TWO groups"):
+        cliffs_delta(empty, "v", "g").collect()
