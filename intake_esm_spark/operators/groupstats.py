@@ -952,7 +952,9 @@ def anderson_darling_ksample(
     if n_total < 4 or k < 2 or n_l < 2:
         return cells.agg(
             F.coalesce(F.sum("__f"), F.lit(0)).alias("n_units"),
-            F.countDistinct("__g").alias("n_groups"),
+            # int, matching the main path's F.lit(k).cast("int") — the
+            # output schema must not vary with the data shape (r13 ADVICE)
+            F.countDistinct("__g").cast("int").alias("n_groups"),
             F.lit(None).cast("double").alias("a2_stat"),
             F.lit(None).cast("double").alias("sigma"),
             F.lit(None).cast("double").alias("t_stat"),

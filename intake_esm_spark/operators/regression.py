@@ -52,24 +52,10 @@ def _finite(col: str):
     )
 
 
-def ols_moments(df: DataFrame, y_col: str, x_cols: list[str]) -> dict:
-    """The one distributed pass: exact-decimal second-order moments of
-    ``(1, x₁..x_p, y)`` as a plain dict (Decimal values) — shared verbatim
-    by :func:`ols_report` / :func:`ols_fit_report` and replayed in SQL
-    by the oracle builder.  Rows with any null/non-finite variable are
-    excluded (complete-case, the _group_moments rule)."""
-    if not x_cols:
-        raise ValueError("ols: need at least one feature column")
-    if len(x_cols) > MAX_FEATURES:
-        raise ValueError(
-            f"ols: {len(x_cols)} features exceeds MAX_FEATURES="
-            f"{MAX_FEATURES} — the moment row grows quadratically; use "
-            "hashed-feature scoring (operators/corpus.py) for wide inputs"
-        )
-    cond = _finite(y_col)
-    for c in x_cols:
-        cond = cond & _finite(c)
-    base = df.filter(cond)
+def _ols_moment_aggs(y_col: str, x_cols: list[str]) -> list:
+    """The (p+1)(p+2)/2 exact-decimal aggregate expressions of the OLS
+    moment pass — shared by :func:`ols_moment_frame` (batch and
+    streaming twin #25) and :func:`ols_by_group`."""
     aggs = [F.count(F.lit(1)).alias("n")]
     d38 = "decimal(38,12)"
     for i, c in enumerate(x_cols):
@@ -93,18 +79,74 @@ def ols_moments(df: DataFrame, y_col: str, x_cols: list[str]) -> dict:
             (_q(y_col).cast("decimal(19,6)") * _q(y_col)).cast(d38)
         ).alias("syy")
     )
-    return base.agg(*aggs).collect()[0].asDict()
+    return aggs
 
 
-def ols_solve_from_moments(mom: dict, x_cols: list[str]) -> dict:
+def _complete_case(df: DataFrame, y_col: str, x_cols: list[str]) -> DataFrame:
+    cond = _finite(y_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    return df.filter(cond)
+
+
+def ols_moment_frame(
+    df: DataFrame, y_col: str, x_cols: list[str]
+) -> DataFrame:
+    """The one distributed pass AS A PLAN: the 1-row exact-decimal
+    moment aggregate of ``(1, x₁..x_p, y)``.  Batch callers collect it
+    (:func:`ols_moments`); the streaming twin (#25,
+    ``streaming.stateful.stream_ols_moments``) runs the IDENTICAL plan
+    as a global streaming aggregation in update mode — every sum is an
+    additive exact decimal, so the last update row equals the batch
+    moments over everything ingested bit-for-bit."""
+    if not x_cols:
+        raise ValueError("ols: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"ols: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES} — the moment row grows quadratically; use "
+            "hashed-feature scoring (operators/corpus.py) for wide inputs"
+        )
+    return _complete_case(df, y_col, x_cols).agg(
+        *_ols_moment_aggs(y_col, x_cols)
+    )
+
+
+def ols_moments(df: DataFrame, y_col: str, x_cols: list[str]) -> dict:
+    """The one distributed pass: exact-decimal second-order moments of
+    ``(1, x₁..x_p, y)`` as a plain dict (Decimal values) — shared verbatim
+    by :func:`ols_report` / :func:`ols_fit_report` and replayed in SQL
+    by the oracle builder.  Rows with any null/non-finite variable are
+    excluded (complete-case, the _group_moments rule)."""
+    return ols_moment_frame(df, y_col, x_cols).collect()[0].asDict()
+
+
+def ols_solve_from_moments(
+    mom: dict, x_cols: list[str], l2: float = 0.0
+) -> dict:
     """Driver-side closed-form solve over the exact moments — ONE
     shared implementation consumed by the Spark operators AND the
     DuckDB oracle builder, so both sides emit bit-identical literals.
     Returns ``{terms, coef, std_err, t_stat, n, r2, rmse, resid_se,
     f_stat, df_resid}`` (lists ordered intercept-first); raises on a
-    singular design or n ≤ p."""
+    singular design or n ≤ p.
+
+    ``l2 > 0`` (round 13): ridge regression on the SAME moments —
+    ``λ`` adds to the slope diagonal of the normal equations (the
+    intercept stays unpenalized, so the solution matches sklearn
+    ``Ridge(alpha=λ, fit_intercept=True)`` / the centered-design
+    closed form exactly), at ZERO extra distributed work.  Standard
+    errors switch to the ridge sandwich ``σ²·A⁻¹(XᵀX)A⁻¹`` with
+    ``A = XᵀX + Λ`` (which reduces to the OLS ``σ²(XᵀX)⁻¹`` at λ=0 —
+    kept on its own branch so the λ=0 float path is byte-identical to
+    round 12); SSE/R² use the UNPENALIZED moments (actual residuals
+    of the shrunk coefficients).  A collinear design that raises at
+    λ=0 becomes a usable fit — the condition guard applies to the
+    penalized matrix."""
     import numpy as np
 
+    if l2 < 0 or not np.isfinite(l2):
+        raise ValueError(f"ols: l2 penalty must be finite and >= 0, got {l2}")
     p = len(x_cols)
     n = int(mom["n"])
     if n <= p + 1:
@@ -120,18 +162,21 @@ def ols_solve_from_moments(mom: dict, x_cols: list[str]) -> dict:
         for j2 in range(i, p):
             v = float(mom[f"p_{i}_{j2}"])
             xtx[i + 1, j2 + 1] = xtx[j2 + 1, i + 1] = v
+    pen = xtx.copy()
+    if l2 > 0:
+        for j2 in range(1, p + 1):  # never the intercept
+            pen[j2, j2] += float(l2)
     # quantized sums perturb an exactly-singular matrix into an
     # ill-conditioned-but-invertible one, so LU alone won't raise —
     # guard on the condition number (SVD: deterministic given bits)
-    cond = float(np.linalg.cond(xtx))
+    cond = float(np.linalg.cond(pen))
     if not np.isfinite(cond) or cond > 1e12:
         raise ValueError(
             "ols: singular or ill-conditioned design matrix "
             f"(cond={cond:.3g}, collinear features) — drop a "
-            "redundant column"
+            "redundant column or set l2 > 0"
         )
-    beta = np.linalg.solve(xtx, xty)
-    inv = np.linalg.inv(xtx)
+    beta = np.linalg.solve(pen, xty)
     syy = float(mom["syy"])
     sy = float(mom["sy"])
     sse = max(
@@ -140,7 +185,19 @@ def ols_solve_from_moments(mom: dict, x_cols: list[str]) -> dict:
     sst = syy - sy * sy / n
     df_resid = n - p - 1
     sigma2 = sse / df_resid
-    se = [float(np.sqrt(max(0.0, sigma2 * inv[j, j]))) for j in range(p + 1)]
+    if l2 > 0:
+        inv_a = np.linalg.inv(pen)
+        covb = inv_a @ xtx @ inv_a
+        se = [
+            float(np.sqrt(max(0.0, sigma2 * covb[j, j])))
+            for j in range(p + 1)
+        ]
+    else:
+        inv = np.linalg.inv(xtx)
+        se = [
+            float(np.sqrt(max(0.0, sigma2 * inv[j, j])))
+            for j in range(p + 1)
+        ]
     r2 = 1.0 - sse / sst if sst > 0 else None
     f_stat = (
         ((sst - sse) / p) / (sse / df_resid)
@@ -164,11 +221,18 @@ def ols_solve_from_moments(mom: dict, x_cols: list[str]) -> dict:
     }
 
 
-def ols_report(df: DataFrame, y_col: str, x_cols: list[str]) -> DataFrame:
+def ols_report(
+    df: DataFrame, y_col: str, x_cols: list[str], l2: float = 0.0
+) -> DataFrame:
     """Per-coefficient OLS readout: one row per term (intercept first)
     with ``(term, coef, std_err, t_stat)`` — module docstring for the
-    one-pass moment construction and the determinism argument."""
-    sol = ols_solve_from_moments(ols_moments(df, y_col, x_cols), x_cols)
+    one-pass moment construction and the determinism argument.
+    ``l2 > 0`` fits ridge on the same moments (see
+    :func:`ols_solve_from_moments` — sklearn ``Ridge(alpha=l2)``
+    parity, intercept unpenalized, sandwich standard errors)."""
+    sol = ols_solve_from_moments(
+        ols_moments(df, y_col, x_cols), x_cols, l2=l2
+    )
     spark = df.sparkSession
     rows = list(
         zip(sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"])
@@ -179,12 +243,14 @@ def ols_report(df: DataFrame, y_col: str, x_cols: list[str]) -> DataFrame:
 
 
 def ols_fit_report(
-    df: DataFrame, y_col: str, x_cols: list[str]
+    df: DataFrame, y_col: str, x_cols: list[str], l2: float = 0.0
 ) -> DataFrame:
     """Model-level OLS diagnostics: one row ``(n_rows, df_resid, r2,
     rmse, resid_se, f_stat)`` from the SAME moments (no residual pass
     — SSE is closed-form in the second-order sums)."""
-    sol = ols_solve_from_moments(ols_moments(df, y_col, x_cols), x_cols)
+    sol = ols_solve_from_moments(
+        ols_moments(df, y_col, x_cols), x_cols, l2=l2
+    )
     spark = df.sparkSession
     return spark.createDataFrame(
         [
@@ -199,6 +265,88 @@ def ols_fit_report(
         ],
         "n_rows bigint, df_resid bigint, r2 double, rmse double,"
         " resid_se double, f_stat double",
+    )
+
+
+MAX_GROUPS = 256
+"""Group-count guard for :func:`ols_by_group`: the driver solves one
+(p+1)×(p+1) system per group over the collected moment sidecar, so the
+sidecar must stay bounded — 256 groups × ≤153 sums is a few hundred KB;
+raise explicitly for wider segmentations."""
+
+
+def ols_by_group(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    group_col: str,
+    max_groups: int = MAX_GROUPS,
+    l2: float = 0.0,
+) -> DataFrame:
+    """Per-segment multiple regression — one independent OLS (or
+    ridge, ``l2 > 0``) fit PER GROUP, the natural follow-up to
+    :func:`ols_report` ("does the price~quantity slope differ by
+    return flag / source / cohort").
+
+    Scale shape: ONE partial-aggregated exchange to the GROUP grain —
+    the identical exact-decimal second-order moments of
+    :func:`ols_moments`, grouped, so each task emits ≤ |groups| rows
+    before the shuffle and the collected sidecar is |groups| ×
+    (p+1)(p+2)/2 decimals, bounded in-plan by a lazy ``assert_true``
+    on ``countDistinct(group) ≤ max_groups`` (the ``cluster_quality``
+    guard pattern).  The per-group solve is driver arithmetic through
+    the SAME shared :func:`ols_solve_from_moments` the oracle builder
+    replays, so literals match bit-for-bit.
+
+    Group keys cast to string (one pinned output type across engines);
+    null groups are excluded like null variables.  Groups that cannot
+    fit — n ≤ p+1, or a singular/ill-conditioned design at the given
+    ``l2`` — are OMITTED from the output rather than killing the job
+    (one degenerate segment must not abort the other 255; the oracle
+    replays the identical try/skip).  Returns one row per surviving
+    ``(grp, term)``: ``(grp, term, coef, std_err, t_stat, n_rows)``,
+    intercept first within each group."""
+    if not x_cols:
+        raise ValueError("ols_by_group: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"ols_by_group: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    cond = _finite(y_col) & F.col(group_col).isNotNull()
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond).select(
+        F.col(group_col).cast("string").alias("__grp"), y_col, *x_cols
+    )
+    kc = base.agg(F.countDistinct("__grp").alias("__k"))
+    guard = F.assert_true(
+        F.coalesce(F.col("__k") <= F.lit(max_groups), F.lit(True)),
+        F.lit(
+            f"ols_by_group: more than {max_groups} groups — the "
+            "per-group moment sidecar is collected to the driver; "
+            "coarsen the segmentation or raise max_groups explicitly"
+        ),
+    ).isNull()
+    guarded = base.crossJoin(F.broadcast(kc)).filter(guard).drop("__k")
+    moment_rows = guarded.groupBy("__grp").agg(
+        *_ols_moment_aggs(y_col, x_cols)
+    ).collect()
+    out = []
+    for r in sorted(moment_rows, key=lambda r0: r0["__grp"]):
+        mom = r.asDict()
+        try:
+            sol = ols_solve_from_moments(mom, x_cols, l2=l2)
+        except ValueError:
+            continue  # degenerate segment: omitted, documented above
+        for t, c, s, ts in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"]
+        ):
+            out.append((r["__grp"], t, c, s, ts, sol["n"]))
+    return df.sparkSession.createDataFrame(
+        out,
+        "grp string, term string, coef double, std_err double,"
+        " t_stat double, n_rows bigint",
     )
 
 
@@ -272,10 +420,20 @@ def _logistic_pass(
         for i in range(j2, len(xs)):
             aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
     aggs.append(F.sum("__tll").alias("ll"))
-    # label-domain sidecar (checked once by _logistic_fit; the oracle's
-    # pass omits these — logistic_step ignores extra keys)
+    # label-domain sidecar (checked by _logistic_fit; the oracle's
+    # pass omits these — logistic_step ignores extra keys). min/max
+    # alone cannot see an INTERIOR non-binary value once 0 and 1 both
+    # occur, so the violation count is its own additive counter
     aggs.append(F.min(F.col("__y")).alias("ymin"))
     aggs.append(F.max(F.col("__y")).alias("ymax"))
+    aggs.append(
+        F.sum(
+            F.when(
+                (F.col("__y") != F.lit(0.0)) & (F.col("__y") != F.lit(1.0)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("ybad")
+    )
     return proj3.agg(*aggs).collect()[0].asDict()
 
 
@@ -303,12 +461,18 @@ def logistic_step(mom: dict, beta: list[float], p: int) -> list[float]:
 
 
 def logistic_finalize(
-    mom: dict, beta: list[float], x_cols: list[str]
+    mom: dict,
+    beta: list[float],
+    x_cols: list[str],
+    n_iter: int = N_IRLS_ITER,
 ) -> dict:
     """Final readout from the LAST pass (run at the final β): standard
     errors from the observed-information inverse, Wald z, mean
     log-loss, McFadden pseudo-R² against the null (intercept-only
-    closed form ``p̄`` from g₀'s identity Σy = Σμ + g₀)."""
+    closed form ``p̄`` from g₀'s identity Σy = Σμ + g₀).  ``n_iter``
+    is the ACTUAL iteration count the caller ran (round-13 ADVICE:
+    the report must echo the real pass count, not the module
+    default)."""
     import numpy as np
 
     p = len(x_cols)
@@ -336,8 +500,28 @@ def logistic_finalize(
         ],
         "n": n,
         "log_loss": round(ll / n, 6),
-        "n_iter": N_IRLS_ITER,
+        "n_iter": n_iter,
     }
+
+
+def _check_label_domain(mom: dict) -> None:
+    """The 0/1 label contract, enforced from a pass's min/max sidecar
+    (round-13 ADVICE: the old guard accepted any y in [0, 1] — e.g.
+    0.5 — and was skipped entirely at ``n_iter=0``; it now requires
+    both extremes to be EXACTLY 0 or 1 and runs on the final pass
+    too, which always executes)."""
+    ymin, ymax = mom.get("ymin"), mom.get("ymax")
+    bad = mom.get("ybad")
+    if (
+        ymin is None
+        or ymin not in (0.0, 1.0)
+        or ymax not in (0.0, 1.0)
+        or (bad is not None and int(bad) > 0)
+    ):
+        raise ValueError(
+            f"logistic: label must be 0/1, got range [{ymin}, {ymax}]"
+            + (f" with {bad} non-binary value(s)" if bad else "")
+        )
 
 
 def _logistic_fit(
@@ -367,15 +551,12 @@ def _logistic_fit(
     for it in range(n_iter):
         last = _logistic_pass(base, y_col, x_cols, beta)
         if it == 0:
-            ymin, ymax = last["ymin"], last["ymax"]
-            if ymin is None or ymin < 0.0 or ymax > 1.0:
-                raise ValueError(
-                    f"logistic: label must lie in [0, 1], got "
-                    f"[{ymin}, {ymax}]"
-                )
+            _check_label_domain(last)  # fail fast on the first pass
         beta = logistic_step(last, beta, p)
     final = _logistic_pass(base, y_col, x_cols, beta)
-    return logistic_finalize(final, beta, x_cols)
+    # the final pass always runs, so n_iter=0 still validates
+    _check_label_domain(final)
+    return logistic_finalize(final, beta, x_cols, n_iter=n_iter)
 
 
 def logistic_report(

@@ -1396,3 +1396,30 @@ def stream_ratio_ab(
     return ratio_ab_test(
         df, group_col, num_col, den_col, treatment, control
     )
+
+
+def stream_ols_moments(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+) -> DataFrame:
+    """Streaming twin #25 — ``operators.regression.ols_report``'s
+    moment pass as a LIVE regression monitor (the price~drivers slopes
+    drifting on fresh traffic is a data-shift signal; watching the
+    coefficients move beats re-running the batch fit).  Like the ANOVA
+    and ratio twins, no custom state: the batch plan IS one global
+    aggregation of ``(p+1)(p+2)/2`` ADDITIVE exact-decimal sums
+    (counts, 6dp DECIMAL(18,6) first moments, DECIMAL(38,12) second
+    moments) — a legal streaming global aggregation in update mode,
+    state one bounded row.
+
+    The solve needs the full moment row at once — driver arithmetic,
+    not an aggregation — so the snapshot tails into the SAME
+    :func:`~intake_esm_spark.operators.regression.
+    ols_solve_from_moments` the batch report uses: last update row →
+    ``ols_solve_from_moments`` == batch ``ols_report`` bit-for-bit
+    (exact additive decimals, any micro-batch split; pinned by the
+    parity test)."""
+    from intake_esm_spark.operators.regression import ols_moment_frame
+
+    return ols_moment_frame(df, y_col, x_cols)

@@ -583,7 +583,7 @@ def test_logistic_irls_matches_numpy(spark):
     assert fit["n_rows"] == n and fit["n_iter"] == 8
     # guards: non-binary label, collinear features
     bad = df.withColumn("y", F.col("y") * 3)
-    with pytest.raises(ValueError, match="label must lie"):
+    with pytest.raises(ValueError, match="label must be 0/1"):
         logistic_report(bad, "y", ["x1"])
     dup = df.withColumn("x3", F.col("x1") * 2.0)
     with pytest.raises(ValueError, match="singular Hessian"):
