@@ -2912,6 +2912,52 @@ def q_lineitem_ols_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RIDGE_L2 = 1.0e6
+"""The lineitem_ridge penalty — ONE shared literal between the query
+and its oracle builder (big enough that the shrinkage is visible at
+6dp against the sf-scale XtX diagonal, so the entry provably exercises
+the penalized branch rather than collapsing to the OLS answer)."""
+
+
+def q_lineitem_ridge(spark: SparkSession, sf: str) -> DataFrame:
+    """Ridge regression for extendedprice ~ quantity + discount + tax
+    (operators/regression.py ols_report(l2=...), round 13): the SAME
+    one-pass exact-decimal moments as lineitem_ols — lambda adds to
+    the slope diagonal of the normal equations ON THE DRIVER (the
+    intercept stays unpenalized; sklearn Ridge(alpha) parity), so the
+    penalized fit costs ZERO extra distributed work; sandwich standard
+    errors. Oracle: the moment SQL replayed in DuckDB + the SAME
+    shared ols_solve_from_moments(l2) — bit-identical literals
+    (_build_ols_oracles)."""
+    from intake_esm_spark.operators.regression import ols_report
+
+    li = load_table(spark, sf, "lineitem")
+    return ols_report(
+        li,
+        "l_extendedprice",
+        ["l_quantity", "l_discount", "l_tax"],
+        l2=RIDGE_L2,
+    )
+
+
+def q_lineitem_ols_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment OLS — an independent extendedprice ~ quantity +
+    discount fit PER RETURN FLAG (operators/regression.py
+    ols_by_group, round 13): ONE partial-aggregated exchange to the
+    group grain carrying the same exact-decimal moment sums, a lazy
+    assert_true group-count guard, per-group driver solves through the
+    SAME shared ols_solve_from_moments; degenerate segments are
+    omitted rather than fatal. Oracle: the grouped moment SQL replayed
+    in DuckDB + the identical per-group solve/skip, literal rows
+    (_build_ols_by_group_oracle)."""
+    from intake_esm_spark.operators.regression import ols_by_group
+
+    li = load_table(spark, sf, "lineitem")
+    return ols_by_group(
+        li, "l_extendedprice", ["l_quantity", "l_discount"], "l_returnflag"
+    )
+
+
 def _returnflag_logit_frame(spark: SparkSession, sf: str) -> DataFrame:
     """Shared frame of the logistic entries: predict the returned flag
     from quantity and discount at the lineitem grain."""
@@ -5132,82 +5178,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most 50 entries, so (standing rule) any entry whose code or
         # oracle changed this round is in the first 50, followed by the
         # entries longest without a driver-green row.
-        # Block 0: round-12 changes — embed_pca gained its DuckDB oracle
-        # (covariance replay + oracle-side eigh + literal-loading
-        # projection) AND the quantized-projection ADVICE fix; the
-        # embedding moment kernels gained the mixed-dim in-plan guard;
-        # events_mutual_info took the nmi<=1 clamp, events_dp_counts the
-        # cell-key escape (both mirrored in their oracles); the next six
-        # consume the rewritten single-job heavy-value probe
-        # (ranks._heavy_values rollup+TakeOrdered; rfm additionally
-        # folds all three probes into ONE job via probe_heavy_values);
-        # events_theilsen ports both medians onto the rank-probe
-        # selection (no single-task median windows remain).
-        "embed_pca": q_embed_pca,
-        "embed_covariance": q_embed_covariance,
-        "embed_fisher": q_embed_fisher,
-        "embed_cluster_quality": q_embed_cluster_quality,
-        "events_mutual_info": q_events_mutual_info,
-        "events_dp_counts": q_events_dp_counts,
-        "events_rfm": q_events_rfm,
-        "lineitem_abc": q_lineitem_abc,
-        "lineitem_lift": q_lineitem_lift,
-        "events_qini": q_events_qini,
-        "lineitem_qbins": q_lineitem_qbins,
-        "events_stratified_ate": q_events_stratified_ate,
-        "events_theilsen": q_events_theilsen,
-        # Block 0b: round-12 NEW operators — PCA whitening (shared
-        # scaled-loading helper + the embed_pca oracle construction),
-        # Cohen's d / Hedges' g / Glass's delta, and Cliff's delta
-        # (dominance via the bucketed cumsum, pairs never materialize).
-        "embed_whiten": q_embed_whiten,
-        "events_effect_sizes": q_events_effect_sizes,
-        "events_cliffs_delta": q_events_cliffs_delta,
-        "events_cvm": q_events_cvm,
-        "events_anderson": q_events_anderson,
+        # Block 0: round-13 NEW — ridge on the shared OLS moments
+        # (l2 on the slope diagonal, driver-side, sandwich SEs) and
+        # per-segment OLS (one group-grain moment exchange, per-group
+        # shared solve, degenerate segments skipped).
+        "lineitem_ridge": q_lineitem_ridge,
+        "lineitem_ols_by_group": q_lineitem_ols_by_group,
+        # Block 0b: round-13 CHANGED — the OLS entries consume the
+        # refactored shared moment builder (ols_moment_frame, also the
+        # streaming twin #25 plan); the logistic entries thread the
+        # actual n_iter and take the strict-0/1 label guard (ADVICE
+        # #1/#2); events_anderson pins one schema across branches
+        # (ADVICE #3); the PCA/covariance family's module grew the
+        # _arrow_partials split that pca_project(exact=False) rides
+        # (exact entries' plans unchanged — these rows re-prove it).
         "lineitem_ols": q_lineitem_ols,
         "lineitem_ols_fit": q_lineitem_ols_fit,
         "lineitem_logit": q_lineitem_logit,
         "lineitem_logit_fit": q_lineitem_logit_fit,
-        "lineitem_jarque_bera": q_lineitem_jarque_bera,
-        "events_mood_median": q_events_mood_median,
+        "events_anderson": q_events_anderson,
+        "embed_pca": q_embed_pca,
+        "embed_whiten": q_embed_whiten,
+        "embed_covariance": q_embed_covariance,
         # Block 1: the entries longest without a driver-green row —
-        # the r6/r7-era rows the r11 head's 50-entry cut fell short of
-        # (cumulative coverage is 241/241 after this round's embed_pca
-        # close, so this is freshness-only).
-        "dedup_simhash": q_dedup_simhash,
-        "multimodal_features": q_multimodal_features,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "pivot_returnflag": q_pivot_returnflag,
-        "cube_agg": q_cube_agg,
-        "customer_order_stats": q_customer_order_stats,
-        "profile_numeric": q_profile_numeric,
-        "events_sliding": q_events_sliding,
-        "events_topk_user": q_events_topk_user,
-        "text_vocab": q_text_vocab,
-        "dedup_lines": q_dedup_lines,
-        "dedup_lines_keep_first": q_dedup_lines_keep_first,
-        "dedup_lines_report": q_dedup_lines_report,
-        "dedup_spans": q_dedup_spans,
-        "docs_encoding": q_docs_encoding,
-        "text_fingerprint_nfc": q_text_fingerprint_nfc,
-        "dedup_cluster_best": q_dedup_cluster_best,
-        "docs_curated3": q_docs_curated3,
-        "docs_curation_report": q_docs_curation_report,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_audience_overlap": q_events_audience_overlap,
-        "docs_sample_weighted": q_docs_sample_weighted,
-        "events_anomaly": q_events_anomaly,
-        # -- rotation tail ---------------------------------------------
-        # (docs_mixture_temp / embed_pq_codes / simsearch_pq_topk /
-        # events_funnel_counts / simsearch_ivf_pq_rerank / docs_bm25 /
-        # docs_tfidf / simsearch_ivf_int8 / simsearch_ivf /
-        # embed_kmeans / dedup_cluster_survivors were displaced from
-        # the head by the eleven r12-new entries — they lead the
-        # freshness queue next round)
+        # first the eleven the r12 head displaced (flagged there as
+        # leading the freshness queue), then the r7-r11 rotation tail
+        # in its standing order through docs_jsd (position 50).
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -5219,8 +5215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf": q_simsearch_ivf,
         "embed_kmeans": q_embed_kmeans,
         "dedup_cluster_survivors": q_dedup_cluster_survivors,
-        # All driver-green r7-r11; unchanged this round. Order: the
-        # prior rotation order (freshest rows last).
         "events_kruskal": q_events_kruskal,
         "events_anova": q_events_anova,
         "events_brown_forsythe": q_events_brown_forsythe,
@@ -5250,6 +5244,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_auc": q_events_auc,
         "events_pr_auc": q_events_pr_auc,
         "docs_jsd": q_docs_jsd,
+        # -- rotation tail ---------------------------------------------
+        # Driver-checked in r12 (the r12 head-50), unchanged this round;
+        # they re-enter the freshness queue behind the r7-r11 rows the
+        # head now covers.
+        "embed_fisher": q_embed_fisher,
+        "embed_cluster_quality": q_embed_cluster_quality,
+        "events_mutual_info": q_events_mutual_info,
+        "events_dp_counts": q_events_dp_counts,
+        "events_rfm": q_events_rfm,
+        "lineitem_abc": q_lineitem_abc,
+        "lineitem_lift": q_lineitem_lift,
+        "events_qini": q_events_qini,
+        "lineitem_qbins": q_lineitem_qbins,
+        "events_stratified_ate": q_events_stratified_ate,
+        "events_theilsen": q_events_theilsen,
+        "events_effect_sizes": q_events_effect_sizes,
+        "events_cliffs_delta": q_events_cliffs_delta,
+        "events_cvm": q_events_cvm,
+        "lineitem_jarque_bera": q_lineitem_jarque_bera,
+        "events_mood_median": q_events_mood_median,
+        "dedup_simhash": q_dedup_simhash,
+        "multimodal_features": q_multimodal_features,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "pivot_returnflag": q_pivot_returnflag,
+        "cube_agg": q_cube_agg,
+        "customer_order_stats": q_customer_order_stats,
+        "profile_numeric": q_profile_numeric,
+        "events_sliding": q_events_sliding,
+        "events_topk_user": q_events_topk_user,
+        "text_vocab": q_text_vocab,
+        "dedup_lines": q_dedup_lines,
+        "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        "dedup_lines_report": q_dedup_lines_report,
+        "dedup_spans": q_dedup_spans,
+        "docs_encoding": q_docs_encoding,
+        "text_fingerprint_nfc": q_text_fingerprint_nfc,
+        "dedup_cluster_best": q_dedup_cluster_best,
+        "docs_curated3": q_docs_curated3,
+        "docs_curation_report": q_docs_curation_report,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_audience_overlap": q_events_audience_overlap,
+        "docs_sample_weighted": q_docs_sample_weighted,
+        "events_anomaly": q_events_anomaly,
         "docs_curated": q_docs_curated,
         "embed_quantize": q_embed_quantize,
         "simsearch_pairs_lsh": q_simsearch_pairs_lsh,
@@ -13300,6 +13340,15 @@ def oracle_sql() -> dict[str, str]:
     # the moment SQL replays in DuckDB, the SAME shared solve emits
     # bit-identical literals (the embed_pca construction)
     d["lineitem_ols"], d["lineitem_ols_fit"] = _build_ols_oracles()
+    # lineitem_ridge (round 13): the same moment replay with the shared
+    # solve's l2 branch — the penalty is driver arithmetic, so the
+    # oracle construction is unchanged
+    d["lineitem_ridge"] = _build_ols_oracles(
+        xs=["l_quantity", "l_discount", "l_tax"], l2=RIDGE_L2
+    )[0]
+    # lineitem_ols_by_group (round 13): grouped moment replay + the
+    # identical per-group solve/skip
+    d["lineitem_ols_by_group"] = _build_ols_by_group_oracle()
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -13399,25 +13448,10 @@ def _build_logistic_oracles() -> tuple[str, str]:
     return coef_rows, fit_sql
 
 
-def _build_ols_oracles() -> tuple[str, str]:
-    """Oracles for the OLS entries (regression.py module docstring):
-    replay the exact-decimal second-order moment aggregate in DuckDB
-    over the same complete-case filter, hand the Decimal moments to
-    the SAME :func:`~intake_esm_spark.operators.regression.
-    ols_solve_from_moments` the operator uses (bit-identical floats —
-    the solve never crosses an engine boundary), and emit the
-    coefficient rows / fit row as literal SELECTs."""
-    import duckdb
-
-    from intake_esm_spark.operators.regression import (
-        ols_solve_from_moments,
-    )
-
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    xs = ["l_quantity", "l_discount"]
-    y = "l_extendedprice"
+def _ols_moment_sql_cols(xs: list[str], y: str) -> list[str]:
+    """The DuckDB replay of regression._ols_moment_aggs — shared by the
+    plain-OLS, ridge, and grouped-OLS oracle builders so the moment SQL
+    can never drift between them."""
 
     def q6(c: str) -> str:
         return f"CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(18,6))"
@@ -13436,6 +13470,36 @@ def _build_ols_oracles() -> tuple[str, str]:
             cols.append(f"sum({prod(c, xs[j2])}) AS p_{i}_{j2}")
     cols.append(f"sum({q6(y)}) AS sy")
     cols.append(f"sum({prod(y, y)}) AS syy")
+    return cols
+
+
+def _ols_lit(v) -> str:
+    return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))
+
+
+def _build_ols_oracles(
+    xs: list[str] | None = None, l2: float = 0.0
+) -> tuple[str, str]:
+    """Oracles for the OLS/ridge entries (regression.py module
+    docstring): replay the exact-decimal second-order moment aggregate
+    in DuckDB over the same complete-case filter, hand the Decimal
+    moments to the SAME :func:`~intake_esm_spark.operators.regression.
+    ols_solve_from_moments` the operator uses — including the ridge
+    ``l2`` branch (bit-identical floats — the solve never crosses an
+    engine boundary), and emit the coefficient rows / fit row as
+    literal SELECTs."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        ols_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = xs or ["l_quantity", "l_discount"]
+    y = "l_extendedprice"
+    cols = _ols_moment_sql_cols(xs, y)
     notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs])
     con = duckdb.connect()
     row = con.execute(
@@ -13443,11 +13507,8 @@ def _build_ols_oracles() -> tuple[str, str]:
         f"'{sf_dir}/lineitem.parquet' WHERE {notnull}"
     ).fetchone()
     names = [d[0] for d in con.description]
-    sol = ols_solve_from_moments(dict(zip(names, row)), xs)
-
-    def lit(v) -> str:
-        return "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))
-
+    sol = ols_solve_from_moments(dict(zip(names, row)), xs, l2=l2)
+    lit = _ols_lit
     coef_rows = " UNION ALL ".join(
         f"SELECT '{t}' AS term, {lit(c)} AS coef, {lit(s)} AS std_err,"
         f" {lit(ts)} AS t_stat"
@@ -13463,6 +13524,53 @@ def _build_ols_oracles() -> tuple[str, str]:
         f" {lit(sol['f_stat'])} AS f_stat"
     )
     return coef_rows, fit_sql
+
+
+def _build_ols_by_group_oracle() -> str:
+    """Oracle for lineitem_ols_by_group: the grouped moment SQL in
+    DuckDB (group key cast to VARCHAR exactly like the operator), each
+    group's Decimal moments through the SAME shared solve with the
+    SAME try/skip on degenerate segments, literal rows out."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        ols_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+    y = "l_extendedprice"
+    cols = _ols_moment_sql_cols(xs, y)
+    notnull = " AND ".join(
+        f"{c} IS NOT NULL" for c in [y, *xs, "l_returnflag"]
+    )
+    con = duckdb.connect()
+    cur = con.execute(
+        f"SELECT CAST(l_returnflag AS VARCHAR) AS grp, "
+        f"{', '.join(cols)} FROM '{sf_dir}/lineitem.parquet' "
+        f"WHERE {notnull} GROUP BY 1 ORDER BY 1"
+    )
+    names = [d[0] for d in cur.description]
+    lit = _ols_lit
+    rows = []
+    for raw in cur.fetchall():
+        mom = dict(zip(names, raw))
+        try:
+            sol = ols_solve_from_moments(mom, xs)
+        except ValueError:
+            continue  # the operator's documented skip, replayed
+        for t, c, s, ts in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"]
+        ):
+            rows.append(
+                f"SELECT '{mom['grp']}' AS grp, '{t}' AS term,"
+                f" {lit(c)} AS coef, {lit(s)} AS std_err,"
+                f" {lit(ts)} AS t_stat,"
+                f" CAST({sol['n']} AS BIGINT) AS n_rows"
+            )
+    return " UNION ALL ".join(rows)
 
 
 def _build_embed_pca_oracle(
