@@ -2999,6 +2999,58 @@ def q_lineitem_logit_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lineitem_wls(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted least squares — extendedprice ~ discount + tax with
+    quantity as the weight (operators/regression.py wls_report, round
+    13): ONE 1-row partial-agged scan of weighted exact-decimal
+    moments (12dp-rounded products projected below the aggregate, the
+    logistic-pass discipline), driver solve via the shared
+    wls_solve_from_moments; non-positive weights excluded. Oracle: the
+    weighted moment SQL replayed in DuckDB + the SAME shared solve,
+    literal rows (_build_wls_oracle)."""
+    from intake_esm_spark.operators.regression import wls_report
+
+    li = load_table(spark, sf, "lineitem")
+    return wls_report(
+        li, "l_extendedprice", ["l_discount", "l_tax"], "l_quantity"
+    )
+
+
+def q_lineitem_bp(spark: SparkSession, sf: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity gate on the lineitem OLS
+    (operators/regression.py breusch_pagan_report, round 13 — Koenker
+    n*R2 form): TWO 1-row scans — the OLS moment pass fits beta, the
+    second scan builds e^2 in-row at beta literals and its moments
+    feed the auxiliary regression that REUSES pass 1's XtX (no third
+    pass). Oracle: both pass SQLs replayed in DuckDB through the same
+    shared solve/finish helpers (_build_bp_oracle)."""
+    from intake_esm_spark.operators.regression import breusch_pagan_report
+
+    li = load_table(spark, sf, "lineitem")
+    return breusch_pagan_report(
+        li, "l_extendedprice", ["l_quantity", "l_discount"]
+    )
+
+
+def q_lineitem_ols_residuals(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row fitted/residual materialization of the lineitem OLS
+    (operators/regression.py ols_predict, round 13): one moment pass
+    fits beta on the driver, then the prediction is a fixed IEEE
+    expression over beta LITERALS applied in-row — zero additional
+    shuffles, whole-stage codegen. Oracle: beta replayed from the
+    moment SQL + the shared solve, then a literal projection SQL
+    (_build_ols_residuals_oracle)."""
+    from intake_esm_spark.operators.regression import ols_predict
+
+    li = load_table(spark, sf, "lineitem")
+    return ols_predict(
+        li,
+        "l_extendedprice",
+        ["l_quantity", "l_discount"],
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
 def q_lineitem_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
     """Jarque-Bera normality gate on extendedprice (operators/
     groupstats.py jarque_bera_report): skewness/kurtosis from one
@@ -5184,6 +5236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared solve, degenerate segments skipped).
         "lineitem_ridge": q_lineitem_ridge,
         "lineitem_ols_by_group": q_lineitem_ols_by_group,
+        "lineitem_wls": q_lineitem_wls,
+        "lineitem_bp": q_lineitem_bp,
+        "lineitem_ols_residuals": q_lineitem_ols_residuals,
         # Block 0b: round-13 CHANGED — the OLS entries consume the
         # refactored shared moment builder (ols_moment_frame, also the
         # streaming twin #25 plan); the logistic entries thread the
@@ -5203,7 +5258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Block 1: the entries longest without a driver-green row —
         # first the eleven the r12 head displaced (flagged there as
         # leading the freshness queue), then the r7-r11 rotation tail
-        # in its standing order through docs_jsd (position 50).
+        # in its standing order. The five r13 entries above push
+        # events_auc / events_pr_auc / docs_jsd to positions 51-53 —
+        # they lead the freshness queue next round.
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -13349,6 +13406,12 @@ def oracle_sql() -> dict[str, str]:
     # lineitem_ols_by_group (round 13): grouped moment replay + the
     # identical per-group solve/skip
     d["lineitem_ols_by_group"] = _build_ols_by_group_oracle()
+    # lineitem_wls / lineitem_bp / lineitem_ols_residuals (round 13):
+    # weighted moments, the two-pass BP replay, and the per-row literal
+    # projection — all through the shared solve/finish helpers
+    d["lineitem_wls"] = _build_wls_oracle()
+    d["lineitem_bp"] = _build_bp_oracle()
+    d["lineitem_ols_residuals"] = _build_ols_residuals_oracle()
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -13524,6 +13587,169 @@ def _build_ols_oracles(
         f" {lit(sol['f_stat'])} AS f_stat"
     )
     return coef_rows, fit_sql
+
+
+def _build_wls_oracle() -> str:
+    """Oracle for lineitem_wls: the weighted moment SQL replayed in
+    DuckDB (6dp-quantized variables in a subquery, 12dp-rounded
+    left-associated products — text-for-text the operator's projection)
+    through the SAME shared ``wls_solve_from_moments``."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        wls_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_discount", "l_tax"]
+    y, w = "l_extendedprice", "l_quantity"
+    inner_cols = [
+        f"round(CAST({w} AS DOUBLE), 6) AS wq",
+        f"round(CAST({y} AS DOUBLE), 6) AS yq",
+    ] + [
+        f"round(CAST({c} AS DOUBLE), 6) AS xq{i}"
+        for i, c in enumerate(xs)
+    ]
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, w, *xs])
+    inner = (
+        f"SELECT {', '.join(inner_cols)} FROM "
+        f"'{sf_dir}/lineitem.parquet' WHERE {notnull} AND {w} > 0"
+    )
+
+    def t12(expr: str) -> str:
+        return f"sum(CAST(round({expr}, 12) AS DECIMAL(38,12)))"
+
+    cols = [
+        "count(*) AS n",
+        "sum(CAST(wq AS DECIMAL(18,6))) AS sw",
+    ]
+    for i in range(len(xs)):
+        cols.append(f"{t12(f'wq * xq{i}')} AS s_{i}")
+        cols.append(f"{t12(f'wq * xq{i} * yq')} AS q_{i}")
+        for j2 in range(i, len(xs)):
+            cols.append(f"{t12(f'wq * xq{i} * xq{j2}')} AS p_{i}_{j2}")
+    cols.append(f"{t12('wq * yq')} AS sy")
+    cols.append(f"{t12('wq * yq * yq')} AS syy")
+    con = duckdb.connect()
+    cur = con.execute(f"SELECT {', '.join(cols)} FROM ({inner})")
+    row = cur.fetchone()
+    sol = wls_solve_from_moments(
+        dict(zip([d[0] for d in cur.description], row)), xs
+    )
+    lit = _ols_lit
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {lit(c)} AS coef, {lit(s)} AS std_err,"
+        f" {lit(ts)} AS t_stat"
+        for t, c, s, ts in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"]
+        )
+    )
+
+
+def _bp_ols_moments_duckdb(xs: list[str], y: str) -> tuple[dict, object]:
+    """Pass-1 replay shared by the BP and residuals oracle builders:
+    the OLS moment SQL in DuckDB, returned as a dict (plus the open
+    connection for the caller's second pass)."""
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cols = _ols_moment_sql_cols(xs, y)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs])
+    con = duckdb.connect()
+    cur = con.execute(
+        f"SELECT {', '.join(cols)} FROM "
+        f"'{sf_dir}/lineitem.parquet' WHERE {notnull}"
+    )
+    row = cur.fetchone()
+    return dict(zip([d[0] for d in cur.description], row)), con
+
+
+def _build_bp_oracle() -> str:
+    """Oracle for lineitem_bp: pass 1 (OLS moments -> shared solve ->
+    6dp beta literals) and pass 2 (squared-residual moments at those
+    literals, left-associated text-for-text with the operator's
+    projection) both replayed in DuckDB; the finish goes through the
+    SAME shared ``bp_stat_from_moments``."""
+    from intake_esm_spark.operators.regression import (
+        bp_stat_from_moments,
+        ols_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+    y = "l_extendedprice"
+    mom, con = _bp_ols_moments_duckdb(xs, y)
+    sol = ols_solve_from_moments(mom, xs)
+    beta = sol["coef"]
+    inner_cols = [f"round(CAST({y} AS DOUBLE), 6) AS yq"] + [
+        f"round(CAST({c} AS DOUBLE), 6) AS xq{i}"
+        for i, c in enumerate(xs)
+    ]
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs])
+    eta = repr(float(beta[0]))
+    for i, bj in enumerate(beta[1:]):
+        eta = f"{eta} + {float(bj)!r} * xq{i}"
+    mid = (
+        f"SELECT (yq - ({eta})) AS e, * FROM ("
+        f"SELECT {', '.join(inner_cols)} FROM "
+        f"'{sf_dir}/lineitem.parquet' WHERE {notnull})"
+    )
+
+    def t12(expr: str) -> str:
+        return f"sum(CAST(round({expr}, 12) AS DECIMAL(38,12)))"
+
+    aux_cols = ["count(*) AS n", f"{t12('e * e')} AS su"]
+    for i in range(len(xs)):
+        aux_cols.append(f"{t12(f'e * e * xq{i}')} AS su_{i}")
+    aux_cols.append(f"{t12('(e * e) * (e * e)')} AS suu")
+    cur = con.execute(f"SELECT {', '.join(aux_cols)} FROM ({mid})")
+    aux = dict(zip([d[0] for d in cur.description], cur.fetchone()))
+    out = bp_stat_from_moments(mom, aux, xs)
+    lit = _ols_lit
+    return (
+        f"SELECT CAST({out['n']} AS BIGINT) AS n_rows,"
+        f" {lit(out['lm_stat'])} AS lm_stat,"
+        f" CAST({out['dof']} AS INT) AS dof,"
+        f" {lit(out['chi2_crit_05'])} AS chi2_crit_05,"
+        f" CAST({out['significant']} AS INT) AS significant,"
+        f" {lit(out['r2_aux'])} AS r2_aux"
+    )
+
+
+def _build_ols_residuals_oracle() -> str:
+    """Oracle for lineitem_ols_residuals: beta from the pass-1 moment
+    replay + shared solve, then a pure-SQL per-row projection over the
+    6dp-rounded literals (left-associated like the operator's
+    expression; ``+ 0.0`` kills DuckDB's IEEE -0.0 on the rounded
+    outputs — the embed_pca construction)."""
+    from intake_esm_spark.operators.regression import (
+        ols_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+    y = "l_extendedprice"
+    mom, _ = _bp_ols_moments_duckdb(xs, y)
+    beta = ols_solve_from_moments(mom, xs)["coef"]
+    eta = repr(float(beta[0]))
+    for bj, c in zip(beta[1:], xs):
+        eta = f"{eta} + {float(bj)!r} * round(CAST({c} AS DOUBLE), 6)"
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs])
+    return (
+        f"SELECT l_orderkey, l_linenumber,"
+        f" round(({eta}), 6) + 0.0 AS fitted,"
+        f" round(round(CAST({y} AS DOUBLE), 6) - ({eta}), 6) + 0.0"
+        f" AS residual"
+        f" FROM '{sf_dir}/lineitem.parquet' WHERE {notnull}"
+    )
 
 
 def _build_ols_by_group_oracle() -> str:

@@ -350,6 +350,282 @@ def ols_by_group(
     )
 
 
+def ols_predict(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    id_cols: list[str],
+    l2: float = 0.0,
+) -> DataFrame:
+    """Per-row fitted values and residuals from the one-pass OLS (or
+    ridge) fit — the materialization step every diagnostic pipeline
+    wants after :func:`ols_report` ("which rows does the model miss").
+
+    Scale shape: ONE moment pass (the :func:`ols_moments` aggregate)
+    fits β on the driver; the prediction itself is a fixed IEEE
+    expression over β LITERALS applied in-row — zero additional
+    shuffles, whole-stage codegen, the corpus is scanned once for the
+    fit and once for the projection.  Only complete-case rows are
+    emitted (a residual against a null variable is undefined).
+    Determinism: the 6dp-rounded coefficients from the shared solve
+    project over the same 6dp-quantized variables, left-associated
+    exactly as the DuckDB oracle replays them; outputs round to 6dp.
+    Returns ``(*id_cols, fitted, residual)``."""
+    sol = ols_solve_from_moments(
+        ols_moments(df, y_col, x_cols), x_cols, l2=l2
+    )
+    beta = sol["coef"]  # 6dp literals — the oracle replays these
+    base = _complete_case(df, y_col, x_cols)
+    eta = F.lit(float(beta[0]))
+    for bj, c in zip(beta[1:], x_cols):
+        eta = eta + F.lit(float(bj)) * F.round(F.col(c).cast("double"), 6)
+    yq = F.round(F.col(y_col).cast("double"), 6)
+    return base.select(
+        *[F.col(c) for c in id_cols],
+        F.round(eta, 6).alias("fitted"),
+        F.round(yq - eta, 6).alias("residual"),
+    )
+
+
+def wls_moments(
+    df: DataFrame, y_col: str, x_cols: list[str], w_col: str
+) -> dict:
+    """Weighted second-order moments for :func:`wls_report`: the same
+    single 1-row partial-aggregated scan as :func:`ols_moments`, every
+    sum carrying the 6dp-quantized weight — ``Σw, Σw·xᵢ, Σw·xᵢxⱼ,
+    Σw·y, Σw·xᵢy, Σw·y²`` plus the plain row count for the residual
+    dof.  Rows with null/non-finite variables OR non-positive weights
+    are excluded (a zero weight contributes nothing; a negative one is
+    a caller bug).  Per-row products are IEEE doubles 12dp-rounded in
+    a PROJECTION below the aggregate (the logistic-pass discipline —
+    order-independent decimal sums, codegen-friendly casts)."""
+    if not x_cols:
+        raise ValueError("wls: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"wls: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    cond = _finite(y_col) & _finite(w_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond & (F.col(w_col).cast("double") > 0))
+    wq = F.round(F.col(w_col).cast("double"), 6)
+    yq = F.round(F.col(y_col).cast("double"), 6)
+    xq = [F.round(F.col(c).cast("double"), 6) for c in x_cols]
+    d38 = "decimal(38,12)"
+    terms = [F.round(wq, 6).alias("__tw")]
+    for i, x in enumerate(xq):
+        terms.append(F.round(wq * x, 12).alias(f"__ts_{i}"))
+        terms.append(F.round(wq * x * yq, 12).alias(f"__tq_{i}"))
+        for j2 in range(i, len(xq)):
+            terms.append(
+                F.round(wq * x * xq[j2], 12).alias(f"__tp_{i}_{j2}")
+            )
+    terms.append(F.round(wq * yq, 12).alias("__tsy"))
+    terms.append(F.round(wq * yq * yq, 12).alias("__tsyy"))
+    proj = base.select(*terms)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs.append(F.sum(F.col("__tw").cast("decimal(18,6)")).alias("sw"))
+    for i in range(len(x_cols)):
+        aggs.append(F.sum(F.col(f"__ts_{i}").cast(d38)).alias(f"s_{i}"))
+        aggs.append(F.sum(F.col(f"__tq_{i}").cast(d38)).alias(f"q_{i}"))
+        for j2 in range(i, len(x_cols)):
+            aggs.append(
+                F.sum(F.col(f"__tp_{i}_{j2}").cast(d38)).alias(
+                    f"p_{i}_{j2}"
+                )
+            )
+    aggs.append(F.sum(F.col("__tsy").cast(d38)).alias("sy"))
+    aggs.append(F.sum(F.col("__tsyy").cast(d38)).alias("syy"))
+    return proj.agg(*aggs).collect()[0].asDict()
+
+
+def wls_solve_from_moments(mom: dict, x_cols: list[str]) -> dict:
+    """Driver-side weighted-least-squares solve over the weighted
+    moments — ``β = (XᵀWX)⁻¹XᵀWy``, standard errors from
+    ``σ²(XᵀWX)⁻¹`` with ``σ² = SSE_w / (n − p − 1)`` (statsmodels
+    ``WLS`` conventions).  ONE shared implementation for the operator
+    and the DuckDB oracle builder (the OLS precedent)."""
+    import numpy as np
+
+    p = len(x_cols)
+    n = int(mom["n"])
+    if n <= p + 1:
+        raise ValueError(f"wls: n={n} rows cannot fit {p + 1} parameters")
+    xtx = np.zeros((p + 1, p + 1))
+    xty = np.zeros(p + 1)
+    xtx[0, 0] = float(mom["sw"])
+    xty[0] = float(mom["sy"])
+    for i in range(p):
+        s = float(mom[f"s_{i}"])
+        xtx[0, i + 1] = xtx[i + 1, 0] = s
+        xty[i + 1] = float(mom[f"q_{i}"])
+        for j2 in range(i, p):
+            v = float(mom[f"p_{i}_{j2}"])
+            xtx[i + 1, j2 + 1] = xtx[j2 + 1, i + 1] = v
+    cond = float(np.linalg.cond(xtx))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            "wls: singular or ill-conditioned weighted design "
+            f"(cond={cond:.3g})"
+        )
+    beta = np.linalg.solve(xtx, xty)
+    inv = np.linalg.inv(xtx)
+    sse = max(
+        0.0,
+        float(mom["syy"])
+        - 2.0 * float(beta @ xty)
+        + float(beta @ xtx @ beta),
+    )
+    df_resid = n - p - 1
+    sigma2 = sse / df_resid
+    se = [float(np.sqrt(max(0.0, sigma2 * inv[j, j]))) for j in range(p + 1)]
+    return {
+        "terms": ["_intercept", *x_cols],
+        "coef": [round(float(b), 6) for b in beta],
+        "std_err": [round(s, 6) for s in se],
+        "t_stat": [
+            round(float(b) / s, 6) if s > 0 else None
+            for b, s in zip(beta, se)
+        ],
+        "n": n,
+        "df_resid": df_resid,
+    }
+
+
+def wls_report(
+    df: DataFrame, y_col: str, x_cols: list[str], w_col: str
+) -> DataFrame:
+    """Weighted least squares — the regression every
+    heteroscedasticity-aware pipeline reaches for after
+    :func:`breusch_pagan_report` fires (and the aggregated-data
+    regression: rows that are group means carry their group sizes as
+    weights).  Same ONE-pass scale shape as :func:`ols_report`; see
+    :func:`wls_moments` / :func:`wls_solve_from_moments`.  Returns one
+    row per term ``(term, coef, std_err, t_stat)``."""
+    sol = wls_solve_from_moments(
+        wls_moments(df, y_col, x_cols, w_col), x_cols
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        list(zip(sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"])),
+        "term string, coef double, std_err double, t_stat double",
+    )
+
+
+def _bp_aux_moments(
+    df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
+) -> dict:
+    """The second Breusch-Pagan pass: squared-residual moments at the
+    fitted β LITERALS — ``Σu, Σu·xᵢ, Σu²`` with ``u = e²`` — one 1-row
+    partial-aggregated scan, residual built in a projection below the
+    aggregate (the logistic-pass discipline), left-associated exactly
+    as the oracle replays it."""
+    base = _complete_case(df, y_col, x_cols)
+    xq = [F.round(F.col(c).cast("double"), 6) for c in x_cols]
+    yq = F.round(F.col(y_col).cast("double"), 6)
+    eta = F.lit(float(beta[0]))
+    for bj, x in zip(beta[1:], xq):
+        eta = eta + F.lit(float(bj)) * x
+    e = yq - eta
+    u = e * e
+    d38 = "decimal(38,12)"
+    terms = [F.round(u, 12).alias("__tu")]
+    for i, x in enumerate(xq):
+        terms.append(F.round(u * x, 12).alias(f"__tux_{i}"))
+    terms.append(F.round(u * u, 12).alias("__tuu"))
+    proj = base.select(*terms)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs.append(F.sum(F.col("__tu").cast(d38)).alias("su"))
+    for i in range(len(x_cols)):
+        aggs.append(F.sum(F.col(f"__tux_{i}").cast(d38)).alias(f"su_{i}"))
+    aggs.append(F.sum(F.col("__tuu").cast(d38)).alias("suu"))
+    return proj.agg(*aggs).collect()[0].asDict()
+
+
+def bp_stat_from_moments(
+    mom: dict, aux: dict, x_cols: list[str]
+) -> dict:
+    """Breusch-Pagan (Koenker's studentized form) closed-form finish
+    over the pass-1 design moments and the pass-2 squared-residual
+    moments: regress ``u = e²`` on X reusing the SAME XᵀX, take
+    ``LM = n·R²_aux``, compare against the Wilson-Hilferty χ²(p) 5%
+    point.  ONE shared implementation for operator and oracle."""
+    import numpy as np
+
+    p = len(x_cols)
+    n = int(mom["n"])
+    xtx = np.zeros((p + 1, p + 1))
+    xtu = np.zeros(p + 1)
+    xtx[0, 0] = float(n)
+    xtu[0] = float(aux["su"])
+    for i in range(p):
+        s = float(mom[f"s_{i}"])
+        xtx[0, i + 1] = xtx[i + 1, 0] = s
+        xtu[i + 1] = float(aux[f"su_{i}"])
+        for j2 in range(i, p):
+            v = float(mom[f"p_{i}_{j2}"])
+            xtx[i + 1, j2 + 1] = xtx[j2 + 1, i + 1] = v
+    ba = np.linalg.solve(xtx, xtu)
+    suu = float(aux["suu"])
+    su = float(aux["su"])
+    sse = max(0.0, suu - 2.0 * float(ba @ xtu) + float(ba @ xtx @ ba))
+    sst = suu - su * su / n
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    lm = n * r2 if r2 is not None else None
+    dd = float(p)
+    wh = 1.0 - 2.0 / (9.0 * dd) + 1.644854 * np.sqrt(2.0 / (9.0 * dd))
+    crit = dd * wh * wh * wh
+    return {
+        "n": n,
+        "lm_stat": round(lm, 6) if lm is not None else None,
+        "dof": p,
+        "chi2_crit_05": round(float(crit), 6),
+        "significant": int(lm is not None and round(lm, 6) > round(crit, 6)),
+        "r2_aux": round(r2, 6) if r2 is not None else None,
+    }
+
+
+def breusch_pagan_report(
+    df: DataFrame, y_col: str, x_cols: list[str]
+) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Koenker's studentized
+    ``n·R²`` form — statsmodels ``het_breuschpagan`` LM parity): does
+    the residual variance move with the regressors, i.e. can you
+    trust :func:`ols_report`'s standard errors or should you reach
+    for :func:`wls_report`.
+
+    Scale shape: TWO 1-row partial-aggregated scans — pass 1 is the
+    :func:`ols_moments` aggregate (fits β on the driver), pass 2
+    re-scans with the squared residual built in-row at β literals
+    (:func:`_bp_aux_moments`); the auxiliary regression of e² on X
+    reuses pass 1's XᵀX, so no third pass exists.  Determinism: 6dp
+    quantized variables, 6dp β literals, 12dp-rounded term sums, one
+    fixed IEEE finish shared with the oracle builder
+    (:func:`bp_stat_from_moments`).  Returns one row ``(n_rows,
+    lm_stat, dof, chi2_crit_05, significant, r2_aux)``."""
+    mom = ols_moments(df, y_col, x_cols)
+    sol = ols_solve_from_moments(mom, x_cols)
+    aux = _bp_aux_moments(df, y_col, x_cols, sol["coef"])
+    out = bp_stat_from_moments(mom, aux, x_cols)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                out["n"],
+                out["lm_stat"],
+                out["dof"],
+                out["chi2_crit_05"],
+                out["significant"],
+                out["r2_aux"],
+            )
+        ],
+        "n_rows bigint, lm_stat double, dof int, chi2_crit_05 double,"
+        " significant int, r2_aux double",
+    )
+
+
 N_IRLS_ITER = 8
 """Fixed IRLS/Newton iteration count for :func:`logistic_report` —
 fixed, never convergence-tested, so the computation is a DETERMINISTIC

@@ -372,3 +372,143 @@ def test_stream_ols_moments_matches_batch(spark, tmp_path):
         assert sol["coef"][i] == batch[t]["coef"], t
         assert sol["std_err"][i] == batch[t]["std_err"], t
         assert sol["t_stat"][i] == batch[t]["t_stat"], t
+
+
+# ---- WLS / Breusch-Pagan / predict ------------------------------------
+
+
+def test_wls_matches_numpy_weighted_solve(spark, reg_frame):
+    from intake_esm_spark.operators.regression import wls_report
+
+    df, g, y, x1, x2 = reg_frame
+    w = np.abs(x1) + 1.0  # positive weights
+    dfw = spark.createDataFrame(
+        list(
+            zip(
+                map(float, y),
+                map(float, x1),
+                map(float, x2),
+                map(float, w),
+            )
+        ),
+        "y double, x1 double, x2 double, w double",
+    )
+    got = {
+        r["term"]: r
+        for r in wls_report(dfw, "y", ["x1", "x2"], "w").collect()
+    }
+    X = np.column_stack([np.ones(len(y)), np.round(x1, 6), np.round(x2, 6)])
+    yq, wq = np.round(y, 6), np.round(w, 6)
+    xtx = X.T * wq @ X
+    xty = X.T @ (wq * yq)
+    beta = np.linalg.solve(xtx, xty)
+    resid = yq - X @ beta
+    sigma2 = float(wq @ (resid * resid)) / (len(y) - 3)
+    se = np.sqrt(sigma2 * np.diag(np.linalg.inv(xtx)))
+    for i, t in enumerate(["_intercept", "x1", "x2"]):
+        assert got[t]["coef"] == pytest.approx(beta[i], abs=1e-5), t
+        assert got[t]["std_err"] == pytest.approx(se[i], abs=1e-5), t
+
+
+def test_wls_excludes_nonpositive_weights(spark):
+    from intake_esm_spark.operators.regression import (
+        wls_moments,
+        wls_report,
+    )
+
+    rows = [(float(i), float(i), 1.0) for i in range(20)]
+    rows += [(999.0, 999.0, 0.0), (999.0, 999.0, -5.0), (999.0, 999.0, None)]
+    df = spark.createDataFrame(rows, "y double, x double, w double")
+    mom = wls_moments(df, "y", ["x"], "w")
+    assert mom["n"] == 20  # the three bad-weight rows never entered
+    got = {r["term"]: r for r in wls_report(df, "y", ["x"], "w").collect()}
+    assert got["x"]["coef"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_wls_equal_weights_reduce_to_ols(spark, reg_frame):
+    from intake_esm_spark.operators.regression import ols_report, wls_report
+
+    df, *_ = reg_frame
+    dfw = df.withColumn("w", F.lit(1.0))
+    wls = {
+        r["term"]: r
+        for r in wls_report(dfw, "y", ["x1", "x2"], "w").collect()
+    }
+    ols = {
+        r["term"]: r for r in ols_report(df, "y", ["x1", "x2"]).collect()
+    }
+    for t in ("_intercept", "x1", "x2"):
+        assert wls[t]["coef"] == pytest.approx(ols[t]["coef"], abs=1e-6)
+        assert wls[t]["std_err"] == pytest.approx(
+            ols[t]["std_err"], abs=1e-6
+        )
+
+
+def _bp_ref(y, x1, x2):
+    """First-principles Koenker BP on the operator's quantization:
+    6dp data, 6dp-rounded beta literals, e2-on-X auxiliary R2."""
+    X = np.column_stack([np.ones(len(y)), np.round(x1, 6), np.round(x2, 6)])
+    yq = np.round(y, 6)
+    beta = np.round(
+        np.linalg.solve(X.T @ X, X.T @ yq), 6
+    )  # the operator projects 6dp literals
+    e = yq - X @ beta
+    u = e * e
+    ba = np.linalg.solve(X.T @ X, X.T @ u)
+    sse = float((u - X @ ba) @ (u - X @ ba))
+    sst = float((u - u.mean()) @ (u - u.mean()))
+    r2 = 1 - sse / sst
+    return len(y) * r2, r2
+
+
+def test_breusch_pagan_detects_heteroscedasticity(spark):
+    from intake_esm_spark.operators.regression import breusch_pagan_report
+
+    rng = np.random.RandomState(23)
+    n = 500
+    x1 = rng.uniform(1, 10, n).round(4)
+    x2 = rng.normal(0, 1, n).round(4)
+    # variance grows with x1 -> BP must fire
+    y = (3.0 + 2.0 * x1 + 0.5 * x2 + rng.normal(0, 1, n) * x1).round(4)
+    df = spark.createDataFrame(
+        list(zip(map(float, y), map(float, x1), map(float, x2))),
+        "y double, x1 double, x2 double",
+    )
+    r = breusch_pagan_report(df, "y", ["x1", "x2"]).collect()[0]
+    lm_ref, r2_ref = _bp_ref(y, x1, x2)
+    assert r["lm_stat"] == pytest.approx(lm_ref, rel=1e-4)
+    assert r["r2_aux"] == pytest.approx(r2_ref, abs=1e-6)
+    assert r["dof"] == 2 and r["significant"] == 1
+    # homoscedastic twin: must NOT fire
+    y2 = (3.0 + 2.0 * x1 + 0.5 * x2 + rng.normal(0, 1, n)).round(4)
+    df2 = spark.createDataFrame(
+        list(zip(map(float, y2), map(float, x1), map(float, x2))),
+        "y double, x1 double, x2 double",
+    )
+    r2row = breusch_pagan_report(df2, "y", ["x1", "x2"]).collect()[0]
+    assert r2row["significant"] == 0
+
+
+def test_ols_predict_residuals_match_numpy(spark, reg_frame):
+    from intake_esm_spark.operators.regression import ols_predict
+
+    df, g, y, x1, x2 = reg_frame
+    dfi = df.withColumn("rid", F.monotonically_increasing_id())
+    # the fixture is deterministic row order only per createDataFrame;
+    # join predictions back on the variables instead: use y as key is
+    # unsafe (dups) -> recompute reference from the row's own values
+    rows = ols_predict(
+        dfi, "y", ["x1", "x2"], ["rid", "y", "x1", "x2"]
+    ).collect()
+    X = np.column_stack([np.ones(len(y)), np.round(x1, 6), np.round(x2, 6)])
+    yq = np.round(y, 6)
+    beta = np.round(np.linalg.solve(X.T @ X, X.T @ yq), 6)
+    for r in rows[:50]:
+        eta = beta[0] + beta[1] * round(r["x1"], 6) + beta[2] * round(
+            r["x2"], 6
+        )
+        assert r["fitted"] == pytest.approx(eta, abs=1e-6)
+        assert r["residual"] == pytest.approx(
+            round(r["y"], 6) - eta, abs=1e-6
+        )
+    assert len(rows) == len(y)
