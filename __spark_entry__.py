@@ -3051,6 +3051,47 @@ def q_lineitem_ols_residuals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lineitem_vif(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance-inflation factors over (quantity, extendedprice,
+    discount) — the collinearity diagnostic to run BEFORE ols_report
+    raises (operators/regression.py vif_report, round 13): ONE 1-row
+    moment scan, then closed-form driver arithmetic (correlation
+    inverse diagonal) through the shared vif_from_moments. Oracle:
+    the moment SQL replayed in DuckDB + the SAME shared finish,
+    literal rows (_build_vif_oracle)."""
+    from intake_esm_spark.operators.regression import vif_report
+
+    li = load_table(spark, sf, "lineitem")
+    return vif_report(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+def q_lineitem_poisson(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson regression of the quantity COUNT on discount + tax
+    (operators/regression.py poisson_report, round 13): 8 unrolled
+    IRLS/Newton passes, each ONE 1-row partial-agged scan of
+    score/information sums at the current beta literals (eta clamped
+    at +/-50 before exp, replayed verbatim); shared Newton step with
+    the logistic family. Oracle: the identical pass SQL looped in
+    DuckDB through the same shared step/finalize
+    (_build_poisson_oracles)."""
+    from intake_esm_spark.operators.regression import poisson_report
+
+    li = load_table(spark, sf, "lineitem")
+    return poisson_report(li, "l_quantity", ["l_discount", "l_tax"])
+
+
+def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-level Poisson diagnostics (operators/regression.py
+    poisson_fit_report): n, iteration count, mean unit deviance at
+    the final iterate (the overdispersion gate)."""
+    from intake_esm_spark.operators.regression import poisson_fit_report
+
+    li = load_table(spark, sf, "lineitem")
+    return poisson_fit_report(li, "l_quantity", ["l_discount", "l_tax"])
+
+
 def q_lineitem_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
     """Jarque-Bera normality gate on extendedprice (operators/
     groupstats.py jarque_bera_report): skewness/kurtosis from one
@@ -5239,6 +5280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_wls": q_lineitem_wls,
         "lineitem_bp": q_lineitem_bp,
         "lineitem_ols_residuals": q_lineitem_ols_residuals,
+        "lineitem_vif": q_lineitem_vif,
+        "lineitem_poisson": q_lineitem_poisson,
+        "lineitem_poisson_fit": q_lineitem_poisson_fit,
         # Block 0b: round-13 CHANGED — the OLS entries consume the
         # refactored shared moment builder (ols_moment_frame, also the
         # streaming twin #25 plan); the logistic entries thread the
@@ -5258,9 +5302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Block 1: the entries longest without a driver-green row —
         # first the eleven the r12 head displaced (flagged there as
         # leading the freshness queue), then the r7-r11 rotation tail
-        # in its standing order. The five r13 entries above push
-        # events_auc / events_pr_auc / docs_jsd to positions 51-53 —
-        # they lead the freshness queue next round.
+        # in its standing order. The eight r13-new entries above push
+        # events_survival .. docs_jsd to positions 51-58 — they lead
+        # the freshness queue next round.
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -13412,6 +13456,13 @@ def oracle_sql() -> dict[str, str]:
     d["lineitem_wls"] = _build_wls_oracle()
     d["lineitem_bp"] = _build_bp_oracle()
     d["lineitem_ols_residuals"] = _build_ols_residuals_oracle()
+    # lineitem_vif / lineitem_poisson[_fit] (round 13): the moment
+    # replay through the shared correlation-inverse finish, and the
+    # Poisson IRLS float trajectory walked pass-by-pass in DuckDB
+    d["lineitem_vif"] = _build_vif_oracle()
+    d["lineitem_poisson"], d["lineitem_poisson_fit"] = (
+        _build_poisson_oracles()
+    )
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -13750,6 +13801,117 @@ def _build_ols_residuals_oracle() -> str:
         f" AS residual"
         f" FROM '{sf_dir}/lineitem.parquet' WHERE {notnull}"
     )
+
+
+def _build_vif_oracle() -> str:
+    """Oracle for lineitem_vif: the design-moment SQL replayed in
+    DuckDB (the operator's first feature doubles as the complete-case
+    anchor) through the SAME shared ``vif_from_moments``."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import vif_from_moments
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_extendedprice", "l_discount"]
+    cols = _ols_moment_sql_cols(xs, xs[0])
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in xs)
+    con = duckdb.connect()
+    cur = con.execute(
+        f"SELECT {', '.join(cols)} FROM "
+        f"'{sf_dir}/lineitem.parquet' WHERE {notnull}"
+    )
+    mom = dict(zip([d[0] for d in cur.description], cur.fetchone()))
+    rows = vif_from_moments(mom, xs)
+    lit = _ols_lit
+    return " UNION ALL ".join(
+        f"SELECT '{r['term']}' AS term, {lit(r['vif'])} AS vif,"
+        f" {lit(r['r2_other'])} AS r2_other"
+        for r in rows
+    )
+
+
+def _build_poisson_oracles() -> tuple[str, str]:
+    """Oracles for the Poisson entries: loop the SAME fixed IRLS pass
+    count in DuckDB — each pass mirrors the operator's per-row
+    expressions text-for-text (6dp features, the ±50 eta clamp before
+    exp, 12dp decimal term sums, beta literals at full double
+    precision) through the SAME shared ``logistic_step`` /
+    ``poisson_finalize``, one float trajectory."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        N_IRLS_ITER,
+        logistic_step,
+        poisson_finalize,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_discount", "l_tax"]
+    y = "l_quantity"
+
+    def xq(c: str) -> str:
+        return f"round(CAST({c} AS DOUBLE), 6)"
+
+    def pass_sql(beta: list[float]) -> str:
+        eta = repr(float(beta[0]))
+        for bj, c in zip(beta[1:], ["x1", "x2"]):
+            eta = f"{eta} + {float(bj)!r} * {c}"
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs])
+        pre = (
+            f"WITH r AS (SELECT CAST({y} AS DOUBLE) AS y,"
+            f" {xq(xs[0])} AS x1, {xq(xs[1])} AS x2"
+            f" FROM '{sf_dir}/lineitem.parquet' WHERE {notnull}),"
+            f" m AS (SELECT y, x1, x2,"
+            f" exp(greatest(least({eta}, 50.0), -50.0)) AS mu FROM r)"
+        )
+        terms = ["count(*) AS n"]
+        xcols = ["1.0", "x1", "x2"]
+        for j2, xj in enumerate(xcols):
+            terms.append(
+                f"sum(CAST(round((y - mu) * {xj}, 12)"
+                f" AS DECIMAL(38,12))) AS g_{j2}"
+            )
+            for i in range(j2, len(xcols)):
+                terms.append(
+                    f"sum(CAST(round(mu * {xj} * {xcols[i]}, 12)"
+                    f" AS DECIMAL(38,12))) AS h_{j2}_{i}"
+                )
+        terms.append(
+            "sum(CAST(round(2.0 * ((CASE WHEN y > 0"
+            " THEN y * ln(y / mu) ELSE 0.0 END) - (y - mu)), 12)"
+            " AS DECIMAL(38,12))) AS dev"
+        )
+        terms.append("min(y) AS ymin")
+        return pre + " SELECT " + ", ".join(terms) + " FROM m"
+
+    con = duckdb.connect()
+
+    def run(sql: str) -> dict:
+        row = con.execute(sql).fetchone()
+        return dict(zip([d0[0] for d0 in con.description], row))
+
+    beta = [0.0] * (len(xs) + 1)
+    for _ in range(N_IRLS_ITER):
+        beta = logistic_step(run(pass_sql(beta)), beta, len(xs))
+    sol = poisson_finalize(run(pass_sql(beta)), beta, xs, N_IRLS_ITER)
+    lit = _ols_lit
+    coef_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {lit(c)} AS coef, {lit(s)} AS std_err,"
+        f" {lit(z)} AS z_stat"
+        for t, c, s, z in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"]
+        )
+    )
+    fit_sql = (
+        f"SELECT CAST({sol['n']} AS BIGINT) AS n_rows,"
+        f" CAST({sol['n_iter']} AS INT) AS n_iter,"
+        f" {lit(sol['mean_deviance'])} AS mean_deviance"
+    )
+    return coef_rows, fit_sql
 
 
 def _build_ols_by_group_oracle() -> str:

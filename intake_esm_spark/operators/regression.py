@@ -514,6 +514,87 @@ def wls_report(
     )
 
 
+def vif_from_moments(mom: dict, x_cols: list[str]) -> list[dict]:
+    """Variance-inflation factors from the SAME second-order moments
+    the OLS pass collects: centered covariance → correlation matrix R
+    of the predictors → ``VIF_j = [R⁻¹]_jj`` and ``R²_j = 1 − 1/VIF_j``
+    (each feature regressed on the others, closed-form).  ONE shared
+    implementation for the operator and the oracle builder.  A
+    zero-variance feature gets a null VIF (it inflates nothing — it IS
+    degenerate); an exactly-singular correlation matrix (perfect
+    collinearity) reports infinity as null VIF with ``r2_j = 1``."""
+    import numpy as np
+
+    p = len(x_cols)
+    n = int(mom["n"])
+    if n < 2:
+        raise ValueError(f"vif: need >= 2 rows, got {n}")
+    cov = np.zeros((p, p))
+    for i in range(p):
+        si = float(mom[f"s_{i}"])
+        for j2 in range(i, p):
+            v = float(mom[f"p_{i}_{j2}"])
+            sj = float(mom[f"s_{j2}"])
+            cov[i, j2] = cov[j2, i] = v - si * sj / n
+    sd = np.sqrt(np.diag(cov))
+    out = []
+    live = [i for i in range(p) if sd[i] > 0]
+    corr = np.eye(len(live))
+    for a, i in enumerate(live):
+        for b in range(a + 1, len(live)):
+            j2 = live[b]
+            corr[a, b] = corr[b, a] = cov[i, j2] / (sd[i] * sd[j2])
+    cnd = float(np.linalg.cond(corr)) if live else 0.0
+    inv = (
+        np.linalg.inv(corr)
+        if live and np.isfinite(cnd) and cnd < 1e12
+        else None
+    )
+    pos = {i: a for a, i in enumerate(live)}
+    for i, c in enumerate(x_cols):
+        if sd[i] <= 0 or inv is None:
+            out.append(
+                {
+                    "term": c,
+                    "vif": None,
+                    "r2_other": 1.0 if (sd[i] > 0 and inv is None) else None,
+                }
+            )
+        else:
+            v = float(inv[pos[i], pos[i]])
+            out.append(
+                {
+                    "term": c,
+                    "vif": round(v, 6),
+                    "r2_other": round(1.0 - 1.0 / v, 6) if v > 0 else None,
+                }
+            )
+    return out
+
+
+def vif_report(df: DataFrame, x_cols: list[str]) -> DataFrame:
+    """Variance-inflation factors — the collinearity diagnostic to run
+    BEFORE :func:`ols_report` raises (and the "how much ridge do I
+    need" readout): ``VIF_j = 1/(1 − R²_j)`` with R²_j from regressing
+    feature j on the others, computed CLOSED-FORM from one
+    :func:`ols_moments`-style pass (the y slot is unused — the first
+    feature doubles as the complete-case anchor).
+
+    Scale shape: ONE 1-row partial-aggregated moment scan; everything
+    after is driver arithmetic on the bounded (p×p) sidecar through
+    the shared :func:`vif_from_moments` the oracle replays.  Returns
+    one row per feature ``(term, vif, r2_other)``; a zero-variance
+    feature reports null, perfect collinearity reports ``r2_other=1``
+    with null VIF."""
+    mom = ols_moments(df, x_cols[0], x_cols)
+    rows = vif_from_moments(mom, x_cols)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r["term"], r["vif"], r["r2_other"]) for r in rows],
+        "term string, vif double, r2_other double",
+    )
+
+
 def _bp_aux_moments(
     df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
 ) -> dict:
@@ -833,6 +914,186 @@ def _logistic_fit(
     # the final pass always runs, so n_iter=0 still validates
     _check_label_domain(final)
     return logistic_finalize(final, beta, x_cols, n_iter=n_iter)
+
+
+def _poisson_pass(
+    df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
+) -> dict:
+    """One distributed Poisson-IRLS pass at literal ``beta``: with
+    ``μ = exp(η)``, the score ``g_j = Σ (y−μ)x_j`` and information
+    ``h_ij = Σ μ·x_i·x_j`` (x₀ = 1), every term 12dp-decimal-quantized
+    in a projection below the aggregate (the measured logistic-pass
+    codegen discipline), plus n, the deviance sum, and the
+    label-domain sidecar (min y and the non-finite-μ count) — ONE
+    1-row partial-aggregated scan.  η clamps at ±50 before exp (μ
+    spans 2e-22..5e21 — finite, and the clamp is replayed verbatim by
+    the oracle so both engines walk one trajectory)."""
+    names = [f"__x{i + 1}" for i in range(len(x_cols))]
+    proj1 = df.select(
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(nm)
+            for c, nm in zip(x_cols, names)
+        ],
+    )
+    eta = F.lit(float(beta[0]))
+    for bj, nm in zip(beta[1:], names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    eta = F.greatest(F.least(eta, F.lit(50.0)), F.lit(-50.0))
+    proj2 = proj1.select("__y", *names, F.exp(eta).alias("__mu"))
+    mu = F.col("__mu")
+    resid = F.col("__y") - mu
+    xs = [F.lit(1.0)] + [F.col(nm) for nm in names]
+    d38 = "decimal(38,12)"
+    term_cols = []
+    for j2, xj in enumerate(xs):
+        term_cols.append(
+            F.round(resid * xj, 12).cast(d38).alias(f"__tg_{j2}")
+        )
+        for i in range(j2, len(xs)):
+            term_cols.append(
+                F.round(mu * xj * xs[i], 12).cast(d38).alias(
+                    f"__th_{j2}_{i}"
+                )
+            )
+    # unit deviance: 2[y·ln(y/μ) − (y − μ)], with the y=0 limit 2μ
+    yd = F.col("__y")
+    dev = F.lit(2.0) * (
+        F.when(yd > 0, yd * F.log(yd / mu)).otherwise(F.lit(0.0))
+        - (yd - mu)
+    )
+    term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
+    proj3 = proj2.select("__y", *term_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j2 in range(len(xs)):
+        aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
+        for i in range(j2, len(xs)):
+            aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
+    aggs.append(F.sum("__tdev").alias("dev"))
+    aggs.append(F.min(F.col("__y")).alias("ymin"))
+    return proj3.agg(*aggs).collect()[0].asDict()
+
+
+def poisson_finalize(
+    mom: dict,
+    beta: list[float],
+    x_cols: list[str],
+    n_iter: int,
+) -> dict:
+    """Final Poisson readout from the last pass: standard errors from
+    the information inverse, Wald z, mean deviance.  Shared by the
+    operator and the oracle builder."""
+    import numpy as np
+
+    p = len(x_cols)
+    h = np.zeros((p + 1, p + 1))
+    for j2 in range(p + 1):
+        for i in range(j2, p + 1):
+            h[j2, i] = h[i, j2] = float(mom[f"h_{j2}_{i}"])
+    try:
+        inv = np.linalg.inv(h)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "poisson: singular information matrix at the final "
+            f"iterate: {exc}"
+        ) from exc
+    se = [float(np.sqrt(max(0.0, inv[j, j]))) for j in range(p + 1)]
+    n = int(mom["n"])
+    return {
+        "terms": ["_intercept", *x_cols],
+        "coef": [round(float(b), 6) for b in beta],
+        "std_err": [round(s, 6) for s in se],
+        "z_stat": [
+            round(float(b) / s, 6) if s > 0 else None
+            for b, s in zip(beta, se)
+        ],
+        "n": n,
+        "mean_deviance": round(float(mom["dev"]) / n, 6),
+        "n_iter": n_iter,
+    }
+
+
+def _poisson_fit(
+    df: DataFrame, y_col: str, x_cols: list[str], n_iter: int
+) -> dict:
+    if not x_cols:
+        raise ValueError("poisson: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"poisson: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    cond = _finite(y_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.localCheckpoint(eager=False)
+    p = len(x_cols)
+    beta = [0.0] * (p + 1)
+    for it in range(n_iter):
+        last = _poisson_pass(base, y_col, x_cols, beta)
+        if it == 0 and (last["ymin"] is None or last["ymin"] < 0.0):
+            raise ValueError(
+                "poisson: label must be a non-negative count/rate, "
+                f"got min {last['ymin']}"
+            )
+        beta = logistic_step(last, beta, p)  # same Newton update shape
+    final = _poisson_pass(base, y_col, x_cols, beta)
+    if final["ymin"] is None or final["ymin"] < 0.0:
+        raise ValueError(
+            "poisson: label must be a non-negative count/rate, "
+            f"got min {final['ymin']}"
+        )
+    return poisson_finalize(final, beta, x_cols, n_iter)
+
+
+def poisson_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    n_iter: int = N_IRLS_ITER,
+) -> DataFrame:
+    """Poisson regression via UNROLLED IRLS/Newton — the count-model
+    member of the GLM family (statsmodels ``Poisson`` / sklearn
+    ``PoissonRegressor(alpha=0)`` parity at convergence): how do the
+    drivers move an event COUNT (orders per customer, defects per
+    batch, tokens per document).  ``y_col`` must be non-negative
+    (reals allowed — the quasi-Poisson reading).
+
+    Scale shape: ``n_iter + 1`` distributed passes, each ONE 1-row
+    partial-aggregated scan of score/information sums at the current β
+    literals — identical discipline, exchanges, and determinism
+    argument as :func:`logistic_report` (shared ``logistic_step``
+    Newton update; the oracle builder replays the pass SQL through the
+    same shared step/finalize, one float trajectory).  Returns one row
+    per term ``(term, coef, std_err, z_stat)``."""
+    sol = _poisson_fit(df, y_col, x_cols, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        list(zip(sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"])),
+        "term string, coef double, std_err double, z_stat double",
+    )
+
+
+def poisson_fit_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    n_iter: int = N_IRLS_ITER,
+) -> DataFrame:
+    """Model-level Poisson diagnostics: one row ``(n_rows, n_iter,
+    mean_deviance)`` at the final iterate (mean unit deviance — the
+    Poisson analogue of the logistic log-loss; >> 1 per dof signals
+    overdispersion, reach for the jackknife/ratio machinery)."""
+    sol = _poisson_fit(df, y_col, x_cols, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(sol["n"], sol["n_iter"], sol["mean_deviance"])],
+        "n_rows bigint, n_iter int, mean_deviance double",
+    )
 
 
 def logistic_report(

@@ -512,3 +512,98 @@ def test_ols_predict_residuals_match_numpy(spark, reg_frame):
             round(r["y"], 6) - eta, abs=1e-6
         )
     assert len(rows) == len(y)
+
+
+# ---- VIF / Poisson ------------------------------------------------------
+
+
+def test_vif_matches_numpy_corr_inverse(spark):
+    from intake_esm_spark.operators.regression import vif_report
+
+    rng = np.random.RandomState(41)
+    n = 300
+    x1 = rng.normal(5, 2, n).round(4)
+    x2 = rng.normal(-1, 3, n).round(4)
+    # x3 NOISILY collinear with x1 -> VIF well above 1 but finite
+    x3 = (2.0 * x1 + rng.normal(0, 0.5, n)).round(4)
+    dfv = spark.createDataFrame(
+        list(zip(map(float, x1), map(float, x2), map(float, x3))),
+        "x1 double, x2 double, x3 double",
+    )
+    got = {
+        r["term"]: r
+        for r in vif_report(dfv, ["x1", "x2", "x3"]).collect()
+    }
+    X = np.column_stack([np.round(x1, 6), np.round(x2, 6), np.round(x3, 6)])
+    corr = np.corrcoef(X, rowvar=False)
+    vifs = np.diag(np.linalg.inv(corr))
+    for i, t in enumerate(["x1", "x2", "x3"]):
+        assert got[t]["vif"] == pytest.approx(vifs[i], rel=1e-3), t
+        assert got[t]["r2_other"] == pytest.approx(
+            1 - 1 / vifs[i], abs=1e-4
+        )
+    assert got["x3"]["vif"] > 10  # collinearity detected
+
+
+def test_vif_degenerate_features(spark, reg_frame):
+    from intake_esm_spark.operators.regression import vif_report
+
+    df, *_ = reg_frame
+    # constant feature: zero variance -> null VIF, others unaffected
+    dfc = df.withColumn("xc", F.lit(5.0))
+    got = {
+        r["term"]: r for r in vif_report(dfc, ["x1", "x2", "xc"]).collect()
+    }
+    assert got["xc"]["vif"] is None
+    assert got["x1"]["vif"] == pytest.approx(1.0, abs=0.1)
+    # perfect collinearity: r2_other = 1, null VIF
+    dfp = df.withColumn("xd", F.col("x1") * 3.0)
+    got2 = {
+        r["term"]: r for r in vif_report(dfp, ["x1", "x2", "xd"]).collect()
+    }
+    assert got2["x1"]["vif"] is None and got2["x1"]["r2_other"] == 1.0
+
+
+def test_poisson_irls_matches_numpy(spark):
+    from intake_esm_spark.operators.regression import (
+        poisson_fit_report,
+        poisson_report,
+    )
+
+    rng = np.random.RandomState(31)
+    n = 400
+    x1 = rng.normal(0, 0.8, n).round(4)
+    x2 = rng.normal(0, 0.5, n).round(4)
+    lam = np.exp(0.7 + 0.5 * x1 - 0.3 * x2)
+    y = rng.poisson(lam)
+    df = spark.createDataFrame(
+        list(zip(map(int, y), map(float, x1), map(float, x2))),
+        "y int, x1 double, x2 double",
+    )
+    got = {
+        r["term"]: r
+        for r in poisson_report(df, "y", ["x1", "x2"]).collect()
+    }
+    X = np.column_stack([np.ones(n), np.round(x1, 6), np.round(x2, 6)])
+    b = np.zeros(3)
+    for _ in range(40):
+        mu = np.exp(np.clip(X @ b, -50, 50))
+        b = b + np.linalg.solve(X.T * mu @ X, X.T @ (y - mu))
+    mu = np.exp(X @ b)
+    se = np.sqrt(np.diag(np.linalg.inv(X.T * mu @ X)))
+    for i, t in enumerate(["_intercept", "x1", "x2"]):
+        assert got[t]["coef"] == pytest.approx(b[i], abs=1e-5), t
+        assert got[t]["std_err"] == pytest.approx(se[i], abs=1e-5), t
+    fit = poisson_fit_report(df, "y", ["x1", "x2"]).collect()[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev_terms = np.where(y > 0, y * np.log(y / mu), 0.0) - (y - mu)
+    ref_dev = float(2.0 * dev_terms.sum() / n)
+    assert fit["mean_deviance"] == pytest.approx(ref_dev, abs=1e-4)
+    assert fit["n_rows"] == n and fit["n_iter"] == 8
+    # guards: negative label, collinear features
+    neg = df.withColumn("y", F.col("y") - 10)
+    with pytest.raises(ValueError, match="non-negative"):
+        poisson_report(neg, "y", ["x1"])
+    dup = df.withColumn("x3", F.col("x1") * 2.0)
+    with pytest.raises(ValueError, match="singular Hessian"):
+        poisson_report(dup, "y", ["x1", "x3"])
