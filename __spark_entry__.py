@@ -3051,6 +3051,43 @@ def q_lineitem_ols_residuals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+LOGIT_BY_GROUP_ITER = 4
+"""Iteration count of the lineitem_logit_by_group entry — ONE shared
+literal between the query and its oracle builder (4 passes: the
+grouped entry fits 3 segments per pass, so it halves the solo
+entry's pass count to keep the driver-bench cost bounded; the
+trajectory is fixed and replayed either way)."""
+
+
+def q_lineitem_logit_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment logistic regression — an independent
+    P(linestatus=F) ~ quantity + discount fit PER RETURN FLAG
+    (operators/regression.py logistic_by_group, round 13): 4 unrolled
+    IRLS passes, each ONE group-grain partial-agged exchange with
+    every row's mu built from ITS group's beta literals via a bounded
+    when-chain; per-group Newton steps through the SAME shared
+    step/finalize, degenerate segments frozen+omitted. Oracle: the
+    grouped pass SQL looped in DuckDB through the same shared helpers
+    — every group's float trajectory engine-identical
+    (_build_logit_by_group_oracle)."""
+    from intake_esm_spark.operators.regression import logistic_by_group
+
+    li = load_table(spark, sf, "lineitem")
+    frame = li.filter(F.col("l_linestatus").isNotNull()).select(
+        (F.col("l_linestatus") == "F").cast("int").alias("fin"),
+        "l_quantity",
+        "l_discount",
+        "l_returnflag",
+    )
+    return logistic_by_group(
+        frame,
+        "fin",
+        ["l_quantity", "l_discount"],
+        "l_returnflag",
+        n_iter=LOGIT_BY_GROUP_ITER,
+    )
+
+
 def q_lineitem_vif(spark: SparkSession, sf: str) -> DataFrame:
     """Variance-inflation factors over (quantity, extendedprice,
     discount) — the collinearity diagnostic to run BEFORE ols_report
@@ -5283,6 +5320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_vif": q_lineitem_vif,
         "lineitem_poisson": q_lineitem_poisson,
         "lineitem_poisson_fit": q_lineitem_poisson_fit,
+        "lineitem_logit_by_group": q_lineitem_logit_by_group,
         # Block 0b: round-13 CHANGED — the OLS entries consume the
         # refactored shared moment builder (ols_moment_frame, also the
         # streaming twin #25 plan); the logistic entries thread the
@@ -13463,6 +13501,9 @@ def oracle_sql() -> dict[str, str]:
     d["lineitem_poisson"], d["lineitem_poisson_fit"] = (
         _build_poisson_oracles()
     )
+    # lineitem_logit_by_mode (round 13): the grouped IRLS trajectory
+    # walked per-segment in DuckDB through the shared step/finalize
+    d["lineitem_logit_by_group"] = _build_logit_by_group_oracle()
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -13912,6 +13953,123 @@ def _build_poisson_oracles() -> tuple[str, str]:
         f" {lit(sol['mean_deviance'])} AS mean_deviance"
     )
     return coef_rows, fit_sql
+
+
+def _build_logit_by_group_oracle() -> str:
+    """Oracle for lineitem_logit_by_group: the GROUPED IRLS pass SQL
+    looped in DuckDB — per-row mu from a CASE over each group's beta
+    literals (text-mirror of the operator's when-chain), per-group
+    sums, the SAME shared ``logistic_step``/``logistic_finalize`` with
+    the identical freeze/omit rule — every group's float trajectory
+    engine-identical; literal rows out, group-sorted."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        logistic_finalize,
+        logistic_step,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+
+    def xq(c: str) -> str:
+        return f"round(CAST({c} AS DOUBLE), 6)"
+
+    con = duckdb.connect()
+    notnull = (
+        "l_linestatus IS NOT NULL AND l_quantity IS NOT NULL AND "
+        "l_discount IS NOT NULL AND l_returnflag IS NOT NULL"
+    )
+    pre = (
+        f"WITH r AS (SELECT CAST(l_returnflag AS VARCHAR) AS grp,"
+        f" CAST(l_linestatus = 'F' AS INT) AS y,"
+        f" {xq(xs[0])} AS x1, {xq(xs[1])} AS x2"
+        f" FROM '{sf_dir}/lineitem.parquet' WHERE {notnull})"
+    )
+    groups = sorted(
+        r[0]
+        for r in con.execute(pre + " SELECT DISTINCT grp FROM r").fetchall()
+    )
+
+    def pass_sql(betas: dict) -> str:
+        branches = []
+        for g in sorted(betas):
+            b = betas[g]
+            eta = repr(float(b[0]))
+            for bj, c in zip(b[1:], ["x1", "x2"]):
+                eta = f"{eta} + {float(bj)!r} * {c}"
+            esc = g.replace("'", "''")
+            branches.append(f"WHEN grp = '{esc}' THEN {eta}")
+        case = "CASE " + " ".join(branches) + " END"
+        mid = (
+            f", m AS (SELECT grp, y, x1, x2,"
+            f" 1.0 / (1.0 + exp(-({case}))) AS mu FROM r)"
+        )
+        terms = ["grp", "count(*) AS n"]
+        xcols = ["1.0", "x1", "x2"]
+        for j2, xj in enumerate(xcols):
+            terms.append(
+                f"sum(CAST(round((CAST(y AS DOUBLE) - mu) * {xj}, 12)"
+                f" AS DECIMAL(38,12))) AS g_{j2}"
+            )
+            for i in range(j2, len(xcols)):
+                terms.append(
+                    f"sum(CAST(round(mu * (1.0 - mu) * {xj} * {xcols[i]},"
+                    f" 12) AS DECIMAL(38,12))) AS h_{j2}_{i}"
+                )
+        clamp = f"greatest(least(mu, {1.0 - 1e-15!r}), {1e-15!r})"
+        terms.append(
+            "sum(CAST(round(-(CAST(y AS DOUBLE) * ln(" + clamp + ")"
+            " + (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - " + clamp + ")),"
+            " 12) AS DECIMAL(38,12))) AS ll"
+        )
+        return (
+            pre + mid + " SELECT " + ", ".join(terms)
+            + " FROM m GROUP BY grp"
+        )
+
+    def run(sql: str) -> dict:
+        cur = con.execute(sql)
+        names = [d0[0] for d0 in cur.description]
+        return {
+            row[0]: dict(zip(names, row)) for row in cur.fetchall()
+        }
+
+    p = len(xs)
+    betas = {g: [0.0] * (p + 1) for g in groups}
+    dead: set = set()
+    for _ in range(LOGIT_BY_GROUP_ITER):
+        moms = run(pass_sql(betas))
+        for g in groups:
+            if g in dead:
+                continue
+            try:
+                betas[g] = logistic_step(moms[g], betas[g], p)
+            except ValueError:
+                dead.add(g)
+    final = run(pass_sql(betas))
+    lit = _ols_lit
+    rows = []
+    for g in groups:
+        if g in dead:
+            continue
+        try:
+            sol = logistic_finalize(
+                final[g], betas[g], xs, LOGIT_BY_GROUP_ITER
+            )
+        except ValueError:
+            continue
+        esc = g.replace("'", "''")
+        for t, c, s, z in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"]
+        ):
+            rows.append(
+                f"SELECT '{esc}' AS grp, '{t}' AS term, {lit(c)} AS coef,"
+                f" {lit(s)} AS std_err, {lit(z)} AS z_stat"
+            )
+    return " UNION ALL ".join(rows)
 
 
 def _build_ols_by_group_oracle() -> str:

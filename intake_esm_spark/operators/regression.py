@@ -1127,6 +1127,186 @@ def logistic_report(
     )
 
 
+MAX_LOGIT_GROUPS = 64
+"""Group-count guard for :func:`logistic_by_group`: each group adds
+p+1 β literals to the per-row CASE chain — the codegen-width lesson
+from the heavy-tie probes says keep literal chains bounded."""
+
+
+def _logistic_group_pass(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    betas: dict[str, list[float]],
+) -> dict[str, dict]:
+    """One grouped IRLS pass: the :func:`_logistic_pass` sufficient
+    statistics aggregated PER GROUP in one group-grain exchange, with
+    each row's μ built from ITS group's β literals via a when-chain
+    (k·(p+1) literals, bounded by :data:`MAX_LOGIT_GROUPS`).  Returns
+    ``{grp: moment dict}``."""
+    names = [f"__x{i + 1}" for i in range(len(x_cols))]
+    proj1 = df.select(
+        "__grp",
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(nm)
+            for c, nm in zip(x_cols, names)
+        ],
+    )
+    eta = None
+    for grp in sorted(betas):
+        beta = betas[grp]
+        ge = F.lit(float(beta[0]))
+        for bj, nm in zip(beta[1:], names):
+            ge = ge + F.lit(float(bj)) * F.col(nm)
+        eta = (
+            F.when(F.col("__grp") == grp, ge)
+            if eta is None
+            else eta.when(F.col("__grp") == grp, ge)
+        )
+    proj2 = proj1.select(
+        "__grp",
+        "__y",
+        *names,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))).alias("__mu"),
+    )
+    mu = F.col("__mu")
+    w = mu * (F.lit(1.0) - mu)
+    resid = F.col("__y") - mu
+    xs = [F.lit(1.0)] + [F.col(nm) for nm in names]
+    d38 = "decimal(38,12)"
+    term_cols = []
+    for j2, xj in enumerate(xs):
+        term_cols.append(
+            F.round(resid * xj, 12).cast(d38).alias(f"__tg_{j2}")
+        )
+        for i in range(j2, len(xs)):
+            term_cols.append(
+                F.round(w * xj * xs[i], 12).cast(d38).alias(
+                    f"__th_{j2}_{i}"
+                )
+            )
+    mc = F.greatest(F.least(mu, F.lit(1.0 - 1e-15)), F.lit(1e-15))
+    yd = F.col("__y")
+    ll = -(yd * F.log(mc) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - mc))
+    term_cols.append(F.round(ll, 12).cast(d38).alias("__tll"))
+    proj3 = proj2.select("__grp", "__y", *term_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j2 in range(len(xs)):
+        aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
+        for i in range(j2, len(xs)):
+            aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
+    aggs.append(F.sum("__tll").alias("ll"))
+    aggs.append(F.min(F.col("__y")).alias("ymin"))
+    aggs.append(F.max(F.col("__y")).alias("ymax"))
+    aggs.append(
+        F.sum(
+            F.when(
+                (F.col("__y") != F.lit(0.0)) & (F.col("__y") != F.lit(1.0)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("ybad")
+    )
+    rows = proj3.groupBy("__grp").agg(*aggs).collect()
+    return {r["__grp"]: r.asDict() for r in rows}
+
+
+def logistic_by_group(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    group_col: str,
+    n_iter: int = N_IRLS_ITER,
+    max_groups: int = MAX_LOGIT_GROUPS,
+) -> DataFrame:
+    """Per-segment logistic regression — an independent IRLS fit PER
+    GROUP (does the churn~drivers model differ by ship mode / source
+    / cohort), the classifier sibling of :func:`ols_by_group`.
+
+    Scale shape: ``n_iter + 1`` passes, each ONE group-grain
+    partial-aggregated exchange (k bounded moment rows per pass, never
+    data); every row's μ comes from its own group's β literals via a
+    when-chain (k·(p+1) literals, ``max_groups``-guarded — the
+    codegen-width discipline).  The Newton updates run per group on
+    the driver through the SAME shared :func:`logistic_step` /
+    :func:`logistic_finalize`; the DuckDB oracle replays the grouped
+    pass SQL through them, so every group's float trajectory is
+    engine-identical.  A group whose Hessian degenerates mid-
+    trajectory (separation, collinearity, too few rows) has its β
+    FROZEN for the remaining passes and is OMITTED from the output
+    (the :func:`ols_by_group` skip discipline — one bad segment must
+    not kill the rest); label-domain violations anywhere raise.
+    Returns one row per surviving ``(grp, term)``: ``(grp, term,
+    coef, std_err, z_stat)``."""
+    if not x_cols:
+        raise ValueError("logistic_by_group: need at least one feature")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"logistic_by_group: {len(x_cols)} features exceeds "
+            f"MAX_FEATURES={MAX_FEATURES}"
+        )
+    cond = _finite(y_col) & F.col(group_col).isNotNull()
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond).select(
+        F.col(group_col).cast("string").alias("__grp"), y_col, *x_cols
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.localCheckpoint(eager=False)
+    groups = sorted(
+        r["__grp"] for r in base.select("__grp").distinct().collect()
+    )
+    if not groups:
+        return df.sparkSession.createDataFrame(
+            [],
+            "grp string, term string, coef double, std_err double,"
+            " z_stat double",
+        )
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"logistic_by_group: {len(groups)} groups exceeds "
+            f"max_groups={max_groups} — each group widens the per-row "
+            "literal chain; coarsen the segmentation"
+        )
+    p = len(x_cols)
+    betas = {g: [0.0] * (p + 1) for g in groups}
+    dead: set[str] = set()
+    for it in range(n_iter):
+        moms = _logistic_group_pass(base, y_col, x_cols, betas)
+        if it == 0:
+            for g in groups:
+                _check_label_domain(moms[g])
+        for g in groups:
+            if g in dead:
+                continue
+            try:
+                betas[g] = logistic_step(moms[g], betas[g], p)
+            except ValueError:
+                dead.add(g)  # β frozen; omitted from output
+    final = _logistic_group_pass(base, y_col, x_cols, betas)
+    for g in groups:
+        _check_label_domain(final[g])
+    out = []
+    for g in groups:
+        if g in dead:
+            continue
+        try:
+            sol = logistic_finalize(final[g], betas[g], x_cols, n_iter)
+        except ValueError:
+            continue  # singular at the final iterate: same skip
+        for t, c, s, z in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"]
+        ):
+            out.append((g, t, c, s, z))
+    return df.sparkSession.createDataFrame(
+        out,
+        "grp string, term string, coef double, std_err double,"
+        " z_stat double",
+    )
+
+
 def logistic_fit_report(
     df: DataFrame,
     y_col: str,

@@ -607,3 +607,86 @@ def test_poisson_irls_matches_numpy(spark):
     dup = df.withColumn("x3", F.col("x1") * 2.0)
     with pytest.raises(ValueError, match="singular Hessian"):
         poisson_report(dup, "y", ["x1", "x3"])
+
+
+def test_logistic_by_group_matches_solo_fits(spark):
+    """Each group's grouped-IRLS trajectory must equal the solo
+    logistic_report on that group's subframe BIT-FOR-BIT (identical
+    per-group moments -> identical shared Newton steps)."""
+    from intake_esm_spark.operators.regression import (
+        logistic_by_group,
+        logistic_report,
+    )
+
+    rng = np.random.RandomState(47)
+    n = 300
+    g = np.array(["a", "b", "c"])[np.arange(n) % 3]
+    x1 = rng.normal(0, 1.5, n).round(4)
+    x2 = rng.normal(1, 2, n).round(4)
+    shift = {"a": -0.5, "b": 0.5, "c": 0.0}
+    eta = np.vectorize(shift.get)(g) + 1.1 * x1 - 0.6 * x2
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(int)
+    df = spark.createDataFrame(
+        list(zip(map(str, g), map(int, y), map(float, x1), map(float, x2))),
+        "g string, y int, x1 double, x2 double",
+    )
+    rows = logistic_by_group(df, "y", ["x1", "x2"], "g", n_iter=4).collect()
+    got = {(r["grp"], r["term"]): r for r in rows}
+    assert len(rows) == 9
+    for grp in ("a", "b", "c"):
+        solo = {
+            r["term"]: r
+            for r in logistic_report(
+                df.filter(F.col("g") == grp), "y", ["x1", "x2"], n_iter=4
+            ).collect()
+        }
+        for t in ("_intercept", "x1", "x2"):
+            assert got[(grp, t)]["coef"] == solo[t]["coef"], (grp, t)
+            assert got[(grp, t)]["std_err"] == solo[t]["std_err"], (grp, t)
+            assert got[(grp, t)]["z_stat"] == solo[t]["z_stat"], (grp, t)
+
+
+def test_logistic_by_group_skips_degenerate_group(spark):
+    """A group with too few rows / separation is omitted; the healthy
+    groups' trajectories are unaffected by its presence."""
+    from intake_esm_spark.operators.regression import logistic_by_group
+
+    rng = np.random.RandomState(53)
+    n = 200
+    g = np.array(["a", "b"])[np.arange(n) % 2]
+    x = rng.normal(0, 1, n).round(4)
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-x))).astype(int)
+    df = spark.createDataFrame(
+        list(zip(map(str, g), map(int, y), map(float, x))),
+        "g string, y int, x double",
+    )
+    healthy = logistic_by_group(df, "y", ["x"], "g", n_iter=4).collect()
+    # identical x across the z rows: the group Hessian is rank-1
+    # (x collinear with the intercept) -> singular -> frozen+omitted
+    tiny = spark.createDataFrame(
+        [("z", 1, 1.0), ("z", 0, 1.0)], "g string, y int, x double"
+    )
+    withz = logistic_by_group(
+        df.unionByName(tiny), "y", ["x"], "g", n_iter=4
+    ).collect()
+    assert {r["grp"] for r in withz} <= {"a", "b"}  # z never survives
+    hmap = {(r["grp"], r["term"]): r["coef"] for r in healthy}
+    zmap = {(r["grp"], r["term"]): r["coef"] for r in withz}
+    assert hmap == zmap  # bit-identical trajectories for a and b
+
+
+def test_logistic_by_group_guards(spark):
+    from intake_esm_spark.operators.regression import logistic_by_group
+
+    df = spark.createDataFrame(
+        [("a", 0.5, 1.0), ("a", 0.0, 2.0), ("b", 1.0, 3.0)] * 5,
+        "g string, y double, x double",
+    )
+    with pytest.raises(ValueError, match="label must be 0/1"):
+        logistic_by_group(df, "y", ["x"], "g", n_iter=2)
+    ok = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0), ("b", 1, 3.0), ("b", 0, 1.5)] * 10,
+        "g string, y int, x double",
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        logistic_by_group(ok, "y", ["x"], "g", max_groups=1)
