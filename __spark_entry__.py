@@ -5340,9 +5340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Block 1: the entries longest without a driver-green row —
         # first the eleven the r12 head displaced (flagged there as
         # leading the freshness queue), then the r7-r11 rotation tail
-        # in its standing order. The eight r13-new entries above push
-        # events_survival .. docs_jsd to positions 51-58 — they lead
-        # the freshness queue next round.
+        # in its standing order. The nine r13-new entries above (9 new
+        # + 8 changed = 17-entry head block) push events_logrank ..
+        # docs_jsd to positions 51-57 — they lead the freshness queue
+        # next round.
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
