@@ -254,6 +254,15 @@ BENCH_QUERIES = [
     "lineitem_logit",
     "lineitem_jarque_bera",
     "events_mood_median",
+    # round-13 additions
+    "lineitem_ridge",
+    "lineitem_ols_by_group",
+    "lineitem_wls",
+    "lineitem_bp",
+    "lineitem_ols_residuals",
+    "lineitem_vif",
+    "lineitem_poisson",
+    "lineitem_logit_by_group",
 ]
 
 

@@ -946,3 +946,43 @@ def test_anova_single_exchange_partial_agg(spark, queries):
     plan = plan_of(queries["events_anova"](spark, SF), "formatted")
     assert "HashAggregate" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_ols_residuals_projection_is_shuffle_free(spark, queries):
+    """ols_predict (round 13): after the moment pass fits beta on the
+    driver, the returned frame is a pure scan + filter + projection
+    over beta LITERALS — no Exchange of any kind, no join, no window;
+    the residual materialization must never shuffle the corpus."""
+    plan = plan_of(queries["lineitem_ols_residuals"](spark, SF), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ols_by_group_single_group_grain_exchange(spark, queries):
+    """ols_by_group (round 13): the collected moment frame behind the
+    output is ONE partial-aggregated group-grain exchange; the output
+    frame itself is a bounded driver-side localTableScan (solved rows),
+    so the plan of the RESULT has no distributed stages at all."""
+    from intake_esm_spark.operators.regression import ols_by_group
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # audit the moment aggregate itself (the distributed half)
+    from intake_esm_spark.operators.regression import (
+        _ols_moment_aggs,
+    )
+    from pyspark.sql import functions as F
+
+    base = li.select(
+        F.col("l_returnflag").cast("string").alias("__grp"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+    )
+    agg = base.groupBy("__grp").agg(
+        *_ols_moment_aggs("l_extendedprice", ["l_quantity", "l_discount"])
+    )
+    plan = plan_of(agg, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "Exchange rangepartitioning" not in plan, plan
