@@ -52,33 +52,50 @@ def _finite(col: str):
     )
 
 
-def _ols_moment_aggs(y_col: str, x_cols: list[str]) -> list:
-    """The (p+1)(p+2)/2 exact-decimal aggregate expressions of the OLS
-    moment pass — shared by :func:`ols_moment_frame` (batch and
-    streaming twin #25) and :func:`ols_by_group`."""
-    aggs = [F.count(F.lit(1)).alias("n")]
+def _ols_moment_proj(y_col: str, x_cols: list[str]) -> list:
+    """The per-row exact-decimal term columns of the OLS moment pass.
+    The quantize-and-cast work lives HERE, in a projection BELOW the
+    aggregate — a double→decimal cast inside a HashAggregate input
+    expression costs ~10× its projected form (the measured SCALE.md
+    house rule; the r13 bench caught the first cut of this kernel
+    paying ~3× before the split).  Shared by :func:`ols_moment_frame`
+    (batch and streaming twin #25) and :func:`ols_by_group`."""
     d38 = "decimal(38,12)"
+    cols = []
     for i, c in enumerate(x_cols):
-        aggs.append(F.sum(_q(c)).alias(f"s_{i}"))
-        aggs.append(
-            F.sum(
-                (_q(c).cast("decimal(19,6)") * _q(y_col)).cast(d38)
-            ).alias(f"q_{i}")
+        cols.append(_q(c).alias(f"__ms_{i}"))
+        cols.append(
+            (_q(c).cast("decimal(19,6)") * _q(y_col))
+            .cast(d38)
+            .alias(f"__mq_{i}")
         )
         for j2 in range(i, len(x_cols)):
-            aggs.append(
-                F.sum(
-                    (
-                        _q(c).cast("decimal(19,6)") * _q(x_cols[j2])
-                    ).cast(d38)
-                ).alias(f"p_{i}_{j2}")
+            cols.append(
+                (_q(c).cast("decimal(19,6)") * _q(x_cols[j2]))
+                .cast(d38)
+                .alias(f"__mp_{i}_{j2}")
             )
-    aggs.append(F.sum(_q(y_col)).alias("sy"))
-    aggs.append(
-        F.sum(
-            (_q(y_col).cast("decimal(19,6)") * _q(y_col)).cast(d38)
-        ).alias("syy")
+    cols.append(_q(y_col).alias("__msy"))
+    cols.append(
+        (_q(y_col).cast("decimal(19,6)") * _q(y_col))
+        .cast(d38)
+        .alias("__msyy")
     )
+    return cols
+
+
+def _ols_moment_sums(x_cols: list[str]) -> list:
+    """The matching plain-column sums over :func:`_ols_moment_proj`'s
+    output — (p+1)(p+2)/2 decimal sums plus the count, nothing but
+    column references inside the aggregate."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(x_cols)):
+        aggs.append(F.sum(f"__ms_{i}").alias(f"s_{i}"))
+        aggs.append(F.sum(f"__mq_{i}").alias(f"q_{i}"))
+        for j2 in range(i, len(x_cols)):
+            aggs.append(F.sum(f"__mp_{i}_{j2}").alias(f"p_{i}_{j2}"))
+    aggs.append(F.sum("__msy").alias("sy"))
+    aggs.append(F.sum("__msyy").alias("syy"))
     return aggs
 
 
@@ -107,8 +124,10 @@ def ols_moment_frame(
             f"{MAX_FEATURES} — the moment row grows quadratically; use "
             "hashed-feature scoring (operators/corpus.py) for wide inputs"
         )
-    return _complete_case(df, y_col, x_cols).agg(
-        *_ols_moment_aggs(y_col, x_cols)
+    return (
+        _complete_case(df, y_col, x_cols)
+        .select(*_ols_moment_proj(y_col, x_cols))
+        .agg(*_ols_moment_sums(x_cols))
     )
 
 
@@ -329,9 +348,12 @@ def ols_by_group(
         ),
     ).isNull()
     guarded = base.crossJoin(F.broadcast(kc)).filter(guard).drop("__k")
-    moment_rows = guarded.groupBy("__grp").agg(
-        *_ols_moment_aggs(y_col, x_cols)
-    ).collect()
+    moment_rows = (
+        guarded.select("__grp", *_ols_moment_proj(y_col, x_cols))
+        .groupBy("__grp")
+        .agg(*_ols_moment_sums(x_cols))
+        .collect()
+    )
     out = []
     for r in sorted(moment_rows, key=lambda r0: r0["__grp"]):
         mom = r.asDict()
@@ -413,31 +435,34 @@ def wls_moments(
     wq = F.round(F.col(w_col).cast("double"), 6)
     yq = F.round(F.col(y_col).cast("double"), 6)
     xq = [F.round(F.col(c).cast("double"), 6) for c in x_cols]
+    # the decimal casts live in the PROJECTION, not the aggregate
+    # input — the measured ~10x codegen trap (SCALE.md house rule;
+    # the r13 bench caught this operator paying 3x before the fix)
     d38 = "decimal(38,12)"
-    terms = [F.round(wq, 6).alias("__tw")]
+    terms = [F.round(wq, 6).cast("decimal(18,6)").alias("__tw")]
     for i, x in enumerate(xq):
-        terms.append(F.round(wq * x, 12).alias(f"__ts_{i}"))
-        terms.append(F.round(wq * x * yq, 12).alias(f"__tq_{i}"))
+        terms.append(F.round(wq * x, 12).cast(d38).alias(f"__ts_{i}"))
+        terms.append(
+            F.round(wq * x * yq, 12).cast(d38).alias(f"__tq_{i}")
+        )
         for j2 in range(i, len(xq)):
             terms.append(
-                F.round(wq * x * xq[j2], 12).alias(f"__tp_{i}_{j2}")
-            )
-    terms.append(F.round(wq * yq, 12).alias("__tsy"))
-    terms.append(F.round(wq * yq * yq, 12).alias("__tsyy"))
-    proj = base.select(*terms)
-    aggs = [F.count(F.lit(1)).alias("n")]
-    aggs.append(F.sum(F.col("__tw").cast("decimal(18,6)")).alias("sw"))
-    for i in range(len(x_cols)):
-        aggs.append(F.sum(F.col(f"__ts_{i}").cast(d38)).alias(f"s_{i}"))
-        aggs.append(F.sum(F.col(f"__tq_{i}").cast(d38)).alias(f"q_{i}"))
-        for j2 in range(i, len(x_cols)):
-            aggs.append(
-                F.sum(F.col(f"__tp_{i}_{j2}").cast(d38)).alias(
-                    f"p_{i}_{j2}"
+                F.round(wq * x * xq[j2], 12).cast(d38).alias(
+                    f"__tp_{i}_{j2}"
                 )
             )
-    aggs.append(F.sum(F.col("__tsy").cast(d38)).alias("sy"))
-    aggs.append(F.sum(F.col("__tsyy").cast(d38)).alias("syy"))
+    terms.append(F.round(wq * yq, 12).cast(d38).alias("__tsy"))
+    terms.append(F.round(wq * yq * yq, 12).cast(d38).alias("__tsyy"))
+    proj = base.select(*terms)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs.append(F.sum("__tw").alias("sw"))
+    for i in range(len(x_cols)):
+        aggs.append(F.sum(f"__ts_{i}").alias(f"s_{i}"))
+        aggs.append(F.sum(f"__tq_{i}").alias(f"q_{i}"))
+        for j2 in range(i, len(x_cols)):
+            aggs.append(F.sum(f"__tp_{i}_{j2}").alias(f"p_{i}_{j2}"))
+    aggs.append(F.sum("__tsy").alias("sy"))
+    aggs.append(F.sum("__tsyy").alias("syy"))
     return proj.agg(*aggs).collect()[0].asDict()
 
 
@@ -611,17 +636,19 @@ def _bp_aux_moments(
         eta = eta + F.lit(float(bj)) * x
     e = yq - eta
     u = e * e
+    # decimal casts in the projection, never the aggregate input (the
+    # measured ~10x codegen trap — SCALE.md house rule)
     d38 = "decimal(38,12)"
-    terms = [F.round(u, 12).alias("__tu")]
+    terms = [F.round(u, 12).cast(d38).alias("__tu")]
     for i, x in enumerate(xq):
-        terms.append(F.round(u * x, 12).alias(f"__tux_{i}"))
-    terms.append(F.round(u * u, 12).alias("__tuu"))
+        terms.append(F.round(u * x, 12).cast(d38).alias(f"__tux_{i}"))
+    terms.append(F.round(u * u, 12).cast(d38).alias("__tuu"))
     proj = base.select(*terms)
     aggs = [F.count(F.lit(1)).alias("n")]
-    aggs.append(F.sum(F.col("__tu").cast(d38)).alias("su"))
+    aggs.append(F.sum("__tu").alias("su"))
     for i in range(len(x_cols)):
-        aggs.append(F.sum(F.col(f"__tux_{i}").cast(d38)).alias(f"su_{i}"))
-    aggs.append(F.sum(F.col("__tuu").cast(d38)).alias("suu"))
+        aggs.append(F.sum(f"__tux_{i}").alias(f"su_{i}"))
+    aggs.append(F.sum("__tuu").alias("suu"))
     return proj.agg(*aggs).collect()[0].asDict()
 
 

@@ -969,7 +969,8 @@ def test_ols_by_group_single_group_grain_exchange(spark, queries):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     # audit the moment aggregate itself (the distributed half)
     from intake_esm_spark.operators.regression import (
-        _ols_moment_aggs,
+        _ols_moment_proj,
+        _ols_moment_sums,
     )
     from pyspark.sql import functions as F
 
@@ -979,8 +980,15 @@ def test_ols_by_group_single_group_grain_exchange(spark, queries):
         "l_quantity",
         "l_discount",
     )
-    agg = base.groupBy("__grp").agg(
-        *_ols_moment_aggs("l_extendedprice", ["l_quantity", "l_discount"])
+    agg = (
+        base.select(
+            "__grp",
+            *_ols_moment_proj(
+                "l_extendedprice", ["l_quantity", "l_discount"]
+            ),
+        )
+        .groupBy("__grp")
+        .agg(*_ols_moment_sums(["l_quantity", "l_discount"]))
     )
     plan = plan_of(agg, "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
