@@ -13887,6 +13887,7 @@ def _build_poisson_oracles() -> tuple[str, str]:
         N_IRLS_ITER,
         logistic_step,
         poisson_finalize,
+        poisson_warm_start,
     )
 
     sf_dir = os.environ.get(
@@ -13937,8 +13938,14 @@ def _build_poisson_oracles() -> tuple[str, str]:
         return dict(zip([d0[0] for d0 in con.description], row))
 
     beta = [0.0] * (len(xs) + 1)
-    for _ in range(N_IRLS_ITER):
-        beta = logistic_step(run(pass_sql(beta)), beta, len(xs))
+    for it in range(N_IRLS_ITER):
+        mom = run(pass_sql(beta))
+        # pass 0 is the SHARED mean-matched warm start, not Newton
+        beta = (
+            poisson_warm_start(mom, len(xs))
+            if it == 0
+            else logistic_step(mom, beta, len(xs))
+        )
     sol = poisson_finalize(run(pass_sql(beta)), beta, xs, N_IRLS_ITER)
     lit = _ols_lit
     coef_rows = " UNION ALL ".join(

@@ -1001,6 +1001,30 @@ def _poisson_pass(
     return proj3.agg(*aggs).collect()[0].asDict()
 
 
+def poisson_warm_start(mom: dict, p: int) -> list[float]:
+    """The deterministic pass-0 update: a mean-matched intercept
+    ``β = [ln(ȳ), 0, …]`` instead of a raw Newton step.  Newton from
+    β = 0 on a Poisson overshoots by ``ȳ − 1`` and then walks back
+    only ~1 per iteration (measured: quantity's ȳ ≈ 25.5 left the
+    8-pass fit stuck at e¹⁷·⁵ with a 7×10⁷ mean deviance and pushed
+    the 12dp term sums past the 15-significant-digit cross-engine
+    budget); the mean-matched start is the statsmodels-style init and
+    converges in a few quadratic steps.  ``ȳ`` comes EXACTLY from the
+    β = 0 pass's own sums (``g₀ = Σ(y−1)`` at μ = 1, so
+    ``Σy = g₀ + n``) — one shared implementation for the operator and
+    the oracle builder, no extra distributed pass."""
+    import math
+
+    n = int(mom["n"])
+    ybar = float(mom["g_0"] + n) / n if n else 0.0
+    if ybar <= 0:
+        raise ValueError(
+            "poisson: mean label is 0 — the intercept is -inf "
+            "(all-zero counts); nothing to fit"
+        )
+    return [math.log(ybar)] + [0.0] * p
+
+
 def poisson_finalize(
     mom: dict,
     beta: list[float],
@@ -1067,7 +1091,12 @@ def _poisson_fit(
                 "poisson: label must be a non-negative count/rate, "
                 f"got min {last['ymin']}"
             )
-        beta = logistic_step(last, beta, p)  # same Newton update shape
+        if it == 0:
+            # mean-matched warm start (see poisson_warm_start) — the
+            # raw Newton step from beta=0 overshoots by ybar−1
+            beta = poisson_warm_start(last, p)
+        else:
+            beta = logistic_step(last, beta, p)  # same Newton shape
     final = _poisson_pass(base, y_col, x_cols, beta)
     if final["ymin"] is None or final["ymin"] < 0.0:
         raise ValueError(

@@ -585,7 +585,9 @@ def test_poisson_irls_matches_numpy(spark):
         for r in poisson_report(df, "y", ["x1", "x2"]).collect()
     }
     X = np.column_stack([np.ones(n), np.round(x1, 6), np.round(x2, 6)])
-    b = np.zeros(3)
+    # converged reference: mean-matched start (the operator's pass-0
+    # rule) then Newton to convergence
+    b = np.array([np.log(y.mean()), 0.0, 0.0])
     for _ in range(40):
         mu = np.exp(np.clip(X @ b, -50, 50))
         b = b + np.linalg.solve(X.T * mu @ X, X.T @ (y - mu))
