@@ -3088,6 +3088,63 @@ def q_lineitem_logit_by_group(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_cox(spark: SparkSession, sf: str) -> DataFrame:
+    """Cox proportional-hazards time-to-first-purchase model
+    (operators/survival.py cox_ph_report, round 13 — Breslow ties):
+    per-user duration = SECONDS from first event to first purchase
+    (censored at last activity if the user never purchased — exact
+    epoch integers, immune to cross-engine date_diff boundary
+    semantics), with activity covariates (ln(1+event count),
+    exact-decimal mean event value); 8 unrolled Newton passes, each
+    one subject scan -> one distinct-time keyed exchange ->
+    descending bucketed prefix sums for the risk sets -> a 1-row term
+    sum; the shared logistic_step drives the trajectory. Oracle: the
+    identical per-pass SQL (window-cumsum form) looped in DuckDB
+    through the same shared step helper (_build_events_cox_oracle)."""
+    from intake_esm_spark.operators.survival import cox_ph_report
+
+    subjects = _cox_subjects(spark, sf)
+    return cox_ph_report(subjects, "dur", "ev", ["x1", "x2"])
+
+
+def _cox_subjects(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared frame of events_cox: per-user (duration, event,
+    covariates).  Duration is an exact integer (epoch-second diff),
+    the event is first-purchase, covariates are deterministic
+    (ln(1+count); mean value via the exact decimal sum, so the double
+    is engine-identical)."""
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("__f"),
+            F.max("ts").alias("__l"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__p"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(
+                F.round(F.col("value").cast("double"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("__sv"),
+            F.count("value").alias("__nv"),
+        )
+    )
+    end = F.coalesce(F.col("__p"), F.col("__l"))
+    return per_user.select(
+        (
+            F.unix_timestamp(end) - F.unix_timestamp(F.col("__f"))
+        ).alias("dur"),
+        F.col("__p").isNotNull().cast("int").alias("ev"),
+        F.log(F.lit(1.0) + F.col("__cnt").cast("double")).alias("x1"),
+        (
+            F.col("__sv").cast("double") / F.col("__nv").cast("double")
+        ).alias("x2"),
+    )
+
+
 def q_lineitem_vif(spark: SparkSession, sf: str) -> DataFrame:
     """Variance-inflation factors over (quantity, extendedprice,
     discount) — the collinearity diagnostic to run BEFORE ols_report
@@ -5321,6 +5378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_poisson": q_lineitem_poisson,
         "lineitem_poisson_fit": q_lineitem_poisson_fit,
         "lineitem_logit_by_group": q_lineitem_logit_by_group,
+        "events_cox": q_events_cox,
         # Block 0b: round-13 CHANGED — the OLS entries consume the
         # refactored shared moment builder (ols_moment_frame, also the
         # streaming twin #25 plan); the logistic entries thread the
@@ -5340,9 +5398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Block 1: the entries longest without a driver-green row —
         # first the eleven the r12 head displaced (flagged there as
         # leading the freshness queue), then the r7-r11 rotation tail
-        # in its standing order. The nine r13-new entries above (9 new
-        # + 8 changed = 17-entry head block) push events_logrank ..
-        # docs_jsd to positions 51-57 — they lead the freshness queue
+        # in its standing order. The ten r13-new entries above (10 new
+        # + 8 changed = 18-entry head block) push events_survival ..
+        # docs_jsd to positions 51-58 — they lead the freshness queue
         # next round.
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
@@ -13502,9 +13560,13 @@ def oracle_sql() -> dict[str, str]:
     d["lineitem_poisson"], d["lineitem_poisson_fit"] = (
         _build_poisson_oracles()
     )
-    # lineitem_logit_by_mode (round 13): the grouped IRLS trajectory
+    # lineitem_logit_by_group (round 13): the grouped IRLS trajectory
     # walked per-segment in DuckDB through the shared step/finalize
     d["lineitem_logit_by_group"] = _build_logit_by_group_oracle()
+    # events_cox (round 13): the Breslow partial-likelihood Newton
+    # trajectory — per-pass risk-set SQL looped in DuckDB through the
+    # same shared step helper
+    d["events_cox"] = _build_events_cox_oracle()
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -14077,6 +14139,131 @@ def _build_logit_by_group_oracle() -> str:
                 f"SELECT '{esc}' AS grp, '{t}' AS term, {lit(c)} AS coef,"
                 f" {lit(s)} AS std_err, {lit(z)} AS z_stat"
             )
+    return " UNION ALL ".join(rows)
+
+
+def _build_events_cox_oracle() -> str:
+    """Oracle for events_cox: the per-pass Cox SQL (subject frame →
+    exp(η) moments at β literals → distinct-time grain → window
+    reverse-cumsum risk sets → 12dp-quantized per-event-time terms)
+    looped in DuckDB through the SAME shared ``logistic_step``; the
+    final coefficients/SEs are driver arithmetic on the last pass's
+    information matrix, identical to the operator's finish."""
+    import duckdb
+    import numpy as np
+
+    from intake_esm_spark.operators.regression import logistic_step
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    subj = (
+        "WITH pu AS (SELECT user_id, min(ts) AS f, max(ts) AS l,"
+        " min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,"
+        " count(*) AS cnt,"
+        " sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)))"
+        " AS sv, count(value) AS nv"
+        f" FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL"
+        " GROUP BY user_id),"
+        " subj AS (SELECT"
+        " epoch(coalesce(p, l)) - epoch(f) AS dur,"
+        " CAST(p IS NOT NULL AS INT) AS ev,"
+        " ln(1.0 + CAST(cnt AS DOUBLE)) AS x1,"
+        " CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE) AS x2 FROM pu),"
+        " q AS (SELECT round(CAST(dur AS DOUBLE), 6) AS t, ev AS e,"
+        " round(CAST(x1 AS DOUBLE), 6) AS xa,"
+        " round(CAST(x2 AS DOUBLE), 6) AS xb FROM subj"
+        " WHERE dur IS NOT NULL AND ev IS NOT NULL"
+        " AND x1 IS NOT NULL AND x2 IS NOT NULL"
+        " AND NOT isnan(x2) AND abs(x2) != 'inf'::DOUBLE)"
+    )
+    d38 = "DECIMAL(38,12)"
+    xs = ["xa", "xb"]
+    p = len(xs)
+
+    def pass_sql(beta: list[float]) -> str:
+        eta = "0.0"
+        for bj, c in zip(beta, xs):
+            eta = f"{eta} + {float(bj)!r} * {c}"
+        m = f", m AS (SELECT t, e, xa, xb, exp({eta}) AS r FROM q)"
+        pt_cols = ["t", "sum(e) AS d", f"sum(CAST(round(r, 12) AS {d38})) AS r0"]
+        for i, c in enumerate(xs):
+            pt_cols.append(
+                f"sum(CAST(round(r * {c}, 12) AS {d38})) AS r1_{i}"
+            )
+            pt_cols.append(
+                f"sum(CAST(round(e * {c}, 12) AS {d38})) AS z_{i}"
+            )
+            for j2 in range(i, p):
+                pt_cols.append(
+                    f"sum(CAST(round(r * {c} * {xs[j2]}, 12) AS {d38}))"
+                    f" AS r2_{i}_{j2}"
+                )
+        pt = f", pt AS (SELECT {', '.join(pt_cols)} FROM m GROUP BY t)"
+        win = (
+            "OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW)"
+        )
+        c_cols = ["d", f"sum(r0) {win} AS S0"]
+        for i in range(p):
+            c_cols.append(f"z_{i}")
+            c_cols.append(f"sum(r1_{i}) {win} AS S1_{i}")
+            for j2 in range(i, p):
+                c_cols.append(f"sum(r2_{i}_{j2}) {win} AS S2_{i}_{j2}")
+        cw = f", c AS (SELECT {', '.join(c_cols)} FROM pt)"
+        s0 = "CAST(S0 AS DOUBLE)"
+        dd = "CAST(d AS DOUBLE)"
+        out = ["sum(d) AS n_events"]
+        for i in range(p):
+            g = (
+                f"CAST(z_{i} AS DOUBLE) - {dd} *"
+                f" (CAST(S1_{i} AS DOUBLE) / {s0})"
+            )
+            out.append(
+                f"sum(CASE WHEN d > 0 THEN CAST(round({g}, 12) AS {d38})"
+                f" END) AS g_{i}"
+            )
+            for j2 in range(i, p):
+                h = (
+                    f"{dd} * (CAST(S2_{i}_{j2} AS DOUBLE) / {s0}"
+                    f" - (CAST(S1_{i} AS DOUBLE) / {s0})"
+                    f" * (CAST(S1_{j2} AS DOUBLE) / {s0}))"
+                )
+                out.append(
+                    f"sum(CASE WHEN d > 0 THEN CAST(round({h}, 12)"
+                    f" AS {d38}) END) AS h_{i}_{j2}"
+                )
+        return subj + m + pt + cw + " SELECT " + ", ".join(out) + " FROM c"
+
+    def run(sql: str) -> dict:
+        cur = con.execute(sql)
+        return dict(
+            zip([d0[0] for d0 in cur.description], cur.fetchone())
+        )
+
+    beta = [0.0] * p
+    for _ in range(8):  # the operator's default n_iter
+        beta = logistic_step(run(pass_sql(beta)), beta, p - 1)
+    final = run(pass_sql(beta))
+    hmat = np.zeros((p, p))
+    for i in range(p):
+        for j2 in range(i, p):
+            hmat[i, j2] = hmat[j2, i] = float(final[f"h_{i}_{j2}"])
+    inv = np.linalg.inv(hmat)
+    se = [float(np.sqrt(max(0.0, inv[i, i]))) for i in range(p)]
+    lit = _ols_lit
+    rows = []
+    for i, term in enumerate(["x1", "x2"]):
+        b = round(float(beta[i]), 6)
+        s = round(se[i], 6)
+        z = round(float(beta[i]) / se[i], 6) if se[i] > 0 else None
+        hr = round(float(np.exp(beta[i])), 6)
+        rows.append(
+            f"SELECT '{term}' AS term, {lit(b)} AS coef,"
+            f" {lit(s)} AS std_err, {lit(z)} AS z_stat,"
+            f" {lit(hr)} AS hazard_ratio"
+        )
     return " UNION ALL ".join(rows)
 
 

@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "lineitem_vif",
     "lineitem_poisson",
     "lineitem_logit_by_group",
+    "events_cox",
 ]
 
 

@@ -229,3 +229,176 @@ def logrank_test(
             F.lit(0),
         ).alias("significant"),
     )
+
+
+def _cox_pass(
+    base: DataFrame, x_cols: list[str], beta: list[float]
+) -> dict:
+    """One distributed Cox partial-likelihood pass at literal ``beta``
+    (Breslow ties): per-row relative risk ``r = exp(η)`` and its
+    covariate moments aggregate to the DISTINCT-TIME grain (one keyed
+    exchange), the risk-set sums ``S0/S1/S2(t) = Σ_{T_j ≥ t} r·x^{⊗k}``
+    come from the DESCENDING bucketed prefix sum over that bounded
+    frame, and the score/information contributions are fixed IEEE
+    expressions per EVENT time, 12dp-quantized before the final 1-row
+    sum.  Every cross-row accumulation is an exact decimal, so the
+    DuckDB oracle (plain window cumsum — the oracle need not be
+    scale-shaped) reproduces the sums bit-for-bit.  Keys follow the
+    ``logistic_step`` convention (``g_0..g_{p-1}``, ``h_i_j``) so the
+    SAME shared Newton helper drives the trajectory."""
+    from .ranks import bucketed_cumsum
+
+    names = [f"__x{i}" for i in range(len(x_cols))]
+    eta = F.lit(0.0)
+    for bj, nm in zip(beta, names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    d38 = "decimal(38,12)"
+    r = F.exp(eta)
+    term_cols = [
+        F.col("__t"),
+        F.col("__e"),
+        F.round(r, 12).cast(d38).alias("__r0"),
+    ]
+    for i, nm in enumerate(names):
+        term_cols.append(
+            F.round(r * F.col(nm), 12).cast(d38).alias(f"__r1_{i}")
+        )
+        term_cols.append(
+            F.round(F.col("__e") * F.col(nm), 12)
+            .cast(d38)
+            .alias(f"__z_{i}")
+        )
+        for j2 in range(i, len(names)):
+            term_cols.append(
+                F.round(r * F.col(nm) * F.col(names[j2]), 12)
+                .cast(d38)
+                .alias(f"__r2_{i}_{j2}")
+            )
+    proj = base.select(*term_cols)
+    sum_cols = ["__r0"]
+    aggs = [
+        F.sum("__e").alias("__d"),
+        F.sum("__r0").alias("__r0"),
+    ]
+    # groupBy consumes the projected columns; re-emit under the same
+    # names so the cumsum and the finish read one vocabulary
+    for i in range(len(names)):
+        aggs.append(F.sum(f"__r1_{i}").alias(f"__r1_{i}"))
+        aggs.append(F.sum(f"__z_{i}").alias(f"__z_{i}"))
+        sum_cols.append(f"__r1_{i}")
+        for j2 in range(i, len(names)):
+            aggs.append(F.sum(f"__r2_{i}_{j2}").alias(f"__r2_{i}_{j2}"))
+            sum_cols.append(f"__r2_{i}_{j2}")
+    per_time = proj.groupBy("__t").agg(*aggs)
+    cum = bucketed_cumsum(per_time, sum_cols, val_col="__t", descending=True)
+    s0 = F.col("__cum___r0").cast("double")
+    dt = F.col("__d").cast("double")
+    out_terms = [F.sum("__d").alias("n_events")]
+    for i in range(len(names)):
+        s1i = F.col(f"__cum___r1_{i}").cast("double")
+        g = F.col(f"__z_{i}").cast("double") - dt * (s1i / s0)
+        out_terms.append(
+            F.sum(
+                F.when(F.col("__d") > 0, F.round(g, 12).cast(d38))
+            ).alias(f"g_{i}")
+        )
+        for j2 in range(i, len(names)):
+            s1j = F.col(f"__cum___r1_{j2}").cast("double")
+            s2 = F.col(f"__cum___r2_{i}_{j2}").cast("double")
+            h = dt * (s2 / s0 - (s1i / s0) * (s1j / s0))
+            out_terms.append(
+                F.sum(
+                    F.when(F.col("__d") > 0, F.round(h, 12).cast(d38))
+                ).alias(f"h_{i}_{j2}")
+            )
+    return cum.agg(*out_terms).collect()[0].asDict()
+
+
+def cox_ph_report(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_cols: list[str],
+    n_iter: int = 8,
+) -> DataFrame:
+    """Cox proportional-hazards regression (Breslow ties) via UNROLLED
+    Newton on the partial likelihood — the covariate-adjusted member
+    of the survival family (KM says WHETHER churn differs,
+    :func:`logrank_test` says IF two arms differ, Cox says HOW MUCH
+    each driver multiplies the hazard, adjusted for the others;
+    lifelines ``CoxPHFitter``/R ``coxph(ties='breslow')`` parity at
+    convergence).
+
+    Scale shape: ``n_iter + 1`` passes, each (a) one subject-frame
+    scan computing ``exp(η)`` moments at the current β literals, (b)
+    one keyed exchange to the DISTINCT-TIME grain, (c) the risk-set
+    cumulatives via the descending bucketed prefix sum (never an
+    unpartitioned window), (d) a 1-row term sum.  Only the p(p+3)/2
+    score/information sums cross to the driver per pass; the Newton
+    solve reuses the SAME shared
+    :func:`~intake_esm_spark.operators.regression.logistic_step`
+    (Cox has no intercept, so the helper's (k+1)-dim system is called
+    with k = p−1).  Determinism: 6dp-quantized covariates and
+    durations, every cross-row term 12dp-decimal-quantized, exact
+    decimal cumulatives, fixed IEEE per-time expressions — the oracle
+    replays the identical pass SQL (window cumsum form) through the
+    same shared step helper, one float trajectory.  Null/non-finite
+    rows excluded; requires ≥ 1 event and p ≤ 16.  Returns one row
+    per covariate ``(term, coef, std_err, z_stat, hazard_ratio)``."""
+    import numpy as np
+
+    from .regression import MAX_FEATURES, _finite, logistic_step
+
+    if not x_cols:
+        raise ValueError("cox: need at least one covariate")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"cox: {len(x_cols)} covariates exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    cond = _finite(duration_col) & _finite(event_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond).select(
+        F.round(F.col(duration_col).cast("double"), 6).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(f"__x{i}")
+            for i, c in enumerate(x_cols)
+        ],
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.localCheckpoint(eager=False)
+    p = len(x_cols)
+    beta = [0.0] * p
+    for _ in range(n_iter):
+        mom = _cox_pass(base, x_cols, beta)
+        if not mom["n_events"]:
+            raise ValueError("cox: no events — nothing to fit")
+        beta = logistic_step(mom, beta, p - 1)
+    final = _cox_pass(base, x_cols, beta)
+    h = np.zeros((p, p))
+    for i in range(p):
+        for j2 in range(i, p):
+            h[i, j2] = h[j2, i] = float(final[f"h_{i}_{j2}"])
+    try:
+        inv = np.linalg.inv(h)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            f"cox: singular information matrix at the final iterate: {exc}"
+        ) from exc
+    se = [float(np.sqrt(max(0.0, inv[i, i]))) for i in range(p)]
+    rows = []
+    for i, c in enumerate(x_cols):
+        b = round(float(beta[i]), 6)
+        s = round(se[i], 6)
+        z = round(float(beta[i]) / se[i], 6) if se[i] > 0 else None
+        hr = round(float(np.exp(beta[i])), 6)
+        rows.append((c, b, s, z, hr))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "term string, coef double, std_err double, z_stat double,"
+        " hazard_ratio double",
+    )

@@ -692,3 +692,87 @@ def test_logistic_by_group_guards(spark):
     )
     with pytest.raises(ValueError, match="max_groups"):
         logistic_by_group(ok, "y", ["x"], "g", max_groups=1)
+
+
+# ---- Cox proportional hazards -------------------------------------------
+
+
+def _cox_breslow_ref(t, e, X, iters=40):
+    """First-principles Breslow Cox Newton (O(n^2), fine for a test
+    fixture): returns (beta, se)."""
+    n, p = X.shape
+    b = np.zeros(p)
+    for _ in range(iters):
+        eta = X @ b
+        r = np.exp(eta)
+        g = np.zeros(p)
+        H = np.zeros((p, p))
+        for ti in np.unique(t[e == 1]):
+            risk = t >= ti
+            d = int(((t == ti) & (e == 1)).sum())
+            s0 = r[risk].sum()
+            s1 = (r[risk, None] * X[risk]).sum(axis=0)
+            s2 = (r[risk, None, None] * X[risk, :, None] * X[risk, None, :]).sum(axis=0)
+            zx = X[(t == ti) & (e == 1)].sum(axis=0)
+            g += zx - d * s1 / s0
+            H += d * (s2 / s0 - np.outer(s1, s1) / s0**2)
+        b = b + np.linalg.solve(H, g)
+    eta = X @ b
+    r = np.exp(eta)
+    H = np.zeros((p, p))
+    for ti in np.unique(t[e == 1]):
+        risk = t >= ti
+        d = int(((t == ti) & (e == 1)).sum())
+        s0 = r[risk].sum()
+        s1 = (r[risk, None] * X[risk]).sum(axis=0)
+        s2 = (r[risk, None, None] * X[risk, :, None] * X[risk, None, :]).sum(axis=0)
+        H += d * (s2 / s0 - np.outer(s1, s1) / s0**2)
+    se = np.sqrt(np.diag(np.linalg.inv(H)))
+    return b, se
+
+
+@pytest.mark.parametrize("tie_round", [4, 1])
+def test_cox_matches_first_principles_breslow(spark, tie_round):
+    """Continuous durations (tie_round=4, mostly unique) AND heavily
+    tied durations (tie_round=1) — the Breslow construction must match
+    the O(n^2) reference in both regimes."""
+    from intake_esm_spark.operators.survival import cox_ph_report
+
+    rng = np.random.RandomState(61)
+    n = 200
+    x1 = (rng.uniform(size=n) < 0.4).astype(float)
+    x2 = rng.normal(0, 1, n).round(4)
+    lam = np.exp(0.8 * x1 - 0.5 * x2)
+    t = np.round(rng.exponential(1.0 / lam), tie_round)
+    cens = np.round(rng.exponential(2.0, n), tie_round)
+    e = (t <= cens).astype(int)
+    tt = np.minimum(t, cens)
+    df = spark.createDataFrame(
+        list(zip(map(float, tt), map(int, e), map(float, x1), map(float, x2))),
+        "dur double, ev int, x1 double, x2 double",
+    )
+    got = {
+        r["term"]: r
+        for r in cox_ph_report(df, "dur", "ev", ["x1", "x2"]).collect()
+    }
+    X = np.column_stack([x1, np.round(x2, 6)])
+    b, se = _cox_breslow_ref(np.round(tt, 6), e, X)
+    for i, c in enumerate(["x1", "x2"]):
+        assert got[c]["coef"] == pytest.approx(b[i], abs=2e-3), c
+        assert got[c]["std_err"] == pytest.approx(se[i], abs=2e-3), c
+        assert got[c]["hazard_ratio"] == pytest.approx(
+            np.exp(b[i]), abs=5e-3
+        )
+
+
+def test_cox_guards(spark):
+    from intake_esm_spark.operators.survival import cox_ph_report
+
+    df = spark.createDataFrame(
+        [(1.0, 0, 0.5), (2.0, 0, 1.0), (3.0, 0, 1.5)],
+        "dur double, ev int, x double",
+    )
+    with pytest.raises(ValueError, match="no events"):
+        cox_ph_report(df, "dur", "ev", ["x"], n_iter=2)
+    with pytest.raises(ValueError, match="at least one covariate"):
+        cox_ph_report(df, "dur", "ev", [])
