@@ -3091,10 +3091,14 @@ def q_lineitem_logit_by_group(spark: SparkSession, sf: str) -> DataFrame:
 def q_events_cox(spark: SparkSession, sf: str) -> DataFrame:
     """Cox proportional-hazards time-to-first-purchase model
     (operators/survival.py cox_ph_report, round 13 — Breslow ties):
-    per-user duration = SECONDS from first event to first purchase
-    (censored at last activity if the user never purchased — exact
-    epoch integers, immune to cross-engine date_diff boundary
-    semantics), with activity covariates (ln(1+event count),
+    per-user duration = WHOLE SECONDS from first event to first
+    purchase (censored at last activity if the user never purchased)
+    — both engines truncate each endpoint to integer epoch seconds
+    BEFORE differencing (Spark unix_timestamp; oracle
+    floor(epoch())), so sub-second timestamps build identical
+    durations and identical Breslow tie groups (ADVICE r14) and the
+    comparison is immune to cross-engine date_diff boundary
+    semantics; with activity covariates (ln(1+event count),
     exact-decimal mean event value); 8 unrolled Newton passes, each
     one subject scan -> one distinct-time keyed exchange ->
     descending bucketed prefix sums for the risk sets -> a 1-row term
@@ -3145,6 +3149,26 @@ def _cox_subjects(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_cox_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    """Breslow cumulative baseline hazard + baseline survival at the
+    fitted Cox coefficients (operators/survival.py
+    cox_baseline_hazard, round 14 — the lifelines
+    baseline_cumulative_hazard_ / R basehaz(coxph, centered=FALSE)
+    surface): the SAME shared _cox_fit trajectory as events_cox (8
+    Newton passes over the shared subject frame), then ONE more
+    subject scan at the final beta literals -> distinct-time keyed
+    exchange -> DESCENDING bucketed prefix sum for the risk sets
+    S0(t) -> 12dp-quantized Breslow increments d/S0 -> ASCENDING
+    bucketed prefix sum for H0(t), with S0_surv = exp(-H0) — zero new
+    plan shapes. Oracle: the shared DuckDB trajectory + one plain
+    window-cumsum SQL at the same literals
+    (_build_cox_baseline_oracle)."""
+    from intake_esm_spark.operators.survival import cox_baseline_hazard
+
+    subjects = _cox_subjects(spark, sf)
+    return cox_baseline_hazard(subjects, "dur", "ev", ["x1", "x2"])
+
+
 def q_lineitem_vif(spark: SparkSession, sf: str) -> DataFrame:
     """Variance-inflation factors over (quantity, extendedprice,
     discount) — the collinearity diagnostic to run BEFORE ols_report
@@ -3174,6 +3198,49 @@ def q_lineitem_poisson(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load_table(spark, sf, "lineitem")
     return poisson_report(li, "l_quantity", ["l_discount", "l_tax"])
+
+
+def q_lineitem_negbin(spark: SparkSession, sf: str) -> DataFrame:
+    """Negative-binomial (NB2, fixed alpha=0.5) regression of the
+    quantity count on discount + tax (operators/regression.py
+    negbin_report, round 14) — the overdispersion follow-up the
+    Poisson entry's own mean_deviance >> 1 readout points at: 8
+    unrolled Fisher-scoring passes, each ONE 1-row partial-agged scan
+    of score/information sums at the current beta literals with the
+    in-row shrink weight 1/(1+alpha*mu) (eta clamped +/-50 before
+    exp, replayed verbatim); mean-matched warm start from the pass's
+    exact decimal sum(y) sidecar, then the shared logistic_step /
+    poisson_finalize. Oracle: the identical pass SQL with the same
+    alpha literal looped in DuckDB through the same shared helpers
+    (_build_negbin_oracle)."""
+    from intake_esm_spark.operators.regression import negbin_report
+
+    li = load_table(spark, sf, "lineitem")
+    return negbin_report(
+        li, "l_quantity", ["l_discount", "l_tax"], alpha=0.5
+    )
+
+
+def q_lineitem_huber(spark: SparkSession, sf: str) -> DataFrame:
+    """Huber robust regression of extendedprice on quantity + discount
+    (operators/regression.py huber_report, round 14 — statsmodels
+    RLM(M=HuberT) semantics at fixed normalized-MAD scale): one OLS
+    moment pass for the starting beta (shared solve), two exact-
+    quantile rank probes for the MAD scale (distinct-value-grain
+    bucketed cumsum — never a value-buffering percentile), then 8
+    IRLS passes, each ONE 1-row partial-agged scan of weighted
+    normal-equation moments with the in-row weight min(1, c*s/|e|),
+    plus one sidecar pass for the Huber asymptotic SEs. Oracle: beta0
+    via the shared OLS moment SQL + solve, medians via quantile_cont
+    (type-7-equal at p=0.5), then the identical pass SQL looped in
+    DuckDB through the same shared step/finalize
+    (_build_huber_oracle)."""
+    from intake_esm_spark.operators.regression import huber_report
+
+    li = load_table(spark, sf, "lineitem")
+    return huber_report(
+        li, "l_extendedprice", ["l_quantity", "l_discount"], c=1.345
+    )
 
 
 def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
@@ -5379,6 +5446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_poisson_fit": q_lineitem_poisson_fit,
         "lineitem_logit_by_group": q_lineitem_logit_by_group,
         "events_cox": q_events_cox,
+        "events_cox_baseline": q_events_cox_baseline,
+        "lineitem_negbin": q_lineitem_negbin,
+        "lineitem_huber": q_lineitem_huber,
         # Block 0b: round-13 CHANGED — the OLS entries consume the
         # refactored shared moment builder (ols_moment_frame, also the
         # streaming twin #25 plan); the logistic entries thread the
@@ -13560,6 +13630,11 @@ def oracle_sql() -> dict[str, str]:
     d["lineitem_poisson"], d["lineitem_poisson_fit"] = (
         _build_poisson_oracles()
     )
+    # lineitem_negbin / lineitem_huber (round 14): the NB2 and
+    # Huber-IRLS float trajectories walked pass-by-pass in DuckDB
+    # through the shared warm-start/step/finalize helpers
+    d["lineitem_negbin"] = _build_negbin_oracle()
+    d["lineitem_huber"] = _build_huber_oracle()
     # lineitem_logit_by_group (round 13): the grouped IRLS trajectory
     # walked per-segment in DuckDB through the shared step/finalize
     d["lineitem_logit_by_group"] = _build_logit_by_group_oracle()
@@ -13567,6 +13642,10 @@ def oracle_sql() -> dict[str, str]:
     # trajectory — per-pass risk-set SQL looped in DuckDB through the
     # same shared step helper
     d["events_cox"] = _build_events_cox_oracle()
+    # events_cox_baseline (round 14): the SAME shared DuckDB Cox
+    # trajectory, then one plain window-cumsum SQL for H0/S0 at the
+    # final beta literals
+    d["events_cox_baseline"] = _build_cox_baseline_oracle()
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -13667,9 +13746,9 @@ def _build_logistic_oracles() -> tuple[str, str]:
 
 
 def _ols_moment_sql_cols(xs: list[str], y: str) -> list[str]:
-    """The DuckDB replay of regression._ols_moment_aggs — shared by the
-    plain-OLS, ridge, and grouped-OLS oracle builders so the moment SQL
-    can never drift between them."""
+    """The DuckDB replay of regression._ols_moment_proj /
+    _ols_moment_sums — shared by the plain-OLS, ridge, and grouped-OLS
+    oracle builders so the moment SQL can never drift between them."""
 
     def q6(c: str) -> str:
         return f"CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(18,6))"
@@ -13770,7 +13849,8 @@ def _build_wls_oracle() -> str:
     notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, w, *xs])
     inner = (
         f"SELECT {', '.join(inner_cols)} FROM "
-        f"'{sf_dir}/lineitem.parquet' WHERE {notnull} AND {w} > 0"
+        f"'{sf_dir}/lineitem.parquet' WHERE {notnull}"
+        f" AND round(CAST({w} AS DOUBLE), 6) > 0"
     )
 
     def t12(expr: str) -> str:
@@ -14025,6 +14105,237 @@ def _build_poisson_oracles() -> tuple[str, str]:
     return coef_rows, fit_sql
 
 
+def _build_negbin_oracle() -> str:
+    """Oracle for lineitem_negbin: the NB2 Fisher-scoring pass SQL
+    (6dp features, the ±50 eta clamp, the in-row shrink weight
+    1/(1+αμ) with α a literal, 12dp decimal term sums — text-for-text
+    the operator's projection) looped in DuckDB through the SAME
+    shared ``negbin_warm_start`` / ``logistic_step`` /
+    ``poisson_finalize``, one float trajectory."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        N_IRLS_ITER,
+        logistic_step,
+        negbin_warm_start,
+        poisson_finalize,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_discount", "l_tax"]
+    y = "l_quantity"
+    alpha = 0.5
+    al = repr(float(alpha))
+    inv_a = repr(1.0 / float(alpha))
+
+    def xq(c: str) -> str:
+        return f"round(CAST({c} AS DOUBLE), 6)"
+
+    def pass_sql(beta: list[float]) -> str:
+        eta = repr(float(beta[0]))
+        for bj, c in zip(beta[1:], ["x1", "x2"]):
+            eta = f"{eta} + {float(bj)!r} * {c}"
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs])
+        pre = (
+            f"WITH r AS (SELECT CAST({y} AS DOUBLE) AS y,"
+            f" {xq(xs[0])} AS x1, {xq(xs[1])} AS x2"
+            f" FROM '{sf_dir}/lineitem.parquet' WHERE {notnull}),"
+            f" m AS (SELECT y, x1, x2,"
+            f" exp(greatest(least({eta}, 50.0), -50.0)) AS mu FROM r),"
+            f" mw AS (SELECT y, x1, x2, mu,"
+            f" 1.0 / (1.0 + {al} * mu) AS w FROM m)"
+        )
+        terms = ["count(*) AS n"]
+        xcols = ["1.0", "x1", "x2"]
+        for j2, xj in enumerate(xcols):
+            terms.append(
+                f"sum(CAST(round((y - mu) * w * {xj}, 12)"
+                f" AS DECIMAL(38,12))) AS g_{j2}"
+            )
+            for i in range(j2, len(xcols)):
+                terms.append(
+                    f"sum(CAST(round(mu * w * {xj} * {xcols[i]}, 12)"
+                    f" AS DECIMAL(38,12))) AS h_{j2}_{i}"
+                )
+        terms.append(
+            "sum(CAST(round(2.0 * ((CASE WHEN y > 0"
+            " THEN y * ln(y / mu) ELSE 0.0 END)"
+            f" - (y + {inv_a}) * ln((1.0 + {al} * y)"
+            f" / (1.0 + {al} * mu))), 12)"
+            " AS DECIMAL(38,12))) AS dev"
+        )
+        terms.append(
+            "sum(CAST(round(y, 6) AS DECIMAL(18,6))) AS sy"
+        )
+        terms.append("min(y) AS ymin")
+        return pre + " SELECT " + ", ".join(terms) + " FROM mw"
+
+    con = duckdb.connect()
+
+    def run(sql: str) -> dict:
+        cur = con.execute(sql)
+        return dict(
+            zip([d0[0] for d0 in cur.description], cur.fetchone())
+        )
+
+    beta = [0.0] * (len(xs) + 1)
+    for it in range(N_IRLS_ITER):
+        mom = run(pass_sql(beta))
+        beta = (
+            negbin_warm_start(mom, len(xs))
+            if it == 0
+            else logistic_step(mom, beta, len(xs))
+        )
+    sol = poisson_finalize(run(pass_sql(beta)), beta, xs, N_IRLS_ITER)
+    lit = _ols_lit
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {lit(c)} AS coef, {lit(s)} AS std_err,"
+        f" {lit(z)} AS z_stat"
+        for t, c, s, z in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"]
+        )
+    )
+
+
+def _build_huber_oracle() -> str:
+    """Oracle for lineitem_huber: β₀ via the shared OLS moment SQL +
+    ``ols_solve_from_moments``, the MAD scale via ``quantile_cont``
+    over the same 6dp residuals (type-7-equal at p = 0.5 — the
+    exact_quantiles parity pin), then the Huber-IRLS pass SQL (in-row
+    weight at the SAME ``|e| ≤ a`` branch, 12dp decimal moment sums —
+    text-for-text the operator's projection) looped in DuckDB through
+    the SAME shared ``huber_step_from_moments`` /
+    ``huber_finalize``."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        N_IRLS_ITER,
+        huber_finalize,
+        huber_step_from_moments,
+        ols_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+    y = "l_extendedprice"
+    c_thr = 1.345
+    p = len(xs)
+    con = duckdb.connect()
+    notnull = " AND ".join(f"{cc} IS NOT NULL" for cc in [y, *xs])
+    frame = (
+        "SELECT round(CAST({y} AS DOUBLE), 6) AS y,"
+        " round(CAST({x0} AS DOUBLE), 6) AS x1,"
+        " round(CAST({x1} AS DOUBLE), 6) AS x2"
+        " FROM '{sf}/lineitem.parquet' WHERE {nn}"
+    ).format(y=y, x0=xs[0], x1=xs[1], sf=sf_dir, nn=notnull)
+
+    def run(sql: str) -> dict:
+        cur = con.execute(sql)
+        return dict(
+            zip([d0[0] for d0 in cur.description], cur.fetchone())
+        )
+
+    # starting β: the shared OLS solve over the same 6dp moments
+    cols = _ols_moment_sql_cols(xs, y)
+    mom0 = run(
+        f"SELECT {', '.join(cols)} FROM "
+        f"'{sf_dir}/lineitem.parquet' WHERE {notnull}"
+    )
+    sol0 = ols_solve_from_moments(mom0, xs)
+    beta = [float(b) for b in sol0["coef"]]
+
+    def eta_sql(b: list[float]) -> str:
+        e = repr(float(b[0]))
+        for bj, cc in zip(b[1:], ["x1", "x2"]):
+            e = f"{e} + {float(bj)!r} * {cc}"
+        return e
+
+    med = float(
+        con.execute(
+            f"SELECT round(quantile_cont(e6, 0.5), 6) FROM"
+            f" (SELECT round(y - ({eta_sql(beta)}), 6) AS e6"
+            f" FROM ({frame}))"
+        ).fetchone()[0]
+    )
+    mad = float(
+        con.execute(
+            f"SELECT round(quantile_cont(d6, 0.5), 6) FROM"
+            f" (SELECT round(abs(round(y - ({eta_sql(beta)}), 6)"
+            f" - {med!r}), 6) AS d6 FROM ({frame}))"
+        ).fetchone()[0]
+    )
+    scale = round(1.4826 * mad, 6)
+    a = float(c_thr) * float(scale)
+
+    def pass_sql(b: list[float], sidecars: bool) -> str:
+        pre = (
+            f"WITH r AS ({frame}),"
+            f" m AS (SELECT y, x1, x2, y - ({eta_sql(b)}) AS e FROM r),"
+            f" mw AS (SELECT y, x1, x2, e, CASE WHEN abs(e) <= {a!r}"
+            f" THEN 1.0 ELSE {a!r} / abs(e) END AS w FROM m)"
+        )
+        d38 = "DECIMAL(38,12)"
+        xcols = ["x1", "x2"]
+        terms = [
+            "count(*) AS n",
+            f"sum(CAST(round(w, 12) AS {d38})) AS sw",
+        ]
+        for i, xi in enumerate(xcols):
+            terms.append(
+                f"sum(CAST(round(w * {xi}, 12) AS {d38})) AS s_{i}"
+            )
+            terms.append(
+                f"sum(CAST(round(w * {xi} * y, 12) AS {d38})) AS q_{i}"
+            )
+            for j2 in range(i, p):
+                terms.append(
+                    f"sum(CAST(round(w * {xi} * {xcols[j2]}, 12)"
+                    f" AS {d38})) AS p_{i}_{j2}"
+                )
+        terms.append(f"sum(CAST(round(w * y, 12) AS {d38})) AS sy")
+        if sidecars:
+            psi = (
+                f"CASE WHEN abs(e) <= {a!r} THEN e / {float(scale)!r}"
+                f" ELSE sign(e) * {float(c_thr)!r} END"
+            )
+            terms.append(
+                f"sum(CAST(round(({psi}) * ({psi}), 12) AS {d38}))"
+                " AS spsi2"
+            )
+            terms.append(
+                f"sum(CASE WHEN abs(e) <= {a!r} THEN 1 ELSE 0 END)"
+                " AS npsi"
+            )
+            for i, xi in enumerate(xcols):
+                terms.append(
+                    f"sum(CAST({xi} AS DECIMAL(18,6))) AS us_{i}"
+                )
+                for j2 in range(i, p):
+                    terms.append(
+                        f"sum(CAST(round({xi} * {xcols[j2]}, 12)"
+                        f" AS {d38})) AS up_{i}_{j2}"
+                    )
+        return pre + " SELECT " + ", ".join(terms) + " FROM mw"
+
+    for _ in range(N_IRLS_ITER):
+        beta = huber_step_from_moments(run(pass_sql(beta, False)), p)
+    sol = huber_finalize(
+        run(pass_sql(beta, True)), beta, xs, scale, N_IRLS_ITER
+    )
+    lit = _ols_lit
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {lit(cf)} AS coef, {lit(s)} AS std_err,"
+        f" {lit(ts)} AS t_stat"
+        for t, cf, s, ts in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"]
+        )
+    )
+
+
 def _build_logit_by_group_oracle() -> str:
     """Oracle for lineitem_logit_by_group: the GROUPED IRLS pass SQL
     looped in DuckDB — per-row mu from a CASE over each group's beta
@@ -14142,23 +14453,12 @@ def _build_logit_by_group_oracle() -> str:
     return " UNION ALL ".join(rows)
 
 
-def _build_events_cox_oracle() -> str:
-    """Oracle for events_cox: the per-pass Cox SQL (subject frame →
-    exp(η) moments at β literals → distinct-time grain → window
-    reverse-cumsum risk sets → 12dp-quantized per-event-time terms)
-    looped in DuckDB through the SAME shared ``logistic_step``; the
-    final coefficients/SEs are driver arithmetic on the last pass's
-    information matrix, identical to the operator's finish."""
-    import duckdb
-    import numpy as np
-
-    from intake_esm_spark.operators.regression import logistic_step
-
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    con = duckdb.connect()
-    subj = (
+def _cox_oracle_subject_cte(sf_dir: str) -> str:
+    """The DuckDB replay of ``_cox_subjects`` + the operator's
+    complete-case 6dp frame — shared by the coefficient and
+    baseline-hazard oracle builders so the subject frame can never
+    drift between them."""
+    return (
         "WITH pu AS (SELECT user_id, min(ts) AS f, max(ts) AS l,"
         " min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,"
         " count(*) AS cnt,"
@@ -14166,8 +14466,15 @@ def _build_events_cox_oracle() -> str:
         " AS sv, count(value) AS nv"
         f" FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL"
         " GROUP BY user_id),"
+        # integer-second epochs: DuckDB epoch() returns DOUBLE with
+        # fractional seconds while Spark unix_timestamp truncates to
+        # whole seconds — floor each endpoint BEFORE differencing so
+        # both engines build identical durations (and identical
+        # Breslow tie groups) for sub-second timestamps (driver
+        # ADVICE r14; verified 121/150 sf0.01 subjects differed)
         " subj AS (SELECT"
-        " epoch(coalesce(p, l)) - epoch(f) AS dur,"
+        " CAST(floor(epoch(coalesce(p, l))) AS BIGINT)"
+        " - CAST(floor(epoch(f)) AS BIGINT) AS dur,"
         " CAST(p IS NOT NULL AS INT) AS ev,"
         " ln(1.0 + CAST(cnt AS DOUBLE)) AS x1,"
         " CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE) AS x2 FROM pu),"
@@ -14178,6 +14485,20 @@ def _build_events_cox_oracle() -> str:
         " AND x1 IS NOT NULL AND x2 IS NOT NULL"
         " AND NOT isnan(x2) AND abs(x2) != 'inf'::DOUBLE)"
     )
+
+
+def _cox_oracle_fit(sf_dir: str) -> tuple[str, list[float], dict]:
+    """Run the operator's 8-pass Cox Newton trajectory in DuckDB over
+    the shared subject CTE and return ``(subject_cte, beta, final
+    moment dict)`` — shared by the coefficient and baseline-hazard
+    oracle builders, ONE float trajectory for both surfaces (exactly
+    the operator's shared ``_cox_fit``)."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import logistic_step
+
+    con = duckdb.connect()
+    subj = _cox_oracle_subject_cte(sf_dir)
     d38 = "DECIMAL(38,12)"
     xs = ["xa", "xb"]
     p = len(xs)
@@ -14246,6 +14567,24 @@ def _build_events_cox_oracle() -> str:
     for _ in range(8):  # the operator's default n_iter
         beta = logistic_step(run(pass_sql(beta)), beta, p - 1)
     final = run(pass_sql(beta))
+    con.close()
+    return subj, beta, final
+
+
+def _build_events_cox_oracle() -> str:
+    """Oracle for events_cox: the per-pass Cox SQL (subject frame →
+    exp(η) moments at β literals → distinct-time grain → window
+    reverse-cumsum risk sets → 12dp-quantized per-event-time terms)
+    looped in DuckDB through the SAME shared ``logistic_step``; the
+    final coefficients/SEs are driver arithmetic on the last pass's
+    information matrix, identical to the operator's finish."""
+    import numpy as np
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    _, beta, final = _cox_oracle_fit(sf_dir)
+    p = len(beta)
     hmat = np.zeros((p, p))
     for i in range(p):
         for j2 in range(i, p):
@@ -14265,6 +14604,47 @@ def _build_events_cox_oracle() -> str:
             f" {lit(hr)} AS hazard_ratio"
         )
     return " UNION ALL ".join(rows)
+
+
+def _build_cox_baseline_oracle() -> str:
+    """Oracle for events_cox_baseline: the SAME shared DuckDB Cox
+    trajectory (``_cox_oracle_fit`` — one float trajectory with the
+    events_cox oracle), then ONE plain-SQL final pass at the β
+    literals: per-time exp(η) sums → DESC window cumsum risk sets →
+    12dp-quantized Breslow increments d/S0 → ASC window cumsum H₀ →
+    6dp (H₀, exp(−H₀)) — text-for-text the operator's final pass with
+    the bucketed prefix sums in window form."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    subj, beta, _ = _cox_oracle_fit(sf_dir)
+    d38 = "DECIMAL(38,12)"
+    eta = "0.0"
+    for bj, c in zip(beta, ["xa", "xb"]):
+        eta = f"{eta} + {float(bj)!r} * {c}"
+    win_desc = (
+        "OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    win_asc = (
+        "OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    return (
+        subj
+        + f", m AS (SELECT t, e, exp({eta}) AS r FROM q)"
+        + f", pt AS (SELECT t, sum(e) AS d,"
+        f" sum(CAST(round(r, 12) AS {d38})) AS r0 FROM m GROUP BY t)"
+        + f", cw AS (SELECT t, d, sum(r0) {win_desc} AS S0 FROM pt)"
+        + f", ev AS (SELECT t, d, CAST(round(CAST(d AS DOUBLE)"
+        f" / CAST(S0 AS DOUBLE), 12) AS {d38}) AS inc FROM cw"
+        " WHERE d > 0)"
+        + f", hh AS (SELECT t, d, sum(inc) {win_asc} AS H0 FROM ev)"
+        + " SELECT t, CAST(d AS BIGINT) AS n_events,"
+        " round(CAST(H0 AS DOUBLE), 6) AS cum_hazard,"
+        " round(exp(-CAST(H0 AS DOUBLE)), 6) AS baseline_survival"
+        " FROM hh"
+    )
 
 
 def _build_ols_by_group_oracle() -> str:

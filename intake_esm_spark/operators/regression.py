@@ -431,7 +431,14 @@ def wls_moments(
     cond = _finite(y_col) & _finite(w_col)
     for c in x_cols:
         cond = cond & _finite(c)
-    base = df.filter(cond & (F.col(w_col).cast("double") > 0))
+    # filter on the QUANTIZED weight: a raw 0 < w < 5e-7 rounds to a
+    # zero 6dp weight, contributing nothing to any weighted sum — if it
+    # still counted toward n it would inflate df_resid and deflate the
+    # sigma^2/SE readout (driver ADVICE r14; the oracle replays the
+    # same quantized filter)
+    base = df.filter(
+        cond & (F.round(F.col(w_col).cast("double"), 6) > 0)
+    )
     wq = F.round(F.col(w_col).cast("double"), 6)
     yq = F.round(F.col(y_col).cast("double"), 6)
     xq = [F.round(F.col(c).cast("double"), 6) for c in x_cols]
@@ -611,6 +618,8 @@ def vif_report(df: DataFrame, x_cols: list[str]) -> DataFrame:
     one row per feature ``(term, vif, r2_other)``; a zero-variance
     feature reports null, perfect collinearity reports ``r2_other=1``
     with null VIF."""
+    if not x_cols:
+        raise ValueError("vif: need at least one feature column")
     mom = ols_moments(df, x_cols[0], x_cols)
     rows = vif_from_moments(mom, x_cols)
     spark = df.sparkSession
@@ -1311,20 +1320,26 @@ def logistic_by_group(
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par)
     base = base.localCheckpoint(eager=False)
-    groups = sorted(
-        r["__grp"] for r in base.select("__grp").distinct().collect()
+    # bounded key probe: limit(max_groups + 1) BEFORE collect so a
+    # high-cardinality segment column raises cleanly instead of
+    # materializing every distinct value on the driver (the
+    # datastore._bounded_key_collect / ivf_topk_indexed discipline;
+    # ols_by_group guards the same bound lazily in-plan)
+    probe = (
+        base.select("__grp").distinct().limit(max_groups + 1).collect()
     )
+    if len(probe) > max_groups:
+        raise ValueError(
+            f"logistic_by_group: more than max_groups={max_groups} "
+            "distinct groups — each group widens the per-row literal "
+            "chain; coarsen the segmentation"
+        )
+    groups = sorted(r["__grp"] for r in probe)
     if not groups:
         return df.sparkSession.createDataFrame(
             [],
             "grp string, term string, coef double, std_err double,"
             " z_stat double",
-        )
-    if len(groups) > max_groups:
-        raise ValueError(
-            f"logistic_by_group: {len(groups)} groups exceeds "
-            f"max_groups={max_groups} — each group widens the per-row "
-            "literal chain; coarsen the segmentation"
         )
     p = len(x_cols)
     betas = {g: [0.0] * (p + 1) for g in groups}
@@ -1378,4 +1393,468 @@ def logistic_fit_report(
     return spark.createDataFrame(
         [(sol["n"], sol["n_iter"], sol["log_loss"])],
         "n_rows bigint, n_iter int, log_loss double",
+    )
+
+
+# -- negative binomial (NB2, fixed dispersion) -------------------------
+
+
+def _negbin_pass(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    beta: list[float],
+    alpha: float,
+) -> dict:
+    """One distributed NB2 Fisher-scoring pass at literal ``beta``:
+    with ``μ = exp(η)`` and the NB2 variance ``μ(1 + αμ)``, the score
+    is ``g_j = Σ (y−μ)/(1+αμ)·x_j`` and the expected information
+    ``h_ij = Σ μ/(1+αμ)·x_i·x_j`` (x₀ = 1) — exactly the Poisson pass
+    with the in-row shrink weight ``w = 1/(1+αμ)`` (α a literal), so
+    the moment keys feed the SAME shared ``logistic_step`` /
+    ``poisson_finalize``.  Every term 12dp-decimal-quantized in a
+    projection below the aggregate; η clamps at ±50 before exp,
+    replayed verbatim by the oracle.  Sidecars: n, ymin, the NB2
+    deviance sum, and the exact decimal ``Σ round(y,6)`` the
+    mean-matched warm start reads (the Poisson ``g₀+n`` trick doesn't
+    survive the weight)."""
+    names = [f"__x{i + 1}" for i in range(len(x_cols))]
+    proj1 = df.select(
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(nm)
+            for c, nm in zip(x_cols, names)
+        ],
+    )
+    eta = F.lit(float(beta[0]))
+    for bj, nm in zip(beta[1:], names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    eta = F.greatest(F.least(eta, F.lit(50.0)), F.lit(-50.0))
+    proj2 = proj1.select("__y", *names, F.exp(eta).alias("__mu"))
+    mu = F.col("__mu")
+    a = F.lit(float(alpha))
+    w = F.lit(1.0) / (F.lit(1.0) + a * mu)
+    resid = (F.col("__y") - mu) * w
+    xs = [F.lit(1.0)] + [F.col(nm) for nm in names]
+    d38 = "decimal(38,12)"
+    term_cols = []
+    for j2, xj in enumerate(xs):
+        term_cols.append(
+            F.round(resid * xj, 12).cast(d38).alias(f"__tg_{j2}")
+        )
+        for i in range(j2, len(xs)):
+            term_cols.append(
+                F.round(mu * w * xj * xs[i], 12).cast(d38).alias(
+                    f"__th_{j2}_{i}"
+                )
+            )
+    # NB2 unit deviance: 2[y·ln(y/μ) − (y + 1/α)·ln((1+αy)/(1+αμ))],
+    # with the y=0 limit 2·(1/α)·ln(1+αμ)
+    yd = F.col("__y")
+    inv_a = F.lit(1.0 / float(alpha))
+    dev = F.lit(2.0) * (
+        F.when(yd > 0, yd * F.log(yd / mu)).otherwise(F.lit(0.0))
+        - (yd + inv_a)
+        * F.log((F.lit(1.0) + a * yd) / (F.lit(1.0) + a * mu))
+    )
+    term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
+    term_cols.append(
+        F.round(yd, 6).cast("decimal(18,6)").alias("__ty")
+    )
+    proj3 = proj2.select("__y", *term_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j2 in range(len(xs)):
+        aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
+        for i in range(j2, len(xs)):
+            aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
+    aggs.append(F.sum("__tdev").alias("dev"))
+    aggs.append(F.sum("__ty").alias("sy"))
+    aggs.append(F.min(F.col("__y")).alias("ymin"))
+    return proj3.agg(*aggs).collect()[0].asDict()
+
+
+def negbin_warm_start(mom: dict, p: int) -> list[float]:
+    """The deterministic pass-0 update for NB2: the mean-matched
+    intercept ``β = [ln(ȳ), 0, …]`` (the Poisson precedent —
+    :func:`poisson_warm_start` — with ``ȳ`` read from the pass's own
+    exact decimal ``sy`` sidecar, since the weighted ``g₀`` no longer
+    encodes Σy).  Shared by the operator and the oracle builder."""
+    import math
+
+    n = int(mom["n"])
+    ybar = float(mom["sy"]) / n if n else 0.0
+    if ybar <= 0:
+        raise ValueError(
+            "negbin: mean label is 0 — the intercept is -inf "
+            "(all-zero counts); nothing to fit"
+        )
+    return [math.log(ybar)] + [0.0] * p
+
+
+def _negbin_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    alpha: float,
+    n_iter: int,
+) -> dict:
+    import math
+
+    if not x_cols:
+        raise ValueError("negbin: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"negbin: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    if not (alpha > 0 and math.isfinite(alpha)):
+        raise ValueError(
+            f"negbin: dispersion alpha must be finite and > 0, got "
+            f"{alpha} (alpha -> 0 is the Poisson limit — use "
+            "poisson_report)"
+        )
+    cond = _finite(y_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.localCheckpoint(eager=False)
+    p = len(x_cols)
+    beta = [0.0] * (p + 1)
+    for it in range(n_iter):
+        last = _negbin_pass(base, y_col, x_cols, beta, alpha)
+        if it == 0 and (last["ymin"] is None or last["ymin"] < 0.0):
+            raise ValueError(
+                "negbin: label must be a non-negative count, "
+                f"got min {last['ymin']}"
+            )
+        if it == 0:
+            beta = negbin_warm_start(last, p)
+        else:
+            beta = logistic_step(last, beta, p)  # same Newton shape
+    final = _negbin_pass(base, y_col, x_cols, beta, alpha)
+    if final["ymin"] is None or final["ymin"] < 0.0:
+        raise ValueError(
+            "negbin: label must be a non-negative count, "
+            f"got min {final['ymin']}"
+        )
+    return poisson_finalize(final, beta, x_cols, n_iter)
+
+
+def negbin_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    alpha: float = 1.0,
+    n_iter: int = N_IRLS_ITER,
+) -> DataFrame:
+    """Negative-binomial (NB2) regression with FIXED dispersion α via
+    unrolled Fisher scoring — the overdispersion follow-up the Poisson
+    entry's own ``mean_deviance`` gate points at (statsmodels
+    ``NegativeBinomial(loglike_method='nb2')`` at known α / sklearn-
+    style GLM with variance ``μ(1+αμ)`` parity at convergence): when
+    count variance grows like μ² (bursty purchases, heavy-tailed token
+    counts), Poisson SEs are spuriously tight; NB2 widens them by the
+    shrink weight ``1/(1+αμ)``.
+
+    Scale shape: ``n_iter + 1`` distributed passes, each ONE 1-row
+    partial-aggregated scan of score/information sums at the current β
+    literals — identical discipline, exchanges, and determinism
+    argument as :func:`poisson_report` (mean-matched warm start from
+    the pass's exact ``Σy`` sidecar, shared ``logistic_step`` Newton
+    update, shared ``poisson_finalize``; the oracle replays the pass
+    SQL with the same α literal through the same shared helpers, one
+    float trajectory).  Returns one row per term ``(term, coef,
+    std_err, z_stat)``."""
+    sol = _negbin_fit(df, y_col, x_cols, alpha, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        list(zip(sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"])),
+        "term string, coef double, std_err double, z_stat double",
+    )
+
+
+# -- Huber robust regression -------------------------------------------
+
+
+def _huber_pass(
+    base: DataFrame,
+    p: int,
+    beta: list[float],
+    a: float,
+    scale: float,
+    c: float,
+    sidecars: bool = False,
+) -> dict:
+    """One distributed Huber-IRLS pass at literal ``beta`` over the
+    prepared 6dp frame (``__y``, ``__x1..__xp``): residual ``e = y−η``
+    in a projection, in-row weight ``w = min(1, a/|e|)`` with ``a =
+    c·scale`` a driver-computed literal (the branch compares ``|e| ≤
+    a`` — ONE form shared with ψ so boundary ulps can't disagree), and
+    the weighted normal-equation moments ``Σw, Σw·x, Σw·x·y, Σw·x·xᵀ,
+    Σw·y`` each 12dp-decimal-quantized below the aggregate (the WLS
+    kernel discipline) — ONE 1-row partial-aggregated scan.
+    ``sidecars=True`` (the final pass) adds the SE inputs: ``Σψ(u)²``
+    at ``u = e/scale``, the in-threshold count ``Σ1{|e|≤a}``, and the
+    UNWEIGHTED design moments for the asymptotic covariance."""
+    names = [f"__x{i + 1}" for i in range(p)]
+    eta = F.lit(float(beta[0]))
+    for bj, nm in zip(beta[1:], names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    e = F.col("__y") - eta
+    proj1 = base.select("__y", *names, e.alias("__e"))
+    absd = F.abs(F.col("__e"))
+    al = F.lit(float(a))
+    w = F.when(absd <= al, F.lit(1.0)).otherwise(al / absd)
+    xs = [F.lit(1.0)] + [F.col(nm) for nm in names]
+    d38 = "decimal(38,12)"
+    term_cols = [F.round(w, 12).cast(d38).alias("__tw")]
+    for i in range(p):
+        term_cols.append(
+            F.round(w * xs[i + 1], 12).cast(d38).alias(f"__ts_{i}")
+        )
+        term_cols.append(
+            F.round(w * xs[i + 1] * F.col("__y"), 12)
+            .cast(d38)
+            .alias(f"__tq_{i}")
+        )
+        for j2 in range(i, p):
+            term_cols.append(
+                F.round(w * xs[i + 1] * xs[j2 + 1], 12)
+                .cast(d38)
+                .alias(f"__tp_{i}_{j2}")
+            )
+    term_cols.append(
+        F.round(w * F.col("__y"), 12).cast(d38).alias("__tsy")
+    )
+    if sidecars:
+        u = F.col("__e") / F.lit(float(scale))
+        psi = F.when(absd <= al, u).otherwise(
+            F.signum(F.col("__e")) * F.lit(float(c))
+        )
+        term_cols.append(
+            F.round(psi * psi, 12).cast(d38).alias("__tpsi2")
+        )
+        term_cols.append((absd <= al).cast("bigint").alias("__tin"))
+        for i in range(p):
+            term_cols.append(
+                xs[i + 1].cast("decimal(18,6)").alias(f"__tus_{i}")
+            )
+            for j2 in range(i, p):
+                term_cols.append(
+                    F.round(xs[i + 1] * xs[j2 + 1], 12)
+                    .cast(d38)
+                    .alias(f"__tup_{i}_{j2}")
+                )
+    proj2 = proj1.select(*term_cols)
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("__tw").alias("sw")]
+    for i in range(p):
+        aggs.append(F.sum(f"__ts_{i}").alias(f"s_{i}"))
+        aggs.append(F.sum(f"__tq_{i}").alias(f"q_{i}"))
+        for j2 in range(i, p):
+            aggs.append(F.sum(f"__tp_{i}_{j2}").alias(f"p_{i}_{j2}"))
+    aggs.append(F.sum("__tsy").alias("sy"))
+    if sidecars:
+        aggs.append(F.sum("__tpsi2").alias("spsi2"))
+        aggs.append(F.sum("__tin").alias("npsi"))
+        for i in range(p):
+            aggs.append(F.sum(f"__tus_{i}").alias(f"us_{i}"))
+            for j2 in range(i, p):
+                aggs.append(
+                    F.sum(f"__tup_{i}_{j2}").alias(f"up_{i}_{j2}")
+                )
+    return proj2.agg(*aggs).collect()[0].asDict()
+
+
+def huber_step_from_moments(mom: dict, p: int) -> list[float]:
+    """The Huber-IRLS β update: solve the weighted normal equations
+    ``(XᵀWX)β = XᵀWy`` from the pass's exact decimal moments — ONE
+    shared implementation for the operator and the DuckDB oracle
+    builder, so both engines walk one float trajectory."""
+    import numpy as np
+
+    A = np.zeros((p + 1, p + 1))
+    b = np.zeros(p + 1)
+    A[0, 0] = float(mom["sw"])
+    b[0] = float(mom["sy"])
+    for i in range(p):
+        s = float(mom[f"s_{i}"])
+        A[0, i + 1] = A[i + 1, 0] = s
+        b[i + 1] = float(mom[f"q_{i}"])
+        for j2 in range(i, p):
+            v = float(mom[f"p_{i}_{j2}"])
+            A[i + 1, j2 + 1] = A[j2 + 1, i + 1] = v
+    cond = float(np.linalg.cond(A))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            "huber: singular or ill-conditioned weighted design "
+            f"(cond={cond:.3g}) — drop a redundant column"
+        )
+    return [float(v) for v in np.linalg.solve(A, b)]
+
+
+def huber_finalize(
+    mom: dict,
+    beta: list[float],
+    x_cols: list[str],
+    scale: float,
+    n_iter: int,
+) -> dict:
+    """Final Huber readout from the last (sidecar) pass: the standard
+    Huber (1973) asymptotic covariance ``[s²·Σψ(u)²/(n−p−1)] /
+    [Σψ'(u)/n]² · (XᵀX)⁻¹`` with ψ the clipped residual at ``u = e/s``
+    and ψ' = 1 inside the threshold (statsmodels RLM's H1 shape
+    without the small-sample K correction — documented, since no
+    statsmodels build exists in this container to pin against).
+    Shared by the operator and the oracle builder."""
+    import numpy as np
+
+    p = len(x_cols)
+    n = int(mom["n"])
+    npsi = int(mom["npsi"] or 0)
+    df_resid = n - p - 1
+    if df_resid <= 0:
+        raise ValueError(f"huber: n={n} rows cannot fit {p + 1} parameters")
+    if npsi == 0:
+        raise ValueError(
+            "huber: every residual beyond the threshold — scale/c too "
+            "small for this frame"
+        )
+    xtx = np.zeros((p + 1, p + 1))
+    xtx[0, 0] = float(n)
+    for i in range(p):
+        s = float(mom[f"us_{i}"])
+        xtx[0, i + 1] = xtx[i + 1, 0] = s
+        for j2 in range(i, p):
+            v = float(mom[f"up_{i}_{j2}"])
+            xtx[i + 1, j2 + 1] = xtx[j2 + 1, i + 1] = v
+    cond = float(np.linalg.cond(xtx))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            f"huber: singular design matrix (cond={cond:.3g})"
+        )
+    num = float(scale) ** 2 * float(mom["spsi2"]) / df_resid
+    den = (float(npsi) / n) ** 2
+    cov = (num / den) * np.linalg.inv(xtx)
+    se = [float(np.sqrt(max(0.0, cov[j, j]))) for j in range(p + 1)]
+    return {
+        "terms": ["_intercept", *x_cols],
+        "coef": [round(float(bv), 6) for bv in beta],
+        "std_err": [round(sv, 6) for sv in se],
+        "t_stat": [
+            round(float(bv) / sv, 6) if sv > 0 else None
+            for bv, sv in zip(beta, se)
+        ],
+        "n": n,
+        "scale": round(float(scale), 6),
+        "n_iter": n_iter,
+    }
+
+
+def huber_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    c: float = 1.345,
+    scale: float | None = None,
+    n_iter: int = N_IRLS_ITER,
+) -> DataFrame:
+    """Huber robust regression via UNROLLED IRLS — the whale-robust
+    member of the regression family (the trimmed/MAD family's sibling
+    on the MODEL side; statsmodels ``RLM(M=HuberT(t=c))`` semantics
+    with a FIXED scale): squared loss inside ``c·scale``, linear
+    beyond, so a few extreme rows stop owning the fit while clean rows
+    keep full OLS efficiency (95% at the default c = 1.345).
+
+    Scale shape: one OLS moment pass for the starting β (shared
+    :func:`ols_solve_from_moments`), two :func:`~.profiling.
+    exact_quantiles` rank probes for the MAD scale when ``scale`` is
+    not given (``1.4826·median(|e − median(e)|)`` of the 6dp starting
+    residuals — normalized-MAD, held FIXED across passes, i.e.
+    statsmodels ``fit(update_scale=False)``; both medians come from
+    the distinct-value-grain bucketed cumsum, never a value-buffering
+    percentile), then ``n_iter`` IRLS passes, each ONE 1-row
+    partial-aggregated scan of weighted normal-equation moments at the
+    current β literals (the WLS kernel shape) with the in-row weight
+    ``min(1, c·s/|e|)``, plus one sidecar pass for the asymptotic SEs.
+    Only the p(p+5)/2 sums cross to the driver per pass; the solve is
+    the shared :func:`huber_step_from_moments`.  Determinism:
+    6dp-quantized y/x, every cross-row term 12dp-decimal-quantized,
+    fixed IEEE in-row weight, 6dp scale literal — the oracle replays
+    the identical pass SQL through the same shared step/finalize, one
+    float trajectory.  Returns one row per term ``(term, coef,
+    std_err, t_stat)``."""
+    import math
+
+    if not x_cols:
+        raise ValueError("huber: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"huber: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    if not (c > 0 and math.isfinite(c)):
+        raise ValueError(f"huber: threshold c must be finite and > 0, got {c}")
+    if scale is not None and not (scale > 0 and math.isfinite(scale)):
+        raise ValueError(
+            f"huber: scale must be finite and > 0 when given, got {scale}"
+        )
+    names = [f"__x{i + 1}" for i in range(len(x_cols))]
+    base = _complete_case(df, y_col, x_cols).select(
+        F.round(F.col(y_col).cast("double"), 6).alias("__y"),
+        *[
+            F.round(F.col(x).cast("double"), 6).alias(nm)
+            for x, nm in zip(x_cols, names)
+        ],
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.localCheckpoint(eager=False)
+    p = len(x_cols)
+    # starting β: the 6dp OLS solution over the SAME prepared frame
+    sol0 = ols_solve_from_moments(
+        ols_moments(base, "__y", names), names
+    )
+    beta = [float(b) for b in sol0["coef"]]
+    if scale is None:
+        eta0 = F.lit(beta[0])
+        for bj, nm in zip(beta[1:], names):
+            eta0 = eta0 + F.lit(float(bj)) * F.col(nm)
+        from .profiling import exact_quantiles
+
+        e6 = F.round(F.col("__y") - eta0, 6)
+        med_rows = exact_quantiles(
+            base.select(e6.alias("__e")), "__e", [0.5]
+        ).collect()
+        if not med_rows:
+            raise ValueError("huber: no complete-case rows")
+        med = float(med_rows[0]["quantile"])
+        mad = float(
+            exact_quantiles(
+                base.select(
+                    F.round(F.abs(e6 - F.lit(med)), 6).alias("__d")
+                ),
+                "__d",
+                [0.5],
+            ).collect()[0]["quantile"]
+        )
+        scale = round(1.4826 * mad, 6)
+        if not scale > 0:
+            raise ValueError(
+                "huber: degenerate MAD scale (over half the residuals "
+                "identical) — pass scale explicitly"
+            )
+    a = float(c) * float(scale)
+    for _ in range(n_iter):
+        mom = _huber_pass(base, p, beta, a, scale, c)
+        beta = huber_step_from_moments(mom, p)
+    final = _huber_pass(base, p, beta, a, scale, c, sidecars=True)
+    sol = huber_finalize(final, beta, x_cols, scale, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        list(zip(sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"])),
+        "term string, coef double, std_err double, t_stat double",
     )

@@ -314,6 +314,61 @@ def _cox_pass(
     return cum.agg(*out_terms).collect()[0].asDict()
 
 
+def _cox_base(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_cols: list[str],
+) -> DataFrame:
+    """The shared Cox subject frame: complete-case filter, 6dp-quantized
+    duration/covariates, repartitioned to full parallelism (a small
+    parquet scan is ONE partition and localCheckpoint inherits it — the
+    measured r12 trap) and lazily pinned so every Newton pass rescans
+    memory, not parquet."""
+    from .regression import MAX_FEATURES, _finite
+
+    if not x_cols:
+        raise ValueError("cox: need at least one covariate")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"cox: {len(x_cols)} covariates exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    cond = _finite(duration_col) & _finite(event_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond).select(
+        F.round(F.col(duration_col).cast("double"), 6).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(f"__x{i}")
+            for i, c in enumerate(x_cols)
+        ],
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    return base.localCheckpoint(eager=False)
+
+
+def _cox_fit(base: DataFrame, x_cols: list[str], n_iter: int) -> list[float]:
+    """The unrolled Newton trajectory on the Breslow partial likelihood
+    — shared by :func:`cox_ph_report` (coefficients/SEs from one more
+    pass) and :func:`cox_baseline_hazard` (per-time hazard at the
+    fitted β), so both surfaces walk ONE float trajectory the oracle
+    replays."""
+    from .regression import logistic_step
+
+    p = len(x_cols)
+    beta = [0.0] * p
+    for _ in range(n_iter):
+        mom = _cox_pass(base, x_cols, beta)
+        if not mom["n_events"]:
+            raise ValueError("cox: no events — nothing to fit")
+        beta = logistic_step(mom, beta, p - 1)
+    return beta
+
+
 def cox_ph_report(
     df: DataFrame,
     duration_col: str,
@@ -347,38 +402,10 @@ def cox_ph_report(
     per covariate ``(term, coef, std_err, z_stat, hazard_ratio)``."""
     import numpy as np
 
-    from .regression import MAX_FEATURES, _finite, logistic_step
-
-    if not x_cols:
-        raise ValueError("cox: need at least one covariate")
-    if len(x_cols) > MAX_FEATURES:
-        raise ValueError(
-            f"cox: {len(x_cols)} covariates exceeds MAX_FEATURES="
-            f"{MAX_FEATURES}"
-        )
-    cond = _finite(duration_col) & _finite(event_col)
-    for c in x_cols:
-        cond = cond & _finite(c)
-    base = df.filter(cond).select(
-        F.round(F.col(duration_col).cast("double"), 6).alias("__t"),
-        F.col(event_col).cast("int").alias("__e"),
-        *[
-            F.round(F.col(c).cast("double"), 6).alias(f"__x{i}")
-            for i, c in enumerate(x_cols)
-        ],
-    )
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
-    base = base.localCheckpoint(eager=False)
-    p = len(x_cols)
-    beta = [0.0] * p
-    for _ in range(n_iter):
-        mom = _cox_pass(base, x_cols, beta)
-        if not mom["n_events"]:
-            raise ValueError("cox: no events — nothing to fit")
-        beta = logistic_step(mom, beta, p - 1)
+    base = _cox_base(df, duration_col, event_col, x_cols)
+    beta = _cox_fit(base, x_cols, n_iter)
     final = _cox_pass(base, x_cols, beta)
+    p = len(x_cols)
     h = np.zeros((p, p))
     for i in range(p):
         for j2 in range(i, p):
@@ -401,4 +428,72 @@ def cox_ph_report(
         rows,
         "term string, coef double, std_err double, z_stat double,"
         " hazard_ratio double",
+    )
+
+
+def cox_baseline_hazard(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_cols: list[str],
+    n_iter: int = 8,
+) -> DataFrame:
+    """Breslow cumulative baseline hazard and baseline survival at the
+    fitted Cox coefficients — the ``basehaz``/``predict_survival``
+    surface of lifelines ``CoxPHFitter.baseline_cumulative_hazard_`` /
+    R ``basehaz(coxph(...), centered=FALSE)``: ``H₀(t) = Σ_{tᵢ ≤ t}
+    dᵢ / S0(tᵢ)`` over event times, ``S₀(t) = exp(−H₀(t))``; a
+    subject with covariates x then survives to t with probability
+    ``S₀(t)^exp(βᵀx)``.
+
+    Scale shape — zero new plan shapes beyond :func:`cox_ph_report`
+    (r13 verdict item #3): the β trajectory is the SAME shared
+    :func:`_cox_fit` (``n_iter`` passes), then ONE more subject scan
+    at the final β literals → one keyed exchange to the distinct-time
+    grain → the DESCENDING bucketed prefix sum for the risk sets
+    ``S0(t)`` → the ASCENDING bucketed prefix sum of the
+    12dp-quantized per-event-time increments for ``H₀`` (both bounded
+    by distinct event times, never an unpartitioned window).
+    Determinism: exact decimal cumulatives on both axes; the per-time
+    increment ``d/S0`` is one fixed IEEE division of exact-decimal
+    casts, 12dp-quantized BEFORE the ascending sum, so the oracle's
+    plain window-cumsum SQL at the same β literals reproduces every
+    row bit-for-bit.  Returns one row per EVENT time ``(t, n_events,
+    cum_hazard, baseline_survival)``, 6dp outputs."""
+    from .ranks import bucketed_cumsum
+
+    base = _cox_base(df, duration_col, event_col, x_cols)
+    beta = _cox_fit(base, x_cols, n_iter)
+    names = [f"__x{i}" for i in range(len(x_cols))]
+    eta = F.lit(0.0)
+    for bj, nm in zip(beta, names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    d38 = "decimal(38,12)"
+    proj = base.select(
+        "__t", "__e", F.round(F.exp(eta), 12).cast(d38).alias("__r0")
+    )
+    per_time = proj.groupBy("__t").agg(
+        F.sum("__e").alias("__d"), F.sum("__r0").alias("__r0")
+    )
+    cum = bucketed_cumsum(
+        per_time, ["__r0"], val_col="__t", descending=True
+    )
+    ev = cum.filter(F.col("__d") > 0).select(
+        "__t",
+        "__d",
+        F.round(
+            F.col("__d").cast("double")
+            / F.col("__cum___r0").cast("double"),
+            12,
+        )
+        .cast(d38)
+        .alias("__inc"),
+    )
+    cum2 = bucketed_cumsum(ev, ["__inc"], val_col="__t")
+    h0 = F.col("__cum___inc").cast("double")
+    return cum2.select(
+        F.col("__t").alias("t"),
+        F.col("__d").cast("long").alias("n_events"),
+        F.round(h0, 6).alias("cum_hazard"),
+        F.round(F.exp(-h0), 6).alias("baseline_survival"),
     )

@@ -994,3 +994,53 @@ def test_ols_by_group_single_group_grain_exchange(spark, queries):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("HashAggregate") == 2, plan  # partial + final
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_cox_baseline_cumulatives_are_bucketed(spark, queries):
+    """events_cox_baseline (r14): both cumulative axes — the DESC
+    risk-set S0 and the ASC Breslow H0 — run through the bucketed
+    prefix sum; no corpus-sized unpartitioned window, no value sort
+    (the trajectory passes are 1-row collects, so the returned plan IS
+    the final baseline pass)."""
+    plan = plan_of(queries["events_cox_baseline"](spark, SF), "simple")
+    _assert_no_entity_grain_window(plan)
+    # the distinct-time collapse is one partial-agged keyed exchange
+    assert "HashAggregate" in plan, plan
+
+
+def test_huber_pass_is_single_partial_agged_scan(spark):
+    """The Huber IRLS pass (r14): one 1-row partial-aggregated moment
+    scan — decimal casts in a projection below the aggregate (the
+    measured ~10x codegen trap), no exchange other than the 1-row
+    final, no window anywhere."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.regression import _huber_pass
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    base = li.select(
+        F.round(F.col("l_extendedprice").cast("double"), 6).alias("__y"),
+        F.round(F.col("l_quantity").cast("double"), 6).alias("__x1"),
+        F.round(F.col("l_discount").cast("double"), 6).alias("__x2"),
+    )
+    # audit the pass plan without executing the whole trajectory:
+    # rebuild the projection+aggregate exactly as _huber_pass does but
+    # keep it lazy (the helper itself collects)
+    names = ["__x1", "__x2"]
+    beta = [1.0, 0.5, -0.2]
+    eta = F.lit(beta[0])
+    for bj, nm in zip(beta[1:], names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    e = (F.col("__y") - eta).alias("__e")
+    proj = base.select("__y", *names, e)
+    absd = F.abs(F.col("__e"))
+    w = F.when(absd <= F.lit(10.0), F.lit(1.0)).otherwise(
+        F.lit(10.0) / absd
+    )
+    agg = proj.select(
+        F.round(w, 12).cast("decimal(38,12)").alias("__tw")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("__tw").alias("sw"))
+    plan = plan_of(agg, "simple")
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "windowspecdefinition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

@@ -1,0 +1,421 @@
+"""Round-14 tests: Cox baseline hazard (Breslow H0/S0), NB2
+negative-binomial GLM, Huber robust regression, plus the r14 fix pins
+(bounded logistic_by_group group probe, quantized WLS weight filter,
+vif empty-feature guard, bounded derived-variable probe)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---- Cox baseline hazard --------------------------------------------------
+
+
+def _cox_ref_fit(t, e, X, iters=40):
+    """First-principles Breslow Cox Newton (O(n^2), test-sized)."""
+    n, p = X.shape
+    b = np.zeros(p)
+    for _ in range(iters):
+        r = np.exp(X @ b)
+        g = np.zeros(p)
+        H = np.zeros((p, p))
+        for ti in np.unique(t[e == 1]):
+            risk = t >= ti
+            d = int(((t == ti) & (e == 1)).sum())
+            s0 = r[risk].sum()
+            s1 = (r[risk, None] * X[risk]).sum(axis=0)
+            s2 = (
+                r[risk, None, None] * X[risk, :, None] * X[risk, None, :]
+            ).sum(axis=0)
+            zx = X[(t == ti) & (e == 1)].sum(axis=0)
+            g += zx - d * s1 / s0
+            H += d * (s2 / s0 - np.outer(s1, s1) / s0**2)
+        b = b + np.linalg.solve(H, g)
+    return b
+
+
+def _breslow_baseline_ref(t, e, X, b):
+    """Reference H0(t) = sum_{ti<=t} d_i / S0(ti) over event times."""
+    r = np.exp(X @ b)
+    out = {}
+    h = 0.0
+    for ti in np.sort(np.unique(t[e == 1])):
+        d = int(((t == ti) & (e == 1)).sum())
+        s0 = r[t >= ti].sum()
+        h += d / s0
+        out[float(ti)] = h
+    return out
+
+
+@pytest.fixture(scope="module")
+def cox_frame(spark):
+    rng = np.random.RandomState(14)
+    n = 200
+    x1 = (rng.uniform(size=n) < 0.4).astype(float)
+    x2 = rng.normal(0, 1, n).round(4)
+    lam = np.exp(0.8 * x1 - 0.5 * x2)
+    t = np.round(rng.exponential(1.0 / lam), 2)
+    cens = np.round(rng.exponential(2.0, n), 2)
+    e = (t <= cens).astype(int)
+    tt = np.minimum(t, cens)
+    df = spark.createDataFrame(
+        list(
+            zip(map(float, tt), map(int, e), map(float, x1), map(float, x2))
+        ),
+        "dur double, ev int, x1 double, x2 double",
+    )
+    return df, tt, e, np.column_stack([x1, np.round(x2, 6)])
+
+
+def test_cox_baseline_matches_first_principles(spark, cox_frame):
+    from intake_esm_spark.operators.survival import cox_baseline_hazard
+
+    df, tt, e, X = cox_frame
+    rows = cox_baseline_hazard(df, "dur", "ev", ["x1", "x2"]).collect()
+    b = _cox_ref_fit(np.round(tt, 6), e, X)
+    ref = _breslow_baseline_ref(np.round(tt, 6), e, X, b)
+    got = {r["t"]: r for r in rows}
+    assert set(np.round(list(got), 6)) == set(np.round(list(ref), 6))
+    for ti, r in got.items():
+        assert r["cum_hazard"] == pytest.approx(ref[ti], abs=2e-3), ti
+        assert r["baseline_survival"] == pytest.approx(
+            np.exp(-ref[ti]), abs=2e-3
+        ), ti
+
+
+def test_cox_baseline_invariants(spark, cox_frame):
+    """One row per event time; H0 strictly increasing in t; survival =
+    exp(-H0) to output rounding; n_events sums to total events."""
+    from intake_esm_spark.operators.survival import cox_baseline_hazard
+
+    df, tt, e, _ = cox_frame
+    rows = sorted(
+        cox_baseline_hazard(df, "dur", "ev", ["x1", "x2"]).collect(),
+        key=lambda r: r["t"],
+    )
+    assert len(rows) == len(np.unique(np.round(tt, 6)[e == 1]))
+    assert sum(r["n_events"] for r in rows) == int(e.sum())
+    hs = [r["cum_hazard"] for r in rows]
+    assert all(b2 > a2 for a2, b2 in zip(hs, hs[1:]))
+    for r in rows:
+        assert r["baseline_survival"] == pytest.approx(
+            np.exp(-r["cum_hazard"]), abs=2e-6
+        )
+
+
+def test_cox_baseline_guards(spark):
+    from intake_esm_spark.operators.survival import cox_baseline_hazard
+
+    df = spark.createDataFrame(
+        [(1.0, 0, 0.5), (2.0, 0, 1.0), (3.0, 0, 1.5)],
+        "dur double, ev int, x double",
+    )
+    with pytest.raises(ValueError, match="no events"):
+        cox_baseline_hazard(df, "dur", "ev", ["x"], n_iter=2)
+    with pytest.raises(ValueError, match="at least one covariate"):
+        cox_baseline_hazard(df, "dur", "ev", [])
+
+
+# ---- negative binomial (NB2) ----------------------------------------------
+
+
+def _negbin_ref(y, X, alpha, iters=60):
+    """First-principles NB2 Fisher scoring at fixed alpha: score
+    (y-mu)/(1+a*mu)*x, information mu/(1+a*mu)*x*xT, mean-matched
+    intercept start. Returns (beta, se)."""
+    Xd = np.column_stack([np.ones(len(y)), X])
+    b = np.zeros(Xd.shape[1])
+    b[0] = np.log(y.mean())
+    for _ in range(iters):
+        mu = np.exp(np.clip(Xd @ b, -50, 50))
+        w = 1.0 / (1.0 + alpha * mu)
+        g = Xd.T @ ((y - mu) * w)
+        H = Xd.T @ (Xd * (mu * w)[:, None])
+        b = b + np.linalg.solve(H, g)
+    mu = np.exp(np.clip(Xd @ b, -50, 50))
+    H = Xd.T @ (Xd * (mu / (1.0 + alpha * mu))[:, None])
+    se = np.sqrt(np.diag(np.linalg.inv(H)))
+    return b, se
+
+
+@pytest.fixture(scope="module")
+def nb_frame(spark):
+    rng = np.random.RandomState(41)
+    n = 400
+    x1 = rng.uniform(0, 2, n).round(4)
+    x2 = rng.normal(0, 1, n).round(4)
+    mu = np.exp(0.7 + 0.5 * x1 - 0.3 * x2)
+    # NB2 sampling: Poisson with Gamma(1/a, a) multiplicative noise
+    a = 0.5
+    lam = mu * rng.gamma(1.0 / a, a, n)
+    y = rng.poisson(lam).astype(float)
+    df = spark.createDataFrame(
+        list(zip(map(float, y), map(float, x1), map(float, x2))),
+        "y double, x1 double, x2 double",
+    )
+    return df, y, np.column_stack([np.round(x1, 6), np.round(x2, 6)])
+
+
+def test_negbin_matches_first_principles(spark, nb_frame):
+    from intake_esm_spark.operators.regression import negbin_report
+
+    df, y, X = nb_frame
+    got = {
+        r["term"]: r
+        for r in negbin_report(df, "y", ["x1", "x2"], alpha=0.5).collect()
+    }
+    b, se = _negbin_ref(y, X, 0.5)
+    for i, term in enumerate(["_intercept", "x1", "x2"]):
+        assert got[term]["coef"] == pytest.approx(b[i], abs=2e-4), term
+        assert got[term]["std_err"] == pytest.approx(se[i], abs=2e-4), term
+
+
+def test_negbin_widens_poisson_ses(spark, nb_frame):
+    """The point of NB2 on overdispersed counts: the slope SEs must be
+    strictly wider than Poisson's spuriously tight ones."""
+    from intake_esm_spark.operators.regression import (
+        negbin_report,
+        poisson_report,
+    )
+
+    df, _, _ = nb_frame
+    nb = {
+        r["term"]: r["std_err"]
+        for r in negbin_report(df, "y", ["x1", "x2"], alpha=0.5).collect()
+    }
+    po = {
+        r["term"]: r["std_err"]
+        for r in poisson_report(df, "y", ["x1", "x2"]).collect()
+    }
+    for term in ["x1", "x2"]:
+        assert nb[term] > po[term], term
+
+
+def test_negbin_guards(spark):
+    from intake_esm_spark.operators.regression import negbin_report
+
+    df = spark.createDataFrame(
+        [(1.0, 0.5), (2.0, 1.0), (0.0, 1.5), (3.0, 2.0)],
+        "y double, x double",
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        negbin_report(df, "y", ["x"], alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        negbin_report(df, "y", ["x"], alpha=-1.0)
+    with pytest.raises(ValueError, match="at least one feature"):
+        negbin_report(df, "y", [], alpha=0.5)
+    neg = spark.createDataFrame(
+        [(-1.0, 0.5), (2.0, 1.0)], "y double, x double"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        negbin_report(neg, "y", ["x"], alpha=0.5, n_iter=2)
+    zero = spark.createDataFrame(
+        [(0.0, 0.5), (0.0, 1.0)], "y double, x double"
+    )
+    with pytest.raises(ValueError, match="mean label is 0"):
+        negbin_report(zero, "y", ["x"], alpha=0.5, n_iter=2)
+
+
+def test_negbin_poisson_limit(spark, nb_frame):
+    """alpha -> 0 recovers the Poisson coefficients (the documented
+    limit)."""
+    from intake_esm_spark.operators.regression import (
+        negbin_report,
+        poisson_report,
+    )
+
+    df, _, _ = nb_frame
+    nb = {
+        r["term"]: r["coef"]
+        for r in negbin_report(df, "y", ["x1", "x2"], alpha=1e-8).collect()
+    }
+    po = {
+        r["term"]: r["coef"]
+        for r in poisson_report(df, "y", ["x1", "x2"]).collect()
+    }
+    for term in ["_intercept", "x1", "x2"]:
+        assert nb[term] == pytest.approx(po[term], abs=5e-5), term
+
+
+# ---- Huber robust regression ----------------------------------------------
+
+
+def _huber_ref(y, X, c=1.345, n_iter=8):
+    """Replicates the operator's algorithm exactly (modulo the 12dp
+    term quantization): 6dp OLS start, fixed normalized-MAD scale from
+    the starting residuals, n_iter IRLS passes, Huber asymptotic SEs."""
+    yq = np.round(y, 6)
+    Xq = np.round(X, 6)
+    Xd = np.column_stack([np.ones(len(yq)), Xq])
+    b0 = np.linalg.solve(Xd.T @ Xd, Xd.T @ yq)
+    b = np.round(b0, 6)
+    e0 = np.round(yq - Xd @ b, 6)
+    med = round(float(np.percentile(e0, 50)), 6)
+    mad = round(float(np.percentile(np.round(np.abs(e0 - med), 6), 50)), 6)
+    s = round(1.4826 * mad, 6)
+    a = c * s
+    for _ in range(n_iter):
+        e = yq - Xd @ b
+        w = np.where(np.abs(e) <= a, 1.0, a / np.abs(e))
+        A = Xd.T @ (Xd * w[:, None])
+        b = np.linalg.solve(A, Xd.T @ (w * yq))
+    e = yq - Xd @ b
+    u = e / s
+    psi = np.clip(u, -c, c)
+    n, pp = len(yq), Xd.shape[1]
+    num = s**2 * float(psi @ psi) / (n - pp)
+    den = (float((np.abs(e) <= a).sum()) / n) ** 2
+    cov = (num / den) * np.linalg.inv(Xd.T @ Xd)
+    return b, np.sqrt(np.diag(cov)), s
+
+
+@pytest.fixture(scope="module")
+def huber_frame(spark):
+    rng = np.random.RandomState(7)
+    n = 300
+    x1 = rng.normal(5, 2, n).round(4)
+    x2 = rng.uniform(-1, 1, n).round(4)
+    y = 3.0 + 1.5 * x1 - 2.0 * x2 + rng.normal(0, 1, n)
+    # 5% gross outliers — the rows Huber must stop from owning the fit
+    idx = rng.choice(n, n // 20, replace=False)
+    y[idx] += rng.choice([-1, 1], len(idx)) * rng.uniform(30, 60, len(idx))
+    y = np.round(y, 4)
+    df = spark.createDataFrame(
+        list(zip(map(float, y), map(float, x1), map(float, x2))),
+        "y double, x1 double, x2 double",
+    )
+    return df, y, np.column_stack([x1, x2])
+
+
+def test_huber_matches_first_principles(spark, huber_frame):
+    from intake_esm_spark.operators.regression import huber_report
+
+    df, y, X = huber_frame
+    got = {
+        r["term"]: r
+        for r in huber_report(df, "y", ["x1", "x2"]).collect()
+    }
+    b, se, _ = _huber_ref(y, X)
+    for i, term in enumerate(["_intercept", "x1", "x2"]):
+        assert got[term]["coef"] == pytest.approx(b[i], abs=1e-5), term
+        assert got[term]["std_err"] == pytest.approx(se[i], abs=1e-5), term
+        assert got[term]["t_stat"] == pytest.approx(
+            b[i] / se[i], abs=1e-3
+        ), term
+
+
+def test_huber_downweights_outliers(spark, huber_frame):
+    """The robustness claim itself: with 5% gross outliers the Huber
+    slopes sit closer to the true (3.0, 1.5, -2.0) than OLS's."""
+    from intake_esm_spark.operators.regression import (
+        huber_report,
+        ols_report,
+    )
+
+    df, _, _ = huber_frame
+    truth = {"_intercept": 3.0, "x1": 1.5, "x2": -2.0}
+    hb = {
+        r["term"]: r["coef"]
+        for r in huber_report(df, "y", ["x1", "x2"]).collect()
+    }
+    ol = {
+        r["term"]: r["coef"]
+        for r in ols_report(df, "y", ["x1", "x2"]).collect()
+    }
+    assert sum(abs(hb[t] - v) for t, v in truth.items()) < sum(
+        abs(ol[t] - v) for t, v in truth.items()
+    )
+
+
+def test_huber_explicit_scale_and_guards(spark, huber_frame):
+    from intake_esm_spark.operators.regression import huber_report
+
+    df, _, _ = huber_frame
+    # explicit scale skips the MAD probes and still returns 3 terms
+    rows = huber_report(df, "y", ["x1", "x2"], scale=1.0).collect()
+    assert len(rows) == 3
+    with pytest.raises(ValueError, match="at least one feature"):
+        huber_report(df, "y", [])
+    with pytest.raises(ValueError, match="threshold c"):
+        huber_report(df, "y", ["x1"], c=0.0)
+    with pytest.raises(ValueError, match="scale must be"):
+        huber_report(df, "y", ["x1"], scale=-1.0)
+    # over half the residuals identical -> MAD = 0 -> clean error
+    deg = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(20)], "y double, x double"
+    )
+    with pytest.raises(ValueError, match="degenerate MAD"):
+        huber_report(deg, "y", ["x"], n_iter=1)
+
+
+# ---- r14 fix pins -----------------------------------------------------------
+
+
+def test_logistic_by_group_probe_is_bounded(spark):
+    """A high-cardinality segment column must raise the max_groups
+    error from a limit(max_groups+1) probe — never materialize the
+    full distinct set on the driver (r13 judge finding #1)."""
+    from intake_esm_spark.operators.regression import logistic_by_group
+
+    df = (
+        spark.range(5000)
+        .select(
+            (F.col("id") % 2).cast("int").alias("y"),
+            (F.col("id") % 7).cast("double").alias("x"),
+            F.col("id").cast("string").alias("g"),  # 5000 groups
+        )
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        logistic_by_group(df, "y", ["x"], "g", max_groups=10)
+
+
+def test_wls_filters_on_quantized_weight(spark):
+    """A raw weight in (0, 5e-7) rounds to a zero 6dp weight — it must
+    not count toward n/df_resid (r14 ADVICE): the report with such a
+    row equals the report without it."""
+    from intake_esm_spark.operators.regression import wls_report
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (float(2.0 + 1.5 * x + rng.normal(0, 0.5)), float(x), float(w))
+        for x, w in zip(
+            rng.uniform(0, 10, 50), rng.uniform(0.5, 2.0, 50)
+        )
+    ]
+    df = spark.createDataFrame(rows, "y double, x double, w double")
+    with_tiny = df.union(
+        spark.createDataFrame(
+            [(1e9, 5.0, 2e-7)], "y double, x double, w double"
+        )
+    )
+    a = wls_report(df, "y", ["x"], "w").collect()
+    b = wls_report(with_tiny, "y", ["x"], "w").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_vif_empty_features_raises(spark):
+    from intake_esm_spark.operators.regression import vif_report
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="at least one feature"):
+        vif_report(df, [])
+
+
+def test_derived_probe_is_bounded(spark, monkeypatch):
+    """A mis-pointed variable column (unbounded cardinality) raises
+    cleanly instead of collecting every distinct value (r13 judge
+    finding #2)."""
+    import intake_esm_spark.derived as derived_mod
+
+    monkeypatch.setattr(derived_mod, "_VARIABLE_PROBE_LIMIT", 2)
+    reg = derived_mod.DerivedVariableRegistry()
+
+    @reg.register(variable="v9", query={"variable": ["a"]})
+    def _dv(df, variable_key_name="variable"):
+        return df
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "variable string, value double"
+    )
+    with pytest.raises(ValueError, match="not a variable column"):
+        reg.update_datasets({"k": df}, "variable")
