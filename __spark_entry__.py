@@ -3111,7 +3111,9 @@ def q_events_cox(spark: SparkSession, sf: str) -> DataFrame:
     return cox_ph_report(subjects, "dur", "ev", ["x1", "x2"])
 
 
-def _cox_subjects(spark: SparkSession, sf: str) -> DataFrame:
+def _cox_subjects(
+    spark: SparkSession, sf: str, with_uid: bool = False
+) -> DataFrame:
     """Shared frame of events_cox: per-user (duration, event,
     covariates).  Duration is an exact integer (epoch-second diff),
     the event is first-purchase, covariates are deterministic
@@ -3138,6 +3140,7 @@ def _cox_subjects(spark: SparkSession, sf: str) -> DataFrame:
     )
     end = F.coalesce(F.col("__p"), F.col("__l"))
     return per_user.select(
+        *(["user_id"] if with_uid else []),
         (
             F.unix_timestamp(end) - F.unix_timestamp(F.col("__f"))
         ).alias("dur"),
@@ -3167,6 +3170,30 @@ def q_events_cox_baseline(spark: SparkSession, sf: str) -> DataFrame:
 
     subjects = _cox_subjects(spark, sf)
     return cox_baseline_hazard(subjects, "dur", "ev", ["x1", "x2"])
+
+
+def q_events_cox_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user 1-day conversion-survival prediction from the fitted
+    Cox model (operators/survival.py cox_predict_survival, round 14 —
+    the lifelines predict_survival_function(times=[tau]) scoring
+    surface): S(tau|x) = exp(-H0(tau) * exp(beta.x)) at tau = 86400 s,
+    where H0(tau) is ONE bounded 1-row exact-decimal sum of the
+    Breslow increments at t <= tau (the full baseline is never
+    collected) and the per-user scores are a pure projection over the
+    pinned subject frame — no exchange after the fit. Oracle: the
+    shared DuckDB trajectory, H0(tau) via the same window-cumsum SQL,
+    literal-beta per-user SELECT (_build_cox_predict_oracle)."""
+    from intake_esm_spark.operators.survival import cox_predict_survival
+
+    subjects = _cox_subjects(spark, sf, with_uid=True)
+    return cox_predict_survival(
+        subjects,
+        "dur",
+        "ev",
+        ["x1", "x2"],
+        horizon=86400.0,
+        id_cols=["user_id"],
+    )
 
 
 def q_lineitem_vif(spark: SparkSession, sf: str) -> DataFrame:
@@ -3240,6 +3267,26 @@ def q_lineitem_huber(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return huber_report(
         li, "l_extendedprice", ["l_quantity", "l_discount"], c=1.345
+    )
+
+
+def q_lineitem_gamma(spark: SparkSession, sf: str) -> DataFrame:
+    """Gamma GLM (log link) of extendedprice on quantity + discount
+    (operators/regression.py gamma_report, round 14 — statsmodels
+    GLM(Gamma(Log)) with Pearson-chi2 scale): the positive-continuous
+    member of the GLM family, for responses whose noise scales with
+    the mean. 8 unrolled Fisher-scoring passes, each ONE 1-row
+    partial-agged scan at the current beta literals (constant
+    information matrix — the log link drops mu from Fisher info; the
+    dispersion returns only in the SEs via the Pearson chi2 sidecar);
+    the SAME shared mean-matched warm start and logistic_step as
+    Poisson. Oracle: the identical pass SQL looped in DuckDB through
+    the same shared step and gamma_finalize (_build_gamma_oracle)."""
+    from intake_esm_spark.operators.regression import gamma_report
+
+    li = load_table(spark, sf, "lineitem")
+    return gamma_report(
+        li, "l_extendedprice", ["l_quantity", "l_discount"]
     )
 
 
@@ -5432,24 +5479,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most 50 entries, so (standing rule) any entry whose code or
         # oracle changed this round is in the first 50, followed by the
         # entries longest without a driver-green row.
-        # Block 0: round-13 NEW — ridge on the shared OLS moments
+        # Block 0: round-14 NEW — the Cox scoring surfaces (Breslow
+        # baseline hazard + per-subject survival at a horizon, both on
+        # the shared _cox_fit trajectory), NB2 negative-binomial, Huber
+        # robust regression, Gamma GLM (log link).
+        "events_cox_baseline": q_events_cox_baseline,
+        "events_cox_predict": q_events_cox_predict,
+        "lineitem_negbin": q_lineitem_negbin,
+        "lineitem_huber": q_lineitem_huber,
+        "lineitem_gamma": q_lineitem_gamma,
+        # Block 0b: round-14 CHANGED — wls filters on the quantized
+        # weight (ADVICE #3), the Cox oracle floors epoch() to integer
+        # seconds (ADVICE #1) and its builder refactored onto the
+        # shared _cox_oracle_fit, vif gained the empty-feature guard
+        # (ADVICE #2), logistic_by_group's group probe is now
+        # limit-bounded (r13 judge finding #1).
+        "lineitem_wls": q_lineitem_wls,
+        "events_cox": q_events_cox,
+        "lineitem_vif": q_lineitem_vif,
+        "lineitem_logit_by_group": q_lineitem_logit_by_group,
+        # Block 1: longest without a driver-green row — first the eight
+        # rows the r13 head displaced to positions 51-58 (flagged there
+        # as leading the freshness queue), then the r07-era rows the
+        # r13 verdict named (six rounds unchecked), then the r12-checked
+        # rotation-tail rows in their standing order to fill 50.
+        "events_survival": q_events_survival,
+        "events_logrank": q_events_logrank,
+        "customer_gini": q_customer_gini,
+        "events_mannwhitney": q_events_mannwhitney,
+        "events_ks_test": q_events_ks_test,
+        "events_auc": q_events_auc,
+        "events_pr_auc": q_events_pr_auc,
+        "docs_jsd": q_docs_jsd,
+        "dedup_exact": q_dedup_exact,
+        "dedup_near": q_dedup_near,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_vocab": q_text_vocab,
+        "text_redact": q_text_redact,
+        "multimodal_stats": q_multimodal_stats,
+        "multimodal_frames": q_multimodal_frames,
+        "events_json": q_events_json,
+        "docs_hash_sample": q_docs_hash_sample,
+        "embed_fisher": q_embed_fisher,
+        "embed_cluster_quality": q_embed_cluster_quality,
+        "events_mutual_info": q_events_mutual_info,
+        "events_dp_counts": q_events_dp_counts,
+        "events_rfm": q_events_rfm,
+        "lineitem_abc": q_lineitem_abc,
+        "lineitem_lift": q_lineitem_lift,
+        "events_qini": q_events_qini,
+        "lineitem_qbins": q_lineitem_qbins,
+        "events_stratified_ate": q_events_stratified_ate,
+        "events_theilsen": q_events_theilsen,
+        "events_effect_sizes": q_events_effect_sizes,
+        "events_cliffs_delta": q_events_cliffs_delta,
+        "events_cvm": q_events_cvm,
+        "lineitem_jarque_bera": q_lineitem_jarque_bera,
+        "events_mood_median": q_events_mood_median,
+        "dedup_simhash": q_dedup_simhash,
+        "multimodal_features": q_multimodal_features,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "pivot_returnflag": q_pivot_returnflag,
+        "cube_agg": q_cube_agg,
+        # -- rotation tail ---------------------------------------------
+        # Driver-checked in r13 (the r13 head-50), unchanged this
+        # round; they re-enter the freshness queue behind the rows the
+        # head now covers.
+        # r13 block — ridge on the shared OLS moments
         # (l2 on the slope diagonal, driver-side, sandwich SEs) and
         # per-segment OLS (one group-grain moment exchange, per-group
         # shared solve, degenerate segments skipped).
         "lineitem_ridge": q_lineitem_ridge,
         "lineitem_ols_by_group": q_lineitem_ols_by_group,
-        "lineitem_wls": q_lineitem_wls,
         "lineitem_bp": q_lineitem_bp,
         "lineitem_ols_residuals": q_lineitem_ols_residuals,
-        "lineitem_vif": q_lineitem_vif,
         "lineitem_poisson": q_lineitem_poisson,
         "lineitem_poisson_fit": q_lineitem_poisson_fit,
-        "lineitem_logit_by_group": q_lineitem_logit_by_group,
-        "events_cox": q_events_cox,
-        "events_cox_baseline": q_events_cox_baseline,
-        "lineitem_negbin": q_lineitem_negbin,
-        "lineitem_huber": q_lineitem_huber,
-        # Block 0b: round-13 CHANGED — the OLS entries consume the
+        # r13 "changed" block — the OLS entries consume the
         # refactored shared moment builder (ols_moment_frame, also the
         # streaming twin #25 plan); the logistic entries thread the
         # actual n_iter and take the strict-0/1 label guard (ADVICE
@@ -5465,13 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca": q_embed_pca,
         "embed_whiten": q_embed_whiten,
         "embed_covariance": q_embed_covariance,
-        # Block 1: the entries longest without a driver-green row —
-        # first the eleven the r12 head displaced (flagged there as
-        # leading the freshness queue), then the r7-r11 rotation tail
-        # in its standing order. The ten r13-new entries above (10 new
-        # + 8 changed = 18-entry head block) push events_survival ..
-        # docs_jsd to positions 51-58 — they lead the freshness queue
-        # next round.
+        # r13 Block-1 remainder (driver-checked r13), standing order.
         "docs_mixture_temp": q_docs_mixture_temp,
         "embed_pq_codes": q_embed_pq_codes,
         "simsearch_pq_topk": q_simsearch_pq_topk,
@@ -5504,46 +5607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
         "orders_priority_quantiles": q_orders_priority_quantiles,
         "orders_benford": q_orders_benford,
-        "events_survival": q_events_survival,
-        "events_logrank": q_events_logrank,
-        "customer_gini": q_customer_gini,
-        "events_mannwhitney": q_events_mannwhitney,
-        "events_ks_test": q_events_ks_test,
-        "events_auc": q_events_auc,
-        "events_pr_auc": q_events_pr_auc,
-        "docs_jsd": q_docs_jsd,
-        # -- rotation tail ---------------------------------------------
-        # Driver-checked in r12 (the r12 head-50), unchanged this round;
-        # they re-enter the freshness queue behind the r7-r11 rows the
-        # head now covers.
-        "embed_fisher": q_embed_fisher,
-        "embed_cluster_quality": q_embed_cluster_quality,
-        "events_mutual_info": q_events_mutual_info,
-        "events_dp_counts": q_events_dp_counts,
-        "events_rfm": q_events_rfm,
-        "lineitem_abc": q_lineitem_abc,
-        "lineitem_lift": q_lineitem_lift,
-        "events_qini": q_events_qini,
-        "lineitem_qbins": q_lineitem_qbins,
-        "events_stratified_ate": q_events_stratified_ate,
-        "events_theilsen": q_events_theilsen,
-        "events_effect_sizes": q_events_effect_sizes,
-        "events_cliffs_delta": q_events_cliffs_delta,
-        "events_cvm": q_events_cvm,
-        "lineitem_jarque_bera": q_lineitem_jarque_bera,
-        "events_mood_median": q_events_mood_median,
-        "dedup_simhash": q_dedup_simhash,
-        "multimodal_features": q_multimodal_features,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "pivot_returnflag": q_pivot_returnflag,
-        "cube_agg": q_cube_agg,
         "customer_order_stats": q_customer_order_stats,
         "profile_numeric": q_profile_numeric,
         "events_sliding": q_events_sliding,
         "events_topk_user": q_events_topk_user,
-        "text_vocab": q_text_vocab,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "dedup_lines_report": q_dedup_lines_report,
@@ -5695,11 +5762,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_indexed": q_docs_bm25_indexed,
         "lineitem_correlations": q_lineitem_correlations,
         "graph_pagerank": q_graph_pagerank,
-        "multimodal_stats": q_multimodal_stats,
-        "multimodal_frames": q_multimodal_frames,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_redact": q_text_redact,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "docs_sample_stratified": q_docs_sample_stratified,
@@ -5709,13 +5771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_keys": q_groupby_keys,
         "unique_flat": q_unique_flat,
         "union_dedup": q_union_dedup,
-        "events_json": q_events_json,
-        "docs_hash_sample": q_docs_hash_sample,
-        "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_prefix_groups": q_dedup_prefix_groups,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_near": q_dedup_near,
         "dedup_components": q_dedup_components,
         "dedup_exact_incr": q_dedup_exact_incr,
         "dedup_near_incr": q_dedup_near_incr,
@@ -13635,6 +13693,9 @@ def oracle_sql() -> dict[str, str]:
     # through the shared warm-start/step/finalize helpers
     d["lineitem_negbin"] = _build_negbin_oracle()
     d["lineitem_huber"] = _build_huber_oracle()
+    # lineitem_gamma (round 14): the Gamma-GLM trajectory through the
+    # shared warm-start/step and gamma_finalize
+    d["lineitem_gamma"] = _build_gamma_oracle()
     # lineitem_logit_by_group (round 13): the grouped IRLS trajectory
     # walked per-segment in DuckDB through the shared step/finalize
     d["lineitem_logit_by_group"] = _build_logit_by_group_oracle()
@@ -13646,6 +13707,9 @@ def oracle_sql() -> dict[str, str]:
     # trajectory, then one plain window-cumsum SQL for H0/S0 at the
     # final beta literals
     d["events_cox_baseline"] = _build_cox_baseline_oracle()
+    # events_cox_predict (round 14): the shared trajectory + the
+    # bounded H0(tau) probe + a literal-beta per-subject SELECT
+    d["events_cox_predict"] = _build_cox_predict_oracle()
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -14199,6 +14263,93 @@ def _build_negbin_oracle() -> str:
     )
 
 
+def _build_gamma_oracle() -> str:
+    """Oracle for lineitem_gamma: the Gamma-GLM (log link) pass SQL
+    (6dp features, ±50 eta clamp, constant-information h terms,
+    Pearson/deviance sidecars — text-for-text the operator's
+    projection) looped in DuckDB through the SAME shared
+    ``poisson_warm_start`` / ``logistic_step`` / ``gamma_finalize``,
+    one float trajectory."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        N_IRLS_ITER,
+        gamma_finalize,
+        logistic_step,
+        poisson_warm_start,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+    y = "l_extendedprice"
+
+    def xq(c: str) -> str:
+        return f"round(CAST({c} AS DOUBLE), 6)"
+
+    def pass_sql(beta: list[float]) -> str:
+        eta = repr(float(beta[0]))
+        for bj, c in zip(beta[1:], ["x1", "x2"]):
+            eta = f"{eta} + {float(bj)!r} * {c}"
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs])
+        pre = (
+            f"WITH r AS (SELECT CAST({y} AS DOUBLE) AS y,"
+            f" {xq(xs[0])} AS x1, {xq(xs[1])} AS x2"
+            f" FROM '{sf_dir}/lineitem.parquet' WHERE {notnull}),"
+            f" m AS (SELECT y, x1, x2,"
+            f" exp(greatest(least({eta}, 50.0), -50.0)) AS mu FROM r)"
+        )
+        terms = ["count(*) AS n"]
+        xcols = ["1.0", "x1", "x2"]
+        for j2, xj in enumerate(xcols):
+            terms.append(
+                f"sum(CAST(round((y / mu - 1.0) * {xj}, 12)"
+                f" AS DECIMAL(38,12))) AS g_{j2}"
+            )
+            for i in range(j2, len(xcols)):
+                terms.append(
+                    f"sum(CAST(round({xj} * {xcols[i]}, 12)"
+                    f" AS DECIMAL(38,12))) AS h_{j2}_{i}"
+                )
+        terms.append(
+            "sum(CAST(round(((y - mu) / mu) * ((y - mu) / mu), 12)"
+            " AS DECIMAL(38,12))) AS pearson"
+        )
+        terms.append(
+            "sum(CAST(round(2.0 * (-ln(y / mu) + (y - mu) / mu), 12)"
+            " AS DECIMAL(38,12))) AS dev"
+        )
+        terms.append("min(y) AS ymin")
+        return pre + " SELECT " + ", ".join(terms) + " FROM m"
+
+    con = duckdb.connect()
+
+    def run(sql: str) -> dict:
+        cur = con.execute(sql)
+        return dict(
+            zip([d0[0] for d0 in cur.description], cur.fetchone())
+        )
+
+    beta = [0.0] * (len(xs) + 1)
+    for it in range(N_IRLS_ITER):
+        mom = run(pass_sql(beta))
+        beta = (
+            poisson_warm_start(mom, len(xs))
+            if it == 0
+            else logistic_step(mom, beta, len(xs))
+        )
+    sol = gamma_finalize(run(pass_sql(beta)), beta, xs, N_IRLS_ITER)
+    lit = _ols_lit
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {lit(c)} AS coef, {lit(s)} AS std_err,"
+        f" {lit(z)} AS z_stat"
+        for t, c, s, z in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"]
+        )
+    )
+
+
 def _build_huber_oracle() -> str:
     """Oracle for lineitem_huber: β₀ via the shared OLS moment SQL +
     ``ols_solve_from_moments``, the MAD scale via ``quantile_cont``
@@ -14472,13 +14623,14 @@ def _cox_oracle_subject_cte(sf_dir: str) -> str:
         # both engines build identical durations (and identical
         # Breslow tie groups) for sub-second timestamps (driver
         # ADVICE r14; verified 121/150 sf0.01 subjects differed)
-        " subj AS (SELECT"
+        " subj AS (SELECT user_id AS uid,"
         " CAST(floor(epoch(coalesce(p, l))) AS BIGINT)"
         " - CAST(floor(epoch(f)) AS BIGINT) AS dur,"
         " CAST(p IS NOT NULL AS INT) AS ev,"
         " ln(1.0 + CAST(cnt AS DOUBLE)) AS x1,"
         " CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE) AS x2 FROM pu),"
-        " q AS (SELECT round(CAST(dur AS DOUBLE), 6) AS t, ev AS e,"
+        " q AS (SELECT uid, round(CAST(dur AS DOUBLE), 6) AS t,"
+        " ev AS e,"
         " round(CAST(x1 AS DOUBLE), 6) AS xa,"
         " round(CAST(x2 AS DOUBLE), 6) AS xb FROM subj"
         " WHERE dur IS NOT NULL AND ev IS NOT NULL"
@@ -14644,6 +14796,49 @@ def _build_cox_baseline_oracle() -> str:
         " round(CAST(H0 AS DOUBLE), 6) AS cum_hazard,"
         " round(exp(-CAST(H0 AS DOUBLE)), 6) AS baseline_survival"
         " FROM hh"
+    )
+
+
+def _build_cox_predict_oracle() -> str:
+    """Oracle for events_cox_predict: the SAME shared DuckDB Cox
+    trajectory, H₀(τ) as one sum over the window-cumsum Breslow
+    increments at t ≤ τ (replaying the operator's bounded 1-row
+    probe), then a literal-β per-subject SELECT of
+    ``(uid, exp(η), exp(−H₀(τ)·exp(η)))`` over the shared subject
+    CTE."""
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tau = 86400.0
+    subj, beta, _ = _cox_oracle_fit(sf_dir)
+    d38 = "DECIMAL(38,12)"
+    eta = "0.0"
+    for bj, c in zip(beta, ["xa", "xb"]):
+        eta = f"{eta} + {float(bj)!r} * {c}"
+    win_desc = (
+        "OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    con = duckdb.connect()
+    h0row = con.execute(
+        subj
+        + f", m AS (SELECT t, e, exp({eta}) AS r FROM q)"
+        + f", pt AS (SELECT t, sum(e) AS d,"
+        f" sum(CAST(round(r, 12) AS {d38})) AS r0 FROM m GROUP BY t)"
+        + f", cw AS (SELECT t, d, sum(r0) {win_desc} AS S0 FROM pt)"
+        + f" SELECT sum(CAST(round(CAST(d AS DOUBLE)"
+        f" / CAST(S0 AS DOUBLE), 12) AS {d38})) FROM cw"
+        f" WHERE d > 0 AND t <= {tau!r}"
+    ).fetchone()
+    con.close()
+    h0tau = float(h0row[0]) if h0row[0] is not None else 0.0
+    return (
+        subj
+        + f" SELECT uid AS user_id, round(exp({eta}), 6) AS risk_score,"
+        f" round(exp(-{h0tau!r} * exp({eta})), 6)"
+        " AS survival_at_horizon FROM q"
     )
 
 

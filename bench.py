@@ -274,8 +274,10 @@ BENCH_QUERIES = [
     "embed_covariance_fast",
     "embed_pca_fast",
     "events_cox_baseline",
+    "events_cox_predict",
     "lineitem_negbin",
     "lineitem_huber",
+    "lineitem_gamma",
 ]
 
 

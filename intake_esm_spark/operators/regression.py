@@ -1858,3 +1858,165 @@ def huber_report(
         list(zip(sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"])),
         "term string, coef double, std_err double, t_stat double",
     )
+
+
+# -- Gamma GLM (log link) ----------------------------------------------
+
+
+def _gamma_pass(
+    df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
+) -> dict:
+    """One distributed Gamma-GLM (log link) Fisher-scoring pass at
+    literal ``beta``: with ``μ = exp(η)``, the scaled score is
+    ``g_j = Σ (y/μ − 1)·x_j`` and the expected information is the
+    CONSTANT ``h_ij = Σ x_i·x_j`` (the log link is the canonical-mean
+    parameterization where Fisher info loses μ entirely; the
+    dispersion φ cancels in the Newton step and returns only in the
+    SEs).  Sidecars: the Pearson χ² sum ``Σ((y−μ)/μ)²`` (the φ̂
+    estimator), the deviance sum ``2Σ(−ln(y/μ) + (y−μ)/μ)``, n, and
+    min y (must be > 0).  Same discipline as the Poisson pass: 6dp
+    features, ±50 η clamp before exp, every cross-row term
+    12dp-decimal-quantized in a projection below the aggregate."""
+    names = [f"__x{i + 1}" for i in range(len(x_cols))]
+    proj1 = df.select(
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(nm)
+            for c, nm in zip(x_cols, names)
+        ],
+    )
+    eta = F.lit(float(beta[0]))
+    for bj, nm in zip(beta[1:], names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    eta = F.greatest(F.least(eta, F.lit(50.0)), F.lit(-50.0))
+    proj2 = proj1.select("__y", *names, F.exp(eta).alias("__mu"))
+    mu = F.col("__mu")
+    yd = F.col("__y")
+    resid = yd / mu - F.lit(1.0)
+    xs = [F.lit(1.0)] + [F.col(nm) for nm in names]
+    d38 = "decimal(38,12)"
+    term_cols = []
+    for j2, xj in enumerate(xs):
+        term_cols.append(
+            F.round(resid * xj, 12).cast(d38).alias(f"__tg_{j2}")
+        )
+        for i in range(j2, len(xs)):
+            term_cols.append(
+                F.round(xj * xs[i], 12).cast(d38).alias(f"__th_{j2}_{i}")
+            )
+    pe = (yd - mu) / mu
+    term_cols.append(F.round(pe * pe, 12).cast(d38).alias("__tpe"))
+    dev = F.lit(2.0) * (-F.log(yd / mu) + (yd - mu) / mu)
+    term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
+    proj3 = proj2.select("__y", *term_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j2 in range(len(xs)):
+        aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
+        for i in range(j2, len(xs)):
+            aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
+    aggs.append(F.sum("__tpe").alias("pearson"))
+    aggs.append(F.sum("__tdev").alias("dev"))
+    aggs.append(F.min(yd).alias("ymin"))
+    return proj3.agg(*aggs).collect()[0].asDict()
+
+
+def gamma_finalize(
+    mom: dict, beta: list[float], x_cols: list[str], n_iter: int
+) -> dict:
+    """Final Gamma-GLM readout: SEs scale the information inverse by
+    the Pearson dispersion ``φ̂ = Σ((y−μ)/μ)²/(n−p−1)`` (statsmodels
+    ``Gamma(log)`` with ``scale='X2'``).  Shared by the operator and
+    the oracle builder."""
+    import numpy as np
+
+    p = len(x_cols)
+    n = int(mom["n"])
+    df_resid = n - p - 1
+    if df_resid <= 0:
+        raise ValueError(f"gamma: n={n} rows cannot fit {p + 1} parameters")
+    h = np.zeros((p + 1, p + 1))
+    for j2 in range(p + 1):
+        for i in range(j2, p + 1):
+            h[j2, i] = h[i, j2] = float(mom[f"h_{j2}_{i}"])
+    try:
+        inv = np.linalg.inv(h)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            f"gamma: singular information matrix: {exc}"
+        ) from exc
+    phi = float(mom["pearson"]) / df_resid
+    se = [
+        float(np.sqrt(max(0.0, phi * inv[j, j]))) for j in range(p + 1)
+    ]
+    return {
+        "terms": ["_intercept", *x_cols],
+        "coef": [round(float(b), 6) for b in beta],
+        "std_err": [round(s, 6) for s in se],
+        "z_stat": [
+            round(float(b) / s, 6) if s > 0 else None
+            for b, s in zip(beta, se)
+        ],
+        "n": n,
+        "dispersion": round(phi, 6),
+        "mean_deviance": round(float(mom["dev"]) / n, 6),
+        "n_iter": n_iter,
+    }
+
+
+def gamma_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    n_iter: int = N_IRLS_ITER,
+) -> DataFrame:
+    """Gamma regression with log link via unrolled Fisher scoring —
+    the POSITIVE-CONTINUOUS member of the GLM family (statsmodels
+    ``GLM(family=Gamma(link=Log()))`` with Pearson-χ² scale parity at
+    convergence): revenue per order, latency, claim size — responses
+    whose noise scales with the mean, where OLS on ln(y) answers the
+    wrong question (E[ln y] ≠ ln E[y]).
+
+    Scale shape: ``n_iter + 1`` distributed passes, each ONE 1-row
+    partial-aggregated scan at the current β literals — identical
+    discipline and exchanges as :func:`poisson_report`, with the SAME
+    shared mean-matched warm start (at β = 0, ``g₀ = Σ(y−1)`` again,
+    so :func:`poisson_warm_start` reads ȳ unchanged) and the shared
+    ``logistic_step`` Newton update; the oracle replays the pass SQL
+    through the same shared step/finalize, one float trajectory.
+    Requires y > 0.  Returns one row per term ``(term, coef, std_err,
+    z_stat)``."""
+    if not x_cols:
+        raise ValueError("gamma: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"gamma: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    cond = _finite(y_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.localCheckpoint(eager=False)
+    p = len(x_cols)
+    beta = [0.0] * (p + 1)
+    for it in range(n_iter):
+        last = _gamma_pass(base, y_col, x_cols, beta)
+        if it == 0 and (last["ymin"] is None or last["ymin"] <= 0.0):
+            raise ValueError(
+                "gamma: label must be strictly positive, "
+                f"got min {last['ymin']}"
+            )
+        if it == 0:
+            beta = poisson_warm_start(last, p)
+        else:
+            beta = logistic_step(last, beta, p)
+    final = _gamma_pass(base, y_col, x_cols, beta)
+    sol = gamma_finalize(final, beta, x_cols, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        list(zip(sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"])),
+        "term string, coef double, std_err double, z_stat double",
+    )

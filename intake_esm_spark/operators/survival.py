@@ -319,6 +319,7 @@ def _cox_base(
     duration_col: str,
     event_col: str,
     x_cols: list[str],
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """The shared Cox subject frame: complete-case filter, 6dp-quantized
     duration/covariates, repartitioned to full parallelism (a small
@@ -338,6 +339,7 @@ def _cox_base(
     for c in x_cols:
         cond = cond & _finite(c)
     base = df.filter(cond).select(
+        *(id_cols or []),
         F.round(F.col(duration_col).cast("double"), 6).alias("__t"),
         F.col(event_col).cast("int").alias("__e"),
         *[
@@ -496,4 +498,87 @@ def cox_baseline_hazard(
         F.col("__d").cast("long").alias("n_events"),
         F.round(h0, 6).alias("cum_hazard"),
         F.round(F.exp(-h0), 6).alias("baseline_survival"),
+    )
+
+
+def cox_predict_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_cols: list[str],
+    horizon: float,
+    id_cols: list[str],
+    n_iter: int = 8,
+) -> DataFrame:
+    """Per-subject survival prediction at a horizon from the fitted
+    Cox model — the scoring surface (lifelines
+    ``predict_survival_function(times=[τ])``): ``S(τ|x) =
+    exp(−H₀(τ)·exp(βᵀx))`` with ``H₀`` the Breslow baseline of
+    :func:`cox_baseline_hazard` — "which CURRENT users are most likely
+    to convert within a day", ranked by a model that used the censored
+    rows correctly.
+
+    Scale shape: the shared :func:`_cox_fit` trajectory (``n_iter``
+    passes), then ONE more subject scan for the per-time Breslow
+    increments, where ``H₀(τ)`` is ONE bounded 1-row exact-decimal sum
+    of the 12dp increments at ``t ≤ τ`` (the full baseline is NEVER
+    collected — at 100 TB distinct event times can be corpus-sized),
+    and finally a pure per-row projection over the pinned subject
+    frame (no exchange): ``risk = exp(βᵀx)`` at literal β, ``S =
+    exp(−H₀(τ)·risk)``.  Determinism: H₀(τ) is a float of an exact
+    decimal; risk/survival are fixed IEEE expressions 6dp-rounded —
+    the oracle replays the identical SQL at the same literals.
+    Returns one row per complete-case subject ``(*id_cols,
+    risk_score, survival_at_horizon)``."""
+    import math
+
+    if not (math.isfinite(horizon) and horizon >= 0):
+        raise ValueError(
+            f"cox: horizon must be finite and >= 0, got {horizon}"
+        )
+    if not id_cols:
+        raise ValueError("cox: need at least one id column to score")
+    from .ranks import bucketed_cumsum
+
+    base = _cox_base(
+        df, duration_col, event_col, x_cols, id_cols=id_cols
+    )
+    beta = _cox_fit(base, x_cols, n_iter)
+    names = [f"__x{i}" for i in range(len(x_cols))]
+    eta = F.lit(0.0)
+    for bj, nm in zip(beta, names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    d38 = "decimal(38,12)"
+    proj = base.select(
+        "__t", "__e", F.round(F.exp(eta), 12).cast(d38).alias("__r0")
+    )
+    per_time = proj.groupBy("__t").agg(
+        F.sum("__e").alias("__d"), F.sum("__r0").alias("__r0")
+    )
+    cum = bucketed_cumsum(
+        per_time, ["__r0"], val_col="__t", descending=True
+    )
+    h0row = (
+        cum.filter(
+            (F.col("__d") > 0) & (F.col("__t") <= F.lit(float(horizon)))
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("__d").cast("double")
+                    / F.col("__cum___r0").cast("double"),
+                    12,
+                ).cast(d38)
+            ).alias("__h")
+        )
+        .collect()[0]
+    )
+    h0tau = float(h0row["__h"]) if h0row["__h"] is not None else 0.0
+    risk = F.exp(eta)
+    return base.select(
+        *id_cols,
+        F.round(risk, 6).alias("risk_score"),
+        F.round(F.exp(-F.lit(h0tau) * risk), 6).alias(
+            "survival_at_horizon"
+        ),
     )

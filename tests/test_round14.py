@@ -419,3 +419,145 @@ def test_derived_probe_is_bounded(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="not a variable column"):
         reg.update_datasets({"k": df}, "variable")
+
+
+# ---- Gamma GLM (log link) ---------------------------------------------------
+
+
+def _gamma_ref(y, X, iters=60):
+    """First-principles Gamma(log) Fisher scoring: score (y/mu-1)x,
+    constant information X'X, Pearson-chi2 dispersion in the SEs."""
+    Xd = np.column_stack([np.ones(len(y)), X])
+    b = np.zeros(Xd.shape[1])
+    b[0] = np.log(y.mean())
+    xtx = Xd.T @ Xd
+    for _ in range(iters):
+        mu = np.exp(np.clip(Xd @ b, -50, 50))
+        b = b + np.linalg.solve(xtx, Xd.T @ (y / mu - 1.0))
+    mu = np.exp(np.clip(Xd @ b, -50, 50))
+    phi = float((((y - mu) / mu) ** 2).sum()) / (len(y) - Xd.shape[1])
+    se = np.sqrt(phi * np.diag(np.linalg.inv(xtx)))
+    return b, se, phi
+
+
+@pytest.fixture(scope="module")
+def gamma_frame(spark):
+    rng = np.random.RandomState(23)
+    n = 400
+    x1 = rng.uniform(0, 3, n).round(4)
+    x2 = rng.normal(0, 1, n).round(4)
+    mu = np.exp(1.0 + 0.6 * x1 - 0.4 * x2)
+    shape = 4.0  # dispersion 1/4
+    y = np.round(rng.gamma(shape, mu / shape), 6)
+    y = np.maximum(y, 1e-4)
+    df = spark.createDataFrame(
+        list(zip(map(float, y), map(float, x1), map(float, x2))),
+        "y double, x1 double, x2 double",
+    )
+    return df, y, np.column_stack([np.round(x1, 6), np.round(x2, 6)])
+
+
+def test_gamma_matches_first_principles(spark, gamma_frame):
+    from intake_esm_spark.operators.regression import gamma_report
+
+    df, y, X = gamma_frame
+    got = {
+        r["term"]: r for r in gamma_report(df, "y", ["x1", "x2"]).collect()
+    }
+    b, se, _ = _gamma_ref(y, X)
+    for i, term in enumerate(["_intercept", "x1", "x2"]):
+        assert got[term]["coef"] == pytest.approx(b[i], abs=2e-4), term
+        assert got[term]["std_err"] == pytest.approx(se[i], abs=2e-4), term
+
+
+def test_gamma_guards(spark):
+    from intake_esm_spark.operators.regression import gamma_report
+
+    df = spark.createDataFrame(
+        [(0.0, 0.5), (2.0, 1.0), (3.0, 1.5)], "y double, x double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        gamma_report(df, "y", ["x"], n_iter=2)
+    with pytest.raises(ValueError, match="at least one feature"):
+        gamma_report(df, "y", [])
+
+
+# ---- Cox survival prediction ------------------------------------------------
+
+
+def test_cox_predict_matches_first_principles(spark, cox_frame):
+    from intake_esm_spark.operators.survival import cox_predict_survival
+
+    df, tt, e, X = cox_frame
+    # content-derived join key via fixed-scale decimal strings (raw
+    # double->string diverges between Java and Python for |v| < 1e-3)
+    rows = cox_predict_survival(
+        df.select(
+            F.concat_ws(
+                "|",
+                F.col("x1").cast("decimal(12,4)").cast("string"),
+                F.col("x2").cast("decimal(12,4)").cast("string"),
+                F.col("dur").cast("decimal(14,2)").cast("string"),
+            ).alias("key"),
+            "dur", "ev", "x1", "x2",
+        ),
+        "dur", "ev", ["x1", "x2"], horizon=1.0, id_cols=["key"],
+    ).collect()
+    assert len(rows) == len(tt)
+    b = _cox_ref_fit(np.round(tt, 6), e, X)
+    H = _breslow_baseline_ref(np.round(tt, 6), e, X, b)
+    ev_times = np.array(sorted(H))
+    h0tau = (
+        H[float(ev_times[ev_times <= 1.0].max())]
+        if (ev_times <= 1.0).any()
+        else 0.0
+    )
+    ref = {}
+    for ti, x in zip(np.round(tt, 6), X):
+        key = "|".join(
+            [
+                f"{float(x[0]) + 0.0:.4f}",
+                f"{float(x[1]) + 0.0:.4f}",
+                f"{float(ti) + 0.0:.2f}",
+            ]
+        )
+        risk = float(np.exp(x @ b))
+        ref[key] = (risk, float(np.exp(-h0tau * risk)))
+    for r in rows:
+        rr, rs = ref[r["key"]]
+        assert r["risk_score"] == pytest.approx(rr, abs=2e-3), r["key"]
+        assert r["survival_at_horizon"] == pytest.approx(rs, abs=2e-3)
+
+
+def test_cox_predict_invariants_and_guards(spark, cox_frame):
+    from intake_esm_spark.operators.survival import cox_predict_survival
+
+    df, tt, e, _ = cox_frame
+    keyed = df.withColumn("k", F.expr("uuid()"))
+    out = cox_predict_survival(
+        keyed, "dur", "ev", ["x1", "x2"], horizon=0.5, id_cols=["k"]
+    )
+    rows = out.collect()
+    assert len(rows) == len(tt)
+    assert all(0.0 <= r["survival_at_horizon"] <= 1.0 for r in rows)
+    assert all(r["risk_score"] > 0 for r in rows)
+    # a later horizon can only lower every subject's survival
+    later = {
+        r["k"]: r["survival_at_horizon"]
+        for r in cox_predict_survival(
+            keyed, "dur", "ev", ["x1", "x2"], horizon=5.0, id_cols=["k"]
+        ).collect()
+    }
+    # keys differ across runs (uuid is per-action) — compare via sorted
+    # score multisets instead
+    early = sorted(r["survival_at_horizon"] for r in rows)
+    late = sorted(later.values())
+    assert np.mean(late) <= np.mean(early) + 1e-9
+    with pytest.raises(ValueError, match="horizon"):
+        cox_predict_survival(
+            df, "dur", "ev", ["x1"], horizon=float("nan"), id_cols=["dur"]
+        )
+    with pytest.raises(ValueError, match="id column"):
+        cox_predict_survival(
+            df, "dur", "ev", ["x1"], horizon=1.0, id_cols=[]
+        )
