@@ -3196,6 +3196,30 @@ def q_events_cox_predict(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_weibull(spark: SparkSession, sf: str) -> DataFrame:
+    """Weibull AFT time-to-first-purchase regression
+    (operators/survival.py weibull_aft_report, round 14 — lifelines
+    WeibullAFTFitter / R survreg parity at convergence): the
+    PARAMETRIC member of the survival family over the shared Cox
+    subject frame, durations shifted +1 s (AFT needs t > 0; same-
+    second conversions otherwise have ln 0). 12 unrolled passes, each
+    ONE 1-row partial-agged scan of score/information sums at the
+    theta literals (1/sigma as a driver literal, z clamped +/-30);
+    pass 0 is the Gumbel moment-matched warm start from exact decimal
+    sum(ln t) sidecars, the rest the shared damped_newton_step with
+    the FIXED 1/4,1/4,1/2,1/2,1,... schedule (raw Newton measurably
+    diverges; a fixed schedule is deterministic and replayable).
+    Oracle: the identical pass SQL looped in DuckDB through the same
+    shared warm-start/step (_build_weibull_oracle)."""
+    from intake_esm_spark.operators.survival import weibull_aft_report
+
+    subjects = _cox_subjects(spark, sf)
+    frame = subjects.select(
+        (F.col("dur") + F.lit(1.0)).alias("t1"), "ev", "x1", "x2"
+    )
+    return weibull_aft_report(frame, "t1", "ev", ["x1", "x2"])
+
+
 def q_lineitem_vif(spark: SparkSession, sf: str) -> DataFrame:
     """Variance-inflation factors over (quantity, extendedprice,
     discount) — the collinearity diagnostic to run BEFORE ols_report
@@ -5485,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robust regression, Gamma GLM (log link).
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
+        "events_weibull": q_events_weibull,
         "lineitem_negbin": q_lineitem_negbin,
         "lineitem_huber": q_lineitem_huber,
         "lineitem_gamma": q_lineitem_gamma,
@@ -5543,8 +5568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "q6_forecast_revenue": q6_forecast_revenue,
         "pivot_returnflag": q_pivot_returnflag,
-        "cube_agg": q_cube_agg,
         # -- rotation tail ---------------------------------------------
+        # cube_agg leads it: position 51 after events_weibull joined
+        # the head (r12-checked, first in next round's freshness queue).
+        "cube_agg": q_cube_agg,
         # Driver-checked in r13 (the r13 head-50), unchanged this
         # round; they re-enter the freshness queue behind the rows the
         # head now covers.
@@ -13710,6 +13737,9 @@ def oracle_sql() -> dict[str, str]:
     # events_cox_predict (round 14): the shared trajectory + the
     # bounded H0(tau) probe + a literal-beta per-subject SELECT
     d["events_cox_predict"] = _build_cox_predict_oracle()
+    # events_weibull (round 14): the damped-Newton AFT trajectory
+    # through the shared warm-start/step helpers
+    d["events_weibull"] = _build_weibull_oracle()
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -14797,6 +14827,124 @@ def _build_cox_baseline_oracle() -> str:
         " round(exp(-CAST(H0 AS DOUBLE)), 6) AS baseline_survival"
         " FROM hh"
     )
+
+
+def _build_weibull_oracle() -> str:
+    """Oracle for events_weibull: the Weibull-AFT pass SQL (6dp ln t
+    over the shared Cox subject CTE shifted +1 s, ±30 z clamp, 1/σ as
+    a Python-computed literal, 12dp decimal term sums — text-for-text
+    the operator's projection) looped in DuckDB through the SAME
+    shared ``weibull_warm_start`` / ``damped_newton_step`` with the
+    same fixed damping schedule, one float trajectory."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from intake_esm_spark.operators.regression import damped_newton_step
+    from intake_esm_spark.operators.survival import (
+        WEIBULL_DAMPING,
+        weibull_warm_start,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    subj = _cox_oracle_subject_cte(sf_dir)
+    p = 2
+    n_iter = 12
+    d38 = "DECIMAL(38,12)"
+    xs = ["1.0", "xa", "xb"]
+
+    def pass_sql(theta: list[float]) -> str:
+        s = float(theta[p + 1])
+        inv_s = repr(math.exp(-s))
+        inv_s2 = repr(math.exp(-s) * math.exp(-s))
+        eta = repr(float(theta[0]))
+        for bj, c in zip(theta[1 : p + 1], ["xa", "xb"]):
+            eta = f"{eta} + {float(bj)!r} * {c}"
+        pre = (
+            subj
+            + ", f AS (SELECT t + 1.0 AS tt,"
+            " round(ln(t + 1.0), 6) AS lt,"
+            " CAST(e AS DOUBLE) AS ed, e, xa, xb FROM q),"
+            " m AS (SELECT tt, lt, ed, e, xa, xb,"
+            f" greatest(least((lt - ({eta})) * {inv_s}, 30.0), -30.0)"
+            " AS z FROM f),"
+            " mw AS (SELECT tt, lt, ed, e, xa, xb, z, exp(z) AS w"
+            " FROM m)"
+        )
+        terms = ["count(*) AS n"]
+        for j2 in range(p + 1):
+            terms.append(
+                f"sum(CAST(round((w - ed) * {xs[j2]} * {inv_s}, 12)"
+                f" AS {d38})) AS g_{j2}"
+            )
+            for i in range(j2, p + 1):
+                terms.append(
+                    f"sum(CAST(round(w * {xs[j2]} * {xs[i]} * {inv_s2},"
+                    f" 12) AS {d38})) AS h_{j2}_{i}"
+                )
+            terms.append(
+                f"sum(CAST(round({xs[j2]} * (w * z + w - ed) * {inv_s},"
+                f" 12) AS {d38})) AS h_{j2}_{p + 1}"
+            )
+        terms.append(
+            f"sum(CAST(round((w - ed) * z - ed, 12) AS {d38}))"
+            f" AS g_{p + 1}"
+        )
+        terms.append(
+            f"sum(CAST(round(z * (w * z + w - ed), 12) AS {d38}))"
+            f" AS h_{p + 1}_{p + 1}"
+        )
+        terms.append("sum(CAST(lt AS DECIMAL(18,6))) AS slt")
+        terms.append(
+            f"sum(CAST(round(lt * lt, 12) AS {d38})) AS sltt"
+        )
+        terms.append("min(tt) AS tmin")
+        terms.append("sum(e) AS n_events")
+        return pre + " SELECT " + ", ".join(terms) + " FROM mw"
+
+    con = duckdb.connect()
+
+    def run(sql: str) -> dict:
+        cur = con.execute(sql)
+        return dict(
+            zip([d0[0] for d0 in cur.description], cur.fetchone())
+        )
+
+    alphas = list(WEIBULL_DAMPING) + [1.0] * (
+        n_iter - 1 - len(WEIBULL_DAMPING)
+    )
+    theta = [0.0] * (p + 2)
+    for it in range(n_iter):
+        mom = run(pass_sql(theta))
+        theta = (
+            weibull_warm_start(mom, p)
+            if it == 0
+            else damped_newton_step(mom, theta, p + 1, alphas[it - 1])
+        )
+    final = run(pass_sql(theta))
+    k = p + 2
+    hmat = np.zeros((k, k))
+    for j2 in range(k):
+        for i in range(j2, k):
+            hmat[j2, i] = hmat[i, j2] = float(final[f"h_{j2}_{i}"])
+    inv = np.linalg.inv(hmat)
+    se = [float(np.sqrt(max(0.0, inv[j, j]))) for j in range(k)]
+    lit = _ols_lit
+    rows = []
+    for t, b, sv in zip(
+        ["_intercept", "x1", "x2", "_ln_sigma"], theta, se
+    ):
+        cf = round(float(b), 6)
+        sr = round(sv, 6)
+        z = round(float(b) / sv, 6) if sv > 0 else None
+        rows.append(
+            f"SELECT '{t}' AS term, {lit(cf)} AS coef,"
+            f" {lit(sr)} AS std_err, {lit(z)} AS z_stat"
+        )
+    return " UNION ALL ".join(rows)
 
 
 def _build_cox_predict_oracle() -> str:

@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "embed_pca_fast",
     "events_cox_baseline",
     "events_cox_predict",
+    "events_weibull",
     "lineitem_negbin",
     "lineitem_huber",
     "lineitem_gamma",

@@ -2020,3 +2020,36 @@ def gamma_report(
         list(zip(sol["terms"], sol["coef"], sol["std_err"], sol["z_stat"])),
         "term string, coef double, std_err double, z_stat double",
     )
+
+
+def damped_newton_step(
+    mom: dict, theta: list[float], k: int, alpha: float
+) -> list[float]:
+    """One DAMPED Newton update ``θ' = θ + α·I⁻¹U`` over a pass's
+    exact-decimal sums (keys ``g_0..g_k`` / ``h_i_j`` — the
+    :func:`logistic_step` vocabulary, (k+1)-dimensional).  The fixed
+    fractional α schedule is the deterministic, oracle-replayable
+    stand-in for line search: raw Newton on the Weibull/Gumbel
+    likelihood overshoots from any moment-matched start (measured:
+    divergence to 1e25 within 5 full steps), while α = ¼,¼,½,½,1,…
+    converges on the same fixtures — and at α = 1 the update is
+    bit-identical to the undamped step (``1.0·d`` is exact in IEEE).
+    Shared by the Spark loop and the oracle builder."""
+    import numpy as np
+
+    h = np.zeros((k + 1, k + 1))
+    g = np.zeros(k + 1)
+    for j2 in range(k + 1):
+        g[j2] = float(mom[f"g_{j2}"])
+        for i in range(j2, k + 1):
+            h[j2, i] = h[i, j2] = float(mom[f"h_{j2}_{i}"])
+    cond = float(np.linalg.cond(h))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            "newton: singular or ill-conditioned information matrix "
+            f"(cond={cond:.3g})"
+        )
+    step = np.linalg.solve(h, g)
+    return [
+        float(t + float(alpha) * d) for t, d in zip(theta, step)
+    ]

@@ -582,3 +582,241 @@ def cox_predict_survival(
             "survival_at_horizon"
         ),
     )
+
+
+# -- Weibull AFT --------------------------------------------------------
+
+EULER_GAMMA = 0.5772156649015329
+WEIBULL_DAMPING = (0.25, 0.25, 0.5, 0.5)  # then 1.0 to n_iter
+
+
+def weibull_warm_start(mom: dict, p: int) -> list[float]:
+    """The deterministic pass-0 update for the Weibull AFT: Gumbel
+    moment matching on ln t — ``σ₀ = √(6·var)/π`` and ``β₀ = mean +
+    γ·σ₀`` (Gumbel-min has mean ``−γσ`` and variance ``σ²π²/6``), both
+    read from the pass's own exact decimal ``Σ ln t`` / ``Σ (ln t)²``
+    sidecars.  Raw Newton from any cruder start overshoots (see
+    :func:`~.regression.damped_newton_step`); this start plus the
+    fixed damping schedule converges on every tested fixture.  Shared
+    by the operator and the oracle builder."""
+    import math
+
+    n = int(mom["n"])
+    if n < p + 3:
+        raise ValueError(
+            f"weibull: n={n} rows cannot fit {p + 2} parameters"
+        )
+    m = float(mom["slt"]) / n
+    v = float(mom["sltt"]) / n - m * m
+    if not v > 0:
+        raise ValueError(
+            "weibull: zero variance in ln(duration) — nothing to fit"
+        )
+    s0 = math.log(math.sqrt(6.0 * v) / math.pi)
+    b0 = m + EULER_GAMMA * math.exp(s0)
+    return [b0] + [0.0] * p + [s0]
+
+
+def _weibull_pass(
+    base: DataFrame, p: int, theta: list[float]
+) -> dict:
+    """One distributed Weibull-AFT Newton pass at literal ``theta =
+    (β₀..β_p, s=ln σ)`` over the prepared frame (``__t`` raw, ``__lt``
+    = 6dp ln duration, ``__e``, ``__x1..__xp``): with ``z = (ln t −
+    η)/σ`` (clamped ±30 before exp — replayed verbatim) and ``w =
+    eᶻ``, the score is ``U_j = Σ(w−e)x_j/σ``, ``U_s = Σ[(w−e)z − e]``
+    and the observed information ``I_jj' = Σ w·x_j·x_j'/σ²``,
+    ``I_js = Σ x_j(wz+w−e)/σ``, ``I_ss = Σ z(wz+w−e)`` (1/σ and 1/σ²
+    are DRIVER-computed literals, so every in-row expression is one
+    fixed IEEE tree both engines evaluate).  Keys follow the
+    ``logistic_step`` convention with s as coordinate p+1; every term
+    12dp-decimal-quantized in a projection below the aggregate — ONE
+    1-row partial-aggregated scan.  Sidecars: n, min duration (must
+    be > 0), and the exact decimal ``Σ ln t`` / ``Σ (ln t)²`` the
+    moment-matched warm start reads."""
+    import math
+
+    names = [f"__x{i + 1}" for i in range(p)]
+    s = float(theta[p + 1])
+    inv_s = math.exp(-s)
+    inv_s2 = inv_s * inv_s
+    eta = F.lit(float(theta[0]))
+    for bj, nm in zip(theta[1 : p + 1], names):
+        eta = eta + F.lit(float(bj)) * F.col(nm)
+    z_raw = (F.col("__lt") - eta) * F.lit(inv_s)
+    z = F.greatest(F.least(z_raw, F.lit(30.0)), F.lit(-30.0))
+    proj1 = base.select(
+        "__t", "__lt", "__e", *names, z.alias("__z")
+    )
+    zc = F.col("__z")
+    w = F.exp(zc)
+    proj2 = proj1.select(
+        "__t", "__lt", "__e", *names, "__z", w.alias("__w")
+    )
+    wc = F.col("__w")
+    ec = F.col("__e").cast("double")
+    xs = [F.lit(1.0)] + [F.col(nm) for nm in names]
+    d38 = "decimal(38,12)"
+    term_cols = []
+    for j2 in range(p + 1):
+        term_cols.append(
+            F.round((wc - ec) * xs[j2] * F.lit(inv_s), 12)
+            .cast(d38)
+            .alias(f"__tg_{j2}")
+        )
+        for i in range(j2, p + 1):
+            term_cols.append(
+                F.round(wc * xs[j2] * xs[i] * F.lit(inv_s2), 12)
+                .cast(d38)
+                .alias(f"__th_{j2}_{i}")
+            )
+        term_cols.append(
+            F.round(
+                xs[j2] * (wc * zc + wc - ec) * F.lit(inv_s), 12
+            )
+            .cast(d38)
+            .alias(f"__th_{j2}_{p + 1}")
+        )
+    term_cols.append(
+        F.round((wc - ec) * zc - ec, 12).cast(d38).alias(
+            f"__tg_{p + 1}"
+        )
+    )
+    term_cols.append(
+        F.round(zc * (wc * zc + wc - ec), 12)
+        .cast(d38)
+        .alias(f"__th_{p + 1}_{p + 1}")
+    )
+    term_cols.append(F.col("__lt").cast("decimal(18,6)").alias("__tlt"))
+    term_cols.append(
+        F.round(F.col("__lt") * F.col("__lt"), 12)
+        .cast(d38)
+        .alias("__tltt")
+    )
+    term_cols.append(F.col("__t"))
+    term_cols.append(F.col("__e").alias("__te"))
+    proj3 = proj2.select(*term_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j2 in range(p + 2):
+        aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
+        for i in range(j2, p + 2):
+            aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
+    aggs.append(F.sum("__tlt").alias("slt"))
+    aggs.append(F.sum("__tltt").alias("sltt"))
+    aggs.append(F.min("__t").alias("tmin"))
+    aggs.append(F.sum("__te").alias("n_events"))
+    return proj3.agg(*aggs).collect()[0].asDict()
+
+
+def weibull_aft_report(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_cols: list[str],
+    n_iter: int = 12,
+) -> DataFrame:
+    """Weibull accelerated-failure-time regression via unrolled DAMPED
+    Newton — the PARAMETRIC member of the survival family (KM is
+    nonparametric, Cox semi-parametric, AFT fully parametric;
+    lifelines ``WeibullAFTFitter`` / R ``survreg(dist='weibull')``
+    parity at convergence): ``ln T = β₀ + βᵀx + σ·G`` with Gumbel-min
+    noise, so a coefficient reads DIRECTLY as a time multiplier —
+    ``e^{β_j}`` stretches (>1) or compresses (<1) the whole lifetime,
+    censored rows contributing exactly their survival mass.
+
+    Scale shape: ``n_iter + 1`` distributed passes, each ONE 1-row
+    partial-aggregated scan of score/information sums at the current θ
+    literals (identical exchange discipline to the GLM family; 1/σ
+    enters as a driver-computed literal).  Pass 0 is the moment-matched
+    Gumbel warm start (:func:`weibull_warm_start`, from the pass's own
+    exact ``Σ ln t`` sidecars); the remaining updates run the shared
+    :func:`~.regression.damped_newton_step` with the FIXED ¼,¼,½,½,1,…
+    schedule — raw Newton on this likelihood measurably diverges, and a
+    fixed schedule (unlike line search) is deterministic and
+    oracle-replayable.  Determinism: 6dp ``ln t``/covariates, ±30 z
+    clamp before exp, every term 12dp-decimal-quantized — one float
+    trajectory across engines.  Durations must be > 0 (shift zeros
+    upstream); requires ≥ 1 event.  Returns one row per parameter
+    ``(term, coef, std_err, z_stat)`` — ``_intercept``, each covariate,
+    and ``_ln_sigma`` (σ < 1 ⇔ hazard rising with age)."""
+    import numpy as np
+
+    from .regression import MAX_FEATURES, _finite, damped_newton_step
+
+    if not x_cols:
+        raise ValueError("weibull: need at least one covariate")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"weibull: {len(x_cols)} covariates exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    if n_iter < len(WEIBULL_DAMPING) + 1:
+        raise ValueError(
+            f"weibull: n_iter must cover the damping schedule "
+            f"(>= {len(WEIBULL_DAMPING) + 1}), got {n_iter}"
+        )
+    cond = _finite(duration_col) & _finite(event_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond).select(
+        F.col(duration_col).cast("double").alias("__t"),
+        F.round(F.log(F.col(duration_col).cast("double")), 6).alias(
+            "__lt"
+        ),
+        F.col(event_col).cast("int").alias("__e"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(f"__x{i + 1}")
+            for i, c in enumerate(x_cols)
+        ],
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.localCheckpoint(eager=False)
+    p = len(x_cols)
+    alphas = list(WEIBULL_DAMPING) + [1.0] * max(
+        0, n_iter - 1 - len(WEIBULL_DAMPING)
+    )
+    theta = [0.0] * (p + 2)
+    for it in range(n_iter):
+        mom = _weibull_pass(base, p, theta)
+        if it == 0:
+            if mom["tmin"] is None or not mom["tmin"] > 0:
+                raise ValueError(
+                    "weibull: durations must be strictly positive, "
+                    f"got min {mom['tmin']} — shift zeros upstream"
+                )
+            if not mom["n_events"]:
+                raise ValueError("weibull: no events — nothing to fit")
+            theta = weibull_warm_start(mom, p)
+        else:
+            theta = damped_newton_step(
+                mom, theta, p + 1, alphas[it - 1]
+            )
+    final = _weibull_pass(base, p, theta)
+    k = p + 2
+    h = np.zeros((k, k))
+    for j2 in range(k):
+        for i in range(j2, k):
+            h[j2, i] = h[i, j2] = float(final[f"h_{j2}_{i}"])
+    try:
+        inv = np.linalg.inv(h)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            f"weibull: singular information at the final iterate: {exc}"
+        ) from exc
+    se = [float(np.sqrt(max(0.0, inv[j, j]))) for j in range(k)]
+    terms = ["_intercept", *x_cols, "_ln_sigma"]
+    rows = [
+        (
+            t,
+            round(float(b), 6),
+            round(sv, 6),
+            round(float(b) / sv, 6) if sv > 0 else None,
+        )
+        for t, b, sv in zip(terms, theta, se)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "term string, coef double, std_err double, z_stat double",
+    )
