@@ -3220,6 +3220,23 @@ def q_events_weibull(spark: SparkSession, sf: str) -> DataFrame:
     return weibull_aft_report(frame, "t1", "ev", ["x1", "x2"])
 
 
+def q_events_rmst(spark: SparkSession, sf: str) -> DataFrame:
+    """Restricted mean survival time at a 1-day horizon over the Cox
+    subject frame (operators/survival.py rmst_report, round 14 —
+    lifelines restricted_mean_survival_time / R survRM2): area under
+    the 6dp KM curve to tau=86400 s with the Greenwood-style SE from
+    suffix areas. Scale shape: the km_survival bucketed construction
+    (at-risk reverse cumulative + survival log-sum + time rank in the
+    SAME passes), successive times paired by a rank-keyed equi-join
+    (never a lead window), suffix areas via one DESCENDING bucketed
+    cumsum, a 1-row finish. Oracle: the identical computation as one
+    static window-SQL replay (_build_rmst_oracle)."""
+    from intake_esm_spark.operators.survival import rmst_report
+
+    subjects = _cox_subjects(spark, sf)
+    return rmst_report(subjects, "dur", "ev", tau=86400.0)
+
+
 def q_lineitem_vif(spark: SparkSession, sf: str) -> DataFrame:
     """Variance-inflation factors over (quantity, extendedprice,
     discount) — the collinearity diagnostic to run BEFORE ols_report
@@ -5510,6 +5527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
+        "events_rmst": q_events_rmst,
         "lineitem_negbin": q_lineitem_negbin,
         "lineitem_huber": q_lineitem_huber,
         "lineitem_gamma": q_lineitem_gamma,
@@ -5567,10 +5585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "pivot_returnflag": q_pivot_returnflag,
         # -- rotation tail ---------------------------------------------
-        # cube_agg leads it: position 51 after events_weibull joined
-        # the head (r12-checked, first in next round's freshness queue).
+        # pivot_returnflag/cube_agg lead it: positions 51-52 after
+        # events_weibull + events_rmst joined the head (r12-checked,
+        # first in next round's freshness queue).
+        "pivot_returnflag": q_pivot_returnflag,
         "cube_agg": q_cube_agg,
         # Driver-checked in r13 (the r13 head-50), unchanged this
         # round; they re-enter the freshness queue behind the rows the
@@ -13740,6 +13759,8 @@ def oracle_sql() -> dict[str, str]:
     # events_weibull (round 14): the damped-Newton AFT trajectory
     # through the shared warm-start/step helpers
     d["events_weibull"] = _build_weibull_oracle()
+    # events_rmst (round 14): one static window-SQL replay
+    d["events_rmst"] = _build_rmst_oracle()
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -14945,6 +14966,78 @@ def _build_weibull_oracle() -> str:
             f" {lit(sr)} AS std_err, {lit(z)} AS z_stat"
         )
     return " UNION ALL ".join(rows)
+
+
+def _build_rmst_oracle() -> str:
+    """Oracle for events_rmst: one static window-SQL replay of the
+    operator — the duration-grain collapse, at-risk reverse cumulative,
+    12dp log-term survival cumsum (the km oracle construction), 6dp S,
+    lead-by-rank segment areas as DECIMAL(18,6), DESC-cumsum suffix
+    areas, and the Greenwood-style variance terms — text-for-text the
+    operator's fixed IEEE expressions.  The subject frame replays
+    ``_cox_subjects`` (dur/ev only — rmst keeps rows the Cox
+    covariate filter would drop)."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tau = repr(86400.0)
+    dd = "CAST(d AS DOUBLE)"
+    nn = "CAST(nrisk AS DOUBLE)"
+    wasc = (
+        "OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    wdesc = (
+        "OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    h = f"{dd} / {nn}"
+    return (
+        "WITH pu AS (SELECT user_id, min(ts) AS f, max(ts) AS l,"
+        " min(CASE WHEN event_type = 'purchase' THEN ts END) AS p"
+        f" FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL"
+        " GROUP BY user_id),"
+        " subj AS (SELECT"
+        " CAST(floor(epoch(coalesce(p, l))) AS BIGINT)"
+        " - CAST(floor(epoch(f)) AS BIGINT) AS dur,"
+        " CAST(p IS NOT NULL AS INT) AS ev FROM pu),"
+        " qq AS (SELECT round(CAST(dur AS DOUBLE), 6) AS t, ev AS e"
+        " FROM subj WHERE dur IS NOT NULL AND ev IS NOT NULL),"
+        " pt AS (SELECT t, sum(e) AS d, count(*) AS c FROM qq"
+        " GROUP BY t),"
+        " meta AS (SELECT sum(c) AS tot, min(t) AS t1 FROM pt),"
+        f" c1 AS (SELECT t, d, c, sum(c) {wasc} AS cumc,"
+        f" row_number() OVER (ORDER BY t ASC) AS r FROM pt),"
+        " st AS (SELECT t, d, r,"
+        " (SELECT tot FROM meta) - cumc + c AS nrisk FROM c1),"
+        " lg AS (SELECT t, d, nrisk, r,"
+        f" CASE WHEN {h} < 1.0 THEN CAST(round(ln(1.0 - {h}), 12)"
+        " AS DECIMAL(28,12)) END AS lt2,"
+        f" CAST({h} >= 1.0 AS BIGINT) AS hz FROM st),"
+        f" c2 AS (SELECT t, d, nrisk, r, sum(lt2) {wasc} AS cumlt,"
+        f" sum(hz) {wasc} AS cumhz FROM lg),"
+        " sv AS (SELECT t, d, nrisk, r,"
+        " round(CASE WHEN coalesce(cumhz, 0) > 0 THEN 0.0"
+        " ELSE exp(coalesce(CAST(cumlt AS DOUBLE), 0.0)) END, 6)"
+        " AS s FROM c2),"
+        " seg AS (SELECT a.t AS t, a.d AS d, a.nrisk AS nrisk,"
+        f" CAST(round(a.s * greatest(least(coalesce(b.t, {tau}),"
+        f" {tau}) - a.t, 0.0), 6) AS DECIMAL(18,6)) AS a6"
+        " FROM sv a LEFT JOIN sv b ON b.r = a.r + 1),"
+        f" c3 AS (SELECT t, d, nrisk, a6, sum(a6) {wdesc} AS suf"
+        " FROM seg)"
+        f" SELECT {tau} AS tau,"
+        " CAST((SELECT tot FROM meta) AS BIGINT) AS n_subjects,"
+        f" CAST(coalesce(sum(CASE WHEN t <= {tau} THEN d END), 0)"
+        " AS BIGINT) AS n_events,"
+        f" round(least((SELECT t1 FROM meta), {tau})"
+        " + coalesce(CAST(sum(a6) AS DOUBLE), 0.0), 6) AS rmst,"
+        " round(sqrt(CAST(sum(CASE WHEN d > 0 AND t < "
+        f"{tau} AND nrisk > d THEN CAST(round({dd} / ({nn} * ({nn}"
+        f" - {dd})) * CAST(suf AS DOUBLE) * CAST(suf AS DOUBLE), 6)"
+        " AS DECIMAL(18,6)) END) AS DOUBLE)), 6) AS se"
+        " FROM c3"
+    )
 
 
 def _build_cox_predict_oracle() -> str:

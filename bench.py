@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "events_cox_baseline",
     "events_cox_predict",
     "events_weibull",
+    "events_rmst",
     "lineitem_negbin",
     "lineitem_huber",
     "lineitem_gamma",

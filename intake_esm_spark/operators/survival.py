@@ -820,3 +820,160 @@ def weibull_aft_report(
         rows,
         "term string, coef double, std_err double, z_stat double",
     )
+
+
+def rmst_report(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time — ``RMST(τ) = ∫₀^τ S(t)dt``, the
+    area under the KM curve up to the horizon (lifelines
+    ``restricted_mean_survival_time`` / R ``survRM2``): "how many
+    event-free seconds does an average subject accumulate in the first
+    τ" — the survival family's effect-size readout when median
+    survival is undefined (curves that never cross 0.5) and the
+    hazard-ratio assumption is suspect.  Variance via the standard
+    Greenwood-style estimator ``Σ_event times d/(n(n−d))·A(t)²`` with
+    ``A(t) = ∫_t^τ S du`` the suffix area.
+
+    Scale shape: one subject collapse to the distinct-duration grain,
+    the at-risk reverse cumulative + survival log-sum + time rank all
+    from bucketed prefix sums (the :func:`km_survival` construction —
+    never an unpartitioned window), successive times paired by a
+    RANK-KEYED equi-join (rank r ↔ r+1 — a plain shuffle join at the
+    duration grain, not a lead() window), suffix areas from ONE more
+    DESCENDING bucketed cumsum, and a 1-row final sum.  Determinism:
+    counts exact integers; the survival factor is the SAME
+    6dp-quantized S(t) column :func:`km_survival` emits (the estimator
+    is DEFINED over the 6dp KM curve — engine-exact by construction);
+    segment areas and variance terms 6dp-decimal-quantized before
+    their exact sums; one IEEE finish.  Null duration/event rows are
+    excluded; requires τ > 0.  Returns one row ``(tau, n_subjects,
+    n_events, rmst, se)`` (se null when no event time precedes τ)."""
+    import math
+
+    if not (math.isfinite(tau) and tau > 0):
+        raise ValueError(f"rmst: tau must be finite and > 0, got {tau}")
+    from .ranks import bucketed_cumsum
+
+    obs = subjects.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.round(F.col(duration_col).cast("double"), 6).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per_t = (
+        obs.groupBy("__t")
+        .agg(
+            F.sum("__e").alias("__d"),
+            F.count(F.lit(1)).alias("__n_at_t"),
+        )
+        .withColumn("__one", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    meta = per_t.agg(
+        F.coalesce(F.sum("__n_at_t"), F.lit(0)).alias("__tot"),
+        F.min(F.col("__t").cast("double")).alias("__lo_t"),
+        F.max(F.col("__t").cast("double")).alias("__hi_t"),
+    )
+    # counts + time rank in ONE bucketed pass off the broadcast bounds
+    cum1 = bucketed_cumsum(
+        per_t.crossJoin(F.broadcast(meta)),
+        ["__n_at_t", "__one"],
+        val_col="__t",
+        bounds=("__lo_t", "__hi_t"),
+    )
+    staged = cum1.withColumn(
+        "__n_risk",
+        F.col("__tot") - F.col("__cum___n_at_t") + F.col("__n_at_t"),
+    ).withColumn("__r", F.col("__cum___one"))
+    h = F.col("__d").cast("double") / F.col("__n_risk").cast("double")
+    staged = staged.withColumn(
+        "__lt2",
+        F.when(h < 1.0, F.round(F.log(F.lit(1.0) - h), 12)).cast(
+            "decimal(28,12)"
+        ),
+    ).withColumn("__hz", (h >= 1.0).cast("bigint"))
+    cum2 = bucketed_cumsum(
+        staged,
+        ["__lt2", "__hz"],
+        val_col="__t",
+        bounds=("__lo_t", "__hi_t"),
+    )
+    surv = F.when(
+        F.coalesce(F.col("__cum___hz"), F.lit(0)) > 0, F.lit(0.0)
+    ).otherwise(
+        F.exp(F.coalesce(F.col("__cum___lt2").cast("double"), F.lit(0.0)))
+    )
+    cur = cum2.select(
+        "__t",
+        "__d",
+        "__n_risk",
+        "__r",
+        "__tot",
+        "__lo_t",
+        "__hi_t",
+        F.round(surv, 6).alias("__s"),
+    ).localCheckpoint(eager=False)
+    # successive times by a rank-keyed equi-join (never a lead window)
+    nxt = cur.select(
+        (F.col("__r") - F.lit(1)).alias("__jr"),
+        F.col("__t").alias("__t_next"),
+    )
+    tl = F.lit(float(tau))
+    seg = cur.join(nxt, F.col("__r") == F.col("__jr"), "left")
+    # segment [t_i, min(t_{i+1}, tau)) at the post-event S(t_i); the
+    # last segment runs to tau; pre-first-time mass is min(t_1, tau)·1
+    upper = F.least(F.coalesce(F.col("__t_next"), tl), tl)
+    a = F.col("__s") * F.greatest(
+        upper - F.col("__t"), F.lit(0.0)
+    )
+    seg = seg.withColumn(
+        "__a", F.round(a, 6).cast("decimal(18,6)")
+    )
+    cum3 = bucketed_cumsum(
+        seg,
+        ["__a"],
+        val_col="__t",
+        descending=True,
+        bounds=("__lo_t", "__hi_t"),
+    )
+    # suffix area A(t_i) = sum_{j >= i} a_j (exact decimal); variance
+    # term only at event times strictly below tau with n > d
+    A = F.col("__cum___a").cast("double")
+    dd = F.col("__d").cast("double")
+    nn = F.col("__n_risk").cast("double")
+    v = F.when(
+        (F.col("__d") > 0)
+        & (F.col("__t") < tl)
+        & (F.col("__n_risk") > F.col("__d")),
+        F.round(dd / (nn * (nn - dd)) * A * A, 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    out = cum3.agg(
+        F.max("__tot").alias("__n"),
+        F.sum(F.when(F.col("__t") <= tl, F.col("__d"))).alias("__nev"),
+        F.sum("__a").alias("__area"),
+        F.sum(v).alias("__var"),
+        F.min(F.col("__lo_t")).alias("__t1"),
+    )
+    rmst = (
+        F.least(F.col("__t1").cast("double"), tl)
+        + F.coalesce(F.col("__area").cast("double"), F.lit(0.0))
+    )
+    se = F.when(
+        F.col("__var").isNotNull(),
+        F.sqrt(F.col("__var").cast("double")),
+    )
+    return out.select(
+        tl.alias("tau"),
+        F.col("__n").cast("long").alias("n_subjects"),
+        F.coalesce(F.col("__nev"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+        F.round(rmst, 6).alias("rmst"),
+        F.round(se, 6).alias("se"),
+    )

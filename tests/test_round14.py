@@ -679,3 +679,69 @@ def test_weibull_guards(spark, weibull_frame):
     )
     with pytest.raises(ValueError, match="no events"):
         weibull_aft_report(nocens, "t", "ev", ["x"])
+
+
+# ---- restricted mean survival time -------------------------------------------
+
+
+def _rmst_ref(tt, e, tau):
+    """Reference over the SAME 6dp-quantized KM curve (the defined
+    estimator): trapezoid-free step areas + Greenwood-style variance
+    from suffix areas."""
+    tq = np.round(tt, 6)
+    times = np.sort(np.unique(tq))
+    S = 1.0
+    sv = {}
+    for ti in times:
+        nrisk = int((tq >= ti).sum())
+        d = int(((tq == ti) & (e == 1)).sum())
+        if d > 0 and nrisk > 0:
+            S *= 1 - d / nrisk
+        sv[ti] = (round(S, 6), d, nrisk)
+    areas = []
+    for i, ti in enumerate(times):
+        nxt = times[i + 1] if i + 1 < len(times) else tau
+        areas.append(round(sv[ti][0] * max(min(nxt, tau) - ti, 0.0), 6))
+    suf = np.cumsum(areas[::-1])[::-1]
+    var = 0.0
+    for i, ti in enumerate(times):
+        _, d, nrisk = sv[ti]
+        if d > 0 and ti < tau and nrisk > d:
+            var += round(d / (nrisk * (nrisk - d)) * suf[i] * suf[i], 6)
+    rmst = round(min(times[0], tau) + float(np.sum(areas)), 6)
+    return rmst, round(float(np.sqrt(var)), 6)
+
+
+def test_rmst_matches_reference(spark, cox_frame):
+    from intake_esm_spark.operators.survival import rmst_report
+
+    df, tt, e, _ = cox_frame
+    for tau in (0.5, 1.5, 100.0):
+        row = rmst_report(df, "dur", "ev", tau).collect()[0]
+        rr, rs = _rmst_ref(tt, e, tau)
+        assert row["rmst"] == pytest.approx(rr, abs=2e-6), tau
+        assert row["se"] == pytest.approx(rs, abs=2e-6), tau
+        assert row["n_subjects"] == len(tt)
+
+
+def test_rmst_invariants_and_guards(spark, cox_frame):
+    from intake_esm_spark.operators.survival import rmst_report
+
+    df, tt, e, _ = cox_frame
+    # monotone in tau, bounded by tau
+    r1 = rmst_report(df, "dur", "ev", 0.5).collect()[0]["rmst"]
+    r2 = rmst_report(df, "dur", "ev", 2.0).collect()[0]["rmst"]
+    assert 0 < r1 <= 0.5 + 1e-9
+    assert r1 < r2 <= 2.0 + 1e-9
+    # tau below the first positive time: only the t=0 step can act, so
+    # rmst = S(0)*tau (the fixture has events at duration 0)
+    tiny = float(np.min(tt[tt > 0]) / 2)
+    r0 = rmst_report(df, "dur", "ev", tiny).collect()[0]
+    tq = np.round(tt, 6)
+    d0 = int(((tq == 0) & (e == 1)).sum())
+    s0 = round(1 - d0 / len(tt), 6) if d0 else 1.0
+    assert r0["rmst"] == pytest.approx(round(s0 * tiny, 6), abs=2e-6)
+    with pytest.raises(ValueError, match="tau"):
+        rmst_report(df, "dur", "ev", 0.0)
+    with pytest.raises(ValueError, match="tau"):
+        rmst_report(df, "dur", "ev", float("inf"))
