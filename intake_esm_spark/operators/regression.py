@@ -409,10 +409,15 @@ def ols_predict(
     )
 
 
-def wls_moments(
+def wls_moment_frame(
     df: DataFrame, y_col: str, x_cols: list[str], w_col: str
-) -> dict:
-    """Weighted second-order moments for :func:`wls_report`: the same
+) -> DataFrame:
+    """Weighted second-order moments for :func:`wls_report` AS A PLAN
+    (the :func:`ols_moment_frame` split): batch callers collect the
+    1-row aggregate (:func:`wls_moments`); the streaming twin (#26,
+    ``streaming.stateful.stream_wls_moments``) runs the IDENTICAL plan
+    as a global streaming aggregation — every sum is an additive exact
+    decimal, so snapshots equal the batch moments bit-for-bit: the same
     single 1-row partial-aggregated scan as :func:`ols_moments`, every
     sum carrying the 6dp-quantized weight — ``Σw, Σw·xᵢ, Σw·xᵢxⱼ,
     Σw·y, Σw·xᵢy, Σw·y²`` plus the plain row count for the residual
@@ -470,7 +475,17 @@ def wls_moments(
             aggs.append(F.sum(f"__tp_{i}_{j2}").alias(f"p_{i}_{j2}"))
     aggs.append(F.sum("__tsy").alias("sy"))
     aggs.append(F.sum("__tsyy").alias("syy"))
-    return proj.agg(*aggs).collect()[0].asDict()
+    return proj.agg(*aggs)
+
+
+def wls_moments(
+    df: DataFrame, y_col: str, x_cols: list[str], w_col: str
+) -> dict:
+    """The collected 1-row weighted moment aggregate of
+    :func:`wls_moment_frame` — what :func:`wls_report` consumes."""
+    return wls_moment_frame(df, y_col, x_cols, w_col).collect()[
+        0
+    ].asDict()
 
 
 def wls_solve_from_moments(mom: dict, x_cols: list[str]) -> dict:

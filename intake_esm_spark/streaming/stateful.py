@@ -1423,3 +1423,29 @@ def stream_ols_moments(
     from intake_esm_spark.operators.regression import ols_moment_frame
 
     return ols_moment_frame(df, y_col, x_cols)
+
+
+def stream_wls_moments(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    w_col: str,
+) -> DataFrame:
+    """Streaming twin #26 — ``operators.regression.wls_report``'s
+    weighted moment pass as a LIVE heteroscedasticity-aware regression
+    monitor (precision-weighted slopes drifting on fresh traffic — the
+    WLS sibling of twin #25's OLS monitor).  No custom state: the
+    batch plan IS one global aggregation of additive exact-decimal
+    sums (row count, the 6dp DECIMAL(18,6) weight sum, the
+    DECIMAL(38,12) weighted first/second moments) — a legal streaming
+    global aggregation in update mode, state one bounded row.
+
+    The solve needs the full moment row at once — driver arithmetic —
+    so the snapshot tails into the SAME :func:`~intake_esm_spark.
+    operators.regression.wls_solve_from_moments` the batch report
+    uses: last update row → ``wls_solve_from_moments`` == batch
+    ``wls_report`` bit-for-bit (exact additive decimals, any
+    micro-batch split; pinned by the parity test)."""
+    from intake_esm_spark.operators.regression import wls_moment_frame
+
+    return wls_moment_frame(df, y_col, x_cols, w_col)

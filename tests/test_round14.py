@@ -745,3 +745,81 @@ def test_rmst_invariants_and_guards(spark, cox_frame):
         rmst_report(df, "dur", "ev", 0.0)
     with pytest.raises(ValueError, match="tau"):
         rmst_report(df, "dur", "ev", float("inf"))
+
+
+# ---- streaming twin #26 (WLS moments) ----------------------------------------
+
+
+def test_stream_wls_moments_matches_batch(spark, tmp_path):
+    """Two micro-batches: the LAST update row of the streaming weighted
+    moment aggregation, tailed into the SAME wls_solve_from_moments,
+    equals the whole-corpus batch wls_report bit-for-bit (additive
+    exact decimals — the twin #25 parity argument verbatim)."""
+    import glob
+    import shutil
+
+    from intake_esm_spark.operators.regression import (
+        wls_report,
+        wls_solve_from_moments,
+    )
+    from intake_esm_spark.streaming.stateful import stream_wls_moments
+
+    rng = np.random.RandomState(26)
+    n = 200
+    x1 = rng.normal(2, 1, n).round(4)
+    x2 = rng.normal(0, 2, n).round(4)
+    w = rng.uniform(0.2, 3.0, n).round(4)
+    y = (1.0 + 0.8 * x1 - 0.3 * x2 + rng.normal(0, 1, n)).round(4)
+    df = spark.createDataFrame(
+        list(
+            zip(
+                map(float, y),
+                map(float, x1),
+                map(float, x2),
+                map(float, w),
+            )
+        ),
+        "y double, x1 double, x2 double, w double",
+    )
+    batch = {
+        r["term"]: r
+        for r in wls_report(df, "y", ["x1", "x2"], "w").collect()
+    }
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32(F.col("y").cast("string")) % 2 == 0).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "a"))
+    df.filter(F.crc32(F.col("y").cast("string")) % 2 == 1).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_wls_moments(stream, "y", ["x1", "x2"], "w")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wls_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM wls_stream").collect()
+    finally:
+        q.stop()
+    assert len(emitted) >= 2
+    sol = wls_solve_from_moments(emitted[-1].asDict(), ["x1", "x2"])
+    for i, t in enumerate(["_intercept", "x1", "x2"]):
+        assert sol["coef"][i] == batch[t]["coef"], t
+        assert sol["std_err"][i] == batch[t]["std_err"], t
+        assert sol["t_stat"][i] == batch[t]["t_stat"], t
