@@ -2769,6 +2769,34 @@ def q_events_survival(spark: SparkSession, sf: str) -> DataFrame:
     return km_survival(subjects, "dur", "ev")
 
 
+def q_events_km_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier churn curve WITH pointwise log-log confidence
+    bands (operators/survival.py km_confidence, round 14 — lifelines /
+    R survfit(conf.type='log-log') default): Greenwood variance factor
+    and the survival log-sum accumulate as 12dp-decimal terms in the
+    SAME bucketed cumsum pass (zero extra exchanges over the
+    events_survival construction); bands are one fixed IEEE transform
+    over the 6dp survival, null where undefined (S=1, S=0, or an
+    exhausted risk set upstream). Oracle: the identical window-SQL
+    replay (_build via static string below)."""
+    from intake_esm_spark.operators.survival import km_confidence
+
+    events = load_table(spark, sf, "events")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__f"), F.max("ts").alias("__l"))
+    )
+    mx = per_user.agg(F.max("__l").alias("__m"))
+    subjects = per_user.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("__l"), F.col("__f")).alias("dur"),
+        (F.col("__l") < F.col("__m") - F.expr("INTERVAL 14 DAYS"))
+        .cast("int")
+        .alias("ev"),
+    )
+    return km_confidence(subjects, "dur", "ev")
+
+
 def q_customer_gini(spark: SparkSession, sf: str) -> DataFrame:
     """Gini coefficient of customer spend concentration (operators/
     profiling.py gini_coefficient): one customer-keyed exchange, then
@@ -5528,6 +5556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
         "events_rmst": q_events_rmst,
+        "events_km_ci": q_events_km_ci,
         "lineitem_negbin": q_lineitem_negbin,
         "lineitem_huber": q_lineitem_huber,
         "lineitem_gamma": q_lineitem_gamma,
@@ -5584,11 +5613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        "q6_forecast_revenue": q6_forecast_revenue,
         # -- rotation tail ---------------------------------------------
-        # pivot_returnflag/cube_agg lead it: positions 51-52 after
-        # events_weibull + events_rmst joined the head (r12-checked,
-        # first in next round's freshness queue).
+        # q6_forecast_revenue/pivot_returnflag/cube_agg lead it:
+        # positions 51-53 after events_weibull/events_rmst/events_km_ci
+        # joined the head (r12-checked, first in next round's
+        # freshness queue).
+        "q6_forecast_revenue": q6_forecast_revenue,
         "pivot_returnflag": q_pivot_returnflag,
         "cube_agg": q_cube_agg,
         # Driver-checked in r13 (the r13 head-50), unchanged this
@@ -13761,6 +13791,9 @@ def oracle_sql() -> dict[str, str]:
     d["events_weibull"] = _build_weibull_oracle()
     # events_rmst (round 14): one static window-SQL replay
     d["events_rmst"] = _build_rmst_oracle()
+    # events_km_ci (round 14): the km window replay + the Greenwood
+    # cumsum + the log-log band transform, text-for-text
+    d["events_km_ci"] = _KM_CI_ORACLE
     # lineitem_logit / lineitem_logit_fit: the IRLS float trajectory
     # replayed pass-by-pass in DuckDB through the same shared
     # step/finalize helpers
@@ -14966,6 +14999,67 @@ def _build_weibull_oracle() -> str:
             f" {lit(sr)} AS std_err, {lit(z)} AS z_stat"
         )
     return " UNION ALL ".join(rows)
+
+
+_KM_CI_ORACLE = """
+    WITH pu AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), mx AS (
+      SELECT max(l) AS m FROM pu
+    ), subj AS (
+      SELECT round(CAST(CAST(date_diff('day', CAST(f AS DATE),
+                   CAST(l AS DATE)) AS INT) AS DOUBLE), 6) AS t,
+             CASE WHEN l < m - INTERVAL 14 DAY THEN 1 ELSE 0 END AS e
+      FROM pu CROSS JOIN mx
+    ), per_t AS (
+      SELECT t, sum(e) AS d, count(*) AS c FROM subj GROUP BY 1
+    ), ar AS (
+      SELECT t, d,
+             sum(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS nrisk
+      FROM per_t
+    ), hz AS (
+      SELECT t, d, nrisk,
+             CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE) AS h
+      FROM ar
+    ), acc AS (
+      SELECT t, d, nrisk,
+             sum(CASE WHEN h >= 1.0 THEN 1 ELSE 0 END) OVER w AS hzs,
+             sum(CASE WHEN h < 1.0 THEN CAST(round(ln(1.0 - h), 12)
+                      AS DECIMAL(28,12)) END) OVER w AS cumlt,
+             sum(CASE WHEN nrisk > d THEN
+                   CAST(round(CAST(d AS DOUBLE)
+                        / (CAST(nrisk AS DOUBLE)
+                           * (CAST(nrisk AS DOUBLE)
+                              - CAST(d AS DOUBLE))), 12)
+                        AS DECIMAL(28,12)) END) OVER w AS cumgw,
+             sum(CASE WHEN d > 0 AND nrisk <= d THEN 1 ELSE 0 END)
+               OVER w AS cumgbad
+      FROM hz
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), sv AS (
+      SELECT t, d, nrisk, cumgw, cumgbad,
+             CASE WHEN coalesce(hzs, 0) > 0 THEN 0.0
+                  ELSE round(exp(coalesce(CAST(cumlt AS DOUBLE), 0.0)),
+                             6) END AS s
+      FROM acc
+    )
+    SELECT t, CAST(nrisk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events, s AS survival,
+           CASE WHEN s > 0.0 AND s < 1.0 AND coalesce(cumgbad, 0) = 0
+                     AND cumgw IS NOT NULL
+                THEN round(pow(s, exp(1.959964
+                     * -(sqrt(CAST(cumgw AS DOUBLE)) / ln(s)))), 6)
+           END AS lo,
+           CASE WHEN s > 0.0 AND s < 1.0 AND coalesce(cumgbad, 0) = 0
+                     AND cumgw IS NOT NULL
+                THEN round(pow(s, exp(1.959964
+                     * (sqrt(CAST(cumgw AS DOUBLE)) / ln(s)))), 6)
+           END AS hi
+    FROM sv
+"""
 
 
 def _build_rmst_oracle() -> str:

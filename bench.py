@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "events_cox_predict",
     "events_weibull",
     "events_rmst",
+    "events_km_ci",
     "lineitem_negbin",
     "lineitem_huber",
     "lineitem_gamma",

@@ -977,3 +977,121 @@ def rmst_report(
         F.round(rmst, 6).alias("rmst"),
         F.round(se, 6).alias("se"),
     )
+
+
+def km_confidence(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Kaplan-Meier curve with pointwise log-log confidence bands —
+    the readout :func:`km_survival` alone can't give ("is the day-30
+    retention 62% ± what?"): Greenwood variance factor ``V(t) =
+    Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ))`` and the log(−log) transform (lifelines
+    / R ``survfit(conf.type='log-log')`` default), whose bands stay
+    inside [0, 1] by construction: ``S^{exp(±z·√V/ln S)}``.
+
+    Scale shape: exactly the :func:`km_survival` construction — one
+    duration-grain collapse, at-risk reverse cumulative, and BOTH the
+    survival log-sum and the Greenwood sum as 12dp-decimal terms in
+    the SAME bucketed cumsum pass (zero extra exchanges over km).
+    Determinism: the transform is one fixed IEEE expression over the
+    6dp survival and the exact-decimal V(t), 6dp outputs.  Bands are
+    null where undefined: S = 1 (ln S = 0 — nothing has happened
+    yet), S = 0 (the curve is exhausted), or n = d at some prior time
+    (infinite Greenwood factor).  Returns one row per distinct
+    duration ``(t, n_at_risk, n_events, survival, lo, hi)``."""
+    import math
+
+    if not (math.isfinite(z) and z > 0):
+        raise ValueError(f"km_confidence: z must be finite and > 0, got {z}")
+    from .ranks import bucketed_cumsum
+
+    obs = subjects.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.round(F.col(duration_col).cast("double"), 6).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per_t = (
+        obs.groupBy("__t")
+        .agg(
+            F.sum("__e").alias("__d"),
+            F.count(F.lit(1)).alias("__n_at_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    meta = per_t.agg(
+        F.coalesce(F.sum("__n_at_t"), F.lit(0)).alias("__tot"),
+        F.min(F.col("__t").cast("double")).alias("__lo_t"),
+        F.max(F.col("__t").cast("double")).alias("__hi_t"),
+    )
+    cum1 = bucketed_cumsum(
+        per_t.crossJoin(F.broadcast(meta)),
+        ["__n_at_t"],
+        val_col="__t",
+        bounds=("__lo_t", "__hi_t"),
+    )
+    staged = cum1.withColumn(
+        "__n_risk",
+        F.col("__tot") - F.col("__cum___n_at_t") + F.col("__n_at_t"),
+    )
+    dd = F.col("__d").cast("double")
+    nn = F.col("__n_risk").cast("double")
+    h = dd / nn
+    staged = (
+        staged.withColumn(
+            "__lt2",
+            F.when(h < 1.0, F.round(F.log(F.lit(1.0) - h), 12)).cast(
+                "decimal(28,12)"
+            ),
+        )
+        .withColumn("__hz", (h >= 1.0).cast("bigint"))
+        # Greenwood factor term; n = d (and d > 0) makes V infinite —
+        # flag it like the hazard clamp so the cumulative SUM marks
+        # every later time
+        .withColumn(
+            "__gw",
+            F.when(
+                F.col("__n_risk") > F.col("__d"),
+                F.round(dd / (nn * (nn - dd)), 12),
+            ).cast("decimal(28,12)"),
+        )
+        .withColumn(
+            "__gbad",
+            ((F.col("__d") > 0) & (F.col("__n_risk") <= F.col("__d")))
+            .cast("bigint"),
+        )
+    )
+    cum2 = bucketed_cumsum(
+        staged,
+        ["__lt2", "__hz", "__gw", "__gbad"],
+        val_col="__t",
+        bounds=("__lo_t", "__hi_t"),
+    )
+    surv = F.when(
+        F.coalesce(F.col("__cum___hz"), F.lit(0)) > 0, F.lit(0.0)
+    ).otherwise(
+        F.exp(F.coalesce(F.col("__cum___lt2").cast("double"), F.lit(0.0)))
+    )
+    s6 = F.round(surv, 6)
+    v = F.col("__cum___gw").cast("double")
+    lns = F.log(s6)
+    sig = F.sqrt(v) / lns  # negative (ln S < 0) — sign cancels in exp(+/-)
+    defined = (
+        (s6 > 0.0)
+        & (s6 < 1.0)
+        & (F.coalesce(F.col("__cum___gbad"), F.lit(0)) == 0)
+        & v.isNotNull()
+    )
+    lo = F.when(defined, F.round(F.pow(s6, F.exp(F.lit(float(z)) * -sig)), 6))
+    hi = F.when(defined, F.round(F.pow(s6, F.exp(F.lit(float(z)) * sig)), 6))
+    return cum2.select(
+        F.col("__t").alias("t"),
+        F.col("__n_risk").cast("long").alias("n_at_risk"),
+        F.col("__d").cast("long").alias("n_events"),
+        s6.alias("survival"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+    )

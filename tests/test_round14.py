@@ -1,7 +1,10 @@
-"""Round-14 tests: Cox baseline hazard (Breslow H0/S0), NB2
-negative-binomial GLM, Huber robust regression, plus the r14 fix pins
-(bounded logistic_by_group group probe, quantized WLS weight filter,
-vif empty-feature guard, bounded derived-variable probe)."""
+"""Round-14 tests: Cox baseline hazard (Breslow H0/S0) + per-subject
+survival prediction, NB2 negative-binomial GLM, Huber robust
+regression, Gamma GLM (log link), Weibull AFT (damped Newton), RMST
+with Greenwood-style SE, streaming twin #26 (WLS moments), plus the
+r14 fix pins (bounded logistic_by_group group probe, quantized WLS
+weight filter, vif empty-feature guard, bounded derived-variable
+probe)."""
 
 import numpy as np
 import pytest
@@ -823,3 +826,57 @@ def test_stream_wls_moments_matches_batch(spark, tmp_path):
         assert sol["coef"][i] == batch[t]["coef"], t
         assert sol["std_err"][i] == batch[t]["std_err"], t
         assert sol["t_stat"][i] == batch[t]["t_stat"], t
+
+
+# ---- KM log-log confidence bands ---------------------------------------------
+
+
+def test_km_confidence_matches_reference(spark, cox_frame):
+    from intake_esm_spark.operators.survival import km_confidence
+
+    df, tt, e, _ = cox_frame
+    rows = {r["t"]: r for r in km_confidence(df, "dur", "ev").collect()}
+    tq = np.round(tt, 6)
+    times = np.sort(np.unique(tq))
+    S, V = 1.0, 0.0
+    z = 1.959964
+    for ti in times:
+        nrisk = int((tq >= ti).sum())
+        d = int(((tq == ti) & (e == 1)).sum())
+        if d > 0:
+            S *= 1 - d / nrisk
+            if nrisk > d:
+                V += d / (nrisk * (nrisk - d))
+        r = rows[float(ti)]
+        assert r["n_at_risk"] == nrisk, ti
+        assert r["survival"] == pytest.approx(S, abs=2e-6), ti
+        s6 = round(S, 6)
+        if 0.0 < s6 < 1.0:
+            sig = np.sqrt(V) / np.log(s6)
+            assert r["lo"] == pytest.approx(
+                s6 ** np.exp(-z * sig), abs=2e-5
+            ), ti
+            assert r["hi"] == pytest.approx(
+                s6 ** np.exp(z * sig), abs=2e-5
+            ), ti
+            assert 0.0 <= r["lo"] <= r["survival"] <= r["hi"] <= 1.0
+        else:
+            assert r["lo"] is None and r["hi"] is None, ti
+
+
+def test_km_confidence_guards(spark, cox_frame):
+    from intake_esm_spark.operators.survival import km_confidence
+
+    df, _, _, _ = cox_frame
+    with pytest.raises(ValueError, match="z must be"):
+        km_confidence(df, "dur", "ev", z=0.0)
+    # wider z -> wider bands
+    narrow = {
+        r["t"]: r for r in km_confidence(df, "dur", "ev", z=1.0).collect()
+    }
+    wide = {
+        r["t"]: r for r in km_confidence(df, "dur", "ev", z=2.5).collect()
+    }
+    for t, r in narrow.items():
+        if r["lo"] is not None:
+            assert wide[t]["lo"] <= r["lo"] and r["hi"] <= wide[t]["hi"]
