@@ -421,9 +421,11 @@ def wls_moment_frame(
     single 1-row partial-aggregated scan as :func:`ols_moments`, every
     sum carrying the 6dp-quantized weight — ``Σw, Σw·xᵢ, Σw·xᵢxⱼ,
     Σw·y, Σw·xᵢy, Σw·y²`` plus the plain row count for the residual
-    dof.  Rows with null/non-finite variables OR non-positive weights
-    are excluded (a zero weight contributes nothing; a negative one is
-    a caller bug).  Per-row products are IEEE doubles 12dp-rounded in
+    dof.  Rows with null/non-finite variables OR a non-positive
+    QUANTIZED weight are excluded (a raw 0 < w < 5e-7 rounds to a zero
+    6dp weight — it contributes nothing to any weighted sum and must
+    not inflate n/df_resid; a negative weight is a caller bug — r14
+    ADVICE).  Per-row products are IEEE doubles 12dp-rounded in
     a PROJECTION below the aggregate (the logistic-pass discipline —
     order-independent decimal sums, codegen-friendly casts)."""
     if not x_cols:
