@@ -2070,3 +2070,419 @@ def damped_newton_step(
     return [
         float(t + float(alpha) * d) for t, d in zip(theta, step)
     ]
+
+
+def _design_from_moments(mom: dict, p: int):
+    """(X̃ᵀX̃, X̃ᵀỹ, Σy²) rebuilt from an :func:`ols_moments` dict —
+    the identical array construction as :func:`ols_solve_from_moments`
+    (intercept first), extracted for the solves below that need the
+    RAW SSE rather than the rounded report fields."""
+    import numpy as np
+
+    xtx = np.zeros((p + 1, p + 1))
+    xty = np.zeros(p + 1)
+    xtx[0, 0] = float(int(mom["n"]))
+    xty[0] = float(mom["sy"])
+    for i in range(p):
+        s = float(mom[f"s_{i}"])
+        xtx[0, i + 1] = xtx[i + 1, 0] = s
+        xty[i + 1] = float(mom[f"q_{i}"])
+        for j2 in range(i, p):
+            v = float(mom[f"p_{i}_{j2}"])
+            xtx[i + 1, j2 + 1] = xtx[j2 + 1, i + 1] = v
+    return xtx, xty, float(mom["syy"])
+
+
+def _sse_from_moments(mom: dict, x_cols: list[str], tag: str) -> float:
+    """Closed-form OLS SSE over one segment's exact moments (the
+    :func:`ols_solve_from_moments` identity ``Σy² − 2βᵀX̃ᵀỹ +
+    βᵀX̃ᵀX̃β``), with the same cond guard; raises ``ValueError``
+    tagged with the segment when the fit is impossible — the Chow
+    statistic is undefined if EITHER segment cannot be fitted."""
+    import numpy as np
+
+    p = len(x_cols)
+    n = int(mom["n"])
+    if n <= p + 1:
+        raise ValueError(
+            f"chow: segment {tag!r} has n={n} rows — cannot fit "
+            f"{p + 1} parameters"
+        )
+    xtx, xty, syy = _design_from_moments(mom, p)
+    cond = float(np.linalg.cond(xtx))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            f"chow: singular design in segment {tag!r} (cond={cond:.3g})"
+        )
+    beta = np.linalg.solve(xtx, xty)
+    return max(
+        0.0, syy - 2.0 * float(beta @ xty) + float(beta @ xtx @ beta)
+    )
+
+
+def chow_solve_from_moments(
+    moms: dict[str, dict], x_cols: list[str]
+) -> dict:
+    """Driver-side Chow structural-break F from the TWO segments'
+    exact-decimal moment dicts — ONE shared implementation consumed by
+    the Spark operator and the DuckDB oracle builder.  The pooled
+    moments are the element-wise DECIMAL sums of the segment moments
+    (exact — no third pass over the data), so ``F = ((SSE_pooled −
+    SSE_a − SSE_b)/(p+1)) / ((SSE_a + SSE_b)/(n − 2(p+1)))`` is pure
+    closed-form arithmetic over already-collected sidecars.  Raises
+    unless exactly two fittable segments are present; ``f_stat`` is
+    null when the within-SSE degenerates to 0 or df_den ≤ 0."""
+    if len(moms) != 2:
+        raise ValueError(
+            f"chow: need exactly 2 segments, got {len(moms)} "
+            f"({sorted(moms)[:5]})"
+        )
+    p = len(x_cols)
+    (ga, ma), (gb, mb) = sorted(moms.items())
+    pooled = {"n": int(ma["n"]) + int(mb["n"])}
+    for k in ma:
+        if k != "n" and (k == "sy" or k == "syy" or k[:2] in ("s_", "q_", "p_")):
+            pooled[k] = ma[k] + mb[k]  # Decimal + Decimal: exact
+    sse_a = _sse_from_moments(ma, x_cols, ga)
+    sse_b = _sse_from_moments(mb, x_cols, gb)
+    sse_p = _sse_from_moments(pooled, x_cols, "<pooled>")
+    n = pooled["n"]
+    k1 = p + 1
+    df_den = n - 2 * k1
+    sse_w = sse_a + sse_b
+    f = (
+        ((sse_p - sse_w) / k1) / (sse_w / df_den)
+        if df_den > 0 and sse_w > 0
+        else None
+    )
+    return {
+        "grp_a": ga,
+        "grp_b": gb,
+        "n_a": int(ma["n"]),
+        "n_b": int(mb["n"]),
+        "df_num": k1,
+        "df_den": df_den,
+        "sse_pooled": round(sse_p, 6),
+        "sse_within": round(sse_w, 6),
+        "f_stat": round(f, 6) if f is not None else None,
+    }
+
+
+def chow_test_report(
+    df: DataFrame, y_col: str, x_cols: list[str], group_col: str
+) -> DataFrame:
+    """Chow structural-break test — does the SAME linear model
+    ``y ~ x`` hold across two regimes (pre/post a policy date, two
+    sources, two shards), or do the coefficients genuinely differ?
+    The classic econometric F comparing the pooled fit against
+    separate per-regime fits (Chow 1960; statsmodels
+    ``compare_f_test`` on the dummy-interacted model is the same
+    statistic).
+
+    Scale shape: ONE partial-aggregated exchange to the 2-row regime
+    grain carrying the exact-decimal :func:`ols_moments` sums (the
+    :func:`ols_by_group` construction with the group count pinned to
+    2 by a lazy in-plan ``assert_true`` — nothing unbounded ever
+    reaches the driver); the pooled moments are DECIMAL sums of the
+    two sidecar rows, so the pooled fit costs ZERO extra distributed
+    work.  All three solves + the F are driver arithmetic through the
+    SAME shared :func:`chow_solve_from_moments` the oracle replays.
+    Returns one row ``(grp_a, grp_b, n_a, n_b, df_num, df_den,
+    sse_pooled, sse_within, f_stat)``."""
+    if not x_cols:
+        raise ValueError("chow: need at least one feature column")
+    if len(x_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"chow: {len(x_cols)} features exceeds MAX_FEATURES="
+            f"{MAX_FEATURES}"
+        )
+    cond = _finite(y_col) & F.col(group_col).isNotNull()
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond).select(
+        F.col(group_col).cast("string").alias("__grp"), y_col, *x_cols
+    )
+    kc = base.agg(F.countDistinct("__grp").alias("__k"))
+    guard = F.assert_true(
+        F.coalesce(F.col("__k") == F.lit(2), F.lit(True)),
+        F.lit(
+            "chow: the Chow test compares exactly TWO regimes — "
+            "derive a binary split column first"
+        ),
+    ).isNull()
+    guarded = base.crossJoin(F.broadcast(kc)).filter(guard).drop("__k")
+    rows = (
+        guarded.select("__grp", *_ols_moment_proj(y_col, x_cols))
+        .groupBy("__grp")
+        .agg(*_ols_moment_sums(x_cols))
+        .collect()
+    )
+    sol = chow_solve_from_moments(
+        {r["__grp"]: r.asDict() for r in rows}, x_cols
+    )
+    return df.sparkSession.createDataFrame(
+        [tuple(sol.values())],
+        "grp_a string, grp_b string, n_a bigint, n_b bigint,"
+        " df_num bigint, df_den bigint, sse_pooled double,"
+        " sse_within double, f_stat double",
+    )
+
+
+def _iv_moment_proj(
+    y_col: str, x_cols: list[str], z_cols: list[str]
+) -> list:
+    """Per-row exact-decimal term columns of the 2SLS moment pass —
+    the :func:`_ols_moment_proj` discipline extended with the
+    instrument cross-moments: Z'X needs EVERY ``(i, j)`` pair (it is
+    not symmetric), Z'Z and X'X stay triangular.  Quantize-and-cast in
+    a projection BELOW the aggregate (the measured house rule)."""
+    d38 = "decimal(38,12)"
+
+    def prod(a: str, b: str):
+        return (_q(a).cast("decimal(19,6)") * _q(b)).cast(d38)
+
+    cols = [_q(y_col).alias("__msy"), prod(y_col, y_col).alias("__msyy")]
+    for i, c in enumerate(x_cols):
+        cols.append(_q(c).alias(f"__mx_{i}"))
+        cols.append(prod(c, y_col).alias(f"__mxy_{i}"))
+        for j2 in range(i, len(x_cols)):
+            cols.append(prod(c, x_cols[j2]).alias(f"__mxx_{i}_{j2}"))
+    for i, c in enumerate(z_cols):
+        cols.append(_q(c).alias(f"__mz_{i}"))
+        cols.append(prod(c, y_col).alias(f"__mzy_{i}"))
+        for j2 in range(i, len(z_cols)):
+            cols.append(prod(c, z_cols[j2]).alias(f"__mzz_{i}_{j2}"))
+        for j2 in range(len(x_cols)):
+            cols.append(prod(c, x_cols[j2]).alias(f"__mzx_{i}_{j2}"))
+    return cols
+
+
+def _iv_moment_sums(x_cols: list[str], z_cols: list[str]) -> list:
+    """Plain-column sums over :func:`_iv_moment_proj`'s output."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs.append(F.sum("__msy").alias("sy"))
+    aggs.append(F.sum("__msyy").alias("syy"))
+    for i in range(len(x_cols)):
+        aggs.append(F.sum(f"__mx_{i}").alias(f"sx_{i}"))
+        aggs.append(F.sum(f"__mxy_{i}").alias(f"xy_{i}"))
+        for j2 in range(i, len(x_cols)):
+            aggs.append(F.sum(f"__mxx_{i}_{j2}").alias(f"xx_{i}_{j2}"))
+    for i in range(len(z_cols)):
+        aggs.append(F.sum(f"__mz_{i}").alias(f"sz_{i}"))
+        aggs.append(F.sum(f"__mzy_{i}").alias(f"zy_{i}"))
+        for j2 in range(i, len(z_cols)):
+            aggs.append(F.sum(f"__mzz_{i}_{j2}").alias(f"zz_{i}_{j2}"))
+        for j2 in range(len(x_cols)):
+            aggs.append(F.sum(f"__mzx_{i}_{j2}").alias(f"zx_{i}_{j2}"))
+    return aggs
+
+
+def iv_moments(
+    df: DataFrame, y_col: str, x_cols: list[str], z_cols: list[str]
+) -> dict:
+    """ONE distributed pass: exact-decimal second-order moments of
+    ``(1, x, z, y)`` — complete-case over ALL variables (a row missing
+    the instrument is missing for both stages)."""
+    if not x_cols or len(z_cols) != len(x_cols):
+        raise ValueError(
+            "iv2sls: need len(z_cols) == len(x_cols) >= 1 (the "
+            "just-identified case — one instrument per endogenous "
+            f"regressor), got p={len(x_cols)}, m={len(z_cols)}"
+        )
+    if len(x_cols) + len(z_cols) > MAX_FEATURES:
+        raise ValueError(
+            f"iv2sls: {len(x_cols)}+{len(z_cols)} variables exceeds "
+            f"MAX_FEATURES={MAX_FEATURES}"
+        )
+    cond = _finite(y_col)
+    for c in [*x_cols, *z_cols]:
+        cond = cond & _finite(c)
+    return (
+        df.filter(cond)
+        .select(*_iv_moment_proj(y_col, x_cols, z_cols))
+        .agg(*_iv_moment_sums(x_cols, z_cols))
+        .collect()[0]
+        .asDict()
+    )
+
+
+def iv_solve_from_moments(
+    mom: dict, x_cols: list[str], z_cols: list[str]
+) -> dict:
+    """Driver-side just-identified IV solve over the exact moments —
+    ONE shared implementation for the Spark operator AND the DuckDB
+    oracle builder.  ``β = (Z̃'X̃)⁻¹ Z̃'ỹ`` (intercept instruments
+    itself), residual variance from the STRUCTURAL residual ``y −
+    X̃β`` (closed-form in the X moments — never a residual pass), and
+    the just-identified IV sandwich ``Cov(β) = σ²(Z̃'X̃)⁻¹ Z̃'Z̃
+    (X̃'Z̃)⁻¹`` — statsmodels ``IV2SLS`` parity.  Raises on n ≤ p+1
+    or a weak/singular instrument matrix (cond > 1e12: the
+    instrument-relevance failure mode surfaces as conditioning)."""
+    import numpy as np
+
+    p = len(x_cols)
+    n = int(mom["n"])
+    if n <= p + 1:
+        raise ValueError(f"iv2sls: n={n} rows cannot fit {p + 1} parameters")
+    zx = np.zeros((p + 1, p + 1))
+    zz = np.zeros((p + 1, p + 1))
+    xx = np.zeros((p + 1, p + 1))
+    zy = np.zeros(p + 1)
+    xy = np.zeros(p + 1)
+    zx[0, 0] = zz[0, 0] = xx[0, 0] = float(n)
+    zy[0] = xy[0] = float(mom["sy"])
+    for i in range(p):
+        zx[0, i + 1] = xx[0, i + 1] = xx[i + 1, 0] = float(
+            mom[f"sx_{i}"]
+        )
+        zx[i + 1, 0] = zz[0, i + 1] = zz[i + 1, 0] = float(
+            mom[f"sz_{i}"]
+        )
+        zy[i + 1] = float(mom[f"zy_{i}"])
+        xy[i + 1] = float(mom[f"xy_{i}"])
+        for j2 in range(p):
+            zx[i + 1, j2 + 1] = float(mom[f"zx_{i}_{j2}"])
+        for j2 in range(i, p):
+            zz[i + 1, j2 + 1] = zz[j2 + 1, i + 1] = float(
+                mom[f"zz_{i}_{j2}"]
+            )
+            xx[i + 1, j2 + 1] = xx[j2 + 1, i + 1] = float(
+                mom[f"xx_{i}_{j2}"]
+            )
+    cond = float(np.linalg.cond(zx))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            "iv2sls: weak or singular instrument matrix Z'X "
+            f"(cond={cond:.3g}) — the instruments do not move the "
+            "endogenous regressors"
+        )
+    beta = np.linalg.solve(zx, zy)
+    syy = float(mom["syy"])
+    sse = max(
+        0.0, syy - 2.0 * float(beta @ xy) + float(beta @ xx @ beta)
+    )
+    df_resid = n - p - 1
+    sigma2 = sse / df_resid
+    inv_zx = np.linalg.inv(zx)
+    covb = sigma2 * inv_zx @ zz @ inv_zx.T
+    se = [float(np.sqrt(max(0.0, covb[j, j]))) for j in range(p + 1)]
+    return {
+        "terms": ["_intercept", *x_cols],
+        "coef": [round(float(b), 6) for b in beta],
+        "std_err": [round(s, 6) for s in se],
+        "t_stat": [
+            round(float(b) / s, 6) if s > 0 else None
+            for b, s in zip(beta, se)
+        ],
+        "n": n,
+        "df_resid": df_resid,
+        "resid_se": round(float(np.sqrt(sigma2)), 6),
+    }
+
+
+def iv2sls_report(
+    df: DataFrame, y_col: str, x_cols: list[str], z_cols: list[str]
+) -> DataFrame:
+    """Instrumental-variables two-stage least squares (just-identified)
+    — the causal-inference workhorse when a regressor is endogenous
+    (price ~ demand with cost-shifter instruments): per-coefficient
+    ``(term, coef, std_err, t_stat)`` rows, statsmodels ``IV2SLS``
+    parity.
+
+    Scale shape: ONE 1-row partial-aggregated exact-decimal moment
+    pass over ``(1, x, z, y)`` — the :func:`ols_report` construction
+    widened with the Z'X / Z'Z cross-moments; both "stages" collapse
+    into the closed-form ``(Z'X)⁻¹Z'y`` driver solve (the textbook
+    two-regression procedure is an identity, not a plan), through the
+    SAME shared :func:`iv_solve_from_moments` the oracle replays."""
+    sol = iv_solve_from_moments(
+        iv_moments(df, y_col, x_cols, z_cols), x_cols, z_cols
+    )
+    return df.sparkSession.createDataFrame(
+        list(
+            zip(sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"])
+        ),
+        "term string, coef double, std_err double, t_stat double",
+    )
+
+
+def durbin_watson_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    order_col: str,
+    tiebreaks: list[str],
+) -> DataFrame:
+    """Durbin-Watson serial-correlation diagnostic on the OLS
+    residuals in a caller-supplied sequence order — "are the errors of
+    price ~ quantity independent across the ship sequence, or does a
+    miss at t predict a miss at t+1" (statsmodels
+    ``durbin_watson(resid)`` at the same ordering; DW ≈ 2(1−ρ̂₁)).
+
+    Scale shape: the :func:`ols_moments` pass fits β on the driver
+    (literals), residuals are a fixed IEEE in-row expression (the
+    :func:`ols_predict` projection); the CONSECUTIVE pairing — the
+    one genuinely sequential piece — runs as an exact global rank via
+    the bucketed cumsum (:func:`~.ranks.global_rank`, never an
+    unpartitioned window) followed by a rank-keyed equi-join of the
+    frame against itself at ``rank+1`` (the ``rmst_report``
+    successive-pairs construction).  Numerator/denominator accumulate
+    as 12dp DECIMAL(38,12) (order-independent, engine-exact).
+    ``order_col`` must be numeric; ``tiebreaks`` must make the order
+    total, or ranks among ties follow physical order and the statistic
+    stops being well-defined.  Returns one row ``(n_rows, dw_stat,
+    rho1)`` — null statistics when the residual energy degenerates to
+    zero (a perfect fit has no autocorrelation to measure)."""
+    from .ranks import global_rank
+
+    sol = ols_solve_from_moments(
+        ols_moments(df, y_col, x_cols), x_cols
+    )
+    beta = sol["coef"]
+    cond = _finite(y_col) & F.col(order_col).isNotNull()
+    for c in x_cols:
+        cond = cond & _finite(c)
+    for c in tiebreaks:
+        cond = cond & F.col(c).isNotNull()
+    eta = F.lit(float(beta[0]))
+    for bj, c in zip(beta[1:], x_cols):
+        eta = eta + F.lit(float(bj)) * F.round(F.col(c).cast("double"), 6)
+    yq = F.round(F.col(y_col).cast("double"), 6)
+    base = df.filter(cond).select(
+        F.col(order_col).cast("double").alias("__ord"),
+        *[F.col(c) for c in tiebreaks],
+        F.round(yq - eta, 6).alias("__e"),
+    )
+    ranked = global_rank(
+        base, "__ord", tiebreaks, out_col="__rn", tie_fanout=True
+    ).localCheckpoint(eager=False)  # pinned: both sides of the pair join
+    d38 = "decimal(38,12)"
+    lhs = ranked.select(
+        F.col("__rn").alias("__r"), F.col("__e").alias("__e1")
+    )
+    rhs = ranked.select(
+        (F.col("__rn") + F.lit(1)).alias("__r"),
+        F.col("__e").alias("__e0"),
+    )
+    diff = F.col("__e1") - F.col("__e0")
+    pair_sums = lhs.join(rhs, "__r").agg(
+        F.sum(F.round(diff * diff, 12).cast(d38)).alias("__num"),
+        F.sum(
+            F.round(F.col("__e1") * F.col("__e0"), 12).cast(d38)
+        ).alias("__cross"),
+    )
+    den_sums = ranked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.round(F.col("__e") * F.col("__e"), 12).cast(d38)
+        ).alias("__den"),
+    )
+    m = den_sums.crossJoin(F.broadcast(pair_sums))
+    den = F.col("__den").cast("double")
+    dw = F.when(den > 0, F.col("__num").cast("double") / den)
+    rho = F.when(den > 0, F.col("__cross").cast("double") / den)
+    return m.select(
+        "n_rows",
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(rho, 6).alias("rho1"),
+    )
