@@ -3359,6 +3359,72 @@ def q_lineitem_gamma(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lineitem_chow(spark: SparkSession, sf: str) -> DataFrame:
+    """Chow structural-break F across the two l_linestatus regimes —
+    does extendedprice ~ quantity + discount carry the SAME
+    coefficients for open vs finished lines? (operators/regression.py
+    chow_test_report, round 14 — Chow 1960 / statsmodels
+    compare_f_test on the dummy-interacted model.) ONE
+    partial-agged exchange to the 2-row regime grain carrying the
+    exact-decimal ols_moments sums (group count pinned to 2 by a
+    lazy in-plan assert_true — nothing unbounded reaches the driver);
+    the pooled moments are DECIMAL sums of the two sidecar rows, so
+    all three fits + the F are driver arithmetic through the shared
+    chow_solve_from_moments. Oracle: the grouped moment SQL replayed
+    in DuckDB through the SAME shared solve, one literal row
+    (_build_chow_oracle)."""
+    from intake_esm_spark.operators.regression import chow_test_report
+
+    li = load_table(spark, sf, "lineitem")
+    return chow_test_report(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        "l_linestatus",
+    )
+
+
+def q_lineitem_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Just-identified IV 2SLS of extendedprice on quantity + tax with
+    l_linenumber instrumenting quantity and the exogenous tax
+    instrumenting itself (operators/regression.py iv2sls_report,
+    round 14 — statsmodels IV2SLS; a deliberately weak instrument,
+    so the demo also exercises the huge-SE regime the sandwich must
+    report honestly). ONE 1-row partial-agged exact-decimal moment
+    pass over (1, x, z, y) — both textbook "stages" collapse into
+    the closed-form (Z'X)^-1 Z'y driver solve. Oracle: the widened
+    moment SQL replayed in DuckDB through the SAME shared
+    iv_solve_from_moments, literal rows (_build_iv_oracle)."""
+    from intake_esm_spark.operators.regression import iv2sls_report
+
+    li = load_table(spark, sf, "lineitem")
+    return iv2sls_report(
+        li, "l_extendedprice", ["l_quantity", "l_tax"],
+        ["l_linenumber", "l_tax"],
+    )
+
+
+def q_lineitem_dw(spark: SparkSession, sf: str) -> DataFrame:
+    """Durbin-Watson serial-correlation diagnostic on the lineitem OLS
+    residuals ordered by (l_orderkey, l_linenumber) — "does a pricing
+    miss on one line predict a miss on the next?"
+    (operators/regression.py durbin_watson_report, round 14 —
+    statsmodels durbin_watson at the same ordering). The moment pass
+    fits beta on the driver; residuals are an in-row expression at
+    beta literals; the consecutive pairing runs as the bucketed-cumsum
+    exact global rank (never an unpartitioned window) + a rank-keyed
+    self-join at rank+1; num/den accumulate as 12dp DECIMAL(38,12).
+    Oracle: beta replayed from the moment SQL + shared solve, then a
+    pure-SQL row_number/self-join DW in DuckDB (_build_dw_oracle)."""
+    from intake_esm_spark.operators.regression import (
+        durbin_watson_report,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return durbin_watson_report(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        "l_orderkey", ["l_linenumber"],
+    )
+
+
 def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Model-level Poisson diagnostics (operators/regression.py
     poisson_fit_report): n, iteration count, mean unit deviance at
@@ -5217,6 +5283,62 @@ def q_events_acf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_pacf(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-revenue partial autocorrelation at lags 1..7
+    (operators/timeseries.py pacf_report, round 14 — statsmodels
+    pacf(method='ld')): the STANDARD single-mean total-SS ACF sidecar
+    (one 1-row mean pass + the lag-fanned day-keyed self-join of the
+    calendar-bounded daily frame, centered products at the 6dp mean
+    literal, 12dp decimal sums) then the Durbin-Levinson recursion as
+    driver arithmetic through the shared durbin_levinson_pacf.
+    Oracle: the sidecar SQL replayed in DuckDB + the SAME shared
+    recursion, literal rows (_build_pacf_lb_oracles)."""
+    from intake_esm_spark.operators.timeseries import pacf_report
+
+    events = load_table(spark, sf, "events")
+    return pacf_report(
+        events.filter(F.col("event_type") == "purchase"), max_lag=7
+    )
+
+
+def q_events_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test of the daily revenue
+    series, cumulative Q at lags 1..7 (operators/timeseries.py
+    ljung_box_report, round 14 — statsmodels acorr_ljungbox; compare
+    against the chi2(dof) critical value client-side, the
+    chi_square_report convention). Identical distributed shape to
+    events_pacf (the SAME shared standard-ACF sidecar passes); Q is
+    driver arithmetic over the bounded sidecar. Oracle: the sidecar
+    replay + the same cumulative sum, literal rows
+    (_build_pacf_lb_oracles)."""
+    from intake_esm_spark.operators.timeseries import ljung_box_report
+
+    events = load_table(spark, sf, "events")
+    return ljung_box_report(
+        events.filter(F.col("event_type") == "purchase"), max_lag=7
+    )
+
+
+def q_events_adf(spark: SparkSession, sf: str) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root regression (constant, lag
+    order 1) on the daily revenue series (operators/timeseries.py
+    adf_report, round 14 — statsmodels adfuller(maxlag=1,
+    autolag=None, regression='c') on a gapless series; compare tau
+    against the tabulated DF critical values client-side). Each
+    lagged term is a day-keyed equi-join of the calendar-bounded
+    daily frame (gaps drop rows, complete-case); the regression is
+    the shared exact-decimal ols_moments 1-row pass + driver solve,
+    finished through the shared adf_finish. Oracle: the daily CTE +
+    shift joins + the shared OLS moment SQL replayed in DuckDB
+    through the same solve/finish (_build_adf_oracle)."""
+    from intake_esm_spark.operators.timeseries import adf_report
+
+    events = load_table(spark, sf, "events")
+    return adf_report(
+        events.filter(F.col("event_type") == "purchase"), lag_order=1
+    )
+
+
 def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
     """Top-2 principal-component projection of the embedding table
     (operators/matrix.py pca_project): covariance moments via the
@@ -5551,7 +5673,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Block 0: round-14 NEW — the Cox scoring surfaces (Breslow
         # baseline hazard + per-subject survival at a horizon, both on
         # the shared _cox_fit trajectory), NB2 negative-binomial, Huber
-        # robust regression, Gamma GLM (log link).
+        # robust regression, Gamma GLM (log link), Chow structural
+        # break, IV 2SLS, Durbin-Watson.
+        "lineitem_chow": q_lineitem_chow,
+        "lineitem_iv": q_lineitem_iv,
+        "lineitem_dw": q_lineitem_dw,
+        "events_pacf": q_events_pacf,
+        "events_ljung_box": q_events_ljung_box,
+        "events_adf": q_events_adf,
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
@@ -13764,6 +13893,18 @@ def oracle_sql() -> dict[str, str]:
     d["lineitem_poisson"], d["lineitem_poisson_fit"] = (
         _build_poisson_oracles()
     )
+    # lineitem_chow / lineitem_iv / lineitem_dw (round 14): grouped
+    # moment replay through the shared Chow solve, the widened IV
+    # moment replay through the shared sandwich solve, and the
+    # beta-literal pure-SQL Durbin-Watson
+    d["lineitem_chow"] = _build_chow_oracle()
+    d["lineitem_iv"] = _build_iv_oracle()
+    d["lineitem_dw"] = _build_dw_oracle()
+    # events_pacf / events_ljung_box / events_adf (round 14): the
+    # standard-ACF sidecar replayed once in DuckDB through the shared
+    # Durbin-Levinson / cumulative-Q / adf_finish arithmetic
+    d["events_pacf"], d["events_ljung_box"] = _build_pacf_lb_oracles()
+    d["events_adf"] = _build_adf_oracle()
     # lineitem_negbin / lineitem_huber (round 14): the NB2 and
     # Huber-IRLS float trajectories walked pass-by-pass in DuckDB
     # through the shared warm-start/step/finalize helpers
@@ -14028,6 +14169,328 @@ def _build_wls_oracle() -> str:
         for t, c, s, ts in zip(
             sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"]
         )
+    )
+
+
+def _build_chow_oracle() -> str:
+    """Oracle for lineitem_chow: the grouped exact-decimal moment SQL
+    (text-for-text the operator's per-regime aggregate) replayed in
+    DuckDB, the two Decimal sidecar rows handed to the SAME shared
+    ``chow_solve_from_moments`` (pooled moments = Decimal sums, three
+    closed-form fits, the F) — one literal row."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        chow_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+    y, g = "l_extendedprice", "l_linestatus"
+    cols = _ols_moment_sql_cols(xs, y)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in [y, *xs, g])
+    con = duckdb.connect()
+    cur = con.execute(
+        f"SELECT CAST({g} AS VARCHAR) AS __grp, {', '.join(cols)}"
+        f" FROM '{sf_dir}/lineitem.parquet' WHERE {notnull}"
+        f" GROUP BY 1"
+    )
+    names = [d[0] for d in cur.description]
+    moms = {
+        row[0]: dict(zip(names[1:], row[1:])) for row in cur.fetchall()
+    }
+    sol = chow_solve_from_moments(moms, xs)
+    lit = _ols_lit
+    return (
+        f"SELECT '{sol['grp_a']}' AS grp_a, '{sol['grp_b']}' AS grp_b,"
+        f" CAST({sol['n_a']} AS BIGINT) AS n_a,"
+        f" CAST({sol['n_b']} AS BIGINT) AS n_b,"
+        f" CAST({sol['df_num']} AS BIGINT) AS df_num,"
+        f" CAST({sol['df_den']} AS BIGINT) AS df_den,"
+        f" {lit(sol['sse_pooled'])} AS sse_pooled,"
+        f" {lit(sol['sse_within'])} AS sse_within,"
+        f" {lit(sol['f_stat'])} AS f_stat"
+    )
+
+
+def _iv_moment_sql_cols(
+    xs: list[str], zs: list[str], y: str
+) -> list[str]:
+    """The DuckDB replay of regression._iv_moment_proj /
+    _iv_moment_sums — the OLS moment-column discipline widened with
+    the Z'X (every pair — not symmetric) / Z'Z cross-moments."""
+
+    def q6(c: str) -> str:
+        return f"CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(18,6))"
+
+    def prod(a: str, b: str) -> str:
+        return (
+            f"CAST(CAST(round(CAST({a} AS DOUBLE), 6) AS DECIMAL(19,6))"
+            f" * {q6(b)} AS DECIMAL(38,12))"
+        )
+
+    cols = [
+        "count(*) AS n",
+        f"sum({q6(y)}) AS sy",
+        f"sum({prod(y, y)}) AS syy",
+    ]
+    for i, c in enumerate(xs):
+        cols.append(f"sum({q6(c)}) AS sx_{i}")
+        cols.append(f"sum({prod(c, y)}) AS xy_{i}")
+        for j2 in range(i, len(xs)):
+            cols.append(f"sum({prod(c, xs[j2])}) AS xx_{i}_{j2}")
+    for i, c in enumerate(zs):
+        cols.append(f"sum({q6(c)}) AS sz_{i}")
+        cols.append(f"sum({prod(c, y)}) AS zy_{i}")
+        for j2 in range(i, len(zs)):
+            cols.append(f"sum({prod(c, zs[j2])}) AS zz_{i}_{j2}")
+        for j2 in range(len(xs)):
+            cols.append(f"sum({prod(c, xs[j2])}) AS zx_{i}_{j2}")
+    return cols
+
+
+def _build_iv_oracle() -> str:
+    """Oracle for lineitem_iv: the widened (1, x, z, y) moment SQL
+    replayed in DuckDB over the same complete-case filter, the Decimal
+    moments handed to the SAME shared ``iv_solve_from_moments``
+    (closed-form (Z'X)^-1 Z'y + the just-identified sandwich) —
+    literal coefficient rows."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        iv_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_tax"]
+    zs = ["l_linenumber", "l_tax"]
+    y = "l_extendedprice"
+    cols = _iv_moment_sql_cols(xs, zs, y)
+    notnull = " AND ".join(
+        f"{c} IS NOT NULL" for c in dict.fromkeys([y, *xs, *zs])
+    )
+    con = duckdb.connect()
+    cur = con.execute(
+        f"SELECT {', '.join(cols)} FROM "
+        f"'{sf_dir}/lineitem.parquet' WHERE {notnull}"
+    )
+    row = cur.fetchone()
+    sol = iv_solve_from_moments(
+        dict(zip([d[0] for d in cur.description], row)), xs, zs
+    )
+    lit = _ols_lit
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {lit(c)} AS coef, {lit(s)} AS std_err,"
+        f" {lit(ts)} AS t_stat"
+        for t, c, s, ts in zip(
+            sol["terms"], sol["coef"], sol["std_err"], sol["t_stat"]
+        )
+    )
+
+
+def _build_dw_oracle() -> str:
+    """Oracle for lineitem_dw: pass 1 (OLS moments -> shared solve ->
+    6dp beta literals) replayed in DuckDB, then a PURE-SQL DW — the
+    residual expression at beta literals (left-associated,
+    text-for-text with the operator's eta chain), row_number over the
+    same total order standing in for the bucketed global rank, the
+    rank+1 self-join, and the identical 12dp DECIMAL(38,12) sums."""
+    from intake_esm_spark.operators.regression import (
+        ols_solve_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount"]
+    y = "l_extendedprice"
+    mom, con = _bp_ols_moments_duckdb(xs, y)
+    beta = ols_solve_from_moments(mom, xs)["coef"]
+    eta = repr(float(beta[0]))
+    for i, bj in enumerate(beta[1:]):
+        eta = (
+            f"({eta} + {float(bj)!r}"
+            f" * round(CAST({xs[i]} AS DOUBLE), 6))"
+        )
+    notnull = " AND ".join(
+        f"{c} IS NOT NULL"
+        for c in [y, *xs, "l_orderkey", "l_linenumber"]
+    )
+    d38 = "DECIMAL(38,12)"
+    return f"""
+        WITH base AS (
+          SELECT CAST(l_orderkey AS DOUBLE) AS ord,
+                 l_linenumber AS tb,
+                 round(round(CAST({y} AS DOUBLE), 6) - {eta}, 6) AS e
+          FROM '{sf_dir}/lineitem.parquet' WHERE {notnull}
+        ), ranked AS (
+          SELECT e, row_number() OVER (ORDER BY ord, tb) AS rn
+          FROM base
+        ), pairs AS (
+          SELECT
+            sum(CAST(round((a.e - b.e) * (a.e - b.e), 12) AS {d38}))
+              AS num,
+            sum(CAST(round(a.e * b.e, 12) AS {d38})) AS crs
+          FROM ranked a JOIN ranked b ON a.rn = b.rn + 1
+        ), den AS (
+          SELECT count(*) AS n_rows,
+                 sum(CAST(round(e * e, 12) AS {d38})) AS dn
+          FROM ranked
+        )
+        SELECT den.n_rows AS n_rows,
+          CASE WHEN CAST(dn AS DOUBLE) > 0 THEN
+            round(CAST(num AS DOUBLE) / CAST(dn AS DOUBLE), 6) END
+            AS dw_stat,
+          CASE WHEN CAST(dn AS DOUBLE) > 0 THEN
+            round(CAST(crs AS DOUBLE) / CAST(dn AS DOUBLE), 6) END
+            AS rho1
+        FROM den CROSS JOIN pairs
+    """
+
+
+def _ts_daily_sql(sf_dir: str) -> str:
+    """The purchase-filtered daily-rollup CTE body shared by the
+    round-14 time-series oracle builders — the DuckDB replay of
+    timeseries._daily_frame over the events_pacf/ljung_box/adf
+    entries' filter."""
+    return (
+        "SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        " AS dn, sum(CAST(value AS DECIMAL(18,6))) AS rd"
+        f" FROM '{sf_dir}/events.parquet'"
+        " WHERE event_type = 'purchase' GROUP BY 1"
+    )
+
+
+def _ts_centered_sidecar_duckdb(max_lag: int) -> dict:
+    """DuckDB replay of timeseries._centered_acf_sidecar: the daily
+    CTE, the 1-row mean pass, the centered SS, and the lag-fanned
+    self-join of centered products at the 6dp mean literal — 12dp
+    DECIMAL(38,12) sums, text-for-text the operator's arithmetic."""
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    daily = _ts_daily_sql(sf_dir)
+    con = duckdb.connect()
+    n, sx = con.execute(
+        f"SELECT count(*), sum(rd) FROM ({daily})"
+    ).fetchone()
+    n = int(n)
+    mean = round(float(sx) / n, 6)
+    cen = f"round(CAST(rd AS DOUBLE) - {mean!r}, 6)"
+    ss = float(
+        con.execute(
+            f"SELECT sum(CAST(round({cen} * {cen}, 12) AS"
+            f" DECIMAL(38,12))) FROM ({daily})"
+        ).fetchone()[0]
+    )
+    rows = con.execute(
+        f"""
+        WITH d AS ({daily}),
+        c AS (SELECT dn, {cen} AS cen FROM d),
+        lags AS (SELECT unnest(generate_series(1, {max_lag})) AS lag),
+        pairs AS (
+          SELECT l.lag, a.cen AS cx, b.cen AS cy
+          FROM c a CROSS JOIN lags l
+          JOIN c b ON b.dn = a.dn + l.lag
+        )
+        SELECT lag,
+               sum(CAST(round(cx * cy, 12) AS DECIMAL(38,12))) AS c
+        FROM pairs GROUP BY 1
+        """
+    ).fetchall()
+    c = {int(r[0]): float(r[1]) for r in rows}
+    rho = {
+        k: (c.get(k, 0.0) / ss if ss > 0 else 0.0)
+        for k in range(1, max_lag + 1)
+    }
+    return {"n": n, "mean": mean, "ss": ss, "c": c, "rho": rho}
+
+
+def _build_pacf_lb_oracles() -> tuple[str, str]:
+    """Oracles for events_pacf / events_ljung_box: ONE sidecar replay
+    (the standard-ACF moments in DuckDB) feeding the SAME shared
+    durbin_levinson_pacf recursion and the same cumulative-Q loop the
+    operators run — literal rows."""
+    from intake_esm_spark.operators.timeseries import (
+        durbin_levinson_pacf,
+    )
+
+    side = _ts_centered_sidecar_duckdb(7)
+    lit = _ols_lit
+    pac = durbin_levinson_pacf(side["rho"])
+    pacf_sql = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS lag,"
+        f" {lit(round(side['rho'][k], 6))} AS acf,"
+        f" {lit(round(pac[k], 6) if pac[k] is not None else None)}"
+        f" AS pacf"
+        for k in sorted(side["rho"])
+    )
+    n = side["n"]
+    q = 0.0
+    lb_rows = []
+    for k in sorted(side["rho"]):
+        q += side["rho"][k] ** 2 / (n - k)
+        lb_rows.append(
+            f"SELECT CAST({k} AS INT) AS lag,"
+            f" {lit(round(side['rho'][k], 6))} AS acf,"
+            f" {lit(round(n * (n + 2) * q, 6))} AS q_stat,"
+            f" CAST({k} AS INT) AS dof"
+        )
+    return pacf_sql, " UNION ALL ".join(lb_rows)
+
+
+def _build_adf_oracle() -> str:
+    """Oracle for events_adf: the daily CTE + the lag_order+1 shift
+    equi-joins + the shared OLS moment SQL replayed in DuckDB, the
+    Decimal moments through the SAME shared ols_solve_from_moments /
+    adf_finish — one literal row."""
+    import duckdb
+
+    from intake_esm_spark.operators.regression import (
+        ols_solve_from_moments,
+    )
+    from intake_esm_spark.operators.timeseries import adf_finish
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    daily = _ts_daily_sql(sf_dir)
+    x = "round(CAST(rd AS DOUBLE), 6)"
+    p = 1
+    joins = " ".join(
+        f"JOIN (SELECT dn + {s} AS d, {x} AS x{s} FROM d) a{s}"
+        f" USING (d)"
+        for s in range(1, p + 2)
+    )
+    frame = f"""
+        WITH d AS ({daily}),
+        a0 AS (SELECT dn AS d, {x} AS x0 FROM d),
+        j AS (SELECT * FROM a0 {joins})
+        SELECT round(x0 - x1, 6) AS dy, x1 AS y1,
+               round(x1 - x2, 6) AS dy1
+        FROM j
+    """
+    xs = ["y1", "dy1"]
+    cols = _ols_moment_sql_cols(xs, "dy")
+    con = duckdb.connect()
+    cur = con.execute(f"SELECT {', '.join(cols)} FROM ({frame})")
+    row = cur.fetchone()
+    sol = ols_solve_from_moments(
+        dict(zip([d[0] for d in cur.description], row)), xs
+    )
+    n_obs, lag_order, gamma, tau, alpha = adf_finish(sol, p)
+    lit = _ols_lit
+    return (
+        f"SELECT CAST({n_obs} AS BIGINT) AS n_obs,"
+        f" CAST({lag_order} AS INT) AS lag_order,"
+        f" {lit(gamma)} AS gamma, {lit(tau)} AS tau,"
+        f" {lit(alpha)} AS alpha"
     )
 
 

@@ -281,6 +281,12 @@ BENCH_QUERIES = [
     "lineitem_negbin",
     "lineitem_huber",
     "lineitem_gamma",
+    "lineitem_chow",
+    "lineitem_iv",
+    "lineitem_dw",
+    "events_pacf",
+    "events_ljung_box",
+    "events_adf",
 ]
 
 

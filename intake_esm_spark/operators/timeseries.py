@@ -759,3 +759,256 @@ def mann_kendall_test(
             (F.abs(z6) >= F.lit(z_threshold)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def _centered_acf_sidecar(
+    events: DataFrame,
+    value_col: str,
+    ts_col: str,
+    max_lag: int,
+) -> dict:
+    """The bounded sidecar behind :func:`pacf_report` /
+    :func:`ljung_box_report`: the STANDARD (single-global-mean,
+    total-SS-denominator) autocorrelation sequence of the daily
+    rollup — the statsmodels ``acf(adjusted=False)`` convention the
+    Durbin-Levinson recursion and the Ljung-Box Q are defined over
+    (the sample-pair Pearson of :func:`acf_report` re-estimates the
+    margins per lag, which is the better standalone diagnostic but
+    NOT a valid input to either recursion).
+
+    Two passes over the calendar-bounded daily frame: (1) one 1-row
+    aggregate for ``n`` / the 6dp global mean, (2) the lag fan-out +
+    day-keyed self-join of :func:`acf_report` with the centered
+    products at the mean LITERAL, 12dp-rounded into DECIMAL(38,12)
+    sums (order-independent).  Calendar gaps shrink a lag's pair set
+    (complete-case) rather than fabricating zeros.  Returns ``{"n":
+    days, "mean": x̄₆, "ss": Σ(x−x̄)², "c": {lag: Σ(xₜ−x̄)(xₜ₊ₖ−x̄)},
+    "rho": {lag: c/ss}}`` with ``rho`` in float — the one shared
+    vocabulary the Spark operators and the DuckDB oracle builders
+    both consume."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
+        eager=False
+    )  # pinned: feeds the mean pass and both sides of the lag join
+    d12 = "decimal(38,12)"
+    head = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__rd").alias("sx")
+    ).collect()[0]
+    n = int(head["n"])
+    if n < max_lag + 2:
+        raise ValueError(
+            f"need at least max_lag + 2 = {max_lag + 2} days, got {n}"
+        )
+    mean = round(float(head["sx"]) / n, 6)
+    cen = F.round(F.col("__rd").cast("double") - F.lit(mean), 6)
+    ss_row = daily.agg(
+        F.sum(F.round(cen * cen, 12).cast(d12)).alias("ss")
+    ).collect()[0]
+    ss = float(ss_row["ss"])
+    lhs = daily.select(
+        F.col("__dn").alias("__d"),
+        cen.alias("__cx"),
+        F.explode(F.expr(f"sequence(1, {int(max_lag)})")).alias("lag"),
+    ).withColumn("__d2", F.col("__d") + F.col("lag"))
+    rhs = daily.select(F.col("__dn").alias("__d2"), cen.alias("__cy"))
+    rows = (
+        lhs.join(rhs, "__d2")
+        .select(
+            "lag",
+            F.round(F.col("__cx") * F.col("__cy"), 12)
+            .cast(d12)
+            .alias("__p"),
+        )
+        .groupBy("lag")
+        .agg(F.sum("__p").alias("c"))
+        .collect()
+    )
+    c = {int(r["lag"]): float(r["c"]) for r in rows}
+    rho = {
+        k: (c.get(k, 0.0) / ss if ss > 0 else 0.0)
+        for k in range(1, max_lag + 1)
+    }
+    return {"n": n, "mean": mean, "ss": ss, "c": c, "rho": rho}
+
+
+def durbin_levinson_pacf(rho: dict[int, float]) -> dict[int, float]:
+    """Partial autocorrelations from the autocorrelation sequence via
+    the Durbin-Levinson recursion (statsmodels ``pacf(method='ld')``)
+    — pure driver arithmetic over the bounded lag sidecar, ONE shared
+    implementation for the Spark operator and the DuckDB oracle
+    builder.  ``pacf[k]`` is the last coefficient of the order-k
+    Yule-Walker fit; a degenerate step (1 − φ·ρ ≤ 0, a
+    non-positive-definite sample sequence) yields None from that lag
+    on rather than dividing by ~0 into garbage."""
+    lags = sorted(rho)
+    out: dict[int, float] = {}
+    phi_prev: list[float] = []
+    denom = 1.0
+    dead = False
+    for k in lags:
+        if dead:
+            out[k] = None
+            continue
+        num = rho[k] - sum(
+            p * rho[k - 1 - i] for i, p in enumerate(phi_prev)
+        )
+        if denom <= 1e-12:
+            out[k] = None
+            dead = True
+            continue
+        a = num / denom
+        out[k] = a
+        phi = [
+            p - a * phi_prev[len(phi_prev) - 1 - i]
+            for i, p in enumerate(phi_prev)
+        ] + [a]
+        denom = denom * (1.0 - a * a)
+        phi_prev = phi
+    return out
+
+
+def pacf_report(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Partial autocorrelation of the daily rollup at lags
+    1..``max_lag`` — "how much does day t−k explain day t AFTER the
+    intermediate days are regressed out", the AR-order selector that
+    tells you which lags belong in an autoregression (statsmodels
+    ``pacf(method='ld')`` over the standard ACF).
+
+    Scale: the distributed work is exactly the
+    :func:`_centered_acf_sidecar` passes (one 1-row mean aggregate +
+    one lag-fanned self-join of the calendar-bounded daily frame);
+    the Durbin-Levinson recursion is driver arithmetic over the
+    ``max_lag``-row sidecar through the SAME shared
+    :func:`durbin_levinson_pacf` the oracle replays.  Returns one row
+    per lag ``(lag, acf, pacf)``, 6dp."""
+    side = _centered_acf_sidecar(events, value_col, ts_col, max_lag)
+    pac = durbin_levinson_pacf(side["rho"])
+    rows = [
+        (
+            k,
+            round(side["rho"][k], 6),
+            round(pac[k], 6) if pac[k] is not None else None,
+        )
+        for k in sorted(side["rho"])
+    ]
+    return events.sparkSession.createDataFrame(
+        rows, "lag int, acf double, pacf double"
+    )
+
+
+def ljung_box_report(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test on the daily rollup —
+    ``Q(k) = n(n+2) Σ_{j<=k} ρ̂²_j/(n−j)`` at every lag 1..``max_lag``
+    (statsmodels ``acorr_ljungbox``): is the series distinguishable
+    from white noise using the first k autocorrelations jointly?
+    Compare against the chi-square critical value for ``dof = k``
+    client-side (the CDF is not SQL arithmetic — the
+    :func:`~.experiment.chi_square_report` convention).
+
+    Scale: identical distributed shape to :func:`pacf_report` (the
+    shared sidecar passes); the cumulative Q is driver arithmetic
+    over the bounded sidecar.  Returns one row per lag ``(lag, acf,
+    q_stat, dof)``, 6dp."""
+    side = _centered_acf_sidecar(events, value_col, ts_col, max_lag)
+    n = side["n"]
+    rows = []
+    q = 0.0
+    for k in sorted(side["rho"]):
+        q += side["rho"][k] ** 2 / (n - k)
+        rows.append(
+            (
+                k,
+                round(side["rho"][k], 6),
+                round(n * (n + 2) * q, 6),
+                k,
+            )
+        )
+    return events.sparkSession.createDataFrame(
+        rows, "lag int, acf double, q_stat double, dof int"
+    )
+
+
+def adf_report(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lag_order: int = 1,
+) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root regression on the daily
+    rollup (constant, no trend): ``Δxₜ = α + γ·xₜ₋₁ +
+    Σ_{i<=p} φᵢ·Δxₜ₋ᵢ + ε`` — is the series mean-reverting
+    (γ < 0, stationary) or a random walk (γ ≈ 0)?  ``tau`` is the
+    Dickey-Fuller t on γ̂; compare against the DF critical values
+    (−2.86 at 5% for the constant-only case) client-side — the DF
+    distribution is nonstandard, tabulated, and not SQL arithmetic
+    (the chi_square_report convention).  statsmodels
+    ``adfuller(x, maxlag=p, autolag=None, regression='c')`` parity
+    on a gapless series.
+
+    Scale: each lagged term is a day-keyed equi-join of the
+    calendar-bounded daily frame against itself at ``t−i`` (the
+    :func:`acf_report` alignment — calendar gaps drop the affected
+    rows, complete-case, never fabricated zeros); the regression is
+    the SAME shared exact-decimal :func:`~.regression.ols_moments`
+    1-row pass + driver solve every other regression entry uses.
+    Returns one row ``(n_obs, lag_order, gamma, tau, alpha)``."""
+    from .regression import ols_moments, ols_solve_from_moments
+
+    if lag_order < 0:
+        raise ValueError(f"lag_order must be >= 0, got {lag_order}")
+    daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
+        eager=False
+    )  # pinned: feeds one join side per lagged term
+    xd = F.round(F.col("__rd").cast("double"), 6)
+    base = daily.select(F.col("__dn").alias("__d"), xd.alias("__x0"))
+    # shifted copies x_{t-s} for s = 1..lag_order+1 (dy_i needs s=i+1)
+    cur = base
+    for s in range(1, lag_order + 2):
+        sh = daily.select(
+            (F.col("__dn") + F.lit(s)).alias("__d"),
+            xd.alias(f"__x{s}"),
+        )
+        cur = cur.join(sh, "__d")
+    cols = [
+        F.round(F.col("__x0") - F.col("__x1"), 6).alias("__dy"),
+        F.col("__x1").alias("__y1"),
+    ]
+    for i in range(1, lag_order + 1):
+        cols.append(
+            F.round(F.col(f"__x{i}") - F.col(f"__x{i + 1}"), 6).alias(
+                f"__dy{i}"
+            )
+        )
+    frame = cur.select(*cols)
+    xs = ["__y1"] + [f"__dy{i}" for i in range(1, lag_order + 1)]
+    sol = ols_solve_from_moments(ols_moments(frame, "__dy", xs), xs)
+    row = adf_finish(sol, lag_order)
+    return events.sparkSession.createDataFrame(
+        [row],
+        "n_obs bigint, lag_order int, gamma double, tau double,"
+        " alpha double",
+    )
+
+
+def adf_finish(sol: dict, lag_order: int) -> tuple:
+    """The (n_obs, lag_order, gamma, tau, alpha) readout of the ADF
+    regression's shared OLS solve — ONE implementation consumed by
+    :func:`adf_report` and the DuckDB oracle builder so the tau
+    arithmetic can never drift between engines."""
+    gamma = sol["coef"][1]
+    se = sol["std_err"][1]
+    tau = (
+        round(gamma / se, 6) if se is not None and se > 0 else None
+    )
+    return (int(sol["n"]), int(lag_order), gamma, tau, sol["coef"][0])

@@ -1044,3 +1044,120 @@ def test_huber_pass_is_single_partial_agged_scan(spark):
     assert plan.count("HashAggregate") == 2, plan  # partial + final
     assert "windowspecdefinition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_chow_result_is_driver_rows_and_agg_is_one_exchange(spark):
+    """chow_test_report (r14): the RESULT frame is a bounded driver
+    localTableScan (one solved row — no distributed stages at all);
+    the distributed half is the ols_by_group moment aggregate, whose
+    single group-grain exchange is pinned by
+    test_ols_by_group_single_group_grain_exchange (same builders)."""
+    from intake_esm_spark.operators.regression import chow_test_report
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = chow_test_report(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        "l_linestatus",
+    )
+    plan = plan_of(out, "simple")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_iv_moment_pass_is_single_partial_agged_scan(spark):
+    """iv2sls (r14): the widened (1, x, z, y) moment pass is ONE 1-row
+    partial-aggregated scan — decimal casts projected below the
+    aggregate, no window, no join, no rangepartitioning; the solve is
+    driver arithmetic so the result frame is a localTableScan."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.regression import (
+        _iv_moment_proj,
+        _iv_moment_sums,
+        iv2sls_report,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    xs, zs = ["l_quantity", "l_tax"], ["l_linenumber", "l_tax"]
+    agg = li.select(
+        *_iv_moment_proj("l_extendedprice", xs, zs)
+    ).agg(*_iv_moment_sums(xs, zs))
+    plan = plan_of(agg, "simple")
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    out = iv2sls_report(li, "l_extendedprice", xs, zs)
+    out_plan = plan_of(out, "simple")
+    assert "ExistingRDD" in out_plan or "LocalTableScan" in out_plan
+
+
+def test_dw_pairing_is_bucketed_rank_join_no_global_sort(
+    spark, queries
+):
+    """durbin_watson_report (r14): the consecutive pairing runs as the
+    bucketed-cumsum global rank + a rank-keyed equi-join — every
+    data-sized window is bucket-partitioned and NO Exchange
+    rangepartitioning (a corpus value sort) appears anywhere — in
+    fact the tie-fanout rank path plans with ZERO window operators
+    (pure join/aggregate construction), the strongest form of the
+    no-unpartitioned-window contract."""
+    plan = plan_of(queries["lineitem_dw"](spark, SF), "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_ts_diagnostics_results_are_driver_rows(spark, queries):
+    """events_pacf / events_ljung_box / events_adf (r14): every
+    distributed pass is a bounded-sidecar collect (the daily-frame
+    mean/lag-join/moment aggregates of the shared builders), so the
+    RETURNED frames are driver-local literal rows — no distributed
+    stages, no exchange, in the result plan at all."""
+    for name in ("events_pacf", "events_ljung_box", "events_adf"):
+        plan = plan_of(queries[name](spark, SF), "simple")
+        assert (
+            "ExistingRDD" in plan or "LocalTableScan" in plan
+        ), (name, plan)
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_adf_lag_frame_no_window_no_range_sort(spark):
+    """adf_report (r14): the lagged-term frame is built from day-keyed
+    equi-joins of the calendar-bounded daily frame — no window
+    operator and no Exchange rangepartitioning anywhere in the moment
+    pass."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.timeseries import _daily_frame
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = _daily_frame(ev, "value", "ts")
+    xd = F.round(F.col("__rd").cast("double"), 6)
+    base = daily.select(F.col("__dn").alias("__d"), xd.alias("__x0"))
+    cur = base
+    for s in (1, 2):
+        cur = cur.join(
+            daily.select(
+                (F.col("__dn") + F.lit(s)).alias("__d"),
+                xd.alias(f"__x{s}"),
+            ),
+            "__d",
+        )
+    from intake_esm_spark.operators.regression import (
+        _ols_moment_proj,
+        _ols_moment_sums,
+    )
+
+    frame = cur.select(
+        F.round(F.col("__x0") - F.col("__x1"), 6).alias("__dy"),
+        F.col("__x1").alias("__y1"),
+        F.round(F.col("__x1") - F.col("__x2"), 6).alias("__dy1"),
+    )
+    agg = frame.select(
+        *_ols_moment_proj("__dy", ["__y1", "__dy1"])
+    ).agg(*_ols_moment_sums(["__y1", "__dy1"]))
+    plan = plan_of(agg, "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
