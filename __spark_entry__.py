@@ -3425,6 +3425,69 @@ def q_lineitem_dw(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lineitem_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """Best histogram split per feature for predicting returned lines
+    (operators/trees.py histogram_split_report, round 14 — the
+    LightGBM/XGBoost-hist GBDT-node primitive): TWO distributed
+    passes regardless of data size — a 1-row range aggregate, then
+    the |features|x16 binned-count histogram via an in-row
+    explode(array(struct)) partial-aggregated BEFORE the exchange
+    (the corpus never shuffles); every candidate threshold is scored
+    from the cumulative histogram on the driver through the shared
+    best_splits_from_hist. Oracle: ranges + per-feature histogram
+    SQL replayed in DuckDB through the SAME shared scan
+    (_build_tree_oracles)."""
+    from intake_esm_spark.operators.trees import histogram_split_report
+
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "__y", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return histogram_split_report(
+        li, "__y", ["l_quantity", "l_discount", "l_tax"], n_bins=16
+    )
+
+
+def q_lineitem_tree(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-2 histogram tree on the same returned-line label
+    (operators/trees.py histogram_tree_report, round 14): the root
+    split, then the SAME two-pass histogram recurrence re-run on each
+    child region — the region predicate is a pushed-down filter, so
+    each tree level costs one more corpus pass (the distributed-GBDT
+    recurrence). Oracle: the three-region replay in DuckDB through
+    the same shared scan and the same deterministic root/child
+    argmax (_build_tree_oracles)."""
+    from intake_esm_spark.operators.trees import histogram_tree_report
+
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "__y", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return histogram_tree_report(
+        li, "__y", ["l_quantity", "l_discount", "l_tax"], n_bins=16
+    )
+
+
+def q_docs_nb_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial Naive Bayes language-ID self-test confusion matrix
+    over hashed tokens (operators/classify.py nb_confusion_report,
+    round 14 — sklearn MultinomialNB(alpha=1) semantics over 256
+    hashed features): training is ONE partial-agged pass to the
+    bounded |classes|x256 count grid, the 9dp log tables are built on
+    the DRIVER from exact integer counts (python math.log — no
+    engine-libm drift) and broadcast back as decimal literals;
+    scoring is a broadcast join + doc-keyed decimal-exact sums, ties
+    to the lexicographically largest class. On this synthetic corpus
+    every lang shares one vocabulary, so the honest readout is
+    majority-class collapse — the diagnostic a data engineer needs
+    BEFORE shipping a lang-ID model. Oracle: the token/count SQL
+    replayed in DuckDB through the SAME shared nb_class_tables, then
+    the identical decimal scoring in pure SQL with the log tables as
+    VALUES literals (_build_nb_oracle)."""
+    from intake_esm_spark.operators.classify import nb_confusion_report
+
+    docs = load_table(spark, sf, "documents")
+    return nb_confusion_report(docs, n_hash=256, alpha=1.0)
+
+
 def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Model-level Poisson diagnostics (operators/regression.py
     poisson_fit_report): n, iteration count, mean unit deviance at
@@ -5681,6 +5744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pacf": q_events_pacf,
         "events_ljung_box": q_events_ljung_box,
         "events_adf": q_events_adf,
+        "lineitem_stump": q_lineitem_stump,
+        "lineitem_tree": q_lineitem_tree,
+        "docs_nb_confusion": q_docs_nb_confusion,
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
@@ -13905,6 +13971,12 @@ def oracle_sql() -> dict[str, str]:
     # Durbin-Levinson / cumulative-Q / adf_finish arithmetic
     d["events_pacf"], d["events_ljung_box"] = _build_pacf_lb_oracles()
     d["events_adf"] = _build_adf_oracle()
+    # lineitem_stump / lineitem_tree (round 14): range + histogram
+    # aggregates replayed in DuckDB through the shared split scan
+    d["lineitem_stump"], d["lineitem_tree"] = _build_tree_oracles()
+    # docs_nb_confusion (round 14): count replay through the shared
+    # driver-side log tables, decimal scoring in pure SQL
+    d["docs_nb_confusion"] = _build_nb_oracle()
     # lineitem_negbin / lineitem_huber (round 14): the NB2 and
     # Huber-IRLS float trajectories walked pass-by-pass in DuckDB
     # through the shared warm-start/step/finalize helpers
@@ -14349,6 +14421,230 @@ def _build_dw_oracle() -> str:
             round(CAST(crs AS DOUBLE) / CAST(dn AS DOUBLE), 6) END
             AS rho1
         FROM den CROSS JOIN pairs
+    """
+
+
+def _duck_ranges(con, src: str, x_cols: list[str]) -> dict:
+    """DuckDB replay of trees.feature_ranges: 6dp min/max."""
+    aggs = ", ".join(
+        f"min(round(CAST({c} AS DOUBLE), 6)),"
+        f" max(round(CAST({c} AS DOUBLE), 6))"
+        for c in x_cols
+    )
+    row = con.execute(f"SELECT {aggs} FROM {src}").fetchone()
+    return {
+        c: (row[2 * i], row[2 * i + 1]) for i, c in enumerate(x_cols)
+    }
+
+
+def _duck_hist(
+    con,
+    src: str,
+    label_sql: str,
+    x_cols: list[str],
+    ranges: dict,
+    n_bins: int,
+) -> dict:
+    """DuckDB replay of trees.binned_histogram: per-(feature, bin)
+    (cnt, pos) at the same literal boundaries / IEEE bin id."""
+    hist: dict = {}
+    for c in x_cols:
+        mn, mx = ranges[c]
+        if mn is None or mx is None or mx <= mn:
+            continue
+        w = (float(mx) - float(mn)) / n_bins
+        bin_expr = (
+            f"CAST(least({n_bins - 1}, greatest(0,"
+            f" floor((round(CAST({c} AS DOUBLE), 6) - {float(mn)!r})"
+            f" / {w!r}))) AS INT)"
+        )
+        rows = con.execute(
+            f"SELECT {bin_expr} AS b, count(*), sum({label_sql})"
+            f" FROM {src} GROUP BY 1"
+        ).fetchall()
+        hist[c] = {int(r[0]): (int(r[1]), int(r[2])) for r in rows}
+    return hist
+
+
+def _build_tree_oracles() -> tuple[str, str]:
+    """Oracles for lineitem_stump / lineitem_tree: the range and
+    histogram aggregates replayed in DuckDB (literal boundaries,
+    identical IEEE bin arithmetic), every split decision through the
+    SAME shared ``best_splits_from_hist`` — literal rows.  The tree
+    replays the root argmax and both child-region passes with the
+    root threshold as the region predicate, exactly the operator's
+    recurrence."""
+    import duckdb
+
+    from intake_esm_spark.operators.trees import (
+        best_splits_from_hist,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    xs = ["l_quantity", "l_discount", "l_tax"]
+    label = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+    n_bins = 16
+    lit = _ols_lit
+
+    def ilit(v) -> str:
+        return (
+            "CAST(NULL AS BIGINT)"
+            if v is None
+            else f"CAST({int(v)} AS BIGINT)"
+        )
+
+    def split_row(t: tuple, prefix: str = "") -> str:
+        return (
+            f"SELECT {prefix}'{t[0]}' AS feature,"
+            f" {lit(t[1])} AS threshold, {lit(t[2])} AS gain,"
+            f" {ilit(t[3])} AS n_left, {ilit(t[4])} AS n_right,"
+            f" {ilit(t[5])} AS pos_left, {ilit(t[6])} AS pos_right"
+        )
+
+    con = duckdb.connect()
+    src = f"'{sf_dir}/lineitem.parquet'"
+    ranges = _duck_ranges(con, src, xs)
+    hist = _duck_hist(con, src, label, xs, ranges, n_bins)
+    roots = best_splits_from_hist(hist, ranges, xs, n_bins)
+    stump_sql = " UNION ALL ".join(split_row(t) for t in roots)
+
+    valid = [r for r in roots if r[2] is not None]
+    tree_rows = []
+    if not valid:
+        tree_rows.append(
+            "SELECT 'root' AS node, CAST(NULL AS VARCHAR) AS feature,"
+            " CAST(NULL AS DOUBLE) AS threshold,"
+            " CAST(NULL AS DOUBLE) AS gain,"
+            " CAST(NULL AS BIGINT) AS n_left,"
+            " CAST(NULL AS BIGINT) AS n_right,"
+            " CAST(NULL AS BIGINT) AS pos_left,"
+            " CAST(NULL AS BIGINT) AS pos_right"
+        )
+    else:
+        root = max(valid, key=lambda r: r[2])
+        tree_rows.append(split_row(root, prefix="'root' AS node, "))
+        for node, op in (("L", "<"), ("R", ">=")):
+            side = (
+                f"(SELECT * FROM {src} WHERE"
+                f" round(CAST({root[0]} AS DOUBLE), 6) {op}"
+                f" {float(root[1])!r})"
+            )
+            rng = _duck_ranges(con, side, xs)
+            h = _duck_hist(con, side, label, xs, rng, n_bins)
+            cand = [
+                r
+                for r in best_splits_from_hist(h, rng, xs, n_bins)
+                if r[2] is not None
+            ]
+            if cand:
+                tree_rows.append(
+                    split_row(
+                        max(cand, key=lambda r: r[2]),
+                        prefix=f"'{node}' AS node, ",
+                    )
+                )
+            else:
+                tree_rows.append(
+                    f"SELECT '{node}' AS node,"
+                    " CAST(NULL AS VARCHAR) AS feature,"
+                    " CAST(NULL AS DOUBLE) AS threshold,"
+                    " CAST(NULL AS DOUBLE) AS gain,"
+                    " CAST(NULL AS BIGINT) AS n_left,"
+                    " CAST(NULL AS BIGINT) AS n_right,"
+                    " CAST(NULL AS BIGINT) AS pos_left,"
+                    " CAST(NULL AS BIGINT) AS pos_right"
+                )
+    return stump_sql, " UNION ALL ".join(tree_rows)
+
+
+def _build_nb_oracle() -> str:
+    """Oracle for docs_nb_confusion: the token/count aggregates
+    replayed in DuckDB, the Decimal counts through the SAME shared
+    ``nb_class_tables`` (python math.log both sides — no engine
+    libm), then the full decimal scoring/argmax/confusion in pure
+    SQL with the log tables inlined as VALUES literals."""
+    import duckdb
+
+    from intake_esm_spark.operators.classify import nb_class_tables
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    n_hash = 256
+    src = f"'{sf_dir}/documents.parquet'"
+    tok = (
+        "SELECT doc_id, CAST(lang AS VARCHAR) AS actual,"
+        " unnest(list_filter(string_split_regex(lower(trim(text)),"
+        " '\\s+'), x -> x <> '')) AS t"
+        f" FROM {src}"
+        " WHERE text IS NOT NULL AND lang IS NOT NULL"
+    )
+    tf = (
+        f"SELECT doc_id, actual, {_h60_sql('t')} % {n_hash} AS h,"
+        f" count(*) AS tf FROM ({tok}) GROUP BY 1, 2, 3"
+    )
+    con = duckdb.connect()
+    counts = {
+        (r[0], int(r[1])): int(r[2])
+        for r in con.execute(
+            f"SELECT actual, h, sum(tf) FROM ({tf}) GROUP BY 1, 2"
+        ).fetchall()
+    }
+    docs_c = {
+        r[0]: int(r[1])
+        for r in con.execute(
+            f"SELECT CAST(lang AS VARCHAR), count(*) FROM {src}"
+            " WHERE text IS NOT NULL AND lang IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    }
+    delta, cbase = nb_class_tables(counts, docs_c, n_hash, 1.0)
+    theta_vals = ", ".join(
+        f"('{c}', {h}, CAST({d} AS DECIMAL(18,9)))"
+        for (c, h), d in sorted(delta.items())
+    )
+    base_vals = ", ".join(
+        f"('{c}', CAST({p} AS DECIMAL(18,9)),"
+        f" CAST({m} AS DECIMAL(18,9)))"
+        for c, (p, m) in sorted(cbase.items())
+    )
+    return f"""
+        WITH docs0 AS (
+          SELECT doc_id, CAST(lang AS VARCHAR) AS actual
+          FROM {src}
+          WHERE text IS NOT NULL AND lang IS NOT NULL
+        ),
+        tf AS ({tf}),
+        theta (cls, h, d) AS (VALUES {theta_vals}),
+        cbase (cls, prior, miss) AS (VALUES {base_vals}),
+        dt AS (SELECT doc_id, sum(tf) AS tt FROM tf GROUP BY 1),
+        present AS (
+          SELECT f.doc_id, th.cls,
+                 sum(CAST(f.tf AS DECIMAL(18,0)) * th.d) AS p
+          FROM tf f JOIN theta th ON f.h = th.h GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT d.doc_id, d.actual, cb.cls,
+                 round(CAST(cb.prior
+                   + CAST(coalesce(t.tt, 0) AS DECIMAL(18,0)) * cb.miss
+                   + coalesce(p.p, CAST(0 AS DECIMAL(38,9)))
+                   AS DOUBLE), 6) AS s
+          FROM docs0 d
+          LEFT JOIN dt t USING (doc_id)
+          CROSS JOIN cbase cb
+          LEFT JOIN present p
+            ON p.doc_id = d.doc_id AND p.cls = cb.cls
+        ),
+        best AS (SELECT doc_id, max(s) AS ms FROM scored GROUP BY 1),
+        pred AS (
+          SELECT s.doc_id, s.actual, max(s.cls) AS predicted
+          FROM scored s
+          JOIN best b ON s.doc_id = b.doc_id AND s.s = b.ms
+          GROUP BY 1, 2
+        )
+        SELECT actual, predicted, count(*) AS n_docs
+        FROM pred GROUP BY 1, 2
     """
 
 

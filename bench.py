@@ -287,6 +287,9 @@ BENCH_QUERIES = [
     "events_pacf",
     "events_ljung_box",
     "events_adf",
+    "lineitem_stump",
+    "lineitem_tree",
+    "docs_nb_confusion",
 ]
 
 

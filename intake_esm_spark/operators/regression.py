@@ -2277,12 +2277,17 @@ def _iv_moment_sums(x_cols: list[str], z_cols: list[str]) -> list:
     return aggs
 
 
-def iv_moments(
+def iv_moment_frame(
     df: DataFrame, y_col: str, x_cols: list[str], z_cols: list[str]
-) -> dict:
-    """ONE distributed pass: exact-decimal second-order moments of
-    ``(1, x, z, y)`` — complete-case over ALL variables (a row missing
-    the instrument is missing for both stages)."""
+) -> DataFrame:
+    """The 2SLS moment pass AS A PLAN (the :func:`ols_moment_frame`
+    split): batch callers collect the 1-row aggregate
+    (:func:`iv_moments`); the streaming twin (#27,
+    ``streaming.stateful.stream_iv_moments``) runs the IDENTICAL plan
+    as a global streaming aggregation in update mode — every sum is
+    an additive exact decimal, so snapshots equal the batch moments
+    bit-for-bit.  Complete-case over ALL variables (a row missing the
+    instrument is missing for both stages)."""
     if not x_cols or len(z_cols) != len(x_cols):
         raise ValueError(
             "iv2sls: need len(z_cols) == len(x_cols) >= 1 (the "
@@ -2301,6 +2306,17 @@ def iv_moments(
         df.filter(cond)
         .select(*_iv_moment_proj(y_col, x_cols, z_cols))
         .agg(*_iv_moment_sums(x_cols, z_cols))
+    )
+
+
+def iv_moments(
+    df: DataFrame, y_col: str, x_cols: list[str], z_cols: list[str]
+) -> dict:
+    """ONE distributed pass: exact-decimal second-order moments of
+    ``(1, x, z, y)`` — the collected form of
+    :func:`iv_moment_frame`."""
+    return (
+        iv_moment_frame(df, y_col, x_cols, z_cols)
         .collect()[0]
         .asDict()
     )

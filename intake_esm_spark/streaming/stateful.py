@@ -1449,3 +1449,29 @@ def stream_wls_moments(
     from intake_esm_spark.operators.regression import wls_moment_frame
 
     return wls_moment_frame(df, y_col, x_cols, w_col)
+
+
+def stream_iv_moments(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    z_cols: list[str],
+) -> DataFrame:
+    """Streaming twin #27 — ``operators.regression.iv2sls_report``'s
+    widened (1, x, z, y) moment pass as a LIVE causal-effect monitor
+    (the instrumented price-elasticity estimate drifting on fresh
+    traffic).  No custom state: the batch plan IS one global
+    aggregation of additive exact-decimal sums (the OLS moment grid
+    widened with the Z'X / Z'Z cross-moments) — a legal streaming
+    global aggregation in update mode, state one bounded row.
+
+    The sandwich solve needs the full moment row at once — driver
+    arithmetic — so the snapshot tails into the SAME
+    :func:`~intake_esm_spark.operators.regression.
+    iv_solve_from_moments` the batch report uses: last update row →
+    ``iv_solve_from_moments`` == batch ``iv2sls_report`` bit-for-bit
+    (exact additive decimals, any micro-batch split; pinned by the
+    parity test)."""
+    from intake_esm_spark.operators.regression import iv_moment_frame
+
+    return iv_moment_frame(df, y_col, x_cols, z_cols)

@@ -1161,3 +1161,88 @@ def test_adf_lag_frame_no_window_no_range_sort(spark):
     plan = plan_of(agg, "simple")
     assert "windowspecdefinition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_histogram_split_corpus_never_shuffles(spark):
+    """histogram_split_report (r14): the binned-count pass is an
+    in-row explode partial-aggregated down to the bounded
+    |features| x n_bins grid BEFORE its single keyed exchange — no
+    window, no join, no rangepartitioning; the corpus rows themselves
+    never cross the wire."""
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.operators.trees import (
+        _bin_expr,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "__y", (F.col("l_returnflag") == "R").cast("int")
+    )
+    structs = [
+        F.struct(
+            F.lit(c).alias("feature"),
+            _bin_expr(c, 0.0, 1.0, 16).alias("bin"),
+        )
+        for c in ("l_quantity", "l_discount")
+    ]
+    pairs = li.select(
+        F.col("__y").alias("__yy"),
+        F.explode(F.array(*structs)).alias("__fb"),
+    )
+    agg = pairs.groupBy(
+        F.col("__fb.feature").alias("feature"),
+        F.col("__fb.bin").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("__yy").alias("pos"))
+    plan = plan_of(agg, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_nb_theta_joins_broadcast_no_python_eval(spark, queries):
+    """docs_nb_confusion (r14): the bounded log tables join the token
+    frame as BROADCAST hash joins (never the shuffled side); scoring
+    is decimal arithmetic in codegen — no Python eval anywhere, no
+    corpus rangepartitioning.  The returned plan starts at the scored
+    checkpoint, so the theta-join shape is pinned by rebuilding the
+    present-score stage exactly as the operator does."""
+    plan = plan_of(queries["docs_nb_confusion"](spark, SF), "simple")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.functions.text import portable_hash60
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("__t"),
+    ).select(
+        "__id", (portable_hash60(F.col("__t")) % 256).alias("__h")
+    )
+    tf = tok.groupBy("__id", "__h").agg(F.count(F.lit(1)).alias("__tf"))
+    theta = spark.createDataFrame(
+        [("en", 3, "1.5")], "__cls string, __h int, __d string"
+    ).select("__cls", "__h", F.col("__d").cast("decimal(18,9)").alias("__d"))
+    present = (
+        tf.join(F.broadcast(theta), "__h")
+        .groupBy("__id", "__cls")
+        .agg(
+            F.sum(
+                F.col("__tf").cast("decimal(18,0)") * F.col("__d")
+            ).alias("__p")
+        )
+    )
+    pplan = plan_of(present, "simple")
+    assert "BroadcastHashJoin" in pplan, pplan
+    assert "SortMergeJoin" not in pplan, pplan
+    assert "BatchEvalPython" not in pplan, pplan

@@ -277,3 +277,76 @@ def test_dw_perfect_fit_null_stats(spark):
     df = spark.createDataFrame(rows, "y double, x double, t double")
     row = durbin_watson_report(df, "y", ["x"], "t", []).collect()[0]
     assert row["dw_stat"] is None and row["rho1"] is None
+
+
+# ---- streaming twin #27: IV moments ---------------------------------------
+
+
+def test_stream_iv_moments_matches_batch(spark, tmp_path):
+    """Two micro-batches: the LAST update row of the streaming widened
+    (1, x, z, y) moment aggregation, tailed into the SAME
+    iv_solve_from_moments, equals the whole-corpus batch iv2sls_report
+    bit-for-bit (additive exact decimals — the twin #25/#26 parity
+    argument verbatim)."""
+    import glob
+    import shutil
+
+    from intake_esm_spark.operators.regression import (
+        iv2sls_report,
+        iv_solve_from_moments,
+    )
+    from intake_esm_spark.streaming.stateful import stream_iv_moments
+
+    rng = np.random.RandomState(27)
+    n = 200
+    z = rng.normal(0, 1, n).round(4)
+    v = rng.normal(0, 1, n)
+    u = (0.7 * v + 0.5 * rng.normal(0, 1, n)).round(4)
+    x = (0.8 * z + v).round(4)
+    y = (1.0 + 2.0 * x + u).round(4)
+    df = spark.createDataFrame(
+        list(zip(map(float, y), map(float, x), map(float, z))),
+        "y double, x double, z double",
+    )
+    batch = {
+        r["term"]: r
+        for r in iv2sls_report(df, "y", ["x"], ["z"]).collect()
+    }
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.crc32(F.col("y").cast("string")) % 2 == 0).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "a"))
+    df.filter(F.crc32(F.col("y").cast("string")) % 2 == 1).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b"))
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_iv_moments(stream, "y", ["x"], ["z"])
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("iv_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM iv_stream").collect()
+    finally:
+        q.stop()
+    assert len(emitted) >= 2
+    sol = iv_solve_from_moments(emitted[-1].asDict(), ["x"], ["z"])
+    for i, t in enumerate(["_intercept", "x"]):
+        assert sol["coef"][i] == batch[t]["coef"], t
+        assert sol["std_err"][i] == batch[t]["std_err"], t
+        assert sol["t_stat"][i] == batch[t]["t_stat"], t
