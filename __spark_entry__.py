@@ -3488,6 +3488,75 @@ def q_docs_nb_confusion(spark: SparkSession, sf: str) -> DataFrame:
     return nb_confusion_report(docs, n_hash=256, alpha=1.0)
 
 
+def q_docs_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 adjacent character-pair frequencies within words — the
+    BPE tokenizer trainer's merge argmax over the initial character
+    alphabet (operators/corpus.py bpe_pair_topk, round 14; Sennrich
+    et al. 2016). The pair fan-out is IN-ROW (transform/sequence
+    inside codegen — no self-join), the aggregation map-side combines
+    to the bounded pair alphabet, and the top-k is a
+    TakeOrderedAndProject with a lexicographic tie-break — never a
+    global sort. Oracle: the same walk in DuckDB list_transform/
+    unnest SQL, same (cnt desc, pair asc) total order."""
+    from intake_esm_spark.operators.corpus import bpe_pair_topk
+
+    docs = load_table(spark, sf, "documents")
+    return bpe_pair_topk(docs, top_k=20)
+
+
+def q_events_holt(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential-smoothing 1..7-day-ahead forecasts of
+    daily purchase revenue (operators/timeseries.py
+    holt_forecast_report, round 14 — the level+trend sibling of
+    events_ewma, fixed two-point start so the trajectory is
+    deterministic): ONE day-grain collapse, then the inherently
+    sequential recursion runs on the DRIVER over the
+    calendar-bounded daily sidecar through the shared holt_linear.
+    Oracle: the daily SQL replayed in DuckDB + the SAME shared
+    recursion, literal rows (_build_holt_oracle)."""
+    from intake_esm_spark.operators.timeseries import (
+        holt_forecast_report,
+    )
+
+    events = load_table(spark, sf, "events")
+    return holt_forecast_report(
+        events.filter(F.col("event_type") == "purchase"),
+        alpha=0.3,
+        beta=0.1,
+        horizon=7,
+    )
+
+
+def q_events_isotonic(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the hash-uniform pseudo-score
+    against the purchase label (operators/evaluation.py
+    isotonic_calibration_report, round 14 — sklearn
+    IsotonicRegression over the binned reliability curve): the SAME
+    one bin-keyed map-side-combined collapse as events_calibration,
+    then pool-adjacent-violators on the driver over the ≤10-row
+    sidecar (exact integer merge arithmetic) through the shared
+    pav_fit; iso_rate is monotone by construction — the lookup table
+    production scoring would apply. Oracle: the bin-count SQL
+    replayed in DuckDB + the SAME shared PAV, literal rows
+    (_build_isotonic_oracle)."""
+    from intake_esm_spark.operators.evaluation import (
+        isotonic_calibration_report,
+    )
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("event_type").isNotNull()).select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        (
+            F.pmod(
+                tx.salted_hash60(F.col("event_id"), "cal"),
+                F.lit(1_000_000),
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("score"),
+    )
+    return isotonic_calibration_report(u, "label", "score", n_bins=10)
+
+
 def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Model-level Poisson diagnostics (operators/regression.py
     poisson_fit_report): n, iteration count, mean unit deviance at
@@ -5747,6 +5816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_stump": q_lineitem_stump,
         "lineitem_tree": q_lineitem_tree,
         "docs_nb_confusion": q_docs_nb_confusion,
+        "docs_bpe_pairs": q_docs_bpe_pairs,
+        "events_holt": q_events_holt,
+        "events_isotonic": q_events_isotonic,
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
@@ -6897,6 +6969,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # replays evaluation.calibration_report over the exact-rational
         # hash score k/1e6: clamped floor bins, decimal score sums
+        # replays corpus.bpe_pair_topk: the same in-word character-pair
+        # walk (words < 2 chars guarded out), count-desc/pair-asc total
+        # order so the LIMIT keeps the identical top-20 in both engines
+        "docs_bpe_pairs": """
+            WITH w AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> len(x) >= 2)) AS w
+              FROM documents WHERE text IS NOT NULL
+            ), p AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> substr(w, i, 1) || substr(w, i + 1, 1)))
+                     AS pair
+              FROM w
+            )
+            SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+            ORDER BY cnt DESC, pair ASC LIMIT 20
+        """,
         "events_calibration": f"""
             WITH u AS (
               SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
@@ -13977,6 +14068,10 @@ def oracle_sql() -> dict[str, str]:
     # docs_nb_confusion (round 14): count replay through the shared
     # driver-side log tables, decimal scoring in pure SQL
     d["docs_nb_confusion"] = _build_nb_oracle()
+    # events_holt / events_isotonic (round 14): bounded-sidecar replay
+    # through the shared Holt recursion / PAV merge
+    d["events_holt"] = _build_holt_oracle()
+    d["events_isotonic"] = _build_isotonic_oracle()
     # lineitem_negbin / lineitem_huber (round 14): the NB2 and
     # Huber-IRLS float trajectories walked pass-by-pass in DuckDB
     # through the shared warm-start/step/finalize helpers
@@ -14646,6 +14741,75 @@ def _build_nb_oracle() -> str:
         SELECT actual, predicted, count(*) AS n_docs
         FROM pred GROUP BY 1, 2
     """
+
+
+def _build_holt_oracle() -> str:
+    """Oracle for events_holt: the daily rollup replayed in DuckDB
+    (calendar order), the bounded value sequence through the SAME
+    shared ``holt_linear`` recursion — literal forecast rows."""
+    import duckdb
+
+    from intake_esm_spark.operators.timeseries import holt_linear
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    daily = _ts_daily_sql(sf_dir)
+    vals = [
+        float(r[0])
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT CAST(rd AS DOUBLE) FROM ({daily}) ORDER BY dn"
+        )
+        .fetchall()
+    ]
+    level, trend = holt_linear(vals, 0.3, 0.1)
+    lit = _ols_lit
+    return " UNION ALL ".join(
+        f"SELECT CAST({h} AS INT) AS h,"
+        f" {lit(round(level + h * trend, 6))} AS forecast"
+        for h in range(1, 8)
+    )
+
+
+def _build_isotonic_oracle() -> str:
+    """Oracle for events_isotonic: the bin-count collapse replayed in
+    DuckDB (the events_calibration score/bin SQL), the ≤10-row
+    sidecar through the SAME shared ``pav_fit`` — literal rows."""
+    import duckdb
+
+    from intake_esm_spark.operators.evaluation import pav_fit
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    score = (
+        f"CAST({_h60_sql(''''cal|' || CAST(event_id AS VARCHAR)''')}"
+        " % 1000000 AS DOUBLE) / 1000000.0"
+    )
+    rows = duckdb.connect().execute(
+        f"""
+        WITH u AS (
+          SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS label, {score} AS s
+          FROM '{sf_dir}/events.parquet' WHERE event_type IS NOT NULL
+        )
+        SELECT CAST(greatest(0, least(9, CAST(floor(s * 10.0) AS INT)))
+                    AS INT) AS bin,
+               count(*) AS n, sum(label) AS p
+        FROM u WHERE isfinite(s) GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    bins = [(int(b), int(n), int(p)) for b, n, p in rows]
+    iso = pav_fit(bins)
+    lit = _ols_lit
+    return " UNION ALL ".join(
+        f"SELECT CAST({b} AS INT) AS bin,"
+        f" CAST({n} AS BIGINT) AS n_units,"
+        f" {lit(round(p / n, 6))} AS pos_rate,"
+        f" {lit(round(v, 6))} AS iso_rate"
+        for (b, n, p), v in zip(bins, iso)
+    )
 
 
 def _ts_daily_sql(sf_dir: str) -> str:

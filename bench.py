@@ -290,6 +290,9 @@ BENCH_QUERIES = [
     "lineitem_stump",
     "lineitem_tree",
     "docs_nb_confusion",
+    "docs_bpe_pairs",
+    "events_holt",
+    "events_isotonic",
 ]
 
 

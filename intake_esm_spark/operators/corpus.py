@@ -633,3 +633,49 @@ def source_divergence(
         F.col("tb").alias("n_tokens_b"),
         F.round(jsd, 6).alias("jsd"),
     )
+
+
+def bpe_pair_topk(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Top adjacent character-pair frequencies within words — the
+    inner loop of a BPE tokenizer trainer (Sennrich et al. 2016: each
+    merge round promotes the corpus-wide most frequent adjacent
+    symbol pair; this operator IS that argmax, over the initial
+    character alphabet).  Returns ``(pair, cnt)``, count-desc with a
+    lexicographic tie-break — the merge the trainer would pick first,
+    then the runners-up.
+
+    Scale: the pair fan-out is IN-ROW (a transform/sequence walk over
+    each word inside codegen — no self-join, no per-character rows
+    crossing the wire raw); the aggregation is map-side combined down
+    to the bounded pair alphabet (≤ |chars|², a few thousand keys for
+    any human script) and the top-k is a per-partition
+    TakeOrderedAndProject, never a global sort.  Words shorter than 2
+    characters contribute nothing (guarded BEFORE sequence() — Spark's
+    sequence(1, 0) counts DOWN, it is not empty)."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) >= 2,
+            )
+        ).alias("__w")
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(__w) - 1),"
+                " i -> concat(substring(__w, i, 1),"
+                " substring(__w, i + 1, 1)))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

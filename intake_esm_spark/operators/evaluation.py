@@ -877,3 +877,73 @@ def conformal_interval(
             6,
         ).alias("coverage_guarantee"),
     )
+
+
+def pav_fit(bins: list[tuple[int, int, int]]) -> list[float]:
+    """Pool-adjacent-violators over ``(bin, n, pos)`` rows sorted by
+    bin — ONE shared implementation for the Spark operator and the
+    DuckDB oracle builder.  Classic stack PAV: walk the bins in score
+    order keeping block means ``pos/n`` non-decreasing, merging any
+    violating block into its predecessor (n-weighted, exact integer
+    numerators — the merge arithmetic never touches floats until the
+    final divide).  Returns the isotonic rate per input row, in input
+    order."""
+    blocks: list[list[int]] = []  # [n, pos, count_of_rows]
+    for _b, n, p in bins:
+        blocks.append([n, p, 1])
+        while (
+            len(blocks) > 1
+            and blocks[-2][1] * blocks[-1][0]
+            > blocks[-1][1] * blocks[-2][0]
+        ):  # prev_rate > cur_rate, compared in exact integers
+            n2, p2, c2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            blocks[-1][2] += c2
+        # (equal rates stay separate blocks — the fit is identical)
+    out: list[float] = []
+    for n, p, c in blocks:
+        out.extend([p / n] * c)
+    return out
+
+
+def isotonic_calibration_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic (PAV) recalibration of a probability-like score — the
+    monotone-regression calibrator (sklearn ``IsotonicRegression``
+    over the binned reliability curve): per score bin, the raw
+    ``pos_rate`` AND the pooled-adjacent-violators rate ``iso_rate``
+    that a monotone calibrator would output for scores in that bin.
+    ``iso_rate`` is non-decreasing in the bin id by construction —
+    the fixed lookup table production scoring would apply.
+
+    Scale: the distributed work is exactly the ONE bin-keyed
+    map-side-combined collapse of :func:`calibration_report`; PAV
+    runs on the driver over the ≤ ``n_bins``-row sidecar (exact
+    integer merge arithmetic) through the SAME shared
+    :func:`pav_fit` the oracle replays.  Returns ``(bin, n_units,
+    pos_rate, iso_rate)``, 6dp; empty bins are absent."""
+    rows = sorted(
+        _calibration_bins(df, label_col, score_col, n_bins).collect(),
+        key=lambda r: r["bin"],
+    )
+    bins = [
+        (int(r["bin"]), int(r["n_units"]), int(r["__np"])) for r in rows
+    ]
+    iso = pav_fit(bins)
+    out = [
+        (
+            b,
+            n,
+            round(p / n, 6),
+            round(v, 6),
+        )
+        for (b, n, p), v in zip(bins, iso)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "bin int, n_units bigint, pos_rate double, iso_rate double"
+    )

@@ -1012,3 +1012,70 @@ def adf_finish(sol: dict, lag_order: int) -> tuple:
         round(gamma / se, 6) if se is not None and se > 0 else None
     )
     return (int(sol["n"]), int(lag_order), gamma, tau, sol["coef"][0])
+
+
+def holt_linear(vals: list[float], alpha: float, beta: float) -> tuple:
+    """Holt's linear-trend recursion over the observed sequence — ONE
+    shared implementation for the Spark operator and the DuckDB
+    oracle builder (pure IEEE driver arithmetic, no engine maths):
+    ``l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})``, ``b_t = β(l_t −
+    l_{t−1}) + (1−β)·b_{t−1}``, initialized ``l_0 = y_0, b_0 = y_1 −
+    y_0`` (the classic two-point start).  Returns ``(level, trend)``
+    after the last observation."""
+    if len(vals) < 2:
+        raise ValueError(
+            f"holt: need at least 2 observations, got {len(vals)}"
+        )
+    level = vals[0]
+    trend = vals[1] - vals[0]
+    for y in vals[1:]:
+        prev = level
+        level = alpha * y + (1.0 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1.0 - beta) * trend
+    return level, trend
+
+
+def holt_forecast_report(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt (double exponential smoothing) h-step forecasts of the
+    daily rollup — the level+trend sibling of :func:`ewma_daily`
+    (statsmodels ``Holt(initialization_method='legacy-heuristic')``-
+    adjacent; the fixed two-point start keeps the trajectory
+    deterministic and oracle-replayable).  The recursion runs over
+    OBSERVED days in calendar order (a gap does not fabricate a zero
+    day — the series is the sequence of days that exist, the
+    :func:`acf_report` complete-case stance).
+
+    Scale: the distributed work is the ONE day-grain collapse; the
+    recursion is inherently sequential but runs over the
+    CALENDAR-BOUNDED daily sidecar on the driver (this module's
+    documented benign class — bounded by days elapsed, not data), via
+    the SAME shared :func:`holt_linear` the oracle replays.  Returns
+    ``(h, forecast)`` for h = 1..``horizon``: ``forecast = level +
+    h·trend``, 6dp."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError(
+            f"holt: need 0 < alpha <= 1 and 0 <= beta <= 1, got "
+            f"alpha={alpha}, beta={beta}"
+        )
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    rows = (
+        _daily_frame(events, value_col, ts_col)
+        .orderBy("__dn")
+        .select(F.col("__rd").cast("double").alias("__v"))
+        .collect()
+    )
+    level, trend = holt_linear([r["__v"] for r in rows], alpha, beta)
+    out = [
+        (h, round(level + h * trend, 6)) for h in range(1, horizon + 1)
+    ]
+    return events.sparkSession.createDataFrame(
+        out, "h int, forecast double"
+    )

@@ -54,19 +54,24 @@ def _bin_expr(col: str, mn: float, w: float, n_bins: int):
     ).cast("int")
 
 
-def binned_histogram(
+def binned_histogram_frame(
     df: DataFrame,
     label_col: str,
     x_cols: list[str],
     ranges: dict[str, tuple[float, float]],
     n_bins: int,
-) -> list:
-    """ONE partial-aggregated pass: per-(feature, bin) ``(cnt, pos)``
-    over the 0/1 label.  The feature fan-out is an in-row
-    explode(array(struct...)) — |features| rows per input row, map-side
-    combined down to the bounded ``|features| × n_bins`` grid before
-    the exchange.  Constant features (mn == mx) are skipped here and
-    reported as no-split rows by the finish."""
+) -> DataFrame | None:
+    """The per-(feature, bin) ``(cnt, pos)`` pass AS A PLAN: the
+    feature fan-out is an in-row explode(array(struct...)) —
+    |features| rows per input row, map-side combined down to the
+    bounded ``|features| × n_bins`` grid before the exchange.  Batch
+    callers collect it (:func:`binned_histogram`); the streaming twin
+    (#28, ``streaming.stateful.stream_binned_histogram``) runs the
+    IDENTICAL plan as a streaming aggregation over FIXED caller-
+    supplied boundaries — counts are additive integers, so snapshots
+    equal the batch grid exactly.  Constant features (mn == mx) are
+    skipped here and reported as no-split rows by the finish; returns
+    None when no feature is binnable."""
     lab = F.col(label_col).cast("int")
     structs = []
     for c in x_cols:
@@ -81,23 +86,32 @@ def binned_histogram(
             )
         )
     if not structs:
-        return []
+        return None
     pairs = df.filter(
         lab.isNotNull() & F.col(label_col).cast("int").isin(0, 1)
     ).select(
         lab.alias("__y"), F.explode(F.array(*structs)).alias("__fb")
     )
-    return (
-        pairs.groupBy(
-            F.col("__fb.feature").alias("feature"),
-            F.col("__fb.bin").alias("bin"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("__y").alias("pos"),
-        )
-        .collect()
+    return pairs.groupBy(
+        F.col("__fb.feature").alias("feature"),
+        F.col("__fb.bin").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("__y").alias("pos"),
     )
+
+
+def binned_histogram(
+    df: DataFrame,
+    label_col: str,
+    x_cols: list[str],
+    ranges: dict[str, tuple[float, float]],
+    n_bins: int,
+) -> list:
+    """ONE partial-aggregated pass: the collected form of
+    :func:`binned_histogram_frame`."""
+    frame = binned_histogram_frame(df, label_col, x_cols, ranges, n_bins)
+    return [] if frame is None else frame.collect()
 
 
 def _gini(n: int, p: int) -> float:

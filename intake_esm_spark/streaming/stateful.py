@@ -1475,3 +1475,36 @@ def stream_iv_moments(
     from intake_esm_spark.operators.regression import iv_moment_frame
 
     return iv_moment_frame(df, y_col, x_cols, z_cols)
+
+
+def stream_binned_histogram(
+    df: DataFrame,
+    label_col: str,
+    x_cols: list[str],
+    ranges: dict,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Streaming twin #28 — ``operators.trees.histogram_split_report``'s
+    binned-count pass as a LIVE GBDT-node monitor: the per-(feature,
+    bin) label histogram refreshing on fresh traffic, with the best
+    split re-derived from any snapshot via the SAME shared
+    ``best_splits_from_hist`` the batch operator uses.  The bin
+    boundaries are FIXED caller-supplied literals (a deployed
+    monitor's contract — the batch operator derives them from a range
+    pass; a stream cannot re-scan history, so the boundaries are
+    pinned at deployment).  No custom state: the batch plan IS one
+    grouped aggregation of additive integer counts over the bounded
+    ``|features| × n_bins`` grid — a legal streaming aggregation in
+    update mode; latest rows → ``_hist_rows_to_dict`` →
+    ``best_splits_from_hist`` == the batch split over everything
+    ingested, exactly (integer counts — no float caveat at all;
+    pinned by the parity test)."""
+    from intake_esm_spark.operators.trees import binned_histogram_frame
+
+    frame = binned_histogram_frame(df, label_col, x_cols, ranges, n_bins)
+    if frame is None:
+        raise ValueError(
+            "stream_binned_histogram: no binnable feature (every "
+            "range is empty or constant)"
+        )
+    return frame

@@ -1246,3 +1246,28 @@ def test_nb_theta_joins_broadcast_no_python_eval(spark, queries):
     assert "BroadcastHashJoin" in pplan, pplan
     assert "SortMergeJoin" not in pplan, pplan
     assert "BatchEvalPython" not in pplan, pplan
+
+
+def test_bpe_pairs_in_row_walk_partial_topk(spark, queries):
+    """docs_bpe_pairs (r14): the character-pair fan-out is an in-row
+    Generate over a codegen transform (no self-join, no per-char
+    shuffle of raw text); the top-k is a TakeOrderedAndProject over
+    the map-side-combined pair counts — never a global Sort."""
+    plan = plan_of(queries["docs_bpe_pairs"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_isotonic_result_is_driver_rows(spark, queries):
+    """events_isotonic / events_holt (r14): the distributed work is
+    the bounded-sidecar collapse; PAV / the Holt recursion run on the
+    driver, so the returned frames are driver-local rows."""
+    for name in ("events_isotonic", "events_holt"):
+        plan = plan_of(queries[name](spark, SF), "simple")
+        assert (
+            "ExistingRDD" in plan or "LocalTableScan" in plan
+        ), (name, plan)
+        assert "Exchange" not in plan, (name, plan)

@@ -205,3 +205,83 @@ def test_tree_pure_child_reports_null(spark):
     for node in ("L", "R"):
         g = rows[node]["gain"]
         assert g is None or g == pytest.approx(0.0, abs=1e-9)
+
+
+def test_stream_binned_histogram_matches_batch(spark, tmp_path):
+    """Two micro-batches: the LAST update snapshot of the streaming
+    (feature, bin) histogram, tailed into the SAME
+    best_splits_from_hist, equals the whole-corpus batch split over
+    the same fixed boundaries — exactly (integer counts)."""
+    import glob
+    import shutil
+
+    from intake_esm_spark.operators.trees import (
+        _hist_rows_to_dict,
+        best_splits_from_hist,
+        binned_histogram,
+    )
+    from intake_esm_spark.streaming.stateful import (
+        stream_binned_histogram,
+    )
+
+    rng = np.random.RandomState(153)
+    n = 500
+    x1 = np.round(rng.uniform(0, 10, n), 4)
+    x2 = np.round(rng.normal(5, 2, n), 4)
+    y = ((x1 > 4.2) | (rng.uniform(size=n) < 0.15)).astype(int)
+    df = spark.createDataFrame(
+        list(zip(map(int, y), map(float, x1), map(float, x2))),
+        "y int, x1 double, x2 double",
+    )
+    ranges = {"x1": (0.0, 10.0), "x2": (-3.0, 13.0)}
+    batch = best_splits_from_hist(
+        _hist_rows_to_dict(
+            binned_histogram(df, "y", ["x1", "x2"], ranges, 16)
+        ),
+        ranges,
+        ["x1", "x2"],
+        16,
+    )
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    df.filter(F.col("y") == 1).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    df.filter(F.col("y") == 0).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
+    ):
+        shutil.copy(f, src / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    out = stream_binned_histogram(stream, "y", ["x1", "x2"], ranges, 16)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hist_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM hist_stream").collect()
+    finally:
+        q.stop()
+    stream_split = best_splits_from_hist(
+        _hist_rows_to_dict(emitted), ranges, ["x1", "x2"], 16
+    )
+    assert stream_split == batch
+    # and the fixed-range guard
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no binnable"):
+        stream_binned_histogram(
+            stream, "y", ["x1"], {"x1": (5.0, 5.0)}, 16
+        )
