@@ -3557,6 +3557,81 @@ def q_events_isotonic(spark: SparkSession, sf: str) -> DataFrame:
     return isotonic_calibration_report(u, "label", "score", n_bins=10)
 
 
+def q_embed_jl_distortion(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch-quality audit: every embedding
+    projected to k=16 dims through the deterministic ±1/√k md5-parity
+    matrix, squared-distance distortion measured over all same-label
+    pairs (operators/matrix.py jl_distortion_report, round 14 —
+    Achlioptas 2003). The projection is IN-ROW (16 fixed-literal dot
+    folds in codegen — the matrix never ships per row); pairs come
+    from the bounded label-blocked equi-join (the simsearch_pairs
+    shape, never a crossJoin); per-pair ratios quantize to 12dp
+    decimal before the order-independent sum. The go/no-go readout
+    before swapping full vectors for a cheap sketch in an ANN/dedup
+    pipeline. Oracle: the identical fold arithmetic in DuckDB
+    (list_reduce replays the left-associated IEEE fold exactly) with
+    the SAME shared jl_sign_matrix literals (_build_jl_oracle)."""
+    from intake_esm_spark.operators.matrix import jl_distortion_report
+
+    emb = load_table(spark, sf, "embeddings")
+    return jl_distortion_report(emb, k=16)
+
+
+def q_privacy_tcloseness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit of event value distributions per event-type
+    quasi-group (operators/privacy.py t_closeness_report, round 14 —
+    Li et al. 2007, the gate l-diversity misses): ordered-bin EMD
+    between each group's value distribution and the corpus's over 10
+    equal-width bins; one 1-row range pass fixes the boundaries as
+    literals, ONE (quasi, bin)-keyed partial-agged collapse, per-group
+    cumulative walks over bounded ≤10-row frames, global distribution
+    broadcast. Completes the privacy family (k-anon, suppression,
+    l-diversity, DP counts). Oracle: the identical binned-EMD SQL in
+    DuckDB at the same boundary literals (_build_tcloseness_oracle)."""
+    from intake_esm_spark.operators.privacy import t_closeness_report
+
+    events = load_table(spark, sf, "events")
+    return t_closeness_report(
+        events, ["event_type"], "value", n_bins=10, t_threshold=0.002
+    )
+
+
+def q_events_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Interarrival burstiness per event type (operators/eventlog.py
+    interarrival_burstiness, round 14 — Goh & Barabási 2008): per
+    (user, type) consecutive gaps in integer seconds via an
+    entity-partitioned lag window, one type-keyed moment collapse;
+    cv = sigma/mu and B = (cv-1)/(cv+1) read Poisson (0) vs periodic
+    (-1) vs bursty (+1) traffic at a glance. Exact DECIMAL(38,0)
+    integer moment sums. Oracle: the identical lag-window + moment
+    SQL in DuckDB with floor(epoch()) matching unix_timestamp
+    truncation (the r14 Cox ADVICE convention)."""
+    from intake_esm_spark.operators.eventlog import (
+        interarrival_burstiness,
+    )
+
+    events = load_table(spark, sf, "events")
+    return interarrival_burstiness(events)
+
+
+def q_docs_heaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent across the corpus's
+    source slices (operators/corpus.py heaps_law_report, round 14):
+    per source the exact token total and distinct-token vocabulary
+    (one explode + partial-agged distinct, group cardinality capped
+    by a bounded limit probe), then the log-log least-squares beta of
+    V = K*T^beta on the driver through the shared heaps_fit (python
+    math.log both sides). On this synthetic corpus beta ~ 0.02 — the
+    'vocabulary never grows' synthetic-data smell, exactly what the
+    curve is for. Oracle: the per-source (T, V) SQL replayed in
+    DuckDB + the SAME shared fit, one literal row
+    (_build_heaps_oracle)."""
+    from intake_esm_spark.operators.corpus import heaps_law_report
+
+    docs = load_table(spark, sf, "documents")
+    return heaps_law_report(docs)
+
+
 def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Model-level Poisson diagnostics (operators/regression.py
     poisson_fit_report): n, iteration count, mean unit deviance at
@@ -5819,6 +5894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_pairs": q_docs_bpe_pairs,
         "events_holt": q_events_holt,
         "events_isotonic": q_events_isotonic,
+        "embed_jl_distortion": q_embed_jl_distortion,
+        "privacy_tcloseness": q_privacy_tcloseness,
+        "events_burstiness": q_events_burstiness,
+        "docs_heaps": q_docs_heaps,
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
@@ -14072,6 +14151,13 @@ def oracle_sql() -> dict[str, str]:
     # through the shared Holt recursion / PAV merge
     d["events_holt"] = _build_holt_oracle()
     d["events_isotonic"] = _build_isotonic_oracle()
+    # embed_jl_distortion (round 14): the shared sign-matrix literals
+    # + left-fold dot arithmetic replayed via DuckDB list_reduce
+    d["embed_jl_distortion"] = _build_jl_oracle()
+    # privacy_tcloseness / events_burstiness / docs_heaps (round 14)
+    d["privacy_tcloseness"] = _build_tcloseness_oracle()
+    d["events_burstiness"] = _BURSTINESS_ORACLE_SQL
+    d["docs_heaps"] = _build_heaps_oracle()
     # lineitem_negbin / lineitem_huber (round 14): the NB2 and
     # Huber-IRLS float trajectories walked pass-by-pass in DuckDB
     # through the shared warm-start/step/finalize helpers
@@ -14740,6 +14826,218 @@ def _build_nb_oracle() -> str:
         )
         SELECT actual, predicted, count(*) AS n_docs
         FROM pred GROUP BY 1, 2
+    """
+
+
+def _build_tcloseness_oracle() -> str:
+    """Oracle for privacy_tcloseness: the 6dp range replayed in
+    DuckDB fixes the SAME boundary literals, then the binned
+    cumulative-EMD walk in pure SQL — per-group windows over the
+    dense bin grid, 12dp decimal term sums, text-for-text the
+    operator's IEEE expressions."""
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    n_bins, t = 10, 0.002
+    src = f"'{sf_dir}/events.parquet'"
+    clean = (
+        "SELECT event_type AS g, round(CAST(value AS DOUBLE), 6) AS v"
+        f" FROM {src} WHERE value IS NOT NULL"
+        " AND isfinite(CAST(value AS DOUBLE))"
+        " AND event_type IS NOT NULL"
+    )
+    mn, mx = duckdb.connect().execute(
+        f"SELECT min(v), max(v) FROM ({clean})"
+    ).fetchone()
+    w = (float(mx) - float(mn)) / n_bins
+    return f"""
+        WITH clean AS ({clean}),
+        binned AS (
+          SELECT g, CAST(least({n_bins - 1}, greatest(0,
+                 floor((v - {float(mn)!r}) / {w!r}))) AS INT) AS b
+          FROM clean
+        ),
+        cells AS (SELECT g, b, count(*) AS c FROM binned GROUP BY 1, 2),
+        gn AS (SELECT sum(c) AS tot FROM cells),
+        gl AS (SELECT b, sum(c) AS gc FROM cells GROUP BY 1),
+        gcum AS (
+          SELECT b, CAST(sum(gc) OVER (ORDER BY b) AS DOUBLE)
+                    / (SELECT CAST(tot AS DOUBLE) FROM gn) AS cum_all
+          FROM gl
+        ),
+        gtot AS (SELECT g, sum(c) AS n FROM cells GROUP BY 1),
+        grid AS (
+          SELECT gtot.g, gtot.n, gcum.b FROM gtot CROSS JOIN gcum
+        ),
+        dense AS (
+          SELECT grid.g, grid.n, grid.b, coalesce(cells.c, 0) AS c
+          FROM grid LEFT JOIN cells
+            ON cells.g = grid.g AND cells.b = grid.b
+        ),
+        cum AS (
+          SELECT g, n, b,
+                 CAST(sum(c) OVER (PARTITION BY g ORDER BY b)
+                      AS DOUBLE) / CAST(n AS DOUBLE) AS cumg
+          FROM dense
+        ),
+        terms AS (
+          SELECT cum.g, cum.n,
+                 CAST(round(abs(cumg - cum_all)
+                      / {float(n_bins - 1)!r}, 12)
+                      AS DECIMAL(38,12)) AS t
+          FROM cum JOIN gcum USING (b) WHERE b < {n_bins - 1}
+        ),
+        agg AS (SELECT g, n, sum(t) AS emd FROM terms GROUP BY 1, 2)
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n_rows,
+               round(CAST(emd AS DOUBLE), 6) AS emd,
+               CAST(round(CAST(emd AS DOUBLE), 6) <= {t!r} AS INT)
+                 AS is_close
+        FROM agg
+    """
+
+
+_BURSTINESS_ORACLE_SQL = """
+    WITH base AS (
+      SELECT event_type AS t, user_id AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id AS tb
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    g AS (
+      SELECT t,
+             s - lag(s) OVER (PARTITION BY u, t ORDER BY s, tb) AS gp
+      FROM base
+    ),
+    m AS (
+      SELECT t, count(*) AS n_gaps,
+             sum(CAST(gp AS DECIMAL(38,0))) AS sg,
+             sum(CAST(gp * gp AS DECIMAL(38,0))) AS sg2
+      FROM g WHERE gp IS NOT NULL GROUP BY 1
+    ),
+    f AS (
+      SELECT t, n_gaps,
+             CAST(n_gaps AS DOUBLE) AS n,
+             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+             CAST(sg2 AS DOUBLE) AS sg2d
+      FROM m
+    ),
+    v AS (
+      SELECT t, n_gaps, mean,
+             CASE WHEN n_gaps >= 2 THEN
+               sqrt(greatest((sg2d - n * mean * mean) / (n - 1.0),
+                             0.0)) END AS sd
+      FROM f
+    ),
+    c AS (
+      SELECT t, n_gaps, mean, sd,
+             CASE WHEN n_gaps >= 2 AND mean > 0
+                  THEN sd / mean END AS cv
+      FROM v
+    )
+    SELECT t AS event_type, n_gaps,
+           round(mean, 6) AS mean_gap_s,
+           round(sd, 6) AS sd_gap_s,
+           round(cv, 6) AS cv,
+           round(CASE WHEN cv IS NOT NULL
+                 THEN (cv - 1.0) / (cv + 1.0) END, 6) AS burstiness
+    FROM c
+"""
+
+
+def _build_heaps_oracle() -> str:
+    """Oracle for docs_heaps: the per-source (tokens, vocab) SQL
+    replayed in DuckDB, the bounded points through the SAME shared
+    ``heaps_fit`` (python math.log both sides) — one literal row."""
+    import duckdb
+
+    from intake_esm_spark.operators.corpus import heaps_fit
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    pts = duckdb.connect().execute(
+        f"""
+        WITH tok AS (
+          SELECT source AS g,
+                 unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS t
+          FROM '{sf_dir}/documents.parquet'
+          WHERE text IS NOT NULL AND source IS NOT NULL
+        )
+        SELECT g, count(*) AS T, count(DISTINCT t) AS V
+        FROM tok GROUP BY 1
+        """
+    ).fetchall()
+    sol = heaps_fit(sorted((int(t), int(v)) for _g, t, v in pts))
+    lit = _ols_lit
+    return (
+        f"SELECT CAST({sol['n_groups']} AS INT) AS n_groups,"
+        f" {lit(sol['beta'])} AS beta,"
+        f" {lit(sol['log10_k'])} AS log10_k, {lit(sol['r2'])} AS r2"
+    )
+
+
+def _build_jl_oracle() -> str:
+    """Oracle for embed_jl_distortion: the SAME shared
+    ``jl_sign_matrix`` rendered as a DOUBLE[][] literal, the
+    projection and distance folds replayed with DuckDB
+    ``list_reduce`` (left-associated — ``(0.0 + t₁) + t₂ …`` and
+    ``(t₁ + t₂) + t₃ …`` are bit-identical in IEEE), the identical
+    label-blocked pair join and 12dp decimal ratio sums."""
+    from intake_esm_spark.operators.matrix import jl_sign_matrix
+
+    d, k = 64, 16
+    s = jl_sign_matrix(d, k)
+    smat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]" for row in s
+        )
+        + "]"
+    )
+
+    def fold(expr: str, n: int) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {n + 1}),"
+            f" i -> {expr}), (p, q) -> p + q)"
+        )
+
+    return f"""
+        WITH base AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND label IS NOT NULL
+            AND len(embedding) = {d}
+        ), pr AS (
+          SELECT vec_id, label, x,
+                 list_transform(CAST({smat} AS DOUBLE[][]), row ->
+                   {fold('x[i] * row[i]', d)} / sqrt({float(k)!r})
+                 ) AS y
+          FROM base
+        ), pairs AS (
+          SELECT
+            {fold('(a.x[i] - b.x[i]) * (a.x[i] - b.x[i])', d)} AS d2x,
+            {fold('(a.y[i] - b.y[i]) * (a.y[i] - b.y[i])', k)} AS d2y
+          FROM pr a
+          JOIN pr b ON a.label = b.label AND a.vec_id < b.vec_id
+        ), r AS (
+          SELECT CASE WHEN d2x > 0 THEN round(d2y / d2x, 12) END AS r
+          FROM pairs
+        )
+        SELECT count(*) AS n_pairs, CAST({k} AS INT) AS k,
+          round(CAST(sum(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(count(r) AS DOUBLE), 6) AS mean_ratio,
+          round(min(r), 6) AS min_ratio,
+          round(max(r), 6) AS max_ratio,
+          round(CAST(sum(CASE WHEN r >= 0.8 AND r <= 1.2
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(r) AS DOUBLE), 6) AS frac_within_20pct
+        FROM r
     """
 
 

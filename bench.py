@@ -293,6 +293,10 @@ BENCH_QUERIES = [
     "docs_bpe_pairs",
     "events_holt",
     "events_isotonic",
+    "embed_jl_distortion",
+    "privacy_tcloseness",
+    "events_burstiness",
+    "docs_heaps",
 ]
 
 

@@ -679,3 +679,112 @@ def bpe_pair_topk(
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def heaps_fit(points: list[tuple[int, int]]) -> dict:
+    """Closed-form log-log least squares for Heaps' law ``V = K·Tᵝ``
+    over per-group ``(tokens, vocab)`` points — ONE shared
+    implementation for the Spark operator and the DuckDB oracle
+    builder (python ``math.log`` both sides, no engine libm).
+    Returns ``{n_groups, beta, log10_k, r2}`` rounded 6dp; requires
+    ≥ 2 points with T > 0, V > 0 and non-degenerate spread."""
+    import math
+
+    pts = [(t, v) for t, v in points if t > 0 and v > 0]
+    if len(pts) < 2:
+        raise ValueError(
+            f"heaps: need >= 2 positive (tokens, vocab) points, "
+            f"got {len(pts)}"
+        )
+    xs = [math.log10(t) for t, _v in pts]
+    ys = [math.log10(v) for _t, v in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    den = n * sxx - sx * sx
+    if den <= 1e-15:
+        raise ValueError(
+            "heaps: all groups have the same token count — "
+            "the exponent is unidentifiable"
+        )
+    beta = (n * sxy - sx * sy) / den
+    log_k = (sy - beta * sx) / n
+    sst = syy - sy * sy / n
+    sse = syy - log_k * sy - beta * sxy
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    return {
+        "n_groups": n,
+        "beta": round(beta, 6),
+        "log10_k": round(log_k, 6),
+        "r2": round(r2, 6) if r2 is not None else None,
+    }
+
+
+MAX_HEAPS_GROUPS = 64
+
+
+def heaps_law_report(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit across corpus slices: per
+    ``group_col`` the exact token total T and distinct-token vocab V,
+    then the log-log least-squares exponent β of ``V = K·Tᵝ`` — the
+    "how fast does new data stop bringing new words" curve that sizes
+    tokenizer vocabularies and dedup dictionaries (β ≈ 0.4-0.6 for
+    natural language; β → 1 means the corpus never repeats itself —
+    a synthetic-data smell).
+
+    Scale: ONE explode + (group, token)-keyed partial-aggregated
+    distinct + a group-keyed collapse — output bounded by the group
+    cardinality, which a ``limit`` probe caps at ``MAX_HEAPS_GROUPS``
+    BEFORE anything unbounded reaches the driver; the fit is driver
+    arithmetic over the bounded points through the SAME shared
+    :func:`heaps_fit` the oracle replays.  Returns one row
+    ``(n_groups, beta, log10_k, r2)``."""
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    probe = (
+        base.select(group_col)
+        .distinct()
+        .limit(MAX_HEAPS_GROUPS + 1)
+        .collect()
+    )
+    if len(probe) > MAX_HEAPS_GROUPS:
+        raise ValueError(
+            f"heaps: more than MAX_HEAPS_GROUPS={MAX_HEAPS_GROUPS} "
+            "groups — pre-bucket the grouping column"
+        )
+    tok = base.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("__t"),
+    )
+    pts = (
+        tok.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__T"),
+            F.countDistinct("__t").alias("__V"),
+        )
+        .collect()
+    )
+    sol = heaps_fit(
+        sorted((int(r["__T"]), int(r["__V"])) for r in pts)
+    )
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                sol["n_groups"],
+                sol["beta"],
+                sol["log10_k"],
+                sol["r2"],
+            )
+        ],
+        "n_groups int, beta double, log10_k double, r2 double",
+    )

@@ -547,3 +547,77 @@ def debounce_events(
         .drop("__nb", "__burst", "__rn")
     )
     return out
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Interarrival-time burstiness per event type — the
+    stream-mining "is this traffic Poisson, periodic, or bursty"
+    diagnostic (Goh & Barabási 2008): per (user, type) the gaps
+    between consecutive events in integer seconds, per type the gap
+    moments, ``cv = σ/μ`` and ``B = (cv − 1)/(cv + 1)`` (Poisson → 0,
+    periodic → −1, heavy-tailed bursts → +1).
+
+    Scale: the consecutive pairing is a lag window PARTITIONED by
+    (user, type) — entity-grain, shuffle-bounded by the user key,
+    never an unpartitioned sort; the moment collapse is one
+    type-keyed partial-aggregated exchange.  Determinism: timestamps
+    truncate to integer epoch seconds (``unix_timestamp`` — the
+    engine-portable form); gaps and their squares sum as exact
+    DECIMAL(38,0) integers; cv/B are fixed IEEE expressions, 6dp.
+    Ordering within a user is made total by ``tiebreak_col``;
+    same-second events produce zero gaps (counted — they ARE bursts).
+    Returns one row per type ``(event_type, n_gaps, mean_gap_s,
+    sd_gap_s, cv, burstiness)``; cv/B null when n_gaps < 2 or μ = 0
+    (every gap zero — pure same-second duplicates); a zero σ is the
+    well-defined periodic case, cv = 0 and B = −1, not null."""
+    from pyspark.sql import Window
+
+    base = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("__t"),
+        F.col(user_col).alias("__u"),
+        F.unix_timestamp(F.col(ts_col)).alias("__s"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    w = Window.partitionBy("__u", "__t").orderBy("__s", "__tb")
+    gapped = base.select(
+        "__t", (F.col("__s") - F.lag("__s").over(w)).alias("__g")
+    ).filter(F.col("__g").isNotNull())
+    d38 = "decimal(38,0)"
+    m = gapped.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("__g").cast(d38)).alias("__sg"),
+        F.sum((F.col("__g") * F.col("__g")).cast(d38)).alias("__sg2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("__sg").cast("double")
+    sg2 = F.col("__sg2").cast("double")
+    mean = sg / n
+    var = (sg2 - n * mean * mean) / (n - F.lit(1.0))
+    # a perfectly periodic stream has var = 0 — that is cv = 0 and
+    # B = -1 (well-defined, the periodic signature), NOT null; the
+    # greatest() clamp also absorbs tiny negative float cancellation
+    sd = F.when(
+        F.col("n_gaps") >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))
+    )
+    cv = F.when(
+        (F.col("n_gaps") >= 2) & (mean > 0), sd / mean
+    )
+    burst = F.when(cv.isNotNull(), (cv - 1.0) / (cv + 1.0))
+    return m.select(
+        F.col("__t").alias("event_type"),
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round(cv, 6).alias("cv"),
+        F.round(burst, 6).alias("burstiness"),
+    )

@@ -778,3 +778,150 @@ def cluster_quality(
         F.round(ch, 6).alias("calinski_harabasz"),
         F.round(dbi, 6).alias("davies_bouldin"),
     )
+
+
+def jl_sign_matrix(d: int, k: int, seed: str = "jl") -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix (k
+    rows × d columns) derived from md5 parity of ``seed|row|col`` —
+    ONE shared implementation for the Spark operator and the DuckDB
+    oracle builder (pure python hashing: the engines only ever see
+    the finished LITERALS, so no per-row hash work and no engine-hash
+    parity question at all).  Achlioptas 2003: ±1 entries scaled
+    1/√k preserve squared distances in expectation."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(
+                    f"{seed}|{j}|{i}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def _sq_dist_fold(a, b):
+    """Σ (aᵢ−bᵢ)² as an explicit left fold — ((0+t₁)+t₂)+… — the one
+    associativity both engines can replay bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def jl_distortion_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    k: int = 16,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection quality audit: project every
+    embedding to ``k`` dims through the deterministic ±1/√k matrix
+    and measure the squared-distance distortion ``‖ya−yb‖²/‖xa−xb‖²``
+    over all same-``block_col`` pairs — the go/no-go readout before
+    swapping full-dimension vectors for a cheap sketch in an ANN /
+    dedup pipeline (mean ≈ 1 is the JL guarantee; the min/max spread
+    tells you the worst case at this k).
+
+    Scale: the projection is IN-ROW (k fixed-literal dot folds per
+    vector, whole-stage codegen — the matrix never ships per row);
+    both sides carry ``(x, y)`` into a block-keyed equi-join (the
+    label-blocked pair shape of ``simsearch_pairs`` — bounded blocks,
+    never a crossJoin), and the per-pair work is two explicit-fold
+    distances.  Determinism: folds are left-associated IEEE (replayed
+    exactly by DuckDB ``list_reduce``); per-pair ratios quantize to
+    12dp DECIMAL before the order-independent sum.  Returns one row
+    ``(n_pairs, k, mean_ratio, min_ratio, max_ratio,
+    frac_within_20pct)``; degenerate pairs (‖xa−xb‖² = 0) are
+    excluded from the ratio stats but counted in ``n_pairs``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dim_row = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("__d"))
+        .limit(1)
+        .collect()
+    )
+    if not dim_row:
+        raise ValueError("jl: no embeddings")
+    d = int(dim_row[0]["__d"])
+    s = jl_sign_matrix(d, k, seed)
+    scale = F.lit(float(k) ** 0.5)
+    smat = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in s]
+    )
+    x = F.col(vec_col).cast("array<double>")
+    proj = F.transform(
+        smat,
+        lambda row: F.aggregate(
+            F.zip_with(x, row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / scale,
+    )
+    base = emb.filter(
+        F.col(vec_col).isNotNull()
+        & F.col(block_col).isNotNull()
+        & (F.size(vec_col) == F.lit(d))
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        x.alias("__x"),
+        proj.alias("__y"),
+    ).localCheckpoint(eager=False)  # pinned: both pair sides
+    a = base.select(
+        F.col("__blk"),
+        F.col("__id").alias("__ia"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+    )
+    b = base.select(
+        F.col("__blk"),
+        F.col("__id").alias("__ib"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+    pairs = a.join(b, "__blk").filter(F.col("__ia") < F.col("__ib"))
+    d2x = _sq_dist_fold(F.col("__xa"), F.col("__xb"))
+    d2y = _sq_dist_fold(F.col("__ya"), F.col("__yb"))
+    ratio = F.round(d2y / d2x, 12)
+    scored = pairs.select(
+        F.when(d2x > 0, ratio).alias("__r")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("__r").cast("decimal(38,12)")).alias("__sr"),
+        F.count("__r").alias("__nr"),
+        F.min("__r").alias("__mn"),
+        F.max("__r").alias("__mx"),
+        F.sum(
+            F.when(
+                (F.col("__r") >= 0.8) & (F.col("__r") <= 1.2), 1
+            ).otherwise(0)
+        ).alias("__cl"),
+    )
+    nr = F.col("__nr").cast("double")
+    return agg.select(
+        "n_pairs",
+        F.lit(k).alias("k"),
+        F.round(F.col("__sr").cast("double") / nr, 6).alias(
+            "mean_ratio"
+        ),
+        F.round(F.col("__mn"), 6).alias("min_ratio"),
+        F.round(F.col("__mx"), 6).alias("max_ratio"),
+        F.round(F.col("__cl").cast("double") / nr, 6).alias(
+            "frac_within_20pct"
+        ),
+    )

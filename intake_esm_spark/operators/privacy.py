@@ -187,3 +187,137 @@ def dp_noisy_counts(
         F.lit(0),
     )
     return cells.select(*group_cols, noisy.alias("noisy_count"))
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    n_bins: int = 10,
+    t_threshold: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit over a NUMERIC sensitive attribute — the gate
+    l-diversity misses (Li et al. 2007): a quasi-group can hold l
+    distinct salaries yet still leak ("all of them are the top decile")
+    if its sensitive DISTRIBUTION sits far from the corpus's.  Distance
+    is the ordered-bin Earth Mover's Distance ``Σ_b |cum_g(b) −
+    cum_G(b)| / (B−1)`` over ``n_bins`` equal-width bins of the global
+    6dp value range — the standard formulation for ordered attributes.
+    Per quasi combination: the row count, the EMD, and the ``is_close``
+    flag (EMD ≤ t).
+
+    Scale: one 1-row range aggregate fixes the bin boundaries as
+    literals; ONE (quasi, bin)-keyed partial-aggregated collapse builds
+    every group histogram; the cumulative walk runs per group over its
+    ≤ ``n_bins`` rows (group-partitioned window — bounded frames, never
+    an unpartitioned sort); the global distribution is a broadcast
+    ``n_bins``-row frame.  Determinism: counts are exact integers; each
+    |cum difference| is one fixed IEEE expression over integer-ratio
+    doubles, quantized to 12dp DECIMAL before the per-group sum.  Rows
+    with a null/non-finite sensitive value are excluded (their
+    disclosure risk is l-diversity's department)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not 0.0 < t_threshold <= 1.0:
+        raise ValueError(
+            f"t_threshold must be in (0, 1], got {t_threshold}"
+        )
+    s = F.col(sensitive_col).cast("double")
+    clean = df.filter(
+        F.col(sensitive_col).isNotNull()
+        & ~F.isnan(s)
+        & (F.abs(s) != F.lit(float("inf")))
+    )
+    rng = clean.agg(
+        F.min(F.round(s, 6)).alias("__mn"),
+        F.max(F.round(s, 6)).alias("__mx"),
+    ).collect()[0]
+    mn, mx = rng["__mn"], rng["__mx"]
+    if mn is None or mx is None:
+        raise ValueError("t-closeness: no non-null sensitive values")
+    if mx <= mn:
+        # constant attribute: every group matches the global
+        # distribution exactly — report EMD 0 per group
+        agg = clean.groupBy(*quasi_cols).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        return agg.select(
+            *quasi_cols,
+            "n_rows",
+            F.lit(0.0).alias("emd"),
+            F.lit(1).alias("is_close"),
+        )
+    w = (float(mx) - float(mn)) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.round(s, 6) - F.lit(float(mn))) / F.lit(w)),
+        ),
+    ).cast("int")
+    cells = (
+        clean.select(*quasi_cols, b.alias("__b"))
+        .groupBy(*quasi_cols, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)  # feeds group + global walks
+    )
+    gtot = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").alias("__n")
+    )
+    # global per-bin counts -> bounded n_bins-row frame, broadcast
+    gl = cells.groupBy("__b").agg(F.sum("__c").alias("__gc"))
+    gn = cells.agg(F.sum("__c").alias("__gn"))
+    from pyspark.sql import Window
+
+    wg = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # n_bins-row frame — bounded, benign
+    gcum = gl.crossJoin(F.broadcast(gn)).select(
+        "__b",
+        (
+            F.sum("__gc").over(wg).cast("double")
+            / F.col("__gn").cast("double")
+        ).alias("__cum_all"),
+    )
+    # per-group cumulative over a DENSE bin axis: left-join each
+    # group's sparse histogram onto the global bin frame so missing
+    # bins contribute their |cum| gap too
+    grid = gtot.crossJoin(F.broadcast(gcum.select("__b")))
+    dense = grid.join(cells, [*quasi_cols, "__b"], "left").select(
+        *quasi_cols,
+        "__b",
+        "__n",
+        F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+    )
+    wq = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumg = F.sum("__c").over(wq).cast("double") / F.col("__n").cast(
+        "double"
+    )
+    stepped = dense.withColumn("__cumg", cumg).join(
+        F.broadcast(gcum), "__b"
+    )
+    term = F.round(
+        F.abs(F.col("__cumg") - F.col("__cum_all"))
+        / F.lit(float(n_bins - 1)),
+        12,
+    ).cast("decimal(38,12)")
+    per_group = stepped.filter(
+        F.col("__b") < F.lit(n_bins - 1)  # last cum is 1==1, excluded
+    ).groupBy(*quasi_cols, "__n").agg(
+        F.sum(term).alias("__emd")
+    )
+    emd = F.col("__emd").cast("double")
+    return per_group.select(
+        *quasi_cols,
+        F.col("__n").alias("n_rows"),
+        F.round(emd, 6).alias("emd"),
+        (F.round(emd, 6) <= F.lit(t_threshold)).cast("int").alias(
+            "is_close"
+        ),
+    )

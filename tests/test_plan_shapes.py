@@ -1271,3 +1271,50 @@ def test_isotonic_result_is_driver_rows(spark, queries):
             "ExistingRDD" in plan or "LocalTableScan" in plan
         ), (name, plan)
         assert "Exchange" not in plan, (name, plan)
+
+
+def test_jl_projection_in_row_single_block_join(spark, queries):
+    """embed_jl_distortion (r14): the k-dim projection is IN-ROW
+    literal dot folds (no matrix join, no Python eval); the only join
+    is the label-blocked pair equi-join — never a CartesianProduct /
+    BroadcastNestedLoopJoin."""
+    plan = plan_of(queries["embed_jl_distortion"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_tcloseness_group_windows_and_broadcast_global(spark, queries):
+    """privacy_tcloseness (r14): the per-group cumulative walk is a
+    GROUP-partitioned window over <=n_bins rows; the global
+    distribution joins back as a broadcast; no corpus
+    rangepartitioning anywhere."""
+    plan = plan_of(queries["privacy_tcloseness"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_burstiness_lag_window_entity_partitioned(spark, queries):
+    """events_burstiness (r14): the consecutive-gap lag window is
+    PARTITIONED by (user, type) — entity-grain, shuffle-bounded —
+    and the moment collapse partial-aggregates; never an
+    unpartitioned ordered window over the corpus."""
+    plan = plan_of(queries["events_burstiness"](spark, SF), "simple")
+    line = next(
+        (ln for ln in plan.splitlines() if "windowspecdefinition" in ln),
+        "",
+    )
+    assert "__u" in line and "__t" in line, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_heaps_result_is_driver_rows(spark, queries):
+    """docs_heaps (r14): the fit runs on the driver over the bounded
+    per-group points — the returned frame is driver-local."""
+    plan = plan_of(queries["docs_heaps"](spark, SF), "simple")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "Exchange" not in plan, plan

@@ -1,0 +1,252 @@
+"""Round-14 batch 4: t-closeness (ordered-EMD), interarrival
+burstiness, and Heaps'-law fit — first-principles references and
+guards."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+
+# ---- t-closeness ----------------------------------------------------------
+
+
+def _emd_ref(vals_g, vals_all, mn, mx, n_bins):
+    w = (mx - mn) / n_bins
+
+    def hist(v):
+        b = np.minimum(
+            n_bins - 1,
+            np.maximum(0, np.floor((np.round(v, 6) - mn) / w)),
+        ).astype(int)
+        h = np.bincount(b, minlength=n_bins).astype(float)
+        return np.cumsum(h) / h.sum()
+
+    cg, ca = hist(vals_g), hist(vals_all)
+    return float(np.abs(cg[:-1] - ca[:-1]).sum() / (n_bins - 1))
+
+
+def test_tcloseness_matches_first_principles(spark):
+    from intake_esm_spark.operators.privacy import t_closeness_report
+
+    rng = np.random.RandomState(190)
+    n = 2000
+    grp = np.where(rng.uniform(size=n) < 0.3, "a", "b")
+    # group 'a' shifted upward: a real disclosure
+    val = np.round(
+        rng.normal(50, 10, n) + np.where(grp == "a", 15, 0), 4
+    )
+    df = spark.createDataFrame(
+        list(zip(grp, map(float, val))), "g string, v double"
+    )
+    rows = {
+        r["g"]: r
+        for r in t_closeness_report(
+            df, ["g"], "v", n_bins=10, t_threshold=0.05
+        ).collect()
+    }
+    mn = round(float(np.round(val, 6).min()), 6)
+    mx = round(float(np.round(val, 6).max()), 6)
+    for g in ("a", "b"):
+        ref = _emd_ref(val[grp == g], val, mn, mx, 10)
+        assert rows[g]["emd"] == pytest.approx(ref, abs=1e-5), g
+        assert rows[g]["n_rows"] == int((grp == g).sum())
+    # the shifted group leaks; the majority group is close
+    assert rows["a"]["is_close"] == 0
+    assert rows["a"]["emd"] > rows["b"]["emd"]
+
+
+def test_tcloseness_identical_groups_zero(spark):
+    from intake_esm_spark.operators.privacy import t_closeness_report
+
+    rows = [(("g%d" % (i % 2)), float(i % 10)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = t_closeness_report(df, ["g"], "v", n_bins=5).collect()
+    for r in out:
+        assert r["emd"] == pytest.approx(0.0, abs=1e-9)
+        assert r["is_close"] == 1
+
+
+def test_tcloseness_guards_and_constant(spark):
+    from intake_esm_spark.operators.privacy import t_closeness_report
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    out = t_closeness_report(df, ["g"], "v").collect()
+    assert all(r["emd"] == 0.0 and r["is_close"] == 1 for r in out)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        t_closeness_report(df, [], "v")
+    with pytest.raises(ValueError, match="n_bins"):
+        t_closeness_report(df, ["g"], "v", n_bins=1)
+    with pytest.raises(ValueError, match="t_threshold"):
+        t_closeness_report(df, ["g"], "v", t_threshold=0.0)
+    empty = df.filter(F.col("v") < 0)
+    with pytest.raises(ValueError, match="no non-null"):
+        t_closeness_report(empty, ["g"], "v")
+
+
+# ---- interarrival burstiness ----------------------------------------------
+
+
+def test_burstiness_matches_first_principles(spark):
+    from intake_esm_spark.operators.eventlog import (
+        interarrival_burstiness,
+    )
+
+    rng = np.random.RandomState(191)
+    rows = []
+    eid = 0
+    gaps_ref = {"t": []}
+    for u in range(20):
+        t0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=u)
+        offs = np.cumsum(rng.randint(1, 1000, 15))
+        prev = None
+        for o in offs:
+            ts = t0 + dt.timedelta(seconds=int(o))
+            rows.append((eid, ts, u, "t"))
+            if prev is not None:
+                gaps_ref["t"].append(int(o) - prev)
+            prev = int(o)
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string"
+    )
+    row = interarrival_burstiness(df).collect()[0]
+    g = np.array(gaps_ref["t"], dtype=float)
+    mean, sd = g.mean(), g.std(ddof=1)
+    cv = sd / mean
+    assert row["n_gaps"] == len(g)
+    assert row["mean_gap_s"] == pytest.approx(mean, abs=1e-4)
+    assert row["sd_gap_s"] == pytest.approx(sd, abs=1e-4)
+    assert row["cv"] == pytest.approx(cv, abs=1e-5)
+    assert row["burstiness"] == pytest.approx(
+        (cv - 1) / (cv + 1), abs=1e-5
+    )
+
+
+def test_burstiness_signatures(spark):
+    """Periodic traffic -> B near -1; heavy-tailed -> B > 0."""
+    from intake_esm_spark.operators.eventlog import (
+        interarrival_burstiness,
+    )
+
+    rng = np.random.RandomState(192)
+    rows = []
+    eid = 0
+    # periodic: exactly 60s apart
+    for u in range(5):
+        for i in range(50):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1)
+                 + dt.timedelta(seconds=u * 7 + i * 60),
+                 u, "tick")
+            )
+            eid += 1
+    # bursty: pareto-ish gaps
+    for u in range(5):
+        t = 0.0
+        for _i in range(50):
+            t += float((rng.pareto(1.2) + 0.1) * 30)
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1)
+                 + dt.timedelta(seconds=t), u + 100, "burst")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string"
+    )
+    out = {r["event_type"]: r for r in interarrival_burstiness(df).collect()}
+    assert out["tick"]["burstiness"] == pytest.approx(-1.0, abs=1e-6)
+    assert out["burst"]["burstiness"] > 0.2
+
+
+def test_burstiness_degenerate_null(spark):
+    from intake_esm_spark.operators.eventlog import (
+        interarrival_burstiness,
+    )
+
+    # a single gap per user -> n_gaps 1 for the type -> null stats
+    df = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1, "x"),
+         (1, dt.datetime(2024, 1, 1, 0, 1), 1, "x")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    row = interarrival_burstiness(df).collect()[0]
+    assert row["n_gaps"] == 1
+    assert row["cv"] is None and row["burstiness"] is None
+
+
+# ---- Heaps' law -----------------------------------------------------------
+
+
+def test_heaps_fit_known_line():
+    """Exact power-law points recover beta and K exactly."""
+    from intake_esm_spark.operators.corpus import heaps_fit
+
+    beta, k = 0.5, 10.0
+    pts = [
+        (t, int(round(k * t**beta)))
+        for t in (100, 400, 1600, 6400, 25600)
+    ]
+    sol = heaps_fit(pts)
+    assert sol["beta"] == pytest.approx(beta, abs=0.01)
+    assert 10 ** sol["log10_k"] == pytest.approx(k, rel=0.05)
+    assert sol["r2"] > 0.999
+    assert sol["n_groups"] == 5
+
+
+def test_heaps_report_matches_shared_fit(spark):
+    from intake_esm_spark.operators.corpus import (
+        heaps_fit,
+        heaps_law_report,
+    )
+
+    rng = np.random.RandomState(193)
+    rows = []
+    for g, size in (("s1", 50), ("s2", 200), ("s3", 800)):
+        # zipf-ish vocabulary growth
+        for i in range(size):
+            w = [
+                f"w{int(rng.zipf(1.5))}" for _ in range(20)
+            ]
+            rows.append((g, " ".join(w)))
+    df = spark.createDataFrame(rows, "source string, text string")
+    row = heaps_law_report(df).collect()[0]
+    # replay points by hand
+    pts = []
+    from collections import defaultdict
+
+    toks = defaultdict(list)
+    for g, t in rows:
+        toks[g].extend(t.split())
+    for g in toks:
+        pts.append((len(toks[g]), len(set(toks[g]))))
+    sol = heaps_fit(sorted(pts))
+    assert row["beta"] == sol["beta"]
+    assert row["log10_k"] == sol["log10_k"]
+    assert row["r2"] == sol["r2"]
+    # vocabulary grows sublinearly -> 0 < beta < 1
+    assert 0.0 < row["beta"] < 1.0
+
+
+def test_heaps_guards(spark):
+    from intake_esm_spark.operators.corpus import (
+        heaps_fit,
+        heaps_law_report,
+    )
+
+    with pytest.raises(ValueError, match=">= 2 positive"):
+        heaps_fit([(100, 10)])
+    with pytest.raises(ValueError, match="unidentifiable"):
+        heaps_fit([(100, 10), (100, 20)])
+    df = spark.createDataFrame(
+        [(f"g{i}", "a b c") for i in range(70)],
+        "source string, text string",
+    )
+    with pytest.raises(ValueError, match="MAX_HEAPS_GROUPS"):
+        heaps_law_report(df)
