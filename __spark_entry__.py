@@ -3632,6 +3632,61 @@ def q_docs_heaps(spark: SparkSession, sf: str) -> DataFrame:
     return heaps_law_report(docs)
 
 
+def q_events_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's paired-binary test (operators/experiment.py
+    mcnemar_report, round 14 — statsmodels mcnemar(exact=False,
+    correction=False)): flag A = is-purchase, flag B = a
+    deterministic hash-derived paired flag (the events_kappa pairing
+    convention); only the discordant 2x2 cells carry information.
+    ONE map-side-combined cell collapse. Oracle: the same cell SQL +
+    fixed IEEE statistic in DuckDB."""
+    from intake_esm_spark.operators.experiment import mcnemar_report
+
+    events = load_table(spark, sf, "events")
+    u = events.filter(F.col("event_type").isNotNull()).select(
+        (F.col("event_type") == "purchase").cast("int").alias("a"),
+        (
+            F.pmod(
+                tx.salted_hash60(
+                    F.col("event_id").cast("string"), "mcn"
+                ),
+                F.lit(5),
+            )
+            == 0
+        ).cast("int").alias("b"),
+    )
+    return mcnemar_report(u, "a", "b")
+
+
+PERM_N = 64
+"""Permutation count of the events_permutation entry — ONE shared
+literal between the query and its oracle builder."""
+
+
+def q_events_permutation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic randomization test of click-vs-view mean value
+    (operators/experiment.py permutation_test_report, round 14): 64
+    salted-md5 relabelings fanned out IN-ROW (explode(sequence)) and
+    partial-aggregated to the 2x64-cell grid before the one exchange
+    — the distribution-free p-value at corpus scale with zero RNG
+    state. Exact decimal value sums make every relabeled mean
+    engine-identical, so the >= |obs| comparison needs no tolerance.
+    Oracle: the identical relabel/cell SQL in DuckDB + the same
+    driver arithmetic through the shared salted-hash formula
+    (_build_permutation_oracle)."""
+    from intake_esm_spark.operators.experiment import (
+        permutation_test_report,
+    )
+
+    events = load_table(spark, sf, "events")
+    arm = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_id", "event_type", "value")
+    return permutation_test_report(
+        arm, "event_id", "event_type", "value", n_perm=PERM_N
+    )
+
+
 def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Model-level Poisson diagnostics (operators/regression.py
     poisson_fit_report): n, iteration count, mean unit deviance at
@@ -5898,6 +5953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_tcloseness": q_privacy_tcloseness,
         "events_burstiness": q_events_burstiness,
         "docs_heaps": q_docs_heaps,
+        "events_mcnemar": q_events_mcnemar,
+        "events_permutation": q_events_permutation,
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
@@ -7066,6 +7123,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, count(*) AS cnt FROM p GROUP BY 1
             ORDER BY cnt DESC, pair ASC LIMIT 20
+        """,
+        # replays experiment.mcnemar_report over the hash-derived
+        # paired flag (the events_kappa pairing convention)
+        "events_mcnemar": f"""
+            WITH u AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                     END AS a,
+                     CASE WHEN {_h60_sql(
+                         "'mcn|' || CAST(event_id AS VARCHAR)"
+                     )} % 5 = 0 THEN 1 ELSE 0 END AS b
+              FROM events WHERE event_type IS NOT NULL
+            ), m AS (
+              SELECT count(*) AS n_pairs,
+                     CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1
+                              ELSE 0 END) AS BIGINT) AS n01,
+                     CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1
+                              ELSE 0 END) AS BIGINT) AS n10
+              FROM u
+            )
+            SELECT n_pairs, n01, n10,
+                   round(CASE WHEN CAST(n01 + n10 AS DOUBLE) > 0 THEN
+                     CAST(n01 - n10 AS DOUBLE)
+                     * CAST(n01 - n10 AS DOUBLE)
+                     / CAST(n01 + n10 AS DOUBLE) END, 6) AS chi2
+            FROM m
         """,
         "events_calibration": f"""
             WITH u AS (
@@ -14158,6 +14240,9 @@ def oracle_sql() -> dict[str, str]:
     d["privacy_tcloseness"] = _build_tcloseness_oracle()
     d["events_burstiness"] = _BURSTINESS_ORACLE_SQL
     d["docs_heaps"] = _build_heaps_oracle()
+    # events_permutation (round 14): relabel/cell replay + the shared
+    # driver arithmetic
+    d["events_permutation"] = _build_permutation_oracle()
     # lineitem_negbin / lineitem_huber (round 14): the NB2 and
     # Huber-IRLS float trajectories walked pass-by-pass in DuckDB
     # through the shared warm-start/step/finalize helpers
@@ -14827,6 +14912,78 @@ def _build_nb_oracle() -> str:
         SELECT actual, predicted, count(*) AS n_docs
         FROM pred GROUP BY 1, 2
     """
+
+
+def _build_permutation_oracle() -> str:
+    """Oracle for events_permutation: the observed-split decimal sums
+    and the 64-relabeling cell grid replayed in DuckDB through the
+    SAME salted-md5 formula, the add-one p-value via the identical
+    driver arithmetic — one literal row."""
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    b = PERM_N
+    base = (
+        "SELECT CAST(event_id AS VARCHAR) AS id, event_type AS g,"
+        " CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v"
+        f" FROM '{sf_dir}/events.parquet'"
+        " WHERE event_type IN ('click', 'view')"
+        " AND value IS NOT NULL AND event_id IS NOT NULL"
+    )
+    con = duckdb.connect()
+    obs = {
+        r[0]: (int(r[1]), r[2])
+        for r in con.execute(
+            f"SELECT g, count(*), sum(v) FROM ({base}) GROUP BY 1"
+        ).fetchall()
+    }
+    ga, gb = sorted(obs)
+    n_units = obs[ga][0] + obs[gb][0]
+    obs_diff = (
+        float(obs[gb][1]) / obs[gb][0]
+        - float(obs[ga][1]) / obs[ga][0]
+    )
+    key = "'perm|' || CAST(p AS VARCHAR) || '|' || id"
+    lab = f"{_h60_sql(key)} % 2"
+    n_extreme = int(
+        con.execute(
+            f"""
+            WITH u AS ({base}),
+            perm AS (
+              SELECT unnest(generate_series(0, {b - 1})) AS p, id, v
+              FROM u
+            ),
+            lab AS (SELECT p, v, {lab} AS l FROM perm),
+            cells AS (
+              SELECT p, l, count(*) AS n, sum(v) AS s
+              FROM lab GROUP BY 1, 2
+            ),
+            wide AS (
+              SELECT p,
+                sum(CASE WHEN l = 1 THEN n END) AS n1,
+                sum(CASE WHEN l = 1 THEN s END) AS s1,
+                sum(CASE WHEN l = 0 THEN n END) AS n0,
+                sum(CASE WHEN l = 0 THEN s END) AS s0
+              FROM cells GROUP BY 1
+            )
+            SELECT coalesce(sum(CASE WHEN
+              abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              >= {abs(obs_diff)!r} THEN 1 ELSE 0 END), 0)
+            FROM wide
+            """
+        ).fetchone()[0]
+    )
+    lit = _ols_lit
+    return (
+        f"SELECT CAST({n_units} AS BIGINT) AS n_units,"
+        f" CAST({b} AS INT) AS n_perm,"
+        f" {lit(round(obs_diff, 6))} AS obs_diff,"
+        f" CAST({n_extreme} AS BIGINT) AS n_extreme,"
+        f" {lit(round((1 + n_extreme) / (b + 1), 6))} AS p_value"
+    )
 
 
 def _build_tcloseness_oracle() -> str:

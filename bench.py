@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "privacy_tcloseness",
     "events_burstiness",
     "docs_heaps",
+    "events_mcnemar",
+    "events_permutation",
 ]
 
 

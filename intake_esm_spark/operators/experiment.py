@@ -2124,3 +2124,159 @@ def wilcoxon_signed_rank(
             (F.abs(z6) >= F.lit(z_threshold)).cast("int"), F.lit(0)
         ).alias("significant"),
     )
+
+
+def mcnemar_report(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — "did the flag flip
+    between condition A and condition B for the same units" (model-A
+    vs model-B on the same eval set, before/after on the same users).
+    Only the discordant cells carry information: ``chi2 = (n01 −
+    n10)² / (n01 + n10)`` (uncorrected — the large-sample form;
+    statsmodels ``mcnemar(exact=False, correction=False)``).  Compare
+    against chi²(1) criticals client-side (the
+    :func:`chi_square_report` convention).
+
+    Scale: ONE 2×2 cell collapse with map-side partials — the corpus
+    crosses the wire as at most four counts per partition.
+    Determinism: exact integer cells; the statistic is one fixed IEEE
+    expression, 6dp.  Rows with a null on either side are excluded.
+    Returns one row ``(n_pairs, n01, n10, chi2)``; chi2 null when no
+    discordant pairs exist (the test is undefined, not zero)."""
+    a = (F.col(a_col).cast("int") > 0).cast("int")
+    b = (F.col(b_col).cast("int") > 0).cast("int")
+    m = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            ((a == 0) & (b == 1)).cast("bigint")
+        ).alias("n01"),
+        F.sum(
+            ((a == 1) & (b == 0)).cast("bigint")
+        ).alias("n10"),
+    )
+    d = (F.col("n01") - F.col("n10")).cast("double")
+    tot = (F.col("n01") + F.col("n10")).cast("double")
+    chi2 = F.when(tot > 0, d * d / tot)
+    return m.select(
+        "n_pairs", "n01", "n10", F.round(chi2, 6).alias("chi2")
+    )
+
+
+def permutation_test_report(
+    units: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    n_perm: int = 64,
+    salt: str = "perm",
+) -> DataFrame:
+    """Deterministic randomization test for a difference in means —
+    the distribution-free significance readout when the t-test's
+    assumptions are in doubt: relabel every unit ``n_perm`` times by
+    a salted hash, recompute the mean difference under each
+    relabeling, and report ``p = (1 + #{|Δ_perm| ≥ |Δ_obs|}) /
+    (n_perm + 1)`` (the add-one permutation p-value; hash relabeling
+    is the standard approximate-randomization variant — group sizes
+    float binomially around the observed split).
+
+    Scale: the fan-out is an in-row ``explode(sequence(0, B−1))`` —
+    B rows per unit, partial-aggregated down to the 2B-cell grid
+    before the one exchange; the observed split reuses the same
+    collapse at a literal permutation id.  Determinism: the relabel
+    is the engine-portable salted md5-60 parity; value sums are 6dp
+    DECIMAL(38,6); each Δ is one fixed IEEE expression over exact
+    decimals, so the ≥ comparison is engine-identical without any
+    tolerance.  Exactly TWO observed groups are required (the
+    :func:`~.regression.chow_test_report` contract).  Returns one row
+    ``(n_units, n_perm, obs_diff, n_extreme, p_value)`` — obs_diff =
+    mean(later group) − mean(earlier group) by name order, 6dp."""
+    from intake_esm_spark.functions.text import salted_hash60
+
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    base = units.filter(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(group_col).cast("string").alias("__g"),
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("__v"),
+    ).localCheckpoint(eager=False)  # pinned: observed + permuted passes
+    groups = sorted(
+        r["__g"]
+        for r in base.select("__g").distinct().limit(3).collect()
+    )
+    if len(groups) != 2:
+        raise ValueError(
+            "permutation test: need exactly TWO groups, got "
+            f"{len(groups)} ({groups[:3]})"
+        )
+    ga, gb = groups
+    obs = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__v").alias("s")
+    ).collect()
+    om = {r["__g"]: (int(r["n"]), r["s"]) for r in obs}
+    n_units = om[ga][0] + om[gb][0]
+    obs_diff = float(om[gb][1]) / om[gb][0] - float(om[ga][1]) / om[ga][0]
+    perm = base.select(
+        "__v",
+        F.explode(F.expr(f"sequence(0, {int(n_perm) - 1})")).alias(
+            "__p"
+        ),
+        "__id",
+    ).select(
+        "__p",
+        "__v",
+        F.pmod(
+            salted_hash60(
+                F.concat_ws("|", F.col("__p").cast("string"),
+                            F.col("__id")),
+                salt,
+            ),
+            F.lit(2),
+        ).alias("__l"),
+    )
+    cells = perm.groupBy("__p", "__l").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__s")
+    )
+    wide = cells.groupBy("__p").agg(
+        F.sum(F.when(F.col("__l") == 1, F.col("__n"))).alias("n1"),
+        F.sum(F.when(F.col("__l") == 1, F.col("__s"))).alias("s1"),
+        F.sum(F.when(F.col("__l") == 0, F.col("__n"))).alias("n0"),
+        F.sum(F.when(F.col("__l") == 0, F.col("__s"))).alias("s0"),
+    )
+    diff = (
+        F.col("s1").cast("double") / F.col("n1").cast("double")
+        - F.col("s0").cast("double") / F.col("n0").cast("double")
+    )
+    # a degenerate relabeling (all units one side) yields a null diff
+    # and counts as NOT extreme (documented: it carries no evidence)
+    extreme = wide.agg(
+        F.sum(
+            F.when(
+                F.abs(diff) >= F.lit(abs(obs_diff)), 1
+            ).otherwise(0)
+        ).alias("__e")
+    ).collect()[0]["__e"]
+    n_extreme = int(extreme or 0)
+    return units.sparkSession.createDataFrame(
+        [
+            (
+                n_units,
+                int(n_perm),
+                round(obs_diff, 6),
+                n_extreme,
+                round((1 + n_extreme) / (n_perm + 1), 6),
+            )
+        ],
+        "n_units bigint, n_perm int, obs_diff double,"
+        " n_extreme bigint, p_value double",
+    )

@@ -1318,3 +1318,44 @@ def test_heaps_result_is_driver_rows(spark, queries):
     plan = plan_of(queries["docs_heaps"](spark, SF), "simple")
     assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_permutation_fanout_partial_agged_no_range_sort(spark, queries):
+    """events_permutation (r14): the B-relabeling fan-out is an
+    in-row explode partial-aggregated to the 2B-cell grid before the
+    exchange — no window, no rangepartitioning, no Python eval; the
+    returned row is driver-local."""
+    plan = plan_of(queries["events_permutation"](spark, SF), "simple")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+    from pyspark.sql import functions as F
+
+    from intake_esm_spark.functions.text import salted_hash60
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    perm = ev.select(
+        F.col("value").alias("__v"),
+        F.explode(F.expr("sequence(0, 63)")).alias("__p"),
+        F.col("event_id").cast("string").alias("__id"),
+    ).select(
+        "__p",
+        "__v",
+        F.pmod(
+            salted_hash60(
+                F.concat_ws("|", F.col("__p").cast("string"),
+                            F.col("__id")),
+                "perm",
+            ),
+            F.lit(2),
+        ).alias("__l"),
+    )
+    agg = perm.groupBy("__p", "__l").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__v").alias("s")
+    )
+    pplan = plan_of(agg, "simple")
+    assert pplan.count("HashAggregate") == 2, pplan  # partial + final
+    assert "Generate explode" in pplan, pplan
+    assert "windowspecdefinition" not in pplan, pplan
+    assert "Exchange rangepartitioning" not in pplan, pplan

@@ -250,3 +250,92 @@ def test_heaps_guards(spark):
     )
     with pytest.raises(ValueError, match="MAX_HEAPS_GROUPS"):
         heaps_law_report(df)
+
+
+# ---- McNemar --------------------------------------------------------------
+
+
+def test_mcnemar_matches_hand_count(spark):
+    from intake_esm_spark.operators.experiment import mcnemar_report
+
+    rows = [(1, 1), (1, 0), (1, 0), (0, 1), (0, 0), (1, 1),
+            (0, 1), (1, 0), (None, 1), (1, None)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_report(df, "a", "b").collect()[0]
+    # clean pairs: 8; n01 = a=0,b=1 -> rows (0,1),(0,1) = 2;
+    # n10 = (1,0) x3 = 3
+    assert r["n_pairs"] == 8 and r["n01"] == 2 and r["n10"] == 3
+    assert r["chi2"] == pytest.approx((2 - 3) ** 2 / 5, abs=1e-9)
+
+
+def test_mcnemar_no_discordance_null(spark):
+    from intake_esm_spark.operators.experiment import mcnemar_report
+
+    df = spark.createDataFrame(
+        [(1, 1), (0, 0), (1, 1)], "a int, b int"
+    )
+    r = mcnemar_report(df, "a", "b").collect()[0]
+    assert r["chi2"] is None and r["n01"] == 0 and r["n10"] == 0
+
+
+# ---- permutation test -----------------------------------------------------
+
+
+def test_permutation_detects_real_effect(spark):
+    from intake_esm_spark.operators.experiment import (
+        permutation_test_report,
+    )
+
+    rng = np.random.RandomState(195)
+    rows = [
+        (i, "a" if i < 300 else "b",
+         float(np.round(rng.normal(10 if i < 300 else 14, 2), 4)))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "uid long, g string, v double")
+    r = permutation_test_report(
+        df, "uid", "g", "v", n_perm=40
+    ).collect()[0]
+    assert r["n_units"] == 600
+    assert r["obs_diff"] == pytest.approx(4.0, abs=0.6)
+    # a 2-sigma-per-group effect at n=600 never loses to a relabeling
+    assert r["n_extreme"] == 0
+    assert r["p_value"] == pytest.approx(1 / 41, abs=1e-6)
+
+
+def test_permutation_null_effect_large_p(spark):
+    from intake_esm_spark.operators.experiment import (
+        permutation_test_report,
+    )
+
+    rng = np.random.RandomState(196)
+    rows = [
+        (i, "a" if i % 2 == 0 else "b",
+         float(np.round(rng.normal(10, 2), 4)))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "uid long, g string, v double")
+    r = permutation_test_report(
+        df, "uid", "g", "v", n_perm=40
+    ).collect()[0]
+    assert r["p_value"] > 0.1
+
+
+def test_permutation_deterministic_and_guards(spark):
+    from intake_esm_spark.operators.experiment import (
+        permutation_test_report,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", float(i % 7))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "uid long, g string, v double")
+    r1 = permutation_test_report(df, "uid", "g", "v", n_perm=16).collect()
+    r2 = permutation_test_report(df, "uid", "g", "v", n_perm=16).collect()
+    assert r1 == r2  # fully deterministic
+    with pytest.raises(ValueError, match="n_perm"):
+        permutation_test_report(df, "uid", "g", "v", n_perm=0)
+    df3 = df.withColumn(
+        "g3", F.concat(F.lit("g"), (F.col("uid") % 3).cast("string"))
+    )
+    with pytest.raises(ValueError, match="exactly TWO"):
+        permutation_test_report(df3, "uid", "g3", "v")
