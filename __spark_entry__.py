@@ -3687,6 +3687,66 @@ def q_events_permutation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mh_units(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared unit frame of the Mantel-Haenszel / SMD entries:
+    stratum = day of week, exposure = a deterministic hash coin,
+    outcome = is-purchase, covariates = value and user_id % 100."""
+    events = load_table(spark, sf, "events")
+    return events.filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.dayofweek("ts").alias("stratum"),
+        (
+            F.pmod(
+                tx.salted_hash60(F.col("event_id").cast("string"), "mh"),
+                F.lit(2),
+            )
+            == 0
+        ).cast("int").alias("exposed"),
+        (F.col("event_type") == "purchase").cast("int").alias("outcome"),
+        F.col("value"),
+        (F.col("user_id") % 100).alias("uid_mod"),
+    )
+
+
+def q_events_mh_or(spark: SparkSession, sf: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio of a hash-coin exposure on
+    purchase across day-of-week strata (operators/experiment.py
+    mantel_haenszel_report, round 14 — statsmodels StratifiedTable
+    pooled OR + Robins-Breslow-Greenland SE): ONE (stratum, e, y)
+    cell collapse, everything after on the bounded cell frame;
+    per-stratum ratio terms quantize to 12dp decimal before the
+    cross-strata sums. A null exposure, so the honest readout is
+    OR ~ 1 with the CI spanning it. Oracle: the identical cell +
+    decimal-term SQL in DuckDB (weekday numbering differs between
+    engines but the stratum PARTITION is identical, which is all the
+    estimator consumes)."""
+    from intake_esm_spark.operators.experiment import (
+        mantel_haenszel_report,
+    )
+
+    return mantel_haenszel_report(
+        _mh_units(spark, sf), "stratum", "exposed", "outcome"
+    )
+
+
+def q_events_smd(spark: SparkSession, sf: str) -> DataFrame:
+    """Standardized-mean-difference covariate balance of the same
+    hash-coin exposure (operators/experiment.py smd_balance_report,
+    round 14 — Austin 2009, the |SMD| <= 0.1 bar): ONE 1-row
+    partial-agged pass carrying both arms' exact-decimal moments for
+    every covariate, driver readout through the shared
+    smd_rows_from_moments. A randomized coin, so both covariates
+    report balanced — the pre-adjustment table a causal analysis
+    starts from. Oracle: the moment SQL replayed in DuckDB + the
+    SAME shared readout, literal rows (_build_smd_oracle)."""
+    from intake_esm_spark.operators.experiment import smd_balance_report
+
+    return smd_balance_report(
+        _mh_units(spark, sf), "exposed", ["value", "uid_mod"]
+    )
+
+
 def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Model-level Poisson diagnostics (operators/regression.py
     poisson_fit_report): n, iteration count, mean unit deviance at
@@ -5955,6 +6015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_heaps": q_docs_heaps,
         "events_mcnemar": q_events_mcnemar,
         "events_permutation": q_events_permutation,
+        "events_mh_or": q_events_mh_or,
+        "events_smd": q_events_smd,
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
@@ -14243,6 +14305,9 @@ def oracle_sql() -> dict[str, str]:
     # events_permutation (round 14): relabel/cell replay + the shared
     # driver arithmetic
     d["events_permutation"] = _build_permutation_oracle()
+    # events_mh_or / events_smd (round 14)
+    d["events_mh_or"] = _mh_oracle_sql()
+    d["events_smd"] = _build_smd_oracle()
     # lineitem_negbin / lineitem_huber (round 14): the NB2 and
     # Huber-IRLS float trajectories walked pass-by-pass in DuckDB
     # through the shared warm-start/step/finalize helpers
@@ -14912,6 +14977,149 @@ def _build_nb_oracle() -> str:
         SELECT actual, predicted, count(*) AS n_docs
         FROM pred GROUP BY 1, 2
     """
+
+
+def _mh_units_sql() -> str:
+    """DuckDB body of the _mh_units frame (weekday numbering differs
+    from Spark's but the stratum PARTITION is identical, which is all
+    the MH estimator consumes)."""
+    coin = _h60_sql("'mh|' || CAST(event_id AS VARCHAR)")
+    return (
+        "SELECT dayofweek(ts) AS s,"
+        f" CASE WHEN {coin} % 2 = 0 THEN 1 ELSE 0 END AS e,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,"
+        " value, user_id % 100 AS uid_mod"
+        " FROM events"
+        " WHERE event_type IS NOT NULL AND ts IS NOT NULL"
+    )
+
+
+def _mh_oracle_sql() -> str:
+    """Oracle for events_mh_or: cell collapse + 12dp decimal ratio
+    terms + the RBG variance, text-for-text the operator's IEEE
+    expression order."""
+    return f"""
+        WITH u AS ({_mh_units_sql()}),
+        cells AS (
+          SELECT s, e, y, count(*) AS c FROM u GROUP BY 1, 2, 3
+        ),
+        wide AS (
+          SELECT s,
+            coalesce(sum(CASE WHEN e = 1 AND y = 1 THEN c END), 0) AS a,
+            coalesce(sum(CASE WHEN e = 1 AND y = 0 THEN c END), 0) AS b,
+            coalesce(sum(CASE WHEN e = 0 AND y = 1 THEN c END), 0) AS c2,
+            coalesce(sum(CASE WHEN e = 0 AND y = 0 THEN c END), 0) AS d
+          FROM cells GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(a + b + c2 + d AS DOUBLE) AS n,
+                 CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b,
+                 CAST(c2 AS DOUBLE) AS c2, CAST(d AS DOUBLE) AS d
+          FROM wide WHERE a + b + c2 + d > 0
+        ),
+        agg AS (
+          SELECT count(*) AS n_strata,
+            sum(CAST(n AS DECIMAL(28,6))) AS nn,
+            sum(CAST(round(a * d / n, 12) AS DECIMAL(38,12))) AS sr,
+            sum(CAST(round(b * c2 / n, 12) AS DECIMAL(38,12))) AS ss,
+            sum(CAST(round(((a + d) / n) * (a * d / n), 12)
+                AS DECIMAL(38,12))) AS spr,
+            sum(CAST(round(((a + d) / n) * (b * c2 / n)
+                + ((b + c2) / n) * (a * d / n), 12)
+                AS DECIMAL(38,12))) AS smix,
+            sum(CAST(round(((b + c2) / n) * (b * c2 / n), 12)
+                AS DECIMAL(38,12))) AS sqs
+          FROM t
+        ),
+        f AS (
+          SELECT CAST(nn AS BIGINT) AS n_units,
+                 CAST(n_strata AS BIGINT) AS n_strata,
+                 CAST(sr AS DOUBLE) AS srd, CAST(ss AS DOUBLE) AS ssd,
+                 CAST(spr AS DOUBLE) AS sprd,
+                 CAST(smix AS DOUBLE) AS smixd,
+                 CAST(sqs AS DOUBLE) AS sqsd
+          FROM agg
+        ),
+        g AS (
+          SELECT n_units, n_strata,
+            CASE WHEN srd > 0 AND ssd > 0 THEN srd / ssd END AS orr,
+            CASE WHEN srd > 0 AND ssd > 0 THEN
+              sprd / (2.0 * srd * srd) + smixd / (2.0 * srd * ssd)
+              + sqsd / (2.0 * ssd * ssd) END AS var
+          FROM f
+        ),
+        h AS (
+          SELECT n_units, n_strata, orr,
+                 CASE WHEN var >= 0 THEN sqrt(var) END AS se
+          FROM g
+        )
+        SELECT n_units, n_strata,
+               round(orr, 6) AS or_mh,
+               round(se, 6) AS log_or_se,
+               round(CASE WHEN se IS NOT NULL THEN
+                 orr * exp(-1.959964 * se) END, 6) AS ci_lo,
+               round(CASE WHEN se IS NOT NULL THEN
+                 orr * exp(1.959964 * se) END, 6) AS ci_hi
+        FROM h
+    """
+
+
+def _build_smd_oracle() -> str:
+    """Oracle for events_smd: the per-arm moment SQL replayed in
+    DuckDB over the same unit frame, the Decimal moments through the
+    SAME shared ``smd_rows_from_moments`` — literal rows."""
+    import duckdb
+
+    from intake_esm_spark.operators.experiment import (
+        smd_rows_from_moments,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    units = _mh_units_sql().replace(
+        "FROM events", f"FROM '{sf_dir}/events.parquet'"
+    )
+    covs = ["value", "uid_mod"]
+    aggs = []
+    for i, cc in enumerate(covs):
+        xq = f"round(CAST({cc} AS DOUBLE), 6)"
+        ok = f"{cc} IS NOT NULL AND isfinite(CAST({cc} AS DOUBLE))"
+        for arm, flag in (("t", 1), ("c", 0)):
+            sel = f"{ok} AND e = {flag}"
+            aggs.append(
+                f"sum(CASE WHEN {sel} THEN 1 ELSE 0 END) AS n{arm}_{i}"
+            )
+            aggs.append(
+                f"sum(CASE WHEN {sel} THEN CAST({xq} AS DECIMAL(18,6))"
+                f" END) AS s{arm}_{i}"
+            )
+            aggs.append(
+                f"sum(CASE WHEN {sel} THEN CAST(round({xq} * {xq}, 12)"
+                f" AS DECIMAL(38,12)) END) AS q{arm}_{i}"
+            )
+    con = duckdb.connect()
+    cur = con.execute(
+        f"SELECT {', '.join(aggs)} FROM ({units})"
+    )
+    row = cur.fetchone()
+    mom = dict(zip([d[0] for d in cur.description], row))
+    rows = smd_rows_from_moments(mom, covs, 0.1)
+    lit = _ols_lit
+
+    def ilit(v) -> str:
+        return (
+            "CAST(NULL AS INT)" if v is None else f"CAST({int(v)} AS INT)"
+        )
+
+    return " UNION ALL ".join(
+        f"SELECT '{cc}' AS covariate,"
+        f" CAST({nt} AS BIGINT) AS n_treat,"
+        f" CAST({nc} AS BIGINT) AS n_control,"
+        f" {lit(mt)} AS mean_treat, {lit(mc)} AS mean_control,"
+        f" {lit(smd)} AS smd, {ilit(bal)} AS balanced"
+        for cc, nt, nc, mt, mc, smd, bal in rows
+    )
 
 
 def _build_permutation_oracle() -> str:

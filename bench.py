@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "docs_heaps",
     "events_mcnemar",
     "events_permutation",
+    "events_mh_or",
+    "events_smd",
 ]
 
 

@@ -2280,3 +2280,195 @@ def permutation_test_report(
         "n_units bigint, n_perm int, obs_diff double,"
         " n_extreme bigint, p_value double",
     )
+
+
+def mantel_haenszel_report(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across 2×2 strata — the
+    classic confounder-adjusted association readout (does exposure
+    move the outcome AFTER holding the stratifier fixed?), the
+    categorical sibling of :func:`stratified_ate`.  ``OR_MH =
+    Σ(a·d/n) / Σ(b·c/n)`` with the Robins-Breslow-Greenland variance
+    of ``ln OR`` for the CI (statsmodels ``StratifiedTable.oddsratio_
+    pooled`` / ``logodds_pooled_se``).
+
+    Scale: ONE (stratum, exposed, outcome)-keyed partial-aggregated
+    collapse; everything after runs on the ≤ 4·|strata| cell frame
+    (metadata scale).  Determinism: cells are exact integers; the
+    per-stratum ratio terms quantize to 12dp DECIMAL(38,12) before
+    the cross-strata sums (a double sum over strata is
+    partition-order-dependent); OR/SE/CI are fixed IEEE expressions,
+    6dp.  Strata with a zero margin contribute what their non-zero
+    terms allow (the MH estimator's built-in continuity — no ad-hoc
+    0.5 corrections).  Returns one row ``(n_units, n_strata, or_mh,
+    log_or_se, ci_lo, ci_hi)``; null OR when either ratio sum
+    degenerates to 0."""
+    base = df.filter(
+        F.col(stratum_col).isNotNull()
+        & F.col(exposed_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("__s"),
+        (F.col(exposed_col).cast("int") > 0).cast("int").alias("__e"),
+        (F.col(outcome_col).cast("int") > 0).cast("int").alias("__y"),
+    )
+    cells = base.groupBy("__s", "__e", "__y").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wide = cells.groupBy("__s").agg(
+        F.sum(F.when((F.col("__e") == 1) & (F.col("__y") == 1),
+                     F.col("__c"))).alias("a"),
+        F.sum(F.when((F.col("__e") == 1) & (F.col("__y") == 0),
+                     F.col("__c"))).alias("b"),
+        F.sum(F.when((F.col("__e") == 0) & (F.col("__y") == 1),
+                     F.col("__c"))).alias("c"),
+        F.sum(F.when((F.col("__e") == 0) & (F.col("__y") == 0),
+                     F.col("__c"))).alias("d"),
+    ).select(
+        *[F.coalesce(F.col(x), F.lit(0)).alias(x)
+          for x in ("a", "b", "c", "d")]
+    )
+    n = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    a, b, c, d = [F.col(x).cast("double") for x in ("a", "b", "c", "d")]
+    d38 = "decimal(38,12)"
+    # RBG variance building blocks (Robins et al. 1986): with
+    # P=(a+d)/n, Q=(b+c)/n, R=ad/n, S=bc/n:
+    # var(lnOR) = ΣPR/(2(ΣR)²) + Σ(PS+QR)/(2ΣRΣS) + ΣQS/(2(ΣS)²)
+    p = (a + d) / n
+    q = (b + c) / n
+    r = a * d / n
+    s = b * c / n
+    terms = wide.filter(n > 0).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(n.cast("decimal(28,6)")).alias("__n"),
+        F.sum(F.round(r, 12).cast(d38)).alias("__sr"),
+        F.sum(F.round(s, 12).cast(d38)).alias("__ss"),
+        F.sum(F.round(p * r, 12).cast(d38)).alias("__spr"),
+        F.sum(F.round(p * s + q * r, 12).cast(d38)).alias("__smix"),
+        F.sum(F.round(q * s, 12).cast(d38)).alias("__sqs"),
+    )
+    sr = F.col("__sr").cast("double")
+    ss = F.col("__ss").cast("double")
+    orr = F.when((sr > 0) & (ss > 0), sr / ss)
+    var = F.when(
+        (sr > 0) & (ss > 0),
+        F.col("__spr").cast("double") / (2.0 * sr * sr)
+        + F.col("__smix").cast("double") / (2.0 * sr * ss)
+        + F.col("__sqs").cast("double") / (2.0 * ss * ss),
+    )
+    se = F.when(var >= 0, F.sqrt(var))
+    z = F.lit(1.959964)
+    lo = F.when(se.isNotNull(), orr * F.exp(-z * se))
+    hi = F.when(se.isNotNull(), orr * F.exp(z * se))
+    return terms.select(
+        F.col("__n").cast("bigint").alias("n_units"),
+        "n_strata",
+        F.round(orr, 6).alias("or_mh"),
+        F.round(se, 6).alias("log_or_se"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+    )
+
+
+def smd_balance_report(
+    df: DataFrame,
+    treat_col: str,
+    covariate_cols: list[str],
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Standardized-mean-difference covariate balance table — the
+    first table of every observational study (Austin 2009): per
+    covariate, ``SMD = (x̄_t − x̄_c) / √((s²_t + s²_c)/2)``; |SMD| ≤
+    0.1 is the conventional "balanced" bar.  The diagnostic that
+    tells you whether :func:`stratified_ate` / :func:`ips_value`
+    adjustment is even needed, and (re-run on the weighted frame)
+    whether it worked.
+
+    Scale: ONE 1-row partial-aggregated pass carrying both arms'
+    exact-decimal moments for EVERY covariate (6dp-quantized values,
+    12dp decimal squares — the :func:`~.regression.ols_moments`
+    discipline).  Determinism: fixed IEEE readouts over exact
+    decimals, 6dp.  Complete-case per covariate (a null in x drops
+    the row from THAT covariate's moments only).  Returns one row per
+    covariate ``(covariate, n_treat, n_control, mean_treat,
+    mean_control, smd, balanced)``; smd null when the pooled variance
+    degenerates to 0."""
+    if not covariate_cols:
+        raise ValueError("smd: need at least one covariate")
+    t = (F.col(treat_col).cast("int") > 0).cast("int")
+    base = df.filter(F.col(treat_col).isNotNull()).select(
+        t.alias("__t"), *covariate_cols
+    )
+    d38 = "decimal(38,12)"
+    aggs = []
+    for i, cc in enumerate(covariate_cols):
+        xq = F.round(F.col(cc).cast("double"), 6)
+        ok = F.col(cc).isNotNull() & ~F.isnan(xq) & (
+            F.abs(xq) != F.lit(float("inf"))
+        )
+        for arm, flag in (("t", 1), ("c", 0)):
+            sel = ok & (F.col("__t") == flag)
+            aggs.append(
+                F.sum(F.when(sel, 1).otherwise(0)).alias(f"n{arm}_{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(sel, xq.cast("decimal(18,6)"))
+                ).alias(f"s{arm}_{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(sel, F.round(xq * xq, 12).cast(d38))
+                ).alias(f"q{arm}_{i}")
+            )
+    row = base.agg(*aggs).collect()[0]
+    out = smd_rows_from_moments(
+        {k: row[k] for k in row.asDict()}, covariate_cols, threshold
+    )
+    return df.sparkSession.createDataFrame(
+        out,
+        "covariate string, n_treat bigint, n_control bigint,"
+        " mean_treat double, mean_control double, smd double,"
+        " balanced int",
+    )
+
+
+def smd_rows_from_moments(
+    mom: dict, covariate_cols: list[str], threshold: float
+) -> list[tuple]:
+    """Driver-side SMD readout over the per-arm exact-decimal moment
+    dict (keys ``n{t|c}_{i}``, ``s{t|c}_{i}``, ``q{t|c}_{i}``) — ONE
+    shared implementation for the Spark operator and the DuckDB
+    oracle builder."""
+    out = []
+    for i, cc in enumerate(covariate_cols):
+        nt, nc = int(mom[f"nt_{i}"]), int(mom[f"nc_{i}"])
+        if nt < 2 or nc < 2:
+            out.append((cc, nt, nc, None, None, None, None))
+            continue
+        mt = float(mom[f"st_{i}"]) / nt
+        mc = float(mom[f"sc_{i}"]) / nc
+        vt = (float(mom[f"qt_{i}"]) - nt * mt * mt) / (nt - 1)
+        vc = (float(mom[f"qc_{i}"]) - nc * mc * mc) / (nc - 1)
+        pooled = (max(vt, 0.0) + max(vc, 0.0)) / 2.0
+        smd = (mt - mc) / pooled**0.5 if pooled > 0 else None
+        out.append(
+            (
+                cc,
+                nt,
+                nc,
+                round(mt, 6),
+                round(mc, 6),
+                round(smd, 6) if smd is not None else None,
+                (1 if abs(smd) <= threshold else 0)
+                if smd is not None
+                else None,
+            )
+        )
+    return out

@@ -1359,3 +1359,22 @@ def test_permutation_fanout_partial_agged_no_range_sort(spark, queries):
     assert "Generate explode" in pplan, pplan
     assert "windowspecdefinition" not in pplan, pplan
     assert "Exchange rangepartitioning" not in pplan, pplan
+
+
+def test_mh_cell_collapse_metadata_scale(spark, queries):
+    """events_mh_or (r14): one (stratum, e, y)-keyed partial-agged
+    collapse; everything after runs on the bounded cell frame — no
+    window, no rangepartitioning, no Python eval."""
+    plan = plan_of(queries["events_mh_or"](spark, SF), "simple")
+    assert plan.count("HashAggregate") >= 4, plan  # cells+wide+terms
+    assert "windowspecdefinition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_smd_result_is_driver_rows(spark, queries):
+    """events_smd (r14): ONE 1-row moment pass; the readout is driver
+    arithmetic, so the returned frame is driver-local."""
+    plan = plan_of(queries["events_smd"](spark, SF), "simple")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "Exchange" not in plan, plan

@@ -339,3 +339,133 @@ def test_permutation_deterministic_and_guards(spark):
     )
     with pytest.raises(ValueError, match="exactly TWO"):
         permutation_test_report(df3, "uid", "g3", "v")
+
+
+# ---- Mantel-Haenszel ------------------------------------------------------
+
+
+def test_mh_matches_first_principles(spark):
+    from intake_esm_spark.operators.experiment import (
+        mantel_haenszel_report,
+    )
+
+    rng = np.random.RandomState(197)
+    rows = []
+    strata = {}
+    for s, (pe, p0, orr) in {
+        "s1": (0.5, 0.2, 3.0),
+        "s2": (0.4, 0.4, 3.0),
+        "s3": (0.6, 0.1, 3.0),
+    }.items():
+        odds0 = p0 / (1 - p0)
+        p1 = orr * odds0 / (1 + orr * odds0)
+        cells = [0, 0, 0, 0]  # a b c d
+        for _i in range(800):
+            e = int(rng.uniform() < pe)
+            y = int(rng.uniform() < (p1 if e else p0))
+            rows.append((s, e, y))
+            if e and y:
+                cells[0] += 1
+            elif e:
+                cells[1] += 1
+            elif y:
+                cells[2] += 1
+            else:
+                cells[3] += 1
+        strata[s] = cells
+    df = spark.createDataFrame(rows, "s string, e int, y int")
+    r = mantel_haenszel_report(df, "s", "e", "y").collect()[0]
+    sr = sum(a * d / sum(c4) for (a, b, c, d), c4 in
+             ((tuple(v), v) for v in strata.values()))
+    ss = sum(b * c / sum(c4) for (a, b, c, d), c4 in
+             ((tuple(v), v) for v in strata.values()))
+    assert r["n_units"] == 2400 and r["n_strata"] == 3
+    assert r["or_mh"] == pytest.approx(sr / ss, abs=1e-4)
+    # the common OR=3 is recovered and the CI excludes 1
+    assert 2.0 < r["or_mh"] < 4.5
+    assert r["ci_lo"] > 1.0
+    # RBG variance replay
+    num1 = num2 = num3 = 0.0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        p, q = (a + d) / n, (b + c) / n
+        rr, s2 = a * d / n, b * c / n
+        num1 += p * rr
+        num2 += p * s2 + q * rr
+        num3 += q * s2
+    var = (
+        num1 / (2 * sr * sr) + num2 / (2 * sr * ss)
+        + num3 / (2 * ss * ss)
+    )
+    assert r["log_or_se"] == pytest.approx(math.sqrt(var), abs=1e-5)
+
+
+def test_mh_null_exposure_or_near_one(spark):
+    from intake_esm_spark.operators.experiment import (
+        mantel_haenszel_report,
+    )
+
+    rng = np.random.RandomState(198)
+    rows = [
+        ("s%d" % (i % 4), int(rng.uniform() < 0.5),
+         int(rng.uniform() < 0.3))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "s string, e int, y int")
+    r = mantel_haenszel_report(df, "s", "e", "y").collect()[0]
+    assert r["ci_lo"] < 1.0 < r["ci_hi"]
+
+
+def test_mh_degenerate_null(spark):
+    from intake_esm_spark.operators.experiment import (
+        mantel_haenszel_report,
+    )
+
+    # outcome never occurs in the unexposed arm -> S = 0 -> null OR
+    df = spark.createDataFrame(
+        [("s", 1, 1)] * 5 + [("s", 1, 0)] * 5 + [("s", 0, 0)] * 10,
+        "s string, e int, y int",
+    )
+    r = mantel_haenszel_report(df, "s", "e", "y").collect()[0]
+    assert r["or_mh"] is None
+
+
+# ---- SMD balance ----------------------------------------------------------
+
+
+def test_smd_matches_first_principles(spark):
+    from intake_esm_spark.operators.experiment import smd_balance_report
+
+    rng = np.random.RandomState(199)
+    n = 1500
+    t = (rng.uniform(size=n) < 0.4).astype(int)
+    x1 = np.round(rng.normal(10, 2, n) + 1.0 * t, 4)  # imbalanced
+    x2 = np.round(rng.normal(5, 1, n), 4)  # balanced
+    df = spark.createDataFrame(
+        list(zip(map(int, t), map(float, x1), map(float, x2))),
+        "treat int, x1 double, x2 double",
+    )
+    rows = {
+        r["covariate"]: r
+        for r in smd_balance_report(df, "treat", ["x1", "x2"]).collect()
+    }
+    for cc, x in (("x1", x1), ("x2", x2)):
+        mt, mc = x[t == 1].mean(), x[t == 0].mean()
+        vt, vc = x[t == 1].var(ddof=1), x[t == 0].var(ddof=1)
+        ref = (mt - mc) / math.sqrt((vt + vc) / 2)
+        assert rows[cc]["smd"] == pytest.approx(ref, abs=1e-4), cc
+        assert rows[cc]["n_treat"] == int(t.sum()), cc
+    assert rows["x1"]["balanced"] == 0  # half-sigma shift leaks
+    assert rows["x2"]["balanced"] == 1
+
+
+def test_smd_guards_and_tiny_arm(spark):
+    from intake_esm_spark.operators.experiment import smd_balance_report
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (0, 2.0), (0, 3.0)], "treat int, x double"
+    )
+    r = smd_balance_report(df, "treat", ["x"]).collect()[0]
+    assert r["smd"] is None  # n_treat < 2
+    with pytest.raises(ValueError, match="at least one covariate"):
+        smd_balance_report(df, "treat", [])
