@@ -3747,6 +3747,77 @@ def q_events_smd(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran's Q across three per-user binary behaviors (did the
+    user ever purchase / click / signup — the k-treatment McNemar;
+    operators/experiment.py cochran_q_report, round 14 — statsmodels
+    cochrans_q): one user-grain pivot exchange, then ONE 1-row pass
+    of 2k+3 exact integer sums. Compare against chi2(k-1)
+    client-side. Oracle: the identical pivot + integer-sum SQL in
+    DuckDB."""
+    from intake_esm_spark.operators.experiment import cochran_q_report
+
+    events = load_table(spark, sf, "events")
+    u = (
+        events.filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    (F.col("event_type") == t).cast("int")
+                ).alias(f"f_{t}")
+                for t in ("purchase", "click", "signup")
+            ]
+        )
+    )
+    return cochran_q_report(
+        u, "user_id", ["f_purchase", "f_click", "f_signup"]
+    )
+
+
+def q_events_friedman(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman repeated-measures rank test over each user's mean
+    click/view/error values (operators/experiment.py friedman_report,
+    round 14 — scipy friedmanchisquare, average ranks, no
+    tie-correction denominator): one user-grain pivot of decimal-exact
+    per-type means, in-row doubled-integer ranks (k^2 pairwise
+    comparisons in codegen), ONE 1-row integer-sum pass; complete-case
+    (a user missing any of the three types drops). Oracle: the
+    identical pivot/rank/sum SQL in DuckDB."""
+    from intake_esm_spark.operators.experiment import friedman_report
+
+    events = load_table(spark, sf, "events")
+    vq = F.round(F.col("value").cast("double"), 6).cast("decimal(18,6)")
+    aggs = []
+    for t in ("click", "view", "error"):
+        c = F.col("event_type") == t
+        aggs.append(F.sum(F.when(c, vq)).alias(f"s_{t}"))
+        aggs.append(F.count(F.when(c, 1)).alias(f"n_{t}"))
+    u = (
+        events.filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(*aggs)
+        .select(
+            "user_id",
+            *[
+                (
+                    F.col(f"s_{t}").cast("double")
+                    / F.col(f"n_{t}").cast("double")
+                ).alias(f"v_{t}")
+                for t in ("click", "view", "error")
+            ],
+        )
+    )
+    return friedman_report(u, "user_id", ["v_click", "v_view", "v_error"])
+
+
 def q_lineitem_poisson_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Model-level Poisson diagnostics (operators/regression.py
     poisson_fit_report): n, iteration count, mean unit deviance at
@@ -6017,6 +6088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_permutation": q_events_permutation,
         "events_mh_or": q_events_mh_or,
         "events_smd": q_events_smd,
+        "events_cochran_q": q_events_cochran_q,
+        "events_friedman": q_events_friedman,
         "events_cox_baseline": q_events_cox_baseline,
         "events_cox_predict": q_events_cox_predict,
         "events_weibull": q_events_weibull,
@@ -7185,6 +7258,112 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, count(*) AS cnt FROM p GROUP BY 1
             ORDER BY cnt DESC, pair ASC LIMIT 20
+        """,
+        # replays experiment.cochran_q_report over the per-user
+        # behavior pivot — exact integer sums, IEEE finish
+        "events_cochran_q": """
+            WITH u AS (
+              SELECT user_id,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS f1,
+                max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END) AS f2,
+                max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                    END) AS f3
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1
+            ), m AS (
+              SELECT count(*) AS n,
+                CAST(sum(f1) AS BIGINT) AS g0,
+                CAST(sum(f2) AS BIGINT) AS g1,
+                CAST(sum(f3) AS BIGINT) AS g2,
+                CAST(sum(f1 + f2 + f3) AS BIGINT) AS sl,
+                CAST(sum((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT)
+                  AS sl2
+              FROM u
+            ), f AS (
+              SELECT n,
+                CAST(g0 AS DOUBLE) + CAST(g1 AS DOUBLE)
+                  + CAST(g2 AS DOUBLE) AS sg,
+                CAST(g0 AS DOUBLE) * CAST(g0 AS DOUBLE)
+                  + CAST(g1 AS DOUBLE) * CAST(g1 AS DOUBLE)
+                  + CAST(g2 AS DOUBLE) * CAST(g2 AS DOUBLE) AS sg2,
+                3.0 * CAST(sl AS DOUBLE) - CAST(sl2 AS DOUBLE) AS den
+              FROM m
+            )
+            SELECT n AS n_units, CAST(3 AS INT) AS k,
+                   round(CASE WHEN den > 0 THEN
+                     2.0 * (3.0 * sg2 - sg * sg) / den END, 6)
+                     AS q_stat,
+                   CAST(2 AS INT) AS dof
+            FROM f
+        """,
+        # replays experiment.friedman_report over the per-user mean
+        # pivot — doubled-integer in-row ranks, IEEE finish
+        "events_friedman": """
+            WITH p AS (
+              SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN
+                  CAST(round(CAST(value AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) END) AS DOUBLE)
+                  / CAST(count(CASE WHEN event_type = 'click' THEN 1
+                         END) AS DOUBLE) AS vc,
+                CAST(sum(CASE WHEN event_type = 'view' THEN
+                  CAST(round(CAST(value AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) END) AS DOUBLE)
+                  / CAST(count(CASE WHEN event_type = 'view' THEN 1
+                         END) AS DOUBLE) AS vv,
+                CAST(sum(CASE WHEN event_type = 'error' THEN
+                  CAST(round(CAST(value AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) END) AS DOUBLE)
+                  / CAST(count(CASE WHEN event_type = 'error' THEN 1
+                         END) AS DOUBLE) AS ve
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY 1
+            ), cc AS (
+              SELECT round(vc, 6) AS a, round(vv, 6) AS b,
+                     round(ve, 6) AS c
+              FROM p
+              WHERE vc IS NOT NULL AND vv IS NOT NULL
+                AND ve IS NOT NULL AND isfinite(vc)
+                AND isfinite(vv) AND isfinite(ve)
+            ), rk AS (
+              SELECT
+                CAST(2 + (CASE WHEN b < a THEN 2 WHEN b = a THEN 1
+                          ELSE 0 END)
+                       + (CASE WHEN c < a THEN 2 WHEN c = a THEN 1
+                          ELSE 0 END) AS BIGINT) AS r0,
+                CAST(2 + (CASE WHEN a < b THEN 2 WHEN a = b THEN 1
+                          ELSE 0 END)
+                       + (CASE WHEN c < b THEN 2 WHEN c = b THEN 1
+                          ELSE 0 END) AS BIGINT) AS r1,
+                CAST(2 + (CASE WHEN a < c THEN 2 WHEN a = c THEN 1
+                          ELSE 0 END)
+                       + (CASE WHEN b < c THEN 2 WHEN b = c THEN 1
+                          ELSE 0 END) AS BIGINT) AS r2
+              FROM cc
+            ), m AS (
+              SELECT count(*) AS n, sum(r0) AS s0, sum(r1) AS s1,
+                     sum(r2) AS s2
+              FROM rk
+            ), f AS (
+              SELECT n, CAST(n AS DOUBLE) AS nd,
+                (CAST(s0 AS DOUBLE) / 2.0) * (CAST(s0 AS DOUBLE) / 2.0)
+                + (CAST(s1 AS DOUBLE) / 2.0)
+                  * (CAST(s1 AS DOUBLE) / 2.0)
+                + (CAST(s2 AS DOUBLE) / 2.0)
+                  * (CAST(s2 AS DOUBLE) / 2.0) AS sr2
+              FROM m
+            )
+            SELECT n AS n_units, CAST(3 AS INT) AS k,
+                   round(CASE WHEN n > 0 THEN
+                     12.0 / (nd * 3.0 * 4.0) * sr2 - 3.0 * nd * 4.0
+                   END, 6) AS chi2_f,
+                   CAST(2 AS INT) AS dof
+            FROM f
         """,
         # replays experiment.mcnemar_report over the hash-derived
         # paired flag (the events_kappa pairing convention)

@@ -301,6 +301,8 @@ BENCH_QUERIES = [
     "events_permutation",
     "events_mh_or",
     "events_smd",
+    "events_cochran_q",
+    "events_friedman",
 ]
 
 

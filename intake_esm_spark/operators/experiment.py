@@ -2472,3 +2472,136 @@ def smd_rows_from_moments(
             )
         )
     return out
+
+
+def cochran_q_report(
+    df: DataFrame,
+    unit_col: str,
+    flag_cols: list[str],
+) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of
+    :func:`mcnemar_report` for PAIRED binary outcomes (did the same
+    units succeed under treatments 1..k at the same rate?):
+    ``Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²)`` with
+    ``G_j`` the per-treatment success totals and ``L_i`` each unit's
+    success count (statsmodels ``cochrans_q``).  Compare against
+    chi²(k−1) criticals client-side.
+
+    ``df`` must be ONE ROW PER UNIT with k 0/1 flag columns
+    (pre-pivot upstream); nulls read as 0 (a missing measurement is
+    a non-success — documented).  Scale: ONE 1-row partial-aggregated
+    pass carrying 2k+3 exact integer sums.  Returns one row
+    ``(n_units, k, q_stat, dof)``; Q null when the denominator is 0
+    (every unit all-success or all-failure — no discordance to
+    test)."""
+    k = len(flag_cols)
+    if k < 2:
+        raise ValueError(f"cochran q: need >= 2 flag columns, got {k}")
+    flags = [
+        F.coalesce(
+            (F.col(c).cast("int") > 0).cast("int"), F.lit(0)
+        )
+        for c in flag_cols
+    ]
+    ell = flags[0]
+    for f2 in flags[1:]:
+        ell = ell + f2
+    base = df.filter(F.col(unit_col).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, f2 in enumerate(flags):
+        aggs.append(F.sum(f2.cast("bigint")).alias(f"g_{i}"))
+    aggs.append(F.sum(ell.cast("bigint")).alias("sl"))
+    aggs.append(F.sum((ell * ell).cast("bigint")).alias("sl2"))
+    m = base.agg(*aggs)
+    sg = F.col("g_0").cast("double")
+    sg2 = F.col("g_0").cast("double") * F.col("g_0").cast("double")
+    for i in range(1, k):
+        gi = F.col(f"g_{i}").cast("double")
+        sg = sg + gi
+        sg2 = sg2 + gi * gi
+    den = (
+        F.lit(float(k)) * F.col("sl").cast("double")
+        - F.col("sl2").cast("double")
+    )
+    q = F.when(
+        den > 0,
+        F.lit(float(k - 1))
+        * (F.lit(float(k)) * sg2 - sg * sg)
+        / den,
+    )
+    return m.select(
+        F.col("n").alias("n_units"),
+        F.lit(k).alias("k"),
+        F.round(q, 6).alias("q_stat"),
+        F.lit(k - 1).alias("dof"),
+    )
+
+
+def friedman_report(
+    df: DataFrame,
+    unit_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Friedman rank test — the repeated-measures nonparametric ANOVA
+    (do k paired measurements per unit share a location, judged by
+    WITHIN-unit ranks?): per unit the k values rank in-row (average
+    ranks on ties — exact, via pairwise comparisons doubled into
+    integers), then ``χ²_F = 12/(n·k·(k+1)) · ΣR_j² − 3·n·(k+1)``
+    over the per-treatment rank sums (scipy ``friedmanchisquare``
+    without the tie-correction denominator — exact on continuous
+    data, documented).  Compare against chi²(k−1) client-side.
+
+    Complete-case: a unit missing ANY of the k values drops (ranks
+    are undefined on partial rows).  Scale: the ranking is IN-ROW
+    codegen (k² pairwise comparisons — k is small by construction);
+    ONE 1-row pass sums the DOUBLED ranks as exact integers.
+    Returns one row ``(n_units, k, chi2_f, dof)``; null χ² when
+    n = 0."""
+    k = len(value_cols)
+    if k < 2:
+        raise ValueError(f"friedman: need >= 2 value columns, got {k}")
+    cond = F.lit(True)
+    for c in value_cols:
+        cd = F.col(c).cast("double")
+        cond = (
+            cond
+            & F.col(c).isNotNull()
+            & ~F.isnan(cd)
+            & (F.abs(cd) != F.lit(float("inf")))
+        )
+    base = df.filter(F.col(unit_col).isNotNull() & cond)
+    vals = [F.round(F.col(c).cast("double"), 6) for c in value_cols]
+    # doubled average rank: 2·rank_j = 2 + 2·#{i: v_i < v_j}
+    #                                    + #{i≠j: v_i = v_j}  (integer)
+    r2 = []
+    for j in range(k):
+        expr = F.lit(2)
+        for i in range(k):
+            if i == j:
+                continue
+            expr = expr + F.when(vals[i] < vals[j], 2).otherwise(
+                F.when(vals[i] == vals[j], 1).otherwise(0)
+            )
+        r2.append(expr.cast("bigint"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(k):
+        aggs.append(F.sum(r2[j]).alias(f"r2_{j}"))
+    m = base.agg(*aggs)
+    n = F.col("n").cast("double")
+    sr2 = None
+    for j in range(k):
+        rj = F.col(f"r2_{j}").cast("double") / F.lit(2.0)
+        term = rj * rj
+        sr2 = term if sr2 is None else sr2 + term
+    chi2 = F.when(
+        F.col("n") > 0,
+        F.lit(12.0) / (n * F.lit(float(k)) * F.lit(float(k + 1)))
+        * sr2
+        - F.lit(3.0) * n * F.lit(float(k + 1)),
+    )
+    return m.select(
+        F.col("n").alias("n_units"),
+        F.lit(k).alias("k"),
+        F.round(chi2, 6).alias("chi2_f"),
+        F.lit(k - 1).alias("dof"),
+    )

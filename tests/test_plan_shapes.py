@@ -1378,3 +1378,19 @@ def test_smd_result_is_driver_rows(spark, queries):
     plan = plan_of(queries["events_smd"](spark, SF), "simple")
     assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_cochran_friedman_single_pivot_plus_one_row_pass(
+    spark, queries
+):
+    """events_cochran_q / events_friedman (r14): one user-grain pivot
+    exchange + ONE 1-row integer-sum aggregate — the in-row rank /
+    flag arithmetic stays in codegen; no window, no join, no
+    rangepartitioning, no Python eval."""
+    for name in ("events_cochran_q", "events_friedman"):
+        plan = plan_of(queries[name](spark, SF), "simple")
+        assert "windowspecdefinition" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "Exchange rangepartitioning" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)

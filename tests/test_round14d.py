@@ -469,3 +469,100 @@ def test_smd_guards_and_tiny_arm(spark):
     assert r["smd"] is None  # n_treat < 2
     with pytest.raises(ValueError, match="at least one covariate"):
         smd_balance_report(df, "treat", [])
+
+
+# ---- Cochran's Q ----------------------------------------------------------
+
+
+def test_cochran_q_matches_first_principles(spark):
+    from intake_esm_spark.operators.experiment import cochran_q_report
+
+    rng = np.random.RandomState(200)
+    n, k = 500, 3
+    # treatment 2 genuinely better
+    p = [0.3, 0.3, 0.5]
+    flags = np.column_stack(
+        [(rng.uniform(size=n) < p[j]).astype(int) for j in range(k)]
+    )
+    rows = [(i, *map(int, flags[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "uid long, f1 int, f2 int, f3 int")
+    r = cochran_q_report(df, "uid", ["f1", "f2", "f3"]).collect()[0]
+    G = flags.sum(axis=0).astype(float)
+    L = flags.sum(axis=1).astype(float)
+    q_ref = (k - 1) * (k * (G**2).sum() - G.sum() ** 2) / (
+        k * L.sum() - (L**2).sum()
+    )
+    assert r["n_units"] == n and r["k"] == k and r["dof"] == 2
+    assert r["q_stat"] == pytest.approx(q_ref, abs=1e-5)
+    assert r["q_stat"] > 9.21  # chi2(2) 1% critical — real effect
+
+
+def test_cochran_q_degenerate_and_guard(spark):
+    from intake_esm_spark.operators.experiment import cochran_q_report
+
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 0, 0), (3, 1, 1)], "uid long, a int, b int"
+    )
+    r = cochran_q_report(df, "uid", ["a", "b"]).collect()[0]
+    assert r["q_stat"] is None  # all rows concordant
+    with pytest.raises(ValueError, match=">= 2 flag"):
+        cochran_q_report(df, "uid", ["a"])
+
+
+# ---- Friedman -------------------------------------------------------------
+
+
+def test_friedman_matches_scipy_formula(spark):
+    from intake_esm_spark.operators.experiment import friedman_report
+
+    rng = np.random.RandomState(201)
+    n, k = 300, 3
+    base = rng.normal(10, 3, n)
+    X = np.round(
+        np.column_stack(
+            [base + rng.normal(0, 1, n),
+             base + rng.normal(0.8, 1, n),
+             base + rng.normal(0, 1, n)]
+        ),
+        4,
+    )
+    rows = [(i, *map(float, X[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "uid long, v1 double, v2 double, v3 double"
+    )
+    r = friedman_report(df, "uid", ["v1", "v2", "v3"]).collect()[0]
+    # first-principles: within-row average ranks
+    Xq = np.round(X, 6)
+    ranks = np.zeros_like(Xq)
+    for i in range(n):
+        order = Xq[i]
+        for j in range(k):
+            less = (order < order[j]).sum()
+            eq = (order == order[j]).sum() - 1
+            ranks[i, j] = 1 + less + 0.5 * eq
+    R = ranks.sum(axis=0)
+    chi_ref = 12.0 / (n * k * (k + 1)) * (R**2).sum() - 3 * n * (k + 1)
+    assert r["n_units"] == n and r["k"] == k and r["dof"] == 2
+    assert r["chi2_f"] == pytest.approx(chi_ref, abs=1e-5)
+    assert r["chi2_f"] > 9.21  # the shifted arm is loudly detected
+
+
+def test_friedman_ties_and_guards(spark):
+    from intake_esm_spark.operators.experiment import friedman_report
+
+    # all-tied rows: every rank = 2 -> chi2 = 0 exactly
+    df = spark.createDataFrame(
+        [(i, 1.0, 1.0, 1.0) for i in range(50)],
+        "uid long, a double, b double, c double",
+    )
+    r = friedman_report(df, "uid", ["a", "b", "c"]).collect()[0]
+    assert r["chi2_f"] == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError, match=">= 2 value"):
+        friedman_report(df, "uid", ["a"])
+    # complete-case: a null drops the unit
+    df2 = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, None, 3.0), (3, 2.0, 1.0)],
+        "uid long, a double, b double",
+    )
+    r2 = friedman_report(df2, "uid", ["a", "b"]).collect()[0]
+    assert r2["n_units"] == 2
