@@ -5714,7 +5714,9 @@ def q_events_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_events_adf(spark: SparkSession, sf: str) -> DataFrame:
     """Augmented Dickey-Fuller unit-root regression (constant, lag
-    order 1) on the daily revenue series (operators/timeseries.py
+    order 1) on the daily revenue series in THOUSANDS (scale=1e-3 —
+    keeps the normal-equation conditioning SF-independent; tau is
+    scale-free) (operators/timeseries.py
     adf_report, round 14 — statsmodels adfuller(maxlag=1,
     autolag=None, regression='c') on a gapless series; compare tau
     against the tabulated DF critical values client-side). Each
@@ -5727,8 +5729,15 @@ def q_events_adf(spark: SparkSession, sf: str) -> DataFrame:
     from intake_esm_spark.operators.timeseries import adf_report
 
     events = load_table(spark, sf, "events")
+    # scale=1e-3: the series is a daily revenue TOTAL (1e5-1e6 at bench
+    # scale) against the constant regressor 1 — the normal equations
+    # square that spread past the shared solver's 1e12 cond guard
+    # (measured 1.54e12 at sf0.1); thousands keep cond SF-independent
+    # (<= 1.6e6 across sf0.001-0.1) with tau scale-free
     return adf_report(
-        events.filter(F.col("event_type") == "purchase"), lag_order=1
+        events.filter(F.col("event_type") == "purchase"),
+        lag_order=1,
+        scale=1e-3,
     )
 
 
@@ -15763,7 +15772,9 @@ def _build_adf_oracle() -> str:
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     daily = _ts_daily_sql(sf_dir)
-    x = "round(CAST(rd AS DOUBLE), 6)"
+    # 0.001 mirrors the entry's scale=1e-3 (daily revenue in thousands
+    # — the cond-guard fix; same IEEE multiply before the 6dp round)
+    x = "round(CAST(rd AS DOUBLE) * 0.001, 6)"
     p = 1
     joins = " ".join(
         f"JOIN (SELECT dn + {s} AS d, {x} AS x{s} FROM d) a{s}"

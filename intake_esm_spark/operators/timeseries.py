@@ -944,6 +944,7 @@ def adf_report(
     value_col: str = "value",
     ts_col: str = "ts",
     lag_order: int = 1,
+    scale: float = 1.0,
 ) -> DataFrame:
     """Augmented Dickey-Fuller unit-root regression on the daily
     rollup (constant, no trend): ``Δxₜ = α + γ·xₜ₋₁ +
@@ -962,7 +963,17 @@ def adf_report(
     rows, complete-case, never fabricated zeros); the regression is
     the SAME shared exact-decimal :func:`~.regression.ols_moments`
     1-row pass + driver solve every other regression entry uses.
-    Returns one row ``(n_obs, lag_order, gamma, tau, alpha)``."""
+    Returns one row ``(n_obs, lag_order, gamma, tau, alpha)``.
+
+    ``scale`` multiplies the daily series BEFORE the 6dp quantization
+    (applied identically by the oracle replay).  The normal equations
+    square the design's column-scale spread — a daily total in the
+    1e5–1e6 range against the constant regressor 1 drives
+    ``cond(XᵀX)`` past the shared solver's 1e12 guard as the data
+    grows (measured 1.5e12 at bench scale), so total-valued series
+    pass their natural unit here (e.g. 1e-3 for "daily revenue in
+    thousands"); γ and α are reported in the scaled unit, τ is
+    scale-free."""
     from .regression import ols_moments, ols_solve_from_moments
 
     if lag_order < 0:
@@ -970,7 +981,10 @@ def adf_report(
     daily = _daily_frame(events, value_col, ts_col).localCheckpoint(
         eager=False
     )  # pinned: feeds one join side per lagged term
-    xd = F.round(F.col("__rd").cast("double"), 6)
+    xraw = F.col("__rd").cast("double")
+    if scale != 1.0:
+        xraw = xraw * F.lit(float(scale))
+    xd = F.round(xraw, 6)
     base = daily.select(F.col("__dn").alias("__d"), xd.alias("__x0"))
     # shifted copies x_{t-s} for s = 1..lag_order+1 (dy_i needs s=i+1)
     cur = base

@@ -180,3 +180,36 @@ def test_adf_calendar_gap_drops_rows(spark, ar1_series):
     gap = adf_report(gapped, lag_order=1).collect()[0]
     # terms span 3 consecutive days -> a 1-day hole kills 3 rows
     assert full["n_obs"] - gap["n_obs"] == 3
+
+
+def test_adf_scale_conditioning(spark, ar1_series):
+    """scale= rescales the daily series before quantization (the
+    cond-guard fix for total-valued series): gamma is unit-free, alpha
+    scales with the series, tau is scale-free — and a series whose
+    raw magnitude blows cond(X'X) past the shared 1e12 guard fits
+    cleanly once its natural unit is passed."""
+    from intake_esm_spark.operators.timeseries import adf_report
+
+    df = _mk_events(spark, ar1_series)
+    raw = adf_report(df, lag_order=1).collect()[0]
+    sc = adf_report(df, lag_order=1, scale=1e-2).collect()[0]
+    assert sc["n_obs"] == raw["n_obs"]
+    assert sc["gamma"] == pytest.approx(raw["gamma"], abs=1e-3)
+    assert sc["alpha"] == pytest.approx(raw["alpha"] * 1e-2, abs=1e-4)
+    assert sc["tau"] == pytest.approx(raw["tau"], abs=1e-2)
+
+    # level-1e6 AR(1) (the daily-revenue shape): raw cond 1.5e14 blows
+    # the shared solver guard, the thousands unit fits at cond 1.5e8
+    rng = np.random.RandomState(147)
+    n = 220
+    ar = np.zeros(n)
+    for t in range(1, n):
+        ar[t] = 0.5 * ar[t - 1] + rng.normal(0, 1)
+    big = np.round(1.0e6 * (1.0 + 0.25 * ar / 3.0), 4)
+    bdf = _mk_events(spark, big)
+    with pytest.raises(ValueError, match="ill-conditioned"):
+        adf_report(bdf, lag_order=1)
+    row = adf_report(bdf, lag_order=1, scale=1e-3).collect()[0]
+    assert row["n_obs"] == n - 2
+    # stationary AR(1) around the level: tau rejects the unit root
+    assert row["tau"] < -2.86
