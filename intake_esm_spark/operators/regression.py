@@ -768,7 +768,13 @@ every run executes byte-identical passes."""
 
 
 def _logistic_pass(
-    df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    beta: list[float],
+    prepared: bool = False,
+    need_loss: bool = True,
+    need_domain: bool = True,
 ) -> dict:
     """One distributed IRLS pass: the gradient/Hessian sufficient
     statistics ``g_j = Σ (y−μ)x_j`` and ``h_ij = Σ w·x_i·x_j`` (x₀ = 1)
@@ -782,15 +788,31 @@ def _logistic_pass(
     row (measured 15 s/pass at sf0.1; this shape is ~10×).  Features
     quantize via plain ``round(x, 6)``: the double IS the nearest
     double to the 6dp decimal, identical to the decimal round-trip
-    the OLS moment pass uses, at a fraction of the per-row cost."""
+    the OLS moment pass uses, at a fraction of the per-row cost.
+
+    r14 optimization flags — the Newton step consumes ONLY g/h/n, so
+    intermediate passes skip the per-row clamped-log-loss term
+    (``need_loss=False``: two ``ln`` calls/row feeding a sum nobody
+    reads until the final pass) and the label-domain min/max/violation
+    sidecar (``need_domain=False``: checked on the first and final
+    passes only — exactly where :func:`_logistic_fit` reads it).
+    ``prepared=True`` marks a frame already projected to
+    ``__y, __x1..`` with 6dp-rounded features (built once before the
+    fit's checkpoint instead of re-rounded every pass).  All three
+    default to the original full-pass behavior; the dropped sums are
+    never consumed, so the β trajectory and every reported value are
+    unchanged."""
     names = [f"__x{i + 1}" for i in range(len(x_cols))]
-    proj1 = df.select(
-        F.col(y_col).cast("double").alias("__y"),
-        *[
-            F.round(F.col(c).cast("double"), 6).alias(nm)
-            for c, nm in zip(x_cols, names)
-        ],
-    )
+    if prepared:
+        proj1 = df
+    else:
+        proj1 = df.select(
+            F.col(y_col).cast("double").alias("__y"),
+            *[
+                F.round(F.col(c).cast("double"), 6).alias(nm)
+                for c, nm in zip(x_cols, names)
+            ],
+        )
     eta = F.lit(float(beta[0]))
     for bj, nm in zip(beta[1:], names):
         eta = eta + F.lit(float(bj)) * F.col(nm)
@@ -819,31 +841,37 @@ def _logistic_pass(
                     f"__th_{j2}_{i}"
                 )
             )
-    mc = F.greatest(F.least(mu, F.lit(1.0 - 1e-15)), F.lit(1e-15))
-    yd = F.col("__y")
-    ll = -(yd * F.log(mc) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - mc))
-    term_cols.append(F.round(ll, 12).cast(d38).alias("__tll"))
+    if need_loss:
+        mc = F.greatest(F.least(mu, F.lit(1.0 - 1e-15)), F.lit(1e-15))
+        yd = F.col("__y")
+        ll = -(
+            yd * F.log(mc) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - mc)
+        )
+        term_cols.append(F.round(ll, 12).cast(d38).alias("__tll"))
     proj3 = proj2.select("__y", *term_cols)
     aggs = [F.count(F.lit(1)).alias("n")]
     for j2 in range(len(xs)):
         aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
         for i in range(j2, len(xs)):
             aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
-    aggs.append(F.sum("__tll").alias("ll"))
-    # label-domain sidecar (checked by _logistic_fit; the oracle's
-    # pass omits these — logistic_step ignores extra keys). min/max
-    # alone cannot see an INTERIOR non-binary value once 0 and 1 both
-    # occur, so the violation count is its own additive counter
-    aggs.append(F.min(F.col("__y")).alias("ymin"))
-    aggs.append(F.max(F.col("__y")).alias("ymax"))
-    aggs.append(
-        F.sum(
-            F.when(
-                (F.col("__y") != F.lit(0.0)) & (F.col("__y") != F.lit(1.0)),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        ).alias("ybad")
-    )
+    if need_loss:
+        aggs.append(F.sum("__tll").alias("ll"))
+    if need_domain:
+        # label-domain sidecar (checked by _logistic_fit; the oracle's
+        # pass omits these — logistic_step ignores extra keys). min/max
+        # alone cannot see an INTERIOR non-binary value once 0 and 1
+        # both occur, so the violation count is its own additive counter
+        aggs.append(F.min(F.col("__y")).alias("ymin"))
+        aggs.append(F.max(F.col("__y")).alias("ymax"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("__y") != F.lit(0.0))
+                    & (F.col("__y") != F.lit(1.0)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("ybad")
+        )
     return proj3.agg(*aggs).collect()[0].asDict()
 
 
@@ -934,6 +962,38 @@ def _check_label_domain(mom: dict) -> None:
         )
 
 
+def _glm_prepared_base(
+    df: DataFrame, y_col: str, x_cols: list[str]
+) -> tuple[DataFrame, list[str]]:
+    """The shared GLM fit prologue (r14 optimization): complete-case
+    filter, then project to ``(__y, __x1..__xp)`` with the features
+    6dp-rounded ONCE — before the repartition and the lazy pin — so
+    the ``n_iter + 1`` passes rescan p+1 narrow doubles instead of the
+    caller's full row width and never re-quantize (guide §2.3: project
+    before the exchange; the rounding is idempotent and identical to
+    the per-pass form, so every sum is unchanged).
+
+    A small parquet input arrives as ONE partition and would run all
+    passes single-core (measured 5.5 s/pass at sf0.1) — spread across
+    the executors once, before the pin; sums are order-independent
+    decimals, so the shuffle changes nothing."""
+    names = [f"__x{i + 1}" for i in range(len(x_cols))]
+    cond = _finite(y_col)
+    for c in x_cols:
+        cond = cond & _finite(c)
+    base = df.filter(cond).select(
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(nm)
+            for c, nm in zip(x_cols, names)
+        ],
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    return base.localCheckpoint(eager=False), names
+
+
 def _logistic_fit(
     df: DataFrame, y_col: str, x_cols: list[str], n_iter: int
 ) -> dict:
@@ -944,33 +1004,33 @@ def _logistic_fit(
             f"logistic: {len(x_cols)} features exceeds MAX_FEATURES="
             f"{MAX_FEATURES}"
         )
-    cond = _finite(y_col)
-    for c in x_cols:
-        cond = cond & _finite(c)
-    base = df.filter(cond)
-    # a small parquet input arrives as ONE partition and would run all
-    # n_iter+1 passes single-core (measured 5.5 s/pass at sf0.1);
-    # spread it across the executors once, before the pin — sums are
-    # order-independent decimals, so the shuffle changes nothing
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
-    base = base.localCheckpoint(eager=False)
+    base, names = _glm_prepared_base(df, y_col, x_cols)
     p = len(x_cols)
     beta = [0.0] * (p + 1)
     for it in range(n_iter):
-        last = _logistic_pass(base, y_col, x_cols, beta)
+        # intermediate passes: Newton reads only g/h/n — the log-loss
+        # term and (past pass 0) the domain sidecar are dead weight
+        last = _logistic_pass(
+            base, "__y", names, beta,
+            prepared=True, need_loss=False, need_domain=(it == 0),
+        )
         if it == 0:
             _check_label_domain(last)  # fail fast on the first pass
         beta = logistic_step(last, beta, p)
-    final = _logistic_pass(base, y_col, x_cols, beta)
+    final = _logistic_pass(base, "__y", names, beta, prepared=True)
     # the final pass always runs, so n_iter=0 still validates
     _check_label_domain(final)
     return logistic_finalize(final, beta, x_cols, n_iter=n_iter)
 
 
 def _poisson_pass(
-    df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    beta: list[float],
+    prepared: bool = False,
+    need_loss: bool = True,
+    need_domain: bool = True,
 ) -> dict:
     """One distributed Poisson-IRLS pass at literal ``beta``: with
     ``μ = exp(η)``, the score ``g_j = Σ (y−μ)x_j`` and information
@@ -980,15 +1040,25 @@ def _poisson_pass(
     label-domain sidecar (min y and the non-finite-μ count) — ONE
     1-row partial-aggregated scan.  η clamps at ±50 before exp (μ
     spans 2e-22..5e21 — finite, and the clamp is replayed verbatim by
-    the oracle so both engines walk one trajectory)."""
+    the oracle so both engines walk one trajectory).
+
+    r14 optimization flags (the :func:`_logistic_pass` discipline):
+    ``need_loss=False`` drops the deviance term (read only by the
+    final pass's finalize), ``need_domain=False`` drops the ymin
+    sidecar (checked first/final pass only), ``prepared=True`` marks
+    the pre-projected 6dp frame — dropped sums are never consumed, so
+    the trajectory is unchanged."""
     names = [f"__x{i + 1}" for i in range(len(x_cols))]
-    proj1 = df.select(
-        F.col(y_col).cast("double").alias("__y"),
-        *[
-            F.round(F.col(c).cast("double"), 6).alias(nm)
-            for c, nm in zip(x_cols, names)
-        ],
-    )
+    if prepared:
+        proj1 = df
+    else:
+        proj1 = df.select(
+            F.col(y_col).cast("double").alias("__y"),
+            *[
+                F.round(F.col(c).cast("double"), 6).alias(nm)
+                for c, nm in zip(x_cols, names)
+            ],
+        )
     eta = F.lit(float(beta[0]))
     for bj, nm in zip(beta[1:], names):
         eta = eta + F.lit(float(bj)) * F.col(nm)
@@ -1009,21 +1079,24 @@ def _poisson_pass(
                     f"__th_{j2}_{i}"
                 )
             )
-    # unit deviance: 2[y·ln(y/μ) − (y − μ)], with the y=0 limit 2μ
-    yd = F.col("__y")
-    dev = F.lit(2.0) * (
-        F.when(yd > 0, yd * F.log(yd / mu)).otherwise(F.lit(0.0))
-        - (yd - mu)
-    )
-    term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
+    if need_loss:
+        # unit deviance: 2[y·ln(y/μ) − (y − μ)], with the y=0 limit 2μ
+        yd = F.col("__y")
+        dev = F.lit(2.0) * (
+            F.when(yd > 0, yd * F.log(yd / mu)).otherwise(F.lit(0.0))
+            - (yd - mu)
+        )
+        term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
     proj3 = proj2.select("__y", *term_cols)
     aggs = [F.count(F.lit(1)).alias("n")]
     for j2 in range(len(xs)):
         aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
         for i in range(j2, len(xs)):
             aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
-    aggs.append(F.sum("__tdev").alias("dev"))
-    aggs.append(F.min(F.col("__y")).alias("ymin"))
+    if need_loss:
+        aggs.append(F.sum("__tdev").alias("dev"))
+    if need_domain:
+        aggs.append(F.min(F.col("__y")).alias("ymin"))
     return proj3.agg(*aggs).collect()[0].asDict()
 
 
@@ -1100,18 +1173,14 @@ def _poisson_fit(
             f"poisson: {len(x_cols)} features exceeds MAX_FEATURES="
             f"{MAX_FEATURES}"
         )
-    cond = _finite(y_col)
-    for c in x_cols:
-        cond = cond & _finite(c)
-    base = df.filter(cond)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
-    base = base.localCheckpoint(eager=False)
+    base, names = _glm_prepared_base(df, y_col, x_cols)
     p = len(x_cols)
     beta = [0.0] * (p + 1)
     for it in range(n_iter):
-        last = _poisson_pass(base, y_col, x_cols, beta)
+        last = _poisson_pass(
+            base, "__y", names, beta,
+            prepared=True, need_loss=False, need_domain=(it == 0),
+        )
         if it == 0 and (last["ymin"] is None or last["ymin"] < 0.0):
             raise ValueError(
                 "poisson: label must be a non-negative count/rate, "
@@ -1123,7 +1192,7 @@ def _poisson_fit(
             beta = poisson_warm_start(last, p)
         else:
             beta = logistic_step(last, beta, p)  # same Newton shape
-    final = _poisson_pass(base, y_col, x_cols, beta)
+    final = _poisson_pass(base, "__y", names, beta, prepared=True)
     if final["ymin"] is None or final["ymin"] < 0.0:
         raise ValueError(
             "poisson: label must be a non-negative count/rate, "
@@ -1220,21 +1289,30 @@ def _logistic_group_pass(
     y_col: str,
     x_cols: list[str],
     betas: dict[str, list[float]],
+    prepared: bool = False,
+    need_loss: bool = True,
+    need_domain: bool = True,
 ) -> dict[str, dict]:
     """One grouped IRLS pass: the :func:`_logistic_pass` sufficient
     statistics aggregated PER GROUP in one group-grain exchange, with
     each row's μ built from ITS group's β literals via a when-chain
     (k·(p+1) literals, bounded by :data:`MAX_LOGIT_GROUPS`).  Returns
-    ``{grp: moment dict}``."""
+    ``{grp: moment dict}``.  ``prepared``/``need_loss``/``need_domain``
+    follow the :func:`_logistic_pass` r14 discipline — dropped sums
+    are never consumed by the intermediate Newton steps, so every
+    group's trajectory is unchanged."""
     names = [f"__x{i + 1}" for i in range(len(x_cols))]
-    proj1 = df.select(
-        "__grp",
-        F.col(y_col).cast("double").alias("__y"),
-        *[
-            F.round(F.col(c).cast("double"), 6).alias(nm)
-            for c, nm in zip(x_cols, names)
-        ],
-    )
+    if prepared:
+        proj1 = df
+    else:
+        proj1 = df.select(
+            "__grp",
+            F.col(y_col).cast("double").alias("__y"),
+            *[
+                F.round(F.col(c).cast("double"), 6).alias(nm)
+                for c, nm in zip(x_cols, names)
+            ],
+        )
     eta = None
     for grp in sorted(betas):
         beta = betas[grp]
@@ -1268,27 +1346,33 @@ def _logistic_group_pass(
                     f"__th_{j2}_{i}"
                 )
             )
-    mc = F.greatest(F.least(mu, F.lit(1.0 - 1e-15)), F.lit(1e-15))
-    yd = F.col("__y")
-    ll = -(yd * F.log(mc) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - mc))
-    term_cols.append(F.round(ll, 12).cast(d38).alias("__tll"))
+    if need_loss:
+        mc = F.greatest(F.least(mu, F.lit(1.0 - 1e-15)), F.lit(1e-15))
+        yd = F.col("__y")
+        ll = -(
+            yd * F.log(mc) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - mc)
+        )
+        term_cols.append(F.round(ll, 12).cast(d38).alias("__tll"))
     proj3 = proj2.select("__grp", "__y", *term_cols)
     aggs = [F.count(F.lit(1)).alias("n")]
     for j2 in range(len(xs)):
         aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
         for i in range(j2, len(xs)):
             aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
-    aggs.append(F.sum("__tll").alias("ll"))
-    aggs.append(F.min(F.col("__y")).alias("ymin"))
-    aggs.append(F.max(F.col("__y")).alias("ymax"))
-    aggs.append(
-        F.sum(
-            F.when(
-                (F.col("__y") != F.lit(0.0)) & (F.col("__y") != F.lit(1.0)),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        ).alias("ybad")
-    )
+    if need_loss:
+        aggs.append(F.sum("__tll").alias("ll"))
+    if need_domain:
+        aggs.append(F.min(F.col("__y")).alias("ymin"))
+        aggs.append(F.max(F.col("__y")).alias("ymax"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("__y") != F.lit(0.0))
+                    & (F.col("__y") != F.lit(1.0)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("ybad")
+        )
     rows = proj3.groupBy("__grp").agg(*aggs).collect()
     return {r["__grp"]: r.asDict() for r in rows}
 
@@ -1330,8 +1414,18 @@ def logistic_by_group(
     cond = _finite(y_col) & F.col(group_col).isNotNull()
     for c in x_cols:
         cond = cond & _finite(c)
+    gnames = [f"__x{i + 1}" for i in range(len(x_cols))]
+    # project AND 6dp-round once, before the repartition/pin (the
+    # _glm_prepared_base discipline) — every pass rescans p+2 narrow
+    # columns and never re-quantizes; rounding here is idempotent
+    # with the per-pass form, so every group's sums are unchanged
     base = df.filter(cond).select(
-        F.col(group_col).cast("string").alias("__grp"), y_col, *x_cols
+        F.col(group_col).cast("string").alias("__grp"),
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(nm)
+            for c, nm in zip(x_cols, gnames)
+        ],
     )
     par = df.sparkSession.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < par:
@@ -1362,7 +1456,10 @@ def logistic_by_group(
     betas = {g: [0.0] * (p + 1) for g in groups}
     dead: set[str] = set()
     for it in range(n_iter):
-        moms = _logistic_group_pass(base, y_col, x_cols, betas)
+        moms = _logistic_group_pass(
+            base, "__y", gnames, betas,
+            prepared=True, need_loss=False, need_domain=(it == 0),
+        )
         if it == 0:
             for g in groups:
                 _check_label_domain(moms[g])
@@ -1373,7 +1470,7 @@ def logistic_by_group(
                 betas[g] = logistic_step(moms[g], betas[g], p)
             except ValueError:
                 dead.add(g)  # β frozen; omitted from output
-    final = _logistic_group_pass(base, y_col, x_cols, betas)
+    final = _logistic_group_pass(base, "__y", gnames, betas, prepared=True)
     for g in groups:
         _check_label_domain(final[g])
     out = []
@@ -1422,6 +1519,9 @@ def _negbin_pass(
     x_cols: list[str],
     beta: list[float],
     alpha: float,
+    prepared: bool = False,
+    need_loss: bool = True,
+    need_domain: bool = True,
 ) -> dict:
     """One distributed NB2 Fisher-scoring pass at literal ``beta``:
     with ``μ = exp(η)`` and the NB2 variance ``μ(1 + αμ)``, the score
@@ -1434,15 +1534,24 @@ def _negbin_pass(
     replayed verbatim by the oracle.  Sidecars: n, ymin, the NB2
     deviance sum, and the exact decimal ``Σ round(y,6)`` the
     mean-matched warm start reads (the Poisson ``g₀+n`` trick doesn't
-    survive the weight)."""
+    survive the weight).
+
+    r14 optimization flags (the :func:`_logistic_pass` discipline):
+    ``need_loss=False`` drops the deviance term (final-pass-only),
+    ``need_domain=False`` drops the ymin + Σy sidecars (first/final
+    pass only), ``prepared=True`` marks the pre-projected 6dp frame —
+    dropped sums are never consumed, trajectory unchanged."""
     names = [f"__x{i + 1}" for i in range(len(x_cols))]
-    proj1 = df.select(
-        F.col(y_col).cast("double").alias("__y"),
-        *[
-            F.round(F.col(c).cast("double"), 6).alias(nm)
-            for c, nm in zip(x_cols, names)
-        ],
-    )
+    if prepared:
+        proj1 = df
+    else:
+        proj1 = df.select(
+            F.col(y_col).cast("double").alias("__y"),
+            *[
+                F.round(F.col(c).cast("double"), 6).alias(nm)
+                for c, nm in zip(x_cols, names)
+            ],
+        )
     eta = F.lit(float(beta[0]))
     for bj, nm in zip(beta[1:], names):
         eta = eta + F.lit(float(bj)) * F.col(nm)
@@ -1465,28 +1574,32 @@ def _negbin_pass(
                     f"__th_{j2}_{i}"
                 )
             )
-    # NB2 unit deviance: 2[y·ln(y/μ) − (y + 1/α)·ln((1+αy)/(1+αμ))],
-    # with the y=0 limit 2·(1/α)·ln(1+αμ)
     yd = F.col("__y")
-    inv_a = F.lit(1.0 / float(alpha))
-    dev = F.lit(2.0) * (
-        F.when(yd > 0, yd * F.log(yd / mu)).otherwise(F.lit(0.0))
-        - (yd + inv_a)
-        * F.log((F.lit(1.0) + a * yd) / (F.lit(1.0) + a * mu))
-    )
-    term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
-    term_cols.append(
-        F.round(yd, 6).cast("decimal(18,6)").alias("__ty")
-    )
+    if need_loss:
+        # NB2 unit deviance: 2[y·ln(y/μ) − (y + 1/α)·ln((1+αy)/(1+αμ))],
+        # with the y=0 limit 2·(1/α)·ln(1+αμ)
+        inv_a = F.lit(1.0 / float(alpha))
+        dev = F.lit(2.0) * (
+            F.when(yd > 0, yd * F.log(yd / mu)).otherwise(F.lit(0.0))
+            - (yd + inv_a)
+            * F.log((F.lit(1.0) + a * yd) / (F.lit(1.0) + a * mu))
+        )
+        term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
+    if need_domain:
+        term_cols.append(
+            F.round(yd, 6).cast("decimal(18,6)").alias("__ty")
+        )
     proj3 = proj2.select("__y", *term_cols)
     aggs = [F.count(F.lit(1)).alias("n")]
     for j2 in range(len(xs)):
         aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
         for i in range(j2, len(xs)):
             aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
-    aggs.append(F.sum("__tdev").alias("dev"))
-    aggs.append(F.sum("__ty").alias("sy"))
-    aggs.append(F.min(F.col("__y")).alias("ymin"))
+    if need_loss:
+        aggs.append(F.sum("__tdev").alias("dev"))
+    if need_domain:
+        aggs.append(F.sum("__ty").alias("sy"))
+        aggs.append(F.min(F.col("__y")).alias("ymin"))
     return proj3.agg(*aggs).collect()[0].asDict()
 
 
@@ -1530,18 +1643,14 @@ def _negbin_fit(
             f"{alpha} (alpha -> 0 is the Poisson limit — use "
             "poisson_report)"
         )
-    cond = _finite(y_col)
-    for c in x_cols:
-        cond = cond & _finite(c)
-    base = df.filter(cond)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
-    base = base.localCheckpoint(eager=False)
+    base, names = _glm_prepared_base(df, y_col, x_cols)
     p = len(x_cols)
     beta = [0.0] * (p + 1)
     for it in range(n_iter):
-        last = _negbin_pass(base, y_col, x_cols, beta, alpha)
+        last = _negbin_pass(
+            base, "__y", names, beta, alpha,
+            prepared=True, need_loss=False, need_domain=(it == 0),
+        )
         if it == 0 and (last["ymin"] is None or last["ymin"] < 0.0):
             raise ValueError(
                 "negbin: label must be a non-negative count, "
@@ -1551,7 +1660,7 @@ def _negbin_fit(
             beta = negbin_warm_start(last, p)
         else:
             beta = logistic_step(last, beta, p)  # same Newton shape
-    final = _negbin_pass(base, y_col, x_cols, beta, alpha)
+    final = _negbin_pass(base, "__y", names, beta, alpha, prepared=True)
     if final["ymin"] is None or final["ymin"] < 0.0:
         raise ValueError(
             "negbin: label must be a non-negative count, "
@@ -1881,7 +1990,13 @@ def huber_report(
 
 
 def _gamma_pass(
-    df: DataFrame, y_col: str, x_cols: list[str], beta: list[float]
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    beta: list[float],
+    prepared: bool = False,
+    need_loss: bool = True,
+    need_domain: bool = True,
 ) -> dict:
     """One distributed Gamma-GLM (log link) Fisher-scoring pass at
     literal ``beta``: with ``μ = exp(η)``, the scaled score is
@@ -1893,15 +2008,25 @@ def _gamma_pass(
     estimator), the deviance sum ``2Σ(−ln(y/μ) + (y−μ)/μ)``, n, and
     min y (must be > 0).  Same discipline as the Poisson pass: 6dp
     features, ±50 η clamp before exp, every cross-row term
-    12dp-decimal-quantized in a projection below the aggregate."""
+    12dp-decimal-quantized in a projection below the aggregate.
+
+    r14 optimization flags (the :func:`_logistic_pass` discipline):
+    ``need_loss=False`` drops the Pearson-χ²/deviance terms (read only
+    by the final pass's finalize), ``need_domain=False`` the ymin
+    sidecar (first/final pass only), ``prepared=True`` the
+    pre-projected 6dp frame — dropped sums are never consumed,
+    trajectory unchanged."""
     names = [f"__x{i + 1}" for i in range(len(x_cols))]
-    proj1 = df.select(
-        F.col(y_col).cast("double").alias("__y"),
-        *[
-            F.round(F.col(c).cast("double"), 6).alias(nm)
-            for c, nm in zip(x_cols, names)
-        ],
-    )
+    if prepared:
+        proj1 = df
+    else:
+        proj1 = df.select(
+            F.col(y_col).cast("double").alias("__y"),
+            *[
+                F.round(F.col(c).cast("double"), 6).alias(nm)
+                for c, nm in zip(x_cols, names)
+            ],
+        )
     eta = F.lit(float(beta[0]))
     for bj, nm in zip(beta[1:], names):
         eta = eta + F.lit(float(bj)) * F.col(nm)
@@ -1921,19 +2046,22 @@ def _gamma_pass(
             term_cols.append(
                 F.round(xj * xs[i], 12).cast(d38).alias(f"__th_{j2}_{i}")
             )
-    pe = (yd - mu) / mu
-    term_cols.append(F.round(pe * pe, 12).cast(d38).alias("__tpe"))
-    dev = F.lit(2.0) * (-F.log(yd / mu) + (yd - mu) / mu)
-    term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
+    if need_loss:
+        pe = (yd - mu) / mu
+        term_cols.append(F.round(pe * pe, 12).cast(d38).alias("__tpe"))
+        dev = F.lit(2.0) * (-F.log(yd / mu) + (yd - mu) / mu)
+        term_cols.append(F.round(dev, 12).cast(d38).alias("__tdev"))
     proj3 = proj2.select("__y", *term_cols)
     aggs = [F.count(F.lit(1)).alias("n")]
     for j2 in range(len(xs)):
         aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
         for i in range(j2, len(xs)):
             aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
-    aggs.append(F.sum("__tpe").alias("pearson"))
-    aggs.append(F.sum("__tdev").alias("dev"))
-    aggs.append(F.min(yd).alias("ymin"))
+    if need_loss:
+        aggs.append(F.sum("__tpe").alias("pearson"))
+        aggs.append(F.sum("__tdev").alias("dev"))
+    if need_domain:
+        aggs.append(F.min(yd).alias("ymin"))
     return proj3.agg(*aggs).collect()[0].asDict()
 
 
@@ -2009,18 +2137,14 @@ def gamma_report(
             f"gamma: {len(x_cols)} features exceeds MAX_FEATURES="
             f"{MAX_FEATURES}"
         )
-    cond = _finite(y_col)
-    for c in x_cols:
-        cond = cond & _finite(c)
-    base = df.filter(cond)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
-    base = base.localCheckpoint(eager=False)
+    base, names = _glm_prepared_base(df, y_col, x_cols)
     p = len(x_cols)
     beta = [0.0] * (p + 1)
     for it in range(n_iter):
-        last = _gamma_pass(base, y_col, x_cols, beta)
+        last = _gamma_pass(
+            base, "__y", names, beta,
+            prepared=True, need_loss=False, need_domain=(it == 0),
+        )
         if it == 0 and (last["ymin"] is None or last["ymin"] <= 0.0):
             raise ValueError(
                 "gamma: label must be strictly positive, "
@@ -2030,7 +2154,7 @@ def gamma_report(
             beta = poisson_warm_start(last, p)
         else:
             beta = logistic_step(last, beta, p)
-    final = _gamma_pass(base, y_col, x_cols, beta)
+    final = _gamma_pass(base, "__y", names, beta, prepared=True)
     sol = gamma_finalize(final, beta, x_cols, n_iter)
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -686,7 +686,10 @@ def weibull_warm_start(mom: dict, p: int) -> list[float]:
 
 
 def _weibull_pass(
-    base: DataFrame, p: int, theta: list[float]
+    base: DataFrame,
+    p: int,
+    theta: list[float],
+    need_domain: bool = True,
 ) -> dict:
     """One distributed Weibull-AFT Newton pass at literal ``theta =
     (β₀..β_p, s=ln σ)`` over the prepared frame (``__t`` raw, ``__lt``
@@ -755,24 +758,32 @@ def _weibull_pass(
         .cast(d38)
         .alias(f"__th_{p + 1}_{p + 1}")
     )
-    term_cols.append(F.col("__lt").cast("decimal(18,6)").alias("__tlt"))
-    term_cols.append(
-        F.round(F.col("__lt") * F.col("__lt"), 12)
-        .cast(d38)
-        .alias("__tltt")
-    )
-    term_cols.append(F.col("__t"))
-    term_cols.append(F.col("__e").alias("__te"))
+    if need_domain:
+        # warm-start + domain sidecars: consumed only by pass 0
+        # (weibull_warm_start reads slt/sltt, the guards read
+        # tmin/n_events) — r14: later passes drop them, the Newton
+        # step reads only g/h/n, trajectory unchanged
+        term_cols.append(
+            F.col("__lt").cast("decimal(18,6)").alias("__tlt")
+        )
+        term_cols.append(
+            F.round(F.col("__lt") * F.col("__lt"), 12)
+            .cast(d38)
+            .alias("__tltt")
+        )
+        term_cols.append(F.col("__t"))
+        term_cols.append(F.col("__e").alias("__te"))
     proj3 = proj2.select(*term_cols)
     aggs = [F.count(F.lit(1)).alias("n")]
     for j2 in range(p + 2):
         aggs.append(F.sum(f"__tg_{j2}").alias(f"g_{j2}"))
         for i in range(j2, p + 2):
             aggs.append(F.sum(f"__th_{j2}_{i}").alias(f"h_{j2}_{i}"))
-    aggs.append(F.sum("__tlt").alias("slt"))
-    aggs.append(F.sum("__tltt").alias("sltt"))
-    aggs.append(F.min("__t").alias("tmin"))
-    aggs.append(F.sum("__te").alias("n_events"))
+    if need_domain:
+        aggs.append(F.sum("__tlt").alias("slt"))
+        aggs.append(F.sum("__tltt").alias("sltt"))
+        aggs.append(F.min("__t").alias("tmin"))
+        aggs.append(F.sum("__te").alias("n_events"))
     return proj3.agg(*aggs).collect()[0].asDict()
 
 
@@ -847,7 +858,7 @@ def weibull_aft_report(
     )
     theta = [0.0] * (p + 2)
     for it in range(n_iter):
-        mom = _weibull_pass(base, p, theta)
+        mom = _weibull_pass(base, p, theta, need_domain=(it == 0))
         if it == 0:
             if mom["tmin"] is None or not mom["tmin"] > 0:
                 raise ValueError(
@@ -861,7 +872,7 @@ def weibull_aft_report(
             theta = damped_newton_step(
                 mom, theta, p + 1, alphas[it - 1]
             )
-    final = _weibull_pass(base, p, theta)
+    final = _weibull_pass(base, p, theta, need_domain=False)
     k = p + 2
     h = np.zeros((k, k))
     for j2 in range(k):
