@@ -129,7 +129,14 @@ def _spread(df: DataFrame) -> DataFrame:
     partitions when one large file splits against ``maxPartitionBytes``
     (a 10×1 TB table is ~80k partitions, not 10 — repartitioning it
     would be a full-corpus exchange), and a non-file source reports zero
-    files regardless of its real width."""
+    files regardless of its real width.
+
+    Streaming frames pass through untouched (r14): the width probes are
+    batch-only APIs, and the shared moment builders (OLS/WLS twins
+    #25/#26) call this on both batch and streaming inputs — a streaming
+    source's parallelism is the reader's concern, not ours."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if len(df.inputFiles()) >= target:
         return df

@@ -98,10 +98,19 @@ def embedding_covariance(
     Float partial sums are partition-order-dependent in the last ulp,
     so the fast path is NOT SQL-oracle-replayable — bounded-error
     tested against this exact path instead."""
+    from intake_esm_spark.operators.dedup import _spread
+
     base = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1)
     ).select(F.col(vec_col).alias("__vec"))
     base = _assert_uniform_dim(base, "__vec", "embedding_covariance")
+    # r14: the kernel inflates each row d(d+1)/2-fold INSIDE the row —
+    # a single-file embedding table would run that entire inflation in
+    # ONE task (observed: every moment stage "(0+1)/1" at bench scale).
+    # One narrow row-level shuffle before the explode buys full-core
+    # parallelism; decimal sums are exact and order-independent, so the
+    # moments are byte-identical (guide §2.1/§2.6).
+    base = _spread(base)
     if not exact:
         return _embedding_covariance_arrow(base, include_corr)
     # 6dp-quantized components, computed once per row

@@ -124,8 +124,17 @@ def ols_moment_frame(
             f"{MAX_FEATURES} — the moment row grows quadratically; use "
             "hashed-feature scoring (operators/corpus.py) for wide inputs"
         )
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: single-row-group parquet arrives as ONE non-empty scan task,
+    # serializing the (p+1)(p+2)/2 decimal terms per row on one core —
+    # a narrow (y, x₁..x_p) shuffle first spreads the quantize/multiply
+    # work across every core (no-op on a many-file table; streaming
+    # frames pass through). Decimal sums are order-independent, so the
+    # moment row is byte-identical (guide §2.1).
+    keep = list(dict.fromkeys([y_col, *x_cols]))
     return (
-        _complete_case(df, y_col, x_cols)
+        _spread(_complete_case(df, y_col, x_cols).select(*keep))
         .select(*_ols_moment_proj(y_col, x_cols))
         .agg(*_ols_moment_sums(x_cols))
     )
@@ -446,6 +455,12 @@ def wls_moment_frame(
     base = df.filter(
         cond & (F.round(F.col(w_col).cast("double"), 6) > 0)
     )
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: narrow pre-aggregation spread — see ols_moment_frame.
+    base = _spread(
+        base.select(*dict.fromkeys([w_col, y_col, *x_cols]))
+    )
     wq = F.round(F.col(w_col).cast("double"), 6)
     yq = F.round(F.col(y_col).cast("double"), 6)
     xq = [F.round(F.col(c).cast("double"), 6) for c in x_cols]
@@ -654,7 +669,14 @@ def _bp_aux_moments(
     partial-aggregated scan, residual built in a projection below the
     aggregate (the logistic-pass discipline), left-associated exactly
     as the oracle replays it."""
-    base = _complete_case(df, y_col, x_cols)
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: narrow pre-aggregation spread — see ols_moment_frame.
+    base = _spread(
+        _complete_case(df, y_col, x_cols).select(
+            *dict.fromkeys([y_col, *x_cols])
+        )
+    )
     xq = [F.round(F.col(c).cast("double"), 6) for c in x_cols]
     yq = F.round(F.col(y_col).cast("double"), 6)
     eta = F.lit(float(beta[0]))
@@ -2426,8 +2448,14 @@ def iv_moment_frame(
     cond = _finite(y_col)
     for c in [*x_cols, *z_cols]:
         cond = cond & _finite(c)
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: narrow pre-aggregation spread — see ols_moment_frame.  An
+    # exogenous regressor instruments itself (x∩z non-empty), so the
+    # projection list dedups while preserving order.
+    keep = list(dict.fromkeys([y_col, *x_cols, *z_cols]))
     return (
-        df.filter(cond)
+        _spread(df.filter(cond).select(*keep))
         .select(*_iv_moment_proj(y_col, x_cols, z_cols))
         .agg(*_iv_moment_sums(x_cols, z_cols))
     )
