@@ -2199,16 +2199,26 @@ def permutation_test_report(
 
     if n_perm < 1:
         raise ValueError(f"n_perm must be >= 1, got {n_perm}")
-    base = units.filter(
-        F.col(group_col).isNotNull()
-        & F.col(value_col).isNotNull()
-        & F.col(id_col).isNotNull()
-    ).select(
-        F.col(id_col).cast("string").alias("__id"),
-        F.col(group_col).cast("string").alias("__g"),
-        F.round(F.col(value_col).cast("double"), 6)
-        .cast("decimal(18,6)")
-        .alias("__v"),
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: the permuted pass inflates every unit B-fold and runs one
+    # md5 per (unit, permutation) — on a single-file source that whole
+    # B·n hash grid ran in ONE task. A narrow (id, g, v) round-robin
+    # spread before the pin buys full-core parallelism; the relabel
+    # hash is per-row-deterministic and the cell sums are decimal, so
+    # every cell and the p-value are byte-identical (guide §2.5).
+    base = _spread(
+        units.filter(
+            F.col(group_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(id_col).isNotNull()
+        ).select(
+            F.col(id_col).cast("string").alias("__id"),
+            F.col(group_col).cast("string").alias("__g"),
+            F.round(F.col(value_col).cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("__v"),
+        )
     ).localCheckpoint(eager=False)  # pinned: observed + permuted passes
     groups = sorted(
         r["__g"]
