@@ -1360,8 +1360,16 @@ def q_simsearch_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     books = _pq_books(spark, sf)
     emb = load_table(spark, sf, "embeddings")
-    vecs = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: spread the narrow (id, vec) rows BELOW the encode projection
+    # — a single-file corpus otherwise runs the whole per-row argmin
+    # encode + decode/score pipeline in ONE task (guide §2.1); the
+    # round-robin placement is execution-only, scores unchanged.
+    vecs = _spread(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+        )
     )
     coded = vecs.select(
         "vec_id", pq.pq_encode(F.col("__v"), books).alias("pq_codes")

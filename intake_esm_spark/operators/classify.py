@@ -97,12 +97,20 @@ def nb_confusion_report(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     spark = docs.sparkSession
-    base = docs.filter(
-        F.col(text_col).isNotNull() & F.col(class_col).isNotNull()
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.col(class_col).cast("string").alias("__actual"),
-        F.col(text_col).alias("__text"),
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: spread before the pin — the tokenize/explode/hash pass
+    # otherwise runs single-task on a single-file source (the
+    # moment-kernel spread discipline; counts are exact integers, so
+    # the grids are unchanged)
+    base = _spread(
+        docs.filter(
+            F.col(text_col).isNotNull() & F.col(class_col).isNotNull()
+        ).select(
+            F.col(id_col).alias("__id"),
+            F.col(class_col).cast("string").alias("__actual"),
+            F.col(text_col).alias("__text"),
+        )
     ).localCheckpoint(eager=False)  # pinned: train + score passes
     probe = (
         base.select("__actual").distinct().limit(MAX_CLASSES + 1).collect()

@@ -225,7 +225,12 @@ def minhash_lsh_candidates(
     hashed = _shingle_rows(df, text_col, id_col, shingle_n, distinct=False).select(
         "id", portable_hash60(F.col("sh")).alias("h")
     )
-    banded = _banded_from_hashed(hashed, num_hashes, bands)
+    # r14: pin the (docs × bands)-sized banded frame — the self-join
+    # references it twice and each reference re-ran the whole shingle +
+    # signature subtree (the near_duplicates pin discipline)
+    banded = _banded_from_hashed(hashed, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -316,7 +321,13 @@ def _capped_pairs(
     SQL oracle; both size joins are AQE-broadcastable since sizes rows are
     two integers per doc). ``score`` picks the threshold target:
     ``jaccard`` returns (id_a, id_b, jaccard); ``containment`` thresholds
-    n_inter/min(n_a, n_b) and returns jaccard alongside."""
+    n_inter/min(n_a, n_b) and returns jaccard alongside.
+
+    NOT pinned (r14, measured): all three consumers (both self-join
+    sides and the sizes aggregate) reference the identical cap-window
+    subtree, and runtime exchange reuse already dedups it — an explicit
+    localCheckpoint added a materialization pass and was 15% SLOWER at
+    bench scale (paired A/B)."""
     sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
@@ -417,6 +428,9 @@ def jaccard_pairs(
     exploded = _shingle_rows(
         df, text_col, id_col, shingle_n, distinct=True, with_count=True
     ).select("id", "n_sh", F.col("sh").alias("shingle"))
+    # r14: pin — both self-join sides otherwise re-run the shingle scan
+    # (candidate-restricted on the production path, so the pin is small)
+    exploded = exploded.localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     out = (
@@ -474,10 +488,22 @@ def near_duplicates(
     if max_doc_freq is not None:
         # one shingle-keyed exchange, reused by the signature branch, the
         # verify self-join (its join key IS the partitioning key) and the
-        # sizes aggregate — the text is scanned and shingled exactly once
-        sh_rows = _df_capped(sh_rows, "sh", max_doc_freq)
+        # sizes aggregate — the text is scanned and shingled exactly once.
+        # r14: pin the capped rows — the initial plan replicates this
+        # subtree (window exchange included) under every consumer branch
+        # (24 scans / 24 windows observed at bench scale) and runtime
+        # exchange reuse does not cover the post-window projection; the
+        # pin costs one extra write of rows the window exchange already
+        # shuffles in full, and buys every branch a memory rescan.
+        sh_rows = _df_capped(sh_rows, "sh", max_doc_freq).localCheckpoint(
+            eager=False
+        )
     hashed = sh_rows.select("id", portable_hash60(F.col("sh")).alias("h"))
-    banded = _banded_from_hashed(hashed, num_hashes, bands)
+    # r14: the band self-join references this frame twice and the banding
+    # aggregate re-runs per reference — pin the (docs × bands)-sized frame
+    banded = _banded_from_hashed(hashed, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand_ids = (
         l.join(
@@ -489,8 +515,12 @@ def near_duplicates(
         .select(F.explode(F.array(F.col("l.id"), F.col("r.id"))).alias("id"))
         .distinct()
     )
-    exploded = sh_rows.join(F.broadcast(cand_ids), on="id", how="left_semi").select(
-        "id", F.col("sh").alias("shingle")
+    exploded = (
+        sh_rows.join(F.broadcast(cand_ids), on="id", how="left_semi")
+        .select("id", F.col("sh").alias("shingle"))
+        # r14: referenced by both self-join sides AND the sizes
+        # aggregate; candidate-doc-bounded, so the pin is small
+        .localCheckpoint(eager=False)
     )
     # verify over the SAME (already df-capped) shingle sets; per-doc sizes
     # are a narrow aggregate over candidate docs only
@@ -1027,6 +1057,10 @@ def simhash_candidates(
             )
         ).alias("cv"),
     ).select("id", "sh64", F.col("cv.chunk").alias("chunk"), F.col("cv.chunk_val").alias("chunk_val"))
+    # r14: pin the (docs × 4)-sized chunk frame — the blocking self-join
+    # references it twice and each reference re-ran the whole shingle +
+    # 64-vote signature subtree (the near_duplicates pin discipline)
+    chunks = chunks.localCheckpoint(eager=False)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(

@@ -226,14 +226,25 @@ def histogram_split_report(
     the decision-stump / GBDT-node primitive.  TWO distributed passes
     regardless of data size: the 1-row range aggregate and the
     ``|features| × n_bins`` histogram (partial-aggregated in-row
-    explode — the corpus never shuffles); the candidate scan is driver
+    explode — at width the corpus never shuffles; a single-file source
+    pays one narrow row-level spread, see below); the candidate scan is driver
     arithmetic over the bounded sidecar through the SAME shared
     :func:`best_splits_from_hist` the oracle replays.  Returns one row
     per feature (stable ``x_cols`` order preserved in values, not row
     order) ``(feature, threshold, gain, n_left, n_right, pos_left,
     pos_right)``; null split fields for constant features."""
     _check_args(x_cols, n_bins)
-    base = df.filter(F.col(label_col).cast("int").isin(0, 1))
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: narrow projection + round-robin spread + pin — on a
+    # single-file source both passes (and the |features|-fold in-row
+    # explode) otherwise run in ONE task; counts/min/max are exact and
+    # order-independent, so the histogram is unchanged (guide §2.1).
+    base = _spread(
+        df.filter(F.col(label_col).cast("int").isin(0, 1)).select(
+            *dict.fromkeys([label_col, *x_cols])
+        )
+    ).localCheckpoint(eager=False)  # pinned: range + histogram passes
     ranges = feature_ranges(base, x_cols)
     hist = _hist_rows_to_dict(
         binned_histogram(base, label_col, x_cols, ranges, n_bins)
@@ -258,8 +269,15 @@ def histogram_tree_report(
     fields; if the ROOT cannot split the result is the root row
     alone."""
     _check_args(x_cols, n_bins)
-    base = df.filter(
-        F.col(label_col).cast("int").isin(0, 1)
+    from intake_esm_spark.operators.dedup import _spread
+
+    # r14: narrow projection + spread before the pin — the six region
+    # passes (3 ranges + 3 histograms) otherwise all inherit the
+    # source's single partition (see histogram_split_report)
+    base = _spread(
+        df.filter(F.col(label_col).cast("int").isin(0, 1)).select(
+            *dict.fromkeys([label_col, *x_cols])
+        )
     ).localCheckpoint(eager=False)  # pinned: feeds all three passes
     ranges = feature_ranges(base, x_cols)
     hist = _hist_rows_to_dict(
