@@ -104,15 +104,22 @@ def embedding_covariance(
         F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1)
     ).select(F.col(vec_col).alias("__vec"))
     base = _assert_uniform_dim(base, "__vec", "embedding_covariance")
-    # r14: the kernel inflates each row d(d+1)/2-fold INSIDE the row —
-    # a single-file embedding table would run that entire inflation in
-    # ONE task (observed: every moment stage "(0+1)/1" at bench scale).
-    # One narrow row-level shuffle before the explode buys full-core
-    # parallelism; decimal sums are exact and order-independent, so the
-    # moments are byte-identical (guide §2.1/§2.6).
-    base = _spread(base)
     if not exact:
+        # NO spread here: the Arrow partials do one cheap GEMM per
+        # partition — a row-level exchange costs more than it buys
+        # (paired r14 measurement: spread 1.6-3.1 s vs unspread
+        # 0.96-1.4 s at bench scale) and float partials are partition-
+        # order-dependent, so the unspread shape also keeps the fast
+        # path's historical rounding behavior.
         return _embedding_covariance_arrow(base, include_corr)
+    # r14: the exact kernel inflates each row d(d+1)/2-fold INSIDE the
+    # row — a single-file embedding table would run that entire
+    # inflation in ONE task (observed: every moment stage "(0+1)/1" at
+    # bench scale). One narrow row-level shuffle before the explode
+    # buys full-core parallelism; decimal sums are exact and
+    # order-independent, so the moments are byte-identical (guide
+    # §2.1/§2.6). Applied to the exact path ONLY — see above.
+    base = _spread(base)
     # 6dp-quantized components, computed once per row
     q = base.select(
         F.expr(

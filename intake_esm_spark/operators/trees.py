@@ -234,13 +234,12 @@ def histogram_split_report(
     order) ``(feature, threshold, gain, n_left, n_right, pos_left,
     pos_right)``; null split fields for constant features."""
     _check_args(x_cols, n_bins)
-    from intake_esm_spark.operators.dedup import _spread
-
-    # r14: narrow projection + round-robin spread + pin — on a
-    # single-file source both passes (and the |features|-fold in-row
-    # explode) otherwise run in ONE task; counts/min/max are exact and
-    # order-independent, so the histogram is unchanged (guide §2.1).
-    base = _spread(
+    # r14: narrow projection + pin, NO spread — the stump is only two
+    # cheap passes (1-row range + histogram), so the row-level exchange
+    # costs more than the parallelism buys (paired r14 measurement:
+    # spread 1.8-2.9 s vs unspread 1.3-1.8 s at bench scale). The
+    # depth-2 tree keeps its spread: six region passes amortize it.
+    base = (
         df.filter(F.col(label_col).cast("int").isin(0, 1)).select(
             *dict.fromkeys([label_col, *x_cols])
         )
