@@ -261,6 +261,18 @@ def _cox_pass(
     bounded frame, not the subject scan: 2.04 → 1.37 s/pass at bench
     scale, byte-identical moments (bucket placement is execution-only
     — ranks.py module contract)."""
+    return _cox_pass_frame(base, x_cols, beta, t_bounds).collect()[0].asDict()
+
+
+def _cox_pass_frame(
+    base: DataFrame,
+    x_cols: list[str],
+    beta: list[float],
+    t_bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """The 1-row moment frame behind :func:`_cox_pass` — split out so
+    the plan-capture/profiling scripts can explain and time the pass
+    without collecting through the fit loop."""
     from .ranks import bucketed_cumsum
 
     names = [f"__x{i}" for i in range(len(x_cols))]
@@ -313,6 +325,15 @@ def _cox_pass(
             F.lit(float(t_bounds[1])).alias("__bhi"),
         ).localCheckpoint(eager=False)
         bounds = ("__blo", "__bhi")
+    # r15 probe, REJECTED on measurement: fusing the offset subtree via
+    # a driver-collected bucket-totals pass (ranks.bucketed_cumsum_
+    # collected, since removed) DID cut the readout plan 127 → 59 lines
+    # / 10 → 2 Exchanges and jobs 7 → 6, but the pass SLOWED 1.0 →
+    # 1.9 s (1.2 s with zero-literal offsets): the second eager action
+    # pays Catalyst analysis + a changing-literal codegen compile per
+    # pass, which dominates the tiny-job scheduling it removes.  At
+    # scale both forms do the same data passes, so there is no cluster
+    # argument either — the lazy single-action pipeline stays.
     cum = bucketed_cumsum(
         per_time, sum_cols, val_col="__t", descending=True, bounds=bounds
     )
@@ -336,7 +357,7 @@ def _cox_pass(
                     F.when(F.col("__d") > 0, F.round(h, 12).cast(d38))
                 ).alias(f"h_{i}_{j2}")
             )
-    return cum.agg(*out_terms).collect()[0].asDict()
+    return cum.agg(*out_terms)
 
 
 def _cox_base(
