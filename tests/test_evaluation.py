@@ -469,10 +469,10 @@ def test_stream_psi_matches_batch(spark, tmp_path):
     src.mkdir()
     df.withColumn("__h", F.crc32(F.col("score").cast("string"))).filter(
         F.col("__h") % 2 == 0
-    ).drop("__h").coalesce(1).write.parquet(str(tmp_path / "a"))
+    ).drop("__h").repartition(1).write.parquet(str(tmp_path / "a"))
     df.withColumn("__h", F.crc32(F.col("score").cast("string"))).filter(
         F.col("__h") % 2 == 1
-    ).drop("__h").coalesce(1).write.parquet(str(tmp_path / "b"))
+    ).drop("__h").repartition(1).write.parquet(str(tmp_path / "b"))
     for i, f in enumerate(
         sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
     ):

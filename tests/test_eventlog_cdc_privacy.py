@@ -223,8 +223,8 @@ def test_stream_transition_pairs_matches_batch(spark, tmp_path):
     }
     flat = tmp_path / "flat"
     flat.mkdir()
-    df.filter(F.col("ts") < _t(2)).coalesce(1).write.parquet(str(tmp_path / "a"))
-    df.filter(F.col("ts") >= _t(2)).coalesce(1).write.parquet(str(tmp_path / "b"))
+    df.filter(F.col("ts") < _t(2)).repartition(1).write.parquet(str(tmp_path / "a"))
+    df.filter(F.col("ts") >= _t(2)).repartition(1).write.parquet(str(tmp_path / "b"))
     for i, (part, name) in enumerate(
         [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
     ):
@@ -360,8 +360,8 @@ def test_stream_scd2_matches_batch(spark, tmp_path):
     flat.mkdir()
     early = df.filter(F.col("ts") < _t(3))
     late = df.filter(F.col("ts") >= _t(3))
-    early.coalesce(1).write.parquet(str(tmp_path / "a"))
-    late.coalesce(1).write.parquet(str(tmp_path / "b"))
+    early.repartition(1).write.parquet(str(tmp_path / "a"))
+    late.repartition(1).write.parquet(str(tmp_path / "b"))
     for i, (part, name) in enumerate(
         [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
     ):

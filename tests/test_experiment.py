@@ -611,10 +611,10 @@ def test_stream_srm_matches_batch(spark, tmp_path):
     src.mkdir()
     df.withColumn("__h", F.crc32(F.col("variant")) + F.lit(1)).filter(
         F.col("__h") % 2 == 0
-    ).drop("__h").coalesce(1).write.parquet(str(tmp_path / "a"))
+    ).drop("__h").repartition(1).write.parquet(str(tmp_path / "a"))
     df.withColumn("__h", F.crc32(F.col("variant")) + F.lit(1)).filter(
         F.col("__h") % 2 == 1
-    ).drop("__h").coalesce(1).write.parquet(str(tmp_path / "b"))
+    ).drop("__h").repartition(1).write.parquet(str(tmp_path / "b"))
     for i, f in enumerate(
         sorted(glob.glob(str(tmp_path / "[ab]" / "*.parquet")))
     ):
@@ -894,10 +894,10 @@ def test_stream_msprt_matches_batch(spark, tmp_path):
 
     src = tmp_path / "flat"
     src.mkdir()
-    df.filter(F.crc32(F.col("variant")) % 2 == 0).coalesce(1).write.parquet(
+    df.filter(F.crc32(F.col("variant")) % 2 == 0).repartition(1).write.parquet(
         str(tmp_path / "a")
     )
-    df.filter(F.crc32(F.col("variant")) % 2 == 1).coalesce(1).write.parquet(
+    df.filter(F.crc32(F.col("variant")) % 2 == 1).repartition(1).write.parquet(
         str(tmp_path / "b")
     )
     for i, f in enumerate(

@@ -140,8 +140,8 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     flat.mkdir()
     early = df.filter(F.col("ts") < _ts(2))
     late = df.filter(F.col("ts") >= _ts(2))
-    early.coalesce(1).write.parquet(str(tmp_path / "a"))
-    late.coalesce(1).write.parquet(str(tmp_path / "b"))
+    early.repartition(1).write.parquet(str(tmp_path / "a"))
+    late.repartition(1).write.parquet(str(tmp_path / "b"))
     import glob
     import shutil
 

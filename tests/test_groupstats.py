@@ -586,12 +586,12 @@ def test_stream_association_matches_batch(spark, tmp_path):
     src.mkdir()
     df.withColumn(
         "__h", F.crc32(F.concat(F.col("u"), F.col("v")))
-    ).filter(F.col("__h") % 2 == 0).drop("__h").coalesce(1).write.parquet(
+    ).filter(F.col("__h") % 2 == 0).drop("__h").repartition(1).write.parquet(
         str(tmp_path / "a")
     )
     df.withColumn(
         "__h", F.crc32(F.concat(F.col("u"), F.col("v")))
-    ).filter(F.col("__h") % 2 == 1).drop("__h").coalesce(1).write.parquet(
+    ).filter(F.col("__h") % 2 == 1).drop("__h").repartition(1).write.parquet(
         str(tmp_path / "b")
     )
     for i, f in enumerate(

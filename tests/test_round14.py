@@ -93,7 +93,7 @@ def test_cox_baseline_invariants(spark, cox_frame):
 
     df, tt, e, _ = cox_frame
     rows = sorted(
-        cox_baseline_hazard(df, "dur", "ev", ["x1", "x2"]).collect(),
+        cox_baseline_hazard(df, "dur", "ev", ["x1", "x2"], n_iter=2).collect(),
         key=lambda r: r["t"],
     )
     assert len(rows) == len(np.unique(np.round(tt, 6)[e == 1]))
@@ -538,7 +538,8 @@ def test_cox_predict_invariants_and_guards(spark, cox_frame):
     df, tt, e, _ = cox_frame
     keyed = df.withColumn("k", F.expr("uuid()"))
     out = cox_predict_survival(
-        keyed, "dur", "ev", ["x1", "x2"], horizon=0.5, id_cols=["k"]
+        keyed, "dur", "ev", ["x1", "x2"], horizon=0.5, id_cols=["k"],
+        n_iter=2,
     )
     rows = out.collect()
     assert len(rows) == len(tt)
@@ -548,7 +549,8 @@ def test_cox_predict_invariants_and_guards(spark, cox_frame):
     later = {
         r["k"]: r["survival_at_horizon"]
         for r in cox_predict_survival(
-            keyed, "dur", "ev", ["x1", "x2"], horizon=5.0, id_cols=["k"]
+            keyed, "dur", "ev", ["x1", "x2"], horizon=5.0, id_cols=["k"],
+            n_iter=2,
         ).collect()
     }
     # keys differ across runs (uuid is per-action) — compare via sorted

@@ -89,8 +89,8 @@ def test_stream_kmv_matches_batch(spark, tmp_path):
 
     # two source files -> two micro-batches (maxFilesPerTrigger=1)
     src = tmp_path / "src"
-    df.filter(F.crc32("key") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
-    df.filter(F.crc32("key") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    df.filter(F.crc32("key") % 2 == 0).repartition(1).write.parquet(str(src / "a"))
+    df.filter(F.crc32("key") % 2 == 1).repartition(1).write.parquet(str(src / "b"))
     import glob
     import shutil
 
@@ -188,7 +188,7 @@ def test_stream_kmv_long_key_with_nulls_matches_batch(spark, tmp_path):
 
     src = tmp_path / "src"
     src.mkdir()
-    df.coalesce(1).write.parquet(str(src / "a"))
+    df.repartition(1).write.parquet(str(src / "a"))
     import glob
     import shutil
 
@@ -310,10 +310,10 @@ def test_stream_cm_sketch_matches_batch(spark, tmp_path):
 
     src = tmp_path / "flat"
     src.mkdir()
-    df.filter(F.crc32("it") % 2 == 0).coalesce(1).write.parquet(
+    df.filter(F.crc32("it") % 2 == 0).repartition(1).write.parquet(
         str(tmp_path / "a")
     )
-    df.filter(F.crc32("it") % 2 == 1).coalesce(1).write.parquet(
+    df.filter(F.crc32("it") % 2 == 1).repartition(1).write.parquet(
         str(tmp_path / "b")
     )
     import glob
@@ -428,10 +428,10 @@ def test_stream_bloom_build_matches_batch(spark, tmp_path):
 
     src = tmp_path / "flat"
     src.mkdir()
-    df.filter(F.crc32("it") % 2 == 0).coalesce(1).write.parquet(
+    df.filter(F.crc32("it") % 2 == 0).repartition(1).write.parquet(
         str(tmp_path / "a")
     )
-    df.filter(F.crc32("it") % 2 == 1).coalesce(1).write.parquet(
+    df.filter(F.crc32("it") % 2 == 1).repartition(1).write.parquet(
         str(tmp_path / "b")
     )
     import glob
@@ -557,10 +557,10 @@ def test_stream_quantile_sketch_matches_batch(spark, tmp_path):
 
     src = tmp_path / "flat"
     src.mkdir()
-    df.filter(F.crc32("key") % 2 == 0).coalesce(1).write.parquet(
+    df.filter(F.crc32("key") % 2 == 0).repartition(1).write.parquet(
         str(tmp_path / "a")
     )
-    df.filter(F.crc32("key") % 2 == 1).coalesce(1).write.parquet(
+    df.filter(F.crc32("key") % 2 == 1).repartition(1).write.parquet(
         str(tmp_path / "b")
     )
     import glob

@@ -463,8 +463,8 @@ def test_stream_stream_touch_pairs_matches_batch(spark, tmp_path):
 
     flat = tmp_path / "flat"
     flat.mkdir()
-    df.filter(F.col("ts") < t(2)).coalesce(1).write.parquet(str(tmp_path / "a"))
-    df.filter(F.col("ts") >= t(2)).coalesce(1).write.parquet(str(tmp_path / "b"))
+    df.filter(F.col("ts") < t(2)).repartition(1).write.parquet(str(tmp_path / "a"))
+    df.filter(F.col("ts") >= t(2)).repartition(1).write.parquet(str(tmp_path / "b"))
     for i, (part, name) in enumerate(
         [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
     ):

@@ -163,8 +163,8 @@ def test_stream_cusum_matches_batch(spark, tmp_path):
     flat.mkdir()
     early = df.filter(F.col("day") <= "2024-03-04")
     late = df.filter(F.col("day") > "2024-03-04")
-    early.coalesce(1).write.parquet(str(tmp_path / "a"))
-    late.coalesce(1).write.parquet(str(tmp_path / "b"))
+    early.repartition(1).write.parquet(str(tmp_path / "a"))
+    late.repartition(1).write.parquet(str(tmp_path / "b"))
     for i, (part, name) in enumerate(
         [(tmp_path / "a", "0early"), (tmp_path / "b", "1late")]
     ):

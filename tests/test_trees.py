@@ -245,10 +245,10 @@ def test_stream_binned_histogram_matches_batch(spark, tmp_path):
 
     src = tmp_path / "flat"
     src.mkdir()
-    df.filter(F.col("y") == 1).coalesce(1).write.parquet(
+    df.filter(F.col("y") == 1).repartition(1).write.parquet(
         str(tmp_path / "a")
     )
-    df.filter(F.col("y") == 0).coalesce(1).write.parquet(
+    df.filter(F.col("y") == 0).repartition(1).write.parquet(
         str(tmp_path / "b")
     )
     for i, f in enumerate(
