@@ -1360,7 +1360,7 @@ def q_simsearch_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     books = _pq_books(spark, sf)
     emb = load_table(spark, sf, "embeddings")
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     # r14: spread the narrow (id, vec) rows BELOW the encode projection
     # — a single-file corpus otherwise runs the whole per-row argmin

@@ -97,7 +97,7 @@ def nb_confusion_report(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     spark = docs.sparkSession
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     # r14: spread before the pin — the tokenize/explode/hash pass
     # otherwise runs single-task on a single-file source (the

@@ -94,7 +94,7 @@ def kmeans_refine(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not centroids:
         raise ValueError("centroids must be non-empty")
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     import math
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Column
 
 from intake_esm_spark.functions.text import shingles, words_array
-from intake_esm_spark.operators.dedup import _spread
+from intake_esm_spark.operators._util import _spread
 
 
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:

@@ -40,6 +40,8 @@ from intake_esm_spark.functions.text import (
     words_array,
 )
 
+from ._util import _spread  # noqa: F401  (re-export; moved r15)
+
 _log = logging.getLogger(__name__)
 
 LAST_CC_ROUNDS: int | None = None
@@ -113,36 +115,9 @@ def _shingle_rows(
     return proj.select("id", F.explode("__sh_arr").alias("sh"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure shingle-heavy stages use every core: a single parquet file
-    with one row group arrives as ONE partition, serializing the whole
-    n-gram pipeline. One narrow round-robin shuffle of (id, text) buys
-    full parallelism; on a many-file 100 TB table the partition count is
-    already >= cores and this is a no-op.
-
-    Two-step width probe: ``df.inputFiles()`` first — a driver-side file
-    listing (already cached by the scan relation) that settles the common
-    case (a many-file table is always wide) without touching ``.rdd``.
-    Only when the file count is below target does it fall back to the
-    precise ``df.rdd.getNumPartitions()`` (which materializes the RDD
-    lineage — acceptable on the rare narrow path): files UNDER-count
-    partitions when one large file splits against ``maxPartitionBytes``
-    (a 10×1 TB table is ~80k partitions, not 10 — repartitioning it
-    would be a full-corpus exchange), and a non-file source reports zero
-    files regardless of its real width.
-
-    Streaming frames pass through untouched (r14): the width probes are
-    batch-only APIs, and the shared moment builders (OLS/WLS twins
-    #25/#26) call this on both batch and streaming inputs — a streaming
-    source's parallelism is the reader's concern, not ours."""
-    if df.isStreaming:
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= target:
-        return df
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+# _spread lives in ._util since r15 (ADVICE: promoted from here once 8+
+# modules imported it); re-exported for compatibility with existing
+# importers and tests.
 
 
 def exact_duplicates(
@@ -428,9 +403,14 @@ def jaccard_pairs(
     exploded = _shingle_rows(
         df, text_col, id_col, shingle_n, distinct=True, with_count=True
     ).select("id", "n_sh", F.col("sh").alias("shingle"))
-    # r14: pin — both self-join sides otherwise re-run the shingle scan
-    # (candidate-restricted on the production path, so the pin is small)
-    exploded = exploded.localCheckpoint(eager=False)
+    # r14: pin — both self-join sides otherwise re-run the shingle scan.
+    # Candidate-restricted only (ADVICE r15): on the candidates=None
+    # all-pairs path the pin would materialize the FULL docs × shingles
+    # frame to executor storage; that path is verification/small-scale
+    # by contract (docstring) and leaves the two identical join-side
+    # subtrees to runtime exchange reuse instead.
+    if cand_ids is not None:
+        exploded = exploded.localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     out = (

@@ -2199,7 +2199,7 @@ def permutation_test_report(
 
     if n_perm < 1:
         raise ValueError(f"n_perm must be >= 1, got {n_perm}")
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     # r14: the permuted pass inflates every unit B-fold and runs one
     # md5 per (unit, permutation) — on a single-file source that whole

@@ -98,7 +98,7 @@ def embedding_covariance(
     Float partial sums are partition-order-dependent in the last ulp,
     so the fast path is NOT SQL-oracle-replayable — bounded-error
     tested against this exact path instead."""
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     base = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1)

@@ -230,8 +230,13 @@ def bucketed_cumsum(
     """INCLUSIVE prefix sums of ``sum_cols`` over ``df`` globally
     ordered by (``val_col`` asc/desc, ``tiebreaks`` asc) — exact, with
     no single-task data-sized stage (construction above).  Adds
-    ``__cum_<c>`` for each ``c`` in ``sum_cols``; all internal columns
-    (``__bkt``, span bounds) are dropped.
+    ``__cum_<c>`` for each ``c`` in ``sum_cols``; internal columns are
+    dropped: ``__bkt`` always, the span bounds only when INTERNALLY
+    derived (the ``bounds=None`` span aggregate's ``__lo``/``__hi``).
+    CALLER-SUPPLIED ``bounds`` columns pass through to the output —
+    behavior ``cox_baseline_hazard``/``cox_predict_survival`` depend on
+    by re-selecting their ``__blo``/``__bhi`` downstream (ADVICE r15:
+    do not "fix" this to match the old one-line summary).
 
     ``val_col`` must be numeric (it is range-bucketed through a double
     cast; the within-bucket ORDER uses the original column, so decimal

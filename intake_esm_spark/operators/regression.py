@@ -124,7 +124,7 @@ def ols_moment_frame(
             f"{MAX_FEATURES} — the moment row grows quadratically; use "
             "hashed-feature scoring (operators/corpus.py) for wide inputs"
         )
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     # r14: single-row-group parquet arrives as ONE non-empty scan task,
     # serializing the (p+1)(p+2)/2 decimal terms per row on one core —
@@ -455,7 +455,7 @@ def wls_moment_frame(
     base = df.filter(
         cond & (F.round(F.col(w_col).cast("double"), 6) > 0)
     )
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     # r14: narrow pre-aggregation spread — see ols_moment_frame.
     base = _spread(
@@ -669,7 +669,7 @@ def _bp_aux_moments(
     partial-aggregated scan, residual built in a projection below the
     aggregate (the logistic-pass discipline), left-associated exactly
     as the oracle replays it."""
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     # r14: narrow pre-aggregation spread — see ols_moment_frame.
     base = _spread(
@@ -2448,7 +2448,7 @@ def iv_moment_frame(
     cond = _finite(y_col)
     for c in [*x_cols, *z_cols]:
         cond = cond & _finite(c)
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     # r14: narrow pre-aggregation spread — see ols_moment_frame.  An
     # exogenous regressor instruments itself (x∩z non-empty), so the

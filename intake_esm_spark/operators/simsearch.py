@@ -395,7 +395,7 @@ def _write_assigned(
     files_per_bucket: int | None,
     mode: str,
 ) -> None:
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     assigned = _spread(rows).withColumn(
         "bucket", _nearest_centroid_expr(centroids, vec_col)
@@ -479,7 +479,7 @@ def _write_assigned_int8(
     append path so the two can never disagree on the assignment rule."""
     import math as _math
 
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     cent_arr = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
@@ -585,7 +585,7 @@ def _write_assigned_pq(
     int8 flavor's."""
     import math as _math
 
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
     from intake_esm_spark.operators.pq import pq_encode
 
     cent_arr = F.array(
@@ -891,7 +891,7 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
 
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     c_bucketed = with_norm(
         _spread(corpus).select(F.col(id_col), F.col(vec_col).alias("__cvec")),

@@ -268,7 +268,7 @@ def histogram_tree_report(
     fields; if the ROOT cannot split the result is the root row
     alone."""
     _check_args(x_cols, n_bins)
-    from intake_esm_spark.operators.dedup import _spread
+    from intake_esm_spark.operators._util import _spread
 
     # r14: narrow projection + spread before the pin — the six region
     # passes (3 ranges + 3 histograms) otherwise all inherit the
