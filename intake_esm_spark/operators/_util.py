@@ -24,37 +24,14 @@ mid-flight could read a stale width — that only shapes execution, never
 values, and no code path here does so."""
 
 
-def _pin_partitioned(df: DataFrame, key: str) -> DataFrame:
-    """EAGER ``localCheckpoint`` of a loop-invariant frame, hash-
-    partitioned by ``key`` at the session's shuffle partition count, with
-    AQE disabled around the materialization (r15, guide §3.1).
-
-    Why the AQE toggle: Spark 4.1.2's ``localCheckpoint`` materializes an
-    ``AdaptiveSparkPlan`` as ``LogicalRDD ... UnknownPartitioning(0)`` —
-    the r14 probe's dead end — so every downstream join re-exchanges the
-    invariant side each iteration.  With AQE off for just this
-    materialization the checkpointed plan keeps
-    ``hashpartitioning(key, N)``, and every loop join keyed on ``key``
-    skips the invariant side's exchange (N = shuffle partitions = the
-    join's required count, at any scale).  Partitioning is
-    execution-only; values are unchanged.
-
-    Eager by necessity: the partitioning must be captured from the
-    EXECUTED plan.  Streaming frames are returned untouched (checkpoints
-    and width probes are batch APIs; a streaming caller keeps its own
-    per-microbatch shape)."""
-    if df.isStreaming:
-        return df
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        from pyspark.sql import functions as F
-
-        return df.repartition(n, F.col(key)).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+# r15 NOTE: a `_pin_partitioned` helper lived here during the graph-
+# iterative probe (AQE-off EAGER localCheckpoint preserves the executed
+# plan's hashpartitioning+ordering, where the lazy pin materializes as
+# UnknownPartitioning — probe plans in plans/r15/graph_pagerank_
+# iteration_*.txt). Removed after paired A/B legs showed every consumer
+# regressing at bench scale (AQE broadcasts already avoid the invariant-
+# side exchange); re-create it from the plans + graph.py notes if a
+# cluster-scale deployment needs the exchange-free loop join.
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -68,7 +68,18 @@ def pagerank(
     )
     # degree rides ON the edge rows (loop-invariant — joining it inside
     # the loop would pay an extra exchange per iteration); checkpointed
-    # so every round reuses the materialized (src, dst, deg) frame
+    # so every round reuses the materialized (src, dst, deg) frame.
+    # r15 probe, CLOSED after measurement: an AQE-off EAGER checkpoint
+    # here preserves hashpartitioning(src)+ordering (what r14's lazy
+    # probe could not get — the lazy pin materializes as
+    # UnknownPartitioning) and drops the per-iteration plan from 3
+    # Exchanges to 1 (plans/r15/graph_pagerank_iteration_*.txt), but
+    # five paired min-basis A/B legs put it 4.39 → 4.48-4.82 s and ppr
+    # 4.91 → 5.24-5.30 s: at bench scale AQE already broadcasts the
+    # node-sized rank frame (no edge exchange either way), so the
+    # pre-partitioned SMJ path only adds sort + AQE-less
+    # materialization cost.  Revisit only on a cluster where the rank
+    # frame exceeds the broadcast threshold.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     e_deg = e.join(deg, "src").localCheckpoint(eager=False)
     n_nodes = nodes.count()
@@ -178,6 +189,13 @@ def label_propagation(
     from pyspark.sql import Window
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # r15 probe, REJECTED on measurement: the eager keyed pin
+    # (_pin_partitioned on "dst") regressed this entry 5.2 → 7.2 s in
+    # paired min-basis A/B legs — pre-partitioning forces the vote join
+    # down the sort-merge path, while the lazy pin lets AQE broadcast
+    # the node-sized label frame (no edge exchange either way at bench
+    # scale); the same probe closed pagerank/ppr — see pagerank's
+    # e_deg note for the full numbers.
     e = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
@@ -274,7 +292,11 @@ def link_prediction_jaccard(
         .filter(F.col("__dn") <= max_neighbor_degree)
         .drop("__dn")
         # pin: both self-join sides reference this frame (the basket.py
-        # multi-reference rule)
+        # multi-reference rule).  r15 probe, REJECTED on measurement:
+        # the eager keyed pin on "n" (which makes the wedge self-join
+        # exchange-free on both sides) regressed 2.8 → 3.2 s in paired
+        # min-basis A/B legs — the extra eager repartition pass costs
+        # more than the self-join exchanges it removes at this shape.
         .localCheckpoint(eager=False)
     )
     pairs = (
@@ -435,6 +457,7 @@ def personalized_pagerank(
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # r15: keyed eager pin probed and CLOSED — see pagerank's e_deg note
     e_deg = e.join(deg, "src").localCheckpoint(eager=False)
     restart = F.when(
         F.col("__is_seed"), F.lit((1.0 - damping) / n_seeds)
